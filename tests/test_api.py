@@ -1,0 +1,48 @@
+"""API contract tests mirroring the reference's error-surface tests
+(app/server/test/index.js:53-80)."""
+
+from __future__ import annotations
+
+from kinesis_stream_reader_spark.api import QueryParamValidator, error_envelope
+
+
+def test_valid_params():
+    v = QueryParamValidator().validate_params({"streamname": "s", "duration": "10"})
+    assert v.to_dict() == {
+        "badRequest": False,
+        "missingRequiredParams": [],
+        "invalidParams": [],
+    }
+
+
+def test_missing_required_param():
+    # test/index.js:65-80 — missing streamname -> badRequest with typed body
+    v = QueryParamValidator().validate_params({"duration": "10"})
+    assert v.badRequest
+    assert v.missingRequiredParams == ["streamname"]
+    assert v.invalidParams == []
+
+
+def test_invalid_param():
+    v = QueryParamValidator().validate_params({"streamname": "s", "bogus": "1"})
+    assert v.badRequest
+    assert v.invalidParams == ["bogus"]
+
+
+def test_all_reference_params_allowed():
+    # app/server/index.js:46-48
+    q = {
+        "streamname": "s",
+        "duration": "1",
+        "contactId": "1",
+        "agentId": "1",
+        "serverName": "x",
+        "tenantId": "1",
+        "agentShiftId": "1",
+    }
+    assert not QueryParamValidator().validate_params(q).badRequest
+
+
+def test_error_envelope():
+    # app/server/index.js:66-69
+    assert error_envelope("boom") == {"badRequest": True, "error": "boom"}
