@@ -289,6 +289,29 @@ def sink_json_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink_json(df)
 
 
+# ---------------------------------------------------------------------------
+# §2.2 deagg_explode — KPL de-aggregation (kinesisReader/index.js:120-176).
+# The events table is packed into real KPL aggregated wire records
+# (sources/raw.py), then decoded by the engine's deaggregator; the decode
+# must reproduce the events table exactly, so the oracle is the identity.
+# ---------------------------------------------------------------------------
+@register(
+    "deagg_explode",
+    """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+)
+def deagg_explode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ingest import deagg_explode, json_parse
+    from .sources.raw import kpl_raw_records
+
+    raw = kpl_raw_records(spark, sf_dir, group_size=4)
+    exploded = deagg_explode(raw)
+    parsed = json_parse(exploded, schema="event_id BIGINT, k BIGINT")
+    return parsed.select("event_id", "k")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
