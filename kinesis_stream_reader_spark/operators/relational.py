@@ -1,0 +1,182 @@
+"""Relational operators beyond the reference's surface.
+
+The reference implements no joins, aggregations, window functions,
+sorts or set operations (SURVEY.md §2.4-2.8) — these are the analytics
+its users would run next, expressed as idiomatic Catalyst-optimized
+DataFrame plans over the driver's TPC-H-ish tables.
+
+Scale notes are per-operator. General stance for the 100 TB target:
+
+- dimension tables (region 5 / nation 25 / customer / supplier / part)
+  are broadcast — no shuffle of the fact side for enrichment joins;
+- aggregations rely on Spark's automatic partial (map-side) aggregation,
+  so the shuffle carries one row per (partition, key), not per event;
+- top-k uses orderBy().limit(n), which Spark executes as per-partition
+  TakeOrdered + driver merge of n rows — never a global sort;
+- window functions shuffle once on the partition key; rank cutoffs
+  apply per-partition;
+- set ops use left_anti/intersect joins, which AQE converts to
+  broadcast when one side is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def agg_count_by_key(events: DataFrame) -> DataFrame:
+    """Events per (user, type): the natural first analytic over the
+    stream. One shuffle on the composite key; partial aggregation makes
+    the shuffle O(distinct keys), not O(events)."""
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def agg_pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q1-style pricing summary: the canonical scan-heavy
+    aggregate. Only 6 of 11 columns are read (column pruning reaches
+    the parquet scan); 4 grouping cells, so the shuffle is trivial and
+    the job is scan-bound — exactly what you want at 100 TB."""
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def join_enrich(orders: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Fact-to-dimension enrichment: orders -> customer -> nation ->
+    region, revenue per region/nation. All three dims are broadcast
+    (F.broadcast is explicit, not left to the threshold), so the orders
+    side streams through map-side hash joins with zero shuffle until
+    the final small aggregation."""
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
+
+
+def join_filter_pushdown(lineitem: DataFrame, part: DataFrame, brand: str) -> DataFrame:
+    """Selective dim filter then broadcast semi-enrichment: the brand
+    predicate prunes `part` BEFORE the broadcast, so only matching part
+    keys ship to executors. Catalyst additionally pushes l_* column
+    pruning into the scan."""
+    parts = part.filter(F.col("p_brand") == brand).select("p_partkey", "p_brand", "p_name")
+    return (
+        lineitem.join(F.broadcast(parts), lineitem.l_partkey == parts.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+    )
+
+
+def window_rank_orders(orders: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k orders per customer via rank() — one shuffle on o_custkey,
+    rank cutoff applied per partition. At scale, skewed customers are
+    handled by AQE; the alternative groupBy+slice(sort_array) form
+    avoids the window entirely if needed."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.rank().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def top_k_customers(orders: DataFrame, customer: DataFrame, k: int = 10) -> DataFrame:
+    """Global top-k by revenue: aggregate first (shrinks to one row per
+    customer), enrich via broadcast, then orderBy().limit(k) which
+    Spark plans as TakeOrderedAndProject — per-partition heaps + a
+    k-row driver merge, no global sort."""
+    revenue = orders.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    return (
+        revenue.join(F.broadcast(customer), revenue.o_custkey == customer.c_custkey)
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue")
+        .limit(k)
+    )
+
+
+def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join set difference (oracle twin: EXCEPT). left_anti is the
+    scalable form — it degenerates to a broadcast of the distinct key
+    set when small, and a null-safe shuffled join otherwise."""
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def active_in_both(events: DataFrame) -> DataFrame:
+    """INTERSECT: users who both clicked and purchased."""
+    clicks = events.filter(F.col("event_type") == "click").select("user_id")
+    buys = events.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.intersect(buys)
+
+
+def sort_limit_events(events: DataFrame, n: int = 100) -> DataFrame:
+    """Deterministic top-n by value (TakeOrdered, not global sort)."""
+    return (
+        events.orderBy(F.col("value").desc(), F.col("event_id"))
+        .select("event_id", "user_id", "event_type", "value")
+        .limit(n)
+    )
+
+
+def distinct_users_per_type(events: DataFrame) -> DataFrame:
+    """Exact distinct-count per type. At 100 TB prefer
+    approx_count_distinct (HLL, no second shuffle); exact form kept for
+    the oracle. Spark plans count(distinct) as a two-stage expand +
+    partial agg automatically."""
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def rollup_counts(events: DataFrame) -> DataFrame:
+    """ROLLUP over event_type: per-type counts plus grand total —
+    grouping-sets surface. NULL marks the total row (matches SQL
+    ROLLUP)."""
+    return events.rollup("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def window_tumbling_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch twin of the streaming
+    windowed count; streaming adds withWatermark on the same expression).
+    Window start is emitted as a string to keep the comparison
+    timezone-proof."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

@@ -1,0 +1,111 @@
+"""Text-analysis operators over the `documents` table: token counting,
+quality scoring, language-ID, and document fingerprinting.
+
+Extension surface (north-star mandate): the building blocks of an LLM
+training-data pipeline. All pure built-in column expressions — whole
+document sets stream through whole-stage codegen with no UDF, no
+shuffle (except the trivially small aggregations), and full column
+pruning (only `text` + keys are read from parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Word-boundary-ish regex for a BPE-style pre-tokenizer: word pieces,
+# numbers, or single non-space symbols (public GPT-2 pre-tokenizer
+# spirit, simplified to what Spark/DuckDB regex engines share).
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword marker lists for the n-gram-free heuristic
+# language ID. On real corpora these are the classic discriminative
+# function words; on the driver's synthetic shared-vocabulary documents
+# they mostly exercise the scoring plumbing deterministically.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "y"),
+    "fr": ("le", "la", "les", "et"),
+    "zh": ("的", "了", "是", "我"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (split drops nothing; empty-string guard)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def text_token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count per document."""
+    return documents.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_REGEX), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def text_quality(documents: DataFrame) -> DataFrame:
+    """Quality-score features: length, token stats, punctuation and
+    stopword ratios — the standard cheap pre-filters before expensive
+    dedup/model scoring."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0)).cast("long")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))).cast("long")
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_chars / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_punct / n_chars, 4).alias("punct_ratio"),
+        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+    )
+
+
+def text_lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax over per-language marker-token
+    counts, deterministic lexicographic tie-break. Expressed as a
+    greatest-of-structs max so the whole thing is one codegen stage."""
+    toks = tokens(F.col("text"))
+
+    def marker_pred(markers):
+        # factory, not a default-arg lambda: PySpark counts default args
+        # as lambda parameters and would mis-bind the HOF arity
+        return lambda t: t.isin(*markers)
+
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.filter(toks, marker_pred(markers)))
+                .cast("long")
+                .alias("score"),
+                # negate lexicographic order into the sort key so
+                # array_max's (score, key) comparison tie-breaks to the
+                # alphabetically-first language deterministically
+                F.lit(-i).alias("order"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items()))
+        ]
+    )  # noqa: E501
+    best = F.array_max(scored)
+    return documents.select(
+        "doc_id",
+        "lang",
+        best.getField("lang").alias("lang_pred"),
+        best.getField("score").alias("marker_hits"),
+    )
+
+
+def text_fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 over the normalized text
+    (lowercase, collapsed whitespace) — the exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return documents.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+    )

@@ -312,6 +312,418 @@ def deagg_explode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("event_id", "k")
 
 
+# ---------------------------------------------------------------------------
+# Relational extension surface (SURVEY.md §2.4-2.8: absent in the
+# reference, built-in via Spark). operators/relational.py documents the
+# per-operator scale strategy.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_count_by_key",
+    """
+SELECT user_id, event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY user_id, event_type
+""",
+)
+def agg_count_by_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.agg_count_by_key(load_events(spark, sf_dir))
+
+
+@register(
+    "agg_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.agg_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "join_enrich",
+    """
+SELECT r_name, n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def join_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.join_enrich(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "join_filter_pushdown",
+    """
+SELECT p_brand, COUNT(*) AS n_lineitems, ROUND(SUM(l_extendedprice), 4) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+GROUP BY p_brand
+""",
+)
+def join_filter_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.join_filter_pushdown(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part"), "Brand#13"
+    )
+
+
+@register(
+    "window_rank",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+)
+def window_rank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.window_rank_orders(load_table(spark, sf_dir, "orders"), k=3)
+
+
+@register(
+    "top_k_customers",
+    """
+SELECT c_custkey, c_name, revenue FROM (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS revenue FROM orders GROUP BY o_custkey
+) JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+)
+def top_k_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.top_k_customers(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer"), k=10
+    )
+
+
+@register(
+    "set_except",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def set_except_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "set_intersect",
+    """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def set_intersect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.active_in_both(load_events(spark, sf_dir))
+
+
+@register(
+    "sort_limit",
+    """
+SELECT event_id, user_id, event_type, value
+FROM events ORDER BY value DESC, event_id LIMIT 100
+""",
+)
+def sort_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.sort_limit_events(load_events(spark, sf_dir), n=100)
+
+
+@register(
+    "distinct_count",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def distinct_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.distinct_users_per_type(load_events(spark, sf_dir))
+
+
+@register(
+    "rollup_counts",
+    """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY ROLLUP (event_type)
+""",
+)
+def rollup_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.rollup_counts(load_events(spark, sf_dir))
+
+
+@register(
+    "window_tumbling",
+    """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+)
+def window_tumbling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.window_tumbling_counts(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extension surface: text analysis, dedup,
+# similarity search (operators/text.py, dedup.py, similarity.py).
+# ---------------------------------------------------------------------------
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_GRAMS = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(" + _TOKS + ") - 2, 0)), "
+    "i -> array_to_string((" + _TOKS + ")[i:i+2], ' ')))"
+)
+
+
+@register(
+    "text_token_count",
+    f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+FROM documents
+""",
+)
+def text_token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.text_token_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_TOKS}) AS n_tokens,
+       ROUND(length(text) / len({_TOKS}), 4) AS avg_token_len,
+       ROUND(len(regexp_extract_all(text, '[^\\w\\s]')) / length(text), 4) AS punct_ratio,
+       ROUND(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and'))) / len({_TOKS}), 4)
+         AS stopword_ratio
+FROM documents
+""",
+)
+def text_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.text_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_score(markers: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS}, t -> t IN ({quoted})))"
+
+
+def _lang_id_oracle() -> str:
+    from .operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(f"{_lang_score(LANG_MARKERS[lang])} AS s_{lang}" for lang in langs)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    first_max = "CASE " + " ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {scores} FROM documents)
+SELECT doc_id, lang, {first_max} AS lang_pred, {greatest} AS marker_hits
+FROM scored
+"""
+
+
+@register("text_lang_id", _lang_id_oracle())
+def text_lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.text_lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.text_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact",
+    f"""
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS is_dup
+FROM documents
+""",
+)
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents")).drop("fingerprint")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH g AS (SELECT doc_id, lang, source, {_GRAMS} AS grams FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+             / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+FROM g a JOIN g b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6
+""",
+)
+def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    # exact all-pairs oracle: valid because the 16x2 band scheme has
+    # ~1-1e-7 recall at the 0.8 threshold (operators/dedup.py)
+    f"""
+WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+             / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+""",
+)
+def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    from .operators.dedup import SIMHASH_BITS
+
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    signature = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2**b}::BIGINT ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT)::BIGINT AS h FROM tok
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {signature} AS simhash FROM votes
+), blocked AS (
+  SELECT s.doc_id, s.simhash, d.lang, d.source FROM sig s JOIN documents d USING (doc_id)
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocked a JOIN blocked b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) >= 0.4
+""",
+)
+def dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "ann_bruteforce",
+    """
+SELECT b.vec_id,
+       ROUND(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 3) AS cos_sim
+FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE b.vec_id <> 0
+ORDER BY cos_sim DESC, b.vec_id
+LIMIT 10
+""",
+)
+def ann_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.ann_bruteforce(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("ann_lsh")  # xxhash64 buckets are not DuckDB-expressible: rows-only
+def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.ann_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

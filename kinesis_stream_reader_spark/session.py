@@ -41,6 +41,7 @@ def get_spark(app_name: str = "kinesis_stream_reader_spark", cpus: int | None = 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config(NANOS_CONF, "true")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
@@ -52,8 +53,9 @@ def get_spark(app_name: str = "kinesis_stream_reader_spark", cpus: int | None = 
 def ensure_confs(spark: SparkSession) -> SparkSession:
     """Set runtime-settable confs the engine needs on a session we did not
     build (the correctness driver passes its own SparkSession)."""
-    try:
-        spark.conf.set(NANOS_CONF, "true")
-    except Exception:
-        pass
+    for key, value in ((NANOS_CONF, "true"), ("spark.sql.session.timeZone", "UTC")):
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass
     return spark

@@ -1,0 +1,131 @@
+"""Unit tests for dedup/similarity/text operators on tiny inline frames
+plus recall checks against exact baselines on the sf0.001 fixtures."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from kinesis_stream_reader_spark.operators import dedup, similarity, text
+from kinesis_stream_reader_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=1, lang="en", source="s", text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, lang="en", source="s", text="the quick brown fox jumps over the lazy dog"),  # exact dup
+        Row(doc_id=3, lang="en", source="s", text="the quick brown fox leaps over the lazy dog"),  # near dup
+        Row(doc_id=4, lang="en", source="s", text="completely different words entirely here now"),
+        Row(doc_id=5, lang="de", source="s", text="the quick brown fox jumps over the lazy dog"),  # other block
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_dedup_exact_groups(docs):
+    out = {r.doc_id: (r.canonical_id, r.is_dup) for r in dedup.dedup_exact(docs).collect()}
+    assert out[1] == (1, False)
+    assert out[2] == (1, True)      # exact duplicate of 1
+    assert out[3][1] is False       # near-dup is NOT an exact dup
+    assert out[5] == (1, True)      # exact dedup ignores blocking
+
+
+def test_dedup_exact_normalizes_case_and_whitespace(spark):
+    rows = [
+        Row(doc_id=1, text="Hello   World"),
+        Row(doc_id=2, text="hello world "),
+    ]
+    out = dedup.dedup_exact(spark.createDataFrame(rows)).collect()
+    assert {r.canonical_id for r in out} == {1}
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.a_id, r.b_id): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(1, 2)] == 1.0            # identical
+    # one-word edit on 9 tokens: 4 shared / 10 distinct trigrams = 0.4
+    assert pairs[(1, 3)] == 0.4
+    assert (1, 4) not in pairs             # unrelated
+    assert (1, 5) not in pairs             # cross-block pair excluded
+
+
+def test_minhash_lsh_matches_exact_jaccard(spark, sf_dir):
+    """LSH candidates + verification must equal the exact all-pairs
+    result at the 0.8 threshold (recall contract of the band scheme)."""
+    documents = load_table(spark, sf_dir, "documents")
+    lsh = {
+        (r.a_id, r.b_id): r.jaccard for r in dedup.minhash_lsh_pairs(documents).collect()
+    }
+    grams = documents.select("doc_id", dedup.word_ngrams(F.col("text")).alias("g"))
+    a, b = grams.alias("a"), grams.alias("b")
+    exact = {
+        (r.a_id, r.b_id): r.j
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.round(
+                F.size(F.array_intersect("a.g", "b.g"))
+                / F.size(F.array_union("a.g", "b.g")),
+                4,
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.8)
+        .collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # the fixture plants near-dups
+
+
+def test_simhash_identical_and_near(docs):
+    sigs = {r.doc_id: r.simhash for r in dedup.simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]  # identical text -> identical signature
+    assert all(0 <= s < 2**60 for s in sigs.values())
+    ham = {
+        (r.a_id, r.b_id): r.hamming for r in dedup.simhash_pairs(docs, max_hamming=60).collect()
+    }
+    assert ham[(1, 2)] == 0
+    # near-dup closer than unrelated
+    assert ham[(1, 3)] < ham[(1, 4)]
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        Row(vec_id=1, label=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=2, label=0, embedding=[1.0, 0.01, 0.0]),   # near-identical
+        Row(vec_id=3, label=0, embedding=[0.0, 1.0, 0.0]),    # orthogonal
+        Row(vec_id=4, label=1, embedding=[1.0, 0.0, 0.0]),    # other block
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, label INT, embedding ARRAY<FLOAT>")
+    pairs = {(r.a_id, r.b_id) for r in dedup.embedding_near_dup_pairs(df, threshold=0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_ann_bruteforce_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ann_bruteforce(emb, query_vec_id=0, k=5).collect()
+    assert len(out) == 5
+    sims = [r.cos_sim for r in out]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r.vec_id != 0 for r in out)
+
+
+def test_ann_lsh_is_subset_ranked_like_bruteforce(spark, sf_dir):
+    """LSH results are a subset of the corpus ranked by the same exact
+    cosine; every returned sim must appear in the brute-force full
+    ranking with the same value."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = {r.vec_id: r.cos_sim for r in similarity.ann_bruteforce(emb, k=500).collect()}
+    lsh = similarity.ann_lsh(emb, k=10).collect()
+    assert len(lsh) > 0
+    for r in lsh:
+        assert brute[r.vec_id] == r.cos_sim
+
+
+def test_lang_id_prefers_marker_hits(spark):
+    rows = [
+        Row(doc_id=1, lang="en", text="der hund und die katze und der vogel"),
+        Row(doc_id=2, lang="en", text="the cat and the dog of a house"),
+    ]
+    out = {r.doc_id: r.lang_pred for r in text.text_lang_id(spark.createDataFrame(rows)).collect()}
+    assert out[1] == "de"
+    assert out[2] == "en"

@@ -29,7 +29,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
         if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
+            df[c] = df[c].astype("float64").round(6)
+        elif df[c].dtype.kind in "iu":
+            df[c] = df[c].astype("Int64")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(by=list(df.columns), ignore_index=True)
