@@ -1,0 +1,96 @@
+"""Multimodal columns: image/audio/video as opaque binary columns with
+typed metadata, and Arrow-batched decode / feature-extract plumbing.
+
+Extension surface (north-star mandate). The Spark-side design is real
+and tested — schema, partitioning, mapInPandas batch shape, feature
+extraction — while the actual media codecs are STUBBED: the container
+has no image/audio libraries, so ``decode_image`` / ``resample_audio`` /
+``sample_frames`` raise NotImplementedError with a clear message, and
+the feature extractor uses a deterministic byte-level fake in their
+place. Swapping in Pillow/librosa/pyav changes only the inner function,
+not the Spark plumbing.
+
+Scale notes: binary payloads stay opaque to the JVM (no codegen over
+blob contents); mapInPandas streams Arrow record batches so one task
+never materializes more than spark.sql.execution.arrow.maxRecordsPerBatch
+rows of payload; feature rows are tiny, so the expensive stage is
+map-only with no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_KINDS = ("image", "audio", "video")
+
+FEATURE_SCHEMA = (
+    "doc_id BIGINT, kind STRING, n_bytes BIGINT, byte_mean DOUBLE, byte_entropy_proxy BIGINT"
+)
+
+
+def decode_image(data: bytes) -> object:
+    """Real image decode (Pillow/torchvision) — unavailable here."""
+    raise NotImplementedError(
+        "image codecs are not installed in this environment; "
+        "plug Pillow/torchvision into extract_features' inner loop"
+    )
+
+
+def resample_audio(data: bytes, rate: int = 16_000) -> object:
+    raise NotImplementedError(
+        "audio codecs are not installed in this environment; plug librosa/torchaudio here"
+    )
+
+
+def sample_frames(data: bytes, every_n: int = 30) -> object:
+    raise NotImplementedError(
+        "video codecs are not installed in this environment; plug pyav here"
+    )
+
+
+def documents_as_media(documents: DataFrame, kind: str = "image") -> DataFrame:
+    """Fixture adapter: wrap document text bytes as an opaque media
+    payload with typed metadata — the storage shape a real multimodal
+    table uses (binary column + metadata struct, partitionable by
+    metadata without touching payloads)."""
+    data = F.encode(F.col("text"), "UTF-8")
+    return documents.select(
+        "doc_id",
+        data.alias("data"),
+        F.struct(
+            F.lit(kind).alias("kind"),
+            F.length(F.col("text")).cast("long").alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("media_meta"),
+    )
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The inner per-payload function is where a real decoder goes
+    (decode_image -> pixel stats); the deterministic byte-level fake
+    keeps the full pipeline testable: byte_mean is the mean payload
+    byte value, byte_entropy_proxy the count of distinct byte values.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["data"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": [m["kind"] for m in pdf["media_meta"]],
+                    "n_bytes": payloads.map(len),
+                    "byte_mean": payloads.map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                    "byte_entropy_proxy": payloads.map(lambda b: len(set(b))),
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)

@@ -724,6 +724,49 @@ def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+# ---------------------------------------------------------------------------
+# Streaming surface (§2.10): the same plan executed as a Structured
+# Streaming query with Trigger.AvailableNow (the reference's
+# drain-until-caught-up loop), checked against the BATCH SQL oracle —
+# stream/batch unification as a correctness statement.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_windowed_counts",
+    """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+)
+def streaming_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.windowed_counts(stream), "streaming_windowed_counts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: binary payload + metadata struct, Arrow-batched
+# feature extraction (operators/multimodal.py; codecs stubbed, plumbing
+# real). Oracle covers the SQL-expressible features; the byte-level fake
+# features are pytest-verified (tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    """
+SELECT doc_id, 'image' AS kind, length(text) AS n_bytes
+FROM documents
+""",
+)
+def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).select("doc_id", "kind", "n_bytes")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -1,0 +1,114 @@
+"""Structured Streaming variants of the engine's pipeline.
+
+The reference's ingestion mode is pull-to-batch: every request re-reads
+the stream from AT_TIMESTAMP and drains until caught up
+(kinesisReader/index.js:24-45). In Structured Streaming that is exactly
+``Trigger.AvailableNow`` — process everything available, then stop — so
+batch and streaming share the same transform functions and differ only
+in the trigger.
+
+For tests/fixtures the source is a file stream over the driver's
+parquet; the production source is the Kinesis connector
+(sources/kinesis.py). Transforms reused verbatim from operators/ —
+Structured Streaming's unified API means to_nested / filter_records /
+deagg_explode apply unchanged to a streaming DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.events import to_nested
+from ..operators.filters import filter_records
+from ..session import ensure_confs
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    """The file source wants a directory; expose the single events
+    parquet through a symlinked temp dir (no copy)."""
+    if sf_dir not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="ksr_stream_")
+        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the events fixture (swap-the-source seam:
+    the production deployment replaces this with the Kinesis reader,
+    sources/kinesis.py — same downstream plan)."""
+    ensure_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_events_stream_dir(sf_dir))
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def records_stream(events: DataFrame, query: Mapping[str, object]) -> DataFrame:
+    """The reference pipeline as a streaming plan: nested projection +
+    conjunctive filters. (The AT_TIMESTAMP lower bound belongs to the
+    source options in streaming mode — kinesisReader/index.js:77-81.)"""
+    return filter_records(to_nested(events), query)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts — the first event-time
+    operator beyond the reference (which treats time as arrival-only,
+    SURVEY.md §2.10). The watermark bounds state: windows older than
+    max(event_time) - watermark are finalized and evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id with watermark-bounded state
+    (dropDuplicatesWithinWatermark): the streaming twin of
+    operators.dedup.dedup_exact for an at-least-once source."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Execute a streaming plan with Trigger.AvailableNow into an
+    in-memory sink and return the materialized result table — the
+    drain-until-caught-up semantics of the reference's fetch loop
+    (kinesisReader/index.js:39-44) as a one-liner."""
+    with tempfile.TemporaryDirectory() as checkpoint:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("complete" if stream_df.isStreaming and _has_aggregation(stream_df) else "append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(query_name)
+
+
+def _has_aggregation(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return "Aggregate" in plan

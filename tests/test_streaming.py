@@ -1,0 +1,69 @@
+"""Streaming pipeline tests: AvailableNow drain semantics, watermarked
+windowed counts matching the batch twin, streaming dedup, stateful
+sessionization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_stream_reader_spark.operators.relational import window_tumbling_counts
+from kinesis_stream_reader_spark.sources.tables import load_events
+from kinesis_stream_reader_spark.streaming import jobs
+from kinesis_stream_reader_spark.streaming.stateful import sessionize
+
+
+def test_windowed_counts_stream_matches_batch(spark, sf_dir):
+    """Trigger.AvailableNow over the file stream must equal the batch
+    tumbling-window aggregation — one plan, two execution modes."""
+    stream = jobs.stream_events(spark, sf_dir)
+    result = jobs.run_available_now(
+        jobs.windowed_counts(stream), "windowed_counts_test"
+    ).collect()
+    batch = window_tumbling_counts(load_events(spark, sf_dir)).collect()
+    assert sorted(map(tuple, result)) == sorted(map(tuple, batch))
+    assert len(result) > 0
+
+
+def test_records_stream_matches_batch(spark, sf_dir):
+    """The reference pipeline under readStream equals the batch filters."""
+    from kinesis_stream_reader_spark.operators.events import flatten_ids, to_nested
+    from kinesis_stream_reader_spark.operators.filters import filter_records
+
+    query = {"serverName": "SERVER-click", "tenantId": "10"}
+    stream = jobs.records_stream(jobs.stream_events(spark, sf_dir), query)
+    got = jobs.run_available_now(flatten_ids(stream), "records_stream_test").collect()
+    want = flatten_ids(
+        filter_records(to_nested(load_events(spark, sf_dir)), query)
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) > 0
+
+
+def test_dedup_stream_drops_duplicates(spark, sf_dir):
+    stream = jobs.stream_events(spark, sf_dir)
+    # duplicate the stream by unioning it with itself: at-least-once sim
+    doubled = stream.union(stream)
+    out = jobs.run_available_now(
+        jobs.dedup_stream(doubled).select("event_id"), "dedup_stream_test"
+    ).collect()
+    n_events = load_events(spark, sf_dir).count()
+    assert len(out) == n_events  # every duplicate dropped
+    assert len({r.event_id for r in out}) == n_events
+
+
+def test_sessionize_closes_on_gap(spark, sf_dir):
+    stream = jobs.stream_events(spark, sf_dir)
+    sessions = jobs.run_available_now(sessionize(stream), "sessionize_test").collect()
+    # sessions are per-user, non-overlapping, event counts conserved for
+    # CLOSED sessions (open tails are retained in state, not emitted)
+    assert len(sessions) > 0
+    by_user: dict[int, list] = {}
+    for s in sessions:
+        assert s.session_start <= s.session_end
+        assert s.n_events >= 1
+        by_user.setdefault(s.user_id, []).append(s)
+    for user_sessions in by_user.values():
+        spans = sorted((s.session_start, s.session_end) for s in user_sessions)
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 < s2  # non-overlapping, gap-separated
