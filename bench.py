@@ -23,8 +23,12 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entrymod.queries()
+    # Warm up the JVM (codegen, parquet footer caches, Arrow path) so
+    # timings measure query execution, not session startup.
+    for table in ("events", "lineitem", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+
     timings: dict[str, float] = {}
-    # warm the JVM + parquet footer caches once with the cheapest action
     for name, fn in qs.items():
         t0 = time.time()
         # count() executes the full plan without driver-side materialization

@@ -45,6 +45,13 @@ def word_ngrams(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def hashed_ngrams(col: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles as xxhash64 longs: set operations over
+    longs are far cheaper than over strings (the Jaccard counts are
+    identical barring a ~1e-16 in-document collision probability)."""
+    return F.transform(word_ngrams(col, n), lambda g: F.xxhash64(g))
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
@@ -72,24 +79,39 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within blocking buckets.
 
-    The self-join is equi on the blocking key, so Spark shuffles each
-    bucket to one executor and compares only within it — the classic
-    blocked-dedup shape. Jaccard on small-int set sizes is exact in
-    floating point, so the oracle matches bit-for-bit."""
+    Inverted-index shape (the 100 TB form): explode shingles, equi-join
+    postings on (gram, blocking) to count shared grams per pair, then
+    jaccard = shared / (|A| + |B| - shared). No array intersections, no
+    quadratic block scan — pairs sharing zero grams never materialize
+    (identical result set for any threshold > 0). All join/group keys
+    are longs + the blocking columns. Jaccard on small-int set sizes is
+    exact in floating point, so the oracle matches bit-for-bit."""
     docs = documents.select(
-        "doc_id", *blocking, word_ngrams(F.col("text"), n).alias("grams")
+        "doc_id", *blocking, hashed_ngrams(F.col("text"), n).alias("grams")
     )
-    a = docs.alias("a")
-    b = docs.alias("b")
-    cond = F.col("a.doc_id") < F.col("b.doc_id")
+    sizes = docs.select("doc_id", F.size("grams").alias("n_grams"))
+    postings = docs.select("doc_id", *blocking, F.explode("grams").alias("gram"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    cond = (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     for key in blocking:
         cond = cond & (F.col(f"a.{key}") == F.col(f"b.{key}"))
-    return (
+    shared = (
         a.join(b, cond)
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(F.broadcast(sizes.withColumnRenamed("doc_id", "a_id")), "a_id")
+        .withColumnRenamed("n_grams", "n_a")
+        .join(F.broadcast(sizes.withColumnRenamed("doc_id", "b_id")), "b_id")
+        .withColumnRenamed("n_grams", "n_b")
         .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
-            F.round(_jaccard(F.col("a.grams"), F.col("b.grams")), 4).alias("jaccard"),
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 4
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -148,7 +170,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    grams = documents.select("doc_id", word_ngrams(F.col("text"), n).alias("grams"))
+    grams = documents.select("doc_id", hashed_ngrams(F.col("text"), n).alias("grams"))
     return (
         candidates.join(grams.withColumnRenamed("doc_id", "a_id").alias("ga"), "a_id")
         .join(

@@ -166,6 +166,108 @@ def rollup_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def join_asof_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """As-of join: for each event, the latest order of that user at or
+    before the event time — an operator Spark lacks natively, composed
+    from existing DataFrame ops via the union + running-last trick:
+
+    tag both sides, union, then one window sorted by (time, side) per
+    user carries the most recent order key forward onto event rows.
+    ONE shuffle + sort on the user key — strictly cheaper than the
+    join-then-filter-then-rank form, and the canonical scalable shape
+    (point-in-time joins in feature stores use exactly this)."""
+    left = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    # order rows sort BEFORE event rows at equal t (desc is_order), so
+    # "at or before" includes same-instant orders
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("t"), F.col("is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_order") == 0).select(
+        "event_id", F.col("uid").alias("user_id"), "asof_orderkey"
+    )
+
+
+def cube_counts(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, user bucket): full grouping-sets surface."""
+    bucket = (F.col("user_id") % 10).alias("user_bucket")
+    return events.cube("event_type", bucket).agg(F.count("*").alias("n_events"))
+
+
+def pivot_counts(events: DataFrame) -> DataFrame:
+    """Pivot event types into columns per user. The pivot values are
+    pinned (not discovered) so the plan is a single pass with no
+    pre-query, and the 100 TB plan shape is one shuffle."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))  # count(*) star is invalid inside pivot
+    )
+    # null -> 0 for absent combinations, stable column names
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    )
+
+
+def agg_percentiles(events: DataFrame) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — matches SQL
+    quantile_cont). At 100 TB swap F.percentile for
+    F.percentile_approx: one pass, mergeable sketches, bounded error."""
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 4).alias("p50"),
+        F.round(F.percentile("value", 0.95), 4).alias("p95"),
+    )
+
+
+def shipping_priority(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, segment: str = "BUILDING"
+) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> broadcast -> fact agg ->
+    top-k. The segment filter prunes customers before the broadcast;
+    lineitem joins shuffle on orderkey (the natural co-location key for
+    bucketed storage at scale)."""
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return (
+        lineitem.join(ords, lineitem.l_orderkey == ords.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
 def window_tumbling_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Tumbling 1-hour event-time windows (batch twin of the streaming
     windowed count; streaming adds withWatermark on the same expression).

