@@ -54,7 +54,9 @@ def parse_int_param(value: object) -> int | None:
         s = s[1:]
     digits = ""
     for ch in s:
-        if ch.isdigit():
+        # ASCII digits only: str.isdigit() accepts Unicode numerals
+        # (e.g. '²') that int() rejects and JS parseInt ignores
+        if ch in "0123456789":
             digits += ch
         else:
             break

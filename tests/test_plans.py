@@ -1,0 +1,70 @@
+"""Plan-shape regression tests: lock in the physical-plan properties
+the 100 TB design depends on (pushdown, pruning, broadcast, TakeOrdered)
+so a refactor that silently degrades the plan fails CI."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def test_filter_queries_prune_to_needed_columns(spark, sf_dir, qs):
+    """The nested-event projection must collapse: a filter query reads
+    only the flat source columns it needs, not all six."""
+    plan = physical_plan(qs["filter_server_name"](spark, sf_dir))
+    assert "ReadSchema: struct<event_id:bigint,event_type:string>" in plan
+
+
+def test_join_enrich_broadcasts_all_dims(spark, sf_dir, qs):
+    plan = physical_plan(qs["join_enrich"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_k_uses_take_ordered(spark, sf_dir, qs):
+    plan = physical_plan(qs["top_k_customers"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sort_limit_uses_take_ordered(spark, sf_dir, qs):
+    plan = physical_plan(qs["sort_limit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort node
+
+
+def test_agg_pricing_summary_prunes_columns(spark, sf_dir, qs):
+    """Q1 must read 6 of 11 lineitem columns."""
+    plan = physical_plan(qs["agg_pricing_summary"](spark, sf_dir))
+    read = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "l_quantity" in read and "l_extendedprice" in read
+    assert "l_shipdate" not in read and "l_partkey" not in read
+
+
+def test_join_filter_pushdown_reaches_scan(spark, sf_dir, qs):
+    """The brand predicate must be pushed into the part scan."""
+    plan = physical_plan(qs["join_filter_pushdown"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,Brand#13)" in plan
+
+
+def test_no_python_udfs_in_reference_filters(spark, sf_dir, qs):
+    """The parity surface is pure column algebra — no Python eval nodes."""
+    for name in ("records_pipeline", "filter_contact_id", "scan_stream"):
+        plan = physical_plan(qs[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_whole_stage_codegen_covers_filters(spark, sf_dir, qs):
+    # "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    plan = physical_plan(qs["filter_contact_id"](spark, sf_dir))
+    assert "*(1)" in plan
