@@ -268,6 +268,39 @@ def shipping_priority(
     )
 
 
+def agg_count_by_key_salted(events: DataFrame, salt_buckets: int = 8) -> DataFrame:
+    """Two-stage salted aggregation: the skew-mitigation pattern for
+    hot keys at scale. Stage 1 aggregates on (key, salt) — hot keys
+    split across `salt_buckets` reducers; stage 2 merges the partials
+    on the key alone. Results are identical to the direct groupBy
+    (same oracle as agg_count_by_key), the plan trades one extra small
+    shuffle for bounded per-task input. With AQE skew handling on this
+    is rarely needed for joins, but aggregation skew on a dominant key
+    still wants the explicit form."""
+    salt = (F.col("event_id") % salt_buckets).alias("_salt")
+    partial = (
+        events.groupBy("user_id", "event_type", salt)
+        .agg(F.count("*").alias("pn"), F.sum("value").alias("pv"))
+    )
+    return (
+        partial.groupBy("user_id", "event_type")
+        .agg(
+            F.sum("pn").alias("n_events"),
+            F.round(F.sum("pv"), 4).alias("sum_value"),
+        )
+    )
+
+
+def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
+    """HLL-sketch distinct counts: the 100 TB form of distinct_count
+    (one pass, mergeable, no expand). No SQL oracle — the estimate is
+    checked against the exact count within rsd tolerance in pytest."""
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def window_tumbling_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Tumbling 1-hour event-time windows (batch twin of the streaming
     windowed count; streaming adds withWatermark on the same expression).

@@ -725,6 +725,27 @@ def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_count_by_key_salted",
+    # identical semantics to agg_count_by_key — salting is plan-internal
+    """
+SELECT user_id, event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY user_id, event_type
+""",
+)
+def agg_count_by_key_salted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.agg_count_by_key_salted(load_events(spark, sf_dir))
+
+
+@register("agg_approx_distinct")  # sketch estimate: rows-only + pytest tolerance
+def agg_approx_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.approx_distinct_users(load_events(spark, sf_dir))
+
+
+@register(
     "join_asof",
     """
 SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey

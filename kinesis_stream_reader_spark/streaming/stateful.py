@@ -15,8 +15,9 @@ prefer it when no custom per-session logic is needed).
 
 from __future__ import annotations
 
-from collections.abc import Iterable
+from collections.abc import Iterable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -28,6 +29,18 @@ SESSION_SCHEMA = (
 STATE_SCHEMA = "start_us BIGINT, end_us BIGINT, n BIGINT"
 
 _GAP_MS = 30 * 60 * 1000  # 30 min inactivity closes a session
+
+
+def _runs(ts_sorted_us: np.ndarray, gap_us: int) -> Iterator[tuple[int, int, int]]:
+    """Split a sorted int64 timestamp array into gap-delimited runs,
+    yielding (start, end, count) per run."""
+    if len(ts_sorted_us) == 0:
+        return
+    breaks = np.where(np.diff(ts_sorted_us) > gap_us)[0]
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [len(ts_sorted_us) - 1]))
+    for s, e in zip(starts, ends):
+        yield int(ts_sorted_us[s]), int(ts_sorted_us[e]), int(e - s + 1)
 
 
 def _sessionize(
@@ -54,16 +67,20 @@ def _sessionize(
     else:
         start_us = end_us = n = None
 
-    for pdf in pdfs:
-        for ts in sorted(pdf["ts"]):
-            ts_us = int(pd.Timestamp(ts).value // 1000)
-            if start_us is None:
-                start_us, end_us, n = ts_us, ts_us, 1
-            elif ts_us - end_us > _GAP_MS * 1000:
-                closed.append((start_us, end_us, n))
-                start_us, end_us, n = ts_us, ts_us, 1
-            else:
-                end_us, n = ts_us, n + 1
+    # vectorized gap detection: sort once, break where diff > gap,
+    # reduce each run to (min, max, count) — no per-event Python loop
+    arrays = [
+        pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64") for pdf in pdfs
+    ]
+    ts_us_all = np.sort(np.concatenate(arrays)) if arrays else np.empty(0, dtype="int64")
+    for chunk_start, chunk_end, chunk_n in _runs(ts_us_all, _GAP_MS * 1000):
+        if start_us is None:
+            start_us, end_us, n = chunk_start, chunk_end, chunk_n
+        elif chunk_start - end_us > _GAP_MS * 1000:
+            closed.append((start_us, end_us, n))
+            start_us, end_us, n = chunk_start, chunk_end, chunk_n
+        else:
+            end_us, n = chunk_end, n + chunk_n
 
     if start_us is not None:
         state.update((start_us, end_us, n))
