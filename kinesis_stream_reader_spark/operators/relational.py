@@ -129,6 +129,22 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
     ).select("c_custkey", "c_name")
 
 
+def customers_with_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Left-semi join: existence test without duplication — the
+    EXISTS/IN-subquery plan shape. AQE broadcasts the distinct key set
+    when small."""
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+def union_user_ids(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """UNION (distinct) across heterogeneous sources, aligned by name."""
+    ids_a = events.select(F.col("user_id").alias("uid"))
+    ids_b = customer.select(F.col("c_custkey").alias("uid"))
+    return ids_a.unionByName(ids_b).distinct()
+
+
 def active_in_both(events: DataFrame) -> DataFrame:
     """INTERSECT: users who both clicked and purchased."""
     clicks = events.filter(F.col("event_type") == "click").select("user_id")

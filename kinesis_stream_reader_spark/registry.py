@@ -438,6 +438,60 @@ def set_except_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_semi",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+)
+def join_semi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.customers_with_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "set_union",
+    """
+SELECT user_id AS uid FROM events
+UNION
+SELECT c_custkey AS uid FROM customer
+""",
+)
+def set_union_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.union_user_ids(
+        load_events(spark, sf_dir), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "sql_text_api",
+    # the engine's SQL front end: the same Catalyst plan from SQL text
+    """
+SELECT s_name, COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 4) AS total
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+""",
+)
+def sql_text_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spark.sql over registered temp views — proves the DataFrame and
+    # SQL front doors share one engine (identical Catalyst plan)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ksr_lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("ksr_supplier")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 4) AS total
+        FROM ksr_lineitem JOIN ksr_supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        """
+    )
+
+
+@register(
     "set_intersect",
     """
 SELECT user_id FROM events WHERE event_type = 'click'

@@ -53,7 +53,15 @@ def get_spark(app_name: str = "kinesis_stream_reader_spark", cpus: int | None = 
 def ensure_confs(spark: SparkSession) -> SparkSession:
     """Set runtime-settable confs the engine needs on a session we did not
     build (the correctness driver passes its own SparkSession)."""
-    for key, value in ((NANOS_CONF, "true"), ("spark.sql.session.timeZone", "UTC")):
+    runtime_confs = (
+        (NANOS_CONF, "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.shuffle.partitions", str(default_parallelism())),
+    )
+    for key, value in runtime_confs:
         try:
             spark.conf.set(key, value)
         except Exception:
