@@ -12,40 +12,15 @@ partition/Z-order key so probes prune files, not just rows.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import _as_double, cosine
 
-# 16 fixed random hyperplanes for sign-LSH, derived deterministically
-# from xxhash64(plane, dim) so executors and tests agree with no
-# broadcast state: weight in {-1, +1}.
+# 16 fixed Gaussian hyperplanes for sign-LSH, generated from a seeded
+# RNG so every executor derives identical planes with no broadcast state.
 LSH_PLANES = 16
-
-
-def _plane_weight(plane: int, dim: Column) -> Column:
-    return F.when(F.xxhash64(F.lit(plane), dim) % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
-
-
-def lsh_bucket(vec: Column, planes: int = LSH_PLANES) -> Column:
-    """Sign-LSH bucket id: one bit per hyperplane = sign(sum_i v_i * w_pi)."""
-    def weighted(p):
-        # factory, not a default-arg lambda: PySpark counts default args
-        # as lambda parameters and would mis-bind zip_with's arity
-        return lambda x, i: x * _plane_weight(p, i)
-
-    bits = []
-    for p in range(planes):
-        proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), F.size(vec) - 1), weighted(p)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bits.append(F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long")))
-    bucket = bits[0]
-    for bit in bits[1:]:
-        bucket = bucket + bit
-    return bucket
 
 
 def ann_bruteforce(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
@@ -67,6 +42,40 @@ def ann_bruteforce(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) ->
     )
 
 
+def lsh_buckets_vectorized(embeddings: DataFrame, planes: int = LSH_PLANES, dim: int = 64) -> DataFrame:
+    """Sign-LSH buckets for all vectors in one Arrow-batched matmul:
+    project each vector onto `planes` fixed Gaussian hyperplanes
+    (deterministic seeded RNG shared by every executor) and pack the
+    projection signs into a long. The bucket column is then an ordinary
+    narrow column — at scale it becomes the partition/Z-order key.
+
+    Same engineering decision as dedup.embedding_near_dup_pairs: dense
+    vector math goes through numpy/BLAS, not per-element column folds
+    (measured ~4x at sf0.1, growing with dim x planes)."""
+    import numpy as np
+
+    def batches(it):
+        rng = np.random.default_rng(42)
+        w = rng.standard_normal((dim, planes))
+        powers = (1 << np.arange(planes)).astype(np.int64)
+        for pdf in it:
+            mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = (mat @ w) > 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": [row.tolist() for row in mat],
+                    "bucket": (bits @ powers).astype(np.int64),
+                }
+            )
+
+    # the vector rides along: this is the index-BUILD pass (one map-only
+    # stage, persisted in a real deployment), so probes need no join
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        batches, "vec_id BIGINT, embedding ARRAY<DOUBLE>, bucket BIGINT"
+    )
+
+
 def ann_lsh(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, probe_hamming: int = 6) -> DataFrame:
     """LSH-bucketed ANN: score only vectors whose sign-LSH bucket is
     within `probe_hamming` bits of the query's bucket (multi-probe).
@@ -82,10 +91,7 @@ def ann_lsh(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, probe_ham
     ~1.2/16 and a radius of 2-3 suffices; the driver's synthetic
     vectors top out near cos 0.37 (theta ~ 68deg, expected hamming ~6),
     hence the wide default here."""
-    vecs = embeddings.select(
-        "vec_id",
-        _as_double(F.col("embedding")).alias("v"),
-    ).withColumn("bucket", lsh_bucket(F.col("v")))
+    vecs = lsh_buckets_vectorized(embeddings).withColumnRenamed("embedding", "v")
     query = vecs.filter(F.col("vec_id") == query_vec_id).select(
         F.col("v").alias("q"), F.col("bucket").alias("q_bucket")
     )

@@ -32,11 +32,20 @@ _STREAM_DIRS: dict[str, str] = {}
 
 
 def _events_stream_dir(sf_dir: str) -> str:
-    """The file source wants a directory; expose the single events
-    parquet through a symlinked temp dir (no copy)."""
+    """The file source wants a directory of data files; expose the
+    events parquet through a symlinked temp dir (no copy). Handles both
+    a single-file fixture and a Spark-written directory of part files —
+    the source does NOT recurse into subdirectories, so leaf files are
+    linked directly."""
     if sf_dir not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="ksr_stream_")
-        os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
+        src = f"{sf_dir}/events.parquet"
+        if os.path.isdir(src):
+            for i, name in enumerate(sorted(os.listdir(src))):
+                if name.endswith(".parquet"):
+                    os.symlink(f"{src}/{name}", f"{d}/part-{i:05d}.parquet")
+        else:
+            os.symlink(src, f"{d}/events.parquet")
         _STREAM_DIRS[sf_dir] = d
     return _STREAM_DIRS[sf_dir]
 
