@@ -285,6 +285,52 @@ def simhash_pairs(
     )
 
 
+def dedup_components(
+    documents: DataFrame, pairs: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every document
+    mapped to its component's canonical (minimum) doc_id.
+
+    This is the scalable alternative to emitting all O(g^2) pairs of a
+    g-sized duplicate group (SCALING.md): iterative min-label
+    propagation as a driver-coordinated loop of DataFrame ops — the
+    standard Spark shape for iterative graph algorithms. Duplicate
+    groups are near-cliques, so convergence takes O(diameter) ~ 2
+    rounds; localCheckpoint truncates lineage each round so plans stay
+    flat. Each round is one join + one groupBy-min (both on long keys).
+    """
+    edges = pairs.select(
+        F.col("a_id").alias("u"), F.col("b_id").alias("v")
+    ).unionByName(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    labels = documents.select("doc_id", F.col("doc_id").alias("component_id"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy("u")
+            .agg(F.min("component_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.u, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component_id"), F.coalesce(F.col("nmin"), F.col("component_id"))
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component_id") != F.col("o.component_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two double-array columns, built-in only:
     ordered zip_with/aggregate fold (deterministic summation order)."""

@@ -738,6 +738,41 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_groups",
+    # connected components over the >=0.8 near-dup graph; oracle walks
+    # the same graph with a recursive transitive-closure CTE
+    f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, {_GRAMS} AS grams FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS component_id
+FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+GROUP BY d.doc_id
+""",
+)
+def dedup_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    documents = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(documents, threshold=0.8)
+    return dedup.dedup_components(documents, pairs)
+
+
+@register(
     "dedup_embedding_cosine",
     """
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,

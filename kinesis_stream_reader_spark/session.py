@@ -43,6 +43,7 @@ def get_spark(app_name: str = "kinesis_stream_reader_spark", cpus: int | None = 
         .config(NANOS_CONF, "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/ksr_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()

@@ -88,6 +88,19 @@ def test_simhash_identical_and_near(docs):
     assert ham[(1, 3)] < ham[(1, 4)]
 
 
+def test_dedup_components_chain_and_singleton(spark):
+    """A chain a-b, b-c must collapse to one component even though a-c
+    was never a pair; untouched docs stay singletons."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in [1, 2, 3, 4, 9]])
+    pairs = spark.createDataFrame(
+        [Row(a_id=1, b_id=2), Row(a_id=2, b_id=3)]
+    )
+    out = {r.doc_id: r.component_id for r in dedup.dedup_components(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 4, 9: 9}
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         Row(vec_id=1, label=0, embedding=[1.0, 0.0, 0.0]),
