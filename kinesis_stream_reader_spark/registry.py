@@ -963,6 +963,71 @@ def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_dedup",
+    # the stream is unioned with itself (at-least-once delivery sim);
+    # watermark-bounded dedup must reduce it back to the exact table
+    """
+SELECT event_id, user_id, event_type FROM events
+""",
+)
+def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    doubled = stream.union(stream)
+    out = jobs.run_available_now(
+        jobs.dedup_stream(doubled).select("event_id", "user_id", "event_type"),
+        "streaming_dedup",
+    )
+    return out
+
+
+@register(
+    "tpch_q6",
+    """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # forecasting-revenue-change: pure scan + pushed range predicates +
+    # single agg — the canonical pushdown benchmark
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+@register(
+    "text_normalize",
+    """
+SELECT doc_id,
+       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g') AS normalized
+FROM documents
+""",
+)
+def text_normalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "").alias(
+            "normalized"
+        ),
+    )
+
+
+@register(
     "streaming_sessionize",
     # The stateful operator emits a session when (a) a LATER event of
     # the same user closes it (30-min gap), or (b) its event-time

@@ -64,6 +64,23 @@ def test_no_python_udfs_in_reference_filters(spark, sf_dir, qs):
         assert "ArrowEvalPython" not in plan
 
 
+def formatted_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q6_range_predicates_push_to_scan(spark, sf_dir, qs):
+    plan = formatted_plan(qs["tpch_q6"](spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate,1994-01-01" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double," in plan
+
+
 def test_whole_stage_codegen_covers_filters(spark, sf_dir, qs):
     # "*(n)" prefixes mark whole-stage-codegen stages in the plan string
     plan = physical_plan(qs["filter_contact_id"](spark, sf_dir))
