@@ -1028,6 +1028,26 @@ def text_normalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_attribution",
+    # watermarked stream-stream join vs the plain batch self-join
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def streaming_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.attribution_join(stream), "streaming_attribution"
+    )
+
+
+@register(
     "streaming_sessionize",
     # The stateful operator emits a session when (a) a LATER event of
     # the same user closes it (30-min gap), or (b) its event-time

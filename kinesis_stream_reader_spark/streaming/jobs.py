@@ -99,6 +99,43 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def attribution_join(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: attribute each
+    purchase to every click by the same user in the preceding hour.
+
+    The time-range join condition lets Spark bound BOTH state stores via
+    the watermarks (clicks older than the window + watermark are
+    evicted) — the canonical watermarked stream-stream join. Batch
+    semantics are identical (the oracle is a plain self-join), which is
+    exactly the unification guarantee being tested."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}")),
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+
+
 def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow into an
     in-memory sink and return the materialized result table — the
