@@ -120,10 +120,16 @@ def top_k_customers(orders: DataFrame, customer: DataFrame, k: int = 10) -> Data
     )
 
 
-def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """Anti-join set difference (oracle twin: EXCEPT). left_anti is the
-    scalable form — it degenerates to a broadcast of the distinct key
-    set when small, and a null-safe shuffled join otherwise."""
+def customers_without_orders(
+    customer: DataFrame, orders: DataFrame, since: str | None = "1998-01-01"
+) -> DataFrame:
+    """Anti-join set difference (oracle twin: NOT IN subquery).
+    left_anti is the scalable form — it degenerates to a broadcast of
+    the distinct key set when small, and a null-safe shuffled join
+    otherwise. The optional date bound makes the result non-trivial
+    ('customers inactive since') and pushes down into the orders scan."""
+    if since is not None:
+        orders = orders.filter(F.col("o_orderdate") >= since)
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

@@ -426,7 +426,9 @@ def top_k_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "set_except",
     """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+)
 """,
 )
 def set_except_query(spark: SparkSession, sf_dir: str) -> DataFrame:
