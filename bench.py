@@ -27,6 +27,11 @@ def main() -> None:
     # timings measure query execution, not session startup.
     for table in ("events", "lineitem", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
+    # materialize the KPL wire-record fixture so deagg timing measures
+    # the decode operator, not test-fixture packing
+    from kinesis_stream_reader_spark.sources.raw import kpl_raw_records
+
+    kpl_raw_records(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

@@ -40,6 +40,7 @@ def get_spark(app_name: str = "kinesis_stream_reader_spark", cpus: int | None = 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config(NANOS_CONF, "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -19,6 +19,7 @@ the same work).
 from __future__ import annotations
 
 import json
+import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -43,11 +44,22 @@ def _encode_batch(recs: pd.Series) -> pd.Series:
     )
 
 
-def kpl_raw_records(spark: SparkSession, sf_dir: str, group_size: int = 50) -> DataFrame:
+def kpl_raw_records(
+    spark: SparkSession, sf_dir: str, group_size: int = 50, cache: bool = True
+) -> DataFrame:
     """events -> KPL-aggregated wire records (agg_id, partition_key, data).
 
     group_size=50 mirrors real KPL aggregation (many user records per
-    Kinesis record, kpl.proto:3-4)."""
+    Kinesis record, kpl.proto:3-4). The packed output is deterministic,
+    so it is materialized once per (sf_dir, group_size) under /tmp and
+    re-read as parquet — downstream timings then measure the DECODE
+    operator (the engine surface), not fixture generation."""
+    cache_dir = (
+        f"/tmp/ksr_raw_cache/{sf_dir.strip('/').replace('/', '_')}_g{group_size}"
+    )
+    if cache and os.path.isdir(cache_dir):
+        return spark.read.parquet(cache_dir)
+
     events = load_events(spark, sf_dir).select(
         "event_id",
         F.from_json("props", "k BIGINT").getField("k").alias("k"),
@@ -56,8 +68,12 @@ def kpl_raw_records(spark: SparkSession, sf_dir: str, group_size: int = 50) -> D
     grouped = events.groupBy("agg_id").agg(
         F.sort_array(F.collect_list(F.struct("event_id", "k"))).alias("recs")
     )
-    return grouped.select(
+    packed = grouped.select(
         "agg_id",
         F.col("agg_id").cast("string").alias("partition_key"),
         _encode_batch(F.col("recs")).alias("data"),
     )
+    if cache:
+        packed.write.mode("overwrite").parquet(cache_dir)
+        return spark.read.parquet(cache_dir)
+    return packed
