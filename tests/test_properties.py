@@ -49,13 +49,16 @@ def test_parse_int_param_matches_js_parseint(s):
     if t[:1] == "+" or t[:1] == "-":
         sign = -1 if t[0] == "-" else 1
         t = t[1:]
+    alphabet, base = "0123456789", 10
+    if t[:2] in ("0x", "0X"):  # radix-less parseInt hex detection
+        t, alphabet, base = t[2:], "0123456789abcdefABCDEF", 16
     digits = ""
     for ch in t:
-        if ch in "0123456789":
+        if ch in alphabet:
             digits += ch
         else:
             break
-    expected = sign * int(digits) if digits else None
+    expected = sign * int(digits, base) if digits else None
     assert parse_int_param(s) == expected
 
 
