@@ -162,21 +162,39 @@ def kpl_decode(blob: bytes, verify_checksum: bool = True) -> list[str]:
 # --- DataFrame operators ----------------------------------------------------
 
 
-@F.pandas_udf(ArrayType(StringType()))
-def _kpl_decode_udf(blobs: pd.Series) -> pd.Series:
-    return blobs.map(kpl_decode)
+def _kpl_decode_udf(verify_checksums: bool):
+    @F.pandas_udf(ArrayType(StringType()))
+    def decode(blobs: pd.Series) -> pd.Series:
+        return blobs.map(lambda b: kpl_decode(b, verify_checksum=verify_checksums))
+
+    return decode
 
 
-def deagg_explode(df: DataFrame, data_col: str = "data") -> DataFrame:
+def deagg_explode(
+    df: DataFrame, data_col: str = "data", verify_checksums: bool = False
+) -> DataFrame:
     """KPL de-aggregation: one wire record row -> N payload rows.
 
     Output replaces ``data_col`` with string column ``payload_b64``.
     Corrupt aggregates vanish (explode of an empty array drops the row),
     matching the reference's silent-drop semantics.
+
+    ``verify_checksums`` defaults to False because the reference's
+    production call site passes computeChecksums=false
+    (kinesisReader/index.js:31) — a bad-checksum aggregate is still
+    decoded. Enable it to get the deagg library's strict mode.
+
+    Known reference quirk NOT emulated: on the non-KPL passthrough path
+    the reference drops records whose parsed JSON is falsy in JS
+    (payloads of exactly `null`/`0`/`false`/`""`,
+    kinesisReader/index.js:173 `if (record)`), while KPL inner records
+    keep them. Here both paths keep every payload; downstream
+    PERMISSIVE parsing represents degenerate documents as NULL fields.
     """
     other = [c for c in df.columns if c != data_col]
     return df.select(
-        *other, F.explode(_kpl_decode_udf(F.col(data_col))).alias("payload_b64")
+        *other,
+        F.explode(_kpl_decode_udf(verify_checksums)(F.col(data_col))).alias("payload_b64"),
     )
 
 

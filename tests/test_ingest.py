@@ -45,6 +45,16 @@ def test_non_kpl_passthrough():
     assert kpl_decode(raw) == [base64.b64encode(raw).decode()]
 
 
+def test_deagg_default_skips_checksum_like_reference(spark):
+    # production call site passes computeChecksums=false
+    # (kinesisReader/index.js:31): bad checksum still decodes
+    blob = bytearray(kpl_encode([b'{"k": 9}']))
+    blob[-1] ^= 0xFF
+    df = spark.createDataFrame([Row(seq=1, data=bytes(blob))], "seq INT, data BINARY")
+    assert deagg_explode(df).count() == 1                       # default: decoded
+    assert deagg_explode(df, verify_checksums=True).count() == 0  # strict: dropped
+
+
 def test_deagg_explode_mixed(spark):
     rows = [
         Row(seq=1, data=kpl_encode([b'{"k": 1}', b'{"k": 2}'])),     # 2 rows
