@@ -1098,6 +1098,59 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Flagship composition: end-to-end corpus curation (plans/curate.py) —
+# quality gates -> language selection -> exact dedup -> near-dup
+# canonicalization -> curated corpus. One oracle checks the whole
+# composition.
+# ---------------------------------------------------------------------------
+@register(
+    "curate_corpus",
+    f"""
+WITH RECURSIVE gated AS (
+  SELECT doc_id, lang, text, len({_TOKS}) AS n_tokens
+  FROM documents
+  WHERE lang IN ('en', 'de')
+    AND len({_TOKS}) >= 30
+    AND len(list_filter({_TOKS}, t -> t IN ('the','a','of','and')))::DOUBLE
+        / len({_TOKS}) <= 0.5
+), exact AS (
+  SELECT doc_id, lang, text, n_tokens,
+         MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS canonical
+  FROM gated
+), survivors AS (
+  SELECT doc_id, lang, text, n_tokens FROM exact WHERE doc_id = canonical
+), g AS (
+  SELECT doc_id, {_GRAMS} AS grams FROM survivors
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT s.doc_id,
+         LEAST(s.doc_id, COALESCE(MIN(r.v), s.doc_id)) AS component_id
+  FROM survivors s LEFT JOIN reach r ON r.u = s.doc_id
+  GROUP BY s.doc_id
+)
+SELECT s.doc_id, s.lang, s.n_tokens
+FROM survivors s JOIN comp c ON s.doc_id = c.doc_id AND s.doc_id = c.component_id
+""",
+)
+def curate_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.curate import curate_corpus
+
+    return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
