@@ -323,6 +323,44 @@ def approx_distinct_users(events: DataFrame, rsd: float = 0.02) -> DataFrame:
     )
 
 
+def window_session_builtin(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows via the BUILT-IN F.session_window — the
+    declarative twin of streaming/stateful.py's custom sessionizer.
+    Same one-shuffle shape as any groupBy; session merging happens
+    inside the aggregation."""
+    return (
+        events.groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def agg_minmax_by(events: DataFrame) -> DataFrame:
+    """Value-carrying argmax/argmin aggregates. Expressed as max/min
+    over (value, event_id) structs rather than max_by/min_by: engine
+    tie-breaking for max_by is unspecified, while struct ordering pins
+    ties to the extreme event_id deterministically on every engine."""
+    return events.groupBy("event_type").agg(
+        F.max(F.struct("value", "event_id"))["event_id"].alias("top_event_id"),
+        F.min(F.struct("value", "event_id"))["event_id"].alias("bottom_event_id"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+def agg_stats(events: DataFrame) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance) per group."""
+    return events.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
 def window_tumbling_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Tumbling 1-hour event-time windows (batch twin of the streaming
     windowed count; streaming adds withWatermark on the same expression).

@@ -1098,6 +1098,71 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_session_builtin",
+    # F.session_window's `end` is last_event + gap; mirror via lag/cumsum
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), grouped AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM grouped GROUP BY user_id, sid
+""",
+)
+def window_session_builtin_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.window_session_builtin(load_events(spark, sf_dir))
+
+
+@register(
+    "agg_minmax_by",
+    """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rmax,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rmin
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rmax = 1 THEN event_id END) AS top_event_id,
+       MAX(CASE WHEN rmin = 1 THEN event_id END) AS bottom_event_id,
+       ROUND(MAX(value), 4) AS max_value
+FROM ranked GROUP BY event_type
+""",
+)
+def agg_minmax_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.agg_minmax_by(load_events(spark, sf_dir))
+
+
+@register(
+    "agg_stats",
+    """
+SELECT event_type,
+       ROUND(stddev_samp(value), 4) AS stddev_value,
+       ROUND(var_samp(value), 4) AS var_value,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY event_type
+""",
+)
+def agg_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.agg_stats(load_events(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Flagship composition: end-to-end corpus curation (plans/curate.py) —
 # quality gates -> language selection -> exact dedup -> near-dup
