@@ -299,9 +299,14 @@ def dedup_components(
     rounds; localCheckpoint truncates lineage each round so plans stay
     flat. Each round is one join + one groupBy-min (both on long keys).
     """
-    edges = pairs.select(
-        F.col("a_id").alias("u"), F.col("b_id").alias("v")
-    ).unionByName(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+    # pairs usually carries an expensive lineage (the full LSH pipeline);
+    # checkpoint the edge list once so each propagation round joins a
+    # materialized table instead of re-running candidate generation.
+    edges = (
+        pairs.select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+        .unionByName(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
+        .localCheckpoint()
+    )
     labels = documents.select("doc_id", F.col("doc_id").alias("component_id"))
     for _ in range(max_iter):
         neighbor_min = (

@@ -42,9 +42,12 @@ def curate_corpus(
         & ((n_stop / n_tokens) <= max_stopword_ratio)
     )
 
-    # exact dedup: keep only canonical rows
+    # exact dedup: keep only canonical rows. The survivor set feeds three
+    # downstream consumers (LSH pairs, component labels, final join) —
+    # persist it so the gate + fingerprint stages run once (MEMORY_AND_DISK,
+    # so the cache spills rather than OOMs at scale).
     exact = dedup_exact(gated).filter(~F.col("is_dup")).select("doc_id")
-    survivors = gated.join(exact, "doc_id")
+    survivors = gated.join(exact, "doc_id").cache()
 
     # near-dup canonicalization over the survivors
     pairs = minhash_lsh_pairs(survivors, threshold=near_dup_threshold)
