@@ -94,3 +94,36 @@ def extract_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id BIGINT, kind STRING, frame_stride INT, n_frames BIGINT, "
+    "first_byte INT, last_byte INT"
+)
+
+
+def sample_frames_features(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame-sampling plumbing: take every `every_n`-th payload byte as
+    a 'frame' and report per-document frame stats.
+
+    The deterministic byte-stride stands in for real video frame
+    extraction (``sample_frames`` above is the pyav hook); everything
+    Spark-side is the production shape — Arrow-batched mapInPandas over
+    the binary column, map-only, no shuffle, one output row per input
+    row so the stage pipelines with the scan at any scale."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            sampled = pdf["data"].map(lambda b: b[::every_n])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": [m["kind"] for m in pdf["media_meta"]],
+                    "frame_stride": every_n,
+                    "n_frames": sampled.map(len),
+                    "first_byte": sampled.map(lambda s: s[0] if len(s) else None),
+                    "last_byte": sampled.map(lambda s: s[-1] if len(s) else None),
+                }
+            )
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

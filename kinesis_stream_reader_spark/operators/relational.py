@@ -361,6 +361,131 @@ def agg_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def local_supplier_volume(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q5 shape: revenue from intra-nation commerce (customer and
+    supplier share a nation) within one region and order year.
+
+    Plan shape for scale: the region filter prunes nation BEFORE any
+    fact touches it; supplier/customer/nation broadcast, so lineitem
+    shuffles exactly once (on l_orderkey against the date-filtered
+    orders); the nation equality (c_nationkey = s_nationkey) is applied
+    as a residual predicate on broadcast columns — no extra shuffle."""
+    nations_in_region = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .select("n_nationkey", "n_name")
+    )
+    ords = orders.filter(
+        (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+    )
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nations_in_region), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("rev"), 4).alias("revenue"))
+    )
+
+
+def returned_item_customers(
+    customer: DataFrame, orders: DataFrame, lineitem: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returns.
+    Aggregate lineitem returns per order FIRST (shrinks the fact side),
+    then broadcast-enrich with customer and TakeOrdered the top k."""
+    returned = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev").alias("rev"))
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .select("c_custkey", "c_name", F.round(F.col("rev"), 4).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def promo_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1996-03-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from promotional parts in a
+    window. Conditional aggregation over one broadcast join; the date
+    range pushes into the lineitem scan."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.filter((F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi))
+        .join(F.broadcast(part.select("p_partkey", "p_type")), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(100 * F.sum(promo) / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+# Static value bands for the non-equi range join: (band, lo, hi) with
+# [lo, hi) semantics over events.value (driver data spans 0.01-490.02).
+VALUE_BANDS = (
+    ("low", 0.0, 50.0),
+    ("mid", 50.0, 150.0),
+    ("high", 150.0, 300.0),
+    ("extreme", 300.0, 1000.0),
+)
+
+
+def join_range_bands(events: DataFrame) -> DataFrame:
+    """Non-equi (theta) range join: bucket each event's value into a
+    banded range via `value >= lo AND value < hi`.
+
+    The band table is tiny and broadcast, so the theta join is a
+    BroadcastNestedLoopJoin over 4 rows — a map-only stage, the only
+    scalable shape for non-equi conditions (a shuffled theta join would
+    be quadratic). This is the range-join primitive behind histogram
+    bucketing, SLA banding, and interval enrichment."""
+    spark = events.sparkSession
+    bands = spark.createDataFrame(list(VALUE_BANDS), "band STRING, lo DOUBLE, hi DOUBLE")
+    return (
+        events.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 def window_tumbling_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Tumbling 1-hour event-time windows (batch twin of the streaming
     windowed count; streaming adds withWatermark on the same expression).

@@ -76,6 +76,68 @@ def lsh_buckets_vectorized(embeddings: DataFrame, planes: int = LSH_PLANES, dim:
     )
 
 
+def ivf_centroids(embeddings: DataFrame, list_col: str = "label") -> DataFrame:
+    """IVF coarse-quantizer centroids: the mean vector of each inverted
+    list. Here the list assignment is the existing cluster label column;
+    a from-scratch index would assign lists with k-means iterations of
+    exactly this aggregation.
+
+    posexplode -> groupBy(list, pos) -> avg -> re-assemble keeps every
+    step in built-in partial-aggregated column algebra: the shuffle
+    carries (n_lists x dim) partial sums, independent of row count."""
+    pos = embeddings.select(
+        F.col(list_col).alias("list_id"),
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos", "x"
+        ),
+    )
+    return (
+        pos.groupBy("list_id", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("list_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "list_id", F.transform("pm", lambda s: s.getField("m")).alias("centroid")
+        )
+    )
+
+
+def ann_ivf(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """IVF ANN: score only the `nprobe` inverted lists whose centroids
+    are closest to the query — the FAISS IVF-flat search shape as a
+    DataFrame plan.
+
+    Index build (centroids) is one aggregation, amortized across
+    queries in a real deployment (persisted next to the vectors, with
+    list_id as the partition key so probes prune files). Per query: the
+    centroid table is tiny -> driver-side top-nprobe selection would
+    also work, but keeping it as broadcast joins leaves the whole plan
+    lazy; the big side is filtered by a broadcast semi-join on list_id
+    (partition pruning at scale), then exact cosine + TakeOrdered."""
+    vecs = embeddings.select(
+        "vec_id", F.col("label").alias("list_id"), _as_double(F.col("embedding")).alias("v")
+    )
+    query = vecs.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("q"))
+    probed = (
+        ivf_centroids(embeddings)
+        .join(F.broadcast(query))
+        .select("list_id", cosine(F.col("centroid"), F.col("q")).alias("c_sim"))
+        .orderBy(F.col("c_sim").desc(), F.col("list_id"))
+        .limit(nprobe)
+        .select("list_id")
+    )
+    return (
+        vecs.join(F.broadcast(probed), "list_id", "left_semi")
+        .join(F.broadcast(query))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("q")), 3).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_lsh(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, probe_hamming: int = 6) -> DataFrame:
     """LSH-bucketed ANN: score only vectors whose sign-LSH bucket is
     within `probe_hamming` bits of the query's bucket (multi-probe).

@@ -101,6 +101,45 @@ def text_lang_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def token_frequencies(documents: DataFrame, min_total: int = 100) -> DataFrame:
+    """Corpus token-frequency table: explode tokens (the lateral-view /
+    1->N row surface) and count totals + document frequency per token.
+
+    Scale shape: posexplode-free plain explode (order irrelevant), one
+    shuffle on the token; document frequency via count_distinct rides
+    the same shuffle. min_total keeps the result analytic-sized — the
+    HAVING pushes nothing into the scan but bounds the output."""
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_total") >= min_total)
+    )
+
+
+# Shared with the DuckDB oracle: POSIX-class-free patterns both regex
+# engines (Java util.regex / RE2-ish DuckDB) interpret identically.
+EMAIL_REGEX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_REGEX = r"\b555-[0-9]{4}\b"
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: replace email addresses and (toy NANP test-prefix)
+    phone numbers with typed placeholder tags. Pure regexp_replace —
+    codegen, no UDF, map-only at any scale."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_REGEX, "<EMAIL>"),
+        PHONE_REGEX,
+        "<PHONE>",
+    )
+    return documents.withColumn(text_col, scrubbed)
+
+
 def text_fingerprint(documents: DataFrame) -> DataFrame:
     """Deterministic document fingerprint: md5 over the normalized text
     (lowercase, collapsed whitespace) — the exact-dedup key."""

@@ -1216,6 +1216,190 @@ def curate_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_corpus(load_table(spark, sf_dir, "documents"))
 
 
+@register(
+    "local_supplier_volume",
+    """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def local_supplier_volume_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "returned_items",
+    """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS lost_revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def returned_items_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.returned_item_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "promo_revenue",
+    """
+SELECT ROUND(
+  100 * SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'
+""",
+)
+def promo_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.promo_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "join_range_bands",
+    """
+SELECT band, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events
+JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+             ('high', 150.0, 300.0), ('extreme', 300.0, 1000.0)) b(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY band
+""",
+)
+def join_range_bands_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.join_range_bands(load_events(spark, sf_dir))
+
+
+@register(
+    "explode_tokens",
+    f"""
+SELECT tok, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+GROUP BY tok
+HAVING COUNT(*) >= 100
+""",
+)
+def explode_tokens_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.token_frequencies(load_table(spark, sf_dir, "documents"), min_total=100)
+
+
+@register(
+    "text_pii_scrub",
+    # the fixture corpus contains no PII, so the query plants a
+    # deterministic contact line per document and the operator must
+    # scrub exactly it
+    """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           text || ' contact user' || doc_id || '@example.com or 555-'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\b555-[0-9]{4}\\b', '<PHONE>', 'g') AS text
+FROM documents
+""",
+)
+def text_pii_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return text.pii_scrub(with_pii).select("doc_id", "text")
+
+
+@register(
+    "ann_ivf",
+    """
+WITH e AS (SELECT vec_id, label AS list_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cent AS (
+  SELECT list_id, array_agg(m ORDER BY i) AS c FROM (
+    SELECT list_id, i, AVG(v[i]) AS m
+    FROM e, generate_series(1, 64) AS t(i)
+    GROUP BY list_id, i
+  ) GROUP BY list_id
+),
+probe AS (
+  SELECT list_id FROM cent, q
+  ORDER BY list_cosine_similarity(c, qv) DESC, list_id LIMIT 2
+)
+SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, qv), 3) AS cos_sim
+FROM e JOIN probe USING (list_id), q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""",
+)
+def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.ann_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "multimodal_frame_sample",
+    # oracle covers the SQL-expressible frame count (stride-4 sampling
+    # of the payload bytes); byte-level values are pytest-verified
+    """
+SELECT doc_id, 'image' AS kind,
+       CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_frames
+FROM documents
+""",
+)
+def multimodal_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames_features(media, every_n=4).select(
+        "doc_id", "kind", "n_frames"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

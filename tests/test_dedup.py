@@ -142,3 +142,57 @@ def test_lang_id_prefers_marker_hits(spark):
     out = {r.doc_id: r.lang_pred for r in text.text_lang_id(spark.createDataFrame(rows)).collect()}
     assert out[1] == "de"
     assert out[2] == "en"
+
+
+def test_ann_ivf_matches_bruteforce_on_probed_lists(spark, sf_dir):
+    """IVF with nprobe covering the query's own list must return the
+    bruteforce top-k restricted to the probed lists, exactly ranked."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = similarity.ann_ivf(emb, query_vec_id=0, k=10, nprobe=2)
+    rows = ivf.collect()
+    assert len(rows) == 10
+    # results are rank-ordered by (cos_sim desc, vec_id)
+    sims = [(r.cos_sim, -r.vec_id) for r in rows]
+    assert sims == sorted(sims, reverse=True)
+    # every IVF hit must appear in the full bruteforce ranking with the
+    # identical score (IVF is exact within probed lists)
+    brute = {r.vec_id: r.cos_sim for r in similarity.ann_bruteforce(emb, k=5000).collect()}
+    for r in rows:
+        assert brute[r.vec_id] == r.cos_sim
+
+
+def test_ivf_centroids_shape(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.ivf_centroids(emb).collect()
+    n_lists = emb.select("label").distinct().count()
+    assert len(cents) == n_lists
+    assert all(len(c.centroid) == 64 for c in cents)
+
+
+def test_pii_scrub_redacts_emails_and_phones(spark):
+    from pyspark.sql import Row as R
+
+    df = spark.createDataFrame(
+        [
+            R(doc_id=1, text="mail bob.smith+x@sub.example.org now"),
+            R(doc_id=2, text="call 555-0142 or 555-9999 today"),
+            R(doc_id=3, text="no pii here 5550142 1234-5678"),
+        ]
+    )
+    out = {r.doc_id: r.text for r in text.pii_scrub(df).collect()}
+    assert out[1] == "mail <EMAIL> now"
+    assert out[2] == "call <PHONE> or <PHONE> today"
+    assert out[3] == "no pii here 5550142 1234-5678"
+
+
+def test_token_frequencies_counts(spark):
+    from pyspark.sql import Row as R
+
+    df = spark.createDataFrame(
+        [
+            R(doc_id=1, text="a a b"),
+            R(doc_id=2, text="a b c"),
+        ]
+    )
+    out = {r.tok: (r.n_total, r.n_docs) for r in text.token_frequencies(df, min_total=2).collect()}
+    assert out == {"a": (3, 2), "b": (2, 2)}

@@ -36,3 +36,29 @@ def test_codec_stubs_raise():
     for fn in (multimodal.decode_image, multimodal.resample_audio, multimodal.sample_frames):
         with pytest.raises(NotImplementedError):
             fn(b"\x00\x01")
+
+
+def test_sample_frames_features_bytes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    frames = {r.doc_id: r for r in multimodal.sample_frames_features(media, every_n=4).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert set(frames) == set(texts)
+    for doc_id, text in list(texts.items())[:20]:
+        raw = text.encode()
+        sampled = raw[::4]
+        f = frames[doc_id]
+        assert f.frame_stride == 4
+        assert f.n_frames == len(sampled)
+        assert f.first_byte == (sampled[0] if sampled else None)
+        assert f.last_byte == (sampled[-1] if sampled else None)
+
+
+def test_sample_frames_empty_payload(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(1, "")], "doc_id LONG, text STRING")
+    df = df.withColumn("source", F.lit("t")).withColumn("lang", F.lit("en"))
+    media = multimodal.documents_as_media(df)
+    row = multimodal.sample_frames_features(media).collect()[0]
+    assert row.n_frames == 0 and row.first_byte is None and row.last_byte is None
