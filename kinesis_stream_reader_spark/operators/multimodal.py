@@ -127,3 +127,36 @@ def sample_frames_features(media: DataFrame, every_n: int = 4) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id BIGINT, kind STRING, n_out BIGINT, checksum BIGINT"
+
+
+def resize_features(media: DataFrame, target: int = 128) -> DataFrame:
+    """Resize plumbing: map each payload to exactly `target` bytes via a
+    linear index map (nearest-neighbor downsample over bytes — the
+    deterministic stand-in for image resizing; ``decode_image`` is the
+    Pillow hook). Emits the resized length and a positional checksum so
+    tests can pin the exact byte selection. Same scale shape as the
+    other media stages: Arrow-batched, map-only, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resize(b: bytes) -> bytes:
+            if not b:
+                return b""
+            return bytes(b[(i * len(b)) // target] for i in range(target))
+
+        for pdf in it:
+            resized = pdf["data"].map(resize)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": [m["kind"] for m in pdf["media_meta"]],
+                    "n_out": resized.map(len),
+                    "checksum": resized.map(
+                        lambda r: sum((i + 1) * v for i, v in enumerate(r))
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)

@@ -486,6 +486,36 @@ def join_range_bands(events: DataFrame) -> DataFrame:
     )
 
 
+def window_running_total(events: DataFrame) -> DataFrame:
+    """Per-user running revenue: cumulative sum over an explicit
+    ROWS UNBOUNDED PRECEDING frame with a total order (ts, event_id) —
+    the analytic-frame surface beyond ranking. One shuffle on user_id;
+    the frame evaluates incrementally per partition (O(n), not O(n^2))."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def window_lead_lag(events: DataFrame) -> DataFrame:
+    """Inter-event gap per user via lag(): the offset-function surface.
+    Gap is computed on the raw microsecond longs (exact integers), not
+    timestamps, so engines agree bit-for-bit."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    return events.select(
+        "event_id",
+        "user_id",
+        (micros - F.lag(micros).over(w)).alias("gap_us"),
+    )
+
+
 def window_tumbling_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Tumbling 1-hour event-time windows (batch twin of the streaming
     windowed count; streaming adds withWatermark on the same expression).

@@ -1400,6 +1400,99 @@ def multimodal_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "streaming_records_pipeline",
+    # the flagship reference query executed as a STREAM, checked against
+    # the batch oracle — stream/batch unification on the parity surface
+    # itself. (The AT_TIMESTAMP lower bound lives in the source options
+    # in streaming mode, so no time predicate here.)
+    NESTED_CTE
+    + f"""
+SELECT {_FLAT_COLS}
+FROM nested
+WHERE lower(server_name) = lower('SERVER-click')
+""",
+)
+def streaming_records_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    filtered = jobs.records_stream(stream, {"streamname": "events", "serverName": "SERVER-click"})
+    out = jobs.run_available_now(filtered, "streaming_records_pipeline")
+    return flatten_ids(out)
+
+
+@register(
+    "sink_parquet_partitioned",
+    # round-trip identity: the partitioned columnar sink must preserve
+    # every row (partition values come back from directory names)
+    """
+SELECT event_id, user_id, event_type FROM events
+""",
+)
+def sink_parquet_partitioned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink: the storage layout every downstream
+    engine-scale deployment uses (hive-style event_type=... directories
+    -> partition pruning on read). Written once per sf under /tmp, then
+    read back so the oracle checks the full write->read round trip."""
+    import os
+
+    out_dir = f"/tmp/ksr_sink/{sf_dir.strip('/').replace('/', '_')}_events_by_type"
+    events = load_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+    assert os.path.isdir(out_dir)
+    return spark.read.parquet(out_dir).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "window_running_total",
+    """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+""",
+)
+def window_running_total_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.window_running_total(load_events(spark, sf_dir))
+
+
+@register(
+    "window_lead_lag",
+    """
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+""",
+)
+def window_lead_lag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.window_lead_lag(load_events(spark, sf_dir))
+
+
+@register(
+    "multimodal_resize",
+    # n_out is SQL-expressible (the fixture corpus has no empty docs at
+    # any sf, but the CASE keeps the oracle honest); the positional
+    # checksum pinning WHICH bytes were selected is pytest-verified
+    """
+SELECT doc_id, 'image' AS kind,
+       CASE WHEN octet_length(encode(text)) > 0 THEN 128 ELSE 0 END AS n_out
+FROM documents
+""",
+)
+def multimodal_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_features(media, target=128).select("doc_id", "kind", "n_out")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -62,3 +62,16 @@ def test_sample_frames_empty_payload(spark):
     media = multimodal.documents_as_media(df)
     row = multimodal.sample_frames_features(media).collect()[0]
     assert row.n_frames == 0 and row.first_byte is None and row.last_byte is None
+
+
+def test_resize_features_byte_selection(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.documents_as_media(docs)
+    out = {r.doc_id: r for r in multimodal.resize_features(media, target=16).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for doc_id, text in list(texts.items())[:20]:
+        raw = text.encode()
+        resized = bytes(raw[(i * len(raw)) // 16] for i in range(16)) if raw else b""
+        r = out[doc_id]
+        assert r.n_out == len(resized)
+        assert r.checksum == sum((i + 1) * v for i, v in enumerate(resized))
