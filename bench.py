@@ -32,6 +32,9 @@ def main() -> None:
     from kinesis_stream_reader_spark.sources.raw import kpl_raw_records
 
     kpl_raw_records(spark, sf_dir).count()
+    # spin up the Python/Arrow worker pool so the first pandas-UDF query
+    # measures the operator, not interpreter + Arrow channel startup
+    spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
