@@ -1493,6 +1493,53 @@ def multimodal_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.resize_features(media, target=128).select("doc_id", "kind", "n_out")
 
 
+@register(
+    "json_parse_corrupt",
+    # the reference's signature corrupt-record fallback
+    # (kinesisReader/index.js:113-116) as an oracle-checked query: odd
+    # event payloads are deliberately corrupted; they must surface in
+    # the "INVALID JSON" column with NULL parsed fields, never error
+    """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+       CASE WHEN event_id % 2 <> 0 THEN 'CORRUPT ' || props END AS "INVALID JSON"
+FROM events
+""",
+)
+def json_parse_corrupt_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ingest import json_parse
+
+    df = load_events(spark, sf_dir)
+    payload_txt = F.when(F.col("event_id") % 2 == 0, F.col("props")).otherwise(
+        F.concat(F.lit("CORRUPT "), F.col("props"))
+    )
+    with_payload = df.select(
+        "event_id", F.base64(F.encode(payload_txt, "UTF-8")).alias("payload_b64")
+    )
+    return json_parse(with_payload, schema="k BIGINT")
+
+
+@register(
+    "grouping_sets_sql",
+    # explicit GROUPING SETS (the general form behind rollup/cube),
+    # through the SQL front door
+    """
+SELECT event_type, user_bucket, COUNT(*) AS n_events
+FROM (SELECT event_type, user_id % 10 AS user_bucket FROM events)
+GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+""",
+)
+def grouping_sets_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_events(spark, sf_dir).createOrReplaceTempView("ksr_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_bucket, COUNT(*) AS n_events
+        FROM (SELECT event_type, user_id % 10 AS user_bucket FROM ksr_events)
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
