@@ -271,14 +271,19 @@ def shipping_priority(
     ords = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
         "o_orderkey", "o_orderdate", "o_orderpriority"
     )
-    return (
-        lineitem.join(ords, lineitem.l_orderkey == ords.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
-                "revenue"
-            )
+    # aggregate lineitem revenue per orderkey BEFORE the join: map-side
+    # partial combine shrinks the fact shuffle from one wide row per
+    # lineitem to one narrow row per orderkey (4x fewer rows at the 50x
+    # probe, 39s -> measured improvement there), and the orders join
+    # becomes 1:1 with no re-aggregation. Same result: revenue per
+    # orderkey is independent of the (orderkey-unique) orders columns.
+    li_rev = lineitem.groupBy("l_orderkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
         )
+    )
+    return (
+        li_rev.join(ords, li_rev.l_orderkey == ords.o_orderkey)
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
         .select(
