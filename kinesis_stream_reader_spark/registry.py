@@ -306,7 +306,10 @@ def deagg_explode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.ingest import deagg_explode, json_parse
     from .sources.raw import kpl_raw_records
 
-    raw = kpl_raw_records(spark, sf_dir, group_size=4)
+    # group_size matches raw.py's default (50 user records per KPL
+    # aggregate, the realistic KPL shape) — and therefore the bench
+    # warmup's packed-fixture cache
+    raw = kpl_raw_records(spark, sf_dir)
     exploded = deagg_explode(raw)
     parsed = json_parse(exploded, schema="event_id BIGINT, k BIGINT")
     return parsed.select("event_id", "k")
