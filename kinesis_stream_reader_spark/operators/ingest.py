@@ -279,3 +279,14 @@ def json_parse(
     )
     other = [c for c in df.columns if c != payload_col]
     return df.select(*other, parsed.alias("record")).select(*other, "record.*")
+
+
+def parse_props(events: DataFrame, props_col: str = "props") -> DataFrame:
+    """Typed extraction from the semi-structured `props` JSON column
+    (the same from_json path as the reference's payload parse,
+    kinesisReader/index.js:110-117, applied to an attribute column):
+    declare the schema, let from_json run JVM-side — no UDF, and the
+    downstream plan sees an ordinary long column it can filter,
+    aggregate, and push around like any other."""
+    parsed = F.from_json(F.col(props_col), "k BIGINT")
+    return events.withColumn("prop_k", parsed["k"])

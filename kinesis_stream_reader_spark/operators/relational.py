@@ -535,3 +535,137 @@ def window_tumbling_counts(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             "n_events",
         )
     )
+
+
+def late_shipment_priorities(
+    orders: DataFrame, lineitem: DataFrame, grace_days: int = 30
+) -> DataFrame:
+    """TPC-H Q4 shape: orders per priority having at least one lineitem
+    shipped more than `grace_days` after the order date — the EXISTS /
+    left-semi surface with an equi key plus a non-equi residual.
+
+    Plan shape for scale: the semi join shuffles both sides once on the
+    order key; the date comparison rides along as a residual predicate
+    inside the join (no second pass), and the semi form means lineitem
+    multiplicity never inflates the order side — each order is emitted
+    at most once regardless of how many late lines it has."""
+    late = orders.join(
+        lineitem,
+        (orders.o_orderkey == lineitem.l_orderkey)
+        & (lineitem.l_shipdate > F.date_add(orders.o_orderdate, grace_days)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("n_late"))
+
+
+def large_volume_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    qty_threshold: float = 150.0,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (HAVING over a fact agg,
+    then IN-subquery style enrichment). Aggregate lineitem FIRST —
+    the shuffle carries one row per order key, and the HAVING prunes
+    before any join; customer is broadcast; top-k is TakeOrdered."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > qty_threshold)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "total_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
+def disjunctive_part_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of (brand AND size-range
+    AND quantity-range) conjuncts spanning both join sides.
+
+    Catalyst extracts the common join key (partkey) so this stays an
+    equi join with the disjunction as a residual; `part` is broadcast,
+    making the whole query one map-side pass over lineitem. The
+    brand/size conjuncts that touch only `part` additionally prune the
+    broadcast side before it ships (CNF conversion gives the scan
+    `p_brand IN (...)` and a size bound for free)."""
+    joined = lineitem.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        lineitem.l_partkey == part.p_partkey,
+    )
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#3") & s.between(1, 35) & q.between(20, 30))
+    )
+    return joined.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+def orders_above_customer_avg(orders: DataFrame, factor: float = 1.5) -> DataFrame:
+    """Correlated-scalar-subquery semantics ("orders above this
+    customer's average spend"), decorrelated into a single window
+    aggregate — the scalable plan Catalyst itself produces for the
+    subquery form: ONE shuffle on the correlation key instead of a
+    re-scan per outer row.
+
+    The per-customer mean is computed as exact-decimal sum / count
+    rather than a double AVG: double summation is order-dependent
+    across partitions and must not flip the filter at a boundary. The
+    emitted columns are the exact sum and count (not the quotient) —
+    a mean like 160954.70375 is an exact tie at 4 dp, where engines
+    legitimately disagree on half-up vs half-even."""
+    w = Window.partitionBy("o_custkey")
+    cust_sum = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    n_orders = F.count("*").over(w)
+    return (
+        orders.withColumn("cust_sum", cust_sum)
+        .withColumn("n_orders", n_orders)
+        .filter(F.col("o_totalprice") > factor * F.col("cust_sum") / F.col("n_orders"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.round(F.col("cust_sum"), 2).alias("cust_sum"),
+            "n_orders",
+        )
+    )
+
+
+def window_ntile_stats(events: DataFrame, buckets: int = 4) -> DataFrame:
+    """Distribution-rank window surface: ntile / percent_rank /
+    cume_dist over a pinned total order (value, event_id) per type.
+    One shuffle on the partition key; all three functions evaluate in
+    the same window pass."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.ntile(buckets).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume_dist"),
+    )
+
+
+def brand_supplier_counts(
+    lineitem: DataFrame, part: DataFrame, exclude_brand: str = "Brand#5"
+) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per brand, excluding
+    one brand (NOT-predicate on the broadcast dim). The distinct-agg
+    expands to (brand, suppkey) pairs; partial aggregation dedups
+    map-side so the shuffle is bounded by distinct pairs."""
+    parts = part.filter(F.col("p_brand") != exclude_brand).select("p_partkey", "p_brand")
+    return (
+        lineitem.join(F.broadcast(parts), lineitem.l_partkey == parts.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )

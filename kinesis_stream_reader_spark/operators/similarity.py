@@ -165,3 +165,26 @@ def ann_lsh(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, probe_ham
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def vector_norms(embeddings: DataFrame) -> DataFrame:
+    """Per-vector statistics via HIGHER-ORDER array functions —
+    F.transform / F.aggregate evaluate element-wise inside whole-stage
+    codegen, so no Python worker and no explode: the 100 TB-safe way
+    to compute narrow per-vector features (norms, clipping stats,
+    sparsity) before they feed partitioning or filtering decisions.
+
+    Accumulation is left-to-right in array order on both engines, so
+    the double sums match the DuckDB oracle bit-for-bit pre-round."""
+    v = _as_double(F.col("embedding"))
+    sq_sum = F.aggregate(
+        F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    el_sum = F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x)
+    return embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 4).alias("l2_norm"),
+        F.round(el_sum, 4).alias("el_sum"),
+        F.round(F.array_max(v), 4).alias("el_max"),
+    )

@@ -148,3 +148,22 @@ def text_fingerprint(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.md5(normalized).alias("fingerprint"),
     )
+
+
+def doc_frequency(documents: DataFrame, k: int = 20) -> DataFrame:
+    """Corpus document frequency: for each normalized token, the number
+    of documents containing it; top-k by df. The per-document distinct
+    (array_distinct BEFORE explode) bounds the exploded row count by
+    vocabulary-per-doc, and partial aggregation makes the shuffle
+    O(vocab) — at 100 TB this is the standard first pass of tf-idf /
+    tokenizer-vocabulary builds."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    toks = documents.select(
+        F.explode(F.array_distinct(F.split(normalized, " "))).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("tok"))
+        .limit(k)
+    )

@@ -1549,3 +1549,201 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4/Q16/Q18/Q19 shapes + correlated-subquery decorrelation:
+# the EXISTS / HAVING-subquery / disjunctive-predicate / distinct-agg
+# join surface (operators/relational.py).
+# ---------------------------------------------------------------------------
+@register(
+    "late_shipments",
+    """
+SELECT o_orderpriority, COUNT(*) AS n_late
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+""",
+)
+def late_shipments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.late_shipment_priorities(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+
+
+@register(
+    "large_volume_orders",
+    """
+WITH big AS (
+  SELECT l_orderkey, ROUND(SUM(l_quantity), 4) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
+FROM orders JOIN big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def large_volume_orders_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.large_volume_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "disjunctive_part_revenue",
+    """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def disjunctive_part_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.disjunctive_part_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    # correlated scalar subquery form — the engine runs the decorrelated
+    # window plan; identical semantics (mean over the correlation key).
+    # Emits the exact decimal sum + count, not the quotient: a mean can
+    # land on an exact 4-dp tie where half-up vs half-even rounding
+    # legitimately differs between engines.
+    """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       ROUND((SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              FROM orders o2 WHERE o2.o_custkey = o1.o_custkey), 2) AS cust_sum,
+       (SELECT COUNT(*) FROM orders o2
+        WHERE o2.o_custkey = o1.o_custkey) AS n_orders
+FROM orders o1
+WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                                   / COUNT(*) FROM orders o2
+                            WHERE o2.o_custkey = o1.o_custkey)
+""",
+)
+def orders_above_customer_avg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.orders_above_customer_avg(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "window_ntile",
+    """
+SELECT event_id, event_type,
+       ntile(4)        OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 4) AS pct_rank,
+       ROUND(cume_dist()    OVER w, 4) AS cume_dist
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+)
+def window_ntile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.window_ntile_stats(load_events(spark, sf_dir))
+
+
+@register(
+    "brand_supplier_counts",
+    """
+SELECT p_brand, COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+GROUP BY p_brand
+""",
+)
+def brand_supplier_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.brand_supplier_counts(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array functions over the embedding column (similarity.py)
+# ---------------------------------------------------------------------------
+@register(
+    "vector_norms",
+    """
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(sqrt(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm,
+       ROUND(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)), 'sum'), 4) AS el_sum,
+       ROUND(list_aggregate(list_transform(embedding,
+             x -> CAST(x AS DOUBLE)), 'max'), 4) AS el_max
+FROM embeddings
+""",
+)
+def vector_norms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.vector_norms(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus document frequency (text.py) — first pass of tf-idf / vocab build
+# ---------------------------------------------------------------------------
+@register(
+    "text_doc_frequency",
+    """
+WITH toks AS (
+  SELECT unnest(list_distinct(string_split(
+           regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' '))) AS tok
+  FROM documents
+)
+SELECT tok, COUNT(*) AS df
+FROM toks WHERE tok <> ''
+GROUP BY tok ORDER BY df DESC, tok LIMIT 20
+""",
+)
+def text_doc_frequency_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.doc_frequency(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Typed extraction from the semi-structured props column (ingest.py)
+# ---------------------------------------------------------------------------
+@register(
+    "json_props_extract",
+    """
+SELECT event_type,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def json_props_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ingest import parse_props
+
+    return (
+        parse_props(load_events(spark, sf_dir))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("prop_k"), 4).alias("avg_k"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -3,6 +3,8 @@ sketch-estimate tolerance."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kinesis_stream_reader_spark.operators import relational
 from kinesis_stream_reader_spark.sources.tables import load_events, load_table
 
@@ -53,3 +55,47 @@ def test_asof_join_respects_time_bound(spark, sf_dir):
     )
     assert bad.count() == 0
     assert out.count() == events.count()  # left semantics: every event kept
+
+
+def test_semi_join_never_duplicates_orders(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    out = relational.late_shipment_priorities(orders, lineitem)
+    # semi-join: per-priority late count can never exceed the order count
+    totals = {r.o_orderpriority: r.n for r in
+              orders.groupBy("o_orderpriority").agg(F.count("*").alias("n")).collect()}
+    for r in out.collect():
+        assert 0 < r.n_late <= totals[r.o_orderpriority]
+
+
+def test_large_volume_orders_all_above_threshold(spark, sf_dir):
+    out = relational.large_volume_orders(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        qty_threshold=150.0,
+    ).collect()
+    assert all(r.total_qty > 150.0 for r in out)
+    prices = [r.o_totalprice for r in out]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_orders_above_customer_avg_filter(spark, sf_dir):
+    out = relational.orders_above_customer_avg(load_table(spark, sf_dir, "orders"))
+    bad = out.filter(
+        F.col("o_totalprice") <= 1.5 * F.col("cust_sum") / F.col("n_orders")
+    )
+    assert bad.count() == 0
+
+
+def test_window_ntile_buckets_balanced(spark, sf_dir):
+    events = load_events(spark, sf_dir)
+    out = relational.window_ntile_stats(events, buckets=4)
+    sizes = (
+        out.groupBy("event_type", "quartile").agg(F.count("*").alias("n"))
+        .groupBy("event_type")
+        .agg(F.max("n").alias("mx"), F.min("n").alias("mn"))
+    )
+    # ntile guarantee: bucket sizes differ by at most 1 within a partition
+    assert sizes.filter(F.col("mx") - F.col("mn") > 1).count() == 0
+    assert out.agg(F.max("cume_dist")).first()[0] == 1.0
