@@ -387,3 +387,39 @@ def embedding_near_dup_pairs(
         .groupBy("block")
         .applyInPandas(block_pairs, "a_id BIGINT, b_id BIGINT, cos_sim DOUBLE")
     )
+
+
+def fuzzy_levenshtein_pairs(
+    documents: DataFrame, prefix_len: int = 64, max_dist: int = 10
+) -> DataFrame:
+    """Edit-distance near-dup pairs within (lang, source) blocks:
+    the fuzzy complement of the token-set (Jaccard) family — catches
+    char-level mutations (typos, OCR noise) that shingle overlap
+    misses.
+
+    Scale shape: levenshtein is O(len^2) per pair and all-pairs is
+    O(n^2), so BOTH are bounded — comparison on a fixed-length prefix,
+    candidate pairs by equality blocking (an equi join Catalyst plans
+    as one shuffle on the block key; block sizes bound the quadratic
+    term). At 100 TB the block key would be a cheap cluster id
+    (simhash band / LSH bucket) instead of metadata equality — same
+    plan shape."""
+    p = documents.select(
+        "doc_id", "lang", "source", F.substring("text", 1, prefix_len).alias("prefix")
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("edit_dist", F.levenshtein(F.col("a.prefix"), F.col("b.prefix")))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            "edit_dist",
+        )
+    )

@@ -669,3 +669,21 @@ def brand_supplier_counts(
         .groupBy("p_brand")
         .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
     )
+
+
+def agg_by_day(events: DataFrame) -> DataFrame:
+    """Calendar rollup: events per day and day-of-week — the date/time
+    function surface (date_trunc, dayofweek, date_format). The day
+    column is emitted as a string so engine/oracle timestamp formats
+    can't diverge; at scale this is the partition-key derivation for
+    date-partitioned sinks."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            F.dayofweek("ts").alias("dow"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

@@ -1747,3 +1747,66 @@ def json_props_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy dedup (operators/dedup.py) — char-level near-dups
+# the token-set family misses
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_fuzzy_levenshtein",
+    """
+WITH p AS (
+  SELECT doc_id, lang, source, substr(text, 1, 64) AS prefix FROM documents
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       levenshtein(a.prefix, b.prefix) AS edit_dist
+FROM p a JOIN p b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE levenshtein(a.prefix, b.prefix) <= 10
+""",
+)
+def dedup_fuzzy_levenshtein_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.fuzzy_levenshtein_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Calendar rollup — the date/time scalar-function surface
+# ---------------------------------------------------------------------------
+@register(
+    "agg_by_day",
+    # DuckDB dayofweek: 0=Sunday; Spark dayofweek: 1=Sunday — align +1
+    """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def agg_by_day_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.agg_by_day(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Stream-static dimension enrichment (streaming/jobs.py) — broadcast per
+# micro-batch, no state store
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_enrich",
+    """
+SELECT event_id, user_id, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+""",
+)
+def streaming_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    enriched = jobs.static_enrich(stream, load_table(spark, sf_dir, "customer"))
+    return jobs.run_available_now(enriched, "streaming_enrich")

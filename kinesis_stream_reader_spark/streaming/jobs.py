@@ -181,3 +181,15 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
 def _has_aggregation(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().analyzed().toString()
     return "Aggregate" in plan
+
+
+def static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each streamed event with the (static)
+    customer dimension. The static side is broadcast per micro-batch —
+    no state store, no watermark needed (unlike stream-stream joins),
+    and the stream side never shuffles: the canonical pattern for
+    dimension lookups in a 100 TB streaming pipeline."""
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return events.join(
+        F.broadcast(dim), events.user_id == dim.c_custkey
+    ).select("event_id", "user_id", "c_mktsegment")
