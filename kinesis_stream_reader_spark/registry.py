@@ -1092,7 +1092,11 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.stateful import sessionize
 
     stream = jobs.stream_events(spark, sf_dir)
-    out = jobs.run_available_now(sessionize(stream), "streaming_sessionize")
+    # Python-stateful op: Arrow+pandas compute dominates, not state
+    # commits — keep cluster-width partitions (see run_available_now)
+    out = jobs.run_available_now(
+        sessionize(stream), "streaming_sessionize", state_partitions=32
+    )
     return out.select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),

