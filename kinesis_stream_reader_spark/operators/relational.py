@@ -687,3 +687,70 @@ def agg_by_day(events: DataFrame) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+def user_activity_vs_customers(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """FULL OUTER join surface: reconcile the event-stream user ids
+    against the customer dimension — rows for users with no customer
+    record, customers with no events, and the matched middle.
+    coalesce() over the two key columns gives the canonical id. One
+    shuffle on each side's key; the aggregate-first shape keeps the
+    outer join at one row per user rather than per event."""
+    activity = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    return (
+        activity.join(
+            customer.select("c_custkey", "c_acctbal"),
+            activity.user_id == F.col("c_custkey"),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("user_id"), F.col("c_custkey")).alias("uid"),
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.col("c_acctbal").isNotNull().alias("is_customer"),
+        )
+    )
+
+
+def unpivot_pricing(lineitem: DataFrame) -> DataFrame:
+    """UNPIVOT/melt surface: wide per-flag aggregates back to long
+    (metric, value) rows — the inverse of pivot and the standard shape
+    for metric stores. Spark's unpivot is a zero-shuffle Expand over
+    the (tiny) aggregated input."""
+    wide = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(
+            F.sum(F.col("l_discount").cast("decimal(18,2)")).cast("double")
+            / F.count("*"),
+            4,
+        ).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
+def split_train_test(documents: DataFrame, test_hex_digits: int = 2) -> DataFrame:
+    """Deterministic train/test split by content-independent key hash:
+    a document lands in 'test' iff the first hex digit of md5(doc_id)
+    falls in the first `test_hex_digits` of 16 (so 2 -> 1/8 held out).
+
+    This is how a 100 TB corpus is split reproducibly: no sampling
+    state, no shuffle, stable under re-runs and under adding/removing
+    OTHER documents — each row's assignment depends only on its own
+    key. (Spark's df.sample is seed-stable but partition-layout-
+    dependent, which a reproducible pipeline must not be.)"""
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    test_digits = [format(i, "x") for i in range(test_hex_digits)]
+    split = F.when(first_hex.isin(test_digits), "test").otherwise("train")
+    return (
+        documents.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

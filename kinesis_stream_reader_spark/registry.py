@@ -1814,3 +1814,65 @@ def streaming_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = jobs.stream_events(spark, sf_dir)
     enriched = jobs.static_enrich(stream, load_table(spark, sf_dir, "customer"))
     return jobs.run_available_now(enriched, "streaming_enrich")
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join, UNPIVOT, and deterministic corpus splitting
+# (operators/relational.py)
+# ---------------------------------------------------------------------------
+@register(
+    "join_outer_full",
+    """
+WITH activity AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+SELECT COALESCE(user_id, c_custkey) AS uid,
+       COALESCE(n_events, 0) AS n_events,
+       c_acctbal IS NOT NULL AS is_customer
+FROM activity FULL OUTER JOIN customer ON user_id = c_custkey
+""",
+)
+def join_outer_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.user_activity_vs_customers(
+        load_events(spark, sf_dir), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "unpivot_metrics",
+    # avg_disc is exact-decimal sum / count on both engines: double AVG
+    # is summation-order-dependent at a 4-dp rounding boundary
+    """
+WITH wide AS (
+  SELECT l_returnflag,
+         ROUND(SUM(l_quantity), 4) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 4) AS sum_price,
+         ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*), 4) AS avg_disc
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM wide
+UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+""",
+)
+def unpivot_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.unpivot_pricing(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "split_train_test",
+    """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+            THEN 'test' ELSE 'train' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1
+""",
+)
+def split_train_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.split_train_test(load_table(spark, sf_dir, "documents"))
