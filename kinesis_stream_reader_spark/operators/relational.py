@@ -754,3 +754,39 @@ def split_train_test(documents: DataFrame, test_hex_digits: int = 2) -> DataFram
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+def anomaly_zscore(events: DataFrame, k: int = 100) -> DataFrame:
+    """Per-type z-score outliers: standardize each event's value
+    against its type's mean/stddev, return the top |z|. The stats side
+    is a 5-row aggregate joined back by broadcast — the fact side never
+    shuffles; top-k is TakeOrdered. This is the feature-normalization +
+    outlier-gate pattern of a training-data pipeline (drop or flag
+    events far outside their type's distribution)."""
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", F.round(z, 4).alias("zscore"))
+        .orderBy(F.abs(z).desc(), F.col("event_id"))
+        .limit(k)
+    )
+
+
+def agg_mode_user(events: DataFrame) -> DataFrame:
+    """Most-active user per event type (grouped mode). Two partial-agg
+    shuffles — (type, user) counts, then an argmax struct per type; the
+    struct max carries (count, -user_id) so count ties break to the
+    SMALLEST user id deterministically on every engine, with no window
+    sort."""
+    counts = events.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            F.max(F.struct(F.col("c"), (-F.col("user_id")).alias("neg_uid")))
+            .alias("top")
+        )
+        .select("event_type", (-F.col("top.neg_uid")).alias("user_id"))
+    )

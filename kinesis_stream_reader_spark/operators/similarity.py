@@ -188,3 +188,19 @@ def vector_norms(embeddings: DataFrame) -> DataFrame:
         F.round(el_sum, 4).alias("el_sum"),
         F.round(F.array_max(v), 4).alias("el_max"),
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid of the embedding column in long form
+    (label, pos, centroid_val) — the aggregation kernel of KMeans /
+    IVF list training. posexplode + groupBy(label, pos) rides Spark's
+    partial aggregation: the shuffle carries one partial sum per
+    (label, pos) per task — O(labels x dim), independent of row count,
+    which is what makes centroid updates feasible at 100 TB."""
+    exploded = embeddings.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos0", "x")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("x"), 4).alias("centroid_val"))
+    )

@@ -1876,3 +1876,60 @@ def split_train_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.split_train_test(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Feature-normalization outliers, grouped mode, and centroid training
+# kernels (operators/relational.py, similarity.py)
+# ---------------------------------------------------------------------------
+@register(
+    "anomaly_zscore",
+    """
+WITH stats AS (
+  SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type, ROUND((value - mu) / sigma, 4) AS zscore
+FROM events e JOIN stats s ON e.event_type = s.event_type
+ORDER BY abs((value - mu) / sigma) DESC, event_id
+LIMIT 100
+""",
+)
+def anomaly_zscore_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.anomaly_zscore(load_events(spark, sf_dir))
+
+
+@register(
+    "agg_mode",
+    """
+SELECT event_type, user_id FROM (
+  SELECT event_type, user_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY COUNT(*) DESC, user_id) AS rn
+  FROM events GROUP BY event_type, user_id
+) WHERE rn = 1
+""",
+)
+def agg_mode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.agg_mode_user(load_events(spark, sf_dir))
+
+
+@register(
+    "embedding_centroids",
+    # DuckDB lacks WITH ORDINALITY / lateral posexplode — index the
+    # array with a constant-bound generate_series instead (dim = 64)
+    """
+SELECT label, CAST(i AS INT) AS pos,
+       ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_val
+FROM embeddings, generate_series(1, 64) t(i)
+GROUP BY label, i
+""",
+)
+def embedding_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
