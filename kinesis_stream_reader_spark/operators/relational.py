@@ -790,3 +790,15 @@ def agg_mode_user(events: DataFrame) -> DataFrame:
         )
         .select("event_type", (-F.col("top.neg_uid")).alias("user_id"))
     )
+
+
+def approx_percentiles(events: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """Sketch-based percentiles: the 100 TB form of agg_percentiles —
+    percentile_approx builds mergeable quantile summaries in one pass
+    (no per-group sort, bounded memory at any cardinality). No SQL
+    oracle (estimates are engine-specific); pytest bounds the error
+    against the exact percentiles."""
+    return events.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", 0.5, accuracy), 4).alias("p50"),
+        F.round(F.percentile_approx("value", 0.95, accuracy), 4).alias("p95"),
+    )

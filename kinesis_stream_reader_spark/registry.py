@@ -1933,3 +1933,57 @@ def embedding_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
 
     return similarity.label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-format source/sink round trips (the reference has NO file
+# formats at all, SURVEY.md §2.1 — parquet/csv/json come free with
+# spark.read/write; each is oracle-checked as a write->read identity)
+# ---------------------------------------------------------------------------
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    return f"/tmp/ksr_sink/{sf_dir.strip('/').replace('/', '_')}_events_{fmt}"
+
+
+@register(
+    "sink_csv_roundtrip",
+    """
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+def sink_csv_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink/source round trip with an explicit read schema (no
+    inference pass — schema-on-read is declared, so the read is a
+    single distributed scan; headerless files keep the format
+    position-stable)."""
+    out_dir = _roundtrip_dir(sf_dir, "csv")
+    events = load_events(spark, sf_dir).select("event_id", "user_id", "event_type", "value")
+    events.write.mode("overwrite").csv(out_dir)
+    return spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    ).csv(out_dir)
+
+
+@register(
+    "sink_json_roundtrip",
+    """
+SELECT event_id, user_id, event_type FROM events
+""",
+)
+def sink_json_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink/source round trip with declared schema — the
+    interchange format of the reference's own sink (responses/index.js)
+    as a distributed file source instead of one HTTP body."""
+    out_dir = _roundtrip_dir(sf_dir, "json")
+    events = load_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    events.write.mode("overwrite").json(out_dir)
+    return spark.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING").json(
+        out_dir
+    )
+
+
+@register("agg_percentiles_approx")  # rows-only: sketch estimates are
+# engine-specific; tests/test_relational.py bounds them against exact
+def agg_percentiles_approx_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.approx_percentiles(load_events(spark, sf_dir))

@@ -99,3 +99,15 @@ def test_window_ntile_buckets_balanced(spark, sf_dir):
     # ntile guarantee: bucket sizes differ by at most 1 within a partition
     assert sizes.filter(F.col("mx") - F.col("mn") > 1).count() == 0
     assert out.agg(F.max("cume_dist")).first()[0] == 1.0
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    events = load_events(spark, sf_dir)
+    exact = {r.event_type: (r.p50, r.p95) for r in relational.agg_percentiles(events).collect()}
+    approx = {r.event_type: (r.p50, r.p95) for r in relational.approx_percentiles(events).collect()}
+    for etype, (p50, p95) in exact.items():
+        a50, a95 = approx[etype]
+        # percentile_approx error is bounded by rank, not value; at this
+        # accuracy the value gap stays well within a few percent
+        assert abs(a50 - p50) <= max(1.0, 0.05 * abs(p50))
+        assert abs(a95 - p95) <= max(1.0, 0.05 * abs(p95))
