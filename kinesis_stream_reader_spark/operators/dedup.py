@@ -401,22 +401,34 @@ def fuzzy_levenshtein_pairs(
     O(n^2), so BOTH are bounded — comparison on a fixed-length prefix,
     candidate pairs by equality blocking (an equi join Catalyst plans
     as one shuffle on the block key; block sizes bound the quadratic
-    term). At 100 TB the block key would be a cheap cluster id
-    (simhash band / LSH bucket) instead of metadata equality — same
-    plan shape."""
+    term). Two pair-level prunes keep the DP off the hot path: a
+    length-difference guard (|len a − len b| > max_dist is a lower
+    bound on edit distance, evaluated before the join emits the pair)
+    and the THRESHOLDED levenshtein form, which bands the DP to a
+    2·max_dist+1 diagonal strip and exits early (-1 past threshold) —
+    O(len·max_dist) per surviving pair instead of O(len²). At 100 TB
+    the block key would be a cheap cluster id (simhash band / LSH
+    bucket) instead of metadata equality — same plan shape."""
     p = documents.select(
         "doc_id", "lang", "source", F.substring("text", 1, prefix_len).alias("prefix")
     )
     a, b = p.alias("a"), p.alias("b")
+    len_guard = (
+        F.abs(F.length(F.col("a.prefix")) - F.length(F.col("b.prefix"))) <= max_dist
+    )
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & len_guard,
         )
-        .withColumn("edit_dist", F.levenshtein(F.col("a.prefix"), F.col("b.prefix")))
-        .filter(F.col("edit_dist") <= max_dist)
+        .withColumn(
+            "edit_dist",
+            F.levenshtein(F.col("a.prefix"), F.col("b.prefix"), threshold=max_dist),
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),

@@ -160,3 +160,35 @@ def resize_features(media: DataFrame, target: int = 128) -> DataFrame:
             )
 
     return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def audio_chunks(media: DataFrame, chunk_bytes: int = 256) -> DataFrame:
+    """Fixed-size chunking of an opaque audio payload into frame rows —
+    the 1->N shape of PCM framing / VAD windowing (the real frame
+    boundary computation would come from resample_audio's codec; the
+    byte-window stand-in keeps the plumbing exact).
+
+    Deliberately NO Python: chunk indices come from sequence() +
+    explode and lengths from least(), all inside whole-stage codegen —
+    the payload bytes themselves are never copied per chunk, only
+    offsets/lengths are computed, so the exploded side stays narrow
+    until a downstream consumer slices the blob it needs."""
+    n_bytes = F.length(F.col("data"))
+    n_chunks = F.ceil(n_bytes / F.lit(chunk_bytes)).cast("int")
+    return (
+        media.select(
+            "doc_id",
+            F.col("media_meta.kind").alias("kind"),
+            n_bytes.alias("n_bytes"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_c"),
+        )
+        .select(
+            "doc_id",
+            "kind",
+            "chunk_idx",
+            (F.col("chunk_idx") * chunk_bytes).alias("offset"),
+            F.least(
+                F.lit(chunk_bytes), F.col("n_bytes") - F.col("chunk_idx") * chunk_bytes
+            ).cast("int").alias("chunk_len"),
+        )
+    )

@@ -1987,3 +1987,27 @@ def agg_percentiles_approx_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.approx_percentiles(load_events(spark, sf_dir))
+
+
+@register(
+    "multimodal_audio_chunks",
+    # DuckDB lacks WITH ORDINALITY — a bounded generate_series with an
+    # n_chunks guard stands in for posexplode(sequence(...))
+    """
+WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+     c AS (SELECT doc_id, n_bytes,
+                  CAST(ceil(n_bytes / 256.0) AS INT) AS n_chunks FROM m)
+SELECT doc_id, 'audio' AS kind, CAST(i - 1 AS INT) AS chunk_idx,
+       CAST((i - 1) * 256 AS BIGINT) AS "offset",
+       CAST(least(256, n_bytes - (i - 1) * 256) AS INT) AS chunk_len
+FROM c, generate_series(1, 100000) t(i)
+WHERE i <= n_chunks
+""",
+)
+def multimodal_audio_chunks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    media = multimodal.documents_as_media(
+        load_table(spark, sf_dir, "documents"), kind="audio"
+    )
+    return multimodal.audio_chunks(media)

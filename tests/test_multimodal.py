@@ -75,3 +75,30 @@ def test_resize_features_byte_selection(spark, sf_dir):
         r = out[doc_id]
         assert r.n_out == len(resized)
         assert r.checksum == sum((i + 1) * v for i, v in enumerate(resized))
+
+
+def test_audio_chunks_cover_payload_exactly(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_reader_spark.operators import multimodal
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    media = multimodal.documents_as_media(
+        load_table(spark, sf_dir, "documents"), kind="audio"
+    )
+    chunks = multimodal.audio_chunks(media, chunk_bytes=256)
+    # chunk lengths per doc sum exactly to the payload size, offsets
+    # are contiguous, and only the final chunk may be short
+    recon = chunks.groupBy("doc_id").agg(
+        F.sum("chunk_len").alias("total"),
+        F.max("offset").alias("last_offset"),
+        F.count("*").alias("n"),
+    )
+    payload = media.select("doc_id", F.length("data").alias("n_bytes"))
+    bad = recon.join(payload, "doc_id").filter(
+        (F.col("total") != F.col("n_bytes"))
+        | (F.col("last_offset") != (F.col("n") - 1) * 256)
+    )
+    assert bad.count() == 0
+    short = chunks.filter(F.col("chunk_len") < 256).groupBy("doc_id").count()
+    assert short.filter(F.col("count") > 1).count() == 0
