@@ -802,3 +802,73 @@ def approx_percentiles(events: DataFrame, accuracy: int = 10000) -> DataFrame:
         F.round(F.percentile_approx("value", 0.5, accuracy), 4).alias("p50"),
         F.round(F.percentile_approx("value", 0.95, accuracy), 4).alias("p95"),
     )
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_3",
+    nation_b: str = "NATION_7",
+) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year — a 6-table join whose cross-side predicate is a
+    DISJUNCTION over both nation legs.
+
+    Plan shape for scale: both nation legs, supplier, and customer are
+    broadcast (nation is pre-filtered to the two names before it ships,
+    so the broadcast carries 2 rows); lineitem->orders is the only
+    shuffle pair; the (supp, cust) disjunction evaluates as a residual
+    on broadcast columns — no extra pass."""
+    n1 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(nation_a, nation_b)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust = customer.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    cross_pair = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), lineitem.l_suppkey == supp.s_suppkey)
+        .filter(cross_pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+def window_trailing_1h(events: DataFrame) -> DataFrame:
+    """Value-based (RANGE) window frame: per-user trailing one-hour
+    revenue at each event. The frame bound is on the ORDER BY value
+    (epoch seconds), not row offsets — rows at the same timestamp share
+    a frame, and the frame width adapts to event density. Same
+    one-shuffle shape as any window; evaluation is incremental per
+    partition."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("trailing_1h"),
+    )
