@@ -872,3 +872,20 @@ def window_trailing_1h(events: DataFrame) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 4).alias("trailing_1h"),
     )
+
+
+def window_first_last(events: DataFrame) -> DataFrame:
+    """first/last/nth value navigation over an unbounded frame with a
+    pinned total order — the remaining analytic-navigation surface
+    (rank/offset/distribution are covered elsewhere). last_value needs
+    the UNBOUNDED FOLLOWING frame on both engines (the default frame
+    stops at CURRENT ROW)."""
+    base = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = base.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )

@@ -167,3 +167,18 @@ def doc_frequency(documents: DataFrame, k: int = 20) -> DataFrame:
         .orderBy(F.col("df").desc(), F.col("tok"))
         .limit(k)
     )
+
+
+def extract_long_words(documents: DataFrame, min_len: int = 5) -> DataFrame:
+    """regexp_extract_all surface: pull every >=min_len-letter token
+    and count occurrences + distinct forms per document — the
+    match-all-extraction primitive behind pattern mining / vocabulary
+    filters. Pure codegen (no UDF, no shuffle beyond the trivial
+    per-row arrays)."""
+    pat = f"[a-z]{{{min_len},}}"
+    words = F.regexp_extract_all(F.lower(F.col("text")), F.lit(pat), 0)
+    return documents.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_long_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_long_words"),
+    )

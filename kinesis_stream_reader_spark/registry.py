@@ -2057,3 +2057,38 @@ def window_range_frame_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.window_trailing_1h(load_events(spark, sf_dir))
+
+
+@register(
+    "window_first_last",
+    """
+SELECT event_id, user_id,
+       first_value(value) OVER w AS first_val,
+       last_value(value)  OVER w AS last_val,
+       nth_value(value, 2) OVER w AS second_val
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def window_first_last_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.window_first_last(load_events(spark, sf_dir))
+
+
+@register(
+    "text_extract_words",
+    """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]{5,}')) AS BIGINT)
+         AS n_long_words,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]{5,}'))) AS BIGINT)
+         AS n_distinct_long_words
+FROM documents
+""",
+)
+def text_extract_words_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.extract_long_words(load_table(spark, sf_dir, "documents"))

@@ -85,3 +85,21 @@ def test_whole_stage_codegen_covers_filters(spark, sf_dir, qs):
     # "*(n)" prefixes mark whole-stage-codegen stages in the plan string
     plan = physical_plan(qs["filter_contact_id"](spark, sf_dir))
     assert "*(1)" in plan
+
+
+def test_join_strategy_hints_change_physical_plan(spark, sf_dir):
+    """The optimizer surface honors per-join strategy hints: the same
+    logical join plans as SortMergeJoin under a merge hint and
+    BroadcastHashJoin under a broadcast hint."""
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    merged = orders.join(
+        customer.hint("merge"), orders.o_custkey == customer.c_custkey
+    )
+    assert "SortMergeJoin" in merged._jdf.queryExecution().executedPlan().toString()
+    bcast = orders.join(
+        customer.hint("broadcast"), orders.o_custkey == customer.c_custkey
+    )
+    assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
