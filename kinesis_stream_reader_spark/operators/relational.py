@@ -889,3 +889,29 @@ def window_first_last(events: DataFrame) -> DataFrame:
         F.last("value").over(w).alias("last_val"),
         F.nth_value("value", 2).over(w).alias("second_val"),
     )
+
+
+def compact_latest_state(events: DataFrame) -> DataFrame:
+    """Change-log compaction: reduce an append-only event log to the
+    LATEST row per (user, type) key — the upsert/merge semantics a
+    CDC pipeline applies before serving state, expressed as an argmax
+    aggregate instead of a MERGE.
+
+    One partial-agg shuffle carrying a single struct per key per task
+    — strictly cheaper than the window row_number form (no sort, no
+    full-row shuffle) and the struct ordering (ts, event_id, value)
+    pins concurrent-timestamp ties to the highest event_id
+    deterministically."""
+    latest = F.max(
+        F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    ).alias("s")
+    return (
+        events.groupBy("user_id", "event_type")
+        .agg(latest)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("s.event_id").alias("latest_event_id"),
+            F.col("s.value").alias("latest_value"),
+        )
+    )

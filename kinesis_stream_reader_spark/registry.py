@@ -2092,3 +2092,21 @@ def text_extract_words_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.extract_long_words(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "compact_latest_state",
+    """
+SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def compact_latest_state_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.compact_latest_state(load_events(spark, sf_dir))
