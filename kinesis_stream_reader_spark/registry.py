@@ -2110,3 +2110,21 @@ def compact_latest_state_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.compact_latest_state(load_events(spark, sf_dir))
+
+
+@register(
+    "streaming_ingest_pipeline",
+    # the doubled stream simulates at-least-once delivery; dedup must
+    # collapse it back to the exact table before enrichment
+    """
+SELECT event_id, user_id, c_mktsegment
+FROM events JOIN customer ON user_id = c_custkey
+""",
+)
+def streaming_ingest_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    doubled = stream.union(stream)
+    out = jobs.ingest_pipeline(doubled, load_table(spark, sf_dir, "customer"))
+    return jobs.run_available_now(out, "streaming_ingest_pipeline")

@@ -220,3 +220,15 @@ def static_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
     return events.join(
         F.broadcast(dim), events.user_id == dim.c_custkey
     ).select("event_id", "user_id", "c_mktsegment")
+
+
+def ingest_pipeline(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Flagship streaming composition: at-least-once source ->
+    watermark-bounded exact dedup -> stream-static dimension
+    enrichment. This is the full shape of a production ingest job
+    (the reference's scan->parse->filter pipeline upgraded with the
+    delivery-dedup and enrichment it lacks); every stage is one of the
+    already-tested operators, and the composition itself is
+    oracle-checked against the batch semantics."""
+    deduped = dedup_stream(events)
+    return static_enrich(deduped, customer)
