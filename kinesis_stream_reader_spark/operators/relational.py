@@ -915,3 +915,34 @@ def compact_latest_state(events: DataFrame) -> DataFrame:
             F.col("s.value").alias("latest_value"),
         )
     )
+
+
+def agg_collect_types(events: DataFrame) -> DataFrame:
+    """Array-building aggregation: the distinct event types seen per
+    user as a SORTED array (collect_set is unordered by contract —
+    sort_array pins the result deterministically on every engine).
+    Partial aggregation merges per-task sets, so the shuffle carries
+    sets, not events; at 100 TB cap per-key cardinality or switch to a
+    sketch when the collected domain is unbounded."""
+    return events.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def monthly_revenue_growth(orders: DataFrame) -> DataFrame:
+    """Month-over-month revenue growth: calendar aggregate composed
+    with an offset window — the canonical BI time series. The window
+    runs over ~tens of month rows (a single in-memory partition AFTER
+    the heavy aggregation), so the unpartitioned ORDER BY is safe by
+    construction at any input scale."""
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "month",
+        "revenue",
+        F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
+    )

@@ -2128,3 +2128,38 @@ def streaming_ingest_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFra
     doubled = stream.union(stream)
     out = jobs.ingest_pipeline(doubled, load_table(spark, sf_dir, "customer"))
     return jobs.run_available_now(out, "streaming_ingest_pipeline")
+
+
+@register(
+    "agg_collect_types",
+    """
+SELECT user_id,
+       list_sort(list_distinct(array_agg(event_type))) AS types,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id
+""",
+)
+def agg_collect_types_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.agg_collect_types(load_events(spark, sf_dir))
+
+
+@register(
+    "monthly_revenue_growth",
+    """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month,
+         ROUND(SUM(o_totalprice), 4) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT month, revenue,
+       ROUND(100.0 * (revenue - lag(revenue) OVER (ORDER BY month))
+             / lag(revenue) OVER (ORDER BY month), 4) AS mom_pct
+FROM monthly
+""",
+)
+def monthly_revenue_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.monthly_revenue_growth(load_table(spark, sf_dir, "orders"))
