@@ -946,3 +946,23 @@ def monthly_revenue_growth(orders: DataFrame) -> DataFrame:
         "revenue",
         F.round(100.0 * (F.col("revenue") - prev) / prev, 4).alias("mom_pct"),
     )
+
+
+def window_sliding_counts(events: DataFrame) -> DataFrame:
+    """Sliding event-time windows (2-hour width, 1-hour slide): each
+    event lands in width/slide overlapping windows — the overlap is
+    what distinguishes this surface from tumbling windows. Spark plans
+    it as an Expand (one output row per covering window) feeding the
+    usual partial aggregation, so the shuffle carries window x type
+    groups, not events."""
+    return (
+        events.groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

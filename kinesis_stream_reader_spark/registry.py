@@ -2163,3 +2163,21 @@ def monthly_revenue_growth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.monthly_revenue_growth(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "window_sliding",
+    # each event covers 2 windows (width 2h / slide 1h): the oracle
+    # expands per-event coverage with an explicit 2-row offset join
+    """
+SELECT strftime(date_trunc('hour', ts) - INTERVAL (o.off) HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM events, (SELECT 0 AS off UNION ALL SELECT 1) o
+GROUP BY 1, 2
+""",
+)
+def window_sliding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.window_sliding_counts(load_events(spark, sf_dir))
