@@ -111,3 +111,32 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         # accuracy the value gap stays well within a few percent
         assert abs(a50 - p50) <= max(1.0, 0.05 * abs(p50))
         assert abs(a95 - p95) <= max(1.0, 0.05 * abs(p95))
+
+
+def test_compact_latest_state_matches_window_form(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    events = load_events(spark, sf_dir)
+    compact = {
+        (r.user_id, r.event_type): (r.latest_event_id, r.latest_value)
+        for r in relational.compact_latest_state(events).collect()
+    }
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    windowed = {
+        (r.user_id, r.event_type): (r.event_id, r.value)
+        for r in events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert compact == windowed
+
+
+def test_sliding_windows_double_count_tumbling(spark, sf_dir):
+    events = load_events(spark, sf_dir)
+    sliding_total = (
+        relational.window_sliding_counts(events).agg(F.sum("n_events")).first()[0]
+    )
+    # width/slide = 2: every event is counted in exactly two windows
+    assert sliding_total == 2 * events.count()
