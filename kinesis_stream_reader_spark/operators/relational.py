@@ -966,3 +966,32 @@ def window_sliding_counts(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+def dormant_rich_customers(customer: DataFrame, orders: DataFrame, since: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q22 shape: positive-balance customers above the global
+    average balance with NO recent orders — a global scalar subquery
+    (broadcast 1-row threshold) composed with an anti join.
+
+    The threshold is exact-decimal sum / count (double AVG is
+    summation-order-dependent; a boundary balance must not flip
+    between runs or engines). The anti join prunes the orders side to
+    the date range BEFORE the join and AQE broadcasts the distinct
+    key set when small."""
+    threshold = customer.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count("*")
+        ).alias("avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= since).select("o_custkey")
+    return (
+        customer.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
+        )
+    )

@@ -2181,3 +2181,26 @@ def window_sliding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.window_sliding_counts(load_events(spark, sf_dir))
+
+
+@register(
+    "dormant_rich_customers",
+    # TPC-H Q22 shape; the global-average threshold is exact-decimal
+    # sum / count on both engines (see orders_above_customer_avg)
+    """
+SELECT c_mktsegment, COUNT(*) AS n_custs, ROUND(SUM(c_acctbal), 4) AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c_mktsegment
+""",
+)
+def dormant_rich_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.dormant_rich_customers(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
