@@ -995,3 +995,39 @@ def dormant_rich_customers(customer: DataFrame, orders: DataFrame, since: str = 
             F.round(F.sum("c_acctbal"), 4).alias("total_bal"),
         )
     )
+
+
+def user_event_timeline(events: DataFrame, first_n: int = 5) -> DataFrame:
+    """Ordered event-sequence feature: each user's first n events as a
+    compact "epoch_us:type" string — the sequence-feature shape an ML
+    pipeline feeds to sequence models. collect_list of (ts, id, type)
+    structs + sort_array + slice does the ordered-prefix selection
+    INSIDE the aggregation (struct ordering gives the total order), so
+    there is no window sort and no second shuffle — one partial-agg
+    pass, with per-key state bounded by the collected prefix."""
+    ev = F.struct(
+        F.unix_micros(F.col("ts")).alias("us"),
+        F.col("event_id"),
+        F.col("event_type"),
+    )
+    first = F.slice(F.sort_array(F.collect_list(ev)), 1, first_n)
+    return events.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                first, lambda s: F.concat_ws(":", s["us"], s["event_type"])
+            ),
+            ",",
+        ).alias("timeline")
+    )
+
+
+def agg_correlation(lineitem: DataFrame) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation + sample
+    covariance — single-pass mergeable moments (Spark aggregates
+    (n, Σx, Σy, Σxy, Σx², Σy²) partially map-side like any sum)."""
+    return lineitem.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "qty_price_covar"
+        ),
+    )

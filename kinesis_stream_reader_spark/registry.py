@@ -2204,3 +2204,37 @@ def dormant_rich_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.dormant_rich_customers(
         load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
     )
+
+
+@register(
+    "user_event_timeline",
+    """
+WITH ranked AS (
+  SELECT user_id, epoch_us(ts) AS us, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id,
+       string_agg(us || ':' || event_type, ',' ORDER BY rn) AS timeline
+FROM ranked WHERE rn <= 5 GROUP BY user_id
+""",
+)
+def user_event_timeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.user_event_timeline(load_events(spark, sf_dir))
+
+
+@register(
+    "agg_correlation",
+    """
+SELECT l_returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_correlation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.agg_correlation(load_table(spark, sf_dir, "lineitem"))
