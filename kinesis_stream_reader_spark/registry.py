@@ -2238,3 +2238,54 @@ def agg_correlation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.agg_correlation(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "streaming_sliding",
+    # streaming twin of window_sliding: overlapping windows with
+    # watermark-bounded state, checked against the batch expansion
+    """
+SELECT strftime(date_trunc('hour', ts) - INTERVAL (o.off) HOUR,
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM events, (SELECT 0 AS off UNION ALL SELECT 1) o
+GROUP BY 1, 2
+""",
+)
+def streaming_sliding_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.windowed_counts(stream, window="2 hours", slide="1 hour"),
+        "streaming_sliding",
+    )
+
+
+@register(
+    "sink_sorted_parquet",
+    # ts emitted as epoch micros: raw timestamp columns hash-differ on
+    # physical unit (nanos parquet vs micros Spark write)
+    """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+""",
+)
+def sink_sorted_parquet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned, time-sorted parquet layout: repartitionByRange
+    on ts + sortWithinPartitions before the write gives every output
+    file a DISJOINT time range and monotone pages — so a time-predicate
+    scan prunes whole files via parquet min/max stats instead of
+    reading everything (tests/test_plans.py asserts the disjointness).
+    This is the write-side lever that makes filter_time_range at 100 TB
+    an O(matching files) scan."""
+    out_dir = _roundtrip_dir(sf_dir, "sorted")
+    events = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    (
+        events.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )

@@ -74,15 +74,22 @@ def records_stream(events: DataFrame, query: Mapping[str, object]) -> DataFrame:
 
 
 def windowed_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts — the first event-time
-    operator beyond the reference (which treats time as arrival-only,
-    SURVEY.md §2.10). The watermark bounds state: windows older than
-    max(event_time) - watermark are finalized and evicted."""
+    """Watermarked windowed counts — tumbling by default, SLIDING when
+    `slide` < `window` (each event then belongs to window/slide
+    overlapping windows; state grows by the same factor, still
+    watermark-bounded). The first event-time operator beyond the
+    reference (which treats time as arrival-only, SURVEY.md §2.10):
+    windows older than max(event_time) - watermark are finalized and
+    evicted."""
+    w = F.window(F.col("ts"), window, slide) if slide else F.window(F.col("ts"), window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
+        .groupBy(w.alias("w"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"))
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),

@@ -103,3 +103,28 @@ def test_join_strategy_hints_change_physical_plan(spark, sf_dir):
         customer.hint("broadcast"), orders.o_custkey == customer.c_custkey
     )
     assert "BroadcastHashJoin" in bcast._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sorted_sink_files_have_disjoint_time_ranges(spark, sf_dir):
+    """The range-partitioned sorted layout must give each parquet file
+    a disjoint [min(ts), max(ts)] interval — the property file-level
+    min/max skipping needs."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    QUERIES["sink_sorted_parquet"](spark, sf_dir)  # (re)write the layout
+    from kinesis_stream_reader_spark.registry import _roundtrip_dir
+
+    out_dir = _roundtrip_dir(sf_dir, "sorted")
+    from pyspark.sql import functions as F
+
+    ranges = (
+        spark.read.parquet(out_dir)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .orderBy("lo")
+        .collect()
+    )
+    assert len(ranges) > 1
+    for prev, cur in zip(ranges, ranges[1:]):
+        assert prev.hi <= cur.lo
