@@ -1031,3 +1031,40 @@ def agg_correlation(lineitem: DataFrame) -> DataFrame:
             "qty_price_covar"
         ),
     )
+
+
+def funnel_counts(events: DataFrame, step_window: str = "24 hours") -> DataFrame:
+    """Ordered three-stage funnel (click -> view -> purchase), each
+    step within `step_window` of the previous step's FIRST occurrence:
+    the sequence-matching analytic behind conversion reporting.
+
+    Plan shape: each stage is one filtered min-aggregate keyed on
+    user (partial agg; shuffle carries one row per user), then the
+    stage joins equi on user_id. Stage outputs only ever shrink, so
+    the pipeline narrows monotonically; final counts are three
+    scalar aggregates combined with a join of 1-row frames."""
+    iv = F.expr(f"INTERVAL {step_window}")
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .join(clicks, "user_id")
+        .filter((F.col("ts") > F.col("ct")) & (F.col("ts") <= F.col("ct") + iv))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(views, "user_id")
+        .filter((F.col("ts") > F.col("vt")) & (F.col("ts") <= F.col("vt") + iv))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        clicks.agg(F.count("*").alias("n_click"))
+        .join(views.agg(F.count("*").alias("n_click_view")))
+        .join(purchases.agg(F.count("*").alias("n_click_view_purchase")))
+    )

@@ -2289,3 +2289,25 @@ def sink_sorted_parquet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
+
+
+@register(
+    "funnel_counts",
+    """
+WITH c AS (SELECT user_id, MIN(ts) AS ct FROM events
+           WHERE event_type = 'click' GROUP BY user_id),
+     v AS (SELECT e.user_id, MIN(ts) AS vt FROM events e JOIN c ON e.user_id = c.user_id
+           WHERE event_type = 'view' AND ts > ct AND ts <= ct + INTERVAL 24 HOUR
+           GROUP BY e.user_id),
+     p AS (SELECT e.user_id, MIN(ts) AS pt FROM events e JOIN v ON e.user_id = v.user_id
+           WHERE event_type = 'purchase' AND ts > vt AND ts <= vt + INTERVAL 24 HOUR
+           GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM c) AS n_click,
+       (SELECT COUNT(*) FROM v) AS n_click_view,
+       (SELECT COUNT(*) FROM p) AS n_click_view_purchase
+""",
+)
+def funnel_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.funnel_counts(load_events(spark, sf_dir))
