@@ -1068,3 +1068,217 @@ def funnel_counts(events: DataFrame, step_window: str = "24 hours") -> DataFrame
         .join(views.agg(F.count("*").alias("n_click_view")))
         .join(purchases.agg(F.count("*").alias("n_click_view_purchase")))
     )
+
+
+def order_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1997-01-01",
+    end: str = "1997-04-01",
+    lag_days: int = 60,
+) -> DataFrame:
+    """TPC-H Q4 shape: orders in a quarter that had at least one
+    slow-shipping line (shipped more than `lag_days` after the order
+    date), counted by priority. The reference schema has no
+    l_commitdate/l_receiptdate, so the lateness predicate is
+    l_shipdate > o_orderdate + lag — same EXISTS-with-residual shape.
+
+    Plan shape: the quarter filter prunes orders BEFORE the semi join
+    (at 100 TB with date-partitioned orders this is partition pruning,
+    not a scan), and left_semi keeps at most one match per order — no
+    fan-out, no dedup pass. The non-equi residual rides on the equi
+    orderkey join, so it stays a hash/sort-merge join, never a
+    cartesian."""
+    window = orders.filter(
+        (F.col("o_orderdate") >= start) & (F.col("o_orderdate") < end)
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {lag_days} DAYS")
+    )
+    return (
+        window.join(lineitem, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_3",
+    target_region: str = "ASIA",
+    part_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8 shape: the target nation's share of revenue for one
+    part type sold into one region, per order year. Share is a ratio
+    of two conditional sums over the same joined set — one pass, no
+    self-join.
+
+    Plan shape: every dimension (part filtered by type, supplier+
+    nation, customer+nation+region) is broadcast, so the fact
+    lineitem never shuffles for the joins; the most selective filter
+    (part type) is applied first so the fact side collapses at the
+    scan join. The single groupBy(year) is the only shuffle, with
+    map-side partial sums. Exact decimal sums; the double division
+    happens once per year row."""
+    target_part = part.filter(F.col("p_type") == part_type).select("p_partkey")
+    supp_nation = supplier.join(
+        nation, supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_region = (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == target_region)
+        .select("c_custkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        lineitem.join(F.broadcast(target_part), lineitem.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), lineitem.l_suppkey == F.col("s_suppkey"))
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_region), orders.o_custkey == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.cast("decimal(18,4)").alias("volume"),
+            F.col("supp_nation"),
+        )
+    )
+    target_vol = F.sum(
+        F.when(F.col("supp_nation") == target_nation, F.col("volume")).otherwise(
+            F.lit(0).cast("decimal(18,4)")
+        )
+    )
+    return (
+        joined.groupBy("o_year")
+        .agg(
+            F.round((target_vol / F.sum("volume")).cast("double"), 6).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: how many customers placed exactly N orders,
+    including N=0 — a left outer join whose NULL side must survive
+    into the count, then a second aggregation over the first.
+
+    Plan shape: two shuffles by construction (custkey, then c_count)
+    — the classic two-level distribution. count(o_orderkey) (not
+    count(*)) makes no-order customers count 0. At 100 TB the first
+    agg is the heavy one and gets full map-side partial aggregation;
+    the second input is one row per customer."""
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#3", frac: float = 0.2
+) -> DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost if small-quantity
+    orders (below `frac` of the part's average quantity) for one brand
+    were not filled. The correlated per-part AVG subquery is
+    decorrelated into an aggregate-then-join.
+
+    Plan shape: the brand filter lands on broadcast part FIRST, so
+    both the per-part average and the final join scan only the brand's
+    lineitems (at 100 TB: ~1/25 of the fact). The per-part avg frame
+    is one row per surviving part — broadcast back, so the only
+    shuffle of fact data is the partial-agg for avg."""
+    brand_parts = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    brand_lines = lineitem.join(
+        F.broadcast(brand_parts), lineitem.l_partkey == F.col("p_partkey")
+    )
+    per_part_avg = brand_lines.groupBy("l_partkey").agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        brand_lines.join(
+            F.broadcast(per_part_avg.withColumnRenamed("l_partkey", "ap_partkey")),
+            F.col("l_partkey") == F.col("ap_partkey"),
+        )
+        .filter(F.col("l_quantity") < frac * F.col("avg_qty"))
+        .agg(
+            F.round(
+                (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0).cast(
+                    "double"
+                ),
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def priority_line_counts(
+    orders: DataFrame, lineitem: DataFrame, year: int = 1997
+) -> DataFrame:
+    """TPC-H Q12 shape: per line status, how many lines belong to
+    urgent/high-priority orders vs the rest, for one ship year. (The
+    reference schema has no l_shipmode; l_linestatus is the stand-in
+    group key — the conditional-aggregation-after-join shape is
+    identical.)
+
+    Plan shape: the year filter prunes lineitem at the scan
+    (min/max row-group skipping); the join shuffles on orderkey
+    unless AQE broadcasts the pruned side; the CASE sums are
+    map-side partial."""
+    lines = lineitem.filter(F.year("l_shipdate") == year)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lines.join(orders, lines.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch gaps-and-islands sessionization: a new session starts
+    when the gap since the user's previous event exceeds
+    `gap_minutes`. Returns per-user session stats (count, busiest
+    session, total events) — the batch twin of
+    streaming/sessionize.py's stateful operator.
+
+    Plan shape: ONE shuffle on user_id serves both window passes
+    (lag and the running session-id sum share the same partition
+    key), then the two aggregations reuse that clustering. No
+    self-join — the lag/cumsum formulation is O(n) per partition.
+    At 100 TB, user_id is the natural partition key and skewed
+    power-users are bounded by the per-user event count, not the
+    global row count."""
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(by_user)
+    new_session = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    with_session = events.withColumn(
+        "session_id", F.sum(new_session).over(by_user)
+    )
+    per_session = with_session.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+            F.sum("n_events").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )

@@ -182,3 +182,25 @@ def extract_long_words(documents: DataFrame, min_len: int = 5) -> DataFrame:
         F.size(words).cast("long").alias("n_long_words"),
         F.size(F.array_distinct(words)).cast("long").alias("n_distinct_long_words"),
     )
+
+
+def histogram_doc_lengths(documents: DataFrame, bucket_width: int = 100) -> DataFrame:
+    """Fixed-width histogram of document lengths — the profiling query
+    every corpus-curation pass starts with (cut points for the
+    text_quality length gates).
+
+    Plan shape: bucket assignment is a codegen'd integer divide, so
+    the single shuffle carries one partial row per (partition, bucket)
+    — at 100 TB the result is ~max_len/width rows regardless of
+    corpus size."""
+    bucket_lo = (F.floor(F.col("n_chars") / bucket_width) * bucket_width).alias(
+        "bucket_lo"
+    )
+    return (
+        documents.groupBy(bucket_lo)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("bucket_lo")
+    )

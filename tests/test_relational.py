@@ -140,3 +140,97 @@ def test_sliding_windows_double_count_tumbling(spark, sf_dir):
     )
     # width/slide = 2: every event is counted in exactly two windows
     assert sliding_total == 2 * events.count()
+
+
+def test_sessionize_batch_invariants(spark, sf_dir):
+    """Per-user session stats: totals add up, sessions split only on
+    >gap boundaries (checked against a hand-rolled recount for a few
+    users)."""
+    events = load_events(spark, sf_dir)
+    out = {r.user_id: r for r in relational.sessionize_batch(events, 30).collect()}
+    totals = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(out) == set(totals)
+    for uid, row in out.items():
+        assert row.total_events == totals[uid]
+        assert 1 <= row.n_sessions <= row.total_events
+        assert row.max_session_events <= row.total_events
+    # hand recount for three users
+    for uid in sorted(out)[:3]:
+        ts = [
+            r.ts
+            for r in events.filter(F.col("user_id") == uid)
+            .orderBy("ts", "event_id")
+            .collect()
+        ]
+        n_sessions = 1 + sum(
+            1
+            for a, b in zip(ts, ts[1:])
+            if (b - a).total_seconds() > 30 * 60
+        )
+        assert out[uid].n_sessions == n_sessions
+
+
+def test_small_quantity_revenue_matches_window_form(spark, sf_dir):
+    """The decorrelated agg+join must equal the window-function
+    formulation of the same correlated subquery."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    from pyspark.sql.window import Window
+
+    brand_lines = lineitem.join(
+        part.filter(F.col("p_brand") == "Brand#3").select("p_partkey"),
+        lineitem.l_partkey == F.col("p_partkey"),
+    )
+    w = Window.partitionBy("l_partkey")
+    expected = (
+        brand_lines.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                (F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) / 7.0).cast(
+                    "double"
+                ),
+                4,
+            ).alias("avg_yearly")
+        )
+        .collect()[0]
+    )
+    got = relational.small_quantity_revenue(lineitem, part).collect()[0]
+    assert got.avg_yearly == expected.avg_yearly
+
+
+def test_order_priority_counts_semi_join_bound(spark, sf_dir):
+    """Every counted order is unique (semi join: no fan-out) and the
+    total never exceeds the quarter's order count."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    out = relational.order_priority_counts(orders, lineitem).collect()
+    in_window = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    ).count()
+    assert sum(r.order_count for r in out) <= in_window
+
+
+def test_market_share_bounded(spark, sf_dir):
+    out = relational.market_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    ).collect()
+    assert out, "market_share should produce rows at sf>=0.01"
+    assert all(0.0 <= r.mkt_share <= 1.0 for r in out)
+
+
+def test_customer_order_distribution_accounts_for_all_customers(spark, sf_dir):
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    out = relational.customer_order_distribution(customer, orders).collect()
+    assert sum(r.custdist for r in out) == customer.count()
+    assert sum(r.c_count * r.custdist for r in out) == orders.count()
