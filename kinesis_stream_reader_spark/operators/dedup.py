@@ -435,3 +435,44 @@ def fuzzy_levenshtein_pairs(
             "edit_dist",
         )
     )
+
+
+def decontaminate(
+    documents: DataFrame, benchmark_source: str = "src0", n: int = 5
+) -> DataFrame:
+    """Benchmark decontamination: drop any training document that
+    shares at least one word n-gram with the held-out benchmark slice
+    (here: `source == benchmark_source`) — the standard eval-leakage
+    gate an LLM data pipeline runs before training. Returns per-source
+    (n_docs, n_kept) so the result is small and auditable.
+
+    Plan shape: benchmark n-grams are a DISTINCT hashed-long set,
+    orders of magnitude smaller than the corpus, broadcast to every
+    executor — the 100 TB training side is then a scan + semi-join
+    probe with NO shuffle of training grams (the only exchanges are
+    the tiny per-doc distinct and final per-source agg). Gram hashing
+    reuses gram_postings (xxhash64 composition, collision ~1e-16)."""
+    bench_grams = (
+        gram_postings(documents.filter(F.col("source") == benchmark_source), n)
+        .select("gram")
+        .distinct()
+    )
+    train = documents.filter(F.col("source") != benchmark_source)
+    contaminated = (
+        gram_postings(train, n)
+        .join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        train.join(contaminated, "doc_id", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("contaminated").isNull(), 1).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .orderBy("source")
+    )

@@ -1282,3 +1282,53 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def skew_profile(events: DataFrame, k: int = 10) -> DataFrame:
+    """Heavy-hitter diagnostic: the k hottest group keys and their
+    share of all rows — the first thing to run before choosing a
+    partition/salting strategy on a new 100 TB dataset (a key with
+    5% share will straggle any hash-partitioned agg or join).
+
+    Plan shape: one partial-agg shuffle on user_id, a 1-row broadcast
+    total, and a TakeOrdered(k) — never a global sort."""
+    counts = events.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    total = counts.agg(F.sum("n_events").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_events"), "user_id")
+        .limit(k)
+    )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Trailing-N-day distinct active users per day — the windowed
+    COUNT(DISTINCT) that tumbling windows can't express (a user active
+    on 5 of the 7 days must count once per covered day, not 5 times).
+
+    Plan shape: the fact table collapses to DISTINCT (day, user)
+    pairs FIRST (at 100 TB: billions of events -> at most
+    days x users pairs, with map-side partial dedup), then a small
+    range join fans each pair to the <=N days it covers and a
+    count-distinct per day finishes. The expensive part is the
+    pre-dedup, which is a single exchange; the range join is over
+    the already-tiny pair set."""
+    day_user = events.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = day_user.select("day").distinct()
+    d, u = days.alias("d"), day_user.alias("u")
+    cond = (F.col("u.day") <= F.col("d.day")) & (
+        F.col("u.day") >= F.date_sub(F.col("d.day"), window_days - 1)
+    )
+    return (
+        d.join(u, cond)
+        .groupBy(F.date_format(F.col("d.day"), "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("day")
+    )

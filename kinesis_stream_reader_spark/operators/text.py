@@ -204,3 +204,36 @@ def histogram_doc_lengths(documents: DataFrame, bucket_width: int = 100) -> Data
         )
         .orderBy("bucket_lo")
     )
+
+
+def pack_sequences(documents: DataFrame, bin_tokens: int = 512) -> DataFrame:
+    """Deterministic sequence packing: concatenate documents (in
+    doc_id order within each source) into ~bin_tokens training
+    sequences; a document starts a new bin when the running token
+    count crosses a bin boundary. Returns per (source, bin_id) doc
+    and token counts — the batch-shaping step between curation and
+    tokenizer sharding in a training-data pipeline.
+
+    Plan shape: one shuffle on source for the running-sum window
+    (the downstream groupBy reuses the clustering); token counts are
+    codegen'd split+size, no UDF. At 100 TB, source is the natural
+    write-partition key and each bin maps to one training shard."""
+    from pyspark.sql.window import Window
+
+    n_toks = F.size(tokens(F.col("text")))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    cum_before = F.sum(n_toks).over(w) - n_toks
+    binned = documents.select(
+        "source",
+        "doc_id",
+        n_toks.alias("n_toks"),
+        F.floor(cum_before / bin_tokens).alias("bin_id"),
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )

@@ -2483,3 +2483,92 @@ def histogram_doc_lengths_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import histogram_doc_lengths
 
     return histogram_doc_lengths(load_table(spark, sf_dir, "documents"))
+
+
+_DECON_GRAMS = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(" + _TOKS + ") - 4, 0)), "
+    "i -> array_to_string((" + _TOKS + ")[i:i+4], ' ')))"
+)
+
+
+@register(
+    "corpus_decontaminate",
+    f"""
+WITH g AS (
+  SELECT doc_id, source, unnest({_DECON_GRAMS}) AS gram FROM documents
+), bench AS (
+  SELECT DISTINCT gram FROM g WHERE source = 'src0'
+), bad AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram) WHERE g.source <> 'src0'
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM bad) THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_kept
+FROM documents WHERE source <> 'src0'
+GROUP BY source ORDER BY source
+""",
+)
+def corpus_decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.decontaminate(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pack_sequences",
+    f"""
+WITH sized AS (
+  SELECT source, doc_id, len({_TOKS}) AS n_toks,
+         CAST(FLOOR((SUM(len({_TOKS})) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - len({_TOKS})) / 512.0) AS BIGINT)
+           AS bin_id
+  FROM documents
+)
+SELECT source, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens
+FROM sized GROUP BY source, bin_id ORDER BY source, bin_id
+""",
+)
+def pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "skew_profile",
+    """
+SELECT user_id, n_events,
+       ROUND(n_events / CAST(total AS DOUBLE), 6) AS share
+FROM (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(COUNT(*)) OVER () AS total
+  FROM events GROUP BY user_id
+) t
+ORDER BY n_events DESC, user_id
+LIMIT 10
+""",
+)
+def skew_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.skew_profile(load_events(spark, sf_dir))
+
+
+@register(
+    "rolling_active_users",
+    """
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users
+FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1 ORDER BY 1
+""",
+)
+def rolling_active_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.rolling_active_users(load_events(spark, sf_dir))

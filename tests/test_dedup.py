@@ -196,3 +196,30 @@ def test_token_frequencies_counts(spark):
     )
     out = {r.tok: (r.n_total, r.n_docs) for r in text.token_frequencies(df, min_total=2).collect()}
     assert out == {"a": (3, 2), "b": (2, 2)}
+
+
+def test_decontaminate_drops_exactly_gram_sharers(spark, sf_dir):
+    """Brute-force recheck: a training doc is dropped iff it shares a
+    5-gram with some benchmark doc."""
+    from kinesis_stream_reader_spark.operators.dedup import decontaminate, word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r.source: (r.n_docs, r.n_kept) for r in decontaminate(docs).collect()}
+    grams = {
+        r.doc_id: (r.source, set(r.grams))
+        for r in docs.select(
+            "doc_id", "source", word_ngrams(F.col("text"), 5).alias("grams")
+        ).collect()
+    }
+    bench = set().union(
+        *[g for (_, (src, g)) in grams.items() if src == "src0"]
+    )
+    expect: dict[str, list[int]] = {}
+    for doc_id, (src, g) in grams.items():
+        if src == "src0":
+            continue
+        n_docs, n_kept = expect.setdefault(src, [0, 0])
+        expect[src][0] += 1
+        if not (g & bench):
+            expect[src][1] += 1
+    assert out == {s: tuple(v) for s, v in expect.items()}

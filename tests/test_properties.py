@@ -66,3 +66,33 @@ def test_parse_int_param_matches_js_parseint(s):
 @settings(max_examples=200, deadline=None)
 def test_parse_int_param_roundtrips_integers(n):
     assert parse_int_param(str(n)) == n
+
+
+def test_pack_sequences_partitions_docs_and_tokens(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_reader_spark.operators.text import pack_sequences, tokens
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(docs, 512).collect()
+    totals = {
+        r.source: (r.n_docs, r.n_toks)
+        for r in docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(tokens(F.col("text")))).alias("n_toks"),
+        )
+        .collect()
+    }
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    assert set(by_source) == set(totals)
+    for src, rows in by_source.items():
+        assert sum(r.n_docs for r in rows) == totals[src][0]
+        assert sum(r.n_tokens for r in rows) == totals[src][1]
+        bins = sorted(r.bin_id for r in rows)
+        # bins are dense: every boundary crossing starts the next bin
+        assert bins[0] == 0
+        assert all(b2 - b1 >= 1 for b1, b2 in zip(bins, bins[1:]))

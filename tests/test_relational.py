@@ -234,3 +234,47 @@ def test_customer_order_distribution_accounts_for_all_customers(spark, sf_dir):
     out = relational.customer_order_distribution(customer, orders).collect()
     assert sum(r.custdist for r in out) == customer.count()
     assert sum(r.c_count * r.custdist for r in out) == orders.count()
+
+
+def test_skew_profile_top1_matches_direct(spark, sf_dir):
+    events = load_events(spark, sf_dir)
+    out = relational.skew_profile(events, k=10).collect()
+    assert len(out) == 10
+    assert [r.n_events for r in out] == sorted(
+        [r.n_events for r in out], reverse=True
+    )
+    top_direct = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "user_id")
+        .first()
+    )
+    assert out[0].user_id == top_direct.user_id
+    assert sum(r.share for r in out) <= 1.0 + 1e-9
+
+
+def test_rolling_active_users_brute_force(spark, sf_dir):
+    events = load_events(spark, sf_dir)
+    out = {
+        r.day: r.active_users
+        for r in relational.rolling_active_users(events, 7).collect()
+    }
+    pairs = {
+        (r.day.isoformat(), r.user_id)
+        for r in events.select(
+            F.to_date("ts").alias("day"), "user_id"
+        ).distinct().collect()
+    }
+    import datetime
+
+    days = sorted({d for d, _ in pairs})
+    for d in days:
+        d0 = datetime.date.fromisoformat(d)
+        expect = len(
+            {
+                u
+                for (pd_, u) in pairs
+                if 0 <= (d0 - datetime.date.fromisoformat(pd_)).days <= 6
+            }
+        )
+        assert out[d] == expect, d
