@@ -1358,3 +1358,39 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("day")
     )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    name_substr: str = "gear",
+) -> DataFrame:
+    """TPC-H Q9 shape: profit per supplier nation per order year for
+    parts whose name contains a substring. The reference schema has no
+    partsupp, so unit cost is proxied by p_retailprice — the join
+    topology and agg shape are Q9's.
+
+    Plan shape: part (name-filtered) and supplier->nation broadcast;
+    orders is the one shuffled join (orderkey); single groupBy
+    (nation, year) with map-side partials over exact decimals."""
+    target_parts = part.filter(F.col("p_name").contains(name_substr)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = supplier.join(
+        nation, supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        lineitem.join(F.broadcast(target_parts), lineitem.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), lineitem.l_suppkey == F.col("s_suppkey"))
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount).cast("double"), 4).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )

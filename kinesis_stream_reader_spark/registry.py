@@ -2572,3 +2572,34 @@ def rolling_active_users_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.rolling_active_users(load_events(spark, sf_dir))
+
+
+@register(
+    "product_profit",
+    """
+SELECT nation, o_year, ROUND(CAST(SUM(amount) AS DOUBLE), 4) AS profit
+FROM (
+  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount)
+              - p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%gear%'
+) t
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def product_profit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.product_profit(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "nation"),
+    )
