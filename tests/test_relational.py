@@ -278,3 +278,33 @@ def test_rolling_active_users_brute_force(spark, sf_dir):
             }
         )
         assert out[d] == expect, d
+
+
+def test_product_profit_covers_only_matching_parts(spark, sf_dir):
+    """Profit rows only for nations that supply a 'gear' part line;
+    re-deriving the grand total through an independent ungrouped sum
+    must match the grouped sum."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    out = relational.product_profit(lineitem, orders, supplier, part, nation).collect()
+    from decimal import Decimal
+
+    total_grouped = round(sum(Decimal(str(r.profit)) for r in out), 2)
+    direct = (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .filter(F.col("p_name").contains("gear"))
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("p_retailprice") * F.col("l_quantity")
+                ).cast("decimal(18,4)")
+            ).alias("total")
+        )
+        .collect()[0]
+        .total
+    )
+    assert abs(total_grouped - round(Decimal(direct), 2)) <= Decimal("0.01") * len(out)
