@@ -1394,3 +1394,78 @@ def product_profit(
         .agg(F.round(F.sum(amount).cast("double"), 4).alias("profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+def top_supplier_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    start: str = "1996-01-01",
+    end: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15 shape: per-supplier revenue over one quarter, keeping
+    the supplier(s) that hit the global maximum (reference Q15 phrases
+    this as a view + scalar subquery; ties all survive).
+
+    Plan shape: the quarter filter is pushed into the parquet scan;
+    the only lineitem-sized shuffle is the suppkey aggregation (map-
+    side partials shrink it to |supplier| rows). The global max is a
+    one-row aggregate cross-joined back (broadcast nested loop), and
+    the supplier name join broadcasts — nothing after the first agg
+    touches more than |supplier| rows, so the shape survives 1000x.
+    The max-equality comparison runs on the exact DECIMAL sum, not a
+    rounded double, so ties are exact on both engines."""
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit(start)) & (F.col("l_shipdate") < F.lit(end))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(amount).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_revenue").cast("double"), 4).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def sample_stratified(
+    documents: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic stratified downsampling: each stratum (language)
+    keeps a fixed fraction of documents, chosen by a content-
+    independent key hash — the rebalancing step that turns a raw
+    crawl's language skew into a target training mixture.
+
+    A doc survives iff the first 4 hex digits of md5(doc_id), read as
+    an int in [0, 65536), fall below rate * 65536. Like
+    split_train_test, the decision is a pure function of the row's own
+    key: no sampling state, no shuffle, reproducible under re-runs and
+    insensitive to every other row — which df.sample(seed) is not
+    (partition-layout-dependent). At 100 TB this is a narrow map-only
+    scan; the filter is codegen'd (md5 + conv), no UDF."""
+    if rates is None:
+        rates = {"en": 0.25, "zh": 0.5}
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    threshold = F.lit(int(default_rate * 65536))
+    for lang, rate in sorted(rates.items()):
+        threshold = F.when(F.col("lang") == lang, int(rate * 65536)).otherwise(
+            threshold
+        )
+    return (
+        documents.filter(bucket < threshold)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -237,3 +237,75 @@ def pack_sequences(documents: DataFrame, bin_tokens: int = 512) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    overlapping token windows (`chunk_tokens` wide, advancing by
+    `stride`), the 1->N shaping step that turns long documents into
+    fixed-budget training samples with cross-boundary context kept.
+
+    A doc with n tokens yields 1 + ceil(max(0, n - chunk) / stride)
+    chunks; the last one may be short. All codegen: split + sequence +
+    posexplode + slice + array_join, no UDF and no shuffle — at 100 TB
+    this is a map-only pass whose output partitioning follows the
+    input files."""
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    n_chunks = 1 + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    return (
+        documents.select(
+            "doc_id",
+            toks.alias("toks"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.slice(
+                F.col("toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+            ).alias("chunk_toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk_toks").alias("n_tokens"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+def ngram_top_k(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k bigrams per language by document-corpus frequency — the
+    n-gram census used for contamination screens, boilerplate
+    detection, and tokenizer diagnostics.
+
+    Bigrams are built in place with a transform-over-slice (no self
+    join): element i of the slice pairs with element i+1 of the full
+    array. One explode, one (lang, bigram) count with map-side
+    partials, then a per-lang row_number over a |langs|-partition
+    window on the already-tiny counts table. Ties break on bigram
+    text so the result is deterministic."""
+    from pyspark.sql.window import Window
+
+    bigrams = F.expr(
+        "transform(slice(toks, 1, size(toks) - 1),"
+        " (x, i) -> concat(x, ' ', toks[i + 1]))"
+    )
+    counts = (
+        documents.select("lang", tokens(F.col("text")).alias("toks"))
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("lang", "rank")
+    )

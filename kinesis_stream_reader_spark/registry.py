@@ -2603,3 +2603,94 @@ def product_profit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "part"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+@register(
+    "top_supplier_revenue",
+    """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       ROUND(CAST(total_revenue AS DOUBLE), 4) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def top_supplier_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.top_supplier_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "sample_stratified",
+    """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) AS BIGINT)
+      < CASE lang WHEN 'en' THEN 16384 WHEN 'zh' THEN 32768 ELSE 65536 END
+ORDER BY doc_id
+""",
+)
+def sample_stratified_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.sample_stratified(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "chunk_documents",
+    r"""
+WITH toks AS (
+  SELECT doc_id, str_split_regex(trim(text), '\s+') AS t FROM documents
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       CAST(len(t[i * 48 + 1 : least((i * 48) + 64, len(t))]) AS INT) AS n_tokens,
+       array_to_string(t[i * 48 + 1 : least((i * 48) + 64, len(t))], ' ') AS chunk_text
+FROM toks, generate_series(0, 4096) AS g(i)
+WHERE i <= CEIL(GREATEST(len(t) - 64, 0) / 48.0)
+ORDER BY doc_id, chunk_id
+""",
+)
+def chunk_documents_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_top_k",
+    r"""
+WITH toks AS (
+  SELECT lang, str_split_regex(trim(text), '\s+') AS t FROM documents
+),
+bigrams AS (
+  SELECT lang, t[i] || ' ' || t[i + 1] AS bigram
+  FROM toks, generate_series(1, 4096) AS g(i)
+  WHERE i <= len(t) - 1
+),
+counts AS (
+  SELECT lang, bigram, COUNT(*) AS n FROM bigrams GROUP BY 1, 2
+)
+SELECT lang, bigram, n, CAST(rank AS INT) AS rank FROM (
+  SELECT lang, bigram, n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+  FROM counts
+)
+WHERE rank <= 5
+ORDER BY lang, rank
+""",
+)
+def ngram_top_k_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.ngram_top_k(load_table(spark, sf_dir, "documents"))

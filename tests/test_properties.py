@@ -96,3 +96,96 @@ def test_pack_sequences_partitions_docs_and_tokens(spark, sf_dir):
         # bins are dense: every boundary crossing starts the next bin
         assert bins[0] == 0
         assert all(b2 - b1 >= 1 for b1, b2 in zip(bins, bins[1:]))
+
+
+def test_chunk_documents_reconstructs_and_covers(spark, sf_dir):
+    """Every token position is covered; concatenating stride-prefixes of
+    all chunks but the last, plus the last chunk whole, rebuilds the doc."""
+    from kinesis_stream_reader_spark.operators.text import chunk_documents
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_tokens=64, stride=48).collect()
+    originals = {r.doc_id: r.text.strip().split() for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(originals)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        toks = originals[doc_id]
+        assert [r.chunk_id for r in rows] == list(range(len(rows)))
+        rebuilt: list[str] = []
+        for r in rows[:-1]:
+            chunk = r.chunk_text.split()
+            assert len(chunk) == 64 == r.n_tokens
+            rebuilt.extend(chunk[:48])
+        last = rows[-1].chunk_text.split()
+        assert rows[-1].n_tokens == len(last) <= 64
+        rebuilt.extend(last)
+        assert rebuilt == toks
+
+
+def test_ngram_top_k_matches_brute_force(spark, sf_dir):
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators.text import ngram_top_k
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = ngram_top_k(docs, k=5).collect()
+    counts: dict[str, Counter] = {}
+    for r in docs.collect():
+        toks = r.text.strip().split()
+        counts.setdefault(r.lang, Counter()).update(
+            f"{a} {b}" for a, b in zip(toks, toks[1:])
+        )
+    for lang, ctr in counts.items():
+        expect = sorted(ctr.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = [(r.bigram, r.n) for r in out if r.lang == lang]
+        assert got == expect, lang
+
+
+def test_sample_stratified_is_per_row_deterministic(spark, sf_dir):
+    """Membership depends only on the row's own key: removing other rows
+    never changes a survivor's fate, and per-lang rates land near target."""
+    import hashlib
+
+    from kinesis_stream_reader_spark.operators.relational import sample_stratified
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_stratified(docs).collect()
+    rates = {"en": 0.25, "zh": 0.5}
+    for r in docs.collect():
+        bucket = int(hashlib.md5(str(r.doc_id).encode()).hexdigest()[:4], 16)
+        keep = bucket < int(rates.get(r.lang, 1.0) * 65536)
+        assert keep == any(o.doc_id == r.doc_id for o in out), r.doc_id
+    # a half-corpus re-run keeps exactly the intersection (no layout effect)
+    half = sample_stratified(docs.filter("doc_id % 2 = 0")).collect()
+    assert {r.doc_id for r in half} == {r.doc_id for r in out if r.doc_id % 2 == 0}
+
+
+def test_top_supplier_revenue_ties_and_max(spark, sf_dir):
+    from decimal import Decimal
+
+    from kinesis_stream_reader_spark.operators.relational import top_supplier_revenue
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    out = top_supplier_revenue(lineitem, supplier).collect()
+    assert len(out) >= 1
+    # brute force: exact decimal revenue per supplier in the window
+    per_supp: dict[int, Decimal] = {}
+    for r in lineitem.filter(
+        "l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'"
+    ).collect():
+        amt = Decimal(str(r.l_extendedprice)) * (1 - Decimal(str(r.l_discount)))
+        amt = amt.quantize(Decimal("0.0001"))
+        per_supp[r.l_suppkey] = per_supp.get(r.l_suppkey, Decimal(0)) + amt
+    best = max(per_supp.values())
+    winners = {k for k, v in per_supp.items() if v == best}
+    assert {r.s_suppkey for r in out} == winners
+    for r in out:
+        assert Decimal(str(r.total_revenue)) == round(best, 4)
