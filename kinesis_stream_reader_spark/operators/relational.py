@@ -1413,7 +1413,15 @@ def top_supplier_revenue(
     the supplier name join broadcasts — nothing after the first agg
     touches more than |supplier| rows, so the shape survives 1000x.
     The max-equality comparison runs on the exact DECIMAL sum, not a
-    rounded double, so ties are exact on both engines."""
+    rounded double, so ties are exact on both engines.
+
+    The global max is a WINDOW over the aggregated table, not a
+    scalar-subquery join: the subquery form makes Catalyst recompute
+    the revenue subtree (two full fact scans — double IO at 100 TB),
+    while the unpartitioned window funnels only the post-agg
+    |supplier|-row table through one task."""
+    from pyspark.sql.window import Window
+
     amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
@@ -1424,9 +1432,10 @@ def top_supplier_revenue(
         .groupBy("l_suppkey")
         .agg(F.sum(amount).alias("total_revenue"))
     )
-    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    max_rev = F.max("total_revenue").over(Window.partitionBy())
     return (
-        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
+        revenue.withColumn("max_revenue", max_rev)
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
