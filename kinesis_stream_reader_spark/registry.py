@@ -2694,3 +2694,87 @@ def ngram_top_k_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.ngram_top_k(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "waiting_suppliers",
+    """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS supp_last
+  FROM lineitem GROUP BY 1, 2
+),
+annotated AS (
+  SELECT l_orderkey, l_suppkey, supp_last,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supps,
+         MAX(supp_last) OVER (PARTITION BY l_orderkey) AS order_last
+  FROM per_supp
+),
+with_ties AS (
+  SELECT *,
+         SUM(CASE WHEN supp_last = order_last THEN 1 ELSE 0 END)
+           OVER (PARTITION BY l_orderkey) AS n_at_max
+  FROM annotated
+)
+SELECT s_suppkey, s_name, numwait FROM (
+  SELECT l_suppkey, COUNT(*) AS numwait
+  FROM with_ties
+  WHERE n_supps > 1 AND supp_last = order_last AND n_at_max = 1
+  GROUP BY 1
+) c JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+""",
+)
+def waiting_suppliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.waiting_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@register(
+    "source_mixture_weights",
+    """
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY 1
+)
+SELECT source, n_docs, total_chars,
+       ROUND(share, 6) AS share,
+       ROUND(LEAST(1.0, target / share), 6) AS weight
+FROM (
+  SELECT *,
+         CAST(total_chars AS DOUBLE) / SUM(total_chars) OVER () AS share,
+         1.0 / COUNT(*) OVER () AS target
+  FROM per_source
+)
+ORDER BY source
+""",
+)
+def source_mixture_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.source_mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "reservoir_per_key",
+    """
+SELECT source, CAST(pick AS INT) AS pick, doc_id, lang, n_chars FROM (
+  SELECT source, doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pick
+  FROM documents
+)
+WHERE pick <= 5
+ORDER BY source, pick
+""",
+)
+def reservoir_per_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.reservoir_per_key(load_table(spark, sf_dir, "documents"))

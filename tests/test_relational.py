@@ -308,3 +308,67 @@ def test_product_profit_covers_only_matching_parts(spark, sf_dir):
         .total
     )
     assert abs(total_grouped - round(Decimal(direct), 2)) <= Decimal("0.01") * len(out)
+
+
+def test_waiting_suppliers_brute_force(spark, sf_dir):
+    """Unique-last-shipper counts in multi-supplier orders, re-derived
+    row-at-a-time from raw lines."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    out = relational.waiting_suppliers(lineitem, supplier, k=10).collect()
+    per = {}
+    for r in lineitem.collect():
+        key = (r.l_orderkey, r.l_suppkey)
+        per[key] = max(per.get(key, r.l_shipdate), r.l_shipdate)
+    orders = {}
+    for (ok, sk), last in per.items():
+        orders.setdefault(ok, []).append((sk, last))
+    waits = {}
+    for ok, supps in orders.items():
+        if len(supps) < 2:
+            continue
+        last = max(t for _, t in supps)
+        at_max = [sk for sk, t in supps if t == last]
+        if len(at_max) == 1:
+            waits[at_max[0]] = waits.get(at_max[0], 0) + 1
+    expect = sorted(waits.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.s_suppkey, r.numwait) for r in out] == expect
+
+
+def test_source_mixture_weights_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = relational.source_mixture_weights(docs).collect()
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-4
+    assert docs.count() == sum(r.n_docs for r in out)
+    target = 1.0 / len(out)
+    for r in out:
+        assert 0 < r.weight <= 1.0
+        if r.share <= target:  # under-represented sources are never downsampled
+            assert r.weight == 1.0
+
+
+def test_reservoir_per_key_stability(spark, sf_dir):
+    """Picks are k smallest md5 orders per group, and survive deletion
+    of rows outside the reservoir."""
+    import hashlib
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = relational.reservoir_per_key(docs, k=5).collect()
+    by_src = {}
+    for r in docs.select("source", "doc_id").collect():
+        h = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        by_src.setdefault(r.source, []).append((h, r.doc_id))
+    for src, rows in by_src.items():
+        expect = [d for _, d in sorted(rows)[:5]]
+        got = [r.doc_id for r in out if r.source == src]
+        assert got == expect, src
+    # deleting rows outside the reservoir never disturbs the picks:
+    # the old top-k hashes are still the top-k among any superset of them
+    picked = {r.doc_id for r in out}
+    survivors = docs.filter(
+        F.col("doc_id").isin(list(picked)) | (F.col("doc_id") % 3 == 0)
+    )
+    again = relational.reservoir_per_key(survivors, k=5).collect()
+    assert [(r.source, r.pick, r.doc_id) for r in again] == [
+        (r.source, r.pick, r.doc_id) for r in out
+    ]
