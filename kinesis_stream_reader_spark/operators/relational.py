@@ -1592,3 +1592,187 @@ def reservoir_per_key(
         .select(key, "pick", "doc_id", "lang", "n_chars")
         .orderBy(key, "pick")
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    size: int = 15,
+    type_suffix: str = "ANDARD",
+    region_name: str = "EUROPE",
+) -> DataFrame:
+    """TPC-H Q2 shape: for each part of one size/type, the supplier in
+    one region offering the minimum cost, where cost stands in as the
+    supplier's cheapest observed line price for that part (the driver
+    schema has no partsupp table). The correlated MIN subquery is
+    decorrelated: per-(part, supplier) cost agg -> per-part min ->
+    join back to keep only min-achieving suppliers.
+
+    Plan shape: part/supplier/nation/region are all broadcast, so the
+    only fact shuffle is the (partkey, suppkey) partial agg — and the
+    part/region filters land BEFORE it, so at 100 TB the agg input is
+    the filtered sliver, not the whole fact. The per-part min is a
+    window over the already-aggregated frame: no second fact scan and
+    no self-join of lineitem."""
+    region_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    region_suppliers = supplier.join(
+        F.broadcast(region_nations), supplier.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    wanted_parts = part.filter(
+        (F.col("p_size") == size) & F.col("p_type").endswith(type_suffix)
+    ).select("p_partkey", "p_brand", "p_type")
+    costs = (
+        lineitem.join(F.broadcast(wanted_parts), lineitem.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(region_suppliers), lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "p_type", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice").cast("decimal(18,2)")).alias("supply_cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        costs.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .select(
+            F.round(F.col("s_acctbal"), 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def important_stock(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_name: str = "NATION_3",
+    fraction: float = 0.002,
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value via one nation's
+    suppliers exceeds `fraction` of that nation's total shipped value
+    (value = sum of line extended prices; the driver schema has no
+    partsupp availqty/supplycost).
+
+    Plan shape: the nation's suppliers broadcast into the fact scan,
+    so only that nation's lines (~1/25) survive to the partkey agg —
+    ONE fact shuffle. The global total is a window over the per-part
+    aggregate (rows = |parts|), not a second scan; exact decimal sums
+    keep the threshold comparison hash-stable."""
+    nat_suppliers = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+            supplier.s_nationkey == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    per_part = (
+        lineitem.join(F.broadcast(nat_suppliers), lineitem.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("part_value"))
+    )
+    total = F.sum("part_value").over(Window.partitionBy())
+    return (
+        per_part.withColumn("threshold", total * F.lit(fraction))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            F.col("part_value").cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def supplier_part_counts(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    excluded_brand: str = "Brand#4",
+    type_prefix: str = "SMALL",
+    sizes: tuple[int, ...] = (1, 4, 7, 10, 13, 16, 19, 22),
+) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can ship each
+    (brand, type, size) combination, excluding one brand, one type
+    prefix, and blacklisted suppliers (a low account balance (<1500) stands
+    in for Q16's complaint-comment filter; the part<->supplier link is
+    lineitem, as the driver schema has no partsupp).
+
+    Plan shape: the supplier blacklist is an anti join against a
+    broadcast few-row frame — no shuffle. Part filters broadcast into
+    the fact scan, then one distinct-agg shuffle on (brand, type,
+    size, suppkey) with map-side partial dedup; the final per-cell
+    count reuses that clustering."""
+    wanted_parts = part.filter(
+        (F.col("p_brand") != excluded_brand)
+        & ~F.col("p_type").startswith(type_prefix)
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    blacklist = supplier.filter(F.col("s_acctbal") < 1500).select("s_suppkey")
+    return (
+        lineitem.join(F.broadcast(wanted_parts), lineitem.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(blacklist), lineitem.l_suppkey == blacklist.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def excess_inventory_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    name_prefix: str = "blue",
+    year: int = 1997,
+    nation_name: str = "NATION_3",
+    share: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation who dominate the
+    supply of name-prefix parts — shipped more than `share` of a
+    part's total quantity in one year (the availqty>half-of-shipped
+    predicate re-expressed over lineitem, absent partsupp).
+
+    Plan shape: Q20's nested IN subqueries decorrelate into one
+    (partkey, suppkey) agg of the prefix-part year sliver, a per-part
+    total as a window OVER that aggregate (no second fact scan), and
+    a final semi join into broadcast nation suppliers. One fact
+    shuffle total; the dominance filter runs on the small aggregate
+    frame."""
+    prefix_parts = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    shipped = (
+        lineitem.filter(F.year("l_shipdate") == year)
+        .join(F.broadcast(prefix_parts), lineitem.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    part_total = F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    dominant = (
+        shipped.withColumn("part_qty", part_total)
+        .filter(F.col("supp_qty") > F.lit(share) * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat_suppliers = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == nation_name)),
+        supplier.s_nationkey == F.col("n_nationkey"),
+    )
+    return (
+        nat_suppliers.join(
+            dominant, nat_suppliers.s_suppkey == dominant.l_suppkey, "left_semi"
+        )
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
+    )

@@ -2778,3 +2778,128 @@ def reservoir_per_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.reservoir_per_key(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "min_cost_supplier",
+    """
+WITH region_suppliers AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), wanted_parts AS (
+  SELECT p_partkey, p_brand, p_type FROM part
+  WHERE p_size = 15 AND p_type LIKE '%ANDARD'
+), costs AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supply_cost
+  FROM lineitem
+  JOIN wanted_parts ON l_partkey = p_partkey
+  JOIN region_suppliers ON l_suppkey = s_suppkey
+  GROUP BY p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+)
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(supply_cost AS DOUBLE) AS supply_cost
+FROM costs c
+WHERE supply_cost = (SELECT MIN(c2.supply_cost) FROM costs c2
+                     WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def min_cost_supplier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.min_cost_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "important_stock",
+    """
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS part_value
+  FROM lineitem
+  JOIN (SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3') ns
+    ON l_suppkey = s_suppkey
+  GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM per_part
+WHERE part_value > (SELECT SUM(part_value) FROM per_part) * 0.002
+ORDER BY part_value DESC, l_partkey
+""",
+)
+def important_stock_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.important_stock(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+@register(
+    "supplier_part_counts",
+    """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#4'
+  AND p_type NOT LIKE 'SMALL%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1500)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def supplier_part_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.supplier_part_counts(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+@register(
+    "excess_inventory_suppliers",
+    """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'blue%' AND EXTRACT(year FROM l_shipdate) = 1997
+  GROUP BY l_partkey, l_suppkey
+), dominant AS (
+  SELECT DISTINCT l_suppkey FROM (
+    SELECT l_suppkey, supp_qty,
+           SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+    FROM shipped
+  ) t
+  WHERE supp_qty > 0.5 * part_qty
+)
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+ORDER BY s_name
+""",
+)
+def excess_inventory_suppliers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.excess_inventory_suppliers(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "nation"),
+    )

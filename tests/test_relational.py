@@ -372,3 +372,108 @@ def test_reservoir_per_key_stability(spark, sf_dir):
     assert [(r.source, r.pick, r.doc_id) for r in again] == [
         (r.source, r.pick, r.doc_id) for r in out
     ]
+
+
+def test_min_cost_supplier_achieves_per_part_min(spark, sf_dir):
+    """Every returned (part, supplier) pair must achieve the true
+    minimum line price for that part among region suppliers — the
+    decorrelated window must not leak a non-min row."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    out = relational.min_cost_supplier(
+        lineitem, supplier, part, nation, region
+    ).collect()
+    if not out:
+        return
+    euro_sup = {
+        r.s_suppkey
+        for r in supplier.join(
+            nation, supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .collect()
+    }
+    mins = {}
+    for r in (
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .filter((F.col("p_size") == 15) & F.col("p_type").endswith("ANDARD"))
+        .collect()
+    ):
+        if r.l_suppkey in euro_sup:
+            key = r.l_partkey
+            price = round(r.l_extendedprice, 2)
+            mins[key] = min(mins.get(key, price), price)
+    for row in out:
+        assert abs(row.supply_cost - mins[row.p_partkey]) < 1e-6
+
+
+def test_important_stock_threshold_and_total(spark, sf_dir):
+    """Returned parts each exceed fraction*total; the excluded rest
+    must not (brute-force recheck of the window-computed threshold)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    out = {
+        r.l_partkey: r.part_value
+        for r in relational.important_stock(lineitem, supplier, nation).collect()
+    }
+    nat_sup = {
+        r.s_suppkey
+        for r in supplier.join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .filter(F.col("n_name") == "NATION_3")
+        .collect()
+    }
+    per_part = {}
+    for r in lineitem.collect():
+        if r.l_suppkey in nat_sup:
+            per_part[r.l_partkey] = per_part.get(r.l_partkey, 0.0) + round(
+                r.l_extendedprice, 2
+            )
+    threshold = sum(per_part.values()) * 0.002
+    expect = {k for k, v in per_part.items() if v > threshold}
+    assert set(out) == expect
+
+
+def test_supplier_part_counts_excludes_blacklist(spark, sf_dir):
+    """No blacklisted (acctbal<1500) supplier may contribute to any
+    cell, and counts are bounded by the supplier population."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    out = relational.supplier_part_counts(lineitem, supplier, part).collect()
+    n_ok_suppliers = supplier.filter(F.col("s_acctbal") >= 1500).count()
+    assert out, "expected at least one (brand, type, size) cell"
+    for row in out:
+        assert 0 < row.supplier_cnt <= n_ok_suppliers
+        assert row.p_brand != "Brand#4"
+        assert not row.p_type.startswith("SMALL")
+
+
+def test_excess_inventory_suppliers_dominance(spark, sf_dir):
+    """Each returned supplier must truly dominate (>50% of the 1997
+    shipped quantity) at least one blue-prefix part."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+    out = relational.excess_inventory_suppliers(
+        lineitem, supplier, part, nation
+    ).collect()
+    blue = {r.p_partkey for r in part.filter(F.col("p_name").startswith("blue")).collect()}
+    shipped = {}
+    for r in lineitem.filter(F.year("l_shipdate") == 1997).collect():
+        if r.l_partkey in blue:
+            k = (r.l_partkey, r.l_suppkey)
+            shipped[k] = shipped.get(k, 0.0) + r.l_quantity
+    part_total = {}
+    for (pk, _sk), q in shipped.items():
+        part_total[pk] = part_total.get(pk, 0.0) + q
+    dominant = {sk for (pk, sk), q in shipped.items() if q > 0.5 * part_total[pk]}
+    name_of = {r.s_suppkey: r.s_name for r in supplier.collect()}
+    dominant_names = {name_of[s] for s in dominant}
+    for row in out:
+        assert row.s_name in dominant_names
