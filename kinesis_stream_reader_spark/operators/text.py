@@ -309,3 +309,110 @@ def ngram_top_k(documents: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .orderBy("lang", "rank")
     )
+
+
+def text_repetition(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition metrics: the fraction of
+    token mass held by words occurring more than once (dup_mass_ratio),
+    the share of the single most frequent word (top_token_share), and
+    the distinct/total token ratio. High dup-mass documents are
+    boilerplate/spam — this is the standard cheap repetition gate run
+    before near-dup (Rae et al., Gopher §A1.1; public heuristic).
+
+    Plan shape: explode -> (doc, token) count -> per-doc aggregate.
+    Both aggregations are map-side partial, keyed by doc_id(+token), so
+    the shuffle carries per-doc histograms, not raw tokens; doc_id is
+    dense and unskewed, the natural 100 TB partition key. No Python in
+    the plan — codegen end to end."""
+    per_word = (
+        documents.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_word.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias("dup_mass"),
+            F.max("cnt").alias("top_cnt"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.col("dup_mass") / F.col("n_tokens"), 4).alias("dup_mass_ratio"),
+            F.round(F.col("top_cnt") / F.col("n_tokens"), 4).alias("top_token_share"),
+            F.round(F.col("n_distinct") / F.col("n_tokens"), 4).alias("distinct_ratio"),
+        )
+    )
+
+
+def text_char_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy (bits) of the character
+    distribution — the cheap gibberish/encoding-noise gate: natural
+    text sits in a narrow entropy band, base64 blobs and key-mash
+    score high, repeated filler scores low.
+
+    Plan shape: split to chars -> explode -> (doc, char) counts ->
+    per-doc fold of H = log2(N) - sum(c*log2 c)/N. The char histogram
+    is at most |alphabet| rows per doc after the map-side partial agg —
+    the explosion never crosses the wire unaggregated."""
+    per_char = (
+        documents.select("doc_id", F.explode(F.split(F.col("text"), "")).alias("ch"))
+        .filter(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").cast("double").alias("cnt"))
+    )
+    n = F.sum("cnt")
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.round(
+                F.log2(n) - F.sum(F.col("cnt") * F.log2("cnt")) / n, 4
+            ).alias("char_entropy"),
+            n.cast("long").alias("n_chars_counted"),
+        )
+    )
+
+
+def vocab_coverage(documents: DataFrame, vocab_size: int = 50) -> DataFrame:
+    """Word-level vocabulary construction with corpus coverage: the
+    top-`vocab_size` tokens by frequency, each with its corpus share
+    and the cumulative share of the vocabulary up to that rank — the
+    first step of tokenizer training (what fraction of the corpus a
+    V-entry vocab covers).
+
+    Plan shape: one (token) count aggregation over the exploded corpus
+    — partial-agg makes the shuffle O(|vocab|) per task; the global
+    total and running share are windows over the tiny top-V frame after
+    a TakeOrdered(V), never over the corpus."""
+    from pyspark.sql.window import Window
+
+    counts = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        # both the top-V and the global total derive from this frame;
+        # persisting it keeps the corpus explode+agg to ONE scan
+        # (|vocab| rows — kilobytes per million distinct tokens)
+        .persist()
+    )
+    top = (
+        counts.orderBy(F.desc("cnt"), "tok")
+        .limit(vocab_size)
+        .withColumn("rank", F.row_number().over(Window.orderBy(F.desc("cnt"), "tok")))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    running = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.join(F.broadcast(total))
+        .withColumn("share", F.col("cnt") / F.col("total"))
+        .select(
+            "rank",
+            "tok",
+            "cnt",
+            F.round("share", 6).alias("share"),
+            F.round(F.sum("share").over(running), 6).alias("cum_share"),
+        )
+        .orderBy("rank")
+    )

@@ -2903,3 +2903,76 @@ def excess_inventory_suppliers_query(spark: SparkSession, sf_dir: str) -> DataFr
         load_table(spark, sf_dir, "part"),
         load_table(spark, sf_dir, "nation"),
     )
+
+
+@register(
+    "text_repetition",
+    """
+WITH per_word AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       ROUND(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) / CAST(SUM(cnt) AS DOUBLE), 4)
+         AS dup_mass_ratio,
+       ROUND(MAX(cnt) / CAST(SUM(cnt) AS DOUBLE), 4) AS top_token_share,
+       ROUND(COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 4) AS distinct_ratio
+FROM per_word
+GROUP BY doc_id
+""",
+)
+def text_repetition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.text_repetition(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_char_entropy",
+    """
+WITH per_char AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+  WHERE ch <> ''
+  GROUP BY doc_id, ch
+)
+SELECT doc_id,
+       ROUND(LOG2(SUM(cnt)) - SUM(cnt * LOG2(cnt)) / SUM(cnt), 4) AS char_entropy,
+       CAST(SUM(cnt) AS BIGINT) AS n_chars_counted
+FROM per_char
+GROUP BY doc_id
+""",
+)
+def text_char_entropy_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.text_char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "vocab_coverage",
+    """
+WITH counts AS (
+  SELECT tok, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)
+  GROUP BY tok
+), top AS (
+  SELECT tok, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS INT) AS rank
+  FROM counts ORDER BY cnt DESC, tok LIMIT 50
+)
+SELECT rank, tok, cnt,
+       ROUND(share, 6) AS share,
+       ROUND(SUM(share) OVER (ORDER BY rank
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_share
+FROM (SELECT *, cnt / (SELECT CAST(SUM(cnt) AS DOUBLE) FROM counts) AS share FROM top)
+ORDER BY rank
+""",
+)
+def vocab_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.vocab_coverage(load_table(spark, sf_dir, "documents"))

@@ -189,3 +189,57 @@ def test_top_supplier_revenue_ties_and_max(spark, sf_dir):
     assert {r.s_suppkey for r in out} == winners
     for r in out:
         assert Decimal(str(r.total_revenue)) == round(best, 4)
+
+
+def test_text_repetition_brute_force(spark, sf_dir):
+    """dup_mass/top_share/distinct ratios must match a Python Counter
+    over whitespace tokens for every document."""
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators.text import text_repetition
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: r for r in text_repetition(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        c = Counter(row.text.split())
+        n = sum(c.values())
+        r = got[row.doc_id]
+        assert r.n_tokens == n
+        assert abs(r.dup_mass_ratio - sum(v for v in c.values() if v > 1) / n) < 1e-3
+        assert abs(r.top_token_share - max(c.values()) / n) < 1e-3
+        assert abs(r.distinct_ratio - len(c) / n) < 1e-3
+
+
+def test_text_char_entropy_brute_force(spark, sf_dir):
+    """Entropy must match the direct -sum(p log2 p) over characters;
+    uniform-character and single-character edge cases included."""
+    import math
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators.text import text_char_entropy
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: r.char_entropy for r in text_char_entropy(docs).collect()}
+    for row in docs.select("doc_id", "text").limit(50).collect():
+        c = Counter(row.text)
+        n = sum(c.values())
+        expect = -sum((v / n) * math.log2(v / n) for v in c.values())
+        assert abs(got[row.doc_id] - expect) < 1e-3
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    """Ranks are dense from 1, shares are non-increasing, cumulative
+    share is monotone and bounded by 1."""
+    from kinesis_stream_reader_spark.operators.text import vocab_coverage
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = vocab_coverage(docs, vocab_size=20).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    shares = [r.share for r in rows]
+    assert all(a >= b for a, b in zip(shares, shares[1:]))
+    cums = [r.cum_share for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:]))
+    assert cums[-1] <= 1.0 + 1e-9
