@@ -25,7 +25,9 @@ def main() -> None:
     qs = entrymod.queries()
     # Warm up the JVM (codegen, parquet footer caches, Arrow path) so
     # timings measure query execution, not session startup.
-    for table in ("events", "lineitem", "documents", "embeddings"):
+    from kinesis_stream_reader_spark.sources.tables import TABLES
+
+    for table in TABLES:
         spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
     # materialize the KPL wire-record fixture so deagg timing measures
     # the decode operator, not test-fixture packing

@@ -1776,3 +1776,38 @@ def excess_inventory_suppliers(
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+def apply_mixture_weights(documents: DataFrame) -> DataFrame:
+    """Applies the source_mixture_weights plan: deterministically
+    downsample each source by its flattening weight, keeping a doc iff
+    the first 4 hex digits of md5(doc_id) fall below weight*65536 —
+    the same content-independent gate as sample_stratified, but with
+    the rate COMPUTED from the corpus (weight = target_share /
+    actual_share, capped at 1) instead of given. Together the two ops
+    close the loop: plan the mixture, then execute it reproducibly.
+
+    Plan shape: the weights frame is |sources| rows — broadcast back
+    into a map-only filtered scan. The only shuffle is the tiny
+    per-source aggregate; the gate itself is codegen'd md5+conv, no
+    UDF, no sampling state, stable under re-runs and partition
+    layout."""
+    per_source = documents.groupBy("source").agg(
+        F.sum("n_chars").alias("total_chars")
+    )
+    w = Window.partitionBy()
+    share = F.col("total_chars") / F.sum("total_chars").over(w)
+    target = 1.0 / F.count("*").over(w)
+    weights = per_source.select(
+        F.col("source").alias("w_source"),
+        F.least(F.lit(1.0), target / share).alias("weight"),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return (
+        documents.join(F.broadcast(weights), F.col("source") == F.col("w_source"))
+        .filter(bucket < F.floor(F.col("weight") * 65536))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )

@@ -416,3 +416,43 @@ def vocab_coverage(documents: DataFrame, vocab_size: int = 50) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+def quality_gate_report(documents: DataFrame) -> DataFrame:
+    """One-row corpus observability report: how many documents pass
+    each cheap quality gate (length floor, stopword floor, punctuation
+    ceiling, mean-token-length band) and the joint retention rate —
+    the numbers a curation run publishes per batch so mixture drift
+    and filter regressions surface immediately.
+
+    Plan shape: single scan, conditional aggregation — every gate is
+    a codegen'd boolean over the same row, so the report costs one
+    pass and a 1-row shuffle regardless of corpus size."""
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length("text").cast("double")
+    n_punct = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[^\w\s]"), 0)
+    ).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    ).cast("double")
+    avg_tok = n_chars / n_tokens
+    pass_len = F.col("n_chars") >= 100
+    pass_stop = (n_stop / n_tokens) >= 0.01
+    pass_punct = (n_punct / n_chars) <= 0.2
+    pass_tok_len = avg_tok.between(3.0, 12.0)
+    as_cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    return documents.agg(
+        F.count("*").alias("n_docs"),
+        as_cnt(pass_len).alias("pass_len"),
+        as_cnt(pass_stop).alias("pass_stopword"),
+        as_cnt(pass_punct).alias("pass_punct"),
+        as_cnt(pass_tok_len).alias("pass_token_len"),
+        as_cnt(pass_len & pass_stop & pass_punct & pass_tok_len).alias("pass_all"),
+        F.round(
+            as_cnt(pass_len & pass_stop & pass_punct & pass_tok_len)
+            / F.count("*"),
+            4,
+        ).alias("retention"),
+    )

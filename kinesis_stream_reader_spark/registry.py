@@ -2976,3 +2976,58 @@ def vocab_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "apply_mixture_weights",
+    """
+WITH per_source AS (
+  SELECT source, SUM(n_chars) AS total_chars FROM documents GROUP BY source
+), weights AS (
+  SELECT source,
+         LEAST(1.0, (1.0 / COUNT(*) OVER ())
+               / (total_chars / CAST(SUM(total_chars) OVER () AS DOUBLE))) AS weight
+  FROM per_source
+)
+SELECT doc_id, d.source, lang, n_chars
+FROM documents d JOIN weights w ON d.source = w.source
+WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) AS BIGINT)
+      < FLOOR(weight * 65536)
+ORDER BY doc_id
+""",
+)
+def apply_mixture_weights_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.apply_mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_gate_report",
+    f"""
+WITH g AS (
+  SELECT n_chars >= 100 AS pass_len,
+         (len(list_filter({_TOKS}, t -> t IN ('the','a','of','and')))
+            / CAST(len({_TOKS}) AS DOUBLE)) >= 0.01 AS pass_stopword,
+         (len(regexp_extract_all(text, '[^\\w\\s]'))
+            / CAST(length(text) AS DOUBLE)) <= 0.2 AS pass_punct,
+         (length(text) / CAST(len({_TOKS}) AS DOUBLE)) BETWEEN 3.0 AND 12.0
+           AS pass_token_len
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(pass_len AS BIGINT)) AS BIGINT) AS pass_len,
+       CAST(SUM(CAST(pass_stopword AS BIGINT)) AS BIGINT) AS pass_stopword,
+       CAST(SUM(CAST(pass_punct AS BIGINT)) AS BIGINT) AS pass_punct,
+       CAST(SUM(CAST(pass_token_len AS BIGINT)) AS BIGINT) AS pass_token_len,
+       CAST(SUM(CAST(pass_len AND pass_stopword AND pass_punct AND pass_token_len
+                AS BIGINT)) AS BIGINT) AS pass_all,
+       ROUND(SUM(CAST(pass_len AND pass_stopword AND pass_punct AND pass_token_len
+                 AS BIGINT)) / CAST(COUNT(*) AS DOUBLE), 4) AS retention
+FROM g
+""",
+)
+def quality_gate_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.quality_gate_report(load_table(spark, sf_dir, "documents"))

@@ -243,3 +243,16 @@ def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
     cums = [r.cum_share for r in rows]
     assert all(a <= b + 1e-9 for a, b in zip(cums, cums[1:]))
     assert cums[-1] <= 1.0 + 1e-9
+
+
+def test_quality_gate_report_consistency(spark, sf_dir):
+    """The report's joint pass count can never exceed any single gate,
+    and retention = pass_all / n_docs."""
+    from kinesis_stream_reader_spark.operators.text import quality_gate_report
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    r = quality_gate_report(load_table(spark, sf_dir, "documents")).collect()[0]
+    assert r.n_docs > 0
+    for gate in ("pass_len", "pass_stopword", "pass_punct", "pass_token_len"):
+        assert r.pass_all <= getattr(r, gate) <= r.n_docs
+    assert abs(r.retention - r.pass_all / r.n_docs) < 1e-3

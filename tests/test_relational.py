@@ -477,3 +477,32 @@ def test_excess_inventory_suppliers_dominance(spark, sf_dir):
     dominant_names = {name_of[s] for s in dominant}
     for row in out:
         assert row.s_name in dominant_names
+
+
+def test_apply_mixture_weights_subset_and_rates(spark, sf_dir):
+    """Survivors are a subset of the corpus; a weight-1.0 source (the
+    smallest) keeps every doc; heavier sources are downsampled to
+    roughly their flattening weight."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = relational.apply_mixture_weights(docs)
+    kept = {r.doc_id for r in out.collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert kept <= all_ids
+    weights = {
+        r.source: r.weight
+        for r in relational.source_mixture_weights(docs).collect()
+    }
+    per_source_total = {
+        r.source: r.n for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    per_source_kept = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, w in weights.items():
+        n, k = per_source_total[src], per_source_kept.get(src, 0)
+        if w >= 0.999999:
+            assert k == n, f"{src}: weight-1 source must keep all docs"
+        else:
+            # md5 gate is uniform: expect ~w*n, allow generous slack
+            assert abs(k - w * n) <= max(6, 0.35 * n * w), (src, k, w * n)
