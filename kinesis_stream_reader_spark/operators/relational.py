@@ -1658,12 +1658,15 @@ def important_stock(
     supplier: DataFrame,
     nation: DataFrame,
     nation_name: str = "NATION_3",
-    fraction: float = 0.002,
+    factor: float = 2.0,
 ) -> DataFrame:
     """TPC-H Q11 shape: parts whose shipped value via one nation's
-    suppliers exceeds `fraction` of that nation's total shipped value
+    suppliers exceeds `factor` times the nation's MEAN per-part value
     (value = sum of line extended prices; the driver schema has no
-    partsupp availqty/supplycost).
+    partsupp availqty/supplycost). Q11's fixed fraction-of-total cut
+    is scaled by 1/SF in the spec; a mean-relative cut keeps the
+    global-scalar-subquery shape while staying scale-free — the
+    qualifying share of parts is stable as the corpus grows.
 
     Plan shape: the nation's suppliers broadcast into the fact scan,
     so only that nation's lines (~1/25) survive to the partkey agg —
@@ -1682,9 +1685,10 @@ def important_stock(
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("part_value"))
     )
-    total = F.sum("part_value").over(Window.partitionBy())
+    w = Window.partitionBy()
+    mean_value = F.sum("part_value").over(w) / F.count("*").over(w)
     return (
-        per_part.withColumn("threshold", total * F.lit(fraction))
+        per_part.withColumn("threshold", mean_value * F.lit(factor))
         .filter(F.col("part_value") > F.col("threshold"))
         .select(
             "l_partkey",

@@ -2833,7 +2833,7 @@ WITH per_part AS (
 )
 SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
 FROM per_part
-WHERE part_value > (SELECT SUM(part_value) FROM per_part) * 0.002
+WHERE part_value > (SELECT SUM(part_value) / COUNT(*) FROM per_part) * 2.0
 ORDER BY part_value DESC, l_partkey
 """,
 )

@@ -433,7 +433,7 @@ def test_important_stock_threshold_and_total(spark, sf_dir):
             per_part[r.l_partkey] = per_part.get(r.l_partkey, 0.0) + round(
                 r.l_extendedprice, 2
             )
-    threshold = sum(per_part.values()) * 0.002
+    threshold = sum(per_part.values()) / len(per_part) * 2.0
     expect = {k for k, v in per_part.items() if v > threshold}
     assert set(out) == expect
 
