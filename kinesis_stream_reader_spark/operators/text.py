@@ -456,3 +456,30 @@ def quality_gate_report(documents: DataFrame) -> DataFrame:
             4,
         ).alias("retention"),
     )
+
+
+def rolling_hash_fingerprint(documents: DataFrame) -> DataFrame:
+    """Polynomial (Rabin-Karp) rolling-hash fingerprint over the
+    normalized text: h = fold(h*31 + code(ch)) mod 2^31-1 — the
+    incremental-hash primitive behind shingling and content-defined
+    chunking, here as a whole-document fingerprint twin to the md5
+    one (text_fingerprint).
+
+    Plan shape: a higher-order F.aggregate fold over the char array —
+    pure codegen, map-only, zero shuffle at any scale. The modulus
+    keeps the accumulator in 36 bits so the long arithmetic is exact
+    (and engine-portable: DuckDB's list_reduce computes the same
+    fold bit-for-bit)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    codes = F.transform(
+        F.filter(F.split(normalized, ""), lambda c: c != ""),
+        lambda c: F.ascii(c).cast("long"),
+    )
+    return documents.select(
+        "doc_id",
+        F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % F.lit(2147483647),
+        ).alias("rolling_hash"),
+    )

@@ -3031,3 +3031,22 @@ def quality_gate_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.quality_gate_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_rolling_fingerprint",
+    r"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+             c -> CAST(ascii(c) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 2147483647) AS rolling_hash
+FROM documents
+""",
+)
+def text_rolling_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.rolling_hash_fingerprint(load_table(spark, sf_dir, "documents"))

@@ -256,3 +256,22 @@ def test_quality_gate_report_consistency(spark, sf_dir):
     for gate in ("pass_len", "pass_stopword", "pass_punct", "pass_token_len"):
         assert r.pass_all <= getattr(r, gate) <= r.n_docs
     assert abs(r.retention - r.pass_all / r.n_docs) < 1e-3
+
+
+def test_rolling_hash_fingerprint_matches_python(spark, sf_dir):
+    """The codegen fold must equal a direct Python Rabin-Karp over the
+    same normalization; identical texts collide, distinct texts (in
+    this corpus) do not collide more than chance."""
+    import re
+
+    from kinesis_stream_reader_spark.operators.text import rolling_hash_fingerprint
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: r.rolling_hash for r in rolling_hash_fingerprint(docs).collect()}
+    for row in docs.select("doc_id", "text").limit(30).collect():
+        norm = re.sub(r"\s+", " ", row.text.strip().lower())
+        h = 0
+        for ch in norm:
+            h = (h * 31 + ord(ch)) % 2147483647
+        assert got[row.doc_id] == h
