@@ -1815,3 +1815,54 @@ def apply_mixture_weights(documents: DataFrame) -> DataFrame:
         .select("doc_id", "source", "lang", "n_chars")
         .orderBy("doc_id")
     )
+
+
+def priority_mix_shift(
+    orders: DataFrame, year_a: int = 1995, year_b: int = 1996
+) -> DataFrame:
+    """Bag-semantics set difference: the multiset of order priorities
+    placed in year A EXCEPT ALL year B — surviving multiplicity =
+    how many MORE orders of each priority year A had. Distinct-set
+    EXCEPT would erase the counts; exceptAll is its own physical
+    operator (Spark rewrites it to a +1/-1 counted union + aggregate
+    + generate), which this query pins alongside the distinct set ops.
+
+    Plan shape: the rewrite is two scans unioned into ONE partial-agg
+    shuffle keyed by the 5 priority values, then replicate — no join.
+    The trailing count-by-priority collapses the replication, so the
+    result is bounded by |priorities| at any scale."""
+    a = orders.filter(F.year("o_orderdate") == year_a).select("o_orderpriority")
+    b = orders.filter(F.year("o_orderdate") == year_b).select("o_orderpriority")
+    return (
+        a.exceptAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("surplus"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def props_map_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured map surface: parse the JSON `props` payload as
+    MapType(string, long) — NOT a fixed struct, so unknown keys
+    survive — then explode to (key, value) and aggregate per key.
+    This is the schema-drift-tolerant census a pipeline runs before
+    promoting loose JSON into typed columns (json_props_extract is
+    the typed follow-up).
+
+    Plan shape: from_json + explode are map-side; the per-key agg is
+    one partial-agg shuffle bounded by |distinct keys|."""
+    kv = events.select(
+        F.explode(F.from_json(F.col("props"), "map<string,bigint>")).alias(
+            "prop_key", "v"
+        )
+    )
+    return (
+        kv.groupBy("prop_key")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.sum("v").alias("vsum"),
+        )
+        .orderBy("prop_key")
+    )

@@ -3050,3 +3050,40 @@ def text_rolling_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFram
     from .operators import text
 
     return text.rolling_hash_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "set_except_all",
+    """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS surplus FROM (
+  SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995
+  EXCEPT ALL
+  SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
+) GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def set_except_all_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.priority_mix_shift(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "props_map_census",
+    """
+WITH kv AS (
+  SELECT unnest(json_keys(props)) AS prop_key,
+         CAST(json_extract(props, '$.' || unnest(json_keys(props))) AS BIGINT) AS v
+  FROM events
+)
+SELECT prop_key, CAST(COUNT(*) AS BIGINT) AS n, MIN(v) AS vmin, MAX(v) AS vmax,
+       CAST(SUM(v) AS BIGINT) AS vsum
+FROM kv GROUP BY prop_key
+ORDER BY prop_key
+""",
+)
+def props_map_census_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.props_map_stats(load_events(spark, sf_dir))

@@ -506,3 +506,32 @@ def test_apply_mixture_weights_subset_and_rates(spark, sf_dir):
         else:
             # md5 gate is uniform: expect ~w*n, allow generous slack
             assert abs(k - w * n) <= max(6, 0.35 * n * w), (src, k, w * n)
+
+
+def test_priority_mix_shift_matches_counter_difference(spark, sf_dir):
+    """exceptAll multiplicity must equal max(0, count_a - count_b)
+    per priority — the bag-semantics contract distinct EXCEPT loses."""
+    from collections import Counter
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = {
+        r.o_orderpriority: r.surplus
+        for r in relational.priority_mix_shift(orders).collect()
+    }
+    rows = orders.select(
+        F.year("o_orderdate").alias("y"), "o_orderpriority"
+    ).collect()
+    ca = Counter(r.o_orderpriority for r in rows if r.y == 1995)
+    cb = Counter(r.o_orderpriority for r in rows if r.y == 1996)
+    expect = {p: ca[p] - cb[p] for p in ca if ca[p] > cb[p]}
+    assert got == expect
+
+
+def test_props_map_stats_unknown_keys_survive(spark, sf_dir):
+    """The map parse must keep keys a fixed struct schema would drop."""
+    df = spark.createDataFrame(
+        [('{"k": 1}',), ('{"k": 2, "extra": 10}',), ('{"other": 5}',)],
+        "props string",
+    )
+    got = {r.prop_key: (r.n, r.vsum) for r in relational.props_map_stats(df).collect()}
+    assert got == {"k": (2, 3), "extra": (1, 10), "other": (1, 5)}
