@@ -1866,3 +1866,83 @@ def props_map_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("prop_key")
     )
+
+
+def gap_fill_locf(events: DataFrame) -> DataFrame:
+    """Time-series gap filling (hypertable-style): roll events up to
+    per-user hourly buckets, densify each user's series over its own
+    [first, last] hour via sequence()+explode, and carry the last
+    observed hourly value forward (LOCF) through the gaps — the
+    standard regularization before downstream window features.
+
+    Plan shape: the rollup is one partial-agg shuffle to (user, hour);
+    spans reuse that frame (tiny second agg). The grid explode happens
+    AFTER aggregation — sequence() emits hours-per-user rows, never
+    raw events — and the left join + LOCF window share the user_id
+    clustering, so AQE plans one more shuffle at most. Row count is
+    bounded by users x span-hours regardless of event volume."""
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.round(F.last("sum_value", ignorenulls=True).over(w), 4).alias(
+                "filled_value"
+            ),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+def top_k_per_group_agg(events: DataFrame, k: int = 3) -> DataFrame:
+    """Per-group top-k WITHOUT a window sort: aggregate each group's
+    (count, user) pairs into an array, sort_array + slice the top k —
+    the aggregate-form twin of window_rank's row_number()<=k. For
+    k=1 max_by is cheaper (agg_minmax_by); for small k over bounded
+    per-group cardinality this form skips the per-partition global
+    sort a window imposes. Caveat that keeps it honest at 100 TB:
+    collect_list gathers O(|users per group|) per group — for
+    unbounded groups use the window form instead.
+
+    Plan shape: two chained partial-agg shuffles ((type,user) then
+    type); posexplode of a k-element array is trivial."""
+    counts = events.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("cnt")
+    )
+    packed = counts.groupBy("event_type").agg(
+        F.slice(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("cnt"), F.col("user_id"))), asc=False
+            ),
+            1,
+            k,
+        ).alias("top")
+    )
+    return (
+        packed.select(
+            "event_type", F.posexplode("top").alias("pos", "entry")
+        )
+        .select(
+            "event_type",
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("entry.user_id").alias("user_id"),
+            F.col("entry.cnt").alias("n_events"),
+        )
+        .orderBy("event_type", "rank")
+    )

@@ -3087,3 +3087,52 @@ def props_map_census_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.props_map_stats(load_events(spark, sf_dir))
+
+
+@register(
+    "gap_fill_locf",
+    """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         COUNT(*) AS n_events, SUM(value) AS sum_value
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+)
+SELECT g.user_id, strftime(g.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+       ROUND(LAST_VALUE(h.sum_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled_value
+FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+ORDER BY g.user_id, hour
+""",
+)
+def gap_fill_locf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.gap_fill_locf(load_events(spark, sf_dir))
+
+
+@register(
+    "top_k_per_group_agg",
+    """
+SELECT event_type, CAST(rnk AS INT) AS rank, user_id, n_events
+FROM (
+  SELECT event_type, user_id, n_events,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY n_events DESC, user_id DESC) AS rnk
+  FROM (SELECT event_type, user_id, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2)
+)
+WHERE rnk <= 3
+ORDER BY event_type, rank
+""",
+)
+def top_k_per_group_agg_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.top_k_per_group_agg(load_events(spark, sf_dir))

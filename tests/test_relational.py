@@ -535,3 +535,50 @@ def test_props_map_stats_unknown_keys_survive(spark, sf_dir):
     )
     got = {r.prop_key: (r.n, r.vsum) for r in relational.props_map_stats(df).collect()}
     assert got == {"k": (2, 3), "extra": (1, 10), "other": (1, 5)}
+
+
+def test_gap_fill_locf_invariants(spark, sf_dir):
+    """Dense grid per user (consecutive hours, no holes), observed
+    hours keep their values, gap hours carry the previous value."""
+    events = load_events(spark, sf_dir)
+    rows = relational.gap_fill_locf(events).collect()
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    assert len(by_user) == events.select("user_id").distinct().count()
+    for uid, rs in list(by_user.items())[:20]:
+        hours = [datetime.strptime(r.hour, "%Y-%m-%d %H:%M:%S") for r in rs]
+        assert all(
+            b - a == timedelta(hours=1) for a, b in zip(hours, hours[1:])
+        ), f"user {uid}: grid not dense"
+        assert rs[0].n_events > 0, "series must start at first observation"
+        prev = None
+        for r in rs:
+            if r.n_events == 0:
+                assert r.filled_value == prev, "gap must carry last value"
+            prev = r.filled_value
+
+
+def test_top_k_per_group_agg_matches_window_form(spark, sf_dir):
+    """The aggregate top-k must equal the row_number()<=k window form."""
+    from pyspark.sql.window import Window
+
+    events = load_events(spark, sf_dir)
+    agg_form = {
+        (r.event_type, r.rank): (r.user_id, r.n_events)
+        for r in relational.top_k_per_group_agg(events, k=3).collect()
+    }
+    counts = events.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id").desc()
+    )
+    win_form = {
+        (r.event_type, r.rn): (r.user_id, r.cnt)
+        for r in counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .collect()
+    }
+    assert agg_form == win_form
