@@ -9,6 +9,7 @@ on both sides — the driver sorts columns by name before value-hashing.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession

@@ -110,3 +110,82 @@ def sessionize(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+PROFILE_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, first_seen TIMESTAMP, last_seen TIMESTAMP"
+)
+
+
+class RunningProfileProcessor:
+    """transformWithStateInPandas processor (Spark 4 arbitrary-state
+    API): maintains one ValueState row per user — cumulative event
+    count plus first/last seen timestamps — and emits the updated
+    profile once per (user, micro-batch).
+
+    Counts and timestamps only (exact integers): the emitted profile
+    is reproducible regardless of batch slicing, which is what lets
+    the batch oracle check the drained stream bit-for-bit. Versus
+    applyInPandasWithState: state here is named and typed per field,
+    timers are explicit, and the runtime can evict/checkpoint each
+    state variable independently — the API Spark 4 positions for
+    custom stateful operators.
+
+    NOTE: executing this operator requires `google.protobuf` (the
+    TWS Python worker speaks a protobuf state-server protocol); the
+    test container does not ship it, so the operator is exercised by
+    an importorskip-gated test and is NOT in the driver-checked
+    queries() registry. applyInPandasWithState (sessionize above)
+    covers the runnable custom-stateful surface here."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "profile", "n BIGINT, first_us BIGINT, last_us BIGINT"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        n, first_us, last_us = 0, None, None
+        if self._state.exists():
+            n, first_us, last_us = self._state.get()
+        for pdf in rows:
+            ts_us = pdf["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+            if len(ts_us) == 0:
+                continue
+            n += len(ts_us)
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+        if first_us is None:
+            return iter(())
+        self._state.update((n, first_us, last_us))
+        out = pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "first_seen": [pd.Timestamp(first_us, unit="us")],
+                "last_seen": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+        return iter((out,))
+
+    def close(self) -> None:
+        pass
+
+
+def running_profiles(events: DataFrame) -> DataFrame:
+    """events (streaming) -> per-(user, batch) updated running profiles."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # subclassing at call time keeps the module importable even if a
+    # future build moves the ABC; the processor itself is duck-typed
+    cls = type("_Proc", (StatefulProcessor,), dict(RunningProfileProcessor.__dict__))
+    return (
+        events.groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=cls(),
+            outputStructType=PROFILE_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    )

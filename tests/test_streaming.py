@@ -67,3 +67,42 @@ def test_sessionize_closes_on_gap(spark, sf_dir):
         spans = sorted((s.session_start, s.session_end) for s in user_sessions)
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert e1 < s2  # non-overlapping, gap-separated
+
+
+def test_running_profiles_matches_batch_aggregate(spark, sf_dir):
+    """transformWithStateInPandas running profile: the final emission
+    per user must equal the plain batch aggregate. Skipped where the
+    TWS protobuf state protocol's Python dependency is unavailable."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_reader_spark.sources.tables import load_events
+    from kinesis_stream_reader_spark.streaming import jobs
+    from kinesis_stream_reader_spark.streaming.stateful import running_profiles
+
+    stream = jobs.stream_events(spark, sf_dir)
+    out = jobs.run_available_now(running_profiles(stream), "tws_profile")
+    final = {
+        r.user_id: (r.n_events, r.first_seen, r.last_seen)
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("first_seen").alias("first_seen"),
+            F.max("last_seen").alias("last_seen"),
+        )
+        .collect()
+    }
+    expect = {
+        r.user_id: (r.n, r.f, r.l)
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("ts").alias("f"),
+            F.max("ts").alias("l"),
+        )
+        .collect()
+    }
+    assert final == expect
