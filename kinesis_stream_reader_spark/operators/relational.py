@@ -1946,3 +1946,57 @@ def top_k_per_group_agg(events: DataFrame, k: int = 3) -> DataFrame:
         )
         .orderBy("event_type", "rank")
     )
+
+
+def bucketed_order_revenue(
+    orders: DataFrame, lineitem: DataFrame, n_buckets: int = 8
+) -> DataFrame:
+    """Shuffle-free fact-to-fact join via bucketed storage: both sides
+    are written bucketBy(orderkey) + sortBy into the warehouse, read
+    back, and joined — the physical plan has ZERO Exchange operators
+    on the join (buckets align), which is THE storage-layout lever for
+    repeated 100 TB fact joins: pay the shuffle once at write time,
+    never at query time.
+
+    The write is part of the operator on purpose (like
+    sink_parquet_partitioned): a layout decision is engine surface,
+    and re-bucketing is idempotent. Output is the per-priority revenue
+    rollup of the joined sides, so the result is small and oracle-able
+    while the join itself runs over the full fact tables."""
+    spark = orders.sparkSession
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    import shutil
+
+    for name, df, key in (
+        ("bkt_orders", orders.select("o_orderkey", "o_orderpriority"), "o_orderkey"),
+        (
+            "bkt_lineitem",
+            lineitem.select("l_orderkey", "l_extendedprice", "l_discount"),
+            "l_orderkey",
+        ),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # in-memory catalog forgets tables across sessions but the
+        # warehouse dir persists; saveAsTable refuses orphaned dirs
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        (
+            df.write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    b_orders = spark.table("bkt_orders")
+    b_lineitem = spark.table("bkt_lineitem")
+    return (
+        b_lineitem.join(
+            b_orders.hint("merge"), b_lineitem.l_orderkey == b_orders.o_orderkey
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )

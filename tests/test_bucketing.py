@@ -65,3 +65,35 @@ def test_bucketed_join_matches_plain_join(spark, sf_dir, bucketed_tables):
         .collect()[0]
     )
     assert (bucketed_count.n, bucketed_count.s) == (plain.n, plain.s)
+
+
+def test_bucketed_order_revenue_join_is_exchange_free(spark, sf_dir):
+    """The queries() entry's join must plan with no Exchange on either
+    side (bucket co-location), and its totals must match a plain join."""
+    from kinesis_stream_reader_spark.operators.relational import (
+        bucketed_order_revenue,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    out = bucketed_order_revenue(orders, lineitem)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the rollup's own exchange (on o_orderpriority) is expected; the
+    # join keys must NOT be shuffled — buckets already align
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    got = {r.o_orderpriority: (r.n_lines, r.revenue) for r in out.collect()}
+    expect = {
+        r.o_orderpriority: (r.n_lines, r.revenue)
+        for r in lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .collect()
+    }
+    assert got == expect
