@@ -3155,3 +3155,67 @@ def join_bucketed_colocated_query(spark: SparkSession, sf_dir: str) -> DataFrame
     return relational.bucketed_order_revenue(
         load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
     )
+
+
+@register(
+    "streaming_upsert_compact",
+    # after the foreachBatch drain, the maintained snapshot must equal
+    # the batch change-log compaction over all events
+    """
+SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def streaming_upsert_compact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    return jobs.upsert_compact_available_now(jobs.stream_events(spark, sf_dir))
+
+
+@register(
+    "udtf_token_stats",
+    # UDTF surface (§2.11: the reference exposes no user-extensible
+    # functions; Spark 4 Python UDTFs are the engine's 1->N extension
+    # point). Lateral-joined over documents via the SQL front door.
+    """
+SELECT doc_id, tok, CAST(length(tok) AS INT) AS tok_len
+FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents)
+WHERE length(tok) >= 6
+ORDER BY doc_id, tok
+""",
+)
+def udtf_token_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok: string, tok_len: int")
+    class LongTokens:
+        """Yield each whitespace token of length >= 6 with its length.
+
+        A Python UDTF is the row-to-rows user extension surface — the
+        engine twin of the reference's perRecordParse hook
+        (kinesisReader/index.js:120,160,172), but 1->N and lateral-
+        joinable from SQL. Arrow-batched; for anything expressible in
+        column algebra prefer explode()+filter (explode_tokens) — this
+        exists to pin the extension API, and the oracle proves the
+        Python path agrees with the declarative one."""
+
+        def eval(self, text: str):
+            for tok in (text or "").split():
+                if len(tok) >= 6:
+                    yield tok, len(tok)
+
+    spark.udtf.register("long_tokens", LongTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.tok, t.tok_len
+        FROM udtf_docs d, LATERAL long_tokens(d.text) t
+        ORDER BY d.doc_id, t.tok
+        """
+    )

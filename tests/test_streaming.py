@@ -106,3 +106,26 @@ def test_running_profiles_matches_batch_aggregate(spark, sf_dir):
         .collect()
     }
     assert final == expect
+
+
+def test_upsert_compact_equals_batch_compaction(spark, sf_dir):
+    """The foreachBatch-maintained snapshot must equal the batch
+    change-log compaction regardless of how the stream was sliced
+    into micro-batches."""
+    from kinesis_stream_reader_spark.operators.relational import (
+        compact_latest_state,
+    )
+    from kinesis_stream_reader_spark.sources.tables import load_events
+    from kinesis_stream_reader_spark.streaming import jobs
+
+    snap = {
+        (r.user_id, r.event_type): (r.latest_event_id, r.latest_value)
+        for r in jobs.upsert_compact_available_now(
+            jobs.stream_events(spark, sf_dir)
+        ).collect()
+    }
+    batch = {
+        (r.user_id, r.event_type): (r.latest_event_id, r.latest_value)
+        for r in compact_latest_state(load_events(spark, sf_dir)).collect()
+    }
+    assert snap == batch
