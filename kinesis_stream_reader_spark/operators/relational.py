@@ -1964,7 +1964,6 @@ def bucketed_order_revenue(
     rollup of the joined sides, so the result is small and oracle-able
     while the join itself runs over the full fact tables."""
     spark = orders.sparkSession
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     import shutil
 
     for name, df, key in (
@@ -1975,13 +1974,17 @@ def bucketed_order_revenue(
             "l_orderkey",
         ),
     ):
+        # external-table path pins storage to /tmp on ANY session (the
+        # driver's warehouse dir may not be writable / may be the repo);
+        # the in-memory catalog forgets tables across sessions but the
+        # path persists, so clear both before rewriting
+        path = f"/tmp/ksr_bucketed/{name}"
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        # in-memory catalog forgets tables across sessions but the
-        # warehouse dir persists; saveAsTable refuses orphaned dirs
-        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
         (
             df.write.bucketBy(n_buckets, key)
             .sortBy(key)
+            .option("path", path)
             .mode("overwrite")
             .saveAsTable(name)
         )
