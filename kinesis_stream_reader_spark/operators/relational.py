@@ -1982,7 +1982,14 @@ def bucketed_order_revenue(
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(path, ignore_errors=True)
         (
-            df.write.bucketBy(n_buckets, key)
+            # repartition on the bucket key BEFORE the write: bucketBy
+            # does not repartition, so write parallelism (and the
+            # per-task sort size) would otherwise be pinned to the
+            # source file count — 25x slower on the 50x probe, where
+            # the fact arrives as 3 files. This shuffle is the one-time
+            # write cost the co-located read amortizes away.
+            df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")), F.col(key))
+            .write.bucketBy(n_buckets, key)
             .sortBy(key)
             .option("path", path)
             .mode("overwrite")
