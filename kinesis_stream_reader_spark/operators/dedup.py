@@ -308,13 +308,17 @@ def dedup_components(
         .localCheckpoint()
     )
     labels = documents.select("doc_id", F.col("doc_id").alias("component_id"))
+    # min-propagation is monotone non-increasing per row, so the label
+    # SUM strictly decreases iff any label changed — convergence is one
+    # scalar aggregate per round, not a self-join + count
+    prev_sum = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
             .groupBy("u")
             .agg(F.min("component_id").alias("nmin"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.u, "left")
             .select(
                 "doc_id",
@@ -324,15 +328,10 @@ def dedup_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("component_id")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 
