@@ -290,3 +290,34 @@ def parse_props(events: DataFrame, props_col: str = "props") -> DataFrame:
     aggregate, and push around like any other."""
     parsed = F.from_json(F.col(props_col), "k BIGINT")
     return events.withColumn("prop_k", parsed["k"])
+
+
+def props_variant_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured access via Spark 4 VariantType: parse_json once
+    into a variant column, then typed-path extraction with
+    try_variant_get — the modern alternative to from_json when the
+    payload schema is open-ended (variant keeps the full document in a
+    binary-encoded form; extraction is lazy per path, no up-front
+    schema, absent/mistyped paths yield NULL instead of failing).
+
+    Plan shape: parse + extract are map-side; the rollup is one
+    partial-agg shuffle keyed by event_type. Versus the from_json
+    twin (json_props_extract): variant wins when different consumers
+    pull different paths from one parse; a fixed StructType wins when
+    the schema is closed and columnar pruning should reach the scan."""
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.does_not_exist", "bigint")
+    return (
+        events.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_k_present"),
+            F.count("m").alias("n_missing_path"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -3219,3 +3219,22 @@ def udtf_token_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.tok
         """
     )
+
+
+@register(
+    "json_variant_extract",
+    """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(k) AS BIGINT) AS n_k_present,
+       CAST(0 AS BIGINT) AS n_missing_path,
+       MIN(k) AS k_min, MAX(k) AS k_max, CAST(SUM(k) AS BIGINT) AS k_sum
+FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def json_variant_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import ingest
+
+    return ingest.props_variant_stats(load_events(spark, sf_dir))
