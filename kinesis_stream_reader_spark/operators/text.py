@@ -483,3 +483,30 @@ def rolling_hash_fingerprint(documents: DataFrame) -> DataFrame:
             lambda acc, x: (acc * 31 + x) % F.lit(2147483647),
         ).alias("rolling_hash"),
     )
+
+
+def text_search_boolean(
+    documents: DataFrame,
+    must: tuple[str, ...] = ("spark", "join"),
+    must_not: tuple[str, ...] = ("slow",),
+) -> DataFrame:
+    """Boolean full-text retrieval over an inverted index: documents
+    whose token set contains ALL `must` terms and NONE of `must_not`.
+    Built search-engine-style — a postings frame (term -> doc) with
+    one semi join per required term and an anti join for exclusions —
+    rather than per-document array scans, because at 100 TB the
+    postings are built once (explode + distinct, the text_doc_frequency
+    frame) and each query touches only its terms' lists; AQE turns
+    every probe into a broadcast when the posting list is small.
+
+    Plan shape: N_must semi joins + 1 anti join, all on doc_id after
+    term-filtered posting scans; no full-corpus pass per term."""
+    postings = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    out = documents.select("doc_id", "lang", "source")
+    for term in must:
+        hits = postings.filter(F.col("tok") == term).select("doc_id")
+        out = out.join(hits, "doc_id", "left_semi")
+    banned = postings.filter(F.col("tok").isin(*must_not)).select("doc_id")
+    return out.join(banned, "doc_id", "left_anti").orderBy("doc_id")

@@ -3238,3 +3238,44 @@ def json_variant_extract_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import ingest
 
     return ingest.props_variant_stats(load_events(spark, sf_dir))
+
+
+@register(
+    "text_search_boolean",
+    f"""
+SELECT doc_id, lang, source FROM documents
+WHERE list_contains({_TOKS}, 'spark')
+  AND list_contains({_TOKS}, 'join')
+  AND NOT list_contains({_TOKS}, 'slow')
+ORDER BY doc_id
+""",
+)
+def text_search_boolean_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.text_search_boolean(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       list_transform(x, v -> CAST(round(v * 127.0 / scale) AS TINYINT)) AS q,
+       ROUND(list_max(list_transform(x,
+             v -> abs(v - round(v * 127.0 / scale) * scale / 127.0))), 6)
+         AS max_recon_err
+FROM (
+  SELECT vec_id, x,
+         GREATEST(list_max(list_transform(x, v -> abs(v))), 1e-30) AS scale
+  FROM (SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+        FROM embeddings)
+)
+ORDER BY vec_id
+""",
+)
+def embedding_quantize_int8_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.embedding_quantize_int8(load_table(spark, sf_dir, "embeddings"))

@@ -275,3 +275,40 @@ def test_rolling_hash_fingerprint_matches_python(spark, sf_dir):
         for ch in norm:
             h = (h * 31 + ord(ch)) % 2147483647
         assert got[row.doc_id] == h
+
+
+def test_text_search_boolean_brute_force(spark, sf_dir):
+    """Inverted-index semi/anti joins must equal the per-doc set check."""
+    from kinesis_stream_reader_spark.operators.text import text_search_boolean
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id for r in text_search_boolean(docs).collect()}
+    expect = set()
+    for row in docs.select("doc_id", "text").collect():
+        toks = set(row.text.split())
+        if "spark" in toks and "join" in toks and "slow" not in toks:
+            expect.add(row.doc_id)
+    assert got == expect
+
+
+def test_embedding_quantize_roundtrip_error_bound(spark, sf_dir):
+    """Symmetric int8: codes bounded by 127, reported reconstruction
+    error is correct and within the scale/254 quantization bound."""
+    from kinesis_stream_reader_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = embedding_quantize_int8(emb).collect()
+    assert len(rows) == emb.count()
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    for r in rows[:100]:
+        assert all(-127 <= c <= 127 for c in r.q)
+        # half-step bound: |x - q*s/127| <= s/254 (+ rounding slack)
+        assert r.max_recon_err <= r.scale / 254 + 1e-6
+        x = orig[r.vec_id]
+        recon = [c * r.scale / 127.0 for c in r.q]
+        err = max(abs(float(a) - b) for a, b in zip(x, recon))
+        assert abs(err - r.max_recon_err) < 1e-4
