@@ -232,3 +232,47 @@ def embedding_quantize_int8(embeddings: DataFrame) -> DataFrame:
         code.alias("q"),
         F.round(err, 6).alias("max_recon_err"),
     ).orderBy("vec_id")
+
+
+def kmeans_step(embeddings: DataFrame, k: int = 8) -> DataFrame:
+    """One Lloyd iteration of KMeans as pure DataFrame algebra:
+    deterministic seeds (the k lowest vec_ids), nearest-centroid
+    assignment by squared L2, then per-(cluster, dim) mean — the
+    batch-iterative ML shape (a full trainer is this step in the
+    dedup_components-style driver loop, with seeds swapped for the
+    previous round's output).
+
+    Plan shape: the centroid frame is k rows — broadcast into the
+    assignment cross join, so the big side never shuffles for scoring;
+    argmin is a min(struct) aggregate (no window sort); the update is
+    the label_centroids partial-agg kernel, O(k x dim) shuffle rows
+    per task regardless of vector count. Distances use an explicit
+    left fold so engines agree bit-for-bit."""
+    vecs = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("x")
+    )
+    seeds = (
+        vecs.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("x").alias("c"))
+    )
+    diffs = F.zip_with("x", "c", lambda a, b: (a - b) * (a - b))
+    d2 = F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v)
+    assign = (
+        vecs.join(F.broadcast(seeds))
+        .select("vec_id", "x", "cid", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid", "x")).alias("s"))
+        .select(F.col("s.cid").alias("cluster_id"), F.col("s.x").alias("x"))
+    )
+    return (
+        assign.select(
+            "cluster_id", F.posexplode("x").alias("pos0", "val")
+        )
+        .groupBy("cluster_id", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            F.round(F.avg("val"), 4).alias("centroid_val"),
+            F.count("*").alias("n_members"),
+        )
+        .orderBy("cluster_id", "pos")
+    )

@@ -3279,3 +3279,41 @@ def embedding_quantize_int8_query(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators import similarity
 
     return similarity.embedding_quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "kmeans_step",
+    """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id AS cid, x AS c FROM vecs ORDER BY vec_id LIMIT 8
+), dists AS (
+  SELECT v.vec_id, s.cid, v.x,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(list_zip(v.x, s.c),
+                            p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, b) -> a + b) AS d2
+  FROM vecs v CROSS JOIN seeds s
+), assign AS (
+  SELECT cid AS cluster_id, x FROM (
+    SELECT vec_id, cid, x,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM dists
+  ) WHERE rn = 1
+)
+SELECT cluster_id, CAST(pos AS INT) AS pos,
+       ROUND(AVG(val), 4) AS centroid_val,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM (SELECT cluster_id, unnest(x) AS val, generate_subscripts(x, 1) AS pos
+      FROM assign)
+GROUP BY cluster_id, pos
+ORDER BY cluster_id, pos
+""",
+)
+def kmeans_step_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.kmeans_step(load_table(spark, sf_dir, "embeddings"))

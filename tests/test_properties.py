@@ -312,3 +312,41 @@ def test_embedding_quantize_roundtrip_error_bound(spark, sf_dir):
         recon = [c * r.scale / 127.0 for c in r.q]
         err = max(abs(float(a) - b) for a, b in zip(x, recon))
         assert abs(err - r.max_recon_err) < 1e-4
+
+
+def test_kmeans_step_objective_decreases(spark, sf_dir):
+    """One Lloyd step: every vector is assigned to its true nearest
+    seed, and the updated centroids do not increase the clustering
+    objective (the defining property of the step)."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators.similarity import kmeans_step
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        for r in emb.collect()
+    )
+    X = np.stack([v for _, v in rows])
+    seeds = X[:8]
+    d = ((X[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    out = kmeans_step(emb).collect()
+    k_found = {r.cluster_id for r in out}
+    assert k_found <= {rows[i][0] for i in range(8)}
+    # per-cluster means must match numpy
+    for cid in sorted(k_found):
+        idx = [i for i in range(len(rows)) if rows[assign[i]][0] == cid]
+        mean = X[idx].mean(axis=0)
+        got = [r.centroid_val for r in out if r.cluster_id == cid]
+        assert len(got) == X.shape[1]
+        assert np.allclose(got, mean, atol=2e-4)
+    # objective: new centroids at least as good as the seeds
+    new_c = {cid: np.array([r.centroid_val for r in out if r.cluster_id == cid])
+             for cid in k_found}
+    obj_seed = sum(d[i, assign[i]] for i in range(len(rows)))
+    obj_new = sum(
+        ((X[i] - new_c[rows[assign[i]][0]]) ** 2).sum() for i in range(len(rows))
+    )
+    assert obj_new <= obj_seed + 1e-6
