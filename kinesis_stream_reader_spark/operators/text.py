@@ -510,3 +510,57 @@ def text_search_boolean(
         out = out.join(hits, "doc_id", "left_semi")
     banned = postings.filter(F.col("tok").isin(*must_not)).select("doc_id")
     return out.join(banned, "doc_id", "left_anti").orderBy("doc_id")
+
+
+# Signature character bigrams per language for the n-gram heuristic
+# language ID (public langid-style approach, tiny profile). On real
+# corpora these come from trained frequency profiles; the fixed lists
+# keep the operator deterministic and oracle-checkable.
+LANG_BIGRAMS = {
+    "en": ("th", "he", "an", "nd"),
+    "de": ("ei", "ch", "de", "un"),
+    "es": ("de", "la", "os", "el"),
+    "fr": ("le", "es", "en", "re"),
+    "zh": ("的", "了", "是", "我"),
+}
+
+
+def _bigram_count(text, gram: str):
+    # non-overlapping occurrence count via replace-and-measure: pure
+    # codegen, identical semantics in DuckDB's replace()
+    return (F.length(text) - F.length(F.replace(text, F.lit(gram), F.lit("")))) / len(
+        gram
+    )
+
+
+def text_lang_id_ngram(documents: DataFrame) -> DataFrame:
+    """Character-n-gram language ID: score each language by total
+    occurrences of its signature bigrams in the lowercased text,
+    argmax with deterministic alphabetical tie-break — the langid-
+    profile heuristic, complementing text_lang_id's marker-word vote
+    (bigrams survive missing word boundaries; markers are sharper on
+    clean prose).
+
+    Plan shape: every score is a replace+length expression — one
+    codegen stage, map-only, no tokenization, no shuffle; the argmax
+    is the same greatest-of-structs trick as text_lang_id."""
+    low = F.lower(F.col("text"))
+    scored = F.array(
+        *[
+            F.struct(
+                sum(
+                    (_bigram_count(low, g) for g in grams), F.lit(0.0)
+                ).cast("long").alias("score"),
+                F.lit(-i).alias("order"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, (lang, grams) in enumerate(sorted(LANG_BIGRAMS.items()))
+        ]
+    )
+    best = F.array_max(scored)
+    return documents.select(
+        "doc_id",
+        "lang",
+        best.getField("lang").alias("lang_pred"),
+        best.getField("score").alias("ngram_hits"),
+    )

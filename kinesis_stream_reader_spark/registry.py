@@ -3317,3 +3317,26 @@ def kmeans_step_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
 
     return similarity.kmeans_step(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "text_lang_id_ngram",
+    """
+SELECT doc_id, lang,
+       best.lang AS lang_pred,
+       best.score AS ngram_hits
+FROM (
+  SELECT doc_id, lang,
+         list_max([{'score': CAST((length(lower(text)) - length(replace(lower(text), 'ei', ''))) / 2 + (length(lower(text)) - length(replace(lower(text), 'ch', ''))) / 2 + (length(lower(text)) - length(replace(lower(text), 'de', ''))) / 2 + (length(lower(text)) - length(replace(lower(text), 'un', ''))) / 2 AS BIGINT), 'ord': 0, 'lang': 'de'},
+         {'score': CAST((length(lower(text)) - length(replace(lower(text), 'th', ''))) / 2 + (length(lower(text)) - length(replace(lower(text), 'he', ''))) / 2 + (length(lower(text)) - length(replace(lower(text), 'an', ''))) / 2 + (length(lower(text)) - length(replace(lower(text), 'nd', ''))) / 2 AS BIGINT), 'ord': -1, 'lang': 'en'},
+         {'score': CAST((length(lower(text)) - length(replace(lower(text), 'de', ''))) / 2 + (length(lower(text)) - length(replace(lower(text), 'la', ''))) / 2 + (length(lower(text)) - length(replace(lower(text), 'os', ''))) / 2 + (length(lower(text)) - length(replace(lower(text), 'el', ''))) / 2 AS BIGINT), 'ord': -2, 'lang': 'es'},
+         {'score': CAST((length(lower(text)) - length(replace(lower(text), 'le', ''))) / 2 + (length(lower(text)) - length(replace(lower(text), 'es', ''))) / 2 + (length(lower(text)) - length(replace(lower(text), 'en', ''))) / 2 + (length(lower(text)) - length(replace(lower(text), 're', ''))) / 2 AS BIGINT), 'ord': -3, 'lang': 'fr'},
+         {'score': CAST((length(lower(text)) - length(replace(lower(text), '的', ''))) / 1 + (length(lower(text)) - length(replace(lower(text), '了', ''))) / 1 + (length(lower(text)) - length(replace(lower(text), '是', ''))) / 1 + (length(lower(text)) - length(replace(lower(text), '我', ''))) / 1 AS BIGINT), 'ord': -4, 'lang': 'zh'}]) AS best
+  FROM documents
+)
+""",
+)
+def text_lang_id_ngram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.text_lang_id_ngram(load_table(spark, sf_dir, "documents"))
