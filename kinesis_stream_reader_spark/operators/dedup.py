@@ -475,3 +475,29 @@ def decontaminate(
         )
         .orderBy("source")
     )
+
+
+def split_group_aware(
+    documents: DataFrame, pairs: DataFrame, test_frac: float = 0.2
+) -> DataFrame:
+    """Dedup-aware train/test split: gate on the near-dup COMPONENT id,
+    not the doc id, so every member of a duplicate group lands in the
+    same split — the standard guard against eval contamination by
+    near-copies of training documents (plain doc-hash splits leak:
+    a doc and its 95%-identical twin can straddle the boundary).
+
+    Composition: dedup_components supplies doc -> canonical; the split
+    is then the same deterministic md5 gate as split_train_test,
+    applied to the canonical id. One extra broadcast-sized join over
+    the plain split; the gate stays a pure function of content
+    groups, reproducible under re-runs and corpus growth."""
+    comp = dedup_components(documents, pairs)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("component_id").cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    split = F.when(bucket < int(test_frac * 65536), "test").otherwise("train")
+    return (
+        documents.join(comp, "doc_id")
+        .select("doc_id", "lang", "source", "component_id", split.alias("split"))
+        .orderBy("doc_id")
+    )

@@ -3340,3 +3340,43 @@ def text_lang_id_ngram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.text_lang_id_ngram(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "split_group_aware",
+    f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, {_GRAMS} AS grams FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS component_id
+  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id, d.lang, d.source, c.component_id,
+       CASE WHEN CAST(CAST('0x' || substr(md5(CAST(c.component_id AS VARCHAR)), 1, 4)
+                 AS INTEGER) AS BIGINT) < {int(0.2 * 65536)}
+            THEN 'test' ELSE 'train' END AS split
+FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+ORDER BY d.doc_id
+""",
+)
+def split_group_aware_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    documents = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(documents, threshold=0.8)
+    return dedup.split_group_aware(documents, pairs)

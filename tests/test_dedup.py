@@ -223,3 +223,23 @@ def test_decontaminate_drops_exactly_gram_sharers(spark, sf_dir):
         if not (g & bench):
             expect[src][1] += 1
     assert out == {s: tuple(v) for s, v in expect.items()}
+
+
+def test_split_group_aware_no_leakage(spark, sf_dir):
+    """No near-dup component may straddle the train/test boundary, and
+    both splits are populated at the fixture scale."""
+    from kinesis_stream_reader_spark.operators import dedup
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    out = dedup.split_group_aware(docs, pairs).collect()
+    assert len(out) == docs.count()
+    splits_per_component = {}
+    for r in out:
+        splits_per_component.setdefault(r.component_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in splits_per_component.values()), (
+        "a duplicate group leaked across splits"
+    )
+    kinds = {r.split for r in out}
+    assert kinds == {"train", "test"}
