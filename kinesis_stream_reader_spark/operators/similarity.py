@@ -276,3 +276,38 @@ def kmeans_step(embeddings: DataFrame, k: int = 8) -> DataFrame:
         )
         .orderBy("cluster_id", "pos")
     )
+
+
+def ann_quantized(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10
+) -> DataFrame:
+    """Top-k cosine search over the int8-quantized store: vectors are
+    dequantized on the fly (code * scale / 127) and scored against the
+    full-precision query — the serving half of embedding_quantize_int8,
+    measuring exactly what SQ8 compression does to retrieval (compare
+    with ann_bruteforce: same query, full-precision store).
+
+    Plan shape: quantize+dequantize+score is one map-only codegen pass
+    over the store (4x less I/O than full precision when codes are
+    what's persisted), query broadcast, TakeOrdered for k. In a real
+    deployment the codes+scale ARE the stored table; recomputing them
+    here keeps the operator self-contained."""
+    from .dedup import _as_double, cosine
+
+    x = _as_double(F.col("embedding"))
+    scale = F.greatest(
+        F.array_max(F.transform(x, F.abs)), F.lit(1e-30)
+    )
+    dq = F.transform(x, lambda v: F.round(v * 127.0 / scale) * scale / 127.0)
+    vecs = embeddings.select("vec_id", dq.alias("v"))
+    query = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(_as_double(F.col("embedding")).alias("q"))
+    )
+    return (
+        vecs.join(F.broadcast(query))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", F.round(cosine(F.col("v"), F.col("q")), 3).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(k)
+    )

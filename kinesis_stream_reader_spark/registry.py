@@ -3380,3 +3380,30 @@ def split_group_aware_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(documents, threshold=0.8)
     return dedup.split_group_aware(documents, pairs)
+
+
+@register(
+    "ann_quantized",
+    """
+WITH store AS (
+  SELECT vec_id, x,
+         list_transform(x, v -> round(v * 127.0 / scale) * scale / 127.0) AS dq
+  FROM (
+    SELECT vec_id, x,
+           GREATEST(list_max(list_transform(x, v -> abs(v))), 1e-30) AS scale
+    FROM (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+          FROM embeddings)
+  )
+)
+SELECT b.vec_id,
+       ROUND(list_cosine_similarity(b.dq, q.x), 3) AS cos_sim
+FROM store b, (SELECT x FROM store WHERE vec_id = 0) q
+WHERE b.vec_id <> 0
+ORDER BY cos_sim DESC, b.vec_id
+LIMIT 10
+""",
+)
+def ann_quantized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.ann_quantized(load_table(spark, sf_dir, "embeddings"))

@@ -350,3 +350,21 @@ def test_kmeans_step_objective_decreases(spark, sf_dir):
         ((X[i] - new_c[rows[assign[i]][0]]) ** 2).sum() for i in range(len(rows))
     )
     assert obj_new <= obj_seed + 1e-6
+
+
+def test_ann_quantized_close_to_full_precision(spark, sf_dir):
+    """SQ8 serving: quantized scores within quantization error of the
+    full-precision scores; top-k sets mostly overlap."""
+    from kinesis_stream_reader_spark.operators.similarity import (
+        ann_bruteforce,
+        ann_quantized,
+    )
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    full = {r.vec_id: r.cos_sim for r in ann_bruteforce(emb, k=10).collect()}
+    quant = {r.vec_id: r.cos_sim for r in ann_quantized(emb, k=10).collect()}
+    assert len(quant) == 10
+    assert len(set(full) & set(quant)) >= 7, "SQ8 should preserve most of top-10"
+    for vid in set(full) & set(quant):
+        assert abs(full[vid] - quant[vid]) < 0.02
