@@ -501,3 +501,44 @@ def split_group_aware(
         .select("doc_id", "lang", "source", "component_id", split.alias("split"))
         .orderBy("doc_id")
     )
+
+
+def boilerplate_ngram_flags(
+    documents: DataFrame, df_frac: float = 0.02, doc_frac: float = 0.5
+) -> DataFrame:
+    """Template/boilerplate detection by cross-document n-gram document
+    frequency: a 3-gram is 'boilerplate' when it appears in >= df_frac
+    of all documents; a document is flagged when >= doc_frac of its
+    grams are boilerplate — the in-corpus twin of corpus_decontaminate
+    (there the reference set is an external benchmark; here it is the
+    corpus's own repeated phrasing: headers, footers, templates).
+
+    Plan shape: one (doc, gram) explode feeds BOTH aggregations
+    (per-gram df, per-doc totals); the boilerplate gram set joins back
+    broadcast-sized. Thresholds are corpus-relative (a window-free
+    broadcast of the 1-row count), so the operator is scale-free."""
+    grams = documents.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("gram")
+    )
+    df = grams.groupBy("gram").agg(F.count("*").alias("df"))
+    n_docs = documents.agg(F.count("*").alias("n_docs"))
+    flagged = (
+        df.join(F.broadcast(n_docs))
+        .select("gram", (F.col("df") >= df_frac * F.col("n_docs")).alias("is_boiler"))
+    )
+    per_doc = (
+        grams.join(flagged, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
+        )
+    )
+    frac = F.col("n_boiler") / F.col("n_grams")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        F.round(frac, 4).alias("boiler_frac"),
+        (F.col("n_boiler") >= doc_frac * F.col("n_grams")).alias("is_boilerplate"),
+    ).orderBy("doc_id")

@@ -311,3 +311,54 @@ def ann_quantized(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def hard_negative_mining(
+    embeddings: DataFrame, n_queries: int = 16
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each of
+    the first `n_queries` vectors, the single most-similar vector with
+    a DIFFERENT label — the near-miss that makes the best negative
+    example. The argmax is a max(struct) aggregate on a rounded score
+    with a deterministic id tie-break, so results are reproducible
+    across engines and partitionings.
+
+    Plan shape: the query set broadcasts, the store is scanned once
+    (map-only scoring), and the per-query argmax rides partial
+    aggregation — no shuffle of scored pairs, no window sort. At 100 TB
+    the same plan serves batched query sets; blocking (IVF lists) drops
+    in where the full scan is too hot."""
+    from .dedup import _as_double, cosine
+
+    queries = (
+        embeddings.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            _as_double(F.col("embedding")).alias("q"),
+        )
+    )
+    store = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    scored = (
+        store.join(F.broadcast(queries), F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("q")), 6).alias("sim"),
+        )
+    )
+    best = (
+        scored.groupBy("query_id", "query_label")
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("vec_id")).alias("nid"))).alias("s"))
+        .select(
+            "query_id",
+            "query_label",
+            (-F.col("s.nid")).alias("neg_id"),
+            F.round(F.col("s.sim"), 3).alias("cos_sim"),
+        )
+        .orderBy("query_id")
+    )
+    return best

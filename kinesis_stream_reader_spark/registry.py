@@ -3407,3 +3407,58 @@ def ann_quantized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
 
     return similarity.ann_quantized(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "boilerplate_ngram_flags",
+    f"""
+WITH g AS (
+  SELECT doc_id, unnest({_GRAMS}) AS gram FROM documents
+), df AS (
+  SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+per_doc AS (
+  SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN df.df >= 0.02 * n.n_docs THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler
+  FROM g JOIN df USING (gram), n
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_boiler,
+       ROUND(n_boiler / CAST(n_grams AS DOUBLE), 4) AS boiler_frac,
+       n_boiler >= 0.5 * n_grams AS is_boilerplate
+FROM per_doc ORDER BY doc_id
+""",
+)
+def boilerplate_ngram_flags_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.boilerplate_ngram_flags(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "hard_negative_mining",
+    """
+SELECT query_id, query_label, vec_id AS neg_id, ROUND(sim, 3) AS cos_sim
+FROM (
+  SELECT q.vec_id AS query_id, q.label AS query_label, b.vec_id,
+         ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
+                                      q.embedding::DOUBLE[]), 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY ROUND(list_cosine_similarity(b.embedding::DOUBLE[],
+                                                 q.embedding::DOUBLE[]), 6) DESC,
+                    b.vec_id
+         ) AS rn
+  FROM embeddings b
+  JOIN (SELECT * FROM embeddings WHERE vec_id < 16) q
+    ON b.label <> q.label
+)
+WHERE rn = 1
+ORDER BY query_id
+""",
+)
+def hard_negative_mining_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.hard_negative_mining(load_table(spark, sf_dir, "embeddings"))

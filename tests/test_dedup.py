@@ -243,3 +243,35 @@ def test_split_group_aware_no_leakage(spark, sf_dir):
     )
     kinds = {r.split for r in out}
     assert kinds == {"train", "test"}
+
+
+def test_boilerplate_flags_brute_force(spark, sf_dir):
+    """Per-doc boilerplate fractions must match a Python recount of
+    3-gram document frequencies."""
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators import dedup
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = {r.doc_id: r.text for r in docs.select("doc_id", "text").collect()}
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    df = Counter()
+    for t in texts.values():
+        df.update(grams(t))
+    n_docs = len(texts)
+    got = {r.doc_id: r for r in dedup.boilerplate_ngram_flags(docs).collect()}
+    for doc_id, t in list(texts.items())[:50]:
+        g = grams(t)
+        if not g:
+            assert doc_id not in got
+            continue
+        n_boiler = sum(1 for x in g if df[x] >= 0.02 * n_docs)
+        r = got[doc_id]
+        assert r.n_grams == len(g)
+        assert r.n_boiler == n_boiler
+        assert r.is_boilerplate == (n_boiler >= 0.5 * len(g))

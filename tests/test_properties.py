@@ -368,3 +368,32 @@ def test_ann_quantized_close_to_full_precision(spark, sf_dir):
     assert len(set(full) & set(quant)) >= 7, "SQ8 should preserve most of top-10"
     for vid in set(full) & set(quant):
         assert abs(full[vid] - quant[vid]) < 0.02
+
+
+def test_hard_negatives_are_cross_label_argmax(spark, sf_dir):
+    """Each mined negative must have a different label from its query
+    and be the true cross-label similarity argmax (numpy recount)."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = {r.vec_id: (r.label, np.array(r.embedding, dtype=np.float64))
+            for r in emb.collect()}
+    out = hard_negative_mining(emb).collect()
+    assert len(out) == 16
+    for r in out:
+        qlabel, q = rows[r.query_id]
+        nlabel, nv = rows[r.neg_id]
+        assert r.query_label == qlabel and nlabel != qlabel
+        qn = q / np.linalg.norm(q)
+        best = max(
+            (round(float(np.dot(v / np.linalg.norm(v), qn)), 6), -vid)
+            for vid, (lab, v) in rows.items()
+            if lab != qlabel
+        )
+        assert -best[1] == r.neg_id
+        assert abs(round(best[0], 3) - r.cos_sim) < 1e-9
