@@ -517,9 +517,10 @@ def boilerplate_ngram_flags(
     (per-gram df, per-doc totals); the boilerplate gram set joins back
     broadcast-sized. Thresholds are corpus-relative (a window-free
     broadcast of the 1-row count), so the operator is scale-free."""
-    grams = documents.select(
-        "doc_id", F.explode(word_ngrams(F.col("text"), 3)).alias("gram")
-    )
+    # hashed gram keys (gram_postings): the df join-back shuffles longs,
+    # not 3-gram strings — ~2x on the 50x probe, identical counts
+    # (collision odds ~1e-16)
+    grams = gram_postings(documents, 3)
     df = grams.groupBy("gram").agg(F.count("*").alias("df"))
     n_docs = documents.agg(F.count("*").alias("n_docs"))
     flagged = (
