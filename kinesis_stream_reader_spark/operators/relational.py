@@ -2010,3 +2010,47 @@ def bucketed_order_revenue(
         )
         .orderBy("o_orderpriority")
     )
+
+
+def profile_columns(
+    events: DataFrame, cols: tuple[str, ...] = ("event_id", "user_id", "event_type", "value")
+) -> DataFrame:
+    """Generic table profiling (deequ/DESCRIBE-style): one output row
+    per column with null count, exact distinct count, and min/max
+    rendered as strings — the first query a pipeline runs against an
+    unfamiliar 100 TB table before writing real queries against it.
+
+    Plan shape: one aggregation pass computes every per-column metric
+    simultaneously (a single 1-row-per-partition shuffle); the
+    row-per-column shape comes from stacking the already-aggregated
+    scalars, NOT from scanning per column. Exact distincts share the
+    pass via Spark's multi-count_distinct Expand; swap in
+    approx_count_distinct when a 2% error is acceptable to drop the
+    Expand factor."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = events.agg(F.count("*").alias("__n"), *aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col("__n").alias("n_rows"),
+                        F.col(f"{c}__nulls").alias("n_nulls"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_str"),
+                        F.col(f"{c}__max").alias("max_str"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*").orderBy("col_name")

@@ -3462,3 +3462,49 @@ def hard_negative_mining_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
 
     return similarity.hard_negative_mining(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "profile_columns",
+    """
+WITH one AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id_nulls,
+         COUNT(DISTINCT event_id) AS event_id_distinct,
+         CAST(MIN(event_id) AS VARCHAR) AS event_id_min,
+         CAST(MAX(event_id) AS VARCHAR) AS event_id_max,
+         CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id_nulls,
+         COUNT(DISTINCT user_id) AS user_id_distinct,
+         CAST(MIN(user_id) AS VARCHAR) AS user_id_min,
+         CAST(MAX(user_id) AS VARCHAR) AS user_id_max,
+         CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+         COUNT(DISTINCT event_type) AS event_type_distinct,
+         CAST(MIN(event_type) AS VARCHAR) AS event_type_min,
+         CAST(MAX(event_type) AS VARCHAR) AS event_type_max,
+         CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+         COUNT(DISTINCT value) AS value_distinct,
+         CAST(MIN(value) AS VARCHAR) AS value_min,
+         CAST(MAX(value) AS VARCHAR) AS value_max
+  FROM events
+)
+SELECT col_name, n_rows, n_nulls, n_distinct, min_str, max_str FROM (
+  SELECT 'event_id' AS col_name, n AS n_rows, event_id_nulls AS n_nulls,
+         event_id_distinct AS n_distinct, event_id_min AS min_str,
+         event_id_max AS max_str FROM one
+  UNION ALL
+  SELECT 'user_id', n, user_id_nulls, user_id_distinct, user_id_min,
+         user_id_max FROM one
+  UNION ALL
+  SELECT 'event_type', n, event_type_nulls, event_type_distinct,
+         event_type_min, event_type_max FROM one
+  UNION ALL
+  SELECT 'value', n, value_nulls, value_distinct, value_min, value_max
+  FROM one
+)
+ORDER BY col_name
+""",
+)
+def profile_columns_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.profile_columns(load_events(spark, sf_dir))
