@@ -3508,3 +3508,25 @@ def profile_columns_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.profile_columns(load_events(spark, sf_dir))
+
+
+@register(
+    "sink_orc_roundtrip",
+    """
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+def sink_orc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink/source round trip: the second columnar format the
+    engine speaks natively (predicate pushdown + column pruning work
+    the same as parquet; ORC carries built-in bloom-filter support
+    per column via orc.bloom.filter.columns for point-lookup-heavy
+    layouts)."""
+    out_dir = _roundtrip_dir(sf_dir, "orc")
+    events = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    events.write.mode("overwrite").orc(out_dir)
+    return spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    ).orc(out_dir)
