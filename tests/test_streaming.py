@@ -177,3 +177,56 @@ def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
     more.write.mode("overwrite").parquet(src + "/batch2")
     expect2 = expect1 + more.filter(F.col("event_type") == "click").count()
     assert drain() == expect2
+
+
+def test_dedup_state_works_across_micro_batches(spark, sf_dir, tmp_path):
+    """Duplicates arriving in DIFFERENT micro-batches must still be
+    dropped: file1 and file2 share 500 event_ids; with
+    maxFilesPerTrigger=1 the second batch's duplicates hit the state
+    store, not the batch-local set. The checkpoint offsets prove at
+    least two batches actually ran."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_reader_spark.sources.tables import load_events
+
+    events = load_events(spark, sf_dir)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    first = events.limit(800).coalesce(1)
+    first.write.parquet(str(tmp_path / "f1"))
+    # second file: 500 overlapping + the rest of the table
+    second = events.limit(500).unionByName(
+        events.join(first.select("event_id"), "event_id", "left_anti")
+    ).coalesce(1)
+    second.write.parquet(str(tmp_path / "f2"))
+    for i, d in enumerate(("f1", "f2")):
+        part = [
+            f for f in os.listdir(tmp_path / d) if f.endswith(".parquet")
+        ][0]
+        os.symlink(str(tmp_path / d / part), f"{src}/part-{i:05d}.parquet")
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .dropDuplicates(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == events.count(), "cross-batch duplicates must drop"
+    assert got.select("event_id").distinct().count() == events.count()
+    n_batches = len(
+        [f for f in os.listdir(f"{ckpt}/offsets") if not f.startswith(".")]
+    )
+    assert n_batches >= 2, "expected at least two micro-batches"
