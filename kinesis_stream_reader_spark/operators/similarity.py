@@ -375,3 +375,31 @@ def hard_negative_mining(
         .orderBy("query_id")
     )
     return best
+
+
+def ann_recall_report(
+    embeddings: DataFrame, query_vec_id: int = 0, k: int = 10, nprobe: int = 2
+) -> DataFrame:
+    """Recall@k of the IVF probe against brute-force ground truth, as
+    one row — the measurement loop every approximate index needs
+    ('measure, don't guess'): sweep nprobe until recall meets target,
+    THEN deploy. Composes the two search plans and reduces to
+    |IVF-hits ∩ true-top-k| / k via a semi join on the two k-row
+    frames — the expensive scans happen once each; the comparison is
+    free.
+
+    At scale the same report runs over a sampled query set (queries
+    broadcast, per-query recall averaged) as a recurring index-health
+    job."""
+    truth = ann_bruteforce(embeddings, query_vec_id, k).select("vec_id")
+    approx = ann_ivf(embeddings, query_vec_id, k, nprobe).select("vec_id")
+    overlap = truth.join(approx, "vec_id", "left_semi")
+    return (
+        overlap.agg(F.count("*").alias("n_overlap"))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.lit(nprobe).cast("int").alias("nprobe"),
+            "n_overlap",
+            F.round(F.col("n_overlap") / k, 4).alias("recall_at_k"),
+        )
+    )

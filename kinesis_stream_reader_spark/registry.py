@@ -3530,3 +3530,40 @@ def sink_orc_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(
         "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
     ).orc(out_dir)
+
+
+@register(
+    "ann_recall_report",
+    """
+WITH e AS (SELECT vec_id, label AS list_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+truth AS (
+  SELECT e.vec_id FROM e, q WHERE e.vec_id <> 0
+  ORDER BY ROUND(list_cosine_similarity(e.v, qv), 3) DESC, e.vec_id LIMIT 10
+),
+cent AS (
+  SELECT list_id, array_agg(m ORDER BY i) AS c FROM (
+    SELECT list_id, i, AVG(v[i]) AS m
+    FROM e, generate_series(1, 64) AS t(i)
+    GROUP BY list_id, i
+  ) GROUP BY list_id
+),
+probe AS (
+  SELECT list_id FROM cent, q
+  ORDER BY list_cosine_similarity(c, qv) DESC, list_id LIMIT 2
+),
+approx AS (
+  SELECT e.vec_id FROM e JOIN probe USING (list_id), q
+  WHERE e.vec_id <> 0
+  ORDER BY ROUND(list_cosine_similarity(e.v, qv), 3) DESC, e.vec_id LIMIT 10
+)
+SELECT CAST(10 AS INT) AS k, CAST(2 AS INT) AS nprobe,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(*) / 10.0, 4) AS recall_at_k
+FROM truth WHERE vec_id IN (SELECT vec_id FROM approx)
+""",
+)
+def ann_recall_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.ann_recall_report(load_table(spark, sf_dir, "embeddings"))
