@@ -543,3 +543,32 @@ def boilerplate_ngram_flags(
         F.round(frac, 4).alias("boiler_frac"),
         (F.col("n_boiler") >= doc_frac * F.col("n_grams")).alias("is_boilerplate"),
     ).orderBy("doc_id")
+
+
+def dedup_keep_best(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Canonical selection by QUALITY, not by id: within each near-dup
+    component, keep the longest document (ties to the smallest id) —
+    the policy real curation uses (the min-id member of a dup group is
+    often the truncated/mangled variant; you want the best exemplar).
+
+    Composition: dedup_components labels the graph; the keeper is one
+    argmax aggregate over (n_chars, -doc_id) per component joined
+    back broadcast — no window sort, one extra tiny join over the
+    plain components output."""
+    comp = dedup_components(documents, pairs)
+    labeled = documents.select("doc_id", "n_chars").join(comp, "doc_id")
+    best = (
+        labeled.groupBy("component_id")
+        .agg(F.max(F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))).alias("s"))
+        .select("component_id", (-F.col("s.nid")).alias("kept_doc_id"))
+    )
+    return (
+        labeled.join(F.broadcast(best), "component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "kept_doc_id",
+            (F.col("doc_id") == F.col("kept_doc_id")).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )

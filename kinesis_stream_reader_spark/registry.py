@@ -3567,3 +3567,48 @@ def ann_recall_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
 
     return similarity.ann_recall_report(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, {_GRAMS} AS grams FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT d.doc_id, d.n_chars,
+         LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS component_id
+  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+  GROUP BY d.doc_id, d.n_chars
+), best AS (
+  SELECT component_id, doc_id AS kept_doc_id FROM (
+    SELECT component_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY component_id
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM comp
+  ) WHERE rn = 1
+)
+SELECT c.doc_id, c.component_id, b.kept_doc_id,
+       c.doc_id = b.kept_doc_id AS is_kept
+FROM comp c JOIN best b USING (component_id)
+ORDER BY c.doc_id
+""",
+)
+def dedup_keep_best_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    documents = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(documents, threshold=0.8)
+    return dedup.dedup_keep_best(documents, pairs)

@@ -275,3 +275,25 @@ def test_boilerplate_flags_brute_force(spark, sf_dir):
         assert r.n_grams == len(g)
         assert r.n_boiler == n_boiler
         assert r.is_boilerplate == (n_boiler >= 0.5 * len(g))
+
+
+def test_dedup_keep_best_policy(spark, sf_dir):
+    """Exactly one keeper per component, and it is the longest member
+    (ties to smallest id)."""
+    from kinesis_stream_reader_spark.operators import dedup
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8)
+    out = dedup.dedup_keep_best(docs, pairs).collect()
+    lens = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component_id, []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m.is_kept]
+        assert len(keepers) == 1
+        kept = keepers[0].doc_id
+        best = min(members, key=lambda m: (-lens[m.doc_id], m.doc_id)).doc_id
+        assert kept == best
+        assert all(m.kept_doc_id == kept for m in members)
