@@ -3612,3 +3612,48 @@ def dedup_keep_best_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_pairs(documents, threshold=0.8)
     return dedup.dedup_keep_best(documents, pairs)
+
+
+@register(
+    "multimodal_binary_ingest",
+    # DuckDB reads the same files via read_blob; both engines report
+    # (file_name, n_bytes, md5) per media object
+    """
+SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+       CAST(octet_length(content) AS BIGINT) AS n_bytes,
+       md5(decode(content)) AS content_md5
+FROM read_blob('/tmp/ksr_binfiles/*.bin')
+ORDER BY file_name
+""",
+)
+def multimodal_binary_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-object ingestion via Spark's binaryFile source: each file
+    lands as (path, modificationTime, length, content BINARY) — the
+    standard first hop for image/audio corpora (decode then proceeds
+    via the multimodal pandas-UDF operators). The fixture packs 50
+    documents as .bin objects; a real deployment points the SAME
+    reader at an object-store prefix with pathGlobFilter, and the
+    scan parallelizes per file with no driver involvement."""
+    import hashlib
+    import os
+
+    out = "/tmp/ksr_binfiles"
+    os.makedirs(out, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()  # 50-row fixture packing, not a data-path collect
+    )
+    for r in docs:
+        with open(f"{out}/doc_{r.doc_id:05d}.bin", "wb") as fh:
+            fh.write(r.text.encode("utf-8"))
+    binf = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
+    return (
+        binf.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.col("length").alias("n_bytes"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .orderBy("file_name")
+    )
