@@ -46,3 +46,21 @@ def test_all_reference_params_allowed():
 def test_error_envelope():
     # app/server/index.js:66-69
     assert error_envelope("boom") == {"badRequest": True, "error": "boom"}
+
+
+def test_registry_contract_integrity():
+    """Every oracle key maps to a registered query, and the rows-only
+    (no-oracle) set stays exactly the documented sketch trio — new
+    operators must ship with an oracle or consciously extend this
+    list."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert set(qs) - set(oracles) == {
+        "agg_approx_distinct",
+        "agg_percentiles_approx",
+        "ann_lsh",
+    }
+    assert len(qs) >= 160

@@ -230,3 +230,17 @@ def test_dedup_state_works_across_micro_batches(spark, sf_dir, tmp_path):
         [f for f in os.listdir(f"{ckpt}/offsets") if not f.startswith(".")]
     )
     assert n_batches >= 2, "expected at least two micro-batches"
+
+
+def test_kinesis_builder_gates_cleanly(spark):
+    """Without the connector jar, kinesis_stream must raise the typed
+    RuntimeError pointing at the file-stream seam — not an opaque
+    ClassNotFoundException."""
+    from datetime import datetime
+
+    import pytest
+
+    from kinesis_stream_reader_spark.sources.kinesis import kinesis_stream
+
+    with pytest.raises(RuntimeError, match="stream_events"):
+        kinesis_stream(spark, "events", "us-west-2", datetime(2024, 1, 1))
