@@ -3657,3 +3657,71 @@ def multimodal_binary_ingest_query(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("file_name")
     )
+
+
+def _morton8(a, b):
+    """Interleave the low 8 bits of two long columns into one Morton
+    (Z-order) key — bit i of `a` lands at position 2i, bit i of `b` at
+    2i+1. Pure shift/and column algebra, fully codegen (disjoint bit
+    positions make addition == bitwise OR; Column.__or__ is boolean)."""
+    code = F.lit(0).cast("long")
+    for i in range(8):
+        code = (
+            code
+            + F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return code
+
+
+def _rank_byte(col, lo, hi):
+    """Min-max scale a long column into 0..255: Z-order interleaving
+    only balances dimensions of EQUAL bit width, so each column is
+    normalized to an 8-bit rank first (raw interleave lets the wider
+    column dominate the high bits and degenerates to a single-key
+    sort — caught by the two-dimensional narrowing test)."""
+    span = F.greatest(hi - lo, F.lit(1))
+    return ((col - lo) * 255 / span).cast("long")
+
+
+@register(
+    "sink_zorder_parquet",
+    """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+""",
+)
+def sink_zorder_parquet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ordered parquet layout: range-partition + sort on the Morton
+    interleave of (user_id, minute-bucketed ts), so per-file min/max
+    stats are narrow on BOTH columns simultaneously — single-key
+    sorting (sink_sorted_parquet) prunes only its own column, Z-order
+    lets user-id point lookups AND time-range scans each skip most
+    files of a 100 TB table (the Delta/Iceberg OPTIMIZE ZORDER
+    technique, expressed with stock column algebra).
+    tests/test_plans.py asserts the two-dimensional narrowing."""
+    out_dir = _roundtrip_dir(sf_dir, "zorder")
+    events = load_events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    minute = (F.unix_micros("ts") / 60_000_000).cast("long")
+    bounds = events.agg(
+        F.min("user_id").alias("u_lo"),
+        F.max("user_id").alias("u_hi"),
+        F.min(minute).alias("t_lo"),
+        F.max(minute).alias("t_hi"),
+    )
+    keyed = events.join(F.broadcast(bounds)).withColumn(
+        "_z",
+        _morton8(
+            _rank_byte(F.col("user_id"), F.col("u_lo"), F.col("u_hi")),
+            _rank_byte(minute, F.col("t_lo"), F.col("t_hi")),
+        ),
+    ).drop("u_lo", "u_hi", "t_lo", "t_hi")
+    (
+        keyed.repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )

@@ -128,3 +128,45 @@ def test_sorted_sink_files_have_disjoint_time_ranges(spark, sf_dir):
     assert len(ranges) > 1
     for prev, cur in zip(ranges, ranges[1:]):
         assert prev.hi <= cur.lo
+
+
+def test_zorder_narrows_both_dimensions(spark):
+    sf_dir = "/root/testdata/sf0.01"  # needs real user cardinality
+    """Z-order quality: per-file spans must be well under the global
+    span on BOTH user_id and ts — single-key time sorting leaves the
+    user_id span at ~100% per file, the Morton layout bounds both."""
+    import glob
+
+    import __spark_entry__ as entrymod
+
+    entrymod.queries()["sink_zorder_parquet"](spark, sf_dir).count()
+    out_dir = f"/tmp/ksr_sink/{sf_dir.strip('/').replace('/', '_')}_events_zorder"
+    files = sorted(glob.glob(f"{out_dir}/part-*.parquet"))
+    assert len(files) >= 4
+    from pyspark.sql import functions as F
+
+    g_user = spark.read.parquet(out_dir).agg(
+        (F.max("user_id") - F.min("user_id")).alias("s")
+    ).first().s
+    g_ts = spark.read.parquet(out_dir).agg(
+        (F.max("ts_us") - F.min("ts_us")).alias("s")
+    ).first().s if "ts_us" in spark.read.parquet(out_dir).columns else None
+    spans_u, spans_t = [], []
+    for f in files:
+        df = spark.read.parquet(f)
+        tcol = "ts_us" if "ts_us" in df.columns else "ts"
+        r = df.agg(
+            (F.max("user_id") - F.min("user_id")).alias("su"),
+            (F.max(F.col(tcol).cast("long")) - F.min(F.col(tcol).cast("long"))).alias("st"),
+        ).first()
+        spans_u.append(r.su)
+        spans_t.append(r.st)
+    tcol_all = spark.read.parquet(out_dir)
+    tname = "ts_us" if "ts_us" in tcol_all.columns else "ts"
+    g_ts = tcol_all.agg(
+        (F.max(F.col(tname).cast("long")) - F.min(F.col(tname).cast("long"))).alias("s")
+    ).first().s
+    # average per-file span must be clearly narrower than global on BOTH
+    # dimensions (the whole point of interleaving)
+    assert sum(spans_u) / len(spans_u) < 0.6 * g_user, (spans_u, g_user)
+    assert sum(spans_t) / len(spans_t) < 0.6 * g_ts, (spans_t, g_ts)
