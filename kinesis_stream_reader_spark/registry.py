@@ -3725,3 +3725,49 @@ def sink_zorder_parquet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir).select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
+
+
+@register(
+    "streaming_attribution_outer",
+    # LEFT OUTER stream-stream join: matched rows equal the batch
+    # self-join; unmatched clicks emit (click_id, NULL) only once the
+    # terminal watermark passes click_ts + 1h. The global watermark is
+    # the MIN across the two input streams' watermark operators (each
+    # sees only its own filtered rows), hence LEAST of the per-type
+    # max timestamps minus the 2h delay
+    """
+WITH wm AS (
+  SELECT LEAST(
+           (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+           (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 2 HOUR AS w
+),
+matched AS (
+  SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+unmatched AS (
+  SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id,
+         c.user_id
+  FROM events c, wm
+  WHERE c.event_type = 'click'
+    AND c.ts + INTERVAL 1 HOUR < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+""",
+)
+def streaming_attribution_outer_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.attribution_join_outer(stream), "streaming_attribution_outer"
+    )

@@ -319,3 +319,43 @@ def upsert_compact_available_now(events_stream: DataFrame) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.schema(schema).parquet(live).drop("latest_ts")
+
+
+def attribution_join_outer(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: every click emits —
+    matched rows as they arrive, unmatched clicks with NULL purchase
+    once the watermark proves no qualifying purchase can still come
+    (wm > click_ts + window). The null-emission-on-expiry behavior is
+    the part inner joins never exercise, and it's exactly what
+    conversion-rate jobs need (unmatched clicks ARE the signal).
+
+    State bounds are identical to the inner form; the only addition is
+    the expiry scan that releases unmatched click state as the
+    watermark advances."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}")),
+        "left_outer",
+    ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
