@@ -61,9 +61,9 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(_events_stream_dir(sf_dir))
     )
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    from ..sources.tables import normalize_timestamps
+
+    return normalize_timestamps(df)
 
 
 def records_stream(events: DataFrame, query: Mapping[str, object]) -> DataFrame:
