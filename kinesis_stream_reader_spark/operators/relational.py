@@ -2054,3 +2054,138 @@ def profile_columns(
         ).alias("p")
     )
     return stacked.select("p.*").orderBy("col_name")
+
+
+def snapshot_old(orders: DataFrame) -> DataFrame:
+    """Deterministic 'yesterday' snapshot of orders for snapshot_diff:
+    drops keys ending in 3 (those become inserts in the new snapshot)."""
+    return orders.filter(F.col("o_orderkey") % 10 != 3).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+
+
+def snapshot_new(orders: DataFrame) -> DataFrame:
+    """Deterministic 'today' snapshot: drops keys ending in 7 (deletes)
+    and bumps every fifth key's price by 10% (updates)."""
+    return orders.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") * 1.1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str = "o_orderkey", compare: tuple[str, ...] = ("price",)
+) -> DataFrame:
+    """CDC between two table snapshots: emit one row per inserted,
+    deleted, or value-changed key — the diff a pipeline feeds into an
+    incremental downstream refresh instead of reprocessing 100 TB.
+
+    Plan shape: ONE full-outer sort-merge join co-partitioned on the
+    key (both snapshots are full-size at scale, so neither side
+    broadcasts); change classification is a codegen'd projection on the
+    join output. Unchanged keys (the overwhelming majority in a daily
+    diff) are filtered before anything downstream shuffles again."""
+    o = old.select(
+        F.col(key),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare],
+    )
+    n = new.select(
+        F.col(key),
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare],
+    )
+    j = o.join(n, on=key, how="full_outer")
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+    change_type = (
+        F.when(F.col("_in_old").isNull(), F.lit("insert"))
+        .when(F.col("_in_new").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .filter(F.col("_in_old").isNull() | F.col("_in_new").isNull() | changed)
+        .select(key, "change_type", *[f"old_{c}" for c in compare], *[f"new_{c}" for c in compare])
+    )
+
+
+def scd2_from_changelog(events: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension type 2 from an append-only change log:
+    collapse each user's event stream to state-change rows and attach
+    [valid_from, valid_to) intervals (valid_to NULL = current state).
+
+    Plan shape: both window passes share ONE hash partitioning on
+    user_id — Catalyst plans a single Exchange and two Window nodes over
+    the same sort, so building the dimension is one shuffle regardless
+    of input size. The output is keyed by (user_id, valid_from), ready
+    for an as-of join from any fact table."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+    )
+    # intervals emitted as epoch micros: raw timestamp columns hash-differ
+    # on physical unit between engines (registry convention)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to_us"),
+    )
+
+
+def incremental_agg_merge(events: DataFrame, lookback_days: int = 7) -> DataFrame:
+    """Incremental view maintenance: merge a pre-aggregated base state
+    (everything older than the refresh horizon) with freshly aggregated
+    delta rows, producing totals identical to a full recompute — the
+    pattern that turns a daily 100 TB re-aggregation into an
+    O(new data) job. COUNT and SUM are mergeable as-is; the same shape
+    carries any commutative-monoid aggregate (min/max/HLL).
+
+    Plan shape: each side partially aggregates before its shuffle, and
+    the merge is a re-aggregation of two already-tiny keyed states."""
+    horizon = events.agg(
+        (F.max("ts") - F.expr(f"INTERVAL {lookback_days} DAYS")).alias("_cut")
+    )
+    tagged = events.join(F.broadcast(horizon))
+    base = (
+        tagged.filter(F.col("ts") < F.col("_cut"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    delta = (
+        tagged.filter(F.col("ts") >= F.col("_cut"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def hll_mergeable_distinct(events: DataFrame) -> DataFrame:
+    """Distinct users per event_type via Datasketches HLL: build one
+    sketch per (event_type, day) partition, then merge the daily
+    sketches with hll_union_agg and estimate. The two-level shape is
+    the point — per-partition sketches are tiny, mergeable, and
+    STORABLE, so at 100 TB the daily sketches are computed once and any
+    date-range distinct count is a sketch-merge, never a re-scan
+    (exact count_distinct would shuffle every user_id)."""
+    daily = events.groupBy("event_type", F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"))
+        .orderBy("event_type")
+    )

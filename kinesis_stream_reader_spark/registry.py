@@ -3771,3 +3771,82 @@ def streaming_attribution_outer_query(spark: SparkSession, sf_dir: str) -> DataF
     return jobs.run_available_now(
         jobs.attribution_join_outer(stream), "streaming_attribution_outer"
     )
+
+
+# ---------------------------------------------------------------------------
+# Derived-state maintenance: CDC diff, SCD2, incremental agg, mergeable
+# sketches — the operations that keep 100 TB derived tables fresh without
+# full recomputation. (Absent in the reference: its pipeline is stateless
+# and re-reads the stream per request, index.js:43-73.)
+# ---------------------------------------------------------------------------
+@register(
+    "snapshot_diff",
+    """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS price FROM orders WHERE o_orderkey % 10 <> 3
+), new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 10 <> 7
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+            WHEN n.o_orderkey IS NULL THEN 'delete'
+            ELSE 'update' END AS change_type,
+       o.price AS old_price, n.price AS new_price
+FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.price <> n.price
+""",
+)
+def snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    orders = load_table(spark, sf_dir, "orders")
+    return relational.snapshot_diff(
+        relational.snapshot_old(orders), relational.snapshot_new(orders)
+    )
+
+
+@register(
+    "scd2_from_changelog",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), changes AS (
+  SELECT user_id, ts, event_id, event_type FROM ordered
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type AS state, epoch_us(ts) AS valid_from_us,
+       epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS valid_to_us
+FROM changes
+""",
+)
+def scd2_from_changelog_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.scd2_from_changelog(load_events(spark, sf_dir))
+
+
+@register(
+    "incremental_agg_merge",
+    # merged base+delta state must equal the full recompute — the oracle
+    # IS the full recompute
+    """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def incremental_agg_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.incremental_agg_merge(load_events(spark, sf_dir))
+
+
+@register("agg_hll_mergeable")  # sketch estimate: rows-only + pytest tolerance
+def agg_hll_mergeable_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.hll_mergeable_distinct(load_events(spark, sf_dir))

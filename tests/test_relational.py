@@ -582,3 +582,72 @@ def test_top_k_per_group_agg_matches_window_form(spark, sf_dir):
         .collect()
     }
     assert agg_form == win_form
+
+
+def test_snapshot_diff_classifies_all_three_change_types(spark, sf_dir):
+    """Every key ending in 3 is an insert, ending in 7 a delete, and
+    multiples of 5 (present in both snapshots) an update; nothing else
+    appears in the diff."""
+    orders = load_table(spark, sf_dir, "orders")
+    diff = relational.snapshot_diff(
+        relational.snapshot_old(orders), relational.snapshot_new(orders)
+    ).collect()
+    assert diff
+    for r in diff:
+        k = r.o_orderkey
+        if r.change_type == "insert":
+            assert k % 10 == 3 and r.old_price is None
+        elif r.change_type == "delete":
+            assert k % 10 == 7 and r.new_price is None
+        else:
+            assert r.change_type == "update" and k % 5 == 0
+            assert abs(r.new_price - r.old_price * 1.1) < 1e-6
+
+
+def test_scd2_intervals_tile_each_user_without_overlap(spark, sf_dir):
+    """Per user: intervals are disjoint, contiguous (valid_to == next
+    valid_from), and exactly one open (NULL valid_to) current row."""
+    events = load_events(spark, sf_dir)
+    rows = relational.scd2_from_changelog(events).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from_us)
+        assert sum(1 for r in ivs if r.valid_to_us is None) == 1
+        assert ivs[-1].valid_to_us is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.state != b.state
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    events = load_events(spark, sf_dir)
+    full = {
+        r.event_type: (r.n_events, round(r.sum_value, 4))
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    }
+    merged = {
+        r.event_type: (r.n_events, r.sum_value)
+        for r in relational.incremental_agg_merge(events).collect()
+    }
+    assert merged == full
+
+
+def test_hll_mergeable_estimate_within_tolerance(spark, sf_dir):
+    """Merging per-day HLL sketches must estimate per-type distinct
+    users within sketch error of the exact count."""
+    events = load_events(spark, sf_dir)
+    exact = {
+        r.event_type: r.n_users
+        for r in relational.distinct_users_per_type(events).collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in relational.hll_mergeable_distinct(events).collect()
+    }
+    for etype, n in exact.items():
+        assert abs(approx[etype] - n) <= max(3, 0.05 * n)
