@@ -572,3 +572,57 @@ def dedup_keep_best(documents: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def semdedup(
+    embeddings: DataFrame, n_seeds: int = 8, threshold: float = 0.4
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering
+    embeddings, then dropping within-cluster near-duplicates — the
+    embedding-space analogue of MinHash dedup, catching paraphrases
+    that share no n-grams. Deterministic seed choice (the n_seeds
+    lowest vec_ids) stands in for k-means centroids so the operator is
+    oracle-checkable; swap in similarity.kmeans_step output for a
+    trained quantizer.
+
+    Plan shape: (1) assignment = broadcast the tiny seed table, score
+    every vector against every seed in one codegen pass, argmax via a
+    max-aggregate + equality join back (no window over the full
+    corpus); (2) pairing runs ONLY within clusters via the per-block
+    matmul kernel (embedding_near_dup_pairs) — one shuffle keyed on
+    cluster; (3) keep-rule (drop if any lower-id neighbor >= threshold)
+    is a left-anti join against the pair list. Cluster count scales
+    with corpus size at 100 TB, keeping block sizes bounded, so the
+    quadratic pair step never sees the whole corpus."""
+    vecs = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    seeds = vecs.filter(F.col("vec_id") < n_seeds).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("s")
+    )
+    scored = vecs.join(F.broadcast(seeds)).select(
+        "vec_id", "seed_id", cosine(F.col("v"), F.col("s")).alias("sim")
+    )
+    best = (
+        scored.groupBy("vec_id")
+        .agg(F.max("sim").alias("best_sim"))
+        .withColumnRenamed("vec_id", "_bv")
+    )
+    assign = (
+        scored.join(
+            best,
+            (F.col("vec_id") == F.col("_bv")) & (F.col("sim") == F.col("best_sim")),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("seed_id").alias("cluster"))
+    )
+    clustered = embeddings.select("vec_id", "embedding").join(assign, "vec_id")
+    pairs = embedding_near_dup_pairs(clustered, threshold=threshold, blocking="cluster")
+    dropped = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    return (
+        assign.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left_outer")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(~F.col("_d"), F.lit(True)).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

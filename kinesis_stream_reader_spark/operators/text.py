@@ -564,3 +564,63 @@ def text_lang_id_ngram(documents: DataFrame) -> DataFrame:
         best.getField("lang").alias("lang_pred"),
         best.getField("score").alias("ngram_hits"),
     )
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Corpus-level unigram language model scored back onto every
+    document: avg per-token ln P(token) — the cheap perplexity proxy
+    used to rank/filter pretraining documents (low avg log-prob = rare
+    or garbled vocabulary).
+
+    Plan shape: two passes over the SAME exploded token relation —
+    (1) token -> count aggregation (shuffle carries the vocabulary,
+    not the corpus), with the scalar corpus total reduced from the
+    counts and broadcast; (2) tokens join the counts table on token.
+    The vocabulary is Zipf-bounded (millions of rows at 100 TB, far
+    smaller than the corpus), so AQE turns the score-back join into a
+    broadcast; nothing ever shuffles the full corpus twice."""
+    toks = documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    scored = toks.join(counts, "tok").join(F.broadcast(total))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
+    """One BPE-training merge step: count adjacent symbol pairs inside
+    whitespace words across the corpus and return the top-k pairs — the
+    inner loop of byte-pair-encoding tokenizer training, whose scale
+    problem (count pairs over 100 TB of text) is exactly a partial-agg
+    groupBy.
+
+    Plan shape: split -> explode words -> per-word adjacent char pairs
+    via sequence+transform (all codegen, no UDF) -> explode pairs ->
+    count. Map-side partial aggregation collapses each task's pair
+    counts before the shuffle, so the exchange carries the pair
+    vocabulary (bounded: |alphabet|^2), not the corpus."""
+    words = documents.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(k)
+    )

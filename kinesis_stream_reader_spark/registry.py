@@ -3850,3 +3850,81 @@ def agg_hll_mergeable_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.hll_mergeable_distinct(load_events(spark, sf_dir))
+
+
+@register(
+    "text_unigram_logprob",
+    """
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents, LATERAL UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+), counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), total AS (
+  SELECT SUM(cnt) AS total FROM counts
+)
+SELECT toks.doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(LN(counts.cnt / total.total)), 6) AS avg_logprob
+FROM toks JOIN counts USING (tok), total
+GROUP BY toks.doc_id
+ORDER BY toks.doc_id
+""",
+)
+def text_unigram_logprob_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bpe_pair_counts",
+    """
+WITH words AS (
+  SELECT t.w
+  FROM documents, LATERAL UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t(w)
+  WHERE length(t.w) >= 2
+), pairs AS (
+  SELECT substring(w, i, 2) AS pair
+  FROM words, LATERAL UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+)
+SELECT pair, COUNT(*) AS cnt FROM pairs
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50
+""",
+)
+def bpe_pair_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.bpe_pair_counts(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "semdedup",
+    """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeds AS (
+  SELECT vec_id AS seed_id, v AS s FROM vecs WHERE vec_id < 8
+), scored AS (
+  SELECT vec_id, seed_id, list_cosine_similarity(v, s) AS sim FROM vecs, seeds
+), best AS (
+  SELECT vec_id, MAX(sim) AS best_sim FROM scored GROUP BY vec_id
+), assign AS (
+  SELECT s.vec_id, MIN(s.seed_id) AS cluster
+  FROM scored s JOIN best b ON s.vec_id = b.vec_id AND s.sim = b.best_sim
+  GROUP BY s.vec_id
+), av AS (
+  SELECT a.vec_id, a.cluster, v.v FROM assign a JOIN vecs v ON a.vec_id = v.vec_id
+), pairs AS (
+  SELECT x.vec_id AS a_id, y.vec_id AS b_id
+  FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE ROUND(list_cosine_similarity(x.v, y.v), 3) >= 0.4
+)
+SELECT vec_id, cluster, vec_id NOT IN (SELECT b_id FROM pairs) AS kept
+FROM av ORDER BY vec_id
+""",
+)
+def semdedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.semdedup(load_table(spark, sf_dir, "embeddings"))

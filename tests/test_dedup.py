@@ -297,3 +297,48 @@ def test_dedup_keep_best_policy(spark, sf_dir):
         best = min(members, key=lambda m: (-lens[m.doc_id], m.doc_id)).doc_id
         assert kept == best
         assert all(m.kept_doc_id == kept for m in members)
+
+
+def test_unigram_logprob_scores_every_document_negatively(spark, sf_dir):
+    documents = load_table(spark, sf_dir, "documents")
+    scored = text.unigram_logprob(documents).collect()
+    n_docs = documents.filter(F.trim("text") != "").count()
+    assert len(scored) == n_docs
+    for r in scored:
+        assert r.n_tokens > 0
+        assert r.avg_logprob < 0  # every token probability is < 1
+
+
+def test_bpe_pair_counts_are_adjacent_bigrams_sorted(spark, sf_dir):
+    rows = text.bpe_pair_counts(load_table(spark, sf_dir, "documents"), k=20).collect()
+    assert rows
+    assert all(len(r.pair) == 2 for r in rows)
+    counts = [r.cnt for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_semdedup_keeps_cluster_minimum_and_drops_only_with_lower_neighbor(spark, sf_dir):
+    """The greedy keep-rule: the lowest vec_id of every cluster always
+    survives, and every dropped vector has a lower-id neighbor above
+    the threshold in its own cluster."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    result = dedup.semdedup(embeddings, threshold=0.4)
+    rows = result.collect()
+    assert {r.cluster for r in rows} <= set(range(8))
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for members in by_cluster.values():
+        lowest = min(members, key=lambda r: r.vec_id)
+        assert lowest.kept
+    # dropped vectors must be justified by a pair with a lower-id member
+    assign = result.select("vec_id", "cluster")
+    pairs = dedup.embedding_near_dup_pairs(
+        embeddings.select("vec_id", "embedding").join(assign, "vec_id"),
+        threshold=0.4,
+        blocking="cluster",
+    )
+    justified = {r.b_id for r in pairs.collect()}
+    for r in rows:
+        if not r.kept:
+            assert r.vec_id in justified
