@@ -2189,3 +2189,24 @@ def hll_mergeable_distinct(events: DataFrame) -> DataFrame:
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+def corpus_shuffle_shards(documents: DataFrame, n_shards: int = 32) -> DataFrame:
+    """Deterministic training-order shuffle: spread documents round-robin
+    across shards, order each shard by a cryptographic hash of the key —
+    the global read order (shard, position) is a reproducible
+    pseudo-random permutation of the corpus, independent of input file
+    layout. This is how a 100 TB pretraining corpus gets its epoch
+    order: each shard is one writer task / one output file, and no
+    global sort (single-partition window) ever happens — the only
+    exchange is the hash partition on shard, and ranking runs
+    per-shard.
+
+    Seeded re-shuffles = salt the md5 input with the epoch number."""
+    shard = (F.col("doc_id") % n_shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return documents.select("doc_id", shard).withColumn(
+        "position", F.row_number().over(w)
+    )

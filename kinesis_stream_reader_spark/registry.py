@@ -3928,3 +3928,20 @@ def semdedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     return dedup.semdedup(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "corpus_shuffle_shards",
+    """
+SELECT doc_id, doc_id % 32 AS shard,
+       ROW_NUMBER() OVER (
+         PARTITION BY doc_id % 32
+         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       ) AS position
+FROM documents
+""",
+)
+def corpus_shuffle_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.corpus_shuffle_shards(load_table(spark, sf_dir, "documents"))

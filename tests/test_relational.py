@@ -651,3 +651,23 @@ def test_hll_mergeable_estimate_within_tolerance(spark, sf_dir):
     }
     for etype, n in exact.items():
         assert abs(approx[etype] - n) <= max(3, 0.05 * n)
+
+
+def test_corpus_shuffle_is_a_contiguous_permutation(spark, sf_dir):
+    """Positions are dense 1..n per shard and the hash order is not the
+    identity (the corpus really is permuted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = relational.corpus_shuffle_shards(docs, n_shards=8).collect()
+    assert len(rows) == docs.count()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.shard == r.doc_id % 8
+        by_shard.setdefault(r.shard, []).append(r)
+    identity = True
+    for members in by_shard.values():
+        members.sort(key=lambda r: r.position)
+        assert [r.position for r in members] == list(range(1, len(members) + 1))
+        ids = [r.doc_id for r in members]
+        if ids != sorted(ids):
+            identity = False
+    assert not identity
