@@ -2210,3 +2210,37 @@ def corpus_shuffle_shards(documents: DataFrame, n_shards: int = 32) -> DataFrame
     return documents.select("doc_id", shard).withColumn(
         "position", F.row_number().over(w)
     )
+
+
+def pagerank_step(events: DataFrame, damping: float = 0.85) -> DataFrame:
+    """One PageRank power-iteration over the user->contact interaction
+    graph (edges derived from events), from uniform initial rank 1.0:
+    rank'(v) = (1-d) + d * sum over incoming edges of 1/outdeg(src).
+    The iterative-algorithm template alongside kmeans_step and the
+    connected-components loop: a driver loop re-applies this step until
+    convergence, each iteration a fixed declarative plan.
+
+    Plan shape: the distinct-edge aggregation and the out-degree
+    aggregation hash-partition on the SAME key (src), so Catalyst
+    reuses the exchange for the contribution join; only the final
+    per-destination sum re-partitions. Shuffles carry edges and ranks
+    — never the raw event rows."""
+    edges = (
+        events.select(
+            F.col("user_id").alias("src"), (F.col("event_id") % 500).alias("dst")
+        )
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contribs = edges.join(outdeg, "src").select(
+        "dst", (F.lit(1.0) / F.col("outdeg")).alias("contrib")
+    )
+    return (
+        contribs.groupBy("dst")
+        .agg(
+            F.round(
+                F.lit(1 - damping) + F.lit(damping) * F.sum("contrib"), 6
+            ).alias("rank")
+        )
+        .orderBy("dst")
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Word-boundary-ish regex for a BPE-style pre-tokenizer: word pieces,
 # numbers, or single non-space symbols (public GPT-2 pre-tokenizer
@@ -623,4 +624,35 @@ def bpe_pair_counts(documents: DataFrame, k: int = 50) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), "pair")
         .limit(k)
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the retrieval/keyword
+    extraction pass over a curated corpus (completes the tf-idf
+    pipeline whose document-frequency half is doc_frequency).
+
+    Plan shape: one exploded token relation feeds BOTH the per-doc tf
+    aggregation and the df aggregation (distinct doc per term); idf
+    joins back on term (vocabulary-sized, broadcast under AQE) and the
+    per-doc top-k is a window over the (doc, term) aggregate — ranking
+    runs on scored terms, never raw tokens."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    toks = documents.select(
+        "doc_id", F.explode(F.split(normalized, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    n_docs = documents.select(F.count_distinct("doc_id").alias("n_docs"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * F.log(F.col("n_docs") / F.col("df")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("tfidf"), "rnk")
+        .orderBy("doc_id", "rnk")
     )

@@ -3945,3 +3945,56 @@ def corpus_shuffle_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.corpus_shuffle_shards(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pagerank_step",
+    """
+WITH edges AS (
+  SELECT DISTINCT user_id AS src, event_id % 500 AS dst FROM events
+), outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+)
+SELECT e.dst, ROUND(0.15 + 0.85 * SUM(1.0 / o.outdeg), 6) AS rank
+FROM edges e JOIN outdeg o ON e.src = o.src
+GROUP BY e.dst ORDER BY e.dst
+""",
+)
+def pagerank_step_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.pagerank_step(load_events(spark, sf_dir))
+
+
+@register(
+    "tfidf_top_terms",
+    """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL UNNEST(string_split(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' ')) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * LN(n.n_docs / df.df) AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, df, ROUND(score, 6) AS tfidf, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+WHERE rnk <= 3
+ORDER BY doc_id, rnk
+""",
+)
+def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"))

@@ -342,3 +342,18 @@ def test_semdedup_keeps_cluster_minimum_and_drops_only_with_lower_neighbor(spark
     for r in rows:
         if not r.kept:
             assert r.vec_id in justified
+
+
+def test_tfidf_top_terms_ranked_and_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    rows = text.tfidf_top_terms(docs, k=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert 1 <= r.rnk <= 3
+        assert 1 <= r.df <= n_docs
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for members in by_doc.values():
+        members.sort(key=lambda r: r.rnk)
+        scores = [r.tfidf for r in members]
+        assert scores == sorted(scores, reverse=True)

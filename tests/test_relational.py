@@ -671,3 +671,21 @@ def test_corpus_shuffle_is_a_contiguous_permutation(spark, sf_dir):
         if ids != sorted(ids):
             identity = False
     assert not identity
+
+
+def test_pagerank_step_conserves_damped_mass(spark, sf_dir):
+    """Every source distributes exactly rank 1.0 across its out-edges,
+    so sum(rank') = 0.15 * |dst nodes| + 0.85 * |src nodes|."""
+    events = load_events(spark, sf_dir)
+    ranks = relational.pagerank_step(events).collect()
+    n_dst = len(ranks)
+    n_src = (
+        events.select("user_id", (F.col("event_id") % 500).alias("d"))
+        .distinct()
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    total = sum(r.rank for r in ranks)
+    assert abs(total - (0.15 * n_dst + 0.85 * n_src)) < 1e-3
+    assert all(r.rank > 0 for r in ranks)
