@@ -2244,3 +2244,82 @@ def pagerank_step(events: DataFrame, damping: float = 0.85) -> DataFrame:
         )
         .orderBy("dst")
     )
+
+
+def pagerank_converged(
+    events: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 10,
+    tol: float = 1e-3,
+) -> DataFrame:
+    """PageRank to convergence: the driver re-applies the power
+    iteration (pagerank_step's plan) until total rank movement drops
+    under `tol` — same driver-loop template as the connected-components
+    canonicalizer: each round is one fixed declarative plan, the only
+    driver-side value is the scalar delta, and localCheckpoint
+    truncates lineage so round N's plan doesn't replay rounds 1..N-1.
+
+    Node space is the union of sources and destinations; dangling
+    nodes (no out-edges) contribute nothing, per the simple variant.
+
+    Checkpoint + convergence-check run every `check_every` rounds, not
+    every round: at bench scale the loop cost is pure per-action
+    overhead (two driver-synchronized jobs per round), so batching
+    three lazy rounds per materialization cuts wall-clock ~2x for at
+    most two extra (lazy, tiny) iterations of work."""
+    edges = (
+        events.select(
+            F.col("user_id").alias("src"), (F.col("event_id") % 500).alias("dst")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(1.0).alias("rank")).localCheckpoint()
+    check_every = 3
+
+    def step(r: DataFrame) -> DataFrame:
+        contribs = (
+            edges.join(outdeg, "src")
+            .join(r.withColumnRenamed("node", "src"), "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        incoming = contribs.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("contrib").alias("inflow")
+        )
+        # carry the old rank through the same join so the convergence
+        # delta is a cheap scan of the materialized result, not a
+        # second join
+        return (
+            r.withColumnRenamed("rank", "old_rank")
+            .join(incoming, "node", "left_outer")
+            .select(
+                "node",
+                "old_rank",
+                (
+                    F.lit(1 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+
+    done = 0
+    while done < max_iter:
+        batch = min(check_every, max_iter - done)
+        stepped = ranks
+        for _ in range(batch):
+            stepped = step(stepped.select("node", "rank"))
+        stepped = stepped.localCheckpoint()
+        done += batch
+        delta = stepped.agg(
+            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("d")
+        ).first()[0]
+        ranks = stepped.select("node", "rank")
+        if delta < tol:
+            break
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")

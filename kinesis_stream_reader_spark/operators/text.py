@@ -656,3 +656,39 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
         .select("doc_id", "term", "tf", "df", F.round("score", 6).alias("tfidf"), "rnk")
         .orderBy("doc_id", "rnk")
     )
+
+
+def source_quality_report(documents: DataFrame) -> DataFrame:
+    """Per-source corpus health report: document counts, language
+    spread, length-gate retention, exact-duplicate rate and token
+    volume — the one table a 100 TB curation run publishes per source
+    so mixture drift, scraper regressions, and duplicate explosions
+    surface before training does.
+
+    Plan shape: the duplicate flag is a count-over-fingerprint window
+    (one shuffle on the fingerprint), then everything aggregates per
+    source in a single conditional-agg pass — no joins, no second scan
+    of the text."""
+    fingerprint = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    flagged = documents.select(
+        "source",
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (F.count("*").over(Window.partitionBy(fingerprint)) > 1).alias("is_dup"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(
+                F.avg((F.col("n_chars") >= 100).cast("double")), 4
+            ).alias("len_retention"),
+            F.round(F.avg(F.col("is_dup").cast("double")), 4).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

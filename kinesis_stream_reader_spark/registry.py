@@ -3998,3 +3998,38 @@ def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+@register("pagerank_converged")  # iterative driver loop: rows-only check
+def pagerank_converged_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.pagerank_converged(load_events(spark, sf_dir))
+
+
+@register(
+    "source_quality_report",
+    """
+WITH flagged AS (
+  SELECT source, lang,
+         length(text) AS n_chars,
+         length(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+         COUNT(*) OVER (
+           PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         ) > 1 AS is_dup
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT lang) AS n_langs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(n_chars), 4) AS avg_chars,
+       ROUND(AVG(CASE WHEN n_chars >= 100 THEN 1.0 ELSE 0.0 END), 4) AS len_retention,
+       ROUND(AVG(CASE WHEN is_dup THEN 1.0 ELSE 0.0 END), 4) AS dup_rate
+FROM flagged GROUP BY source ORDER BY source
+""",
+)
+def source_quality_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.source_quality_report(load_table(spark, sf_dir, "documents"))

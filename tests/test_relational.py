@@ -689,3 +689,32 @@ def test_pagerank_step_conserves_damped_mass(spark, sf_dir):
     total = sum(r.rank for r in ranks)
     assert abs(total - (0.15 * n_dst + 0.85 * n_src)) < 1e-3
     assert all(r.rank > 0 for r in ranks)
+
+
+def test_pagerank_converged_reaches_stationary_mass_balance(spark, sf_dir):
+    """At the fixed point, total rank equals 0.15*|V| + 0.85*(rank mass
+    sitting on nodes that have out-edges) — dangling nodes leak exactly
+    their damped mass in the simple variant."""
+    events = load_events(spark, sf_dir)
+    ranks = {r.node: r.rank for r in relational.pagerank_converged(events).collect()}
+    edges = (
+        events.select(F.col("user_id").alias("src"), (F.col("event_id") % 500).alias("dst"))
+        .distinct()
+    )
+    srcs = {r.src for r in edges.select("src").distinct().collect()}
+    total = sum(ranks.values())
+    src_mass = sum(v for k, v in ranks.items() if k in srcs)
+    assert abs(total - (0.15 * len(ranks) + 0.85 * src_mass)) < 0.05
+    assert all(v >= 0.15 - 1e-9 for v in ranks.values())
+
+
+def test_source_quality_report_rates_bounded_and_counts_add_up(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    from kinesis_stream_reader_spark.operators.text import source_quality_report
+
+    rows = source_quality_report(docs).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r.len_retention <= 1.0
+        assert 0.0 <= r.dup_rate <= 1.0
+        assert r.total_tokens > 0 and r.n_langs >= 1
