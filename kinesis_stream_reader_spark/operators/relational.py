@@ -2323,3 +2323,71 @@ def pagerank_converged(
         if delta < tol:
             break
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def sample_weighted(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis):
+    each doc draws key = u^(1/w) from a deterministic pseudo-uniform u
+    and the global top-k keys win — quality-weighted corpus
+    subsampling whose inclusion probabilities follow the weights, in
+    one pass, reproducibly (same seed constant -> same sample).
+
+    Plan shape: u is a Knuth multiplicative hash of the key column
+    (codegen, no rand() — reproducible across retries/partitionings,
+    which rand() is NOT under task retry); the global top-k is
+    TakeOrderedAndProject, so nothing but k rows ever reaches the
+    driver and no full sort happens. Weights here: document length."""
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(
+        4294967296.0
+    )
+    w = F.greatest(F.length("text").cast("double"), F.lit(1.0))
+    key = F.pow(u, F.lit(1.0) / w)
+    return (
+        documents.select(
+            "doc_id",
+            "source",
+            F.length("text").cast("long").alias("n_chars"),
+            F.round(key, 6).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(k)
+    )
+
+
+def source_overlap_matrix(documents: DataFrame) -> DataFrame:
+    """Cross-source exact-duplicate overlap: for every ordered source
+    pair, how many of the left source's documents have a fingerprint
+    twin in the right source — the contamination/mixture diagnostic
+    that tells a curation run which scrapes re-collect each other
+    before near-dup spend.
+
+    Plan shape: fingerprints aggregate to (fingerprint, source,
+    n_docs) first — the self-join runs on the DISTINCT fingerprint
+    relation (vocabulary-sized), never doc x doc; one shuffle on the
+    fingerprint. The key is a 64-char normalized PREFIX fingerprint:
+    catches shared leading boilerplate (the dominant cross-scrape
+    overlap mode) that whole-text hashing misses."""
+    fp = F.md5(
+        F.substring(
+            F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 64
+        )
+    )
+    by_src = (
+        documents.select(fp.alias("fp"), "source")
+        .groupBy("fp", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    left = by_src.select(
+        "fp", F.col("source").alias("src_a"), F.col("n_docs").alias("n_a")
+    )
+    right = by_src.select("fp", F.col("source").alias("src_b"))
+    return (
+        left.join(right, "fp")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.count_distinct("fp").alias("shared_fingerprints"),
+            F.sum("n_a").alias("docs_duplicated"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -4033,3 +4033,43 @@ def source_quality_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.source_quality_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sample_weighted",
+    """
+SELECT doc_id, source, length(text) AS n_chars,
+       ROUND(POW((doc_id * 2654435761) % 4294967296 / 4294967296.0,
+                 1.0 / GREATEST(length(text), 1)), 6) AS es_key
+FROM documents
+ORDER BY es_key DESC, doc_id
+LIMIT 100
+""",
+)
+def sample_weighted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.sample_weighted(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_overlap_matrix",
+    """
+WITH by_src AS (
+  SELECT md5(substring(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 64)) AS fp,
+         source, COUNT(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT a.source AS src_a, b.src_b,
+       COUNT(DISTINCT a.fp) AS shared_fingerprints,
+       CAST(SUM(a.n_docs) AS BIGINT) AS docs_duplicated
+FROM by_src a JOIN (SELECT fp, source AS src_b FROM by_src) b ON a.fp = b.fp
+WHERE a.source <> b.src_b
+GROUP BY a.source, b.src_b
+ORDER BY src_a, src_b
+""",
+)
+def source_overlap_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.source_overlap_matrix(load_table(spark, sf_dir, "documents"))

@@ -718,3 +718,26 @@ def test_source_quality_report_rates_bounded_and_counts_add_up(spark, sf_dir):
         assert 0.0 <= r.len_retention <= 1.0
         assert 0.0 <= r.dup_rate <= 1.0
         assert r.total_tokens > 0 and r.n_langs >= 1
+
+
+def test_sample_weighted_prefers_heavier_docs_and_is_reproducible(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = relational.sample_weighted(docs, k=50).collect()
+    s2 = relational.sample_weighted(docs, k=50).collect()
+    assert [r.doc_id for r in s1] == [r.doc_id for r in s2]  # deterministic
+    keys = [r.es_key for r in s1]
+    assert keys == sorted(keys, reverse=True)
+    # weighting bias: sampled docs should be longer than the corpus mean
+    sampled_mean = sum(r.n_chars for r in s1) / len(s1)
+    corpus_mean = docs.agg(F.avg(F.length("text"))).first()[0]
+    assert sampled_mean > corpus_mean
+
+
+def test_source_overlap_matrix_is_symmetric_in_membership(spark):
+    sf_dir = "/root/testdata/sf0.01"  # sf0.001 has no cross-source prefix dups
+    docs = load_table(spark, sf_dir, "documents")
+    rows = relational.source_overlap_matrix(docs).collect()
+    assert rows
+    pairs = {(r.src_a, r.src_b) for r in rows}
+    for a, b in pairs:
+        assert (b, a) in pairs  # sharing is mutual
