@@ -4073,3 +4073,36 @@ def source_overlap_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.source_overlap_matrix(load_table(spark, sf_dir, "documents"))
+
+
+# The training-batch oracle wraps the (already registered) curate oracle
+# as a nested CTE, then derives chunk token counts arithmetically:
+# chunk i of an n-token doc holds LEAST(chunk, n - i*stride) tokens —
+# exactly what slicing produces.
+ORACLES["training_batches"] = f"""
+WITH curated AS (
+{ORACLES["curate_corpus"]}
+), chunks AS (
+  SELECT c.doc_id, g.i AS chunk_id,
+         LEAST(64, c.n_tokens - g.i * 48) AS n_tok
+  FROM curated c,
+       LATERAL UNNEST(generate_series(0,
+         CAST(CEIL(GREATEST(c.n_tokens - 64, 0) / 48.0) AS INT))) AS g(i)
+), packed AS (
+  SELECT doc_id % 16 AS shard, doc_id, chunk_id, n_tok,
+         SUM(n_tok) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id, chunk_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM chunks
+)
+SELECT shard, CAST(FLOOR((cum - n_tok) / 512.0) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_chunks, COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM packed GROUP BY 1, 2 ORDER BY shard, bin_id
+"""
+
+
+@register("training_batches")
+def training_batches_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.training import training_batches
+
+    return training_batches(load_table(spark, sf_dir, "documents"))

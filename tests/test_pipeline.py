@@ -48,3 +48,23 @@ def test_sink_json_emits_valid_json_rows(spark, sf_dir):
     out = sink_json(df.select("sequence_number")).collect()
     for r in out:
         assert json.loads(r.json)["sequence_number"] is not None
+
+
+def test_training_batches_respects_token_budget(spark, sf_dir):
+    """Each bin's token count stays under budget + one max chunk (a
+    chunk is never split), bins are dense per shard, and every curated
+    document lands in exactly one shard."""
+    from kinesis_stream_reader_spark.plans.training import training_batches
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = training_batches(docs, chunk_tokens=64, stride=48, bin_tokens=512).collect()
+    assert rows
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.n_tokens <= 512 + 64  # budget + one unsplittable chunk
+        assert r.n_chunks >= 1
+        by_shard.setdefault(r.shard, []).append(r)
+    for members in by_shard.values():
+        bins = sorted(r.bin_id for r in members)
+        assert bins == list(range(len(bins)))  # dense bin ids from 0
