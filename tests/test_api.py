@@ -62,5 +62,7 @@ def test_registry_contract_integrity():
         "agg_approx_distinct",
         "agg_percentiles_approx",
         "ann_lsh",
+        "agg_hll_mergeable",  # sketch estimate (pytest tolerance check)
+        "pagerank_converged",  # iterative driver loop (pytest invariant)
     }
     assert len(qs) >= 160
