@@ -626,3 +626,44 @@ def semdedup(
         )
         .orderBy("vec_id")
     )
+
+
+def ngram_containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    blocking: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT pairs: |A ∩ B| / |A| >= threshold —
+    the asymmetric complement of Jaccard that catches near-SUPERSET
+    duplication (a short doc embedded in a longer one, quote farms,
+    wrapper boilerplate), which symmetric Jaccard misses whenever the
+    size ratio is large.
+
+    Same inverted-index shape as ngram_jaccard_pairs (shared-gram
+    counts via postings equi-join; pairs sharing no grams never
+    materialize); the only change is the asymmetric normalizer and
+    emitting directed (contained, container) pairs both ways."""
+    postings = gram_postings(documents, n, blocking)
+    sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    a = postings.alias("a")
+    b = postings.alias("b")
+    cond = (F.col("a.gram") == F.col("b.gram")) & (
+        F.col("a.doc_id") != F.col("b.doc_id")
+    )
+    for key in blocking:
+        cond = cond & (F.col(f"a.{key}") == F.col(f"b.{key}"))
+    shared = (
+        a.join(b, cond)
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(F.broadcast(sizes.withColumnRenamed("doc_id", "a_id")), "a_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("shared") / F.col("n_grams"), 4).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

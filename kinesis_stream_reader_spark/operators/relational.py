@@ -2391,3 +2391,27 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+def feature_quantile_bins(events: DataFrame, buckets: int = 10) -> DataFrame:
+    """Equal-frequency discretization of a numeric column per group:
+    ntile bucket ids plus per-bucket [lo, hi] edges — the feature-
+    engineering binning step (and the bin-edge table a serving layer
+    broadcasts to bucketize online traffic consistently with training).
+
+    Plan shape: one shuffle on the group key for the ntile window; the
+    edge aggregation reuses the same clustering. Output is buckets x
+    groups rows — tiny at any input scale."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = events.select(
+        "event_type", "value", F.ntile(buckets).over(w).alias("bucket")
+    )
+    return (
+        binned.groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )

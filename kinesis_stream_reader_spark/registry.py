@@ -4106,3 +4106,41 @@ def training_batches_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.training import training_batches
 
     return training_batches(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_containment")
+def dedup_containment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+ORACLES["dedup_containment"] = f"""
+WITH g AS (SELECT doc_id, lang, source, {_GRAMS} AS grams FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams), 4)
+         AS containment
+FROM g a JOIN g b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+WHERE len(a.grams) > 0
+  AND len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams) >= 0.8
+"""
+
+
+@register(
+    "feature_quantile_bins",
+    """
+WITH binned AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT event_type, bucket, COUNT(*) AS n,
+       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def feature_quantile_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.feature_quantile_bins(load_events(spark, sf_dir))

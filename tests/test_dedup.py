@@ -357,3 +357,16 @@ def test_tfidf_top_terms_ranked_and_bounded(spark, sf_dir):
         members.sort(key=lambda r: r.rnk)
         scores = [r.tfidf for r in members]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_containment_is_directed_and_bounded(spark):
+    sf_dir = "/root/testdata/sf0.01"  # needs real dup structure
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dedup.ngram_containment_pairs(docs, threshold=0.5).collect()
+    assert rows
+    for r in rows:
+        assert 0.5 <= r.containment <= 1.0
+        assert r.a_id != r.b_id
+    # symmetric twins may legitimately differ: containment is directed
+    pairs = {(r.a_id, r.b_id): r.containment for r in rows}
+    assert len(pairs) == len(rows)  # no duplicate directed edges

@@ -741,3 +741,17 @@ def test_source_overlap_matrix_is_symmetric_in_membership(spark):
     pairs = {(r.src_a, r.src_b) for r in rows}
     for a, b in pairs:
         assert (b, a) in pairs  # sharing is mutual
+
+
+def test_feature_quantile_bins_balanced_and_ordered(spark, sf_dir):
+    events = load_events(spark, sf_dir)
+    rows = relational.feature_quantile_bins(events, buckets=10).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for members in by_type.values():
+        members.sort(key=lambda r: r.bucket)
+        sizes = [r.n for r in members]
+        assert max(sizes) - min(sizes) <= 1  # ntile balance guarantee
+        for a, b in zip(members, members[1:]):
+            assert a.hi <= b.lo or abs(a.hi - b.lo) < 1e-9  # edges ordered
