@@ -2415,3 +2415,43 @@ def feature_quantile_bins(events: DataFrame, buckets: int = 10) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+def ewma_smoothing(
+    events: DataFrame, span: int = 10, alpha: float = 0.5
+) -> DataFrame:
+    """Exponentially-weighted moving average of `value` per user over a
+    bounded trailing frame — the smoothing/denoising pass of metric
+    pipelines, in closed form: weights alpha^distance over the last
+    `span` observations, normalized by the geometric partial sum.
+
+    Plan shape: one shuffle on user_id for the ordered frame; the
+    weighted fold is a codegen'd higher-order transform over the
+    collected frame (bounded at `span` elements, so per-row cost is
+    O(span) regardless of history length — the property that makes the
+    infinite-history EWMA recurrence, which Spark can't window,
+    unnecessary in practice)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(span - 1), Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w)
+    frame = events.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us"), arr.alias("vals")
+    )
+    n = F.size("vals")
+    wsum = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.element_at(F.col("vals"), i)
+            * F.pow(F.lit(alpha), (n - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # geometric normalizer: sum_{d=0}^{n-1} alpha^d
+    norm = (1 - F.pow(F.lit(alpha), n.cast("double"))) / (1 - alpha)
+    return frame.select(
+        "user_id", "event_id", "ts_us", F.round(wsum / norm, 6).alias("ewma")
+    )

@@ -4144,3 +4144,26 @@ def feature_quantile_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.feature_quantile_bins(load_events(spark, sf_dir))
+
+
+@register(
+    "ewma_smoothing",
+    """
+WITH win AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+)
+SELECT user_id, event_id, ts_us,
+       ROUND(
+         list_sum(list_transform(generate_series(1, len(vals)),
+                  i -> vals[i] * POW(0.5, len(vals) - i)))
+         / ((1 - POW(0.5, len(vals))) / 0.5), 6) AS ewma
+FROM win
+""",
+)
+def ewma_smoothing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.ewma_smoothing(load_events(spark, sf_dir))

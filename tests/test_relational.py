@@ -755,3 +755,29 @@ def test_feature_quantile_bins_balanced_and_ordered(spark, sf_dir):
         assert max(sizes) - min(sizes) <= 1  # ntile balance guarantee
         for a, b in zip(members, members[1:]):
             assert a.hi <= b.lo or abs(a.hi - b.lo) < 1e-9  # edges ordered
+
+
+def test_ewma_smoothing_tracks_pandas_reference(spark, sf_dir):
+    """Cross-check the windowed closed form against a plain Python
+    recomputation for a few users."""
+    import math
+
+    events = load_events(spark, sf_dir)
+    out = {
+        (r.user_id, r.event_id): r.ewma
+        for r in relational.ewma_smoothing(events, span=10, alpha=0.5).collect()
+    }
+    for uid in [0, 1, 2]:
+        rows = (
+            events.filter(F.col("user_id") == uid)
+            .orderBy("ts", "event_id")
+            .select("event_id", "value")
+            .collect()
+        )
+        vals = [r.value for r in rows]
+        for i, r in enumerate(rows):
+            frame = vals[max(0, i - 9) : i + 1]
+            n = len(frame)
+            wsum = sum(v * 0.5 ** (n - 1 - j) for j, v in enumerate(frame))
+            norm = (1 - 0.5**n) / 0.5
+            assert abs(out[(uid, r.event_id)] - round(wsum / norm, 6)) < 1e-6
