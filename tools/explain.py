@@ -64,6 +64,10 @@ HEADLINE = [
     ("sample_weighted", "ES weighted sample: hash-uniform keys + TakeOrderedAndProject"),
     ("source_overlap_matrix", "overlap matrix: self-join on distinct fingerprints only"),
     ("source_quality_report", "per-source health: fingerprint window + conditional agg"),
+    ("training_batches", "curation -> chunk -> pack: one added shuffle on the shard key"),
+    ("dedup_containment", "directed containment via the same inverted-index postings join"),
+    ("feature_quantile_bins", "ntile discretization: edge agg reuses the window exchange"),
+    ("ewma_smoothing", "bounded-frame EWMA: codegen HOF fold over the collected frame"),
 ]
 
 
