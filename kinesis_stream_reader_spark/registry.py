@@ -4167,3 +4167,54 @@ def ewma_smoothing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.ewma_smoothing(load_events(spark, sf_dir))
+
+
+@register(
+    "multimodal_dedup",
+    """
+WITH blobs AS (
+  SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+         md5(decode(content)) AS content_md5
+  FROM read_blob('/tmp/ksr_binfiles_dup/*.bin')
+)
+SELECT content_md5, MIN(file_name) AS canonical_file,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM blobs GROUP BY content_md5 ORDER BY content_md5
+""",
+)
+def multimodal_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of media objects by content hash — the first pass
+    over any scraped image/audio corpus (identical bytes re-collected
+    under different names/URLs). The shuffle carries (md5, file_name)
+    pairs, never blob bytes: hashing happens scan-side per file. The
+    fixture packs 50 objects whose payloads repeat every 30 ids, so
+    real duplicate groups exist; a deployment points the same plan at
+    an object-store prefix (near-dup then proceeds via perceptual
+    hashes in the multimodal UDF family)."""
+    import os
+
+    out = "/tmp/ksr_binfiles_dup"
+    os.makedirs(out, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()  # 50-row fixture packing, not a data-path collect
+    )
+    by_id = {r.doc_id: r.text for r in docs}
+    for doc_id in by_id:
+        with open(f"{out}/obj_{doc_id:05d}.bin", "wb") as fh:
+            fh.write(by_id[doc_id % 30].encode("utf-8"))
+    binf = spark.read.format("binaryFile").option("pathGlobFilter", "*.bin").load(out)
+    return (
+        binf.select(
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+            F.md5(F.col("content")).alias("content_md5"),
+        )
+        .groupBy("content_md5")
+        .agg(
+            F.min("file_name").alias("canonical_file"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("content_md5")
+    )

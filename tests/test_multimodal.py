@@ -102,3 +102,16 @@ def test_audio_chunks_cover_payload_exactly(spark, sf_dir):
     assert bad.count() == 0
     short = chunks.filter(F.col("chunk_len") < 256).groupBy("doc_id").count()
     assert short.filter(F.col("count") > 1).count() == 0
+
+
+def test_multimodal_dedup_finds_exact_groups(spark, sf_dir):
+    """50 objects with payloads repeating every 30 ids -> 30 groups,
+    ids 0-19 duplicated twice, 20-29 singletons."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["multimodal_dedup"](spark, sf_dir).collect()
+    assert len(rows) == 30
+    copies = sorted(r.n_copies for r in rows)
+    assert copies == [1] * 10 + [2] * 20
+    for r in rows:
+        assert r.canonical_file.startswith("obj_000")
