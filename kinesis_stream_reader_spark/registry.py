@@ -4218,3 +4218,74 @@ def multimodal_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("content_md5")
     )
+
+
+@register(
+    "schema_evolution_read",
+    # batch 1 lacks `value`, batch 2 carries it: the merged read fills
+    # NULLs for the missing column — oracle restates the union
+    """
+SELECT event_id, event_type,
+       CASE WHEN event_id % 2 = 1 THEN value END AS value
+FROM events
+""",
+)
+def schema_evolution_read_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the storage layer: two parquet batches with
+    DIFFERENT schemas (a column added between ingestion generations)
+    read as one table via mergeSchema — the contract every long-lived
+    100 TB dataset depends on (old files never rewritten when a column
+    lands). Footer-level merge only: no data rewrite, missing columns
+    surface as NULLs, pruning still applies per file."""
+    out_dir = _roundtrip_dir(sf_dir, "evolve")
+    events = load_events(spark, sf_dir)
+    (
+        events.filter(F.col("event_id") % 2 == 0)
+        .select("event_id", "event_type")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/gen=1")
+    )
+    (
+        events.filter(F.col("event_id") % 2 == 1)
+        .select("event_id", "event_type", "value")
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/gen=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out_dir}/gen=1", f"{out_dir}/gen=2"
+    )
+    return merged.select("event_id", "event_type", "value")
+
+
+@register(
+    "sink_partition_overwrite",
+    # after dynamically overwriting ONE day with reprocessed values,
+    # the read-back must equal: untouched days + the reprocessed day
+    """
+SELECT event_id, CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15'
+                      THEN value * 2 ELSE value END AS value,
+       CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+FROM events
+""",
+)
+def sink_partition_overwrite_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: re-running one day of a
+    date-partitioned table replaces ONLY that partition (INSERT
+    OVERWRITE semantics with partitionOverwriteMode=dynamic) — the
+    idempotent-backfill primitive of every partitioned 100 TB dataset;
+    static overwrite would drop every other day."""
+    out_dir = _roundtrip_dir(sf_dir, "dynover")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    events = load_events(spark, sf_dir).select(
+        "event_id", "value", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    )
+    events.write.mode("overwrite").partitionBy("day").parquet(out_dir)
+    # reprocess one day (doubled values) and overwrite just its partition
+    (
+        events.filter(F.col("day") == "2024-01-15")
+        .withColumn("value", F.col("value") * 2)
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out_dir)
+    )
+    return spark.read.parquet(out_dir).select("event_id", "value", "day")

@@ -170,3 +170,37 @@ def test_zorder_narrows_both_dimensions(spark):
     # dimensions (the whole point of interleaving)
     assert sum(spans_u) / len(spans_u) < 0.6 * g_user, (spans_u, g_user)
     assert sum(spans_t) / len(spans_t) < 0.6 * g_ts, (spans_t, g_ts)
+
+
+def test_partition_overwrite_touches_exactly_one_day(spark, sf_dir):
+    """The reprocessed day must actually exist, carry doubled values,
+    and every other day must be byte-identical to the original."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_reader_spark.sources.tables import load_events
+
+    out = entrymod.queries()["sink_partition_overwrite"](spark, sf_dir)
+    events = load_events(spark, sf_dir).select(
+        "event_id", "value", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    )
+    target = events.filter(F.col("day") == "2024-01-15")
+    assert target.count() > 0  # the overwritten partition is non-trivial
+    joined = out.withColumnRenamed("value", "v_out").join(events, ["event_id", "day"])
+    mismatched_elsewhere = joined.filter(
+        (F.col("day") != "2024-01-15") & (F.col("v_out") != F.col("value"))
+    )
+    undoubled_target = joined.filter(
+        (F.col("day") == "2024-01-15") & (F.col("v_out") != F.col("value") * 2)
+    )
+    assert mismatched_elsewhere.count() == 0
+    assert undoubled_target.count() == 0
+
+
+def test_schema_evolution_nulls_only_in_old_generation(spark, sf_dir):
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    out = entrymod.queries()["schema_evolution_read"](spark, sf_dir)
+    assert out.filter((F.col("event_id") % 2 == 0) & F.col("value").isNotNull()).count() == 0
+    assert out.filter((F.col("event_id") % 2 == 1) & F.col("value").isNull()).count() == 0
