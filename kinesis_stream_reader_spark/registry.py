@@ -4289,3 +4289,74 @@ def sink_partition_overwrite_query(spark: SparkSession, sf_dir: str) -> DataFram
         .parquet(out_dir)
     )
     return spark.read.parquet(out_dir).select("event_id", "value", "day")
+
+
+@register(
+    "streaming_attribution_full",
+    # FULL OUTER stream-stream join: the left-outer oracle plus the
+    # third leg — unmatched purchases emit (NULL, purchase_id) once the
+    # terminal per-stream-min watermark passes the purchase time (the
+    # youngest possibly-matching click is strictly older)
+    """
+WITH wm AS (
+  SELECT LEAST(
+           (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+           (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 2 HOUR AS w
+),
+matched AS (
+  SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+unmatched_c AS (
+  SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id,
+         c.user_id
+  FROM events c, wm
+  WHERE c.event_type = 'click'
+    AND c.ts + INTERVAL 1 HOUR < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+        AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+),
+unmatched_p AS (
+  SELECT CAST(NULL AS BIGINT) AS click_id, p.event_id AS purchase_id,
+         p.user_id
+  FROM events p, wm
+  WHERE p.event_type = 'purchase'
+    AND p.ts < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+)
+SELECT * FROM matched
+UNION ALL SELECT * FROM unmatched_c
+UNION ALL SELECT * FROM unmatched_p
+""",
+)
+def streaming_attribution_full_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.attribution_join_full(stream), "streaming_attribution_full"
+    )
+
+
+@register(
+    "agg_udaf_median",
+    """
+SELECT event_type, ROUND(MEDIAN(value), 6) AS median_value
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def agg_udaf_median_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.agg_udaf_median(load_events(spark, sf_dir))

@@ -359,3 +359,42 @@ def attribution_join_outer(
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}")),
         "left_outer",
     ).select("click_id", "purchase_id", F.col("c_user").alias("user_id"))
+
+
+def attribution_join_full(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """FULL OUTER watermarked stream-stream join — completes the join
+    matrix (inner / left / full): unmatched clicks emit with NULL
+    purchase once the watermark proves no qualifying purchase can
+    arrive, and unmatched purchases emit with NULL click once the
+    watermark passes the purchase time (the youngest click that could
+    match is strictly older than the purchase). Both state stores stay
+    watermark-bounded exactly as in the inner form."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}")),
+        "full_outer",
+    ).select(
+        "click_id", "purchase_id", F.coalesce("c_user", "p_user").alias("user_id")
+    )

@@ -781,3 +781,13 @@ def test_ewma_smoothing_tracks_pandas_reference(spark, sf_dir):
             wsum = sum(v * 0.5 ** (n - 1 - j) for j, v in enumerate(frame))
             norm = (1 - 0.5**n) / 0.5
             assert abs(out[(uid, r.event_id)] - round(wsum / norm, 6)) < 1e-6
+
+
+def test_udaf_median_matches_builtin(spark, sf_dir):
+    events = load_events(spark, sf_dir)
+    udaf = {r.event_type: r.median_value for r in relational.agg_udaf_median(events).collect()}
+    builtin = {
+        r.event_type: round(r.m, 6)
+        for r in events.groupBy("event_type").agg(F.median("value").alias("m")).collect()
+    }
+    assert udaf == builtin

@@ -244,3 +244,22 @@ def test_kinesis_builder_gates_cleanly(spark):
 
     with pytest.raises(RuntimeError, match="stream_events"):
         kinesis_stream(spark, "events", "us-west-2", datetime(2024, 1, 1))
+
+
+def test_full_outer_attribution_covers_both_sides(spark, sf_dir):
+    """Full outer = inner matches + null-padded clicks + null-padded
+    purchases; the matched subset must equal the inner join exactly."""
+    from kinesis_stream_reader_spark.streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    full = jobs.run_available_now(
+        jobs.attribution_join_full(stream), "t_full_outer"
+    ).collect()
+    stream2 = jobs.stream_events(spark, sf_dir)
+    inner = jobs.run_available_now(
+        jobs.attribution_join(stream2), "t_full_inner"
+    ).collect()
+    matched = {(r.click_id, r.purchase_id) for r in full if r.purchase_id is not None and r.click_id is not None}
+    assert matched == {(r.click_id, r.purchase_id) for r in inner}
+    assert any(r.click_id is None for r in full)  # expired purchases emitted
+    assert any(r.purchase_id is None for r in full)  # expired clicks emitted
