@@ -4360,3 +4360,36 @@ def agg_udaf_median_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.agg_udaf_median(load_events(spark, sf_dir))
+
+
+@register(
+    "sink_compact_small_files",
+    # compaction preserves content exactly — the oracle is the identity
+    """
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+def sink_compact_small_files_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: rewrite a fragmented table (here: 64
+    tiny files, the classic streaming-sink residue) into
+    target-byte-sized files computed from the actual input size — the
+    maintenance pass that keeps scan task counts and parquet footer
+    overhead sane on a 100 TB table. Row-count preservation is
+    oracle-checked; the file-count collapse is pytest-asserted.
+    Production twin: OPTIMIZE/rewriteDataFiles; expressed here with
+    stock repartition + write."""
+    frag_dir = _roundtrip_dir(sf_dir, "fragmented")
+    compact_dir = _roundtrip_dir(sf_dir, "compacted")
+    events = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    events.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    fragmented = spark.read.parquet(frag_dir)
+    import os
+
+    total_bytes = sum(
+        e.stat().st_size for e in os.scandir(frag_dir) if e.name.endswith(".parquet")
+    )
+    target_files = max(1, round(total_bytes / (8 * 1024 * 1024)))  # ~8 MiB files
+    fragmented.repartition(target_files).write.mode("overwrite").parquet(compact_dir)
+    return spark.read.parquet(compact_dir)

@@ -204,3 +204,19 @@ def test_schema_evolution_nulls_only_in_old_generation(spark, sf_dir):
     out = entrymod.queries()["schema_evolution_read"](spark, sf_dir)
     assert out.filter((F.col("event_id") % 2 == 0) & F.col("value").isNotNull()).count() == 0
     assert out.filter((F.col("event_id") % 2 == 1) & F.col("value").isNull()).count() == 0
+
+
+def test_compaction_collapses_file_count_preserving_rows(spark, sf_dir):
+    import glob
+
+    import __spark_entry__ as entrymod
+
+    from kinesis_stream_reader_spark.registry import _roundtrip_dir
+    from kinesis_stream_reader_spark.sources.tables import load_events
+
+    out = entrymod.queries()["sink_compact_small_files"](spark, sf_dir)
+    n_frag = len(glob.glob(f"{_roundtrip_dir(sf_dir, 'fragmented')}/part-*.parquet"))
+    n_comp = len(glob.glob(f"{_roundtrip_dir(sf_dir, 'compacted')}/part-*.parquet"))
+    assert n_frag == 64
+    assert n_comp < n_frag / 4  # real collapse
+    assert out.count() == load_events(spark, sf_dir).count()
