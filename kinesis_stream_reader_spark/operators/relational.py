@@ -2480,3 +2480,49 @@ def agg_udaf_median(events: DataFrame) -> DataFrame:
         .agg(F.round(_median("value"), 6).alias("median_value"))
         .orderBy("event_type")
     )
+
+
+def join_asof_tolerance(
+    events: DataFrame, orders: DataFrame, tolerance_days: int = 30
+) -> DataFrame:
+    """As-of join with a tolerance bound: the latest order at or before
+    the event time, but only if it is at most `tolerance_days` old —
+    stale matches become NULL (merge_asof's `tolerance` semantic; what
+    point-in-time feature joins actually need, since a two-year-old
+    feature row is usually worse than none).
+
+    Same single shuffle+sort union trick as join_asof_latest_order; the
+    running-last carries the matched ORDER TIME alongside the key, and
+    the tolerance gate is a codegen'd post-projection — no second join,
+    no extra exchange."""
+    left = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("t"), F.col("is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    order_struct = F.when(
+        F.col("is_order") == 1, F.struct(F.col("t").alias("ot"), F.col("o_orderkey"))
+    )
+    merged = left.unionByName(right).withColumn(
+        "asof", F.last(order_struct, ignorenulls=True).over(w)
+    )
+    fresh = F.col("asof.ot") >= F.col("t") - F.expr(f"INTERVAL {tolerance_days} DAYS")
+    return merged.filter(F.col("is_order") == 0).select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        F.when(fresh, F.col("asof.o_orderkey")).alias("near_orderkey"),
+    )

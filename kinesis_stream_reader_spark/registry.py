@@ -4393,3 +4393,21 @@ def sink_compact_small_files_query(spark: SparkSession, sf_dir: str) -> DataFram
     target_files = max(1, round(total_bytes / (8 * 1024 * 1024)))  # ~8 MiB files
     fragmented.repartition(target_files).write.mode("overwrite").parquet(compact_dir)
     return spark.read.parquet(compact_dir)
+
+
+@register(
+    "join_asof_tolerance",
+    """
+SELECT e.event_id, e.user_id,
+       CASE WHEN o.o_orderdate >= e.ts - INTERVAL 30 DAY
+            THEN o.o_orderkey END AS near_orderkey
+FROM events e ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+)
+def join_asof_tolerance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.join_asof_tolerance(
+        load_events(spark, sf_dir), load_table(spark, sf_dir, "orders")
+    )

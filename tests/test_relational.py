@@ -791,3 +791,32 @@ def test_udaf_median_matches_builtin(spark, sf_dir):
         for r in events.groupBy("event_type").agg(F.median("value").alias("m")).collect()
     }
     assert udaf == builtin
+
+
+def test_asof_tolerance_nulls_only_stale_matches(spark, sf_dir):
+    """Compared row-by-row with the unbounded as-of join: wherever the
+    tolerance form keeps a key it must equal the unbounded match, and
+    wherever it nulls one, the unbounded match must exist but be older
+    than the tolerance."""
+    events = load_events(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    bounded = {
+        r.event_id: r.near_orderkey
+        for r in relational.join_asof_tolerance(events, orders, 30).collect()
+    }
+    unbounded = {
+        r.event_id: r.asof_orderkey
+        for r in relational.join_asof_latest_order(events, orders).collect()
+    }
+    dates = {r.o_orderkey: r.o_orderdate for r in orders.collect()}
+    ts_by_event = {r.event_id: r.ts for r in events.select("event_id", "ts").collect()}
+    assert set(bounded) == set(unbounded)
+    nulled_stale = 0
+    for eid, near in bounded.items():
+        if near is not None:
+            assert near == unbounded[eid]
+        elif unbounded[eid] is not None:
+            age = ts_by_event[eid] - dates[unbounded[eid]]
+            assert age.days >= 30
+            nulled_stale += 1
+    assert nulled_stale > 0  # the tolerance actually bites on this data
