@@ -171,7 +171,10 @@ def _minhash_signature(documents: DataFrame, n: int = 3) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    documents: DataFrame, n: int = 3, threshold: float = 0.8
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_pairs_per_doc: int | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
@@ -179,7 +182,14 @@ def minhash_lsh_pairs(
     from banded bucket collisions (equi-join on (band, hash)), then only
     candidates pay the exact-Jaccard verification. At threshold 0.8 the
     16x2 band scheme has ~1-1e-7 recall, so the exact blocked oracle is
-    a valid twin."""
+    a valid twin.
+
+    The pair list is the DIAGNOSTIC output: on a crawl where dup groups
+    reach 1e5 members it grows quadratically per group, so the default
+    dedup contract is `minhash_dedup` (doc -> canonical, linear), and
+    pair emission here can be bounded with `max_pairs_per_doc` — a
+    deterministic per-doc cap (lowest b_id first) that turns the output
+    into at most cap*N rows."""
     sig = _minhash_signature(documents, n)
     bands = F.array(
         *[
@@ -210,7 +220,7 @@ def minhash_lsh_pairs(
     grams = gram_postings(documents, n).groupBy("doc_id").agg(
         F.collect_list("gram").alias("grams")
     )
-    return (
+    verified = (
         candidates.join(grams.withColumnRenamed("doc_id", "a_id").alias("ga"), "a_id")
         .join(
             grams.withColumnRenamed("doc_id", "b_id")
@@ -224,6 +234,36 @@ def minhash_lsh_pairs(
             F.round(_jaccard(F.col("grams"), F.col("grams_b")), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+    if max_pairs_per_doc is not None:
+        w = Window.partitionBy("a_id").orderBy("b_id")
+        verified = (
+            verified.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_pairs_per_doc)
+            .drop("_rn")
+        )
+    return verified
+
+
+def minhash_dedup(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8, max_iter: int = 10
+) -> DataFrame:
+    """The DEFAULT near-dup contract: doc_id -> canonical_id (component
+    minimum over the verified >= threshold graph) + is_dup flag — one
+    row per document, linear in corpus size no matter how large the
+    duplicate groups get.
+
+    On a 100 TB crawl dup groups reach 1e5 members; the pair relation
+    of such a group is ~5e9 rows while this mapping stays at 1e5. The
+    pair list remains available from minhash_lsh_pairs (bounded with
+    max_pairs_per_doc) for diagnostics; components ride the same
+    verified edges, so nothing is lost semantically."""
+    pairs = minhash_lsh_pairs(documents, n, threshold)
+    labels = dedup_components(documents, pairs, max_iter)
+    return labels.select(
+        "doc_id",
+        F.col("component_id").alias("canonical_id"),
+        (F.col("doc_id") != F.col("component_id")).alias("is_dup"),
     )
 
 
@@ -598,8 +638,18 @@ def semdedup(
     seeds = vecs.filter(F.col("vec_id") < n_seeds).select(
         F.col("vec_id").alias("seed_id"), F.col("v").alias("s")
     )
+    # seed sims are rounded half-up to 3 decimals (the pair-step
+    # convention) BEFORE the argmax equality join: Spark's fold and
+    # DuckDB's list_cosine_similarity can disagree in the last ulp on
+    # near-tied seeds, which would flip the cluster assignment and
+    # cascade into different pair sets; rounding makes the argmax
+    # engine-stable, and ties resolve by MIN(seed_id) on both sides
     scored = vecs.join(F.broadcast(seeds)).select(
-        "vec_id", "seed_id", cosine(F.col("v"), F.col("s")).alias("sim")
+        "vec_id",
+        "seed_id",
+        (F.floor(cosine(F.col("v"), F.col("s")) * 1000 + F.lit(0.5)) / 1000).alias(
+            "sim"
+        ),
     )
     best = (
         scored.groupBy("vec_id")
@@ -615,8 +665,34 @@ def semdedup(
         .agg(F.min("seed_id").alias("cluster"))
     )
     clustered = embeddings.select("vec_id", "embedding").join(assign, "vec_id")
-    pairs = embedding_near_dup_pairs(clustered, threshold=threshold, blocking="cluster")
-    dropped = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    # dropped-only kernel: the keep-rule needs "has ANY lower-id
+    # neighbor >= threshold" per vector, so the per-cluster matmul emits
+    # one row per dropped vector — linear output even when a cluster is
+    # one giant dup group (the full pair list of a 1e5-member group is
+    # ~5e9 rows; this is 1e5). Same math, same half-up rounding as
+    # embedding_near_dup_pairs, which remains the diagnostic pair view.
+    import numpy as np
+
+    def block_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        mat, ids = mat[order], ids[order]
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ (mat / norms).T
+        sims = np.floor(sims * 1000 + 0.5) / 1000
+        # strictly-lower-triangular mask: col j dropped if any i<j row
+        # clears the threshold
+        tri = np.tril(sims >= threshold, k=-1)
+        dropped_mask = tri.any(axis=1)
+        return pd.DataFrame({"vec_id": ids[dropped_mask]})
+
+    dropped = (
+        clustered.select("vec_id", F.col("cluster").alias("block"), "embedding")
+        .groupBy("block")
+        .applyInPandas(block_dropped, "vec_id BIGINT")
+    )
     return (
         assign.join(dropped.withColumn("_d", F.lit(True)), "vec_id", "left_outer")
         .select(
@@ -667,3 +743,40 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def containment_dedup(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    blocking: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """The DEFAULT containment contract: one row per CONTAINED doc with
+    its best container (max containment, ties -> lowest container id) —
+    linear output, vs the directed pair list which grows quadratically
+    when boilerplate wraps thousands of docs (ngram_containment_pairs
+    stays available as the diagnostic view).
+
+    One extra groupBy-max on the contained doc id on top of the
+    inverted-index pair shape; the max-struct aggregation is a partial
+    (map-side) combine, so the shuffle carries one row per contained
+    doc."""
+    pairs = ngram_containment_pairs(documents, n, threshold, blocking)
+    # argmax via max-struct: (containment, -b_id) orders ties toward the
+    # lowest container id deterministically
+    best = (
+        pairs.groupBy(F.col("a_id").alias("doc_id"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("containment"), (-F.col("b_id")).alias("nb")
+                )
+            ).alias("s")
+        )
+        .select(
+            "doc_id",
+            (-F.col("s.nb")).cast("long").alias("container_id"),
+            F.col("s.containment").alias("containment"),
+        )
+    )
+    return best.orderBy("doc_id")

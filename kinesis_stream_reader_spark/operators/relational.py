@@ -21,6 +21,8 @@ Scale notes are per-operator. General stance for the 100 TB target:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -214,10 +216,14 @@ def join_asof_latest_order(events: DataFrame, orders: DataFrame) -> DataFrame:
         "o_orderkey",
     )
     # order rows sort BEFORE event rows at equal t (desc is_order), so
-    # "at or before" includes same-instant orders
+    # "at or before" includes same-instant orders; o_orderkey asc as the
+    # final key makes ties at the same (uid, t) deterministic — the
+    # running-last picks MAX(o_orderkey) among tied order dates, and the
+    # oracle SQL mirrors that by pre-collapsing orders to one row per
+    # (custkey, orderdate) with MAX(o_orderkey)
     w = (
         Window.partitionBy("uid")
-        .orderBy(F.col("t"), F.col("is_order").desc())
+        .orderBy(F.col("t"), F.col("is_order").desc(), F.col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = left.unionByName(right).withColumn(
@@ -2233,16 +2239,22 @@ def pagerank_step(events: DataFrame, damping: float = 0.85) -> DataFrame:
         .distinct()
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Engine-stable arithmetic: float summation is non-associative, so
+    # Spark's partition-order sum and DuckDB's scan-order sum of
+    # 1.0/outdeg can differ in the last ulp, flipping any subsequent
+    # rounding at a midpoint (observed: rank 0.1765625 at sf0.001).
+    # Quantize each contribution to an exact integer (1e9 DIV outdeg —
+    # floor division, bit-identical everywhere), sum exactly, then run
+    # ONE fixed float sequence (s/1e9, *d, +1-d, half-up floor) that
+    # IEEE guarantees is deterministic across engines. The 1e-9
+    # truncation per edge is far below the 1e-6 output rounding.
     contribs = edges.join(outdeg, "src").select(
-        "dst", (F.lit(1.0) / F.col("outdeg")).alias("contrib")
+        "dst", F.expr("1000000000 DIV outdeg").alias("contrib_u")
     )
+    rank = F.lit(1 - damping) + F.lit(damping) * (F.sum("contrib_u") / F.lit(1e9))
     return (
         contribs.groupBy("dst")
-        .agg(
-            F.round(
-                F.lit(1 - damping) + F.lit(damping) * F.sum("contrib"), 6
-            ).alias("rank")
-        )
+        .agg((F.floor(rank * 1e6 + F.lit(0.5)) / 1e6).alias("rank"))
         .orderBy("dst")
     )
 
@@ -2267,7 +2279,15 @@ def pagerank_converged(
     every round: at bench scale the loop cost is pure per-action
     overhead (two driver-synchronized jobs per round), so batching
     three lazy rounds per materialization cuts wall-clock ~2x for at
-    most two extra (lazy, tiny) iterations of work."""
+    most two extra (lazy, tiny) iterations of work.
+
+    Ranks are carried as exact integer micro-units (1e-9): per-edge
+    contribution is `rank_u DIV outdeg` (floor division), inflow is an
+    exact bigint sum, and the damping update is one deterministic IEEE
+    float op on an exact integer — so every iteration is bit-identical
+    across engines and the whole loop (including the data-dependent
+    stop) is oracle-checkable with a DuckDB recursive CTE. Float
+    summation order never enters the picture."""
     edges = (
         events.select(
             F.col("user_id").alias("src"), (F.col("event_id") % 500).alias("dst")
@@ -2281,31 +2301,40 @@ def pagerank_converged(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    ranks = nodes.select("node", F.lit(1.0).alias("rank")).localCheckpoint()
+    # micro-rank units: 1.0 == 1e9; (1-d) and d*x quantized half-up
+    base_u = int(math.floor((1 - damping) * 1e9 + 0.5))
+    tol_u = int(tol * 1e9)
+    ranks = nodes.select(
+        "node", F.lit(1000000000).cast("long").alias("rank_u")
+    ).localCheckpoint()
     check_every = 3
 
     def step(r: DataFrame) -> DataFrame:
         contribs = (
             edges.join(outdeg, "src")
             .join(r.withColumnRenamed("node", "src"), "src")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("contrib"))
+            .select("dst", F.expr("rank_u DIV outdeg").alias("contrib_u"))
         )
         incoming = contribs.groupBy(F.col("dst").alias("node")).agg(
-            F.sum("contrib").alias("inflow")
+            F.sum("contrib_u").alias("inflow_u")
         )
         # carry the old rank through the same join so the convergence
         # delta is a cheap scan of the materialized result, not a
         # second join
         return (
-            r.withColumnRenamed("rank", "old_rank")
+            r.withColumnRenamed("rank_u", "old_rank_u")
             .join(incoming, "node", "left_outer")
             .select(
                 "node",
-                "old_rank",
+                "old_rank_u",
                 (
-                    F.lit(1 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-                ).alias("rank"),
+                    F.lit(base_u).cast("long")
+                    + F.floor(
+                        F.lit(damping)
+                        * F.coalesce(F.col("inflow_u"), F.lit(0)).cast("double")
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).alias("rank_u"),
             )
         )
 
@@ -2314,16 +2343,20 @@ def pagerank_converged(
         batch = min(check_every, max_iter - done)
         stepped = ranks
         for _ in range(batch):
-            stepped = step(stepped.select("node", "rank"))
+            stepped = step(stepped.select("node", "rank_u"))
         stepped = stepped.localCheckpoint()
         done += batch
-        delta = stepped.agg(
-            F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("d")
+        delta_u = stepped.agg(
+            F.sum(F.abs(F.col("rank_u") - F.col("old_rank_u"))).alias("d")
         ).first()[0]
-        ranks = stepped.select("node", "rank")
-        if delta < tol:
+        ranks = stepped.select("node", "rank_u")
+        if delta_u < tol_u:
             break
-    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+    return ranks.select(
+        "node",
+        # half-up to 6 decimals, all-integer: (u + 500) DIV 1000 / 1e6
+        (F.expr("(rank_u + 500) DIV 1000") / F.lit(1e6)).alias("rank"),
+    ).orderBy("node")
 
 
 def sample_weighted(documents: DataFrame, k: int = 100) -> DataFrame:
@@ -2509,9 +2542,12 @@ def join_asof_tolerance(
         F.lit(None).cast("long").alias("event_id"),
         "o_orderkey",
     )
+    # o_orderkey asc as the final sort key: deterministic tie-break at
+    # equal (uid, t) — running-last = MAX(o_orderkey) among tied dates
+    # (mirrored in the oracle by collapsing orders per (custkey, date))
     w = (
         Window.partitionBy("uid")
-        .orderBy(F.col("t"), F.col("is_order").desc())
+        .orderBy(F.col("t"), F.col("is_order").desc(), F.col("o_orderkey"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     order_struct = F.when(

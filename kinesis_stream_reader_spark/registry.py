@@ -779,6 +779,97 @@ def dedup_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_minhash_canonical",
+    # the DEFAULT near-dup contract (doc -> canonical + is_dup): linear
+    # output regardless of dup-group size; oracle = the same exact-pair
+    # graph walked to components with a recursive CTE
+    f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, {_GRAMS} AS grams FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS canonical_id,
+       d.doc_id <> LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS is_dup
+FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+GROUP BY d.doc_id
+""",
+)
+def dedup_minhash_canonical_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.minhash_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_pairs_capped",
+    # the bounded diagnostic view: at most 3 pairs per a_id (lowest
+    # b_id first), turning the quadratic pair relation into <= 3N rows
+    f"""
+WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+               / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+)
+SELECT a_id, b_id, jaccard FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY b_id) AS rn
+  FROM pairs
+) WHERE rn <= 3
+""",
+)
+def dedup_minhash_pairs_capped_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), max_pairs_per_doc=3
+    )
+
+
+@register(
+    "dedup_containment_best",
+    # the DEFAULT containment contract: one row per contained doc with
+    # its best container (max containment, ties -> lowest container id)
+    f"""
+WITH g AS (SELECT doc_id, lang, source, {_GRAMS} AS grams FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams), 4)
+           AS containment
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+  WHERE len(a.grams) > 0
+    AND len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams) >= 0.8
+)
+SELECT a_id AS doc_id, b_id AS container_id, containment FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                               ORDER BY containment DESC, b_id) AS rn
+  FROM pairs
+) WHERE rn = 1 ORDER BY doc_id
+""",
+)
+def dedup_containment_best_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.containment_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_embedding_cosine",
     """
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -843,8 +934,12 @@ def agg_approx_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof",
     """
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
 SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
-FROM events e ASOF LEFT JOIN orders o
+FROM events e ASOF LEFT JOIN o1 o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
 )
@@ -3906,7 +4001,9 @@ WITH vecs AS (
 ), seeds AS (
   SELECT vec_id AS seed_id, v AS s FROM vecs WHERE vec_id < 8
 ), scored AS (
-  SELECT vec_id, seed_id, list_cosine_similarity(v, s) AS sim FROM vecs, seeds
+  SELECT vec_id, seed_id,
+         FLOOR(list_cosine_similarity(v, s) * 1000 + 0.5) / 1000 AS sim
+  FROM vecs, seeds
 ), best AS (
   SELECT vec_id, MAX(sim) AS best_sim FROM scored GROUP BY vec_id
 ), assign AS (
@@ -3955,7 +4052,14 @@ WITH edges AS (
 ), outdeg AS (
   SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
 )
-SELECT e.dst, ROUND(0.15 + 0.85 * SUM(1.0 / o.outdeg), 6) AS rank
+SELECT e.dst,
+       -- (1 - CAST(.85 AS DOUBLE)) in DOUBLE, not a 0.15 literal: the
+       -- Spark side computes 1-damping in binary64 (0.15000000000000002)
+       -- while a plain 0.15 literal parses one ulp lower — enough to
+       -- flip the half-up floor at exact midpoints like 0.1765625
+       FLOOR(((1 - CAST(0.85 AS DOUBLE))
+              + CAST(0.85 AS DOUBLE) * (SUM(1000000000 // o.outdeg) / 1e9))
+             * 1e6 + 0.5) / 1e6 AS rank
 FROM edges e JOIN outdeg o ON e.src = o.src
 GROUP BY e.dst ORDER BY e.dst
 """,
@@ -4000,7 +4104,58 @@ def tfidf_top_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
 
 
-@register("pagerank_converged")  # iterative driver loop: rows-only check
+@register(
+    "pagerank_converged",
+    # recursive-CTE oracle for the full driver loop, including the
+    # data-dependent stop: ranks are exact integer micro-units on both
+    # sides (see pagerank_converged docstring), so every iteration is
+    # bit-identical and the convergence delta is an exact bigint. The
+    # stop mirrors Spark's batched check (delta inspected only at
+    # checkpoint iterations 3, 6, 9, then the max_iter=10 cap).
+    # NB: inside WITH RECURSIVE, DuckDB treats a bare UNION between CTE
+    # branches as the recursion operator, so `nodes` dedups explicitly.
+    """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT user_id AS src, event_id % 500 AS dst FROM events
+), outdeg AS (
+  SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT node
+  FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+), iters AS (
+  SELECT node, CAST(1000000000 AS BIGINT) AS rank_u,
+         CAST(NULL AS BIGINT) AS delta_u, 0 AS iter
+  FROM nodes
+  UNION ALL
+  (
+    WITH cur AS (
+      SELECT * FROM iters
+      WHERE iter < 10
+        AND (delta_u IS NULL
+             OR NOT (iter IN (3, 6, 9) AND delta_u < 1000000))
+    ), inflow AS (
+      SELECT e.dst AS node, SUM(c.rank_u // o.outdeg) AS inflow_u
+      FROM cur c JOIN edges e ON c.node = e.src
+      JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    ), nxt AS (
+      SELECT c.node,
+             CAST(150000000
+                  + FLOOR(CAST(0.85 AS DOUBLE) * COALESCE(i.inflow_u, 0) + 0.5)
+                  AS BIGINT) AS rank_u,
+             c.rank_u AS old_rank_u, c.iter + 1 AS iter
+      FROM cur c LEFT JOIN inflow i ON c.node = i.node
+    )
+    SELECT node, rank_u,
+           SUM(ABS(rank_u - old_rank_u)) OVER () AS delta_u, iter
+    FROM nxt
+  )
+)
+SELECT node, ((rank_u + 500) // 1000) / 1e6 AS rank
+FROM iters WHERE iter = (SELECT MAX(iter) FROM iters)
+ORDER BY node
+""",
+)
 def pagerank_converged_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
@@ -4275,16 +4430,19 @@ def sink_partition_overwrite_query(spark: SparkSession, sf_dir: str) -> DataFram
     idempotent-backfill primitive of every partitioned 100 TB dataset;
     static overwrite would drop every other day."""
     out_dir = _roundtrip_dir(sf_dir, "dynover")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     events = load_events(spark, sf_dir).select(
         "event_id", "value", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
     )
     events.write.mode("overwrite").partitionBy("day").parquet(out_dir)
-    # reprocess one day (doubled values) and overwrite just its partition
+    # reprocess one day (doubled values) and overwrite just its partition;
+    # the mode is a per-write option, NOT a session conf — setting the
+    # session-wide partitionOverwriteMode here would silently change the
+    # semantics of every later partitioned overwrite on the shared session
     (
         events.filter(F.col("day") == "2024-01-15")
         .withColumn("value", F.col("value") * 2)
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day")
         .parquet(out_dir)
     )
@@ -4398,10 +4556,14 @@ def sink_compact_small_files_query(spark: SparkSession, sf_dir: str) -> DataFram
 @register(
     "join_asof_tolerance",
     """
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
 SELECT e.event_id, e.user_id,
        CASE WHEN o.o_orderdate >= e.ts - INTERVAL 30 DAY
             THEN o.o_orderkey END AS near_orderkey
-FROM events e ASOF LEFT JOIN orders o
+FROM events e ASOF LEFT JOIN o1 o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """,
 )
