@@ -2427,15 +2427,66 @@ def source_overlap_matrix(documents: DataFrame) -> DataFrame:
     )
 
 
-def feature_quantile_bins(events: DataFrame, buckets: int = 10) -> DataFrame:
+def feature_quantile_bins(
+    events: DataFrame, buckets: int = 10, accuracy: int = 100000
+) -> DataFrame:
     """Equal-frequency discretization of a numeric column per group:
-    ntile bucket ids plus per-bucket [lo, hi] edges — the feature-
+    quantile-edge bucket ids plus per-bucket [n, lo, hi] — the feature-
     engineering binning step (and the bin-edge table a serving layer
     broadcasts to bucketize online traffic consistently with training).
 
-    Plan shape: one shuffle on the group key for the ntile window; the
-    edge aggregation reuses the same clustering. Output is buckets x
-    groups rows — tiny at any input scale."""
+    Scale shape: the old exact form (ntile over partitionBy(event_type))
+    funnels each group through ONE sort partition — five event types
+    means five giant sorts, a 9x blowup measured at 50x (SCALING.md).
+    This form computes per-group decile edges with approx_percentile —
+    a mergeable GK sketch, partial-aggregated map-side, memory bounded
+    by `accuracy` not by group size — broadcasts the tiny edge table
+    back, and assigns buckets with a codegen width_bucket-style
+    comparison. No global sort anywhere; both stages are one shuffle of
+    sketch/edge rows.
+
+    With group sizes <= `accuracy` the GK sketch stores every value and
+    the edges are EXACT order statistics (verified identical to
+    DuckDB's quantile_disc at oracle scale), so the oracle twin
+    computes the same edges exactly; at 100 TB the same code degrades
+    gracefully to epsilon = 1/accuracy rank error instead of OOMing.
+
+    Bucket semantics: bucket = 1 + #edges strictly below value (ties at
+    an edge go to the lower bucket) — near-equal counts, deterministic
+    on both engines, no per-row window."""
+    probs = [i / buckets for i in range(1, buckets)]
+    edges = events.groupBy("event_type").agg(
+        F.percentile_approx("value", probs, accuracy).alias("edges")
+    )
+    binned = events.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        "value",
+        (
+            F.lit(1)
+            + F.aggregate(
+                F.col("edges"),
+                F.lit(0),
+                lambda acc, e: acc + F.when(F.col("value") > e, 1).otherwise(0),
+            )
+        ).alias("bucket"),
+    )
+    return (
+        binned.groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+def feature_quantile_bins_exact(events: DataFrame, buckets: int = 10) -> DataFrame:
+    """The exact ntile twin of feature_quantile_bins: equal-COUNT
+    buckets via a per-group sort window. Kept as the small-data oracle
+    twin and for callers who need exact equal-frequency semantics —
+    NOT the 100 TB default, because partitionBy on a low-cardinality
+    group key makes each group one giant sort partition."""
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     binned = events.select(
         "event_type", "value", F.ntile(buckets).over(w).alias("bucket")

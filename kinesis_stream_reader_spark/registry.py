@@ -1202,6 +1202,47 @@ def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_sessionize_native",
+    # JVM session_window in append mode: a session emits only once the
+    # terminal watermark (max(ts) - 2h under AvailableNow) passes its
+    # end (= last event + 30-min gap) — regardless of whether a later
+    # event already closed it (unlike the Python-stateful demo, which
+    # also emits on the next event's arrival).
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), grouped AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, sid,
+         MIN(ts) AS start_ts, MAX(ts) + INTERVAL 30 MINUTE AS end_ts,
+         COUNT(*) AS n_events
+  FROM grouped GROUP BY user_id, sid
+), wm AS (
+  SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events
+)
+SELECT user_id,
+       strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(end_ts, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM sess, wm WHERE end_ts < wm.w
+""",
+)
+def streaming_sessionize_native_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.sessionize_native(stream), "streaming_sessionize_native", mode="append"
+    )
+
+
+@register(
     "window_session_builtin",
     # F.session_window's `end` is last_event + gap; mirror via lag/cumsum
     """
@@ -4284,6 +4325,32 @@ WHERE len(a.grams) > 0
 
 @register(
     "feature_quantile_bins",
+    # decile EDGES via quantile_disc (identical to Spark's GK sketch
+    # when group size <= accuracy), then the same strictly-below edge
+    # count assignment — no per-row window on either side
+    """
+WITH edges AS (
+  SELECT event_type,
+         quantile_disc(value, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges
+  FROM events GROUP BY event_type
+), binned AS (
+  SELECT e.event_type, e.value,
+         1 + len(list_filter(d.edges, x -> e.value > x)) AS bucket
+  FROM events e JOIN edges d USING (event_type)
+)
+SELECT event_type, bucket, COUNT(*) AS n,
+       ROUND(MIN(value), 6) AS lo, ROUND(MAX(value), 6) AS hi
+FROM binned GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def feature_quantile_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.feature_quantile_bins(load_events(spark, sf_dir))
+
+
+@register(
+    "feature_quantile_bins_exact",
     """
 WITH binned AS (
   SELECT event_type, value,
@@ -4295,10 +4362,10 @@ SELECT event_type, bucket, COUNT(*) AS n,
 FROM binned GROUP BY 1, 2 ORDER BY 1, 2
 """,
 )
-def feature_quantile_bins_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def feature_quantile_bins_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
-    return relational.feature_quantile_bins(load_events(spark, sf_dir))
+    return relational.feature_quantile_bins_exact(load_events(spark, sf_dir))
 
 
 @register(

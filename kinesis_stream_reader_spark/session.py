@@ -8,6 +8,7 @@ tests, bench and the driver share one profile.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
 
@@ -15,6 +16,55 @@ from pyspark.sql import SparkSession
 # rejects at schema inference unless this legacy conf is set. We read the
 # nano-epoch longs and convert explicitly in sources.tables.
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _ensure_protobuf() -> bool:
+    """Best-effort `google.protobuf` for transformWithStateInPandas.
+
+    The TWS Python worker speaks a protobuf state-server protocol
+    (pyspark.sql.streaming.proto), but this container ships no protobuf
+    wheel and installs are disallowed. The google-cloud-sdk on the image
+    bundles a modern pure-Python protobuf (6.32) under its appengine
+    platform dir; putting that on sys.path AND PYTHONPATH (so local-mode
+    Python workers, which inherit the JVM's env, resolve it too) makes
+    the whole TWS path executable. The one-minor-version gencode gap
+    (pyspark's pb2 files are 6.33) is waived with protobuf's own
+    documented escape hatch. Everything is gated: absent the SDK dir
+    this is a no-op and TWS tests skip as before.
+
+    Must run BEFORE the JVM starts for the env to reach workers — hence
+    module import time, not first use."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        pass
+    gae = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    if not os.path.isdir(os.path.join(gae, "google", "protobuf")):
+        return False
+    if gae not in sys.path:
+        sys.path.append(gae)
+    os.environ.setdefault("TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true")
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    if gae not in parts:
+        os.environ["PYTHONPATH"] = os.pathsep.join(p for p in [gae, *parts] if p)
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+HAVE_PROTOBUF = _ensure_protobuf()
+
+# transformWithStateInPandas needs a state store with multiple column
+# families — only RocksDB (bundled with Spark 4) supports that; the
+# HDFS-backed default rejects it at task start.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
 
 def default_parallelism() -> int:

@@ -99,6 +99,37 @@ def windowed_counts(
     )
 
 
+def sessionize_native(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """The DEFAULT streaming sessionization: JVM-native session_window
+    aggregation — gap-based session windows per user, closed and
+    emitted (append mode) once the watermark passes the session end.
+
+    Versus the applyInPandasWithState shape (stateful.sessionize, kept
+    as the arbitrary-state API demo): state merging happens in the
+    JVM's session-window state store with partial aggregation and no
+    Arrow round-trips, so per-batch cost scales with distinct active
+    users, not with Python invocation overhead. session_window's `end`
+    is last_event + gap, matching the batch twin
+    (relational.window_session_builtin)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window(F.col("ts"), gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id with watermark-bounded state
     (dropDuplicatesWithinWatermark): the streaming twin of
@@ -144,7 +175,10 @@ def attribution_join(
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, state_partitions: int | None = None
+    stream_df: DataFrame,
+    query_name: str,
+    state_partitions: int | None = None,
+    mode: str | None = None,
 ) -> DataFrame:
     """Execute a streaming plan with Trigger.AvailableNow and return the
     materialized result — the drain-until-caught-up semantics of the
@@ -179,7 +213,14 @@ def run_available_now(
         else os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    complete = stream_df.isStreaming and _has_aggregation(stream_df)
+    # autodetect: aggregations run complete-mode on the memory sink.
+    # `mode="append"` overrides for watermark-evicted aggregations
+    # (session/tumbling windows) where append is the production shape
+    # and only CLOSED windows should emit.
+    if mode is None:
+        complete = stream_df.isStreaming and _has_aggregation(stream_df)
+    else:
+        complete = mode == "complete"
     spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
     try:
         if complete:

@@ -23,6 +23,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+# Idempotent protobuf shim at module level: when a TWS processor class
+# is unpickled inside a Python worker this module imports first, so the
+# shim lands on sys.path before the worker touches the pb2 state
+# protocol — covering workers even when the JVM env predates the shim
+# (e.g. the correctness driver's own session).
+from ..session import HAVE_PROTOBUF, ROCKSDB_PROVIDER  # noqa: F401
+
 SESSION_SCHEMA = (
     "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, n_events BIGINT"
 )
@@ -98,7 +105,17 @@ def _sessionize(
 
 
 def sessionize(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
-    """events (streaming) -> closed sessions per user."""
+    """events (streaming) -> closed sessions per user.
+
+    This is the ARBITRARY-STATE API DEMO, not the default
+    sessionization path: per-group state lives in Python, so every
+    micro-batch pays an Arrow round-trip plus a pandas loop per user —
+    the one non-codegen stateful hot loop in the repo. The 100 TB
+    default is `sessionize_native` below (JVM session_window
+    aggregation, whole-stage codegen, mergeable partial aggregation);
+    reach for this shape only when per-session logic genuinely exceeds
+    an aggregate (model scoring inside the session, rolling custom
+    payloads)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
@@ -132,11 +149,13 @@ class RunningProfileProcessor:
     custom stateful operators.
 
     NOTE: executing this operator requires `google.protobuf` (the
-    TWS Python worker speaks a protobuf state-server protocol); the
-    test container does not ship it, so the operator is exercised by
-    an importorskip-gated test and is NOT in the driver-checked
-    queries() registry. applyInPandasWithState (sessionize above)
-    covers the runnable custom-stateful surface here."""
+    TWS Python worker speaks a protobuf state-server protocol) and the
+    RocksDB state store provider (TWS state uses multiple column
+    families, which the HDFS-backed default rejects). session.py's
+    gated shim supplies protobuf from the image's google-cloud-sdk
+    bundle, so the pytest coverage runs for real in this sandbox; the
+    op stays out of the driver-checked queries() registry because the
+    driver's own JVM may predate the shim's PYTHONPATH."""
 
     def init(self, handle) -> None:
         self._state = handle.getValueState(

@@ -69,21 +69,63 @@ def test_sessionize_closes_on_gap(spark, sf_dir):
             assert e1 < s2  # non-overlapping, gap-separated
 
 
+def test_sessionize_native_matches_closed_batch_sessions(spark, sf_dir):
+    """The DEFAULT sessionization path (JVM session_window, append
+    mode): emitted sessions must be exactly the batch gap-sessions
+    whose end (last event + gap) precedes the terminal watermark."""
+    from kinesis_stream_reader_spark.operators.relational import window_session_builtin
+
+    stream = jobs.stream_events(spark, sf_dir)
+    got = jobs.run_available_now(
+        jobs.sessionize_native(stream), "sessionize_native_test", mode="append"
+    ).collect()
+    events = load_events(spark, sf_dir)
+    # session_start/end are 'yyyy-MM-dd HH:mm:ss' strings on both sides;
+    # that format compares correctly as text
+    wm = events.agg(
+        F.date_format(
+            F.max("ts") - F.expr("INTERVAL 2 HOURS"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("w")
+    ).first().w
+    want = [
+        r for r in window_session_builtin(events).collect() if r.session_end < wm
+    ]
+    assert len(got) > 0
+    got_set = sorted((r.user_id, r.session_start, r.session_end, r.n_events) for r in got)
+    want_set = sorted(
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in want
+    )
+    assert got_set == want_set
+
+
 def test_running_profiles_matches_batch_aggregate(spark, sf_dir):
     """transformWithStateInPandas running profile: the final emission
     per user must equal the plain batch aggregate. Skipped where the
-    TWS protobuf state protocol's Python dependency is unavailable."""
+    TWS protobuf state protocol's Python dependency is unavailable
+    (session.py's gated shim normally supplies it in this sandbox).
+    TWS state uses multiple column families, so the query runs on the
+    RocksDB provider (restored afterwards)."""
     import pytest
 
     pytest.importorskip("google.protobuf.descriptor")
     from pyspark.sql import functions as F
 
+    from kinesis_stream_reader_spark.session import ROCKSDB_PROVIDER
     from kinesis_stream_reader_spark.sources.tables import load_events
     from kinesis_stream_reader_spark.streaming import jobs
     from kinesis_stream_reader_spark.streaming.stateful import running_profiles
 
-    stream = jobs.stream_events(spark, sf_dir)
-    out = jobs.run_available_now(running_profiles(stream), "tws_profile")
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_conf, None)
+    spark.conf.set(provider_conf, ROCKSDB_PROVIDER)
+    try:
+        stream = jobs.stream_events(spark, sf_dir)
+        out = jobs.run_available_now(running_profiles(stream), "tws_profile")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, prev)
     final = {
         r.user_id: (r.n_events, r.first_seen, r.last_seen)
         for r in out.groupBy("user_id")
