@@ -127,12 +127,34 @@ def kpl_encode(payloads: list[bytes], partition_key: str = "pk") -> bytes:
     return KPL_MAGIC + body + hashlib.md5(body).digest()
 
 
-def kpl_decode(blob: bytes, verify_checksum: bool = True) -> list[str]:
+def _js_falsy_json(blob: bytes) -> bool:
+    """True iff the payload parses as JSON to a value JavaScript treats
+    as falsy: null, false, any zero number, or the empty string.
+    Unparseable payloads are NOT falsy — the reference wraps them as
+    {"INVALID JSON": raw}, a truthy object (kinesisReader/index.js:
+    110-117), so they survive the `if (record)` gate."""
+    import json
+
+    try:
+        v = json.loads(blob.decode("utf-8"))
+    except Exception:
+        return False
+    return v is None or v is False or v == 0 or v == ""
+
+
+def kpl_decode(
+    blob: bytes, verify_checksum: bool = True, reference_quirks: bool = False
+) -> list[str]:
     """One wire record -> list of base64 payload strings.
 
     Mirrors deaggregate() (kinesisReader/index.js:120-176): KPL magic ->
     protobuf explode (silently [] on any decode/checksum error); non-KPL
     -> single passthrough payload.
+
+    ``reference_quirks=True`` additionally emulates index.js:173's
+    `if (record)` gate: a NON-KPL payload whose parsed JSON is falsy in
+    JS (`null`/`false`/`0`/`""`) is dropped; KPL inner records keep
+    falsy payloads either way (the KPL loop at :155-162 has no gate).
 
     The parse loop is hand-inlined rather than using the generic
     ``_iter_fields`` generator: this is the engine's hottest Python path
@@ -144,6 +166,8 @@ def kpl_decode(blob: bytes, verify_checksum: bool = True) -> list[str]:
     if blob is None:
         return []
     if blob[:4] != KPL_MAGIC:
+        if reference_quirks and _js_falsy_json(blob):
+            return []  # index.js:173 `if (record)`
         return [base64.b64encode(blob).decode()]  # index.js:166-174
     try:
         body = blob[4 : len(blob) - KPL_MD5_LEN]
@@ -225,16 +249,25 @@ def kpl_decode(blob: bytes, verify_checksum: bool = True) -> list[str]:
 # --- DataFrame operators ----------------------------------------------------
 
 
-def _kpl_decode_udf(verify_checksums: bool):
+def _kpl_decode_udf(verify_checksums: bool, reference_quirks: bool = False):
     @F.pandas_udf(ArrayType(StringType()))
     def decode(blobs: pd.Series) -> pd.Series:
-        return blobs.map(lambda b: kpl_decode(b, verify_checksum=verify_checksums))
+        return blobs.map(
+            lambda b: kpl_decode(
+                b,
+                verify_checksum=verify_checksums,
+                reference_quirks=reference_quirks,
+            )
+        )
 
     return decode
 
 
 def deagg_explode(
-    df: DataFrame, data_col: str = "data", verify_checksums: bool = False
+    df: DataFrame,
+    data_col: str = "data",
+    verify_checksums: bool = False,
+    reference_quirks: bool = False,
 ) -> DataFrame:
     """KPL de-aggregation: one wire record row -> N payload rows.
 
@@ -247,17 +280,20 @@ def deagg_explode(
     (kinesisReader/index.js:31) — a bad-checksum aggregate is still
     decoded. Enable it to get the deagg library's strict mode.
 
-    Known reference quirk NOT emulated: on the non-KPL passthrough path
-    the reference drops records whose parsed JSON is falsy in JS
-    (payloads of exactly `null`/`0`/`false`/`""`,
-    kinesisReader/index.js:173 `if (record)`), while KPL inner records
-    keep them. Here both paths keep every payload; downstream
-    PERMISSIVE parsing represents degenerate documents as NULL fields.
+    ``reference_quirks`` (default False) opts into index.js:173's
+    falsy-payload gate on the NON-KPL passthrough path: payloads whose
+    parsed JSON is `null`/`0`/`false`/`""` are dropped there, while KPL
+    inner records keep them — full fidelity to the reference's
+    asymmetry. The engine default keeps every payload on both paths and
+    lets PERMISSIVE parsing represent degenerate documents as NULL
+    fields, which is the saner contract for a data pipeline.
     """
     other = [c for c in df.columns if c != data_col]
     return df.select(
         *other,
-        F.explode(_kpl_decode_udf(verify_checksums)(F.col(data_col))).alias("payload_b64"),
+        F.explode(
+            _kpl_decode_udf(verify_checksums, reference_quirks)(F.col(data_col))
+        ).alias("payload_b64"),
     )
 
 

@@ -316,6 +316,47 @@ def deagg_explode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("event_id", "k")
 
 
+# Every JSON scalar JavaScript treats as falsy, plus truthy/invalid
+# controls. Expected survivors per path follow kinesisReader/index.js:
+# the non-KPL `if (record)` gate (:173) drops falsy payloads; the KPL
+# inner loop (:155-162) has no gate; invalid JSON survives BOTH paths
+# because the {"INVALID JSON": raw} wrapper (:115) is truthy.
+_QUIRK_PAYLOADS = [
+    '{"k": 1}', "null", "0", "false", '""', "0.0", "not json", "[]", '"x"', "17",
+]
+_QUIRK_FALSY = {"null", "0", "false", '""', "0.0"}
+
+
+@register(
+    "deagg_passthrough_quirk",
+    # static expected table: reference semantics derived by hand from
+    # index.js:155-173 — KPL keeps all 10, passthrough keeps the 5
+    # truthy/invalid ones
+    """
+WITH expected(path, payload) AS (
+  VALUES
+    ('kpl', '{"k": 1}'), ('kpl', 'null'), ('kpl', '0'), ('kpl', 'false'),
+    ('kpl', '""'), ('kpl', '0.0'), ('kpl', 'not json'), ('kpl', '[]'),
+    ('kpl', '"x"'), ('kpl', '17'),
+    ('raw', '{"k": 1}'), ('raw', 'not json'), ('raw', '[]'), ('raw', '"x"'),
+    ('raw', '17')
+)
+SELECT path, payload FROM expected
+""",
+)
+def deagg_passthrough_quirk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ingest import deagg_explode, kpl_encode
+
+    blobs = [("kpl", kpl_encode([p.encode() for p in _QUIRK_PAYLOADS]))] + [
+        ("raw", p.encode()) for p in _QUIRK_PAYLOADS
+    ]
+    df = spark.createDataFrame(blobs, "path STRING, data BINARY")
+    out = deagg_explode(df, reference_quirks=True)
+    return out.select(
+        "path", F.unbase64(F.col("payload_b64")).cast("string").alias("payload")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational extension surface (SURVEY.md §2.4-2.8: absent in the
 # reference, built-in via Spark). operators/relational.py documents the
