@@ -42,12 +42,36 @@ def ann_bruteforce(embeddings: DataFrame, query_vec_id: int = 0, k: int = 10) ->
     )
 
 
+def lsh_planes(planes: int = LSH_PLANES, dim: int = 64):
+    """The fixed sign-LSH hyperplanes as a (dim x planes) float64
+    matrix, derived per element from md5("plane:{p}:{d}") -> uniform
+    [-1, 1). Hash-derived (not RNG-derived) so ANY engine reproduces
+    the exact plane values bit-for-bit — the DuckDB oracle builds the
+    same matrix in SQL (2*(first 15 md5 hex digits / 2^60) - 1; both
+    the scale and the affine map are exact binary64 ops). Uniform
+    components instead of Gaussian costs sign-LSH nothing: only the
+    plane's direction matters and the quality difference at 64 dims is
+    negligible, while cross-engine reproducibility is what makes the
+    op oracle-checkable."""
+    import hashlib
+
+    import numpy as np
+
+    w = np.empty((dim, planes), dtype=np.float64)
+    for p in range(planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:15], 16)
+            w[d, p] = 2.0 * (h / float(1 << 60)) - 1.0
+    return w
+
+
 def lsh_buckets_vectorized(embeddings: DataFrame, planes: int = LSH_PLANES, dim: int = 64) -> DataFrame:
     """Sign-LSH buckets for all vectors in one Arrow-batched matmul:
-    project each vector onto `planes` fixed Gaussian hyperplanes
-    (deterministic seeded RNG shared by every executor) and pack the
-    projection signs into a long. The bucket column is then an ordinary
-    narrow column — at scale it becomes the partition/Z-order key.
+    project each vector onto `planes` fixed hash-derived hyperplanes
+    (lsh_planes — identical on every executor AND in the oracle) and
+    pack the projection signs into a long. The bucket column is then an
+    ordinary narrow column — at scale it becomes the partition/Z-order
+    key.
 
     Same engineering decision as dedup.embedding_near_dup_pairs: dense
     vector math goes through numpy/BLAS, not per-element column folds
@@ -55,8 +79,7 @@ def lsh_buckets_vectorized(embeddings: DataFrame, planes: int = LSH_PLANES, dim:
     import numpy as np
 
     def batches(it):
-        rng = np.random.default_rng(42)
-        w = rng.standard_normal((dim, planes))
+        w = lsh_planes(planes, dim)
         powers = (1 << np.arange(planes)).astype(np.int64)
         for pdf in it:
             mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)

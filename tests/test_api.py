@@ -49,20 +49,13 @@ def test_error_envelope():
 
 
 def test_registry_contract_integrity():
-    """Every oracle key maps to a registered query, and the rows-only
-    (no-oracle) set stays exactly the documented sketch trio — new
-    operators must ship with an oracle or consciously extend this
-    list."""
+    """EVERY registered query ships with a DuckDB oracle — the round-2
+    closure of the rows-only set (sketch bounds became driver-checked
+    tolerance contracts, ann_lsh got md5-derived planes, and
+    pagerank_converged a recursive-CTE mirror of the full loop)."""
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    assert set(oracles) <= set(qs)
-    assert set(qs) - set(oracles) == {
-        "agg_approx_distinct",
-        "agg_percentiles_approx",
-        "ann_lsh",
-        "agg_hll_mergeable",  # sketch estimate (pytest tolerance check)
-        "pagerank_converged",  # iterative driver loop (pytest invariant)
-    }
-    assert len(qs) >= 160
+    assert set(oracles) == set(qs)
+    assert len(qs) >= 190

@@ -115,3 +115,56 @@ def test_multimodal_dedup_finds_exact_groups(spark, sf_dir):
     assert copies == [1] * 10 + [2] * 20
     for r in rows:
         assert r.canonical_file.startswith("obj_000")
+
+
+def test_ppm_decode_shapes_and_values(spark, sf_dir):
+    """REAL codec path: PPM payloads decode to the exact (h, w, 3)
+    arrays the fixture formulas define."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(i,) for i in range(7)], "doc_id BIGINT")
+    media = {r.doc_id: bytes(r.data) for r in M.synthetic_ppm_media(docs).collect()}
+    for doc_id, blob in media.items():
+        arr = M.decode_image(blob)
+        w, h = 8 + doc_id % 5, 6 + doc_id % 3
+        assert arr.shape == (h, w, 3)
+        want = ((doc_id * 7 + np.arange(w * h * 3)) % 256).reshape(h, w, 3)
+        assert (arr == want).all()
+    # non-PPM payloads still gate on the missing codec
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG....")
+
+
+def test_ppm_comment_and_whitespace_grammar():
+    """decode_ppm must survive the format's comment/whitespace rules."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as M
+
+    arr = (np.arange(2 * 3 * 3) % 256).astype("uint8").reshape(2, 3, 3)
+    wire = b"P6\n# a comment\n3   2\n# another\n255\n" + arr.tobytes()
+    assert (M.decode_ppm(wire) == arr).all()
+
+
+def test_wav_decode_resample_shapes(spark, sf_dir):
+    """REAL audio path: WAV headers parse, samples roundtrip, and the
+    2x nearest-neighbor resample duplicates each sample."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as M
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], "doc_id BIGINT")
+    media = {r.doc_id: bytes(r.data) for r in M.synthetic_wav_media(docs).collect()}
+    for doc_id, blob in media.items():
+        rate, samples = M.decode_wav(blob)
+        n = 64 + doc_id % 50
+        assert rate == 8000 and len(samples) == n
+        want = ((doc_id * 13 + np.arange(n) * 31) % 65536) - 32768
+        assert (samples == want).all()
+        out_rate, resampled = M.resample_audio(blob, 16000)
+        assert out_rate == 16000 and len(resampled) == 2 * n
+        assert (resampled[::2] == samples).all() and (resampled[1::2] == samples).all()
