@@ -375,6 +375,89 @@ def dedup_components(
     return labels
 
 
+def span_postings(documents: DataFrame, span: int = 8) -> DataFrame:
+    """(doc_id, pos, gram) — one row per POSITION (not distinct): the
+    hashed `span`-token window starting at each position. Same
+    codegen-only lead-window shape as gram_postings, with positions
+    retained because downstream consumers need interval arithmetic."""
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).select("doc_id", "pos", F.xxhash64("tok").alias("h0"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    lead_cols = [F.lead("h0", i).over(w).alias(f"h{i}") for i in range(1, span)]
+    with_leads = toks.select("doc_id", "pos", "h0", *lead_cols)
+    return with_leads.filter(F.col(f"h{span-1}").isNotNull()).select(
+        "doc_id",
+        "pos",
+        F.xxhash64(*[F.col(f"h{i}") for i in range(span)]).alias("gram"),
+    )
+
+
+def substring_dedup_report(documents: DataFrame, span: int = 8) -> DataFrame:
+    """Exact SUBSTRING-level duplication (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better'): for
+    each document, how many of its tokens are covered by some
+    `span`-token window that occurs MORE THAN ONCE in the corpus
+    (including repeats inside one document) — the operator behind
+    span-level dedup policies, where only the duplicated RANGES are
+    cut, not whole documents.
+
+    Scale shape — suffix arrays don't distribute, posting joins do:
+    (1) per-position span hashes (span_postings, codegen-only);
+    (2) duplicated spans = one groupBy(gram) HAVING count>1, shuffle
+        carries longs;
+    (3) coverage = classic interval-union via one per-doc window pass
+        (running max of interval ends -> island ids -> island extents),
+        avoiding any per-token explode of the covered ranges.
+    Dup-span occurrence lists are never materialized — only counts and
+    covered intervals — so a billion-fold repeated boilerplate span
+    costs one aggregate row, not a pair explosion."""
+    posts = span_postings(documents, span)
+    dup_grams = posts.groupBy("gram").agg(F.count("*").alias("n_occ")).filter(
+        F.col("n_occ") >= 2
+    )
+    intervals = posts.join(dup_grams, "gram").select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + span).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = (
+        intervals.withColumn(
+            "new_island",
+            (F.col("s") > F.coalesce(prev_max_end, F.lit(-1))).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+        .groupBy("doc_id", "island")
+        .agg((F.max("e") - F.min("s")).alias("covered"))
+        .groupBy("doc_id")
+        .agg(F.sum("covered").alias("dup_tokens"))
+    )
+    lengths = documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return (
+        lengths.join(islands, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+            # half-up floor, not ROUND: k/n fractions hit exact 4dp
+            # midpoints (1/32 = .03125) where Spark and DuckDB round
+            # in opposite directions
+            (
+                F.floor(
+                    F.coalesce(F.col("dup_tokens"), F.lit(0))
+                    / F.col("n_tokens")
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two double-array columns, built-in only:
     ordered zip_with/aggregate fold (deterministic summation order)."""

@@ -2484,6 +2484,40 @@ def feature_quantile_bins(
     )
 
 
+def join_salted_skew(
+    events: DataFrame, customer: DataFrame, salt: int = 8
+) -> DataFrame:
+    """Skew-mitigated equi-join: salt the (skewed) big side's key with
+    a deterministic hash mod `salt`, replicate the small side `salt`
+    ways via explode(sequence(...)) — never a cross join — and join on
+    (key, salt). One hot key's rows now spread across `salt` reducers
+    instead of melting one.
+
+    Semantically identical to the plain join (the oracle IS the plain
+    join); this is the manual form of what AQE skew-join does at
+    runtime, needed when the skew is known ahead of time (power-law
+    user activity) or the engine's skew threshold doesn't trigger —
+    e.g. a 100 TB event log where one bot account is 5% of traffic.
+    The small side's replication is broadcast anyway, so the only real
+    cost is `salt` copies of a dimension that already fits in memory."""
+    big = events.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(salt)).cast("int")
+    )
+    small = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt"),
+    )
+    return (
+        big.join(
+            F.broadcast(small),
+            (big["user_id"] == small["c_custkey"]) & (big["_salt"] == small["_salt"]),
+        )
+        .select("event_id", "user_id", "c_nationkey")
+        .orderBy("event_id")
+    )
+
+
 def feature_quantile_bins_exact(events: DataFrame, buckets: int = 10) -> DataFrame:
     """The exact ntile twin of feature_quantile_bins: equal-COUNT
     buckets via a per-group sort window. Kept as the small-data oracle

@@ -426,3 +426,142 @@ def ann_recall_report(
             F.round(F.col("n_overlap") / k, 4).alias("recall_at_k"),
         )
     )
+
+
+def pq_encode(
+    embeddings: DataFrame, m: int = 4, n_codes: int = 8, dim: int = 64
+) -> DataFrame:
+    """Product-quantization encoding (FAISS PQ shape): split each
+    vector into `m` subspaces, assign each subvector to its nearest
+    codebook entry — 64 doubles become 4 small ints (128x compression).
+
+    Deterministic codebooks: the subvectors of the `n_codes` lowest
+    vec_ids (same oracle-friendly seed trick as semdedup; a production
+    index trains them with kmeans_step per subspace). Engine-stable
+    assignment: squared L2 distances are quantized half-up to integer
+    millis BEFORE the argmin, ties break to the lowest code id, so
+    Spark and the DuckDB oracle pick identical codes everywhere.
+
+    Scale shape: codebooks are m x n_codes rows -> broadcast; encoding
+    is one broadcast join + partial-agg argmin, shuffle carries
+    (vec_id, sub_id, code) longs, never vectors."""
+    sub = dim // m
+    subspaces = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("sub_id"),
+                F.slice(_as_double(F.col("embedding")), s * sub + 1, sub).alias("sv"),
+            )
+            for s in range(m)
+        ]
+    )
+    parts = embeddings.select(
+        "vec_id", F.explode(subspaces).alias("p")
+    ).select("vec_id", F.col("p.sub_id").alias("sub_id"), F.col("p.sv").alias("sv"))
+    codes = parts.filter(F.col("vec_id") < n_codes).select(
+        F.col("sub_id").alias("c_sub"),
+        F.col("vec_id").alias("code_id"),
+        F.col("sv").alias("cv"),
+    )
+    sqdist = F.aggregate(
+        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = parts.join(
+        F.broadcast(codes), F.col("sub_id") == F.col("c_sub")
+    ).select(
+        "vec_id",
+        "sub_id",
+        "code_id",
+        F.floor(sqdist * 1000 + F.lit(0.5)).cast("long").alias("d_milli"),
+    )
+    return (
+        scored.groupBy("vec_id", "sub_id")
+        .agg(F.min(F.struct("d_milli", "code_id")).alias("best"))
+        .select("vec_id", "sub_id", F.col("best.code_id").alias("code"))
+    )
+
+
+def ann_pq(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """ADC top-k search over the PQ store (FAISS IndexPQ search shape):
+    precompute the query's distance to every codebook entry (an m x
+    n_codes lookup table), then a candidate's approximate distance is
+    the SUM of m table lookups — no original vectors touched at query
+    time.
+
+    Distances stay integer millis end-to-end, so the per-vector sum is
+    an exact bigint and the (distance, vec_id) ranking is bit-stable
+    across engines. Plan: LUT is broadcast; one groupBy(vec_id) sums m
+    smallint lookups; TakeOrderedAndProject picks k — no global sort,
+    nothing driver-side."""
+    sub = dim // m
+    codes = pq_encode(embeddings, m, n_codes, dim)
+    q_subs = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub_id"),
+                        F.slice(
+                            _as_double(F.col("embedding")), s * sub + 1, sub
+                        ).alias("qv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("p")
+    ).select(F.col("p.sub_id").alias("q_sub"), F.col("p.qv").alias("qv"))
+    cb = (
+        embeddings.filter(F.col("vec_id") < n_codes)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub_id"),
+                            F.slice(
+                                _as_double(F.col("embedding")), s * sub + 1, sub
+                            ).alias("cv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col("vec_id").alias("code_id"),
+            F.col("p.sub_id").alias("sub_id"),
+            F.col("p.cv").alias("cv"),
+        )
+    )
+    lut_dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = cb.join(F.broadcast(q_subs), F.col("sub_id") == F.col("q_sub")).select(
+        "sub_id",
+        "code_id",
+        F.floor(lut_dist * 1000 + F.lit(0.5)).cast("long").alias("q_milli"),
+    )
+    return (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub_id"] == lut["sub_id"]) & (codes["code"] == lut["code_id"]),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("q_milli").alias("adc_milli"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", (F.col("adc_milli") / 1000).alias("adc_dist"))
+        .orderBy(F.col("adc_dist"), F.col("vec_id"))
+        .limit(k)
+    )

@@ -820,6 +820,51 @@ def dedup_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_substring_spans",
+    # Lee et al. span-level duplication: per-position 8-token windows,
+    # duplicated-window intervals merged per doc by the same
+    # running-max interval-union the Spark side uses
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tl FROM documents
+), posts AS (
+  SELECT doc_id, i.i AS s, i.i + 8 AS e,
+         array_to_string(tl[i.i + 1 : i.i + 8], ' ') AS gram
+  FROM toks, LATERAL (SELECT UNNEST(range(greatest(len(tl) - 7, 0))) AS i) i
+), dup AS (
+  SELECT gram FROM posts GROUP BY gram HAVING COUNT(*) >= 2
+), intervals AS (
+  SELECT p.doc_id, p.s, p.e FROM posts p JOIN dup USING (gram)
+), marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM intervals
+), islands AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM marked
+), cov AS (
+  SELECT doc_id, SUM(covered) AS dup_tokens
+  FROM (SELECT doc_id, island, MAX(e) - MIN(s) AS covered
+        FROM islands GROUP BY doc_id, island)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.tl)::BIGINT AS n_tokens,
+       COALESCE(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+       FLOOR(COALESCE(c.dup_tokens, 0) / len(t.tl) * 1e4 + 0.5) / 1e4 AS dup_frac
+FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+ORDER BY t.doc_id
+""",
+)
+def dedup_substring_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.substring_dedup_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "dedup_minhash_canonical",
     # the DEFAULT near-dup contract (doc -> canonical + is_dup): linear
     # output regardless of dup-group size; oracle = the same exact-pair
@@ -977,6 +1022,46 @@ def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
 
     return similarity.ann_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_pq",
+    # full PQ mirror: same deterministic codebooks (subvectors of the 8
+    # lowest vec_ids), same milli-quantized L2 assignment (argmin via
+    # the packed MIN(d*8+code) trick = Spark's min-struct ordering),
+    # same exact-bigint ADC sums
+    """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), parts AS (
+  SELECT vec_id, s.s AS sub_id, v[s.s * 16 + 1 : (s.s + 1) * 16] AS sv
+  FROM vecs, (SELECT UNNEST(range(4)) AS s) s
+), codes AS (
+  SELECT sub_id AS c_sub, vec_id AS code_id, sv AS cv FROM parts WHERE vec_id < 8
+), scored AS (
+  SELECT p.vec_id, p.sub_id, c.code_id,
+         CAST(FLOOR(list_sum(list_transform(range(1, 17),
+                i -> (p.sv[i] - c.cv[i]) * (p.sv[i] - c.cv[i]))) * 1000 + 0.5)
+              AS BIGINT) AS d_milli
+  FROM parts p JOIN codes c ON p.sub_id = c.c_sub
+), assign AS (
+  SELECT vec_id, sub_id, MIN(d_milli * 8 + code_id) % 8 AS code
+  FROM scored GROUP BY vec_id, sub_id
+), lut AS (
+  SELECT s.sub_id, s.code_id, s.d_milli AS q_milli
+  FROM scored s WHERE s.vec_id = 0
+)
+SELECT a.vec_id, SUM(l.q_milli) / 1000 AS adc_dist
+FROM assign a JOIN lut l ON a.sub_id = l.sub_id AND a.code = l.code_id
+WHERE a.vec_id <> 0
+GROUP BY a.vec_id
+ORDER BY adc_dist, a.vec_id LIMIT 10
+""",
+)
+def ann_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.ann_pq(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(
@@ -4570,6 +4655,23 @@ def multimodal_audio_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.audio_decode_features(multimodal.synthetic_wav_media(docs))
+
+
+@register(
+    "join_salted_skew",
+    # salting is plan-internal: semantics = the plain equi-join
+    """
+SELECT e.event_id, e.user_id, c.c_nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+ORDER BY e.event_id
+""",
+)
+def join_salted_skew_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.join_salted_skew(
+        load_events(spark, sf_dir), load_table(spark, sf_dir, "customer")
+    )
 
 
 @register(

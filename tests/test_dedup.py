@@ -370,3 +370,52 @@ def test_containment_is_directed_and_bounded(spark):
     # symmetric twins may legitimately differ: containment is directed
     pairs = {(r.a_id, r.b_id): r.containment for r in rows}
     assert len(pairs) == len(rows)  # no duplicate directed edges
+
+
+def test_substring_dedup_covers_planted_span(spark):
+    """Plant one shared 10-token boilerplate span in 3 docs: exactly
+    its tokens (plus any organic repeats) are flagged; a unique doc
+    reports zero duplicated tokens."""
+    from kinesis_stream_reader_spark.operators.dedup import substring_dedup_report
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    uniq = ["w%d%d" % (i, j) for i in range(4) for j in range(8)]
+    docs = spark.createDataFrame(
+        [
+            (0, span + " " + " ".join(uniq[:8])),
+            (1, " ".join(uniq[8:16]) + " " + span),
+            (2, " ".join(uniq[16:24]) + " " + span + " " + " ".join(uniq[24:32])),
+            (3, " ".join("only%d" % i for i in range(20))),
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r.doc_id: r for r in substring_dedup_report(docs, span=8).collect()}
+    assert rows[3].dup_tokens == 0 and rows[3].dup_frac == 0.0
+    # the planted span is 10 tokens; every 8-window inside it repeats
+    # across docs, so coverage >= 10 for each carrier
+    for d in (0, 1, 2):
+        assert rows[d].dup_tokens >= 10
+        assert rows[d].n_tokens > rows[d].dup_tokens  # unique tail kept
+
+
+def test_pq_encode_and_adc_search(spark, sf_dir):
+    """PQ invariants: every vector gets exactly m codes, codes are
+    valid codebook ids, seed vectors quantize to themselves (distance 0
+    to their own subvector), and ADC search returns k ranked rows."""
+    from kinesis_stream_reader_spark.operators.similarity import ann_pq, pq_encode
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_encode(emb).collect()
+    n_vecs = emb.count()
+    assert len(codes) == n_vecs * 4
+    assert all(0 <= r.code < 8 for r in codes)
+    # a seed vector's nearest code in every subspace is itself
+    for r in codes:
+        if r.vec_id < 8:
+            assert r.code == r.vec_id, (r.vec_id, r.sub_id, r.code)
+    hits = ann_pq(emb).collect()
+    assert len(hits) == 10
+    dists = [r.adc_dist for r in hits]
+    assert dists == sorted(dists) and all(d >= 0 for d in dists)
+    assert 0 not in {r.vec_id for r in hits}

@@ -820,3 +820,22 @@ def test_asof_tolerance_nulls_only_stale_matches(spark, sf_dir):
             assert age.days >= 30
             nulled_stale += 1
     assert nulled_stale > 0  # the tolerance actually bites on this data
+
+
+def test_join_salted_skew_matches_plain_join(spark, sf_dir):
+    """Salting is plan-internal: result set == plain equi-join, and the
+    salted plan broadcasts the replicated small side."""
+    from kinesis_stream_reader_spark.operators.relational import join_salted_skew
+    from kinesis_stream_reader_spark.sources.tables import load_events, load_table
+
+    events = load_events(spark, sf_dir)
+    customer = load_table(spark, sf_dir, "customer")
+    got = join_salted_skew(events, customer).collect()
+    want = (
+        events.join(customer, events.user_id == customer.c_custkey)
+        .select("event_id", "user_id", "c_nationkey")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    plan = join_salted_skew(events, customer)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
