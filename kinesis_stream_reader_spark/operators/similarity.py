@@ -476,10 +476,17 @@ def pq_encode(
         "code_id",
         F.floor(sqdist * 1000 + F.lit(0.5)).cast("long").alias("d_milli"),
     )
+    # packed argmin (d*n_codes + code) instead of min-struct: same
+    # ordering, but longs hash-aggregate (partial combine, no
+    # SortAggregate), and it is literally the oracle's expression
     return (
         scored.groupBy("vec_id", "sub_id")
-        .agg(F.min(F.struct("d_milli", "code_id")).alias("best"))
-        .select("vec_id", "sub_id", F.col("best.code_id").alias("code"))
+        .agg(
+            F.min(F.col("d_milli") * n_codes + F.col("code_id")).alias("packed")
+        )
+        .select(
+            "vec_id", "sub_id", F.pmod(F.col("packed"), F.lit(n_codes)).alias("code")
+        )
     )
 
 

@@ -4144,6 +4144,47 @@ def streaming_attribution_outer_query(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@register(
+    "streaming_attribution_semi",
+    # LEFT SEMI: one row per converted click — matches emit on arrival,
+    # so no watermark leg in the oracle
+    """
+SELECT DISTINCT c.event_id AS click_id, c.user_id
+FROM events c
+WHERE c.event_type = 'click'
+  AND EXISTS (
+    SELECT 1 FROM events p
+    WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+      AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+  )
+""",
+)
+def streaming_attribution_semi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.attribution_join_semi(stream), "streaming_attribution_semi"
+    )
+
+
+@register(
+    "streaming_windowed_distinct",
+    """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+)
+def streaming_windowed_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.windowed_distinct_users(stream), "streaming_windowed_distinct"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Derived-state maintenance: CDC diff, SCD2, incremental agg, mergeable
 # sketches — the operations that keep 100 TB derived tables fresh without

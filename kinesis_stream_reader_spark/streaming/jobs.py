@@ -99,6 +99,68 @@ def windowed_counts(
     )
 
 
+def attribution_join_semi(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT SEMI stream-stream join: emit each click AT MOST ONCE as
+    soon as any qualifying purchase arrives — the 'did this click
+    convert?' gate without purchase payload fan-out (a click matching
+    5 purchases emits one row, not five). Completes the stream-stream
+    join matrix alongside inner/left-outer/full-outer: same
+    watermark-bounded state on both sides, but the semi form keeps no
+    emitted-row payload from the right stream."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}")),
+        "left_semi",
+    ).select("click_id", F.col("c_user").alias("user_id"))
+
+
+def windowed_distinct_users(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """EXACT distinct users per (day, event_type) on a stream: dedup
+    first (dropDuplicates on the grain keys + the event-time column
+    keeps state watermark-bounded), then an ordinary windowed count —
+    the standard streaming-exact-distinct decomposition, since
+    count_distinct isn't directly available in streaming aggregations.
+    State is one row per (user, type, day), evicted by the watermark."""
+    day = F.date_trunc("day", F.col("ts")).alias("day_ts")
+    deduped = (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts", day)
+        .dropDuplicates(["user_id", "event_type", "day_ts"])
+    )
+    return (
+        deduped.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_users"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_users",
+        )
+    )
+
+
 def sessionize_native(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -66,8 +66,13 @@ HEADLINE = [
     ("source_quality_report", "per-source health: fingerprint window + conditional agg"),
     ("training_batches", "curation -> chunk -> pack: one added shuffle on the shard key"),
     ("dedup_containment", "directed containment via the same inverted-index postings join"),
-    ("feature_quantile_bins", "ntile discretization: edge agg reuses the window exchange"),
+    ("feature_quantile_bins", "GK-sketch decile edges broadcast back; codegen bucket assignment, no per-group sort"),
     ("ewma_smoothing", "bounded-frame EWMA: codegen HOF fold over the collected frame"),
+    ("dedup_minhash_canonical", "near-dup DEFAULT contract: LSH candidates -> components -> doc->canonical, linear output"),
+    ("dedup_substring_spans", "span-level dedup: posting self-count + interval-union window, no pair explosion"),
+    ("ann_pq", "product quantization ADC: broadcast LUT, exact-bigint sums, TakeOrdered"),
+    ("join_salted_skew", "skew salting: hash-salted big side x replicated broadcast dim"),
+    ("ann_lsh", "md5-derived sign-LSH planes; bucket hamming probe, broadcast query"),
 ]
 
 
