@@ -2484,6 +2484,66 @@ def feature_quantile_bins(
     )
 
 
+def heavy_hitters_cms(
+    events: DataFrame, d: int = 4, w: int = 256, k: int = 10
+) -> DataFrame:
+    """Count-min-sketch frequency estimates for the true top-k users —
+    completing the mergeable-sketch family (HLL = distinct, GK =
+    quantiles, CMS = frequency): the CMS table is d x w counters built
+    with ONE partial-aggregated shuffle bounded by d*w cells, mergeable
+    across partitions/days by cell-wise addition, and any key's
+    estimate is min over its d cells — never an exact per-key shuffle.
+
+    Hash rows are md5-derived (the _token_hash60 convention), so the
+    DuckDB oracle rebuilds the identical table and estimates: the CMS
+    one-sided guarantee (estimate >= exact, here checkable as
+    `overcount >= 0`) is a driver-checked contract, not a pytest-only
+    tolerance. Output: the exact top-k users (deterministic tie-break)
+    with exact and estimated counts."""
+
+    def cell(i: int):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cms{i}:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.pmod(h, F.lit(w))
+
+    probes_arr = F.array(
+        *[F.struct(F.lit(i).alias("r"), cell(i).alias("c")) for i in range(d)]
+    )
+    cells = (
+        events.select(F.explode(probes_arr).alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("n"))
+    )
+    top = (
+        events.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id"))
+        .limit(k)
+    )
+    probes = top.select(
+        "user_id", "exact_n", F.explode(probes_arr).alias("rc")
+    ).select("user_id", "exact_n", F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+    return (
+        probes.join(cells, ["r", "c"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("n").alias("cms_n"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), F.col("user_id"))
+    )
+
+
 def join_salted_skew(
     events: DataFrame, customer: DataFrame, salt: int = 8
 ) -> DataFrame:

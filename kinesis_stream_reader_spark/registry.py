@@ -4699,6 +4699,97 @@ def multimodal_audio_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "heavy_hitters_cms",
+    # identical md5-derived CMS table + min-over-cells estimates
+    """
+WITH cells AS (
+  SELECT r.r AS r,
+         CAST(concat('0x', substr(md5('cms' || r.r || ':' || user_id), 1, 15))
+              AS UBIGINT) % 256 AS c,
+         COUNT(*) AS n
+  FROM events, (SELECT UNNEST(range(4)) AS r) r
+  GROUP BY 1, 2
+), top AS (
+  SELECT user_id, exact_n FROM (
+    SELECT user_id, COUNT(*) AS exact_n,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+    FROM events GROUP BY user_id
+  ) WHERE rk <= 10
+), probes AS (
+  SELECT t.user_id, t.exact_n, r.r AS r,
+         CAST(concat('0x', substr(md5('cms' || r.r || ':' || t.user_id), 1, 15))
+              AS UBIGINT) % 256 AS c
+  FROM top t, (SELECT UNNEST(range(4)) AS r) r
+)
+SELECT p.user_id, p.exact_n, MIN(ce.n) AS cms_n,
+       MIN(ce.n) - p.exact_n AS overcount
+FROM probes p JOIN cells ce ON p.r = ce.r AND p.c = ce.c
+GROUP BY p.user_id, p.exact_n
+ORDER BY p.exact_n DESC, p.user_id
+""",
+)
+def heavy_hitters_cms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.heavy_hitters_cms(load_events(spark, sf_dir))
+
+
+@register(
+    "streaming_cms_cells",
+    # the same CMS table built incrementally on the stream: cell
+    # counters are pure additive state, so complete-mode output after
+    # the AvailableNow drain equals the batch table — the
+    # sketch-on-stream story (any key's estimate = min over its d
+    # cells, servable mid-stream at every trigger)
+    """
+SELECT r.r AS r,
+       CAST(concat('0x', substr(md5('cms' || r.r || ':' || user_id), 1, 15))
+            AS UBIGINT) % 256 AS c,
+       COUNT(*) AS n
+FROM events, (SELECT UNNEST(range(4)) AS r) r
+GROUP BY 1, 2
+""",
+)
+def streaming_cms_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"cms{i}:"),
+                                        F.col("user_id").cast("string"),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        F.lit(256),
+                    ).alias("c"),
+                )
+                for i in range(4)
+            ]
+        )
+    )
+    cells = (
+        stream.select(probes.alias("rc"))
+        .groupBy(F.col("rc.r").alias("r"), F.col("rc.c").alias("c"))
+        .agg(F.count("*").alias("n"))
+    )
+    return jobs.run_available_now(cells, "streaming_cms_cells")
+
+
+@register(
     "join_salted_skew",
     # salting is plan-internal: semantics = the plain equi-join
     """

@@ -24,6 +24,9 @@ sample = [
     "udtf_token_stats",        # Python UDTF registration
     "streaming_upsert_compact",# foreachBatch + checkpoint dirs
     "dedup_minhash_lsh",       # window + xxhash pipeline
+    "streaming_sessionize_native",  # session_window append-mode drain
+    "multimodal_image_decode", # mapInPandas codec path
+    "ann_pq",                  # explode/slice HOFs + packed argmin
 ]
 for name in sample:
     n = qs[name](spark, "/root/testdata/sf0.001").count()
@@ -42,4 +45,4 @@ def test_bare_session_runs_conf_sensitive_queries():
     assert proc.returncode == 0, proc.stderr[-3000:]
     out = proc.stdout
     assert "DONE" in out, out[-2000:]
-    assert out.count("OK ") == 6, out[-2000:]
+    assert out.count("OK ") == 9, out[-2000:]
