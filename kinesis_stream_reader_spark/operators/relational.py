@@ -498,6 +498,66 @@ def join_range_bands(events: DataFrame) -> DataFrame:
     )
 
 
+def join_interval_bucketed(
+    events: DataFrame, orders: DataFrame, days: int = 30
+) -> DataFrame:
+    """Big-to-big INTERVAL join via bucket decomposition: how many of a
+    user's orders are 'active' (event inside [orderdate, orderdate +
+    `days`)) at each event — point-in-interval containment where BOTH
+    sides are fact-sized, so neither broadcasts and a theta join would
+    be a quadratic nested loop.
+
+    The standard decomposition: pick bucket width = the interval length,
+    so every interval spans at most 2 buckets; explode intervals to
+    their covered buckets, equi-join points on (user, bucket) — an
+    ordinary shuffled hash join — then apply the exact containment as a
+    codegen residual. Join fan-in per point is bounded by the user's
+    intervals in 2 buckets, never the whole table. This is the
+    interval-join primitive behind validity-window enrichment
+    (SCD2 lookups), ad-attribution windows, and sensor containment.
+
+    Epoch math is integer seconds (unix_timestamp floors; bounds are
+    midnight-aligned), so bucket ids and the residual are exact and the
+    oracle's timestamp comparisons are equivalent."""
+    width = days * 86400
+    pts = events.select(
+        "event_id",
+        F.col("user_id").alias("uid"),
+        F.unix_timestamp("ts").alias("t"),
+    ).withColumn("bucket", F.floor(F.col("t") / width))
+    iv = (
+        orders.select(
+            F.col("o_custkey").alias("uid"),
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")).alias("lo"),
+        )
+        .withColumn("hi", F.col("lo") + width)
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / width), F.floor((F.col("hi") - 1) / width)
+                )
+            ),
+        )
+    )
+    counts = (
+        pts.join(iv, ["uid", "bucket"])
+        .filter((F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")))
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_active"))
+    )
+    return (
+        events.select("event_id", "user_id")
+        .join(counts, "event_id", "left_outer")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce(F.col("n_active"), F.lit(0)).alias("n_active_orders"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def window_running_total(events: DataFrame) -> DataFrame:
     """Per-user running revenue: cumulative sum over an explicit
     ROWS UNBOUNDED PRECEDING frame with a total order (ts, event_id) —

@@ -1628,6 +1628,31 @@ def join_range_bands_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_interval_bucketed",
+    # oracle is the plain point-in-interval theta join; bucketing is
+    # plan-internal
+    """
+SELECT e.event_id, e.user_id, COALESCE(c.cnt, 0) AS n_active_orders
+FROM events e LEFT JOIN (
+  SELECT e2.event_id, COUNT(*) AS cnt
+  FROM events e2 JOIN orders o
+    ON e2.user_id = o.o_custkey
+   AND e2.ts >= o.o_orderdate::TIMESTAMP
+   AND e2.ts < o.o_orderdate::TIMESTAMP + INTERVAL 30 DAY
+  GROUP BY e2.event_id
+) c ON e.event_id = c.event_id
+ORDER BY e.event_id
+""",
+)
+def join_interval_bucketed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.join_interval_bucketed(
+        load_events(spark, sf_dir), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
     "explode_tokens",
     f"""
 SELECT tok, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs

@@ -73,6 +73,8 @@ HEADLINE = [
     ("ann_pq", "product quantization ADC: broadcast LUT, exact-bigint sums, TakeOrdered"),
     ("join_salted_skew", "skew salting: hash-salted big side x replicated broadcast dim"),
     ("ann_lsh", "md5-derived sign-LSH planes; bucket hamming probe, broadcast query"),
+    ("join_interval_bucketed", "big-big interval join: bucket decomposition -> equi-join + codegen residual, no NLJ"),
+    ("heavy_hitters_cms", "count-min sketch: d*w-bounded cell shuffle, min-over-cells probes"),
 ]
 
 
