@@ -161,6 +161,34 @@ def windowed_distinct_users(
     )
 
 
+def asof_enrich_stream(
+    events: DataFrame, orders, out_dir: str, checkpoint: str
+) -> None:
+    """Streaming point-in-time enrichment via foreachBatch: each
+    micro-batch runs the BATCH as-of join (join_asof_latest_order)
+    against the static orders table and appends.
+
+    Why this is correct under any batch slicing: the as-of match of an
+    event depends only on that event's row and the STATIC dimension, so
+    per-batch results equal the global batch join — the invariant that
+    makes foreachBatch the standard escape hatch for join shapes
+    Structured Streaming lacks natively (as-of/range against a
+    snapshot). State cost: none — the static side is re-broadcast per
+    batch, no streaming state store at all."""
+    from ..operators.relational import join_asof_latest_order
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        join_asof_latest_order(batch_df, orders).write.mode("append").parquet(out_dir)
+
+    (
+        events.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def sessionize_native(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
