@@ -357,6 +357,52 @@ def deagg_passthrough_quirk_query(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "source_python_backfill",
+    # end-to-end through the Spark 4 Python DataSource: recorded-wire
+    # shard files -> kinesis_backfill format (one partition per shard,
+    # executor-side reads) -> KPL deagg -> JSON parse must reproduce
+    # the events table exactly — the same identity oracle as
+    # deagg_explode, now through the pluggable-source machinery
+    """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+)
+def source_python_backfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as _pd
+
+    from .operators.ingest import deagg_explode, json_parse
+    from .sources.python_source import KinesisBackfillDataSource, write_shard_file
+    from .sources.raw import kpl_raw_records
+
+    spark.dataSource.register(KinesisBackfillDataSource)
+    shard_dir = f"/tmp/ksr_pyds/{sf_dir.strip('/').replace('/', '_')}"
+    if not os.path.isdir(shard_dir):
+        os.makedirs(shard_dir, exist_ok=True)
+        raw = kpl_raw_records(spark, sf_dir).withColumn(
+            "shard", (F.col("agg_id") % 4).cast("int")
+        )
+
+        def dump(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            # executor-side shard-file write (local-mode shared /tmp;
+            # a cluster would target shared storage)
+            pdf = pdf.sort_values("agg_id")
+            shard = int(pdf["shard"].iloc[0])
+            write_shard_file(
+                f"{shard_dir}/shard-{shard}.jsonl",
+                [bytes(b) for b in pdf["data"]],
+            )
+            return _pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+        raw.groupBy("shard").applyInPandas(dump, "shard INT, n INT").count()
+    df = spark.read.format("kinesis_backfill").option("path", shard_dir).load()
+    parsed = json_parse(
+        deagg_explode(df), schema="event_id BIGINT, k BIGINT"
+    )
+    return parsed.select("event_id", "k")
+
+
 # ---------------------------------------------------------------------------
 # Relational extension surface (SURVEY.md §2.4-2.8: absent in the
 # reference, built-in via Spark). operators/relational.py documents the

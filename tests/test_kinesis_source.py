@@ -185,3 +185,32 @@ def test_kpl_decode_matches_reference_unit_vectors():
     assert kpl_decode(corrupt, verify_checksum=True) == []
     # non-KPL passthrough keeps bytes verbatim
     assert [base64.b64decode(p) for p in kpl_decode(b"plain")] == [b"plain"]
+
+
+def test_python_datasource_backfill(spark, tmp_path):
+    """Spark 4 Python DataSource: shard files -> kinesis_backfill
+    format -> one partition per shard, executor-side reads, KPL decode
+    roundtrip through the standard ingestion pipeline."""
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_reader_spark.operators.ingest import deagg_explode, json_parse
+    from kinesis_stream_reader_spark.sources.python_source import (
+        KinesisBackfillDataSource,
+        write_shard_file,
+    )
+
+    spark.dataSource.register(KinesisBackfillDataSource)
+    payloads = [b'{"k": %d}' % i for i in range(120)]
+    write_shard_file(str(tmp_path / "shard-0.jsonl"), [kpl_encode(payloads[:60])])
+    write_shard_file(
+        str(tmp_path / "shard-1.jsonl"), [kpl_encode(payloads[60:]), b'{"k": 777}']
+    )
+    df = spark.read.format("kinesis_backfill").option("path", str(tmp_path)).load()
+    assert df.rdd.getNumPartitions() == 2  # one per shard
+    assert {r.shard_id for r in df.select("shard_id").distinct().collect()} == {
+        "0",
+        "1",
+    }
+    parsed = json_parse(deagg_explode(df), schema="k BIGINT")
+    ks = sorted(r.k for r in parsed.select("k").collect())
+    assert ks == sorted([*range(120), 777])
