@@ -376,8 +376,15 @@ def source_python_backfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.python_source import KinesisBackfillDataSource, write_shard_file
     from .sources.raw import kpl_raw_records
 
+    from .sources.raw import source_fingerprint
+
     spark.dataSource.register(KinesisBackfillDataSource)
-    shard_dir = f"/tmp/ksr_pyds/{sf_dir.strip('/').replace('/', '_')}"
+    # fingerprinted like ksr_raw_cache: a regenerated events table can
+    # never be read against stale shard files
+    shard_dir = (
+        f"/tmp/ksr_pyds/{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_fingerprint(sf_dir)}"
+    )
     if not os.path.isdir(shard_dir):
         os.makedirs(shard_dir, exist_ok=True)
         raw = kpl_raw_records(spark, sf_dir).withColumn(

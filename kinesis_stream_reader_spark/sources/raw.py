@@ -30,6 +30,18 @@ from ..operators.ingest import kpl_encode
 from .tables import load_events
 
 
+def source_fingerprint(sf_dir: str, table: str = "events") -> str:
+    """Identity of a fixture parquet (mtime ns + size), folded into
+    /tmp cache-dir names: any driver-side regeneration of the testdata
+    invalidates every derived fixture cache automatically."""
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        st = os.stat(path)
+        return f"{st.st_mtime_ns:x}{st.st_size:x}"
+    except OSError:
+        return "nosrc"
+
+
 @F.pandas_udf(BinaryType())
 def _encode_batch(recs: pd.Series) -> pd.Series:
     """One input row = one aggregate's record list [{event_id, k}, ...]
@@ -53,9 +65,15 @@ def kpl_raw_records(
     Kinesis record, kpl.proto:3-4). The packed output is deterministic,
     so it is materialized once per (sf_dir, group_size) under /tmp and
     re-read as parquet — downstream timings then measure the DECODE
-    operator (the engine surface), not fixture generation."""
+    operator (the engine surface), not fixture generation.
+
+    The cache key includes the source parquet's identity (mtime+size
+    via source_fingerprint), so a regenerated events table can never be
+    compared against stale packed wire records — the cache simply
+    misses and repacks."""
     cache_dir = (
         f"/tmp/ksr_raw_cache/{sf_dir.strip('/').replace('/', '_')}_g{group_size}"
+        f"_{source_fingerprint(sf_dir)}"
     )
     if cache and os.path.isdir(cache_dir):
         return spark.read.parquet(cache_dir)
