@@ -692,3 +692,49 @@ def source_quality_report(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def quality_model_score(documents: DataFrame) -> DataFrame:
+    """Model-BASED quality filtering (the fastText-classifier stage of
+    CCNet/RefinedWeb-style pipelines) as pure column algebra: a linear
+    model over cheap text features, scored per document in one codegen
+    pass — no Python, no shuffle, linear at any corpus size.
+
+    Engine-stable inference: weights are md5-derived (the lsh_planes
+    convention, bit-identical in the oracle), features are exact
+    integer ratios (no transcendentals — JVM and DuckDB libm last-ulp
+    behavior differs for log/exp, so the model emits the LOGIT and a
+    sign decision instead of a sigmoid probability), and the dot
+    product is a fixed left-associative sum. In production the weights
+    come from a trained classifier; swapping them in changes one
+    broadcast row, not the plan."""
+
+    import hashlib
+
+    def w(i: int) -> float:
+        h = int(hashlib.md5(f"qw:{i}".encode()).hexdigest()[:15], 16)
+        return 2.0 * (h / float(1 << 60)) - 1.0
+
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length(F.col("text")).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    ).cast("double")
+    n_dots = (n_chars - F.length(F.expr("replace(text, '.', '')"))).cast("double")
+    f0 = n_tokens / F.lit(100.0)
+    f1 = n_stop / (n_tokens + F.lit(1.0))
+    f2 = n_chars / (n_tokens + F.lit(1.0))
+    f3 = n_dots / (n_chars + F.lit(1.0))
+    z = (
+        F.lit(w(0)) * f0
+        + F.lit(w(1)) * f1
+        + F.lit(w(2)) * f2
+        + F.lit(w(3)) * f3
+        + F.lit(w(4))
+    )
+    return documents.select(
+        "doc_id",
+        (F.floor(z * 1e4 + F.lit(0.5)) / 1e4).alias("logit"),
+        (z > 0).alias("keep"),
+    ).orderBy("doc_id")

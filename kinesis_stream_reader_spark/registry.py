@@ -4503,6 +4503,43 @@ def corpus_shuffle_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quality_model_score",
+    # same md5-derived weights, same integer-ratio features, same
+    # left-associative dot product — bit-identical inference
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         len({_TOKS})::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           AS n_stop,
+         (length(text) - length(replace(text, '.', '')))::DOUBLE AS n_dots
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), z AS (
+  SELECT f.doc_id,
+         (SELECT w FROM wts WHERE i = 0) * (n_tokens / 100.0)
+         + (SELECT w FROM wts WHERE i = 1) * (n_stop / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 2) * (n_chars / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 3) * (n_dots / (n_chars + 1.0))
+         + (SELECT w FROM wts WHERE i = 4) AS z
+  FROM f
+)
+SELECT doc_id, FLOOR(z * 1e4 + 0.5) / 1e4 AS logit, z > 0 AS keep
+FROM z ORDER BY doc_id
+""",
+)
+def quality_model_score_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.quality_model_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
     "pagerank_step",
     """
 WITH edges AS (
