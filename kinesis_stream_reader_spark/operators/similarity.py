@@ -572,3 +572,90 @@ def ann_pq(
         .orderBy(F.col("adc_dist"), F.col("vec_id"))
         .limit(k)
     )
+
+
+def kmeans_converged(
+    embeddings: DataFrame, k: int = 8, max_iter: int = 5
+) -> DataFrame:
+    """Lloyd's algorithm to convergence — the third iterative kernel
+    alongside dedup_components and pagerank_converged, and like them
+    fully oracle-checkable INCLUDING the data-dependent stop:
+
+    Vectors are quantized half-up to integer millis once, so squared
+    L2 distances are exact bigints, the argmin is the packed
+    MIN(d2*k + cid) (deterministic ties -> lowest cid), per-(cluster,
+    dim) coordinate sums are exact bigints, and the re-quantized
+    centroid is one deterministic float op (floor(sum/n + 0.5)).
+    Total within-cluster d2 is therefore an exact bigint that is
+    non-increasing round over round; the loop stops when it stops
+    changing (or at max_iter). Every iteration is bit-identical across
+    engines — float summation order never exists.
+
+    Plan per round: broadcast k centroids into the scoring join (big
+    side never shuffles), one hash-agg argmin, one partial-agg
+    (cluster, dim) update — O(k x dim) shuffle rows; localCheckpoint
+    truncates lineage per round."""
+    vecs = embeddings.select(
+        "vec_id",
+        F.transform(
+            _as_double(F.col("embedding")),
+            lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("xq"),
+    ).localCheckpoint()
+    cents = vecs.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("xq").alias("c")
+    )
+    d2 = F.aggregate(
+        F.zip_with("xq", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    prev_total = None
+    for _ in range(max_iter):
+        packed = (
+            vecs.join(F.broadcast(cents))
+            .select("vec_id", d2.alias("d2"), "cid")
+            .groupBy("vec_id")
+            .agg(F.min(F.col("d2") * k + F.col("cid")).alias("p"))
+        )
+        assign = packed.select(
+            "vec_id",
+            F.pmod("p", F.lit(k)).alias("cluster_id"),
+            F.expr(f"p DIV {k}").alias("d2min"),
+        ).localCheckpoint()
+        total = assign.agg(F.sum("d2min")).first()[0]
+        per_dim = (
+            assign.join(vecs, "vec_id")
+            .select("cluster_id", F.posexplode("xq").alias("pos0", "v"))
+            .groupBy("cluster_id", "pos0")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .select(
+                "cluster_id",
+                "pos0",
+                "n",
+                F.floor(F.col("s") / F.col("n") + F.lit(0.5))
+                .cast("long")
+                .alias("cm"),
+            )
+        )
+        cents = (
+            per_dim.groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos0", "cm"))).alias("pm"))
+            .select(
+                F.col("cluster_id").alias("cid"),
+                F.transform("pm", lambda s: s.getField("cm")).alias("c"),
+            )
+        )
+        if total == prev_total:
+            break
+        prev_total = total
+    # emit the converged centroids per (cluster, dim) with member counts
+    return (
+        per_dim.select(
+            "cluster_id",
+            (F.col("pos0") + 1).cast("int").alias("pos"),
+            (F.col("cm") / 1000).alias("centroid_val"),
+            F.col("n").alias("n_members"),
+        )
+        .orderBy("cluster_id", "pos")
+    )

@@ -4503,6 +4503,74 @@ def corpus_shuffle_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_converged",
+    # full-loop recursive-CTE mirror (the pagerank_converged pattern):
+    # milli-quantized vectors make distances/sums exact bigints, the
+    # packed MIN argmin is deterministic, the re-quantized centroid is
+    # one float op, and the stop (total within-cluster d2 unchanged, or
+    # the max_iter cap) rides the carried total/prev columns
+    """
+WITH RECURSIVE vecs AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+           AS xq
+  FROM embeddings
+), iters AS (
+  SELECT 0 AS iter, vec_id AS cid, xq AS c,
+         CAST(NULL AS BIGINT) AS n_members,
+         CAST(NULL AS BIGINT) AS total_d2, CAST(NULL AS BIGINT) AS prev_d2
+  FROM vecs WHERE vec_id < 8
+  UNION ALL
+  (
+    WITH cur AS (
+      SELECT * FROM iters
+      WHERE iter < 5
+        AND (total_d2 IS NULL OR prev_d2 IS NULL OR total_d2 <> prev_d2)
+    ), packed AS (
+      SELECT v.vec_id, v.xq,
+             MIN(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_zip(v.xq, c.c),
+                                  p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                 (a, b) -> a + b) * 8 + c.cid) AS p
+      FROM vecs v CROSS JOIN cur c
+      GROUP BY v.vec_id, v.xq
+    ), assign AS (
+      SELECT vec_id, xq, p % 8 AS cluster_id, p // 8 AS d2min FROM packed
+    ), tot AS (
+      SELECT SUM(d2min) AS t FROM assign
+    ), per_dim AS (
+      SELECT cluster_id, pos,
+             CAST(FLOOR(SUM(v) / COUNT(*) + 0.5) AS BIGINT) AS cm,
+             COUNT(*) AS n
+      FROM (SELECT cluster_id, unnest(xq) AS v, generate_subscripts(xq, 1) AS pos
+            FROM assign)
+      GROUP BY cluster_id, pos
+    ), newc AS (
+      SELECT cluster_id AS cid, list(cm ORDER BY pos) AS c, MAX(n) AS n_members
+      FROM per_dim GROUP BY cluster_id
+    )
+    SELECT c0.iter + 1 AS iter, n.cid, n.c, n.n_members,
+           t.t AS total_d2, c0.total_d2 AS prev_d2
+    FROM newc n, tot t, (SELECT DISTINCT iter, total_d2 FROM cur) c0
+  )
+)
+SELECT cid AS cluster_id, CAST(pos AS INT) AS pos, cm / 1000 AS centroid_val,
+       n_members
+FROM (
+  SELECT cid, n_members, unnest(c) AS cm, generate_subscripts(c, 1) AS pos
+  FROM iters WHERE iter = (SELECT MAX(iter) FROM iters)
+)
+ORDER BY cluster_id, pos
+""",
+)
+def kmeans_converged_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.kmeans_converged(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "quality_model_score",
     # same md5-derived weights, same integer-ratio features, same
     # left-associative dot product — bit-identical inference
