@@ -2770,3 +2770,272 @@ def join_asof_tolerance(
         F.col("uid").alias("user_id"),
         F.when(fresh, F.col("asof.o_orderkey")).alias("near_orderkey"),
     )
+
+
+def bloom_semi_filter(
+    orders: DataFrame,
+    customer: DataFrame,
+    m: int = 4096,
+    k: int = 3,
+    member_since: str = "2001-01-01",
+) -> DataFrame:
+    """Bloom-filter approximate semi-join: build an m-bit Bloom filter
+    over the orders' customer keys with ONE partial-aggregated shuffle
+    bounded by m bits (never a per-key exchange), broadcast the bit
+    set, and probe every customer row with k codegen hash lookups —
+    the manual form of what Spark's runtime bloom-filter join rewrite
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) injects for
+    selective joins, needed when the filter must be built ONCE and
+    reused across many downstream scans (e.g. "seen this document
+    fingerprint before" membership gates over a 100 TB crawl, where
+    shipping a 16 MB bit set beats re-shuffling the corpus per probe).
+
+    Completes the mergeable-sketch family (HLL = distinct, GK =
+    quantiles, CMS = frequency, Bloom = membership): the bit set is
+    mergeable across shards by OR. Hash bits are md5-derived (the
+    heavy_hitters_cms convention) so a DuckDB oracle rebuilds the
+    identical filter, and Bloom's one-sided guarantee — NO false
+    negatives — is a driver-checked contract: the output confusion
+    cells must show zero (bloom=false, actual=true) rows.
+
+    Output: one row per (bloom_hit, actual_member) cell with customer
+    counts — compact whatever the probe cardinality."""
+
+    def bits(col):
+        return F.array(
+            *[
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"bloom{i}:"), col.cast("string"))),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(m),
+                )
+                for i in range(k)
+            ]
+        )
+
+    # membership = "bought since member_since" — a strict subset of the
+    # probe universe, so the confusion matrix exercises true negatives
+    # and Bloom false positives, not just members; the date predicate
+    # pushes down to the orders scan
+    member_keys = (
+        orders.filter(F.col("o_orderdate") >= F.lit(member_since))
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    filter_bits = (
+        member_keys.select(F.explode(bits(F.col("key"))).alias("bit")).distinct()
+    )
+    probes = customer.select(
+        F.col("c_custkey").alias("key"), F.posexplode(bits(F.col("c_custkey")))
+    ).select("key", F.col("col").alias("bit"))
+    # a probe key is bloom-positive iff ALL k of its bits are set:
+    # left-join each probe bit against the (broadcast) bit set and
+    # require k hits — no driver-side bitmap materialization, the
+    # "filter" stays a relation so the same plan works if m is huge
+    bloom_hits = (
+        probes.join(F.broadcast(filter_bits), "bit", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("hits"))
+        .filter(F.col("hits") == k)
+        .select("key")
+    )
+    actual = member_keys.withColumn("actual_member", F.lit(True))
+    return (
+        customer.select(F.col("c_custkey").alias("key"))
+        .join(bloom_hits.withColumn("bloom_hit", F.lit(True)), "key", "left")
+        .join(actual, "key", "left")
+        .select(
+            F.coalesce("bloom_hit", F.lit(False)).alias("bloom_hit"),
+            F.coalesce("actual_member", F.lit(False)).alias("actual_member"),
+        )
+        .groupBy("bloom_hit", "actual_member")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("bloom_hit", "actual_member")
+    )
+
+
+def triangle_count(events: DataFrame, nodes_a: int = 200, nodes_b: int = 199) -> DataFrame:
+    """Distributed triangle counting with degree-ordered edge
+    orientation — the classic bound that makes the wedge self-join
+    survive power-law graphs: orienting every undirected edge from its
+    lower-(degree, id) endpoint to the higher one caps out-degree at
+    O(sqrt(m)) regardless of how skewed raw degrees are, so the
+    per-node wedge fan-out (the quadratic step in naive triangle
+    counting) is bounded even when one hub touches 10% of a 100 TB
+    graph. Wedges then semi-join against the oriented edge set; every
+    triangle is counted exactly once (its orientation is a DAG).
+
+    Graph derivation follows the pagerank_step convention: a
+    deterministic interaction graph projected from events into a
+    bounded node space, de-duplicated once up front so all downstream
+    joins carry edges, never event rows.
+
+    Output: per-vertex triangle participation for the top-10 vertices
+    (deterministic tie-break) plus the global count as a row with
+    vertex = -1."""
+    raw = events.select(
+        (F.col("user_id") % nodes_a).alias("p"),
+        (F.col("event_id") % nodes_b).alias("q"),
+    ).filter(F.col("p") != F.col("q"))
+    edges = raw.select(
+        F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
+    ).distinct()
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count("*").alias("deg"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("deg_v"))
+    # orient a -> b iff (deg(a), a) < (deg(b), b)
+    ordered = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(
+                (F.col("deg_u") < F.col("deg_v"))
+                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("e")
+        )
+        .select("e.a", "e.b")
+    )
+    e1 = ordered.select(F.col("a"), F.col("b").alias("b1"))
+    e2 = ordered.select(F.col("a"), F.col("b").alias("b2"))
+    wedges = e1.join(e2, "a").filter(F.col("b1") < F.col("b2"))
+    closing = ordered.select(
+        F.col("a").alias("b1"), F.col("b").alias("b2")
+    ).unionAll(ordered.select(F.col("b").alias("b1"), F.col("a").alias("b2")))
+    tris = wedges.join(closing.distinct(), ["b1", "b2"], "left_semi")
+    per_vertex = (
+        tris.select(F.col("a").alias("vertex"))
+        .unionAll(tris.select(F.col("b1").alias("vertex")))
+        .unionAll(tris.select(F.col("b2").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "vertex")
+        .limit(10)
+    )
+    total = tris.agg(
+        F.lit(-1).cast("long").alias("vertex"), F.count("*").alias("n_triangles")
+    )
+    return per_vertex.unionByName(total).orderBy(
+        F.col("n_triangles").desc(), "vertex"
+    )
+
+
+def gap_fill_interpolate(events: DataFrame) -> DataFrame:
+    """Linear-interpolation gap filling — the companion to
+    gap_fill_locf: the same hourly rollup + per-user densified grid,
+    but interior gaps take the time-weighted average of the bracketing
+    observations instead of carrying the last one forward (the
+    hypertable `interpolate()` finisher; LOCF answers "what was the
+    state", interpolation answers "what was the trend").
+
+    Same plan shape as LOCF: rollup is one partial-agg shuffle, the
+    grid explodes AFTER aggregation (rows bounded by users x
+    span-hours, never event volume), and BOTH bracketing scans are
+    window passes over the same (user_id, hour) clustering — prev via
+    last(ignorenulls) forward, next via first(ignorenulls) backward —
+    so AQE plans a single exchange for the join plus windows.
+
+    Engine-stable arithmetic (pagerank_step convention): observed
+    values quantize to exact micro-unit integers, the interpolation
+    numerator/denominator stay in exact bigint arithmetic, and the
+    ONE float op (the final /1e6) is IEEE-deterministic across
+    engines."""
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.floor(F.sum("value") * 1e6 + F.lit(0.5)).alias("v_u"))
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    t = F.unix_timestamp("hour")
+    obs = F.when(F.col("v_u").isNotNull(), F.struct(t.alias("t"), F.col("v_u")))
+    g = (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .withColumn("prev", F.last(obs, ignorenulls=True).over(wb))
+        .withColumn("next", F.first(obs, ignorenulls=True).over(wf))
+    )
+    # exact-bigint time-weighted lerp; DuckDB's // and Spark's DIV both
+    # truncate toward zero, and all terms here are non-negative anyway
+    lerp_u = F.expr(
+        "(prev.v_u * (next.t - unix_timestamp(hour))"
+        " + next.v_u * (unix_timestamp(hour) - prev.t))"
+        " DIV (next.t - prev.t)"
+    )
+    return (
+        g.select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            (F.col("v_u").isNotNull()).alias("observed"),
+            (
+                F.when(F.col("v_u").isNotNull(), F.col("v_u"))
+                .when(F.col("prev").isNotNull() & F.col("next").isNotNull(), lerp_u)
+                / F.lit(1e6)
+            ).alias("filled_value"),
+        )
+        .orderBy("user_id", "hour")
+    )
+
+
+def pareto_frontier(part: DataFrame) -> DataFrame:
+    """2-D Pareto frontier (skyline) — the multi-objective filter a
+    curation pipeline uses to keep documents no other document
+    dominates on (quality, length): here, parts where no other part is
+    both smaller and pricier (minimize p_size, maximize
+    p_retailprice). The window formulation replaces the naive
+    quadratic all-pairs dominance test with ONE sort: scan in p_size
+    order and keep a row iff its price strictly exceeds the running
+    max over every strictly-smaller size — exactly the 2-D skyline.
+
+    Plan shape: one global range-partitioned sort (Spark's sample-
+    based RangePartitioner keeps it parallel at 100 TB) and a codegen
+    running-max window; no join at all. Prices quantize to exact cent
+    integers for the cross-engine max/compare (pagerank_step
+    convention). Ties: equal sizes compete against smaller sizes
+    only, so all co-frontier rows at one size survive; deterministic
+    regardless of scan order."""
+    price_u = F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+    w = (
+        Window.orderBy("p_size")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        part.select("p_partkey", "p_size", price_u.alias("price_c"))
+        .withColumn("best_smaller", F.max("price_c").over(w))
+        .filter(
+            F.col("best_smaller").isNull()
+            | (F.col("price_c") > F.col("best_smaller"))
+        )
+        .select(
+            "p_partkey",
+            "p_size",
+            (F.col("price_c") / 100).alias("p_retailprice"),
+        )
+        .orderBy("p_size", "p_partkey")
+    )

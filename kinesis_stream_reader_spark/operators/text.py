@@ -738,3 +738,57 @@ def quality_model_score(documents: DataFrame) -> DataFrame:
         (F.floor(z * 1e4 + F.lit(0.5)) / 1e4).alias("logit"),
         (z > 0).alias("keep"),
     ).orderBy("doc_id")
+
+
+def dsir_importance(
+    documents: DataFrame, buckets: int = 256, k: int = 50
+) -> DataFrame:
+    """DSIR-style data selection via hashed-n-gram importance weights
+    (Xie et al. 2023): score every raw-pool document by how much its
+    hashed unigram distribution resembles a target domain (here the
+    `lang='en'` slice stands in for "looks like Wikipedia"), then keep
+    the top-k — the domain-targeted selection stage that sits between
+    quality gates and dedup in a pretraining pipeline.
+
+    Plan shape: one exploded token relation feeds BOTH bucket censuses
+    (target and raw) as partial-agg shuffles bounded by `buckets`
+    cells — the shuffle carries the feature table, never the corpus —
+    and the per-doc score-back join broadcasts the tiny bucket->ratio
+    table. Linear in corpus size at any scale; fan-in is the classic
+    two-pass tf-idf shape.
+
+    Engine-stable scoring (quality_model_score convention): bucket
+    ids are md5-derived, the importance ratio per bucket is the exact
+    integer ((n_target+1) * 1e6) DIV (n_raw+1) — add-1-smoothed, no
+    transcendentals (DSIR's log-ratio sum is replaced by a ratio sum:
+    same "more target-like mass scores higher" ordering contract,
+    bit-identical across engines) — and the doc score is the floor
+    average of its tokens' ratios."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("tok"))), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(buckets),
+    )
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "").select("doc_id", "lang", bucket.alias("b"))
+    census = toks.groupBy("b").agg(
+        F.count("*").alias("n_raw"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_target"),
+    )
+    ratios = census.select(
+        "b", F.expr("(n_target + 1) * 1000000 DIV (n_raw + 1)").alias("ratio_u")
+    )
+    return (
+        toks.join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.expr("SUM(ratio_u) DIV COUNT(*)").alias("score_u"),
+        )
+        .orderBy(F.col("score_u").desc(), "doc_id")
+        .limit(k)
+        .select("doc_id", "n_tokens", "score_u")
+    )

@@ -5373,3 +5373,201 @@ def join_asof_tolerance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.join_asof_tolerance(
         load_events(spark, sf_dir), load_table(spark, sf_dir, "orders")
     )
+
+
+@register(
+    "bloom_semi_filter",
+    # identical md5-derived bit positions; Bloom's no-false-negative
+    # contract is visible as a zero (false, true) cell
+    """
+WITH member AS (
+  SELECT DISTINCT o_custkey AS key FROM orders
+  WHERE o_orderdate >= DATE '2001-01-01'
+),
+bits AS (
+  SELECT DISTINCT
+    CAST(concat('0x', substr(md5('bloom' || i.i || ':' || key), 1, 15))
+         AS UBIGINT) % 4096 AS bit
+  FROM member, (SELECT UNNEST(range(3)) AS i) i
+),
+probes AS (
+  SELECT c_custkey AS key,
+         CAST(concat('0x', substr(md5('bloom' || i.i || ':' || c_custkey), 1, 15))
+              AS UBIGINT) % 4096 AS bit
+  FROM customer, (SELECT UNNEST(range(3)) AS i) i
+),
+hits AS (
+  SELECT key FROM probes p
+  WHERE EXISTS (SELECT 1 FROM bits b WHERE b.bit = p.bit)
+  GROUP BY key HAVING COUNT(*) = 3
+)
+SELECT c.c_custkey IN (SELECT key FROM hits) AS bloom_hit,
+       c.c_custkey IN (SELECT key FROM member) AS actual_member,
+       COUNT(*) AS n_customers
+FROM customer c GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def bloom_semi_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.bloom_semi_filter(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer")
+    )
+
+
+@register(
+    "graph_triangles",
+    # same degree-ordered orientation; every triangle counted once
+    """
+WITH raw AS (
+  SELECT user_id % 200 AS p, event_id % 199 AS q FROM events
+  WHERE user_id % 200 <> event_id % 199
+),
+edges AS (SELECT DISTINCT LEAST(p, q) AS u, GREATEST(p, q) AS v FROM raw),
+deg AS (
+  SELECT x, COUNT(*) AS deg FROM (
+    SELECT u AS x FROM edges UNION ALL SELECT v AS x FROM edges
+  ) GROUP BY x
+),
+ordered AS (
+  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.u ELSE e.v END AS a,
+         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND e.u < e.v)
+              THEN e.v ELSE e.u END AS b
+  FROM edges e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v
+),
+wedges AS (
+  SELECT e1.a AS a, e1.b AS b1, e2.b AS b2
+  FROM ordered e1 JOIN ordered e2 ON e1.a = e2.a AND e1.b < e2.b
+),
+und AS (
+  SELECT a AS b1, b AS b2 FROM ordered
+  UNION
+  SELECT b AS b1, a AS b2 FROM ordered
+),
+tris AS (
+  SELECT w.a, w.b1, w.b2 FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM und WHERE und.b1 = w.b1 AND und.b2 = w.b2)
+),
+pv AS (
+  SELECT vertex, COUNT(*) AS n_triangles FROM (
+    SELECT a AS vertex FROM tris
+    UNION ALL SELECT b1 AS vertex FROM tris
+    UNION ALL SELECT b2 AS vertex FROM tris
+  ) GROUP BY vertex ORDER BY n_triangles DESC, vertex LIMIT 10
+),
+tot AS (SELECT CAST(-1 AS BIGINT) AS vertex, COUNT(*) AS n_triangles FROM tris)
+SELECT vertex, n_triangles FROM (
+  SELECT * FROM pv UNION ALL SELECT * FROM tot
+) ORDER BY n_triangles DESC, vertex
+""",
+)
+def graph_triangles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.triangle_count(load_events(spark, sf_dir))
+
+
+@register(
+    "gap_fill_interpolate",
+    # identical micro-unit lerp: DuckDB // and Spark DIV both truncate,
+    # and every term is non-negative
+    """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         CAST(FLOOR(SUM(value) * 1e6 + 0.5) AS BIGINT) AS v_u
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM spans
+), g AS (
+  SELECT g.user_id, g.hour, h.v_u,
+    LAST_VALUE(CASE WHEN h.v_u IS NOT NULL THEN
+        struct_pack(t := CAST(epoch(g.hour) AS BIGINT), v_u := h.v_u)
+      END IGNORE NULLS) OVER (
+      PARTITION BY g.user_id ORDER BY g.hour
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+    FIRST_VALUE(CASE WHEN h.v_u IS NOT NULL THEN
+        struct_pack(t := CAST(epoch(g.hour) AS BIGINT), v_u := h.v_u)
+      END IGNORE NULLS) OVER (
+      PARTITION BY g.user_id ORDER BY g.hour
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next
+  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+)
+SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       v_u IS NOT NULL AS observed,
+       (CASE WHEN v_u IS NOT NULL THEN v_u
+             WHEN prev IS NOT NULL AND next IS NOT NULL THEN
+               (prev.v_u * (next.t - CAST(epoch(hour) AS BIGINT))
+                + next.v_u * (CAST(epoch(hour) AS BIGINT) - prev.t))
+               // (next.t - prev.t)
+        END) / 1e6 AS filled_value
+FROM g ORDER BY user_id, hour
+""",
+)
+def gap_fill_interpolate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.gap_fill_interpolate(load_events(spark, sf_dir))
+
+
+@register(
+    "pareto_frontier",
+    # same cent-quantized running-max skyline over strictly-smaller sizes
+    """
+WITH q AS (
+  SELECT p_partkey, p_size,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM part
+), w AS (
+  SELECT p_partkey, p_size, price_c,
+         MAX(price_c) OVER (ORDER BY p_size
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_smaller
+  FROM q
+)
+SELECT p_partkey, p_size, price_c / 100 AS p_retailprice
+FROM w WHERE best_smaller IS NULL OR price_c > best_smaller
+ORDER BY p_size, p_partkey
+""",
+)
+def pareto_frontier_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.pareto_frontier(load_table(spark, sf_dir, "part"))
+
+
+@register(
+    "dsir_select",
+    # identical md5 bucket ids and exact integer importance ratios
+    """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5('dsir:' || tok), 1, 15))
+              AS UBIGINT) % 256 AS b,
+         lang
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+census AS (
+  SELECT b, COUNT(*) AS n_raw,
+         COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_target
+  FROM toks GROUP BY b
+),
+ratios AS (
+  SELECT b, (n_target + 1) * 1000000 // (n_raw + 1) AS ratio_u FROM census
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(ratio_u) // COUNT(*) AS BIGINT) AS score_u
+FROM toks JOIN ratios USING (b)
+GROUP BY doc_id ORDER BY score_u DESC, doc_id LIMIT 50
+""",
+)
+def dsir_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.dsir_importance(load_table(spark, sf_dir, "documents"))

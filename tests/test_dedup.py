@@ -419,3 +419,18 @@ def test_pq_encode_and_adc_search(spark, sf_dir):
     dists = [r.adc_dist for r in hits]
     assert dists == sorted(dists) and all(d >= 0 for d in dists)
     assert 0 not in {r.vec_id for r in hits}
+
+
+def test_dsir_importance_favors_target_language(spark, sf_dir):
+    """DSIR scores rank target-domain (en) documents above the pool
+    average: the top-k selection should be enriched in `en` relative
+    to the corpus base rate, and scores are positive exact integers."""
+    documents = load_table(spark, sf_dir, "documents")
+    top = text.dsir_importance(documents, k=50).collect()
+    assert 0 < len(top) <= 50
+    assert all(r.score_u > 0 and r.n_tokens > 0 for r in top)
+    langs = {r.doc_id: r.lang for r in documents.select("doc_id", "lang").collect()}
+    n_docs = len(langs)
+    base_rate = sum(1 for v in langs.values() if v == "en") / n_docs
+    top_rate = sum(1 for r in top if langs[r.doc_id] == "en") / len(top)
+    assert top_rate > base_rate, (top_rate, base_rate)

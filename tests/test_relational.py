@@ -839,3 +839,96 @@ def test_join_salted_skew_matches_plain_join(spark, sf_dir):
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
     plan = join_salted_skew(events, customer)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_semi_filter_no_false_negatives(spark, sf_dir):
+    """Bloom's one-sided guarantee: every actual member is bloom-
+    positive — the (bloom_hit=False, actual_member=True) cell must not
+    exist — and the cells partition the probe universe."""
+    cells = {
+        (r.bloom_hit, r.actual_member): r.n_customers
+        for r in relational.bloom_semi_filter(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "customer"),
+        ).collect()
+    }
+    assert (False, True) not in cells
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(cells.values()) == n_cust
+    # the member gate must be a strict subset so negatives exist
+    assert any(not actual for (_, actual) in cells)
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    """Oriented wedge-join count equals a brute-force triple check on
+    the same derived edge set."""
+    events = load_events(spark, sf_dir)
+    out = {r.vertex: r.n_triangles for r in relational.triangle_count(events).collect()}
+    edges = {
+        (min(r.p, r.q), max(r.p, r.q))
+        for r in events.select(
+            (F.col("user_id") % 200).alias("p"), (F.col("event_id") % 199).alias("q")
+        )
+        .filter(F.col("p") != F.col("q"))
+        .distinct()
+        .collect()
+    }
+    import itertools
+
+    nodes = sorted({x for e in edges for x in e})
+    adj = {n: set() for n in nodes}
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    total = 0
+    for u, v in edges:
+        total += len(adj[u] & adj[v] & {w for w in nodes if w > v})
+    assert out[-1] == total
+    # every triangle credits each of its 3 vertices once
+    assert sum(v for k, v in out.items() if k != -1) <= 3 * total
+
+
+def test_gap_fill_interpolate_brackets(spark, sf_dir):
+    """Interpolated values lie within [min, max] of the bracketing
+    observations and observed hours keep their exact rollup value."""
+    events = load_events(spark, sf_dir)
+    rows = relational.gap_fill_interpolate(events).collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    checked = 0
+    for uid, rs in list(by_user.items())[:30]:
+        obs_idx = [i for i, r in enumerate(rs) if r.observed]
+        for a, b in zip(obs_idx, obs_idx[1:]):
+            lo = min(rs[a].filled_value, rs[b].filled_value)
+            hi = max(rs[a].filled_value, rs[b].filled_value)
+            for i in range(a + 1, b):
+                assert lo - 1e-6 <= rs[i].filled_value <= hi + 1e-6
+                checked += 1
+    assert checked > 0, "fixture must contain interior gaps"
+
+
+def test_pareto_frontier_is_undominated(spark, sf_dir):
+    """No returned part is strictly dominated (smaller size AND higher
+    price) by any part in the table, and every non-returned part IS
+    dominated."""
+    part = load_table(spark, sf_dir, "part")
+    frontier = relational.pareto_frontier(part).collect()
+    allp = [
+        (r.p_partkey, r.p_size, round(r.p_retailprice * 100))
+        for r in part.select("p_partkey", "p_size", "p_retailprice").collect()
+    ]
+    fkeys = {r.p_partkey for r in frontier}
+    assert 0 < len(fkeys) < len(allp)
+    for r in frontier:
+        pc = round(r.p_retailprice * 100)
+        assert not any(
+            s < r.p_size and c > pc for (_, s, c) in allp
+        ), f"part {r.p_partkey} is dominated"
+    # non-returned parts are at least weakly dominated: some strictly
+    # smaller part has price >= theirs (the operator's drop condition)
+    for key, size, pc in allp:
+        if key not in fkeys:
+            assert any(s < size and c >= pc for (_, s, c) in allp)
