@@ -3039,3 +3039,107 @@ def pareto_frontier(part: DataFrame) -> DataFrame:
         )
         .orderBy("p_size", "p_partkey")
     )
+
+
+def label_propagation(
+    events: DataFrame, rounds: int = 3, nodes_a: int = 200, nodes_b: int = 199
+) -> DataFrame:
+    """Community detection by synchronous label propagation (LPA) over
+    the same derived interaction graph as triangle_count: every vertex
+    starts labeled with its own id, and each round adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label — the deterministic variant (classic LPA's random tie-break
+    is irreproducible across engines and runs). A fixed `rounds`
+    budget keeps the plan statically unrollable; the driver-loop
+    kernels (connected components, pagerank_converged) show the
+    to-convergence form.
+
+    Completes the graph family: pagerank (centrality), connected
+    components (reachability), triangles (local density), LPA
+    (community structure).
+
+    Plan shape per round: one join of the bounded label relation
+    against the undirected edge list (both carry vertices, never
+    events) + one (dst, label) partial-agg + one per-dst argmax agg —
+    all shuffles keyed on vertex ids, exchange-reusable round over
+    round. At 100 TB the label relation is |V| rows against |E| edges,
+    the same asymptotics GraphX/Pregel LPA has."""
+    raw = events.select(
+        (F.col("user_id") % nodes_a).alias("p"),
+        (F.col("event_id") % nodes_b).alias("q"),
+    ).filter(F.col("p") != F.col("q"))
+    edges = raw.select(
+        F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
+    ).distinct()
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    labels = und.select(F.col("src").alias("vertex")).distinct().select(
+        "vertex", F.col("vertex").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            und.join(labels, und["src"] == labels["vertex"])
+            .groupBy(F.col("dst"), F.col("label"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax with min-label tie-break: max of (cnt, -label)
+        labels = (
+            votes.groupBy("dst")
+            .agg(
+                F.max(
+                    F.struct(F.col("cnt"), (-F.col("label")).alias("neg_label"))
+                ).alias("best")
+            )
+            .select(
+                F.col("dst").alias("vertex"), (-F.col("best.neg_label")).alias("label")
+            )
+        )
+    return labels.orderBy("vertex")
+
+
+def anomaly_mad(events: DataFrame, cutoff: int = 3) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    heavy-tail-safe twin of anomaly_zscore (one extreme value drags a
+    mean and explodes a stddev; medians don't move): per event type,
+    med = median(value), mad = median(|value - med|), and a row is an
+    outlier when |value - med| > cutoff * mad.
+
+    Both medians use the DISCRETE percentile (an actual data value,
+    percentile_disc semantics) so the statistic is engine-exact — no
+    interpolation float whose last ulp could differ between JVM and
+    DuckDB. Plan shape: two grouped-agg passes over the same
+    event_type clustering (med, then mad over the residuals) and one
+    broadcast join of the 5-row stats table back onto the scan —
+    identical shape to anomaly_zscore, linear at any scale. (Exact
+    grouped medians sort within partial aggregates; at 100 TB swap in
+    approx_percentile the way feature_quantile_bins does, keeping
+    this exact form as the oracle twin.)"""
+    # percentile_approx at accuracy >> group size degenerates to the
+    # exact discrete quantile (the agg_percentiles_approx convention:
+    # quantile_disc is then an exact oracle twin)
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile_approx(value, 0.5, 1000000)").alias("med")
+    )
+    resid = events.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = resid.groupBy("event_type").agg(
+        F.expr("percentile_approx(adev, 0.5, 1000000)").alias("mad")
+    )
+    flagged = resid.join(F.broadcast(mad), "event_type").withColumn(
+        "is_outlier", F.col("adev") > F.lit(cutoff) * F.col("mad")
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count(F.when(F.col("is_outlier"), 1)).alias("n_outliers"),
+            F.round(F.min("med"), 2).alias("med"),
+            F.round(F.min("mad"), 2).alias("mad"),
+            F.round(F.max(F.when(F.col("is_outlier"), F.col("value"))), 2).alias(
+                "worst_value"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -1988,7 +1988,7 @@ _PRIORITY = [
     "dedup_minhash_canonical", "dedup_containment_best", "dedup_substring_spans",
     "semdedup", "dedup_exact", "dedup_minhash_lsh", "dedup_groups",
     "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "corpus_decontaminate", "split_group_aware",
+    "corpus_decontaminate", "split_group_aware", "dsir_select",
     # streaming matrix (windows, sessionization, joins, dedup, sinks)
     "streaming_windowed_counts", "streaming_sessionize_native",
     "streaming_sessionize", "streaming_attribution",
@@ -1999,7 +1999,8 @@ _PRIORITY = [
     "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
     # scale-sensitive rewrites + iterative kernels + sketches
     "feature_quantile_bins", "pagerank_step", "pagerank_converged",
-    "heavy_hitters_cms",
+    "heavy_hitters_cms", "bloom_semi_filter", "graph_triangles",
+    "graph_label_propagation",
     # joins / TPC-H shapes
     "join_asof_tolerance", "join_interval_bucketed", "join_bucketed_colocated",
     "shipping_priority", "market_share", "waiting_suppliers",
@@ -5571,3 +5572,141 @@ def dsir_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.dsir_importance(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "streaming_bloom_bits",
+    # Bloom built incrementally on the stream: the bit set is the
+    # distinct (hash-index x bit) relation over distinct keys —
+    # dropDuplicates handles the exact-distinct state, and the drained
+    # complete-mode table equals the batch build; bit-set union across
+    # shards/streams is the Bloom merge rule
+    """
+SELECT i.i AS r,
+       CAST(concat('0x', substr(md5('sbloom' || i.i || ':' || key), 1, 15))
+            AS UBIGINT) % 4096 AS bit,
+       COUNT(*) AS n_keys
+FROM (SELECT DISTINCT user_id AS key FROM events),
+     (SELECT UNNEST(range(3)) AS i) i
+GROUP BY 1, 2
+""",
+)
+def streaming_bloom_bits_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("r"),
+                    F.pmod(
+                        F.conv(
+                            F.substring(
+                                F.md5(
+                                    F.concat(
+                                        F.lit(f"sbloom{i}:"),
+                                        F.col("user_id").cast("string"),
+                                    )
+                                ),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        ).cast("long"),
+                        F.lit(4096),
+                    ).alias("bit"),
+                )
+                for i in range(3)
+            ]
+        )
+    )
+    bits = (
+        stream.select("user_id")
+        .dropDuplicates(["user_id"])
+        .select(probes.alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bit").alias("bit"))
+        .agg(F.count("*").alias("n_keys"))
+    )
+    return jobs.run_available_now(bits, "streaming_bloom_bits")
+
+
+@register(
+    "graph_label_propagation",
+    # three synchronous LPA rounds unrolled as CTEs; argmax = most
+    # frequent neighbor label, smallest label on ties
+    """
+WITH raw AS (
+  SELECT user_id % 200 AS p, event_id % 199 AS q FROM events
+  WHERE user_id % 200 <> event_id % 199
+),
+edges AS (SELECT DISTINCT LEAST(p, q) AS u, GREATEST(p, q) AS v FROM raw),
+und AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL SELECT v AS src, u AS dst FROM edges
+),
+l0 AS (SELECT DISTINCT src AS vertex, src AS label FROM und),
+v1 AS (
+  SELECT dst, label, COUNT(*) AS cnt FROM und JOIN l0 ON und.src = l0.vertex
+  GROUP BY dst, label
+),
+l1 AS (
+  SELECT dst AS vertex, label FROM v1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label) = 1
+),
+v2 AS (
+  SELECT dst, label, COUNT(*) AS cnt FROM und JOIN l1 ON und.src = l1.vertex
+  GROUP BY dst, label
+),
+l2 AS (
+  SELECT dst AS vertex, label FROM v2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label) = 1
+),
+v3 AS (
+  SELECT dst, label, COUNT(*) AS cnt FROM und JOIN l2 ON und.src = l2.vertex
+  GROUP BY dst, label
+),
+l3 AS (
+  SELECT dst AS vertex, label FROM v3
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label) = 1
+)
+SELECT vertex, label FROM l3 ORDER BY vertex
+""",
+)
+def graph_label_propagation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.label_propagation(load_events(spark, sf_dir))
+
+
+@register(
+    "anomaly_mad",
+    # discrete medians (quantile_disc == percentile_approx at
+    # degenerate accuracy) keep both engines on actual data values
+    """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+resid AS (
+  SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_disc(adev, 0.5) AS mad FROM resid
+  GROUP BY event_type
+)
+SELECT r.event_type, COUNT(*) AS n_events,
+       COUNT(CASE WHEN r.adev > 3 * d.mad THEN 1 END) AS n_outliers,
+       ROUND(MIN(r.med), 2) AS med, ROUND(MIN(d.mad), 2) AS mad,
+       ROUND(MAX(CASE WHEN r.adev > 3 * d.mad THEN r.value END), 2)
+         AS worst_value
+FROM resid r JOIN mad d USING (event_type)
+GROUP BY r.event_type ORDER BY r.event_type
+""",
+)
+def anomaly_mad_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.anomaly_mad(load_events(spark, sf_dir))

@@ -932,3 +932,62 @@ def test_pareto_frontier_is_undominated(spark, sf_dir):
     for key, size, pc in allp:
         if key not in fkeys:
             assert any(s < size and c >= pc for (_, s, c) in allp)
+
+
+def test_label_propagation_matches_python_rounds(spark, sf_dir):
+    """Three synchronous LPA rounds with min-label tie-break equal a
+    driver-side reference implementation on the same edge set."""
+    events = load_events(spark, sf_dir)
+    got = {r.vertex: r.label for r in relational.label_propagation(events).collect()}
+    edges = {
+        (min(r.p, r.q), max(r.p, r.q))
+        for r in events.select(
+            (F.col("user_id") % 200).alias("p"), (F.col("event_id") % 199).alias("q")
+        )
+        .filter(F.col("p") != F.col("q"))
+        .distinct()
+        .collect()
+    }
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    labels = {v: v for v in adj}
+    for _ in range(3):
+        new = {}
+        for v in adj:
+            c = Counter(labels[n] for n in adj[v])
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    assert got == labels
+    # communities actually merged: fewer distinct labels than vertices
+    assert len(set(got.values())) < len(got)
+
+
+def test_anomaly_mad_robust_to_injected_outlier(spark, sf_dir):
+    """MAD statistics barely move when one extreme value is injected,
+    and the injected row is flagged."""
+    events = load_events(spark, sf_dir)
+    base = {r.event_type: r for r in relational.anomaly_mad(events).collect()}
+    spike = events.limit(1).select(
+        "event_id", "ts", "user_id", "event_type",
+        F.lit(1e9).alias("value"), "props",
+    )
+    etype = spike.collect()[0].event_type
+    polluted = {
+        r.event_type: r
+        for r in relational.anomaly_mad(
+            events.select(
+                "event_id", "ts", "user_id", "event_type", "value", "props"
+            ).unionByName(spike)
+        ).collect()
+    }
+    b, p = base[etype], polluted[etype]
+    assert p.n_outliers >= b.n_outliers + 1
+    assert abs(p.med - b.med) <= max(1.0, 0.05 * abs(b.med))
+    assert p.worst_value == 1e9
+    for r in base.values():
+        assert 0 <= r.n_outliers < r.n_events and r.mad >= 0

@@ -75,6 +75,13 @@ HEADLINE = [
     ("ann_lsh", "md5-derived sign-LSH planes; bucket hamming probe, broadcast query"),
     ("join_interval_bucketed", "big-big interval join: bucket decomposition -> equi-join + codegen residual, no NLJ"),
     ("heavy_hitters_cms", "count-min sketch: d*w-bounded cell shuffle, min-over-cells probes"),
+    ("bloom_semi_filter", "Bloom membership gate: m-bit-bounded build, broadcast bit-set probe"),
+    ("graph_triangles", "triangle counting: degree-ordered orientation caps wedge fan-out"),
+    ("graph_label_propagation", "LPA communities: vertex-keyed joins, exchange-reused rounds"),
+    ("dsir_select", "DSIR selection: bucket-bounded censuses, broadcast ratio score-back"),
+    ("gap_fill_interpolate", "densify + exact-bigint lerp: both bracket scans share one window exchange"),
+    ("pareto_frontier", "2-D skyline: one range sort + running-max window, no dominance join"),
+    ("anomaly_mad", "MAD outlier gate: two grouped medians + broadcast stats join"),
 ]
 
 
