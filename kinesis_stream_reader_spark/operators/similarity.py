@@ -15,6 +15,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .dedup import _as_double, cosine
 
@@ -658,4 +659,102 @@ def kmeans_converged(
             F.col("n").alias("n_members"),
         )
         .orderBy("cluster_id", "pos")
+    )
+
+
+def rag_retrieval(
+    documents: DataFrame,
+    dims: int = 16,
+    k: int = 5,
+    n_queries: int = 3,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Third flagship composition — the RAG serving path: sliding-
+    window chunking (chunk_documents' arithmetic) -> hashed bag-of-
+    words chunk embeddings (feature hashing: each token adds +-1 to an
+    md5-chosen dimension — the deterministic stand-in for a model
+    encoder; swapping in real embeddings changes ONE column) -> exact
+    top-k retrieval of the best chunks for each query document's lead
+    chunk, self-doc excluded.
+
+    Plan shape: chunking + token explode are map-only codegen; the
+    per-(chunk, dim) sparse vector agg is one shuffle whose key space
+    is chunks x dims; the tiny query-vector relation broadcasts, so
+    the dot product is a broadcast join on dim + one re-agg — the
+    corpus never shuffles twice and nothing is quadratic (a chunk
+    pairs only with the <= n_queries x dims broadcast rows that share
+    a dimension). The final per-query rank is the window form; at
+    100 TB you prune candidates first with the IVF/LSH index ops
+    (ann_ivf's list_id becomes a partition key) and feed this same
+    scoring join only the probed lists.
+
+    Integer weights end-to-end (quality_model_score convention), so
+    the DuckDB oracle mirrors chunking, hashing, and scoring
+    bit-identically."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    n_chunks = 1 + F.ceil(
+        F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    chunks = documents.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, chunk_tokens).alias(
+            "chunk_toks"
+        ),
+    )
+    tok_rows = chunks.select(
+        "doc_id", "chunk_id", F.explode("chunk_toks").alias("tok")
+    )
+
+    def h60(prefix: str) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit(prefix), F.col("tok"))), 1, 15), 16, 10
+        ).cast("long")
+
+    vecs = (
+        tok_rows.select(
+            "doc_id",
+            "chunk_id",
+            F.pmod(h60("ragd:"), F.lit(dims)).alias("dim"),
+            (F.lit(1) - F.lit(2) * F.pmod(h60("rags:"), F.lit(2))).alias("s"),
+        )
+        .groupBy("doc_id", "chunk_id", "dim")
+        .agg(F.sum("s").alias("w"))
+    )
+    qids = (
+        documents.select("doc_id")
+        .orderBy("doc_id")
+        .limit(n_queries)
+        .select(F.col("doc_id").alias("q_doc"))
+    )
+    qvecs = (
+        vecs.join(F.broadcast(qids), vecs["doc_id"] == qids["q_doc"])
+        .filter(F.col("chunk_id") == 0)
+        .select("q_doc", F.col("dim").alias("qdim"), F.col("w").alias("qw"))
+    )
+    dots = (
+        vecs.join(
+            F.broadcast(qvecs),
+            (vecs["dim"] == qvecs["qdim"]) & (vecs["doc_id"] != qvecs["q_doc"]),
+        )
+        .groupBy("q_doc", "doc_id", "chunk_id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot_u"))
+    )
+    w = Window.partitionBy("q_doc").orderBy(
+        F.col("dot_u").desc(), "doc_id", "chunk_id"
+    )
+    return (
+        dots.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_doc", F.col("rank").cast("int").alias("rank"),
+            "doc_id", "chunk_id", "dot_u",
+        )
+        .orderBy("q_doc", "rank")
     )

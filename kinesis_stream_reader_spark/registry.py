@@ -1983,7 +1983,7 @@ _PRIORITY = [
     "filter_time_range_clamped", "deagg_explode", "deagg_passthrough_quirk",
     "json_parse", "sink_json",
     # flagship compositions
-    "curate_corpus", "training_batches",
+    "curate_corpus", "training_batches", "rag_retrieval",
     # dedup default contracts + family
     "dedup_minhash_canonical", "dedup_containment_best", "dedup_substring_spans",
     "semdedup", "dedup_exact", "dedup_minhash_lsh", "dedup_groups",
@@ -5710,3 +5710,52 @@ def anomaly_mad_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.anomaly_mad(load_events(spark, sf_dir))
+
+
+@register(
+    "rag_retrieval",
+    # full mirror of the flagship RAG path: chunk arithmetic (the
+    # chunk_documents oracle), md5 feature-hashed +-1 embeddings, and
+    # exact integer dot-product ranking
+    r"""
+WITH toks AS (
+  SELECT doc_id, str_split_regex(trim(text), '\s+') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+         t[i * 48 + 1 : least((i * 48) + 64, len(t))] AS ct
+  FROM toks, generate_series(0, 4096) AS g(i)
+  WHERE i <= CEIL(GREATEST(len(t) - 64, 0) / 48.0)
+),
+tokr AS (SELECT doc_id, chunk_id, UNNEST(ct) AS tok FROM chunks),
+vecs AS (
+  SELECT doc_id, chunk_id,
+         CAST(CAST(concat('0x', substr(md5('ragd:' || tok), 1, 15))
+              AS UBIGINT) % 16 AS BIGINT) AS dim,
+         CAST(SUM(1 - 2 * CAST(CAST(concat('0x', substr(md5('rags:' || tok), 1, 15))
+              AS UBIGINT) % 2 AS BIGINT)) AS BIGINT) AS w
+  FROM tokr GROUP BY 1, 2, 3
+),
+qids AS (SELECT doc_id AS q_doc FROM documents ORDER BY doc_id LIMIT 3),
+qvecs AS (
+  SELECT q.q_doc, v.dim AS qdim, v.w AS qw
+  FROM vecs v JOIN qids q ON v.doc_id = q.q_doc WHERE v.chunk_id = 0
+),
+dots AS (
+  SELECT q.q_doc, v.doc_id, v.chunk_id,
+         CAST(SUM(v.w * q.qw) AS BIGINT) AS dot_u
+  FROM vecs v JOIN qvecs q ON v.dim = q.qdim AND v.doc_id <> q.q_doc
+  GROUP BY 1, 2, 3
+)
+SELECT q_doc, CAST(rank AS INT) AS rank, doc_id, chunk_id, dot_u FROM (
+  SELECT q_doc, doc_id, chunk_id, dot_u,
+         ROW_NUMBER() OVER (PARTITION BY q_doc
+                            ORDER BY dot_u DESC, doc_id, chunk_id) AS rank
+  FROM dots
+) WHERE rank <= 5 ORDER BY q_doc, rank
+""",
+)
+def rag_retrieval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.rag_retrieval(load_table(spark, sf_dir, "documents"))

@@ -434,3 +434,49 @@ def test_dsir_importance_favors_target_language(spark, sf_dir):
     base_rate = sum(1 for v in langs.values() if v == "en") / n_docs
     top_rate = sum(1 for r in top if langs[r.doc_id] == "en") / len(top)
     assert top_rate > base_rate, (top_rate, base_rate)
+
+
+def test_rag_retrieval_invariants(spark, sf_dir):
+    """Per query: ranks are contiguous from 1, dots non-increasing,
+    the query document never retrieves itself, and the top-1 equals a
+    driver-side recompute of the argmax dot product."""
+    documents = load_table(spark, sf_dir, "documents")
+    rows = similarity.rag_retrieval(documents).collect()
+    from collections import defaultdict
+
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.q_doc].append(r)
+    assert len(by_q) == 3
+    for q, rs in by_q.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dots = [r.dot_u for r in rs]
+        assert dots == sorted(dots, reverse=True)
+        assert all(r.doc_id != q for r in rs)
+    # driver-side recompute of the best match for the smallest query
+    import hashlib
+
+    def vec(tokens):
+        v = defaultdict(int)
+        for t in tokens:
+            d = int(hashlib.md5(f"ragd:{t}".encode()).hexdigest()[:15], 16) % 16
+            s = 1 - 2 * (int(hashlib.md5(f"rags:{t}".encode()).hexdigest()[:15], 16) % 2)
+            v[d] += s
+        return v
+
+    docs = {r.doc_id: r.text.strip().split() for r in documents.collect()}
+    q0 = min(by_q)
+    qv = vec(docs[q0][:64])
+    best = None
+    for did, toks in docs.items():
+        if did == q0:
+            continue
+        nch = 1 + max(0, -(-max(len(toks) - 64, 0) // 48))
+        for ci in range(nch):
+            cv = vec(toks[ci * 48 : ci * 48 + 64])
+            dot = sum(w * qv.get(d, 0) for d, w in cv.items())
+            key = (-dot, did, ci)
+            if best is None or key < best[0]:
+                best = (key, did, ci, dot)
+    top = by_q[q0][0]
+    assert (top.doc_id, top.chunk_id, top.dot_u) == (best[1], best[2], best[3])

@@ -82,6 +82,7 @@ HEADLINE = [
     ("gap_fill_interpolate", "densify + exact-bigint lerp: both bracket scans share one window exchange"),
     ("pareto_frontier", "2-D skyline: one range sort + running-max window, no dominance join"),
     ("anomaly_mad", "MAD outlier gate: two grouped medians + broadcast stats join"),
+    ("rag_retrieval", "RAG flagship: map-only chunk+hash embed, broadcast query vectors, dim-join dot product"),
 ]
 
 
