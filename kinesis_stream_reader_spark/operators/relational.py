@@ -3143,3 +3143,75 @@ def anomaly_mad(events: DataFrame, cutoff: int = 3) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def source_mixture_temperature(
+    documents: DataFrame, temperature_budget: int = 10000
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-corpus
+    sampling rule: p_s proportional to n_s^alpha with alpha = 0.5) —
+    the companion to source_mixture_weights' flattening plan:
+    square-root scaling keeps big sources dominant but boosts small
+    sources' share, and the output is each source's document quota out
+    of a fixed sampling budget.
+
+    Engine-exact arithmetic: IEEE sqrt is correctly rounded, so
+    floor(sqrt(n_s * 1e6)) is the SAME bigint on any engine (the one
+    transcendental-free exception: sqrt is exact, log/exp are not —
+    which is why alpha is the canonical 0.5 and not a free parameter
+    here), and quotas are exact integer proportions of the budget.
+    Plan shape: one partial-agg shuffle bounded by the source
+    cardinality, then a scalar-total broadcast join — identical to
+    source_mixture_weights."""
+    counts = documents.groupBy("source").agg(F.count("*").alias("n_docs"))
+    weighted = counts.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs") * F.lit(1000000))).cast("long").alias(
+            "weight_u"
+        ),
+    )
+    total = weighted.agg(F.sum("weight_u").alias("total_w"))
+    return (
+        weighted.join(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "weight_u",
+            F.expr(f"{temperature_budget} * weight_u DIV total_w").alias("quota"),
+        )
+        .orderBy("source")
+    )
+
+
+def join_shuffle_hash_hint(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """The SHUFFLE_HASH join-strategy hint: when both sides are too
+    big to broadcast but one side's partitions fit in memory, a
+    shuffled hash join skips the sort phase a sort-merge join pays on
+    BOTH sides — the right call for a large fact joining a
+    medium-sized table at 100 TB (SMJ's sort is O(n log n) per
+    partition; the hash build is O(n), and AQE can't always infer it
+    from stale stats). Semantics are the hint-free join — the oracle
+    is the plain SQL — while pytest asserts the physical plan actually
+    contains ShuffledHashJoin, the same evidence pattern as
+    join_bucketed_colocated's zero-Exchange assert.
+
+    Output: per-priority (event x order) pair counts. The orders side
+    pre-aggregates to (custkey, priority, n_orders) BEFORE the join —
+    the aggregate-before-join rewrite that keeps a counting join's
+    intermediate linear when both sides repeat keys (the raw pair
+    relation grows as |events per user| x |orders per user|; the
+    rolled-up join never materializes it, SUM(n_orders) counts it) —
+    and the rolled-up side still scales with |customers|, far past
+    broadcast size at 100 TB, which is exactly the SHJ sweet spot."""
+    per_cust = orders.groupBy(
+        F.col("o_custkey"), F.col("o_orderpriority")
+    ).agg(F.count("*").alias("n_orders"))
+    joined = events.hint("shuffle_hash").join(
+        per_cust.hint("shuffle_hash"), events["user_id"] == per_cust["o_custkey"]
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.sum("n_orders").alias("n_pairs"))
+        .orderBy("o_orderpriority")
+    )

@@ -758,3 +758,67 @@ def rag_retrieval(
         )
         .orderBy("q_doc", "rank")
     )
+
+
+def ann_ivf_incremental(embeddings: DataFrame) -> DataFrame:
+    """IVF index maintenance — the INSERT path: new (delta) vectors
+    join an already-trained index by nearest FROZEN centroid, no
+    retraining, the way FAISS `add()` appends to inverted lists. Base
+    = 90% of vectors (their ground-truth labels are the trained
+    lists); delta = the held-out 10%, assigned by argmin squared L2
+    against the base's per-list centroids. Output: the merged
+    per-list occupancy (base, inserted, total) — the index-health
+    view an ingestion pipeline monitors between re-trainings.
+
+    Engine-exact arithmetic (kmeans_converged convention): vectors
+    milli-quantize to bigints, the frozen centroid is SUM DIV n
+    (integer division — order-independent, unlike a float mean), and
+    every distance is an exact bigint, so the DuckDB oracle rebuilds
+    assignment bit-identically.
+
+    Plan shape: centroids are k x dims rows — broadcast; the delta
+    explodes to (vec, dim) rows once, the scoring join fans each only
+    k ways, and the argmin is a min(struct) partial agg — no window
+    sort, nothing quadratic in the corpus. At scale list_id is the
+    partition key of the persisted index, so inserts append to the
+    probed files only."""
+    vecs = embeddings.select(
+        "vec_id",
+        F.col("label").alias("list_id"),
+        F.transform(
+            _as_double(F.col("embedding")),
+            lambda v: F.floor(v * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("xu"),
+    )
+    base = vecs.filter(F.col("vec_id") % 10 != 0)
+    delta = vecs.filter(F.col("vec_id") % 10 == 0)
+    base_dims = base.select(
+        "list_id", F.posexplode("xu").alias("pos", "v")
+    )
+    centroids = base_dims.groupBy("list_id", "pos").agg(
+        F.expr("SUM(v) DIV COUNT(*)").alias("cu")
+    )
+    delta_dims = delta.select("vec_id", F.posexplode("xu").alias("pos", "v"))
+    d2 = (
+        delta_dims.join(F.broadcast(centroids), "pos")
+        .groupBy("vec_id", "list_id")
+        .agg(F.sum((F.col("v") - F.col("cu")) * (F.col("v") - F.col("cu"))).alias("d2"))
+    )
+    assigned = (
+        d2.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "list_id")).alias("s"))
+        .select(F.col("s.list_id").alias("list_id"))
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n_delta"))
+    )
+    n_base = base.groupBy("list_id").agg(F.count("*").alias("n_base"))
+    return (
+        n_base.join(assigned, "list_id", "left")
+        .select(
+            "list_id",
+            "n_base",
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+            (F.col("n_base") + F.coalesce("n_delta", F.lit(0))).alias("n_total"),
+        )
+        .orderBy("list_id")
+    )

@@ -2000,7 +2000,7 @@ _PRIORITY = [
     # scale-sensitive rewrites + iterative kernels + sketches
     "feature_quantile_bins", "pagerank_step", "pagerank_converged",
     "heavy_hitters_cms", "bloom_semi_filter", "graph_triangles",
-    "graph_label_propagation",
+    "graph_label_propagation", "ann_ivf_incremental",
     # joins / TPC-H shapes
     "join_asof_tolerance", "join_interval_bucketed", "join_bucketed_colocated",
     "shipping_priority", "market_share", "waiting_suppliers",
@@ -5759,3 +5759,98 @@ def rag_retrieval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
 
     return similarity.rag_retrieval(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_ivf_incremental",
+    # milli-quantized integer centroids (SUM DIV n) and exact bigint
+    # distances: assignment is bit-identical across engines
+    """
+WITH vecs AS (
+  SELECT vec_id, label AS list_id,
+         list_transform(embedding,
+           v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS xu
+  FROM embeddings
+),
+base AS (SELECT * FROM vecs WHERE vec_id % 10 <> 0),
+delta AS (SELECT * FROM vecs WHERE vec_id % 10 = 0),
+base_dims AS (
+  SELECT list_id, generate_subscripts(xu, 1) - 1 AS pos, unnest(xu) AS v
+  FROM base
+),
+centroids AS (
+  SELECT list_id, pos, CAST(SUM(v) // COUNT(*) AS BIGINT) AS cu
+  FROM base_dims GROUP BY 1, 2
+),
+delta_dims AS (
+  SELECT vec_id, generate_subscripts(xu, 1) - 1 AS pos, unnest(xu) AS v
+  FROM delta
+),
+d2 AS (
+  SELECT d.vec_id, c.list_id,
+         CAST(SUM((d.v - c.cu) * (d.v - c.cu)) AS BIGINT) AS d2
+  FROM delta_dims d JOIN centroids c USING (pos)
+  GROUP BY 1, 2
+),
+assigned AS (
+  SELECT list_id, COUNT(*) AS n_delta FROM (
+    SELECT vec_id, list_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM d2
+  ) WHERE rn = 1 GROUP BY list_id
+),
+nb AS (SELECT list_id, COUNT(*) AS n_base FROM base GROUP BY list_id)
+SELECT nb.list_id, nb.n_base, COALESCE(a.n_delta, 0) AS n_delta,
+       nb.n_base + COALESCE(a.n_delta, 0) AS n_total
+FROM nb LEFT JOIN assigned a USING (list_id)
+ORDER BY nb.list_id
+""",
+)
+def ann_ivf_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.ann_ivf_incremental(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "source_mixture_temperature",
+    # IEEE sqrt is correctly rounded: floor(sqrt(n*1e6)) is the same
+    # bigint on both engines; quotas are exact integer proportions
+    """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs,
+         CAST(FLOOR(SQRT(n_docs * 1000000)) AS BIGINT) AS weight_u
+  FROM counts
+),
+total AS (SELECT CAST(SUM(weight_u) AS BIGINT) AS total_w FROM weighted)
+SELECT source, n_docs, weight_u,
+       CAST(10000 * weight_u // total_w AS BIGINT) AS quota
+FROM weighted, total ORDER BY source
+""",
+)
+def source_mixture_temperature_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.source_mixture_temperature(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
+@register(
+    "join_shuffle_hash_hint",
+    # the hint is plan-internal: semantics = the plain equi-join
+    """
+SELECT o.o_orderpriority, COUNT(*) AS n_pairs
+FROM events e JOIN orders o ON e.user_id = o.o_custkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+""",
+)
+def join_shuffle_hash_hint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.join_shuffle_hash_hint(
+        load_events(spark, sf_dir), load_table(spark, sf_dir, "orders")
+    )

@@ -480,3 +480,28 @@ def test_rag_retrieval_invariants(spark, sf_dir):
                 best = (key, did, ci, dot)
     top = by_q[q0][0]
     assert (top.doc_id, top.chunk_id, top.dot_u) == (best[1], best[2], best[3])
+
+
+def test_ann_ivf_incremental_conserves_vectors(spark, sf_dir):
+    """Every delta vector lands in exactly one list; totals reconcile
+    with the input split; most delta vectors rejoin their own label's
+    list (the centroids are real cluster centers)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.ann_ivf_incremental(emb).collect()
+    n_base = emb.filter("vec_id % 10 != 0").count()
+    n_delta = emb.filter("vec_id % 10 = 0").count()
+    assert sum(r.n_base for r in out) == n_base
+    assert sum(r.n_delta for r in out) == n_delta
+    assert all(r.n_total == r.n_base + r.n_delta for r in out)
+    own = (
+        similarity.ann_ivf_incremental(emb)
+        .join(
+            emb.filter("vec_id % 10 = 0")
+            .groupBy(F.col("label").alias("list_id"))
+            .agg(F.count("*").alias("n_lab")),
+            "list_id",
+        )
+        .collect()
+    )
+    agree = sum(min(r.n_delta, r.n_lab) for r in own)
+    assert agree >= 0.7 * n_delta, "centroid assignment should mostly match labels"

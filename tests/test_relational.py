@@ -991,3 +991,36 @@ def test_anomaly_mad_robust_to_injected_outlier(spark, sf_dir):
     assert p.worst_value == 1e9
     for r in base.values():
         assert 0 <= r.n_outliers < r.n_events and r.mad >= 0
+
+
+def test_join_shuffle_hash_hint_plan_and_semantics(spark, sf_dir):
+    """The hint changes the physical join strategy, not the answer."""
+    events = load_events(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    out = relational.join_shuffle_hash_hint(events, orders)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    plain = {
+        r.o_orderpriority: r.n_pairs
+        for r in events.join(orders, events.user_id == orders.o_custkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_pairs"))
+        .collect()
+    }
+    assert {r.o_orderpriority: r.n_pairs for r in out.collect()} == plain
+
+
+def test_source_mixture_temperature_flattens(spark, sf_dir):
+    """Sqrt scaling: quota shares sit between uniform and proportional
+    — small sources gain share, big sources lose share, quotas fit the
+    budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = relational.source_mixture_temperature(docs).collect()
+    n_total = sum(r.n_docs for r in rows)
+    assert sum(r.quota for r in rows) <= 10000
+    for r in rows:
+        prop_share = r.n_docs / n_total
+        quota_share = r.quota / 10000
+        uniform = 1 / len(rows)
+        lo, hi = sorted((prop_share, uniform))
+        assert lo - 0.01 <= quota_share <= hi + 0.01, (r.source, quota_share)

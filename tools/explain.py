@@ -83,6 +83,8 @@ HEADLINE = [
     ("pareto_frontier", "2-D skyline: one range sort + running-max window, no dominance join"),
     ("anomaly_mad", "MAD outlier gate: two grouped medians + broadcast stats join"),
     ("rag_retrieval", "RAG flagship: map-only chunk+hash embed, broadcast query vectors, dim-join dot product"),
+    ("ann_ivf_incremental", "IVF insert path: broadcast frozen centroids, argmin as min(struct) partial agg"),
+    ("join_shuffle_hash_hint", "SHUFFLE_HASH hint: hash build instead of both-side sorts"),
 ]
 
 
