@@ -1993,7 +1993,8 @@ _PRIORITY = [
     "streaming_windowed_counts", "streaming_sessionize_native",
     "streaming_sessionize", "streaming_attribution",
     "streaming_attribution_outer", "streaming_attribution_full",
-    "streaming_attribution_semi", "streaming_dedup", "streaming_asof_enrich",
+    "streaming_attribution_semi", "streaming_attribution_right",
+    "streaming_resume_exactly_once", "streaming_dedup", "streaming_asof_enrich",
     "streaming_upsert_compact", "streaming_records_pipeline",
     # ANN / similarity (flat, LSH, IVF, PQ)
     "ann_bruteforce", "ann_lsh", "ann_ivf", "ann_pq",
@@ -5854,3 +5855,119 @@ def join_shuffle_hash_hint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.join_shuffle_hash_hint(
         load_events(spark, sf_dir), load_table(spark, sf_dir, "orders")
     )
+
+
+@register(
+    "streaming_attribution_right",
+    # RIGHT OUTER stream-stream join: matched rows equal the batch
+    # self-join; organic purchases emit (NULL, purchase_id) once the
+    # per-stream-min terminal watermark passes the purchase time
+    """
+WITH wm AS (
+  SELECT LEAST(
+           (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+           (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+         ) - INTERVAL 2 HOUR AS w
+),
+matched AS (
+  SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+  FROM events c JOIN events p
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+),
+unmatched_p AS (
+  SELECT CAST(NULL AS BIGINT) AS click_id, p.event_id AS purchase_id,
+         p.user_id
+  FROM events p, wm
+  WHERE p.event_type = 'purchase'
+    AND p.ts < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+)
+SELECT * FROM matched UNION ALL SELECT * FROM unmatched_p
+""",
+)
+def streaming_attribution_right_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.attribution_join_right(stream), "streaming_attribution_right"
+    )
+
+
+@register(
+    "streaming_resume_exactly_once",
+    # the whole point is that a RESTARTED job (same checkpoint) neither
+    # loses nor duplicates: injected at-least-once replays are dropped
+    # by dedup state recovered from the checkpoint, so the sink equals
+    # the plain batch projection of the events exactly once
+    """
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+def streaming_resume_exactly_once_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once across a restart — the checkpoint-recovery story:
+
+    phase 1: drain half-ish of the feed (AvailableNow) through
+    dropDuplicates(event_id) into a parquet sink with a PERSISTENT
+    checkpoint; phase 2: new files arrive INCLUDING at-least-once
+    replays of phase-1 events (the upstream-retry failure mode the
+    reference's fetch loop is exposed to, kinesisReader/index.js:39-44),
+    and the SAME query restarts against the same checkpoint. The file
+    source's processed-file log skips nothing and repeats nothing, and
+    the dedup state store — recovered from the checkpoint, not rebuilt
+    — drops every replay. The sink then equals the batch projection
+    exactly once, which is the oracle.
+
+    This is the operational guarantee the engine inherits from
+    Structured Streaming's checkpoint protocol (WAL of file batches +
+    versioned state store), demonstrated end-to-end rather than
+    asserted."""
+    import tempfile
+
+    from .sources.tables import normalize_timestamps
+    from .streaming.jobs import ensure_confs
+
+    ensure_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream_dir = tempfile.mkdtemp(prefix="ksr_resume_src_")
+    out_dir = tempfile.mkdtemp(prefix="ksr_resume_out_")
+    ckpt_dir = tempfile.mkdtemp(prefix="ksr_resume_ckpt_")
+
+    def drain() -> None:
+        stream = normalize_timestamps(
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(stream_dir)
+        ).select("event_id", "user_id", "event_type", "value")
+        q = (
+            stream.dropDuplicates(["event_id"])
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase 1: the first 3/4 of events, 4 files
+    static.filter(F.col("event_id") % 4 != 0).repartition(4).write.mode(
+        "append"
+    ).parquet(stream_dir)
+    drain()
+    # phase 2: the remaining quarter PLUS replays of phase-1 events
+    static.filter(
+        (F.col("event_id") % 4 == 0) | (F.col("event_id") % 3 == 0)
+    ).repartition(3).write.mode("append").parquet(stream_dir)
+    drain()
+    return spark.read.schema(
+        "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    ).parquet(out_dir)

@@ -529,3 +529,45 @@ def attribution_join_full(
     ).select(
         "click_id", "purchase_id", F.coalesce("c_user", "p_user").alias("user_id")
     )
+
+
+def attribution_join_right(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """RIGHT OUTER watermarked stream-stream join — the mirror of the
+    left-outer form, completing the join-type matrix (inner,
+    left-outer, full-outer, semi, right-outer): every purchase emits,
+    matched rows on arrival, organic purchases (no qualifying click)
+    null-padded once the watermark passes the purchase time — the
+    youngest possibly-attributing click would already be in state.
+
+    Organic-conversion measurement is the use case the left form
+    can't express without swapping stream roles; state bounds are
+    symmetric to attribution_join_outer."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {window}")),
+        "right_outer",
+    ).select(
+        "click_id", "purchase_id", F.coalesce("c_user", "p_user").alias("user_id")
+    )

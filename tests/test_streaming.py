@@ -305,3 +305,38 @@ def test_full_outer_attribution_covers_both_sides(spark, sf_dir):
     assert matched == {(r.click_id, r.purchase_id) for r in inner}
     assert any(r.click_id is None for r in full)  # expired purchases emitted
     assert any(r.purchase_id is None for r in full)  # expired clicks emitted
+
+
+def test_streaming_attribution_right_mirrors_left(spark, sf_dir):
+    """Right-outer matched set equals the inner join; null-click rows
+    are purchases with no qualifying click before the terminal
+    watermark."""
+    from kinesis_stream_reader_spark.streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    out = jobs.run_available_now(
+        jobs.attribution_join_right(stream), "t_attr_right"
+    ).collect()
+    matched = {(r.click_id, r.purchase_id) for r in out if r.click_id is not None}
+    stream2 = jobs.stream_events(spark, sf_dir)
+    inner = {
+        (r.click_id, r.purchase_id)
+        for r in jobs.run_available_now(
+            jobs.attribution_join(stream2), "t_attr_inner_rt"
+        ).collect()
+    }
+    assert matched == inner
+    organic = [r for r in out if r.click_id is None]
+    assert organic, "fixture must contain organic purchases"
+    assert all(r.purchase_id is not None for r in organic)
+
+
+def test_streaming_resume_exactly_once_no_dupes(spark, sf_dir):
+    """Across the simulated restart with injected replays, the sink
+    holds every event exactly once."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    out = QUERIES["streaming_resume_exactly_once"](spark, sf_dir)
+    n = out.count()
+    assert n == out.select("event_id").distinct().count()
+    assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
