@@ -3215,3 +3215,127 @@ def join_shuffle_hash_hint(events: DataFrame, orders: DataFrame) -> DataFrame:
         .agg(F.sum("n_orders").alias("n_pairs"))
         .orderBy("o_orderpriority")
     )
+
+
+def expectations_check(
+    events: DataFrame, orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Declarative data-quality expectations (the Great-Expectations /
+    deequ constraint-suite shape) evaluated in ONE pass per table plus
+    one referential probe — the admission gate a pipeline runs before
+    letting a new data drop into training: each constraint row reports
+    what was observed against its threshold and whether the drop
+    passes.
+
+    Suite: non-empty scan, primary-key uniqueness, required-column
+    completeness, value-domain bound, categorical-domain closure, and
+    orders->customer referential integrity. Plan shape: the five
+    event constraints fold into ONE aggregate over the scan
+    (conditional counts — profile_columns' shape), the referential
+    check is a broadcast anti-join count, and the output is six
+    constant-size rows whatever the input volume. Everything is exact
+    integer counts: the report is engine-deterministic."""
+    agg = events.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("event_id").alias("n_ids"),
+        F.count("user_id").alias("n_user"),
+        F.count(F.when(F.col("value") >= 0, 1)).alias("n_nonneg"),
+        F.count(
+            F.when(
+                F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                ),
+                1,
+            )
+        ).alias("n_domain"),
+    )
+    orphans = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("n_orphans"))
+    rows = agg.join(F.broadcast(orphans)).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("events_nonempty").alias("check_name"),
+                    F.col("n").alias("observed"),
+                    F.lit(1).cast("long").alias("threshold"),
+                    (F.col("n") >= 1).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("event_id_unique").alias("check_name"),
+                    F.col("n_ids").alias("observed"),
+                    F.col("n").alias("threshold"),
+                    (F.col("n_ids") == F.col("n")).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("user_id_complete").alias("check_name"),
+                    F.col("n_user").alias("observed"),
+                    F.col("n").alias("threshold"),
+                    (F.col("n_user") == F.col("n")).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("value_nonnegative").alias("check_name"),
+                    F.col("n_nonneg").alias("observed"),
+                    F.col("n").alias("threshold"),
+                    (F.col("n_nonneg") == F.col("n")).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("event_type_in_domain").alias("check_name"),
+                    F.col("n_domain").alias("observed"),
+                    F.col("n").alias("threshold"),
+                    (F.col("n_domain") == F.col("n")).alias("passed"),
+                ),
+                F.struct(
+                    F.lit("orders_custkey_refint").alias("check_name"),
+                    F.col("n_orphans").alias("observed"),
+                    F.lit(0).cast("long").alias("threshold"),
+                    (F.col("n_orphans") == 0).alias("passed"),
+                ),
+            )
+        ).alias("c")
+    )
+    return rows.select("c.check_name", "c.observed", "c.threshold", "c.passed").orderBy(
+        "check_name"
+    )
+
+
+def drift_report(events: DataFrame, bucket_width: int = 50) -> DataFrame:
+    """Distribution-drift report between two snapshots of the same
+    feed — the monitoring step that catches a broken upstream before
+    it poisons training data. Snapshots here are the deterministic
+    halves A/B (event_id parity); in production they are yesterday's
+    and today's partition. Values histogram into fixed-width buckets
+    and each bucket reports its cross-multiplied deviation
+    |n_a * N_b - n_b * N_a| — the exact-integer numerator of the
+    total-variation distance (TVD = sum_dev / (2 * N_a * N_b)), so no
+    float division or log (PSI's transcendental) ever runs: the whole
+    report is bigint-exact on any engine.
+
+    Plan shape: one conditional-count aggregate per (bucket) — a
+    single partial-agg shuffle bounded by the histogram width — plus a
+    broadcast of the 1-row totals; linear at any volume."""
+    bucketed = events.select(
+        F.floor(F.col("value") / bucket_width).cast("long").alias("bucket"),
+        (F.col("event_id") % 2 == 0).alias("in_a"),
+    )
+    hist = bucketed.groupBy("bucket").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
+    )
+    totals = hist.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    return (
+        hist.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            F.abs(F.col("n_a") * F.col("t_b") - F.col("n_b") * F.col("t_a")).alias(
+                "dev_u"
+            ),
+        )
+        .orderBy("bucket")
+    )

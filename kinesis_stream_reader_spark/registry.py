@@ -2012,7 +2012,7 @@ _PRIORITY = [
     "feature_quantile_bins_exact", "dedup_minhash_pairs_capped",
     "dedup_keep_best", "join_asof", "streaming_enrich", "ann_quantized",
     "agg_approx_distinct", "agg_hll_mergeable", "multimodal_features",
-    "sql_recursive_reachability", "streaming_windowed_distinct",
+    "sql_recursive_reachability", "streaming_windowed_distinct", "expectations_check",
     "streaming_cms_cells", "join_salted_skew",
 ]
 
@@ -5971,3 +5971,72 @@ def streaming_resume_exactly_once_query(
     return spark.read.schema(
         "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
     ).parquet(out_dir)
+
+
+@register(
+    "expectations_check",
+    # exact integer counts: the constraint report is engine-deterministic
+    """
+WITH agg AS (
+  SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS n_ids,
+         COUNT(user_id) AS n_user,
+         COUNT(CASE WHEN value >= 0 THEN 1 END) AS n_nonneg,
+         COUNT(CASE WHEN event_type IN
+               ('click','view','purchase','signup','error') THEN 1 END)
+           AS n_domain
+  FROM events
+),
+orph AS (
+  SELECT COUNT(*) AS n_orphans FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+)
+SELECT check_name, observed, threshold, passed FROM (
+  SELECT 'events_nonempty' AS check_name, n AS observed,
+         CAST(1 AS BIGINT) AS threshold, n >= 1 AS passed FROM agg
+  UNION ALL
+  SELECT 'event_id_unique', n_ids, n, n_ids = n FROM agg
+  UNION ALL
+  SELECT 'user_id_complete', n_user, n, n_user = n FROM agg
+  UNION ALL
+  SELECT 'value_nonnegative', n_nonneg, n, n_nonneg = n FROM agg
+  UNION ALL
+  SELECT 'event_type_in_domain', n_domain, n, n_domain = n FROM agg
+  UNION ALL
+  SELECT 'orders_custkey_refint', n_orphans, CAST(0 AS BIGINT),
+         n_orphans = 0 FROM orph
+) ORDER BY check_name
+""",
+)
+def expectations_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.expectations_check(
+        load_events(spark, sf_dir),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+@register(
+    "drift_report",
+    # cross-multiplied TVD numerators: bigint-exact, no division or log
+    """
+WITH hist AS (
+  SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+         COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN event_id % 2 <> 0 THEN 1 END) AS n_b
+  FROM events GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b
+  FROM hist
+)
+SELECT bucket, n_a, n_b,
+       ABS(n_a * t_b - n_b * t_a) AS dev_u
+FROM hist, totals ORDER BY bucket
+""",
+)
+def drift_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.drift_report(load_events(spark, sf_dir))

@@ -1024,3 +1024,46 @@ def test_source_mixture_temperature_flattens(spark, sf_dir):
         uniform = 1 / len(rows)
         lo, hi = sorted((prop_share, uniform))
         assert lo - 0.01 <= quota_share <= hi + 0.01, (r.source, quota_share)
+
+
+def test_expectations_check_all_pass_and_detect_breakage(spark, sf_dir):
+    """The clean fixtures pass every constraint; a corrupted drop
+    (duplicated ids, negative values) fails the right ones."""
+    events = load_events(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    clean = {r.check_name: r.passed for r in
+             relational.expectations_check(events, orders, customer).collect()}
+    assert all(clean.values()) and len(clean) == 6
+    corrupted = events.unionByName(
+        events.limit(5).select(
+            "event_id", "ts", "user_id", "event_type",
+            (F.col("value") * -1).alias("value"), "props",
+        )
+    )
+    broken = {r.check_name: r.passed for r in
+              relational.expectations_check(corrupted, orders, customer).collect()}
+    assert not broken["event_id_unique"]
+    assert not broken["value_nonnegative"]
+    assert broken["events_nonempty"] and broken["orders_custkey_refint"]
+
+
+def test_drift_report_detects_injected_shift(spark, sf_dir):
+    """Parity halves of one feed barely deviate; shifting half B's
+    values by two bucket widths makes total deviation explode."""
+    events = load_events(spark, sf_dir)
+    base = relational.drift_report(events).collect()
+    t_a = sum(r.n_a for r in base)
+    t_b = sum(r.n_b for r in base)
+    base_tvd = sum(r.dev_u for r in base) / (2 * t_a * t_b)
+    shifted = events.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.when(F.col("event_id") % 2 != 0, F.col("value") + 100)
+        .otherwise(F.col("value"))
+        .alias("value"),
+        "props",
+    )
+    drifted = relational.drift_report(shifted).collect()
+    drift_tvd = sum(r.dev_u for r in drifted) / (2 * t_a * t_b)
+    assert base_tvd < 0.1
+    assert drift_tvd > 5 * base_tvd

@@ -85,6 +85,7 @@ HEADLINE = [
     ("rag_retrieval", "RAG flagship: map-only chunk+hash embed, broadcast query vectors, dim-join dot product"),
     ("ann_ivf_incremental", "IVF insert path: broadcast frozen centroids, argmin as min(struct) partial agg"),
     ("join_shuffle_hash_hint", "SHUFFLE_HASH hint: hash build instead of both-side sorts"),
+    ("expectations_check", "constraint suite: one conditional-count agg + broadcast anti-join probe"),
 ]
 
 
