@@ -792,3 +792,64 @@ def dsir_importance(
         .limit(k)
         .select("doc_id", "n_tokens", "score_u")
     )
+
+
+def model_eval_auc(documents: DataFrame) -> DataFrame:
+    """Exact Mann-Whitney AUC of the quality classifier
+    (quality_model_score's logit) against a pseudo-ground-truth label
+    (lang == 'en') — the evaluation loop that closes the model-based
+    filtering story: train elsewhere, score in-engine
+    (quality_model_score), MEASURE in-engine before trusting the gate.
+
+    AUC computes from midrank sums, not pairwise comparisons: with
+    ties averaged, 2U = sum over positives of (2*min_rank + ties - 1)
+    minus n_pos*(n_pos+1), so the statistic is an exact bigint — the
+    quadratic "compare every positive with every negative" definition
+    collapses into ONE global rank. The only float op is the final
+    division (IEEE-exact), floor-rounded half-up on both engines.
+
+    Plan shape: one global sort for the rank (range-partitioned —
+    Spark's sample-based partitioner keeps it parallel; this is the
+    one unavoidable sort in rank statistics) + a per-score tie count
+    over the same order + a one-row aggregate. Output: one row —
+    n_pos, n_neg, u2, auc."""
+    scored = quality_model_score(documents).join(
+        documents.select(
+            "doc_id", (F.col("lang") == "en").alias("is_pos")
+        ),
+        "doc_id",
+    )
+    w_rank = Window.orderBy("logit")
+    w_ties = Window.partitionBy("logit")
+    ranked = scored.select(
+        "is_pos",
+        F.rank().over(w_rank).alias("min_rank"),
+        F.count("*").over(w_ties).alias("ties"),
+    )
+    return ranked.agg(
+        F.count(F.when(F.col("is_pos"), 1)).alias("n_pos"),
+        F.count(F.when(~F.col("is_pos"), 1)).alias("n_neg"),
+        (
+            F.sum(
+                F.when(
+                    F.col("is_pos"),
+                    2 * F.col("min_rank") + F.col("ties") - 1,
+                ).otherwise(F.lit(0))
+            )
+            - F.count(F.when(F.col("is_pos"), 1))
+            * (F.count(F.when(F.col("is_pos"), 1)) + 1)
+        ).alias("u2"),
+    ).select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        (
+            F.floor(
+                F.col("u2")
+                / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("auc"),
+    )

@@ -2013,6 +2013,7 @@ _PRIORITY = [
     "dedup_keep_best", "join_asof", "streaming_enrich", "ann_quantized",
     "agg_approx_distinct", "agg_hll_mergeable", "multimodal_features",
     "sql_recursive_reachability", "streaming_windowed_distinct", "expectations_check",
+    "model_eval_auc",
     "streaming_cms_cells", "join_salted_skew",
 ]
 
@@ -6040,3 +6041,54 @@ def drift_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.drift_report(load_events(spark, sf_dir))
+
+
+@register(
+    "model_eval_auc",
+    # same logits (quality_model_score CTE), same midrank algebra:
+    # 2U is an exact bigint; one final IEEE division, floor-half-up
+    f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         len({_TOKS})::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           AS n_stop,
+         (length(text) - length(replace(text, '.', '')))::DOUBLE AS n_dots
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), z AS (
+  SELECT f.doc_id, f.lang = 'en' AS is_pos,
+         (SELECT w FROM wts WHERE i = 0) * (n_tokens / 100.0)
+         + (SELECT w FROM wts WHERE i = 1) * (n_stop / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 2) * (n_chars / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 3) * (n_dots / (n_chars + 1.0))
+         + (SELECT w FROM wts WHERE i = 4) AS z
+  FROM f
+), ranked AS (
+  SELECT is_pos,
+         FLOOR(z * 1e4 + 0.5) / 1e4 AS logit,
+         RANK() OVER (ORDER BY FLOOR(z * 1e4 + 0.5) / 1e4) AS min_rank,
+         COUNT(*) OVER (PARTITION BY FLOOR(z * 1e4 + 0.5) / 1e4) AS ties
+  FROM z
+), agg AS (
+  SELECT COUNT(CASE WHEN is_pos THEN 1 END) AS n_pos,
+         COUNT(CASE WHEN NOT is_pos THEN 1 END) AS n_neg,
+         CAST(SUM(CASE WHEN is_pos THEN 2 * min_rank + ties - 1 ELSE 0 END)
+              - COUNT(CASE WHEN is_pos THEN 1 END)
+                * (COUNT(CASE WHEN is_pos THEN 1 END) + 1) AS BIGINT) AS u2
+  FROM ranked
+)
+SELECT n_pos, n_neg, u2,
+       FLOOR(u2 / (2.0 * n_pos * n_neg) * 1e6 + 0.5) / 1e6 AS auc
+FROM agg
+""",
+)
+def model_eval_auc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.model_eval_auc(load_table(spark, sf_dir, "documents"))

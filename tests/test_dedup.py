@@ -505,3 +505,22 @@ def test_ann_ivf_incremental_conserves_vectors(spark, sf_dir):
     )
     agree = sum(min(r.n_delta, r.n_lab) for r in own)
     assert agree >= 0.7 * n_delta, "centroid assignment should mostly match labels"
+
+
+def test_model_eval_auc_matches_sklearn_free_bruteforce(spark, sf_dir):
+    """Midrank AUC equals the pairwise Mann-Whitney definition
+    computed driver-side (ties count half)."""
+    documents = load_table(spark, sf_dir, "documents")
+    row = text.model_eval_auc(documents).collect()[0]
+    scored = {
+        r.doc_id: r.logit for r in text.quality_model_score(documents).collect()
+    }
+    labels = {r.doc_id: r.lang == "en" for r in documents.collect()}
+    pos = [scored[d] for d, p in labels.items() if p]
+    neg = [scored[d] for d, p in labels.items() if not p]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    assert abs(row.auc - auc) < 1e-6
+    assert 0.0 <= row.auc <= 1.0

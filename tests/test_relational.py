@@ -873,7 +873,6 @@ def test_triangle_count_matches_bruteforce(spark, sf_dir):
         .distinct()
         .collect()
     }
-    import itertools
 
     nodes = sorted({x for e in edges for x in e})
     adj = {n: set() for n in nodes}
