@@ -853,3 +853,86 @@ def model_eval_auc(documents: DataFrame) -> DataFrame:
             / 1e6
         ).alias("auc"),
     )
+
+
+def bpe_train_merges(documents: DataFrame, rounds: int = 3) -> DataFrame:
+    """The actual BPE training loop (Sennrich et al. 2016), not just
+    one pair census: `rounds` merge rounds over the WORD-FREQUENCY
+    table — explode the corpus to (word, freq) once, then each round
+    (1) counts adjacent symbol pairs weighted by freq, (2) picks the
+    argmax pair (count desc, then lexicographic — the deterministic
+    tie-break), (3) applies the merge greedily left-to-right and
+    re-counts. Output is the artifact a tokenizer ships: the ordered
+    merge table.
+
+    Greedy non-overlapping application is the subtle part (a run
+    'aaaa' under merge (a,a) must become [aa][aa], not [aa]a[a]):
+    candidates (sym_i, sym_i+1) = (a, b) form gaps-and-islands over
+    the sequence index, and within an island every second candidate
+    (even offset from the island head) merges — exactly the rescan
+    semantics of the reference implementation, but as three window
+    passes over ONE (word, seq) clustering instead of a sequential
+    scan. DuckDB mirrors every window, so the full loop including the
+    data-dependent argmax is oracle-checked.
+
+    Scale shape: all shuffles are bounded by the VOCABULARY (distinct
+    words), not the corpus — the standard trick that makes BPE
+    training tractable — and each round reuses the same word-hash
+    partitioning; the per-round argmax is the driver-loop scalar
+    (pagerank_converged pattern)."""
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    df = words.select(
+        "w",
+        "freq",
+        F.posexplode(F.filter(F.split(F.col("w"), ""), lambda c: c != "")).alias(
+            "seq", "sym"
+        ),
+    )
+    spark = documents.sparkSession
+    wlead = Window.partitionBy("w").orderBy("seq")
+    merges = []
+    for rnd in range(1, rounds + 1):
+        with_next = df.withColumn("nxt", F.lead("sym").over(wlead))
+        best = (
+            with_next.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "sym", "nxt")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b = best.sym, best.nxt
+        merges.append((rnd, a, b, int(best.pair_count)))
+        cand = (F.col("sym") == a) & (F.col("nxt") == b)
+        d = (
+            with_next.withColumn("cand", cand)
+            .withColumn("crn", F.sum(cand.cast("long")).over(wlead))
+            .withColumn("island", F.when(cand, F.col("seq") - F.col("crn")))
+        )
+        wisl = Window.partitionBy("w", "island")
+        d = d.withColumn(
+            "keep",
+            F.col("cand")
+            & (((F.col("seq") - F.min("seq").over(wisl)) % 2) == 0),
+        ).withColumn("drp", F.coalesce(F.lag("keep").over(wlead), F.lit(False)))
+        df = d.filter(~F.col("drp")).select(
+            "w",
+            "freq",
+            (F.row_number().over(wlead) - 1).alias("seq"),
+            F.when(F.col("keep"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        # truncate lineage between rounds: round N's plan must not
+        # replay rounds 1..N-1 (the iterative-kernel convention)
+        df = df.localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "round INT, lhs STRING, rhs STRING, pair_count BIGINT"
+    )

@@ -2007,6 +2007,7 @@ _PRIORITY = [
     "shipping_priority", "market_share", "waiting_suppliers",
     # text + UDx + multimodal real-codec path
     "text_quality", "pack_sequences", "udtf_token_stats", "agg_udaf_median",
+    "bpe_train_merges",
     "multimodal_image_decode",
     # tail (positions 51+; still ahead of registration order)
     "feature_quantile_bins_exact", "dedup_minhash_pairs_capped",
@@ -6092,3 +6093,79 @@ def model_eval_auc_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.model_eval_auc(load_table(spark, sf_dir, "documents"))
+
+
+def _bpe_round_sql(i: int) -> str:
+    """One unrolled BPE round: pair census + argmax + greedy merge
+    (identical window algebra to operators/text.bpe_train_merges)."""
+    p, n = f"s{i - 1}", i
+    return f"""
+r{n}_lead AS (
+  SELECT w, freq, seq, sym,
+         LEAD(sym) OVER (PARTITION BY w ORDER BY seq) AS nxt
+  FROM {p}
+),
+r{n}_best AS (
+  SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM r{n}_lead WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt ORDER BY pair_count DESC, sym, nxt LIMIT 1
+),
+r{n}_marked AS (
+  SELECT w, freq, seq, sym, nxt,
+         (sym = (SELECT a FROM r{n}_best)
+          AND nxt = (SELECT b FROM r{n}_best)) AS cand,
+         SUM(CASE WHEN sym = (SELECT a FROM r{n}_best)
+                   AND nxt = (SELECT b FROM r{n}_best)
+             THEN 1 ELSE 0 END)
+           OVER (PARTITION BY w ORDER BY seq) AS crn
+  FROM r{n}_lead
+),
+r{n}_keep AS (
+  SELECT w, freq, seq, sym, nxt,
+         cand AND ((seq - MIN(seq) OVER (PARTITION BY w,
+             CASE WHEN cand THEN seq - crn END)) % 2 = 0) AS keep
+  FROM r{n}_marked
+),
+r{n}_drop AS (
+  SELECT w, freq, seq, sym, nxt, keep,
+         COALESCE(LAG(keep) OVER (PARTITION BY w ORDER BY seq), FALSE) AS drp
+  FROM r{n}_keep
+),
+s{n} AS (
+  SELECT w, freq,
+         ROW_NUMBER() OVER (PARTITION BY w ORDER BY seq) - 1 AS seq,
+         CASE WHEN keep THEN sym || nxt ELSE sym END AS sym
+  FROM r{n}_drop WHERE NOT COALESCE(drp, FALSE)
+)"""
+
+
+_BPE_ORACLE = (
+    """
+WITH words AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY w
+),
+s0 AS (
+  SELECT w, freq, generate_subscripts(syms, 1) - 1 AS seq, unnest(syms) AS sym
+  FROM (SELECT w, freq,
+               list_filter(string_split(w, ''), c -> c <> '') AS syms
+        FROM words)
+),"""
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """
+SELECT * FROM (
+  SELECT 1 AS round, a AS lhs, b AS rhs, pair_count FROM r1_best
+  UNION ALL SELECT 2, a, b, pair_count FROM r2_best
+  UNION ALL SELECT 3, a, b, pair_count FROM r3_best
+) ORDER BY round
+"""
+)
+
+
+@register("bpe_train_merges", _BPE_ORACLE)
+def bpe_train_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.bpe_train_merges(load_table(spark, sf_dir, "documents"))

@@ -524,3 +524,57 @@ def test_model_eval_auc_matches_sklearn_free_bruteforce(spark, sf_dir):
     assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
     assert abs(row.auc - auc) < 1e-6
     assert 0.0 <= row.auc <= 1.0
+
+
+def test_bpe_train_merges_greedy_run_semantics(spark, sf_dir):
+    """The subtle case: a run 'aaaa' under merge (a,a) must segment
+    [aa][aa] (greedy left-to-right), verified against a reference BPE
+    implemented driver-side; then the real corpus result matches the
+    same reference on the word-frequency table."""
+
+    def ref_bpe(word_freqs, rounds):
+        seqs = {w: list(w) for w in word_freqs}
+        out = []
+        for _ in range(rounds):
+            counts = {}
+            for w, syms in seqs.items():
+                for x, y in zip(syms, syms[1:]):
+                    counts[(x, y)] = counts.get((x, y), 0) + word_freqs[w]
+            (a, b), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            out.append((a, b, cnt))
+            for w, syms in seqs.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                seqs[w] = merged
+        return out
+
+    tiny = spark.createDataFrame(
+        [(1, "aaaa aaaa ab", "en", "s", 12), (2, "aaaa ab ab", "en", "s", 10)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    got = [(r.lhs, r.rhs, r.pair_count) for r in text.bpe_train_merges(tiny, 2).collect()]
+    want = ref_bpe({"aaaa": 3, "ab": 3}, 2)
+    assert got == want
+    # run semantics specifically: round 1 merges (a,a) with count 3*3=9
+    assert got[0] == ("a", "a", 9)
+    # and round 2 sees [aa][aa] so (aa,aa) counts 3, beating (a,b)=3? tie ->
+    # lexicographic 'a','b' < 'aa','aa': reference decides; just re-assert match
+    docs = load_table(spark, sf_dir, "documents")
+    wf = {}
+    for r in docs.collect():
+        for w in r.text.strip().lower().split():
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    want_real = ref_bpe(wf, 3)
+    got_real = [
+        (r.lhs, r.rhs, r.pair_count) for r in text.bpe_train_merges(docs, 3).collect()
+    ]
+    assert got_real == want_real

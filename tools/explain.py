@@ -86,6 +86,7 @@ HEADLINE = [
     ("ann_ivf_incremental", "IVF insert path: broadcast frozen centroids, argmin as min(struct) partial agg"),
     ("join_shuffle_hash_hint", "SHUFFLE_HASH hint: hash build instead of both-side sorts"),
     ("expectations_check", "constraint suite: one conditional-count agg + broadcast anti-join probe"),
+    ("bpe_train_merges", "BPE trainer round: vocab-bounded pair census + islands merge windows"),
 ]
 
 
