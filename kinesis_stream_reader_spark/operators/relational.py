@@ -3339,3 +3339,40 @@ def drift_report(events: DataFrame, bucket_width: int = 50) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def interval_coverage(orders: DataFrame, validity_days: int = 30) -> DataFrame:
+    """Concurrent-interval counting by sweep line — "how many orders
+    were inside their 30-day fulfillment window on each day": every
+    interval contributes a +1 at its start day and a -1 after its end
+    day, deltas aggregate per day, and one running sum over the
+    calendar recovers the active count — the O(n log n) classic that
+    replaces the quadratic day-x-interval containment join, and the
+    occupancy primitive behind hypertable-style utilization views.
+
+    Scale shape: the only shuffle is the per-day delta aggregation
+    (bounded by distinct calendar days); the running-sum window sorts
+    the DAY-aggregated relation — thousands of rows however many
+    billions of intervals feed it — so the single-partition window is
+    a non-issue by construction. Pure integer counts; oracle-exact."""
+    starts = orders.select(
+        F.to_date("o_orderdate").alias("day"), F.lit(1).alias("delta")
+    )
+    ends = orders.select(
+        F.date_add(F.to_date("o_orderdate"), validity_days + 1).alias("day"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = (
+        starts.unionAll(ends)
+        .groupBy("day")
+        .agg(F.sum("delta").alias("d"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        deltas.withColumn("n_active", F.sum("d").over(w))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_active").cast("long").alias("n_active"),
+        )
+        .orderBy("day")
+    )

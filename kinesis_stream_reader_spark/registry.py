@@ -6169,3 +6169,27 @@ def bpe_train_merges_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.bpe_train_merges(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "interval_coverage",
+    # same sweep line: +1 on the start day, -1 the day after the end
+    """
+WITH deltas AS (
+  SELECT day, CAST(SUM(delta) AS BIGINT) AS d FROM (
+    SELECT CAST(o_orderdate AS DATE) AS day, 1 AS delta FROM orders
+    UNION ALL
+    SELECT CAST(o_orderdate AS DATE) + INTERVAL 31 DAY, -1 FROM orders
+  ) GROUP BY day
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       CAST(SUM(d) OVER (ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_active
+FROM deltas ORDER BY day
+""",
+)
+def interval_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.interval_coverage(load_table(spark, sf_dir, "orders"))

@@ -1066,3 +1066,20 @@ def test_drift_report_detects_injected_shift(spark, sf_dir):
     drift_tvd = sum(r.dev_u for r in drifted) / (2 * t_a * t_b)
     assert base_tvd < 0.1
     assert drift_tvd > 5 * base_tvd
+
+
+def test_interval_coverage_matches_containment_join(spark, sf_dir):
+    """Sweep-line counts equal the naive day-in-interval containment
+    check for a sample of days, and totals conserve (ends return to
+    zero)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rows = relational.interval_coverage(orders).collect()
+    assert rows[-1].n_active == 0, "all intervals must close"
+    assert all(r.n_active >= 0 for r in rows)
+    from datetime import datetime, timedelta
+
+    dates = [r.o_orderdate for r in orders.select("o_orderdate").collect()]
+    for r in rows[:: max(1, len(rows) // 7)]:
+        day = datetime.strptime(r.day, "%Y-%m-%d")
+        naive = sum(1 for d in dates if d <= day <= d + timedelta(days=30))
+        assert r.n_active == naive, r.day
