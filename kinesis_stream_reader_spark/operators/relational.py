@@ -3376,3 +3376,56 @@ def interval_coverage(orders: DataFrame, validity_days: int = 30) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def drift_ks(events: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the same parity
+    snapshots as drift_report — the classic distribution test that
+    catches shape changes a fixed-width histogram smooths over: D =
+    max over observed values of |ECDF_a - ECDF_b|, computed as the
+    exact integer max of |cum_a * N_b - cum_b * N_a| (cross-multiplied
+    like drift_report, so no float division until the single final
+    one).
+
+    Plan shape: per-value conditional counts (one partial-agg shuffle
+    bounded by distinct values), running sums over the value-ordered
+    aggregate — the sort input is the distinct-value relation, not the
+    events — and a one-row max. Output: one row (n_a, n_b, d_num,
+    ks_d)."""
+    per_val = events.select(
+        "value", (F.col("event_id") % 2 == 0).alias("in_a")
+    ).groupBy("value").agg(
+        F.count(F.when(F.col("in_a"), 1)).alias("n_a"),
+        F.count(F.when(~F.col("in_a"), 1)).alias("n_b"),
+    )
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_val.select(
+        F.sum("n_a").over(w).alias("cum_a"),
+        F.sum("n_b").over(w).alias("cum_b"),
+    )
+    totals = per_val.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    return (
+        cum.join(F.broadcast(totals))
+        .agg(
+            F.min("t_a").alias("n_a"),
+            F.min("t_b").alias("n_b"),
+            F.max(
+                F.abs(F.col("cum_a") * F.col("t_b") - F.col("cum_b") * F.col("t_a"))
+            ).alias("d_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            (
+                F.floor(
+                    F.col("d_num") / (F.col("n_a") * F.col("n_b")) * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("ks_d"),
+        )
+    )

@@ -6193,3 +6193,37 @@ def interval_coverage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.interval_coverage(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "drift_ks",
+    # exact integer ECDF cross-products; one final IEEE division
+    """
+WITH per_val AS (
+  SELECT value,
+         COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS n_a,
+         COUNT(CASE WHEN event_id % 2 <> 0 THEN 1 END) AS n_b
+  FROM events GROUP BY value
+),
+cum AS (
+  SELECT SUM(n_a) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(n_b) OVER (ORDER BY value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM per_val
+),
+totals AS (
+  SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b
+  FROM per_val
+)
+SELECT t_a AS n_a, t_b AS n_b,
+       CAST(MAX(ABS(cum_a * t_b - cum_b * t_a)) AS BIGINT) AS d_num,
+       FLOOR(CAST(MAX(ABS(cum_a * t_b - cum_b * t_a)) AS BIGINT)
+             / (t_a * t_b) * 1e6 + 0.5) / 1e6 AS ks_d
+FROM cum, totals GROUP BY t_a, t_b
+""",
+)
+def drift_ks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.drift_ks(load_events(spark, sf_dir))

@@ -1083,3 +1083,27 @@ def test_interval_coverage_matches_containment_join(spark, sf_dir):
         day = datetime.strptime(r.day, "%Y-%m-%d")
         naive = sum(1 for d in dates if d <= day <= d + timedelta(days=30))
         assert r.n_active == naive, r.day
+
+
+def test_drift_ks_matches_scipy_free_bruteforce(spark, sf_dir):
+    """The integer KS statistic equals a driver-side two-sample ECDF
+    max-gap computation, and an injected shift inflates it."""
+    events = load_events(spark, sf_dir)
+    row = relational.drift_ks(events).collect()[0]
+    vals = [(r.value, r.event_id % 2 == 0) for r in events.collect()]
+    a = sorted(v for v, in_a in vals if in_a)
+    b = sorted(v for v, in_a in vals if not in_a)
+    import bisect
+
+    d = max(
+        abs(bisect.bisect_right(a, v) * len(b) - bisect.bisect_right(b, v) * len(a))
+        for v in set(x[0] for x in vals)
+    )
+    assert (row.n_a, row.n_b, row.d_num) == (len(a), len(b), d)
+    shifted = events.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.when(F.col("event_id") % 2 != 0, F.col("value") + 100)
+        .otherwise(F.col("value")).alias("value"),
+        "props",
+    )
+    assert relational.drift_ks(shifted).collect()[0].ks_d > row.ks_d * 2
