@@ -936,3 +936,69 @@ def bpe_train_merges(documents: DataFrame, rounds: int = 3) -> DataFrame:
     return spark.createDataFrame(
         merges, "round INT, lhs STRING, rhs STRING, pair_count BIGINT"
     )
+
+
+def bpe_encoded_vocab(documents: DataFrame, rounds: int = 3, k: int = 20) -> DataFrame:
+    """The APPLY side of BPE training: re-run the bpe_train_merges
+    loop (same censuses, same argmax merges, same greedy application)
+    and report the resulting symbol vocabulary — the freq-weighted
+    top-k symbols of the encoded corpus. Train -> encode is the full
+    tokenizer lifecycle; in production the merge table ships and this
+    transform runs per-batch with broadcast merges instead of
+    re-training.
+
+    Same vocabulary-bounded scale shape as the trainer; the output
+    ranking has the deterministic (count desc, symbol) tie-break."""
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    df = words.select(
+        "w",
+        "freq",
+        F.posexplode(F.filter(F.split(F.col("w"), ""), lambda c: c != "")).alias(
+            "seq", "sym"
+        ),
+    )
+    wlead = Window.partitionBy("w").orderBy("seq")
+    for _ in range(rounds):
+        with_next = df.withColumn("nxt", F.lead("sym").over(wlead))
+        best = (
+            with_next.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "sym", "nxt")
+            .limit(1)
+            .collect()[0]
+        )
+        a, b = best.sym, best.nxt
+        cand = (F.col("sym") == a) & (F.col("nxt") == b)
+        d = (
+            with_next.withColumn("cand", cand)
+            .withColumn("crn", F.sum(cand.cast("long")).over(wlead))
+            .withColumn("island", F.when(cand, F.col("seq") - F.col("crn")))
+        )
+        wisl = Window.partitionBy("w", "island")
+        d = d.withColumn(
+            "keep",
+            F.col("cand") & (((F.col("seq") - F.min("seq").over(wisl)) % 2) == 0),
+        ).withColumn("drp", F.coalesce(F.lag("keep").over(wlead), F.lit(False)))
+        df = d.filter(~F.col("drp")).select(
+            "w",
+            "freq",
+            (F.row_number().over(wlead) - 1).alias("seq"),
+            F.when(F.col("keep"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        df = df.localCheckpoint(eager=False)
+    return (
+        df.groupBy("sym")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "sym")
+        .limit(k)
+    )

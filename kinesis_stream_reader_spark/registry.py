@@ -6227,3 +6227,16 @@ def drift_ks_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.drift_ks(load_events(spark, sf_dir))
+
+
+_BPE_VOCAB_ORACLE = _BPE_ORACLE.split("SELECT * FROM (")[0] + """
+SELECT sym, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+FROM s3 GROUP BY sym ORDER BY n_occurrences DESC, sym LIMIT 20
+"""
+
+
+@register("bpe_encoded_vocab", _BPE_VOCAB_ORACLE)
+def bpe_encoded_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.bpe_encoded_vocab(load_table(spark, sf_dir, "documents"))
