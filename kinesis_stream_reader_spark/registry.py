@@ -6240,3 +6240,45 @@ def bpe_encoded_vocab_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.bpe_encoded_vocab(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "sink_python_datasource",
+    # full write -> read round trip through BOTH halves of the Python
+    # DataSource: rows serialize to wire pages (<=500 records per
+    # flush, the PutRecords limit), land in shard files via the
+    # writer's commit protocol, and read back through the reader
+    # partition-per-shard — identity oracle on the event projection
+    """
+SELECT event_id, user_id, event_type, value FROM events
+""",
+)
+def sink_python_datasource_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from .sources.python_source import KinesisBackfillDataSource
+
+    spark.dataSource.register(KinesisBackfillDataSource)
+    events = load_events(spark, sf_dir)
+    payload = F.to_json(
+        F.struct("event_id", "user_id", "event_type", "value")
+    )
+    wire = events.select(F.encode(payload, "utf-8").alias("data")).repartition(
+        4, F.col("data")
+    )
+    out_dir = tempfile.mkdtemp(prefix="ksr_wire_out_")
+    wire.write.format("kinesis_backfill").option("path", out_dir).mode(
+        "append"
+    ).save()
+    back = (
+        spark.read.format("kinesis_backfill").option("path", out_dir).load()
+    )
+    parsed = back.select(
+        F.from_json(
+            F.decode("data", "utf-8"),
+            "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE",
+        ).alias("r")
+    )
+    return parsed.select("r.event_id", "r.user_id", "r.event_type", "r.value").orderBy(
+        "event_id"
+    )

@@ -32,7 +32,13 @@ import base64
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 BACKFILL_SCHEMA = (
     "shard_id STRING, sequence_number BIGINT, data BINARY"
@@ -98,3 +104,79 @@ class KinesisBackfillDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return KinesisBackfillReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "DataSourceWriter":
+        return KinesisWireWriter(self.options)
+
+
+class _WireCommit(WriterCommitMessage):
+    """Per-task commit message: which shard file the task wrote and
+    how many records/pages it contains (picklable plain fields)."""
+
+    def __init__(self, path: str, n_records: int, n_pages: int) -> None:
+        self.path = path
+        self.n_records = n_records
+        self.n_pages = n_pages
+
+
+class KinesisWireWriter(DataSourceWriter):
+    """The SINK half of the Python DataSource story: each task plays a
+    putRecords producer for its partition — records buffer into pages
+    of <= 500 entries (the Kinesis PutRecords request limit,
+    docs/APIReference API_PutRecords) and flush page by page into one
+    recorded-wire shard file, so the written layout is byte-compatible
+    with what KinesisBackfillReader reads back. commit() runs on the
+    driver only after every task reports success and seals the
+    manifest — the all-or-nothing contract of the DataSourceWriter
+    API; an abort leaves no manifest, so readers treat the directory
+    as unpublished."""
+
+    PUT_RECORDS_LIMIT = 500
+
+    def __init__(self, options: dict) -> None:
+        self.dir = options["path"]
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.dir, exist_ok=True)
+        path = os.path.join(self.dir, f"shard-{pid:04d}.jsonl")
+        n = 0
+        pages = 0
+        buf: list[str] = []
+
+        def flush(fh) -> None:
+            nonlocal pages
+            if buf:
+                fh.write("".join(buf))
+                buf.clear()
+                pages += 1
+
+        with open(path, "w") as fh:
+            for row in iterator:
+                buf.append(
+                    json.dumps(
+                        {"seq": n, "data": base64.b64encode(bytes(row.data)).decode()}
+                    )
+                    + "\n"
+                )
+                n += 1
+                if len(buf) >= self.PUT_RECORDS_LIMIT:
+                    flush(fh)
+            flush(fh)
+        return _WireCommit(path, n, pages)
+
+    def commit(self, messages) -> None:
+        manifest = {
+            "files": sorted(m.path for m in messages if m is not None),
+            "n_records": sum(m.n_records for m in messages if m is not None),
+            "n_pages": sum(m.n_pages for m in messages if m is not None),
+        }
+        with open(os.path.join(self.dir, "_MANIFEST.json"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:
+        for m in messages or []:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)

@@ -214,3 +214,40 @@ def test_python_datasource_backfill(spark, tmp_path):
     parsed = json_parse(deagg_explode(df), schema="k BIGINT")
     ks = sorted(r.k for r in parsed.select("k").collect())
     assert ks == sorted([*range(120), 777])
+
+
+def test_python_datasource_writer_pages_and_manifest(spark, sf_dir):
+    """The writer flushes putRecords-sized pages, seals a manifest on
+    commit, and the reader round-trips every record."""
+    import json as _json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_reader_spark.sources.python_source import (
+        KinesisBackfillDataSource,
+        KinesisWireWriter,
+    )
+
+    spark.dataSource.register(KinesisBackfillDataSource)
+    df = spark.range(1203).select(
+        F.encode(F.col("id").cast("string"), "utf-8").alias("data")
+    ).repartition(2)
+    out = tempfile.mkdtemp(prefix="ksr_wire_test_")
+    df.write.format("kinesis_backfill").option("path", out).mode("append").save()
+    manifest = _json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_records"] == 1203
+    shard_files = [f for f in os.listdir(out) if f.startswith("shard-")]
+    assert sorted(os.path.join(out, f) for f in shard_files) == manifest["files"]
+    # page accounting: ceil per task at the PutRecords limit
+    limit = KinesisWireWriter.PUT_RECORDS_LIMIT
+    per_file = []
+    for f in shard_files:
+        n = sum(1 for _ in open(os.path.join(out, f)))
+        per_file.append(n)
+    assert sum(per_file) == 1203
+    assert manifest["n_pages"] == sum(-(-n // limit) for n in per_file if n)
+    back = spark.read.format("kinesis_backfill").option("path", out).load()
+    vals = sorted(int(bytes(r.data).decode()) for r in back.collect())
+    assert vals == list(range(1203))
