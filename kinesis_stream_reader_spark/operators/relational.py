@@ -3429,3 +3429,73 @@ def drift_ks(events: DataFrame) -> DataFrame:
             ).alias("ks_d"),
         )
     )
+
+
+def table_checksum(
+    events: DataFrame, orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Order-independent table checksums — the cross-system migration
+    validation primitive (exactly what proves THIS engine against the
+    system it replaces): per table, XOR of md5-derived 60-bit row
+    hashes plus the row count. XOR is commutative, associative, and
+    overflow-free, so the checksum is partition-order-independent at
+    any scale and mergeable across shards — unlike a SUM of hashes,
+    which overflows, or any ordered digest, which forces a global
+    sort. Two tables are (almost surely) identical iff (n, checksum)
+    match.
+
+    Plan shape: one map-side hash + XOR partial aggregate per table —
+    no shuffle wider than one row each — then a 3-row union.
+    Timestamps hash via their formatted string so engines with
+    different physical timestamp encodings agree."""
+
+    def row_hash(cols) -> F.Column:
+        return F.conv(
+            F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, 15), 16, 10
+        ).cast("long")
+
+    def leg(name: str, df: DataFrame, cols) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(h)").alias("checksum"),
+        )
+
+    ev = events.select(
+        row_hash(
+            [
+                F.col("event_id").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("t"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                # quantized int, not a double->string cast: float
+                # formatting (shortest-repr vs printf) differs between
+                # engines, exact micro-units do not
+                F.floor(F.col("value") * 1e6 + F.lit(0.5)).cast("string"),
+            ]
+        ).alias("h")
+    )
+    od = orders.select(
+        row_hash(
+            [
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("string"),
+            ]
+        ).alias("h")
+    )
+    li = lineitem.select(
+        row_hash(
+            [
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("string"),
+            ]
+        ).alias("h")
+    )
+    return (
+        leg("events", ev, None)
+        .unionByName(leg("orders", od, None))
+        .unionByName(leg("lineitem", li, None))
+        .orderBy("table_name")
+    )

@@ -6282,3 +6282,50 @@ def sink_python_datasource_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select("r.event_id", "r.user_id", "r.event_type", "r.value").orderBy(
         "event_id"
     )
+
+
+@register(
+    "table_checksum",
+    # same 60-bit md5 row hashes, same XOR fold: order-independent on
+    # both engines; quantized ints avoid float-formatting divergence
+    """
+WITH ev AS (
+  SELECT CAST(concat('0x', substr(md5(
+           event_id || chr(31) || strftime(ts, '%Y-%m-%d %H:%M:%S')
+           || chr(31) || user_id || chr(31) || event_type || chr(31)
+           || CAST(FLOOR(value * 1e6 + 0.5) AS BIGINT)), 1, 15))
+         AS UBIGINT) AS h
+  FROM events
+),
+od AS (
+  SELECT CAST(concat('0x', substr(md5(
+           o_orderkey || chr(31) || o_custkey || chr(31)
+           || CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)), 1, 15))
+         AS UBIGINT) AS h
+  FROM orders
+),
+li AS (
+  SELECT CAST(concat('0x', substr(md5(
+           l_orderkey || chr(31) || l_linenumber || chr(31)
+           || CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)), 1, 15))
+         AS UBIGINT) AS h
+  FROM lineitem
+)
+SELECT table_name, n_rows, checksum FROM (
+  SELECT 'events' AS table_name, COUNT(*) AS n_rows,
+         CAST(bit_xor(h) AS BIGINT) AS checksum FROM ev
+  UNION ALL
+  SELECT 'lineitem', COUNT(*), CAST(bit_xor(h) AS BIGINT) FROM li
+  UNION ALL
+  SELECT 'orders', COUNT(*), CAST(bit_xor(h) AS BIGINT) FROM od
+) ORDER BY table_name
+""",
+)
+def table_checksum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.table_checksum(
+        load_events(spark, sf_dir),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )

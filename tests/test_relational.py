@@ -1107,3 +1107,24 @@ def test_drift_ks_matches_scipy_free_bruteforce(spark, sf_dir):
         "props",
     )
     assert relational.drift_ks(shifted).collect()[0].ks_d > row.ks_d * 2
+
+
+def test_table_checksum_detects_single_row_change(spark, sf_dir):
+    """Identical inputs agree; flipping one value flips exactly the
+    affected table's checksum while counts stay equal."""
+    events = load_events(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    base = {r.table_name: (r.n_rows, r.checksum)
+            for r in relational.table_checksum(events, orders, lineitem).collect()}
+    mutated = events.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.when(F.col("event_id") == events.first().event_id, F.col("value") + 1)
+        .otherwise(F.col("value")).alias("value"), "props",
+    )
+    changed = {r.table_name: (r.n_rows, r.checksum)
+               for r in relational.table_checksum(mutated, orders, lineitem).collect()}
+    assert changed["orders"] == base["orders"]
+    assert changed["lineitem"] == base["lineitem"]
+    assert changed["events"][0] == base["events"][0]
+    assert changed["events"][1] != base["events"][1]
