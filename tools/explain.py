@@ -87,6 +87,10 @@ HEADLINE = [
     ("join_shuffle_hash_hint", "SHUFFLE_HASH hint: hash build instead of both-side sorts"),
     ("expectations_check", "constraint suite: one conditional-count agg + broadcast anti-join probe"),
     ("bpe_train_merges", "BPE trainer round: vocab-bounded pair census + islands merge windows"),
+    ("drift_ks", "KS drift: ECDF running sums over the distinct-value relation"),
+    ("interval_coverage", "sweep line: calendar-bounded delta agg + running sum"),
+    ("table_checksum", "migration checksums: map-side hash + XOR partial agg per table"),
+    ("model_eval_auc", "exact AUC: one global rank, no pairwise comparison"),
 ]
 
 
