@@ -863,3 +863,90 @@ def containment_dedup(
         )
     )
     return best.orderBy("doc_id")
+
+
+def minhash_estimate_report(
+    documents: DataFrame, n: int = 3, perms: int = 32, pair_threshold: float = 0.3
+) -> DataFrame:
+    """Sketch-accuracy measurement for MinHash — the dedup twin of
+    ann_recall_report's index-health loop: on the exact n-gram-Jaccard
+    pair set (threshold low enough to include mid-similarity pairs),
+    compare the minhash ESTIMATE (matching signature components /
+    perms) against the exact Jaccard and report the error
+    distribution. This is the loop that tells an operator whether 32
+    permutations are enough before trusting LSH at 100 TB.
+
+    The permutations here are md5-derived (NOT xxhash64, which DuckDB
+    cannot mirror) so the oracle rebuilds identical signatures; the
+    production signature path (_minhash_signature) keeps xxhash64 for
+    speed — this report measures the SAME estimator family with a
+    mirrorable hash. Errors quantize to micro-units through one fixed
+    IEEE expression, aggregates are exact integers.
+
+    Plan shape: signatures are one groupBy-min shuffle (perms longs
+    per doc); the pair relation comes from the existing inverted-index
+    join; the signature compare is a zip_with fold over two broadcast-
+    joined 32-long arrays. String grams (the oracle's _GRAMS form)
+    feed the md5 permutations — the fast xxhash64 posting longs would
+    not be reproducible in SQL."""
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram_str = (
+        toks.withColumn("t1", F.lead("tok", 1).over(w))
+        .withColumn("t2", F.lead("tok", 2).over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "t1", "t2").alias("gram"))
+        .distinct()
+    )
+    mins = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"mh{i}:"), F.col("gram"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"m{i}")
+        for i in range(perms)
+    ]
+    sig = gram_str.groupBy("doc_id").agg(*mins)
+    sig_arr = sig.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(perms)]).alias("sig")
+    )
+    pairs = ngram_jaccard_pairs(documents, n=n, threshold=pair_threshold).select(
+        "a_id", "b_id", "jaccard"
+    )
+    joined = (
+        pairs.join(
+            sig_arr.withColumnRenamed("doc_id", "a_id").withColumnRenamed(
+                "sig", "sig_a"
+            ),
+            "a_id",
+        )
+        .join(
+            sig_arr.withColumnRenamed("doc_id", "b_id").withColumnRenamed(
+                "sig", "sig_b"
+            ),
+            "b_id",
+        )
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    est = matches.cast("double") / F.lit(float(perms))
+    err_u = F.floor(F.abs(est - F.col("jaccard")) * 1e6 + F.lit(0.5)).cast("long")
+    per_pair = joined.select(
+        "a_id", "b_id", "jaccard", est.alias("est"), err_u.alias("err_u")
+    )
+    return per_pair.agg(
+        F.count("*").alias("n_pairs"),
+        F.expr("SUM(err_u) DIV COUNT(*)").alias("mean_err_u"),
+        F.max("err_u").alias("max_err_u"),
+        F.count(F.when(F.col("est") > F.col("jaccard"), 1)).alias("n_over"),
+        F.count(F.when(F.col("est") < F.col("jaccard"), 1)).alias("n_under"),
+    )

@@ -3567,3 +3567,60 @@ def funnel_asof_chain(events: DataFrame, tolerance_hours: int = 2) -> DataFrame:
         F.when(click_ok, F.col("click_id_raw")).alias("click_id"),
         F.when(view_ok, F.col("view_id_raw")).alias("view_id"),
     ).orderBy("purchase_id")
+
+
+def agg_boxplot(events: DataFrame) -> DataFrame:
+    """Per-group five-number summary + Tukey outlier counts — the
+    boxplot aggregate behind every distribution dashboard: discrete
+    Q1/median/Q3 (percentile_approx at degenerate accuracy = exact
+    data values, the anomaly_mad convention), IQR whiskers at 1.5x,
+    and the count of points outside them. Two passes: one grouped
+    quantile aggregate, one broadcast-join flag count — linear, no
+    per-group sort partition."""
+    q = events.groupBy("event_type").agg(
+        F.expr("percentile_approx(value, 0.25, 1000000)").alias("q1"),
+        F.expr("percentile_approx(value, 0.5, 1000000)").alias("med"),
+        F.expr("percentile_approx(value, 0.75, 1000000)").alias("q3"),
+    )
+    flagged = events.join(F.broadcast(q), "event_type")
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - 1.5 * iqr
+    hi = F.col("q3") + 1.5 * iqr
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("q1"), 2).alias("q1"),
+            F.round(F.min("med"), 2).alias("med"),
+            F.round(F.min("q3"), 2).alias("q3"),
+            F.count(F.when(F.col("value") < lo, 1)).alias("n_low_outliers"),
+            F.count(F.when(F.col("value") > hi, 1)).alias("n_high_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def k_anonymity_report(events: DataFrame, k: int = 5) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data release runs next to pii_scrub: group the release by
+    its quasi-identifier tuple (here event_type x hour-of-day x coarse
+    user cohort) and report how many equivalence classes fall below k
+    members and how many rows they expose. One partial-agg shuffle
+    bounded by the quasi-identifier domain; exact integers.
+
+    Output: one row — n_rows, n_classes, min_class_size,
+    n_classes_below_k, n_rows_at_risk."""
+    classes = events.groupBy(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        (F.col("user_id") % 100).alias("cohort"),
+    ).agg(F.count("*").alias("sz"))
+    return classes.agg(
+        F.sum("sz").alias("n_rows"),
+        F.count("*").alias("n_classes"),
+        F.min("sz").alias("min_class_size"),
+        F.count(F.when(F.col("sz") < k, 1)).alias("n_classes_below_k"),
+        F.sum(F.when(F.col("sz") < k, F.col("sz")).otherwise(F.lit(0))).alias(
+            "n_rows_at_risk"
+        ),
+    )

@@ -6408,3 +6408,105 @@ def bigram_logprob_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "minhash_estimate_report",
+    # identical md5 permutations over the same string grams; errors
+    # quantize through one fixed IEEE expression
+    f"""
+WITH g AS (SELECT doc_id, lang, source, {_GRAMS} AS grams FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+               / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
+),
+gr AS (SELECT doc_id, UNNEST(grams) AS gram FROM g),
+sig AS (
+  SELECT doc_id, i.i AS i,
+         MIN(CAST(CAST(concat('0x', substr(md5('mh' || i.i || ':' || gram), 1, 15))
+             AS UBIGINT) AS BIGINT)) AS m
+  FROM gr, (SELECT UNNEST(range(32)) AS i) i
+  GROUP BY doc_id, i.i
+),
+matched AS (
+  SELECT p.a_id, p.b_id, p.jaccard,
+         SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS matches
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.a_id
+  JOIN sig sb ON sb.doc_id = p.b_id AND sb.i = sa.i
+  GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT jaccard, matches / 32.0 AS est,
+         CAST(FLOOR(ABS(matches / 32.0 - jaccard) * 1e6 + 0.5) AS BIGINT) AS err_u
+  FROM matched
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(err_u) // COUNT(*) AS BIGINT) AS mean_err_u,
+       CAST(MAX(err_u) AS BIGINT) AS max_err_u,
+       COUNT(CASE WHEN est > jaccard THEN 1 END) AS n_over,
+       COUNT(CASE WHEN est < jaccard THEN 1 END) AS n_under
+FROM per
+""",
+)
+def minhash_estimate_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.minhash_estimate_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "agg_boxplot",
+    # discrete quartiles (quantile_disc twin); whisker flags exact
+    """
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.25) AS q1,
+         quantile_disc(value, 0.5) AS med,
+         quantile_disc(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, COUNT(*) AS n,
+       ROUND(MIN(q.q1), 2) AS q1, ROUND(MIN(q.med), 2) AS med,
+       ROUND(MIN(q.q3), 2) AS q3,
+       COUNT(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1) THEN 1 END)
+         AS n_low_outliers,
+       COUNT(CASE WHEN e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 END)
+         AS n_high_outliers
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+)
+def agg_boxplot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.agg_boxplot(load_events(spark, sf_dir))
+
+
+@register(
+    "k_anonymity_report",
+    # exact integer class sizes over the quasi-identifier domain
+    """
+WITH classes AS (
+  SELECT event_type, EXTRACT(HOUR FROM ts) AS hod, user_id % 100 AS cohort,
+         COUNT(*) AS sz
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(SUM(sz) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(sz) AS BIGINT) AS min_class_size,
+       COUNT(CASE WHEN sz < 5 THEN 1 END) AS n_classes_below_k,
+       CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_rows_at_risk
+FROM classes
+""",
+)
+def k_anonymity_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.k_anonymity_report(load_events(spark, sf_dir))

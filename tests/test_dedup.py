@@ -597,3 +597,16 @@ def test_bigram_logprob_bounds_and_conditional_sanity(spark, sf_dir):
     row = text.bigram_logprob(solo).collect()[0]
     # P(y|x)=1 and P(x|y)=1 everywhere -> avg ln P = 0
     assert row.n_bigrams == 5 and row.avg_logprob == 0.0
+
+
+def test_minhash_estimate_report_error_bounds(spark, sf_dir):
+    """32-perm minhash estimates the Jaccard of verified pairs within
+    the binomial error envelope: mean error well under 0.2, max under
+    0.45 (3 sigma-ish at p~0.5), and the pair set is non-empty."""
+    row = dedup.minhash_estimate_report(
+        load_table(spark, sf_dir, "documents")
+    ).collect()[0]
+    assert row.n_pairs > 0
+    assert row.mean_err_u < 200000
+    assert row.max_err_u < 450000
+    assert row.n_over + row.n_under <= row.n_pairs

@@ -1152,3 +1152,30 @@ def test_funnel_asof_chain_ordering_invariants(spark, sf_dir):
     # a wide tolerance must surface complete funnels on this fixture
     wide = relational.funnel_asof_chain(events, tolerance_hours=96).collect()
     assert any(r.view_id is not None for r in wide), "no funnels even at 96h"
+
+
+def test_agg_boxplot_invariants(spark, sf_dir):
+    """Quartiles are ordered data values; outlier counts bounded."""
+    out = relational.agg_boxplot(load_events(spark, sf_dir)).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r.q1 <= r.med <= r.q3
+        assert 0 <= r.n_low_outliers + r.n_high_outliers < r.n
+
+
+def test_k_anonymity_flags_unique_rows(spark, sf_dir):
+    """Totals reconcile, and making every row unique (distinct cohort)
+    puts every row at risk."""
+    events = load_events(spark, sf_dir)
+    r = relational.k_anonymity_report(events).collect()[0]
+    assert r.n_rows == events.count()
+    assert 0 <= r.n_rows_at_risk <= r.n_rows
+    assert r.min_class_size >= 1
+    unique = events.select(
+        "event_id", "ts", F.col("event_id").alias("user_id"), "event_type",
+        "value", "props",
+    )
+    r2 = relational.k_anonymity_report(unique).collect()[0]
+    # fragmenting cohorts can only increase exposure (tiny fixtures may
+    # already be fully at risk, so monotone, not strict)
+    assert r2.min_class_size == 1 and r2.n_rows_at_risk >= r.n_rows_at_risk
