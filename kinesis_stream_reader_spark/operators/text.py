@@ -1042,3 +1042,57 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def html_extract_text(documents: DataFrame) -> DataFrame:
+    """The web-extraction stage of a crawl pipeline (the
+    trafilatura/CCNet "strip the chrome, keep the article" step) with
+    the whole transform in codegen regex: deterministic HTML chrome
+    (head/nav/ad/footer) wraps each document's text — the
+    formula-derived-payload convention of the multimodal codecs, so
+    the oracle rebuilds identical pages — then extraction removes the
+    chrome blocks (non-greedy, RE2-compatible — no lookaround, so the
+    same patterns run on Java regex and DuckDB RE2), strips remaining
+    tags, and normalizes whitespace. The round-trip contract IS the
+    correctness check: extracted text equals the original document
+    body, verified by md5 per row.
+
+    Map-only, no shuffle; linear in page bytes at any scale."""
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><meta charset=\"utf-8\"></head><body>"),
+        F.lit("<nav>home | about | contact</nav>"),
+        F.lit('<div class="ad">SPONSORED: buy now</div><p>'),
+        F.col("text"),
+        F.lit("</p><footer>(c) 2026 example.com</footer></body></html>"),
+    )
+    extracted = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(html, "<head>.*?</head>", " "),
+                        "<nav>.*?</nav>",
+                        " ",
+                    ),
+                    '<div class="ad">.*?</div>',
+                    " ",
+                ),
+                "<footer>.*?</footer>",
+                " ",
+            ),
+            "<[^>]+>",
+            " ",
+        )
+    )
+    normalized = F.regexp_replace(extracted, r"\s+", " ")
+    return documents.select(
+        "doc_id",
+        F.length(html).alias("n_chars_html"),
+        F.length(normalized).alias("n_chars_extracted"),
+        (normalized == F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")).alias(
+            "roundtrip_ok"
+        ),
+        F.md5(normalized).alias("fingerprint"),
+    ).orderBy("doc_id")

