@@ -3624,3 +3624,225 @@ def k_anonymity_report(events: DataFrame, k: int = 5) -> DataFrame:
             "n_rows_at_risk"
         ),
     )
+
+
+def chi2_independence(events: DataFrame) -> DataFrame:
+    """Pearson chi-squared test of independence between event_type and
+    day-of-week — the categorical-association member of the statistics
+    family (drift_report is TV distance on one margin, drift_ks is
+    continuous ECDF distance; this crosses two margins).
+
+    Engine-stable arithmetic: per cell, (O*N - R*C) is an exact bigint
+    (cast to double only for the final square/divide — both IEEE-exact
+    conversions), the per-cell term is quantized half-up to 1e-6 and
+    combined by an EXACT integer sum, so float summation order never
+    enters. chi2 = sum over cells of (O - RC/N)^2 / (RC/N), computed as
+    t^2 / (R*C*N) with t = O*N - R*C.
+
+    Plan shape: one partial-agg shuffle bounded by the (type, dow)
+    domain (5x7 cells); marginals derive from the cell relation itself
+    (two tiny re-aggregations, broadcast back). Nothing row-scale ever
+    re-shuffles. At 100 TB the cell table is still 35 rows."""
+    cells = events.groupBy(
+        F.col("event_type").alias("r"), F.dayofweek("ts").alias("c")
+    ).agg(F.count("*").alias("o"))
+    rows = cells.groupBy("r").agg(F.sum("o").alias("rm"))
+    cols = cells.groupBy("c").agg(F.sum("o").alias("cm"))
+    n = cells.agg(F.sum("o").alias("n"))
+    t = (F.col("o") * F.col("n") - F.col("rm") * F.col("cm")).cast("double")
+    term = t * t / (F.col("rm") * F.col("cm") * F.col("n")).cast("double")
+    per_cell = (
+        cells.join(F.broadcast(rows), "r")
+        .join(F.broadcast(cols), "c")
+        .join(F.broadcast(n))
+        .select(
+            "r",
+            "c",
+            "o",
+            F.floor(term * 1e6 + F.lit(0.5)).cast("long").alias("term_u"),
+        )
+    )
+    return per_cell.agg(
+        F.count("*").alias("n_cells"),
+        (
+            (F.count_distinct("r") - 1) * (F.count_distinct("c") - 1)
+        ).alias("dof"),
+        F.sum("o").alias("n"),
+        (F.sum("term_u") / F.lit(1e6)).alias("chi2"),
+    )
+
+
+def trend_lines(events: DataFrame) -> DataFrame:
+    """Per-key ordinary-least-squares trend: slope and intercept of
+    daily value against the day index, per event_type — the regression
+    member of the statistics family (agg_correlation reports the
+    normalized moment; this reports the fitted line a dashboard draws).
+
+    Engine-stable arithmetic: y is quantized to exact integer cents
+    (the source values carry two decimals), x is the integer day
+    offset, so every moment (n, Sx, Sy, Sxx, Sxy) is an exact bigint;
+    the closed-form slope/intercept numerators are combined in
+    DECIMAL(38,0) (exact at any realistic scale) and the ONLY float
+    ops are the two final divisions, one fixed IEEE sequence mirrored
+    in the oracle.
+
+    Plan shape: one partial-agg shuffle keyed by event_type computes
+    all five moments in a single pass (no per-key sort, no window);
+    the slope algebra is per-group scalar arithmetic on the 5-row
+    aggregate. At 100 TB this is the canonical 'fit a line per key'
+    one-pass plan."""
+    first_day = events.agg(
+        F.to_date(F.min("ts")).alias("d0")
+    )
+    base = events.join(F.broadcast(first_day)).select(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.col("d0")).cast("long").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("yu"),
+    )
+    m = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yu").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("yu")).alias("sxy"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n").cast(dec) * F.col("sxy").cast(dec) - F.col("sx").cast(
+        dec
+    ) * F.col("sy").cast(dec)
+    den = F.col("n").cast(dec) * F.col("sxx").cast(dec) - F.col("sx").cast(
+        dec
+    ) * F.col("sx").cast(dec)
+    slope = num.cast("double") / den.cast("double") / F.lit(100.0)
+    intercept = (
+        F.col("sy").cast("double") / F.lit(100.0) - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        (F.floor(slope * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("slope_per_day"),
+        (F.floor(intercept * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("intercept"),
+    ).orderBy("event_type")
+
+
+def acf_daily(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..max_lag — the time-series-memory member of the statistics family
+    (ewma_smoothing filters the series; this measures its structure,
+    the seasonality/persistence diagnostic a pipeline runs before
+    choosing window sizes).
+
+    Engine-stable arithmetic: the series is exact integer counts; with
+    D days and total S, each centered term is the exact bigint
+    D*x_t - S (n-scaled centering avoids rational means), so both the
+    lag-k numerator and the variance denominator are exact bigint sums.
+    One float division per lag at the end, half-up 1e-6.
+
+    Plan shape: the day series is a partial-agg rollup (one shuffle,
+    |days| rows); the lag pairing is a self-join of that tiny series
+    on d = d+k after a broadcast of the lag table — at 100 TB the
+    series relation stays |days| rows, so the whole ACF costs one
+    row-scale pass plus day-scale joins."""
+    days = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    tot = days.agg(
+        F.count("*").alias("nd"), F.sum("x").alias("s")
+    )
+    lags = events.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = days.alias("a")
+    b = days.alias("b")
+    dev = lambda side: (
+        F.col("nd") * F.col(f"{side}.x") - F.col("s")
+    )  # noqa: E731
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(
+            b,
+            F.datediff(F.col("b.d"), F.col("a.d")) == F.col("lag"),
+        )
+        .join(F.broadcast(tot))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(dev("a") * dev("b")).alias("num"),
+        )
+    )
+    denom = days.join(F.broadcast(tot)).agg(
+        F.sum(
+            (F.col("nd") * F.col("x") - F.col("s"))
+            * (F.col("nd") * F.col("x") - F.col("s"))
+        ).alias("den")
+    )
+    return (
+        pairs.join(F.broadcast(denom))
+        .select(
+            "lag",
+            "n_pairs",
+            (
+                F.floor(
+                    F.col("num").cast("double") / F.col("den").cast("double") * 1e6
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Tabular CUSUM change detection over the daily event-count
+    series: upward and downward cumulative sums of deviation from the
+    series mean, via the prefix-sum identity
+    S+_t = P_t - min(P_0..P_t, 0) (and the max mirror for S-), which
+    turns the clipped recursion max(0, S_{t-1} + dev_t) into TWO
+    stock window passes — running sum then running extremum — with no
+    per-row iteration anywhere.
+
+    Engine-stable arithmetic: deviations are n-scaled exact bigints
+    (D*x_t - S, summing to zero over the series), so prefix sums,
+    running minima and both CUSUM statistics are exact integers; the
+    only float op is the final /D presentation scaling, half-up 1e-6.
+
+    Plan shape: one row-scale partial-agg to the day series, then two
+    window passes over a single |days|-row partition — the window is
+    over the global day order, fine at day cardinality forever (36.5k
+    rows per century). Flags mark days whose CUSUM exceeds 4x the
+    series' mean daily level."""
+    days = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    tot = days.agg(F.count("*").alias("nd"), F.sum("x").alias("s"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    base = days.join(F.broadcast(tot)).select(
+        "d",
+        "x",
+        "nd",
+        "s",
+        (F.col("nd") * F.col("x") - F.col("s")).alias("dev"),
+    )
+    pref = base.withColumn("p", F.sum("dev").over(w))
+    cusum = pref.select(
+        "d",
+        "x",
+        "nd",
+        "s",
+        (F.col("p") - F.least(F.min("p").over(w), F.lit(0))).alias("up_u"),
+        (F.greatest(F.max("p").over(w), F.lit(0)) - F.col("p")).alias("down_u"),
+    )
+    thresh = F.lit(4) * F.col("s")  # 4 * nd * mean  ==  4 * S
+    return cusum.select(
+        F.col("d").cast("string").alias("d"),
+        "x",
+        (F.floor(F.col("up_u") / F.col("nd").cast("double") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "cusum_up"
+        ),
+        (
+            F.floor(F.col("down_u") / F.col("nd").cast("double") * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("cusum_down"),
+        (F.col("up_u") > thresh).alias("alarm_up"),
+        (F.col("down_u") > thresh).alias("alarm_down"),
+    ).orderBy("d")

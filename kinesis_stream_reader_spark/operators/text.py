@@ -1096,3 +1096,123 @@ def html_extract_text(documents: DataFrame) -> DataFrame:
         ),
         F.md5(normalized).alias("fingerprint"),
     ).orderBy("doc_id")
+
+
+def bm25_retrieval(
+    documents: DataFrame, query_terms: list[tuple[int, str]] | None = None, k: int = 3
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck-Jones, Lucene idf form)
+    over the corpus — the classic-IR counterpart of rag_retrieval's
+    dense scoring and the ranked upgrade of text_search_boolean
+    (completes the retrieval ladder: boolean -> tf-idf keywords ->
+    BM25 ranking -> dense RAG).
+
+    Engine-stable arithmetic: every per-(doc,term) partial score runs
+    ONE fixed IEEE float sequence (idf -> length norm -> saturation ->
+    product), is quantized half-up to integer micro-units, and the
+    per-(query,doc) combination is an EXACT bigint sum — so float
+    summation order never enters, and ranking ties break on the
+    quantized score then doc_id. The only transcendental is ln(),
+    <=1 ulp on both engines, buried under the 1e-6 grid.
+
+    Plan shape at 100 TB: one exploded token relation feeds tf and dl;
+    the df and query relations are vocabulary-/query-sized broadcasts;
+    ranking is a per-query top-k window over the scored aggregate —
+    TakeOrdered semantics on queries x docs-with-hits, never a global
+    sort of the corpus."""
+    if query_terms is None:
+        query_terms = [
+            (1, "hash"),
+            (1, "join"),
+            (2, "sort"),
+            (2, "merge"),
+            (3, "customer"),
+            (3, "value"),
+        ]
+    spark = documents.sparkSession
+    queries = spark.createDataFrame(query_terms, "query_id int, term string")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    toks = documents.select(
+        "doc_id", F.explode(F.split(normalized, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    totals = toks.agg(
+        F.count("*").alias("s_tokens"), F.count_distinct("doc_id").alias("n_docs")
+    )
+    # fixed float sequence, mirrored verbatim in the oracle SQL
+    avgdl = F.col("s_tokens") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.lit(0.25) + F.lit(0.75) * (F.col("dl") / avgdl)
+    part = idf * (F.col("tf") * F.lit(2.2)) / (F.col("tf") + F.lit(1.2) * norm)
+    scored = (
+        tf.join(F.broadcast(queries), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .join(F.broadcast(totals))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(part * 1e6 + F.lit(0.5)).cast("long").alias("su"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(F.sum("su").alias("su"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("su"), "doc_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("su") / F.lit(1e6)).alias("bm25"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def phrase_search(
+    documents: DataFrame, phrases: list[tuple[int, str, str]] | None = None
+) -> DataFrame:
+    """Positional phrase search: a positional inverted index (term,
+    doc, position postings) answers "w0 immediately followed by w1" by
+    joining the w0 postings against the w1 postings at position+1 —
+    the standard phrase-query plan (Manning IR ch.2), and the
+    position-aware upgrade of text_search_boolean's term-level
+    semi-joins.
+
+    Plan shape: the postings relation is built once (posexplode, all
+    codegen); each phrase's two legs are term-filtered SLICES of it
+    (predicate pushdown on the broadcast phrase table), and the
+    adjacency join keys on (doc_id, pos) — co-partitioned, no
+    quadratic blowup: cost is |postings(w0)| x matches, never
+    |docs|^2. At 100 TB the postings relation is the thing a search
+    index materializes anyway; bucketing it by term turns every
+    phrase query into a pruned scan."""
+    if phrases is None:
+        phrases = [(1, "hash", "join"), (2, "table", "scan")]
+    spark = documents.sparkSession
+    ph = spark.createDataFrame(phrases, "phrase_id int, w0 string, w1 string")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    posting = documents.select(
+        "doc_id", F.posexplode(F.split(normalized, " ")).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    p0 = posting.alias("p0")
+    p1 = posting.alias("p1")
+    hits = (
+        p0.join(F.broadcast(ph), F.col("p0.term") == F.col("w0"))
+        .join(
+            p1,
+            (F.col("p1.doc_id") == F.col("p0.doc_id"))
+            & (F.col("p1.pos") == F.col("p0.pos") + 1)
+            & (F.col("p1.term") == F.col("w1")),
+        )
+    )
+    return (
+        hits.groupBy("phrase_id", F.col("p0.doc_id").alias("doc_id"))
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy("phrase_id", "doc_id")
+    )

@@ -6594,3 +6594,231 @@ def html_extract_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.html_extract_text(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext: BM25 ranked retrieval + positional phrase search (round 2) — the
+# classic-IR completions of the retrieval ladder (text_search_boolean ->
+# tfidf_top_terms -> bm25_retrieval -> rag_retrieval). Reference has no
+# search surface; extension mandated by the north star.
+# ---------------------------------------------------------------------------
+_TOKS_CTE = """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL UNNEST(string_split(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' ')) AS t(term)
+  WHERE t.term <> ''
+)"""
+
+
+@register(
+    "bm25_retrieval",
+    # mirror of text.bm25_retrieval: identical fixed float sequence,
+    # half-up micro-unit quantization, exact bigint combine, ties on
+    # (su DESC, doc_id)
+    _TOKS_CTE
+    + """
+, q(query_id, term) AS (
+  VALUES (1,'hash'),(1,'join'),(2,'sort'),(2,'merge'),(3,'customer'),(3,'value')
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), tot AS (
+  SELECT COUNT(*) AS s_tokens, COUNT(DISTINCT doc_id) AS n_docs FROM toks
+), part AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(FLOOR(
+           (LN(1.0 + (tot.n_docs - df.df + 0.5) / (df.df + 0.5))
+            * (tf.tf * 2.2)
+            / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (tot.s_tokens / CAST(tot.n_docs AS DOUBLE))))))
+           * 1e6 + 0.5) AS BIGINT) AS su
+  FROM tf
+  JOIN q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN df USING (term)
+  CROSS JOIN tot
+), agg AS (
+  SELECT query_id, doc_id, SUM(su) AS su FROM part GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT query_id, doc_id, su,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY su DESC, doc_id) AS rank
+  FROM agg
+)
+SELECT query_id, doc_id, su / 1e6 AS bm25, rank
+FROM ranked WHERE rank <= 3 ORDER BY query_id, rank
+""",
+)
+def bm25_retrieval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.bm25_retrieval(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "phrase_search",
+    # positional postings via 1-based array subscripts; adjacency is
+    # translation-invariant so the 0- vs 1-based difference vs Spark's
+    # posexplode cancels
+    """
+WITH arrs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' ') AS arr
+  FROM documents
+), idx AS (
+  SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr FROM arrs
+), posting AS (
+  SELECT doc_id, pos, arr[pos] AS term FROM idx WHERE arr[pos] <> ''
+), ph(phrase_id, w0, w1) AS (
+  VALUES (1,'hash','join'),(2,'table','scan')
+)
+SELECT ph.phrase_id, p0.doc_id, COUNT(*) AS n_hits
+FROM posting p0
+JOIN ph ON p0.term = ph.w0
+JOIN posting p1
+  ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1 AND p1.term = ph.w1
+GROUP BY ph.phrase_id, p0.doc_id
+ORDER BY ph.phrase_id, p0.doc_id
+""",
+)
+def phrase_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.phrase_search(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext: statistics family round-2 additions — categorical association
+# (chi-squared), per-key OLS trend, series autocorrelation, CUSUM change
+# detection. All exact-integer cores with one final float op, fully
+# mirrored in SQL (the drift_report / drift_ks / model_eval_auc
+# convention).
+# ---------------------------------------------------------------------------
+@register(
+    "chi2_independence",
+    # DuckDB dayofweek is Sunday=0..Saturday=6; Spark's is Sunday=1..7,
+    # hence the +1
+    """
+WITH cells AS (
+  SELECT event_type AS r, dayofweek(ts) + 1 AS c, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), rm AS (SELECT r, SUM(o) AS rm FROM cells GROUP BY r),
+cm AS (SELECT c, SUM(o) AS cm FROM cells GROUP BY c),
+n AS (SELECT SUM(o) AS n FROM cells),
+per AS (
+  SELECT cells.r, cells.c, cells.o,
+         CAST(FLOOR(
+           CAST(cells.o * n.n - rm.rm * cm.cm AS DOUBLE)
+           * CAST(cells.o * n.n - rm.rm * cm.cm AS DOUBLE)
+           / CAST(rm.rm * cm.cm * n.n AS DOUBLE)
+           * 1e6 + 0.5) AS BIGINT) AS term_u
+  FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN n
+)
+SELECT COUNT(*) AS n_cells,
+       (COUNT(DISTINCT r) - 1) * (COUNT(DISTINCT c) - 1) AS dof,
+       CAST(SUM(o) AS BIGINT) AS n,
+       SUM(term_u) / 1e6 AS chi2
+FROM per
+""",
+)
+def chi2_independence_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.chi2_independence(load_events(spark, sf_dir))
+
+
+@register(
+    "trend_lines",
+    # HUGEINT here == DECIMAL(38,0) on the Spark side: both exact for
+    # the ~21-digit moment products; the two divisions are the only
+    # float ops, in the same left-assoc order
+    """
+WITH d0 AS (SELECT CAST(MIN(ts) AS DATE) AS d0 FROM events),
+base AS (
+  SELECT event_type,
+         datediff('day', d0.d0, CAST(ts AS DATE)) AS x,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS yu
+  FROM events, d0
+), m AS (
+  SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(yu) AS sy,
+         SUM(x * x) AS sxx, SUM(x * yu) AS sxy
+  FROM base GROUP BY event_type
+), fit AS (
+  SELECT event_type, n, sx, sy,
+         CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+         / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+         / 100.0 AS slope
+  FROM m
+)
+SELECT event_type, n,
+       FLOOR(slope * 1e6 + 0.5) / 1e6 AS slope_per_day,
+       FLOOR((CAST(sy AS DOUBLE) / 100.0 - slope * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS intercept
+FROM fit ORDER BY event_type
+""",
+)
+def trend_lines_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.trend_lines(load_events(spark, sf_dir))
+
+
+@register(
+    "acf_daily",
+    """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY 1
+), tot AS (SELECT COUNT(*) AS nd, SUM(x) AS s FROM days),
+lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+pairs AS (
+  SELECT lag, COUNT(*) AS n_pairs,
+         SUM((t.nd * a.x - t.s) * (t.nd * b.x - t.s)) AS num
+  FROM days a
+  CROSS JOIN lags
+  JOIN days b ON datediff('day', a.d, b.d) = lag
+  CROSS JOIN tot t
+  GROUP BY lag
+), den AS (
+  SELECT SUM((t.nd * x - t.s) * (t.nd * x - t.s)) AS den FROM days, tot t
+)
+SELECT lag, n_pairs,
+       FLOOR(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE) * 1e6 + 0.5) / 1e6 AS acf
+FROM pairs, den ORDER BY lag
+""",
+)
+def acf_daily_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.acf_daily(load_events(spark, sf_dir))
+
+
+@register(
+    "cusum_changepoint",
+    """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY 1
+), tot AS (SELECT COUNT(*) AS nd, SUM(x) AS s FROM days),
+base AS (SELECT d, x, nd, s, nd * x - s AS dev FROM days, tot),
+pref AS (
+  SELECT *, SUM(dev) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM base
+), cus AS (
+  SELECT d, x, nd, s,
+         p - LEAST(MIN(p) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS up_u,
+         GREATEST(MAX(p) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - p AS down_u
+  FROM pref
+)
+SELECT strftime(d, '%Y-%m-%d') AS d, x,
+       FLOOR(up_u / CAST(nd AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cusum_up,
+       FLOOR(down_u / CAST(nd AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cusum_down,
+       up_u > 4 * s AS alarm_up,
+       down_u > 4 * s AS alarm_down
+FROM cus ORDER BY d
+""",
+)
+def cusum_changepoint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.cusum_changepoint(load_events(spark, sf_dir))

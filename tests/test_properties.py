@@ -397,3 +397,79 @@ def test_hard_negatives_are_cross_label_argmax(spark, sf_dir):
         )
         assert -best[1] == r.neg_id
         assert abs(round(best[0], 3) - r.cos_sim) < 1e-9
+
+
+def test_bm25_brute_force(spark, sf_dir):
+    """BM25 top-k per query must equal a driver-side reference scorer
+    (same Lucene idf form, same micro-unit quantization)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators.text import bm25_retrieval
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [
+        (r.query_id, r.doc_id, r.bm25, r.rank) for r in bm25_retrieval(docs).collect()
+    ]
+
+    corpus = {}
+    for row in docs.select("doc_id", "text").collect():
+        norm = _re.sub("[^a-z0-9 ]", "", row.text.strip().lower())
+        corpus[row.doc_id] = [t for t in norm.split(" ") if t]
+    n_docs = len(corpus)
+    s_tokens = sum(len(v) for v in corpus.values())
+    avgdl = s_tokens / n_docs
+    df = Counter()
+    for toks in corpus.values():
+        df.update(set(toks))
+    queries = {1: ["hash", "join"], 2: ["sort", "merge"], 3: ["customer", "value"]}
+    expect = []
+    for qid, terms in queries.items():
+        scores = {}
+        for did, toks in corpus.items():
+            tf = Counter(toks)
+            su = 0
+            for t in terms:
+                if tf[t] == 0:
+                    continue
+                idf = math.log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+                part = (
+                    idf
+                    * (tf[t] * 2.2)
+                    / (tf[t] + 1.2 * (0.25 + 0.75 * (len(toks) / avgdl)))
+                )
+                su += math.floor(part * 1e6 + 0.5)
+            if su:
+                scores[did] = su
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rank, (did, su) in enumerate(top, 1):
+            expect.append((qid, did, su / 1e6, rank))
+    assert sorted(got) == sorted(expect)
+
+
+def test_phrase_search_brute_force(spark, sf_dir):
+    """Positional-postings adjacency join must equal a per-doc scan for
+    the phrase, counting every occurrence."""
+    import re as _re
+
+    from kinesis_stream_reader_spark.operators.text import phrase_search
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {(r.phrase_id, r.doc_id): r.n_hits for r in phrase_search(docs).collect()}
+    expect = {}
+    phrases = {1: ("hash", "join"), 2: ("table", "scan")}
+    for row in docs.select("doc_id", "text").collect():
+        norm = _re.sub("[^a-z0-9 ]", "", row.text.strip().lower())
+        toks = norm.split(" ")
+        for pid, (w0, w1) in phrases.items():
+            n = sum(
+                1
+                for i in range(len(toks) - 1)
+                if toks[i] == w0 and toks[i + 1] == w1 and toks[i]
+            )
+            if n:
+                expect[(pid, row.doc_id)] = n
+    assert got == expect

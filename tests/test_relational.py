@@ -3,6 +3,8 @@ sketch-estimate tolerance."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
 
 from kinesis_stream_reader_spark.operators import relational
@@ -1179,3 +1181,117 @@ def test_k_anonymity_flags_unique_rows(spark, sf_dir):
     # fragmenting cohorts can only increase exposure (tiny fixtures may
     # already be fully at risk, so monotone, not strict)
     assert r2.min_class_size == 1 and r2.n_rows_at_risk >= r.n_rows_at_risk
+
+
+def test_chi2_independence_reference(spark, sf_dir):
+    """Chi-squared statistic must match scipy-free NumPy contingency
+    math (same micro-unit quantization)."""
+    import math
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators.relational import chi2_independence
+    from kinesis_stream_reader_spark.sources.tables import load_events
+
+    events = load_events(spark, sf_dir)
+    row = chi2_independence(events).collect()[0]
+    obs = Counter()
+    for r in events.select("event_type", "ts").collect():
+        # Python weekday(): Monday=0; Spark dayofweek: Sunday=1
+        dow = (r.ts.weekday() + 1) % 7 + 1
+        obs[(r.event_type, dow)] += 1
+    n = sum(obs.values())
+    rm = Counter()
+    cm = Counter()
+    for (r_, c_), o in obs.items():
+        rm[r_] += o
+        cm[c_] += o
+    su = 0
+    for (r_, c_), o in obs.items():
+        t = float(o * n - rm[r_] * cm[c_])
+        su += math.floor(t * t / float(rm[r_] * cm[c_] * n) * 1e6 + 0.5)
+    assert row.n == n
+    assert row.n_cells == len(obs)
+    assert row.dof == (len(rm) - 1) * (len(cm) - 1)
+    assert abs(row.chi2 - su / 1e6) < 1e-9
+
+
+def test_trend_lines_least_squares(spark, sf_dir):
+    """Slope/intercept must minimize squared error: compare against
+    numpy.polyfit on the same quantized series."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators.relational import trend_lines
+    from kinesis_stream_reader_spark.sources.tables import load_events
+
+    events = load_events(spark, sf_dir)
+    got = {r.event_type: r for r in trend_lines(events).collect()}
+    rows = events.select("event_type", "ts", "value").collect()
+    d0 = min(r.ts for r in rows).date()
+    by_type = {}
+    for r in rows:
+        x = (r.ts.date() - d0).days
+        yu = math.floor(r.value * 100 + 0.5)
+        by_type.setdefault(r.event_type, []).append((x, yu / 100.0))
+    for et, pts in by_type.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert got[et].n == len(pts)
+        assert abs(got[et].slope_per_day - slope) < 1e-4
+        assert abs(got[et].intercept - intercept) < 1e-2
+
+
+def test_acf_daily_reference(spark, sf_dir):
+    """ACF at each lag must match the numpy centered cross-product on
+    the daily count series."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators.relational import acf_daily
+    from kinesis_stream_reader_spark.sources.tables import load_events
+
+    events = load_events(spark, sf_dir)
+    got = {r.lag: r for r in acf_daily(events).collect()}
+    days = (
+        events.groupBy(F.to_date("ts").alias("d")).count().orderBy("d").collect()
+    )
+    xs = np.array([r["count"] for r in days], dtype=float)
+    dates = [r.d for r in days]
+    mean = xs.mean()
+    den = ((xs - mean) ** 2).sum()
+    by_date = dict(zip(dates, xs))
+    import datetime
+
+    for lag in range(1, 8):
+        num = 0.0
+        n_pairs = 0
+        for d, x in by_date.items():
+            d2 = d + datetime.timedelta(days=lag)
+            if d2 in by_date:
+                num += (x - mean) * (by_date[d2] - mean)
+                n_pairs += 1
+        assert got[lag].n_pairs == n_pairs
+        assert abs(got[lag].acf - num / den) < 1e-5
+
+
+def test_cusum_changepoint_recursion(spark, sf_dir):
+    """The prefix-sum identity must equal the literal clipped
+    recursion S_t = max(0, S_{t-1} + dev_t) computed row by row."""
+    from kinesis_stream_reader_spark.operators.relational import cusum_changepoint
+    from kinesis_stream_reader_spark.sources.tables import load_events
+
+    events = load_events(spark, sf_dir)
+    out = cusum_changepoint(events).collect()
+    days = (
+        events.groupBy(F.to_date("ts").alias("d")).count().orderBy("d").collect()
+    )
+    nd = len(days)
+    s = sum(r["count"] for r in days)
+    su = sd = 0
+    for row, r in zip(out, days):
+        dev = nd * r["count"] - s
+        su = max(0, su + dev)
+        sd = max(0, sd - dev)
+        assert abs(row.cusum_up - math.floor(su / nd * 1e6 + 0.5) / 1e6) < 1e-9
+        assert abs(row.cusum_down - math.floor(sd / nd * 1e6 + 0.5) / 1e6) < 1e-9
+        assert row.alarm_up == (su > 4 * s)
+        assert row.alarm_down == (sd > 4 * s)
