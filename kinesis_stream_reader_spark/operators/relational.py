@@ -3846,3 +3846,298 @@ def cusum_changepoint(events: DataFrame) -> DataFrame:
         (F.col("up_u") > thresh).alias("alarm_up"),
         (F.col("down_u") > thresh).alias("alarm_down"),
     ).orderBy("d")
+
+
+def assoc_rules(
+    lineitem: DataFrame, part: DataFrame, min_support_denom: int = 200
+) -> DataFrame:
+    """Market-basket association rules over order baskets of part
+    brands: support / confidence / lift for every qualifying brand
+    pair — the A-priori first-and-second pass expressed relationally
+    (the co-occurrence census IS the candidate generation; TPC-H-ish
+    baskets are bounded, so no candidate explosion).
+
+    Engine-stable arithmetic: all counts are exact; the support
+    threshold is the integer cross-multiplication cooc*denom >= n;
+    confidence and lift are single float divisions of exact bigint
+    products, quantized half-up to 1e-6.
+
+    Plan shape at 100 TB: the basket relation is one distinct over the
+    (order, brand) projection (brand arrives via a broadcast part
+    join); the pair census self-joins baskets on the order key —
+    co-partitioned, fan-out bounded by brands-per-order (<= 25 brands
+    total, so <= 300 pairs/basket worst case); every aggregation is
+    partial-agg'd. Ranking orders the RULE relation (pair-count-sized),
+    never baskets."""
+    baskets = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n = baskets.select(F.count_distinct("o").alias("n"))
+    item_counts = baskets.groupBy("item").agg(F.count("*").alias("cnt"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("cooc"))
+    )
+    ca = item_counts.select(
+        F.col("item").alias("item_a"), F.col("cnt").alias("ca")
+    )
+    cb = item_counts.select(
+        F.col("item").alias("item_b"), F.col("cnt").alias("cb")
+    )
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .join(F.broadcast(n))
+        .filter(F.col("cooc") * min_support_denom >= F.col("n"))
+        .select(
+            "item_a",
+            "item_b",
+            "cooc",
+            q(F.col("cooc").cast("double") / F.col("n").cast("double")).alias(
+                "support"
+            ),
+            q(F.col("cooc").cast("double") / F.col("ca").cast("double")).alias(
+                "confidence"
+            ),
+            q(
+                (F.col("cooc") * F.col("n")).cast("double")
+                / (F.col("ca") * F.col("cb")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(50)
+    )
+
+
+def shortest_path_bounded(events: DataFrame, hops: int = 4) -> DataFrame:
+    """K-hop-bounded single-source shortest path (Bellman-Ford, K
+    relaxation rounds) over the pagerank_step interaction graph, from
+    the minimum user node — the weighted-path member of the iterative
+    family (components propagate ids, pagerank propagates mass, label
+    propagation propagates votes; this propagates min-plus distance).
+
+    Weights are exact small integers (MIN(event_id % 9) + 1 per edge),
+    so every distance is an exact bigint and the K-round unrolled
+    oracle is bit-identical — no float anywhere.
+
+    Plan shape: each round is relax-then-min — a join of the frontier
+    relation against edges on the source key plus one partial-agg min;
+    shuffles carry (node, dist) pairs and edges, never events. K is a
+    fixed bound (k-hop cheapest path is the declared semantics), so
+    the plan is K chained rounds, lazily composed — no driver-side
+    data access at all."""
+    edges = events.groupBy(
+        F.col("user_id").alias("src"), (F.col("event_id") % 500).alias("dst")
+    ).agg((F.min(F.col("event_id") % 9) + 1).alias("w"))
+    source = events.agg(F.min("user_id").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    dist = source
+    for _ in range(hops):
+        relax = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist.orderBy("node")
+
+
+def kmv_intersection(events: DataFrame, k: int = 64) -> DataFrame:
+    """Theta-sketch (KMV: k minimum hash values) distinct-count and
+    set-intersection estimation between event-type user sets — the
+    SET-OPERATION member of the mergeable-sketch family (HLL counts,
+    GK quantiles, CMS frequencies, Bloom membership; KMV is the one
+    that supports intersection estimates, Datasketches theta-sketch
+    semantics).
+
+    Fully deterministic: hashes are 60-bit md5-derived, the sketch is
+    the k smallest per set (row_number over an exact integer order),
+    theta is the k-th smallest, and estimates are single float
+    divisions of exact bigints — so the WHOLE sketch, not just a
+    bound, is mirrored in the oracle. exact_intersection rides along
+    for the accuracy report (the minhash_estimate_report pattern).
+
+    Plan shape at 100 TB: per-set sketches are top-k windows over the
+    distinct-user relation (per-partition TakeOrdered under the hood);
+    the intersection combines k-row sketches — driver-free, and the
+    sketch relation is what a 1000-executor rollup would actually
+    merge."""
+    pairs = [("click", "view"), ("click", "purchase"), ("view", "purchase")]
+    spark = events.sparkSession
+    pair_df = spark.createDataFrame(pairs, "type_a string, type_b string")
+    hashed = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    sk = hashed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    theta = sk.groupBy("event_type").agg(
+        F.max("h").alias("theta"), F.count("*").alias("n_kept")
+    )
+    two60 = float(2**60)
+    est = theta.select(
+        "event_type",
+        "n_kept",
+        "theta",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(
+            F.lit(float(k - 1)) * F.lit(two60) / F.col("theta").cast("double")
+        )
+        .alias("est"),
+    )
+    inter = (
+        pair_df.join(
+            sk.select(F.col("event_type").alias("type_a"), F.col("h").alias("ha")),
+            "type_a",
+        )
+        .join(
+            sk.select(F.col("event_type").alias("type_b"), F.col("h").alias("hb")),
+            "type_b",
+        )
+        .filter(F.col("ha") == F.col("hb"))
+        .join(
+            est.select(F.col("event_type").alias("type_a"), F.col("theta").alias("ta"), F.col("n_kept").alias("ka")),
+            "type_a",
+        )
+        .join(
+            est.select(
+                F.col("event_type").alias("type_b"),
+                F.col("theta").alias("tb"),
+                F.col("n_kept").alias("kb"),
+            ),
+            "type_b",
+        )
+        .filter(
+            F.col("ha")
+            <= F.least(
+                F.when(F.col("ka") < k, F.lit(2**60)).otherwise(F.col("ta")),
+                F.when(F.col("kb") < k, F.lit(2**60)).otherwise(F.col("tb")),
+            )
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.min(
+                F.least(
+                    F.when(F.col("ka") < k, F.lit(2**60)).otherwise(F.col("ta")),
+                    F.when(F.col("kb") < k, F.lit(2**60)).otherwise(F.col("tb")),
+                )
+            ).alias("theta_min"),
+        )
+    )
+    exact = (
+        events.select(F.col("event_type").alias("type_a"), "user_id")
+        .distinct()
+        .join(
+            events.select(F.col("event_type").alias("type_b"), "user_id").distinct(),
+            "user_id",
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    ea = est.select(
+        F.col("event_type").alias("type_a"), F.col("est").alias("est_a")
+    )
+    eb = est.select(
+        F.col("event_type").alias("type_b"), F.col("est").alias("est_b")
+    )
+    return (
+        pair_df.join(F.broadcast(inter), ["type_a", "type_b"], "left")
+        .join(F.broadcast(ea), "type_a")
+        .join(F.broadcast(eb), "type_b")
+        .join(F.broadcast(exact), ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            q(F.col("est_a")).alias("est_a"),
+            q(F.col("est_b")).alias("est_b"),
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            q(
+                F.coalesce(
+                    F.col("n_common").cast("double")
+                    * F.lit(two60)
+                    / F.col("theta_min").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("est_intersection"),
+            F.coalesce("exact_intersection", F.lit(0)).alias("exact_intersection"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def grid_radius_join(events: DataFrame, radius: int = 5, cell: int = 5) -> DataFrame:
+    """Grid-bucketed radius join: synthetic integer point coordinates
+    are derived per event, and 'click' points are matched to 'error'
+    points within L2 radius via a 3x3 neighbor-cell join — the spatial
+    join at scale pattern (grid bucketing prunes the quadratic
+    candidate space to co-located cells; the exact integer distance
+    check runs only on candidates).
+
+    Output is a one-row audit (match count + checksums), so the oracle
+    can be the BRUTE-FORCE cross product in DuckDB — the strongest
+    possible completeness check of the grid: any pair the 3x3 probe
+    missed (or double-counted) breaks the comparison.
+
+    Plan shape at 100 TB: cell id is the shuffle key (points land with
+    their 9-cell neighborhood via a broadcast offset explode of the
+    smaller side); per-cell candidate sets are bounded by local
+    density, never |A| x |B|. All exact integers end to end."""
+    pts = events.select(
+        "event_id",
+        "event_type",
+        ((F.col("event_id") * 2654435761) % 1000).alias("x"),
+        ((F.col("user_id") * 40503 + F.col("event_id") * 97) % 1000).alias("y"),
+    )
+    a = pts.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    b = pts.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    offsets = events.sparkSession.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    a_cells = a.join(F.broadcast(offsets)).select(
+        "a_id",
+        "ax",
+        "ay",
+        (F.floor(F.col("ax") / cell) + F.col("dx")).alias("cx"),
+        (F.floor(F.col("ay") / cell) + F.col("dy")).alias("cy"),
+    )
+    b_cells = b.select(
+        "b_id",
+        "bx",
+        "by",
+        F.floor(F.col("bx") / cell).alias("cx"),
+        F.floor(F.col("by") / cell).alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    matches = a_cells.join(b_cells, ["cx", "cy"]).filter(d2 <= radius * radius)
+    return matches.agg(
+        F.count("*").alias("n_matches"),
+        F.count_distinct("a_id").alias("n_a_matched"),
+        F.count_distinct("b_id").alias("n_b_matched"),
+        F.coalesce(F.sum(F.col("a_id") + F.col("b_id")), F.lit(0)).alias("id_sum"),
+        F.coalesce(F.sum(d2), F.lit(0)).alias("d2_sum"),
+    )

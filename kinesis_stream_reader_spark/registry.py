@@ -6822,3 +6822,177 @@ def cusum_changepoint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.cusum_changepoint(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# ext: round-2 cohort — market-basket rules, bounded shortest path, KMV
+# theta-sketch intersection, grid-bucketed spatial radius join.
+# ---------------------------------------------------------------------------
+@register(
+    "assoc_rules",
+    """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (SELECT COUNT(DISTINCT o) AS n FROM baskets),
+ic AS (SELECT item, COUNT(*) AS cnt FROM baskets GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS cooc
+  FROM baskets a JOIN baskets b ON a.o = b.o AND a.item < b.item
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b, cooc,
+       FLOOR(CAST(cooc AS DOUBLE) / CAST(n.n AS DOUBLE) * 1e6 + 0.5) / 1e6 AS support,
+       FLOOR(CAST(cooc AS DOUBLE) / CAST(ca.cnt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS confidence,
+       FLOOR(CAST(cooc * n.n AS DOUBLE) / CAST(ca.cnt * cb.cnt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lift
+FROM pairs
+JOIN ic ca ON ca.item = pairs.item_a
+JOIN ic cb ON cb.item = pairs.item_b
+CROSS JOIN n
+WHERE cooc * 200 >= n.n
+ORDER BY lift DESC, item_a, item_b
+LIMIT 50
+""",
+)
+def assoc_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.assoc_rules(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "shortest_path_bounded",
+    # 4 unrolled Bellman-Ford rounds — exact integer min-plus algebra,
+    # bit-identical to the Spark driver-composed rounds
+    """
+WITH edges AS (
+  SELECT user_id AS src, event_id % 500 AS dst, MIN(event_id % 9) + 1 AS w
+  FROM events GROUP BY 1, 2
+), d0 AS (
+  SELECT MIN(user_id) AS node, CAST(0 AS BIGINT) AS dist FROM events
+), d1 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT * FROM d0
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d0 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+), d2 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT * FROM d1
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d1 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+), d3 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT * FROM d2
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d2 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+), d4 AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT * FROM d3
+    UNION ALL
+    SELECT e.dst, d.dist + e.w FROM d3 d JOIN edges e ON e.src = d.node
+  ) GROUP BY node
+)
+SELECT node, dist FROM d4 ORDER BY node
+""",
+)
+def shortest_path_bounded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.shortest_path_bounded(load_events(spark, sf_dir))
+
+
+@register(
+    "kmv_intersection",
+    # full sketch mirror: same 60-bit md5 hashes, same k-smallest
+    # retention, same theta algebra — not a bound check
+    """
+WITH pairs(type_a, type_b) AS (
+  VALUES ('click','view'),('click','purchase'),('view','purchase')
+), du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), hashed AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT AS h
+  FROM du
+), sk AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hashed QUALIFY rn <= 64
+), est AS (
+  SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS theta,
+         CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+              ELSE 63.0 * 1152921504606846976.0 / CAST(MAX(h) AS DOUBLE) END AS est,
+         CASE WHEN COUNT(*) < 64 THEN 1152921504606846976 ELSE MAX(h) END AS bound
+  FROM sk GROUP BY event_type
+), inter AS (
+  SELECT p.type_a, p.type_b, COUNT(*) AS n_common,
+         MIN(LEAST(ea.bound, eb.bound)) AS theta_min
+  FROM pairs p
+  JOIN sk sa ON sa.event_type = p.type_a
+  JOIN sk sb ON sb.event_type = p.type_b AND sb.h = sa.h
+  JOIN est ea ON ea.event_type = p.type_a
+  JOIN est eb ON eb.event_type = p.type_b
+  WHERE sa.h <= LEAST(ea.bound, eb.bound)
+  GROUP BY p.type_a, p.type_b
+), exact AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS exact_intersection
+  FROM du a JOIN du b ON a.user_id = b.user_id
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       FLOOR(ea.est * 1e6 + 0.5) / 1e6 AS est_a,
+       FLOOR(eb.est * 1e6 + 0.5) / 1e6 AS est_b,
+       COALESCE(i.n_common, 0) AS n_common,
+       FLOOR(COALESCE(CAST(i.n_common AS DOUBLE) * 1152921504606846976.0
+                      / CAST(i.theta_min AS DOUBLE), 0.0) * 1e6 + 0.5) / 1e6 AS est_intersection,
+       COALESCE(x.exact_intersection, 0) AS exact_intersection
+FROM pairs p
+LEFT JOIN inter i ON i.type_a = p.type_a AND i.type_b = p.type_b
+JOIN est ea ON ea.event_type = p.type_a
+JOIN est eb ON eb.event_type = p.type_b
+LEFT JOIN exact x ON x.type_a = p.type_a AND x.type_b = p.type_b
+ORDER BY p.type_a, p.type_b
+""",
+)
+def kmv_intersection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.kmv_intersection(load_events(spark, sf_dir))
+
+
+@register(
+    "grid_radius_join",
+    # BRUTE-FORCE oracle on purpose: the engine's 3x3 grid probe must
+    # find exactly the pairs the cross product finds — a completeness
+    # proof of the bucketing, not just a mirror
+    """
+WITH pts AS (
+  SELECT event_id, event_type,
+         (event_id * 2654435761) % 1000 AS x,
+         (user_id * 40503 + event_id * 97) % 1000 AS y
+  FROM events
+), a AS (SELECT event_id AS a_id, x AS ax, y AS ay FROM pts WHERE event_type = 'click'),
+b AS (SELECT event_id AS b_id, x AS bx, y AS by FROM pts WHERE event_type = 'error'),
+m AS (
+  SELECT a_id, b_id,
+         (ax - bx) * (ax - bx) + (ay - by) * (ay - by) AS d2
+  FROM a, b
+  WHERE (ax - bx) * (ax - bx) + (ay - by) * (ay - by) <= 25
+)
+SELECT COUNT(*) AS n_matches,
+       COUNT(DISTINCT a_id) AS n_a_matched,
+       COUNT(DISTINCT b_id) AS n_b_matched,
+       CAST(COALESCE(SUM(a_id + b_id), 0) AS BIGINT) AS id_sum,
+       CAST(COALESCE(SUM(d2), 0) AS BIGINT) AS d2_sum
+FROM m
+""",
+)
+def grid_radius_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.grid_radius_join(load_events(spark, sf_dir))

@@ -1295,3 +1295,122 @@ def test_cusum_changepoint_recursion(spark, sf_dir):
         assert abs(row.cusum_down - math.floor(sd / nd * 1e6 + 0.5) / 1e6) < 1e-9
         assert row.alarm_up == (su > 4 * s)
         assert row.alarm_down == (sd > 4 * s)
+
+
+def test_assoc_rules_brute_force(spark, sf_dir):
+    """Support/confidence/lift must match a driver-side basket scan."""
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators.relational import assoc_rules
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    got = {
+        (r.item_a, r.item_b): r for r in assoc_rules(li, part).collect()
+    }
+    brand = {r.p_partkey: r.p_brand for r in part.collect()}
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets.setdefault(r.l_orderkey, set()).add(brand[r.l_partkey])
+    n = len(baskets)
+    ic = Counter()
+    cooc = Counter()
+    for items in baskets.values():
+        ic.update(items)
+        s = sorted(items)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                cooc[(s[i], s[j])] += 1
+    expect = {p: c for p, c in cooc.items() if c * 200 >= n}
+    ranked = sorted(
+        expect.items(),
+        key=lambda kv: (
+            -math.floor(kv[1] * n / (ic[kv[0][0]] * ic[kv[0][1]]) * 1e6 + 0.5),
+            kv[0],
+        ),
+    )[:50]
+    assert set(got) == {p for p, _ in ranked}
+    for (a, b), c in ranked:
+        r = got[(a, b)]
+        assert r.cooc == c
+        assert abs(r.support - c / n) < 2e-6
+        assert abs(r.confidence - c / ic[a]) < 2e-6
+        assert abs(r.lift - c * n / (ic[a] * ic[b])) < 2e-6
+
+
+def test_shortest_path_bounded_bellman_ford(spark, sf_dir):
+    """4-round relax-and-min must equal a literal Bellman-Ford."""
+    from kinesis_stream_reader_spark.operators.relational import (
+        shortest_path_bounded,
+    )
+
+    events = load_events(spark, sf_dir)
+    got = {r.node: r.dist for r in shortest_path_bounded(events).collect()}
+    edges = {}
+    src_min = None
+    for r in events.select("user_id", "event_id").collect():
+        k = (r.user_id, r.event_id % 500)
+        w = r.event_id % 9
+        edges[k] = min(edges.get(k, 99), w)
+        src_min = r.user_id if src_min is None else min(src_min, r.user_id)
+    dist = {src_min: 0}
+    for _ in range(4):
+        nxt = dict(dist)
+        for (s, d), w in edges.items():
+            if s in dist:
+                cand = dist[s] + w + 1
+                if cand < nxt.get(d, 1 << 60):
+                    nxt[d] = cand
+        dist = nxt
+    assert got == dist
+
+
+def test_kmv_intersection_accuracy(spark, sf_dir):
+    """KMV estimates must be close to exact cardinalities (k=64 ->
+    ~12% rse; allow 4 sigma) and n_common bounded by k."""
+    from kinesis_stream_reader_spark.operators.relational import kmv_intersection
+
+    events = load_events(spark, sf_dir)
+    rows = kmv_intersection(events).collect()
+    assert len(rows) == 3
+    exact_card = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r.n_common <= 64
+        for est, tp in ((r.est_a, r.type_a), (r.est_b, r.type_b)):
+            ex = exact_card[tp]
+            assert abs(est - ex) <= max(4 * ex / 8.0, 4.0), (tp, est, ex)
+        if r.exact_intersection:
+            assert abs(r.est_intersection - r.exact_intersection) <= max(
+                0.6 * r.exact_intersection, 8.0
+            )
+
+
+def test_grid_radius_join_brute_force(spark, sf_dir):
+    """Grid 3x3 probe must find exactly the brute-force pair set."""
+    from kinesis_stream_reader_spark.operators.relational import grid_radius_join
+
+    events = load_events(spark, sf_dir)
+    row = grid_radius_join(events).collect()[0]
+    pts = [
+        (r.event_id, r.event_type, (r.event_id * 2654435761) % 1000,
+         (r.user_id * 40503 + r.event_id * 97) % 1000)
+        for r in events.select("event_id", "event_type", "user_id").collect()
+    ]
+    a = [(i, x, y) for i, t, x, y in pts if t == "click"]
+    b = [(i, x, y) for i, t, x, y in pts if t == "error"]
+    matches = [
+        (ai, bi, (ax - bx) ** 2 + (ay - by) ** 2)
+        for ai, ax, ay in a
+        for bi, bx, by in b
+        if (ax - bx) ** 2 + (ay - by) ** 2 <= 25
+    ]
+    assert row.n_matches == len(matches)
+    assert row.n_a_matched == len({m[0] for m in matches})
+    assert row.n_b_matched == len({m[1] for m in matches})
+    assert row.id_sum == sum(m[0] + m[1] for m in matches)
+    assert row.d2_sum == sum(m[2] for m in matches)
