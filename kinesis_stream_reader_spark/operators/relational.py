@@ -4141,3 +4141,167 @@ def grid_radius_join(events: DataFrame, radius: int = 5, cell: int = 5) -> DataF
         F.coalesce(F.sum(F.col("a_id") + F.col("b_id")), F.lit(0)).alias("id_sum"),
         F.coalesce(F.sum(d2), F.lit(0)).alias("d2_sum"),
     )
+
+
+# Poisson(1) CDF thresholds scaled to the 60-bit md5 hash space —
+# exact integer literals so both engines draw identical weights.
+_POISSON1_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058, 0.9810118431238462)
+_POISSON1_THRESH = tuple(int(p * (1 << 60)) for p in _POISSON1_CDF)
+
+
+def bootstrap_ci(events: DataFrame, n_reps: int = 32) -> DataFrame:
+    """Deterministic Poisson bootstrap confidence interval for the
+    per-event_type mean value: each (row, replicate) draws a
+    Poisson(1) weight from its md5 hash (the distributed bootstrap —
+    no resampling pass needs the full dataset on one machine), each
+    replicate's weighted mean is computed by partial aggregation, and
+    the CI is the central order statistics of the replicate means.
+
+    Deterministic end to end: weights come from exact integer
+    threshold comparisons on the 60-bit hash, replicate means are one
+    float division of exact bigint sums, and the order statistics
+    (2nd / 31st of 32) are discrete picks — fully mirrored in SQL.
+
+    Plan shape at 100 TB: the replicate dimension fans out map-side
+    (broadcast range join: x32 rows INSIDE the scan stage, no shuffle
+    of the fan-out), and partial agg collapses to (type, rep) pairs
+    before the only shuffle. The quantile step runs on B rows per
+    key."""
+    spark = events.sparkSession
+    reps = spark.range(n_reps).select(F.col("id").alias("b"))
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    t = _POISSON1_THRESH
+    w = (
+        F.when(h < t[0], 0)
+        .when(h < t[1], 1)
+        .when(h < t[2], 2)
+        .when(h < t[3], 3)
+        .otherwise(4)
+    )
+    base = events.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("yu"),
+    )
+    rep_means = (
+        base.join(F.broadcast(reps))
+        .select("event_type", "b", w.alias("w"), "yu")
+        .groupBy("event_type", "b")
+        .agg(F.sum("w").alias("sw"), F.sum(F.col("w") * F.col("yu")).alias("swy"))
+        .select(
+            "event_type",
+            "b",
+            F.floor(
+                F.col("swy").cast("double") / F.col("sw").cast("double") * 1e4
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("m_u"),
+        )
+    )
+    wnd = Window.partitionBy("event_type").orderBy("m_u", "b")
+    ranked = rep_means.withColumn("rn", F.row_number().over(wnd))
+    ci = (
+        ranked.filter((F.col("rn") == 2) | (F.col("rn") == n_reps - 1))
+        .groupBy("event_type")
+        .agg(
+            (F.min("m_u") / F.lit(1e6)).alias("ci_lo"),
+            (F.max("m_u") / F.lit(1e6)).alias("ci_hi"),
+        )
+    )
+    point = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.floor(
+            F.sum("yu").cast("double") / F.count("*").cast("double") * 1e4
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_u"),
+    )
+    return (
+        point.join(ci, "event_type")
+        .select(
+            "event_type",
+            "n",
+            (F.col("mean_u") / F.lit(1e6)).alias("mean"),
+            "ci_lo",
+            "ci_hi",
+        )
+        .orderBy("event_type")
+    )
+
+
+def l_diversity_report(events: DataFrame, l_threshold: int = 3) -> DataFrame:
+    """l-diversity privacy audit: within each quasi-identifier
+    equivalence class (the k_anonymity_report classes), count DISTINCT
+    sensitive values (the value-bucket attribute) — a class can be
+    k-anonymous yet expose its sensitive attribute if all members
+    share one value; this is the audit that catches it (Machanavajjhala
+    et al. 2007, the release gate after k_anonymity_report).
+
+    One exploded-free pass: class cardinalities and distinct-sensitive
+    counts come from a single partial-agg'd groupBy over the
+    quasi-identifier + sensitive projection; exact integers only.
+
+    Output: one row — n_classes, min_l, n_classes_below_l,
+    n_rows_at_risk, n_sensitive_values."""
+    per_class = (
+        events.select(
+            "event_type",
+            F.hour("ts").alias("hod"),
+            (F.col("user_id") % 100).alias("cohort"),
+            F.floor(F.col("value") / 100).cast("long").alias("sens"),
+        )
+        .groupBy("event_type", "hod", "cohort")
+        .agg(F.count("*").alias("sz"), F.count_distinct("sens").alias("l"))
+    )
+    n_sens = events.select(
+        F.count_distinct(F.floor(F.col("value") / 100).cast("long")).alias(
+            "n_sensitive_values"
+        )
+    )
+    return per_class.join(F.broadcast(n_sens)).agg(
+        F.count("*").alias("n_classes"),
+        F.min("l").alias("min_l"),
+        F.count(F.when(F.col("l") < l_threshold, 1)).alias("n_classes_below_l"),
+        F.sum(
+            F.when(F.col("l") < l_threshold, F.col("sz")).otherwise(F.lit(0))
+        ).alias("n_rows_at_risk"),
+        F.max("n_sensitive_values").alias("n_sensitive_values"),
+    )
+
+
+def window_percent_rank(events: DataFrame) -> DataFrame:
+    """percent_rank + cume_dist per event_type over value — the
+    normalized-rank members of the window family (window_rank covers
+    rank/dense_rank; these are the distribution positions feature
+    pipelines feed to models as scale-free covariates).
+
+    Both are rational functions of exact integer ranks ((rank-1)/(n-1)
+    and peer_count/n), one float division each — deterministic. The
+    output is gated to a deterministic 1-in-199 event sample AFTER the
+    window pass, so the driver compare stays light while every rank
+    still reflects the full partition.
+
+    Plan shape: one shuffle on event_type, per-partition sort on
+    value; the sample filter cannot push below the window (it would
+    change ranks) and Catalyst correctly keeps it above."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            "value",
+            q(F.percent_rank().over(w)).alias("pr"),
+            q(F.cume_dist().over(w)).alias("cd"),
+        )
+        .filter(F.col("event_id") % 199 == 0)
+        .orderBy("event_id")
+    )

@@ -822,3 +822,83 @@ def ann_ivf_incremental(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+def mmr_rerank(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    n_candidates: int = 12,
+    k: int = 5,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) of the ANN candidate list: greedily pick k results maximizing
+    relevance minus max-similarity-to-already-selected (lambda = 0.5,
+    so the argmax reduces to rel - max_sim in EXACT integer micro
+    units) — the diversity stage a RAG serving path runs between
+    retrieval and the prompt (completes rag_retrieval).
+
+    Engine-stable: vectors are milli-quantized once, every relevance
+    and pairwise similarity is an exact bigint inner product, greedy
+    ties break to the lowest vec_id — so the whole greedy trajectory
+    is mirrored by the oracle's unrolled selection CTEs bit-for-bit.
+
+    Plan shape at 100 TB: the DISTRIBUTED work is candidate generation
+    (broadcast query -> per-partition integer scoring -> TakeOrdered
+    n_candidates, exactly ann_bruteforce's plan). The greedy loop then
+    runs on the bounded candidate set (n_candidates rows — a serving
+    parameter, not data-scale), the same place a re-ranker sits in any
+    production retrieval stack."""
+    vq = embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("v"),
+    )
+    q = vq.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("qv"))
+    dot_q = F.aggregate(
+        F.zip_with("v", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand_rows = (
+        vq.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(q))
+        .select("vec_id", "v", dot_q.alias("rel_u"))
+        .orderBy(F.desc("rel_u"), "vec_id")
+        .limit(n_candidates)
+        .collect()
+    )
+    vecs = {r.vec_id: r.v for r in cand_rows}
+    rel = {r.vec_id: r.rel_u for r in cand_rows}
+
+    def idot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    selected: list[tuple[int, int, int]] = []  # (vec_id, rel_u, mmr_u)
+    remaining = set(vecs)
+    while remaining and len(selected) < k:
+        best = None
+        for c in sorted(remaining):
+            pen = max(
+                (idot(vecs[c], vecs[s]) for s, _, _ in selected), default=0
+            )
+            mmr_u = rel[c] - (pen if selected else 0)
+            if best is None or mmr_u > best[2]:
+                best = (c, rel[c], mmr_u)
+        selected.append(best)
+        remaining.discard(best[0])
+    spark = embeddings.sparkSession
+    out = spark.createDataFrame(
+        [
+            (i + 1, vid, ru, mu)
+            for i, (vid, ru, mu) in enumerate(selected)
+        ],
+        "rank int, vec_id long, rel_u long, mmr_u long",
+    )
+    return out.select(
+        "rank",
+        "vec_id",
+        (F.col("rel_u") / F.lit(1e6)).alias("rel"),
+        (F.col("mmr_u") / F.lit(1e6)).alias("mmr"),
+    ).orderBy("rank")

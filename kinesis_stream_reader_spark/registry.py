@@ -6996,3 +6996,171 @@ def grid_radius_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.grid_radius_join(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# ext: round-2 cohort — MMR diversity re-ranking, deterministic Poisson
+# bootstrap, l-diversity audit, normalized-rank windows.
+# ---------------------------------------------------------------------------
+@register(
+    "mmr_rerank",
+    # unrolled greedy: 5 selection CTEs, exact integer mmr algebra
+    """
+WITH vq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), q AS (SELECT v AS qv FROM vq WHERE vec_id = 0),
+rel AS (
+  SELECT vec_id, v, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(v, qv), p -> p[1] * p[2])), (x, y) -> x + y) AS rel_u FROM vq, q WHERE vec_id <> 0
+), cand AS (
+  SELECT * FROM rel ORDER BY rel_u DESC, vec_id LIMIT 12
+), sim AS (
+  SELECT a.vec_id AS sa, b.vec_id AS sb, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(a.v, b.v), p -> p[1] * p[2])), (x, y) -> x + y) AS sim_u
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+), s1 AS (
+  SELECT vec_id, rel_u, rel_u AS mmr_u FROM cand ORDER BY rel_u DESC, vec_id LIMIT 1
+), sel1 AS (SELECT vec_id FROM s1), p2 AS (
+  SELECT c.vec_id, c.rel_u, c.rel_u - MAX(s.sim_u) AS mmr_u
+  FROM cand c JOIN sim s ON s.sa = c.vec_id AND s.sb IN (SELECT vec_id FROM sel1)
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel1)
+  GROUP BY c.vec_id, c.rel_u
+), s2 AS (
+  SELECT * FROM p2 ORDER BY mmr_u DESC, vec_id LIMIT 1
+), sel2 AS (
+  SELECT vec_id FROM sel1 UNION ALL SELECT vec_id FROM s2
+), p3 AS (
+  SELECT c.vec_id, c.rel_u, c.rel_u - MAX(s.sim_u) AS mmr_u
+  FROM cand c JOIN sim s ON s.sa = c.vec_id AND s.sb IN (SELECT vec_id FROM sel2)
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+  GROUP BY c.vec_id, c.rel_u
+), s3 AS (
+  SELECT * FROM p3 ORDER BY mmr_u DESC, vec_id LIMIT 1
+), sel3 AS (
+  SELECT vec_id FROM sel2 UNION ALL SELECT vec_id FROM s3
+), p4 AS (
+  SELECT c.vec_id, c.rel_u, c.rel_u - MAX(s.sim_u) AS mmr_u
+  FROM cand c JOIN sim s ON s.sa = c.vec_id AND s.sb IN (SELECT vec_id FROM sel3)
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel3)
+  GROUP BY c.vec_id, c.rel_u
+), s4 AS (
+  SELECT * FROM p4 ORDER BY mmr_u DESC, vec_id LIMIT 1
+), sel4 AS (
+  SELECT vec_id FROM sel3 UNION ALL SELECT vec_id FROM s4
+), p5 AS (
+  SELECT c.vec_id, c.rel_u, c.rel_u - MAX(s.sim_u) AS mmr_u
+  FROM cand c JOIN sim s ON s.sa = c.vec_id AND s.sb IN (SELECT vec_id FROM sel4)
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel4)
+  GROUP BY c.vec_id, c.rel_u
+), s5 AS (
+  SELECT * FROM p5 ORDER BY mmr_u DESC, vec_id LIMIT 1
+), sel5 AS (
+  SELECT vec_id FROM sel4 UNION ALL SELECT vec_id FROM s5
+)
+SELECT 1 AS rank, vec_id, rel_u / 1e6 AS rel, mmr_u / 1e6 AS mmr FROM s1
+UNION ALL
+SELECT 2 AS rank, vec_id, rel_u / 1e6 AS rel, mmr_u / 1e6 AS mmr FROM s2
+UNION ALL
+SELECT 3 AS rank, vec_id, rel_u / 1e6 AS rel, mmr_u / 1e6 AS mmr FROM s3
+UNION ALL
+SELECT 4 AS rank, vec_id, rel_u / 1e6 AS rel, mmr_u / 1e6 AS mmr FROM s4
+UNION ALL
+SELECT 5 AS rank, vec_id, rel_u / 1e6 AS rel, mmr_u / 1e6 AS mmr FROM s5
+ORDER BY rank
+""",
+)
+def mmr_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.mmr_rerank(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "bootstrap_ci",
+    # identical md5-derived Poisson(1) weights; thresholds are exact
+    # integer literals of the scaled CDF
+    """
+WITH reps AS (SELECT unnest(generate_series(0, 31)) AS b),
+base AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS yu FROM events
+), hw AS (
+  SELECT event_type, b, yu,
+         CASE WHEN h < 424136118829305344 THEN 0
+              WHEN h < 848272237658610688 THEN 1
+              WHEN h < 1060340297073263360 THEN 2
+              WHEN h < 1131029650211480832 THEN 3
+              ELSE 4 END AS w
+  FROM (
+    SELECT base.*, reps.b,
+           CAST(concat('0x', substr(md5(event_id || ':' || b), 1, 15)) AS UBIGINT)::BIGINT AS h
+    FROM base CROSS JOIN reps
+  )
+), rm AS (
+  SELECT event_type, b,
+         CAST(FLOOR(CAST(SUM(w * yu) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS m_u
+  FROM hw GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, m_u, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY m_u, b) AS rn FROM rm
+), ci AS (
+  SELECT event_type, MIN(m_u) / 1e6 AS ci_lo, MAX(m_u) / 1e6 AS ci_hi
+  FROM ranked WHERE rn IN (2, 31) GROUP BY event_type
+), pt AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(FLOOR(CAST(SUM(yu) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS mean_u
+  FROM base GROUP BY 1
+)
+SELECT event_type, n, mean_u / 1e6 AS mean, ci_lo, ci_hi
+FROM pt JOIN ci USING (event_type) ORDER BY event_type
+""",
+)
+def bootstrap_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.bootstrap_ci(load_events(spark, sf_dir))
+
+
+@register(
+    "l_diversity_report",
+    """
+WITH pc AS (
+  SELECT event_type, EXTRACT(HOUR FROM ts) AS hod, user_id % 100 AS cohort,
+         COUNT(*) AS sz,
+         COUNT(DISTINCT CAST(FLOOR(value / 100) AS BIGINT)) AS l
+  FROM events GROUP BY 1, 2, 3
+), ns AS (
+  SELECT COUNT(DISTINCT CAST(FLOOR(value / 100) AS BIGINT)) AS n_sensitive_values FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(MIN(l) AS BIGINT) AS min_l,
+       CAST(COUNT(CASE WHEN l < 3 THEN 1 END) AS BIGINT) AS n_classes_below_l,
+       CAST(SUM(CASE WHEN l < 3 THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+       CAST(MAX(n_sensitive_values) AS BIGINT) AS n_sensitive_values
+FROM pc, ns
+""",
+)
+def l_diversity_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.l_diversity_report(load_events(spark, sf_dir))
+
+
+@register(
+    "window_percent_rank",
+    """
+WITH w AS (
+  SELECT event_id, event_type, value,
+         PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value, event_id) AS pr0,
+         CUME_DIST() OVER (PARTITION BY event_type ORDER BY value, event_id) AS cd0
+  FROM events
+)
+SELECT event_id, event_type, value,
+       FLOOR(pr0 * 1e6 + 0.5) / 1e6 AS pr,
+       FLOOR(cd0 * 1e6 + 0.5) / 1e6 AS cd
+FROM w WHERE event_id % 199 = 0 ORDER BY event_id
+""",
+)
+def window_percent_rank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.window_percent_rank(load_events(spark, sf_dir))

@@ -1414,3 +1414,106 @@ def test_grid_radius_join_brute_force(spark, sf_dir):
     assert row.n_b_matched == len({m[1] for m in matches})
     assert row.id_sum == sum(m[0] + m[1] for m in matches)
     assert row.d2_sum == sum(m[2] for m in matches)
+
+
+def test_mmr_rerank_greedy_reference(spark, sf_dir):
+    """Independent numpy re-implementation of the greedy MMR must
+    produce the same trajectory."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = [(r.rank, r.vec_id, r.rel, r.mmr) for r in mmr_rerank(emb).collect()]
+    rows = emb.collect()
+    vecs = {
+        r.vec_id: np.floor(np.array(r.embedding, dtype=np.float64) * 1000 + 0.5).astype(
+            np.int64
+        )
+        for r in rows
+    }
+    q = vecs[0]
+    rel = {vid: int(v @ q) for vid, v in vecs.items() if vid != 0}
+    cand = sorted(rel, key=lambda vid: (-rel[vid], vid))[:12]
+    selected = []
+    remaining = set(cand)
+    while remaining and len(selected) < 5:
+        best = None
+        for c in sorted(remaining):
+            pen = max((int(vecs[c] @ vecs[s]) for s, _, _ in selected), default=0)
+            mmr_u = rel[c] - (pen if selected else 0)
+            if best is None or mmr_u > best[2]:
+                best = (c, rel[c], mmr_u)
+        selected.append(best)
+        remaining.discard(best[0])
+    expect = [
+        (i + 1, vid, ru / 1e6, mu / 1e6) for i, (vid, ru, mu) in enumerate(selected)
+    ]
+    assert got == expect
+    # diversity property: picks 2..5 are not the pure-relevance order
+    # unless that order is already diverse; at minimum ranks are unique
+    assert len({g[1] for g in got}) == 5
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """Replicate-order-statistic CI must bracket the point mean and be
+    reproducible across invocations (determinism)."""
+    from kinesis_stream_reader_spark.operators.relational import bootstrap_ci
+
+    events = load_events(spark, sf_dir)
+    a = {r.event_type: r for r in bootstrap_ci(events).collect()}
+    b = {r.event_type: r for r in bootstrap_ci(events).collect()}
+    assert len(a) == 5
+    for et, r in a.items():
+        assert r.ci_lo <= r.ci_hi
+        assert r.ci_lo <= r.mean <= r.ci_hi
+        # replicate spread shrinks like 1/sqrt(n); generous constant
+        assert r.ci_hi - r.ci_lo < 20 * r.mean / math.sqrt(r.n)
+        r2 = b[et]
+        assert (r.ci_lo, r.ci_hi, r.mean) == (r2.ci_lo, r2.ci_hi, r2.mean)
+
+
+def test_l_diversity_brute_force(spark, sf_dir):
+    """Class-wise distinct-sensitive counts vs a driver-side scan."""
+    from kinesis_stream_reader_spark.operators.relational import l_diversity_report
+
+    events = load_events(spark, sf_dir)
+    row = l_diversity_report(events).collect()[0]
+    classes = {}
+    sens_all = set()
+    for r in events.select("event_type", "ts", "user_id", "value").collect():
+        key = (r.event_type, r.ts.hour, r.user_id % 100)
+        s = math.floor(r.value / 100)
+        classes.setdefault(key, []).append(s)
+        sens_all.add(s)
+    ls = {k: len(set(v)) for k, v in classes.items()}
+    assert row.n_classes == len(classes)
+    assert row.min_l == min(ls.values())
+    assert row.n_classes_below_l == sum(1 for v in ls.values() if v < 3)
+    assert row.n_rows_at_risk == sum(
+        len(v) for k, v in classes.items() if ls[k] < 3
+    )
+    assert row.n_sensitive_values == len(sens_all)
+
+
+def test_window_percent_rank_formula(spark, sf_dir):
+    """pr == (rank-1)/(n-1) and cd == rank/n under the total order
+    (value, event_id) within each event_type."""
+    from kinesis_stream_reader_spark.operators.relational import window_percent_rank
+
+    events = load_events(spark, sf_dir)
+    got = {r.event_id: r for r in window_percent_rank(events).collect()}
+    rows = events.select("event_id", "event_type", "value").collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append((r.value, r.event_id))
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        for i, (v, eid) in enumerate(vals):
+            if eid % 199 == 0:
+                pr = math.floor(i / (n - 1) * 1e6 + 0.5) / 1e6
+                cd = math.floor((i + 1) / n * 1e6 + 0.5) / 1e6
+                assert got[eid].pr == pr, (eid, got[eid].pr, pr)
+                assert got[eid].cd == cd
+    assert len(got) == sum(1 for r in rows if r.event_id % 199 == 0)
