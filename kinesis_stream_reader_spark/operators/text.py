@@ -1216,3 +1216,202 @@ def phrase_search(
         .agg(F.count("*").alias("n_hits"))
         .orderBy("phrase_id", "doc_id")
     )
+
+
+def calibration_report(documents: DataFrame, bin_width_u: float = 2500.0) -> DataFrame:
+    """Model-calibration (reliability-diagram) report for the
+    quality_model_score classifier against the lang='en' pseudo-label
+    — the score->measure loop's second leg next to model_eval_auc
+    (AUC measures ranking; calibration measures whether the scores
+    MEAN anything, the check run before using scores as sampling
+    weights).
+
+    Bins are fixed-width slices of the quantized logit (floor of
+    lu/2500 — quarter-logit bins), so binning is deterministic; per
+    bin, confidence is the exact integer logit sum over n (one float
+    division) and accuracy is the exact positive rate — both half-up
+    1e-6. No sigmoid anywhere: calibration on the logit scale avoids
+    the libm exp() divergence the scorer's docstring documents.
+
+    Plan shape: scoring is the same single codegen pass as
+    quality_model_score; the report is one partial-agg shuffle bounded
+    by the bin domain. Linear forever."""
+    scored = quality_model_score(documents)
+    labeled = scored.join(
+        documents.select("doc_id", (F.col("lang") == "en").alias("pos")), "doc_id"
+    )
+    lu = F.floor(F.col("logit") * 1e4 + F.lit(0.5)).cast("long")
+    binned = labeled.select(
+        F.floor(lu / F.lit(bin_width_u)).cast("long").alias("bin"),
+        lu.alias("lu"),
+        F.col("pos").cast("int").alias("pos"),
+    )
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pos").alias("n_pos"),
+            F.sum("lu").alias("slu"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            q(
+                F.col("slu").cast("double") / F.col("n").cast("double") / F.lit(1e4)
+            ).alias("mean_logit"),
+            q(F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "pos_rate"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+def ndcg_eval(documents: DataFrame, k: int = 10) -> DataFrame:
+    """NDCG@k of the BM25 ranking against a term-coverage pseudo-label
+    (relevance = number of distinct query terms a document contains) —
+    the ranking-quality measurement loop for the retrieval ladder
+    (ann_recall_report measures the dense index; this measures the
+    sparse ranker; model_eval_auc measures the classifier).
+
+    Engine-stable: per-position gains rel/log2(pos+1) are quantized
+    half-up at 1e-9 and summed exactly; ideal gains come from the
+    corpus-wide relevance censuses via the same quantization; the
+    final NDCG is one float division.
+
+    Plan shape: rides bm25_retrieval's plan (exploded tokens ->
+    broadcast-joined query terms -> per-query top-k window) plus one
+    relevance aggregation bounded by queries x docs-with-hits, and the
+    ideal ranking is a per-query top-k over the RELEVANCE relation —
+    all TakeOrdered-scale, never a corpus sort."""
+    ranked = bm25_retrieval(documents, k=k)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    toks = (
+        documents.select("doc_id", F.explode(F.split(normalized, " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    spark = documents.sparkSession
+    qterms = spark.createDataFrame(
+        [
+            (1, "hash"),
+            (1, "join"),
+            (2, "sort"),
+            (2, "merge"),
+            (3, "customer"),
+            (3, "value"),
+        ],
+        "query_id int, term string",
+    )
+    rel = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("rel"))
+    )
+    gain = lambda pos: F.floor(  # noqa: E731
+        F.col("rel").cast("double") / F.log2(pos.cast("double") + 1) * 1e9
+        + F.lit(0.5)
+    ).cast("long")
+    dcg = (
+        ranked.join(rel, ["query_id", "doc_id"], "left")
+        .fillna(0, subset=["rel"])
+        .select("query_id", gain(F.col("rank")).alias("g"))
+        .groupBy("query_id")
+        .agg(F.sum("g").alias("dcg_u"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), "doc_id")
+    ideal = (
+        rel.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("query_id", "rel", gain(F.col("pos")).alias("g"))
+        .groupBy("query_id")
+        .agg(F.sum("g").alias("idcg_u"), F.count("*").alias("n_relevant"))
+    )
+    return (
+        dcg.join(ideal, "query_id")
+        .select(
+            "query_id",
+            (F.col("dcg_u") / F.lit(1e9)).alias("dcg"),
+            (F.col("idcg_u") / F.lit(1e9)).alias("idcg"),
+            (
+                F.floor(
+                    F.col("dcg_u").cast("double")
+                    / F.col("idcg_u").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("ndcg"),
+            "n_relevant",
+        )
+        .orderBy("query_id")
+    )
+
+
+def pmi_collocations(documents: DataFrame, min_count: int = 20, k: int = 30) -> DataFrame:
+    """Pointwise-mutual-information collocation extraction: the
+    adjacent word pairs whose co-occurrence beats their unigram
+    independence baseline — the phrase-discovery pass (Church & Hanks
+    1990) that feeds tokenizer vocabularies and phrase tables
+    (bigram_logprob scores documents with this relation; this ranks
+    the pairs themselves).
+
+    Engine-stable: counts are exact; the probability ratio is computed
+    in a fixed overflow-proof float sequence ((c_ab/B) / ((c_a/T) *
+    (c_b/T)) — no bigint product can overflow at any corpus size), and
+    ln() is quantized half-up at 1e-6; ranking ties break on the pair.
+
+    Plan shape: one positional postings relation feeds the unigram
+    census AND the adjacency pairing (self-join on doc, pos+1 — linear,
+    co-partitioned); both censuses are vocabulary-bounded partial
+    aggs; scoring joins are broadcast-sized. The min_count gate is the
+    classic noise floor."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    posting = documents.select(
+        "doc_id", F.posexplode(F.split(normalized, " ")).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    uni = posting.groupBy("term").agg(F.count("*").alias("c"))
+    totals = posting.agg(F.count("*").alias("t"))
+    p0 = posting.alias("p0")
+    p1 = posting.alias("p1")
+    bigrams = (
+        p0.join(
+            p1,
+            (F.col("p1.doc_id") == F.col("p0.doc_id"))
+            & (F.col("p1.pos") == F.col("p0.pos") + 1),
+        )
+        .groupBy(
+            F.col("p0.term").alias("w0"), F.col("p1.term").alias("w1")
+        )
+        .agg(F.count("*").alias("c_ab"))
+    )
+    btot = bigrams.agg(F.sum("c_ab").alias("b"))
+    ratio = (F.col("c_ab").cast("double") / F.col("b").cast("double")) / (
+        (F.col("ca").cast("double") / F.col("t").cast("double"))
+        * (F.col("cb").cast("double") / F.col("t").cast("double"))
+    )
+    return (
+        bigrams.filter(F.col("c_ab") >= min_count)
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("w0"), F.col("c").alias("ca"))),
+            "w0",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("term").alias("w1"), F.col("c").alias("cb"))),
+            "w1",
+        )
+        .join(F.broadcast(totals))
+        .join(F.broadcast(btot))
+        .select(
+            "w0",
+            "w1",
+            "c_ab",
+            "ca",
+            "cb",
+            (F.floor(F.log(ratio) * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w0", "w1")
+        .limit(k)
+    )

@@ -7164,3 +7164,201 @@ def window_percent_rank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.window_percent_rank(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# ext: round-2 cohort — calibration report, NDCG ranking eval, PMI
+# collocations, streaming k-minima distinct sketch.
+# ---------------------------------------------------------------------------
+@register(
+    "calibration_report",
+    # embeds quality_model_score's exact z pipeline, then fixed-width
+    # quantized-logit bins; confidence/accuracy are single float
+    # divisions of exact sums
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         len({_TOKS})::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           AS n_stop,
+         (length(text) - length(replace(text, '.', '')))::DOUBLE AS n_dots
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), z AS (
+  SELECT f.doc_id,
+         (SELECT w FROM wts WHERE i = 0) * (n_tokens / 100.0)
+         + (SELECT w FROM wts WHERE i = 1) * (n_stop / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 2) * (n_chars / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 3) * (n_dots / (n_chars + 1.0))
+         + (SELECT w FROM wts WHERE i = 4) AS z
+  FROM f
+), lab AS (
+  SELECT z.doc_id,
+         CAST(FLOOR(FLOOR(z * 1e4 + 0.5) / 1e4 * 1e4 + 0.5) AS BIGINT) AS lu,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM z JOIN documents d ON d.doc_id = z.doc_id
+), binned AS (
+  SELECT CAST(FLOOR(lu / 2500.0) AS BIGINT) AS bin, lu, pos FROM lab
+)
+SELECT bin, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+       FLOOR(CAST(SUM(lu) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e4 * 1e6 + 0.5) / 1e6 AS mean_logit,
+       FLOOR(CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS pos_rate
+FROM binned GROUP BY bin ORDER BY bin
+""",
+)
+def calibration_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.calibration_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ndcg_eval",
+    _TOKS_CTE
+    + """
+, q(query_id, term) AS (
+  VALUES (1,'hash'),(1,'join'),(2,'sort'),(2,'merge'),(3,'customer'),(3,'value')
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), tot AS (
+  SELECT COUNT(*) AS s_tokens, COUNT(DISTINCT doc_id) AS n_docs FROM toks
+), part AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(FLOOR(
+           (LN(1.0 + (tot.n_docs - df.df + 0.5) / (df.df + 0.5))
+            * (tf.tf * 2.2)
+            / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (tot.s_tokens / CAST(tot.n_docs AS DOUBLE))))))
+           * 1e6 + 0.5) AS BIGINT) AS su
+  FROM tf
+  JOIN q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN df USING (term)
+  CROSS JOIN tot
+), agg AS (
+  SELECT query_id, doc_id, SUM(su) AS su FROM part GROUP BY query_id, doc_id
+), top AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY su DESC, doc_id) AS rank
+    FROM agg
+  ) WHERE rank <= 10
+), relv AS (
+  SELECT q.query_id, t.doc_id, COUNT(*) AS rel
+  FROM (SELECT DISTINCT doc_id, term FROM toks) t JOIN q USING (term)
+  GROUP BY 1, 2
+), dcg AS (
+  SELECT top.query_id,
+         SUM(CAST(FLOOR(CAST(COALESCE(r.rel, 0) AS DOUBLE)
+                        / log2(CAST(top.rank AS DOUBLE) + 1) * 1e9 + 0.5) AS BIGINT)) AS dcg_u
+  FROM top LEFT JOIN relv r ON r.query_id = top.query_id AND r.doc_id = top.doc_id
+  GROUP BY 1
+), ideal AS (
+  SELECT query_id, SUM(g) AS idcg_u, COUNT(*) AS n_relevant FROM (
+    SELECT query_id,
+           CAST(FLOOR(CAST(rel AS DOUBLE) / log2(CAST(pos AS DOUBLE) + 1) * 1e9 + 0.5) AS BIGINT) AS g
+    FROM (
+      SELECT query_id, rel, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS pos
+      FROM relv
+    ) WHERE pos <= 10
+  ) GROUP BY query_id
+)
+SELECT d.query_id,
+       dcg_u / 1e9 AS dcg,
+       idcg_u / 1e9 AS idcg,
+       FLOOR(CAST(dcg_u AS DOUBLE) / CAST(idcg_u AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ndcg,
+       n_relevant
+FROM dcg d JOIN ideal USING (query_id) ORDER BY query_id
+""",
+)
+def ndcg_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.ndcg_eval(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "pmi_collocations",
+    """
+WITH arrs AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' ') AS arr
+  FROM documents
+), idx AS (
+  SELECT doc_id, unnest(generate_series(1, len(arr))) AS pos, arr FROM arrs
+), posting AS (
+  SELECT doc_id, pos, arr[pos] AS term FROM idx WHERE arr[pos] <> ''
+), uni AS (
+  SELECT term, COUNT(*) AS c FROM posting GROUP BY term
+), tot AS (SELECT COUNT(*) AS t FROM posting),
+bg AS (
+  SELECT p0.term AS w0, p1.term AS w1, COUNT(*) AS c_ab
+  FROM posting p0 JOIN posting p1
+    ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+  GROUP BY 1, 2
+), btot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS b FROM bg)
+SELECT w0, w1, c_ab, ca.c AS ca, cb.c AS cb,
+       FLOOR(LN((CAST(c_ab AS DOUBLE) / CAST(b AS DOUBLE))
+                / ((CAST(ca.c AS DOUBLE) / CAST(t AS DOUBLE))
+                   * (CAST(cb.c AS DOUBLE) / CAST(t AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS pmi
+FROM bg
+JOIN uni ca ON ca.term = bg.w0
+JOIN uni cb ON cb.term = bg.w1
+CROSS JOIN tot CROSS JOIN btot
+WHERE c_ab >= 20
+ORDER BY pmi DESC, w0, w1
+LIMIT 30
+""",
+)
+def pmi_collocations_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "streaming_kmin_sketch",
+    # k-partition-minima distinct sketch (stochastic averaging): MIN
+    # per (set, bucket) is a valid incremental streaming aggregate and
+    # the mergeable store a shard rollup would union; the drained
+    # complete-mode table equals this batch build exactly
+    """
+WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+h AS (
+  SELECT event_type,
+         CAST(concat('0x', substr(md5('skmv:' || user_id), 1, 15)) AS UBIGINT)::BIGINT AS h
+  FROM du
+)
+SELECT event_type, h % 64 AS bucket, COUNT(*) AS n_keys, MIN(h) AS min_h
+FROM h GROUP BY 1, 2
+ORDER BY event_type, bucket
+""",
+)
+def streaming_kmin_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("skmv:"), F.col("user_id").cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    sk = (
+        stream.select("event_type", "user_id")
+        .dropDuplicates(["event_type", "user_id"])
+        .select("event_type", h.alias("h"))
+        .groupBy("event_type", F.pmod(F.col("h"), F.lit(64)).alias("bucket"))
+        .agg(F.count("*").alias("n_keys"), F.min("h").alias("min_h"))
+    )
+    return jobs.run_available_now(sk, "streaming_kmin_sketch")

@@ -627,3 +627,110 @@ def test_html_extract_roundtrip_and_chrome_removed(spark, sf_dir):
     )
     r = text.html_extract_text(tricky).collect()[0]
     assert r.roundtrip_ok
+
+
+def test_calibration_report_brute_force(spark, sf_dir):
+    """Bin populations and rates must match a driver-side recompute
+    from quality_model_score's own output."""
+    import math
+
+    from kinesis_stream_reader_spark.operators.text import (
+        calibration_report,
+        quality_model_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.bin: r for r in calibration_report(docs).collect()}
+    scored = {r.doc_id: r.logit for r in quality_model_score(docs).collect()}
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    bins = {}
+    for did, logit in scored.items():
+        lu = math.floor(logit * 1e4 + 0.5)
+        b = math.floor(lu / 2500.0)
+        bins.setdefault(b, []).append((lu, langs[did] == "en"))
+    assert set(got) == set(bins)
+    for b, members in bins.items():
+        n = len(members)
+        n_pos = sum(1 for _, p in members if p)
+        slu = sum(lu for lu, _ in members)
+        assert got[b].n == n
+        assert got[b].n_pos == n_pos
+        assert got[b].mean_logit == math.floor(slu / n / 1e4 * 1e6 + 0.5) / 1e6
+        assert got[b].pos_rate == math.floor(n_pos / n * 1e6 + 0.5) / 1e6
+
+
+def test_ndcg_eval_properties(spark, sf_dir):
+    """NDCG bounded by 1, equals DCG/IDCG, and IDCG is the best
+    permutation's DCG (verified by brute force on the label set)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators.text import bm25_retrieval, ndcg_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r.query_id: r for r in ndcg_eval(docs).collect()}
+    ranked = bm25_retrieval(docs, k=10).collect()
+    queries = {1: ["hash", "join"], 2: ["sort", "merge"], 3: ["customer", "value"]}
+    tok_sets = {}
+    for row in docs.select("doc_id", "text").collect():
+        norm = _re.sub("[^a-z0-9 ]", "", row.text.strip().lower())
+        tok_sets[row.doc_id] = set(t for t in norm.split(" ") if t)
+    for qid, terms in queries.items():
+        rel = {
+            did: sum(1 for t in terms if t in toks)
+            for did, toks in tok_sets.items()
+        }
+        rel = {d: r for d, r in rel.items() if r > 0}
+        dcg_u = 0
+        for r in ranked:
+            if r.query_id == qid:
+                dcg_u += math.floor(
+                    rel.get(r.doc_id, 0) / math.log2(r.rank + 1) * 1e9 + 0.5
+                )
+        ideal = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        idcg_u = sum(
+            math.floor(rv / math.log2(i + 2) * 1e9 + 0.5)
+            for i, (_, rv) in enumerate(ideal)
+        )
+        got = out[qid]
+        assert got.dcg == dcg_u / 1e9
+        assert got.idcg == idcg_u / 1e9
+        assert got.n_relevant == len(ideal)
+        assert 0 < got.ndcg <= 1.000001
+        assert got.ndcg == math.floor(dcg_u / idcg_u * 1e6 + 0.5) / 1e6
+
+
+def test_pmi_collocations_brute_force(spark, sf_dir):
+    """Pair/unigram counts and PMI ordering must match a driver scan
+    (min_count lowered so the small fixture yields rows)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators.text import pmi_collocations
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = [(r.w0, r.w1, r.c_ab, r.ca, r.cb, r.pmi) for r in
+           pmi_collocations(docs, min_count=5, k=20).collect()]
+    uni = Counter()
+    bg = Counter()
+    for row in docs.select("text").collect():
+        norm = _re.sub("[^a-z0-9 ]", "", row.text.strip().lower())
+        arr = norm.split(" ")
+        for t in arr:
+            if t:
+                uni[t] += 1
+        for i in range(len(arr) - 1):
+            if arr[i] and arr[i + 1]:
+                bg[(arr[i], arr[i + 1])] += 1
+    t = sum(uni.values())
+    b = sum(bg.values())
+    scored = []
+    for (w0, w1), c_ab in bg.items():
+        if c_ab >= 5:
+            ratio = (c_ab / b) / ((uni[w0] / t) * (uni[w1] / t))
+            pmi = math.floor(math.log(ratio) * 1e6 + 0.5) / 1e6
+            scored.append((w0, w1, c_ab, uni[w0], uni[w1], pmi))
+    scored.sort(key=lambda x: (-x[5], x[0], x[1]))
+    assert got == scored[:20]

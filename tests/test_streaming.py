@@ -340,3 +340,61 @@ def test_streaming_resume_exactly_once_no_dupes(spark, sf_dir):
     n = out.count()
     assert n == out.select("event_id").distinct().count()
     assert n == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_streaming_kmin_sketch_equals_batch(spark, sf_dir):
+    """The incrementally-built k-minima sketch after an AvailableNow
+    drain must equal the batch build over the same events, and the
+    per-bucket minima must yield a sane distinct estimate."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+    from kinesis_stream_reader_spark.sources.tables import load_events
+
+    drained = {
+        (r.event_type, r.bucket): (r.n_keys, r.min_h)
+        for r in QUERIES["streaming_kmin_sketch"](spark, sf_dir).collect()
+    }
+    events = load_events(spark, sf_dir)
+    batch = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("skmv:"), F.col("user_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h"),
+        )
+        .groupBy("event_type", F.pmod(F.col("h"), F.lit(64)).alias("bucket"))
+        .agg(F.count("*").alias("n_keys"), F.min("h").alias("min_h"))
+        .collect()
+    )
+    expect = {(r.event_type, r.bucket): (r.n_keys, r.min_h) for r in batch}
+    assert drained == expect
+    # estimator sanity on the biggest set: sum over buckets of
+    # (2^60 / min_h - 1) should land within 4x of the true count
+    exact = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    from collections import defaultdict
+
+    est = defaultdict(float)
+    nk = defaultdict(int)
+    for (et, _), (n_keys, mh) in drained.items():
+        est[et] += (1 << 60) / mh - 1
+        nk[et] += n_keys
+    for et, ex in exact.items():
+        # the tracked per-bucket counts sum to the exact cardinality
+        assert nk[et] == ex
+        # the minima estimator is a dense-regime tool (n >> buckets)
+        if ex >= 3 * 64:
+            assert ex / 4 <= est[et] <= ex * 4, (et, est[et], ex)
