@@ -91,6 +91,16 @@ HEADLINE = [
     ("interval_coverage", "sweep line: calendar-bounded delta agg + running sum"),
     ("table_checksum", "migration checksums: map-side hash + XOR partial agg per table"),
     ("model_eval_auc", "exact AUC: one global rank, no pairwise comparison"),
+    ("bm25_retrieval", "BM25: exploded tokens feed tf/dl, query+df broadcasts, per-query top-k window"),
+    ("phrase_search", "positional postings self-join at pos+1, broadcast phrase table"),
+    ("assoc_rules", "basket self-join co-occurrence: broadcast dims, partial-agg censuses"),
+    ("chi2_independence", "35-cell contingency: one partial-agg shuffle + tiny marginal broadcasts"),
+    ("cusum_changepoint", "CUSUM as prefix-sum + running-min: two windows over the day series"),
+    ("grid_radius_join", "spatial radius join: 3x3 neighbor-cell explode keys the shuffle"),
+    ("kmv_intersection", "KMV sketches: per-set top-k windows, k-row sketch combine"),
+    ("bootstrap_ci", "x32 replicate fan-out inside the scan stage, one (type,rep) shuffle"),
+    ("mmr_rerank", "MMR candidates: broadcast query scoring + TakeOrdered, greedy on k rows"),
+    ("ndcg_eval", "NDCG: BM25 top-k + relevance censuses, ideal ranking over the label relation"),
 ]
 
 
