@@ -3869,20 +3869,41 @@ def assoc_rules(
     total, so <= 300 pairs/basket worst case); every aggregation is
     partial-agg'd. Ranking orders the RULE relation (pair-count-sized),
     never baskets."""
-    baskets = (
+    # ONE shuffle total for candidate generation: collect_set collapses
+    # each basket straight to its distinct sorted item array (no
+    # separate distinct pass — set-dedup happens inside the aggregate),
+    # then the x<y pairs are emitted MAP-SIDE from the array (codegen
+    # transform/slice/flatten). The 50x probe measured the naive basket
+    # self-join at 30x wall (duplicate-key pair fan-out through the
+    # join); this aggregate-first shape is the same lesson
+    # join_shuffle_hash_hint teaches.
+    arrs = (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
-        .distinct()
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
     )
-    n = baskets.select(F.count_distinct("o").alias("n"))
-    item_counts = baskets.groupBy("item").agg(F.count("*").alias("cnt"))
-    a = baskets.alias("a")
-    b = baskets.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.item") < F.col("b.item")))
-        .groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+    n = arrs.select(F.count("*").alias("n"))
+    item_counts = (
+        arrs.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pair_structs = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                    lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+                ),
+            )
         )
+    )
+    pairs = (
+        arrs.select(pair_structs.alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("cooc"))
     )
     ca = item_counts.select(
@@ -4104,8 +4125,8 @@ def grid_radius_join(events: DataFrame, radius: int = 5, cell: int = 5) -> DataF
     pts = events.select(
         "event_id",
         "event_type",
-        ((F.col("event_id") * 2654435761) % 1000).alias("x"),
-        ((F.col("user_id") * 40503 + F.col("event_id") * 97) % 1000).alias("y"),
+        (((F.col("event_id") % 1000003) * 2654435761) % 1000).alias("x"),
+        (((F.col("user_id") % 1000003) * 40503 + (F.col("event_id") % 1000003) * 97) % 1000).alias("y"),
     )
     a = pts.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay")
@@ -4143,10 +4164,10 @@ def grid_radius_join(events: DataFrame, radius: int = 5, cell: int = 5) -> DataF
     )
 
 
-# Poisson(1) CDF thresholds scaled to the 60-bit md5 hash space —
+# Poisson(1) CDF thresholds scaled to the 55-bit mixed-hash space —
 # exact integer literals so both engines draw identical weights.
 _POISSON1_CDF = (0.36787944117144233, 0.7357588823428847, 0.9196986029286058, 0.9810118431238462)
-_POISSON1_THRESH = tuple(int(p * (1 << 60)) for p in _POISSON1_CDF)
+_POISSON1_THRESH = tuple(int(p * (1 << 55)) for p in _POISSON1_CDF)
 
 
 def bootstrap_ci(events: DataFrame, n_reps: int = 32) -> DataFrame:
@@ -4167,43 +4188,53 @@ def bootstrap_ci(events: DataFrame, n_reps: int = 32) -> DataFrame:
     of the fan-out), and partial agg collapses to (type, rep) pairs
     before the only shuffle. The quantile step runs on B rows per
     key."""
-    spark = events.sparkSession
-    reps = spark.range(n_reps).select(F.col("id").alias("b"))
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.col("event_id"), F.col("b"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    t = _POISSON1_THRESH
-    w = (
-        F.when(h < t[0], 0)
-        .when(h < t[1], 1)
-        .when(h < t[2], 2)
-        .when(h < t[3], 3)
-        .otherwise(4)
+    # ONE md5 per row and NO row replication at all: every replicate's
+    # (sum-of-weights, weighted-sum) pair is a conditional aggregate in
+    # a SINGLE pass — 2*n_reps codegen aggregate expressions replace
+    # the x n_reps row fan-out (the 50x probe measured the fan-out form
+    # at ~150s; this form aggregates map-side into n_types rows).
+    # Replicate b draws its Poisson(1) weight via an odd-multiplier
+    # permutation of the row hash mod 2^55 — a bijection per replicate,
+    # so every marginal stays uniform and the mix is three integer ops.
+    h0 = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(1 << 55),
     )
+    t = _POISSON1_THRESH
     base = events.select(
         "event_id",
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("yu"),
+        h0.alias("h0"),
     )
-    rep_means = (
-        base.join(F.broadcast(reps))
-        .select("event_type", "b", w.alias("w"), "yu")
-        .groupBy("event_type", "b")
-        .agg(F.sum("w").alias("sw"), F.sum(F.col("w") * F.col("yu")).alias("swy"))
-        .select(
-            "event_type",
-            "b",
-            F.floor(
-                F.col("swy").cast("double") / F.col("sw").cast("double") * 1e4
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("m_u"),
+    aggs = []
+    for b in range(n_reps):
+        h_b = F.pmod(F.col("h0") * F.lit(2 * b + 1), F.lit(1 << 55))
+        w_b = (
+            F.when(h_b < t[0], 0)
+            .when(h_b < t[1], 1)
+            .when(h_b < t[2], 2)
+            .when(h_b < t[3], 3)
+            .otherwise(4)
         )
+        aggs.append(F.sum(w_b).alias(f"sw{b}"))
+        aggs.append(F.sum(w_b * F.col("yu")).alias(f"swy{b}"))
+    wide = base.groupBy("event_type").agg(*aggs)
+    stack_args = ", ".join(f"{b}, sw{b}, swy{b}" for b in range(n_reps))
+    rep_means = wide.select(
+        "event_type",
+        F.expr(f"stack({n_reps}, {stack_args}) AS (b, sw, swy)"),
+    ).select(
+        "event_type",
+        F.col("b").cast("long").alias("b"),
+        F.floor(
+            F.col("swy").cast("double") / F.col("sw").cast("double") * 1e4
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("m_u"),
     )
     wnd = Window.partitionBy("event_type").orderBy("m_u", "b")
     ranked = rep_means.withColumn("rn", F.row_number().over(wnd))

@@ -902,3 +902,84 @@ def mmr_rerank(
         (F.col("rel_u") / F.lit(1e6)).alias("rel"),
         (F.col("mmr_u") / F.lit(1e6)).alias("mmr"),
     ).orderBy("rank")
+
+
+def pca_power_top_component(embeddings: DataFrame, rounds: int = 4) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding second
+    moment by POWER ITERATION, never materializing the covariance
+    matrix: each round computes s_i = x_i . v (one codegen fold per
+    vector), then u = sum_i s_i * x_i (one per-dimension partial agg),
+    then renormalizes — the dimensionality-reduction training kernel
+    (PCA projection / spectral initialization) in the iterative family
+    alongside kmeans/pagerank/Bellman-Ford.
+
+    Engine-stable: vectors are milli-quantized, so every s_i and every
+    u_d is an exact bigint; the per-round normalizer folds the ORDERED
+    u array in one fixed double sequence (sum of squares would
+    overflow bigint, and an ordered fold sidesteps float-sum
+    nondeterminism), takes an IEEE-exact sqrt, floors to an integer,
+    and rescales with exact truncating integer division — so all
+    `rounds` iterations are bit-identical across engines and the
+    oracle unrolls them as chained CTEs.
+
+    Plan shape at 100 TB: per round, shuffle #1 carries one (vec, s)
+    scalar per vector into nothing (s stays fused with the row); the
+    only real exchange is the 64-row per-dimension aggregate; v rides
+    a one-row broadcast. Rounds compose lazily — no driver data access
+    at all; O(rounds) passes over the data, which is exactly what
+    distributed PCA (e.g. MLlib's computePrincipalComponents for tall
+    matrices) does."""
+    dim = 64
+    vecs = embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("x"),
+    )
+    spark = embeddings.sparkSession
+    v = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda _: F.lit(1000).cast("long"),
+        ).alias("v")
+    )
+    for _ in range(rounds):
+        s = vecs.join(F.broadcast(v)).select(
+            "x",
+            F.aggregate(
+                F.zip_with("x", "v", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, z: acc + z,
+            ).alias("s"),
+        )
+        u = (
+            s.select(F.posexplode("x").alias("d", "xd"), "s")
+            .groupBy("d")
+            .agg(F.sum(F.col("xd") * F.col("s")).alias("u"))
+        )
+        arr = u.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "u"))),
+                lambda st: st["u"],
+            ).alias("u")
+        )
+        v = arr.select(
+            "u",
+            F.floor(
+                F.sqrt(
+                    F.aggregate(
+                        "u",
+                        F.lit(0.0),
+                        lambda acc, z: acc + z.cast("double") * z.cast("double"),
+                    )
+                )
+            )
+            .cast("long")
+            .alias("nrm"),
+        ).select(F.expr("transform(u, z -> (z * 1000) DIV nrm)").alias("v"))
+    return (
+        v.select(F.posexplode("v").alias("d", "v_milli"))
+        .select("d", "v_milli", (F.col("v_milli") / F.lit(1000)).alias("loading"))
+        .orderBy("d")
+    )

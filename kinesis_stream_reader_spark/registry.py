@@ -7083,17 +7083,19 @@ def mmr_rerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH reps AS (SELECT unnest(generate_series(0, 31)) AS b),
 base AS (
-  SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS yu FROM events
+  SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS yu,
+         CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT
+           % 36028797018963968 AS h0
+  FROM events
 ), hw AS (
   SELECT event_type, b, yu,
-         CASE WHEN h < 424136118829305344 THEN 0
-              WHEN h < 848272237658610688 THEN 1
-              WHEN h < 1060340297073263360 THEN 2
-              WHEN h < 1131029650211480832 THEN 3
+         CASE WHEN h < 13254253713415792 THEN 0
+              WHEN h < 26508507426831584 THEN 1
+              WHEN h < 33135634283539480 THEN 2
+              WHEN h < 35344676569108776 THEN 3
               ELSE 4 END AS w
   FROM (
-    SELECT base.*, reps.b,
-           CAST(concat('0x', substr(md5(event_id || ':' || b), 1, 15)) AS UBIGINT)::BIGINT AS h
+    SELECT base.*, reps.b, (h0 * (2 * b + 1)) % 36028797018963968 AS h
     FROM base CROSS JOIN reps
   )
 ), rm AS (
@@ -7362,3 +7364,93 @@ def streaming_kmin_sketch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_keys"), F.min("h").alias("min_h"))
     )
     return jobs.run_available_now(sk, "streaming_kmin_sketch")
+
+
+@register(
+    "pca_power_iteration",
+    # 4 unrolled power-iteration rounds: exact bigint matvecs, ordered
+    # double fold + IEEE sqrt for the normalizer, truncating integer
+    # rescale — bit-identical to the Spark driver-composed rounds
+    """
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS x
+  FROM embeddings
+), v0 AS (
+  SELECT list_transform(generate_series(1, 64), i -> CAST(1000 AS BIGINT)) AS v
+), r1s AS (
+  SELECT v.vec_id, v.x, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(v.x, p.v), p -> p[1] * p[2])), (x, y) -> x + y) AS s FROM vecs v, v0 p
+), r1u AS (
+  SELECT generate_subscripts(x, 1) AS d, unnest(x) AS xd, s FROM r1s
+), r1a AS (
+  SELECT list(u ORDER BY d) AS u
+  FROM (SELECT d, SUM(xd * s) AS u FROM r1u GROUP BY d)
+), r1n AS (
+  SELECT u,
+         CAST(FLOOR(SQRT(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(u, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))),
+           (a, b) -> a + b))) AS BIGINT) AS nrm
+  FROM r1a
+), v1 AS (
+  SELECT list_transform(u, z -> (z * 1000) // nrm) AS v FROM r1n
+), r2s AS (
+  SELECT v.vec_id, v.x, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(v.x, p.v), p -> p[1] * p[2])), (x, y) -> x + y) AS s FROM vecs v, v1 p
+), r2u AS (
+  SELECT generate_subscripts(x, 1) AS d, unnest(x) AS xd, s FROM r2s
+), r2a AS (
+  SELECT list(u ORDER BY d) AS u
+  FROM (SELECT d, SUM(xd * s) AS u FROM r2u GROUP BY d)
+), r2n AS (
+  SELECT u,
+         CAST(FLOOR(SQRT(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(u, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))),
+           (a, b) -> a + b))) AS BIGINT) AS nrm
+  FROM r2a
+), v2 AS (
+  SELECT list_transform(u, z -> (z * 1000) // nrm) AS v FROM r2n
+), r3s AS (
+  SELECT v.vec_id, v.x, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(v.x, p.v), p -> p[1] * p[2])), (x, y) -> x + y) AS s FROM vecs v, v2 p
+), r3u AS (
+  SELECT generate_subscripts(x, 1) AS d, unnest(x) AS xd, s FROM r3s
+), r3a AS (
+  SELECT list(u ORDER BY d) AS u
+  FROM (SELECT d, SUM(xd * s) AS u FROM r3u GROUP BY d)
+), r3n AS (
+  SELECT u,
+         CAST(FLOOR(SQRT(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(u, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))),
+           (a, b) -> a + b))) AS BIGINT) AS nrm
+  FROM r3a
+), v3 AS (
+  SELECT list_transform(u, z -> (z * 1000) // nrm) AS v FROM r3n
+), r4s AS (
+  SELECT v.vec_id, v.x, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(list_zip(v.x, p.v), p -> p[1] * p[2])), (x, y) -> x + y) AS s FROM vecs v, v3 p
+), r4u AS (
+  SELECT generate_subscripts(x, 1) AS d, unnest(x) AS xd, s FROM r4s
+), r4a AS (
+  SELECT list(u ORDER BY d) AS u
+  FROM (SELECT d, SUM(xd * s) AS u FROM r4u GROUP BY d)
+), r4n AS (
+  SELECT u,
+         CAST(FLOOR(SQRT(list_reduce(
+           list_prepend(CAST(0 AS DOUBLE),
+             list_transform(u, z -> CAST(z AS DOUBLE) * CAST(z AS DOUBLE))),
+           (a, b) -> a + b))) AS BIGINT) AS nrm
+  FROM r4a
+), v4 AS (
+  SELECT list_transform(u, z -> (z * 1000) // nrm) AS v FROM r4n
+)
+SELECT CAST(generate_subscripts(v, 1) - 1 AS INT) AS d,
+       CAST(unnest(v) AS BIGINT) AS v_milli,
+       CAST(unnest(v) AS BIGINT) / 1000 AS loading
+FROM v4 ORDER BY d
+""",
+)
+def pca_power_iteration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.pca_power_top_component(load_table(spark, sf_dir, "embeddings"))

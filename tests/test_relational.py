@@ -1397,8 +1397,8 @@ def test_grid_radius_join_brute_force(spark, sf_dir):
     events = load_events(spark, sf_dir)
     row = grid_radius_join(events).collect()[0]
     pts = [
-        (r.event_id, r.event_type, (r.event_id * 2654435761) % 1000,
-         (r.user_id * 40503 + r.event_id * 97) % 1000)
+        (r.event_id, r.event_type, ((r.event_id % 1000003) * 2654435761) % 1000,
+         ((r.user_id % 1000003) * 40503 + (r.event_id % 1000003) * 97) % 1000)
         for r in events.select("event_id", "event_type", "user_id").collect()
     ]
     a = [(i, x, y) for i, t, x, y in pts if t == "click"]
@@ -1517,3 +1517,43 @@ def test_window_percent_rank_formula(spark, sf_dir):
                 assert got[eid].pr == pr, (eid, got[eid].pr, pr)
                 assert got[eid].cd == cd
     assert len(got) == sum(1 for r in rows if r.event_id % 199 == 0)
+
+
+def test_pca_power_iteration_numpy_reference(spark, sf_dir):
+    """The distributed 4-round power iteration must equal a numpy
+    re-implementation bit for bit, and the result must be a better
+    Rayleigh direction than the starting vector."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators.similarity import (
+        pca_power_top_component,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {r.d: r.v_milli for r in pca_power_top_component(emb).collect()}
+    X = np.array(
+        [
+            np.floor(np.array(r.embedding, dtype=np.float64) * 1000 + 0.5)
+            for r in emb.collect()
+        ]
+    ).astype(np.int64)
+    v = np.full(64, 1000, dtype=np.int64)
+    for _ in range(4):
+        s = X @ v
+        u = X.T @ s
+        nrm = int(
+            math.floor(math.sqrt(sum(float(z) * float(z) for z in u)))
+        )
+        # truncation toward zero, matching Spark DIV / DuckDB //
+        v = np.array(
+            [(int(z) * 1000) // nrm if z >= 0 else -((-int(z)) * 1000 // nrm)
+             for z in u],
+            dtype=np.int64,
+        )
+    assert got == {d: int(v[d]) for d in range(64)}
+    # Rayleigh quotient of the result beats the uniform start
+    Xf = X.astype(np.float64)
+    vf = v.astype(np.float64)
+    v0 = np.full(64, 1000.0)
+    rq = lambda w: float(np.sum((Xf @ w) ** 2) / (w @ w))  # noqa: E731
+    assert rq(vf) > rq(v0)
