@@ -1135,11 +1135,14 @@ def bm25_retrieval(
     toks = documents.select(
         "doc_id", F.explode(F.split(normalized, " ")).alias("term")
     ).filter(F.col("term") != "")
+    # ONE pass over the exploded tokens: dl, df and the corpus totals
+    # all derive from the (doc, term) tf aggregate, so the explode is
+    # scanned once, not four times
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
-    totals = toks.agg(
-        F.count("*").alias("s_tokens"), F.count_distinct("doc_id").alias("n_docs")
+    totals = dl.agg(
+        F.sum("dl").alias("s_tokens"), F.count("*").alias("n_docs")
     )
     # fixed float sequence, mirrored verbatim in the oracle SQL
     avgdl = F.col("s_tokens") / F.col("n_docs")
