@@ -7454,3 +7454,143 @@ def pca_power_iteration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
 
     return similarity.pca_power_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# ext: round-2 cohort — streaming run observability + incremental
+# join-view maintenance.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_obs_metrics",
+    # run-level metrics accumulated across micro-batches must equal the
+    # batch aggregates over the same data — batch-slicing-invariant by
+    # construction (counts/sums add, max maxes)
+    """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events
+""",
+)
+def streaming_obs_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability via observe(): per-micro-batch metrics
+    ride the stream's own processing (accumulators, zero extra scans —
+    the streaming twin of obs_metrics), surface in each progress event,
+    and the run-level rollup is the additive combine across batches.
+    The noop sink isolates the cost: this is what a production job's
+    metrics exporter sees, independent of the sink."""
+    import tempfile
+
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    observed = stream.observe(
+        "run_metrics",
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "value_cents"
+        ),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("n_purchases"),
+        F.max("event_id").alias("max_event_id"),
+    )
+    # retain enough progress events for one-file-per-trigger draining of
+    # many-part fixtures; restore the conf afterwards (session hygiene)
+    prev = spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", None)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
+    try:
+        q = (
+            observed.writeStream.format("noop")
+            .queryName("streaming_obs_metrics")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ksr_obs_ck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_events = value_cents = n_purchases = 0
+        max_event_id = None
+        for p in q.recentProgress:
+            om = (p.get("observedMetrics") or {}).get("run_metrics")
+            if not om:
+                continue
+            n_events += om["n_events"]
+            value_cents += om["value_cents"] or 0
+            n_purchases += om["n_purchases"]
+            if om["max_event_id"] is not None:
+                max_event_id = (
+                    om["max_event_id"]
+                    if max_event_id is None
+                    else max(max_event_id, om["max_event_id"])
+                )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
+        else:
+            spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev)
+    return spark.createDataFrame(
+        [(n_events, value_cents, n_purchases, max_event_id)],
+        "n_events BIGINT, value_cents BIGINT, n_purchases BIGINT, max_event_id BIGINT",
+    )
+
+
+@register(
+    "incremental_join_merge",
+    # oracle = the full recompute over base+delta on both sides; the
+    # engine's four-leg delta-join merge must land on exactly this
+    """
+SELECT o.o_custkey,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       COUNT(*) AS n_items
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_custkey
+ORDER BY o.o_custkey
+""",
+)
+def incremental_join_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN materialized view by the
+    delta rule: with base snapshots A, B and deltas dA, dB,
+    new_view = agg(A join B) ++ agg(dA join B) ++ agg(A join dB)
+    ++ agg(dA join dB) — the join twin of incremental_agg_merge (which
+    maintains a grouped aggregate). Splits: orders before/after
+    1997-01-01 (the CDC arrival), lineitem by ship date — all four
+    legs are non-empty, so the merge is exercised for real.
+
+    Plan shape at 100 TB: the stored view is read, not recomputed (here
+    the A-join-B leg stands in for it); each delta leg joins a SMALL
+    delta side — broadcast — against the big snapshot, so maintenance
+    cost is O(|delta| + view size), never a re-join of the snapshots;
+    the final merge is a partial-agg union keyed like the view. Exact
+    integer cents throughout."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1997-01-01"
+    a = orders.filter(F.col("o_orderdate") < cutoff)
+    da = orders.filter(F.col("o_orderdate") >= cutoff)
+    b = lineitem.filter(F.col("l_shipdate") < cutoff)
+    db = lineitem.filter(F.col("l_shipdate") >= cutoff)
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+
+    def leg(o, li, broadcast_side=None):
+        if broadcast_side == "o":
+            o = F.broadcast(o)
+        elif broadcast_side == "li":
+            li = F.broadcast(li)
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_custkey")
+            .agg(F.sum(cents).alias("revenue_cents"), F.count("*").alias("n_items"))
+        )
+
+    legs = [leg(a, b), leg(da, b, "o"), leg(a, db, "li"), leg(da, db)]
+    merged = legs[0]
+    for d in legs[1:]:
+        merged = merged.unionByName(d)
+    return (
+        merged.groupBy("o_custkey")
+        .agg(
+            F.sum("revenue_cents").alias("revenue_cents"),
+            F.sum("n_items").alias("n_items"),
+        )
+        .orderBy("o_custkey")
+    )

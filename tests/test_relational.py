@@ -1557,3 +1557,27 @@ def test_pca_power_iteration_numpy_reference(spark, sf_dir):
     v0 = np.full(64, 1000.0)
     rq = lambda w: float(np.sum((Xf @ w) ** 2) / (w @ w))  # noqa: E731
     assert rq(vf) > rq(v0)
+
+
+def test_incremental_join_merge_equals_full(spark, sf_dir):
+    """Four-leg delta-join merge must equal the full-recompute join."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.o_custkey: (r.revenue_cents, r.n_items)
+        for r in QUERIES["incremental_join_merge"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    full = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("rc"),
+            F.count("*").alias("ni"),
+        )
+        .collect()
+    )
+    assert got == {r.o_custkey: (r.rc, r.ni) for r in full}

@@ -398,3 +398,25 @@ def test_streaming_kmin_sketch_equals_batch(spark, sf_dir):
         # the minima estimator is a dense-regime tool (n >> buckets)
         if ex >= 3 * 64:
             assert ex / 4 <= est[et] <= ex * 4, (et, est[et], ex)
+
+
+def test_streaming_obs_metrics_slicing_invariant(spark, sf_dir):
+    """Observed run metrics accumulated across micro-batches must equal
+    the batch aggregates regardless of slicing."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+    from kinesis_stream_reader_spark.sources.tables import load_events
+
+    row = QUERIES["streaming_obs_metrics"](spark, sf_dir).collect()[0]
+    events = load_events(spark, sf_dir)
+    exp = events.agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("vc"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("np"),
+        F.max("event_id").alias("mx"),
+    ).collect()[0]
+    assert (row.n_events, row.value_cents, row.n_purchases, row.max_event_id) == (
+        exp.n,
+        exp.vc,
+        exp.np,
+        exp.mx,
+    )
