@@ -4336,3 +4336,81 @@ def window_percent_rank(events: DataFrame) -> DataFrame:
         .filter(F.col("event_id") % 199 == 0)
         .orderBy("event_id")
     )
+
+
+def temporal_reachability(events: DataFrame, rounds: int = 3) -> DataFrame:
+    """Time-respecting (temporal) reachability: earliest-arrival
+    propagation over the interaction graph where each edge can only be
+    taken AT OR AFTER the traveler's arrival at its source — the
+    temporal-graph member of the iterative family (information-flow /
+    contagion semantics: a plain reachability overcounts paths that go
+    backwards in time).
+
+    Exact integer algebra: edge timestamps are floor-epoch seconds,
+    arrival times propagate as MIN aggregates, the time-respecting
+    constraint is an equi-join residual (t >= arrival) — every round is
+    bit-identical and the oracle unrolls them as chained CTEs.
+
+    Plan shape: per round, one equi-join of the (node, arrival)
+    frontier against edges on the source key plus a partial-agg MIN;
+    shuffles carry the edge relation and the node-bounded frontier.
+    Rounds compose lazily — no driver data access."""
+    edges = events.select(
+        F.col("user_id").alias("src"),
+        (F.col("event_id") % 500).alias("dst"),
+        F.unix_timestamp("ts").alias("t"),
+    )
+    arr = events.agg(F.min("user_id").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("arrival")
+    )
+    for _ in range(rounds):
+        relax = (
+            arr.join(edges, arr.node == edges.src)
+            .filter(F.col("t") >= F.col("arrival"))
+            .select(F.col("dst").alias("node"), F.col("t").alias("arrival"))
+        )
+        arr = (
+            arr.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("arrival").alias("arrival"))
+        )
+    return arr.orderBy("node")
+
+
+def sequence_motifs(events: DataFrame, min_count: int = 5) -> DataFrame:
+    """Frequent behavioral 3-motifs: the ordered event-type trigrams of
+    each user's timeline, censused corpus-wide — sequential-pattern
+    mining's first pass (the n-gram view of user behavior that feeds
+    funnel design; funnel_counts checks ONE hypothesized order, this
+    discovers which orders actually occur).
+
+    One shuffle: the per-user timeline sort is a window (lead x2) over
+    the user partition; the motif census is a partial agg bounded by
+    |event_types|^3 = 125 cells. Ties in ts break on event_id, so the
+    sequence — and therefore every count — is deterministic.
+
+    Output: motif (a->b->c), n occurrences, n distinct users."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("e0"),
+            F.lead("event_type", 1).over(w).alias("e1"),
+            F.lead("event_type", 2).over(w).alias("e2"),
+        )
+        .filter(F.col("e2").isNotNull())
+    )
+    return (
+        tri.groupBy("e0", "e1", "e2")
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .filter(F.col("n") >= min_count)
+        .select(
+            F.concat_ws("->", "e0", "e1", "e2").alias("motif"),
+            "n",
+            "n_users",
+        )
+        .orderBy(F.desc("n"), "motif")
+    )

@@ -1418,3 +1418,63 @@ def pmi_collocations(documents: DataFrame, min_count: int = 20, k: int = 30) -> 
         .orderBy(F.desc("pmi"), "w0", "w1")
         .limit(k)
     )
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """Dataset datasheet (the 'Datasheets for Datasets' / dataset-card
+    summary a release ships with): per-source volume, token/char mass,
+    language mix, corpus-wide exact-dup exposure, PII incidence, and
+    mean document length — the fourth flagship composition (curation
+    builds the corpus, training_batches packs it, rag_retrieval serves
+    it, this documents it).
+
+    PII fixture note: the synthetic corpus contains no PII, so a
+    deterministic contact line is planted on every 7th document (the
+    text_pii_scrub convention) and the card must count exactly those.
+
+    Plan shape: ONE row-scale pass computes every per-doc feature
+    (tokens, chars, fingerprint, lang flag, PII flag — all codegen);
+    the dup exposure joins the doc relation against the
+    fingerprint-census aggregate (fingerprint-keyed, broadcast under
+    AQE at card scale); the card itself is a source-bounded partial
+    agg. Nothing scans the corpus twice."""
+    planted = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    per_doc = documents.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5(normalized).alias("fp"),
+        (
+            planted.rlike(EMAIL_REGEX) | planted.rlike(PHONE_REGEX)
+        ).cast("int").alias("pii"),
+    )
+    fp_census = per_doc.groupBy("fp").agg(F.count("*").alias("fp_n"))
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        per_doc.join(fp_census, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.count(F.when(F.col("lang") == "en", 1)).alias("n_en"),
+            F.count(F.when(F.col("fp_n") > 1, 1)).alias("n_dup_docs"),
+            F.sum("pii").cast("long").alias("n_pii_docs"),
+            q(
+                F.sum("n_tokens").cast("double") / F.count("*").cast("double")
+            ).alias("mean_doc_tokens"),
+        )
+        .orderBy("source")
+    )

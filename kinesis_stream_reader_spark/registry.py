@@ -7594,3 +7594,114 @@ def incremental_join_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "temporal_reachability",
+    # 3 unrolled earliest-arrival rounds; the time-respecting
+    # constraint is the join residual t >= arrival
+    """
+WITH edges AS (
+  SELECT user_id AS src, event_id % 500 AS dst,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t
+  FROM events
+), a0 AS (
+  SELECT MIN(user_id) AS node, CAST(0 AS BIGINT) AS arrival FROM events
+), a1 AS (
+  SELECT node, MIN(arrival) AS arrival FROM (
+    SELECT * FROM a0
+    UNION ALL
+    SELECT e.dst, e.t FROM a0 a JOIN edges e ON e.src = a.node AND e.t >= a.arrival
+  ) GROUP BY node
+), a2 AS (
+  SELECT node, MIN(arrival) AS arrival FROM (
+    SELECT * FROM a1
+    UNION ALL
+    SELECT e.dst, e.t FROM a1 a JOIN edges e ON e.src = a.node AND e.t >= a.arrival
+  ) GROUP BY node
+), a3 AS (
+  SELECT node, MIN(arrival) AS arrival FROM (
+    SELECT * FROM a2
+    UNION ALL
+    SELECT e.dst, e.t FROM a2 a JOIN edges e ON e.src = a.node AND e.t >= a.arrival
+  ) GROUP BY node
+)
+SELECT node, arrival FROM a3 ORDER BY node
+""",
+)
+def temporal_reachability_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.temporal_reachability(load_events(spark, sf_dir))
+
+
+@register(
+    "sequence_motifs",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS e0,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e1,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2
+  FROM events
+)
+SELECT e0 || '->' || e1 || '->' || e2 AS motif,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS n_users
+FROM seq WHERE e2 IS NOT NULL
+GROUP BY e0, e1, e2
+HAVING COUNT(*) >= 5
+ORDER BY n DESC, motif
+""",
+)
+def sequence_motifs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.sequence_motifs(load_events(spark, sf_dir))
+
+
+@register(
+    "dataset_card",
+    # flagship #4: the per-source datasheet — token/char mass, lang
+    # mix, corpus-wide dup exposure, planted-PII incidence
+    f"""
+WITH per_doc AS (
+  SELECT doc_id, source, lang,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         md5({_NORM}) AS fp,
+         CASE WHEN doc_id % 7 = 0 THEN
+           CASE WHEN regexp_matches(
+                  text || ' contact user' || doc_id || '@example.com or 555-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+                OR regexp_matches(
+                  text || ' contact user' || doc_id || '@example.com or 555-'
+                       || lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+                  '\\b555-[0-9]{{4}}\\b')
+           THEN 1 ELSE 0 END
+         ELSE
+           CASE WHEN regexp_matches(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')
+                OR regexp_matches(text, '\\b555-[0-9]{{4}}\\b')
+           THEN 1 ELSE 0 END
+         END AS pii
+  FROM documents
+), census AS (
+  SELECT fp, COUNT(*) AS fp_n FROM per_doc GROUP BY fp
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       COUNT(CASE WHEN lang = 'en' THEN 1 END) AS n_en,
+       COUNT(CASE WHEN fp_n > 1 THEN 1 END) AS n_dup_docs,
+       CAST(SUM(pii) AS BIGINT) AS n_pii_docs,
+       FLOOR(CAST(SUM(n_tokens) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS mean_doc_tokens
+FROM per_doc JOIN census USING (fp)
+GROUP BY source ORDER BY source
+""",
+)
+def dataset_card_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.dataset_card(load_table(spark, sf_dir, "documents"))

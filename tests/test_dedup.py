@@ -734,3 +734,43 @@ def test_pmi_collocations_brute_force(spark, sf_dir):
             scored.append((w0, w1, c_ab, uni[w0], uni[w1], pmi))
     scored.sort(key=lambda x: (-x[5], x[0], x[1]))
     assert got == scored[:20]
+
+
+def test_dataset_card_brute_force(spark, sf_dir):
+    """Per-source datasheet vs a driver-side scan (tokens, chars, lang
+    mix, corpus-wide dup exposure, planted PII incidence)."""
+    import math
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from kinesis_stream_reader_spark.operators.text import dataset_card
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.source: r for r in dataset_card(docs).collect()}
+    rows = docs.select("doc_id", "source", "lang", "text").collect()
+    fp_census = Counter(
+        _re.sub(r"\s+", " ", r.text.strip().lower()) for r in rows
+    )
+    agg = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for r in rows:
+        a = agg[r.source]
+        a[0] += 1
+        a[1] += len(r.text.split())
+        a[2] += len(r.text)
+        a[3] += r.lang == "en"
+        a[4] += fp_census[_re.sub(r"\s+", " ", r.text.strip().lower())] > 1
+        planted = (
+            r.text
+            + f" contact user{r.doc_id}@example.com or 555-{r.doc_id % 10000:04d}"
+            if r.doc_id % 7 == 0
+            else r.text
+        )
+        a[5] += bool(
+            _re.search(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", planted)
+            or _re.search(r"\b555-[0-9]{4}\b", planted)
+        )
+    assert set(got) == set(agg)
+    for src, a in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.n_tokens, r.n_chars, r.n_en, r.n_dup_docs, r.n_pii_docs) == tuple(a)
+        assert r.mean_doc_tokens == math.floor(a[1] / a[0] * 1e6 + 0.5) / 1e6

@@ -1581,3 +1581,50 @@ def test_incremental_join_merge_equals_full(spark, sf_dir):
         .collect()
     )
     assert got == {r.o_custkey: (r.rc, r.ni) for r in full}
+
+
+def test_temporal_reachability_brute_force(spark, sf_dir):
+    """3-round earliest-arrival must equal a literal temporal BFS."""
+    from kinesis_stream_reader_spark.operators.relational import (
+        temporal_reachability,
+    )
+
+    events = load_events(spark, sf_dir)
+    got = {r.node: r.arrival for r in temporal_reachability(events).collect()}
+    edges = [
+        (r.user_id, r.event_id % 500, int(r.ts.timestamp()))
+        for r in events.select("user_id", "event_id", "ts").collect()
+    ]
+    src = min(e[0] for e in edges)
+    arr = {src: 0}
+    for _ in range(3):
+        nxt = dict(arr)
+        for s, d, t in edges:
+            if s in arr and t >= arr[s] and t < nxt.get(d, 1 << 62):
+                nxt[d] = t
+        arr = nxt
+    assert got == arr
+
+
+def test_sequence_motifs_brute_force(spark, sf_dir):
+    """Trigram census vs a per-user sorted driver scan."""
+    from collections import Counter, defaultdict
+
+    from kinesis_stream_reader_spark.operators.relational import sequence_motifs
+
+    events = load_events(spark, sf_dir)
+    got = {r.motif: (r.n, r.n_users) for r in sequence_motifs(events).collect()}
+    timelines = defaultdict(list)
+    for r in events.select("user_id", "ts", "event_id", "event_type").collect():
+        timelines[r.user_id].append((r.ts, r.event_id, r.event_type))
+    n = Counter()
+    users = defaultdict(set)
+    for uid, tl in timelines.items():
+        tl.sort()
+        types = [t for _, _, t in tl]
+        for i in range(len(types) - 2):
+            m = "->".join(types[i : i + 3])
+            n[m] += 1
+            users[m].add(uid)
+    expect = {m: (c, len(users[m])) for m, c in n.items() if c >= 5}
+    assert got == expect
