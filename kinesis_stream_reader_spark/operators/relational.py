@@ -4414,3 +4414,174 @@ def sequence_motifs(events: DataFrame, min_count: int = 5) -> DataFrame:
         )
         .orderBy(F.desc("n"), "motif")
     )
+
+
+def cohort_retention(events: DataFrame, max_weeks: int = 8) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-seen
+    week, each cohort's share of users still active N weeks later —
+    THE product-analytics query (and a pipeline-health one: data
+    sources that silently die show up as a retention cliff).
+
+    Exact integers end to end: week indices are day-offsets DIV 7 from
+    the corpus start, cohort sizes and active counts are exact
+    distinct-user counts, the rate is one float division half-up 1e-6.
+
+    Plan shape: one pass to (user, week) distinct activity (partial
+    agg), one min-aggregate for cohorts, one co-partitioned join back
+    on user, and a cells-bounded final aggregate (cohorts x offsets).
+    The user-keyed join reuses the exchange of the distinct. Nothing
+    row-scale shuffles twice."""
+    d0 = events.agg(F.to_date(F.min("ts")).alias("d0"))
+    act = (
+        events.join(F.broadcast(d0))
+        .select(
+            "user_id",
+            (F.datediff(F.to_date("ts"), F.col("d0")) / 7)
+            .cast("long")
+            .alias("week"),
+        )
+        .distinct()
+    )
+    cohorts = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_sizes = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_size")
+    )
+    cells = (
+        act.join(cohorts, "user_id")
+        .select(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .filter(F.col("week_offset") <= max_weeks)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return (
+        cells.join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (
+                F.floor(
+                    F.col("n_active").cast("double")
+                    / F.col("cohort_size").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("retention"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def forecast_backtest(events: DataFrame) -> DataFrame:
+    """Seasonal-naive forecast backtest per event_type: predict each
+    day's count with the count 7 days earlier (the standard baseline
+    every real forecaster must beat), scored with MAE (exact bigint)
+    and MAPE (per-day quantized ratios, exact sum) — the
+    model-evaluation loop for the time-series family (acf_daily
+    diagnoses the seasonality this baseline exploits).
+
+    Plan shape: the day series is a partial agg; the lag pairing is a
+    LAG window over (type, day) — day-cardinality state; the scores
+    are one more tiny aggregate. Row-scale work is the single census
+    pass, forever."""
+    days = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    paired = days.withColumn("pred", F.lag("x", 7).over(w)).filter(
+        F.col("pred").isNotNull() & (F.col("x") > 0)
+    )
+    ape_u = F.floor(
+        F.abs(F.col("x") - F.col("pred")).cast("double")
+        / F.col("x").cast("double")
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        paired.select("event_type", "x", "pred", ape_u.alias("ape_u"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.sum(F.abs(F.col("x") - F.col("pred"))).alias("abs_err_sum"),
+            (
+                F.floor(
+                    F.sum("ape_u").cast("double") / F.count("*").cast("double")
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("mape"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def ab_test_report(events: DataFrame) -> DataFrame:
+    """Two-sample proportion z-test for an A/B split (variant = user
+    parity; metric = user ever purchases): the experiment-analysis
+    twin of chi2_independence (that tests association generally; this
+    reports effect direction and a decision for one planned contrast).
+
+    Engine-stable: counts are exact; p1, p2, the pooled rate, the
+    standard error (one IEEE sqrt) and z run in one fixed float
+    sequence, quantized half-up 1e-6; the significance flag compares
+    the QUANTIZED z against 1.96 so both engines decide identically.
+
+    Plan shape: one distinct-user aggregate (variant, converted) — the
+    z algebra runs on a 2-row relation."""
+    # metric: user ever makes a HIGH-VALUE purchase — a partial
+    # conversion (plain "ever purchases" saturates to 100% on dense
+    # fixtures, collapsing the pooled variance)
+    per_user = (
+        events.select(
+            "user_id",
+            (F.col("user_id") % 2).alias("variant"),
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            )
+            .otherwise(0)
+            .alias("conv"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(F.max("conv").alias("converted"))
+    )
+    stats = per_user.groupBy("variant").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("k")
+    )
+    a = stats.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n0"), F.col("k").alias("k0")
+    )
+    b = stats.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    j = a.join(b)
+    p0 = F.col("k0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("k1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("k0") + F.col("k1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    z = q((p1 - p0) / se)
+    return j.select(
+        "n0",
+        "k0",
+        "n1",
+        "k1",
+        q(p0).alias("p0"),
+        q(p1).alias("p1"),
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

@@ -7571,18 +7571,17 @@ def incremental_join_merge_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = lineitem.filter(F.col("l_shipdate") >= cutoff)
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
 
-    def leg(o, li, broadcast_side=None):
-        if broadcast_side == "o":
-            o = F.broadcast(o)
-        elif broadcast_side == "li":
-            li = F.broadcast(li)
+    def leg(o, li):
+        # delta sides are broadcast-able in a REAL CDC setting; the
+        # synthetic split is ~half/half, so the hint is left to AQE
+        # (which broadcasts when the delta actually is small)
         return (
             o.join(li, o.o_orderkey == li.l_orderkey)
             .groupBy("o_custkey")
             .agg(F.sum(cents).alias("revenue_cents"), F.count("*").alias("n_items"))
         )
 
-    legs = [leg(a, b), leg(da, b, "o"), leg(a, db, "li"), leg(da, db)]
+    legs = [leg(a, b), leg(da, b), leg(a, db), leg(da, db)]
     merged = legs[0]
     for d in legs[1:]:
         merged = merged.unionByName(d)
@@ -7705,3 +7704,94 @@ def dataset_card_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.dataset_card(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "cohort_retention",
+    """
+WITH d0 AS (SELECT CAST(MIN(ts) AS DATE) AS d0 FROM events),
+act AS (
+  SELECT DISTINCT user_id,
+         datediff('day', d0.d0, CAST(ts AS DATE)) // 7 AS week
+  FROM events, d0
+), coh AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM coh GROUP BY cohort_week
+), cells AS (
+  SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM act a JOIN coh c USING (user_id)
+  WHERE a.week - c.cohort_week <= 8
+  GROUP BY 1, 2
+)
+SELECT cohort_week, week_offset, n_active, cohort_size,
+       FLOOR(CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS retention
+FROM cells JOIN sizes USING (cohort_week)
+ORDER BY cohort_week, week_offset
+""",
+)
+def cohort_retention_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.cohort_retention(load_events(spark, sf_dir))
+
+
+@register(
+    "forecast_backtest",
+    """
+WITH days AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), paired AS (
+  SELECT event_type, x,
+         LAG(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred
+  FROM days
+)
+SELECT event_type, COUNT(*) AS n_days,
+       CAST(SUM(ABS(x - pred)) AS BIGINT) AS abs_err_sum,
+       FLOOR(CAST(SUM(CAST(FLOOR(CAST(ABS(x - pred) AS DOUBLE) / CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) + 0.5) / 1e6 AS mape
+FROM paired WHERE pred IS NOT NULL AND x > 0
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def forecast_backtest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.forecast_backtest(load_events(spark, sf_dir))
+
+
+@register(
+    "ab_test_report",
+    """
+WITH pu AS (
+  SELECT user_id, user_id % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT variant, COUNT(*) AS n, CAST(SUM(converted) AS BIGINT) AS k
+  FROM pu GROUP BY variant
+), j AS (
+  SELECT a.n AS n0, a.k AS k0, b.n AS n1, b.k AS k1
+  FROM st a, st b WHERE a.variant = 0 AND b.variant = 1
+), zc AS (
+  SELECT n0, k0, n1, k1,
+         FLOOR(CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p0,
+         FLOOR(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS p1,
+         FLOOR((CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+               / SQRT(CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+                      * (1.0 - CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                      * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)))
+               * 1e6 + 0.5) / 1e6 AS z
+  FROM j
+)
+SELECT n0, k0, n1, k1, p0, p1, z, ABS(z) > 1.96 AS significant FROM zc
+""",
+)
+def ab_test_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.ab_test_report(load_events(spark, sf_dir))

@@ -1628,3 +1628,95 @@ def test_sequence_motifs_brute_force(spark, sf_dir):
             users[m].add(uid)
     expect = {m: (c, len(users[m])) for m, c in n.items() if c >= 5}
     assert got == expect
+
+
+def test_cohort_retention_brute_force(spark, sf_dir):
+    """Retention cells vs a driver-side cohort scan."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.operators.relational import cohort_retention
+
+    events = load_events(spark, sf_dir)
+    got = {
+        (r.cohort_week, r.week_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in cohort_retention(events).collect()
+    }
+    rows = events.select("user_id", "ts").collect()
+    d0 = min(r.ts for r in rows).date()
+    weeks = defaultdict(set)
+    for r in rows:
+        weeks[r.user_id].add((r.ts.date() - d0).days // 7)
+    first = {u: min(ws) for u, ws in weeks.items()}
+    sizes = defaultdict(int)
+    for u in first:
+        sizes[first[u]] += 1
+    cells = defaultdict(set)
+    for u, ws in weeks.items():
+        for w in ws:
+            off = w - first[u]
+            if off <= 8:
+                cells[(first[u], off)].add(u)
+    expect = {
+        k: (
+            len(v),
+            sizes[k[0]],
+            math.floor(len(v) / sizes[k[0]] * 1e6 + 0.5) / 1e6,
+        )
+        for k, v in cells.items()
+    }
+    assert got == expect
+
+
+def test_forecast_backtest_brute_force(spark, sf_dir):
+    """Seasonal-naive MAE/MAPE vs a driver-side recompute."""
+    import datetime
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.operators.relational import forecast_backtest
+
+    events = load_events(spark, sf_dir)
+    got = {r.event_type: r for r in forecast_backtest(events).collect()}
+    counts = defaultdict(int)
+    for r in events.select("event_type", "ts").collect():
+        counts[(r.event_type, r.ts.date())] += 1
+    per_type = defaultdict(list)
+    for (et, d), x in counts.items():
+        pred = counts.get((et, d - datetime.timedelta(days=7)))
+        if pred and x > 0:
+            per_type[et].append((x, pred))
+    for et, pairs in per_type.items():
+        n = len(pairs)
+        mae_sum = sum(abs(x - p) for x, p in pairs)
+        mape_u = sum(math.floor(abs(x - p) / x * 1e6 + 0.5) for x, p in pairs)
+        r = got[et]
+        assert r.n_days == n
+        assert r.abs_err_sum == mae_sum
+        assert r.mape == math.floor(mape_u / n + 0.5) / 1e6
+
+
+def test_ab_test_report_brute_force(spark, sf_dir):
+    """z statistic vs a driver-side two-proportion computation."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.operators.relational import ab_test_report
+
+    events = load_events(spark, sf_dir)
+    row = ab_test_report(events).collect()[0]
+    conv = defaultdict(int)
+    for r in events.select("user_id", "event_type", "value").collect():
+        if r.event_type == "purchase" and r.value > 150:
+            conv[r.user_id] = 1
+        else:
+            conv.setdefault(r.user_id, 0)
+    n = [0, 0]
+    k = [0, 0]
+    for u, c in conv.items():
+        n[u % 2] += 1
+        k[u % 2] += c
+    assert (row.n0, row.k0, row.n1, row.k1) == (n[0], k[0], n[1], k[1])
+    p0, p1 = k[0] / n[0], k[1] / n[1]
+    pp = (k[0] + k[1]) / (n[0] + n[1])
+    se = math.sqrt(pp * (1 - pp) * (1 / n[0] + 1 / n[1]))
+    z = math.floor((p1 - p0) / se * 1e6 + 0.5) / 1e6
+    assert row.z == z
+    assert row.significant == (abs(z) > 1.96)
