@@ -4585,3 +4585,57 @@ def ab_test_report(events: DataFrame) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+def pseudonymize_consistent(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """Consistent pseudonymization audit: user ids are replaced by a
+    keyed deterministic token (md5-derived — the release-time
+    tokenization step after the k-anonymity / l-diversity gates), and
+    the audit proves REFERENTIAL CONSISTENCY survives: the same user
+    maps to the same token everywhere, so every cross-table join
+    cardinality is preserved exactly.
+
+    Output: one row — distinct users, distinct tokens (must equal:
+    collision check over the 60-bit space), join cardinality on raw
+    ids vs on tokens (must equal), and a collision flag.
+
+    Plan shape: tokenization is a map-only codegen expression (no
+    lookup table to shuffle or leak — the token IS the function);
+    the audit joins are key-aggregated before comparing."""
+    tok = lambda c: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit("pseu:"), c.cast("string"))), 1, 15
+    )
+    ev = events.select(F.col("user_id").alias("uid"), tok(F.col("user_id")).alias("utok"))
+    cust = orders.select(
+        F.col("o_custkey").alias("uid"), tok(F.col("o_custkey")).alias("utok")
+    )
+    raw_join = (
+        ev.select("uid")
+        .distinct()
+        .join(cust.select("uid").distinct(), "uid")
+        .agg(F.count("*").alias("raw_join_keys"))
+    )
+    tok_join = (
+        ev.select("utok")
+        .distinct()
+        .join(cust.select("utok").distinct(), "utok")
+        .agg(F.count("*").alias("tok_join_keys"))
+    )
+    card = ev.agg(
+        F.count_distinct("uid").alias("n_users"),
+        F.count_distinct("utok").alias("n_tokens"),
+    )
+    return (
+        card.join(F.broadcast(raw_join))
+        .join(F.broadcast(tok_join))
+        .select(
+            "n_users",
+            "n_tokens",
+            "raw_join_keys",
+            "tok_join_keys",
+            (F.col("n_users") == F.col("n_tokens")).alias("collision_free"),
+            (F.col("raw_join_keys") == F.col("tok_join_keys")).alias(
+                "join_preserving"
+            ),
+        )
+    )

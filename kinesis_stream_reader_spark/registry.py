@@ -7795,3 +7795,77 @@ def ab_test_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.ab_test_report(load_events(spark, sf_dir))
+
+
+@register(
+    "pseudonymize_consistent",
+    """
+WITH ev AS (
+  SELECT user_id AS uid,
+         substr(md5('pseu:' || user_id), 1, 15) AS utok
+  FROM events
+), cust AS (
+  SELECT o_custkey AS uid,
+         substr(md5('pseu:' || o_custkey), 1, 15) AS utok
+  FROM orders
+), rawj AS (
+  SELECT COUNT(*) AS raw_join_keys FROM
+    (SELECT DISTINCT uid FROM ev) a JOIN (SELECT DISTINCT uid FROM cust) b USING (uid)
+), tokj AS (
+  SELECT COUNT(*) AS tok_join_keys FROM
+    (SELECT DISTINCT utok FROM ev) a JOIN (SELECT DISTINCT utok FROM cust) b USING (utok)
+), card AS (
+  SELECT COUNT(DISTINCT uid) AS n_users, COUNT(DISTINCT utok) AS n_tokens FROM ev
+)
+SELECT n_users, n_tokens, raw_join_keys, tok_join_keys,
+       n_users = n_tokens AS collision_free,
+       raw_join_keys = tok_join_keys AS join_preserving
+FROM card, rawj, tokj
+""",
+)
+def pseudonymize_consistent_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.pseudonymize_consistent(
+        load_events(spark, sf_dir), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "streaming_ab_counts",
+    # the A/B guardrail maintained ON the stream: per-variant distinct
+    # users and distinct converters via watermark-free dropDuplicates
+    # state + a counts-only complete-mode aggregate; drained == batch
+    """
+WITH tagged AS (
+  SELECT DISTINCT user_id, user_id % 2 AS variant, 'all' AS tag FROM events
+  UNION
+  SELECT DISTINCT user_id, user_id % 2 AS variant, 'conv' AS tag
+  FROM events WHERE event_type = 'purchase' AND value > 150
+)
+SELECT variant, tag, COUNT(*) AS n
+FROM tagged GROUP BY variant, tag ORDER BY variant, tag
+""",
+)
+def streaming_ab_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    all_tag = stream.select(
+        "user_id", (F.col("user_id") % 2).alias("variant"), F.lit("all").alias("tag")
+    )
+    conv_tag = (
+        stream.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).alias("variant"),
+            F.lit("conv").alias("tag"),
+        )
+    )
+    counts = (
+        all_tag.unionByName(conv_tag)
+        .dropDuplicates(["user_id", "tag"])
+        .groupBy("variant", "tag")
+        .agg(F.count("*").alias("n"))
+    )
+    return jobs.run_available_now(counts, "streaming_ab_counts")

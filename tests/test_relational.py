@@ -1720,3 +1720,21 @@ def test_ab_test_report_brute_force(spark, sf_dir):
     z = math.floor((p1 - p0) / se * 1e6 + 0.5) / 1e6
     assert row.z == z
     assert row.significant == (abs(z) > 1.96)
+
+
+def test_pseudonymize_consistent_properties(spark, sf_dir):
+    """Token map must be injective on the fixture key space and
+    preserve the events-orders join cardinality."""
+    from kinesis_stream_reader_spark.operators.relational import (
+        pseudonymize_consistent,
+    )
+
+    events = load_events(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    row = pseudonymize_consistent(events, orders).collect()[0]
+    assert row.collision_free
+    assert row.join_preserving
+    ev_users = {r.user_id for r in events.select("user_id").distinct().collect()}
+    cust = {r.o_custkey for r in orders.select("o_custkey").distinct().collect()}
+    assert row.n_users == len(ev_users)
+    assert row.raw_join_keys == len(ev_users & cust)

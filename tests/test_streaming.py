@@ -420,3 +420,30 @@ def test_streaming_obs_metrics_slicing_invariant(spark, sf_dir):
         exp.np,
         exp.mx,
     )
+
+
+def test_streaming_ab_counts_equals_batch(spark, sf_dir):
+    """Per-variant distinct-user and converter counts maintained on the
+    stream must equal the batch computation."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+    from kinesis_stream_reader_spark.sources.tables import load_events
+
+    got = {
+        (r.variant, r.tag): r.n
+        for r in QUERIES["streaming_ab_counts"](spark, sf_dir).collect()
+    }
+    events = load_events(spark, sf_dir)
+    users = events.select(
+        "user_id", (F.col("user_id") % 2).alias("v")
+    ).distinct()
+    conv = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .select("user_id", (F.col("user_id") % 2).alias("v"))
+        .distinct()
+    )
+    expect = {}
+    for r in users.groupBy("v").count().collect():
+        expect[(r.v, "all")] = r["count"]
+    for r in conv.groupBy("v").count().collect():
+        expect[(r.v, "conv")] = r["count"]
+    assert got == expect
