@@ -1478,3 +1478,73 @@ def dataset_card(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def source_ablation_report(documents: DataFrame) -> DataFrame:
+    """Leave-one-source-out ablation: for every source, the corpus
+    statistics WITHOUT that source (doc count, mean tokens/doc,
+    exact-dup doc count) — the data-valuation first pass ("which
+    source is dragging the corpus?") computed by AGGREGATE ALGEBRA,
+    not |sources| recomputation passes.
+
+    The dup correction is the non-trivial part: removing source s can
+    dissolve dup groups, so
+    dup_rest(s) = A - sum over fps touched by s of
+    (cnt*[cnt>=2] - (cnt-cnt_s)*[cnt-cnt_s>=2]), where A is the global
+    dup-doc count — one (fp, source)-keyed aggregate joined against
+    the fp census, all exact integers.
+
+    Plan shape: one row-scale pass builds per-doc features; everything
+    else is keyed by fp or source (census-scale). The oracle computes
+    each source's rest-statistics by brute force, so the comparison
+    PROVES the algebra."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    per_doc = documents.select(
+        "source",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.md5(normalized).alias("fp"),
+    )
+    tot = per_doc.agg(
+        F.count("*").alias("g_docs"), F.sum("n_tokens").alias("g_tokens")
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count("*").alias("s_docs"), F.sum("n_tokens").alias("s_tokens")
+    )
+    fp_tot = per_doc.groupBy("fp").agg(F.count("*").alias("cnt"))
+    a_global = fp_tot.agg(
+        F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)).alias("a_dup")
+    )
+    fp_src = per_doc.groupBy("fp", "source").agg(F.count("*").alias("cnt_s"))
+    correction = (
+        fp_src.join(fp_tot, "fp")
+        .select(
+            "source",
+            (
+                F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0)
+                - F.when(
+                    F.col("cnt") - F.col("cnt_s") >= 2,
+                    F.col("cnt") - F.col("cnt_s"),
+                ).otherwise(0)
+            ).alias("corr"),
+        )
+        .groupBy("source")
+        .agg(F.sum("corr").alias("corr"))
+    )
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    mean_rest = (F.col("g_tokens") - F.col("s_tokens")).cast("double") / (
+        F.col("g_docs") - F.col("s_docs")
+    ).cast("double")
+    mean_global = F.col("g_tokens").cast("double") / F.col("g_docs").cast("double")
+    return (
+        per_source.join(F.broadcast(tot))
+        .join(F.broadcast(a_global))
+        .join(correction, "source")
+        .select(
+            "source",
+            (F.col("g_docs") - F.col("s_docs")).alias("n_docs_rest"),
+            q(mean_rest).alias("mean_tokens_rest"),
+            q(mean_rest - mean_global).alias("delta_mean_tokens"),
+            (F.col("a_dup") - F.col("corr")).alias("dup_docs_rest"),
+        )
+        .orderBy("source")
+    )

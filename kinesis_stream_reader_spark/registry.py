@@ -7869,3 +7869,45 @@ def streaming_ab_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
     )
     return jobs.run_available_now(counts, "streaming_ab_counts")
+
+
+@register(
+    "source_ablation_report",
+    # BRUTE-FORCE oracle on purpose: each source's rest-statistics are
+    # recomputed from scratch per source, proving the engine's
+    # aggregate-algebra shortcut (including the dup-group dissolution
+    # correction) exact
+    f"""
+WITH per_doc AS (
+  SELECT source,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5({_NORM}) AS fp
+  FROM documents
+), srcs AS (SELECT DISTINCT source FROM per_doc),
+g AS (SELECT COUNT(*) AS g_docs, SUM(n_tokens) AS g_tokens FROM per_doc)
+SELECT s.source,
+       x.n_docs_rest,
+       FLOOR(CAST(x.tok_rest AS DOUBLE) / CAST(x.n_docs_rest AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS mean_tokens_rest,
+       FLOOR((CAST(x.tok_rest AS DOUBLE) / CAST(x.n_docs_rest AS DOUBLE)
+              - CAST(g.g_tokens AS DOUBLE) / CAST(g.g_docs AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         AS delta_mean_tokens,
+       d.dup_docs_rest
+FROM srcs s
+CROSS JOIN g
+CROSS JOIN LATERAL (
+  SELECT COUNT(*) AS n_docs_rest, CAST(SUM(n_tokens) AS BIGINT) AS tok_rest
+  FROM per_doc p WHERE p.source <> s.source
+) x
+CROSS JOIN LATERAL (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS dup_docs_rest FROM (
+    SELECT fp, COUNT(*) AS c FROM per_doc p WHERE p.source <> s.source GROUP BY fp
+  ) WHERE c >= 2
+) d
+ORDER BY s.source
+""",
+)
+def source_ablation_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.source_ablation_report(load_table(spark, sf_dir, "documents"))

@@ -774,3 +774,35 @@ def test_dataset_card_brute_force(spark, sf_dir):
         r = got[src]
         assert (r.n_docs, r.n_tokens, r.n_chars, r.n_en, r.n_dup_docs, r.n_pii_docs) == tuple(a)
         assert r.mean_doc_tokens == math.floor(a[1] / a[0] * 1e6 + 0.5) / 1e6
+
+
+def test_source_ablation_algebra_vs_brute(spark, sf_dir):
+    """The aggregate-algebra leave-one-out must equal per-source
+    recomputation (including dup-group dissolution)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators.text import source_ablation_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.source: r for r in source_ablation_report(docs).collect()}
+    rows = [
+        (r.source, len(r.text.split()), _re.sub(r"\s+", " ", r.text.strip().lower()))
+        for r in docs.select("source", "text").collect()
+    ]
+    g_docs = len(rows)
+    g_tokens = sum(t for _, t, _ in rows)
+    for src in {s for s, _, _ in rows}:
+        rest = [(t, fp) for s, t, fp in rows if s != src]
+        census = Counter(fp for _, fp in rest)
+        dup = sum(c for c in census.values() if c >= 2)
+        n = len(rest)
+        tok = sum(t for t, _ in rest)
+        r = got[src]
+        assert r.n_docs_rest == n
+        assert r.dup_docs_rest == dup
+        assert r.mean_tokens_rest == math.floor(tok / n * 1e6 + 0.5) / 1e6
+        assert r.delta_mean_tokens == math.floor(
+            (tok / n - g_tokens / g_docs) * 1e6 + 0.5
+        ) / 1e6
