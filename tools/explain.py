@@ -101,6 +101,12 @@ HEADLINE = [
     ("bootstrap_ci", "x32 replicate fan-out inside the scan stage, one (type,rep) shuffle"),
     ("mmr_rerank", "MMR candidates: broadcast query scoring + TakeOrdered, greedy on k rows"),
     ("ndcg_eval", "NDCG: BM25 top-k + relevance censuses, ideal ranking over the label relation"),
+    ("pca_power_iteration", "power iteration: codegen dot folds + 64-row per-dim aggregates, one-row v broadcast"),
+    ("dataset_card", "flagship #4: one feature pass + fingerprint-census join, source-bounded card"),
+    ("incremental_join_merge", "MV delta rule: four legs, AQE-chosen strategies, one view-keyed merge agg"),
+    ("cohort_retention", "retention matrix: distinct-activity pass, exchange-reused user join"),
+    ("temporal_reachability", "temporal BFS round: frontier equi-join + residual, MIN partial agg"),
+    ("source_ablation_report", "leave-one-out algebra: census-keyed aggregates, zero per-source passes"),
 ]
 
 
