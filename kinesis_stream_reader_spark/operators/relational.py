@@ -4639,3 +4639,101 @@ def pseudonymize_consistent(events: DataFrame, orders: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def training_matrix_pit(events: DataFrame) -> DataFrame:
+    """Point-in-time-correct training-matrix assembly (the feature
+    store's defining query): for every label event (a purchase), the
+    user's feature vector as of STRICTLY BEFORE the label timestamp —
+    trailing behavior counts and value mass — with zero possibility of
+    label leakage, because the frame ends at the previous row.
+
+    No as-of join needed when features derive from the same stream:
+    one user-keyed window with frame (unbounded, -1) computes every
+    trailing feature in a single pass — the plan a naive per-feature
+    as-of join would need J shuffles for.
+
+    Output gated to a deterministic 1-in-97 label sample after the
+    window (ranks reflect the full history). Exact integers; the value
+    mass is exact cents."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    feat = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "click", 1)).over(w), F.lit(0)
+        ).alias("prior_clicks"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "view", 1)).over(w), F.lit(0)
+        ).alias("prior_views"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", 1)).over(w), F.lit(0)
+        ).alias("prior_purchases"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)).over(w),
+            F.lit(0),
+        ).alias("prior_purchase_cents"),
+        F.coalesce(F.count("*").over(w), F.lit(0)).alias("prior_events"),
+    )
+    return (
+        feat.filter(
+            (F.col("event_type") == "purchase") & (F.col("event_id") % 97 == 0)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "prior_clicks",
+            "prior_views",
+            "prior_purchases",
+            "prior_purchase_cents",
+            "prior_events",
+        )
+        .orderBy("event_id")
+    )
+
+
+def target_encode_loo(lineitem: DataFrame) -> DataFrame:
+    """Leakage-safe (leave-one-out) target encoding of a categorical
+    column: each row's encoding is the category's mean target computed
+    WITHOUT that row — (S_cat - y_i) / (n_cat - 1) — the standard
+    anti-leakage construction for high-cardinality categorical
+    features (plain target means leak the row's own label).
+
+    One category-keyed partial agg supplies (S, n); the per-row
+    encoding is pure algebra on the joined pair — no window, no
+    second pass, exact integer cents with one quantized division.
+
+    Output gated to a deterministic 1-in-199 orderkey sample."""
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    base = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("cat"),
+        cents.alias("y"),
+    )
+    agg = base.groupBy("cat").agg(
+        F.sum("y").alias("s"), F.count("*").alias("n")
+    )
+    enc = (
+        F.floor(
+            (F.col("s") - F.col("y")).cast("double")
+            / (F.col("n") - 1).cast("double")
+            / F.lit(100.0)
+            * 1e6
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    return (
+        base.join(F.broadcast(agg), "cat")
+        .filter(F.col("l_orderkey") % 199 == 0)
+        .select("l_orderkey", "l_linenumber", "cat", "y", enc.alias("loo_mean"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )

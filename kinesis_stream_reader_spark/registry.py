@@ -7911,3 +7911,67 @@ def source_ablation_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.source_ablation_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "training_matrix_pit",
+    """
+WITH feat AS (
+  SELECT event_id, user_id, event_type,
+         COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_clicks,
+         COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_views,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_purchases,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_purchase_cents,
+         COALESCE(COUNT(*)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_events
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(prior_clicks AS BIGINT) AS prior_clicks,
+       CAST(prior_views AS BIGINT) AS prior_views,
+       CAST(prior_purchases AS BIGINT) AS prior_purchases,
+       CAST(prior_purchase_cents AS BIGINT) AS prior_purchase_cents,
+       CAST(prior_events AS BIGINT) AS prior_events
+FROM feat
+WHERE event_type = 'purchase' AND event_id % 97 = 0
+ORDER BY event_id
+""",
+)
+def training_matrix_pit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.training_matrix_pit(load_events(spark, sf_dir))
+
+
+@register(
+    "target_encode_loo",
+    """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag AS cat,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+  FROM lineitem
+), agg AS (
+  SELECT cat, CAST(SUM(y) AS BIGINT) AS s, COUNT(*) AS n FROM base GROUP BY cat
+)
+SELECT l_orderkey, l_linenumber, cat, y,
+       FLOOR(CAST(s - y AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6
+         AS loo_mean
+FROM base JOIN agg USING (cat)
+WHERE l_orderkey % 199 = 0
+ORDER BY l_orderkey, l_linenumber
+""",
+)
+def target_encode_loo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.target_encode_loo(load_table(spark, sf_dir, "lineitem"))

@@ -1738,3 +1738,71 @@ def test_pseudonymize_consistent_properties(spark, sf_dir):
     cust = {r.o_custkey for r in orders.select("o_custkey").distinct().collect()}
     assert row.n_users == len(ev_users)
     assert row.raw_join_keys == len(ev_users & cust)
+
+
+def test_training_matrix_pit_no_leakage(spark, sf_dir):
+    """Every prior_* feature must equal a strict-before driver scan —
+    the row's own label event never counts itself."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.operators.relational import training_matrix_pit
+
+    events = load_events(spark, sf_dir)
+    got = {r.event_id: r for r in training_matrix_pit(events).collect()}
+    timelines = defaultdict(list)
+    for r in events.select("user_id", "ts", "event_id", "event_type", "value").collect():
+        timelines[r.user_id].append((r.ts, r.event_id, r.event_type, r.value))
+    expect = {}
+    for uid, tl in timelines.items():
+        tl.sort(key=lambda x: (x[0], x[1]))
+        c = v = p = pc = 0
+        for i, (ts, eid, et, val) in enumerate(tl):
+            if et == "purchase" and eid % 97 == 0:
+                expect[eid] = (uid, c, v, p, pc, i)
+            if et == "click":
+                c += 1
+            elif et == "view":
+                v += 1
+            elif et == "purchase":
+                p += 1
+                pc += math.floor(val * 100 + 0.5)
+    assert set(got) == set(expect)
+    for eid, (uid, c, v, p, pc, n) in expect.items():
+        r = got[eid]
+        assert (
+            r.user_id,
+            r.prior_clicks,
+            r.prior_views,
+            r.prior_purchases,
+            r.prior_purchase_cents,
+            r.prior_events,
+        ) == (uid, c, v, p, pc, n)
+
+
+def test_target_encode_loo_brute_force(spark, sf_dir):
+    """LOO means must exclude the row's own target exactly."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.operators.relational import target_encode_loo
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        (r.l_orderkey, r.l_linenumber): (r.cat, r.y, r.loo_mean)
+        for r in target_encode_loo(li).collect()
+    }
+    s = defaultdict(int)
+    n = defaultdict(int)
+    rows = li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    ).collect()
+    ys = {}
+    for r in rows:
+        y = math.floor(r.l_extendedprice * 100 + 0.5)
+        ys[(r.l_orderkey, r.l_linenumber)] = (r.l_returnflag, y)
+        s[r.l_returnflag] += y
+        n[r.l_returnflag] += 1
+    for key, (cat, y) in ys.items():
+        if key[0] % 199 == 0:
+            loo = math.floor((s[cat] - y) / (n[cat] - 1) / 100.0 * 1e6 + 0.5) / 1e6
+            assert got[key] == (cat, y, loo)
+    assert len(got) == sum(1 for k in ys if k[0] % 199 == 0)
