@@ -413,3 +413,116 @@ def audio_decode_features(media: DataFrame, target_rate: int = 16_000) -> DataFr
             )
 
     return media.mapInPandas(batches, AUDIO_DECODE_SCHEMA)
+
+
+# --- REAL video pipeline (YUV4MPEG2 / y4m payloads) -------------------------
+#
+# y4m is the uncompressed video interchange format (plain-text stream
+# header + per-frame "FRAME\n" markers + raw planar YUV bytes), so a
+# correct parser needs no codec library — the video leg of the real
+# in-sandbox decode trio (PPM image / WAV audio / y4m video). The
+# compressed formats (H.264/VP9 etc.) remain import-gated stubs.
+
+VIDEO_DECODE_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, n_frames INT, "
+    "luma_sum BIGINT, sampled_luma_sum BIGINT"
+)
+
+
+def encode_y4m(width: int, height: int, frames: "list[bytes]") -> bytes:
+    """Minimal YUV4MPEG2 writer (C420: per frame Y=W*H then U,V=W*H/4)."""
+    out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]
+    for f in frames:
+        out.append(b"FRAME\n")
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_y4m(blob: bytes) -> "tuple[int, int, list[bytes]]":
+    """Parse the stream header + FRAME markers; returns (w, h, frames)
+    where each frame is the raw C420 plane payload (w*h*3//2 bytes)."""
+    nl = blob.index(b"\n")
+    header = blob[:nl].decode()
+    parts = header.split(" ")
+    if parts[0] != "YUV4MPEG2":
+        raise ValueError("not a y4m stream")
+    w = h = None
+    for p in parts[1:]:
+        if p.startswith("W"):
+            w = int(p[1:])
+        elif p.startswith("H"):
+            h = int(p[1:])
+    if not w or not h:
+        raise ValueError("y4m header missing dimensions")
+    frame_bytes = w * h * 3 // 2
+    frames = []
+    pos = nl + 1
+    while pos < len(blob):
+        if blob[pos : pos + 6] != b"FRAME\n":
+            raise ValueError(f"bad FRAME marker at {pos}")
+        pos += 6
+        frames.append(blob[pos : pos + frame_bytes])
+        pos += frame_bytes
+    return w, h, frames
+
+
+def synthetic_y4m_media(documents: DataFrame) -> DataFrame:
+    """One real y4m clip per document: w = 4 + 2*(doc_id % 3),
+    h = 4 + 2*(doc_id % 2), n_frames = 3 + doc_id % 4, frame-f byte j
+    = (doc_id*11 + f*17 + j*5) % 256 (over the full C420 payload)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                w = 4 + 2 * (doc_id % 3)
+                h = 4 + 2 * (doc_id % 2)
+                n = 3 + doc_id % 4
+                fb = w * h * 3 // 2
+                frames = [
+                    bytes(
+                        ((doc_id * 11 + f * 17 + np.arange(fb) * 5) % 256).astype(
+                            np.uint8
+                        )
+                    )
+                    for f in range(n)
+                ]
+                blobs.append(encode_y4m(int(w), int(h), frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    return documents.select("doc_id").mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+
+
+def video_decode_features(media: DataFrame) -> DataFrame:
+    """REAL y4m decode: header dimensions, frame count, exact integer
+    sum of the luma (Y) plane across all frames, and the same sum over
+    the even-index frame sample (the frame-sampling training path).
+    Arrow-batched, map-only — the shuffle never carries pixels."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                w, h, frames = decode_y4m(bytes(blob))
+                luma = 0
+                sampled = 0
+                for f, fr in enumerate(frames):
+                    y = np.frombuffer(fr[: w * h], dtype=np.uint8)
+                    s = int(y.astype(np.int64).sum())
+                    luma += s
+                    if f % 2 == 0:
+                        sampled += s
+                rows.append((doc_id, w, h, len(frames), luma, sampled))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames",
+                    "luma_sum", "sampled_luma_sum",
+                ],
+            )
+
+    return media.mapInPandas(batches, VIDEO_DECODE_SCHEMA)

@@ -7975,3 +7975,37 @@ def target_encode_loo_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.target_encode_loo(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "multimodal_video_decode",
+    # formula-derived y4m clips: the oracle recomputes decoded header
+    # dims, frame counts and exact luma-plane sums from the same
+    # integer formulas the builder used
+    """
+WITH dims AS (
+  SELECT doc_id,
+         4 + 2 * (doc_id % 3) AS w,
+         4 + 2 * (doc_id % 2) AS h,
+         3 + doc_id % 4 AS nf
+  FROM documents
+), fj AS (
+  SELECT doc_id, w, h, nf, f.f, j.j
+  FROM dims
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS j) j
+)
+SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       CAST(SUM((doc_id * 11 + f * 17 + j * 5) % 256) AS BIGINT) AS luma_sum,
+       CAST(SUM(CASE WHEN f % 2 = 0 THEN (doc_id * 11 + f * 17 + j * 5) % 256 ELSE 0 END) AS BIGINT)
+         AS sampled_luma_sum
+FROM fj GROUP BY doc_id, w, h, nf ORDER BY doc_id
+""",
+)
+def multimodal_video_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_y4m_media(docs)
+    return multimodal.video_decode_features(media).orderBy("doc_id")

@@ -168,3 +168,44 @@ def test_wav_decode_resample_shapes(spark, sf_dir):
         out_rate, resampled = M.resample_audio(blob, 16000)
         assert out_rate == 16000 and len(resampled) == 2 * n
         assert (resampled[::2] == samples).all() and (resampled[1::2] == samples).all()
+
+
+def test_y4m_roundtrip_and_decode(spark, sf_dir):
+    """encode_y4m -> decode_y4m round trip, and the distributed decode
+    must equal the per-doc formula."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        synthetic_y4m_media,
+        video_decode_features,
+    )
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    # pure round trip
+    frames = [bytes((i + j) % 256 for j in range(4 * 4 * 3 // 2)) for i in range(3)]
+    blob = encode_y4m(4, 4, frames)
+    w, h, fr = decode_y4m(blob)
+    assert (w, h) == (4, 4)
+    assert fr == frames
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = synthetic_y4m_media(docs)
+    got = {r.doc_id: r for r in video_decode_features(media).collect()}
+    for doc_id in got:
+        w = 4 + 2 * (doc_id % 3)
+        h = 4 + 2 * (doc_id % 2)
+        nf = 3 + doc_id % 4
+        luma = sampled = 0
+        for f in range(nf):
+            s = int(
+                sum((doc_id * 11 + f * 17 + j * 5) % 256 for j in range(w * h))
+            )
+            luma += s
+            if f % 2 == 0:
+                sampled += s
+        r = got[doc_id]
+        assert (r.width, r.height, r.n_frames) == (w, h, nf)
+        assert r.luma_sum == luma
+        assert r.sampled_luma_sum == sampled
