@@ -2410,7 +2410,8 @@ def pagerank_converged(
             F.sum(F.abs(F.col("rank_u") - F.col("old_rank_u"))).alias("d")
         ).first()[0]
         ranks = stepped.select("node", "rank_u")
-        if delta_u < tol_u:
+        # SUM over an empty graph is NULL -> converged by definition
+        if delta_u is None or delta_u < tol_u:
             break
     return ranks.select(
         "node",

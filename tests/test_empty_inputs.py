@@ -1,0 +1,45 @@
+"""Degenerate-input robustness: every operator family must tolerate
+EMPTY source tables (0 rows, full schema) without crashing — the
+condition a 100 TB pipeline hits constantly (empty partitions, fresh
+sources, filtered-to-nothing slices). Results may legitimately be
+empty; they must never raise."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kinesis_stream_reader_spark.sources.tables import TABLES
+
+import __spark_entry__ as entrymod
+
+SUBSET = [
+    "records_pipeline", "scan_stream", "filter_conjunction", "deagg_explode",
+    "json_parse", "curate_corpus", "rag_retrieval", "dedup_minhash_canonical",
+    "semdedup", "ann_bruteforce", "agg_pricing_summary", "window_rank",
+    "join_enrich", "top_k_customers", "bm25_retrieval", "chi2_independence",
+    "trend_lines", "cusum_changepoint", "assoc_rules", "shortest_path_bounded",
+    "kmv_intersection", "grid_radius_join", "bootstrap_ci", "calibration_report",
+    "mmr_rerank", "pca_power_iteration", "cohort_retention", "ab_test_report",
+    "sequence_motifs", "dataset_card", "training_matrix_pit",
+    "pseudonymize_consistent", "incremental_join_merge", "pagerank_converged",
+    "dedup_groups", "feature_quantile_bins", "drift_ks", "table_checksum",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("ksr_empty"))
+    for t in TABLES:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df.limit(0).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out, f"{t}.parquet")
+        )
+    return out
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_survives_empty_inputs(spark, empty_dir, name):
+    cnt = entrymod.queries()[name](spark, empty_dir).count()
+    assert cnt >= 0
