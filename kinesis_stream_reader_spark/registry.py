@@ -357,30 +357,18 @@ def deagg_passthrough_quirk_query(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register(
-    "source_python_backfill",
-    # end-to-end through the Spark 4 Python DataSource: recorded-wire
-    # shard files -> kinesis_backfill format (one partition per shard,
-    # executor-side reads) -> KPL deagg -> JSON parse must reproduce
-    # the events table exactly — the same identity oracle as
-    # deagg_explode, now through the pluggable-source machinery
-    """
-SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
-FROM events
-""",
-)
-def source_python_backfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ensure_pyds_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Recorded-wire shard files for the Python DataSource, fingerprinted
+    like ksr_raw_cache: a regenerated events table can never be read
+    against stale shard files. Registers the DataSource as a side
+    effect. Shared by the batch reader, the wire writer, and the
+    streaming reader queries."""
     import pandas as _pd
 
-    from .operators.ingest import deagg_explode, json_parse
     from .sources.python_source import KinesisBackfillDataSource, write_shard_file
-    from .sources.raw import kpl_raw_records
-
-    from .sources.raw import source_fingerprint
+    from .sources.raw import kpl_raw_records, source_fingerprint
 
     spark.dataSource.register(KinesisBackfillDataSource)
-    # fingerprinted like ksr_raw_cache: a regenerated events table can
-    # never be read against stale shard files
     shard_dir = (
         f"/tmp/ksr_pyds/{sf_dir.strip('/').replace('/', '_')}"
         f"_{source_fingerprint(sf_dir)}"
@@ -403,6 +391,25 @@ def source_python_backfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             return _pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
 
         raw.groupBy("shard").applyInPandas(dump, "shard INT, n INT").count()
+    return shard_dir
+
+
+@register(
+    "source_python_backfill",
+    # end-to-end through the Spark 4 Python DataSource: recorded-wire
+    # shard files -> kinesis_backfill format (one partition per shard,
+    # executor-side reads) -> KPL deagg -> JSON parse must reproduce
+    # the events table exactly — the same identity oracle as
+    # deagg_explode, now through the pluggable-source machinery
+    """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+)
+def source_python_backfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.ingest import deagg_explode, json_parse
+
+    shard_dir = _ensure_pyds_fixture(spark, sf_dir)
     df = spark.read.format("kinesis_backfill").option("path", shard_dir).load()
     parsed = json_parse(
         deagg_explode(df), schema="event_id BIGINT, k BIGINT"
@@ -8009,3 +8016,35 @@ def multimodal_video_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthetic_y4m_media(docs)
     return multimodal.video_decode_features(media).orderBy("doc_id")
+
+
+@register(
+    "source_python_stream",
+    # the STREAMING Python DataSource must drain to exactly the batch
+    # reader's parse: same shard files, same KPL deagg, same JSON parse
+    """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+)
+def source_python_stream_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 Python DataSource STREAMING reader: per-shard record
+    counts are the offsets (the sequence-number checkpoint analogue),
+    micro-batch partitions cover [committed, latest) per shard and read
+    on executors, and an AvailableNow drain through KPL deagg + JSON
+    parse must equal the batch reader bit for bit — completing the
+    custom-source surface: batch reader, paged wire writer, streaming
+    reader."""
+    from .operators.ingest import deagg_explode, json_parse
+    from .streaming import jobs
+
+    shard_dir = _ensure_pyds_fixture(spark, sf_dir)
+    stream = (
+        spark.readStream.format("kinesis_backfill")
+        .option("path", shard_dir)
+        .load()
+    )
+    parsed = json_parse(deagg_explode(stream), schema="event_id BIGINT, k BIGINT")
+    return jobs.run_available_now(
+        parsed.select("event_id", "k"), "source_python_stream"
+    )

@@ -35,6 +35,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -108,6 +109,9 @@ class KinesisBackfillDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "DataSourceWriter":
         return KinesisWireWriter(self.options)
 
+    def streamReader(self, schema) -> "DataSourceStreamReader":
+        return KinesisBackfillStreamReader(self.options)
+
 
 class _WireCommit(WriterCommitMessage):
     """Per-task commit message: which shard file the task wrote and
@@ -180,3 +184,70 @@ class KinesisWireWriter(DataSourceWriter):
         for m in messages or []:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+
+
+class _ShardRangePartition(InputPartition):
+    def __init__(self, shard_id: str, path: str, start: int, end: int) -> None:
+        self.shard_id = shard_id
+        self.path = path
+        self.start = start
+        self.end = end
+
+
+class KinesisBackfillStreamReader(DataSourceStreamReader):
+    """STREAMING half of the kinesis_backfill format (Spark 4
+    DataSourceStreamReader): offsets are per-shard record counts — the
+    Python analogue of Kinesis sequence-number checkpoints. Each
+    micro-batch plans one partition per shard covering
+    [committed, latest) lines, read ON THE EXECUTORS; commit() is
+    where a production source would checkpoint sequence numbers (the
+    engine already persists the offset JSON in the streaming
+    checkpoint, which is what exactly-once resume rides on)."""
+
+    def __init__(self, options: dict) -> None:
+        self.dir = options["path"]
+
+    def _counts(self) -> dict:
+        out = {}
+        for f in sorted(os.listdir(self.dir)):
+            if f.startswith("shard-"):
+                with open(os.path.join(self.dir, f)) as fh:
+                    out[f] = sum(1 for _ in fh)
+        return out
+
+    def initialOffset(self) -> dict:
+        return {f: 0 for f in self._counts()}
+
+    def latestOffset(self) -> dict:
+        return self._counts()
+
+    def partitions(self, start: dict, end: dict):
+        parts = []
+        for f, hi in sorted(end.items()):
+            lo = int(start.get(f, 0))
+            if hi > lo:
+                parts.append(
+                    _ShardRangePartition(
+                        f.split("-", 1)[1].split(".")[0],
+                        os.path.join(self.dir, f),
+                        lo,
+                        int(hi),
+                    )
+                )
+        return parts
+
+    def read(self, partition: _ShardRangePartition):
+        with open(partition.path) as fh:
+            for i, line in enumerate(fh):
+                if partition.start <= i < partition.end:
+                    rec = json.loads(line)
+                    yield (
+                        partition.shard_id,
+                        rec["seq"],
+                        base64.b64decode(rec["data"]),
+                    )
+
+    def commit(self, end: dict) -> None:
+        # sequence-number checkpoint hook; the streaming engine has
+        # already durably recorded `end` in its offset log
+        pass

@@ -251,3 +251,53 @@ def test_python_datasource_writer_pages_and_manifest(spark, sf_dir):
     back = spark.read.format("kinesis_backfill").option("path", out).load()
     vals = sorted(int(bytes(r.data).decode()) for r in back.collect())
     assert vals == list(range(1203))
+
+
+def test_python_stream_source_drains_in_pages(spark, sf_dir, tmp_path):
+    """The streaming DataSource must respect offsets: records appended
+    AFTER the first drain are picked up by a second drain without
+    re-reading the first page (per-shard count offsets)."""
+    import base64 as _b64
+    import json as _json
+
+    from kinesis_stream_reader_spark.sources.python_source import (
+        KinesisBackfillDataSource,
+        write_shard_file,
+    )
+
+    spark.dataSource.register(KinesisBackfillDataSource)
+    d = str(tmp_path / "wire")
+    import os as _os
+
+    _os.makedirs(d)
+    write_shard_file(f"{d}/shard-0.jsonl", [b"alpha", b"beta"])
+    write_shard_file(f"{d}/shard-1.jsonl", [b"gamma"])
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            spark.readStream.format("kinesis_backfill")
+            .option("path", d)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(out).collect()
+    assert sorted(bytes(r.data) for r in first) == [b"alpha", b"beta", b"gamma"]
+    # append one record to shard 0 (simulate new arrivals)
+    with open(f"{d}/shard-0.jsonl", "a") as fh:
+        fh.write(_json.dumps({"seq": 2, "data": _b64.b64encode(b"delta").decode()}) + "\n")
+    drain()
+    second = spark.read.parquet(out).collect()
+    assert sorted(bytes(r.data) for r in second) == [
+        b"alpha", b"beta", b"delta", b"gamma",
+    ]
+    # exactly-once: the replayed drain added ONLY the new record
+    assert len(second) == 4
