@@ -8048,3 +8048,59 @@ def source_python_stream_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jobs.run_available_now(
         parsed.select("event_id", "k"), "source_python_stream"
     )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    # oracle = the plain join semantics; the ENGINE side must produce
+    # this via a partitioned scan whose partitions are pruned at
+    # RUNTIME by the dimension filter (dynamicpruning subquery —
+    # pytest asserts the plan)
+    """
+WITH dim(event_type, category) AS (
+  VALUES ('click','A'),('purchase','A'),('view','B'),('signup','B'),('error','B')
+)
+SELECT e.event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events e JOIN dim d ON d.event_type = e.event_type
+WHERE d.category = 'A'
+GROUP BY e.event_type ORDER BY e.event_type
+""",
+)
+def join_dynamic_partition_pruning_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is STORED partitioned
+    by event_type; the dimension filter (category = 'A') is only known
+    at runtime, and Catalyst injects a dynamicpruning subquery into the
+    fact scan's partition filters — at 100 TB this is the difference
+    between scanning 2/5 of the table and all of it, with zero change
+    to the query text. The static-pruning twin lives in
+    tests/test_partition_pruning.py; this is the join-driven form."""
+    from .sources.raw import source_fingerprint
+
+    part_dir = (
+        f"/tmp/ksr_dpp/{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_fingerprint(sf_dir)}"
+    )
+    if not os.path.isdir(part_dir):
+        load_events(spark, sf_dir).write.partitionBy("event_type").mode(
+            "overwrite"
+        ).parquet(part_dir)
+    fact = spark.read.parquet(part_dir)
+    dim = spark.createDataFrame(
+        [
+            ("click", "A"),
+            ("purchase", "A"),
+            ("view", "B"),
+            ("signup", "B"),
+            ("error", "B"),
+        ],
+        "event_type string, category string",
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .filter(F.col("category") == "A")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("value_cents"))
+        .orderBy("event_type")
+    )

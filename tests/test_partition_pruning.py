@@ -83,3 +83,15 @@ def test_aqe_splits_skewed_join(spark):
     # correctness: each big row matches other rows sharing its key
     assert n == 160_000_000
     assert "skew=true" in plan, plan[:2000]
+
+
+def test_dynamic_partition_pruning_in_plan(spark, sf_dir):
+    """The DPP query's fact scan must carry a dynamicpruning partition
+    filter injected from the dimension side."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    df = QUERIES["join_dynamic_partition_pruning"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    rows = {r.event_type: r.n for r in df.collect()}
+    assert set(rows) == {"click", "purchase"}
