@@ -14,6 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .operators.events import flatten_ids, to_nested
 from .operators.filters import (
@@ -8103,4 +8104,180 @@ def join_dynamic_partition_pruning_query(spark: SparkSession, sf_dir: str) -> Da
         .groupBy("event_type")
         .agg(F.count("*").alias("n"), F.sum(cents).alias("value_cents"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "join_runtime_bloom_filter",
+    # oracle = the plain join; the engine must produce it through
+    # Spark's runtime bloom-filter join rewrite (might_contain gate on
+    # the probe side — the automatic form of bloom_semi_filter's
+    # manual build; pytest asserts the plan)
+    """
+SELECT o.o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 350000
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+""",
+)
+def join_runtime_bloom_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join rewrite: the selective dimension
+    filter (o_totalprice > 350000) is turned into a bloom filter built
+    on the creation side and pushed into the fact scan as a
+    might_contain gate — rows that cannot join are dropped BEFORE the
+    shuffle. At 100 TB this is the shuffle-volume win of
+    bloom_semi_filter with zero hand-written code. Local thresholds
+    are lowered (and restored) so the rewrite fires at fixture scale;
+    a real cluster's defaults fire on real sizes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 350000
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        joined = (
+            li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum(cents).alias("revenue_cents"))
+            .orderBy("o_orderpriority")
+        )
+        # materialize the plan (and the result the driver will hash)
+        # under the lowered thresholds
+        joined = joined.localCheckpoint()
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    return joined
+
+
+@register(
+    "funnel_negative",
+    # purchases NOT click-attributed within the hour — the CEP
+    # negation pattern (A not-preceded-by B within T), same
+    # union + running-last machinery as the as-of joins
+    """
+WITH tagged AS (
+  SELECT user_id, ts, 1 AS is_click, CAST(NULL AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 0 AS is_click, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+), lastc AS (
+  SELECT user_id, ts, is_click, pts,
+         MAX(CASE WHEN is_click = 1 THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, is_click DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+  FROM tagged
+)
+SELECT strftime(CAST(pts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_purchases,
+       COUNT(CASE WHEN last_click IS NOT NULL
+                   AND last_click >= pts - INTERVAL 1 HOUR THEN 1 END) AS n_attributed,
+       COUNT(CASE WHEN last_click IS NULL
+                   OR last_click < pts - INTERVAL 1 HOUR THEN 1 END) AS n_organic
+FROM lastc WHERE is_click = 0
+GROUP BY 1 ORDER BY 1
+""",
+)
+def funnel_negative_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-condition funnel (CEP negation): purchases NOT preceded
+    by a click within one hour — the complement every attribution
+    report needs, via the same one-shuffle union + running-last window
+    primitive as join_asof (clicks sort before same-instant
+    purchases). No theta join, no per-purchase probe."""
+    events = load_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("is_click"),
+        F.lit(None).cast("timestamp").alias("pts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("is_click"), F.col("ts").alias("pts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lastc = clicks.unionByName(purchases).withColumn(
+        "last_click",
+        F.max(F.when(F.col("is_click") == 1, F.col("ts"))).over(w),
+    )
+    attributed = F.col("last_click").isNotNull() & (
+        F.col("last_click") >= F.col("pts") - F.expr("INTERVAL 1 HOUR")
+    )
+    return (
+        lastc.filter(F.col("is_click") == 0)
+        .groupBy(F.date_format(F.to_date("pts"), "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.count(F.when(attributed, 1)).alias("n_attributed"),
+            F.count(F.when(~attributed, 1)).alias("n_organic"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "gdpr_erasure_audit",
+    """
+WITH req(user_id) AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+), ev AS (
+  SELECT COUNT(*) AS ev_before,
+         COUNT(CASE WHEN user_id % 97 <> 0 THEN 1 END) AS ev_after
+  FROM events
+), ords AS (
+  SELECT COUNT(*) AS ord_before,
+         COUNT(CASE WHEN o.o_custkey NOT IN (SELECT user_id FROM req) THEN 1 END) AS ord_after
+  FROM orders o
+), leftover AS (
+  SELECT COUNT(*) AS remaining_refs FROM (
+    SELECT user_id FROM events WHERE user_id % 97 <> 0
+  ) e JOIN req USING (user_id)
+)
+SELECT (SELECT COUNT(*) FROM req) AS n_requests,
+       ev_before, ev_after, ord_before, ord_after, remaining_refs
+FROM ev, ords, leftover
+""",
+)
+def gdpr_erasure_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure job + verification pass: given a deterministic
+    request list (user_id % 97 = 0), apply the anti-join erase to every
+    table referencing the subject key and AUDIT it — per-table before/
+    after counts plus a must-be-zero remaining-references probe (the
+    erased relation re-joined against the request list). The erase is
+    a broadcast anti join per table; the audit adds counts-only
+    aggregates. The governance family's write path next to
+    pseudonymize_consistent's read path."""
+    events = load_events(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    req = events.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    ev_after_df = events.join(F.broadcast(req), "user_id", "left_anti")
+    ord_after_df = orders.join(
+        F.broadcast(req.select(F.col("user_id").alias("o_custkey"))),
+        "o_custkey",
+        "left_anti",
+    )
+    n_req = req.agg(F.count("*").alias("n_requests"))
+    ev_counts = events.agg(F.count("*").alias("ev_before")).join(
+        ev_after_df.agg(F.count("*").alias("ev_after"))
+    )
+    ord_counts = orders.agg(F.count("*").alias("ord_before")).join(
+        ord_after_df.agg(F.count("*").alias("ord_after"))
+    )
+    leftover = ev_after_df.join(F.broadcast(req), "user_id").agg(
+        F.count("*").alias("remaining_refs")
+    )
+    return (
+        n_req.join(ev_counts).join(ord_counts).join(leftover)
     )
