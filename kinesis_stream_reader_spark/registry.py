@@ -8281,3 +8281,160 @@ def gdpr_erasure_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_req.join(ev_counts).join(ord_counts).join(leftover)
     )
+
+
+@register(
+    "pipeline_from_spec",
+    # the DSL compiles to ONE Catalyst plan; the oracle is the same
+    # logic as plain SQL
+    """
+SELECT c.c_mktsegment, o.o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 100000
+GROUP BY 1, 2
+ORDER BY n DESC, c_mktsegment, o_orderpriority
+LIMIT 20
+""",
+)
+def pipeline_from_spec_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.pipeline import pipeline_from_spec
+
+    tables = {
+        "orders": load_table(spark, sf_dir, "orders"),
+        "customer": load_table(spark, sf_dir, "customer"),
+    }
+    spec = {
+        "source": "orders",
+        "steps": [
+            {"op": "filter", "expr": "o_totalprice > 100000"},
+            {
+                "op": "join",
+                "table": "customer",
+                "on": "o_custkey = c_custkey",
+                "how": "inner",
+                "broadcast": True,
+            },
+            {
+                "op": "with_column",
+                "name": "cents",
+                "expr": "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)",
+            },
+            {
+                "op": "group_agg",
+                "keys": ["c_mktsegment", "o_orderpriority"],
+                "aggs": [
+                    {"fn": "count", "col": "*", "alias": "n"},
+                    {"fn": "sum", "col": "cents", "alias": "total_cents"},
+                ],
+            },
+            {"op": "order_by", "columns": ["n desc", "c_mktsegment", "o_orderpriority"]},
+            {"op": "limit", "n": 20},
+        ],
+    }
+    return pipeline_from_spec(spark, tables, spec)
+
+
+@register(
+    "surrogate_keys_dense",
+    # dense global numbering WITHOUT a single-partition global sort:
+    # value-derived buckets -> per-bucket counts -> tiny running-offset
+    # window -> per-bucket parallel row_number + offset. Oracle = the
+    # naive global row_number.
+    """
+SELECT event_id, sk FROM (
+  SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) AS sk FROM events
+) WHERE event_id % 211 = 0
+ORDER BY event_id
+""",
+)
+def surrogate_keys_dense_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense surrogate-key assignment at scale: a global row_number
+    needs a single-partition sort (the driver-melting plan); instead,
+    value-derived buckets (event_id DIV 10000) give a deterministic
+    coarse order, per-bucket counts feed a RUNNING OFFSET over the
+    tiny bucket relation, and each bucket numbers its rows in
+    PARALLEL (row_number partitioned by bucket) shifted by its offset.
+    Two passes, no global sort, bit-identical to the naive form —
+    which is the oracle. Output gated to a 1-in-211 sample; the keys
+    reflect the full numbering."""
+    events = load_events(spark, sf_dir)
+    b = (F.col("event_id") / 10000).cast("long").alias("bucket")
+    bucketed = events.select("event_id", b)
+    counts = bucketed.groupBy("bucket").agg(F.count("*").alias("n"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(woff), F.lit(0))
+    )
+    wlocal = Window.partitionBy("bucket").orderBy("event_id")
+    return (
+        bucketed.join(F.broadcast(offsets.select("bucket", "offset")), "bucket")
+        .withColumn("sk", F.row_number().over(wlocal) + F.col("offset"))
+        .filter(F.col("event_id") % 211 == 0)
+        .select("event_id", "sk")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "backfill_stale_partitions",
+    # oracle = the full day-partitioned aggregate; the engine must
+    # reach it by recomputing ONLY the partitions whose checksums
+    # diverge from a tampered snapshot
+    """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1 ORDER BY 1
+""",
+)
+def backfill_stale_partitions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent partial backfill: a prior snapshot of the
+    day-partitioned aggregate has stale days (simulated
+    deterministically: every 7th day's counts halved); per-day
+    checksums of the CURRENT source vs the snapshot identify exactly
+    the stale days, and ONLY those recompute — the orchestration
+    pattern that turns a full nightly rebuild into an O(changed days)
+    touch-up. The merged result must equal the full recompute (the
+    oracle). The checksum diff is table_checksum's per-partition
+    application."""
+    events = load_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    fresh = events.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").alias("n"), F.sum(cents).alias("value_cents"))
+    # the "previous run": every 7th day is stale (halved counts)
+    snapshot = fresh.withColumn(
+        "stale", F.dayofmonth(F.to_date("day")) % 7 == 0
+    ).select(
+        "day",
+        F.when(F.col("stale"), (F.col("n") / 2).cast("long"))
+        .otherwise(F.col("n"))
+        .alias("n"),
+        F.when(F.col("stale"), (F.col("value_cents") / 2).cast("long"))
+        .otherwise(F.col("value_cents"))
+        .alias("value_cents"),
+    )
+    # checksum diff: which days disagree?
+    chk = lambda df: df.select(  # noqa: E731
+        "day",
+        F.md5(
+            F.concat_ws(":", F.col("n").cast("string"), F.col("value_cents"))
+        ).alias("chk"),
+    )
+    stale_days = (
+        chk(snapshot)
+        .alias("s")
+        .join(chk(fresh).alias("f"), "day")
+        .filter(F.col("s.chk") != F.col("f.chk"))
+        .select("day")
+    )
+    # recompute ONLY stale days from source, keep the rest from snapshot
+    recomputed = fresh.join(F.broadcast(stale_days), "day", "left_semi")
+    kept = snapshot.join(F.broadcast(stale_days), "day", "left_anti")
+    return kept.unionByName(recomputed).orderBy("day")

@@ -220,3 +220,99 @@ def test_compaction_collapses_file_count_preserving_rows(spark, sf_dir):
     assert n_frag == 64
     assert n_comp < n_frag / 4  # real collapse
     assert out.count() == load_events(spark, sf_dir).count()
+
+
+def test_pipeline_dsl_validation_and_plan(spark, sf_dir):
+    """Unknown ops/aggs/tables must raise BEFORE execution; a valid
+    spec compiles to one plan equal to the hand-written chain."""
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.plans.pipeline import pipeline_from_spec
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    tables = {"orders": orders}
+    with _pytest.raises(ValueError, match="unknown source"):
+        pipeline_from_spec(spark, tables, {"source": "nope"})
+    with _pytest.raises(ValueError, match="unknown op"):
+        pipeline_from_spec(
+            spark, tables, {"source": "orders", "steps": [{"op": "drop_table"}]}
+        )
+    with _pytest.raises(ValueError, match="not allowed"):
+        pipeline_from_spec(
+            spark,
+            tables,
+            {
+                "source": "orders",
+                "steps": [
+                    {"op": "group_agg", "keys": ["o_orderpriority"],
+                     "aggs": [{"fn": "collect_list", "col": "o_custkey", "alias": "x"}]}
+                ],
+            },
+        )
+    spec = {
+        "source": "orders",
+        "steps": [
+            {"op": "filter", "expr": "o_totalprice > 200000"},
+            {"op": "group_agg", "keys": ["o_orderpriority"],
+             "aggs": [{"fn": "count", "col": "*", "alias": "n"}]},
+            {"op": "order_by", "columns": ["o_orderpriority"]},
+        ],
+    }
+    got = pipeline_from_spec(spark, tables, spec).collect()
+    want = (
+        orders.filter("o_totalprice > 200000")
+        .groupBy("o_orderpriority")
+        .count()
+        .withColumnRenamed("count", "n")
+        .orderBy("o_orderpriority")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_surrogate_keys_dense_no_global_sort(spark, sf_dir):
+    """The dense-numbering plan must NOT contain a single-partition
+    global sort of the fact table (the naive row_number shape)."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+    from kinesis_stream_reader_spark.sources.tables import load_events
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = QUERIES["surrogate_keys_dense"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the naive plan shows 'Window [row_number() ...]' over an empty
+    # partition spec, which Spark executes after Exchange SinglePartition
+    naive = (
+        load_events(spark, sf_dir)
+        .withColumn("sk", F.row_number().over(Window.orderBy("event_id")))
+    )
+    naive_plan = naive._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" in naive_plan  # the anti-pattern, for contrast
+    # the fact-side numbering runs PARTITIONED by bucket (parallel);
+    # the only single-partition work is the tiny bucket-count offsets
+    assert "hashpartitioning(bucket" in plan
+
+
+def test_backfill_recomputes_only_stale_days(spark, sf_dir):
+    """The merged result equals the full recompute, and the stale-day
+    set is exactly the tampered days."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+    from kinesis_stream_reader_spark.sources.tables import load_events
+    from pyspark.sql import functions as F
+
+    merged = {
+        r.day: (r.n, r.value_cents)
+        for r in QUERIES["backfill_stale_partitions"](spark, sf_dir).collect()
+    }
+    events = load_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    full = {
+        r.day: (r.n, r.vc)
+        for r in events.groupBy(
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("vc"))
+        .collect()
+    }
+    assert merged == full
