@@ -8438,3 +8438,113 @@ def backfill_stale_partitions_query(spark: SparkSession, sf_dir: str) -> DataFra
     recomputed = fresh.join(F.broadcast(stale_days), "day", "left_semi")
     kept = snapshot.join(F.broadcast(stale_days), "day", "left_anti")
     return kept.unionByName(recomputed).orderBy("day")
+
+
+@register(
+    "nested_orders_roundtrip",
+    # oracle = the flat join aggregate; the engine must reach it by
+    # BUILDING the nested order document (array<struct> of items) and
+    # analyzing it with higher-order functions — the document-model
+    # round trip a lakehouse runs daily
+    """
+SELECT o.o_orderkey,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(MAX(l.l_quantity) AS DOUBLE) AS max_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey % 97 = 0
+GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+""",
+)
+def nested_orders_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-model round trip: lineitems COLLECT into an
+    array<struct> per order (the nested write shape an event-sourcing
+    or API-export job produces), then the analytics run WITHOUT
+    re-exploding — size(), aggregate() and a transform/array_max fold
+    over the nested column, all codegen. One shuffle to build the
+    document; zero to analyze it. The oracle is the flat join — the
+    comparison proves the nested pipeline loses nothing."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    nested = (
+        li.join(F.broadcast(orders.select("o_orderkey")), li.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderkey",
+            F.struct(
+                cents.alias("cents"), F.col("l_quantity").alias("qty")
+            ).alias("item"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.collect_list("item").alias("items"))
+    )
+    return nested.select(
+        "o_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.aggregate(
+            F.col("items"),
+            F.lit(0).cast("long"),
+            lambda acc, it: acc + it["cents"],
+        ).alias("total_cents"),
+        F.array_max(
+            F.transform(F.col("items"), lambda it: it["qty"])
+        ).cast("double").alias("max_qty"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "late_arrival_histogram",
+    # lateness = how far behind the running event-time high-watermark
+    # each record arrives (arrival order = event_id); the histogram is
+    # the evidence a watermark delay is chosen FROM, not guessed
+    """
+WITH arr AS (
+  -- the fixture is time-sorted, so arrival order is a deterministic
+  -- md5 permutation of event_id (simulated network reordering)
+  SELECT event_id, ts,
+         MAX(ts) OVER (ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+  FROM events
+), lat AS (
+  SELECT CASE WHEN hwm IS NULL OR ts >= hwm THEN 0
+              ELSE CAST(FLOOR(EPOCH(hwm)) AS BIGINT) - CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+         END AS late_s
+  FROM arr
+)
+SELECT CAST(LEAST(late_s // 60, 10) AS BIGINT) AS late_minutes_bucket,
+       COUNT(*) AS n
+FROM lat GROUP BY 1 ORDER BY 1
+""",
+)
+def late_arrival_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness audit: lateness of each record vs the running
+    event-time high-watermark in ARRIVAL order (event_id), bucketed to
+    minutes (capped at 10+) — the measurement that turns 'pick a
+    watermark delay' from a guess into a percentile read-off. One
+    window over arrival order; at 100 TB this runs per
+    ingestion-partition, which is exactly how arrival order is defined
+    there."""
+    events = load_events(spark, sf_dir)
+    # deterministic md5 arrival permutation: the fixture is time-sorted,
+    # so lateness against raw event_id order would be identically zero
+    w = Window.orderBy(
+        F.md5(F.col("event_id").cast("string")), "event_id"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    hwm = F.max("ts").over(w)
+    late_s = F.when(
+        hwm.isNull() | (F.col("ts") >= hwm), F.lit(0).cast("long")
+    ).otherwise(F.unix_timestamp(hwm) - F.unix_timestamp("ts"))
+    return (
+        events.select(late_s.alias("late_s"))
+        .select(
+            F.least(F.expr("late_s DIV 60"), F.lit(10).cast("long")).alias(
+                "late_minutes_bucket"
+            )
+        )
+        .groupBy("late_minutes_bucket")
+        .agg(F.count("*").alias("n"))
+        .orderBy("late_minutes_bucket")
+    )

@@ -1879,3 +1879,58 @@ def test_gdpr_erasure_audit_zero_leftovers(spark, sf_dir):
     events = load_events(spark, sf_dir)
     n_req = events.filter(F.col("user_id") % 97 == 0).select("user_id").distinct().count()
     assert row.n_requests == n_req
+
+
+def test_nested_orders_roundtrip_vs_flat(spark, sf_dir):
+    """The nested document analytics must equal the flat join."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.o_orderkey: (r.n_items, r.total_cents, r.max_qty)
+        for r in QUERIES["nested_orders_roundtrip"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    li = load_table(spark, sf_dir, "lineitem")
+    flat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("tc"),
+            F.max("l_quantity").cast("double").alias("mq"),
+        )
+        .collect()
+    )
+    assert got == {r.o_orderkey: (r.n, r.tc, r.mq) for r in flat}
+
+
+def test_late_arrival_histogram_brute_force(spark, sf_dir):
+    """Lateness buckets vs a driver-side replay of the md5 arrival
+    permutation."""
+    import hashlib
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.late_minutes_bucket: r.n
+        for r in QUERIES["late_arrival_histogram"](spark, sf_dir).collect()
+    }
+    rows = load_events(spark, sf_dir).select("event_id", "ts").collect()
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(str(r.event_id).encode()).hexdigest(), r.event_id)
+    )
+    hist = Counter()
+    hwm = None
+    for r in order:
+        if hwm is None or r.ts >= hwm:
+            late = 0
+        else:
+            late = int(hwm.timestamp()) - int(r.ts.timestamp())
+        hist[min(late // 60, 10)] += 1
+        hwm = r.ts if hwm is None else max(hwm, r.ts)
+    assert got == dict(hist)
+    # the reordering must actually produce late data
+    assert len(got) > 1
