@@ -8548,3 +8548,153 @@ def late_arrival_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("late_minutes_bucket")
     )
+
+
+@register(
+    "rolling_correlation",
+    # 14-day trailing correlation between daily click counts and
+    # purchase value; integer moments per frame, one fixed float
+    # sequence, half-up 1e-6 (n-1 frames emit NULL-free zero rows
+    # are filtered by n >= 2)
+    """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS x,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), m AS (
+  SELECT d, x, y,
+         COUNT(*) OVER w AS n,
+         SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+         SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy,
+         SUM(x * y) OVER w AS sxy
+  FROM days
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, CAST(n AS BIGINT) AS n,
+       FLOOR((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1e6 + 0.5) / 1e6 AS corr
+FROM m WHERE n >= 2
+ORDER BY day
+""",
+)
+def rolling_correlation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window correlation between two derived daily series
+    (click volume vs purchase value) — the co-movement diagnostic next
+    to acf_daily (self-memory) and trend_lines (drift). All five
+    moments come from ONE frame-bounded window pass over the
+    day-census relation; the correlation is a fixed IEEE sequence over
+    exact integers, so the full trajectory mirrors."""
+    events = load_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    days = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+        ).alias("y"),
+    )
+    w = Window.orderBy("d").rowsBetween(-13, 0)
+    m = days.select(
+        "d",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    num = F.col("n").cast("double") * F.col("sxy").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sy").cast("double")
+    den = F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * (
+            F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        )
+    )
+    return (
+        m.filter(F.col("n") >= 2)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n",
+            (F.floor(num / den * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("corr"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "rfm_segments",
+    # RFM: recency (days since last activity), frequency (events),
+    # monetary (purchase cents) per user; quintile scores via NTILE
+    # over deterministic total orders; output = segment census
+    """
+WITH ref AS (SELECT CAST(MAX(ts) AS DATE) AS d1 FROM events),
+per_user AS (
+  SELECT user_id,
+         datediff('day', CAST(MAX(ts) AS DATE), ref.d1) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END), 0) AS BIGINT) AS monetary
+  FROM events, ref GROUP BY user_id, ref.d1
+), scored AS (
+  SELECT user_id,
+         NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_score
+  FROM per_user
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_users
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+""",
+)
+def rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles) —
+    THE marketing-analytics workhorse. Per-user features are one
+    partial-agg pass; quintile scores are NTILE windows over
+    deterministic total orders (ties on user_id); the output is the
+    125-cell segment census, never the user list. At 100 TB the exact
+    NTILE over users is the one global sort — the documented
+    alternative is feature_quantile_bins' sketch edges, same trade as
+    there."""
+    events = load_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    ref = events.agg(F.to_date(F.max("ts")).alias("d1"))
+    per_user = (
+        events.join(F.broadcast(ref))
+        .groupBy("user_id", "d1")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_d"),
+            F.count("*").alias("frequency"),
+            F.coalesce(
+                F.sum(F.when(F.col("event_type") == "purchase", cents)), F.lit(0)
+            ).alias("monetary"),
+        )
+        .select(
+            "user_id",
+            F.datediff("d1", "last_d").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_user.select(
+        F.ntile(5).over(Window.orderBy("recency_days", "user_id")).alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), "user_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), "user_id"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

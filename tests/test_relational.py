@@ -1934,3 +1934,64 @@ def test_late_arrival_histogram_brute_force(spark, sf_dir):
     assert got == dict(hist)
     # the reordering must actually produce late data
     assert len(got) > 1
+
+
+def test_rolling_correlation_numpy(spark, sf_dir):
+    """Trailing-window correlation vs numpy.corrcoef per frame."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {r.day: (r.n, r.corr) for r in
+           QUERIES["rolling_correlation"](spark, sf_dir).collect()}
+    events = load_events(spark, sf_dir)
+    days = (
+        events.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("y"),
+        )
+        .orderBy("d")
+        .collect()
+    )
+    xs = [r.x for r in days]
+    ys = [r.y for r in days]
+    for i in range(1, len(days)):
+        lo = max(0, i - 13)
+        fx = np.array(xs[lo : i + 1], dtype=float)
+        fy = np.array(ys[lo : i + 1], dtype=float)
+        day = days[i].d.strftime("%Y-%m-%d")
+        n, corr = got[day]
+        assert n == len(fx)
+        if np.std(fx) > 0 and np.std(fy) > 0:
+            assert abs(corr - np.corrcoef(fx, fy)[0, 1]) < 1e-5, day
+
+
+def test_rfm_segments_census(spark, sf_dir):
+    """Segment census conserves users and every score is a quintile."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    rows = QUERIES["rfm_segments"](spark, sf_dir).collect()
+    events = load_events(spark, sf_dir)
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n_users for r in rows) == n_users
+    for r in rows:
+        assert 1 <= r.r_score <= 5
+        assert 1 <= r.f_score <= 5
+        assert 1 <= r.m_score <= 5
+    # quintile balance on each margin
+    from collections import Counter
+
+    for margin in ("r_score", "f_score", "m_score"):
+        c = Counter()
+        for r in rows:
+            c[getattr(r, margin)] += r.n_users
+        assert max(c.values()) - min(c.values()) <= 1
