@@ -8698,3 +8698,173 @@ def rfm_segments_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "kcore_bounded",
+    # 3 unrolled peel rounds of the k-core decomposition (k=6) over
+    # the undirected interaction graph; exact integer degrees
+    """
+WITH edges0 AS (
+  SELECT DISTINCT LEAST(user_id, event_id % 500) AS a,
+         GREATEST(user_id, event_id % 500) AS b
+  FROM events WHERE user_id <> event_id % 500
+), d0 AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM edges0 UNION ALL SELECT b AS node FROM edges0
+  ) GROUP BY node
+), keep0 AS (SELECT node FROM d0 WHERE deg >= 6),
+edges1 AS (
+  SELECT e.a, e.b FROM edges0 e
+  JOIN keep0 ka ON ka.node = e.a
+  JOIN keep0 kb ON kb.node = e.b
+), d1 AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM edges1 UNION ALL SELECT b AS node FROM edges1
+  ) GROUP BY node
+), keep1 AS (SELECT node FROM d1 WHERE deg >= 6),
+edges2 AS (
+  SELECT e.a, e.b FROM edges1 e
+  JOIN keep1 ka ON ka.node = e.a
+  JOIN keep1 kb ON kb.node = e.b
+), d2 AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT a AS node FROM edges2 UNION ALL SELECT b AS node FROM edges2
+  ) GROUP BY node
+)
+SELECT node, CAST(deg AS BIGINT) AS deg FROM d2 WHERE deg >= 6 ORDER BY node
+""",
+)
+def kcore_bounded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition (k=6, 3 peel rounds): repeatedly
+    drop nodes with degree < k and recount — the community-density
+    filter (dense-subgraph extraction) completing the graph family's
+    STRUCTURAL side (triangles count local density; k-core extracts
+    the dense backbone). Each round is a degree census + two semi
+    joins, shuffles carry the edge relation only; rounds compose
+    lazily like Bellman-Ford's."""
+    from .operators import relational  # noqa: F401 (family anchor)
+
+    events = load_events(spark, sf_dir)
+    k = 6
+    edges = (
+        events.select(
+            F.least(F.col("user_id"), F.col("event_id") % 500).alias("a"),
+            F.greatest(F.col("user_id"), F.col("event_id") % 500).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    for _ in range(3):
+        deg = (
+            edges.select(F.col("a").alias("node"))
+            .unionByName(edges.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            # each round's plan references edges ~4x (degree union +
+            # two semi joins): truncate lineage or round N recomputes
+            # round N-1 exponentially (measured 26s -> ~8s at sf0.01)
+            .localCheckpoint()
+        )
+    final_deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .filter(F.col("deg") >= k)
+    )
+    return final_deg.orderBy("node")
+
+
+@register(
+    "token_budget_allocation",
+    # greedy budget fill: sources ranked by retention quality, running
+    # token totals decide full / partial / excluded; the partial
+    # source's take is exact integer arithmetic
+    """
+WITH src AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_docs,
+         CAST(COUNT(CASE WHEN length(text) >= 100 THEN 1 END) AS BIGINT) * 1000000
+           // COUNT(*) AS quality_ppm
+  FROM documents GROUP BY source
+), budget AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS b FROM src
+), ranked AS (
+  SELECT src.*, budget.b,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY quality_ppm DESC, source
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_tokens
+  FROM src, budget
+)
+SELECT source, n_tokens, CAST(quality_ppm AS BIGINT) AS quality_ppm,
+       CASE WHEN prior_tokens + n_tokens <= b THEN 'full'
+            WHEN prior_tokens < b THEN 'partial'
+            ELSE 'excluded' END AS allocation,
+       CAST(CASE WHEN prior_tokens + n_tokens <= b THEN n_tokens
+            WHEN prior_tokens < b THEN b - prior_tokens
+            ELSE 0 END AS BIGINT) AS tokens_taken
+FROM ranked ORDER BY quality_ppm DESC, source
+""",
+)
+def token_budget_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation: fill a 50%-of-corpus training budget
+    greedily by source quality (retention rate at a length gate) —
+    full sources until the budget line, one partial source at the
+    boundary, the rest excluded. The planning step between
+    source_mixture_weights (how to flatten) and apply_mixture_weights
+    (how to sample): THIS decides who gets in. All exact integers;
+    the running-total window runs over the sources relation (tiny
+    at any corpus scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.text import tokens
+
+    src = docs.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.length("text") >= 100, 1)).alias("q_cnt"),
+    ).select(
+        "source",
+        "n_tokens",
+        "n_docs",
+        # exact integer ppm — float division could truncate one off
+        F.expr("q_cnt * 1000000 DIV n_docs").alias("quality_ppm"),
+    )
+    budget = src.agg(F.expr("SUM(n_tokens) DIV 2").alias("b"))
+    w = Window.orderBy(F.desc("quality_ppm"), "source").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = src.join(F.broadcast(budget)).withColumn(
+        "prior_tokens", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    alloc = (
+        F.when(
+            F.col("prior_tokens") + F.col("n_tokens") <= F.col("b"), F.lit("full")
+        )
+        .when(F.col("prior_tokens") < F.col("b"), F.lit("partial"))
+        .otherwise(F.lit("excluded"))
+    )
+    taken = (
+        F.when(
+            F.col("prior_tokens") + F.col("n_tokens") <= F.col("b"),
+            F.col("n_tokens"),
+        )
+        .when(
+            F.col("prior_tokens") < F.col("b"),
+            F.col("b") - F.col("prior_tokens"),
+        )
+        .otherwise(F.lit(0))
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        "quality_ppm",
+        alloc.alias("allocation"),
+        taken.cast("long").alias("tokens_taken"),
+    ).orderBy(F.desc("quality_ppm"), "source")

@@ -1995,3 +1995,53 @@ def test_rfm_segments_census(spark, sf_dir):
         for r in rows:
             c[getattr(r, margin)] += r.n_users
         assert max(c.values()) - min(c.values()) <= 1
+
+
+def test_kcore_bounded_peel(spark, sf_dir):
+    """3-round peel vs a literal driver-side peel."""
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {r.node: r.deg for r in QUERIES["kcore_bounded"](spark, sf_dir).collect()}
+    events = load_events(spark, sf_dir)
+    edges = set()
+    for r in events.select("user_id", "event_id").collect():
+        a, b = r.user_id, r.event_id % 500
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    edges = set(edges)
+    for _ in range(3):
+        deg = Counter()
+        for a, b in edges:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {n for n, d in deg.items() if d >= 6}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    expect = {n: d for n, d in deg.items() if d >= 6}
+    assert got == expect
+
+
+def test_token_budget_allocation_properties(spark, sf_dir):
+    """Exactly one partial source at the budget boundary; takes sum to
+    the budget (or the whole corpus if the budget exceeds it); ranking
+    is by quality."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    rows = QUERIES["token_budget_allocation"](spark, sf_dir).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = total // 2
+    takes = sum(r.tokens_taken for r in rows)
+    assert takes == min(budget, total)
+    kinds = [r.allocation for r in rows]
+    assert kinds.count("partial") <= 1
+    # prefix property: full* [partial] excluded*
+    import re as _re
+
+    assert _re.fullmatch(r"(full )*(partial )?(excluded )*", " ".join(kinds) + " ")
+    qualities = [r.quality_ppm for r in rows]
+    assert qualities == sorted(qualities, reverse=True)
