@@ -2017,7 +2017,15 @@ _PRIORITY = [
     "text_quality", "pack_sequences", "udtf_token_stats", "agg_udaf_median",
     "bpe_train_merges",
     "multimodal_image_decode",
-    # tail (positions 51+; still ahead of registration order)
+    # second round-2 pass headliners
+    "bm25_retrieval", "ndcg_eval", "pca_power_iteration", "dataset_card",
+    "mmr_rerank", "bootstrap_ci", "kmv_intersection", "streaming_kmin_sketch",
+    "incremental_join_merge", "source_python_stream", "assoc_rules",
+    "cusum_changepoint", "grid_radius_join", "training_matrix_pit",
+    "surrogate_keys_dense", "join_dynamic_partition_pruning",
+    "join_runtime_bloom_filter", "multimodal_video_decode",
+    "source_ablation_report", "temporal_reachability",
+    # tail (still ahead of registration order)
     "feature_quantile_bins_exact", "dedup_minhash_pairs_capped",
     "dedup_keep_best", "join_asof", "streaming_enrich", "ann_quantized",
     "agg_approx_distinct", "agg_hll_mergeable", "multimodal_features",
