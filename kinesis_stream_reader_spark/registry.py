@@ -8876,3 +8876,115 @@ def token_budget_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame
         alloc.alias("allocation"),
         taken.cast("long").alias("tokens_taken"),
     ).orderBy(F.desc("quality_ppm"), "source")
+
+
+@register(
+    "mutual_information",
+    # MI between event_type and the value-decade bucket: per-cell
+    # terms quantized at 1e-9 then exact-summed (the chi2 convention);
+    # the ratio inside ln is a fixed overflow-proof float sequence
+    """
+WITH cells AS (
+  SELECT event_type AS r, CAST(FLOOR(value / 20) AS BIGINT) AS c, COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+), rm AS (SELECT r, SUM(o) AS rm FROM cells GROUP BY r),
+cm AS (SELECT c, SUM(o) AS cm FROM cells GROUP BY c),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+per AS (
+  SELECT cells.r, cells.c, cells.o,
+         CAST(FLOOR(
+           (CAST(cells.o AS DOUBLE) / CAST(n.n AS DOUBLE))
+           * LN((CAST(cells.o AS DOUBLE) / CAST(n.n AS DOUBLE))
+                / ((CAST(rm.rm AS DOUBLE) / CAST(n.n AS DOUBLE))
+                   * (CAST(cm.cm AS DOUBLE) / CAST(n.n AS DOUBLE))))
+           * 1e9 + 0.5) AS BIGINT) AS term_u
+  FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN n
+)
+SELECT COUNT(*) AS n_cells,
+       (SELECT n FROM n) AS n,
+       SUM(term_u) / 1e9 AS mi_nats
+FROM per
+""",
+)
+def mutual_information_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event_type and the value bucket —
+    the dependence MEASURE next to chi2_independence's significance
+    TEST (feature selection ranks by MI; chi2 gates by p-value).
+    Same 35-ish-cell contingency plan: one partial-agg shuffle, tiny
+    marginal broadcasts, per-cell quantized terms exact-summed."""
+    events = load_events(spark, sf_dir)
+    cells = events.groupBy(
+        F.col("event_type").alias("r"),
+        F.floor(F.col("value") / 20).cast("long").alias("c"),
+    ).agg(F.count("*").alias("o"))
+    rm = cells.groupBy("r").agg(F.sum("o").alias("rm"))
+    cm = cells.groupBy("c").agg(F.sum("o").alias("cm"))
+    n = cells.agg(F.sum("o").alias("n"))
+    p = F.col("o").cast("double") / F.col("n").cast("double")
+    pr = F.col("rm").cast("double") / F.col("n").cast("double")
+    pc = F.col("cm").cast("double") / F.col("n").cast("double")
+    term = p * F.log(p / (pr * pc))
+    per = (
+        cells.join(F.broadcast(rm), "r")
+        .join(F.broadcast(cm), "c")
+        .join(F.broadcast(n))
+        .select(
+            F.floor(term * 1e9 + F.lit(0.5)).cast("long").alias("term_u"),
+            "n",
+        )
+    )
+    return per.agg(
+        F.count("*").alias("n_cells"),
+        F.max("n").alias("n"),
+        (F.sum("term_u") / F.lit(1e9)).alias("mi_nats"),
+    )
+
+
+@register(
+    "benford_audit",
+    # first-significant-digit census of value cents vs the Benford
+    # expectation log10(1 + 1/d); expected counts quantized from exact
+    # integer n, deviation is an exact integer numerator
+    """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM events WHERE value >= 0.01
+), n AS (SELECT COUNT(*) AS n FROM digits),
+obs AS (SELECT d, COUNT(*) AS o FROM digits GROUP BY d)
+SELECT obs.d, obs.o,
+       FLOOR(LOG10(1.0 + 1.0 / CAST(obs.d AS DOUBLE)) * CAST(n.n AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS expected,
+       FLOOR((CAST(obs.o AS DOUBLE)
+              - LOG10(1.0 + 1.0 / CAST(obs.d AS DOUBLE)) * CAST(n.n AS DOUBLE))
+             * 1e6 + 0.5) / 1e6 AS deviation
+FROM obs CROSS JOIN n
+ORDER BY obs.d
+""",
+)
+def benford_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of the value column — the
+    fraud/synthetic-data forensic (natural multiplicative quantities
+    follow P(d) = log10(1+1/d); fabricated ones usually don't). One
+    map-side digit extraction + a 9-cell census; the expected counts
+    derive from the same exact n on both engines."""
+    events = load_events(spark, sf_dir)
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    digits = events.filter(F.col("value") >= 0.01).select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("d")
+    )
+    n = digits.agg(F.count("*").alias("n"))
+    obs = digits.groupBy("d").agg(F.count("*").alias("o"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d").cast("double")) * F.col(
+        "n"
+    ).cast("double")
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        obs.join(F.broadcast(n))
+        .select(
+            "d",
+            "o",
+            q(expected).alias("expected"),
+            q(F.col("o").cast("double") - expected).alias("deviation"),
+        )
+        .orderBy("d")
+    )

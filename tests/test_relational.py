@@ -2045,3 +2045,49 @@ def test_token_budget_allocation_properties(spark, sf_dir):
     assert _re.fullmatch(r"(full )*(partial )?(excluded )*", " ".join(kinds) + " ")
     qualities = [r.quality_ppm for r in rows]
     assert qualities == sorted(qualities, reverse=True)
+
+
+def test_mutual_information_reference(spark, sf_dir):
+    """MI vs a driver-side contingency computation; MI >= 0."""
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    row = QUERIES["mutual_information"](spark, sf_dir).collect()[0]
+    obs = Counter()
+    for r in load_events(spark, sf_dir).select("event_type", "value").collect():
+        obs[(r.event_type, math.floor(r.value / 20))] += 1
+    n = sum(obs.values())
+    rm = Counter()
+    cm = Counter()
+    for (a, b), o in obs.items():
+        rm[a] += o
+        cm[b] += o
+    su = 0
+    for (a, b), o in obs.items():
+        p = o / n
+        su += math.floor(p * math.log(p / ((rm[a] / n) * (cm[b] / n))) * 1e9 + 0.5)
+    assert row.n == n
+    assert row.n_cells == len(obs)
+    assert abs(row.mi_nats - su / 1e9) < 1e-9
+    assert row.mi_nats >= -1e-6
+
+
+def test_benford_audit_census(spark, sf_dir):
+    """Digit census vs a driver scan; expected counts sum to ~n."""
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    rows = QUERIES["benford_audit"](spark, sf_dir).collect()
+    got = {r.d: r for r in rows}
+    c = Counter()
+    for r in load_events(spark, sf_dir).select("value").collect():
+        if r.value >= 0.01:
+            c[int(str(math.floor(r.value * 100 + 0.5))[0])] += 1
+    n = sum(c.values())
+    assert {d: r.o for d, r in got.items()} == dict(c)
+    for d, r in got.items():
+        exp = math.log10(1 + 1 / d) * n
+        assert abs(r.expected - exp) < 1e-3
+        assert abs(r.deviation - (c[d] - exp)) < 1e-3
