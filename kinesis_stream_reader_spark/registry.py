@@ -8988,3 +8988,38 @@ def benford_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("d")
     )
+
+
+@register(
+    "sql_parameterized",
+    # the named-parameter SQL API: values bind as literals AFTER
+    # parsing — the injection-safe front door (the reference
+    # concatenates query params into its filter logic; this is the
+    # engine-grade replacement)
+    """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+WHERE event_type IN ('click', 'purchase') AND value >= 25.0
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 4 named-parameter binding): user values
+    arrive as PARAMETERS, not string concatenation, so a hostile
+    value can never change the query shape — the safe version of the
+    reference's param-to-filter plumbing (queryTools/index.js builds
+    predicates from raw query params). Identical Catalyst plan to the
+    inlined literals, proven by the oracle."""
+    load_events(spark, sf_dir).createOrReplaceTempView("ksr_events_param")
+    return spark.sql(
+        """
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS value_cents
+        FROM ksr_events_param
+        WHERE event_type IN (:type_a, :type_b) AND value >= :min_value
+        GROUP BY event_type ORDER BY event_type
+        """,
+        args={"type_a": "click", "type_b": "purchase", "min_value": 25.0},
+    )

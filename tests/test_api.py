@@ -59,3 +59,22 @@ def test_registry_contract_integrity():
     oracles = entrymod.oracle_sql()
     assert set(oracles) == set(qs)
     assert len(qs) >= 190
+
+
+def test_sql_parameterized_injection_safe(spark, sf_dir):
+    """A hostile parameter value binds as a literal — it can never
+    widen the result set the way string concatenation would."""
+    from kinesis_stream_reader_spark.sources.tables import load_events
+
+    load_events(spark, sf_dir).createOrReplaceTempView("ksr_events_param")
+    hostile = "click' OR '1'='1"
+    out = spark.sql(
+        "SELECT COUNT(*) AS n FROM ksr_events_param WHERE event_type = :t",
+        args={"t": hostile},
+    ).collect()[0]
+    assert out.n == 0  # no event_type equals the hostile STRING
+    legit = spark.sql(
+        "SELECT COUNT(*) AS n FROM ksr_events_param WHERE event_type = :t",
+        args={"t": "click"},
+    ).collect()[0]
+    assert legit.n > 0
