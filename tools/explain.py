@@ -107,6 +107,12 @@ HEADLINE = [
     ("cohort_retention", "retention matrix: distinct-activity pass, exchange-reused user join"),
     ("temporal_reachability", "temporal BFS round: frontier equi-join + residual, MIN partial agg"),
     ("source_ablation_report", "leave-one-out algebra: census-keyed aggregates, zero per-source passes"),
+    ("surrogate_keys_dense", "dense ids: bucket counts + tiny offset window + parallel per-bucket numbering"),
+    ("join_runtime_bloom_filter", "runtime bloom rewrite: might_contain gate ahead of the shuffle"),
+    ("kcore_bounded", "k-core peel round: degree census + two semi joins, checkpoint-truncated"),
+    ("rfm_segments", "RFM: one per-user pass, three NTILE windows, census out"),
+    ("rolling_correlation", "five moments from one frame-bounded window over the day census"),
+    ("token_budget_allocation", "greedy fill: source-bounded running-offset window"),
 ]
 
 
