@@ -8751,8 +8751,6 @@ def kcore_bounded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dense backbone). Each round is a degree census + two semi
     joins, shuffles carry the edge relation only; rounds compose
     lazily like Bellman-Ford's."""
-    from .operators import relational  # noqa: F401 (family anchor)
-
     events = load_events(spark, sf_dir)
     k = 6
     edges = (
