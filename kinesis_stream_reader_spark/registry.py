@@ -9021,3 +9021,82 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"type_a": "click", "type_b": "purchase", "min_value": 25.0},
     )
+
+
+@register(
+    "window_session_dynamic",
+    # dynamic-gap sessions: each event extends its session by a
+    # PER-ROW gap (purchases hold the session open 1h, others 30min).
+    # Session semantics: event windows [ts, ts+gap) merge while they
+    # overlap — equivalently a new session starts when ts >= running
+    # max of previous events' (ts+gap). Exact epoch-second integers.
+    """
+WITH ev AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t,
+         CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END AS gap_s
+  FROM events
+), marked AS (
+  SELECT user_id, ts, t, gap_s,
+         CASE WHEN MAX(t + gap_s) OVER (PARTITION BY user_id ORDER BY t, ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR t >= MAX(t + gap_s) OVER (PARTITION BY user_id ORDER BY t, ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS is_start
+  FROM ev
+), sess AS (
+  SELECT user_id, t, gap_s,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY t, ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       MIN(t) AS start_s, MAX(t + gap_s) AS end_s
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_id
+""",
+)
+def window_session_dynamic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: the session timeout depends on the
+    EVENT (purchases keep a session alive for an hour, everything else
+    30 minutes) — Spark's session_window accepts a gap COLUMN for
+    exactly this; here the same merge semantics (event windows
+    [ts, ts+gap) merge while overlapping) are expressed as
+    gaps-and-islands so the oracle is exact: a session breaks when an
+    event starts at-or-after the running max of previous events'
+    window ends. One user-keyed shuffle shared by both window passes;
+    integer epoch seconds end to end."""
+    events = load_events(spark, sf_dir)
+    ev = events.select(
+        "user_id",
+        "ts",
+        F.unix_timestamp("ts").alias("t"),
+        F.when(F.col("event_type") == "purchase", 3600)
+        .otherwise(1800)
+        .alias("gap_s"),
+    )
+    wprev = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "ts")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("t") + F.col("gap_s")).over(wprev)
+    marked = ev.withColumn(
+        "is_start",
+        F.when(prev_end.isNull() | (F.col("t") >= prev_end), 1).otherwise(0),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sess = marked.withColumn("sid", F.sum("is_start").over(wrun))
+    return (
+        sess.groupBy("user_id", F.col("sid").alias("session_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("t").alias("start_s"),
+            F.max(F.col("t") + F.col("gap_s")).alias("end_s"),
+        )
+        .orderBy("user_id", "session_id")
+    )

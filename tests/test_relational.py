@@ -2091,3 +2091,42 @@ def test_benford_audit_census(spark, sf_dir):
         exp = math.log10(1 + 1 / d) * n
         assert abs(r.expected - exp) < 1e-3
         assert abs(r.deviation - (c[d] - exp)) < 1e-3
+
+
+def test_window_session_dynamic_merge_semantics(spark, sf_dir):
+    """Dynamic-gap sessions vs a literal per-user replay of the
+    overlapping-window merge rule; purchases extend sessions longer."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.start_s, r.end_s)
+        for r in QUERIES["window_session_dynamic"](spark, sf_dir).collect()
+    }
+    events = load_events(spark, sf_dir)
+    by_user = defaultdict(list)
+    for r in events.select("user_id", "ts", "event_type").collect():
+        t = int(r.ts.timestamp())
+        gap = 3600 if r.event_type == "purchase" else 1800
+        by_user[r.user_id].append((t, r.ts, gap))
+    expect = {}
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda x: (x[0], x[1]))
+        sid = 0
+        run_end = None
+        cur = None
+        for t, _, gap in evs:
+            if run_end is None or t >= run_end:
+                if cur:
+                    expect[(uid, sid)] = tuple(cur)
+                sid += 1
+                cur = [1, t, t + gap]
+                run_end = t + gap
+            else:
+                cur[0] += 1
+                cur[2] = max(cur[2], t + gap)
+                run_end = max(run_end, t + gap)
+        if cur:
+            expect[(uid, sid)] = tuple(cur)
+    assert got == expect
