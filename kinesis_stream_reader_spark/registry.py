@@ -9100,3 +9100,63 @@ def window_session_dynamic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@register(
+    "window_session_dynamic_builtin",
+    # Spark's BUILT-IN session_window with a per-row gap COLUMN must
+    # land on exactly the hand-rolled merge rule's sessions — an
+    # executable equivalence proof of the engine's dynamic-gap
+    # semantics
+    """
+WITH ev AS (
+  SELECT user_id, ts,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t,
+         CASE WHEN event_type = 'purchase' THEN 3600 ELSE 1800 END AS gap_s
+  FROM events
+), marked AS (
+  SELECT user_id, ts, t, gap_s,
+         CASE WHEN MAX(t + gap_s) OVER (PARTITION BY user_id ORDER BY t, ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR t >= MAX(t + gap_s) OVER (PARTITION BY user_id ORDER BY t, ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         THEN 1 ELSE 0 END AS is_start
+  FROM ev
+), sess AS (
+  SELECT user_id, t, gap_s,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY t, ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, MIN(t) AS start_s, MAX(t + gap_s) AS end_s, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, start_s
+""",
+)
+def window_session_dynamic_builtin_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN form of window_session_dynamic: session_window with
+    a gap-duration COLUMN. The oracle is the hand-rolled merge rule —
+    so this query is an executable proof that Spark's dynamic-gap
+    session semantics equal 'event windows [ts, ts+gap) merge while
+    overlapping'. The streaming deployment changes groupBy to a
+    watermarked stream with the SAME expression (the
+    streaming_sessionize_native pattern)."""
+    events = load_events(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "purchase", F.lit("1 hour")).otherwise(
+        F.lit("30 minutes")
+    )
+    # truncate to whole seconds so the merge arithmetic is exactly the
+    # oracle's floored-epoch integers (sub-second fractions could flip
+    # a merge decision at a window boundary)
+    events = events.withColumn("ts", F.timestamp_seconds(F.unix_timestamp("ts")))
+    return (
+        events.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("start_s"),
+            F.unix_timestamp("session_window.end").alias("end_s"),
+            "n_events",
+        )
+        .orderBy("user_id", "start_s")
+    )
