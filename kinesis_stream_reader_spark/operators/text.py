@@ -1548,3 +1548,78 @@ def source_ablation_report(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def quality_model_contributions(documents: DataFrame) -> DataFrame:
+    """Per-feature contribution decomposition of the linear quality
+    model (for a linear model, SHAP values ARE w_i * (x_i - mean(x_i))
+    around the corpus baseline) — the explainability pass that turns
+    'this doc scored -0.3' into 'because it has no stopwords': the
+    audit a human runs before trusting quality_model_score's gate.
+
+    Exactness contract: contributions are quantized at 1e-6 and the
+    engine must satisfy sum(contrib_i) == logit - baseline_logit
+    within quantization error; the oracle recomputes every piece from
+    the same md5 weights and integer-ratio features.
+
+    Plan shape: feature means are one tiny aggregate broadcast back;
+    scoring and decomposition stay one codegen pass. Output gated to a
+    deterministic 1-in-29 doc sample."""
+
+    import hashlib
+
+    def w(i: int) -> float:
+        h = int(hashlib.md5(f"qw:{i}".encode()).hexdigest()[:15], 16)
+        return 2.0 * (h / float(1 << 60)) - 1.0
+
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks).cast("double")
+    n_chars = F.length(F.col("text")).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and"))
+    ).cast("double")
+    n_dots = (n_chars - F.length(F.expr("replace(text, '.', '')"))).cast("double")
+    # features quantized to exact 1e-9 integers BEFORE the mean: a
+    # plain AVG of doubles is float-sum-order dependent across engines;
+    # exact integer sums + one float division are not
+    fq = lambda c: F.floor(c * 1e9 + F.lit(0.5)).cast("long")  # noqa: E731
+    feats = documents.select(
+        "doc_id",
+        fq(n_tokens / F.lit(100.0)).alias("f0"),
+        fq(n_stop / (n_tokens + F.lit(1.0))).alias("f1"),
+        fq(n_chars / (n_tokens + F.lit(1.0))).alias("f2"),
+        fq(n_dots / (n_chars + F.lit(1.0))).alias("f3"),
+    )
+    means = feats.agg(
+        *[F.sum(f"f{i}").alias(f"s{i}") for i in range(4)],
+        F.count("*").alias("nd"),
+    )
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    with_m = feats.join(F.broadcast(means))
+    contribs = [
+        (
+            F.lit(w(i))
+            * (
+                F.col(f"f{i}").cast("double") / F.lit(1e9)
+                - F.col(f"s{i}").cast("double")
+                / F.col("nd").cast("double")
+                / F.lit(1e9)
+            )
+        ).alias(f"raw_c{i}")
+        for i in range(4)
+    ]
+    return (
+        with_m.select("doc_id", *contribs)
+        .filter(F.col("doc_id") % 29 == 0)
+        .select(
+            "doc_id",
+            *[q(F.col(f"raw_c{i}")).alias(f"c{i}") for i in range(4)],
+            q(
+                F.col("raw_c0")
+                + F.col("raw_c1")
+                + F.col("raw_c2")
+                + F.col("raw_c3")
+            ).alias("total_contrib"),
+        )
+        .orderBy("doc_id")
+    )

@@ -9160,3 +9160,55 @@ def window_session_dynamic_builtin_query(spark: SparkSession, sf_dir: str) -> Da
         )
         .orderBy("user_id", "start_s")
     )
+
+
+@register(
+    "quality_model_contributions",
+    # same md5 weights, same integer-ratio features, contributions
+    # around the corpus-mean baseline (linear-SHAP identity)
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(FLOOR(len({_TOKS})::DOUBLE / 100.0 * 1e9 + 0.5) AS BIGINT) AS f0,
+         CAST(FLOOR(len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           / (len({_TOKS})::DOUBLE + 1.0) * 1e9 + 0.5) AS BIGINT) AS f1,
+         CAST(FLOOR(length(text)::DOUBLE / (len({_TOKS})::DOUBLE + 1.0) * 1e9 + 0.5) AS BIGINT) AS f2,
+         CAST(FLOOR((length(text) - length(replace(text, '.', '')))::DOUBLE
+           / (length(text)::DOUBLE + 1.0) * 1e9 + 0.5) AS BIGINT) AS f3
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), m AS (
+  SELECT CAST(SUM(f0) AS BIGINT) AS s0, CAST(SUM(f1) AS BIGINT) AS s1,
+         CAST(SUM(f2) AS BIGINT) AS s2, CAST(SUM(f3) AS BIGINT) AS s3,
+         COUNT(*) AS nd
+  FROM f
+), c AS (
+  SELECT doc_id,
+         (SELECT w FROM wts WHERE i = 0)
+           * (CAST(f0 AS DOUBLE) / 1e9 - CAST(s0 AS DOUBLE) / CAST(nd AS DOUBLE) / 1e9) AS raw_c0,
+         (SELECT w FROM wts WHERE i = 1)
+           * (CAST(f1 AS DOUBLE) / 1e9 - CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE) / 1e9) AS raw_c1,
+         (SELECT w FROM wts WHERE i = 2)
+           * (CAST(f2 AS DOUBLE) / 1e9 - CAST(s2 AS DOUBLE) / CAST(nd AS DOUBLE) / 1e9) AS raw_c2,
+         (SELECT w FROM wts WHERE i = 3)
+           * (CAST(f3 AS DOUBLE) / 1e9 - CAST(s3 AS DOUBLE) / CAST(nd AS DOUBLE) / 1e9) AS raw_c3
+  FROM f, m
+)
+SELECT doc_id,
+       FLOOR(raw_c0 * 1e6 + 0.5) / 1e6 AS c0,
+       FLOOR(raw_c1 * 1e6 + 0.5) / 1e6 AS c1,
+       FLOOR(raw_c2 * 1e6 + 0.5) / 1e6 AS c2,
+       FLOOR(raw_c3 * 1e6 + 0.5) / 1e6 AS c3,
+       FLOOR((raw_c0 + raw_c1 + raw_c2 + raw_c3) * 1e6 + 0.5) / 1e6 AS total_contrib
+FROM c WHERE doc_id % 29 = 0
+ORDER BY doc_id
+""",
+)
+def quality_model_contributions_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.quality_model_contributions(load_table(spark, sf_dir, "documents"))

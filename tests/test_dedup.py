@@ -806,3 +806,23 @@ def test_source_ablation_algebra_vs_brute(spark, sf_dir):
         assert r.delta_mean_tokens == math.floor(
             (tok / n - g_tokens / g_docs) * 1e6 + 0.5
         ) / 1e6
+
+
+def test_quality_model_contributions_sum_identity(spark, sf_dir):
+    """Linear-SHAP identity: contributions sum to the centered logit
+    (logit_i - mean logit) within quantization error."""
+    from kinesis_stream_reader_spark.operators.text import (
+        quality_model_contributions,
+        quality_model_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    contribs = {r.doc_id: r for r in quality_model_contributions(docs).collect()}
+    scores = {r.doc_id: r.logit for r in quality_model_score(docs).collect()}
+    mean_logit = sum(scores.values()) / len(scores)
+    for did, r in contribs.items():
+        total = r.c0 + r.c1 + r.c2 + r.c3
+        assert abs(total - r.total_contrib) < 5e-6
+        # centered-logit identity (quantization + the score's own 1e-4
+        # rounding dominate the tolerance)
+        assert abs(total - (scores[did] - mean_logit)) < 5e-4, did
