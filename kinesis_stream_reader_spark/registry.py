@@ -9212,3 +9212,88 @@ def quality_model_contributions_query(spark: SparkSession, sf_dir: str) -> DataF
     from .operators import text
 
     return text.quality_model_contributions(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "log_parse_roundtrip",
+    # the oracle computes the aggregates straight from the event
+    # formulas; the ENGINE must reach them by formatting each event as
+    # an Apache-combined-style log line (with a deterministic 1-in-53
+    # corruption) and PARSING it back — the log-ingestion ETL proof
+    """
+WITH shaped AS (
+  SELECT event_type,
+         CASE WHEN event_id % 10 = 0 THEN 500
+              WHEN event_id % 10 IN (1, 2) THEN 404
+              ELSE 200 END AS status,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS bytes,
+         event_id % 53 = 0 AS corrupted
+  FROM events
+)
+SELECT event_type,
+       CAST(CASE WHEN corrupted THEN NULL ELSE status END AS BIGINT) AS status,
+       COUNT(*) AS n,
+       CAST(COALESCE(SUM(CASE WHEN NOT corrupted THEN bytes END), 0) AS BIGINT) AS sum_bytes
+FROM shaped
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+)
+def log_parse_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-ingestion ETL: events render to Apache-combined-style text
+    lines (every 53rd line deterministically truncated — the corrupt
+    tail every real log feed has), then a codegen regexp parse
+    recovers the structure; unparseable lines surface as NULL-status
+    rows instead of vanishing (the json_parse_corrupt convention).
+    Formatting and parsing are both map-side; the only shuffle is the
+    final census. The oracle computes the same aggregates from the
+    source formulas, so any parse drift breaks the comparison."""
+    events = load_events(spark, sf_dir)
+    status = (
+        F.when(F.col("event_id") % 10 == 0, 500)
+        .when((F.col("event_id") % 10).isin(1, 2), 404)
+        .otherwise(200)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    line = F.format_string(
+        '10.%d.%d.%d - - [%s] "GET /api/%s?id=%d HTTP/1.1" %d %d',
+        F.pmod(F.col("user_id"), F.lit(256)),
+        F.pmod(F.col("event_id"), F.lit(256)),
+        F.pmod(F.col("user_id") + F.col("event_id"), F.lit(256)),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss Z"),
+        F.col("event_type"),
+        F.col("event_id"),
+        status,
+        cents,
+    )
+    corrupted = F.col("event_id") % 53 == 0
+    raw = events.select(
+        F.when(corrupted, F.substring(line, 1, 20)).otherwise(line).alias("line")
+    )
+    pat = r'^[0-9.]+ - - \[[^\]]+\] "GET /api/([a-z]+)\?id=[0-9]+ HTTP/1\.1" ([0-9]{3}) ([0-9]+)$'
+    parsed = raw.select(
+        F.nullif(F.regexp_extract("line", pat, 1), F.lit("")).alias("p_type"),
+        F.nullif(F.regexp_extract("line", pat, 2), F.lit("")).cast("long").alias(
+            "status"
+        ),
+        F.nullif(F.regexp_extract("line", pat, 3), F.lit("")).cast("long").alias(
+            "bytes"
+        ),
+    )
+    # malformed lines lose their payload; the census keeps them under
+    # their true type (re-derived from source — a real pipeline
+    # quarantines the raw line alongside) with a NULL status
+    ok = parsed.filter(F.col("status").isNotNull()).groupBy(
+        F.col("p_type").alias("event_type"), "status"
+    ).agg(F.count("*").alias("n"), F.sum("bytes").alias("sum_bytes"))
+    bad = (
+        events.filter(corrupted)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.lit(None).cast("long").alias("status"),
+            "n",
+            F.lit(0).cast("long").alias("sum_bytes"),
+        )
+    )
+    return ok.unionByName(bad).orderBy("event_type", "status")

@@ -2130,3 +2130,27 @@ def test_window_session_dynamic_merge_semantics(spark, sf_dir):
         if cur:
             expect[(uid, sid)] = tuple(cur)
     assert got == expect
+
+
+def test_log_parse_roundtrip_census(spark, sf_dir):
+    """Parsed census vs a driver-side formula recompute, including the
+    malformed tail."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        (r.event_type, r.status): (r.n, r.sum_bytes)
+        for r in QUERIES["log_parse_roundtrip"](spark, sf_dir).collect()
+    }
+    agg = defaultdict(lambda: [0, 0])
+    for r in load_events(spark, sf_dir).select("event_id", "event_type", "value").collect():
+        if r.event_id % 53 == 0:
+            key = (r.event_type, None)
+            agg[key][0] += 1
+        else:
+            st = 500 if r.event_id % 10 == 0 else (404 if r.event_id % 10 in (1, 2) else 200)
+            key = (r.event_type, st)
+            agg[key][0] += 1
+            agg[key][1] += math.floor(r.value * 100 + 0.5)
+    assert got == {k: tuple(v) for k, v in agg.items()}
