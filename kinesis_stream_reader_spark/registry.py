@@ -9297,3 +9297,57 @@ def log_parse_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ok.unionByName(bad).orderBy("event_type", "status")
+
+
+@register(
+    "bitmap_membership",
+    # per-day 64-bit presence bitmaps of user buckets via BIT_OR, then
+    # day-over-day set algebra with BIT_AND/bit_count — the
+    # roaring-bitmap-index technique in its pure-SQL form
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(BIT_OR(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INT)) AS BIGINT) AS bm
+  FROM events GROUP BY 1
+), paired AS (
+  SELECT d, bm,
+         LAG(bm) OVER (ORDER BY d) AS prev_bm
+  FROM daily
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(bit_count(bm) AS BIGINT) AS n_buckets,
+       CAST(COALESCE(bit_count(bm & prev_bm), 0) AS BIGINT) AS overlap_prev,
+       CAST(COALESCE(bit_count(bm | prev_bm), 0) AS BIGINT) AS union_prev
+FROM paired ORDER BY day
+""",
+)
+def bitmap_membership_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index membership: each day's active user-bucket set packs
+    into a 64-bit bitmap with BIT_OR (one long per day, not a set of
+    ids), and day-over-day retention/churn becomes BITWISE algebra —
+    bit_count(a & b) intersections with zero joins. This is the
+    roaring-bitmap / bitmap-index technique every OLAP engine uses for
+    high-cardinality membership, at its pure-SQL 64-bucket
+    demonstration scale; production uses arrays of these words keyed
+    by bucket-block. The shuffle carries one bigint per (day), ever."""
+    events = load_events(spark, sf_dir)
+    bm = F.bit_or(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+    )
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(bm.alias("bm"))
+    w = Window.orderBy("d")
+    paired = daily.withColumn("prev_bm", F.lag("bm").over(w))
+    return paired.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.bit_count("bm").cast("long").alias("n_buckets"),
+        F.coalesce(
+            F.bit_count(F.col("bm").bitwiseAND(F.col("prev_bm"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("overlap_prev"),
+        F.coalesce(
+            F.bit_count(F.col("bm").bitwiseOR(F.col("prev_bm"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("union_prev"),
+    ).orderBy("day")

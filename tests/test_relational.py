@@ -2154,3 +2154,28 @@ def test_log_parse_roundtrip_census(spark, sf_dir):
             agg[key][0] += 1
             agg[key][1] += math.floor(r.value * 100 + 0.5)
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_bitmap_membership_set_algebra(spark, sf_dir):
+    """Bitmap counts must equal literal set computations per day."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.day: (r.n_buckets, r.overlap_prev, r.union_prev)
+        for r in QUERIES["bitmap_membership"](spark, sf_dir).collect()
+    }
+    sets = defaultdict(set)
+    for r in load_events(spark, sf_dir).select("user_id", "ts").collect():
+        sets[r.ts.date()].add(r.user_id % 63)
+    days = sorted(sets)
+    for i, d in enumerate(days):
+        key = d.strftime("%Y-%m-%d")
+        prev = sets[days[i - 1]] if i else None
+        assert got[key][0] == len(sets[d])
+        if prev is None:
+            assert got[key][1] == 0 and got[key][2] == 0
+        else:
+            assert got[key][1] == len(sets[d] & prev)
+            assert got[key][2] == len(sets[d] | prev)
