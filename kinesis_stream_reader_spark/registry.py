@@ -9351,3 +9351,143 @@ def bitmap_membership_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("union_prev"),
     ).orderBy("day")
+
+
+@register(
+    "join_asof_nearest",
+    # merge_asof(direction='nearest'): backward candidate = running
+    # MAX of epoch-packed (t*1e7 + max-key-per-date), forward = the
+    # symmetric running MIN of (t*1e7 + min-key-per-date) — packing
+    # makes both passes plain MAX/MIN over bigints, so the trajectory
+    # is bit-identical across engines. Same-instant orders belong to
+    # the BACKWARD pass (gap 0 wins there anyway).
+    """
+WITH ords AS (
+  SELECT o_custkey AS uid, CAST(o_orderdate AS TIMESTAMP) AS t,
+         MAX(o_orderkey) AS bkey, MIN(o_orderkey) AS fkey
+  FROM orders GROUP BY 1, 2
+), u AS (
+  SELECT user_id AS uid, ts AS t, 0 AS is_order, event_id,
+         CAST(NULL AS BIGINT) AS bp, CAST(NULL AS BIGINT) AS fp
+  FROM events
+  UNION ALL
+  SELECT uid, t, 1, NULL,
+         CAST(FLOOR(EPOCH(t)) AS BIGINT) * 10000000 + bkey,
+         CAST(FLOOR(EPOCH(t)) AS BIGINT) * 10000000 + fkey
+  FROM ords
+), m AS (
+  SELECT uid, t, is_order, event_id,
+         MAX(bp) OVER (PARTITION BY uid ORDER BY t, is_order DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_packed,
+         MIN(fp) OVER (PARTITION BY uid ORDER BY t, is_order DESC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS f_packed
+  FROM u
+), ev AS (
+  SELECT event_id, uid, CAST(FLOOR(EPOCH(t)) AS BIGINT) AS te, b_packed, f_packed
+  FROM m WHERE is_order = 0 AND event_id % 131 = 0
+)
+SELECT event_id, uid AS user_id,
+       CAST(CASE
+         WHEN b_packed IS NULL AND f_packed IS NULL THEN NULL
+         WHEN f_packed IS NULL THEN b_packed % 10000000
+         WHEN b_packed IS NULL THEN f_packed % 10000000
+         WHEN te - b_packed // 10000000 <= f_packed // 10000000 - te
+           THEN b_packed % 10000000
+         ELSE f_packed % 10000000 END AS BIGINT) AS nearest_orderkey,
+       CASE
+         WHEN b_packed IS NULL AND f_packed IS NULL THEN 'none'
+         WHEN f_packed IS NULL THEN 'backward'
+         WHEN b_packed IS NULL THEN 'forward'
+         WHEN te - b_packed // 10000000 <= f_packed // 10000000 - te
+           THEN 'backward'
+         ELSE 'forward' END AS direction,
+       CAST(CASE
+         WHEN b_packed IS NULL AND f_packed IS NULL THEN NULL
+         WHEN f_packed IS NULL THEN te - b_packed // 10000000
+         WHEN b_packed IS NULL THEN f_packed // 10000000 - te
+         WHEN te - b_packed // 10000000 <= f_packed // 10000000 - te
+           THEN te - b_packed // 10000000
+         ELSE f_packed // 10000000 - te END AS BIGINT) AS gap_s
+FROM ev ORDER BY event_id
+""",
+)
+def join_asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each event matches its temporally CLOSEST
+    order, looking both ways, ties to the past — completing the as-of
+    family (backward / tolerance / nearest). Both directional passes
+    ride ONE union + ONE shuffle-sort on the user key: candidates are
+    epoch-packed bigints so 'latest before' is a running MAX and
+    'earliest after' is a running MIN over mirrored frames — no
+    second shuffle, no theta join, engine-exact by construction."""
+    events = load_events(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    ords = orders.groupBy(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+    ).agg(F.max("o_orderkey").alias("bkey"), F.min("o_orderkey").alias("fkey"))
+    pack = lambda k: F.unix_timestamp("t") * F.lit(10000000) + F.col(k)  # noqa: E731
+    left = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        "event_id",
+        F.lit(None).cast("long").alias("bp"),
+        F.lit(None).cast("long").alias("fp"),
+    )
+    right = ords.select(
+        "uid",
+        "t",
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        pack("bkey").alias("bp"),
+        pack("fkey").alias("fp"),
+    )
+    order_spec = [F.col("t"), F.col("is_order").desc()]
+    wb = (
+        Window.partitionBy("uid")
+        .orderBy(*order_spec)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("uid")
+        .orderBy(*order_spec)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    m = left.unionByName(right).select(
+        "uid",
+        "t",
+        "is_order",
+        "event_id",
+        F.max("bp").over(wb).alias("b_packed"),
+        F.min("fp").over(wf).alias("f_packed"),
+    )
+    ev = m.filter((F.col("is_order") == 0) & (F.col("event_id") % 131 == 0)).select(
+        "event_id",
+        "uid",
+        F.unix_timestamp("t").alias("te"),
+        "b_packed",
+        "f_packed",
+    )
+    bt = F.expr("b_packed DIV 10000000")
+    ft = F.expr("f_packed DIV 10000000")
+    use_b = F.col("f_packed").isNull() | (
+        F.col("b_packed").isNotNull() & ((F.col("te") - bt) <= (ft - F.col("te")))
+    )
+    none = F.col("b_packed").isNull() & F.col("f_packed").isNull()
+    return ev.select(
+        "event_id",
+        F.col("uid").alias("user_id"),
+        F.when(none, F.lit(None).cast("long"))
+        .when(use_b, F.expr("b_packed % 10000000"))
+        .otherwise(F.expr("f_packed % 10000000"))
+        .alias("nearest_orderkey"),
+        F.when(none, "none")
+        .when(use_b, "backward")
+        .otherwise("forward")
+        .alias("direction"),
+        F.when(none, F.lit(None).cast("long"))
+        .when(use_b, F.col("te") - bt)
+        .otherwise(ft - F.col("te"))
+        .alias("gap_s"),
+    ).orderBy("event_id")

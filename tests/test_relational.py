@@ -2179,3 +2179,45 @@ def test_bitmap_membership_set_algebra(spark, sf_dir):
         else:
             assert got[key][1] == len(sets[d] & prev)
             assert got[key][2] == len(sets[d] | prev)
+
+
+def test_join_asof_nearest_brute_force(spark, sf_dir):
+    """Nearest-direction match vs a per-event driver scan of the
+    user's orders (ties to the past; same-date keys collapse to the
+    direction's convention)."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.event_id: (r.nearest_orderkey, r.direction, r.gap_s)
+        for r in QUERIES["join_asof_nearest"](spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    by_cust = defaultdict(dict)
+    for r in orders.select("o_custkey", "o_orderdate", "o_orderkey").collect():
+        d = by_cust[r.o_custkey].setdefault(r.o_orderdate, [])
+        d.append(r.o_orderkey)
+    events = load_events(spark, sf_dir)
+    for r in events.select("event_id", "user_id", "ts").collect():
+        if r.event_id % 131 != 0:
+            continue
+        te = int(r.ts.timestamp())
+        best_b = best_f = None
+        for d, keys in by_cust.get(r.user_id, {}).items():
+            td = int(
+                __import__("datetime").datetime(d.year, d.month, d.day).timestamp()
+            )
+            if td <= te and (best_b is None or td > best_b[0] or (td == best_b[0] and max(keys) > best_b[1])):
+                best_b = (td, max(keys))
+            if td > te and (best_f is None or td < best_f[0] or (td == best_f[0] and min(keys) < best_f[1])):
+                best_f = (td, min(keys))
+        if best_b is None and best_f is None:
+            expect = (None, "none", None)
+        elif best_f is None or (
+            best_b is not None and te - best_b[0] <= best_f[0] - te
+        ):
+            expect = (best_b[1], "backward", te - best_b[0])
+        else:
+            expect = (best_f[1], "forward", best_f[0] - te)
+        assert got[r.event_id] == expect, (r.event_id, got[r.event_id], expect)
