@@ -9491,3 +9491,146 @@ def join_asof_nearest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(ft - F.col("te"))
         .alias("gap_s"),
     ).orderBy("event_id")
+
+
+@register(
+    "sequence_pattern_regex",
+    # each user's timeline compresses to a type-initial string; the
+    # behavioural pattern 'view, clicks*, purchase' is then ONE
+    # codegen regex count — MATCH_RECOGNIZE-lite where the row
+    # pattern literally IS a regex (both engines: leftmost,
+    # non-overlapping)
+    """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, length(seq) AS seq_len,
+       CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_matches
+FROM seqs WHERE user_id % 17 = 0
+ORDER BY user_id
+""",
+)
+def sequence_pattern_regex_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern matching as a regex over the compressed timeline:
+    each user's events collapse to a string of type initials (ordered
+    by time), and 'view, then any clicks, then purchase' is ONE
+    regexp count per user — the MATCH_RECOGNIZE workhorse shapes
+    (funnels, A*B patterns) without a pattern-automaton engine. The
+    sort happens INSIDE array_sort on (ts, event_id, initial) structs
+    — map-side after the one groupBy shuffle; the regex is codegen.
+    Timelines are user-bounded, so the string length is too (chunk by
+    session for power users at 100 TB)."""
+    events = load_events(spark, sf_dir)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("e"),
+                F.substring("event_type", 1, 1).alias("c"),
+            )
+        )
+    )
+    seqs = (
+        events.groupBy("user_id")
+        .agg(arr.alias("arr"))
+        .select(
+            "user_id",
+            F.concat_ws("", F.transform("arr", lambda x: x["c"])).alias("seq"),
+        )
+    )
+    return (
+        seqs.filter(F.col("user_id") % 17 == 0)
+        .select(
+            "user_id",
+            F.length("seq").cast("long").alias("seq_len"),
+            F.regexp_count("seq", F.lit("vc*p")).cast("long").alias("n_matches"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "attribution_models",
+    # multi-touch attribution in ONE pass: a 24h RANGE frame over the
+    # epoch-ordered union gives first-touch (running MIN of packed
+    # click ids), last-touch (MAX) and touch count (SUM) per purchase
+    """
+WITH u AS (
+  SELECT user_id AS uid, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t,
+         1 AS is_click,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) * 10000000 + event_id AS cp,
+         CAST(NULL AS BIGINT) AS purchase_id
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, CAST(FLOOR(EPOCH(ts)) AS BIGINT), 0,
+         CAST(NULL AS BIGINT), event_id
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT uid, t, purchase_id,
+         MIN(cp) OVER w AS first_packed,
+         MAX(cp) OVER w AS last_packed,
+         SUM(is_click) OVER w AS n_touches
+  FROM u
+  WINDOW w AS (PARTITION BY uid ORDER BY t
+               RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+)
+SELECT purchase_id, uid AS user_id,
+       CAST(first_packed % 10000000 AS BIGINT) AS first_touch_id,
+       CAST(last_packed % 10000000 AS BIGINT) AS last_touch_id,
+       CAST(n_touches AS BIGINT) AS n_touches
+FROM m
+WHERE purchase_id IS NOT NULL AND purchase_id % 61 = 0
+ORDER BY purchase_id
+""",
+)
+def attribution_models_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution (first-touch / last-touch / linear
+    denominator) for every purchase against its 24h click lookback —
+    the batch complement of the streaming attribution matrix (those
+    join ONE click per conversion; marketing wants all three credit
+    models). A value-based RANGE frame over the epoch-ordered union
+    computes all three in one window pass: first = running MIN of
+    epoch-packed click ids, last = MAX, count = SUM — no join at all.
+    RANGE frames are peer-inclusive, so same-instant clicks count,
+    deterministically on both engines."""
+    events = load_events(spark, sf_dir)
+    t = F.unix_timestamp("ts")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid"),
+        t.alias("t"),
+        F.lit(1).alias("is_click"),
+        (t * F.lit(10000000) + F.col("event_id")).alias("cp"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"),
+        t.alias("t"),
+        F.lit(0).alias("is_click"),
+        F.lit(None).cast("long").alias("cp"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t")
+        .rangeBetween(-86400, 0)
+    )
+    m = clicks.unionByName(purchases).select(
+        "uid",
+        "purchase_id",
+        F.min("cp").over(w).alias("first_packed"),
+        F.max("cp").over(w).alias("last_packed"),
+        F.sum("is_click").over(w).alias("n_touches"),
+    )
+    return (
+        m.filter(F.col("purchase_id").isNotNull() & (F.col("purchase_id") % 61 == 0))
+        .select(
+            "purchase_id",
+            F.col("uid").alias("user_id"),
+            F.expr("first_packed % 10000000").alias("first_touch_id"),
+            F.expr("last_packed % 10000000").alias("last_touch_id"),
+            F.col("n_touches").cast("long").alias("n_touches"),
+        )
+        .orderBy("purchase_id")
+    )

@@ -2221,3 +2221,58 @@ def test_join_asof_nearest_brute_force(spark, sf_dir):
         else:
             expect = (best_f[1], "forward", best_f[0] - te)
         assert got[r.event_id] == expect, (r.event_id, got[r.event_id], expect)
+
+
+def test_sequence_pattern_regex_brute_force(spark, sf_dir):
+    """Per-user compressed-timeline regex counts vs a driver replay."""
+    import re as _re
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.user_id: (r.seq_len, r.n_matches)
+        for r in QUERIES["sequence_pattern_regex"](spark, sf_dir).collect()
+    }
+    timelines = defaultdict(list)
+    for r in load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type").collect():
+        timelines[r.user_id].append((r.ts, r.event_id, r.event_type[0]))
+    expect = {}
+    for uid, tl in timelines.items():
+        if uid % 17 != 0:
+            continue
+        tl.sort()
+        seq = "".join(c for _, _, c in tl)
+        expect[uid] = (len(seq), len(_re.findall("vc*p", seq)))
+    assert got == expect
+
+
+def test_attribution_models_brute_force(spark, sf_dir):
+    """First/last/count credit vs a per-purchase driver scan of the
+    24h click lookback (peer-inclusive at the boundary instant)."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.purchase_id: (r.first_touch_id, r.last_touch_id, r.n_touches)
+        for r in QUERIES["attribution_models"](spark, sf_dir).collect()
+    }
+    clicks = defaultdict(list)
+    purchases = []
+    for r in load_events(spark, sf_dir).select("user_id", "ts", "event_id", "event_type").collect():
+        te = int(r.ts.timestamp())
+        if r.event_type == "click":
+            clicks[r.user_id].append((te, r.event_id))
+        elif r.event_type == "purchase" and r.event_id % 61 == 0:
+            purchases.append((r.user_id, te, r.event_id))
+    expect = {}
+    for uid, pt, pid in purchases:
+        window = [(t, e) for t, e in clicks[uid] if pt - 86400 <= t <= pt]
+        if not window:
+            expect[pid] = (None, None, 0)
+        else:
+            first = min(window)
+            last = max(window)
+            expect[pid] = (first[1], last[1], len(window))
+    assert got == expect
