@@ -9634,3 +9634,118 @@ def attribution_models_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@register(
+    "conversion_latency_histogram",
+    # click -> purchase latency via the running-last window (the
+    # attribution primitive), bucketed to minutes capped at 120+
+    """
+WITH tagged AS (
+  SELECT user_id, ts, 1 AS is_click, CAST(NULL AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, 0, ts FROM events WHERE event_type = 'purchase'
+), lastc AS (
+  SELECT user_id, is_click, pts,
+         MAX(CASE WHEN is_click = 1 THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts, is_click DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+  FROM tagged
+)
+SELECT CAST(LEAST((CAST(FLOOR(EPOCH(pts)) AS BIGINT)
+                   - CAST(FLOOR(EPOCH(last_click)) AS BIGINT)) // 60, 120) AS BIGINT)
+         AS latency_minutes,
+       COUNT(*) AS n
+FROM lastc
+WHERE is_click = 0 AND last_click IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""",
+)
+def conversion_latency_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: minutes between each purchase and
+    its most recent prior click, histogram-bucketed (capped 120+) —
+    the funnel family's latency read-out (funnel_counts says HOW MANY
+    convert; this says HOW FAST, which is what the attribution
+    lookback window should be sized from). Same one-shuffle
+    union + running-last primitive as join_asof."""
+    events = load_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("is_click"),
+        F.lit(None).cast("timestamp").alias("pts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(0).alias("is_click"), F.col("ts").alias("pts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lastc = clicks.unionByName(purchases).withColumn(
+        "last_click", F.max(F.when(F.col("is_click") == 1, F.col("ts"))).over(w)
+    )
+    lat = F.least(
+        F.expr("(unix_timestamp(pts) - unix_timestamp(last_click)) DIV 60"),
+        F.lit(120).cast("long"),
+    )
+    return (
+        lastc.filter((F.col("is_click") == 0) & F.col("last_click").isNotNull())
+        .groupBy(lat.alias("latency_minutes"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("latency_minutes")
+    )
+
+
+@register(
+    "quarantine_split",
+    # contract enforcement: every row carries its full violation list
+    # (not just the first), the census keys on the reason SET
+    """
+WITH checked AS (
+  SELECT event_id,
+         (event_type NOT IN ('click','view','purchase','signup','error')) AS bad_type,
+         (value < 0 OR value > 10000) AS bad_value,
+         (user_id IS NULL OR user_id < 0) AS bad_user,
+         (event_id % 89 = 0) AS bad_injected
+  FROM events
+), reasons AS (
+  SELECT event_id,
+         concat(CASE WHEN bad_type THEN 'type;' ELSE '' END,
+                CASE WHEN bad_value THEN 'value;' ELSE '' END,
+                CASE WHEN bad_user THEN 'user;' ELSE '' END,
+                CASE WHEN bad_injected THEN 'checksum;' ELSE '' END) AS reason_set
+  FROM checked
+)
+SELECT CASE WHEN reason_set = '' THEN 'valid' ELSE reason_set END AS reasons,
+       COUNT(*) AS n
+FROM reasons GROUP BY 1 ORDER BY 1
+""",
+)
+def quarantine_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract enforcement with a QUARANTINE: each row is
+    checked against every contract rule (enum domain, value range,
+    key validity, plus a deterministic injected 'checksum' failure so
+    the quarantine path is exercised) and carries its FULL violation
+    list — the split a production ingest runs before landing data
+    (expectations_check reports corpus health; this routes rows).
+    All rules are one codegen pass; the census keys on the reason
+    combination."""
+    events = load_events(spark, sf_dir)
+    rules = [
+        ("type;", ~F.col("event_type").isin("click", "view", "purchase", "signup", "error")),
+        ("value;", (F.col("value") < 0) | (F.col("value") > 10000)),
+        ("user;", F.col("user_id").isNull() | (F.col("user_id") < 0)),
+        ("checksum;", F.col("event_id") % 89 == 0),
+    ]
+    reason = F.concat(
+        *[F.when(cond, F.lit(tag)).otherwise(F.lit("")) for tag, cond in rules]
+    )
+    return (
+        events.select(
+            F.when(reason == "", F.lit("valid")).otherwise(reason).alias("reasons")
+        )
+        .groupBy("reasons")
+        .agg(F.count("*").alias("n"))
+        .orderBy("reasons")
+    )

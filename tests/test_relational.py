@@ -2276,3 +2276,46 @@ def test_attribution_models_brute_force(spark, sf_dir):
             last = max(window)
             expect[pid] = (first[1], last[1], len(window))
     assert got == expect
+
+
+def test_conversion_latency_histogram_brute(spark, sf_dir):
+    """Latency buckets vs the per-purchase driver replay."""
+    from collections import Counter, defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.latency_minutes: r.n
+        for r in QUERIES["conversion_latency_histogram"](spark, sf_dir).collect()
+    }
+    clicks = defaultdict(list)
+    hist = Counter()
+    rows = sorted(
+        load_events(spark, sf_dir)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r.user_id, r.ts, 0 if r.event_type == "click" else 1),
+    )
+    last_click = {}
+    for r in rows:
+        if r.event_type == "click":
+            lc = last_click.get(r.user_id)
+            last_click[r.user_id] = r.ts if lc is None else max(lc, r.ts)
+        elif r.event_type == "purchase":
+            lc = last_click.get(r.user_id)
+            if lc is not None:
+                lat = (int(r.ts.timestamp()) - int(lc.timestamp())) // 60
+                hist[min(lat, 120)] += 1
+    assert got == dict(hist)
+
+
+def test_quarantine_split_census(spark, sf_dir):
+    """Reason-set census: only the injected checksum rule fires on the
+    clean fixture, and valid + quarantined == total."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    rows = {r.reasons: r.n for r in QUERIES["quarantine_split"](spark, sf_dir).collect()}
+    events = load_events(spark, sf_dir)
+    total = events.count()
+    injected = events.filter(F.col("event_id") % 89 == 0).count()
+    assert rows == {"valid": total - injected, "checksum;": injected}
