@@ -9749,3 +9749,98 @@ def quarantine_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("reasons")
     )
+
+
+@register(
+    "quantile_normalize",
+    # batch-effect correction: each group's values map onto the GLOBAL
+    # distribution through a 101-point discrete quantile grid (exact at
+    # oracle scale per the GK degenerate-accuracy convention); grid
+    # index is exact integer rank arithmetic
+    """
+WITH ranked AS (
+  SELECT event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS ns
+  FROM events
+), gl AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY value, event_id) AS gr,
+         COUNT(*) OVER () AS n
+  FROM events
+), grid AS (
+  SELECT t.g, gl.value AS gv
+  FROM (SELECT i AS g, 1 + (i * ((SELECT COUNT(*) FROM events) - 1)) // 100 AS target
+        FROM (SELECT unnest(generate_series(0, 100)) AS i)) t
+  JOIN gl ON gl.gr = t.target
+)
+SELECT r.event_id, r.event_type, r.value,
+       ROUND(grid.gv, 4) AS normalized
+FROM ranked r
+JOIN grid ON grid.g = CASE WHEN r.ns = 1 THEN 0
+                           ELSE ((r.r - 1) * 100) // (r.ns - 1) END
+WHERE r.event_id % 173 = 0
+ORDER BY r.event_id
+""",
+)
+def quantile_normalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across groups (batch-effect correction:
+    bioinformatics' cross-array fix, a feature-prep classic): each
+    value is replaced by the GLOBAL distribution's value at its
+    WITHIN-GROUP percent rank, so every group ends up with the same
+    marginal distribution. Grid index is exact integer rank algebra;
+    the 101-point global grid is one percentile_approx pass (exact at
+    oracle scale, bounded-error at 100 TB — the feature_quantile_bins
+    trade) broadcast to the rank join. Output gated 1-in-173."""
+    events = load_events(spark, sf_dir)
+    wrk = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wct = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(wrk).alias("r"),
+        F.count("*").over(wct).alias("ns"),
+    )
+    # global order statistics WITHOUT a single-partition sort: the
+    # value domain is cents-bounded, so a counting-sort rank works —
+    # per-cent-bucket counts feed a running offset over the tiny
+    # bucket relation, and each row's exact global rank is
+    # offset + within-bucket row_number (all parallel). The 101 grid
+    # targets are exact integer rank positions joined against that.
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    bucketed = events.select("event_id", "value", cents.alias("b"))
+    counts = bucketed.groupBy("b").agg(F.count("*").alias("cn"))
+    woff = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cn").over(woff), F.lit(0))
+    )
+    wloc = Window.partitionBy("b").orderBy("value", "event_id")
+    glob = (
+        bucketed.join(F.broadcast(offsets.select("b", "off")), "b")
+        .withColumn("gr", F.row_number().over(wloc) + F.col("off"))
+    )
+    n_total = events.agg(F.count("*").alias("n"))
+    targets = (
+        events.sparkSession.range(0, 101)
+        .select(F.col("id").alias("g"))
+        .join(F.broadcast(n_total))
+        .select("g", F.expr("1 + (g * (n - 1)) DIV 100").alias("target"))
+    )
+    grid = glob.join(
+        F.broadcast(targets), glob.gr == targets.target
+    ).select("g", F.col("value").alias("gv"))
+    gidx = F.when(F.col("ns") == 1, F.lit(0)).otherwise(
+        F.expr("((r - 1) * 100) DIV (ns - 1)")
+    )
+    return (
+        ranked.withColumn("g", gidx)
+        .join(F.broadcast(grid), "g")
+        .filter(F.col("event_id") % 173 == 0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("gv", 4).alias("normalized"),
+        )
+        .orderBy("event_id")
+    )

@@ -2319,3 +2319,30 @@ def test_quarantine_split_census(spark, sf_dir):
     total = events.count()
     injected = events.filter(F.col("event_id") % 89 == 0).count()
     assert rows == {"valid": total - injected, "checksum;": injected}
+
+
+def test_quantile_normalize_marginals(spark, sf_dir):
+    """Normalized values must be the global order statistics at each
+    row's within-group grid position (driver-side replay)."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.event_id: r.normalized
+        for r in QUERIES["quantile_normalize"](spark, sf_dir).collect()
+    }
+    rows = load_events(spark, sf_dir).select("event_id", "event_type", "value").collect()
+    global_sorted = sorted(rows, key=lambda r: (r.value, r.event_id))
+    n = len(global_sorted)
+    grid = {g: global_sorted[(g * (n - 1)) // 100].value for g in range(101)}
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for et, members in by_type.items():
+        members.sort(key=lambda r: (r.value, r.event_id))
+        ns = len(members)
+        for i, r in enumerate(members):
+            if r.event_id % 173 == 0:
+                g = 0 if ns == 1 else (i * 100) // (ns - 1)
+                assert got[r.event_id] == round(grid[g], 4), (r.event_id, g)
