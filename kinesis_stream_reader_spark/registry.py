@@ -9844,3 +9844,127 @@ def quantile_normalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "varint_delta_report",
+    # storage-encoding audit: per day, bytes to store sorted event ids
+    # raw (8B) vs delta+varint encoded — exact integer byte math via
+    # CASE thresholds (the parquet DELTA_BINARY_PACKED intuition)
+    """
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS day, event_id,
+         event_id - LAG(event_id) OVER (PARTITION BY CAST(ts AS DATE) ORDER BY event_id) AS delta
+  FROM events
+), sized AS (
+  SELECT day,
+         CASE WHEN delta IS NULL THEN 8
+              WHEN delta < 128 THEN 1
+              WHEN delta < 16384 THEN 2
+              WHEN delta < 2097152 THEN 3
+              WHEN delta < 268435456 THEN 4
+              ELSE 8 END AS nb
+  FROM d
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_ids,
+       COUNT(*) * 8 AS raw_bytes,
+       CAST(SUM(nb) AS BIGINT) AS encoded_bytes,
+       FLOOR(CAST(COUNT(*) * 8 AS DOUBLE) / CAST(SUM(nb) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS compression_ratio
+FROM sized GROUP BY day ORDER BY day
+""",
+)
+def varint_delta_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding audit: how much smaller each day's sorted id
+    column gets under delta + varint encoding (the
+    DELTA_BINARY_PACKED / Kinesis sequence-number intuition) — exact
+    integer byte accounting per id, one window + census. The report a
+    storage engineer reads before picking column encodings; at 100 TB
+    this is file-layout money."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy(F.to_date("ts")).orderBy("event_id")
+    d = events.select(
+        F.to_date("ts").alias("day"),
+        (F.col("event_id") - F.lag("event_id").over(w)).alias("delta"),
+    )
+    nb = (
+        F.when(F.col("delta").isNull(), 8)
+        .when(F.col("delta") < 128, 1)
+        .when(F.col("delta") < 16384, 2)
+        .when(F.col("delta") < 2097152, 3)
+        .when(F.col("delta") < 268435456, 4)
+        .otherwise(8)
+    )
+    return (
+        d.select(F.date_format("day", "yyyy-MM-dd").alias("day"), nb.alias("nb"))
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_ids"),
+            (F.count("*") * 8).alias("raw_bytes"),
+            F.sum("nb").cast("long").alias("encoded_bytes"),
+            (
+                F.floor(
+                    (F.count("*") * 8).cast("double")
+                    / F.sum("nb").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("compression_ratio"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "streaming_quarantine_counts",
+    # the contract gate ON the stream: per-reason counts are additive
+    # across micro-batches, so the drained complete-mode census equals
+    # the batch quarantine_split exactly
+    """
+WITH checked AS (
+  SELECT event_id,
+         (event_type NOT IN ('click','view','purchase','signup','error')) AS bad_type,
+         (value < 0 OR value > 10000) AS bad_value,
+         (user_id IS NULL OR user_id < 0) AS bad_user,
+         (event_id % 89 = 0) AS bad_injected
+  FROM events
+), reasons AS (
+  SELECT event_id,
+         concat(CASE WHEN bad_type THEN 'type;' ELSE '' END,
+                CASE WHEN bad_value THEN 'value;' ELSE '' END,
+                CASE WHEN bad_user THEN 'user;' ELSE '' END,
+                CASE WHEN bad_injected THEN 'checksum;' ELSE '' END) AS reason_set
+  FROM checked
+)
+SELECT CASE WHEN reason_set = '' THEN 'valid' ELSE reason_set END AS reasons,
+       COUNT(*) AS n
+FROM reasons GROUP BY 1 ORDER BY 1
+""",
+)
+def streaming_quarantine_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quarantine_split maintained ON the stream: the same one-pass
+    contract rules gate each micro-batch and the per-reason census
+    accumulates in complete mode — what the ingest job's dead-letter
+    metrics exporter reports, slicing-invariant by additivity."""
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    rules = [
+        ("type;", ~F.col("event_type").isin("click", "view", "purchase", "signup", "error")),
+        ("value;", (F.col("value") < 0) | (F.col("value") > 10000)),
+        ("user;", F.col("user_id").isNull() | (F.col("user_id") < 0)),
+        ("checksum;", F.col("event_id") % 89 == 0),
+    ]
+    reason = F.concat(
+        *[F.when(cond, F.lit(tag)).otherwise(F.lit("")) for tag, cond in rules]
+    )
+    counts = (
+        stream.select(
+            F.when(reason == "", F.lit("valid")).otherwise(reason).alias("reasons")
+        )
+        .groupBy("reasons")
+        .agg(F.count("*").alias("n"))
+    )
+    return jobs.run_available_now(counts, "streaming_quarantine_counts")

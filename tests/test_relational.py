@@ -2346,3 +2346,27 @@ def test_quantile_normalize_marginals(spark, sf_dir):
             if r.event_id % 173 == 0:
                 g = 0 if ns == 1 else (i * 100) // (ns - 1)
                 assert got[r.event_id] == round(grid[g], 4), (r.event_id, g)
+
+
+def test_varint_delta_report_brute(spark, sf_dir):
+    """Per-day byte accounting vs a driver replay of the encoding."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.day: (r.n_ids, r.raw_bytes, r.encoded_bytes)
+        for r in QUERIES["varint_delta_report"](spark, sf_dir).collect()
+    }
+    ids = defaultdict(list)
+    for r in load_events(spark, sf_dir).select("event_id", "ts").collect():
+        ids[r.ts.date()].append(r.event_id)
+    expect = {}
+    for d, vs in ids.items():
+        vs.sort()
+        nb = 8
+        for prev, cur in zip(vs, vs[1:]):
+            delta = cur - prev
+            nb += 1 if delta < 128 else 2 if delta < 16384 else 3 if delta < 2097152 else 4 if delta < 268435456 else 8
+        expect[d.strftime("%Y-%m-%d")] = (len(vs), len(vs) * 8, nb)
+    assert got == expect

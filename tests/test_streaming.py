@@ -447,3 +447,16 @@ def test_streaming_ab_counts_equals_batch(spark, sf_dir):
     for r in conv.groupBy("v").count().collect():
         expect[(r.v, "conv")] = r["count"]
     assert got == expect
+
+
+def test_streaming_quarantine_equals_batch(spark, sf_dir):
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    streamed = {
+        r.reasons: r.n
+        for r in QUERIES["streaming_quarantine_counts"](spark, sf_dir).collect()
+    }
+    batch = {
+        r.reasons: r.n for r in QUERIES["quarantine_split"](spark, sf_dir).collect()
+    }
+    assert streamed == batch
