@@ -526,3 +526,37 @@ def video_decode_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, VIDEO_DECODE_SCHEMA)
+
+
+PHASH_SCHEMA = "doc_id BIGINT, phash BIGINT"
+
+
+def image_phash(media: DataFrame, grid: int = 4) -> DataFrame:
+    """Perceptual average-hash of REAL decoded images: decode the PPM,
+    grayscale (integer (r+g+b) DIV 3), nearest-neighbor resize to a
+    grid x grid patch (the image_resize_decoded index map), then one
+    bit per cell: 1 iff cell * n_cells > sum (strictly-above-mean in
+    exact integer form). Arrow-batched, map-only — the multimodal
+    near-dup counterpart of simhash for text."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                arr = decode_ppm(bytes(blob)).astype(np.int64)
+                h, w = arr.shape[0], arr.shape[1]
+                gray = arr.sum(axis=2) // 3
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                cells = gray[ys][:, xs].ravel()
+                total = int(cells.sum())
+                n = grid * grid
+                phash = 0
+                for p, c in enumerate(cells):
+                    if int(c) * n > total:
+                        phash |= 1 << p
+                rows.append((doc_id, phash))
+            yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return media.mapInPandas(batches, PHASH_SCHEMA)

@@ -9968,3 +9968,97 @@ def streaming_quarantine_counts_query(spark: SparkSession, sf_dir: str) -> DataF
         .agg(F.count("*").alias("n"))
     )
     return jobs.run_available_now(counts, "streaming_quarantine_counts")
+
+
+@register(
+    "multimodal_phash_dedup",
+    # the oracle recomputes every perceptual hash from the pixel
+    # FORMULAS (decode-free), then runs the same band-blocked hamming
+    # join — so the engine's real decode+hash+block pipeline is fully
+    # value-checked
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), cells AS (
+  SELECT doc_id, yy.i * 4 + xx.i AS p,
+         (((doc_id * 7 + 3 * (((yy.i * h) // 4) * w + ((xx.i * w) // 4)) + 0) % 256)
+          + ((doc_id * 7 + 3 * (((yy.i * h) // 4) * w + ((xx.i * w) // 4)) + 1) % 256)
+          + ((doc_id * 7 + 3 * (((yy.i * h) // 4) * w + ((xx.i * w) // 4)) + 2) % 256)) // 3 AS gray
+  FROM dims
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) yy
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) xx
+), tot AS (
+  SELECT doc_id, p, gray, SUM(gray) OVER (PARTITION BY doc_id) AS total FROM cells
+), ph AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN gray * 16 > total THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS phash
+  FROM tot GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, phash, b.i AS band, (phash >> (b.i * 4)) & 15 AS key
+  FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.phash AS ap, b.phash AS bp
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
+SELECT (SELECT COUNT(*) FROM ph) AS n_images,
+       COUNT(*) AS n_candidate_pairs,
+       COUNT(CASE WHEN bit_count(CAST(xor(ap, bp) AS BIGINT)) <= 2 THEN 1 END) AS n_pairs_h2,
+       CAST(COALESCE(SUM(CASE WHEN bit_count(CAST(xor(ap, bp) AS BIGINT)) <= 2
+                         THEN a_id * 100000 + b_id END), 0) AS BIGINT) AS pair_checksum
+FROM cand
+""",
+)
+def multimodal_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection over REAL decoded images: decode
+    (actual PPM parsing on executors) -> integer grayscale -> 4x4
+    average-hash -> 4-band blocked hamming join (complete for hamming
+    <= 3 by pigeonhole) -> pairs at distance <= 2 — the multimodal
+    member of the near-dup family (simhash for text, phash for
+    pixels), with the same banded-blocking scale shape as MinHash LSH.
+    The shuffle carries 16-bit hashes, never pixels."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_ppm_media(docs)
+    ph = multimodal.image_phash(media)
+    bands = ph.select(
+        "doc_id",
+        "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "key", F.expr("(phash >> (band * 4)) & 15")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.phash").alias("ap"),
+            F.col("b.phash").alias("bp"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("ap").bitwiseXOR(F.col("bp")))
+    n_images = ph.agg(F.count("*").alias("n_images"))
+    return cand.agg(
+        F.count("*").alias("n_candidate_pairs"),
+        F.count(F.when(hamming <= 2, 1)).alias("n_pairs_h2"),
+        F.coalesce(
+            F.sum(
+                F.when(hamming <= 2, F.col("a_id") * 100000 + F.col("b_id"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("pair_checksum"),
+    ).join(F.broadcast(n_images)).select(
+        "n_images", "n_candidate_pairs", "n_pairs_h2", "pair_checksum"
+    )

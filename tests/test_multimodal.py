@@ -209,3 +209,51 @@ def test_y4m_roundtrip_and_decode(spark, sf_dir):
         assert (r.width, r.height, r.n_frames) == (w, h, nf)
         assert r.luma_sum == luma
         assert r.sampled_luma_sum == sampled
+
+
+def test_image_phash_reference_and_blocking(spark, sf_dir):
+    """pHash must match a pure-python recompute from decoded pixels,
+    and the band blocking must find every hamming<=2 pair (pigeonhole
+    completeness check against brute force)."""
+    from kinesis_stream_reader_spark.operators.multimodal import (
+        image_phash,
+        synthetic_ppm_media,
+    )
+    from kinesis_stream_reader_spark.registry import QUERIES
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.doc_id: r.phash
+        for r in image_phash(synthetic_ppm_media(docs.limit(60))).collect()
+    }
+    for doc_id in got:
+        w, h = 8 + doc_id % 5, 6 + doc_id % 3
+        cells = []
+        for yy in range(4):
+            for xx in range(4):
+                y, x = (yy * h) // 4, (xx * w) // 4
+                base = doc_id * 7 + 3 * (y * w + x)
+                gray = ((base % 256) + ((base + 1) % 256) + ((base + 2) % 256)) // 3
+                cells.append(gray)
+        total = sum(cells)
+        expect = 0
+        for p, c in enumerate(cells):
+            if c * 16 > total:
+                expect |= 1 << p
+        assert got[doc_id] == expect, doc_id
+    # blocking completeness on the full corpus report
+    row = QUERIES["multimodal_phash_dedup"](spark, sf_dir).collect()[0]
+    full = {
+        r.doc_id: r.phash
+        for r in image_phash(synthetic_ppm_media(docs)).collect()
+    }
+    ids = sorted(full)
+    brute = sum(
+        1
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(full[a] ^ full[b]).count("1") <= 2
+    )
+    assert row.n_pairs_h2 == brute
+    assert row.n_images == len(full)
