@@ -531,10 +531,10 @@ def video_decode_features(media: DataFrame) -> DataFrame:
 PHASH_SCHEMA = "doc_id BIGINT, phash BIGINT"
 
 
-def image_phash(media: DataFrame, grid: int = 4) -> DataFrame:
+def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
     """Perceptual average-hash of REAL decoded images: decode the PPM,
     grayscale (integer (r+g+b) DIV 3), nearest-neighbor resize to a
-    grid x grid patch (the image_resize_decoded index map), then one
+    grid x grid patch (default 8x8 -> the standard 64-bit pHash) (the image_resize_decoded index map), then one
     bit per cell: 1 iff cell * n_cells > sum (strictly-above-mean in
     exact integer form). Arrow-batched, map-only — the multimodal
     near-dup counterpart of simhash for text."""
@@ -553,7 +553,8 @@ def image_phash(media: DataFrame, grid: int = 4) -> DataFrame:
                 total = int(cells.sum())
                 n = grid * grid
                 phash = 0
-                for p, c in enumerate(cells):
+                # sign-safe 63-bit hash: bit 63 would overflow BIGINT
+                for p, c in enumerate(cells[:63]):
                     if int(c) * n > total:
                         phash |= 1 << p
                 rows.append((doc_id, phash))

@@ -9980,39 +9980,42 @@ def streaming_quarantine_counts_query(spark: SparkSession, sf_dir: str) -> DataF
 WITH dims AS (
   SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
 ), cells AS (
-  SELECT doc_id, yy.i * 4 + xx.i AS p,
-         (((doc_id * 7 + 3 * (((yy.i * h) // 4) * w + ((xx.i * w) // 4)) + 0) % 256)
-          + ((doc_id * 7 + 3 * (((yy.i * h) // 4) * w + ((xx.i * w) // 4)) + 1) % 256)
-          + ((doc_id * 7 + 3 * (((yy.i * h) // 4) * w + ((xx.i * w) // 4)) + 2) % 256)) // 3 AS gray
+  SELECT doc_id, yy.i * 8 + xx.i AS p,
+         (((doc_id * 7 + 3 * (((yy.i * h) // 8) * w + ((xx.i * w) // 8)) + 0) % 256)
+          + ((doc_id * 7 + 3 * (((yy.i * h) // 8) * w + ((xx.i * w) // 8)) + 1) % 256)
+          + ((doc_id * 7 + 3 * (((yy.i * h) // 8) * w + ((xx.i * w) // 8)) + 2) % 256)) // 3 AS gray
   FROM dims
-  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) yy
-  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) xx
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) yy
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) xx
 ), tot AS (
   SELECT doc_id, p, gray, SUM(gray) OVER (PARTITION BY doc_id) AS total FROM cells
 ), ph AS (
   SELECT doc_id,
-         CAST(SUM(CASE WHEN gray * 16 > total THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS phash
+         CAST(SUM(CASE WHEN p < 63 AND gray * 64 > total THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS phash
   FROM tot GROUP BY doc_id
+), groups AS (
+  SELECT phash, COUNT(*) AS sz FROM ph GROUP BY phash
 ), bands AS (
-  SELECT doc_id, phash, b.i AS band, (phash >> (b.i * 4)) & 15 AS key
-  FROM ph CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b
+  SELECT phash, sz, b.i AS band, (phash >> (b.i * 16)) & 65535 AS key
+  FROM groups CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b
 ), cand AS (
-  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.phash AS ap, b.phash AS bp
+  SELECT DISTINCT a.phash AS ap, b.phash AS bp, a.sz AS sa, b.sz AS sb
   FROM bands a JOIN bands b
-    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ON a.band = b.band AND a.key = b.key AND a.phash < b.phash
 )
-SELECT (SELECT COUNT(*) FROM ph) AS n_images,
-       COUNT(*) AS n_candidate_pairs,
-       COUNT(CASE WHEN bit_count(CAST(xor(ap, bp) AS BIGINT)) <= 2 THEN 1 END) AS n_pairs_h2,
+SELECT (SELECT CAST(SUM(sz) AS BIGINT) FROM groups) AS n_images,
+       (SELECT COUNT(*) FROM groups) AS n_distinct_hashes,
+       (SELECT CAST(SUM(sz) - COUNT(*) AS BIGINT) FROM groups) AS exact_dup_images,
+       COUNT(CASE WHEN bit_count(CAST(xor(ap, bp) AS BIGINT)) <= 2 THEN 1 END) AS n_near_hash_pairs,
        CAST(COALESCE(SUM(CASE WHEN bit_count(CAST(xor(ap, bp) AS BIGINT)) <= 2
-                         THEN a_id * 100000 + b_id END), 0) AS BIGINT) AS pair_checksum
+                         THEN sa * sb END), 0) AS BIGINT) AS near_dup_mass
 FROM cand
 """,
 )
 def multimodal_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual near-dup detection over REAL decoded images: decode
-    (actual PPM parsing on executors) -> integer grayscale -> 4x4
-    average-hash -> 4-band blocked hamming join (complete for hamming
+    (actual PPM parsing on executors) -> integer grayscale -> 8x8
+    sign-safe 63-bit average-hash -> 4-band (16-bit) blocked hamming join (complete for hamming
     <= 3 by pigeonhole) -> pairs at distance <= 2 — the multimodal
     member of the near-dup family (simhash for text, phash for
     pixels), with the same banded-blocking scale shape as MinHash LSH.
@@ -10022,12 +10025,16 @@ def multimodal_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthetic_ppm_media(docs)
     ph = multimodal.image_phash(media)
-    bands = ph.select(
-        "doc_id",
+    # collapse to DISTINCT hashes FIRST (the dedup_minhash_canonical
+    # lesson: replicated corpora make doc-level pair emission quadratic
+    # — the first draft measured 367s at 20x docs; hash-level pairs
+    # with group weights are linear in distinct hashes)
+    groups = ph.groupBy("phash").agg(F.count("*").alias("sz"))
+    bands = groups.select(
         "phash",
+        "sz",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
-    ).withColumn(
-        "key", F.expr("(phash >> (band * 4)) & 15")
+    ).withColumn("key", F.expr("(phash >> (band * 16)) & 65535")
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -10036,29 +10043,33 @@ def multimodal_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.phash") < F.col("b.phash")),
         )
         .select(
-            F.col("a.doc_id").alias("a_id"),
-            F.col("b.doc_id").alias("b_id"),
             F.col("a.phash").alias("ap"),
             F.col("b.phash").alias("bp"),
+            F.col("a.sz").alias("sa"),
+            F.col("b.sz").alias("sb"),
         )
         .distinct()
     )
     hamming = F.bit_count(F.col("ap").bitwiseXOR(F.col("bp")))
-    n_images = ph.agg(F.count("*").alias("n_images"))
+    stats = groups.agg(
+        F.sum("sz").alias("n_images"),
+        F.count("*").alias("n_distinct_hashes"),
+        (F.sum("sz") - F.count("*")).alias("exact_dup_images"),
+    )
     return cand.agg(
-        F.count("*").alias("n_candidate_pairs"),
-        F.count(F.when(hamming <= 2, 1)).alias("n_pairs_h2"),
+        F.count(F.when(hamming <= 2, 1)).alias("n_near_hash_pairs"),
         F.coalesce(
-            F.sum(
-                F.when(hamming <= 2, F.col("a_id") * 100000 + F.col("b_id"))
-            ),
-            F.lit(0),
+            F.sum(F.when(hamming <= 2, F.col("sa") * F.col("sb"))), F.lit(0)
         )
         .cast("long")
-        .alias("pair_checksum"),
-    ).join(F.broadcast(n_images)).select(
-        "n_images", "n_candidate_pairs", "n_pairs_h2", "pair_checksum"
+        .alias("near_dup_mass"),
+    ).join(F.broadcast(stats)).select(
+        "n_images",
+        "n_distinct_hashes",
+        "exact_dup_images",
+        "n_near_hash_pairs",
+        "near_dup_mass",
     )

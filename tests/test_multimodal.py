@@ -230,30 +230,37 @@ def test_image_phash_reference_and_blocking(spark, sf_dir):
     for doc_id in got:
         w, h = 8 + doc_id % 5, 6 + doc_id % 3
         cells = []
-        for yy in range(4):
-            for xx in range(4):
-                y, x = (yy * h) // 4, (xx * w) // 4
+        for yy in range(8):
+            for xx in range(8):
+                y, x = (yy * h) // 8, (xx * w) // 8
                 base = doc_id * 7 + 3 * (y * w + x)
                 gray = ((base % 256) + ((base + 1) % 256) + ((base + 2) % 256)) // 3
                 cells.append(gray)
         total = sum(cells)
         expect = 0
-        for p, c in enumerate(cells):
-            if c * 16 > total:
+        for p, c in enumerate(cells[:63]):
+            if c * 64 > total:
                 expect |= 1 << p
         assert got[doc_id] == expect, doc_id
-    # blocking completeness on the full corpus report
+    # blocking completeness on the full corpus report: hash-level
+    # near pairs and their doc-mass vs brute force over distinct hashes
+    from collections import Counter
+
     row = QUERIES["multimodal_phash_dedup"](spark, sf_dir).collect()[0]
     full = {
         r.doc_id: r.phash
         for r in image_phash(synthetic_ppm_media(docs)).collect()
     }
-    ids = sorted(full)
-    brute = sum(
-        1
-        for i, a in enumerate(ids)
-        for b in ids[i + 1 :]
-        if bin(full[a] ^ full[b]).count("1") <= 2
-    )
-    assert row.n_pairs_h2 == brute
+    sizes = Counter(full.values())
+    hs = sorted(sizes)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(hs)
+        for b in hs[i + 1 :]
+        if bin(a ^ b).count("1") <= 2
+    ]
     assert row.n_images == len(full)
+    assert row.n_distinct_hashes == len(sizes)
+    assert row.exact_dup_images == len(full) - len(sizes)
+    assert row.n_near_hash_pairs == len(pairs)
+    assert row.near_dup_mass == sum(sizes[a] * sizes[b] for a, b in pairs)
