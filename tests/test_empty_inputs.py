@@ -25,6 +25,11 @@ SUBSET = [
     "sequence_motifs", "dataset_card", "training_matrix_pit",
     "pseudonymize_consistent", "incremental_join_merge", "pagerank_converged",
     "dedup_groups", "feature_quantile_bins", "drift_ks", "table_checksum",
+    "window_session_dynamic", "join_asof_nearest", "quantile_normalize",
+    "multimodal_phash_dedup", "varint_delta_report", "attribution_models",
+    "sequence_pattern_regex", "quarantine_split", "log_parse_roundtrip",
+    "bitmap_membership", "mutual_information", "benford_audit",
+    "token_budget_allocation", "rfm_segments",
 ]
 
 
