@@ -10073,3 +10073,111 @@ def multimodal_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_near_hash_pairs",
         "near_dup_mass",
     )
+
+
+@register(
+    "tfidf_cosine_pairs",
+    # sparse cosine similarity join over the df-pruned tf-idf space:
+    # weights quantized to exact milli-units, dot products exact
+    # bigints via the inverted-index join, norms via IEEE sqrt of
+    # exact sums — one float division per pair
+    """
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL UNNEST(string_split(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' ')) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(FLOOR(tf.tf * LN(CAST(nd.n AS DOUBLE) / CAST(df.df AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS wu
+  FROM tf JOIN df USING (term) CROSS JOIN nd
+  WHERE df.df BETWEEN 2 AND 50
+), norms AS (
+  SELECT doc_id, CAST(FLOOR(SQRT(CAST(SUM(wu * wu) AS DOUBLE))) AS BIGINT) AS nu
+  FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(SUM(a.wu * b.wu) AS BIGINT) AS dot_u
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       FLOOR(CAST(dot_u AS DOUBLE) / (CAST(na.nu AS DOUBLE) * CAST(nb.nu AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = a_id
+JOIN norms nb ON nb.doc_id = b_id
+WHERE CAST(dot_u AS DOUBLE) / (CAST(na.nu AS DOUBLE) * CAST(nb.nu AS DOUBLE)) >= 0.5
+ORDER BY a_id, b_id
+""",
+)
+def tfidf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine similarity join over tf-idf vectors — the
+    SPARSE-vector member of the similarity family
+    (dedup_embedding_cosine is the dense side, dedup_ngram_jaccard the
+    set side; this weights shared terms by informativeness). The
+    inverted-index join touches only shared terms, and the df window
+    [2, 50] is the scale lever: singleton terms can't pair, stop-terms
+    (the quadratic fan-out) are pruned — the standard
+    similarity-join-with-df-cutoff design. Exact integer milli-weights
+    end to end; one float division per surviving pair."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalized, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    nd = docs.agg(F.count_distinct("doc_id").alias("n"))
+    w = (
+        tf.join(F.broadcast(df), "term")
+        .filter((F.col("df") >= 2) & (F.col("df") <= 50))
+        .join(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.floor(
+                F.col("tf")
+                * F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+                * 1000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("wu"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.floor(F.sqrt(F.sum(F.col("wu") * F.col("wu")).cast("double")))
+        .cast("long")
+        .alias("nu")
+    )
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+        )
+        .agg(F.sum(F.col("a.wu") * F.col("b.wu")).alias("dot_u"))
+    )
+    cos = F.col("dot_u").cast("double") / (
+        F.col("na.nu").cast("double") * F.col("nb.nu").cast("double")
+    )
+    return (
+        dots.join(norms.alias("na"), F.col("a_id") == F.col("na.doc_id"))
+        .join(norms.alias("nb"), F.col("b_id") == F.col("nb.doc_id"))
+        .filter(cos >= 0.5)
+        .select(
+            "a_id",
+            "b_id",
+            (F.floor(cos * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias("cosine"),
+        )
+        .orderBy("a_id", "b_id")
+    )

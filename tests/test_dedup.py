@@ -826,3 +826,54 @@ def test_quality_model_contributions_sum_identity(spark, sf_dir):
         # centered-logit identity (quantization + the score's own 1e-4
         # rounding dominate the tolerance)
         assert abs(total - (scores[did] - mean_logit)) < 5e-4, did
+
+
+def test_tfidf_cosine_pairs_brute_force(spark, sf_dir):
+    """Sparse cosine pairs vs a driver-side recompute on the pruned
+    vocabulary (weights and thresholds replayed exactly)."""
+    import math
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        (r.a_id, r.b_id): r.cosine
+        for r in QUERIES["tfidf_cosine_pairs"](spark, sf_dir).collect()
+    }
+    tf = defaultdict(Counter)
+    for r in docs.select("doc_id", "text").collect():
+        norm = _re.sub("[^a-z0-9 ]", "", r.text.strip().lower())
+        for t in norm.split(" "):
+            if t:
+                tf[r.doc_id][t] += 1
+    n = len(tf)
+    df = Counter()
+    for d in tf.values():
+        df.update(d.keys())
+    w = {
+        did: {
+            t: math.floor(c * math.log(n / df[t]) * 1000 + 0.5)
+            for t, c in d.items()
+            if 2 <= df[t] <= 50
+        }
+        for did, d in tf.items()
+    }
+    nu = {
+        did: math.floor(math.sqrt(sum(v * v for v in ws.values())))
+        for did, ws in w.items()
+        if ws
+    }
+    expect = {}
+    ids = sorted(nu)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = set(w[a]) & set(w[b])
+            if not shared:
+                continue
+            dot = sum(w[a][t] * w[b][t] for t in shared)
+            cos = dot / (nu[a] * nu[b])
+            if cos >= 0.5:
+                expect[(a, b)] = math.floor(cos * 1e6 + 0.5) / 1e6
+    assert got == expect
