@@ -10181,3 +10181,144 @@ def tfidf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+@register(
+    "item_item_recs",
+    # "bought X also bought Y": basket co-occurrence ranked by lift,
+    # top-3 per item — map-side pair generation from collect_set
+    # arrays (the assoc_rules shape) + a per-item TakeOrdered window
+    """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS o, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), n AS (SELECT COUNT(DISTINCT o) AS n FROM baskets),
+ic AS (SELECT item, COUNT(*) AS cnt FROM baskets GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS cooc
+  FROM baskets a JOIN baskets b ON a.o = b.o AND a.item <> b.item
+  GROUP BY 1, 2
+), scored AS (
+  SELECT item_a, item_b, cooc,
+         FLOOR(CAST(cooc * n.n AS DOUBLE) / CAST(ca.cnt * cb.cnt AS DOUBLE) * 1e6 + 0.5) / 1e6 AS lift
+  FROM pairs
+  JOIN ic ca ON ca.item = pairs.item_a
+  JOIN ic cb ON cb.item = pairs.item_b
+  CROSS JOIN n
+  WHERE cooc >= 10
+)
+SELECT item_a, item_b, cooc, lift, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY item_a ORDER BY lift DESC, item_b) AS rnk
+  FROM scored
+) WHERE rnk <= 3
+ORDER BY item_a, rnk
+""",
+)
+def item_item_recs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item recommendations ('customers who bought X also bought
+    Y'): directed basket co-occurrence ranked by lift, top-3 per item
+    — the retail serving table assoc_rules' rule mining feeds. Pairs
+    are emitted MAP-SIDE from per-basket sorted arrays (both
+    directions of each unordered pair), the census is partial-agg'd,
+    and the per-item ranking is a WindowGroupLimit over the pair
+    relation — never baskets."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    arrs = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
+        .groupBy("o")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+    )
+    n = arrs.select(F.count("*").alias("n"))
+    item_counts = (
+        arrs.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pair_structs = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("items"),
+                lambda x: F.transform(
+                    F.filter(F.col("items"), lambda y: y != x),
+                    lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+                ),
+            )
+        )
+    )
+    pairs = (
+        arrs.select(pair_structs.alias("p"))
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").alias("cooc"))
+        .filter(F.col("cooc") >= 10)
+    )
+    ca = item_counts.select(F.col("item").alias("item_a"), F.col("cnt").alias("ca"))
+    cb = item_counts.select(F.col("item").alias("item_b"), F.col("cnt").alias("cb"))
+    lift = (
+        F.floor(
+            (F.col("cooc") * F.col("n")).cast("double")
+            / (F.col("ca") * F.col("cb")).cast("double")
+            * 1e6
+            + F.lit(0.5)
+        )
+        / F.lit(1e6)
+    )
+    w = Window.partitionBy("item_a").orderBy(F.desc("lift"), "item_b")
+    return (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .join(F.broadcast(n))
+        .select("item_a", "item_b", "cooc", lift.alias("lift"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("item_a", "rnk")
+    )
+
+
+@register(
+    "tiered_billing_report",
+    # tiered usage pricing per tenant: exact integer unit accounting
+    # through three price bands — micro-cents arithmetic, no floats
+    # until the final display division
+    """
+WITH usage AS (
+  SELECT user_id % 50 AS tenant, COUNT(*) AS units FROM events GROUP BY 1
+), tiers AS (
+  SELECT tenant, units,
+         LEAST(units, 100) AS t1_units,
+         LEAST(GREATEST(units - 100, 0), 400) AS t2_units,
+         GREATEST(units - 500, 0) AS t3_units
+  FROM usage
+)
+SELECT tenant, CAST(units AS BIGINT) AS units,
+       CAST(t1_units * 500 + t2_units * 300 + t3_units * 100 AS BIGINT) AS microcents,
+       FLOOR(CAST(t1_units * 500 + t2_units * 300 + t3_units * 100 AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4
+         AS dollars
+FROM tiers ORDER BY tenant
+""",
+)
+def tiered_billing_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Usage metering with tiered pricing: per-tenant event units
+    through three price bands (first 100 at 500 micro-cents, next 400
+    at 300, the rest at 100) — the billing aggregation every
+    usage-based product runs nightly, exact integer micro-cents until
+    the display conversion. One partial-agg shuffle bounded by
+    tenants."""
+    events = load_events(spark, sf_dir)
+    usage = events.groupBy((F.col("user_id") % 50).alias("tenant")).agg(
+        F.count("*").alias("units")
+    )
+    t1 = F.least(F.col("units"), F.lit(100))
+    t2 = F.least(F.greatest(F.col("units") - 100, F.lit(0)), F.lit(400))
+    t3 = F.greatest(F.col("units") - 500, F.lit(0))
+    micro = t1 * 500 + t2 * 300 + t3 * 100
+    return usage.select(
+        "tenant",
+        "units",
+        micro.cast("long").alias("microcents"),
+        (
+            F.floor(micro.cast("double") / 1e6 * 1e4 + F.lit(0.5)) / F.lit(1e4)
+        ).alias("dollars"),
+    ).orderBy("tenant")

@@ -2370,3 +2370,60 @@ def test_varint_delta_report_brute(spark, sf_dir):
             nb += 1 if delta < 128 else 2 if delta < 16384 else 3 if delta < 2097152 else 4 if delta < 268435456 else 8
         expect[d.strftime("%Y-%m-%d")] = (len(vs), len(vs) * 8, nb)
     assert got == expect
+
+
+def test_item_item_recs_brute_force(spark, sf_dir):
+    """Top-3 lift-ranked recs per item vs a driver basket scan."""
+    import math
+    from collections import Counter, defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = [
+        (r.item_a, r.rnk, r.item_b, r.cooc, r.lift)
+        for r in QUERIES["item_item_recs"](spark, sf_dir).collect()
+    ]
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    brand = {r.p_partkey: r.p_brand for r in part.collect()}
+    baskets = defaultdict(set)
+    for r in li.select("l_orderkey", "l_partkey").collect():
+        baskets[r.l_orderkey].add(brand[r.l_partkey])
+    n = len(baskets)
+    ic = Counter()
+    cooc = Counter()
+    for items in baskets.values():
+        ic.update(items)
+        for a in items:
+            for b in items:
+                if a != b:
+                    cooc[(a, b)] += 1
+    expect = []
+    for a in sorted(ic):
+        scored = []
+        for (x, b), c in cooc.items():
+            if x == a and c >= 10:
+                lift = math.floor(c * n / (ic[a] * ic[b]) * 1e6 + 0.5) / 1e6
+                scored.append((-lift, b, c, lift))
+        scored.sort()
+        for rnk, (_, b, c, lift) in enumerate(scored[:3], 1):
+            expect.append((a, rnk, b, c, lift))
+    assert got == expect
+
+
+def test_tiered_billing_exact(spark, sf_dir):
+    """Band accounting vs a driver recompute; monotone in units."""
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {r.tenant: (r.units, r.microcents) for r in
+           QUERIES["tiered_billing_report"](spark, sf_dir).collect()}
+    units = Counter()
+    for r in load_events(spark, sf_dir).select("user_id").collect():
+        units[r.user_id % 50] += 1
+    for t, u in units.items():
+        t1 = min(u, 100)
+        t2 = min(max(u - 100, 0), 400)
+        t3 = max(u - 500, 0)
+        assert got[t] == (u, t1 * 500 + t2 * 300 + t3 * 100)
