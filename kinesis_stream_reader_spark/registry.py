@@ -10322,3 +10322,142 @@ def tiered_billing_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(micro.cast("double") / 1e6 * 1e4 + F.lit(0.5)) / F.lit(1e4)
         ).alias("dollars"),
     ).orderBy("tenant")
+
+
+@register(
+    "uptime_report",
+    # availability from the event stream itself: per-type gaps over 30
+    # minutes are outages; exact epoch-second accounting
+    """
+WITH g AS (
+  SELECT event_type,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+           - CAST(FLOOR(EPOCH(LAG(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))) AS BIGINT)
+           AS gap_s
+  FROM events
+), span AS (
+  SELECT event_type,
+         CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) - CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS span_s
+  FROM events GROUP BY event_type
+)
+SELECT g.event_type,
+       COUNT(CASE WHEN gap_s > 1800 THEN 1 END) AS n_outages,
+       CAST(COALESCE(SUM(CASE WHEN gap_s > 1800 THEN gap_s END), 0) AS BIGINT) AS downtime_s,
+       MAX(span.span_s) AS span_s,
+       FLOOR((1.0 - CAST(COALESCE(SUM(CASE WHEN gap_s > 1800 THEN gap_s END), 0) AS DOUBLE)
+                    / CAST(MAX(span.span_s) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS availability
+FROM g JOIN span USING (event_type)
+GROUP BY g.event_type
+ORDER BY g.event_type
+""",
+)
+def uptime_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability accounting from the stream itself: a silent gap
+    longer than 30 minutes in a source's events IS an outage (there is
+    no better signal at the data layer), so per-type downtime and the
+    availability ratio fall out of one LAG window + census — the SRE
+    report next to late_arrival_histogram (that sizes watermarks, this
+    pages people). Exact epoch seconds; one float division for the
+    ratio."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = events.select(
+        "event_type",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+    span = events.groupBy("event_type").agg(
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "span_s"
+        )
+    )
+    down = F.coalesce(
+        F.sum(F.when(F.col("gap_s") > 1800, F.col("gap_s"))), F.lit(0)
+    )
+    return (
+        g.join(span, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("gap_s") > 1800, 1)).alias("n_outages"),
+            down.cast("long").alias("downtime_s"),
+            F.max("span_s").alias("span_s"),
+            (
+                F.floor(
+                    (
+                        F.lit(1.0)
+                        - down.cast("double") / F.max("span_s").cast("double")
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("availability"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stock_ledger_dips",
+    # signed-quantity running ledger per part: R-flag lines consume,
+    # others restock; exact integers, one window pass; the report
+    # flags parts whose balance ever dipped below zero
+    """
+WITH ledger AS (
+  SELECT l_partkey,
+         CASE WHEN l_returnflag = 'R' THEN -CAST(l_quantity AS BIGINT)
+              ELSE CAST(l_quantity AS BIGINT) END AS delta,
+         l_shipdate, l_orderkey, l_linenumber
+  FROM lineitem
+), run AS (
+  SELECT l_partkey,
+         SUM(delta) OVER (PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+  FROM ledger
+)
+SELECT l_partkey,
+       CAST(MIN(bal) AS BIGINT) AS min_balance,
+       CAST(MAX(bal) AS BIGINT) AS max_balance,
+       CAST(SUM(CASE WHEN bal < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative_points,
+       MIN(bal) < 0 AS ever_negative
+FROM run
+WHERE l_partkey % 97 = 0
+GROUP BY l_partkey
+ORDER BY l_partkey
+""",
+)
+def stock_ledger_dips_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-ledger semantics: per-part signed running balance
+    (returns consume, shipments restock) with dip detection — the
+    inventory/accounting ledger pass (running balances + covenant
+    checks) that generalizes window_running_total to business rules.
+    One part-keyed window over a deterministic (date, order, line)
+    total order; exact integer quantities. Output gated to a 1-in-97
+    part sample after the window."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    delta = F.when(
+        F.col("l_returnflag") == "R", -F.col("l_quantity").cast("long")
+    ).otherwise(F.col("l_quantity").cast("long"))
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = lineitem.select(
+        "l_partkey", F.sum(delta).over(w).alias("bal")
+    )
+    return (
+        run.filter(F.col("l_partkey") % 97 == 0)
+        .groupBy("l_partkey")
+        .agg(
+            F.min("bal").alias("min_balance"),
+            F.max("bal").alias("max_balance"),
+            F.sum(F.when(F.col("bal") < 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_negative_points"),
+            (F.min("bal") < 0).alias("ever_negative"),
+        )
+        .orderBy("l_partkey")
+    )

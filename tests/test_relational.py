@@ -2427,3 +2427,56 @@ def test_tiered_billing_exact(spark, sf_dir):
         t2 = min(max(u - 100, 0), 400)
         t3 = max(u - 500, 0)
         assert got[t] == (u, t1 * 500 + t2 * 300 + t3 * 100)
+
+
+def test_uptime_report_brute(spark, sf_dir):
+    """Outage accounting vs a driver replay of per-type gaps."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.event_type: (r.n_outages, r.downtime_s, r.span_s)
+        for r in QUERIES["uptime_report"](spark, sf_dir).collect()
+    }
+    tl = defaultdict(list)
+    for r in load_events(spark, sf_dir).select("event_type", "ts", "event_id").collect():
+        tl[r.event_type].append((int(r.ts.timestamp()), r.event_id))
+    for et, ts in tl.items():
+        ts.sort()
+        gaps = [b[0] - a[0] for a, b in zip(ts, ts[1:])]
+        outages = [gp for gp in gaps if gp > 1800]
+        span = ts[-1][0] - ts[0][0]
+        assert got[et] == (len(outages), sum(outages), span)
+
+
+def test_stock_ledger_dips_brute(spark, sf_dir):
+    """Running-balance extrema vs a driver ledger replay."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.l_partkey: (r.min_balance, r.max_balance, r.n_negative_points, r.ever_negative)
+        for r in QUERIES["stock_ledger_dips"](spark, sf_dir).collect()
+    }
+    rows = defaultdict(list)
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_returnflag", "l_quantity", "l_shipdate", "l_orderkey", "l_linenumber"
+    ).collect():
+        if r.l_partkey % 97 == 0:
+            d = -int(r.l_quantity) if r.l_returnflag == "R" else int(r.l_quantity)
+            rows[r.l_partkey].append((r.l_shipdate, r.l_orderkey, r.l_linenumber, d))
+    for pk, ledger in rows.items():
+        ledger.sort()
+        bal = 0
+        bals = []
+        for _, _, _, d in ledger:
+            bal += d
+            bals.append(bal)
+        assert got[pk] == (
+            min(bals),
+            max(bals),
+            sum(1 for b in bals if b < 0),
+            min(bals) < 0,
+        )
