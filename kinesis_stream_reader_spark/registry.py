@@ -10461,3 +10461,118 @@ def stock_ledger_dips_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_partkey")
     )
+
+
+@register(
+    "cycle_time_report",
+    # process mining lite: order-to-last-shipment cycle days per
+    # priority with discrete quartiles (exact integer day counts)
+    """
+WITH cycles AS (
+  SELECT o.o_orderpriority AS priority,
+         datediff('day', CAST(o.o_orderdate AS DATE), CAST(MAX(l.l_shipdate) AS DATE)) AS cycle_days
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+)
+SELECT priority, COUNT(*) AS n_orders,
+       CAST(MIN(cycle_days) AS BIGINT) AS min_days,
+       CAST(quantile_disc(cycle_days, 0.5) AS BIGINT) AS median_days,
+       CAST(quantile_disc(cycle_days, 0.95) AS BIGINT) AS p95_days,
+       CAST(MAX(cycle_days) AS BIGINT) AS max_days
+FROM cycles GROUP BY priority ORDER BY priority
+""",
+)
+def cycle_time_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-mining cycle times: order placement to LAST shipment,
+    summarized per priority with discrete order statistics — the
+    operational SLA readout (are urgent orders actually faster?).
+    One join + per-order aggregate + a priority-bounded percentile
+    pass; exact integer days (percentile_approx is exact at oracle
+    scale per the GK degenerate-accuracy convention)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cycles = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.to_date("last_ship"), F.to_date("o_orderdate")).alias(
+                "cycle_days"
+            ),
+        )
+    )
+    return (
+        cycles.groupBy("priority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("cycle_days").cast("long").alias("min_days"),
+            F.percentile_approx("cycle_days", 0.5, 100000)
+            .cast("long")
+            .alias("median_days"),
+            F.percentile_approx("cycle_days", 0.95, 100000)
+            .cast("long")
+            .alias("p95_days"),
+            F.max("cycle_days").cast("long").alias("max_days"),
+        )
+        .orderBy("priority")
+    )
+
+
+@register(
+    "trimmed_mean_report",
+    # 5%-trimmed mean per type: exact integer rank gates from one
+    # window pass, exact cent sums inside the kept band
+    """
+WITH ranked AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       COUNT(*) AS n_kept,
+       FLOOR(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6
+         AS trimmed_mean
+FROM ranked
+WHERE r > n * 5 // 100 AND r <= n - n * 5 // 100
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def trimmed_mean_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed mean per group — the robust-statistics companion to
+    anomaly_mad (MAD rejects outliers for DETECTION; trimming rejects
+    them for ESTIMATION). Exact integer rank gates (r in
+    (5%n, n-5%n]) from one per-type window pass, exact cent sums
+    inside the kept band, one float division."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(wc).alias("n"),
+    )
+    lo = F.expr("n * 5 DIV 100")
+    return (
+        ranked.filter((F.col("r") > lo) & (F.col("r") <= F.col("n") - lo))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.count("*").alias("n_kept"),
+            (
+                F.floor(
+                    F.sum("cents").cast("double")
+                    / F.count("*").cast("double")
+                    / F.lit(100.0)
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("event_type")
+    )

@@ -2480,3 +2480,59 @@ def test_stock_ledger_dips_brute(spark, sf_dir):
             sum(1 for b in bals if b < 0),
             min(bals) < 0,
         )
+
+
+def test_cycle_time_report_brute(spark, sf_dir):
+    """Cycle days and discrete quantiles vs a driver replay."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {r.priority: r for r in QUERIES["cycle_time_report"](spark, sf_dir).collect()}
+    orders = {
+        r.o_orderkey: (r.o_orderpriority, r.o_orderdate)
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    last_ship = {}
+    for r in load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate").collect():
+        cur = last_ship.get(r.l_orderkey)
+        last_ship[r.l_orderkey] = r.l_shipdate if cur is None else max(cur, r.l_shipdate)
+    per = defaultdict(list)
+    for ok, (pri, od) in orders.items():
+        if ok in last_ship:
+            per[pri].append((last_ship[ok].date() - od.date()).days)
+    for pri, days in per.items():
+        days.sort()
+        n = len(days)
+        r = got[pri]
+        assert r.n_orders == n
+        assert r.min_days == days[0] and r.max_days == days[-1]
+        # quantile_disc 'lower' convention
+        import math as _m
+
+        assert r.median_days == days[_m.ceil(0.5 * n) - 1]
+        assert r.p95_days == days[_m.ceil(0.95 * n) - 1]
+
+
+def test_trimmed_mean_brute(spark, sf_dir):
+    """Trim gates and mean vs a driver replay; trimmed mean between
+    min and max of the kept band."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {r.event_type: r for r in QUERIES["trimmed_mean_report"](spark, sf_dir).collect()}
+    per = defaultdict(list)
+    for r in load_events(spark, sf_dir).select("event_type", "value", "event_id").collect():
+        per[r.event_type].append((r.value, r.event_id))
+    for et, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        lo = n * 5 // 100
+        kept = vals[lo : n - lo]
+        cents = [math.floor(v * 100 + 0.5) for v, _ in kept]
+        r = got[et]
+        assert r.n == n and r.n_kept == len(kept)
+        assert r.trimmed_mean == math.floor(
+            sum(cents) / len(cents) / 100.0 * 1e6 + 0.5
+        ) / 1e6
