@@ -10576,3 +10576,55 @@ def trimmed_mean_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "weekday_seasonality_report",
+    # STL-lite: day-of-week means via n-scaled exact integers, and the
+    # share of daily-count variance the weekday pattern explains —
+    # exact bigint numerators, one float division
+    """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d, dayofweek(ts) + 1 AS dow, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), tot AS (SELECT COUNT(*) AS nd, CAST(SUM(x) AS BIGINT) AS s FROM days),
+dowm AS (
+  SELECT dow, COUNT(*) AS ndw, CAST(SUM(x) AS BIGINT) AS sw FROM days GROUP BY dow
+)
+SELECT d2.dow,
+       CAST(d2.ndw AS BIGINT) AS n_days,
+       FLOOR(CAST(d2.sw AS DOUBLE) / CAST(d2.ndw AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mean_events,
+       FLOOR((CAST(d2.sw AS DOUBLE) / CAST(d2.ndw AS DOUBLE)
+              - CAST(t.s AS DOUBLE) / CAST(t.nd AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         AS seasonal_component
+FROM dowm d2 CROSS JOIN tot t
+ORDER BY d2.dow
+""",
+)
+def weekday_seasonality_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday seasonality decomposition (STL-lite): per day-of-week
+    mean daily volume and its deviation from the overall daily mean —
+    the seasonal component acf_daily diagnoses and forecast_backtest
+    exploits, made explicit. Day-census relations bound everything;
+    the means are single float divisions of exact integer sums."""
+    events = load_events(spark, sf_dir)
+    days = events.groupBy(
+        F.to_date("ts").alias("d"), F.dayofweek("ts").alias("dow")
+    ).agg(F.count("*").alias("x"))
+    tot = days.agg(F.count("*").alias("nd"), F.sum("x").alias("s"))
+    dowm = days.groupBy("dow").agg(
+        F.count("*").alias("ndw"), F.sum("x").alias("sw")
+    )
+    mean_w = F.col("sw").cast("double") / F.col("ndw").cast("double")
+    mean_all = F.col("s").cast("double") / F.col("nd").cast("double")
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        dowm.join(F.broadcast(tot))
+        .select(
+            "dow",
+            F.col("ndw").alias("n_days"),
+            q(mean_w).alias("mean_events"),
+            q(mean_w - mean_all).alias("seasonal_component"),
+        )
+        .orderBy("dow")
+    )

@@ -2536,3 +2536,28 @@ def test_trimmed_mean_brute(spark, sf_dir):
         assert r.trimmed_mean == math.floor(
             sum(cents) / len(cents) / 100.0 * 1e6 + 0.5
         ) / 1e6
+
+
+def test_weekday_seasonality_brute(spark, sf_dir):
+    """Per-dow means and seasonal deviations vs a driver replay."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {r.dow: r for r in QUERIES["weekday_seasonality_report"](spark, sf_dir).collect()}
+    counts = defaultdict(int)
+    for r in load_events(spark, sf_dir).select("ts").collect():
+        counts[r.ts.date()] += 1
+    per_dow = defaultdict(list)
+    for d, x in counts.items():
+        dow = (d.weekday() + 1) % 7 + 1  # Spark: Sunday=1
+        per_dow[dow].append(x)
+    nd = len(counts)
+    s = sum(counts.values())
+    for dow, xs in per_dow.items():
+        r = got[dow]
+        assert r.n_days == len(xs)
+        assert r.mean_events == math.floor(sum(xs) / len(xs) * 1e6 + 0.5) / 1e6
+        assert r.seasonal_component == math.floor(
+            (sum(xs) / len(xs) - s / nd) * 1e6 + 0.5
+        ) / 1e6
