@@ -10628,3 +10628,158 @@ def weekday_seasonality_report_query(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "abandoned_carts",
+    # FORWARD CEP negation: clicks with no purchase in the next 24h —
+    # next-purchase via running MIN over the mirrored frame, ties and
+    # same-instant purchases credited (purchase sorts before the click
+    # at equal t via is_click ASC in the forward frame)
+    """
+WITH u AS (
+  SELECT user_id AS uid, ts, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS t,
+         1 AS is_click, event_id AS click_id, CAST(NULL AS BIGINT) AS pt
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, ts, CAST(FLOOR(EPOCH(ts)) AS BIGINT),
+         0, CAST(NULL AS BIGINT), CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT uid, t, is_click, click_id,
+         MIN(pt) OVER (PARTITION BY uid ORDER BY t, is_click
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pt
+  FROM u
+)
+SELECT strftime(CAST(to_timestamp(t) AS DATE), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_clicks,
+       COUNT(CASE WHEN next_pt IS NULL OR next_pt - t > 86400 THEN 1 END) AS n_abandoned,
+       COUNT(CASE WHEN next_pt IS NOT NULL AND next_pt - t <= 86400 THEN 1 END) AS n_converted
+FROM m WHERE is_click = 1
+GROUP BY 1 ORDER BY 1
+""",
+)
+def abandoned_carts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandoned-cart detection — the FORWARD CEP negation (clicks
+    with no purchase in the following 24h; funnel_negative is the
+    backward mirror): next-purchase time rides a running MIN over the
+    mirrored window frame on the same one-shuffle union, so no
+    per-click probe join exists. Same-instant purchases count as
+    conversions (purchase sorts before the click at equal t)."""
+    events = load_events(spark, sf_dir)
+    t = F.unix_timestamp("ts")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uid"), t.alias("t"),
+        F.lit(1).alias("is_click"), F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("pt"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("uid"), t.alias("t"),
+        F.lit(0).alias("is_click"), F.lit(None).cast("long").alias("click_id"),
+        t.alias("pt"),
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("t", "is_click")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    m = clicks.unionByName(purchases).select(
+        "t", "is_click", F.min("pt").over(w).alias("next_pt")
+    )
+    abandoned = F.col("next_pt").isNull() | (F.col("next_pt") - F.col("t") > 86400)
+    return (
+        m.filter(F.col("is_click") == 1)
+        .groupBy(
+            F.date_format(F.to_date(F.timestamp_seconds("t")), "yyyy-MM-dd").alias(
+                "day"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.count(F.when(abandoned, 1)).alias("n_abandoned"),
+            F.count(F.when(~abandoned, 1)).alias("n_converted"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "diversity_index_report",
+    # vocabulary diversity per source: Simpson's index from EXACT
+    # integer pair counts (sum n_i(n_i-1) over N(N-1)) + Shannon
+    # entropy with per-term quantized contributions exact-summed
+    """
+WITH toks AS (
+  SELECT source, t.term
+  FROM documents,
+       LATERAL UNNEST(string_split(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' ')) AS t(term)
+  WHERE t.term <> ''
+), tc AS (
+  SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term
+), st AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_terms,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS pair_mass
+  FROM tc GROUP BY source
+), sh AS (
+  SELECT tc.source,
+         CAST(SUM(CAST(FLOOR(-(CAST(c AS DOUBLE) / CAST(st.n AS DOUBLE))
+                 * LN(CAST(c AS DOUBLE) / CAST(st.n AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS sh_u
+  FROM tc JOIN st USING (source)
+  GROUP BY tc.source
+)
+SELECT st.source, st.n AS n_tokens, CAST(st.n_terms AS BIGINT) AS n_terms,
+       FLOOR(CAST(st.pair_mass AS DOUBLE) / CAST(st.n * (st.n - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS simpson,
+       sh.sh_u / 1e9 AS shannon_nats
+FROM st JOIN sh USING (source)
+ORDER BY st.source
+""",
+)
+def diversity_index_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary diversity per source — Simpson's concentration index
+    (the probability two random tokens coincide: EXACT integer pair
+    mass over N(N-1)) and Shannon entropy (per-term contributions
+    quantized at 1e-9 then exact-summed) — ecology's diversity metrics
+    applied to corpus health: template-heavy sources score
+    concentrated, organic ones diverse. Censuses are
+    vocabulary-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    toks = docs.select(
+        "source", F.explode(F.split(normalized, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tc = toks.groupBy("source", "term").agg(F.count("*").alias("c"))
+    st = tc.groupBy("source").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_terms"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("pair_mass"),
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    sh = (
+        tc.join(st.select("source", "n"), "source")
+        .select(
+            "source",
+            F.floor(-p * F.log(p) * 1e9 + F.lit(0.5)).cast("long").alias("u"),
+        )
+        .groupBy("source")
+        .agg(F.sum("u").alias("sh_u"))
+    )
+    return (
+        st.join(sh, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.col("n_terms").cast("long").alias("n_terms"),
+            (
+                F.floor(
+                    F.col("pair_mass").cast("double")
+                    / (F.col("n") * (F.col("n") - 1)).cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("simpson"),
+            (F.col("sh_u") / F.lit(1e9)).alias("shannon_nats"),
+        )
+        .orderBy("source")
+    )

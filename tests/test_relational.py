@@ -2561,3 +2561,61 @@ def test_weekday_seasonality_brute(spark, sf_dir):
         assert r.seasonal_component == math.floor(
             (sum(xs) / len(xs) - s / nd) * 1e6 + 0.5
         ) / 1e6
+
+
+def test_abandoned_carts_brute(spark, sf_dir):
+    """Forward-negation split vs a driver replay (same-instant
+    purchases convert)."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.day: (r.n_clicks, r.n_abandoned, r.n_converted)
+        for r in QUERIES["abandoned_carts"](spark, sf_dir).collect()
+    }
+    clicks = defaultdict(list)
+    purchases = defaultdict(list)
+    for r in load_events(spark, sf_dir).select("user_id", "ts", "event_type").collect():
+        te = int(r.ts.timestamp())
+        if r.event_type == "click":
+            clicks[r.user_id].append(te)
+        elif r.event_type == "purchase":
+            purchases[r.user_id].append(te)
+    import datetime
+
+    expect = defaultdict(lambda: [0, 0, 0])
+    for uid, cts in clicks.items():
+        pts = sorted(purchases.get(uid, []))
+        for ct in cts:
+            nxt = next((p for p in pts if p >= ct), None)
+            converted = nxt is not None and nxt - ct <= 86400
+            day = datetime.datetime.utcfromtimestamp(ct).strftime("%Y-%m-%d")
+            e = expect[day]
+            e[0] += 1
+            e[2 if converted else 1] += 1
+    assert got == {d: tuple(v) for d, v in expect.items()}
+
+
+def test_diversity_index_brute(spark, sf_dir):
+    """Simpson and Shannon per source vs a driver census."""
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {r.source: r for r in QUERIES["diversity_index_report"](spark, sf_dir).collect()}
+    census = defaultdict(Counter)
+    for r in load_table(spark, sf_dir, "documents").select("source", "text").collect():
+        norm = _re.sub("[^a-z0-9 ]", "", r.text.strip().lower())
+        census[r.source].update(t for t in norm.split(" ") if t)
+    for src, c in census.items():
+        n = sum(c.values())
+        pair = sum(v * (v - 1) for v in c.values())
+        sh_u = sum(
+            math.floor(-(v / n) * math.log(v / n) * 1e9 + 0.5) for v in c.values()
+        )
+        r = got[src]
+        assert (r.n_tokens, r.n_terms) == (n, len(c))
+        assert r.simpson == math.floor(pair / (n * (n - 1)) * 1e6 + 0.5) / 1e6
+        assert r.shannon_nats == sh_u / 1e9
