@@ -10783,3 +10783,132 @@ def diversity_index_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "price_elasticity_report",
+    # per-brand OLS of quantity against unit price (cents): exact
+    # integer moments combined in HUGEINT/DECIMAL(38,0), one float
+    # division — the trend_lines kernel pointed at econometrics
+    """
+WITH base AS (
+  SELECT p.p_brand AS brand,
+         CAST(FLOOR(l.l_extendedprice / l.l_quantity * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(l.l_quantity AS BIGINT) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), m AS (
+  SELECT brand, COUNT(*) AS n, SUM(price_c) AS sx, SUM(qty) AS sy,
+         SUM(price_c * price_c) AS sxx, SUM(price_c * qty) AS sxy
+  FROM base GROUP BY brand
+)
+SELECT brand, CAST(n AS BIGINT) AS n,
+       FLOOR(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             * 1e9 + 0.5) / 1e9 AS qty_per_cent
+FROM m ORDER BY brand
+""",
+)
+def price_elasticity_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-vs-unit-price slope per brand (the demand-curve
+    first look): the trend_lines one-pass exact-moment kernel pointed
+    at econometrics — unit price quantized to exact cents, all five
+    moments in one partial-agg pass, DECIMAL(38,0) combination, one
+    float division at 1e-9 precision."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    base = lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey
+    ).select(
+        F.col("p_brand").alias("brand"),
+        F.floor(
+            F.col("l_extendedprice") / F.col("l_quantity") * 100 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("price_c"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    m = base.groupBy("brand").agg(
+        F.count("*").alias("n"),
+        F.sum("price_c").alias("sx"),
+        F.sum("qty").alias("sy"),
+        F.sum(F.col("price_c") * F.col("price_c")).alias("sxx"),
+        F.sum(F.col("price_c") * F.col("qty")).alias("sxy"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n").cast(dec) * F.col("sxy").cast(dec) - F.col("sx").cast(
+        dec
+    ) * F.col("sy").cast(dec)
+    den = F.col("n").cast(dec) * F.col("sxx").cast(dec) - F.col("sx").cast(
+        dec
+    ) * F.col("sx").cast(dec)
+    return m.select(
+        "brand",
+        "n",
+        (
+            F.floor(num.cast("double") / den.cast("double") * 1e9 + F.lit(0.5))
+            / F.lit(1e9)
+        ).alias("qty_per_cent"),
+    ).orderBy("brand")
+
+
+@register(
+    "text_readability",
+    # Flesch-style readability from codegen counts: words, sentences
+    # (periods + 1), syllable proxy (vowel groups) — the fixed float
+    # formula quantized half-up; output gated 1-in-29
+    """
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS words,
+         CAST(length(text) - length(replace(text, '.', '')) + 1 AS BIGINT) AS sentences,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables
+  FROM documents
+)
+SELECT doc_id, words, sentences, syllables,
+       FLOOR((206.835
+              - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+              - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)))
+             * 1e4 + 0.5) / 1e4 AS flesch
+FROM f WHERE doc_id % 29 = 0
+ORDER BY doc_id
+""",
+)
+def text_readability_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease scoring: words, sentences (period count +
+    1) and a vowel-group syllable proxy, all codegen counts, folded
+    through the classic formula in one fixed float sequence — the
+    readability gate some curation pipelines run next to
+    text_quality's ratio features. Map-only; zero shuffle before the
+    sample gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    from .operators.text import tokens
+
+    words = F.size(tokens(F.col("text"))).cast("long")
+    sentences = (
+        F.length("text") - F.length(F.expr("replace(text, '.', '')")) + 1
+    ).cast("long")
+    syllables = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        - F.lit(84.6) * (F.col("syllables").cast("double") / F.col("words").cast("double"))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            words.alias("words"),
+            sentences.alias("sentences"),
+            syllables.alias("syllables"),
+        )
+        .filter(F.col("doc_id") % 29 == 0)
+        .select(
+            "doc_id",
+            "words",
+            "sentences",
+            "syllables",
+            (F.floor(flesch * 1e4 + F.lit(0.5)) / F.lit(1e4)).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )

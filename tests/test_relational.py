@@ -2619,3 +2619,46 @@ def test_diversity_index_brute(spark, sf_dir):
         assert (r.n_tokens, r.n_terms) == (n, len(c))
         assert r.simpson == math.floor(pair / (n * (n - 1)) * 1e6 + 0.5) / 1e6
         assert r.shannon_nats == sh_u / 1e9
+
+
+def test_price_elasticity_numpy(spark, sf_dir):
+    """Per-brand slope vs numpy.polyfit on the quantized pairs."""
+    import numpy as np
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {r.brand: r for r in QUERIES["price_elasticity_report"](spark, sf_dir).collect()}
+    part = load_table(spark, sf_dir, "part")
+    brand = {r.p_partkey: r.p_brand for r in part.collect()}
+    per = defaultdict(list)
+    for r in load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_quantity"
+    ).collect():
+        pc = math.floor(r.l_extendedprice / r.l_quantity * 100 + 0.5)
+        per[brand[r.l_partkey]].append((pc, r.l_quantity))
+    for b, pts in per.items():
+        xs = np.array([p for p, _ in pts], dtype=float)
+        ys = np.array([q for _, q in pts], dtype=float)
+        slope = np.polyfit(xs, ys, 1)[0]
+        assert got[b].n == len(pts)
+        assert abs(got[b].qty_per_cent - slope) < 1e-6, b
+
+
+def test_text_readability_brute(spark, sf_dir):
+    """Count features and the formula vs a driver replay."""
+    import re as _re
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {r.doc_id: r for r in QUERIES["text_readability"](spark, sf_dir).collect()}
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        if r.doc_id % 29 != 0:
+            continue
+        words = len(r.text.strip().split())
+        sentences = r.text.count(".") + 1
+        syllables = len(_re.findall("[aeiouy]+", r.text.lower()))
+        flesch = 206.835 - 1.015 * (words / sentences) - 84.6 * (syllables / words)
+        g = got[r.doc_id]
+        assert (g.words, g.sentences, g.syllables) == (words, sentences, syllables)
+        assert g.flesch == math.floor(flesch * 1e4 + 0.5) / 1e4
