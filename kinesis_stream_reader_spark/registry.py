@@ -10912,3 +10912,100 @@ def text_readability_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "degree_distribution_report",
+    # degree census + log-log OLS slope (the power-law exponent
+    # estimate): quantized logs as exact micro-integers, the
+    # trend_lines moment combination — the graph family's descriptive
+    # statistics
+    """
+WITH edges AS (
+  SELECT DISTINCT user_id AS src, event_id % 500 AS dst FROM events
+), deg AS (
+  SELECT src AS node, COUNT(*) AS d FROM edges GROUP BY src
+), hist AS (
+  SELECT d, COUNT(*) AS cnt FROM deg GROUP BY d
+), logs AS (
+  SELECT d, cnt,
+         CAST(FLOOR(LN(CAST(d AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS lx,
+         CAST(FLOOR(LN(CAST(cnt AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS ly
+  FROM hist WHERE d >= 1
+), m AS (
+  SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+         SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+  FROM logs
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+       (SELECT CAST(SUM(cnt * d) AS BIGINT) FROM hist) AS n_edges,
+       (SELECT COUNT(*) FROM hist) AS n_distinct_degrees,
+       (SELECT MAX(d) FROM hist) AS max_degree,
+       FLOOR(CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS loglog_slope
+FROM m
+""",
+)
+def degree_distribution_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution characterization of the interaction graph:
+    the degree census plus a log-log OLS slope — the power-law
+    exponent read-off that tells you whether the graph is scale-free
+    (and therefore whether skew salting and degree-ordered wedge caps
+    are load-bearing; graph_triangles assumes exactly this). Logs are
+    quantized to exact micro-integers so the moment algebra and
+    slope are engine-stable; census shuffles bound by the degree
+    domain."""
+    events = load_events(spark, sf_dir)
+    edges = (
+        events.select(
+            F.col("user_id").alias("src"), (F.col("event_id") % 500).alias("dst")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    hist = deg.groupBy("d").agg(F.count("*").alias("cnt"))
+    logs = hist.select(
+        "d",
+        "cnt",
+        F.floor(F.log(F.col("d").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("lx"),
+        F.floor(F.log(F.col("cnt").cast("double")) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("ly"),
+    )
+    m = logs.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    dec = "decimal(38,0)"
+    num = F.col("n").cast(dec) * F.col("sxy").cast(dec) - F.col("sx").cast(
+        dec
+    ) * F.col("sy").cast(dec)
+    den = F.col("n").cast(dec) * F.col("sxx").cast(dec) - F.col("sx").cast(
+        dec
+    ) * F.col("sx").cast(dec)
+    stats = deg.agg(F.count("*").alias("n_nodes")).join(
+        hist.agg(
+            F.sum(F.col("cnt") * F.col("d")).alias("n_edges"),
+            F.count("*").alias("n_distinct_degrees"),
+            F.max("d").alias("max_degree"),
+        )
+    )
+    return (
+        m.join(F.broadcast(stats))
+        .select(
+            "n_nodes",
+            F.col("n_edges").cast("long").alias("n_edges"),
+            "n_distinct_degrees",
+            "max_degree",
+            (
+                F.floor(num.cast("double") / den.cast("double") * 1e6 + F.lit(0.5))
+                / F.lit(1e6)
+            ).alias("loglog_slope"),
+        )
+    )

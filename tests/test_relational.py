@@ -2662,3 +2662,29 @@ def test_text_readability_brute(spark, sf_dir):
         g = got[r.doc_id]
         assert (g.words, g.sentences, g.syllables) == (words, sentences, syllables)
         assert g.flesch == math.floor(flesch * 1e4 + 0.5) / 1e4
+
+
+def test_degree_distribution_brute(spark, sf_dir):
+    """Census stats and the log-log slope vs a driver replay."""
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    row = QUERIES["degree_distribution_report"](spark, sf_dir).collect()[0]
+    edges = set()
+    for r in load_events(spark, sf_dir).select("user_id", "event_id").collect():
+        edges.add((r.user_id, r.event_id % 500))
+    deg = Counter(s for s, _ in edges)
+    hist = Counter(deg.values())
+    assert row.n_nodes == len(deg)
+    assert row.n_edges == len(edges)
+    assert row.n_distinct_degrees == len(hist)
+    assert row.max_degree == max(hist)
+    lx = [math.floor(math.log(d) * 1e6 + 0.5) for d in hist]
+    ly = [math.floor(math.log(hist[d]) * 1e6 + 0.5) for d in hist]
+    n = len(lx)
+    sx, sy = sum(lx), sum(ly)
+    sxx = sum(x * x for x in lx)
+    sxy = sum(x * y for x, y in zip(lx, ly))
+    slope = math.floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+    assert row.loglog_slope == slope
