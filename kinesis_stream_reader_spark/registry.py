@@ -11009,3 +11009,54 @@ def degree_distribution_report_query(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("loglog_slope"),
         )
     )
+
+
+@register(
+    "rolling_median",
+    # 7-day rolling median of daily counts per type: the frame's
+    # values collect into a (<=7)-element array and the discrete lower
+    # median is one sort+index — exact integers, no approx sketch
+    """
+WITH days AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, d, x,
+         list(x) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS frame
+  FROM days
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS day, CAST(x AS BIGINT) AS x,
+       CAST(list_sort(frame)[(len(frame) + 1) // 2] AS BIGINT) AS rolling_median,
+       CAST(len(frame) AS BIGINT) AS frame_n
+FROM r ORDER BY event_type, day
+""",
+)
+def rolling_median_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day median of daily volume per type — the ROBUST
+    rolling statistic (rolling means chase spikes; operations
+    dashboards want the median). No median window function exists in
+    either engine, so the frame materializes as a bounded (<=7)
+    array and the discrete lower median is a codegen sort+index —
+    exact integers, and the pattern generalizes to any small-frame
+    order statistic. Day-census-bounded everything."""
+    events = load_events(spark, sf_dir)
+    days = events.groupBy(
+        "event_type", F.to_date("ts").alias("d")
+    ).agg(F.count("*").alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-6, 0)
+    )
+    r = days.withColumn("frame", F.collect_list("x").over(w))
+    med = F.element_at(
+        F.array_sort("frame"), ((F.size("frame") + 1) / 2).cast("int")
+    )
+    return r.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").cast("long").alias("x"),
+        med.cast("long").alias("rolling_median"),
+        F.size("frame").cast("long").alias("frame_n"),
+    ).orderBy("event_type", "day")

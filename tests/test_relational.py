@@ -2688,3 +2688,27 @@ def test_degree_distribution_brute(spark, sf_dir):
     sxy = sum(x * y for x, y in zip(lx, ly))
     slope = math.floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
     assert row.loglog_slope == slope
+
+
+def test_rolling_median_brute(spark, sf_dir):
+    """Frame medians vs a driver replay (lower-median convention)."""
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        (r.event_type, r.day): (r.rolling_median, r.frame_n)
+        for r in QUERIES["rolling_median"](spark, sf_dir).collect()
+    }
+    counts = defaultdict(dict)
+    for r in load_events(spark, sf_dir).select("event_type", "ts").collect():
+        d = r.ts.date()
+        counts[r.event_type][d] = counts[r.event_type].get(d, 0) + 1
+    for et, series in counts.items():
+        days = sorted(series)
+        for i, d in enumerate(days):
+            frame = [series[x] for x in days[max(0, i - 6) : i + 1]]
+            frame.sort()
+            med = frame[(len(frame) + 1) // 2 - 1]
+            key = (et, d.strftime("%Y-%m-%d"))
+            assert got[key] == (med, len(frame)), key
