@@ -11060,3 +11060,121 @@ def rolling_median_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         med.cast("long").alias("rolling_median"),
         F.size("frame").cast("long").alias("frame_n"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "cohort_conversion_report",
+    # conversion (ever makes a high-value purchase) by signup-week
+    # cohort — the retention matrix's outcome-rate sibling
+    """
+WITH d0 AS (SELECT CAST(MIN(ts) AS DATE) AS d0 FROM events),
+firsts AS (
+  SELECT user_id,
+         MIN(datediff('day', d0.d0, CAST(ts AS DATE)) // 7) AS cohort_week,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END) AS converted
+  FROM events, d0 GROUP BY user_id
+)
+SELECT cohort_week, COUNT(*) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       FLOOR(CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS conversion_rate
+FROM firsts GROUP BY cohort_week ORDER BY cohort_week
+""",
+)
+def cohort_conversion_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion by acquisition cohort: did users who arrived in week
+    N ever convert (the ab_test_report metric) — cohort_retention says
+    who COMES BACK, this says who PAYS, the second axis every growth
+    team reads. One per-user aggregate carrying both the first-seen
+    week MIN and the conversion MAX; cohort-bounded census."""
+    events = load_events(spark, sf_dir)
+    d0 = events.agg(F.to_date(F.min("ts")).alias("d0"))
+    firsts = (
+        events.join(F.broadcast(d0))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.expr("datediff(to_date(ts), d0) DIV 7")
+            ).alias("cohort_week"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+                ).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    return (
+        firsts.groupBy("cohort_week")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").cast("long").alias("n_converted"),
+            (
+                F.floor(
+                    F.sum("converted").cast("double")
+                    / F.count("*").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("conversion_rate"),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+@register(
+    "partition_gini_report",
+    # Gini coefficient of per-key row counts — skew as ONE number,
+    # exact integer numerator over sorted sizes
+    """
+WITH sizes AS (
+  SELECT user_id % 32 AS pkey, COUNT(*) AS sz FROM events GROUP BY 1
+), ranked AS (
+  SELECT sz, ROW_NUMBER() OVER (ORDER BY sz, pkey) AS i, COUNT(*) OVER () AS n,
+         SUM(sz) OVER () AS total
+  FROM sizes
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_partitions,
+       CAST(MAX(total) AS BIGINT) AS n_rows,
+       CAST(MIN(sz) AS BIGINT) AS min_rows,
+       CAST(MAX(sz) AS BIGINT) AS max_rows,
+       FLOOR(CAST(SUM((2 * i - n - 1) * sz) AS DOUBLE)
+             / CAST(MAX(n) * MAX(total) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS gini
+FROM ranked
+""",
+)
+def partition_gini_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-balance Gini: per-shuffle-key row counts summarized
+    as the Gini coefficient (0 = perfectly balanced, ->1 = one key
+    holds everything) — skew_profile lists heavy hitters, this is the
+    single number an autoscaler or alert thresholds on. Exact integer
+    numerator over the (tiny) sorted size relation."""
+    events = load_events(spark, sf_dir)
+    sizes = events.groupBy((F.col("user_id") % 32).alias("pkey")).agg(
+        F.count("*").alias("sz")
+    )
+    w = Window.orderBy("sz", "pkey")
+    wall = Window.partitionBy()
+    ranked = sizes.select(
+        "sz",
+        F.row_number().over(w).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("sz").over(wall).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_partitions"),
+        F.max("total").cast("long").alias("n_rows"),
+        F.min("sz").cast("long").alias("min_rows"),
+        F.max("sz").cast("long").alias("max_rows"),
+        (
+            F.floor(
+                F.sum(
+                    (2 * F.col("i") - F.col("n") - 1) * F.col("sz")
+                ).cast("double")
+                / (F.max("n") * F.max("total")).cast("double")
+                * 1e6
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("gini"),
+    )

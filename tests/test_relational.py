@@ -2712,3 +2712,46 @@ def test_rolling_median_brute(spark, sf_dir):
             med = frame[(len(frame) + 1) // 2 - 1]
             key = (et, d.strftime("%Y-%m-%d"))
             assert got[key] == (med, len(frame)), key
+
+
+def test_cohort_conversion_brute(spark, sf_dir):
+    from collections import defaultdict
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    got = {
+        r.cohort_week: (r.n_users, r.n_converted)
+        for r in QUERIES["cohort_conversion_report"](spark, sf_dir).collect()
+    }
+    first = {}
+    conv = defaultdict(int)
+    rows = load_events(spark, sf_dir).select("user_id", "ts", "event_type", "value").collect()
+    d0 = min(r.ts for r in rows).date()
+    for r in rows:
+        wk = (r.ts.date() - d0).days // 7
+        first[r.user_id] = min(first.get(r.user_id, 10**9), wk)
+        if r.event_type == "purchase" and r.value > 150:
+            conv[r.user_id] = 1
+    expect = defaultdict(lambda: [0, 0])
+    for u, wk in first.items():
+        expect[wk][0] += 1
+        expect[wk][1] += conv[u]
+    assert got == {k: tuple(v) for k, v in expect.items()}
+
+
+def test_partition_gini_brute(spark, sf_dir):
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    row = QUERIES["partition_gini_report"](spark, sf_dir).collect()[0]
+    sizes = Counter()
+    for r in load_events(spark, sf_dir).select("user_id").collect():
+        sizes[r.user_id % 32] += 1
+    xs = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(xs)
+    total = sum(v for _, v in xs)
+    num = sum((2 * (i + 1) - n - 1) * v for i, (_, v) in enumerate(xs))
+    assert (row.n_partitions, row.n_rows) == (n, total)
+    assert row.gini == math.floor(num / (n * total) * 1e6 + 0.5) / 1e6
+    assert 0 <= row.gini < 1
