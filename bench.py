@@ -59,12 +59,29 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    # stdout may be tail-truncated by harnesses; the full per-query JSON
-    # also lands in bench_out.json so rounds can be diffed query-by-query
+    # The full per-query JSON lands in bench_out.json so rounds can be
+    # diffed query-by-query.
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
+    # The driver captures a ~2000-char TAIL of stdout, so a 320-query
+    # line gets its head (and the totals) cut off. Print the full line
+    # first for humans, then a compact summary LAST — guaranteed inside
+    # the tail window — with the totals, the slowest queries, and a
+    # pointer at the full artifact.
     print(json.dumps(payload))
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    compact = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": payload["sf"],
+        "n_queries": len(timings),
+        "queries": slowest,
+        "queries_full": "bench_out.json",
+    }
+    sys.stdout.flush()
+    print(json.dumps(compact))
     spark.stop()
 
 

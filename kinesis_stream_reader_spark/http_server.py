@@ -56,18 +56,45 @@ class RecordsApp:
             return 400, error_envelope(str(exc))
 
 
-def spark_records_fn(spark, sf_dir: str) -> RecordsFn:
+def response_limit(query: Mapping[str, str], ceiling: int | None = None) -> int:
+    """Resolve the per-request row bound: min(requested `limit`,
+    MAX_RESPONSE_ROWS) — the request can lower the ceiling, never raise
+    it. Non-positive / non-integer values raise ValueError, which the
+    route maps to the reference's 400 runtime envelope."""
+    from .schema import MAX_RESPONSE_ROWS
+
+    cap = ceiling if ceiling is not None else MAX_RESPONSE_ROWS
+    raw = query.get("limit")
+    if raw is None:
+        return cap
+    n = int(raw)  # ValueError -> 400 error_envelope upstream
+    if n <= 0:
+        raise ValueError(f"limit must be a positive integer, got {raw!r}")
+    return min(n, cap)
+
+
+def spark_records_fn(spark, sf_dir: str, max_rows: int | None = None) -> RecordsFn:
     """The engine-backed producer: nested projection -> duration window
     (960-min clamp) -> conjunctive filters -> flat id rows, i.e. the
-    whole reference pipeline as one Catalyst plan per request."""
+    whole reference pipeline as one Catalyst plan per request.
+
+    Bounded materialization (the reference's failure mode is the whole
+    8 h window in one Node heap, responses/index.js:34): rows stream to
+    the driver partition-at-a-time via toLocalIterator and stop at the
+    resolved limit — a wide window never pins more than `limit` rows
+    plus one partition's Arrow batch on the heap. The plan itself gets
+    a `.limit()` so Spark can short-circuit scans where possible."""
+    from itertools import islice
+
     from .operators.events import flatten_ids, to_nested
     from .plans.pipeline import records_plan
     from .sources.tables import load_events
 
     def fn(query: Mapping[str, str]) -> list[dict]:
+        cap = response_limit(query, max_rows)
         nested = to_nested(load_events(spark, sf_dir))
-        out = flatten_ids(records_plan(nested, dict(query)))
-        return [row.asDict() for row in out.collect()]
+        out = flatten_ids(records_plan(nested, dict(query))).limit(cap)
+        return [row.asDict() for row in islice(out.toLocalIterator(), cap)]
 
     return fn
 

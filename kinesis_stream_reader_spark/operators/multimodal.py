@@ -70,14 +70,139 @@ def encode_ppm(arr) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + arr.astype("uint8").tobytes()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a, b, c):
+    """PNG Paeth predictor (spec 9.4), vectorized over channel bytes."""
+    import numpy as np
+
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(arr, filter_for_row=None) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes, pure stdlib (zlib + struct): 8-bit
+    RGB (color type 2), no interlace, critical chunks only. Per-scanline
+    filter type comes from `filter_for_row(y)` (default 0/None) so
+    fixtures can exercise every filter the decoder must invert."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    raw = arr.astype(np.int64)
+    zero_px = np.zeros((1, 3), dtype=np.int64)
+    lines = []
+    for y in range(h):
+        cur = raw[y]
+        prev = raw[y - 1] if y else np.zeros((w, 3), dtype=np.int64)
+        ft = filter_for_row(y) % 5 if filter_for_row else 0
+        left = np.vstack([zero_px, cur[:-1]])
+        ul = np.vstack([zero_px, prev[:-1]])
+        pred = [
+            0,
+            left,
+            prev,
+            (left + prev) // 2,
+            _paeth(left, prev, ul),
+        ][ft]
+        lines.append(bytes([ft]) + ((cur - pred) % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes):
+    """REAL PNG decode, pure stdlib: critical chunks (IHDR/IDAT/IEND),
+    8-bit RGB (color type 2), no interlace, ALL five scanline filters
+    (None/Sub/Up/Average/Paeth) inverted per spec 9.2, chunk CRCs
+    verified. Returns an (h, w, 3) uint8 numpy array.
+
+    Filters Up/None invert vectorized; Sub/Average/Paeth carry a
+    left-pixel recurrence, so those scanlines walk pixels in Python —
+    fine inside an Arrow batch of thumbnail-class fixtures, and the
+    decode stage is map-only however slow the inner codec is."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = b""
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(">I", data[pos + 8 + size : pos + 12 + size])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, ctyp, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            if (depth, ctyp, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise NotImplementedError(
+                    "only 8-bit RGB non-interlaced PNG supported in-sandbox"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+    stride = w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    out = np.zeros((h, stride), dtype=np.int64)
+    zero3 = np.zeros(3, dtype=np.int64)
+    for y in range(h):
+        ft = int(raw[y * (stride + 1)])
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(np.int64)
+        prev = out[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        if ft == 0:
+            out[y] = line
+        elif ft == 2:
+            out[y] = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            cur = out[y]
+            for x in range(w):
+                s = x * 3
+                left = cur[s - 3 : s] if x else zero3
+                up = prev[s : s + 3]
+                ul = prev[s - 3 : s] if x else zero3
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = _paeth(left, up, ul)
+                cur[s : s + 3] = (line[s : s + 3] + pred) % 256
+        else:
+            raise ValueError(f"unknown filter type {ft}")
+    return out.astype(np.uint8).reshape(h, w, 3)
+
+
 def decode_image(data: bytes):
-    """Image decode: REAL for PPM payloads (decode_ppm); other formats
-    need Pillow/torchvision, absent in this container."""
+    """Image decode: REAL for PPM (decode_ppm) and 8-bit RGB PNG
+    (decode_png, stdlib zlib). JPEG needs an external codec, absent in
+    this container."""
     if data[:2] == b"P6":
         return decode_ppm(data)
+    if data[:8] == _PNG_SIG:
+        return decode_png(data)
     raise NotImplementedError(
-        "only PPM decodes in this environment; "
-        "plug Pillow/torchvision here for JPEG/PNG"
+        "PPM and 8-bit RGB PNG decode in this environment; "
+        "plug Pillow/torchvision here for JPEG"
     )
 
 
@@ -323,6 +448,32 @@ def synthetic_ppm_media(documents: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_png_media(documents: DataFrame) -> DataFrame:
+    """Same deterministic pixel formula as synthetic_ppm_media (so the
+    two share one oracle) but PNG-encoded, with the per-scanline filter
+    cycling (doc_id + y) % 5 — every decode exercises all five PNG
+    filter inversions, not just the trivial one."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 8 + doc_id % 5, 6 + doc_id % 3
+                pix = (doc_id * 7 + np.arange(w * h * 3)) % 256
+                blobs.append(
+                    encode_png(
+                        pix.astype(np.uint8).reshape(h, w, 3),
+                        filter_for_row=lambda y, d=doc_id: (d + y) % 5,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    return documents.select("doc_id").mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+
+
 def synthetic_wav_media(documents: DataFrame, rate: int = 8000) -> DataFrame:
     """One real WAV payload per document: n = 64 + doc_id % 50 PCM16
     samples, sample i = ((doc_id * 13 + i * 31) % 65536) - 32768."""
@@ -343,15 +494,16 @@ def synthetic_wav_media(documents: DataFrame, rate: int = 8000) -> DataFrame:
 
 
 def image_decode_features(media: DataFrame) -> DataFrame:
-    """REAL decode per payload (decode_ppm) -> decoded dimensions +
-    mean pixel byte. Arrow-batched, map-only, no shuffle — the same
-    plumbing extract_features uses, with an actual codec inside."""
+    """REAL decode per payload (decode_image: PPM or PNG, dispatched on
+    magic bytes) -> decoded dimensions + mean pixel byte. Arrow-batched,
+    map-only, no shuffle — the same plumbing extract_features uses,
+    with an actual codec inside."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
-                arr = decode_ppm(bytes(blob))
+                arr = decode_image(bytes(blob))
                 rows.append(
                     (
                         doc_id,

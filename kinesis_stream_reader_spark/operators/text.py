@@ -805,13 +805,19 @@ def model_eval_auc(documents: DataFrame) -> DataFrame:
     ties averaged, 2U = sum over positives of (2*min_rank + ties - 1)
     minus n_pos*(n_pos+1), so the statistic is an exact bigint — the
     quadratic "compare every positive with every negative" definition
-    collapses into ONE global rank. The only float op is the final
+    collapses into a rank pass. The only float op is the final
     division (IEEE-exact), floor-rounded half-up on both engines.
 
-    Plan shape: one global sort for the rank (range-partitioned —
-    Spark's sample-based partitioner keeps it parallel; this is the
-    one unavoidable sort in rank statistics) + a per-score tie count
-    over the same order + a one-row aggregate. Output: one row —
+    Plan shape — VALUE CENSUS, not a global row rank: the logit is
+    already quantized to 1e-4 (quality_model_score), so the midrank
+    of every row at value v is determined by the per-value counts
+    alone: min_rank(v) = 1 + sum of counts below v, ties(v) = c(v).
+    The corpus-sized relation therefore flows through ONE partial-agg
+    shuffle bounded by the DISTINCT QUANTIZED VALUES (the counting-
+    sort construction quantile_normalize / drift_ks use); the only
+    unpartitioned window — the prefix sum — runs over that bounded
+    census relation, never over rows. At 100 TB the shuffle carries
+    |distinct logits| cells, not documents. Output: one row —
     n_pos, n_neg, u2, auc."""
     scored = quality_model_score(documents).join(
         documents.select(
@@ -819,25 +825,29 @@ def model_eval_auc(documents: DataFrame) -> DataFrame:
         ),
         "doc_id",
     )
-    w_rank = Window.orderBy("logit")
-    w_ties = Window.partitionBy("logit")
-    ranked = scored.select(
-        "is_pos",
-        F.rank().over(w_rank).alias("min_rank"),
-        F.count("*").over(w_ties).alias("ties"),
+    # exact integer key: logit was floor(z*1e4+0.5)/1e4, so *1e4 is
+    # integral up to float rounding — re-floor to recover the bigint
+    census = scored.groupBy(
+        F.floor(F.col("logit") * 1e4 + F.lit(0.5)).cast("long").alias("lv")
+    ).agg(
+        F.count("*").alias("c"),
+        F.count(F.when(F.col("is_pos"), 1)).alias("p"),
+    )
+    w_prefix = (
+        Window.orderBy("lv")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = census.select(
+        "c",
+        "p",
+        (F.coalesce(F.sum("c").over(w_prefix), F.lit(0)) + 1).alias("min_rank"),
     )
     return ranked.agg(
-        F.count(F.when(F.col("is_pos"), 1)).alias("n_pos"),
-        F.count(F.when(~F.col("is_pos"), 1)).alias("n_neg"),
+        F.sum("p").alias("n_pos"),
+        (F.sum("c") - F.sum("p")).alias("n_neg"),
         (
-            F.sum(
-                F.when(
-                    F.col("is_pos"),
-                    2 * F.col("min_rank") + F.col("ties") - 1,
-                ).otherwise(F.lit(0))
-            )
-            - F.count(F.when(F.col("is_pos"), 1))
-            * (F.count(F.when(F.col("is_pos"), 1)) + 1)
+            F.sum(F.col("p") * (2 * F.col("min_rank") + F.col("c") - 1))
+            - F.sum("p") * (F.sum("p") + 1)
         ).alias("u2"),
     ).select(
         "n_pos",

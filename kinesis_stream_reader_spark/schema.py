@@ -127,7 +127,11 @@ REC_FIELD_EXPLICIT_HASH_KEY_INDEX = 2  # optional uint64
 REC_FIELD_DATA = 3  # required bytes
 REC_FIELD_TAGS = 4  # repeated Tag
 
-# Reference front-door parameter contract (app/server/index.js:46-48).
+# Reference front-door parameter contract (app/server/index.js:46-48),
+# plus `limit` — an ENGINE EXTENSION bounding the response array. The
+# reference materializes the whole window in one Node heap
+# (responses/index.js:34); `limit` caps what a wide window can pin on
+# the driver.
 ALLOWED_PARAMS = (
     "duration",
     "streamname",
@@ -136,8 +140,13 @@ ALLOWED_PARAMS = (
     "serverName",
     "tenantId",
     "agentShiftId",
+    "limit",
 )
 REQUIRED_PARAMS = ("streamname",)
+
+# Engine extension: hard ceiling on rows materialized per /records
+# response; a request's `limit` can lower it, never raise it.
+MAX_RESPONSE_ROWS = 10_000
 
 # Lookback window behavior (app/server/index.js:28-34).
 DEFAULT_DURATION_MINUTES = 10

@@ -20,6 +20,7 @@ import pytest
 
 from kinesis_stream_reader_spark.http_server import (
     RecordsApp,
+    response_limit,
     serve,
     spark_records_fn,
 )
@@ -91,6 +92,57 @@ def test_live_http_roundtrip_with_stub(stub_app):
         assert status == 400 and body["badRequest"] is True
     finally:
         server.shutdown()
+
+
+def test_limit_param_is_allowed_and_bounds():
+    """Engine extension: `limit` is in the allowed set (no 400) and
+    response_limit resolves min(requested, ceiling)."""
+    app = RecordsApp(lambda query: TEST_DATA[: response_limit(query, 2)])
+    status, body = app.handle("/records", {"streamname": "s", "limit": "1"})
+    assert (status, body) == (200, TEST_DATA[:1])
+    # no limit param -> ceiling applies
+    status, body = app.handle("/records", {"streamname": "s"})
+    assert (status, body) == (200, TEST_DATA[:2])
+    # requested limit can never RAISE the ceiling
+    status, body = app.handle("/records", {"streamname": "s", "limit": "99"})
+    assert (status, body) == (200, TEST_DATA[:2])
+
+
+def test_limit_param_malformed_is_400_envelope():
+    app = RecordsApp(lambda query: TEST_DATA[: response_limit(query)])
+    for bad in ("abc", "0", "-5"):
+        status, body = app.handle("/records", {"streamname": "s", "limit": bad})
+        assert status == 400
+        assert body["badRequest"] is True
+        assert "error" in body
+
+
+def test_default_ceiling_bounds_unbounded_producer():
+    """A producer yielding an unbounded stream must still return at most
+    MAX_RESPONSE_ROWS — the reference's whole-window-in-one-heap failure
+    mode (responses/index.js:34) cannot happen here."""
+    from itertools import count, islice
+
+    from kinesis_stream_reader_spark.schema import MAX_RESPONSE_ROWS
+
+    def endless(query):
+        cap = response_limit(query)
+        return [{"record": i} for i in islice(count(), cap)]
+
+    app = RecordsApp(endless)
+    status, body = app.handle("/records", {"streamname": "s"})
+    assert status == 200
+    assert len(body) == MAX_RESPONSE_ROWS
+
+
+def test_spark_records_fn_limit(spark, sf_dir):
+    """The Spark producer honors the per-request limit end-to-end and
+    streams (toLocalIterator) instead of collect()ing the window."""
+    fn = spark_records_fn(spark, sf_dir)
+    rows = fn({"streamname": "events", "duration": "960", "limit": "5"})
+    assert len(rows) == 5
+    unlimited = fn({"streamname": "events", "duration": "960"})
+    assert len(unlimited) <= 10_000
 
 
 def test_live_http_spark_pipeline(spark, sf_dir):

