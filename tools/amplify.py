@@ -46,9 +46,14 @@ PASSTHROUGH = ("region", "nation", "customer", "supplier", "part")
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ksr_amplified"
+    # optional multiplier on every factor: `... 2` doubles the recipe to
+    # 100x events / 40x docs — the third scale point for super-linear
+    # SCALING rows (is the growth a sort constant or a quadratic term?)
+    mult = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     spark = get_spark("amplify")
     os.makedirs(out, exist_ok=True)
-    for table, n in FACTORS.items():
+    for table, base_n in FACTORS.items():
+        n = base_n * mult
         df = spark.read.parquet(f"{src}/{table}.parquet")
         copies = spark.range(n).withColumnRenamed("id", "_copy")
         amplified = df.crossJoin(copies)

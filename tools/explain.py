@@ -90,7 +90,7 @@ HEADLINE = [
     ("drift_ks", "KS drift: ECDF running sums over the distinct-value relation"),
     ("interval_coverage", "sweep line: calendar-bounded delta agg + running sum"),
     ("table_checksum", "migration checksums: map-side hash + XOR partial agg per table"),
-    ("model_eval_auc", "exact AUC: one global rank, no pairwise comparison"),
+    ("model_eval_auc", "exact AUC via quantized-logit value census: corpus shuffle bounded by distinct values"),
     ("bm25_retrieval", "BM25: exploded tokens feed tf/dl, query+df broadcasts, per-query top-k window"),
     ("phrase_search", "positional postings self-join at pos+1, broadcast phrase table"),
     ("assoc_rules", "basket self-join co-occurrence: broadcast dims, partial-agg censuses"),
