@@ -1633,3 +1633,155 @@ def quality_model_contributions(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def gopher_repetition_rules(documents: DataFrame) -> DataFrame:
+    """Gopher-style n-gram repetition gates (Rae et al. 2021, §A1.1 —
+    public heuristic): per document, the fraction of TOKEN MASS covered
+    by duplicate 2-grams and 3-grams, and the share of the single most
+    frequent 2-gram, plus the boolean gates at the published thresholds
+    (dup-2gram mass > 0.2, dup-3gram mass > 0.18, top-2gram share >
+    0.2 — any trip fails the document). The word-level twin is
+    text_repetition; this is the n-gram half of the rule set, the one
+    that actually catches templated boilerplate word-level counts miss.
+
+    Plan shape: one token explode feeds both n-gram relations (posexplode
+    + self-shifted concat via window-free array zips), each aggregated
+    (doc_id, gram) -> count map-side, then folded to one row per doc.
+    Shuffles carry per-doc gram histograms, never raw text; doc_id keys
+    are dense and unskewed. Pure codegen — no Python anywhere."""
+
+    def gram_stats(n: int, out_prefix: str) -> DataFrame:
+        toks = tokens(F.col("text"))
+        # guard: sequence(0, -1) DESCENDS in Spark, so short docs need an
+        # explicit empty array, not a negative upper bound
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        per_gram = (
+            documents.select("doc_id", F.explode(grams).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("cnt"))
+        )
+        return per_gram.groupBy("doc_id").agg(
+            F.sum("cnt").alias(f"{out_prefix}_total"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)).alias(
+                f"{out_prefix}_dup"
+            ),
+            F.max("cnt").alias(f"{out_prefix}_top"),
+        )
+
+    g2, g3 = gram_stats(2, "g2"), gram_stats(3, "g3")
+    joined = g2.join(g3, "doc_id", "left")
+    dup2 = F.round(F.col("g2_dup") / F.col("g2_total"), 4)
+    dup3 = F.round(
+        F.coalesce(F.col("g3_dup") / F.col("g3_total"), F.lit(0.0)), 4
+    )
+    top2 = F.round(F.col("g2_top") / F.col("g2_total"), 4)
+    return joined.select(
+        "doc_id",
+        dup2.alias("dup_2gram_mass"),
+        dup3.alias("dup_3gram_mass"),
+        top2.alias("top_2gram_share"),
+        (
+            (dup2 > 0.2) | (dup3 > 0.18) | (top2 > 0.2)
+        ).alias("fails_repetition"),
+    ).orderBy("doc_id")
+
+
+def c4_quality_filters(documents: DataFrame) -> DataFrame:
+    """C4-style rule filters (Raffel et al. 2020, §2.2 — public
+    heuristics), adapted to the fixture's token-stream documents (the
+    sentence-punctuation rules need prose; the length/shape/blocklist
+    rules below are the applicable subset): word count in [50, 10000],
+    mean word length in [3, 10], no '{' (code/markup leak), no
+    blocklisted token ('javascript', 'lorem'), and the conjunction as
+    the keep flag. Output is one row per document with per-rule
+    booleans — the shape a filter-ablation report consumes.
+
+    Plan: single codegen projection over the scan (array stats computed
+    inline, no explode, no shuffle except the final orderBy for the
+    deterministic contract). Linear scan at any corpus size."""
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    mean_len = (F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_words)
+    has_brace = F.col("text").contains("{")
+    has_blocked = F.arrays_overlap(
+        F.transform(toks, lambda t: F.lower(t)),
+        F.array(F.lit("javascript"), F.lit("lorem")),
+    )
+    ok_count = (n_words >= 50) & (n_words <= 10_000)
+    ok_len = (mean_len >= 3.0) & (mean_len <= 10.0)
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_len, 4).alias("mean_word_len"),
+        ok_count.alias("ok_word_count"),
+        ok_len.alias("ok_mean_word_len"),
+        (~has_brace).alias("ok_no_brace"),
+        (~has_blocked).alias("ok_no_blocklist"),
+        (ok_count & ok_len & ~has_brace & ~has_blocked).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def curriculum_shards(documents: DataFrame, n_shards: int = 10) -> DataFrame:
+    """Curriculum ordering for training: band documents into difficulty
+    shards by the quality-model logit (decile 0 = easiest/highest
+    quality first) and give each doc a deterministic position within
+    its shard (md5 shuffle — the corpus_shuffle_shards convention), so
+    a trainer can stream shard 0..9 in order with intra-shard
+    randomness. Output: (doc_id, shard, position, n_in_shard).
+
+    Scale shape: the decile edges come from the QUANTIZED-LOGIT VALUE
+    CENSUS (the model_eval_auc construction) — a groupBy bounded by
+    distinct logit values plus one tiny prefix-sum window, never a
+    global row sort. Shard membership is then a broadcast range lookup,
+    and the within-shard position is a window partitioned BY SHARD over
+    the hash key — 10 partitions of ~N/10 docs each, the partition-
+    parallel sort a 1000-executor cluster wants."""
+    scored = quality_model_score(documents).select(
+        "doc_id",
+        F.floor(F.col("logit") * 1e4 + F.lit(0.5)).cast("long").alias("lv"),
+    )
+    census = scored.groupBy("lv").agg(F.count("*").alias("c"))
+    w_prefix = Window.orderBy("lv").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("lv").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # rank of the FIRST row at each value (0-based); shard = which
+    # decile that rank range falls in. Both the prefix-sum and the
+    # total run on the bounded distinct-value census — no driver round
+    # trip, no corpus-sized window.
+    ranked = census.select(
+        "lv",
+        F.coalesce(F.sum("c").over(w_prefix), F.lit(0)).alias("first_rank"),
+        F.sum("c").over(w_all).alias("total"),
+    )
+    # a value straddling a shard boundary is assigned by its first rank
+    # (deterministic; identical in the oracle)
+    shard_of = F.least(
+        F.lit(n_shards - 1),
+        F.floor(F.col("first_rank") * n_shards / F.col("total")).cast("int"),
+    )
+    # higher logit = higher quality = earlier shard: invert by ranking
+    # descending. Window.orderBy above is ascending on lv, so flip.
+    edges = ranked.select(
+        "lv", (F.lit(n_shards - 1) - shard_of).cast("int").alias("shard")
+    )
+    with_shard = scored.join(F.broadcast(edges), "lv").select("doc_id", "shard")
+    pos_key = F.md5(F.concat(F.lit("curriculum:"), F.col("doc_id").cast("string")))
+    w_pos = Window.partitionBy("shard").orderBy(pos_key, "doc_id")
+    w_cnt = Window.partitionBy("shard")
+    return with_shard.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w_pos) - 1).alias("position"),
+        F.count("*").over(w_cnt).alias("n_in_shard"),
+    ).orderBy("shard", "position")

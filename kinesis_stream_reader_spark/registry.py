@@ -1991,7 +1991,8 @@ _PRIORITY = [
     # queries NEVER driver-checked — the judge's named picks first, then
     # round-3 rewrites and one representative per remaining family.
     # round-3 new/rewritten queries lead
-    "model_eval_auc", "multimodal_png_decode",
+    "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
+    "c4_quality_filters", "curriculum_shards",
     # judge's explicit round-3 picks (absent from both r01 and r02)
     "kmeans_converged", "bpe_train_merges", "window_session_dynamic",
     "nested_orders_roundtrip", "quantile_normalize", "multimodal_video_decode",
@@ -11213,3 +11214,153 @@ def partition_gini_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6)
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext (round 3): published rule-filter gates + curriculum ordering — the
+# named heuristic stages (Gopher repetition rules, C4 quality rules) and
+# the difficulty-banded shard layout a trainer consumes. Reference has no
+# text surface; extension mandated by the north star.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gopher_repetition_rules",
+    # mirror of text.gopher_repetition_rules: same n-gram construction
+    # (1-based list indexing in DuckDB), same dup-mass/top-share ratios,
+    # same published thresholds on the ROUNDED values
+    """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), g2 AS (
+  SELECT doc_id, g.g FROM t, LATERAL UNNEST(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(generate_series(1, len(toks) - 1),
+                             i -> toks[i] || ' ' || toks[i + 1])
+         ELSE []::VARCHAR[] END) AS g(g)
+), g3 AS (
+  SELECT doc_id, g.g FROM t, LATERAL UNNEST(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+         ELSE []::VARCHAR[] END) AS g(g)
+), s2 AS (
+  SELECT doc_id, SUM(cnt) AS total,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup, MAX(cnt) AS top
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g2 GROUP BY doc_id, g)
+  GROUP BY doc_id
+), s3 AS (
+  SELECT doc_id, SUM(cnt) AS total,
+         SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+  FROM (SELECT doc_id, g, COUNT(*) AS cnt FROM g3 GROUP BY doc_id, g)
+  GROUP BY doc_id
+), m AS (
+  SELECT s2.doc_id,
+         ROUND(s2.dup / s2.total, 4) AS dup_2gram_mass,
+         ROUND(COALESCE(s3.dup / s3.total, 0), 4) AS dup_3gram_mass,
+         ROUND(s2.top / s2.total, 4) AS top_2gram_share
+  FROM s2 LEFT JOIN s3 USING (doc_id)
+)
+SELECT doc_id, dup_2gram_mass, dup_3gram_mass, top_2gram_share,
+       (dup_2gram_mass > 0.2 OR dup_3gram_mass > 0.18
+        OR top_2gram_share > 0.2) AS fails_repetition
+FROM m ORDER BY doc_id
+""",
+)
+def gopher_repetition_rules_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.gopher_repetition_rules(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "c4_quality_filters",
+    # mirror of text.c4_quality_filters: boolean gates computed on the
+    # UNROUNDED mean word length in both engines
+    """
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, toks, text,
+         len(toks)::BIGINT AS n_words,
+         length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks)
+           AS mwl
+  FROM t
+)
+SELECT doc_id, n_words,
+       ROUND(mwl, 4) AS mean_word_len,
+       (n_words >= 50 AND n_words <= 10000) AS ok_word_count,
+       (mwl >= 3.0 AND mwl <= 10.0) AS ok_mean_word_len,
+       NOT contains(text, '{') AS ok_no_brace,
+       (len(list_filter(toks, x -> lower(x) IN ('javascript', 'lorem'))) = 0)
+         AS ok_no_blocklist,
+       ((n_words >= 50 AND n_words <= 10000)
+        AND (mwl >= 3.0 AND mwl <= 10.0)
+        AND NOT contains(text, '{')
+        AND len(list_filter(toks, x -> lower(x) IN ('javascript', 'lorem'))) = 0)
+         AS keep
+FROM m ORDER BY doc_id
+""",
+)
+def c4_quality_filters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.c4_quality_filters(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "curriculum_shards",
+    # same quality-model CTE as model_eval_auc, then the value-census
+    # decile construction (prefix-sum over distinct quantized logits)
+    # and the md5-keyed within-shard shuffle — every window mirrored
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         len({_TOKS})::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           AS n_stop,
+         (length(text) - length(replace(text, '.', '')))::DOUBLE AS n_dots
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), z AS (
+  SELECT f.doc_id,
+         FLOOR((
+           (SELECT w FROM wts WHERE i = 0) * (n_tokens / 100.0)
+           + (SELECT w FROM wts WHERE i = 1) * (n_stop / (n_tokens + 1.0))
+           + (SELECT w FROM wts WHERE i = 2) * (n_chars / (n_tokens + 1.0))
+           + (SELECT w FROM wts WHERE i = 3) * (n_dots / (n_chars + 1.0))
+           + (SELECT w FROM wts WHERE i = 4)) * 1e4 + 0.5)::BIGINT AS lv
+  FROM f
+), census AS (
+  SELECT lv, COUNT(*) AS c FROM z GROUP BY lv
+), ranked AS (
+  SELECT lv,
+         COALESCE(SUM(c) OVER (ORDER BY lv
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS first_rank,
+         SUM(c) OVER () AS total
+  FROM census
+), edges AS (
+  SELECT lv,
+         (9 - LEAST(9, FLOOR(first_rank * 10 / CAST(total AS DOUBLE))))::INT
+           AS shard
+  FROM ranked
+), ws AS (
+  SELECT z.doc_id, e.shard FROM z JOIN edges e USING (lv)
+)
+SELECT doc_id, shard,
+       (ROW_NUMBER() OVER (PARTITION BY shard
+          ORDER BY md5('curriculum:' || doc_id), doc_id) - 1) AS position,
+       COUNT(*) OVER (PARTITION BY shard) AS n_in_shard
+FROM ws ORDER BY shard, position
+""",
+)
+def curriculum_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.curriculum_shards(load_table(spark, sf_dir, "documents"))

@@ -30,6 +30,8 @@ SUBSET = [
     "sequence_pattern_regex", "quarantine_split", "log_parse_roundtrip",
     "bitmap_membership", "mutual_information", "benford_audit",
     "token_budget_allocation", "rfm_segments",
+    "gopher_repetition_rules", "c4_quality_filters", "curriculum_shards",
+    "multimodal_png_decode",
 ]
 
 

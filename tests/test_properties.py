@@ -473,3 +473,94 @@ def test_phrase_search_brute_force(spark, sf_dir):
             if n:
                 expect[(pid, row.doc_id)] = n
     assert got == expect
+
+
+def test_gopher_repetition_brute_force(spark):
+    """n-gram dup-mass on hand-built docs vs Python brute force,
+    including the boilerplate case the rules exist to catch and a
+    doc too short for 3-grams."""
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators.text import gopher_repetition_rules
+
+    docs = [
+        (0, "a b a b a b a b"),           # pure template: all gates trip
+        (1, "x y z w v u t s r q"),       # all-distinct grams: clean
+        (2, "a b"),                        # one 2-gram, zero 3-grams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in gopher_repetition_rules(df).collect()}
+    for doc_id, text in docs:
+        toks = text.split()
+        for n, (mass_col, top_col) in {
+            2: ("dup_2gram_mass", "top_2gram_share"),
+            3: ("dup_3gram_mass", None),
+        }.items():
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            c = Counter(grams)
+            total = sum(c.values())
+            dup = sum(v for v in c.values() if v > 1)
+            want_mass = round(dup / total, 4) if total else 0.0
+            assert abs(got[doc_id][mass_col] - want_mass) < 1e-9, (doc_id, n)
+            if top_col and total:
+                want_top = round(max(c.values()) / total, 4)
+                assert abs(got[doc_id][top_col] - want_top) < 1e-9
+    assert got[0].fails_repetition is True
+    assert got[1].fails_repetition is False
+    assert got[2].fails_repetition is True  # single repeated... no: 1 distinct 2-gram = top share 1.0
+
+
+def test_c4_quality_filters_gates(spark):
+    from kinesis_stream_reader_spark.operators.text import c4_quality_filters
+
+    long_clean = " ".join(f"tok{i}" for i in range(60))
+    docs = [
+        (0, long_clean),                              # passes everything
+        (1, "short doc"),                             # word count fails
+        (2, long_clean + " {brace}"),                 # brace fails
+        (3, long_clean + " JavaScript"),              # blocklist, case-insensitive
+        (4, " ".join("ab" for _ in range(60))),       # mean word len 2 < 3
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in c4_quality_filters(df).collect()}
+    assert got[0].keep is True
+    assert got[1].keep is False and got[1].ok_word_count is False
+    assert got[2].keep is False and got[2].ok_no_brace is False
+    assert got[3].keep is False and got[3].ok_no_blocklist is False
+    assert got[4].keep is False and got[4].ok_mean_word_len is False
+
+
+def test_curriculum_shards_contract(spark, sf_dir):
+    """Shards partition the corpus; positions are a dense 0..n-1
+    permutation within each shard; higher-quality (higher-logit) docs
+    land in lower shard ids."""
+    from kinesis_stream_reader_spark.operators.text import (
+        curriculum_shards,
+        quality_model_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = curriculum_shards(docs).collect()
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        assert sorted(r.position for r in rows) == list(range(len(rows)))
+        assert all(r.n_in_shard == len(rows) for r in rows)
+    # ordering: every doc in shard s has logit >= every doc in shard s+1
+    # EXCEPT ties straddling a boundary (same quantized logit shares one
+    # shard by construction, so strict inversions cannot occur)
+    logits = {
+        r.doc_id: r.logit for r in quality_model_score(docs).collect()
+    }
+    max_by_shard = {
+        s: max(logits[r.doc_id] for r in rows) for s, rows in by_shard.items()
+    }
+    min_by_shard = {
+        s: min(logits[r.doc_id] for r in rows) for s, rows in by_shard.items()
+    }
+    for s in sorted(by_shard):
+        if s + 1 in by_shard:
+            assert min_by_shard[s] >= max_by_shard[s + 1]
