@@ -983,3 +983,108 @@ def pca_power_top_component(embeddings: DataFrame, rounds: int = 4) -> DataFrame
         .select("d", "v_milli", (F.col("v_milli") / F.lit(1000)).alias("loading"))
         .orderBy("d")
     )
+
+
+def ann_ivfpq(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF+PQ compound search (the FAISS IndexIVFPQ shape — THE
+    billion-scale ANN layout): coarse-quantizer probing prunes the
+    candidate set to `nprobe` inverted lists, then ADC over the PQ
+    codes ranks only those candidates — the original vectors are never
+    touched at query time, and neither the pruned lists' codes nor any
+    vector leaves its partition.
+
+    Scale shape: centroids (n_lists x dim) and the query LUT
+    (m x n_codes smallints) broadcast; the probe is a broadcast
+    semi-join on list_id — at scale list_id is the PARTITION KEY of
+    the code store, so probing is file-level partition pruning; the
+    ADC sum is a partial agg keyed by vec_id. TakeOrdered picks k.
+    Composition of ann_ivf (probe) and ann_pq (ADC), both
+    independently oracle-verified."""
+    membership = embeddings.select("vec_id", F.col("label").alias("list_id"))
+    query = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        _as_double(F.col("embedding")).alias("q")
+    )
+    probed = (
+        ivf_centroids(embeddings)
+        .join(F.broadcast(query))
+        .select("list_id", cosine(F.col("centroid"), F.col("q")).alias("c_sim"))
+        .orderBy(F.col("c_sim").desc(), F.col("list_id"))
+        .limit(nprobe)
+        .select("list_id")
+    )
+    candidates = membership.join(
+        F.broadcast(probed), "list_id", "left_semi"
+    ).select("vec_id")
+    sub = dim // m
+    codes = pq_encode(embeddings, m, n_codes, dim).join(
+        F.broadcast(candidates), "vec_id", "left_semi"
+    )
+    q_subs = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub_id"),
+                        F.slice(
+                            _as_double(F.col("embedding")), s * sub + 1, sub
+                        ).alias("qv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("p")
+    ).select(F.col("p.sub_id").alias("q_sub"), F.col("p.qv").alias("qv"))
+    cb = (
+        embeddings.filter(F.col("vec_id") < n_codes)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub_id"),
+                            F.slice(
+                                _as_double(F.col("embedding")), s * sub + 1, sub
+                            ).alias("cv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select(
+            F.col("vec_id").alias("code_id"),
+            F.col("p.sub_id").alias("sub_id"),
+            F.col("p.cv").alias("cv"),
+        )
+    )
+    lut_dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = cb.join(F.broadcast(q_subs), F.col("sub_id") == F.col("q_sub")).select(
+        "sub_id",
+        "code_id",
+        F.floor(lut_dist * 1000 + F.lit(0.5)).cast("long").alias("q_milli"),
+    )
+    return (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub_id"] == lut["sub_id"]) & (codes["code"] == lut["code_id"]),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("q_milli").alias("adc_milli"))
+        .filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", (F.col("adc_milli") / 1000).alias("adc_dist"))
+        .orderBy(F.col("adc_dist"), F.col("vec_id"))
+        .limit(k)
+    )

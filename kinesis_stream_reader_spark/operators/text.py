@@ -1785,3 +1785,68 @@ def curriculum_shards(documents: DataFrame, n_shards: int = 10) -> DataFrame:
         (F.row_number().over(w_pos) - 1).alias("position"),
         F.count("*").over(w_cnt).alias("n_in_shard"),
     ).orderBy("shard", "position")
+
+
+def ccnet_perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 — public
+    heuristic): score every document with the in-corpus bigram LM
+    (avg ln P(w_i|w_{i-1}), the bigram_logprob construction), then
+    split EACH LANGUAGE into head / middle / tail terciles by score —
+    head = most-fluent third (highest avg logprob = lowest perplexity).
+    CCNet keeps head+middle and drops tail; the bucket column is the
+    contract a mixture policy consumes.
+
+    Scale shape: the corpus shuffles once into the exploded bigram
+    relation; both LM count relations are vocabulary-bounded; tercile
+    edges come from a PER-LANG VALUE CENSUS over the 6-dp-rounded
+    scores (groupBy bounded by distinct score values, prefix-sum
+    window partitioned by lang) and broadcast back — no global row
+    sort, no per-lang single-partition rank over documents."""
+    toks = documents.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = toks.withColumn("nxt", F.lead("tok").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    pair_counts = bigrams.groupBy("tok", "nxt").agg(F.count("*").alias("c2"))
+    head_counts = bigrams.groupBy("tok").agg(F.count("*").alias("c1"))
+    scored = (
+        bigrams.join(pair_counts, ["tok", "nxt"])
+        .join(head_counts, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg(F.log(F.col("c2") / F.col("c1"))), 6).alias("score"))
+    )
+    census = scored.groupBy("lang", "score").agg(F.count("*").alias("c"))
+    w_prefix = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_lang = Window.partitionBy("lang")
+    edges = census.select(
+        "lang",
+        "score",
+        F.coalesce(F.sum("c").over(w_prefix), F.lit(0)).alias("first_rank"),
+        F.sum("c").over(w_lang).alias("total"),
+    ).select(
+        "lang",
+        "score",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.least(
+                F.lit(2),
+                F.floor(F.col("first_rank") * 3 / F.col("total")).cast("int"),
+            )
+            + 1,
+        ).alias("bucket"),
+    )
+    return (
+        scored.join(F.broadcast(edges), ["lang", "score"])
+        .select("doc_id", "lang", "score", "bucket")
+        .orderBy("doc_id")
+    )

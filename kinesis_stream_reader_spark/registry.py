@@ -1992,7 +1992,8 @@ _PRIORITY = [
     # round-3 rewrites and one representative per remaining family.
     # round-3 new/rewritten queries lead
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
-    "c4_quality_filters", "curriculum_shards",
+    "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
+    "ann_ivfpq",
     # judge's explicit round-3 picks (absent from both r01 and r02)
     "kmeans_converged", "bpe_train_merges", "window_session_dynamic",
     "nested_orders_roundtrip", "quantile_normalize", "multimodal_video_decode",
@@ -11364,3 +11365,110 @@ def curriculum_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.curriculum_shards(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    # bigram_logprob's LM CTEs (per-lang), then the per-lang tercile
+    # census: prefix-sum over distinct rounded scores, head = highest
+    # avg logprob (lowest perplexity)
+    """
+WITH toks AS (
+  SELECT doc_id, lang, pos, tok FROM (
+    SELECT doc_id, lang,
+           generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id, lang,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents)
+  ) WHERE tok <> ''
+),
+bigrams AS (
+  SELECT doc_id, lang, tok, nxt FROM (
+    SELECT doc_id, lang, tok,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM toks
+  ) WHERE nxt IS NOT NULL
+),
+pc AS (SELECT tok, nxt, COUNT(*) AS c2 FROM bigrams GROUP BY tok, nxt),
+hc AS (SELECT tok, COUNT(*) AS c1 FROM bigrams GROUP BY tok),
+scored AS (
+  SELECT b.doc_id, b.lang, ROUND(AVG(LN(pc.c2 / hc.c1)), 6) AS score
+  FROM bigrams b JOIN pc ON b.tok = pc.tok AND b.nxt = pc.nxt
+  JOIN hc ON b.tok = hc.tok
+  GROUP BY b.doc_id, b.lang
+),
+census AS (SELECT lang, score, COUNT(*) AS c FROM scored GROUP BY lang, score),
+edges AS (
+  SELECT lang, score,
+         COALESCE(SUM(c) OVER (PARTITION BY lang ORDER BY score DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS first_rank,
+         SUM(c) OVER (PARTITION BY lang) AS total
+  FROM census
+),
+bk AS (
+  SELECT lang, score,
+         (['head', 'middle', 'tail'])[
+           LEAST(2, FLOOR(first_rank * 3 / CAST(total AS DOUBLE)))::INT + 1
+         ] AS bucket
+  FROM edges
+)
+SELECT s.doc_id, s.lang, s.score, bk.bucket
+FROM scored s JOIN bk USING (lang, score) ORDER BY s.doc_id
+""",
+)
+def ccnet_perplexity_buckets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.ccnet_perplexity_buckets(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ann_ivfpq",
+    # composition of the ann_ivf probe CTEs and the ann_pq ADC CTEs,
+    # candidates restricted to the probed inverted lists
+    """
+WITH e AS (SELECT vec_id, label AS list_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cent AS (
+  SELECT list_id, array_agg(m ORDER BY i) AS c FROM (
+    SELECT list_id, i, AVG(v[i]) AS m
+    FROM e, generate_series(1, 64) AS t(i)
+    GROUP BY list_id, i
+  ) GROUP BY list_id
+),
+probe AS (
+  SELECT list_id FROM cent, q
+  ORDER BY list_cosine_similarity(c, qv) DESC, list_id LIMIT 2
+),
+cand AS (SELECT vec_id FROM e JOIN probe USING (list_id)),
+parts AS (
+  SELECT vec_id, s.s AS sub_id, v[s.s * 16 + 1 : (s.s + 1) * 16] AS sv
+  FROM e, (SELECT UNNEST(range(4)) AS s) s
+), codes AS (
+  SELECT sub_id AS c_sub, vec_id AS code_id, sv AS cv FROM parts WHERE vec_id < 8
+), scored AS (
+  SELECT p.vec_id, p.sub_id, c.code_id,
+         CAST(FLOOR(list_sum(list_transform(range(1, 17),
+                i -> (p.sv[i] - c.cv[i]) * (p.sv[i] - c.cv[i]))) * 1000 + 0.5)
+              AS BIGINT) AS d_milli
+  FROM parts p JOIN codes c ON p.sub_id = c.c_sub
+), assign AS (
+  SELECT vec_id, sub_id, MIN(d_milli * 8 + code_id) % 8 AS code
+  FROM scored
+  WHERE vec_id IN (SELECT vec_id FROM cand)
+  GROUP BY vec_id, sub_id
+), lut AS (
+  SELECT s.sub_id, s.code_id, s.d_milli AS q_milli
+  FROM scored s WHERE s.vec_id = 0
+)
+SELECT a.vec_id, SUM(l.q_milli) / 1000 AS adc_dist
+FROM assign a JOIN lut l ON a.sub_id = l.sub_id AND a.code = l.code_id
+WHERE a.vec_id <> 0
+GROUP BY a.vec_id
+ORDER BY adc_dist, a.vec_id LIMIT 10
+""",
+)
+def ann_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.ann_ivfpq(load_table(spark, sf_dir, "embeddings"))

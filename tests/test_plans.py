@@ -316,3 +316,31 @@ def test_backfill_recomputes_only_stale_days(spark, sf_dir):
         .collect()
     }
     assert merged == full
+
+
+def test_model_eval_auc_no_corpus_single_partition(spark, sf_dir, qs):
+    """The AUC midrank pass must be the value census, not a global row
+    rank: the corpus-sized relation flows through a hashpartitioning
+    exchange on the quantized logit; SinglePartition appears only ABOVE
+    that census aggregate (prefix-sum window + one-row final agg)."""
+    plan = physical_plan(qs["model_eval_auc"](spark, sf_dir))
+    # the census keying (quantized-logit grouping expression) is a
+    # hash-partitioned exchange...
+    assert "Exchange hashpartitioning(_groupingexpression" in plan
+    # ...and no unpartitioned rank() over document rows anywhere
+    assert "rank(" not in plan
+    census_pos = plan.index("Exchange hashpartitioning(_groupingexpression")
+    single_pos = plan.index("Exchange SinglePartition")
+    # plan strings print top-down: the SinglePartition exchange must be
+    # ABOVE (printed before) the census exchange it consumes — i.e. it
+    # repartitions the census, never the corpus
+    assert single_pos < census_pos
+
+
+def test_curriculum_shards_census_and_broadcast(spark, sf_dir, qs):
+    """Shard edges come from the bounded value census (broadcast back),
+    and the within-shard numbering is partitioned BY SHARD — no global
+    row sort of the corpus."""
+    plan = physical_plan(qs["curriculum_shards"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(shard" in plan
