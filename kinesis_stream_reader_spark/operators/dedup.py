@@ -950,3 +950,87 @@ def minhash_estimate_report(
         F.count(F.when(F.col("est") > F.col("jaccard"), 1)).alias("n_over"),
         F.count(F.when(F.col("est") < F.col("jaccard"), 1)).alias("n_under"),
     )
+
+
+def substring_scrub(documents: DataFrame, span: int = 8) -> DataFrame:
+    """The REMOVAL half of span-level dedup (Lee et al. 2022 policy:
+    keep the corpus-FIRST occurrence of every duplicated span, cut the
+    rest): substring_dedup_report says how much is duplicated; this
+    emits the scrubbed corpus — per doc, the cleaned token stream
+    (single-space rejoined) as an md5 plus kept/removed counts, the
+    shape a rewrite stage materializes.
+
+    First-occurrence ranking is deterministic: occurrences of a gram
+    order by (doc_id, pos); rank 1 survives, later ranks become cut
+    intervals, merged per doc by the same running-max interval union as
+    the report. The token-vs-interval membership test is an exists()
+    over the doc's own merged-interval array (bounded by spans-per-doc)
+    after ONE doc_id-keyed join — no token x interval range join, no
+    driver materialization; the scrubbed text never leaves executors
+    (only its md5 does)."""
+    posts = span_postings(documents, span)
+    wg = Window.partitionBy("gram")
+    wr = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    occ = posts.select(
+        "doc_id",
+        "pos",
+        F.count("*").over(wg).alias("n_occ"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    intervals = occ.filter((F.col("n_occ") >= 2) & (F.col("rk") >= 2)).select(
+        "doc_id", F.col("pos").alias("s"), (F.col("pos") + span).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    merged = (
+        intervals.withColumn(
+            "new_island",
+            (F.col("s") > F.coalesce(prev_max_end, F.lit(-1))).cast("int"),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+        .groupBy("doc_id", "island")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("cuts"))
+    )
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    with_cuts = toks.join(merged, "doc_id", "left").withColumn(
+        "cuts", F.coalesce(F.col("cuts"), F.array().cast("array<struct<s:int,e:int>>"))
+    )
+    kept = with_cuts.filter(
+        ~F.exists(
+            F.col("cuts"),
+            lambda c: (F.col("pos") >= c.getField("s"))
+            & (F.col("pos") < c.getField("e")),
+        )
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("kept_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    lengths = documents.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    return (
+        lengths.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).alias("kept_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0))).alias(
+                "removed_tokens"
+            ),
+            F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

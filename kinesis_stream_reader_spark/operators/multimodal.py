@@ -713,3 +713,39 @@ def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
     return media.mapInPandas(batches, PHASH_SCHEMA)
+
+
+SCENE_CUT_SCHEMA = "doc_id BIGINT, frame_idx INT, sad BIGINT, is_cut BOOLEAN"
+
+
+def video_scene_cuts(media: DataFrame, threshold_per_px: int = 32) -> DataFrame:
+    """Shot-boundary detection over REAL decoded y4m video: for every
+    adjacent frame pair, the exact integer SAD (sum of absolute
+    differences) over the luma plane, flagged as a cut when it exceeds
+    `threshold_per_px` per pixel — the classic uncompressed-domain
+    scene-cut heuristic a video training pipeline runs before frame
+    sampling (sample within shots, not across them).
+
+    One output row per adjacent pair (frame_idx = the LATER frame).
+    Arrow-batched map-only decode; the shuffle carries (doc, idx, sad)
+    longs, never pixels — same envelope as video_decode_features."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                w, h, frames = decode_y4m(bytes(blob))
+                thresh = threshold_per_px * w * h
+                prev = None
+                for f, fr in enumerate(frames):
+                    y = np.frombuffer(fr[: w * h], dtype=np.uint8).astype(np.int64)
+                    if prev is not None:
+                        sad = int(np.abs(y - prev).sum())
+                        rows.append((doc_id, f, sad, sad > thresh))
+                    prev = y
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "sad", "is_cut"]
+            )
+
+    return media.mapInPandas(batches, SCENE_CUT_SCHEMA)

@@ -1850,3 +1850,93 @@ def ccnet_perplexity_buckets(documents: DataFrame) -> DataFrame:
         .select("doc_id", "lang", "score", "bucket")
         .orderBy("doc_id")
     )
+
+
+def tokenizer_fertility_report(documents: DataFrame, rounds: int = 3) -> DataFrame:
+    """Tokenizer fertility by language — avg BPE tokens per word after
+    the corpus-trained merge table is applied (the metric multilingual
+    tokenizer work reports: high fertility = a language pays more
+    sequence length per word). Trains the same `rounds` merges as
+    bpe_train_merges (word table split per (lang, word); the composite
+    key leaves the freq-weighted pair census — and therefore the
+    learned merges — IDENTICAL to the corpus-level trainer, since
+    merges apply within words), then reports per-lang occurrence-
+    weighted fertility.
+
+    Same vocabulary-bounded scale shape as the BPE trainer: every
+    shuffle is bounded by the distinct (lang, word) table, the per-
+    round argmax is the one-row driver loop, and the final report is a
+    lang-bounded aggregate."""
+    words = (
+        documents.select(
+            "lang",
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+                "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("freq"))
+    )
+    df = words.select(
+        F.concat_ws("|", "lang", "word").alias("w"),
+        "freq",
+        F.posexplode(
+            F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+        ).alias("seq", "sym"),
+    )
+    wlead = Window.partitionBy("w").orderBy("seq")
+    for _ in range(rounds):
+        with_next = df.withColumn("nxt", F.lead("sym").over(wlead))
+        best = (
+            with_next.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "sym", "nxt")
+            .limit(1)
+            .collect()[0]
+        )
+        cand = (F.col("sym") == best.sym) & (F.col("nxt") == best.nxt)
+        d = (
+            with_next.withColumn("cand", cand)
+            .withColumn("crn", F.sum(cand.cast("long")).over(wlead))
+            .withColumn("island", F.when(cand, F.col("seq") - F.col("crn")))
+        )
+        wisl = Window.partitionBy("w", "island")
+        d = d.withColumn(
+            "keep",
+            F.col("cand") & (((F.col("seq") - F.min("seq").over(wisl)) % 2) == 0),
+        ).withColumn("drp", F.coalesce(F.lag("keep").over(wlead), F.lit(False)))
+        df = d.filter(~F.col("drp")).select(
+            "w",
+            "freq",
+            (F.row_number().over(wlead) - 1).alias("seq"),
+            F.when(F.col("keep"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        df = df.localCheckpoint(eager=False)
+    per_word = df.groupBy("w", "freq").agg(F.count("*").alias("n_sym"))
+    return (
+        per_word.select(
+            F.substring_index(F.col("w"), "|", 1).alias("lang"),
+            "freq",
+            "n_sym",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_distinct_words"),
+            F.sum("freq").alias("word_occurrences"),
+            F.sum(F.col("freq") * F.col("n_sym")).alias("token_occurrences"),
+        )
+        .select(
+            "lang",
+            "n_distinct_words",
+            "word_occurrences",
+            "token_occurrences",
+            F.round(
+                F.col("token_occurrences") / F.col("word_occurrences"), 4
+            ).alias("fertility"),
+        )
+        .orderBy("lang")
+    )

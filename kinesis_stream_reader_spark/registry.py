@@ -1993,7 +1993,8 @@ _PRIORITY = [
     # round-3 new/rewritten queries lead
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
-    "ann_ivfpq",
+    "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
+    "dedup_substring_scrub",
     # judge's explicit round-3 picks (absent from both r01 and r02)
     "kmeans_converged", "bpe_train_merges", "window_session_dynamic",
     "nested_orders_roundtrip", "quantile_normalize", "multimodal_video_decode",
@@ -11472,3 +11473,133 @@ def ann_ivfpq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
 
     return similarity.ann_ivfpq(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "multimodal_scene_cuts",
+    # formula-derived clips again: per-byte |v_f - v_{f-1}| where
+    # v_f = (doc_id*11 + f*17 + j*5) % 256 — the oracle recomputes the
+    # exact SAD the decoder must produce from real frame bytes
+    """
+WITH dims AS (
+  SELECT doc_id,
+         4 + 2 * (doc_id % 3) AS w,
+         4 + 2 * (doc_id % 2) AS h,
+         3 + doc_id % 4 AS nf
+  FROM documents
+), fj AS (
+  SELECT doc_id, w, h, f.f, j.j,
+         (doc_id * 11 + f.f * 17 + j.j * 5) % 256 AS v,
+         (doc_id * 11 + (f.f - 1) * 17 + j.j * 5) % 256 AS pv
+  FROM dims
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, nf - 1)) AS f) f
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(0, w * h - 1)) AS j) j
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       CAST(SUM(ABS(v - pv)) AS BIGINT) AS sad,
+       SUM(ABS(v - pv)) > 32 * MAX(w) * MAX(h) AS is_cut
+FROM fj GROUP BY doc_id, f ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_scene_cuts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_y4m_media(docs)
+    return multimodal.video_scene_cuts(media).orderBy("doc_id", "frame_idx")
+
+
+_FERTILITY_ORACLE = (
+    """
+WITH lw AS (
+  SELECT lang, word, COUNT(*) AS freq FROM (
+    SELECT lang,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word
+    FROM documents
+  ) WHERE word <> '' GROUP BY lang, word
+),
+s0 AS (
+  SELECT lang || '|' || word AS w, freq,
+         generate_subscripts(syms, 1) - 1 AS seq, unnest(syms) AS sym
+  FROM (SELECT lang, word, freq,
+               list_filter(string_split(word, ''), c -> c <> '') AS syms
+        FROM lw)
+),"""
+    + ",".join(_bpe_round_sql(i) for i in (1, 2, 3))
+    + """,
+pw AS (SELECT w, freq, COUNT(*) AS n_sym FROM s3 GROUP BY w, freq)
+SELECT split_part(w, '|', 1) AS lang,
+       COUNT(*) AS n_distinct_words,
+       CAST(SUM(freq) AS BIGINT) AS word_occurrences,
+       CAST(SUM(freq * n_sym) AS BIGINT) AS token_occurrences,
+       ROUND(SUM(freq * n_sym) / CAST(SUM(freq) AS DOUBLE), 4) AS fertility
+FROM pw GROUP BY split_part(w, '|', 1) ORDER BY lang
+"""
+)
+
+
+@register("tokenizer_fertility_report", _FERTILITY_ORACLE)
+def tokenizer_fertility_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.tokenizer_fertility_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_substring_scrub",
+    # the removal policy on top of dedup_substring_spans' machinery:
+    # rank each duplicated gram's occurrences by (doc_id, pos), keep
+    # rank 1, merge later ranks into cut intervals, rebuild the token
+    # stream outside the cuts and fingerprint it
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tl FROM documents
+), posts AS (
+  SELECT doc_id, i.i AS s, i.i + 8 AS e,
+         array_to_string(tl[i.i + 1 : i.i + 8], ' ') AS gram
+  FROM toks, LATERAL (SELECT UNNEST(range(greatest(len(tl) - 7, 0))) AS i) i
+), occ AS (
+  SELECT doc_id, s, e,
+         COUNT(*) OVER (PARTITION BY gram) AS n_occ,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, s) AS rk
+  FROM posts
+), intervals AS (
+  SELECT doc_id, s, e FROM occ WHERE n_occ >= 2 AND rk >= 2
+), marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM intervals
+), islands AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM marked
+), mg AS (
+  SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+  FROM islands GROUP BY doc_id, island
+), pos AS (
+  SELECT doc_id, i.i - 1 AS pos, tl[i.i] AS tok
+  FROM toks, LATERAL (SELECT UNNEST(range(1, len(tl) + 1)) AS i) i
+), kept AS (
+  SELECT p.doc_id, p.pos, p.tok FROM pos p
+  WHERE NOT EXISTS (SELECT 1 FROM mg m
+                    WHERE m.doc_id = p.doc_id
+                      AND p.pos >= m.s AND p.pos < m.e)
+), rebuilt AS (
+  SELECT doc_id, COUNT(*) AS kept_tokens,
+         md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_md5
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.tl)::BIGINT AS n_tokens,
+       COALESCE(r.kept_tokens, 0)::BIGINT AS kept_tokens,
+       (len(t.tl) - COALESCE(r.kept_tokens, 0))::BIGINT AS removed_tokens,
+       COALESCE(r.clean_md5, md5('')) AS clean_md5
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY t.doc_id
+""",
+)
+def dedup_substring_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.substring_scrub(load_table(spark, sf_dir, "documents"))
