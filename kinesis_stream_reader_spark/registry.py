@@ -1994,7 +1994,7 @@ _PRIORITY = [
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
-    "dedup_substring_scrub",
+    "dedup_substring_scrub", "streaming_near_dedup",
     # judge's explicit round-3 picks (absent from both r01 and r02)
     "kmeans_converged", "bpe_train_merges", "window_session_dynamic",
     "nested_orders_roundtrip", "quantile_normalize", "multimodal_video_decode",
@@ -11603,3 +11603,97 @@ def dedup_substring_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import dedup
 
     return dedup.substring_scrub(load_table(spark, sf_dir, "documents"))
+
+
+_NEAR_DEDUP_STREAM_ORACLE = """
+WITH t AS (
+  SELECT doc_id, trim(text) AS tx,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+              ELSE [tx] END AS grams
+  FROM t
+), gh AS (
+  SELECT doc_id,
+         list_transform(grams,
+           s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT)) AS gh
+  FROM g
+), sig AS (
+  SELECT doc_id,
+         list_min(list_transform(gh, x -> (1447053421 * (x >> 30) + 2018637147 * (x % 1073741824) + 821879811) % 2305843009213693951)) AS h0,
+         list_min(list_transform(gh, x -> (176928717 * (x >> 30) + 1840952405 * (x % 1073741824) + 704113017) % 2305843009213693951)) AS h1,
+         list_min(list_transform(gh, x -> (1765449693 * (x >> 30) + 2080088805 * (x % 1073741824) + 448146271) % 2305843009213693951)) AS h2,
+         list_min(list_transform(gh, x -> (492862055 * (x >> 30) + 2054100235 * (x % 1073741824) + 171799059) % 2305843009213693951)) AS h3,
+         list_min(list_transform(gh, x -> (156203051 * (x >> 30) + 1040078385 * (x % 1073741824) + 1265968343) % 2305843009213693951)) AS h4,
+         list_min(list_transform(gh, x -> (852485825 * (x >> 30) + 579023709 * (x % 1073741824) + 636098179) % 2305843009213693951)) AS h5,
+         list_min(list_transform(gh, x -> (2001589517 * (x >> 30) + 1384731507 * (x % 1073741824) + 1513411053) % 2305843009213693951)) AS h6,
+         list_min(list_transform(gh, x -> (1183995427 * (x >> 30) + 1483771595 * (x % 1073741824) + 1295655385) % 2305843009213693951)) AS h7,
+         list_min(list_transform(gh, x -> (1757684611 * (x >> 30) + 1977193477 * (x % 1073741824) + 2094125749) % 2305843009213693951)) AS h8,
+         list_min(list_transform(gh, x -> (1025415121 * (x >> 30) + 936150355 * (x % 1073741824) + 587825955) % 2305843009213693951)) AS h9,
+         list_min(list_transform(gh, x -> (1216879987 * (x >> 30) + 1663348111 * (x % 1073741824) + 1204798077) % 2305843009213693951)) AS h10,
+         list_min(list_transform(gh, x -> (288620849 * (x >> 30) + 340073899 * (x % 1073741824) + 432610199) % 2305843009213693951)) AS h11,
+         list_min(list_transform(gh, x -> (1830857049 * (x >> 30) + 721240335 * (x % 1073741824) + 1547197805) % 2305843009213693951)) AS h12,
+         list_min(list_transform(gh, x -> (1365328469 * (x >> 30) + 411226205 * (x % 1073741824) + 1352987033) % 2305843009213693951)) AS h13,
+         list_min(list_transform(gh, x -> (560535623 * (x >> 30) + 855913339 * (x % 1073741824) + 182950487) % 2305843009213693951)) AS h14,
+         list_min(list_transform(gh, x -> (478807603 * (x >> 30) + 1098033359 * (x % 1073741824) + 1424595627) % 2305843009213693951)) AS h15
+  FROM gh
+), buckets AS (
+  SELECT doc_id, 0 AS band, CAST(CAST(concat('0x', substr(md5(h0 || ':' || h1), 1, 15)) AS UBIGINT) AS BIGINT) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 1 AS band, CAST(CAST(concat('0x', substr(md5(h2 || ':' || h3), 1, 15)) AS UBIGINT) AS BIGINT) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 2 AS band, CAST(CAST(concat('0x', substr(md5(h4 || ':' || h5), 1, 15)) AS UBIGINT) AS BIGINT) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 3 AS band, CAST(CAST(concat('0x', substr(md5(h6 || ':' || h7), 1, 15)) AS UBIGINT) AS BIGINT) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 4 AS band, CAST(CAST(concat('0x', substr(md5(h8 || ':' || h9), 1, 15)) AS UBIGINT) AS BIGINT) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 5 AS band, CAST(CAST(concat('0x', substr(md5(h10 || ':' || h11), 1, 15)) AS UBIGINT) AS BIGINT) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 6 AS band, CAST(CAST(concat('0x', substr(md5(h12 || ':' || h13), 1, 15)) AS UBIGINT) AS BIGINT) AS bucket FROM sig
+  UNION ALL SELECT doc_id, 7 AS band, CAST(CAST(concat('0x', substr(md5(h14 || ':' || h15), 1, 15)) AS UBIGINT) AS BIGINT) AS bucket FROM sig
+), winners AS (
+  SELECT band, bucket, MIN(doc_id) AS first_doc FROM buckets GROUP BY band, bucket
+), firsts AS (
+  SELECT first_doc AS doc_id, COUNT(*) AS n_bands_first
+  FROM winners GROUP BY first_doc
+)
+SELECT t.doc_id, COALESCE(f.n_bands_first, 0)::BIGINT AS n_bands_first,
+       COALESCE(f.n_bands_first, 0) > 0 AS is_novel
+FROM t LEFT JOIN firsts f USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@register("streaming_near_dedup", _NEAR_DEDUP_STREAM_ORACLE)
+def streaming_near_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup NOVELTY detection on the corpus STREAM: per-row md5
+    MinHash band keys (md5_minhash_bands — no aggregation needed, so
+    the signature computes inside the streaming plan), then ONE
+    stateful aggregate MIN(doc_id) per (band, bucket) whose state is
+    bounded by the DISTINCT BAND BUCKETS, not the stream length — the
+    incremental form of LSH dedup a crawl-ingest pipeline runs. A
+    document is novel iff it is the first arrival in at least one of
+    its buckets (shares every bucket with earlier docs = near-dup
+    candidate); MIN makes the winner arrival-order-independent, so
+    the drained complete-mode table equals the batch build exactly."""
+    from .operators.dedup import minhash_band_keys
+    from .streaming import jobs
+
+    stream = jobs.stream_documents(spark, sf_dir)
+    banded = minhash_band_keys(stream)
+    winners = banded.groupBy("band", "bucket").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    res = jobs.run_available_now(winners, "streaming_near_dedup")
+    firsts = res.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_bands_first")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return (
+        docs.join(firsts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bands_first"), F.lit(0)).alias("n_bands_first"),
+            (F.coalesce(F.col("n_bands_first"), F.lit(0)) > 0).alias("is_novel"),
+        )
+        .orderBy("doc_id")
+    )

@@ -31,23 +31,41 @@ from ..session import ensure_confs
 _STREAM_DIRS: dict[str, str] = {}
 
 
-def _events_stream_dir(sf_dir: str) -> str:
-    """The file source wants a directory of data files; expose the
-    events parquet through a symlinked temp dir (no copy). Handles both
-    a single-file fixture and a Spark-written directory of part files —
+def _table_stream_dir(sf_dir: str, table: str) -> str:
+    """The file source wants a directory of data files; expose a table's
+    parquet through a symlinked temp dir (no copy). Handles both a
+    single-file fixture and a Spark-written directory of part files —
     the source does NOT recurse into subdirectories, so leaf files are
     linked directly."""
-    if sf_dir not in _STREAM_DIRS:
+    key = f"{sf_dir}::{table}"
+    if key not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="ksr_stream_")
-        src = f"{sf_dir}/events.parquet"
+        src = f"{sf_dir}/{table}.parquet"
         if os.path.isdir(src):
             for i, name in enumerate(sorted(os.listdir(src))):
                 if name.endswith(".parquet"):
                     os.symlink(f"{src}/{name}", f"{d}/part-{i:05d}.parquet")
         else:
-            os.symlink(src, f"{d}/events.parquet")
-        _STREAM_DIRS[sf_dir] = d
-    return _STREAM_DIRS[sf_dir]
+            os.symlink(src, f"{d}/{table}.parquet")
+        _STREAM_DIRS[key] = d
+    return _STREAM_DIRS[key]
+
+
+def _events_stream_dir(sf_dir: str) -> str:
+    return _table_stream_dir(sf_dir, "events")
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the documents fixture — the corpus-
+    as-a-stream seam for streaming dedup/quality operators (a crawl
+    pipeline's ingest is exactly this: documents arriving in batches)."""
+    ensure_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_table_stream_dir(sf_dir, "documents"))
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
