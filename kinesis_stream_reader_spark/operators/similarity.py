@@ -1088,3 +1088,74 @@ def ann_ivfpq(
         .orderBy(F.col("adc_dist"), F.col("vec_id"))
         .limit(k)
     )
+
+
+def matryoshka_recall_report(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    ks: "tuple[int, ...]" = (5, 10, 20),
+    trunc_dim: int = 16,
+) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati et al. 2022 —
+    public method): how much of the FULL-dimension top-k does a
+    TRUNCATED-dimension (first `trunc_dim` coords) search recover?
+    MRL-trained embeddings are deployed exactly this way — coarse
+    search on a prefix, rerank on the full vector — and recall@k of
+    the prefix against the full ranking is the metric that decides
+    the prefix length. Output: one row per k with the overlap count
+    and recall.
+
+    Plan: two TakeOrdered top-max(k) scans (no global sort), ranks
+    assigned on the tiny k-row results, overlap counted per k against
+    a broadcast k-list. The corpus is scanned twice and shuffles
+    nothing."""
+    kmax = max(ks)
+    vecs = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    q = vecs.filter(F.col("vec_id") == query_vec_id).select(F.col("v").alias("q"))
+
+    def topk(score_col: Column, name: str) -> DataFrame:
+        scored = (
+            vecs.join(F.broadcast(q))
+            .filter(F.col("vec_id") != query_vec_id)
+            .select("vec_id", F.round(score_col, 3).alias("cs"))
+            .orderBy(F.col("cs").desc(), "vec_id")
+            .limit(kmax)
+        )
+        w = Window.orderBy(F.col("cs").desc(), "vec_id")
+        return scored.select(
+            F.col("vec_id").alias(f"{name}_id"),
+            F.row_number().over(w).alias(f"{name}_rank"),
+        )
+
+    full = topk(cosine(F.col("v"), F.col("q")), "full")
+    trunc = topk(
+        cosine(
+            F.slice(F.col("v"), 1, trunc_dim), F.slice(F.col("q"), 1, trunc_dim)
+        ),
+        "trunc",
+    )
+    pairs = full.join(
+        trunc, full["full_id"] == trunc["trunc_id"], "inner"
+    ).select("full_rank", "trunc_rank")
+    klist = (
+        embeddings.sparkSession.createDataFrame(
+            [(k,) for k in sorted(ks)], "k int"
+        )
+    )
+    return (
+        klist.join(
+            pairs,
+            (pairs["full_rank"] <= klist["k"]) & (pairs["trunc_rank"] <= klist["k"]),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("full_rank").alias("n_overlap"))
+        .select(
+            "k",
+            "n_overlap",
+            F.round(F.col("n_overlap") / F.col("k"), 4).alias("recall"),
+        )
+        .orderBy("k")
+    )

@@ -1940,3 +1940,83 @@ def tokenizer_fertility_report(documents: DataFrame, rounds: int = 3) -> DataFra
         )
         .orderBy("lang")
     )
+
+
+def doremi_reweight_step(documents: DataFrame, eta: float = 1.0) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023 —
+    public method): starting from uniform domain weights, upweight
+    sources whose documents score ABOVE the corpus average under the
+    proxy model (quality_model_score's logit stands in for the excess
+    loss between proxy and reference models) with a LINEARIZED
+    multiplicative update w_i ∝ max(eps, 1 + eta * excess_i), then
+    normalize. (The paper uses exp(eta*x); the first-order form keeps
+    every value rational, so Spark and DuckDB agree bit-for-bit with
+    no libm exp in the contract.)
+
+    Engine-stable arithmetic: per-source averages come from the exact
+    integer sums of the QUANTIZED logit (the model_eval_auc census
+    convention), the excess is one IEEE double subtraction quantized
+    half-up to 6 dp, and update factors become integer micro-units
+    before the normalizing sum, so the only float ops are per-value
+    divisions. Plan: one |sources|-bounded partial agg + one window
+    over that tiny relation."""
+    scored = quality_model_score(documents).select(
+        "doc_id",
+        F.floor(F.col("logit") * 1e4 + F.lit(0.5)).cast("long").alias("lv"),
+    )
+    src = documents.select("doc_id", "source").join(scored, "doc_id")
+    per_source = src.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("lv").alias("lv_sum")
+    )
+    w = Window.partitionBy()
+    # per-source and corpus means in LOGIT units (lv is logit * 1e4)
+    mean_i = F.col("lv_sum") / F.col("n_docs") / 1e4
+    mean_all = F.sum("lv_sum").over(w) / F.sum("n_docs").over(w) / 1e4
+    excess_q = F.floor((mean_i - mean_all) * 1e6 + F.lit(0.5)) / 1e6
+    factor_u = F.greatest(
+        F.lit(1),
+        F.floor((1.0 + eta * excess_q) * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    return (
+        per_source.select(
+            "source",
+            "n_docs",
+            F.round(mean_i, 6).alias("avg_logit"),
+            excess_q.alias("excess"),
+            factor_u.alias("factor_u"),
+            F.sum(factor_u).over(w).alias("factor_total"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "avg_logit",
+            "excess",
+            F.round(F.col("factor_u") / F.col("factor_total"), 6).alias(
+                "new_weight"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def lang_id_confusion(documents: DataFrame) -> DataFrame:
+    """Confusion matrix for the n-gram language identifier: per
+    (true lang, predicted lang) document counts and the row-normalized
+    fraction — the eval artifact that decides whether the cheap
+    lang-ID gate is trustworthy enough to route documents (CCNet runs
+    exactly this audit against fastText labels before trusting its
+    split). Composes text_lang_id_ngram; the matrix aggregate is
+    bounded by |langs|^2 cells, the window by |langs| partitions."""
+    pred = text_lang_id_ngram(documents)
+    w = Window.partitionBy("lang")
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "lang",
+            "lang_pred",
+            "n_docs",
+            F.round(F.col("n_docs") / F.sum("n_docs").over(w), 4).alias("frac"),
+        )
+        .orderBy("lang", "lang_pred")
+    )

@@ -1994,7 +1994,8 @@ _PRIORITY = [
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
-    "dedup_substring_scrub", "streaming_near_dedup",
+    "dedup_substring_scrub", "streaming_near_dedup", "doremi_reweight_step",
+    "matryoshka_recall", "lang_id_confusion",
     # judge's explicit round-3 picks (absent from both r01 and r02)
     "kmeans_converged", "bpe_train_merges", "window_session_dynamic",
     "nested_orders_roundtrip", "quantile_normalize", "multimodal_video_decode",
@@ -11697,3 +11698,113 @@ def streaming_near_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doremi_reweight_step",
+    # quality-model CTE -> quantized logit -> per-source exact integer
+    # sums -> linearized multiplicative update in integer micro-units
+    f"""
+WITH f AS (
+  SELECT doc_id, source,
+         len({_TOKS})::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           AS n_stop,
+         (length(text) - length(replace(text, '.', '')))::DOUBLE AS n_dots
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), z AS (
+  SELECT f.doc_id, f.source,
+         FLOOR((
+           (SELECT w FROM wts WHERE i = 0) * (n_tokens / 100.0)
+           + (SELECT w FROM wts WHERE i = 1) * (n_stop / (n_tokens + 1.0))
+           + (SELECT w FROM wts WHERE i = 2) * (n_chars / (n_tokens + 1.0))
+           + (SELECT w FROM wts WHERE i = 3) * (n_dots / (n_chars + 1.0))
+           + (SELECT w FROM wts WHERE i = 4)) * 1e4 + 0.5)::BIGINT AS lv
+  FROM f
+), per_source AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(lv) AS lv_sum FROM z GROUP BY source
+), m AS (
+  SELECT source, n_docs,
+         lv_sum / n_docs / 1e4 AS mean_i,
+         SUM(lv_sum) OVER () / CAST(SUM(n_docs) OVER () AS DOUBLE) / 1e4
+           AS mean_all
+  FROM per_source
+), fx AS (
+  SELECT source, n_docs, mean_i,
+         FLOOR((mean_i - mean_all) * 1e6 + 0.5) / 1e6 AS excess
+  FROM m
+), fu AS (
+  SELECT source, n_docs, mean_i, excess,
+         GREATEST(1, FLOOR((1.0 + excess) * 1e6 + 0.5)::BIGINT) AS factor_u
+  FROM fx
+)
+SELECT source, n_docs,
+       ROUND(mean_i, 6) AS avg_logit,
+       excess,
+       ROUND(factor_u / CAST(SUM(factor_u) OVER () AS DOUBLE), 6) AS new_weight
+FROM fu ORDER BY source
+""",
+)
+def doremi_reweight_step_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.doremi_reweight_step(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "matryoshka_recall",
+    # two ranked top-20 lists (full dim vs first-16 prefix), overlap
+    # counted per k — same cosine/rounding conventions as ann_bruteforce
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+full_s AS (
+  SELECT vec_id, ROUND(list_cosine_similarity(v, qv), 3) AS cs
+  FROM e, q WHERE vec_id <> 0 ORDER BY cs DESC, vec_id LIMIT 20
+), full_r AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS r FROM full_s
+), tr_s AS (
+  SELECT vec_id, ROUND(list_cosine_similarity(v[1:16], qv[1:16]), 3) AS cs
+  FROM e, q WHERE vec_id <> 0 ORDER BY cs DESC, vec_id LIMIT 20
+), tr_r AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cs DESC, vec_id) AS r FROM tr_s
+), ov AS (
+  SELECT f.r AS fr, t.r AS tr FROM full_r f JOIN tr_r t USING (vec_id)
+), ks AS (SELECT UNNEST([5, 10, 20]) AS k)
+SELECT ks.k, COUNT(ov.fr)::BIGINT AS n_overlap,
+       ROUND(COUNT(ov.fr) / CAST(ks.k AS DOUBLE), 4) AS recall
+FROM ks LEFT JOIN ov ON ov.fr <= ks.k AND ov.tr <= ks.k
+GROUP BY ks.k ORDER BY ks.k
+""",
+)
+def matryoshka_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.matryoshka_recall_report(
+        load_table(spark, sf_dir, "embeddings")
+    )
+
+
+# the confusion-matrix oracle nests the (already verified) lang-ID
+# prediction SQL as a CTE — single source of truth for the predictor
+_LANG_CONFUSION_ORACLE = (
+    "WITH pred AS (" + ORACLES["text_lang_id_ngram"] + """)
+SELECT lang, lang_pred, COUNT(*)::BIGINT AS n_docs,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE), 4)
+         AS frac
+FROM pred GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+)
+
+
+@register("lang_id_confusion", _LANG_CONFUSION_ORACLE)
+def lang_id_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.lang_id_confusion(load_table(spark, sf_dir, "documents"))
