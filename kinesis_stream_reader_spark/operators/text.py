@@ -1665,8 +1665,18 @@ def gopher_repetition_rules(documents: DataFrame) -> DataFrame:
                 ),
             ),
         ).otherwise(F.array().cast("array<string>"))
+        # hash grams to longs BEFORE the aggregate: the (doc_id, gram)
+        # shuffle carries 8-byte keys instead of multi-word strings (the
+        # span_postings convention; the oracle's string grams count
+        # identically absent collisions). Wall time at 20x docs is
+        # explode-volume-bound either way (~85s for ~140M gram rows,
+        # linear at 17x/20x data) — the hash keeps shuffle BYTES flat
+        # on wide-token corpora, which is what matters at 100 TB.
         per_gram = (
-            documents.select("doc_id", F.explode(grams).alias("g"))
+            documents.select(
+                "doc_id",
+                F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("g"),
+            )
             .groupBy("doc_id", "g")
             .agg(F.count("*").alias("cnt"))
         )
