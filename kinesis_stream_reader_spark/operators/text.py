@@ -1898,14 +1898,17 @@ def tokenizer_fertility_report(documents: DataFrame, rounds: int = 3) -> DataFra
     wlead = Window.partitionBy("w").orderBy("seq")
     for _ in range(rounds):
         with_next = df.withColumn("nxt", F.lead("sym").over(wlead))
-        best = (
+        best_rows = (
             with_next.filter(F.col("nxt").isNotNull())
             .groupBy("sym", "nxt")
             .agg(F.sum("freq").alias("pair_count"))
             .orderBy(F.col("pair_count").desc(), "sym", "nxt")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not best_rows:  # empty corpus / no adjacent pairs left
+            break
+        best = best_rows[0]
         cand = (F.col("sym") == best.sym) & (F.col("nxt") == best.nxt)
         d = (
             with_next.withColumn("cand", cand)

@@ -31,7 +31,10 @@ SUBSET = [
     "bitmap_membership", "mutual_information", "benford_audit",
     "token_budget_allocation", "rfm_segments",
     "gopher_repetition_rules", "c4_quality_filters", "curriculum_shards",
-    "multimodal_png_decode",
+    "multimodal_png_decode", "ccnet_perplexity_buckets", "ann_ivfpq",
+    "multimodal_scene_cuts", "tokenizer_fertility_report",
+    "dedup_substring_scrub", "streaming_near_dedup", "doremi_reweight_step",
+    "matryoshka_recall", "lang_id_confusion",
 ]
 
 

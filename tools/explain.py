@@ -48,6 +48,11 @@ HEADLINE = [
     ("important_stock", "TPC-H Q11: global mean-relative threshold, nation sliver broadcast"),
     ("excess_inventory_suppliers", "TPC-H Q20: nested-IN decorrelated to windowed dominance"),
     ("text_repetition", "per-doc token histogram via two partial-agg shuffles"),
+    ("ann_ivfpq", "FAISS IndexIVFPQ: probe-pruned broadcast semi-join + exact-bigint ADC"),
+    ("curriculum_shards", "census-derived decile edges broadcast back; numbering partitioned by shard"),
+    ("gopher_repetition_rules", "hashed n-gram censuses: explode -> two partial-agg shuffles on longs"),
+    ("dedup_substring_scrub", "span postings -> interval union -> exists() membership, no range join"),
+    ("ccnet_perplexity_buckets", "bigram LM + per-lang tercile census, vocabulary-bounded shuffles"),
     ("apply_mixture_weights", "computed-weight md5 gate: broadcast weights, map-only filter"),
     ("join_bucketed_colocated", "bucketed fact-to-fact join: zero Exchange on the join keys"),
     ("gap_fill_locf", "sequence+explode densify over the aggregate, LOCF window"),
