@@ -1159,3 +1159,53 @@ def matryoshka_recall_report(
         )
         .orderBy("k")
     )
+
+
+def kcenter_init(embeddings: DataFrame, k: int = 6) -> DataFrame:
+    """Deterministic farthest-point (k-center / greedy 2-approximation)
+    seeding — the initialization stage ahead of kmeans_step /
+    kmeans_converged (k-means++ without the RNG: always pick the point
+    FARTHEST from the chosen set, ties to the lowest vec_id). Output:
+    one row per selected center in selection order with its min
+    squared distance to the previously chosen set (exact integer
+    millis, so both engines agree bit-for-bit).
+
+    Plan shape per round: the chosen set (<= k rows) broadcasts into a
+    min-distance partial agg over the corpus, and the argmax is ONE
+    TakeOrdered row pulled to the driver (the BPE argmax-loop shape —
+    k-1 scalar round trips, never data). O(k) corpus passes total;
+    at 100 TB each pass is a map-side fold + tiny shuffle."""
+    vecs = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("x")
+    )
+    diffs = F.zip_with("x", "c", lambda a, b: (a - b) * (a - b))
+    d2_milli = F.floor(
+        F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v) * 1000
+        + F.lit(0.5)
+    ).cast("long")
+    schema = "sel_order int, vec_id bigint, dmin_milli bigint"
+    first_rows = vecs.orderBy("vec_id").limit(1).collect()
+    if not first_rows:  # empty corpus
+        return embeddings.sparkSession.createDataFrame([], schema)
+    first = first_rows[0].vec_id
+    rows = [(1, first, 0)]
+    chosen_ids = [first]
+    for r in range(2, k + 1):
+        chosen = vecs.filter(F.col("vec_id").isin(chosen_ids)).select(
+            F.col("x").alias("c")
+        )
+        pick = (
+            vecs.filter(~F.col("vec_id").isin(chosen_ids))
+            .join(F.broadcast(chosen))
+            .select("vec_id", d2_milli.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("dmin"))
+            .orderBy(F.col("dmin").desc(), "vec_id")
+            .limit(1)
+            .collect()
+        )
+        if not pick:  # fewer than k vectors
+            break
+        rows.append((r, pick[0].vec_id, pick[0].dmin))
+        chosen_ids.append(pick[0].vec_id)
+    return embeddings.sparkSession.createDataFrame(rows, schema)

@@ -1995,7 +1995,7 @@ _PRIORITY = [
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
     "dedup_substring_scrub", "streaming_near_dedup", "doremi_reweight_step",
-    "matryoshka_recall", "lang_id_confusion",
+    "matryoshka_recall", "lang_id_confusion", "kcenter_init",
     # judge's explicit round-3 picks (absent from both r01 and r02)
     "kmeans_converged", "bpe_train_merges", "window_session_dynamic",
     "nested_orders_roundtrip", "quantile_normalize", "multimodal_video_decode",
@@ -11808,3 +11808,72 @@ def lang_id_confusion_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.lang_id_confusion(load_table(spark, sf_dir, "documents"))
+
+
+_KCENTER_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c1 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT 1),
+cand2 AS (
+  SELECT a.vec_id, MIN(CAST(FLOOR(list_sum(list_transform(range(1, 65), i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i]))) * 1000 + 0.5) AS BIGINT)) AS dmin
+  FROM e a JOIN e c ON c.vec_id IN (SELECT vec_id FROM c1)
+  WHERE a.vec_id NOT IN (SELECT vec_id FROM c1)
+  GROUP BY a.vec_id
+), pick2 AS (
+  SELECT vec_id, dmin FROM cand2 ORDER BY dmin DESC, vec_id LIMIT 1
+), c2 AS (
+  SELECT vec_id FROM c1 UNION ALL SELECT vec_id FROM pick2
+),
+cand3 AS (
+  SELECT a.vec_id, MIN(CAST(FLOOR(list_sum(list_transform(range(1, 65), i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i]))) * 1000 + 0.5) AS BIGINT)) AS dmin
+  FROM e a JOIN e c ON c.vec_id IN (SELECT vec_id FROM c2)
+  WHERE a.vec_id NOT IN (SELECT vec_id FROM c2)
+  GROUP BY a.vec_id
+), pick3 AS (
+  SELECT vec_id, dmin FROM cand3 ORDER BY dmin DESC, vec_id LIMIT 1
+), c3 AS (
+  SELECT vec_id FROM c2 UNION ALL SELECT vec_id FROM pick3
+),
+cand4 AS (
+  SELECT a.vec_id, MIN(CAST(FLOOR(list_sum(list_transform(range(1, 65), i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i]))) * 1000 + 0.5) AS BIGINT)) AS dmin
+  FROM e a JOIN e c ON c.vec_id IN (SELECT vec_id FROM c3)
+  WHERE a.vec_id NOT IN (SELECT vec_id FROM c3)
+  GROUP BY a.vec_id
+), pick4 AS (
+  SELECT vec_id, dmin FROM cand4 ORDER BY dmin DESC, vec_id LIMIT 1
+), c4 AS (
+  SELECT vec_id FROM c3 UNION ALL SELECT vec_id FROM pick4
+),
+cand5 AS (
+  SELECT a.vec_id, MIN(CAST(FLOOR(list_sum(list_transform(range(1, 65), i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i]))) * 1000 + 0.5) AS BIGINT)) AS dmin
+  FROM e a JOIN e c ON c.vec_id IN (SELECT vec_id FROM c4)
+  WHERE a.vec_id NOT IN (SELECT vec_id FROM c4)
+  GROUP BY a.vec_id
+), pick5 AS (
+  SELECT vec_id, dmin FROM cand5 ORDER BY dmin DESC, vec_id LIMIT 1
+), c5 AS (
+  SELECT vec_id FROM c4 UNION ALL SELECT vec_id FROM pick5
+),
+cand6 AS (
+  SELECT a.vec_id, MIN(CAST(FLOOR(list_sum(list_transform(range(1, 65), i -> (a.v[i] - c.v[i]) * (a.v[i] - c.v[i]))) * 1000 + 0.5) AS BIGINT)) AS dmin
+  FROM e a JOIN e c ON c.vec_id IN (SELECT vec_id FROM c5)
+  WHERE a.vec_id NOT IN (SELECT vec_id FROM c5)
+  GROUP BY a.vec_id
+), pick6 AS (
+  SELECT vec_id, dmin FROM cand6 ORDER BY dmin DESC, vec_id LIMIT 1
+), c6 AS (
+  SELECT vec_id FROM c5 UNION ALL SELECT vec_id FROM pick6
+)
+SELECT 1 AS sel_order, vec_id, CAST(0 AS BIGINT) AS dmin_milli FROM c1
+UNION ALL SELECT 2, vec_id, dmin FROM pick2
+UNION ALL SELECT 3, vec_id, dmin FROM pick3
+UNION ALL SELECT 4, vec_id, dmin FROM pick4
+UNION ALL SELECT 5, vec_id, dmin FROM pick5
+UNION ALL SELECT 6, vec_id, dmin FROM pick6
+ORDER BY sel_order"""
+
+
+@register("kcenter_init", _KCENTER_ORACLE)
+def kcenter_init_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.kcenter_init(load_table(spark, sf_dir, "embeddings"))

@@ -34,7 +34,7 @@ SUBSET = [
     "multimodal_png_decode", "ccnet_perplexity_buckets", "ann_ivfpq",
     "multimodal_scene_cuts", "tokenizer_fertility_report",
     "dedup_substring_scrub", "streaming_near_dedup", "doremi_reweight_step",
-    "matryoshka_recall", "lang_id_confusion",
+    "matryoshka_recall", "lang_id_confusion", "kcenter_init",
 ]
 
 
