@@ -749,3 +749,38 @@ def video_scene_cuts(media: DataFrame, threshold_per_px: int = 32) -> DataFrame:
             )
 
     return media.mapInPandas(batches, SCENE_CUT_SCHEMA)
+
+
+VAD_SCHEMA = "doc_id BIGINT, frame_idx INT, energy BIGINT, is_active BOOLEAN"
+
+
+def audio_vad_frames(
+    media: DataFrame,
+    frame_samples: int = 16,
+    energy_threshold: int = 4_800_000_000,
+) -> DataFrame:
+    """Frame-level voice-activity detection over REAL decoded PCM16:
+    split each clip into fixed-size frames (trailing partial frame
+    dropped), exact integer energy = sum of squared samples per frame,
+    active iff energy exceeds the threshold — the silence-trimming
+    stage an audio training pipeline runs before feature extraction.
+    One row per full frame. Arrow-batched map-only decode; the shuffle
+    carries (doc, idx, energy) longs, never samples — the audio twin
+    of video_scene_cuts."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                _, samples = decode_wav(bytes(blob))
+                n_frames = len(samples) // frame_samples
+                s = samples[: n_frames * frame_samples].astype(np.int64)
+                energies = (s * s).reshape(n_frames, frame_samples).sum(axis=1)
+                for f, e in enumerate(energies):
+                    rows.append((doc_id, f, int(e), int(e) > energy_threshold))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "energy", "is_active"]
+            )
+
+    return media.mapInPandas(batches, VAD_SCHEMA)

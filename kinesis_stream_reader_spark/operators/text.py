@@ -2033,3 +2033,61 @@ def lang_id_confusion(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang", "lang_pred")
     )
+
+
+def source_token_kl(documents: DataFrame) -> DataFrame:
+    """Per-source KL divergence of the unigram token distribution from
+    the corpus distribution — the text-domain drift gauge (a source
+    whose language shifts from the corpus mix lights up here long
+    before quality metrics move; the domain-weighting companion to
+    drift_report/drift_ks on events).
+
+    Engine-stable: each term's contribution p_s(t) * ln(p_s/p) is
+    computed in one fixed expression shape and quantized half-up to
+    NANO units (the bm25 convention), so the per-source sum is an
+    exact bigint. Plan: one exploded relation feeds the (source,
+    token) census; the token census is vocabulary-bounded and joins
+    broadcast under AQE; the corpus total rides a one-row broadcast.
+    Shuffles carry the vocabulary, never the corpus."""
+    toks = documents.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    c_st = toks.groupBy("source", "tok").agg(F.count("*").alias("c_st"))
+    n_s = c_st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    c_t = c_st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    n_total = c_t.agg(F.sum("c_t").alias("n"))
+    contrib = (
+        c_st.join(F.broadcast(n_s), "source")
+        .join(c_t, "tok")
+        .join(F.broadcast(n_total))
+        .select(
+            "source",
+            "n_s",
+            F.floor(
+                (F.col("c_st") / F.col("n_s"))
+                * F.log(
+                    (F.col("c_st") * F.col("n"))
+                    / (F.col("n_s") * F.col("c_t"))
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("u"),
+        )
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.max("n_s").alias("n_tokens"),
+            F.sum("u").alias("kl_nano"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "kl_nano",
+            F.round(F.col("kl_nano") / 1e9, 6).alias("kl"),
+        )
+        .orderBy("source")
+    )

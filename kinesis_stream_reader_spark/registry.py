@@ -1996,6 +1996,7 @@ _PRIORITY = [
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
     "dedup_substring_scrub", "streaming_near_dedup", "doremi_reweight_step",
     "matryoshka_recall", "lang_id_confusion", "kcenter_init",
+    "multimodal_audio_vad", "source_token_kl",
     # judge's explicit round-3 picks (absent from both r01 and r02)
     "kmeans_converged", "bpe_train_merges", "window_session_dynamic",
     "nested_orders_roundtrip", "quantile_normalize", "multimodal_video_decode",
@@ -11877,3 +11878,69 @@ def kcenter_init_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import similarity
 
     return similarity.kcenter_init(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "multimodal_audio_vad",
+    # formula-derived WAV clips (synthetic_wav_media): sample i =
+    # ((doc_id*13 + i*31) % 65536) - 32768, n = 64 + doc_id % 50 —
+    # the oracle recomputes every frame energy the decoder must produce
+    """
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 50 AS n FROM documents
+), s AS (
+  SELECT doc_id, i.i AS i,
+         ((doc_id * 13 + i.i * 31) % 65536) - 32768 AS v
+  FROM dims, LATERAL (SELECT UNNEST(range(n)) AS i) i
+), fr AS (
+  SELECT doc_id, CAST(i // 16 AS INT) AS frame_idx,
+         CAST(SUM(v * v) AS BIGINT) AS energy
+  FROM s
+  WHERE i // 16 < (SELECT n FROM dims d WHERE d.doc_id = s.doc_id) // 16
+  GROUP BY doc_id, i // 16
+)
+SELECT doc_id, frame_idx, energy, energy > 4800000000 AS is_active
+FROM fr ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_audio_vad_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_wav_media(docs)
+    return multimodal.audio_vad_frames(media).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "source_token_kl",
+    # same one-log expression shape, nano-quantized per term, exact
+    # bigint per-source sums
+    """
+WITH toks AS (
+  SELECT source, t.tok FROM documents,
+       LATERAL UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+), cst AS (
+  SELECT source, tok, COUNT(*) AS c_st FROM toks GROUP BY source, tok
+), ns AS (
+  SELECT source, SUM(c_st) AS n_s FROM cst GROUP BY source
+), ct AS (
+  SELECT tok, SUM(c_st) AS c_t FROM cst GROUP BY tok
+), tot AS (SELECT SUM(c_t) AS n FROM ct),
+contrib AS (
+  SELECT cst.source, ns.n_s,
+         CAST(FLOOR((cst.c_st / CAST(ns.n_s AS DOUBLE))
+              * LN((cst.c_st * tot.n) / (CAST(ns.n_s AS DOUBLE) * ct.c_t))
+              * 1e9 + 0.5) AS BIGINT) AS u
+  FROM cst JOIN ns USING (source) JOIN ct USING (tok) CROSS JOIN tot
+)
+SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+       CAST(SUM(u) AS BIGINT) AS kl_nano,
+       ROUND(SUM(u) / 1e9, 6) AS kl
+FROM contrib GROUP BY source ORDER BY source
+""",
+)
+def source_token_kl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.source_token_kl(load_table(spark, sf_dir, "documents"))

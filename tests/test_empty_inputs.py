@@ -35,6 +35,7 @@ SUBSET = [
     "multimodal_scene_cuts", "tokenizer_fertility_report",
     "dedup_substring_scrub", "streaming_near_dedup", "doremi_reweight_step",
     "matryoshka_recall", "lang_id_confusion", "kcenter_init",
+    "multimodal_audio_vad", "source_token_kl",
 ]
 
 
