@@ -4738,3 +4738,74 @@ def target_encode_loo(lineitem: DataFrame) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "cat", "y", enc.alias("loo_mean"))
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+def timeseries_topk_similar(
+    events: DataFrame, query_user: int = 0, k: int = 10
+) -> DataFrame:
+    """Distributed top-k time-series similarity search (the
+    REPOSE/streaming-similarity query shape): align every user's daily
+    event-count series onto the corpus day grid (absent days = 0),
+    z-normalize per user, and rank by squared Euclidean distance to
+    the query user's normalized series — 'which users behave like this
+    one over time', the retrieval primitive behind cohort lookalikes
+    and anomaly triage.
+
+    Engine-stable: counts are exact ints; mean is one IEEE division,
+    std one correctly-rounded sqrt, and the distance is an ORDERED
+    left fold over the day-sorted array (the cosine convention), so
+    both engines produce bit-identical doubles. Plan: one (user, day)
+    partial agg, a |users| x |days| grid join (days is the tiny
+    broadcast side), per-user array assembly, broadcast query vector,
+    TakeOrdered top-k — the corpus shuffles once on user_id."""
+    day = F.to_date("ts").alias("day")
+    counts = events.groupBy("user_id", day).agg(F.count("*").alias("c"))
+    days = events.select(day).distinct()
+    users = events.select("user_id").distinct()
+    grid = (
+        users.join(F.broadcast(days))
+        .join(counts, ["user_id", "day"], "left")
+        .fillna(0, ["c"])
+    )
+    vec = grid.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "c"))),
+            lambda s: s.getField("c").cast("double"),
+        ).alias("v")
+    )
+    n = F.size("v").cast("double")
+    mean = (
+        F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x) / n
+    )
+    with_mean = vec.select("user_id", "v", mean.alias("m"))
+    var = (
+        F.aggregate(
+            "v",
+            F.lit(0.0),
+            lambda acc, x: acc + (x - F.col("m")) * (x - F.col("m")),
+        )
+        / n
+    )
+    with_std = with_mean.select(
+        "user_id",
+        "v",
+        "m",
+        F.when(F.sqrt(var) == 0.0, F.lit(1.0)).otherwise(F.sqrt(var)).alias("s"),
+    )
+    znorm = with_std.select(
+        "user_id",
+        F.transform("v", lambda x: (x - F.col("m")) / F.col("s")).alias("z"),
+    )
+    q = znorm.filter(F.col("user_id") == query_user).select(F.col("z").alias("qz"))
+    dist = F.aggregate(
+        F.zip_with("z", "qz", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        znorm.join(F.broadcast(q))
+        .filter(F.col("user_id") != query_user)
+        .select("user_id", F.round(dist, 6).alias("znorm_dist"))
+        .orderBy("znorm_dist", "user_id")
+        .limit(k)
+    )

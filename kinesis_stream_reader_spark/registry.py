@@ -1996,7 +1996,7 @@ _PRIORITY = [
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
     "dedup_substring_scrub", "streaming_near_dedup", "doremi_reweight_step",
     "matryoshka_recall", "lang_id_confusion", "kcenter_init",
-    "multimodal_audio_vad", "source_token_kl",
+    "multimodal_audio_vad", "source_token_kl", "timeseries_topk_similar",
     # judge's explicit round-3 picks (absent from both r01 and r02)
     "kmeans_converged", "bpe_train_merges", "window_session_dynamic",
     "nested_orders_roundtrip", "quantile_normalize", "multimodal_video_decode",
@@ -11944,3 +11944,46 @@ def source_token_kl_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.source_token_kl(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "timeseries_topk_similar",
+    # same grid/z-norm/ordered-fold construction: counts exact, mean
+    # one division, std one sqrt, distance a day-ordered fold
+    """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+users AS (SELECT DISTINCT user_id FROM events),
+counts AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), grid AS (
+  SELECT u.user_id, d.day, COALESCE(c.c, 0) AS c
+  FROM users u CROSS JOIN days d
+  LEFT JOIN counts c ON c.user_id = u.user_id AND c.day = d.day
+), vec AS (
+  SELECT user_id,
+         list_transform(array_agg(c ORDER BY day), x -> CAST(x AS DOUBLE)) AS v
+  FROM grid GROUP BY user_id
+), wm AS (
+  SELECT user_id, v, list_sum(v) / len(v) AS m FROM vec
+), ws AS (
+  SELECT user_id, v, m,
+         CASE WHEN sqrt(list_sum(list_transform(v, x -> (x - m) * (x - m))) / len(v)) = 0
+              THEN 1.0
+              ELSE sqrt(list_sum(list_transform(v, x -> (x - m) * (x - m))) / len(v))
+         END AS s
+  FROM wm
+), z AS (
+  SELECT user_id, list_transform(v, x -> (x - m) / s) AS z FROM ws
+), q AS (SELECT z AS qz FROM z WHERE user_id = 0)
+SELECT z.user_id,
+       ROUND(list_sum(list_transform(range(1, len(z.z) + 1),
+             i -> (z.z[i] - q.qz[i]) * (z.z[i] - q.qz[i]))), 6) AS znorm_dist
+FROM z, q WHERE z.user_id <> 0
+ORDER BY znorm_dist, z.user_id LIMIT 10
+""",
+)
+def timeseries_topk_similar_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.timeseries_topk_similar(load_events(spark, sf_dir))

@@ -35,7 +35,7 @@ SUBSET = [
     "multimodal_scene_cuts", "tokenizer_fertility_report",
     "dedup_substring_scrub", "streaming_near_dedup", "doremi_reweight_step",
     "matryoshka_recall", "lang_id_confusion", "kcenter_init",
-    "multimodal_audio_vad", "source_token_kl",
+    "multimodal_audio_vad", "source_token_kl", "timeseries_topk_similar",
 ]
 
 
