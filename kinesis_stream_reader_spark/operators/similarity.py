@@ -1209,3 +1209,126 @@ def kcenter_init(embeddings: DataFrame, k: int = 6) -> DataFrame:
         rows.append((r, pick[0].vec_id, pick[0].dmin))
         chosen_ids.append(pick[0].vec_id)
     return embeddings.sparkSession.createDataFrame(rows, schema)
+
+
+def _quantized_vec(col: Column) -> Column:
+    """array<float> -> array<long>, milli-quantized with half-up floor.
+    Integer components make every downstream dot product exact in int64
+    (dims x |q|^2 stays far below 2^62), so Spark and the SQL oracle
+    agree bit-for-bit with no float-summation-order risk."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long")
+    )
+
+
+def knn_graph(embeddings: DataFrame, k: int = 5, blocks: int = 4) -> DataFrame:
+    """Exact k-NN GRAPH over the whole corpus by quantized inner product
+    (MIPS): every vector's top-k neighbors, self excluded — the input to
+    mutual-kNN clustering, SemDeDup-style curation, and graph-based
+    label propagation over embeddings.
+
+    Distributed as a BLOCK-GRID GEMM, the honest shape of exact all-kNN:
+    vectors are hashed into `blocks` candidate blocks; the (qb, cb) grid
+    is cogrouped so each of the blocks^2 tasks runs ONE int64 numpy
+    matmul of (N/B x N/B) and emits only its block-local top-k per query
+    (k rows, never the full row of scores). A final groupBy(vec_id)
+    window merges blocks^2 * k candidate rows per vector to the global
+    top-k. Each side is replicated `blocks` times — that linear
+    replication IS the cost of exactness; the 100 TB scale path prunes
+    the grid with IVF list assignments (ann_ivf's list_id replaces the
+    hash block, and only query-list x probed-list cells run).
+
+    Arrow batches carry the quantized vectors; scores never shuffle un-
+    topped. Ties break on neighbor_id, so output is order-deterministic.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    grid = spark.range(blocks * blocks).select(
+        F.pmod(F.col("id"), F.lit(blocks)).cast("int").alias("qb"),
+        F.floor(F.col("id") / blocks).cast("int").alias("cb"),
+    )
+    emb = embeddings.select("vec_id", _quantized_vec(F.col("embedding")).alias("qv"))
+    left = emb.withColumn(
+        "qb", F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int")
+    ).join(F.broadcast(grid), "qb")
+    # distinct column names on the candidate side keep the self-join
+    # lineage unambiguous (both sides derive from the same scan)
+    right = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("cv")
+    ).withColumn(
+        "cb", F.pmod(F.col("cand_id"), F.lit(blocks)).cast("int")
+    ).join(F.broadcast(grid), "cb")
+    neg_inf = np.iinfo(np.int64).min
+
+    def block_topk(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "dot_q": []})
+        if lpdf.empty or rpdf.empty:
+            return empty.astype({"vec_id": "int64", "neighbor_id": "int64", "dot_q": "int64"})
+        Q = np.array(lpdf["qv"].tolist(), dtype=np.int64)
+        qid = lpdf["vec_id"].to_numpy()
+        C = np.array(rpdf["cv"].tolist(), dtype=np.int64)
+        cid = rpdf["cand_id"].to_numpy()
+        D = Q @ C.T
+        D[qid[:, None] == cid[None, :]] = neg_inf  # self never a neighbor
+        kk = min(k, D.shape[1])
+        # per-row order by (dot desc, neighbor_id asc): lexsort, last key primary
+        idx = np.lexsort((np.broadcast_to(cid, D.shape), -D), axis=1)[:, :kk]
+        dot = np.take_along_axis(D, idx, axis=1)
+        keep = dot.ravel() != neg_inf
+        return pd.DataFrame(
+            {
+                "vec_id": np.repeat(qid, kk)[keep],
+                "neighbor_id": cid[idx].ravel()[keep],
+                "dot_q": dot.ravel()[keep],
+            }
+        )
+
+    partial = (
+        left.groupBy("qb", "cb")
+        .cogroup(right.groupBy("qb", "cb"))
+        .applyInPandas(block_topk, "vec_id BIGINT, neighbor_id BIGINT, dot_q BIGINT")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot_q").desc(), "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "dot_q"
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+def mutual_knn_components(
+    embeddings: DataFrame, k: int = 5, blocks: int = 4
+) -> DataFrame:
+    """Mutual-kNN clustering: keep an edge (a, b) only when each vector
+    is in the OTHER's top-k (the mutuality filter kills hub vectors'
+    asymmetric fan-in), then connected components over the mutual graph
+    — vec_id -> component canonical (minimum member id). The embedding-
+    space twin of dedup_groups: where LSH components group near-
+    IDENTICAL text, mutual-kNN components group semantically COHERENT
+    neighborhoods (the unit SemDeDup prunes within).
+
+    Plan: knn_graph's block-grid GEMM, one self-join on the directed
+    edge list (semi join on the reversed pair), then dedup_components'
+    iterative min-propagation — every shuffle carries (id, id) pairs,
+    never vectors."""
+    from .dedup import dedup_components
+
+    g = knn_graph(embeddings, k=k, blocks=blocks).select("vec_id", "neighbor_id")
+    reversed_g = g.select(
+        F.col("neighbor_id").alias("vec_id"), F.col("vec_id").alias("neighbor_id")
+    )
+    mutual = (
+        g.join(reversed_g, ["vec_id", "neighbor_id"], "semi")
+        .filter(F.col("vec_id") < F.col("neighbor_id"))
+        .select(F.col("vec_id").alias("a_id"), F.col("neighbor_id").alias("b_id"))
+    )
+    nodes = embeddings.select(F.col("vec_id").alias("doc_id"))
+    comp = dedup_components(nodes, mutual)
+    return (
+        comp.select(F.col("doc_id").alias("vec_id"), "component_id")
+        .orderBy("vec_id")
+    )

@@ -2091,3 +2091,56 @@ def source_token_kl(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Corpus-order n-gram NOVELTY: for each document (doc_id order =
+    arrival/crawl order), the fraction of its DISTINCT n-grams never
+    seen in any earlier document. The saturation diagnostic a crawl
+    pipeline watches — novelty decaying toward zero means additional
+    data is re-crawl, and the curve's knee sets the dedup budget.
+
+    Plan: one staged projection materializes the hashed-gram array
+    (xxhash64 per gram — the shuffle carries 8-byte keys, the
+    span_postings convention), array_distinct dedups within-doc
+    map-side, ONE shuffle keyed on gram computes each gram's first
+    owner (min doc_id), and the join back is gram-partitioned on both
+    sides so it reuses the aggregation's exchange. Linear in corpus
+    size; nothing is quadratic and no raw text ever shuffles."""
+    toks = tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array(F.trim(F.col("text"))))
+    staged = documents.select("doc_id", grams.alias("grams"))
+    doc_grams = staged.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.transform(F.col("grams"), lambda g: F.xxhash64(g)))
+        ).alias("g"),
+    )
+    first_owner = doc_grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        doc_grams.join(first_owner, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.floor(F.col("n_novel") / F.col("n_grams") * 1e4 + F.lit(0.5)) / 1e4)
+            .alias("novelty_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1991,6 +1991,8 @@ _PRIORITY = [
     # queries NEVER driver-checked — the judge's named picks first, then
     # round-3 rewrites and one representative per remaining family.
     # round-3 new/rewritten queries lead
+    "knn_graph", "knn_graph_components", "ngram_novelty_curve",
+    "theil_sen_trend", "quantiles_merged_histograms",
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
@@ -11987,3 +11989,296 @@ def timeseries_topk_similar_query(spark: SparkSession, sf_dir: str) -> DataFrame
     from .operators import relational
 
     return relational.timeseries_topk_similar(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Round 3 (cont.): kNN graph + mutual-kNN clustering, corpus novelty,
+# robust trend estimation, mergeable-histogram quantiles.
+# ---------------------------------------------------------------------------
+
+# shared CTE: milli-quantized vectors and the exact top-5 MIPS ranking —
+# mirrors similarity._quantized_vec / knn_graph bit-for-bit (integer dots)
+_KNN_TOPK_CTE = """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), dots AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot_q
+  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT vec_id, neighbor_id, dot_q,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dot_q DESC, neighbor_id) AS rank
+  FROM dots
+), knn AS (
+  SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id, dot_q
+  FROM ranked WHERE rank <= 5
+)
+"""
+
+
+@register(
+    "knn_graph",
+    _KNN_TOPK_CTE + "SELECT * FROM knn ORDER BY vec_id, rank",
+)
+def knn_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.knn_graph(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "knn_graph_components",
+    _KNN_TOPK_CTE
+    + """
+, mutual AS (
+  SELECT a.vec_id AS u, a.neighbor_id AS v
+  FROM knn a JOIN knn b
+    ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+), reach AS (
+  WITH RECURSIVE walk(src, dst) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT w.src, m.v FROM walk w JOIN mutual m ON w.dst = m.u
+  )
+  SELECT src, dst FROM walk
+)
+SELECT src AS vec_id, MIN(dst) AS component_id
+FROM reach GROUP BY src ORDER BY vec_id
+""",
+)
+def knn_graph_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.mutual_knn_components(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ngram_novelty_curve",
+    # string grams stand in for the engine's xxhash64'd grams: counts and
+    # min-owner agree absent 64-bit collisions (the gopher/span convention)
+    """
+WITH t AS (
+  SELECT doc_id, trim(text) AS txt,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), dg AS (
+  SELECT DISTINCT doc_id, g.g FROM t, LATERAL UNNEST(
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(generate_series(1, len(toks) - 2),
+                             i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+         ELSE [txt] END) AS g(g)
+), first_owner AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g
+)
+SELECT dg.doc_id,
+       COUNT(*) AS n_grams,
+       SUM(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+       floor(SUM(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+             / COUNT(*) * 1e4 + 0.5) / 1e4 AS novelty_frac
+FROM dg JOIN first_owner f USING (g)
+GROUP BY dg.doc_id ORDER BY dg.doc_id
+""",
+)
+def ngram_novelty_curve_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "theil_sen_trend",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CAST(b.v - a.v AS DOUBLE) / (b.day - a.day) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+)
+SELECT event_type,
+       ROUND(median(slope), 6) AS theil_sen_slope,
+       COUNT(*) AS n_pairs
+FROM pairs GROUP BY event_type ORDER BY event_type
+""",
+)
+def theil_sen_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event_type: the median over all day
+    pairs of the pairwise slope of DAILY revenue — the estimator that
+    shrugs off the outlier days that wreck OLS (price_elasticity's
+    least-squares twin). Daily sums are cent-quantized ints, so both
+    engines divide identical integers; the slope median interpolates
+    identically.
+
+    Scale shape: the pair relation is daily-agg x daily-agg PER KEY —
+    O(D^2) in CALENDAR DAYS, independent of row count (100 TB of events
+    still collapses to types x days rows before the self-join). The
+    event scan aggregates map-side; the self-join input is tiny."""
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("vq").alias("v"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.v") - F.col("a.v")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(slope, 0.5)"), 6).alias("theil_sen_slope"),
+            F.count("*").alias("n_pairs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "quantiles_merged_histograms",
+    """
+WITH mm AS (
+  SELECT MIN(o_totalprice::DOUBLE) AS lo, MAX(o_totalprice::DOUBLE) AS hi,
+         COUNT(*) AS n
+  FROM orders
+), binned AS (
+  SELECT LEAST(31, CAST(floor((o_totalprice::DOUBLE - mm.lo)
+                              / ((mm.hi - mm.lo) / 32)) AS INT)) AS bin,
+         COUNT(*) AS cnt
+  FROM orders, mm GROUP BY 1
+), cum AS (
+  SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum
+  FROM binned
+), targets AS (
+  SELECT q, q * mm.n AS target FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(q), mm
+), est AS (
+  SELECT t.q,
+         MIN(c.bin) AS bin,
+         MIN(mm.lo + (mm.hi - mm.lo) / 32
+             * (c.bin + (t.target - (c.cum - c.cnt)) / c.cnt)) AS raw_est
+  FROM targets t JOIN cum c ON c.cum >= t.target AND (c.cum - c.cnt) < t.target
+  CROSS JOIN mm
+  GROUP BY t.q
+), exact AS (
+  SELECT ROUND(quantile_cont(o_totalprice::DOUBLE, 0.25), 4) AS e25,
+         ROUND(quantile_cont(o_totalprice::DOUBLE, 0.5), 4) AS e50,
+         ROUND(quantile_cont(o_totalprice::DOUBLE, 0.75), 4) AS e75,
+         ROUND(quantile_cont(o_totalprice::DOUBLE, 0.9), 4) AS e90,
+         ROUND(quantile_cont(o_totalprice::DOUBLE, 0.99), 4) AS e99
+  FROM orders
+)
+SELECT q, bin,
+       ROUND(raw_est, 4) AS est,
+       CASE q WHEN 0.25 THEN e25 WHEN 0.5 THEN e50 WHEN 0.75 THEN e75
+              WHEN 0.9 THEN e90 ELSE e99 END AS exact,
+       ROUND(ABS(raw_est - CASE q WHEN 0.25 THEN e25 WHEN 0.5 THEN e50
+                                  WHEN 0.75 THEN e75 WHEN 0.9 THEN e90
+                                  ELSE e99 END), 4) AS abs_err,
+       ABS(raw_est - CASE q WHEN 0.25 THEN e25 WHEN 0.5 THEN e50
+                            WHEN 0.75 THEN e75 WHEN 0.9 THEN e90
+                            ELSE e99 END)
+         <= (SELECT (hi - lo) / 32 FROM mm) AS within_bin_width
+FROM est, exact ORDER BY q
+""",
+)
+def quantiles_merged_histograms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile estimation from MERGEABLE histogram sketches: each shard
+    builds a fixed 32-bin equi-width histogram (the mergeable state — a
+    32-int vector), partial states merge associatively, and quantiles
+    interpolate inside the covering bin. The exact percentile runs
+    alongside and the contract asserts |est - exact| <= bin width — the
+    sketch's provable error bound. This is the two-level (shard ->
+    global) shape every distributed quantile sketch (t-digest/KLL)
+    uses; equi-width bins keep the merge and the oracle bit-exact.
+
+    Plan: one min/max pass (broadcast 1-row), one map-side-combined
+    groupBy(shard, bin) -> groupBy(bin) merge; the window prefix-sum
+    runs over the BOUNDED 32-row bin relation (benign SinglePartition);
+    exact quantiles via percentile() for the error column."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("x")
+    )
+    mm = o.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"), F.count("*").alias("n")
+    )
+    width = (F.col("hi") - F.col("lo")) / 32
+    binned = o.join(F.broadcast(mm)).select(
+        F.pmod(F.col("o_orderkey"), F.lit(16)).alias("shard"),
+        F.least(F.lit(31), F.floor((F.col("x") - F.col("lo")) / width).cast("int"))
+        .alias("bin"),
+    )
+    # two-level merge: per-shard partial histograms, then the global merge
+    state = binned.groupBy("shard", "bin").agg(F.count("*").alias("cnt"))
+    merged = state.groupBy("bin").agg(F.sum("cnt").alias("cnt"))
+    cum = merged.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bin"))
+    )
+    qs = load_table(spark, sf_dir, "orders").sparkSession.createDataFrame(
+        [(0.25,), (0.5,), (0.75,), (0.9,), (0.99,)], "q double"
+    )
+    targets = qs.crossJoin(F.broadcast(mm)).select(
+        "q", "lo", "hi", "n", (F.col("q") * F.col("n")).alias("target")
+    )
+    est = (
+        F.broadcast(targets)
+        .join(
+            cum,
+            (F.col("cum") >= F.col("target"))
+            & ((F.col("cum") - F.col("cnt")) < F.col("target")),
+        )
+        .groupBy("q")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.min(
+                F.col("lo")
+                + (F.col("hi") - F.col("lo")) / 32
+                * (
+                    F.col("bin")
+                    + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt")
+                )
+            ).alias("raw_est"),
+        )
+    )
+    exact = o.agg(
+        *[
+            F.round(F.expr(f"percentile(x, {q})"), 4).alias(f"e{int(q*100)}")
+            for q in (0.25, 0.5, 0.75, 0.9, 0.99)
+        ]
+    )
+    exact_col = (
+        F.when(F.col("q") == 0.25, F.col("e25"))
+        .when(F.col("q") == 0.5, F.col("e50"))
+        .when(F.col("q") == 0.75, F.col("e75"))
+        .when(F.col("q") == 0.9, F.col("e90"))
+        .otherwise(F.col("e99"))
+    )
+    bound = mm.select((width).alias("w"))
+    return (
+        est.join(F.broadcast(exact))
+        .join(F.broadcast(bound))
+        .select(
+            "q",
+            "bin",
+            F.round(F.col("raw_est"), 4).alias("est"),
+            exact_col.alias("exact"),
+            F.round(F.abs(F.col("raw_est") - exact_col), 4).alias("abs_err"),
+            (F.abs(F.col("raw_est") - exact_col) <= F.col("w")).alias(
+                "within_bin_width"
+            ),
+        )
+        .orderBy("q")
+    )
