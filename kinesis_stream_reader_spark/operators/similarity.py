@@ -1241,22 +1241,32 @@ def knn_graph(embeddings: DataFrame, k: int = 5, blocks: int = 4) -> DataFrame:
     Arrow batches carry the quantized vectors; scores never shuffle un-
     topped. Ties break on neighbor_id, so output is order-deterministic.
     """
+    emb = embeddings.select("vec_id", _quantized_vec(F.col("embedding")).alias("qv"))
+    cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("qv").alias("cv"))
+    return _block_topk_mips(emb, cand, k=k, blocks=blocks)
+
+
+def _block_topk_mips(
+    queries: DataFrame, candidates: DataFrame, k: int, blocks: int
+) -> DataFrame:
+    """Shared block-grid exact-MIPS kernel: top-k candidates per query
+    by integer dot product. `queries` is (vec_id, qv), `candidates` is
+    (cand_id, cv) — both already quantized; rows where vec_id ==
+    cand_id are excluded (self is never a neighbor). Output:
+    (vec_id, rank, neighbor_id, dot_q), rank 1..k by (dot desc, id)."""
     import numpy as np
 
-    spark = embeddings.sparkSession
+    spark = queries.sparkSession
     grid = spark.range(blocks * blocks).select(
         F.pmod(F.col("id"), F.lit(blocks)).cast("int").alias("qb"),
         F.floor(F.col("id") / blocks).cast("int").alias("cb"),
     )
-    emb = embeddings.select("vec_id", _quantized_vec(F.col("embedding")).alias("qv"))
-    left = emb.withColumn(
+    left = queries.withColumn(
         "qb", F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int")
     ).join(F.broadcast(grid), "qb")
     # distinct column names on the candidate side keep the self-join
-    # lineage unambiguous (both sides derive from the same scan)
-    right = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("qv").alias("cv")
-    ).withColumn(
+    # lineage unambiguous (both sides may derive from the same scan)
+    right = candidates.withColumn(
         "cb", F.pmod(F.col("cand_id"), F.lit(blocks)).cast("int")
     ).join(F.broadcast(grid), "cb")
     neg_inf = np.iinfo(np.int64).min
@@ -1332,3 +1342,37 @@ def mutual_knn_components(
         comp.select(F.col("doc_id").alias("vec_id"), "component_id")
         .orderBy("vec_id")
     )
+
+
+def split_semantic_leakage(
+    embeddings: DataFrame, threshold_milli_dot: int = 2_000_000, blocks: int = 4
+) -> DataFrame:
+    """Train/test SEMANTIC leakage audit: after the deterministic hash
+    split (split_train_test's md5 convention — first hex digit 0/1/2 =
+    test, ~19%), find for every TEST vector its nearest TRAIN vector by
+    quantized inner product and flag pairs above the similarity
+    threshold. Exact-dedup decontamination (corpus_decontaminate)
+    misses paraphrases; this is the embedding-space complement — the
+    audit run before any eval split is trusted.
+
+    Plan: the shared block-grid MIPS kernel with the test relation as
+    queries and the train relation as candidates, k=1 — each grid cell
+    is one int64 GEMM emitting a single argmax row per test vector. At
+    100 TB the train side is IVF-list-pruned exactly like knn_graph."""
+    first_hex = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)
+    emb = embeddings.select(
+        "vec_id",
+        _quantized_vec(F.col("embedding")).alias("qv"),
+        first_hex.isin("0", "1", "2").alias("is_test"),
+    )
+    test = emb.filter(F.col("is_test")).select("vec_id", "qv")
+    train = emb.filter(~F.col("is_test")).select(
+        F.col("vec_id").alias("cand_id"), F.col("qv").alias("cv")
+    )
+    top1 = _block_topk_mips(test, train, k=1, blocks=blocks)
+    return top1.select(
+        F.col("vec_id").alias("test_id"),
+        F.col("neighbor_id").alias("nearest_train_id"),
+        "dot_q",
+        (F.col("dot_q") >= threshold_milli_dot).alias("leaked"),
+    ).orderBy("test_id")

@@ -1993,6 +1993,8 @@ _PRIORITY = [
     # round-3 new/rewritten queries lead
     "knn_graph", "knn_graph_components", "ngram_novelty_curve",
     "theil_sen_trend", "quantiles_merged_histograms",
+    "split_semantic_leakage", "randomized_response_audit",
+    "markov_transition_matrix",
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
@@ -12282,3 +12284,172 @@ def quantiles_merged_histograms_query(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("q")
     )
+
+
+@register(
+    "split_semantic_leakage",
+    """
+WITH emb AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS v,
+         substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) IN ('0','1','2') AS is_test
+  FROM embeddings
+), scored AS (
+  SELECT t.vec_id AS test_id, tr.vec_id AS nearest_train_id,
+         CAST(list_dot_product(t.v, tr.v) AS BIGINT) AS dot_q,
+         ROW_NUMBER() OVER (PARTITION BY t.vec_id
+                            ORDER BY CAST(list_dot_product(t.v, tr.v) AS BIGINT) DESC,
+                                     tr.vec_id) AS rn
+  FROM emb t JOIN emb tr ON t.is_test AND NOT tr.is_test
+)
+SELECT test_id, nearest_train_id, dot_q, dot_q >= 2000000 AS leaked
+FROM scored WHERE rn = 1 ORDER BY test_id
+""",
+)
+def split_semantic_leakage_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import similarity
+
+    return similarity.split_semantic_leakage(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "randomized_response_audit",
+    """
+WITH cats AS (
+  SELECT event_type AS cat,
+         ROW_NUMBER() OVER (ORDER BY event_type) - 1 AS idx
+  FROM (SELECT DISTINCT event_type FROM events)
+), kk AS (SELECT COUNT(*) AS k FROM cats),
+reported AS (
+  SELECT CASE WHEN CAST(concat('0x', substr(md5('rrkeep:' || CAST(e.event_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 100 < 75
+              THEN e.event_type ELSE c.cat END AS category
+  FROM events e, kk
+  JOIN cats c
+    ON c.idx = CAST(CAST(concat('0x', substr(md5('rrcat:' || CAST(e.event_id AS VARCHAR)), 1, 15)) AS UBIGINT) % kk.k AS BIGINT)
+), obs AS (
+  SELECT category, COUNT(*) AS observed_n FROM reported GROUP BY category
+), tru AS (
+  SELECT event_type AS category, COUNT(*) AS true_n FROM events GROUP BY event_type
+), tot AS (SELECT COUNT(*) AS n FROM events)
+SELECT t.category, t.true_n, o.observed_n,
+       ROUND((o.observed_n - 0.25 * tot.n / kk.k) / 0.75, 2) AS estimated_n,
+       ROUND(ABS((o.observed_n - 0.25 * tot.n / kk.k) / 0.75 - t.true_n), 2) AS abs_err
+FROM tru t JOIN obs o USING (category), tot, kk
+ORDER BY t.category
+""",
+)
+def randomized_response_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL differential privacy by randomized response (Warner 1965;
+    the RAPPOR-style categorical variant): each event keeps its true
+    category with p=0.75, else reports a hash-chosen uniform category;
+    the debiased estimator (obs - (1-p)N/k) / p recovers per-category
+    counts. The audit reports true vs observed vs estimated side by
+    side — the calibration check a privacy pipeline ships with. The
+    coin flips are md5-derived (the h60 convention), so both engines
+    replay the identical mechanism.
+
+    Plan: the category table (k rows) broadcasts twice (index join +
+    debias constants); the event pass is one codegen projection + one
+    partial-agg census. Nothing scales with more than the category
+    count after the scan."""
+    ev = load_events(spark, sf_dir).select("event_id", "event_type")
+
+    def h60(prefix: str) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), F.col("event_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    w = Window.orderBy("event_type")
+    cats = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            F.col("event_type").alias("cat"),
+            (F.row_number().over(w) - 1).cast("long").alias("idx"),
+        )
+    )
+    kdf = cats.agg(F.count("*").alias("k"))
+    tot = ev.agg(F.count("*").alias("n"))
+    reported = (
+        ev.join(F.broadcast(kdf))
+        .select(
+            "event_type",
+            (F.pmod(h60("rrkeep:"), F.lit(100)) < 75).alias("keep"),
+            F.pmod(h60("rrcat:"), F.col("k")).alias("ridx"),
+        )
+        .join(F.broadcast(cats), F.col("ridx") == F.col("idx"))
+        .select(
+            F.when(F.col("keep"), F.col("event_type"))
+            .otherwise(F.col("cat"))
+            .alias("category")
+        )
+    )
+    obs = reported.groupBy("category").agg(F.count("*").alias("observed_n"))
+    tru = ev.groupBy(F.col("event_type").alias("category")).agg(
+        F.count("*").alias("true_n")
+    )
+    est = (
+        F.col("observed_n") - 0.25 * F.col("n") / F.col("k")
+    ) / 0.75
+    return (
+        tru.join(obs, "category")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(kdf))
+        .select(
+            "category",
+            "true_n",
+            "observed_n",
+            F.round(est, 2).alias("estimated_n"),
+            F.round(F.abs(est - F.col("true_n")), 2).alias("abs_err"),
+        )
+        .orderBy("category")
+    )
+
+
+@register(
+    "markov_transition_matrix",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type
+  FROM events
+), t AS (
+  SELECT from_type, event_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       floor(n / SUM(n) OVER (PARTITION BY from_type) * 1e4 + 0.5) / 1e4 AS p
+FROM t ORDER BY from_type, to_type
+""",
+)
+def markov_transition_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) — the behavioral model
+    behind next-event prediction, anomaly scoring (low-probability
+    transitions) and Markov attribution. One lag window per user, one
+    (from, to) census, and the row-normalizing sum runs over the
+    |types|^2-bounded transition relation — the heavy shuffle is the
+    per-user sort, which sessionize_batch/funnel queries already pay
+    and reuse."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    row_total = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.floor(F.col("n") / F.sum("n").over(row_total) * 1e4 + F.lit(0.5)) / 1e4
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")

@@ -153,3 +153,74 @@ def test_merged_histogram_quantiles_bound_and_formula(spark, sf_dir):
         assert abs(r.est - est) < 1e-3, r.q
         exact = float(np.quantile(xs, r.q))
         assert abs(r.exact - exact) < 1e-3, r.q
+
+
+def test_split_semantic_leakage_replay(spark, sf_dir):
+    import hashlib
+
+    import numpy as np
+
+    ids, mat = _quantized_matrix(spark, sf_dir)
+    is_test = np.array(
+        [hashlib.md5(str(v).encode()).hexdigest()[0] in "012" for v in ids]
+    )
+    got = {r.test_id: r for r in QUERIES["split_semantic_leakage"](spark, sf_dir).collect()}
+    assert set(got) == set(ids[is_test].tolist())
+    train_ids, train_mat = ids[~is_test], mat[~is_test]
+    for qi in np.flatnonzero(is_test):
+        dots = train_mat @ mat[qi]
+        best = np.lexsort((train_ids, -dots))[0]
+        r = got[ids[qi]]
+        assert r.nearest_train_id == train_ids[best]
+        assert r.dot_q == dots[best]
+        assert r.leaked == (dots[best] >= 2_000_000)
+
+
+def test_randomized_response_debiasing(spark, sf_dir):
+    rows = QUERIES["randomized_response_audit"](spark, sf_dir).collect()
+    truth = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    n_total = sum(truth.values())
+    assert {r.category for r in rows} == set(truth)
+    for r in rows:
+        assert r.true_n == truth[r.category]
+        # debiased estimate should land within ~5 sigma of truth:
+        # var of the mechanism is bounded by N * (1-p)/p^2
+        sigma = (n_total * 0.25) ** 0.5 / 0.75
+        assert abs(r.estimated_n - r.true_n) < 5 * sigma + 1
+        assert abs(abs(r.estimated_n - r.true_n) - r.abs_err) < 0.011
+    # counts are conserved: observed sums to N
+    assert sum(r.observed_n for r in rows) == n_total
+
+
+def test_markov_transitions_replay(spark, sf_dir):
+    import math as _math
+    from collections import Counter
+
+    got = {(r.from_type, r.to_type): r for r in QUERIES["markov_transition_matrix"](spark, sf_dir).collect()}
+    per_user = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    ):
+        per_user[r.user_id].append((r.ts, r.event_id, r.event_type))
+    counts: Counter = Counter()
+    for seq in per_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    assert set(got) == set(counts)
+    row_totals: Counter = Counter()
+    for (a, _), n in counts.items():
+        row_totals[a] += n
+    for key, n in counts.items():
+        assert got[key].n == n
+        want_p = _math.floor(n / row_totals[key[0]] * 1e4 + 0.5) / 1e4
+        assert got[key].p == want_p

@@ -118,6 +118,10 @@ HEADLINE = [
     ("rfm_segments", "RFM: one per-user pass, three NTILE windows, census out"),
     ("rolling_correlation", "five moments from one frame-bounded window over the day census"),
     ("token_budget_allocation", "greedy fill: source-bounded running-offset window"),
+    ("knn_graph", "exact all-kNN: block-grid cogrouped GEMM, per-block top-k, one merge window"),
+    ("ngram_novelty_curve", "first-owner census keyed on 8-byte gram hashes, exchange-reused join-back"),
+    ("theil_sen_trend", "pairwise-slope median: self-join over the tiny (type, day) census"),
+    ("quantiles_merged_histograms", "two-level mergeable histogram: shard partials, 32-row bounded window"),
 ]
 
 
