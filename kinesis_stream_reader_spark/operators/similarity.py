@@ -1221,7 +1221,7 @@ def _quantized_vec(col: Column) -> Column:
     )
 
 
-def knn_graph(embeddings: DataFrame, k: int = 5, blocks: int = 4) -> DataFrame:
+def knn_graph(embeddings: DataFrame, k: int = 5, blocks: int = 8) -> DataFrame:
     """Exact k-NN GRAPH over the whole corpus by quantized inner product
     (MIPS): every vector's top-k neighbors, self excluded — the input to
     mutual-kNN clustering, SemDeDup-style curation, and graph-based
@@ -1261,38 +1261,77 @@ def _block_topk_mips(
         F.pmod(F.col("id"), F.lit(blocks)).cast("int").alias("qb"),
         F.floor(F.col("id") / blocks).cast("int").alias("cb"),
     )
-    left = queries.withColumn(
-        "qb", F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int")
-    ).join(F.broadcast(grid), "qb")
+    # USER repartition (not the groupBy's own exchange): AQE coalesces
+    # exchanges by BYTES, but a grid cell's GEMM cost is quadratic in its
+    # rows — byte-sized coalescing under-parallelizes the compute by 3-5x
+    # on small fixtures. AQE leaves user-specified repartitioning alone,
+    # so the blocks^2 cells stay spread across the cluster.
+    left = (
+        queries.withColumn(
+            "qb", F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int")
+        )
+        .join(F.broadcast(grid), "qb")
+        .repartition(blocks * blocks, "qb", "cb")
+    )
     # distinct column names on the candidate side keep the self-join
     # lineage unambiguous (both sides may derive from the same scan)
-    right = candidates.withColumn(
-        "cb", F.pmod(F.col("cand_id"), F.lit(blocks)).cast("int")
-    ).join(F.broadcast(grid), "cb")
+    right = (
+        candidates.withColumn(
+            "cb", F.pmod(F.col("cand_id"), F.lit(blocks)).cast("int")
+        )
+        .join(F.broadcast(grid), "cb")
+        .repartition(blocks * blocks, "qb", "cb")
+    )
     neg_inf = np.iinfo(np.int64).min
 
     def block_topk(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "dot_q": []})
         if lpdf.empty or rpdf.empty:
             return empty.astype({"vec_id": "int64", "neighbor_id": "int64", "dot_q": "int64"})
-        Q = np.array(lpdf["qv"].tolist(), dtype=np.int64)
+        # float64 GEMM on integer-valued matrices: every dot is an exact
+        # integer far below 2^53 (dims * |q|^2 ~ 2^32), and float64
+        # addition of exact integers under 2^53 is associative-exact, so
+        # BLAS gives bit-identical integers ~100x faster than numpy's
+        # non-BLAS int64 matmul path.
+        Q = np.array(lpdf["qv"].tolist(), dtype=np.float64)
         qid = lpdf["vec_id"].to_numpy()
-        C = np.array(rpdf["cv"].tolist(), dtype=np.int64)
+        C = np.array(rpdf["cv"].tolist(), dtype=np.float64)
         cid = rpdf["cand_id"].to_numpy()
-        D = Q @ C.T
-        D[qid[:, None] == cid[None, :]] = neg_inf  # self never a neighbor
-        kk = min(k, D.shape[1])
-        # per-row order by (dot desc, neighbor_id asc): lexsort, last key primary
-        idx = np.lexsort((np.broadcast_to(cid, D.shape), -D), axis=1)[:, :kk]
-        dot = np.take_along_axis(D, idx, axis=1)
-        keep = dot.ravel() != neg_inf
-        return pd.DataFrame(
-            {
-                "vec_id": np.repeat(qid, kk)[keep],
-                "neighbor_id": cid[idx].ravel()[keep],
-                "dot_q": dot.ravel()[keep],
-            }
-        )
+        kk = min(k, C.shape[0])
+        # chunk the query side so the score matrix stays ~100 MB no
+        # matter how large the grid cell is (memory safety at scale)
+        chunk = max(1, (100 << 20) // (8 * max(1, C.shape[0])))
+        outs = []
+        neg_inf_f = float(neg_inf)
+        for s in range(0, Q.shape[0], chunk):
+            # stay in float64 until the kk-wide slice: a full-matrix
+            # astype/negation would double the fresh-page footprint
+            D = Q[s : s + chunk] @ C.T
+            D[qid[s : s + chunk, None] == cid[None, :]] = neg_inf_f  # no self
+            # per-row order by (dot desc, neighbor_id asc): argpartition
+            # prunes to kk columns first, lexsort orders only those
+            if kk < D.shape[1]:
+                part = np.argpartition(D, -kk, axis=1)[:, -kk:]
+            else:
+                part = np.broadcast_to(np.arange(D.shape[1]), D.shape).copy()
+            pd_dot = np.take_along_axis(D, part, axis=1).astype(np.int64)
+            pd_cid = cid[part]
+            order = np.lexsort(
+                (pd_cid, -pd_dot), axis=1
+            )
+            dot = np.take_along_axis(pd_dot, order, axis=1)
+            nbr = np.take_along_axis(pd_cid, order, axis=1)
+            keep = dot.ravel() != neg_inf
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(qid[s : s + chunk], kk)[keep],
+                        "neighbor_id": nbr.ravel()[keep],
+                        "dot_q": dot.ravel()[keep],
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     partial = (
         left.groupBy("qb", "cb")
@@ -1311,7 +1350,7 @@ def _block_topk_mips(
 
 
 def mutual_knn_components(
-    embeddings: DataFrame, k: int = 5, blocks: int = 4
+    embeddings: DataFrame, k: int = 5, blocks: int = 8
 ) -> DataFrame:
     """Mutual-kNN clustering: keep an edge (a, b) only when each vector
     is in the OTHER's top-k (the mutuality filter kills hub vectors'
@@ -1345,7 +1384,7 @@ def mutual_knn_components(
 
 
 def split_semantic_leakage(
-    embeddings: DataFrame, threshold_milli_dot: int = 2_000_000, blocks: int = 4
+    embeddings: DataFrame, threshold_milli_dot: int = 2_000_000, blocks: int = 8
 ) -> DataFrame:
     """Train/test SEMANTIC leakage audit: after the deterministic hash
     split (split_train_test's md5 convention — first hex digit 0/1/2 =

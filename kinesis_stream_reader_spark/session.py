@@ -59,6 +59,16 @@ def _ensure_protobuf() -> bool:
 
 HAVE_PROTOBUF = _ensure_protobuf()
 
+# Large numpy buffers (GEMM outputs, argpartition scratch in the kNN /
+# media kernels) default to mmap'd allocations that glibc returns to the
+# OS on free — on this sandbox's VM, re-faulting those pages costs
+# ~45 MB/s (measured: a 200 MB astype = 9 s cold, 0.06 s warm). Raising
+# the mmap/trim thresholds keeps big allocations on the reusable heap,
+# so a long-lived Python worker pays the fault cost once, not per task.
+# Must be in the environment BEFORE the JVM forks workers.
+for _var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+    os.environ.setdefault(_var, "1073741824")
+
 # transformWithStateInPandas needs a state store with multiple column
 # families — only RocksDB (bundled with Spark 4) supports that; the
 # HDFS-backed default rejects it at task start.
