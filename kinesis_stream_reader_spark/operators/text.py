@@ -2138,3 +2138,67 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def keyword_textrank(documents: DataFrame, top_n: int = 20) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004, public
+    algorithm): rank words by a damped power iteration over the
+    adjacent-word co-occurrence graph, two fixed iterations from
+    uniform rank — the graph-centrality complement of tfidf_top_terms
+    (frequency) and pmi_collocations (association).
+
+    Arithmetic follows the pagerank_converged convention: ranks are
+    exact integer micro-units, per-edge contributions are
+    (rank * weight) DIV weighted-degree (floor division), inflows are
+    exact bigint sums, and each damping update is one deterministic
+    IEEE op — both engines replay the iterations bit-identically.
+
+    Plan: the co-occurrence census reuses gram_postings' posexplode +
+    lead window (codegen, no arrays); after it, every relation is
+    vocabulary-bounded — iterations shuffle (word, rank) pairs, never
+    corpus rows. Final top-n is a TakeOrdered."""
+    from pyspark.sql.window import Window as W
+
+    toks = documents.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    )
+    nxt = F.lead("w").over(W.partitionBy("doc_id").orderBy("pos"))
+    pairs = toks.select("w", nxt.alias("v")).filter(
+        F.col("v").isNotNull() & (F.col("w") != F.col("v"))
+    )
+    und = pairs.select(
+        F.least("w", "v").alias("a"), F.greatest("w", "v").alias("b")
+    )
+    wedges = und.groupBy("a", "b").agg(F.count("*").alias("wt"))
+    edges = wedges.select("a", "b", "wt").unionByName(
+        wedges.select(F.col("b").alias("a"), F.col("a").alias("b"), "wt")
+    )
+    wdeg = edges.groupBy("a").agg(F.sum("wt").alias("wdeg"))
+    nodes = wdeg.select(F.col("a").alias("word"))
+    ranks = nodes.select("word", F.lit(1_000_000_000).cast("long").alias("rank_u"))
+    base_u = 150_000_000  # (1 - 0.85) * 1e9
+    for _ in range(2):
+        contribs = (
+            edges.join(wdeg, "a")
+            .join(ranks.withColumnRenamed("word", "a"), "a")
+            .select("b", F.expr("(rank_u * wt) DIV wdeg").alias("contrib_u"))
+        )
+        inflow = contribs.groupBy(F.col("b").alias("word")).agg(
+            F.sum("contrib_u").alias("inflow_u")
+        )
+        ranks = nodes.join(inflow, "word", "left").select(
+            "word",
+            (
+                F.lit(base_u).cast("long")
+                + F.floor(
+                    F.lit(0.85)
+                    * F.coalesce(F.col("inflow_u"), F.lit(0)).cast("double")
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("rank_u"),
+        )
+    return (
+        ranks.select("word", (F.col("rank_u") / 1e9).alias("textrank"))
+        .orderBy(F.col("rank_u").desc(), "word")
+        .limit(top_n)
+    )

@@ -1994,7 +1994,8 @@ _PRIORITY = [
     "knn_graph", "knn_graph_components", "ngram_novelty_curve",
     "theil_sen_trend", "quantiles_merged_histograms",
     "split_semantic_leakage", "randomized_response_audit",
-    "markov_transition_matrix",
+    "markov_transition_matrix", "als_implicit_step", "keyword_textrank",
+    "twap_report",
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
@@ -12453,3 +12454,213 @@ def markov_transition_matrix_query(spark: SparkSession, sf_dir: str) -> DataFram
             F.floor(F.col("n") / F.sum("n").over(row_total) * 1e4 + F.lit(0.5)) / 1e4
         ).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@register(
+    "keyword_textrank",
+    """
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+), pairs AS (
+  SELECT t[i] AS w, t[i + 1] AS v
+  FROM d, LATERAL UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2 AND t[i] <> t[i + 1]
+), wedges AS (
+  SELECT LEAST(w, v) AS a, GREATEST(w, v) AS b, COUNT(*) AS wt
+  FROM pairs GROUP BY 1, 2
+), edges AS (
+  SELECT a, b, wt FROM wedges
+  UNION ALL SELECT b AS a, a AS b, wt FROM wedges
+), wdeg AS (
+  SELECT a, SUM(wt)::BIGINT AS wdeg FROM edges GROUP BY a
+), r1 AS (
+  SELECT e.b AS word,
+         150000000::BIGINT
+           + CAST(floor(0.85 * SUM((1000000000::BIGINT * e.wt) // w.wdeg) + 0.5) AS BIGINT)
+           AS rank_u
+  FROM edges e JOIN wdeg w ON e.a = w.a
+  GROUP BY e.b
+), r2 AS (
+  SELECT e.b AS word,
+         150000000::BIGINT
+           + CAST(floor(0.85 * SUM((r.rank_u * e.wt) // w.wdeg) + 0.5) AS BIGINT)
+           AS rank_u
+  FROM edges e JOIN wdeg w ON e.a = w.a JOIN r1 r ON r.word = e.a
+  GROUP BY e.b
+)
+SELECT n.a AS word, COALESCE(r2.rank_u, 150000000) / 1e9 AS textrank
+FROM wdeg n LEFT JOIN r2 ON r2.word = n.a
+ORDER BY COALESCE(r2.rank_u, 150000000) DESC, word LIMIT 20
+""",
+)
+def keyword_textrank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.keyword_textrank(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "als_implicit_step",
+    """
+WITH r AS (
+  SELECT user_id, event_type, COUNT(*) AS r FROM events GROUP BY 1, 2
+), f AS (
+  SELECT event_type,
+         CAST(CAST(concat('0x', substr(md5('alsa:' || event_type), 1, 15)) AS UBIGINT) % 1000 AS BIGINT) AS a,
+         CAST(CAST(concat('0x', substr(md5('alsb:' || event_type), 1, 15)) AS UBIGINT) % 1000 AS BIGINT) AS b
+  FROM (SELECT DISTINCT event_type FROM events)
+), yty AS (
+  SELECT SUM(a * a)::BIGINT AS saa, SUM(a * b)::BIGINT AS sab,
+         SUM(b * b)::BIGINT AS sbb
+  FROM f
+), peru AS (
+  SELECT r.user_id,
+         COUNT(*) AS n_items,
+         SUM(r.r * f.a * f.a)::BIGINT AS waa,
+         SUM(r.r * f.a * f.b)::BIGINT AS wab,
+         SUM(r.r * f.b * f.b)::BIGINT AS wbb,
+         SUM((1 + r.r) * f.a)::BIGINT AS v0,
+         SUM((1 + r.r) * f.b)::BIGINT AS v1
+  FROM r JOIN f USING (event_type) GROUP BY r.user_id
+), solved AS (
+  SELECT user_id, n_items,
+         CAST(yty.saa + waa + 100000 AS DOUBLE) AS m11,
+         CAST(yty.sab + wab AS DOUBLE) AS m12,
+         CAST(yty.sbb + wbb + 100000 AS DOUBLE) AS m22,
+         CAST(v0 AS DOUBLE) AS v0, CAST(v1 AS DOUBLE) AS v1
+  FROM peru, yty
+)
+SELECT user_id, n_items,
+       floor((m22 * v0 - m12 * v1) / (m11 * m22 - m12 * m12) * 1e6 + 0.5) / 1e6 AS x0,
+       floor((m11 * v1 - m12 * v0) / (m11 * m22 - m12 * m12) * 1e6 + 0.5) / 1e6 AS x1
+FROM solved ORDER BY user_id
+""",
+)
+def als_implicit_step_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One implicit-feedback ALS half-step (Hu, Koren & Volinsky 2008,
+    public algorithm), rank 2: item factors are fixed md5-derived
+    integer millis (the deterministic stand-in for the previous
+    iteration — swapping in learned factors changes one broadcast
+    table), and each user's factor solves the 2x2 normal equations
+    (YtY + Yt(C-I)Y + lambda*I) x = Yt C p in closed form. This is the
+    matrix-factorization training kernel next to kmeans/pagerank/PCA:
+    a full ALS alternates this exact plan between sides.
+
+    Plan: one (user, item) census shuffle, item factors broadcast, the
+    global YtY term is a 1-row broadcast, and the per-user normal
+    matrix is a partial-agg fold — closed-form solve is a codegen
+    projection. All accumulations are exact bigints; the 2x2 solve is
+    one fixed IEEE sequence, bit-identical across engines."""
+    ev = load_events(spark, sf_dir)
+    r = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("r"))
+
+    def hmod(prefix: str) -> Column:
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(prefix), F.col("event_type"))), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1000),
+        )
+
+    f = (
+        ev.select("event_type")
+        .distinct()
+        .select("event_type", hmod("alsa:").alias("a"), hmod("alsb:").alias("b"))
+    )
+    yty = f.agg(
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    peru = (
+        r.join(F.broadcast(f), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("r") * F.col("a") * F.col("a")).alias("waa"),
+            F.sum(F.col("r") * F.col("a") * F.col("b")).alias("wab"),
+            F.sum(F.col("r") * F.col("b") * F.col("b")).alias("wbb"),
+            F.sum((F.lit(1) + F.col("r")) * F.col("a")).alias("v0"),
+            F.sum((F.lit(1) + F.col("r")) * F.col("b")).alias("v1"),
+        )
+    )
+    m11 = (F.col("saa") + F.col("waa") + F.lit(100000)).cast("double")
+    m12 = (F.col("sab") + F.col("wab")).cast("double")
+    m22 = (F.col("sbb") + F.col("wbb") + F.lit(100000)).cast("double")
+    v0 = F.col("v0").cast("double")
+    v1 = F.col("v1").cast("double")
+    det = m11 * m22 - m12 * m12
+    return (
+        peru.join(F.broadcast(yty))
+        .select(
+            "user_id",
+            "n_items",
+            (F.floor((m22 * v0 - m12 * v1) / det * 1e6 + F.lit(0.5)) / 1e6).alias("x0"),
+            (F.floor((m11 * v1 - m12 * v0) / det * 1e6 + F.lit(0.5)) / 1e6).alias("x1"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "twap_report",
+    """
+WITH seq AS (
+  SELECT event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq,
+         (epoch_us(LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))
+          - epoch_us(ts)) // 1000000 AS dt_s
+  FROM events
+)
+SELECT event_type,
+       floor(SUM(vq * dt_s) / SUM(dt_s) / 100 * 1e4 + 0.5) / 1e4 AS twap,
+       SUM(dt_s)::BIGINT AS total_secs,
+       COUNT(*) AS n_intervals
+FROM seq WHERE dt_s IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def twap_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price/value (TWAP) per event type: each
+    observation holds until the next one, so its weight is the interval
+    it was live — the right mean for IRREGULARLY sampled series where
+    the arithmetic mean over-weights bursts (ewma_smoothing's
+    sampling-bias complement; the financial/metrics standard).
+
+    Plan: one per-type lead window (reusing the sessionize sort order),
+    integer second deltas and cent-quantized values keep every sum
+    exact; one census aggregate out. Linear scan, type-bounded output."""
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(ts)")
+    seq = (
+        ev.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vq"),
+            (F.lead(us).over(w) - us).alias("dt_us"),
+        )
+        # integer floor division, not float-divide-then-cast: a float
+        # quotient can round up to the next integer before the cast
+        .select("event_type", "vq", F.expr("dt_us DIV 1000000").alias("dt_s"))
+        .filter(F.col("dt_s").isNotNull())
+    )
+    return (
+        seq.groupBy("event_type")
+        .agg(
+            (
+                F.floor(
+                    F.sum(F.col("vq") * F.col("dt_s"))
+                    / F.sum("dt_s")
+                    / 100
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("twap"),
+            F.sum("dt_s").alias("total_secs"),
+            F.count("*").alias("n_intervals"),
+        )
+        .orderBy("event_type")
+    )

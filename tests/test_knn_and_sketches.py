@@ -224,3 +224,95 @@ def test_markov_transitions_replay(spark, sf_dir):
         assert got[key].n == n
         want_p = _math.floor(n / row_totals[key[0]] * 1e4 + 0.5) / 1e4
         assert got[key].p == want_p
+
+
+def test_als_implicit_step_numpy_solve(spark, sf_dir):
+    import hashlib
+
+    import numpy as np
+
+    got = {r.user_id: r for r in QUERIES["als_implicit_step"](spark, sf_dir).collect()}
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .count()
+        .collect()
+    )
+
+    def factor(prefix, t):
+        return int(hashlib.md5(f"{prefix}{t}".encode()).hexdigest()[:15], 16) % 1000
+
+    types = sorted({r.event_type for r in ev})
+    Y = np.array([[factor("alsa:", t), factor("alsb:", t)] for t in types], dtype=float)
+    yty = Y.T @ Y
+    per_user: dict = defaultdict(dict)
+    for r in ev:
+        per_user[r.user_id][r.event_type] = r["count"]
+    for uid, items in per_user.items():
+        M = yty + 100000 * np.eye(2)
+        v = np.zeros(2)
+        for t, cnt in items.items():
+            y = np.array([factor("alsa:", t), factor("alsb:", t)], dtype=float)
+            M += cnt * np.outer(y, y)
+            v += (1 + cnt) * y
+        x = np.linalg.solve(M, v)
+        assert got[uid].n_items == len(items)
+        assert abs(got[uid].x0 - x[0]) < 1e-4, uid
+        assert abs(got[uid].x1 - x[1]) < 1e-4, uid
+
+
+def test_keyword_textrank_replay(spark, sf_dir):
+    rows = QUERIES["keyword_textrank"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    # replay: two damped integer iterations over the co-occurrence graph
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    wedges: Counter = Counter()
+    for r in docs:
+        toks = r.text.strip().split()
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                wedges[(min(a, b), max(a, b))] += 1
+    edges = defaultdict(list)
+    for (a, b), wt in wedges.items():
+        edges[a].append((b, wt))
+        edges[b].append((a, wt))
+    wdeg = {w: sum(wt for _, wt in nbrs) for w, nbrs in edges.items()}
+    ranks = {w: 10**9 for w in wdeg}
+    for _ in range(2):
+        inflow = defaultdict(int)
+        for a, nbrs in edges.items():
+            for b, wt in nbrs:
+                inflow[b] += (ranks[a] * wt) // wdeg[a]
+        ranks = {
+            w: 150_000_000 + math.floor(0.85 * inflow.get(w, 0) + 0.5) for w in wdeg
+        }
+    want = sorted(ranks.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    for r, (w, ru) in zip(rows, want):
+        assert r.word == w
+        assert abs(r.textrank - ru / 1e9) < 1e-12
+
+
+def test_twap_replay(spark, sf_dir):
+    got = {r.event_type: r for r in QUERIES["twap_report"](spark, sf_dir).collect()}
+    per_type = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .collect()
+    ):
+        per_type[r.event_type].append((r.ts, r.event_id, r.value))
+    for et, seq in per_type.items():
+        seq.sort(key=lambda t: (t[0], t[1]))
+        num = den = n = 0
+        for (t1, _, v), (t2, _, _) in zip(seq, seq[1:]):
+            dt = int((t2 - t1).total_seconds())
+            vq = math.floor(v * 100 + 0.5)
+            num += vq * dt
+            den += dt
+            n += 1
+        r = got[et]
+        assert r.n_intervals == n
+        assert r.total_secs == den
+        assert r.twap == math.floor(num / den / 100 * 1e4 + 0.5) / 1e4
