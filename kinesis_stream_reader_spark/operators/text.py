@@ -2202,3 +2202,80 @@ def keyword_textrank(documents: DataFrame, top_n: int = 20) -> DataFrame:
         .orderBy(F.col("rank_u").desc(), "word")
         .limit(top_n)
     )
+
+
+def rank_fusion_rrf(
+    documents: DataFrame,
+    query_terms: list[tuple[int, str]] | None = None,
+    k_each: int = 10,
+    k: int = 5,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-Rank Fusion (Cormack et al. 2009, public method) of
+    two retrieval rankings: BM25 (term-weighted) and coverage (distinct
+    query terms matched, shorter docs first) — the standard way a
+    search pipeline combines rankers without score calibration, since
+    RRF consumes only RANKS: rrf(d) = sum over rankers of 1/(60 + r).
+
+    Determinism: both input rankings are integer-tie-broken; 1/(60+r)
+    is one IEEE division per ranker and the two-term sum is a fixed
+    sequence, so fused scores are bit-identical across engines; fused
+    ties (symmetric rank pairs) break on doc_id.
+
+    Plan: BM25's exploded-token relations (one corpus pass), a distinct
+    (doc, term) semi-census for coverage, two per-query top-k windows,
+    and a full-outer fuse on (query, doc) — the fuse input is at most
+    2 * k_each rows per query, so fusion cost is query-bounded."""
+    if query_terms is None:
+        query_terms = [
+            (1, "hash"),
+            (1, "join"),
+            (2, "sort"),
+            (2, "merge"),
+            (3, "customer"),
+            (3, "value"),
+        ]
+    spark = documents.sparkSession
+    queries = spark.createDataFrame(query_terms, "query_id int, term string")
+    a = bm25_retrieval(documents, query_terms, k=k_each).select(
+        "query_id", "doc_id", F.col("rank").alias("rank_bm25")
+    )
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    toks = documents.select(
+        "doc_id", F.explode(F.split(normalized, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    hits = (
+        toks.select("doc_id", "term")
+        .distinct()
+        .join(F.broadcast(queries), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    wb = Window.partitionBy("query_id").orderBy(
+        F.col("n_hit").desc(), F.col("dl").asc(), F.col("doc_id")
+    )
+    b = (
+        hits.join(dl, "doc_id")
+        .withColumn("rank_cov", F.row_number().over(wb))
+        .filter(F.col("rank_cov") <= k_each)
+        .select("query_id", "doc_id", "rank_cov")
+    )
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(1.0 / (F.lit(rrf_k) + F.col("rank_bm25")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(rrf_k) + F.col("rank_cov")), F.lit(0.0)
+    )
+    wf = Window.partitionBy("query_id").orderBy(rrf.desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            "doc_id",
+            (F.floor(rrf * 1e9 + F.lit(0.5)) / 1e9).alias("rrf"),
+            "rank_bm25",
+            "rank_cov",
+        )
+        .orderBy("query_id", "fused_rank")
+    )

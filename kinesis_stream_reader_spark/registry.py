@@ -1995,7 +1995,8 @@ _PRIORITY = [
     "theil_sen_trend", "quantiles_merged_histograms",
     "split_semantic_leakage", "randomized_response_audit",
     "markov_transition_matrix", "als_implicit_step", "keyword_textrank",
-    "twap_report",
+    "twap_report", "rank_fusion_rrf", "link_prediction_jaccard",
+    "conformal_coverage_report",
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
@@ -12663,4 +12664,285 @@ def twap_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_intervals"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "rank_fusion_rrf",
+    # BM25 leg reuses the bm25_retrieval mirror (k=10); coverage leg
+    # ranks by distinct query terms hit then doc length; RRF is two
+    # IEEE divisions + one fixed-order sum, ties on doc_id
+    _TOKS_CTE
+    + """
+, q(query_id, term) AS (
+  VALUES (1,'hash'),(1,'join'),(2,'sort'),(2,'merge'),(3,'customer'),(3,'value')
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), tot AS (
+  SELECT COUNT(*) AS s_tokens, COUNT(DISTINCT doc_id) AS n_docs FROM toks
+), part AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(FLOOR(
+           (LN(1.0 + (tot.n_docs - df.df + 0.5) / (df.df + 0.5))
+            * (tf.tf * 2.2)
+            / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (tot.s_tokens / CAST(tot.n_docs AS DOUBLE))))))
+           * 1e6 + 0.5) AS BIGINT) AS su
+  FROM tf
+  JOIN q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN df USING (term)
+  CROSS JOIN tot
+), agg AS (
+  SELECT query_id, doc_id, SUM(su) AS su FROM part GROUP BY query_id, doc_id
+), bm25r AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY su DESC, doc_id) AS rank_bm25
+  FROM agg QUALIFY rank_bm25 <= 10
+), hits AS (
+  SELECT q.query_id, t.doc_id, COUNT(*) AS n_hit
+  FROM (SELECT DISTINCT doc_id, term FROM toks) t JOIN q USING (term)
+  GROUP BY q.query_id, t.doc_id
+), covr AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY n_hit DESC, dl.dl ASC, doc_id) AS rank_cov
+  FROM hits JOIN dl USING (doc_id) QUALIFY rank_cov <= 10
+), fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         a.rank_bm25, b.rank_cov,
+         COALESCE(1.0 / (60 + a.rank_bm25), 0.0)
+           + COALESCE(1.0 / (60 + b.rank_cov), 0.0) AS rrf_raw
+  FROM bm25r a FULL OUTER JOIN covr b
+    ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+)
+SELECT query_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_raw DESC, doc_id) AS INT)
+         AS fused_rank,
+       doc_id,
+       floor(rrf_raw * 1e9 + 0.5) / 1e9 AS rrf,
+       rank_bm25, rank_cov
+FROM fused
+QUALIFY fused_rank <= 5
+ORDER BY query_id, fused_rank
+""",
+)
+def rank_fusion_rrf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.rank_fusion_rrf(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "link_prediction_jaccard",
+    # same interaction graph as graph_triangles; score NON-edges at
+    # distance 2 by neighbor-set Jaccard (common-neighbors family)
+    """
+WITH raw AS (
+  SELECT user_id % 200 AS p, event_id % 199 AS q FROM events
+  WHERE user_id % 200 <> event_id % 199
+),
+edges AS (SELECT DISTINCT LEAST(p, q) AS u, GREATEST(p, q) AS v FROM raw),
+adj AS (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL SELECT v AS node, u AS nbr FROM edges
+),
+deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+cand AS (
+  SELECT a1.node AS u, a2.node AS v, COUNT(*) AS n_common
+  FROM adj a1 JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
+  GROUP BY a1.node, a2.node
+),
+nonedges AS (
+  SELECT c.u, c.v, c.n_common FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = c.u AND e.v = c.v)
+)
+SELECT u, v, n_common,
+       floor(n_common / (du.deg + dv.deg - n_common) * 1e4 + 0.5) / 1e4 AS jaccard
+FROM nonedges JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v
+ORDER BY jaccard DESC, u, v LIMIT 20
+""",
+)
+def link_prediction_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighbor-set Jaccard (the common-neighbors
+    family, Liben-Nowell & Kleinberg 2003): score every NON-adjacent
+    node pair at distance 2 on the interaction graph and rank — the
+    recommendation/completion primitive next to item_item_recs (which
+    scores co-purchases, not graph structure).
+
+    Plan: candidate pairs come from ONE self-join on the adjacency list
+    keyed by the shared neighbor — the wedge join graph_triangles
+    already pays, bounded by sum-of-degrees-squared, never all pairs;
+    the existing-edge exclusion is a broadcast anti-join and Jaccard is
+    a census-side projection. Top-20 is a TakeOrdered."""
+    ev = load_events(spark, sf_dir)
+    raw = ev.select(
+        (F.col("user_id") % 200).alias("p"), (F.col("event_id") % 199).alias("q")
+    ).filter(F.col("p") != F.col("q"))
+    edges = raw.select(
+        F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
+    ).distinct()
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    a1 = adj.select(F.col("node").alias("u"), "nbr")
+    a2 = adj.select(F.col("node").alias("v"), F.col("nbr").alias("nbr2"))
+    cand = (
+        a1.join(a2, (F.col("nbr") == F.col("nbr2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_common"))
+    )
+    nonedges = cand.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    jac = F.col("n_common") / (F.col("du") + F.col("dv") - F.col("n_common"))
+    return (
+        nonedges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "n_common",
+            (F.floor(jac * 1e4 + F.lit(0.5)) / 1e4).alias("jaccard"),
+        )
+        .orderBy(F.col("jaccard").desc(), "u", "v")
+        .limit(20)
+    )
+
+
+@register(
+    "conformal_coverage_report",
+    """
+WITH feats AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '\\s+')) AS x,
+         n_chars AS y,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+  FROM documents
+), splits AS (
+  SELECT doc_id, CAST(x AS BIGINT) AS x, y,
+         CASE WHEN h IN ('a','b','c') THEN 'calib'
+              WHEN h IN ('d','e','f') THEN 'test'
+              ELSE 'train' END AS split
+  FROM feats
+), fit AS (
+  SELECT COUNT(*) AS n, SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+         SUM(x * y)::BIGINT AS sxy, SUM(x * x)::BIGINT AS sxx
+  FROM splits WHERE split = 'train'
+), model AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+         (CAST(sy AS DOUBLE)
+          - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+            * CAST(sx AS DOUBLE)) / n AS icept
+  FROM fit
+), resid AS (
+  SELECT s.doc_id, s.split,
+         ABS(s.y - (m.icept + m.slope * s.x)) AS r
+  FROM splits s, model m WHERE s.split <> 'train'
+), calib AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, doc_id) AS rn,
+         COUNT(*) OVER () AS nc
+  FROM resid WHERE split = 'calib'
+), qhat AS (
+  SELECT r AS q, nc FROM calib WHERE rn = CAST(ceil(0.9 * (nc + 1)) AS BIGINT)
+), test AS (
+  SELECT COUNT(*) AS nt,
+         SUM(CASE WHEN r <= (SELECT q FROM qhat) THEN 1 ELSE 0 END)::BIGINT AS covered
+  FROM resid WHERE split = 'test'
+)
+SELECT (SELECT COUNT(*) FROM splits WHERE split = 'train') AS n_train,
+       (SELECT nc FROM qhat) AS n_calib,
+       nt AS n_test,
+       floor((SELECT q FROM qhat) * 1e4 + 0.5) / 1e4 AS qhat,
+       floor(covered / nt * 1e4 + 0.5) / 1e4 AS coverage
+FROM test
+""",
+)
+def conformal_coverage_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.
+    2018 — public method) for a regression model: fit OLS (n_chars ~
+    token count) on the TRAIN split, take qhat = the ceil(0.9*(n+1))-th
+    smallest absolute residual on the CALIBRATION split, and report
+    empirical coverage of |y - yhat| <= qhat on the TEST split — the
+    distribution-free uncertainty audit a model-serving pipeline runs
+    before shipping intervals. Splits are the md5-digit convention.
+
+    Determinism: OLS uses exact integer moments (trend_lines kernel);
+    qhat is a DISCRETE order statistic selected by row_number (no
+    interpolation); coverage is an integer ratio.
+
+    Plan: one feature pass, a 1-row broadcast model, one residual pass;
+    the order statistic runs on the calibration split only (a bounded
+    fraction at any scale — and at 100 TB you'd census-bucket it like
+    quantile_normalize)."""
+    docs = load_table(spark, sf_dir, "documents")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    splits = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("x"),
+        F.col("n_chars").alias("y"),
+        F.when(first_hex.isin("a", "b", "c"), "calib")
+        .when(first_hex.isin("d", "e", "f"), "test")
+        .otherwise("train")
+        .alias("split"),
+    )
+    fit = splits.filter(F.col("split") == "train").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    ).cast("double")
+    icept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col(
+        "n"
+    )
+    model = fit.select(
+        slope.alias("slope"), icept.alias("icept"), F.col("n").alias("n_train")
+    )
+    resid = (
+        splits.filter(F.col("split") != "train")
+        .join(F.broadcast(model))
+        .select(
+            "doc_id",
+            "split",
+            "n_train",
+            F.abs(F.col("y") - (F.col("icept") + F.col("slope") * F.col("x"))).alias(
+                "r"
+            ),
+        )
+    )
+    wq = Window.orderBy("r", "doc_id")
+    calib = (
+        resid.filter(F.col("split") == "calib")
+        .withColumn("rn", F.row_number().over(wq))
+        .withColumn("nc", F.count("*").over(Window.partitionBy()))
+    )
+    qhat = calib.filter(
+        F.col("rn") == F.ceil(0.9 * (F.col("nc") + 1)).cast("long")
+    ).select(F.col("r").alias("q"), F.col("nc").alias("n_calib"))
+    test = (
+        resid.filter(F.col("split") == "test")
+        .join(F.broadcast(qhat))
+        .groupBy("n_train", "n_calib", "q")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(F.when(F.col("r") <= F.col("q"), 1).otherwise(0)).alias("covered"),
+        )
+    )
+    return test.select(
+        "n_train",
+        "n_calib",
+        "n_test",
+        (F.floor(F.col("q") * 1e4 + F.lit(0.5)) / 1e4).alias("qhat"),
+        (F.floor(F.col("covered") / F.col("n_test") * 1e4 + F.lit(0.5)) / 1e4).alias(
+            "coverage"
+        ),
     )
