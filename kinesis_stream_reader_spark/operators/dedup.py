@@ -1136,3 +1136,109 @@ def minhash_band_keys(df: DataFrame, n: int = 3) -> DataFrame:
         F.col("b.band").alias("band"),
         F.col("b.bucket").alias("bucket"),
     )
+
+
+def winnowing_fingerprints(
+    documents: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    share_threshold: int = 5,
+    df_cap: int = 50,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm; public method): hash every
+    positional word k-gram, slide a window of w consecutive hashes,
+    and select the MINIMUM hash of each window (rightmost occurrence
+    on ties — "robust winnowing"), guaranteeing any match of length
+    >= k+w-1 tokens shares a fingerprint. The selected (position,
+    hash) set is the document's fingerprint; docs sharing >=
+    `share_threshold` fingerprint values are near-dup partners.
+
+    Output contract (canonical, not pairs): one row per document —
+    (doc_id, n_fingerprints, canonical_id) where canonical_id is the
+    smallest partner doc_id (self if none), the linear-in-corpus
+    near-dup summary the other dedup operators standardized on.
+
+    Determinism: hashes are the md5-15-hex->bigint house convention
+    (bit-identical in DuckDB); window minima, rightmost-tie selection
+    (array_position over the reversed window), and the partner argmin
+    are integer ops.
+
+    Plan shape: per-doc array passes build fingerprints map-side (no
+    shuffle carries text); the sharing join runs on df-capped postings
+    (a fingerprint value seen in > df_cap docs is boilerplate and is
+    dropped, bounding pair fan-out exactly like gram_postings), so the
+    shuffle carries (doc, fp) postings, never documents."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    ws = F.filter(F.split(normalized, " "), lambda t: t != "")
+    docs = documents.select("doc_id", ws.alias("ws"))
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(
+            F.md5(F.array_join(F.slice(F.col("ws"), i, k), " ")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    hdocs = (
+        docs.filter(F.size("ws") >= k + w - 1)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("ws")) - (k - 1)), gram_hash
+            ).alias("hs"),
+        )
+    )
+    sub = lambda j: F.slice(F.col("hs"), j, w)  # noqa: E731
+    fl = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("hs")) - (w - 1)),
+        lambda j: F.struct(
+            (
+                j
+                + w
+                - F.array_position(F.reverse(sub(j)), F.array_min(sub(j)))
+            ).alias("sel"),
+            F.array_min(sub(j)).alias("val"),
+        ),
+    )
+    fps = (
+        hdocs.select("doc_id", F.explode(fl).alias("f"))
+        .select("doc_id", F.col("f.sel").alias("sel"), F.col("f.val").alias("val"))
+        .distinct()
+    )
+    n_fp = fps.groupBy("doc_id").agg(F.count("*").alias("n_fingerprints"))
+    postings = fps.select("doc_id", "val").distinct()
+    rare = (
+        postings.groupBy("val")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("val")
+    )
+    pruned = postings.join(rare, "val")
+    pairs = (
+        pruned.alias("a")
+        .join(pruned.alias("b"), "val")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("partner")
+        )
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= share_threshold)
+    )
+    canon = pairs.groupBy("doc_id").agg(
+        F.min(F.when(F.col("partner") < F.col("doc_id"), F.col("partner"))).alias(
+            "cmin"
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(n_fp, "doc_id", "left")
+        .join(canon, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_fingerprints"), F.lit(0))
+            .cast("long")
+            .alias("n_fingerprints"),
+            F.coalesce(F.col("cmin"), F.col("doc_id")).alias("canonical_id"),
+        )
+        .orderBy("doc_id")
+    )

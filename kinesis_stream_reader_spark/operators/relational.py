@@ -4809,3 +4809,90 @@ def timeseries_topk_similar(
         .orderBy("znorm_dist", "user_id")
         .limit(k)
     )
+
+
+def kaplan_meier_survival(events: DataFrame, horizon_hours: int = 72) -> DataFrame:
+    """Kaplan-Meier survival estimator (Kaplan & Meier 1958 — public
+    method) for time-to-first-purchase: per user, the clock starts at
+    their first event; users whose first 'purchase' lands within
+    `horizon_hours` are events at t = whole hours elapsed, everyone
+    else is right-censored at the horizon. Output is the KM curve —
+    one row per distinct event/censor time with the at-risk count,
+    event count, censor count, and the product-limit survival
+    estimate S(t) = prod_{t_i <= t} (1 - d_i / n_i).
+
+    Determinism: elapsed hours are exact bigint micros DIV 3.6e9 (no
+    calendar-boundary semantics to disagree on); counts are exact
+    ints; each per-time factor is ONE IEEE division and the prefix
+    product is a fixed left-to-right fold (IEEE multiply is exactly
+    specified), so S(t) is bit-identical across engines.
+
+    Plan shape: one shuffle on user_id builds the per-subject
+    (t, event) table; everything after is a VALUE CENSUS bounded by
+    horizon_hours+1 cells — the at-risk prefix sums, the sorted
+    factor list (collected once, <=73 doubles), and the per-row
+    prefix fold all run on the census relation, never on rows. At
+    100 TB the shuffle carries users; the curve math touches ~73
+    cells."""
+    us = 3_600_000_000  # micros per hour
+    per_user = events.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    dh = (F.unix_micros(F.col("tp")) - F.unix_micros(F.col("t0"))) / F.lit(us)
+    dh = F.floor(dh).cast("long")
+    subj = per_user.select(
+        F.when(
+            F.col("tp").isNotNull() & (dh <= horizon_hours), dh
+        )
+        .otherwise(F.lit(horizon_hours))
+        .alias("t"),
+        (F.col("tp").isNotNull() & (dh <= horizon_hours)).cast("int").alias("event"),
+    )
+    census = subj.groupBy("t").agg(
+        F.count("*").alias("n_at"),
+        F.sum("event").alias("d_events"),
+    )
+    w_before = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.partitionBy()
+    w_rn = Window.orderBy("t")
+    risk = census.select(
+        "t",
+        "d_events",
+        (F.col("n_at") - F.col("d_events")).alias("n_censored"),
+        (
+            F.sum("n_at").over(w_all)
+            - F.coalesce(F.sum("n_at").over(w_before), F.lit(0))
+        ).alias("n_risk"),
+        F.row_number().over(w_rn).alias("rn"),
+    ).withColumn(
+        "factor",
+        (F.col("n_risk") - F.col("d_events")).cast("double")
+        / F.col("n_risk").cast("double"),
+    )
+    # collect_list order is not execution-stable; sort_array on the
+    # (t, factor) struct pins the fold order to t ascending
+    packed = risk.agg(
+        F.expr(
+            "transform(sort_array(collect_list(struct(t, factor))),"
+            " x -> x.factor)"
+        ).alias("fs")
+    )
+    out = risk.join(F.broadcast(packed)).select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d_events").cast("long").alias("d_events"),
+        F.col("n_censored").cast("long").alias("n_censored"),
+        (
+            F.floor(
+                F.expr(
+                    "aggregate(slice(fs, 1, rn), CAST(1.0 AS DOUBLE),"
+                    " (a, x) -> a * x)"
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("survival"),
+    )
+    return out.orderBy("t")

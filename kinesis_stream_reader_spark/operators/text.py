@@ -2279,3 +2279,60 @@ def rank_fusion_rrf(
         )
         .orderBy("query_id", "fused_rank")
     )
+
+
+def pr_curve_points(documents: DataFrame) -> DataFrame:
+    """Precision-recall curve of the quality classifier
+    (quality_model_score's logit vs the lang=='en' pseudo-label),
+    sampled at the first threshold crossing each 5%-recall step — the
+    operating-point sweep a gating pipeline runs before picking the
+    production cutoff (model_eval_auc gives the single-number summary;
+    this gives the knee).
+
+    Plan shape — the model_eval_auc value census: the corpus flows
+    through ONE partial-agg shuffle keyed on the 1e-4-quantized logit;
+    the descending prefix sums (cumulative predicted-positive and
+    true-positive counts per threshold) and the recall-step picker run
+    over the bounded distinct-value relation, never over rows. At
+    100 TB the shuffle carries |distinct logits| cells, not documents.
+
+    Determinism: counts are exact bigints; precision/recall are single
+    IEEE divisions; the 5%-step bucket is ceil(recall*20) (exact IEEE
+    multiply), and the picker keeps rows where the bucket first
+    changes under the lv-descending order — bit-identical across
+    engines."""
+    scored = quality_model_score(documents).join(
+        documents.select("doc_id", (F.col("lang") == "en").alias("is_pos")),
+        "doc_id",
+    )
+    census = scored.groupBy(
+        F.floor(F.col("logit") * 1e4 + F.lit(0.5)).cast("long").alias("lv")
+    ).agg(
+        F.count("*").alias("c"),
+        F.count(F.when(F.col("is_pos"), 1)).alias("p"),
+    )
+    wd = Window.orderBy(F.col("lv").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = census.select(
+        "lv",
+        F.sum("c").over(wd).alias("n_pred"),
+        F.sum("p").over(wd).alias("tp"),
+        F.sum("p").over(Window.partitionBy()).alias("pos_total"),
+    )
+    rec = F.col("tp") / F.col("pos_total")
+    wl = Window.orderBy(F.col("lv").desc())
+    pts = (
+        cum.withColumn("b", F.ceil(rec * 20))
+        .withColumn("pb", F.lag("b").over(wl))
+        .filter(F.col("pb").isNull() | (F.col("b") != F.col("pb")))
+    )
+    return pts.select(
+        (F.col("lv") / 1e4).alias("threshold"),
+        "n_pred",
+        "tp",
+        (F.floor(F.col("tp") / F.col("n_pred") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "precision"
+        ),
+        (F.floor(rec * 1e6 + F.lit(0.5)) / 1e6).alias("recall"),
+    ).orderBy(F.col("threshold").desc())

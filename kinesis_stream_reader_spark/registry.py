@@ -1996,7 +1996,9 @@ _PRIORITY = [
     "split_semantic_leakage", "randomized_response_audit",
     "markov_transition_matrix", "als_implicit_step", "keyword_textrank",
     "twap_report", "rank_fusion_rrf", "link_prediction_jaccard",
-    "conformal_coverage_report",
+    "conformal_coverage_report", "pr_curve_points", "kaplan_meier_survival",
+    "winnowing_fingerprints", "t_closeness_report", "fdr_bh_correction",
+    "cuped_adjustment", "join_lateral_topk",
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
@@ -12945,4 +12947,528 @@ def conformal_coverage_report_query(spark: SparkSession, sf_dir: str) -> DataFra
         (F.floor(F.col("covered") / F.col("n_test") * 1e4 + F.lit(0.5)) / 1e4).alias(
             "coverage"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext (round 3): model-eval curve, survival analysis, winnowing dedup,
+# t-closeness, BH-FDR, CUPED, LATERAL top-k — evaluation/stats surface a
+# training-data pipeline runs around its gates. Reference has no analytics
+# surface; extension mandated by the north star.
+# ---------------------------------------------------------------------------
+@register(
+    "pr_curve_points",
+    # same quality-model CTE as model_eval_auc; descending prefix sums
+    # over the quantized-logit census; keep rows where the 5%-recall
+    # bucket (ceil(recall*20)) first changes under lv-descending order
+    f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         len({_TOKS})::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           AS n_stop,
+         (length(text) - length(replace(text, '.', '')))::DOUBLE AS n_dots
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), z AS (
+  SELECT f.doc_id, f.lang = 'en' AS is_pos,
+         (SELECT w FROM wts WHERE i = 0) * (n_tokens / 100.0)
+         + (SELECT w FROM wts WHERE i = 1) * (n_stop / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 2) * (n_chars / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 3) * (n_dots / (n_chars + 1.0))
+         + (SELECT w FROM wts WHERE i = 4) AS z
+  FROM f
+), census AS (
+  SELECT CAST(FLOOR(z * 1e4 + 0.5) AS BIGINT) AS lv,
+         COUNT(*) AS c,
+         COUNT(CASE WHEN is_pos THEN 1 END) AS p
+  FROM z GROUP BY 1
+), cum AS (
+  SELECT lv,
+         SUM(c) OVER (ORDER BY lv DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pred,
+         SUM(p) OVER (ORDER BY lv DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         SUM(p) OVER () AS pos_total
+  FROM census
+), pts AS (
+  SELECT lv, n_pred, tp, pos_total,
+         CEIL(tp / pos_total * 20) AS b,
+         LAG(CEIL(tp / pos_total * 20)) OVER (ORDER BY lv DESC) AS pb
+  FROM cum
+)
+SELECT lv / 1e4 AS threshold,
+       CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(tp AS BIGINT) AS tp,
+       FLOOR(tp / n_pred * 1e6 + 0.5) / 1e6 AS "precision",
+       FLOOR(tp / pos_total * 1e6 + 0.5) / 1e6 AS recall
+FROM pts WHERE pb IS NULL OR b <> pb
+ORDER BY threshold DESC
+""",
+)
+def pr_curve_points_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.pr_curve_points(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "kaplan_meier_survival",
+    # exact-hour census; at-risk prefix sums over the <=73-cell census;
+    # survival = fixed left-to-right fold of per-time IEEE factors
+    """
+WITH per_user AS (
+  SELECT user_id, MIN(ts) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY 1
+), subj AS (
+  SELECT CASE WHEN tp IS NOT NULL AND dh <= 72 THEN dh ELSE 72 END AS t,
+         CASE WHEN tp IS NOT NULL AND dh <= 72 THEN 1 ELSE 0 END AS event
+  FROM (SELECT tp, (epoch_us(tp) - epoch_us(t0)) // 3600000000 AS dh
+        FROM per_user)
+), census AS (
+  SELECT t, COUNT(*) AS n_at, SUM(event) AS d_events FROM subj GROUP BY t
+), risk AS (
+  SELECT t, d_events, n_at - d_events AS n_censored,
+         SUM(n_at) OVER ()
+           - COALESCE(SUM(n_at) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk,
+         ROW_NUMBER() OVER (ORDER BY t) AS rn
+  FROM census
+), packed AS (
+  SELECT list(CAST(n_risk - d_events AS DOUBLE) / n_risk ORDER BY t) AS fs
+  FROM risk
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d_events AS BIGINT) AS d_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       FLOOR(list_reduce(fs[1:rn], (a, x) -> a * x) * 1e6 + 0.5) / 1e6
+         AS survival
+FROM risk, packed ORDER BY t
+""",
+)
+def kaplan_meier_survival_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.kaplan_meier_survival(load_events(spark, sf_dir))
+
+
+@register(
+    "winnowing_fingerprints",
+    # md5-15-hex gram hashes; rightmost-min window selection via
+    # list_position over the reversed window; df-capped postings join;
+    # canonical = min smaller-id partner sharing >= 5 fingerprints
+    """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(trim(text)),
+           '[^a-z0-9 ]', '', 'g'), ' '), t -> t <> '') AS ws
+  FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ws) - 2), i ->
+           CAST(concat('0x', substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))
+                AS BIGINT)) AS hs
+  FROM ws WHERE len(ws) >= 7
+), fps AS (
+  SELECT DISTINCT doc_id, f.sel AS sel, f.val AS val
+  FROM (
+    SELECT doc_id,
+           UNNEST(list_transform(range(1, len(hs) - 2), j -> struct_pack(
+             sel := j + 4 - list_position(list_reverse(hs[j:j+3]),
+                                          list_aggregate(hs[j:j+3], 'min')),
+             val := list_aggregate(hs[j:j+3], 'min')))) AS f
+    FROM hs)
+), n_fp AS (
+  SELECT doc_id, COUNT(*) AS n_fingerprints FROM fps GROUP BY 1
+), postings AS (
+  SELECT DISTINCT doc_id, val FROM fps
+), rare AS (
+  SELECT val FROM postings GROUP BY val HAVING COUNT(*) <= 50
+), pruned AS (
+  SELECT p.doc_id, p.val FROM postings p JOIN rare USING (val)
+), pairs AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS partner, COUNT(*) AS shared
+  FROM pruned a JOIN pruned b ON a.val = b.val AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5
+), canon AS (
+  SELECT doc_id, MIN(CASE WHEN partner < doc_id THEN partner END) AS cmin
+  FROM pairs GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n.n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+       COALESCE(c.cmin, d.doc_id) AS canonical_id
+FROM documents d
+LEFT JOIN n_fp n USING (doc_id)
+LEFT JOIN canon c USING (doc_id)
+ORDER BY doc_id
+""",
+)
+def winnowing_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    return dedup.winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "t_closeness_report",
+    # full (group x sensitive-domain) grid so absent cells contribute
+    # |0 - ns*ng|; deviations are exact bigints, one final IEEE division
+    """
+WITH cells AS (
+  SELECT event_type, user_id % 20 AS cohort,
+         CAST(FLOOR(value) AS BIGINT) % 8 AS s, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+), gm AS (
+  SELECT event_type, cohort, SUM(n) AS ng FROM cells GROUP BY 1, 2
+), sm AS (
+  SELECT s, SUM(n) AS ns FROM cells GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS nn FROM cells
+), terms AS (
+  SELECT g.event_type, g.cohort, g.ng, t.nn,
+         ABS(COALESCE(c.n, 0) * t.nn - s.ns * g.ng) AS dev
+  FROM gm g CROSS JOIN sm s CROSS JOIN tot t
+  LEFT JOIN cells c
+    ON c.event_type = g.event_type AND c.cohort = g.cohort AND c.s = s.s
+), grp AS (
+  SELECT event_type, cohort, MAX(ng) AS n, MAX(nn) AS nn, SUM(dev) AS dev_u
+  FROM terms GROUP BY 1, 2
+)
+SELECT event_type, CAST(cohort AS BIGINT) AS cohort, CAST(n AS BIGINT) AS n,
+       FLOOR(dev_u / (2.0 * n * nn) * 1e6 + 0.5) / 1e6 AS tvd,
+       dev_u / (2.0 * n * nn) > 0.2 AS breach
+FROM grp ORDER BY event_type, cohort
+""",
+)
+def t_closeness_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007 —
+    public method) with total-variation distance: for each
+    quasi-identifier class (event_type x user cohort), how far the
+    class's sensitive-attribute distribution (bucketed value) sits
+    from the global distribution — the release gate that catches what
+    k-anonymity (class SIZE) and l-diversity (class CARDINALITY) miss:
+    a large, diverse class can still leak by being skewed.
+
+    Determinism: TVD sums |n_gs*N - n_s*N_g| as exact bigints over the
+    FULL group x sensitive-domain grid (absent cells contribute
+    |0 - n_s*N_g|); one IEEE division at the end.
+
+    Plan shape: one partial-agg shuffle to the (group, s) census; the
+    grid, margins, and TVD algebra run on census-bounded relations
+    (|groups| x |s-domain| cells), never rows. Linear at 100 TB."""
+    events = load_events(spark, sf_dir)
+    cells = events.groupBy(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(20)).alias("cohort"),
+        F.pmod(F.floor(F.col("value")).cast("long"), F.lit(8)).alias("s"),
+    ).agg(F.count("*").alias("n"))
+    gm = cells.groupBy("event_type", "cohort").agg(F.sum("n").alias("ng"))
+    sm = cells.groupBy("s").agg(F.sum("n").alias("ns"))
+    tot = cells.agg(F.sum("n").alias("nn"))
+    grid = gm.join(F.broadcast(sm)).join(F.broadcast(tot))
+    terms = grid.join(
+        cells, ["event_type", "cohort", "s"], "left"
+    ).select(
+        "event_type",
+        "cohort",
+        "ng",
+        "nn",
+        F.abs(
+            F.coalesce(F.col("n"), F.lit(0)) * F.col("nn")
+            - F.col("ns") * F.col("ng")
+        ).alias("dev"),
+    )
+    grp = terms.groupBy("event_type", "cohort").agg(
+        F.max("ng").alias("n"), F.max("nn").alias("nn"), F.sum("dev").alias("dev_u")
+    )
+    tvd_raw = F.col("dev_u") / (F.lit(2.0) * F.col("n") * F.col("nn"))
+    return grp.select(
+        "event_type",
+        F.col("cohort").cast("long").alias("cohort"),
+        F.col("n").cast("long").alias("n"),
+        (F.floor(tvd_raw * 1e6 + F.lit(0.5)) / 1e6).alias("tvd"),
+        (tvd_raw > 0.2).alias("breach"),
+    ).orderBy("event_type", "cohort")
+
+
+@register(
+    "fdr_bh_correction",
+    # Welch z from exact centi-unit integer moments; surrogate
+    # two-sided p = 1 - |z|/sqrt(z^2+1) (rational, engine-stable — no
+    # erf in either engine's stable subset); BH step-up at alpha=0.1
+    """
+WITH m AS (
+  SELECT event_type,
+         COUNT(CASE WHEN event_id % 2 = 0 THEN 1 END) AS na,
+         SUM(CASE WHEN event_id % 2 = 0 THEN vu ELSE 0 END) AS sa,
+         SUM(CASE WHEN event_id % 2 = 0 THEN vu * vu ELSE 0 END) AS qa,
+         COUNT(CASE WHEN event_id % 2 <> 0 THEN 1 END) AS nb,
+         SUM(CASE WHEN event_id % 2 <> 0 THEN vu ELSE 0 END) AS sb,
+         SUM(CASE WHEN event_id % 2 <> 0 THEN vu * vu ELSE 0 END) AS qb
+  FROM (SELECT event_type, event_id,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vu FROM events)
+  GROUP BY 1
+), z AS (
+  SELECT event_type,
+         (sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE))
+         / sqrt((qa - sa / CAST(na AS DOUBLE) * sa) / (na - 1) / na
+              + (qb - sb / CAST(nb AS DOUBLE) * sb) / (nb - 1) / nb) AS zval
+  FROM m
+), p AS (
+  SELECT event_type, zval,
+         1.0 - ABS(zval) / sqrt(zval * zval + 1.0) AS pv
+  FROM z
+), ranked AS (
+  SELECT event_type, zval, pv,
+         ROW_NUMBER() OVER (ORDER BY pv, event_type) AS r,
+         COUNT(*) OVER () AS m
+  FROM p
+), ks AS (
+  SELECT COALESCE(MAX(CASE WHEN pv <= r * 0.1 / m THEN r END), 0) AS kstar
+  FROM ranked
+)
+SELECT event_type,
+       FLOOR(zval * 1e4 + 0.5) / 1e4 AS z,
+       FLOOR(pv * 1e6 + 0.5) / 1e6 AS p_surrogate,
+       CAST(r AS BIGINT) AS rank,
+       r <= (SELECT kstar FROM ks) AS rejected
+FROM ranked ORDER BY rank
+""",
+)
+def fdr_bh_correction_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up correction (Benjamini & Hochberg
+    1995 — public method) across the per-event-type A/B mean tests: the
+    multiple-testing guard an experimentation pipeline applies before
+    declaring winners across many metrics. Welch z-statistics come
+    from exact centi-unit integer moments; the two-sided p-value uses
+    the rational surrogate CDF p = 1 - |z|/sqrt(z^2+1) (monotone in
+    |z|; documented stand-in — neither engine has erf in the
+    bit-stable subset, and BH consumes only the p ORDERING and
+    threshold comparisons, both preserved). Step-up: reject ranks
+    <= k* = max{r : p_(r) <= r*alpha/m} at alpha = 0.1.
+
+    Determinism: integer moments are exact; z/p are fixed IEEE
+    sequences (sqrt is correctly rounded per IEEE-754); the step-up
+    scan runs on the metric census (|event_type| rows).
+
+    Plan shape: ONE partial-agg shuffle to per-metric moments; the BH
+    order statistics run on the bounded metric relation. At 100 TB the
+    shuffle carries m metric rows, never events."""
+    events = load_events(spark, sf_dir)
+    vu = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    a = F.col("event_id") % 2 == 0
+    m = events.select("event_type", a.alias("is_a"), vu.alias("vu")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.when(F.col("is_a"), 1)).alias("na"),
+        F.sum(F.when(F.col("is_a"), F.col("vu")).otherwise(0)).alias("sa"),
+        F.sum(F.when(F.col("is_a"), F.col("vu") * F.col("vu")).otherwise(0)).alias(
+            "qa"
+        ),
+        F.count(F.when(~F.col("is_a"), 1)).alias("nb"),
+        F.sum(F.when(~F.col("is_a"), F.col("vu")).otherwise(0)).alias("sb"),
+        F.sum(F.when(~F.col("is_a"), F.col("vu") * F.col("vu")).otherwise(0)).alias(
+            "qb"
+        ),
+    )
+    na_d = F.col("na").cast("double")
+    nb_d = F.col("nb").cast("double")
+    zval = (F.col("sa") / na_d - F.col("sb") / nb_d) / F.sqrt(
+        (F.col("qa") - F.col("sa") / na_d * F.col("sa"))
+        / (F.col("na") - 1)
+        / F.col("na")
+        + (F.col("qb") - F.col("sb") / nb_d * F.col("sb"))
+        / (F.col("nb") - 1)
+        / F.col("nb")
+    )
+    z = m.select("event_type", zval.alias("zval"))
+    pv = F.lit(1.0) - F.abs(F.col("zval")) / F.sqrt(
+        F.col("zval") * F.col("zval") + F.lit(1.0)
+    )
+    p = z.select("event_type", "zval", pv.alias("pv"))
+    wr = Window.orderBy("pv", "event_type")
+    ranked = p.select(
+        "event_type",
+        "zval",
+        "pv",
+        F.row_number().over(wr).alias("r"),
+        F.count("*").over(Window.partitionBy()).alias("m"),
+    )
+    ranked = ranked.withColumn(
+        "kstar",
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pv") <= F.col("r") * 0.1 / F.col("m"), F.col("r")
+                )
+            ).over(Window.partitionBy()),
+            F.lit(0),
+        ),
+    )
+    return ranked.select(
+        "event_type",
+        (F.floor(F.col("zval") * 1e4 + F.lit(0.5)) / 1e4).alias("z"),
+        (F.floor(F.col("pv") * 1e6 + F.lit(0.5)) / 1e6).alias("p_surrogate"),
+        F.col("r").cast("long").alias("rank"),
+        (F.col("r") <= F.col("kstar")).alias("rejected"),
+    ).orderBy("rank")
+
+
+@register(
+    "cuped_adjustment",
+    # exact centi-unit integer moments (bigint-safe through sf0.1;
+    # the sf1+ path is DECIMAL(38) sums — same algebra); theta/xbar
+    # are a broadcast one-row model; arm means adjust algebraically
+    # (mean(yadj) = ybar_arm - theta*(xbar_arm - xbar)) so no
+    # order-nondeterministic double sums exist anywhere
+    """
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         SUM(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN vu ELSE 0 END) AS x,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN vu ELSE 0 END) AS y
+  FROM (SELECT user_id, ts,
+               CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vu FROM events)
+  GROUP BY 1
+), g AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM per_user
+), model AS (
+  SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+         CAST(sx AS DOUBLE) / n AS xbar,
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           * CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE)
+           / CAST(n * syy - sy * sy AS DOUBLE) AS var_reduction
+  FROM g
+), arms AS (
+  SELECT arm, COUNT(*) AS n_users, SUM(x) AS sxa, SUM(y) AS sya
+  FROM per_user GROUP BY arm
+)
+SELECT CAST(a.arm AS BIGINT) AS arm, CAST(a.n_users AS BIGINT) AS n_users,
+       FLOOR(CAST(a.sya AS DOUBLE) / a.n_users / 100.0 * 1e6 + 0.5) / 1e6
+         AS mean_y,
+       FLOOR((CAST(a.sya AS DOUBLE) / a.n_users
+              - m.theta * (CAST(a.sxa AS DOUBLE) / a.n_users - m.xbar))
+             / 100.0 * 1e6 + 0.5) / 1e6 AS mean_y_cuped,
+       FLOOR(m.theta * 1e6 + 0.5) / 1e6 AS theta,
+       FLOOR(m.var_reduction * 1e6 + 0.5) / 1e6 AS var_reduction
+FROM arms a CROSS JOIN model m ORDER BY arm
+""",
+)
+def cuped_adjustment_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013
+    — public method) for the A/B report: per user, Y = post-cutoff
+    spend and the covariate X = PRE-cutoff spend; theta = cov(X,Y)/
+    var(X) fitted on the pooled population; each arm's adjusted mean
+    is ybar_arm - theta*(xbar_arm - xbar). var_reduction is the
+    achieved corr(X,Y)^2 = cov^2/(varX*varY).
+
+    Determinism: ALL sums are exact centi-unit bigints (Spark's
+    double-sum is accumulation-order-nondeterministic, so the per-user
+    adjusted values are never summed as floats — the arm-mean
+    adjustment is applied ALGEBRAICALLY from integer arm sums);
+    theta/xbar/var_reduction are fixed IEEE sequences on a one-row
+    relation.
+
+    Plan shape: one shuffle on user_id (the per-subject table), one
+    partial-agg pass each for the global-moment row and the 2-row arm
+    relation; the model row broadcasts. At 100 TB: linear, two
+    map-combine shuffles, no window over rows."""
+    events = load_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16").cast("timestamp")
+    vu = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    per_user = events.select(
+        "user_id", "ts", vu.alias("vu")
+    ).groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cutoff, F.col("vu")).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= cutoff, F.col("vu")).otherwise(0)).alias("y"),
+    ).withColumn("arm", F.pmod(F.col("user_id"), F.lit(2)))
+    g = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    varx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vary = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    model = g.select(
+        (cov / varx).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+        (cov * cov / varx / vary).alias("var_reduction"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("x").alias("sxa"),
+        F.sum("y").alias("sya"),
+    )
+    out = arms.join(F.broadcast(model))
+    mean_y_raw = F.col("sya").cast("double") / F.col("n_users")
+    mean_x_raw = F.col("sxa").cast("double") / F.col("n_users")
+    return out.select(
+        F.col("arm").cast("long").alias("arm"),
+        F.col("n_users").cast("long").alias("n_users"),
+        (F.floor(mean_y_raw / 100.0 * 1e6 + F.lit(0.5)) / 1e6).alias("mean_y"),
+        (
+            F.floor(
+                (mean_y_raw - F.col("theta") * (mean_x_raw - F.col("xbar")))
+                / 100.0
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_y_cuped"),
+        (F.floor(F.col("theta") * 1e6 + F.lit(0.5)) / 1e6).alias("theta"),
+        (F.floor(F.col("var_reduction") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "var_reduction"
+        ),
+    ).orderBy("arm")
+
+
+@register(
+    "join_lateral_topk",
+    # DuckDB's lateral is the comma form; same correlation, same
+    # (o_totalprice DESC, o_orderkey) tie-break, LIMIT 3
+    """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+""",
+)
+def join_lateral_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL
+    top-N-per-group surface (every-customer top-3 orders by price).
+    Spark 4 DECORRELATES this (DecorrelateInnerQuery): the plan is a
+    rank-window over a single orders shuffle keyed on o_custkey, not
+    N per-customer probes — the declarative form and the hand-written
+    window top-k (top_k_per_group_agg) converge to the same physical
+    shape, which is the point of registering the SQL spelling.
+
+    Plan shape at 100 TB: one shuffle of orders on custkey feeding the
+    rank filter, then the join back to customer — no per-row
+    subquery execution, no driver loop."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+        """
     )

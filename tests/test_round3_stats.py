@@ -1,0 +1,148 @@
+"""Semantic tests for the round-3 stats/eval additions: Kaplan-Meier,
+PR curve, winnowing fingerprints, BH-FDR, CUPED, t-closeness, LATERAL
+top-k — brute-force recomputation or invariant checks, independent of
+the DuckDB oracles."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row, functions as F
+
+from kinesis_stream_reader_spark.operators import dedup, relational
+from kinesis_stream_reader_spark.registry import QUERIES
+from kinesis_stream_reader_spark.sources.tables import load_events, load_table
+
+
+def test_kaplan_meier_brute(spark, sf_dir):
+    """Recompute the KM curve in plain Python from the raw events."""
+    rows = load_events(spark, sf_dir).select("user_id", "ts", "event_type").collect()
+    first, purch = {}, {}
+    for r in rows:
+        u = r.user_id
+        if u not in first or r.ts < first[u]:
+            first[u] = r.ts
+        if r.event_type == "purchase" and (u not in purch or r.ts < purch[u]):
+            purch[u] = r.ts
+    subjects = []
+    for u, t0 in first.items():
+        if u in purch:
+            dh = int((purch[u] - t0).total_seconds() // 3600)
+            if dh <= 72:
+                subjects.append((dh, 1))
+                continue
+        subjects.append((72, 0))
+    times = sorted({t for t, _ in subjects})
+    n_total, seen = len(subjects), 0
+    expect = {}
+    s = 1.0
+    for t in times:
+        d = sum(1 for tt, e in subjects if tt == t and e == 1)
+        c = sum(1 for tt, e in subjects if tt == t and e == 0)
+        n_risk = n_total - seen
+        s = s * ((n_risk - d) / n_risk)
+        expect[t] = (n_risk, d, c, math.floor(s * 1e6 + 0.5) / 1e6)
+        seen += d + c
+    out = relational.kaplan_meier_survival(load_events(spark, sf_dir)).collect()
+    got = {r.t: (r.n_risk, r.d_events, r.n_censored, r.survival) for r in out}
+    assert got == expect
+    # curve invariants: survival non-increasing, at-risk strictly decreasing
+    surv = [r.survival for r in out]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    risks = [r.n_risk for r in out]
+    assert all(a > b for a, b in zip(risks, risks[1:]))
+
+
+def test_pr_curve_properties(spark, sf_dir):
+    pts = QUERIES["pr_curve_points"](spark, sf_dir).collect()
+    # thresholds descending, recall strictly increasing along the sweep
+    ths = [r.threshold for r in pts]
+    assert ths == sorted(ths, reverse=True)
+    recs = [r.recall for r in pts]
+    assert all(a < b for a, b in zip(recs, recs[1:]))
+    # the sweep emits the FIRST crossing of each 5% bucket, so the last
+    # point is the first threshold whose recall clears 0.95
+    assert recs[-1] > 0.95
+    for r in pts:
+        assert 0 <= r.precision <= 1 and 0 <= r.recall <= 1
+        assert r.tp <= r.n_pred
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Schleimer et al.'s guarantee: two docs sharing a token run of
+    length >= k + w - 1 (= 7 here) must share a fingerprint value, so
+    with threshold lowered to 1 they become partners."""
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    rows = [
+        Row(doc_id=1, text=shared + " one two three four five six seven eight"),
+        Row(doc_id=2, text="nine ten eleven twelve thirteen fourteen " + shared),
+        Row(doc_id=3, text="totally unrelated words forming another document body here"),
+    ]
+    docs = spark.createDataFrame(rows)
+    out = {
+        r.doc_id: (r.n_fingerprints, r.canonical_id)
+        for r in dedup.winnowing_fingerprints(docs, share_threshold=1).collect()
+    }
+    assert out[2][1] == 1  # doc 2 canonicalizes to doc 1 via the shared run
+    assert out[1][1] == 1 and out[3][1] == 3
+    assert all(n > 0 for n, _ in out.values())
+    # short docs (< k+w-1 tokens) produce no fingerprints but still appear
+    tiny = spark.createDataFrame([Row(doc_id=9, text="too short for grams")])
+    trow = dedup.winnowing_fingerprints(tiny).collect()[0]
+    assert (trow.n_fingerprints, trow.canonical_id) == (0, 9)
+
+
+def test_fdr_bh_rejections_are_rank_prefix(spark, sf_dir):
+    rows = QUERIES["fdr_bh_correction"](spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    rejected = [r.rejected for r in rows]
+    # BH step-up rejects exactly ranks 1..k*: no True after a False
+    assert all(not b or all(rejected[:i]) for i, b in enumerate(rejected))
+    for r in rows:
+        assert 0 <= r.p_surrogate <= 1
+    # p ordering matches |z| ordering (surrogate is monotone in |z|)
+    zs = [abs(r.z) for r in rows]
+    assert zs == sorted(zs, reverse=True)
+
+
+def test_cuped_preserves_pooled_mean(spark, sf_dir):
+    rows = QUERIES["cuped_adjustment"](spark, sf_dir).collect()
+    assert len(rows) == 2
+    n = sum(r.n_users for r in rows)
+    pooled_raw = sum(r.n_users * r.mean_y for r in rows) / n
+    pooled_adj = sum(r.n_users * r.mean_y_cuped for r in rows) / n
+    # theta*(xbar_arm - xbar) sums to zero weighted by arm size, so the
+    # pooled mean is invariant (up to the 1e-6 output rounding)
+    assert abs(pooled_raw - pooled_adj) < 1e-4
+    assert 0 <= rows[0].var_reduction <= 1
+    assert rows[0].theta == rows[1].theta
+
+
+def test_t_closeness_bounds_and_margins(spark, sf_dir):
+    rows = QUERIES["t_closeness_report"](spark, sf_dir).collect()
+    total = load_events(spark, sf_dir).count()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert 0 <= r.tvd <= 1
+        assert r.breach == (r.tvd > 0.2 or (r.tvd == 0.2 and r.breach))
+
+
+def test_lateral_topk_matches_window(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    got = QUERIES["join_lateral_topk"](spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    expect = (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
