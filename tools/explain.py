@@ -122,6 +122,11 @@ HEADLINE = [
     ("ngram_novelty_curve", "first-owner census keyed on 8-byte gram hashes, exchange-reused join-back"),
     ("theil_sen_trend", "pairwise-slope median: self-join over the tiny (type, day) census"),
     ("quantiles_merged_histograms", "two-level mergeable histogram: shard partials, 32-row bounded window"),
+    ("pr_curve_points", "PR sweep on the quantized-logit census: prefix sums over cells, not rows"),
+    ("kaplan_meier_survival", "KM curve: one user shuffle, then <=73-cell census algebra + broadcast fold"),
+    ("winnowing_fingerprints", "MOSS winnowing: map-side window minima, df-capped postings join"),
+    ("join_lateral_topk", "decorrelated LATERAL LIMIT: WindowGroupLimit partial+final, broadcast join-back"),
+    ("cuped_adjustment", "CUPED: integer-moment passes, broadcast one-row model, algebraic arm adjust"),
 ]
 
 
