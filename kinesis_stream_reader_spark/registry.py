@@ -1998,7 +1998,10 @@ _PRIORITY = [
     "twap_report", "rank_fusion_rrf", "link_prediction_jaccard",
     "conformal_coverage_report", "pr_curve_points", "kaplan_meier_survival",
     "winnowing_fingerprints", "t_closeness_report", "fdr_bh_correction",
-    "cuped_adjustment", "join_lateral_topk",
+    "cuped_adjustment", "join_lateral_topk", "holt_linear_smoothing",
+    "mann_kendall_trend", "functional_dependency_audit",
+    "referential_integrity_audit", "embedding_drift_report",
+    "streaming_topk_windowed",
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
@@ -13471,4 +13474,555 @@ def join_lateral_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
         """
+    )
+
+
+@register(
+    "holt_linear_smoothing",
+    # recursive CTE replays the identical IEEE recurrence per type:
+    # l' = 0.5*y + 0.5*(l+b); b' = 0.3*(l'-l) + 0.7*b (expressions
+    # repeated verbatim so the float sequences match bit-for-bit)
+    """
+WITH RECURSIVE census AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT event_type, day, y, rn, y AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM census WHERE rn = 1
+  UNION ALL
+  SELECT c.event_type, c.day, c.y, c.rn,
+         0.5 * c.y + 0.5 * (h.l + h.b) AS l,
+         0.3 * ((0.5 * c.y + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b AS b
+  FROM h JOIN census c
+    ON c.event_type = h.event_type AND c.rn = h.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, CAST(y AS BIGINT) AS y,
+       FLOOR(l * 1e6 + 0.5) / 1e6 AS level,
+       FLOOR(b * 1e6 + 0.5) / 1e6 AS trend,
+       FLOOR(COALESCE(LAG(l) OVER w + LAG(b) OVER w, y) * 1e6 + 0.5) / 1e6
+         AS fitted
+FROM h
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+""",
+)
+def holt_linear_smoothing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per event-type
+    daily series — level + trend recursion (alpha=0.5, beta=0.3), the
+    classic short-horizon forecaster a metrics pipeline fits next to
+    the seasonal decomposition. fitted(t) is the one-step-ahead
+    forecast l(t-1) + b(t-1).
+
+    The recurrence is inherently sequential, so it runs WHERE the data
+    is small: events aggregate to a (type, day) census (one partial-agg
+    shuffle, |types| x |days| cells); each type's series packs into a
+    sorted array (broadcast) and row t's state is a left fold over its
+    prefix — O(days^2) folds on a <=31-element array, zero Python. At
+    100 TB the corpus-size term is the census shuffle; the fold cost
+    is unchanged.
+
+    Determinism: the fold is a fixed IEEE sequence (mirrored verbatim
+    in the oracle's recursive CTE); counts are exact; outputs floored
+    at 1e-6."""
+    events = load_events(spark, sf_dir)
+    census = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    wrn = Window.partitionBy("event_type").orderBy("day")
+    census = census.withColumn("rn", F.row_number().over(wrn))
+    packed = census.groupBy("event_type").agg(
+        F.expr("sort_array(collect_list(struct(rn, y)))").alias("ys")
+    )
+    folded = census.join(F.broadcast(packed), "event_type").withColumn(
+        "st",
+        F.expr(
+            """
+            aggregate(
+              slice(ys, 2, rn - 1),
+              named_struct('l', element_at(ys, 1).y, 'b', CAST(0.0 AS DOUBLE)),
+              (a, e) -> named_struct(
+                'l', 0.5 * e.y + 0.5 * (a.l + a.b),
+                'b', 0.3 * ((0.5 * e.y + 0.5 * (a.l + a.b)) - a.l) + 0.7 * a.b))
+            """
+        ),
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    fitted = F.coalesce(
+        F.lag("st.l").over(wl) + F.lag("st.b").over(wl), F.col("y")
+    )
+    return folded.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("y").cast("long").alias("y"),
+        (F.floor(F.col("st.l") * 1e6 + F.lit(0.5)) / 1e6).alias("level"),
+        (F.floor(F.col("st.b") * 1e6 + F.lit(0.5)) / 1e6).alias("trend"),
+        (F.floor(fitted * 1e6 + F.lit(0.5)) / 1e6).alias("fitted"),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "mann_kendall_trend",
+    # S from the i<j pair census; tie-corrected variance in exact
+    # 18ths; z's three-way branch on integer S
+    """
+WITH census AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT a.event_type,
+         SUM(CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END) AS s
+  FROM census a JOIN census b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+), n AS (
+  SELECT event_type, COUNT(*) AS n FROM census GROUP BY 1
+), ties AS (
+  SELECT event_type, SUM(t * (t - 1) * (2 * t + 5)) AS tie18
+  FROM (SELECT event_type, y, COUNT(*) AS t FROM census GROUP BY 1, 2)
+  GROUP BY 1
+), v AS (
+  SELECT n.event_type, n.n, s.s,
+         n.n * (n.n - 1) * (2 * n.n + 5) - COALESCE(t.tie18, 0) AS var18
+  FROM n JOIN s USING (event_type) LEFT JOIN ties t USING (event_type)
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s,
+       CAST(var18 AS BIGINT) AS var18,
+       FLOOR(CASE WHEN s > 0 THEN (s - 1) / sqrt(var18 / 18.0)
+                  WHEN s < 0 THEN (s + 1) / sqrt(var18 / 18.0)
+                  ELSE 0.0 END * 1e4 + 0.5) / 1e4 AS z,
+       CASE WHEN s > 0 AND (s - 1) / sqrt(var18 / 18.0) > 1.96
+              THEN 'increasing'
+            WHEN s < 0 AND (s + 1) / sqrt(var18 / 18.0) < -1.96
+              THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM v ORDER BY event_type
+""",
+)
+def mann_kendall_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test (Mann 1945, Kendall 1975 — public
+    method) per event-type daily series: S = sum over day pairs i<j of
+    sign(y_j - y_i), tie-corrected variance var(S) = [n(n-1)(2n+5) -
+    sum_t t(t-1)(2t+5)]/18, z with the +-1 continuity correction —
+    the distribution-free 'is this metric trending?' monitor that
+    complements theil_sen_trend's slope ESTIMATE with a significance
+    CALL.
+
+    Determinism: S, var18 are exact integers from the census pair
+    join; z is one IEEE division over a correctly-rounded sqrt.
+
+    Plan shape: one partial-agg shuffle to the (type, day) census;
+    the pair join, tie census, and variance run over |types| x |days|
+    cells (<=155 rows) — the self-join is census-bounded exactly like
+    theil_sen_trend. Linear at 100 TB."""
+    events = load_events(spark, sf_dir)
+    census = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("y"))
+    a, b = census.alias("a"), census.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.y") > F.col("a.y"), 1)
+                .when(F.col("b.y") < F.col("a.y"), -1)
+                .otherwise(0)
+            ).alias("s")
+        )
+    )
+    n = census.groupBy("event_type").agg(F.count("*").alias("n"))
+    ties = (
+        census.groupBy("event_type", "y")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie18")
+        )
+    )
+    v = (
+        n.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "n",
+            "s",
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tie18"), F.lit(0))
+            ).alias("var18"),
+        )
+    )
+    denom = F.sqrt(F.col("var18") / 18.0)
+    zraw = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / denom)
+        .when(F.col("s") < 0, (F.col("s") + 1) / denom)
+        .otherwise(F.lit(0.0))
+    )
+    return v.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s").cast("long").alias("s"),
+        F.col("var18").cast("long").alias("var18"),
+        (F.floor(zraw * 1e4 + F.lit(0.5)) / 1e4).alias("z"),
+        F.when((F.col("s") > 0) & ((F.col("s") - 1) / denom > 1.96), "increasing")
+        .when((F.col("s") < 0) & ((F.col("s") + 1) / denom < -1.96), "decreasing")
+        .otherwise("none")
+        .alias("trend"),
+    ).orderBy("event_type")
+
+
+@register(
+    "functional_dependency_audit",
+    # five candidate FDs, each a (lhs -> count distinct rhs) census;
+    # a key-side FD (n_name -> n_regionkey) anchors the 'holds' case
+    """
+WITH checks AS (
+  SELECT 'part: p_name -> p_brand' AS fd, p_name AS k,
+         COUNT(DISTINCT p_brand) AS nrhs FROM part GROUP BY 2
+  UNION ALL
+  SELECT 'part: p_brand -> p_size', p_brand,
+         COUNT(DISTINCT p_size) FROM part GROUP BY 2
+  UNION ALL
+  SELECT 'orders: o_custkey -> o_orderpriority', CAST(o_custkey AS VARCHAR),
+         COUNT(DISTINCT o_orderpriority) FROM orders GROUP BY 2
+  UNION ALL
+  SELECT 'lineitem: l_orderkey -> l_returnflag', CAST(l_orderkey AS VARCHAR),
+         COUNT(DISTINCT l_returnflag) FROM lineitem GROUP BY 2
+  UNION ALL
+  SELECT 'nation: n_name -> n_regionkey', n_name,
+         COUNT(DISTINCT n_regionkey) FROM nation GROUP BY 2
+)
+SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       COUNT(CASE WHEN nrhs > 1 THEN 1 END) AS n_violating_keys,
+       CAST(MAX(nrhs) AS BIGINT) AS max_rhs_per_key,
+       MAX(nrhs) = 1 AS holds
+FROM checks GROUP BY fd ORDER BY fd
+""",
+)
+def functional_dependency_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery/audit: for each candidate FD
+    lhs -> rhs, count determinant values whose dependent is not unique
+    — the data-profiling primitive behind schema inference, key
+    detection, and denormalization safety checks (does this column
+    RIDE on that one?).
+
+    Plan shape: each FD is one partial-agg shuffle keyed on its lhs
+    (count-distinct rhs per key), reduced to a single summary row
+    map-side; the union is 5 rows. Per-FD cost is one exchange at any
+    scale; FDs over different tables scan independently (column-pruned
+    to exactly lhs+rhs)."""
+
+    def check(df: DataFrame, fd: str, lhs: str, rhs: str) -> DataFrame:
+        per_key = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("nrhs"))
+        return per_key.agg(
+            F.lit(fd).alias("fd"),
+            F.count("*").cast("long").alias("n_keys"),
+            F.count(F.when(F.col("nrhs") > 1, 1)).alias("n_violating_keys"),
+            F.max("nrhs").cast("long").alias("max_rhs_per_key"),
+            (F.max("nrhs") == 1).alias("holds"),
+        )
+
+    part = load_table(spark, sf_dir, "part")
+    out = (
+        check(part, "part: p_name -> p_brand", "p_name", "p_brand")
+        .unionAll(check(part, "part: p_brand -> p_size", "p_brand", "p_size"))
+        .unionAll(
+            check(
+                load_table(spark, sf_dir, "orders"),
+                "orders: o_custkey -> o_orderpriority",
+                "o_custkey",
+                "o_orderpriority",
+            )
+        )
+        .unionAll(
+            check(
+                load_table(spark, sf_dir, "lineitem"),
+                "lineitem: l_orderkey -> l_returnflag",
+                "l_orderkey",
+                "l_returnflag",
+            )
+        )
+        .unionAll(
+            check(
+                load_table(spark, sf_dir, "nation"),
+                "nation: n_name -> n_regionkey",
+                "n_name",
+                "n_regionkey",
+            )
+        )
+    )
+    return out.orderBy("fd")
+
+
+@register(
+    "referential_integrity_audit",
+    # one anti-join per FK edge; parent key sets are dimension-sized
+    # (broadcast) except orders<-lineitem which is the big-big case
+    """
+WITH edges AS (
+  SELECT 'lineitem.l_orderkey -> orders' AS fk,
+         (SELECT COUNT(*) FROM lineitem) AS n_child,
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+           AS n_orphans
+  UNION ALL
+  SELECT 'lineitem.l_partkey -> part',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'lineitem.l_suppkey -> supplier',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+  UNION ALL
+  SELECT 'orders.o_custkey -> customer',
+         (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+  UNION ALL
+  SELECT 'customer.c_nationkey -> nation',
+         (SELECT COUNT(*) FROM customer),
+         (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+  UNION ALL
+  SELECT 'supplier.s_nationkey -> nation',
+         (SELECT COUNT(*) FROM supplier),
+         (SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+            (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey))
+  UNION ALL
+  SELECT 'nation.n_regionkey -> region',
+         (SELECT COUNT(*) FROM nation),
+         (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+            (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey))
+)
+SELECT fk, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphans AS BIGINT) AS n_orphans,
+       FLOOR(n_orphans * 1e6 / n_child + 0.5) / 1e4 AS orphan_pct
+FROM edges ORDER BY fk
+""",
+)
+def referential_integrity_audit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity sweep over the star schema's seven FK
+    edges: per edge, child row count + orphan count (children whose
+    FK misses every parent key) via LEFT ANTI join — the load-time
+    contract check a warehouse runs before exposing a snapshot
+    (expectations_check covers single-table rules; this is the
+    CROSS-table contract).
+
+    Plan shape: dimension-parent edges anti-join against a BROADCAST
+    parent key set; the lineitem->orders edge is the genuine big-big
+    anti (one shuffle pair on orderkey). Counts reduce map-side; the
+    output is 7 rows. orphan_pct is an exact scaled-integer ratio."""
+
+    def edge(child: DataFrame, fk: str, ck: str, parent: DataFrame, pk: str,
+             broadcast_parent: bool = True) -> DataFrame:
+        keys = parent.select(pk).distinct()
+        if broadcast_parent:
+            keys = F.broadcast(keys)
+        orphans = child.join(keys, child[ck] == keys[pk], "left_anti")
+        return child.agg(F.count("*").alias("n_child")).crossJoin(
+            orphans.agg(F.count("*").alias("n_orphans"))
+        ).select(
+            F.lit(fk).alias("fk"),
+            F.col("n_child").cast("long").alias("n_child"),
+            F.col("n_orphans").cast("long").alias("n_orphans"),
+            (
+                F.floor(F.col("n_orphans") * 1e6 / F.col("n_child") + F.lit(0.5))
+                / 1e4
+            ).alias("orphan_pct"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    out = (
+        edge(li, "lineitem.l_orderkey -> orders", "l_orderkey", orders,
+             "o_orderkey", broadcast_parent=False)
+        .unionAll(edge(li, "lineitem.l_partkey -> part", "l_partkey",
+                       load_table(spark, sf_dir, "part"), "p_partkey"))
+        .unionAll(edge(li, "lineitem.l_suppkey -> supplier", "l_suppkey",
+                       supp, "s_suppkey"))
+        .unionAll(edge(orders, "orders.o_custkey -> customer", "o_custkey",
+                       cust, "c_custkey", broadcast_parent=False))
+        .unionAll(edge(cust, "customer.c_nationkey -> nation", "c_nationkey",
+                       nat, "n_nationkey"))
+        .unionAll(edge(supp, "supplier.s_nationkey -> nation", "s_nationkey",
+                       nat, "n_nationkey"))
+        .unionAll(edge(nat, "nation.n_regionkey -> region", "n_regionkey",
+                       load_table(spark, sf_dir, "region"), "r_regionkey"))
+    )
+    return out.orderBy("fk")
+
+
+@register(
+    "embedding_drift_report",
+    # cohort centroids ride the embedding_centroids convention
+    # (ROUND(AVG,4) -> exact scaled ints); distances are integer
+    # algebra + correctly-rounded sqrt
+    """
+WITH cent AS (
+  SELECT label, vec_id % 2 AS cohort, i AS pos,
+         CAST(ROUND(ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) * 1e4)
+              AS BIGINT) AS iu
+  FROM embeddings, generate_series(1, 64) t(i)
+  GROUP BY 1, 2, 3
+), sizes AS (
+  SELECT label,
+         COUNT(DISTINCT CASE WHEN vec_id % 2 = 0 THEN vec_id END) AS n_a,
+         COUNT(DISTINCT CASE WHEN vec_id % 2 <> 0 THEN vec_id END) AS n_b
+  FROM embeddings GROUP BY 1
+), paired AS (
+  SELECT a.label,
+         SUM((a.iu - b.iu) * (a.iu - b.iu)) AS l2,
+         SUM(a.iu * b.iu) AS dot,
+         SUM(a.iu * a.iu) AS na2,
+         SUM(b.iu * b.iu) AS nb2
+  FROM cent a JOIN cent b ON a.label = b.label AND a.pos = b.pos
+  WHERE a.cohort = 0 AND b.cohort = 1
+  GROUP BY 1
+)
+SELECT p.label, CAST(s.n_a AS BIGINT) AS n_a, CAST(s.n_b AS BIGINT) AS n_b,
+       FLOOR(sqrt(l2) / 1e4 * 1e6 + 0.5) / 1e6 AS l2_shift,
+       FLOOR(dot / sqrt(na2) / sqrt(nb2) * 1e6 + 0.5) / 1e6 AS cos_centroids
+FROM paired p JOIN sizes s ON p.label = s.label
+ORDER BY p.label
+""",
+)
+def embedding_drift_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitor: split each label's vectors into two
+    cohorts (vec_id parity stands in for the before/after snapshot),
+    compute both cohort centroids, and report the centroid L2 shift
+    and cosine similarity — the check a feature-store pipeline runs
+    when a new encoder version lands (centroids moving = downstream
+    ANN indexes and thresholds need re-tuning).
+
+    Determinism: centroids take the embedding_centroids convention
+    (ROUND(AVG, 4)) then quantize to exact 1e-4 ints, so all distance
+    algebra is integer sums + one correctly-rounded sqrt per term.
+
+    Plan shape: posexplode + partial-agg shuffle bounded by
+    |labels| x 2 x dim cells (the label_centroids shape — shuffle
+    carries partial sums, never vectors); the pairing join and the
+    report run on that census. Linear at 100 TB."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.pmod(F.col("vec_id"), F.lit(2)).alias("cohort"),
+        F.posexplode(F.transform("embedding", lambda v: v.cast("double"))).alias(
+            "pos0", "x"
+        ),
+    )
+    cent = (
+        exploded.groupBy("label", "cohort", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.round(F.avg("x"), 4) * 1e4)
+            .cast("long")
+            .alias("iu")
+        )
+    )
+    sizes = emb.groupBy("label").agg(
+        F.countDistinct(
+            F.when(F.pmod(F.col("vec_id"), F.lit(2)) == 0, F.col("vec_id"))
+        ).alias("n_a"),
+        F.countDistinct(
+            F.when(F.pmod(F.col("vec_id"), F.lit(2)) != 0, F.col("vec_id"))
+        ).alias("n_b"),
+    )
+    a = cent.filter(F.col("cohort") == 0).select(
+        "label", "pos", F.col("iu").alias("ia")
+    )
+    b = cent.filter(F.col("cohort") == 1).select(
+        "label", "pos", F.col("iu").alias("ib")
+    )
+    paired = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("ia") - F.col("ib")) * (F.col("ia") - F.col("ib"))).alias(
+                "l2"
+            ),
+            F.sum(F.col("ia") * F.col("ib")).alias("dot"),
+            F.sum(F.col("ia") * F.col("ia")).alias("na2"),
+            F.sum(F.col("ib") * F.col("ib")).alias("nb2"),
+        )
+    )
+    return (
+        paired.join(sizes, "label")
+        .select(
+            "label",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.floor(F.sqrt(F.col("l2")) / 1e4 * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("l2_shift"),
+            (
+                F.floor(
+                    F.col("dot")
+                    / F.sqrt(F.col("na2"))
+                    / F.sqrt(F.col("nb2"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("cos_centroids"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "streaming_topk_windowed",
+    # batch mirror of the watermarked windowed counts + per-window
+    # rank(3) with the (n_events DESC, event_type) tie-break
+    """
+WITH counts AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         event_type, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start,
+       CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                               ORDER BY n_events DESC, event_type) AS INT)
+         AS rank,
+       event_type, n_events
+FROM counts
+QUALIFY rank <= 3
+ORDER BY window_start, rank
+""",
+)
+def streaming_topk_windowed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-window top-k: the watermarked tumbling-window
+    count stream drained with Trigger.AvailableNow, then ranked to the
+    top-3 event types per hour — the 'trending now' board. The rank
+    runs OVER THE MATERIALIZED WINDOW AGGREGATE (complete-mode output
+    is |windows| x |types| rows), not the stream: per-window state in
+    flight stays the watermark-bounded count state, and the top-k is a
+    census-sized window pass per drain — the production shape is this
+    exact rank in the foreachBatch sink."""
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    mat = jobs.run_available_now(
+        jobs.windowed_counts(stream), "streaming_topk_windowed"
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        mat.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "rank", "event_type", "n_events")
+        .orderBy("window_start", "rank")
     )

@@ -146,3 +146,125 @@ def test_lateral_topk_matches_window(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_holt_recurrence_brute(spark, sf_dir):
+    """Replay Holt's recursion in plain Python per event type."""
+    rows = QUERIES["holt_linear_smoothing"](spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.day)
+        l, b = float(series[0].y), 0.0
+        assert (series[0].level, series[0].trend) == (
+            math.floor(l * 1e6 + 0.5) / 1e6,
+            0.0,
+        )
+        for prev, cur in zip(series, series[1:]):
+            fitted = l + b
+            l_new = 0.5 * cur.y + 0.5 * (l + b)
+            b = 0.3 * (l_new - l) + 0.7 * b
+            l = l_new
+            assert cur.fitted == math.floor(fitted * 1e6 + 0.5) / 1e6
+            assert cur.level == math.floor(l * 1e6 + 0.5) / 1e6
+            assert cur.trend == math.floor(b * 1e6 + 0.5) / 1e6
+
+
+def test_mann_kendall_brute(spark, sf_dir):
+    from collections import Counter
+
+    rows = QUERIES["mann_kendall_trend"](spark, sf_dir).collect()
+    counts: dict = {}
+    for r in (
+        load_events(spark, sf_dir)
+        .select("event_type", F.col("ts").cast("date").alias("d"))
+        .collect()
+    ):
+        counts.setdefault(r.event_type, Counter())[r.d] += 1
+    for r in rows:
+        ys = [v for _, v in sorted(counts[r.event_type].items())]
+        n = len(ys)
+        s = sum(
+            (1 if ys[j] > ys[i] else -1 if ys[j] < ys[i] else 0)
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        tie18 = sum(
+            t * (t - 1) * (2 * t + 5) for t in Counter(ys).values()
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie18
+        assert (r.n_days, r.s, r.var18) == (n, s, var18)
+        if s > 0:
+            z = (s - 1) / math.sqrt(var18 / 18.0)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var18 / 18.0)
+        else:
+            z = 0.0
+        assert r.z == math.floor(z * 1e4 + 0.5) / 1e4
+
+
+def test_fd_audit_brute(spark, sf_dir):
+    rows = {r.fd: r for r in QUERIES["functional_dependency_audit"](spark, sf_dir).collect()}
+    assert rows["nation: n_name -> n_regionkey"].holds  # key-side FD
+    part = load_table(spark, sf_dir, "part").select("p_name", "p_brand").collect()
+    per = {}
+    for r in part:
+        per.setdefault(r.p_name, set()).add(r.p_brand)
+    got = rows["part: p_name -> p_brand"]
+    assert got.n_keys == len(per)
+    assert got.n_violating_keys == sum(1 for v in per.values() if len(v) > 1)
+    assert got.max_rhs_per_key == max(len(v) for v in per.values())
+    assert got.holds == (got.n_violating_keys == 0)
+
+
+def test_referential_integrity_clean_fixture(spark, sf_dir):
+    rows = QUERIES["referential_integrity_audit"](spark, sf_dir).collect()
+    assert len(rows) == 7
+    # driver fixtures are referentially consistent by construction
+    assert all(r.n_orphans == 0 and r.orphan_pct == 0.0 for r in rows)
+    assert all(r.n_child > 0 for r in rows)
+
+
+def test_embedding_drift_bounds(spark, sf_dir):
+    rows = QUERIES["embedding_drift_report"](spark, sf_dir).collect()
+    emb = load_table(spark, sf_dir, "embeddings")
+    sizes = {
+        r.label: (r.na, r.nb)
+        for r in emb.groupBy("label")
+        .agg(
+            F.count(F.when(F.col("vec_id") % 2 == 0, 1)).alias("na"),
+            F.count(F.when(F.col("vec_id") % 2 != 0, 1)).alias("nb"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert (r.n_a, r.n_b) == sizes[r.label]
+        assert -1.0 <= r.cos_centroids <= 1.0
+        assert r.l2_shift >= 0
+
+
+def test_streaming_topk_matches_batch(spark, sf_dir):
+    got = QUERIES["streaming_topk_windowed"](spark, sf_dir).collect()
+    batch = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            F.date_format(
+                F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    expect = (
+        batch.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "rank", "event_type", "n_events")
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
