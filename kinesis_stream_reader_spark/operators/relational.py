@@ -4896,3 +4896,126 @@ def kaplan_meier_survival(events: DataFrame, horizon_hours: int = 72) -> DataFra
         ).alias("survival"),
     )
     return out.orderBy("t")
+
+
+def logrank_test(events: DataFrame, horizon_hours: int = 72) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966, Peto & Peto 1972 — public
+    method) comparing time-to-first-purchase between the user_id-parity
+    arms, on the same subjects/censoring contract as
+    kaplan_meier_survival: at each event time, observed arm-0 events
+    vs the hypergeometric expectation d * n0/n, variance
+    d*(n0/n)*(1-n0/n)*(n-d)/(n-1); chi2 = (O-E)^2 / V summed over
+    event times — KM draws the two curves, this says whether they
+    differ.
+
+    Determinism: per-time O/E/V terms quantize to exact 1e-9 ints
+    BEFORE summation (float sums over the census would be
+    order-nondeterministic); the final chi2 is a fixed IEEE sequence.
+
+    Plan shape: one user_id shuffle to subjects, then everything runs
+    on the (arm, t) census (<=2*(horizon+1) cells): per-arm at-risk
+    prefix sums, the per-time 2x2 algebra, and a one-row reduce."""
+    us = 3_600_000_000
+    per_user = events.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("tp"),
+    )
+    dh = F.floor(
+        (F.unix_micros(F.col("tp")) - F.unix_micros(F.col("t0"))) / F.lit(us)
+    ).cast("long")
+    subj = per_user.select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+        F.when(F.col("tp").isNotNull() & (dh <= horizon_hours), dh)
+        .otherwise(F.lit(horizon_hours))
+        .alias("t"),
+        (F.col("tp").isNotNull() & (dh <= horizon_hours)).cast("int").alias(
+            "event"
+        ),
+    )
+    census = subj.groupBy("arm", "t").agg(
+        F.count("*").alias("n_at"), F.sum("event").alias("d")
+    )
+    w_arm = (
+        Window.partitionBy("arm")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("arm")
+    risk = census.select(
+        "arm",
+        "t",
+        "d",
+        (
+            F.sum("n_at").over(w_tot)
+            - F.coalesce(F.sum("n_at").over(w_arm), F.lit(0))
+        ).alias("n_risk"),
+    )
+    a0 = risk.filter(F.col("arm") == 0).select(
+        "t", F.col("d").alias("d0"), F.col("n_risk").alias("n0")
+    )
+    a1 = risk.filter(F.col("arm") == 1).select(
+        "t", F.col("d").alias("d1"), F.col("n_risk").alias("n1")
+    )
+    # an arm with no subject AT this exact time still has everyone
+    # not-yet-failed at risk; reconstruct its n_risk from the nearest
+    # later census row is overkill at census scale — instead join on
+    # the UNION of times with per-arm LOCF on at-risk counts
+    times = a0.select("t").union(a1.select("t")).distinct()
+    w_locf = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    g0 = times.join(a0, "t", "left").select(
+        "t",
+        F.coalesce(F.col("d0"), F.lit(0)).alias("d0"),
+        F.last("n0", ignorenulls=True)
+        .over(Window.orderBy(F.col("t").desc()).rowsBetween(Window.unboundedPreceding, 0))
+        .alias("n0"),
+    )
+    g1 = times.join(a1, "t", "left").select(
+        "t",
+        F.coalesce(F.col("d1"), F.lit(0)).alias("d1"),
+        F.last("n1", ignorenulls=True)
+        .over(Window.orderBy(F.col("t").desc()).rowsBetween(Window.unboundedPreceding, 0))
+        .alias("n1"),
+    )
+    both = (
+        g0.join(g1, "t")
+        .select(
+            "t",
+            "d0",
+            "d1",
+            F.coalesce(F.col("n0"), F.lit(0)).alias("n0"),
+            F.coalesce(F.col("n1"), F.lit(0)).alias("n1"),
+        )
+        .withColumn("d", F.col("d0") + F.col("d1"))
+        .withColumn("n", F.col("n0") + F.col("n1"))
+        .filter((F.col("d") > 0) & (F.col("n") > 1))
+    )
+    frac0 = F.col("n0").cast("double") / F.col("n").cast("double")
+    e0 = F.col("d").cast("double") * frac0
+    v = (
+        F.col("d").cast("double")
+        * frac0
+        * (F.lit(1.0) - frac0)
+        * (F.col("n") - F.col("d")).cast("double")
+        / (F.col("n") - 1).cast("double")
+    )
+    terms = both.select(
+        "d0",
+        F.floor(e0 * 1e9 + F.lit(0.5)).cast("long").alias("e0q"),
+        F.floor(v * 1e9 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    agg = terms.agg(
+        F.count("*").alias("n_times"),
+        F.sum("d0").alias("o0"),
+        F.sum("e0q").alias("se0"),
+        F.sum("vq").alias("sv"),
+    )
+    num = F.col("o0").cast("double") - F.col("se0") / F.lit(1e9)
+    chi2 = num * num / (F.col("sv") / F.lit(1e9))
+    q = lambda c, s: F.floor(c * F.lit(s) + F.lit(0.5)) / F.lit(s)  # noqa: E731
+    return agg.select(
+        F.col("n_times").cast("long").alias("n_times"),
+        F.col("o0").cast("long").alias("o0"),
+        q(F.col("se0") / F.lit(1e9), 1e6).alias("e0"),
+        q(chi2, 1e4).alias("chi2"),
+        (chi2 > 3.841).alias("significant"),
+    )

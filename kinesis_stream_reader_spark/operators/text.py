@@ -2336,3 +2336,146 @@ def pr_curve_points(documents: DataFrame) -> DataFrame:
         ),
         (F.floor(rec * 1e6 + F.lit(0.5)) / 1e6).alias("recall"),
     ).orderBy(F.col("threshold").desc())
+
+
+def isotonic_calibration(
+    documents: DataFrame, bin_width_u: float = 250.0
+) -> DataFrame:
+    """Isotonic (monotone) calibration of the quality classifier via
+    the MINIMAX identity: the weighted isotonic L2 fit at bin t equals
+    max_{i<=t} min_{j>=t} wavg(pos_rate over bins i..j) — exactly the
+    pool-adjacent-violators solution (Barlow et al. 1972 — public
+    method) without PAV's sequential stack, so it distributes: the
+    classic sequential algorithm becomes census algebra.
+
+    calibration_report shows WHERE the reliability curve inverts;
+    this produces the monotone score->probability map a gate actually
+    deploys.
+
+    Plan shape: scoring is the quality_model_score codegen pass; the
+    census is one partial-agg shuffle bounded by the bin domain
+    (~25 cells); the minimax is a 3-way census self-join
+    (O(bins^3/6) ~ 2.6k rows) grouped twice — all cell-bounded, never
+    row-bounded. Determinism: prefix sums are exact ints; each
+    weighted average is ONE IEEE division; min/max over exact doubles."""
+    scored = quality_model_score(documents).join(
+        documents.select("doc_id", (F.col("lang") == "en").alias("pos")), "doc_id"
+    )
+    lu = F.floor(F.col("logit") * 1e4 + F.lit(0.5)).cast("long")
+    census = (
+        scored.select(
+            F.floor(lu / F.lit(bin_width_u)).cast("long").alias("bin"),
+            F.col("pos").cast("int").alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("pos").alias("n_pos"))
+    )
+    wp = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = census.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.row_number().over(Window.orderBy("bin")).alias("rn"),
+        F.sum("n").over(wp).alias("cn"),
+        F.sum("n_pos").over(wp).alias("cp"),
+    )
+    i = pre.select(
+        F.col("rn").alias("i_rn"),
+        (F.col("cn") - F.col("n")).alias("nprev"),
+        (F.col("cp") - F.col("n_pos")).alias("pprev"),
+    )
+    j = pre.select(
+        F.col("rn").alias("j_rn"),
+        F.col("cn").alias("cnj"),
+        F.col("cp").alias("cpj"),
+    )
+    t = pre.select("bin", "n", "n_pos", F.col("rn").alias("t_rn"))
+    avg_ij = (F.col("cpj") - F.col("pprev")).cast("double") / (
+        F.col("cnj") - F.col("nprev")
+    ).cast("double")
+    inner = (
+        t.join(F.broadcast(i), F.col("i_rn") <= F.col("t_rn"))
+        .join(
+            F.broadcast(j),
+            F.col("j_rn") >= F.col("t_rn"),
+        )
+        .select("bin", "n", "n_pos", "t_rn", "i_rn", avg_ij.alias("a"))
+        .groupBy("bin", "n", "n_pos", "t_rn", "i_rn")
+        .agg(F.min("a").alias("mn"))
+    )
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        inner.groupBy("bin", "n", "n_pos")
+        .agg(F.max("mn").alias("fit"))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            q(F.col("n_pos").cast("double") / F.col("n").cast("double")).alias(
+                "pos_rate"
+            ),
+            q(F.col("fit")).alias("iso_fit"),
+        )
+        .orderBy("bin")
+    )
+
+
+def mrr_recall_eval(documents: DataFrame, k: int = 10) -> DataFrame:
+    """MRR and recall@k of the BM25 ranking under BINARY relevance
+    (a document is relevant iff it contains ALL the query's terms) —
+    the two retrieval metrics ndcg_eval's graded measure doesn't
+    capture: how soon the first fully-relevant hit appears, and what
+    fraction of the relevant set the cutoff recovers.
+
+    Plan shape: rides bm25_retrieval + the ndcg relevance census; the
+    metric joins run on queries x top-k rows. Determinism: ranks and
+    counts are exact ints; MRR/recall are single IEEE divisions."""
+    ranked = bm25_retrieval(documents, k=k)
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    toks = (
+        documents.select("doc_id", F.explode(F.split(normalized, " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    spark = documents.sparkSession
+    qterms = spark.createDataFrame(
+        [(1, "hash"), (1, "join"), (2, "sort"), (2, "merge"),
+         (3, "customer"), (3, "value")],
+        "query_id int, term string",
+    )
+    qsize = qterms.groupBy("query_id").agg(F.count("*").alias("n_terms"))
+    fullrel = (
+        toks.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("rel"))
+        .join(F.broadcast(qsize), "query_id")
+        .filter(F.col("rel") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    nrel = fullrel.groupBy("query_id").agg(F.count("*").alias("n_relevant"))
+    hits = ranked.join(fullrel, ["query_id", "doc_id"]).groupBy("query_id").agg(
+        F.min("rank").alias("first_rank"),
+        F.count("*").alias("n_hits"),
+    )
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        nrel.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_relevant").cast("long").alias("n_relevant"),
+            F.coalesce(F.col("first_rank"), F.lit(0)).cast("long").alias(
+                "first_rank"
+            ),
+            q(
+                F.when(
+                    F.col("first_rank").isNotNull(),
+                    F.lit(1.0) / F.col("first_rank"),
+                ).otherwise(F.lit(0.0))
+            ).alias("mrr"),
+            q(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / F.col("n_relevant").cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -2001,7 +2001,8 @@ _PRIORITY = [
     "cuped_adjustment", "join_lateral_topk", "holt_linear_smoothing",
     "mann_kendall_trend", "functional_dependency_audit",
     "referential_integrity_audit", "embedding_drift_report",
-    "streaming_topk_windowed",
+    "streaming_topk_windowed", "isotonic_calibration", "logrank_test",
+    "jackknife_ratio_ci", "spearman_daily", "mrr_recall_eval",
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
@@ -14026,3 +14027,374 @@ def streaming_topk_windowed_query(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("window_start", "rank", "event_type", "n_events")
         .orderBy("window_start", "rank")
     )
+
+
+@register(
+    "isotonic_calibration",
+    # same quality-model CTE; minimax identity over the bin census:
+    # iso(t) = max_{i<=t} min_{j>=t} wavg(i..j), each wavg ONE division
+    f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         len({_TOKS})::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           AS n_stop,
+         (length(text) - length(replace(text, '.', '')))::DOUBLE AS n_dots
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), z AS (
+  SELECT f.doc_id, f.lang = 'en' AS is_pos,
+         (SELECT w FROM wts WHERE i = 0) * (n_tokens / 100.0)
+         + (SELECT w FROM wts WHERE i = 1) * (n_stop / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 2) * (n_chars / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 3) * (n_dots / (n_chars + 1.0))
+         + (SELECT w FROM wts WHERE i = 4) AS z
+  FROM f
+), census AS (
+  SELECT CAST(FLOOR(CAST(FLOOR(z * 1e4 + 0.5) AS BIGINT) / 250.0) AS BIGINT)
+           AS bin,
+         COUNT(*) AS n,
+         COUNT(CASE WHEN is_pos THEN 1 END) AS n_pos
+  FROM z GROUP BY 1
+), pre AS (
+  SELECT bin, n, n_pos,
+         ROW_NUMBER() OVER (ORDER BY bin) AS rn,
+         SUM(n) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         SUM(n_pos) OVER (ORDER BY bin
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp
+  FROM census
+), inner_min AS (
+  SELECT t.bin, t.n, t.n_pos, t.rn AS t_rn, i.rn AS i_rn,
+         MIN(CAST(j.cp - (i.cp - i.n_pos) AS DOUBLE)
+             / CAST(j.cn - (i.cn - i.n) AS DOUBLE)) AS mn
+  FROM pre t
+  JOIN pre i ON i.rn <= t.rn
+  JOIN pre j ON j.rn >= t.rn
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT bin, CAST(n AS BIGINT) AS n, CAST(n_pos AS BIGINT) AS n_pos,
+       FLOOR(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS pos_rate,
+       FLOOR(MAX(mn) * 1e6 + 0.5) / 1e6 AS iso_fit
+FROM inner_min GROUP BY bin, n, n_pos ORDER BY bin
+""",
+)
+def isotonic_calibration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.isotonic_calibration(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "logrank_test",
+    # oracle computes per-arm at-risk sets by direct census-scale
+    # counting (values identical to the engine's LOCF construction);
+    # O/E/V terms quantize at 1e-9 before summation on both engines
+    """
+WITH per_user AS (
+  SELECT user_id, MIN(ts) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+  FROM events GROUP BY 1
+), subj AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN tp IS NOT NULL AND dh <= 72 THEN dh ELSE 72 END AS t,
+         CASE WHEN tp IS NOT NULL AND dh <= 72 THEN 1 ELSE 0 END AS event
+  FROM (SELECT user_id, tp,
+               (epoch_us(tp) - epoch_us(t0)) // 3600000000 AS dh
+        FROM per_user)
+), times AS (
+  SELECT DISTINCT t FROM subj
+), cells AS (
+  SELECT ti.t,
+         (SELECT COALESCE(SUM(s.event), 0) FROM subj s
+          WHERE s.arm = 0 AND s.t = ti.t) AS d0,
+         (SELECT COALESCE(SUM(s.event), 0) FROM subj s
+          WHERE s.arm = 1 AND s.t = ti.t) AS d1,
+         (SELECT COUNT(*) FROM subj s
+          WHERE s.arm = 0 AND s.t >= ti.t) AS n0,
+         (SELECT COUNT(*) FROM subj s
+          WHERE s.arm = 1 AND s.t >= ti.t) AS n1
+  FROM times ti
+), terms AS (
+  SELECT d0,
+         CAST(FLOOR(CAST(d AS DOUBLE) * frac0 * 1e9 + 0.5) AS BIGINT) AS e0q,
+         CAST(FLOOR(CAST(d AS DOUBLE) * frac0 * (1.0 - frac0)
+                    * CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                    * 1e9 + 0.5) AS BIGINT) AS vq
+  FROM (SELECT d0, d1, d0 + d1 AS d, n0 + n1 AS n,
+               CAST(n0 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE) AS frac0
+        FROM cells)
+  WHERE d > 0 AND n > 1
+), agg AS (
+  SELECT COUNT(*) AS n_times, SUM(d0) AS o0, SUM(e0q) AS se0, SUM(vq) AS sv
+  FROM terms
+)
+SELECT CAST(n_times AS BIGINT) AS n_times, CAST(o0 AS BIGINT) AS o0,
+       FLOOR(se0 / 1e9 * 1e6 + 0.5) / 1e6 AS e0,
+       FLOOR((CAST(o0 AS DOUBLE) - se0 / 1e9) * (CAST(o0 AS DOUBLE) - se0 / 1e9)
+             / (sv / 1e9) * 1e4 + 0.5) / 1e4 AS chi2,
+       (CAST(o0 AS DOUBLE) - se0 / 1e9) * (CAST(o0 AS DOUBLE) - se0 / 1e9)
+         / (sv / 1e9) > 3.841 AS significant
+FROM agg
+""",
+)
+def logrank_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.logrank_test(load_events(spark, sf_dir))
+
+
+@register(
+    "jackknife_ratio_ci",
+    # delete-one-bucket ratio estimates quantized at 1e-4 BEFORE the
+    # variance sum (exact ints end-to-end); se/CI are fixed IEEE
+    """
+WITH b AS (
+  SELECT user_id % 32 AS g,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS s,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS c
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS gn, SUM(s) AS st, SUM(c) AS ct FROM b
+), rq AS (
+  SELECT CAST(FLOOR(CAST(tot.st - b.s AS DOUBLE)
+                    / CAST(tot.ct - b.c AS DOUBLE) * 1e4 + 0.5) AS BIGINT) AS r
+  FROM b CROSS JOIN tot
+), dev AS (
+  SELECT SUM((t.gn * rq.r - s.srq) * (t.gn * rq.r - s.srq)) AS sumdev2
+  FROM rq CROSS JOIN (SELECT SUM(r) AS srq FROM rq) s CROSS JOIN tot t
+), fin AS (
+  SELECT t.gn, CAST(t.st AS DOUBLE) / t.ct AS r_c,
+         sqrt((t.gn - 1.0) / t.gn * CAST(d.sumdev2 AS DOUBLE)) / t.gn / 1e4
+           AS se_c
+  FROM tot t CROSS JOIN dev d
+)
+SELECT CAST(gn AS BIGINT) AS n_buckets,
+       FLOOR(r_c / 100.0 * 1e6 + 0.5) / 1e6 AS ratio,
+       FLOOR(se_c / 100.0 * 1e6 + 0.5) / 1e6 AS jk_se,
+       FLOOR((r_c - 1.96 * se_c) / 100.0 * 1e6 + 0.5) / 1e6 AS ci_lo,
+       FLOOR((r_c + 1.96 * se_c) / 100.0 * 1e6 + 0.5) / 1e6 AS ci_hi
+FROM fin
+""",
+)
+def jackknife_ratio_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife CI (Quenouille/Tukey — public
+    method) for a RATIO metric (purchase revenue per click), the
+    estimator A/B platforms use because a ratio of sums has no simple
+    closed-form variance: split users into 32 hash buckets, recompute
+    the ratio with each bucket deleted, and take the jackknife
+    variance of the 32 leave-one-out estimates.
+
+    Determinism: bucket sums are exact centi-ints; each leave-one-out
+    ratio quantizes at 1e-4 BEFORE the variance accumulation, so the
+    deviation sum is exact integer algebra (a float sum over buckets
+    would be order-nondeterministic); se/CI are fixed IEEE sequences.
+
+    Plan shape: one partial-agg shuffle to 32 bucket rows; everything
+    after is census algebra. The bucket count is the scale knob — at
+    100 TB you'd use 256 buckets, still census-sized."""
+    events = load_events(spark, sf_dir)
+    vu = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    b = events.groupBy(F.pmod(F.col("user_id"), F.lit(32)).alias("g")).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", vu).otherwise(0)
+        ).alias("s"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+    )
+    tot = b.agg(
+        F.count("*").alias("gn"), F.sum("s").alias("st"), F.sum("c").alias("ct")
+    )
+    rq = b.join(F.broadcast(tot)).select(
+        F.floor(
+            (F.col("st") - F.col("s")).cast("double")
+            / (F.col("ct") - F.col("c")).cast("double")
+            * 1e4
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("r"),
+        "gn",
+    )
+    srq = rq.agg(F.sum("r").alias("srq"))
+    dev = (
+        rq.join(F.broadcast(srq))
+        .select(
+            ((F.col("gn") * F.col("r") - F.col("srq"))
+             * (F.col("gn") * F.col("r") - F.col("srq"))).alias("d2")
+        )
+        .agg(F.sum("d2").alias("sumdev2"))
+    )
+    fin = tot.join(F.broadcast(dev)).select(
+        "gn",
+        (F.col("st").cast("double") / F.col("ct")).alias("r_c"),
+        (
+            F.sqrt(
+                (F.col("gn") - F.lit(1.0))
+                / F.col("gn")
+                * F.col("sumdev2").cast("double")
+            )
+            / F.col("gn")
+            / F.lit(1e4)
+        ).alias("se_c"),
+    )
+    q = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return fin.select(
+        F.col("gn").cast("long").alias("n_buckets"),
+        q(F.col("r_c") / 100.0).alias("ratio"),
+        q(F.col("se_c") / 100.0).alias("jk_se"),
+        q((F.col("r_c") - 1.96 * F.col("se_c")) / 100.0).alias("ci_lo"),
+        q((F.col("r_c") + 1.96 * F.col("se_c")) / 100.0).alias("ci_hi"),
+    )
+
+
+@register(
+    "spearman_daily",
+    # midranks doubled to stay integral (2mr = 2*min_rank + ties - 1);
+    # Spearman = Pearson over exact midrank moments
+    """
+WITH census AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), ranked AS (
+  SELECT 2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1
+           AS a,
+         2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1
+           AS b
+  FROM census
+), m AS (
+  SELECT COUNT(*) AS n, SUM(a) AS sa, SUM(b) AS sb, SUM(a * b) AS sab,
+         SUM(a * a) AS saa, SUM(b * b) AS sbb
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       FLOOR(CAST(n * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+             / sqrt(CAST(n * sbb - sb * sb AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         AS rho
+FROM m
+""",
+)
+def spearman_daily_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between daily order count and daily
+    revenue — the robust monotone-association twin of agg_correlation's
+    Pearson (rank-based, so outlier days can't dominate). Midranks are
+    kept as exact integers by DOUBLING (2mr = 2*min_rank + ties - 1),
+    so all correlation moments are exact and the only float ops are
+    the final division over two correctly-rounded sqrts.
+
+    Plan shape: one partial-agg shuffle to the day census (~30 cells);
+    ranks and moments run on the census. Linear at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    census = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("x"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("y"),
+    )
+    ranked = census.select(
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count("*").over(Window.partitionBy("x"))
+            - 1
+        ).alias("a"),
+        (
+            2 * F.rank().over(Window.orderBy("y"))
+            + F.count("*").over(Window.partitionBy("y"))
+            - 1
+        ).alias("b"),
+    )
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    rho = (
+        (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")).cast("double")
+        / F.sqrt((F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double"))
+        / F.sqrt((F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")).cast("double"))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_days"),
+        (F.floor(rho * 1e6 + F.lit(0.5)) / 1e6).alias("rho"),
+    )
+
+
+@register(
+    "mrr_recall_eval",
+    # binary relevance = contains ALL query terms; first-rank/hits
+    # over the bm25 top-10 (same CTE as ndcg_eval's relevance census)
+    _TOKS_CTE
+    + """
+, q(query_id, term) AS (
+  VALUES (1,'hash'),(1,'join'),(2,'sort'),(2,'merge'),(3,'customer'),(3,'value')
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), tot AS (
+  SELECT COUNT(*) AS s_tokens, COUNT(DISTINCT doc_id) AS n_docs FROM toks
+), part AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(FLOOR(
+           (LN(1.0 + (tot.n_docs - df.df + 0.5) / (df.df + 0.5))
+            * (tf.tf * 2.2)
+            / (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / (tot.s_tokens / CAST(tot.n_docs AS DOUBLE))))))
+           * 1e6 + 0.5) AS BIGINT) AS su
+  FROM tf
+  JOIN q USING (term)
+  JOIN dl USING (doc_id)
+  JOIN df USING (term)
+  CROSS JOIN tot
+), agg AS (
+  SELECT query_id, doc_id, SUM(su) AS su FROM part GROUP BY query_id, doc_id
+), ranked AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY su DESC, doc_id) AS rank
+  FROM agg QUALIFY rank <= 10
+), qsize AS (
+  SELECT query_id, COUNT(*) AS n_terms FROM q GROUP BY 1
+), fullrel AS (
+  SELECT r.query_id, r.doc_id
+  FROM (SELECT q.query_id, t.doc_id, COUNT(*) AS rel
+        FROM (SELECT DISTINCT doc_id, term FROM toks) t JOIN q USING (term)
+        GROUP BY 1, 2) r
+  JOIN qsize USING (query_id)
+  WHERE r.rel = qsize.n_terms
+), nrel AS (
+  SELECT query_id, COUNT(*) AS n_relevant FROM fullrel GROUP BY 1
+), hits AS (
+  SELECT r.query_id, MIN(r.rank) AS first_rank, COUNT(*) AS n_hits
+  FROM ranked r JOIN fullrel f
+    ON r.query_id = f.query_id AND r.doc_id = f.doc_id
+  GROUP BY 1
+)
+SELECT n.query_id, CAST(n.n_relevant AS BIGINT) AS n_relevant,
+       CAST(COALESCE(h.first_rank, 0) AS BIGINT) AS first_rank,
+       FLOOR(CASE WHEN h.first_rank IS NOT NULL THEN 1.0 / h.first_rank
+                  ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS mrr,
+       FLOOR(CAST(COALESCE(h.n_hits, 0) AS DOUBLE)
+             / CAST(n.n_relevant AS DOUBLE) * 1e6 + 0.5) / 1e6 AS recall_at_k
+FROM nrel n LEFT JOIN hits h ON n.query_id = h.query_id
+ORDER BY n.query_id
+""",
+)
+def mrr_recall_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.mrr_recall_eval(load_table(spark, sf_dir, "documents"))

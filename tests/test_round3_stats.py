@@ -268,3 +268,163 @@ def test_streaming_topk_matches_batch(spark, sf_dir):
         .collect()
     )
     assert sorted(map(tuple, got)) == sorted(map(tuple, expect))
+
+
+def test_isotonic_matches_pav_brute(spark, sf_dir):
+    """The minimax construction must equal classic sequential
+    weighted PAV on the same bin census."""
+    rows = QUERIES["isotonic_calibration"](spark, sf_dir).collect()
+    fits = [r.iso_fit for r in rows]
+    assert all(a <= b for a, b in zip(fits, fits[1:]))  # monotone
+    # sequential pool-adjacent-violators over (n, n_pos) in bin order
+    blocks = []  # [sum_pos, sum_n]
+    for r in rows:
+        blocks.append([r.n_pos, r.n])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):
+            p, n = blocks.pop()
+            blocks[-1][0] += p
+            blocks[-1][1] += n
+    pav = []
+    for p, n in blocks:
+        pav.extend([p / n] * 0)  # lengths handled below
+    # expand blocks back over bins
+    expanded = []
+    bi = 0
+    for p, n in blocks:
+        covered = 0
+        while covered < n:
+            covered += rows[bi].n
+            expanded.append(p / n)
+            bi += 1
+    assert len(expanded) == len(rows)
+    for r, e in zip(rows, expanded):
+        assert r.iso_fit == math.floor(e * 1e6 + 0.5) / 1e6
+
+
+def test_logrank_brute(spark, sf_dir):
+    row = QUERIES["logrank_test"](spark, sf_dir).collect()[0]
+    ev = load_events(spark, sf_dir).select("user_id", "ts", "event_type").collect()
+    first, purch = {}, {}
+    for r in ev:
+        u = r.user_id
+        if u not in first or r.ts < first[u]:
+            first[u] = r.ts
+        if r.event_type == "purchase" and (u not in purch or r.ts < purch[u]):
+            purch[u] = r.ts
+    subj = []
+    for u, t0 in first.items():
+        dh = (
+            int((purch[u] - t0).total_seconds() // 3600) if u in purch else None
+        )
+        if dh is not None and dh <= 72:
+            subj.append((u % 2, dh, 1))
+        else:
+            subj.append((u % 2, 72, 0))
+    times = sorted({t for _, t, _ in subj})
+    o0 = se0 = sv = 0
+    n_times = 0
+    for t in times:
+        d0 = sum(1 for a, tt, e in subj if a == 0 and tt == t and e)
+        d1 = sum(1 for a, tt, e in subj if a == 1 and tt == t and e)
+        n0 = sum(1 for a, tt, _ in subj if a == 0 and tt >= t)
+        n1 = sum(1 for a, tt, _ in subj if a == 1 and tt >= t)
+        d, n = d0 + d1, n0 + n1
+        if d == 0 or n <= 1:
+            continue
+        n_times += 1
+        o0 += d0
+        frac0 = n0 / n
+        se0 += math.floor(d * frac0 * 1e9 + 0.5)
+        sv += math.floor(d * frac0 * (1.0 - frac0) * (n - d) / (n - 1) * 1e9 + 0.5)
+    assert (row.n_times, row.o0) == (n_times, o0)
+    assert row.e0 == math.floor(se0 / 1e9 * 1e6 + 0.5) / 1e6
+    chi2 = (o0 - se0 / 1e9) ** 2 / (sv / 1e9)
+    assert row.chi2 == math.floor(chi2 * 1e4 + 0.5) / 1e4
+    assert row.significant == (chi2 > 3.841)
+
+
+def test_jackknife_brute(spark, sf_dir):
+    row = QUERIES["jackknife_ratio_ci"](spark, sf_dir).collect()[0]
+    ev = load_events(spark, sf_dir).select("user_id", "event_type", "value").collect()
+    S: dict = {}
+    C: dict = {}
+    for r in ev:
+        g = r.user_id % 32
+        S.setdefault(g, 0)
+        C.setdefault(g, 0)
+        if r.event_type == "purchase":
+            S[g] += math.floor(r.value * 100 + 0.5)
+        elif r.event_type == "click":
+            C[g] += 1
+    buckets = sorted(S)
+    st, ct, G = sum(S.values()), sum(C.values()), len(buckets)
+    rqs = [math.floor((st - S[g]) / (ct - C[g]) * 1e4 + 0.5) for g in buckets]
+    srq = sum(rqs)
+    sumdev2 = sum((G * r - srq) ** 2 for r in rqs)
+    se_c = math.sqrt((G - 1.0) / G * sumdev2) / G / 1e4
+    r_c = st / ct
+    assert row.n_buckets == G
+    assert row.ratio == math.floor(r_c / 100.0 * 1e6 + 0.5) / 1e6
+    assert row.jk_se == math.floor(se_c / 100.0 * 1e6 + 0.5) / 1e6
+    assert row.ci_lo <= row.ratio <= row.ci_hi
+
+
+def test_spearman_brute(spark, sf_dir):
+    row = QUERIES["spearman_daily"](spark, sf_dir).collect()[0]
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d"), "o_totalprice"
+    ).collect()
+    days: dict = {}
+    for r in orders:
+        x, y = days.get(r.d, (0, 0))
+        days[r.d] = (x + 1, y + math.floor(r.o_totalprice * 100 + 0.5))
+    xs = [v[0] for v in days.values()]
+    ys = [v[1] for v in days.values()]
+
+    def midranks2(vals):
+        out = []
+        for v in vals:
+            less = sum(1 for w in vals if w < v)
+            ties = sum(1 for w in vals if w == v)
+            out.append(2 * (less + 1) + ties - 1)
+        return out
+
+    a, b = midranks2(xs), midranks2(ys)
+    n = len(a)
+    num = n * sum(p * q for p, q in zip(a, b)) - sum(a) * sum(b)
+    da = n * sum(p * p for p in a) - sum(a) ** 2
+    db = n * sum(q * q for q in b) - sum(b) ** 2
+    rho = num / math.sqrt(da) / math.sqrt(db)
+    assert row.n_days == n
+    assert row.rho == math.floor(rho * 1e6 + 0.5) / 1e6
+    assert -1 <= row.rho <= 1
+
+
+def test_mrr_recall_consistency(spark, sf_dir):
+    rows = QUERIES["mrr_recall_eval"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0 <= r.recall_at_k <= 1
+        if r.first_rank > 0:
+            assert r.mrr == math.floor(1.0 / r.first_rank * 1e6 + 0.5) / 1e6
+        else:
+            assert r.mrr == 0.0
+    # brute relevant sets: docs containing ALL terms of the query
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    import re as _re
+
+    qsets = {1: {"hash", "join"}, 2: {"sort", "merge"}, 3: {"customer", "value"}}
+    nrel = {q: 0 for q in qsets}
+    for d in docs:
+        toks = set(
+            t
+            for t in _re.sub(r"[^a-z0-9 ]", "", d.text.lower().strip()).split(" ")
+            if t
+        )
+        for q, terms in qsets.items():
+            if terms <= toks:
+                nrel[q] += 1
+    for r in rows:
+        assert r.n_relevant == nrel[r.query_id]
