@@ -5019,3 +5019,171 @@ def logrank_test(events: DataFrame, horizon_hours: int = 72) -> DataFrame:
         q(chi2, 1e4).alias("chi2"),
         (chi2 > 3.841).alias("significant"),
     )
+
+
+def seasonal_decompose(orders: DataFrame) -> DataFrame:
+    """Additive seasonal decomposition of the daily-revenue series
+    (classic moving-average method, Kendall & Stuart — public): trend =
+    centered 7-day moving average, seasonal = re-centered per-weekday
+    mean of the detrended series, residual = the rest. The engine adds
+    it as the diagnostic twin of holt_linear_smoothing — WHERE the
+    weekly cycle lives vs the smoothed level.
+
+    Determinism: the day census is exact cents; the trend is ONE IEEE
+    division of a 7-day integer sum, immediately re-quantized to exact
+    cents, so the detrended series is integer; weekday means and the
+    recentering mean are each one division over integer sums, quantized
+    back to cents before subtraction. Weekday comes from epoch-day mod
+    7 (identical arithmetic on both engines — no locale/DOW-origin
+    dependence).
+
+    Plan shape: one partial-agg shuffle to the ~2.4k-cell day census;
+    the 7-row frame, the 7-cell weekday census, and the final joins all
+    run on census-sized relations. Linear in fact rows at 100 TB."""
+    census = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("yc")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = census.select(
+        "day",
+        "yc",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.floor(
+                F.sum("yc").over(w7).cast("double") / F.lit(7.0) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("trend_c"),
+    ).withColumn(
+        "wd", F.pmod(F.datediff(F.col("day"), F.lit("1970-01-01")), F.lit(7))
+    )
+    det = trended.withColumn("det_c", F.col("yc") - F.col("trend_c"))
+    wk = (
+        det.filter(F.col("det_c").isNotNull())
+        .groupBy("wd")
+        .agg(
+            F.floor(
+                F.sum("det_c").cast("double") / F.count("*") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("raw_s")
+        )
+    )
+    center = wk.agg(
+        F.floor(F.sum("raw_s").cast("double") / F.count("*") + F.lit(0.5))
+        .cast("long")
+        .alias("mean_s")
+    )
+    seasonal = wk.join(F.broadcast(center)).select(
+        "wd", (F.col("raw_s") - F.col("mean_s")).alias("seasonal_c")
+    )
+    q2 = lambda c: F.floor(c.cast("double") / 100.0 * 100 + F.lit(0.5)) / 100.0  # noqa: E731
+    return (
+        det.join(F.broadcast(seasonal), "wd")
+        .select(
+            "day",
+            q2(F.col("yc")).alias("revenue"),
+            q2(F.col("trend_c")).alias("trend"),
+            q2(F.col("seasonal_c")).alias("seasonal"),
+            q2(
+                F.col("yc") - F.col("trend_c") - F.col("seasonal_c")
+            ).alias("residual"),
+        )
+        .filter(F.col("trend").isNotNull())
+        .orderBy("day")
+    )
+
+
+def shapley_attribution(events: DataFrame) -> DataFrame:
+    """EXACT Shapley-value attribution (Shapley 1953; marketing use per
+    Dalessandro et al. 2012 — public methods) of conversions to the
+    four touch channels (click/view/signup/error): coalition value
+    v(S) = number of converting users whose touch-channel set is a
+    subset of S, and each channel's credit is the classic weighted
+    marginal sum. With 4 channels the subset lattice has 16 cells, so
+    the whole computation is algebra over a 16-row census — no
+    sampling, no driver loop.
+
+    Determinism: phi is computed in units of 1/4! — the weights
+    |S|!*(4-|S|-1)! are the exact integers {6,2,2,6}, so phi24 is an
+    exact integer sum and sum(phi) = v(full) - v(empty) exactly
+    (efficiency property, asserted in tests).
+
+    Plan shape: ONE user_id shuffle builds the per-user channel
+    bitmask + converted flag; everything downstream (mask census,
+    subset lattice join, marginal sums) is broadcast algebra on <=64
+    rows. Linear in events at 100 TB."""
+    spark = events.sparkSession
+    ch = F.col("event_type")
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.max(F.when(ch == "click", 1).otherwise(0))
+            + F.max(F.when(ch == "view", 2).otherwise(0))
+            + F.max(F.when(ch == "signup", 4).otherwise(0))
+            + F.max(F.when(ch == "error", 8).otherwise(0))
+        ).alias("mask"),
+        F.max(F.when(ch == "purchase", 1).otherwise(0)).alias("conv"),
+    )
+    census = per_user.groupBy("mask").agg(F.sum("conv").alias("n_conv"))
+    subsets = spark.range(16).select(F.col("id").cast("int").alias("s"))
+    v = (
+        subsets.join(
+            F.broadcast(census),
+            F.expr("(mask & s) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
+    )
+    channels = spark.createDataFrame(
+        [(0, "click"), (1, "view"), (2, "signup"), (3, "error")],
+        "ch_bit int, channel string",
+    )
+    pairs = channels.join(
+        subsets, F.expr("((s >> ch_bit) & 1) = 0")
+    ).withColumn(
+        "size_s",
+        F.expr("((s >> 0) & 1) + ((s >> 1) & 1) + ((s >> 2) & 1) + ((s >> 3) & 1)"),
+    ).withColumn(
+        "w",
+        F.when(F.col("size_s") == 0, 6)
+        .when(F.col("size_s") == 3, 6)
+        .otherwise(2),
+    ).withColumn("s_with", F.expr("s | (1 << ch_bit)"))
+    vs = v.select(F.col("s").alias("vs_s"), F.col("v").alias("v_without"))
+    vw = v.select(F.col("s").alias("vw_s"), F.col("v").alias("v_with"))
+    phi = (
+        pairs.join(F.broadcast(vs), F.col("s") == F.col("vs_s"))
+        .join(F.broadcast(vw), F.col("s_with") == F.col("vw_s"))
+        .groupBy("ch_bit", "channel")
+        .agg(
+            F.sum(
+                F.col("w") * (F.col("v_with") - F.col("v_without"))
+            ).alias("phi24")
+        )
+    )
+    tot = phi.agg(F.sum("phi24").alias("tot24"))
+    return (
+        phi.join(F.broadcast(tot))
+        .select(
+            "channel",
+            F.col("phi24").cast("long").alias("phi24"),
+            (
+                F.floor(F.col("phi24").cast("double") / 24.0 * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("phi"),
+            (
+                F.floor(
+                    F.col("phi24").cast("double")
+                    / F.col("tot24").cast("double")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("credit_share"),
+        )
+        .orderBy("channel")
+    )

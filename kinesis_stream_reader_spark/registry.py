@@ -14398,3 +14398,407 @@ def mrr_recall_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.mrr_recall_eval(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "welch_ttest",
+    # exact centi-int moments per arm; every downstream float op is
+    # the SAME fixed IEEE expression tree on both engines
+    """
+WITH st AS (
+  SELECT user_id % 2 AS arm, COUNT(*) AS n,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS s1,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS s2
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), j AS (
+  SELECT a.n AS n0, a.s1 AS a1, a.s2 AS a2, b.n AS n1, b.s1 AS b1, b.s2 AS b2
+  FROM st a, st b WHERE a.arm = 0 AND b.arm = 1
+), c AS (
+  SELECT n0, n1,
+         CAST(a1 AS DOUBLE) / n0 AS m0, CAST(b1 AS DOUBLE) / n1 AS m1,
+         (CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / n0) / (n0 - 1) AS v0,
+         (CAST(b2 AS DOUBLE) - CAST(b1 AS DOUBLE) * b1 / n1) / (n1 - 1) AS v1
+  FROM j
+), t AS (
+  SELECT n0, n1, m0, m1,
+         (m1 - m0) / SQRT(v0 / n0 + v1 / n1) AS tstat,
+         (v0 / n0 + v1 / n1) * (v0 / n0 + v1 / n1)
+           / ((v0 / n0) * (v0 / n0) / (n0 - 1)
+              + (v1 / n1) * (v1 / n1) / (n1 - 1)) AS dof
+  FROM c
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       FLOOR(m0 / 100.0 * 1e4 + 0.5) / 1e4 AS mean0,
+       FLOOR(m1 / 100.0 * 1e4 + 0.5) / 1e4 AS mean1,
+       FLOOR(tstat * 1e4 + 0.5) / 1e4 AS t_stat,
+       FLOOR(dof * 1e2 + 0.5) / 1e2 AS welch_df,
+       ABS(tstat) > 1.96 AS significant
+FROM t
+""",
+)
+def welch_ttest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test (Welch 1947 — public method)
+    comparing mean purchase value between the user-parity arms — the
+    continuous-metric complement of ab_test_report's conversion z-test
+    (revenue metrics have unequal variances across arms; Student's
+    pooled test would be wrong).
+
+    Determinism: per-arm (n, sum, sum-of-squares) are exact centi-int
+    moments; mean/variance/t/Welch-Satterthwaite df are a fixed IEEE
+    expression tree evaluated identically on both engines.
+
+    Plan shape: ONE partial-agg shuffle to 2 arm rows; the test itself
+    is one-row algebra. Linear at 100 TB, no scale knob needed."""
+    events = load_events(spark, sf_dir)
+    vu = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    st = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.pmod(F.col("user_id"), F.lit(2)).alias("arm"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(vu).alias("s1"),
+            F.sum(vu * vu).alias("s2"),
+        )
+    )
+    a = st.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("s1").alias("a1"), F.col("s2").alias("a2")
+    )
+    b = st.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("s1").alias("b1"), F.col("s2").alias("b2")
+    )
+    j = a.join(F.broadcast(b))
+    m0 = F.col("a1").cast("double") / F.col("n0")
+    m1 = F.col("b1").cast("double") / F.col("n1")
+    v0 = (
+        F.col("a2").cast("double") - F.col("a1").cast("double") * F.col("a1") / F.col("n0")
+    ) / (F.col("n0") - 1)
+    v1 = (
+        F.col("b2").cast("double") - F.col("b1").cast("double") * F.col("b1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    c = j.select("n0", "n1", m0.alias("m0"), m1.alias("m1"), v0.alias("v0"), v1.alias("v1"))
+    tstat = (F.col("m1") - F.col("m0")) / F.sqrt(
+        F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1")
+    )
+    dof = (
+        (F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1"))
+        * (F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1"))
+    ) / (
+        (F.col("v0") / F.col("n0")) * (F.col("v0") / F.col("n0")) / (F.col("n0") - 1)
+        + (F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1")) / (F.col("n1") - 1)
+    )
+    t = c.select("n0", "n1", "m0", "m1", tstat.alias("tstat"), dof.alias("dof"))
+    return t.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        (F.floor(F.col("m0") / 100.0 * 1e4 + F.lit(0.5)) / 1e4).alias("mean0"),
+        (F.floor(F.col("m1") / 100.0 * 1e4 + F.lit(0.5)) / 1e4).alias("mean1"),
+        (F.floor(F.col("tstat") * 1e4 + F.lit(0.5)) / 1e4).alias("t_stat"),
+        (F.floor(F.col("dof") * 1e2 + F.lit(0.5)) / 1e2).alias("welch_df"),
+        (F.abs(F.col("tstat")) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "kendall_tau_daily",
+    # concordant/discordant pair counts over the day census; the pair
+    # relation is census^2/2 — bounded by distinct days, never by rows
+    """
+WITH census AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS x,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by_
+  FROM census a JOIN census b ON a.day < b.day
+), cnt AS (
+  SELECT COUNT(*) AS n0,
+         SUM(CASE WHEN (ax - bx) * (ay - by_) > 0 THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN (ax - bx) * (ay - by_) < 0 THEN 1 ELSE 0 END) AS d,
+         SUM(CASE WHEN ax = bx THEN 1 ELSE 0 END) AS tx,
+         SUM(CASE WHEN ay = by_ THEN 1 ELSE 0 END) AS ty
+  FROM p
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM census) AS n_days,
+       CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+       FLOOR(CAST(c - d AS DOUBLE) / SQRT(CAST(n0 - tx AS DOUBLE))
+             / SQRT(CAST(n0 - ty AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS tau_b
+FROM cnt
+""",
+)
+def kendall_tau_daily_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (Kendall 1938 — public method) between daily order
+    count and daily revenue — the pair-based monotone-association
+    measure beside spearman_daily's rank-based rho (tau has a direct
+    probabilistic reading: P(concordant) - P(discordant)).
+
+    Determinism: all pair classifications and tie counts are exact
+    integer comparisons on the centi-int census; tau_b is one fixed
+    IEEE sequence over two correctly-rounded sqrts.
+
+    Plan shape: one partial-agg shuffle to the ~2.4k-cell day census;
+    the i<j pair relation (~2.9M cells) is a broadcast theta join over
+    the CENSUS — its size depends on distinct days, not on fact rows,
+    so it is flat at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    census = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count("*").alias("x"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("y"),
+    )
+    a = census.select(F.col("day").alias("ad"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = census.select(F.col("day").alias("bd"), F.col("x").alias("bx"), F.col("y").alias("by_"))
+    p = a.join(F.broadcast(b), F.col("ad") < F.col("bd"))
+    cnt = p.agg(
+        F.count("*").alias("n0"),
+        F.sum(
+            F.when((F.col("ax") - F.col("bx")) * (F.col("ay") - F.col("by_")) > 0, 1).otherwise(0)
+        ).alias("c"),
+        F.sum(
+            F.when((F.col("ax") - F.col("bx")) * (F.col("ay") - F.col("by_")) < 0, 1).otherwise(0)
+        ).alias("d"),
+        F.sum(F.when(F.col("ax") == F.col("bx"), 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(F.col("ay") == F.col("by_"), 1).otherwise(0)).alias("ty"),
+    )
+    nd = census.agg(F.count("*").cast("long").alias("n_days"))
+    tau = (
+        (F.col("c") - F.col("d")).cast("double")
+        / F.sqrt((F.col("n0") - F.col("tx")).cast("double"))
+        / F.sqrt((F.col("n0") - F.col("ty")).cast("double"))
+    )
+    return cnt.join(F.broadcast(nd)).select(
+        "n_days",
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        (F.floor(tau * 1e6 + F.lit(0.5)) / 1e6).alias("tau_b"),
+    )
+
+
+@register(
+    "srm_check",
+    # sample-ratio-mismatch guardrail: distinct users per arm vs the
+    # designed 50/50 split, 1-df chi-square
+    """
+WITH pu AS (SELECT DISTINCT user_id, user_id % 2 AS arm FROM events),
+st AS (SELECT arm, COUNT(*) AS n FROM pu GROUP BY 1),
+j AS (
+  SELECT a.n AS n0, b.n AS n1 FROM st a, st b WHERE a.arm = 0 AND b.arm = 1
+), c AS (
+  SELECT n0, n1, CAST(n0 + n1 AS DOUBLE) / 2.0 AS e FROM j
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       FLOOR(((n0 - e) * (n0 - e) / e + (n1 - e) * (n1 - e) / e) * 1e4 + 0.5)
+         / 1e4 AS chi2,
+       ((n0 - e) * (n0 - e) / e + (n1 - e) * (n1 - e) / e) > 3.841
+         AS srm_detected
+FROM c
+""",
+)
+def srm_check_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check (Fabijan et al. 2019 — public
+    method): the A/B platform guardrail that fires BEFORE any metric is
+    read — if the observed user split deviates from the designed 50/50
+    beyond chi-square noise, the assignment pipeline is broken and
+    ab_test_report / welch_ttest / cuped_adjustment results are invalid.
+
+    Plan shape: one distinct-user shuffle, then 2-row algebra.
+    Determinism: counts are exact; chi2 is one fixed IEEE sequence."""
+    events = load_events(spark, sf_dir)
+    pu = events.select(
+        "user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("arm")
+    ).distinct()
+    st = pu.groupBy("arm").agg(F.count("*").alias("n"))
+    a = st.filter(F.col("arm") == 0).select(F.col("n").alias("n0"))
+    b = st.filter(F.col("arm") == 1).select(F.col("n").alias("n1"))
+    c = a.join(F.broadcast(b)).select(
+        "n0", "n1", ((F.col("n0") + F.col("n1")).cast("double") / 2.0).alias("e")
+    )
+    chi2 = (F.col("n0") - F.col("e")) * (F.col("n0") - F.col("e")) / F.col("e") + (
+        F.col("n1") - F.col("e")
+    ) * (F.col("n1") - F.col("e")) / F.col("e")
+    return c.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        (F.floor(chi2 * 1e4 + F.lit(0.5)) / 1e4).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
+
+
+@register(
+    "power_mde_report",
+    # minimal detectable effect at 80% power / 5% alpha from the
+    # observed base rate and arm sizes (z_a/2 + z_b = 2.801585)
+    """
+WITH pu AS (
+  SELECT user_id, user_id % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+), st AS (SELECT arm, COUNT(*) AS n, SUM(conv) AS k FROM pu GROUP BY 1),
+j AS (
+  SELECT a.n AS n0, a.k AS k0, b.n AS n1, b.k AS k1
+  FROM st a, st b WHERE a.arm = 0 AND b.arm = 1
+), c AS (
+  SELECT n0, n1,
+         CAST(k0 + k1 AS DOUBLE) / (n0 + n1) AS p,
+         CASE WHEN n0 < n1 THEN n0 ELSE n1 END AS nmin
+  FROM j
+), m AS (
+  SELECT n0, n1, p, 2.801585 * SQRT(2.0 * p * (1.0 - p) / nmin) AS mde
+  FROM c
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       FLOOR(p * 1e6 + 0.5) / 1e6 AS base_rate,
+       FLOOR(mde * 1e6 + 0.5) / 1e6 AS mde_abs,
+       FLOOR(mde / p * 1e4 + 0.5) / 1e4 AS mde_rel
+FROM m
+""",
+)
+def power_mde_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power / minimal-detectable-effect report (standard
+    two-proportion power formula, e.g. Kohavi et al. 2020 — public):
+    given the observed base conversion rate and per-arm user counts,
+    the smallest absolute/relative lift detectable at 80% power and 5%
+    two-sided alpha. The design-stage twin of ab_test_report: it says
+    whether a null result is evidence of no effect or just an
+    underpowered test.
+
+    Plan shape: one user shuffle, 2-row algebra. Determinism: exact
+    counts; one fixed IEEE sequence."""
+    events = load_events(spark, sf_dir)
+    pu = events.groupBy(
+        "user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("arm")
+    ).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv")
+    )
+    st = pu.groupBy("arm").agg(F.count("*").alias("n"), F.sum("conv").alias("k"))
+    a = st.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n0"), F.col("k").alias("k0")
+    )
+    b = st.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n1"), F.col("k").alias("k1")
+    )
+    c = a.join(F.broadcast(b)).select(
+        "n0",
+        "n1",
+        ((F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))).alias("p"),
+        F.when(F.col("n0") < F.col("n1"), F.col("n0")).otherwise(F.col("n1")).alias("nmin"),
+    )
+    m = c.select(
+        "n0",
+        "n1",
+        "p",
+        (
+            F.lit(2.801585)
+            * F.sqrt(F.lit(2.0) * F.col("p") * (F.lit(1.0) - F.col("p")) / F.col("nmin"))
+        ).alias("mde"),
+    )
+    return m.select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        (F.floor(F.col("p") * 1e6 + F.lit(0.5)) / 1e6).alias("base_rate"),
+        (F.floor(F.col("mde") * 1e6 + F.lit(0.5)) / 1e6).alias("mde_abs"),
+        (F.floor(F.col("mde") / F.col("p") * 1e4 + F.lit(0.5)) / 1e4).alias("mde_rel"),
+    )
+
+
+@register(
+    "seasonal_decompose",
+    # census algebra mirror of operators/relational.seasonal_decompose:
+    # trend/seasonal/resid each re-quantized to exact cents before the
+    # next subtraction
+    """
+WITH census AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS yc
+  FROM orders GROUP BY 1
+), trended AS (
+  SELECT day, yc,
+         CASE WHEN COUNT(*) OVER w7 = 7
+              THEN CAST(FLOOR(CAST(SUM(yc) OVER w7 AS DOUBLE) / 7.0 + 0.5)
+                        AS BIGINT) END AS trend_c,
+         (day - DATE '1970-01-01') % 7 AS wd
+  FROM census
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT day, yc, trend_c, wd, yc - trend_c AS det_c FROM trended
+), wk AS (
+  SELECT wd,
+         CAST(FLOOR(CAST(SUM(det_c) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+           AS raw_s
+  FROM det WHERE det_c IS NOT NULL GROUP BY wd
+), center AS (
+  SELECT CAST(FLOOR(CAST(SUM(raw_s) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+           AS mean_s
+  FROM wk
+), seasonal AS (
+  SELECT wd, raw_s - mean_s AS seasonal_c FROM wk CROSS JOIN center
+)
+SELECT day,
+       FLOOR(CAST(yc AS DOUBLE) / 100.0 * 100 + 0.5) / 100.0 AS revenue,
+       FLOOR(CAST(trend_c AS DOUBLE) / 100.0 * 100 + 0.5) / 100.0 AS trend,
+       FLOOR(CAST(seasonal_c AS DOUBLE) / 100.0 * 100 + 0.5) / 100.0 AS seasonal,
+       FLOOR(CAST(yc - trend_c - seasonal_c AS DOUBLE) / 100.0 * 100 + 0.5)
+         / 100.0 AS residual
+FROM det JOIN seasonal USING (wd)
+WHERE trend_c IS NOT NULL
+ORDER BY day
+""",
+)
+def seasonal_decompose_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.seasonal_decompose(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "shapley_attribution",
+    # exact Shapley over the 16-cell channel-set lattice; phi kept in
+    # integer units of 1/4! so the efficiency identity is exact
+    """
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         + MAX(CASE WHEN event_type = 'view' THEN 2 ELSE 0 END)
+         + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END)
+         + MAX(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS mask,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), census AS (SELECT mask, SUM(conv) AS n_conv FROM per_user GROUP BY 1),
+subsets AS (SELECT UNNEST(range(16)) AS s),
+v AS (
+  SELECT s, COALESCE(SUM(n_conv), 0) AS v
+  FROM subsets LEFT JOIN census ON (mask & s) = mask
+  GROUP BY s
+),
+channels(ch_bit, channel) AS (
+  VALUES (0, 'click'), (1, 'view'), (2, 'signup'), (3, 'error')
+),
+pairs AS (
+  SELECT ch_bit, channel, s,
+         ((s >> 0) & 1) + ((s >> 1) & 1) + ((s >> 2) & 1) + ((s >> 3) & 1)
+           AS size_s,
+         s | (1 << ch_bit) AS s_with
+  FROM channels JOIN subsets ON ((s >> ch_bit) & 1) = 0
+), phi AS (
+  SELECT channel,
+         SUM((CASE WHEN size_s IN (0, 3) THEN 6 ELSE 2 END)
+             * (vw.v - vs.v)) AS phi24
+  FROM pairs
+  JOIN v vs ON pairs.s = vs.s
+  JOIN v vw ON pairs.s_with = vw.s
+  GROUP BY channel
+), tot AS (SELECT SUM(phi24) AS tot24 FROM phi)
+SELECT channel, CAST(phi24 AS BIGINT) AS phi24,
+       FLOOR(CAST(phi24 AS DOUBLE) / 24.0 * 1e6 + 0.5) / 1e6 AS phi,
+       FLOOR(CAST(phi24 AS DOUBLE) / CAST(tot24 AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS credit_share
+FROM phi CROSS JOIN tot ORDER BY channel
+""",
+)
+def shapley_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.shapley_attribution(load_events(spark, sf_dir))

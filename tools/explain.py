@@ -127,6 +127,11 @@ HEADLINE = [
     ("winnowing_fingerprints", "MOSS winnowing: map-side window minima, df-capped postings join"),
     ("join_lateral_topk", "decorrelated LATERAL LIMIT: WindowGroupLimit partial+final, broadcast join-back"),
     ("cuped_adjustment", "CUPED: integer-moment passes, broadcast one-row model, algebraic arm adjust"),
+    ("logrank_test", "log-rank test: one subject shuffle, LOCF at-risk algebra on the (arm,t) census"),
+    ("isotonic_calibration", "distributed PAV via minimax identity: bin-census 3-way broadcast join"),
+    ("jackknife_ratio_ci", "delete-one-bucket jackknife: 32-row bucket census, broadcast scalar algebra"),
+    ("spearman_daily", "Spearman rho: doubled integer midranks over the day census, exact moments"),
+    ("mrr_recall_eval", "MRR/recall@k: BM25 top-k + all-terms relevance census, query-bounded joins"),
 ]
 
 
