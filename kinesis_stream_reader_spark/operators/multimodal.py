@@ -784,3 +784,40 @@ def audio_vad_frames(
             )
 
     return media.mapInPandas(batches, VAD_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = "doc_id BIGINT, n_frames INT, fingerprint BIGINT"
+
+
+def audio_fingerprint(media: DataFrame, frame: int = 8) -> DataFrame:
+    """Energy-difference audio fingerprint — the Haitsma-Kalker (2002,
+    public method) robust-hash skeleton on REAL-decoded PCM: split the
+    decoded samples into fixed `frame`-sample windows, compute each
+    window's integer energy sum(v^2), and emit one bit per adjacent
+    pair (1 iff energy rose); the packed bit vector is the
+    fingerprint. (The full H-K uses a 33-band filterbank before the
+    differencing; the band step needs an FFT and is honestly omitted —
+    the differencing/packing/dedup plumbing is the real thing.)
+
+    Determinism: decode is bit-exact (decode_wav), energies and packed
+    bits are exact integers end-to-end.
+
+    Plan shape: decode + frame energies are map-side Arrow-batched;
+    only (doc_id, n_frames, fingerprint) ever shuffles — hashes, never
+    blobs (the multimodal_dedup / phash contract)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                _, samples = decode_wav(bytes(blob))
+                nf = len(samples) // frame
+                v = samples[: nf * frame].astype(np.int64).reshape(nf, frame)
+                e = (v * v).sum(axis=1)
+                bits = (e[1:] > e[:-1]).astype(np.int64)
+                fp = int((bits << np.arange(nf - 1)).sum()) if nf > 1 else 0
+                rows.append((doc_id, nf, fp))
+            yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "fingerprint"])
+
+    return media.mapInPandas(batches, AUDIO_FP_SCHEMA)

@@ -5084,7 +5084,7 @@ def seasonal_decompose(orders: DataFrame) -> DataFrame:
     return (
         det.join(F.broadcast(seasonal), "wd")
         .select(
-            "day",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
             q2(F.col("yc")).alias("revenue"),
             q2(F.col("trend_c")).alias("trend"),
             q2(F.col("seasonal_c")).alias("seasonal"),
@@ -5186,4 +5186,142 @@ def shapley_attribution(events: DataFrame) -> DataFrame:
             ).alias("credit_share"),
         )
         .orderBy("channel")
+    )
+
+
+def hyperball_neighborhood(
+    events: DataFrame, rounds: int = 3, m: int = 16
+) -> DataFrame:
+    """HyperBall / ANF neighborhood-function estimation (Palmer et al.
+    2002; Boldi & Vigna 2013 — public methods): per node, an
+    HLL-sketched estimate of |ball(v, rounds)| on the modular event
+    graph (same edge derivation as graph_triangles), with the exact
+    ball size alongside so the report shows the estimator's error.
+
+    The scale story is the whole point: the exact ball needs a
+    frontier relation that can go quadratic on dense graphs, while the
+    HyperBall state is a FIXED m-registers-per-node relation whose
+    round update is one join + max-aggregate — at 100 TB you keep the
+    sketch and drop the exact twin (it is here as the accuracy
+    oracle).
+
+    Determinism: register index and rho come from md5 of the node id
+    (j = H1 % m; rho = position of the lowest set bit of H2, via a
+    min-over-positions join — no ctz builtin dependence); register
+    maxes are integer; Z = sum of 2^-rho is EXACT in IEEE (<=16 terms,
+    exponent span 31 bits < 53); the estimator branch (raw vs
+    small-range ln correction) evaluates the same fixed expressions on
+    both engines, quantized 1e-4."""
+    raw = events.select(
+        (F.col("user_id") % 200).alias("p"), (F.col("event_id") % 199).alias("q")
+    ).filter(F.col("p") != F.col("q"))
+    edges = raw.select(
+        F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
+    ).distinct()
+    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
+        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+    )
+    nodes = und.select(F.col("a").alias("n")).distinct()
+    spark = events.sparkSession
+    h1 = F.conv(F.substring(F.md5(F.concat(F.lit("hb:"), F.col("n"))), 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5(F.concat(F.lit("hb:"), F.col("n"))), 17, 15), 16, 10).cast("long")
+    hashed = nodes.select("n", F.pmod(h1, F.lit(m)).cast("int").alias("j"), h2.alias("bits"))
+    ks = spark.range(1, 32).select(F.col("id").cast("int").alias("k"))
+    init = (
+        hashed.join(F.broadcast(ks), F.expr("(shiftright(bits, k - 1) & 1) = 1"))
+        .groupBy("n", "j")
+        .agg(F.min("k").alias("rho"))
+        .select(F.col("n").alias("node"), "j", "rho")
+    )
+    state = init
+    ball = nodes.select(F.col("n").alias("node"), F.col("n").alias("w"))
+    for _ in range(rounds):
+        grown = state.union(
+            und.join(state, und.b == state.node).select(
+                F.col("a").alias("node"), "j", "rho"
+            )
+        )
+        state = grown.groupBy("node", "j").agg(F.max("rho").alias("rho"))
+        ball = (
+            ball.union(
+                und.join(ball, und.b == ball.node).select(
+                    F.col("a").alias("node"), "w"
+                )
+            )
+            .distinct()
+        )
+    exact = ball.groupBy("node").agg(F.count("*").alias("exact_ball"))
+    z = state.groupBy("node").agg(
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
+        ).alias("zpart"),
+        F.count("*").alias("cnt"),
+    )
+    mf = float(m)
+    est_raw = F.lit(0.673 * mf * mf) / (
+        F.col("zpart") + (F.lit(mf) - F.col("cnt")).cast("double")
+    )
+    vzero = (F.lit(m) - F.col("cnt")).cast("double")
+    est = F.when(
+        (est_raw <= F.lit(2.5 * mf)) & (vzero > 0),
+        F.lit(mf) * F.log(F.lit(mf) / vzero),
+    ).otherwise(est_raw)
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        z.join(exact, "node")
+        .select(
+            "node",
+            F.col("exact_ball").cast("long").alias("exact_ball"),
+            q4(est).alias("est_ball"),
+            q4((est - F.col("exact_ball")) / F.col("exact_ball")).alias("rel_err"),
+        )
+        .orderBy("node")
+    )
+
+
+def seasonal_anomaly_flags(orders: DataFrame, cutoff: float = 3.0) -> DataFrame:
+    """Seasonality-aware anomaly detection: flag the days whose
+    seasonal_decompose RESIDUAL is a robust outlier (|r - med| >
+    cutoff * 1.4826 * MAD) — the composition anomaly_mad can't do
+    (a raw-value gate fires on every holiday peak; gating the residual
+    fires only on deviations the weekly cycle does NOT explain).
+
+    Determinism: residuals are exact cents; both medians are DISCRETE
+    percentiles (actual data values — the anomaly_mad convention);
+    the score is one fixed IEEE sequence, quantized 1e-4.
+
+    Plan shape: seasonal_decompose's census algebra + two one-row
+    discrete-percentile aggregates over the ~2.4k-cell day census and
+    a broadcast stats join. Linear at 100 TB."""
+    dec = seasonal_decompose(orders)
+    resid = dec.select(
+        "day",
+        "revenue",
+        "residual",
+        F.floor(F.col("residual") * 100 + F.lit(0.5)).cast("long").alias("rc"),
+    )
+    med = resid.agg(
+        F.expr("percentile_approx(rc, 0.5, 1000000)").alias("med")
+    )
+    dev = resid.join(F.broadcast(med)).withColumn(
+        "adev", F.abs(F.col("rc") - F.col("med"))
+    )
+    mad = dev.agg(F.expr("percentile_approx(adev, 0.5, 1000000)").alias("mad"))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return (
+        dev.join(F.broadcast(mad))
+        .filter(
+            F.col("adev").cast("double")
+            > F.lit(cutoff * 1.4826) * F.col("mad").cast("double")
+        )
+        .select(
+            "day",
+            "revenue",
+            "residual",
+            q4(
+                F.col("adev").cast("double")
+                / (F.lit(1.4826) * F.col("mad").cast("double"))
+            ).alias("robust_score"),
+        )
+        .orderBy("day")
     )

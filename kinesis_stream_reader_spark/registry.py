@@ -2003,6 +2003,10 @@ _PRIORITY = [
     "referential_integrity_audit", "embedding_drift_report",
     "streaming_topk_windowed", "isotonic_calibration", "logrank_test",
     "jackknife_ratio_ci", "spearman_daily", "mrr_recall_eval",
+    "welch_ttest", "kendall_tau_daily", "seasonal_decompose",
+    "shapley_attribution", "srm_check", "power_mde_report",
+    "hyperball_neighborhood", "seasonal_anomaly_flags", "pacf_daily",
+    "multimodal_audio_fingerprint",
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
@@ -14736,7 +14740,7 @@ WITH census AS (
 ), seasonal AS (
   SELECT wd, raw_s - mean_s AS seasonal_c FROM wk CROSS JOIN center
 )
-SELECT day,
+SELECT strftime(day, '%Y-%m-%d') AS day,
        FLOOR(CAST(yc AS DOUBLE) / 100.0 * 100 + 0.5) / 100.0 AS revenue,
        FLOOR(CAST(trend_c AS DOUBLE) / 100.0 * 100 + 0.5) / 100.0 AS trend,
        FLOOR(CAST(seasonal_c AS DOUBLE) / 100.0 * 100 + 0.5) / 100.0 AS seasonal,
@@ -14802,3 +14806,312 @@ def shapley_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.shapley_attribution(load_events(spark, sf_dir))
+
+
+@register(
+    "hyperball_neighborhood",
+    # oracle replays the register algebra round by round (3 explicit
+    # round CTEs — no recursion needed for a fixed radius) and the
+    # exact-ball BFS beside it
+    """
+WITH raw AS (
+  SELECT user_id % 200 AS p, event_id % 199 AS q FROM events
+  WHERE user_id % 200 <> event_id % 199
+),
+edges AS (SELECT DISTINCT LEAST(p, q) AS u, GREATEST(p, q) AS v FROM raw),
+und AS (SELECT u AS a, v AS b FROM edges UNION SELECT v AS a, u AS b FROM edges),
+nodes AS (SELECT DISTINCT a AS n FROM und),
+hashed AS (
+  SELECT n,
+         CAST(CAST(concat('0x', substr(md5('hb:' || n), 1, 15)) AS UBIGINT) % 16
+              AS INT) AS j,
+         CAST(concat('0x', substr(md5('hb:' || n), 17, 15)) AS UBIGINT) AS bits
+  FROM nodes
+),
+init AS (
+  SELECT n AS node, j, MIN(k.k) AS rho
+  FROM hashed, (SELECT UNNEST(range(1, 32)) AS k) k
+  WHERE ((bits >> (k.k - 1)) & 1) = 1
+  GROUP BY 1, 2
+),
+s1 AS (
+  SELECT node, j, MAX(rho) AS rho FROM (
+    SELECT node, j, rho FROM init
+    UNION ALL
+    SELECT e.a AS node, i.j, i.rho FROM und e JOIN init i ON e.b = i.node
+  ) GROUP BY 1, 2
+),
+s2 AS (
+  SELECT node, j, MAX(rho) AS rho FROM (
+    SELECT node, j, rho FROM s1
+    UNION ALL
+    SELECT e.a AS node, i.j, i.rho FROM und e JOIN s1 i ON e.b = i.node
+  ) GROUP BY 1, 2
+),
+s3 AS (
+  SELECT node, j, MAX(rho) AS rho FROM (
+    SELECT node, j, rho FROM s2
+    UNION ALL
+    SELECT e.a AS node, i.j, i.rho FROM und e JOIN s2 i ON e.b = i.node
+  ) GROUP BY 1, 2
+),
+b0 AS (SELECT n AS node, n AS w FROM nodes),
+b1 AS (SELECT DISTINCT node, w FROM (
+  SELECT node, w FROM b0
+  UNION ALL SELECT e.a, b.w FROM und e JOIN b0 b ON e.b = b.node)),
+b2 AS (SELECT DISTINCT node, w FROM (
+  SELECT node, w FROM b1
+  UNION ALL SELECT e.a, b.w FROM und e JOIN b1 b ON e.b = b.node)),
+b3 AS (SELECT DISTINCT node, w FROM (
+  SELECT node, w FROM b2
+  UNION ALL SELECT e.a, b.w FROM und e JOIN b2 b ON e.b = b.node)),
+exact AS (SELECT node, COUNT(*) AS exact_ball FROM b3 GROUP BY 1),
+z AS (
+  SELECT node, SUM(1.0 / (1 << rho)) AS zpart, COUNT(*) AS cnt
+  FROM s3 GROUP BY 1
+),
+fin AS (
+  SELECT z.node AS node, exact_ball,
+         0.673 * 16.0 * 16.0 / (zpart + (16.0 - cnt)) AS est_raw,
+         16 - cnt AS vz
+  FROM z JOIN exact ON z.node = exact.node
+),
+est AS (
+  SELECT node, exact_ball,
+         CASE WHEN est_raw <= 2.5 * 16.0 AND vz > 0
+              THEN 16.0 * LN(16.0 / vz) ELSE est_raw END AS e
+  FROM fin
+)
+SELECT node, CAST(exact_ball AS BIGINT) AS exact_ball,
+       FLOOR(e * 1e4 + 0.5) / 1e4 AS est_ball,
+       FLOOR((e - exact_ball) / exact_ball * 1e4 + 0.5) / 1e4 AS rel_err
+FROM est ORDER BY node
+""",
+)
+def hyperball_neighborhood_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.hyperball_neighborhood(load_events(spark, sf_dir))
+
+
+@register(
+    "seasonal_anomaly_flags",
+    # nests the seasonal_decompose census; medians are DISCRETE
+    # percentiles (the anomaly_mad convention)
+    """
+WITH census AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS yc
+  FROM orders GROUP BY 1
+), trended AS (
+  SELECT day, yc,
+         CASE WHEN COUNT(*) OVER w7 = 7
+              THEN CAST(FLOOR(CAST(SUM(yc) OVER w7 AS DOUBLE) / 7.0 + 0.5)
+                        AS BIGINT) END AS trend_c,
+         (day - DATE '1970-01-01') % 7 AS wd
+  FROM census
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT day, yc, trend_c, wd, yc - trend_c AS det_c FROM trended
+), wk AS (
+  SELECT wd,
+         CAST(FLOOR(CAST(SUM(det_c) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+           AS raw_s
+  FROM det WHERE det_c IS NOT NULL GROUP BY wd
+), center AS (
+  SELECT CAST(FLOOR(CAST(SUM(raw_s) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+           AS mean_s
+  FROM wk
+), seasonal AS (
+  SELECT wd, raw_s - mean_s AS seasonal_c FROM wk CROSS JOIN center
+), dec AS (
+  SELECT strftime(day, '%Y-%m-%d') AS day,
+         FLOOR(CAST(yc AS DOUBLE) / 100.0 * 100 + 0.5) / 100.0 AS revenue,
+         yc - trend_c - seasonal_c AS resid_c
+  FROM det JOIN seasonal USING (wd)
+  WHERE trend_c IS NOT NULL
+), resid AS (
+  SELECT day, revenue,
+         FLOOR(CAST(resid_c AS DOUBLE) / 100.0 * 100 + 0.5) / 100.0 AS residual,
+         CAST(FLOOR(FLOOR(CAST(resid_c AS DOUBLE) / 100.0 * 100 + 0.5) / 100.0
+                    * 100 + 0.5) AS BIGINT) AS rc
+  FROM dec
+), med AS (SELECT quantile_disc(rc, 0.5) AS med FROM resid),
+dev AS (
+  SELECT day, revenue, residual, ABS(rc - med) AS adev FROM resid, med
+), mad AS (SELECT quantile_disc(adev, 0.5) AS mad FROM dev)
+SELECT day, revenue, residual,
+       FLOOR(CAST(adev AS DOUBLE) / (1.4826 * CAST(mad AS DOUBLE)) * 1e4 + 0.5)
+         / 1e4 AS robust_score
+FROM dev, mad
+WHERE CAST(adev AS DOUBLE) > 3.0 * 1.4826 * CAST(mad AS DOUBLE)
+ORDER BY day
+""",
+)
+def seasonal_anomaly_flags_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.seasonal_anomaly_flags(load_table(spark, sf_dir, "orders"))
+
+
+@register(
+    "pacf_daily",
+    # Durbin-Levinson closed forms for lags 1-3 on the ACF census —
+    # the sequential recursion becomes three fixed IEEE expressions
+    """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS d, COUNT(*) AS x FROM events GROUP BY 1
+), tot AS (SELECT COUNT(*) AS nd, SUM(x) AS s FROM days),
+lags AS (SELECT UNNEST(range(1, 4)) AS lag),
+pairs AS (
+  SELECT lag, SUM((t.nd * a.x - t.s) * (t.nd * b.x - t.s)) AS num
+  FROM days a CROSS JOIN lags JOIN days b ON datediff('day', a.d, b.d) = lag
+  CROSS JOIN tot t GROUP BY lag
+), den AS (
+  SELECT SUM((t.nd * x - t.s) * (t.nd * x - t.s)) AS den FROM days, tot t
+), r AS (
+  SELECT
+    MAX(CASE WHEN lag = 1 THEN CAST(num AS DOUBLE) / den END) AS r1,
+    MAX(CASE WHEN lag = 2 THEN CAST(num AS DOUBLE) / den END) AS r2,
+    MAX(CASE WHEN lag = 3 THEN CAST(num AS DOUBLE) / den END) AS r3
+  FROM pairs, den
+), p AS (
+  SELECT r1, r2, r3, r1 AS p11,
+         (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22
+  FROM r
+), p2 AS (
+  SELECT r1, r2, r3, p11, p22, p11 - p22 * p11 AS p21 FROM p
+), p3 AS (
+  SELECT r1, r2, r3, p11, p22,
+         (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2) AS p33
+  FROM p2
+)
+SELECT 1 AS lag, FLOOR(r1 * 1e6 + 0.5) / 1e6 AS acf,
+       FLOOR(p11 * 1e6 + 0.5) / 1e6 AS pacf FROM p3
+UNION ALL
+SELECT 2, FLOOR(r2 * 1e6 + 0.5) / 1e6, FLOOR(p22 * 1e6 + 0.5) / 1e6 FROM p3
+UNION ALL
+SELECT 3, FLOOR(r3 * 1e6 + 0.5) / 1e6, FLOOR(p33 * 1e6 + 0.5) / 1e6 FROM p3
+ORDER BY lag
+""",
+)
+def pacf_daily_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1-3 via the Durbin-Levinson recursion unrolled to closed form
+    (Durbin 1960 — public method) — the AR-order diagnostic beside
+    acf_daily (ACF says WHAT correlates; PACF says what remains after
+    conditioning on shorter lags, i.e. which AR terms to keep).
+
+    Determinism: ACF numerators/denominator are exact integer moments
+    (the acf_daily construction); the three D-L expressions are the
+    same fixed IEEE tree on both engines, quantized 1e-6.
+
+    Plan shape: one day-census shuffle; lag pairing and the recursion
+    run on the census. Linear at 100 TB."""
+    events = load_events(spark, sf_dir)
+    days = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count("*").alias("x")
+    )
+    tot = days.agg(F.count("*").alias("nd"), F.sum("x").alias("s"))
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    a = days.select(F.col("d").alias("ad"), F.col("x").alias("ax"))
+    b = days.select(F.col("d").alias("bd"), F.col("x").alias("bx"))
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(b, F.datediff(F.col("bd"), F.col("ad")) == F.col("lag"))
+        .join(F.broadcast(tot))
+        .groupBy("lag")
+        .agg(
+            F.sum(
+                (F.col("nd") * F.col("ax") - F.col("s"))
+                * (F.col("nd") * F.col("bx") - F.col("s"))
+            ).alias("num")
+        )
+    )
+    den = (
+        days.join(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("nd") * F.col("x") - F.col("s"))
+                * (F.col("nd") * F.col("x") - F.col("s"))
+            ).alias("den")
+        )
+    )
+    r = (
+        pairs.join(F.broadcast(den))
+        .agg(
+            F.max(
+                F.when(F.col("lag") == 1, F.col("num").cast("double") / F.col("den"))
+            ).alias("r1"),
+            F.max(
+                F.when(F.col("lag") == 2, F.col("num").cast("double") / F.col("den"))
+            ).alias("r2"),
+            F.max(
+                F.when(F.col("lag") == 3, F.col("num").cast("double") / F.col("den"))
+            ).alias("r3"),
+        )
+    )
+    p11 = F.col("r1")
+    p22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        F.lit(1.0) - F.col("r1") * F.col("r1")
+    )
+    p = r.select("r1", "r2", "r3", p11.alias("p11"), p22.alias("p22"))
+    p2 = p.select(
+        "r1", "r2", "r3", "p11", "p22",
+        (F.col("p11") - F.col("p22") * F.col("p11")).alias("p21"),
+    )
+    p33 = (
+        F.col("r3") - F.col("p21") * F.col("r2") - F.col("p22") * F.col("r1")
+    ) / (
+        F.lit(1.0) - F.col("p21") * F.col("r1") - F.col("p22") * F.col("r2")
+    )
+    p3 = p2.select("r1", "r2", "r3", "p11", "p22", p33.alias("p33"))
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    one = p3.select(
+        F.lit(1).alias("lag"), q6(F.col("r1")).alias("acf"), q6(F.col("p11")).alias("pacf")
+    )
+    two = p3.select(F.lit(2).alias("lag"), q6(F.col("r2")).alias("acf"), q6(F.col("p22")).alias("pacf"))
+    three = p3.select(F.lit(3).alias("lag"), q6(F.col("r3")).alias("acf"), q6(F.col("p33")).alias("pacf"))
+    return one.union(two).union(three).orderBy("lag")
+
+
+@register(
+    "multimodal_audio_fingerprint",
+    # oracle mirrors the synthetic PCM formula + frame-energy
+    # differencing in integer algebra (the audio decode convention)
+    """
+WITH lens AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM documents),
+s AS (
+  SELECT doc_id, i.i AS i, ((doc_id * 13 + i.i * 31) % 65536) - 32768 AS v
+  FROM lens, LATERAL (SELECT UNNEST(range(n)) AS i) i
+), fr AS (
+  SELECT doc_id, i // 8 AS f, SUM(v * v) AS e
+  FROM s GROUP BY 1, 2 HAVING COUNT(*) = 8
+), bits AS (
+  SELECT doc_id, f, e,
+         LAG(e) OVER (PARTITION BY doc_id ORDER BY f) AS pe
+  FROM fr
+), fp AS (
+  SELECT doc_id, COUNT(*) AS nf,
+         COALESCE(SUM(CASE WHEN pe IS NOT NULL AND e > pe
+                           THEN 1 << (f - 1) ELSE 0 END), 0) AS fingerprint
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id, CAST(nf AS INT) AS n_frames,
+       CAST(fingerprint AS BIGINT) AS fingerprint,
+       MIN(doc_id) OVER (PARTITION BY nf, fingerprint) AS canonical_doc
+FROM fp ORDER BY doc_id
+""",
+)
+def multimodal_audio_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = multimodal.audio_fingerprint(multimodal.synthetic_wav_media(docs))
+    w = Window.partitionBy("n_frames", "fingerprint")
+    return fps.select(
+        "doc_id",
+        "n_frames",
+        "fingerprint",
+        F.min("doc_id").over(w).alias("canonical_doc"),
+    ).orderBy("doc_id")

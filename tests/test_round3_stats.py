@@ -428,3 +428,234 @@ def test_mrr_recall_consistency(spark, sf_dir):
                 nrel[q] += 1
     for r in rows:
         assert r.n_relevant == nrel[r.query_id]
+
+
+def test_welch_brute(spark, sf_dir):
+    row = QUERIES["welch_ttest"](spark, sf_dir).collect()[0]
+    ev = (
+        load_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+        .collect()
+    )
+    arms: dict = {0: [], 1: []}
+    for r in ev:
+        arms[r.user_id % 2].append(math.floor(r.value * 100 + 0.5))
+    n0, n1 = len(arms[0]), len(arms[1])
+    a1, a2 = sum(arms[0]), sum(v * v for v in arms[0])
+    b1, b2 = sum(arms[1]), sum(v * v for v in arms[1])
+    m0, m1 = a1 / n0, b1 / n1
+    v0 = (a2 - a1 * a1 / n0) / (n0 - 1)
+    v1 = (b2 - b1 * b1 / n1) / (n1 - 1)
+    t = (m1 - m0) / math.sqrt(v0 / n0 + v1 / n1)
+    assert (row.n0, row.n1) == (n0, n1)
+    assert row.mean0 == math.floor(m0 / 100.0 * 1e4 + 0.5) / 1e4
+    assert row.t_stat == math.floor(t * 1e4 + 0.5) / 1e4
+    assert row.significant == (abs(t) > 1.96)
+    # Welch df must sit between min(n)-1 and n0+n1-2
+    assert min(n0, n1) - 1 <= row.welch_df <= n0 + n1 - 2
+
+
+def test_kendall_brute(spark, sf_dir):
+    row = QUERIES["kendall_tau_daily"](spark, sf_dir).collect()[0]
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("d"), "o_totalprice")
+        .collect()
+    )
+    days: dict = {}
+    for r in orders:
+        x, y = days.get(r.d, (0, 0))
+        days[r.d] = (x + 1, y + math.floor(r.o_totalprice * 100 + 0.5))
+    vals = list(days.values())
+    n = len(vals)
+    c = d = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = vals[i][0] - vals[j][0]
+            dy = vals[i][1] - vals[j][1]
+            if dx * dy > 0:
+                c += 1
+            elif dx * dy < 0:
+                d += 1
+            if dx == 0:
+                tx += 1
+            if dy == 0:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    tau = (c - d) / math.sqrt(n0 - tx) / math.sqrt(n0 - ty)
+    assert (row.n_days, row.concordant, row.discordant) == (n, c, d)
+    assert row.tau_b == math.floor(tau * 1e6 + 0.5) / 1e6
+    # rank-based siblings must agree on the direction of association
+    rho = QUERIES["spearman_daily"](spark, sf_dir).collect()[0].rho
+    assert (row.tau_b > 0) == (rho > 0)
+
+
+def test_seasonal_decompose_identities(spark, sf_dir):
+    rows = QUERIES["seasonal_decompose"](spark, sf_dir).collect()
+    assert len(rows) > 50
+    # additive identity holds in quantized cents on every row
+    for r in rows:
+        assert abs(r.revenue - r.trend - r.seasonal - r.residual) < 0.011
+    # exactly 7 distinct seasonal offsets, re-centered to ~0
+    seas = sorted({r.seasonal for r in rows})
+    assert len(seas) <= 7
+    assert abs(sum(seas)) < 0.04 * len(seas) * 100
+    # trend equals the brute centered 7-day MA on a sample row
+    import datetime
+
+    day_rows = {r.day: r for r in rows}
+    census: dict = {}
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_orderdate").cast("date").alias("d"), "o_totalprice")
+        .collect()
+    )
+    for o in orders:
+        census[o.d] = census.get(o.d, 0) + math.floor(o.o_totalprice * 100 + 0.5)
+    days_sorted = sorted(census)
+    for idx in (5, len(days_sorted) // 2):
+        window = days_sorted[idx - 3 : idx + 4]
+        if len(window) != 7:
+            continue
+        key = days_sorted[idx].strftime("%Y-%m-%d")
+        if key not in day_rows:
+            continue
+        trend_c = math.floor(sum(census[d] for d in window) / 7.0 + 0.5)
+        assert day_rows[key].trend == math.floor(trend_c / 100.0 * 100 + 0.5) / 100.0
+
+
+def test_shapley_brute(spark, sf_dir):
+    rows = QUERIES["shapley_attribution"](spark, sf_dir).collect()
+    assert [r.channel for r in rows] == ["click", "error", "signup", "view"]
+    ev = load_events(spark, sf_dir).select("user_id", "event_type").collect()
+    masks: dict = {}
+    conv: dict = {}
+    bit = {"click": 1, "view": 2, "signup": 4, "error": 8}
+    for r in ev:
+        masks.setdefault(r.user_id, 0)
+        conv.setdefault(r.user_id, 0)
+        if r.event_type in bit:
+            masks[r.user_id] |= bit[r.event_type]
+        elif r.event_type == "purchase":
+            conv[r.user_id] = 1
+    census: dict = {}
+    for u, m in masks.items():
+        census[m] = census.get(m, 0) + conv[u]
+
+    def v(s):
+        return sum(nc for m, nc in census.items() if (m & s) == m)
+
+    import itertools
+
+    got = {r.channel: r.phi24 for r in rows}
+    names = {0: "click", 1: "view", 2: "signup", 3: "error"}
+    wt = {0: 6, 1: 2, 2: 2, 3: 6}
+    tot = 0
+    for i in range(4):
+        phi24 = 0
+        for s in range(16):
+            if (s >> i) & 1:
+                continue
+            size = bin(s).count("1")
+            phi24 += wt[size] * (v(s | (1 << i)) - v(s))
+        assert got[names[i]] == phi24
+        tot += phi24
+    # exact efficiency: credits sum to 24 * (v(full) - v(empty))
+    assert tot == 24 * (v(15) - v(0))
+
+
+def test_srm_and_power_brute(spark, sf_dir):
+    srm = QUERIES["srm_check"](spark, sf_dir).collect()[0]
+    pw = QUERIES["power_mde_report"](spark, sf_dir).collect()[0]
+    ev = load_events(spark, sf_dir).select("user_id", "event_type").collect()
+    users = {r.user_id for r in ev}
+    conv = {r.user_id for r in ev if r.event_type == "purchase"}
+    n0 = sum(1 for u in users if u % 2 == 0)
+    n1 = len(users) - n0
+    e = (n0 + n1) / 2.0
+    chi2 = (n0 - e) ** 2 / e + (n1 - e) ** 2 / e
+    assert (srm.n0, srm.n1) == (n0, n1)
+    assert srm.chi2 == math.floor(chi2 * 1e4 + 0.5) / 1e4
+    assert srm.srm_detected == (chi2 > 3.841)
+    p = len(conv) / len(users)
+    mde = 2.801585 * math.sqrt(2.0 * p * (1.0 - p) / min(n0, n1))
+    assert (pw.n0, pw.n1) == (n0, n1)
+    assert pw.base_rate == math.floor(p * 1e6 + 0.5) / 1e6
+    assert pw.mde_abs == math.floor(mde * 1e6 + 0.5) / 1e6
+
+
+def test_hyperball_brute(spark, sf_dir):
+    rows = QUERIES["hyperball_neighborhood"](spark, sf_dir).collect()
+    ev = load_events(spark, sf_dir).select("user_id", "event_id").collect()
+    und: dict = {}
+    for r in ev:
+        p, q = r.user_id % 200, r.event_id % 199
+        if p == q:
+            continue
+        u, v = min(p, q), max(p, q)
+        und.setdefault(u, set()).add(v)
+        und.setdefault(v, set()).add(u)
+    assert len(rows) == len(und)
+    by_node = {r.node: r for r in rows}
+    for node in list(sorted(und))[:20]:
+        ball = {node}
+        for _ in range(3):
+            ball |= {w for b in list(ball) for w in und.get(b, ())}
+        assert by_node[node].exact_ball == len(ball)
+    # estimator sanity: positive, and the reported rel_err is honest
+    for r in rows:
+        assert r.est_ball > 0
+        assert abs(r.est_ball - r.exact_ball * (1 + r.rel_err)) < r.exact_ball * 0.001 + 0.01
+
+
+def test_seasonal_anomaly_consistency(spark, sf_dir):
+    flags = QUERIES["seasonal_anomaly_flags"](spark, sf_dir).collect()
+    dec = {r.day: r for r in QUERIES["seasonal_decompose"](spark, sf_dir).collect()}
+    for r in flags:
+        assert r.day in dec
+        assert r.residual == dec[r.day].residual
+        assert r.robust_score > 3.0  # the cutoff, in MAD units
+
+
+def test_pacf_brute(spark, sf_dir):
+    rows = {r.lag: r for r in QUERIES["pacf_daily"](spark, sf_dir).collect()}
+    ev = load_events(spark, sf_dir).select(F.col("ts").cast("date").alias("d")).collect()
+    days: dict = {}
+    for r in ev:
+        days[r.d] = days.get(r.d, 0) + 1
+    nd, s = len(days), sum(days.values())
+    cvals = {d: nd * x - s for d, x in days.items()}
+    den = sum(v * v for v in cvals.values())
+    import datetime
+
+    r_ = {}
+    for lag in (1, 2, 3):
+        num = sum(
+            cvals[d] * cvals[d + datetime.timedelta(days=lag)]
+            for d in days
+            if d + datetime.timedelta(days=lag) in days
+        )
+        r_[lag] = num / den
+    p11 = r_[1]
+    p22 = (r_[2] - r_[1] ** 2) / (1.0 - r_[1] ** 2)
+    p21 = p11 - p22 * p11
+    p33 = (r_[3] - p21 * r_[2] - p22 * r_[1]) / (1.0 - p21 * r_[1] - p22 * r_[2])
+    assert rows[1].pacf == math.floor(p11 * 1e6 + 0.5) / 1e6
+    assert rows[1].acf == rows[1].pacf  # PACF(1) == ACF(1) identity
+    assert rows[2].pacf == math.floor(p22 * 1e6 + 0.5) / 1e6
+    assert rows[3].pacf == math.floor(p33 * 1e6 + 0.5) / 1e6
+
+
+def test_audio_fingerprint_brute(spark, sf_dir):
+    rows = QUERIES["multimodal_audio_fingerprint"](spark, sf_dir).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    for doc_id in list(by_doc)[:25]:
+        n = 64 + doc_id % 50
+        samples = [((doc_id * 13 + i * 31) % 65536) - 32768 for i in range(n)]
+        nf = n // 8
+        es = [sum(v * v for v in samples[f * 8 : (f + 1) * 8]) for f in range(nf)]
+        fp = sum((1 << k) for k in range(nf - 1) if es[k + 1] > es[k])
+        r = by_doc[doc_id]
+        assert (r.n_frames, r.fingerprint) == (nf, fp)
+        assert r.canonical_doc <= doc_id
