@@ -5325,3 +5325,43 @@ def seasonal_anomaly_flags(orders: DataFrame, cutoff: float = 3.0) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def join_asof_next_order(events: DataFrame, orders: DataFrame) -> DataFrame:
+    """FORWARD as-of join: for each event, the EARLIEST order of that
+    user STRICTLY AFTER the event time — completes the as-of matrix
+    (backward / nearest / tolerance / forward); the "what did the user
+    do next" primitive behind conversion-lag and next-touch features.
+
+    Same union + one-window shape as join_asof_latest_order, run
+    forward: the frame is [current row, end) and order rows sort
+    BEFORE event rows at equal time, so a same-instant order falls
+    outside the event's frame — strictly-after semantics, by
+    construction. Ties on the same future date resolve to the MIN
+    o_orderkey (first() over the o_orderkey-ascending order). ONE
+    shuffle + sort on the user key."""
+    left = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_order"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.col("t"), F.col("is_order").desc(), F.col("o_orderkey"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    merged = left.unionByName(right).withColumn(
+        "next_orderkey", F.first("o_orderkey", ignorenulls=True).over(w)
+    )
+    return merged.filter(F.col("is_order") == 0).select(
+        "event_id", F.col("uid").alias("user_id"), "next_orderkey"
+    )

@@ -2006,7 +2006,10 @@ _PRIORITY = [
     "welch_ttest", "kendall_tau_daily", "seasonal_decompose",
     "shapley_attribution", "srm_check", "power_mde_report",
     "hyperball_neighborhood", "seasonal_anomaly_flags", "pacf_daily",
-    "multimodal_audio_fingerprint",
+    "multimodal_audio_fingerprint", "kneser_ney_logprob",
+    "ipw_treatment_effect", "did_estimate", "ucb_arm_ranking",
+    "dedup_threshold_sweep", "join_asof_forward", "window_cume_dist",
+    "blocking_recall_report", "experiment_readout",
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
@@ -15115,3 +15118,692 @@ def multimodal_audio_fingerprint_query(spark: SparkSession, sf_dir: str) -> Data
         "fingerprint",
         F.min("doc_id").over(w).alias("canonical_doc"),
     ).orderBy("doc_id")
+
+
+@register(
+    "kneser_ney_logprob",
+    # same bigram census; KN terms are integer counts pushed through
+    # one fixed expression tree; bigram_logprob's AVG(LN) convention
+    """
+WITH toks AS (
+  SELECT doc_id, pos, tok FROM (
+    SELECT doc_id,
+           generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+    FROM (SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents)
+  ) WHERE tok <> ''
+),
+bigrams AS (
+  SELECT doc_id, tok, nxt FROM (
+    SELECT doc_id, tok,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM toks
+  ) WHERE nxt IS NOT NULL
+),
+pc AS (SELECT tok, nxt, COUNT(*) AS c2 FROM bigrams GROUP BY tok, nxt),
+hc AS (SELECT tok, COUNT(*) AS c1 FROM bigrams GROUP BY tok),
+fw AS (SELECT tok, COUNT(*) AS n1fw FROM pc GROUP BY tok),
+bw AS (SELECT nxt, COUNT(*) AS n1bw FROM pc GROUP BY nxt),
+bt AS (SELECT COUNT(*) AS btypes FROM pc),
+scored AS (
+  SELECT b.doc_id,
+         (GREATEST(pc.c2 - 0.75, 0.0)
+          + 0.75 * fw.n1fw * bw.n1bw / bt.btypes) / hc.c1 AS p
+  FROM bigrams b
+  JOIN pc ON b.tok = pc.tok AND b.nxt = pc.nxt
+  JOIN hc ON b.tok = hc.tok
+  JOIN fw ON b.tok = fw.tok
+  JOIN bw ON b.nxt = bw.nxt
+  CROSS JOIN bt
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams, ROUND(AVG(LN(p)), 6) AS avg_logprob
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_logprob, ROUND(EXP(-avg_logprob), 4) AS ppl
+FROM per_doc ORDER BY doc_id
+""",
+)
+def kneser_ney_logprob_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.kneser_ney_logprob(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "ipw_treatment_effect",
+    # inverse-propensity weighting on the activity-bucket census;
+    # per-bucket terms quantize to exact 1e-6 ints BEFORE the sum
+    """
+WITH pu AS (
+  SELECT user_id, user_id % 2 AS arm, COUNT(*) AS n_ev,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1, 2
+), bu AS (
+  SELECT LEAST(n_ev // 5, 9) AS b, arm, COUNT(*) AS n, SUM(conv) AS k
+  FROM pu GROUP BY 1, 2
+), cells AS (
+  SELECT b,
+         SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS n0,
+         SUM(CASE WHEN arm = 0 THEN k ELSE 0 END) AS k0,
+         SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS n1,
+         SUM(CASE WHEN arm = 1 THEN k ELSE 0 END) AS k1
+  FROM bu GROUP BY b
+), pos AS (
+  SELECT *, CAST(n1 AS DOUBLE) / (n1 + n0) AS e
+  FROM cells WHERE n0 > 0 AND n1 > 0
+), terms AS (
+  SELECT CAST(FLOOR((k1 / e - k0 / (1.0 - e)) * 1e6 + 0.5) AS BIGINT) AS tq,
+         n0, n1, k0, k1
+  FROM pos
+), agg AS (
+  SELECT SUM(n0 + n1) AS nu, SUM(tq) AS st,
+         SUM(k0) AS k0t, SUM(n0) AS n0t, SUM(k1) AS k1t, SUM(n1) AS n1t
+  FROM terms
+)
+SELECT CAST(nu AS BIGINT) AS n_users,
+       FLOOR((CAST(k1t AS DOUBLE) / n1t - CAST(k0t AS DOUBLE) / n0t) * 1e6
+             + 0.5) / 1e6 AS ate_naive,
+       FLOOR(st / 1e6 / nu * 1e6 + 0.5) / 1e6 AS ate_ipw
+FROM agg
+""",
+)
+def ipw_treatment_effect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted treatment effect (Horvitz &
+    Thompson 1952; Rosenbaum & Rubin 1983 — public methods): the
+    observational-causal complement of ab_test_report — when arms are
+    NOT randomized, reweighting each converter by 1/P(arm|covariate)
+    removes the confounding the naive arm difference absorbs. The
+    covariate is the user's activity bucket (10 cells); buckets
+    violating positivity (an arm absent) are trimmed, per the standard
+    IPW contract.
+
+    Determinism: the (bucket, arm) census is exact ints; each bucket's
+    IPW term quantizes to an exact 1e-6 int BEFORE summation; the two
+    headline ATEs are fixed IEEE sequences.
+
+    Plan shape: one user shuffle -> 20-cell census; everything after
+    is census algebra. Linear at 100 TB."""
+    events = load_events(spark, sf_dir)
+    pu = events.groupBy(
+        "user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("arm")
+    ).agg(
+        F.count("*").alias("n_ev"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+    )
+    bu = pu.groupBy(
+        F.least(F.floor(F.col("n_ev") / 5), F.lit(9)).alias("b"), "arm"
+    ).agg(F.count("*").alias("n"), F.sum("conv").alias("k"))
+    cells = bu.groupBy("b").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("k")).otherwise(0)).alias("k0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("k")).otherwise(0)).alias("k1"),
+    )
+    pos = cells.filter((F.col("n0") > 0) & (F.col("n1") > 0)).withColumn(
+        "e", F.col("n1").cast("double") / (F.col("n1") + F.col("n0"))
+    )
+    terms = pos.select(
+        F.floor(
+            (F.col("k1") / F.col("e") - F.col("k0") / (F.lit(1.0) - F.col("e")))
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tq"),
+        "n0", "n1", "k0", "k1",
+    )
+    agg = terms.agg(
+        F.sum(F.col("n0") + F.col("n1")).alias("nu"),
+        F.sum("tq").alias("st"),
+        F.sum("k0").alias("k0t"),
+        F.sum("n0").alias("n0t"),
+        F.sum("k1").alias("k1t"),
+        F.sum("n1").alias("n1t"),
+    )
+    return agg.select(
+        F.col("nu").cast("long").alias("n_users"),
+        (
+            F.floor(
+                (
+                    F.col("k1t").cast("double") / F.col("n1t")
+                    - F.col("k0t").cast("double") / F.col("n0t")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("ate_naive"),
+        (
+            F.floor(F.col("st") / 1e6 / F.col("nu") * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("ate_ipw"),
+    )
+
+
+@register(
+    "did_estimate",
+    # 2x2 (arm, period) purchase-value means; the period split is the
+    # integer epoch midpoint, so both engines cut identically
+    """
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+), cells AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN epoch_us(ts) >= (b.mn + b.mx) // 2 THEN 1 ELSE 0 END AS period,
+         COUNT(*) AS n,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS s
+  FROM events, bounds b
+  WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+), m AS (
+  SELECT
+    MAX(CASE WHEN arm = 0 AND period = 0 THEN CAST(s AS DOUBLE) / n END) AS m00,
+    MAX(CASE WHEN arm = 0 AND period = 1 THEN CAST(s AS DOUBLE) / n END) AS m01,
+    MAX(CASE WHEN arm = 1 AND period = 0 THEN CAST(s AS DOUBLE) / n END) AS m10,
+    MAX(CASE WHEN arm = 1 AND period = 1 THEN CAST(s AS DOUBLE) / n END) AS m11
+  FROM cells
+)
+SELECT FLOOR(m00 / 100.0 * 1e4 + 0.5) / 1e4 AS mean_ctl_pre,
+       FLOOR(m01 / 100.0 * 1e4 + 0.5) / 1e4 AS mean_ctl_post,
+       FLOOR(m10 / 100.0 * 1e4 + 0.5) / 1e4 AS mean_trt_pre,
+       FLOOR(m11 / 100.0 * 1e4 + 0.5) / 1e4 AS mean_trt_post,
+       FLOOR(((m11 - m10) - (m01 - m00)) / 100.0 * 1e6 + 0.5) / 1e6 AS did
+FROM m
+""",
+)
+def did_estimate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator (Card & Krueger 1994 frame —
+    public method) on mean purchase value: arm = user parity, period =
+    before/after the dataset's epoch midpoint; DiD = (trt_post -
+    trt_pre) - (ctl_post - ctl_pre), the parallel-trends-adjusted
+    effect the raw post-period difference can't give.
+
+    Determinism: cell sums are exact centi-ints; the 2x2 means and the
+    DiD contrast are one fixed IEEE tree; the period cut is integer
+    epoch-microsecond arithmetic (identical floor division on both
+    engines).
+
+    Plan shape: one bounds scan (2-value broadcast) + one partial-agg
+    shuffle to 4 cells. Linear at 100 TB."""
+    events = load_events(spark, sf_dir)
+    bounds = events.agg(
+        F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+    )
+    vu = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    cells = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(bounds))
+        .groupBy(
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+            F.when(
+                F.unix_micros("ts")
+                >= F.floor((F.col("mn") + F.col("mx")) / 2).cast("long"),
+                1,
+            )
+            .otherwise(0)
+            .alias("period"),
+        )
+        .agg(F.count("*").alias("n"), F.sum(vu).alias("s"))
+    )
+    mean_of = lambda a_, p_: F.max(  # noqa: E731
+        F.when(
+            (F.col("arm") == a_) & (F.col("period") == p_),
+            F.col("s").cast("double") / F.col("n"),
+        )
+    )
+    m = cells.agg(
+        mean_of(0, 0).alias("m00"),
+        mean_of(0, 1).alias("m01"),
+        mean_of(1, 0).alias("m10"),
+        mean_of(1, 1).alias("m11"),
+    )
+    q4 = lambda c: F.floor(c / 100.0 * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    return m.select(
+        q4(F.col("m00")).alias("mean_ctl_pre"),
+        q4(F.col("m01")).alias("mean_ctl_post"),
+        q4(F.col("m10")).alias("mean_trt_pre"),
+        q4(F.col("m11")).alias("mean_trt_post"),
+        (
+            F.floor(
+                ((F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00")))
+                / 100.0
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("did"),
+    )
+
+
+@register(
+    "ucb_arm_ranking",
+    # UCB1 scores per event-type arm from exact counts; ln through the
+    # same fixed tree on both engines
+    """
+WITH st AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CASE WHEN value > 200 THEN 1 ELSE 0 END) AS k
+  FROM events GROUP BY 1
+), tot AS (SELECT SUM(n) AS big_n FROM st),
+u AS (
+  SELECT event_type, n, k,
+         CAST(k AS DOUBLE) / n + SQRT(2.0 * LN(CAST(big_n AS DOUBLE)) / n)
+           AS ucb
+  FROM st, tot
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pulls, CAST(k AS BIGINT) AS n_rewards,
+       FLOOR(CAST(k AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS reward_rate,
+       FLOOR(ucb * 1e6 + 0.5) / 1e6 AS ucb_score,
+       CAST(ROW_NUMBER() OVER (ORDER BY ucb DESC, event_type) AS BIGINT)
+         AS ucb_rank
+FROM u ORDER BY ucb_rank
+""",
+)
+def ucb_arm_ranking_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 arm ranking (Auer et al. 2002 — public method): treat each
+    event type as a bandit arm (reward = value > 200) and rank by the
+    optimism bonus mean + sqrt(2 ln N / n) — the exploration order an
+    online selector would play next, computed offline from the event
+    log. The batch readout of the explore/exploit ledger: arms with
+    few pulls outrank slightly-better-known ones.
+
+    Determinism: pulls/rewards are exact ints; UCB is a fixed IEEE
+    tree; ties rank by arm name.
+
+    Plan shape: one partial-agg shuffle to 5 arm rows. Linear."""
+    events = load_events(spark, sf_dir)
+    st = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("value") > 200, 1).otherwise(0)).alias("k"),
+    )
+    tot = st.agg(F.sum("n").alias("big_n"))
+    u = st.join(F.broadcast(tot)).withColumn(
+        "ucb",
+        F.col("k").cast("double") / F.col("n")
+        + F.sqrt(F.lit(2.0) * F.log(F.col("big_n").cast("double")) / F.col("n")),
+    )
+    return u.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pulls"),
+        F.col("k").cast("long").alias("n_rewards"),
+        (F.floor(F.col("k").cast("double") / F.col("n") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "reward_rate"
+        ),
+        (F.floor(F.col("ucb") * 1e6 + F.lit(0.5)) / 1e6).alias("ucb_score"),
+        F.row_number()
+        .over(Window.orderBy(F.col("ucb").desc(), "event_type"))
+        .cast("long")
+        .alias("ucb_rank"),
+    ).orderBy("ucb_rank")
+
+
+@register(
+    "dedup_threshold_sweep",
+    # pair cosines computed ONCE (label-blocked, milli-int), then the
+    # whole threshold lattice is conditional census algebra
+    """
+WITH pairs AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         CAST(FLOOR(ROUND(list_cosine_similarity(
+                a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) * 1000 + 0.5)
+              AS INT) AS mcos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(
+          a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) >= 0.3
+), th AS (SELECT UNNEST([300, 400, 500, 600, 700, 800, 900]) AS t),
+j AS (SELECT t, a_id, b_id FROM pairs, th WHERE mcos >= t),
+np AS (SELECT t, COUNT(*) AS n_pairs FROM j GROUP BY t),
+docs AS (
+  SELECT t, COUNT(DISTINCT id) AS n_docs FROM (
+    SELECT t, a_id AS id FROM j UNION ALL SELECT t, b_id FROM j
+  ) GROUP BY t
+), tot AS (SELECT COUNT(*) AS n FROM embeddings)
+SELECT t / 1000.0 AS threshold,
+       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(docs.n_docs, 0) AS BIGINT) AS n_docs_involved,
+       FLOOR(CAST(COALESCE(docs.n_docs, 0) AS DOUBLE) / tot.n * 1e6 + 0.5) / 1e6
+         AS dup_rate
+FROM th LEFT JOIN np USING (t) LEFT JOIN docs USING (t) CROSS JOIN tot
+ORDER BY threshold
+""",
+)
+def dedup_threshold_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sweep — the tuning report every dedup config
+    decision needs: for each cosine cutoff, how many pairs fire and
+    what fraction of the corpus gets pulled into a dup group. The
+    aggressive/conservative trade (Lee et al. 2022 discuss exactly
+    this knob) read off one relation instead of N re-runs.
+
+    Determinism: pair cosines use the embedding_near_dup_pairs
+    contract (blocked matmul, half-up milli-rounding), compared as
+    exact milli-ints against the integer threshold lattice.
+
+    Plan shape: the blocked pair relation is computed ONCE; the sweep
+    is a 7-row broadcast join + conditional censuses — N thresholds
+    cost one pass, not N. Linear in pairs at 100 TB."""
+    from .operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_near_dup_pairs(emb, threshold=0.3).select(
+        "a_id",
+        "b_id",
+        F.floor(F.col("cos_sim") * 1000 + F.lit(0.5)).cast("int").alias("mcos"),
+    )
+    th = spark.range(3, 10).select((F.col("id") * 100).cast("int").alias("t"))
+    j = pairs.join(F.broadcast(th), F.col("mcos") >= F.col("t"))
+    np_ = j.groupBy("t").agg(F.count("*").alias("n_pairs"))
+    docs = (
+        j.select("t", F.explode(F.array("a_id", "b_id")).alias("id"))
+        .groupBy("t")
+        .agg(F.countDistinct("id").alias("n_docs"))
+    )
+    tot = emb.agg(F.count("*").alias("n"))
+    return (
+        th.join(np_, "t", "left")
+        .join(docs, "t", "left")
+        .join(F.broadcast(tot))
+        .select(
+            (F.col("t") / 1000.0).alias("threshold"),
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("long").alias("n_docs_involved"),
+            (
+                F.floor(
+                    F.coalesce(F.col("n_docs"), F.lit(0)).cast("double")
+                    / F.col("n")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("dup_rate"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@register(
+    "join_asof_forward",
+    # correlated earliest-future-order subquery; the engine's one
+    # window pass must match it exactly (strictly-after, min orderkey)
+    """
+SELECT e.event_id, e.user_id,
+       (SELECT o.o_orderkey FROM orders o
+        WHERE o.o_custkey = e.user_id
+          AND CAST(o.o_orderdate AS TIMESTAMP) > e.ts
+        ORDER BY o.o_orderdate, o.o_orderkey LIMIT 1) AS next_orderkey
+FROM events e
+""",
+)
+def join_asof_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.join_asof_next_order(
+        load_events(spark, sf_dir), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "window_cume_dist",
+    """
+SELECT event_id, event_type,
+       FLOOR(cume_dist() OVER (PARTITION BY event_type ORDER BY value) * 1e6
+             + 0.5) / 1e6 AS cd
+FROM events
+QUALIFY event_id % 97 = 0
+ORDER BY event_id
+""",
+)
+def window_cume_dist_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist completes the analytic-rank surface (rank /
+    percent_rank / ntile / cume_dist): P(value <= this row's value)
+    within the event-type partition — tie-inclusive by definition, so
+    it is deterministic without a tiebreaker. Output sampled by
+    event_id so the contract stays small at any scale."""
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            (F.floor(F.cume_dist().over(w) * 1e6 + F.lit(0.5)) / 1e6).alias("cd"),
+        )
+        .filter(F.col("event_id") % 97 == 0)
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "blocking_recall_report",
+    # the diagnostic the blocked dedup family owes: on a 20% sample,
+    # ground truth = UNBLOCKED all-pairs at the same threshold (pairs
+    # blocking can only remove, never add), so recall = found / truth
+    """
+WITH samp AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0
+), truth AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         (a.label = b.label) AS same_block
+  FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(
+          a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) >= 0.4
+), agg AS (
+  SELECT COUNT(*) AS n_truth,
+         SUM(CASE WHEN same_block THEN 1 ELSE 0 END) AS n_found
+  FROM truth
+)
+SELECT CAST(n_truth AS BIGINT) AS n_truth_pairs,
+       CAST(n_found AS BIGINT) AS n_blocked_pairs,
+       CAST(n_truth - n_found AS BIGINT) AS n_missed,
+       FLOOR(CAST(n_found AS DOUBLE) / n_truth * 1e6 + 0.5) / 1e6
+         AS blocking_recall
+FROM agg
+""",
+)
+def blocking_recall_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-recall evaluation (the standard record-linkage /
+    near-dup QA report, e.g. Christen 2012 — public method): on a
+    deterministic 20% sample, compare label-blocked candidate pairs
+    against UNBLOCKED ground truth at the same cosine threshold. Since
+    blocking can only drop pairs, recall = found / truth — the number
+    that says what the label-blocking strategy is missing.
+
+    Plan shape: both pair relations run through the same blocked
+    matmul kernel (embedding_near_dup_pairs); ground truth uses a
+    single all-sample block — bounded by the SAMPLE size by design
+    (that is the documented cost of the diagnostic; the production
+    path stays blocked). The report is 1 row."""
+    from .operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    samp = emb.filter(F.col("vec_id") % 5 == 0)
+    truth = dedup.embedding_near_dup_pairs(
+        samp.withColumn("allblock", F.lit(0)), threshold=0.4, blocking="allblock"
+    ).select("a_id", "b_id")
+    blocked = dedup.embedding_near_dup_pairs(samp, threshold=0.4).select(
+        F.col("a_id").alias("fa"), F.col("b_id").alias("fb")
+    )
+    marked = truth.join(
+        blocked,
+        (F.col("a_id") == F.col("fa")) & (F.col("b_id") == F.col("fb")),
+        "left",
+    )
+    agg = marked.agg(
+        F.count("*").alias("n_truth"),
+        F.count("fa").alias("n_found"),
+    )
+    return agg.select(
+        F.col("n_truth").cast("long").alias("n_truth_pairs"),
+        F.col("n_found").cast("long").alias("n_blocked_pairs"),
+        (F.col("n_truth") - F.col("n_found")).cast("long").alias("n_missed"),
+        (
+            F.floor(
+                F.col("n_found").cast("double") / F.col("n_truth") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("blocking_recall"),
+    )
+
+
+@register(
+    "experiment_readout",
+    # flagship composition: SRM gate + conversion z + Welch t + MDE in
+    # ONE row — each block nests its standalone query's exact algebra
+    """
+WITH pu AS (
+  SELECT user_id, user_id % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' AND value > 150 THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY 1, 2
+), su AS (SELECT arm, COUNT(*) AS n, SUM(converted) AS k FROM pu GROUP BY 1),
+counts AS (
+  SELECT a.n AS n0, a.k AS k0, b.n AS n1, b.k AS k1
+  FROM su a, su b WHERE a.arm = 0 AND b.arm = 1
+), srm AS (
+  SELECT n0, n1, k0, k1, CAST(n0 + n1 AS DOUBLE) / 2.0 AS e FROM counts
+), zc AS (
+  SELECT n0, n1, k0, k1,
+         (n0 - e) * (n0 - e) / e + (n1 - e) * (n1 - e) / e AS chi2,
+         (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+          - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+         / SQRT(CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE)
+                * (1.0 - CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+                * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z,
+         CAST(k0 + k1 AS DOUBLE) / (n0 + n1) AS p,
+         CASE WHEN n0 < n1 THEN n0 ELSE n1 END AS nmin
+  FROM srm
+), pv AS (
+  SELECT user_id % 2 AS arm, COUNT(*) AS n,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS s1,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS s2
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), pj AS (
+  SELECT a.n AS vn0, a.s1 AS a1, a.s2 AS a2, b.n AS vn1, b.s1 AS b1, b.s2 AS b2
+  FROM pv a, pv b WHERE a.arm = 0 AND b.arm = 1
+), vt AS (
+  SELECT (CAST(b1 AS DOUBLE) / vn1 - CAST(a1 AS DOUBLE) / vn0)
+         / SQRT(((CAST(a2 AS DOUBLE) - CAST(a1 AS DOUBLE) * a1 / vn0) / (vn0 - 1)) / vn0
+                + ((CAST(b2 AS DOUBLE) - CAST(b1 AS DOUBLE) * b1 / vn1) / (vn1 - 1)) / vn1)
+           AS tstat
+  FROM pj
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1,
+       FLOOR(chi2 * 1e4 + 0.5) / 1e4 AS srm_chi2,
+       chi2 <= 3.841 AS srm_ok,
+       FLOOR(CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS conv_p0,
+       FLOOR(CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) * 1e6 + 0.5) / 1e6 AS conv_p1,
+       FLOOR(z * 1e4 + 0.5) / 1e4 AS conv_z,
+       ABS(z) > 1.96 AS conv_significant,
+       FLOOR(vt.tstat * 1e4 + 0.5) / 1e4 AS value_t,
+       ABS(vt.tstat) > 1.96 AS value_significant,
+       FLOOR(2.801585 * SQRT(2.0 * p * (1.0 - p) / nmin) * 1e6 + 0.5) / 1e6
+         AS mde_abs
+FROM zc, vt
+""",
+)
+def experiment_readout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete A/B readout as ONE report row — the composition an
+    experimentation platform actually ships: SRM validity gate first
+    (srm_check), then the conversion z-test (ab_test_report's
+    statistic), the continuous-metric Welch t (welch_ttest), and the
+    design-power MDE (power_mde_report). Each block reuses its
+    standalone query's exact integer-moment algebra; the oracle nests
+    all four. Two partial-agg shuffles (per-user conversion, purchase
+    moments) + one-row joins — flat at 100 TB."""
+    events = load_events(spark, sf_dir)
+    pu = events.groupBy(
+        "user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("arm")
+    ).agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    su = pu.groupBy("arm").agg(F.count("*").alias("n"), F.sum("converted").alias("k"))
+    counts = (
+        su.filter(F.col("arm") == 0)
+        .select(F.col("n").alias("n0"), F.col("k").alias("k0"))
+        .join(
+            F.broadcast(
+                su.filter(F.col("arm") == 1).select(
+                    F.col("n").alias("n1"), F.col("k").alias("k1")
+                )
+            )
+        )
+    )
+    e = (F.col("n0") + F.col("n1")).cast("double") / 2.0
+    chi2 = (F.col("n0") - e) * (F.col("n0") - e) / e + (F.col("n1") - e) * (
+        F.col("n1") - e
+    ) / e
+    pooled = (F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (
+        F.col("k1").cast("double") / F.col("n1").cast("double")
+        - F.col("k0").cast("double") / F.col("n0").cast("double")
+    ) / F.sqrt(
+        pooled
+        * (F.lit(1.0) - pooled)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    nmin = F.when(F.col("n0") < F.col("n1"), F.col("n0")).otherwise(F.col("n1"))
+    zc = counts.select(
+        "n0", "n1", "k0", "k1",
+        chi2.alias("chi2"), z.alias("z"), pooled.alias("p"), nmin.alias("nmin"),
+    )
+    vu = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    pv = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.pmod(F.col("user_id"), F.lit(2)).alias("arm"))
+        .agg(F.count("*").alias("n"), F.sum(vu).alias("s1"), F.sum(vu * vu).alias("s2"))
+    )
+    pj = (
+        pv.filter(F.col("arm") == 0)
+        .select(F.col("n").alias("vn0"), F.col("s1").alias("a1"), F.col("s2").alias("a2"))
+        .join(
+            F.broadcast(
+                pv.filter(F.col("arm") == 1).select(
+                    F.col("n").alias("vn1"),
+                    F.col("s1").alias("b1"),
+                    F.col("s2").alias("b2"),
+                )
+            )
+        )
+    )
+    tstat = (
+        F.col("b1").cast("double") / F.col("vn1")
+        - F.col("a1").cast("double") / F.col("vn0")
+    ) / F.sqrt(
+        (
+            (F.col("a2").cast("double") - F.col("a1").cast("double") * F.col("a1") / F.col("vn0"))
+            / (F.col("vn0") - 1)
+        )
+        / F.col("vn0")
+        + (
+            (F.col("b2").cast("double") - F.col("b1").cast("double") * F.col("b1") / F.col("vn1"))
+            / (F.col("vn1") - 1)
+        )
+        / F.col("vn1")
+    )
+    vt = pj.select(tstat.alias("tstat"))
+    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
+    q6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return zc.join(F.broadcast(vt)).select(
+        F.col("n0").cast("long").alias("n0"),
+        F.col("n1").cast("long").alias("n1"),
+        q4(F.col("chi2")).alias("srm_chi2"),
+        (F.col("chi2") <= 3.841).alias("srm_ok"),
+        q6(F.col("k0").cast("double") / F.col("n0").cast("double")).alias("conv_p0"),
+        q6(F.col("k1").cast("double") / F.col("n1").cast("double")).alias("conv_p1"),
+        q4(F.col("z")).alias("conv_z"),
+        (F.abs(F.col("z")) > 1.96).alias("conv_significant"),
+        q4(F.col("tstat")).alias("value_t"),
+        (F.abs(F.col("tstat")) > 1.96).alias("value_significant"),
+        q6(
+            F.lit(2.801585)
+            * F.sqrt(F.lit(2.0) * F.col("p") * (F.lit(1.0) - F.col("p")) / F.col("nmin"))
+        ).alias("mde_abs"),
+    )

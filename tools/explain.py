@@ -132,6 +132,16 @@ HEADLINE = [
     ("jackknife_ratio_ci", "delete-one-bucket jackknife: 32-row bucket census, broadcast scalar algebra"),
     ("spearman_daily", "Spearman rho: doubled integer midranks over the day census, exact moments"),
     ("mrr_recall_eval", "MRR/recall@k: BM25 top-k + all-terms relevance census, query-bounded joins"),
+    ("welch_ttest", "Welch t: one shuffle to 2 rows of exact centi-moments, one-row algebra"),
+    ("seasonal_decompose", "MA decomposition: day census absorbs the scan; 7-row frame + weekday census"),
+    ("shapley_attribution", "exact Shapley: user shuffle to bitmasks, 16-cell lattice broadcast algebra"),
+    ("hyperball_neighborhood", "HyperBall: fixed register state, round = join + max-agg; exact twin as oracle"),
+    ("kneser_ney_logprob", "KN smoothing: one bigram census feeds all four count relations + score-back"),
+    ("ipw_treatment_effect", "IPW: user shuffle -> 20-cell positivity-trimmed census, quantized terms"),
+    ("experiment_readout", "A/B flagship: SRM + z + Welch + MDE from two partial-agg shuffles"),
+    ("dedup_threshold_sweep", "threshold lattice on ONE blocked pair relation: N cutoffs, one pass"),
+    ("join_asof_forward", "forward as-of: union + first-over-forward-frame, one shuffle, strict-after"),
+    ("multimodal_audio_fingerprint", "H-K energy-sign fingerprint: map-side decode, hash-only shuffle"),
 ]
 
 
