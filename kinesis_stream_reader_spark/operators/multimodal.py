@@ -821,3 +821,34 @@ def audio_fingerprint(media: DataFrame, frame: int = 8) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "fingerprint"])
 
     return media.mapInPandas(batches, AUDIO_FP_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = "doc_id BIGINT, frame_idx INT, luma_sum BIGINT, is_cut BOOLEAN"
+
+
+def video_frame_stats(media: DataFrame, threshold_per_px: int = 32) -> DataFrame:
+    """Per-frame luma statistics over REAL decoded y4m: exact integer
+    luma sum per frame plus the scene-cut flag of video_scene_cuts
+    (SAD vs previous frame > threshold; frame 0 is never a cut) — the
+    frame-level relation the keyframe-selection stage windows over.
+    Arrow-batched map-only decode; the shuffle carries (doc, idx,
+    luma, flag), never pixels."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                w, h, frames = decode_y4m(bytes(blob))
+                thresh = threshold_per_px * w * h
+                prev = None
+                for f, fr in enumerate(frames):
+                    y = np.frombuffer(fr[: w * h], dtype=np.uint8).astype(np.int64)
+                    cut = prev is not None and int(np.abs(y - prev).sum()) > thresh
+                    rows.append((doc_id, f, int(y.sum()), bool(cut)))
+                    prev = y
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "luma_sum", "is_cut"]
+            )
+
+    return media.mapInPandas(batches, FRAME_STATS_SCHEMA)

@@ -2010,6 +2010,8 @@ _PRIORITY = [
     "ipw_treatment_effect", "did_estimate", "ucb_arm_ranking",
     "dedup_threshold_sweep", "join_asof_forward", "window_cume_dist",
     "blocking_recall_report", "experiment_readout",
+    "multimodal_keyframe_select", "dbscan_grid_clusters",
+    "decay_weighted_activity", "skipgram_negative_table",
     "model_eval_auc", "multimodal_png_decode", "gopher_repetition_rules",
     "c4_quality_filters", "curriculum_shards", "ccnet_perplexity_buckets",
     "ann_ivfpq", "multimodal_scene_cuts", "tokenizer_fertility_report",
@@ -15806,4 +15808,364 @@ def experiment_readout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(2.801585)
             * F.sqrt(F.lit(2.0) * F.col("p") * (F.lit(1.0) - F.col("p")) / F.col("nmin"))
         ).alias("mde_abs"),
+    )
+
+
+@register(
+    "multimodal_keyframe_select",
+    # oracle rebuilds frames from the synth formula, mirrors SAD cuts,
+    # running-sum scene ids, and the middle-frame keyframe pick
+    """
+WITH dims AS (
+  SELECT doc_id, 4 + 2 * (doc_id % 3) AS w, 4 + 2 * (doc_id % 2) AS h,
+         3 + doc_id % 4 AS n
+  FROM documents
+), fr AS (
+  SELECT doc_id, f.f AS f, w, h FROM dims,
+  LATERAL (SELECT UNNEST(range(n)) AS f) f
+), px AS (
+  SELECT doc_id, f, w, h, j.j AS j,
+         (doc_id * 11 + f * 17 + j.j * 5) % 256 AS yv
+  FROM fr, LATERAL (SELECT UNNEST(range(w * h)) AS j) j
+), luma AS (
+  SELECT doc_id, f, SUM(yv) AS luma FROM px GROUP BY 1, 2
+), sad AS (
+  SELECT a.doc_id, a.f, SUM(ABS(a.yv - b.yv)) AS sad
+  FROM px a JOIN px b ON a.doc_id = b.doc_id AND a.j = b.j AND b.f = a.f - 1
+  GROUP BY 1, 2
+), cuts AS (
+  SELECT l.doc_id, l.f, l.luma,
+         COALESCE(s.sad > 32 * d.w * d.h, FALSE) AS is_cut
+  FROM luma l
+  LEFT JOIN sad s ON s.doc_id = l.doc_id AND s.f = l.f
+  JOIN dims d ON d.doc_id = l.doc_id
+), scenes AS (
+  SELECT doc_id, f, luma,
+         SUM(CASE WHEN is_cut THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY f) AS scene
+  FROM cuts
+), agg AS (
+  SELECT doc_id, scene, MIN(f) AS s, MAX(f) AS e, COUNT(*) AS nf
+  FROM scenes GROUP BY 1, 2
+)
+SELECT a.doc_id, CAST(a.scene AS INT) AS scene_id, CAST(s AS INT) AS start_frame,
+       CAST(e AS INT) AS end_frame, CAST(nf AS INT) AS n_frames,
+       CAST((s + e) // 2 AS INT) AS keyframe_idx,
+       CAST(l.luma AS BIGINT) AS keyframe_luma
+FROM agg a JOIN scenes l ON l.doc_id = a.doc_id AND l.f = (s + e) // 2
+ORDER BY a.doc_id, scene_id
+""",
+)
+def multimodal_keyframe_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection per detected shot — the sampling stage a
+    video training pipeline runs AFTER scene-cut detection (sample
+    within shots, not across them): scenes are running sums of the SAD
+    cut flags, and each scene's keyframe is its middle frame (the
+    standard representative-frame heuristic). Decode is map-side
+    (video_frame_stats); scene assignment and the keyframe pick are
+    one window + one census join on (doc, frame) longs — pixels never
+    shuffle. Linear in video bytes at 100 TB."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.video_frame_stats(multimodal.synthetic_y4m_media(docs))
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    scenes = frames.withColumn(
+        "scene", F.sum(F.col("is_cut").cast("int")).over(w)
+    )
+    agg = scenes.groupBy("doc_id", "scene").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count("*").alias("n_frames"),
+    ).withColumn(
+        "keyframe_idx",
+        F.expr("CAST((start_frame + end_frame) DIV 2 AS INT)"),
+    )
+    key = scenes.select(
+        F.col("doc_id").alias("kd"),
+        F.col("frame_idx").alias("kf"),
+        F.col("luma_sum").alias("keyframe_luma"),
+    )
+    return (
+        agg.join(
+            key,
+            (F.col("doc_id") == F.col("kd")) & (F.col("keyframe_idx") == F.col("kf")),
+        )
+        .select(
+            "doc_id",
+            F.col("scene").cast("int").alias("scene_id"),
+            F.col("start_frame").cast("int").alias("start_frame"),
+            F.col("end_frame").cast("int").alias("end_frame"),
+            F.col("n_frames").cast("int").alias("n_frames"),
+            F.col("keyframe_idx").cast("int").alias("keyframe_idx"),
+            F.col("keyframe_luma").cast("long").alias("keyframe_luma"),
+        )
+        .orderBy("doc_id", "scene_id")
+    )
+
+
+@register(
+    "dbscan_grid_clusters",
+    # grid-density clustering; oracle walks the same core-cell graph
+    # with the recursive transitive-closure CTE (dedup_groups pattern)
+    """
+WITH RECURSIVE pts AS (
+  SELECT event_id,
+         (event_id * 2654435761) % 1000 AS x,
+         (user_id * 40503 + event_id * 97) % 1000 AS y
+  FROM events WHERE event_type = 'click'
+), cells AS (
+  SELECT x // 5 AS cx, y // 5 AS cy, COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+), core AS (
+  SELECT cx, cy, cx * 1000 + cy AS cell, n FROM cells WHERE n >= 3
+), edges AS (
+  SELECT a.cell AS u, b.cell AS v
+  FROM core a JOIN core b
+    ON ABS(a.cx - b.cx) <= 1 AND ABS(a.cy - b.cy) <= 1 AND a.cell <> b.cell
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT c.cell, LEAST(c.cell, COALESCE(MIN(r.v), c.cell)) AS cluster_id
+  FROM core c LEFT JOIN reach r ON r.u = c.cell
+  GROUP BY c.cell
+), clusters AS (
+  SELECT cluster_id, COUNT(*) AS n_cells, SUM(core.n) AS n_points
+  FROM comp JOIN core ON comp.cell = core.cell
+  GROUP BY cluster_id
+), noise AS (
+  SELECT CAST(-1 AS BIGINT) AS cluster_id, COUNT(*) AS n_cells,
+         COALESCE(SUM(n), 0) AS n_points
+  FROM cells WHERE n < 3
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(n_points AS BIGINT) AS n_points
+FROM (SELECT * FROM clusters UNION ALL SELECT * FROM noise)
+ORDER BY cluster_id
+""",
+)
+def dbscan_grid_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering — DBSCAN's (Ester et al. 1996 — public
+    method) scalable grid formulation (eps-sized cells, core cell =
+    minPts occupancy, clusters = 8-connected components of core cells;
+    sparse cells are noise): completes the clustering family (kmeans /
+    k-center / mutual-kNN / SemDeDup centroids) with the density-based
+    member, on the same synthetic plane as grid_radius_join.
+
+    Plan shape: one partial-agg shuffle to the occupied-cell census;
+    the neighbor join and min-label components (dedup_components —
+    convergence by label-sum fixpoint) run on CELLS, never points —
+    the cell census is the scale bound, not the row count. Points
+    shuffle exactly once. Linear at 100 TB."""
+    from .operators import dedup
+
+    events = load_events(spark, sf_dir)
+    pts = events.filter(F.col("event_type") == "click").select(
+        "event_id",
+        ((F.col("event_id") * 2654435761) % 1000).alias("x"),
+        ((F.col("user_id") * 40503 + F.col("event_id") * 97) % 1000).alias("y"),
+    )
+    cells = pts.groupBy(
+        F.floor(F.col("x") / 5).alias("cx"), F.floor(F.col("y") / 5).alias("cy")
+    ).agg(F.count("*").alias("n"))
+    core = cells.filter(F.col("n") >= 3).withColumn(
+        "cell", F.col("cx") * 1000 + F.col("cy")
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    spark_offs = load_events(spark, sf_dir).sparkSession.createDataFrame(
+        offs, "dx int, dy int"
+    )
+    nb = core.join(F.broadcast(spark_offs)).select(
+        F.col("cell").alias("a_id"),
+        ((F.col("cx") + F.col("dx")) * 1000 + (F.col("cy") + F.col("dy"))).alias(
+            "b_id"
+        ),
+    )
+    edges = nb.join(
+        core.select(F.col("cell").alias("b_id")), "b_id"
+    ).filter(F.col("a_id") != F.col("b_id"))
+    comp = dedup.dedup_components(
+        core.select(F.col("cell").alias("doc_id")), edges
+    ).select(F.col("doc_id").alias("cell"), F.col("component_id").alias("cluster_id"))
+    clusters = (
+        comp.join(core, "cell")
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_cells"), F.sum("n").alias("n_points"))
+    )
+    noise = cells.filter(F.col("n") < 3).agg(
+        F.lit(-1).cast("long").alias("cluster_id"),
+        F.count("*").alias("n_cells"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("n_points"),
+    )
+    return (
+        clusters.unionByName(noise)
+        .select(
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            F.col("n_points").cast("long").alias("n_points"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+@register(
+    "decay_weighted_activity",
+    # per-event decay weights quantize to exact 1e-6 ints BEFORE the
+    # per-user sum; EXP through the same fixed tree on both engines
+    """
+WITH ref AS (SELECT MAX(epoch_us(ts)) AS mx FROM events),
+wq AS (
+  SELECT user_id,
+         CAST(FLOOR(EXP(-0.05 * ((r.mx - epoch_us(ts)) / 86400000000.0))
+                    * 1e6 + 0.5) AS BIGINT) AS w
+  FROM events, ref r
+), pu AS (
+  SELECT user_id, COUNT(*) AS n_events, SUM(w) AS sw
+  FROM wq GROUP BY 1
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       FLOOR(CAST(sw AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS decay_score
+FROM pu WHERE user_id % 57 = 0 ORDER BY user_id
+""",
+)
+def decay_weighted_activity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay activity scoring (the recency-weighted
+    engagement feature every ranking/CRM system keeps; exponential
+    decay per Ebbinghaus / standard feature-store practice — public):
+    each event contributes exp(-lambda * age_days) relative to the
+    dataset's newest event, lambda = 0.05 (half-life ~14 days).
+
+    Determinism: each per-event weight quantizes to an exact 1e-6 int
+    BEFORE the per-user sum (a float sum over events would be
+    order-nondeterministic); the age and EXP are the same fixed IEEE
+    tree on both engines. Output sampled by user id.
+
+    Plan shape: one 1-value bounds broadcast + one user shuffle of
+    integer partial sums. Linear at 100 TB."""
+    events = load_events(spark, sf_dir)
+    ref = events.agg(F.max(F.unix_micros("ts")).alias("mx"))
+    wq = events.join(F.broadcast(ref)).select(
+        "user_id",
+        F.floor(
+            F.exp(
+                F.lit(-0.05)
+                * ((F.col("mx") - F.unix_micros("ts")) / F.lit(86400000000.0))
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    pu = wq.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("w").alias("sw")
+    )
+    return (
+        pu.filter(F.col("user_id") % 57 == 0)
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            (
+                F.floor(F.col("sw").cast("double") / 1e6 * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("decay_score"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "skipgram_negative_table",
+    # word2vec negative-sampling table: unigram^0.75 via EXP(0.75*LN c)
+    # (identical tree both engines), exact integer prefix sums
+    """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+), vc AS (
+  SELECT tok, COUNT(*) AS c FROM toks WHERE tok <> '' GROUP BY tok
+), tot_t AS (SELECT SUM(c) AS t FROM vc),
+w AS (
+  SELECT tok, c,
+         CAST(FLOOR(EXP(0.75 * LN(CAST(c AS DOUBLE))) * 1e6 + 0.5) AS BIGINT)
+           AS w75
+  FROM vc
+), tot_w AS (SELECT SUM(w75) AS sw FROM w),
+ranked AS (
+  SELECT tok, c, w75,
+         ROW_NUMBER() OVER (ORDER BY w75 DESC, tok) AS rank,
+         SUM(w75) OVER (ORDER BY w75 DESC, tok
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_w
+  FROM w QUALIFY rank <= 50
+)
+SELECT CAST(rank AS BIGINT) AS rank, tok, CAST(c AS BIGINT) AS n_occurrences,
+       FLOOR(CAST(w75 AS DOUBLE) / tw.sw * 1e8 + 0.5) / 1e8 AS prob,
+       FLOOR(CAST(cum_w AS DOUBLE) / tw.sw * 1e8 + 0.5) / 1e8 AS cum_prob,
+       FLOOR(5.0 * tt.t * (CAST(w75 AS DOUBLE) / tw.sw) * 1e4 + 0.5) / 1e4
+         AS expected_negatives
+FROM ranked, tot_w tw, tot_t tt
+ORDER BY rank
+""",
+)
+def skipgram_negative_table_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec negative-sampling table (Mikolov et al. 2013 — public
+    method): the unigram^0.75 distribution skip-gram training draws
+    negatives from, as a top-50 sampling table with cumulative bounds
+    and the expected negative-draw count at k=5 per center token —
+    the embedding-training prep stage on the corpus vocabulary.
+
+    Determinism: counts are exact; c^0.75 is EXP(0.75*LN(c)) — the
+    same fixed tree on both engines — quantized to 1e-6 ints before
+    any sum, so prefix sums are exact integers.
+
+    Plan shape: one token-census shuffle (vocabulary-bounded); the
+    rank/prefix window runs over the 50-row table. Linear at 100 TB."""
+    documents = load_table(spark, sf_dir, "documents")
+    toks = documents.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    vc = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    tot_t = vc.agg(F.sum("c").alias("t"))
+    w = vc.select(
+        "tok",
+        "c",
+        F.floor(F.exp(F.lit(0.75) * F.log(F.col("c").cast("double"))) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("w75"),
+    )
+    tot_w = w.agg(F.sum("w75").alias("sw"))
+    wr = Window.orderBy(F.col("w75").desc(), "tok")
+    ranked = (
+        w.withColumn("rank", F.row_number().over(wr))
+        .withColumn(
+            "cum_w",
+            F.sum("w75").over(wr.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("rank") <= 50)
+    )
+    q8 = lambda c_: F.floor(c_ * 1e8 + F.lit(0.5)) / 1e8  # noqa: E731
+    return (
+        ranked.join(F.broadcast(tot_w))
+        .join(F.broadcast(tot_t))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "tok",
+            F.col("c").cast("long").alias("n_occurrences"),
+            q8(F.col("w75").cast("double") / F.col("sw")).alias("prob"),
+            q8(F.col("cum_w").cast("double") / F.col("sw")).alias("cum_prob"),
+            (
+                F.floor(
+                    F.lit(5.0)
+                    * F.col("t")
+                    * (F.col("w75").cast("double") / F.col("sw"))
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("expected_negatives"),
+        )
+        .orderBy("rank")
     )

@@ -837,3 +837,120 @@ def test_experiment_readout_consistency(spark, sf_dir):
     # purchase — only the construction matches, not the number (and at
     # tiny sf every user purchases, making power_mde's MDE exactly 0)
     assert r.mde_abs > 0 and pw.mde_abs >= 0
+
+
+def test_keyframe_brute(spark, sf_dir):
+    rows = QUERIES["multimodal_keyframe_select"](spark, sf_dir).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id in list(by_doc)[:15]:
+        w = 4 + 2 * (doc_id % 3)
+        h = 4 + 2 * (doc_id % 2)
+        n = 3 + doc_id % 4
+        frames = [
+            [(doc_id * 11 + f * 17 + j * 5) % 256 for j in range(w * h)]
+            for f in range(n)
+        ]
+        lumas = [sum(fr) for fr in frames]
+        cuts = [False] + [
+            sum(abs(a - b) for a, b in zip(frames[f], frames[f - 1])) > 32 * w * h
+            for f in range(1, n)
+        ]
+        scene = 0
+        scenes: dict = {}
+        for f in range(n):
+            scene += int(cuts[f])
+            scenes.setdefault(scene, []).append(f)
+        got = sorted(by_doc[doc_id], key=lambda r: r.scene_id)
+        assert len(got) == len(scenes)
+        for r, (sid, fs) in zip(got, sorted(scenes.items())):
+            key = (fs[0] + fs[-1]) // 2
+            assert (r.scene_id, r.start_frame, r.end_frame) == (sid, fs[0], fs[-1])
+            assert (r.n_frames, r.keyframe_idx) == (len(fs), key)
+            assert r.keyframe_luma == lumas[key]
+
+
+def test_dbscan_brute(spark, sf_dir):
+    rows = QUERIES["dbscan_grid_clusters"](spark, sf_dir).collect()
+    ev = load_events(spark, sf_dir).select("event_id", "user_id", "event_type").collect()
+    cells: dict = {}
+    for r in ev:
+        if r.event_type != "click":
+            continue
+        x = (r.event_id * 2654435761) % 1000
+        y = (r.user_id * 40503 + r.event_id * 97) % 1000
+        cells[(x // 5, y // 5)] = cells.get((x // 5, y // 5), 0) + 1
+    core = {c for c, n in cells.items() if n >= 3}
+    # union-find over 8-neighborhood
+    parent = {c: c for c in core}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for (cx, cy) in core:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = (cx + dx, cy + dy)
+                if nb in core and nb != (cx, cy):
+                    ra, rb = find((cx, cy)), find(nb)
+                    if ra != rb:
+                        parent[ra] = rb
+    comps: dict = {}
+    for c in core:
+        comps.setdefault(find(c), []).append(c)
+    expect = sorted(
+        (
+            min(cx * 1000 + cy for cx, cy in mem),
+            len(mem),
+            sum(cells[c] for c in mem),
+        )
+        for mem in comps.values()
+    )
+    got = [(r.cluster_id, r.n_cells, r.n_points) for r in rows if r.cluster_id >= 0]
+    assert sorted(got) == expect
+    noise = [r for r in rows if r.cluster_id == -1][0]
+    assert noise.n_cells == len(cells) - len(core)
+    assert noise.n_points == sum(n for c, n in cells.items() if c not in core)
+
+
+def test_decay_brute(spark, sf_dir):
+    rows = {r.user_id: r for r in QUERIES["decay_weighted_activity"](spark, sf_dir).collect()}
+    ev = load_events(spark, sf_dir).select("user_id", "ts").collect()
+    micros = [int(r.ts.timestamp() * 1e6) for r in ev]
+    mx = max(micros)
+    per: dict = {}
+    for r, us in zip(ev, micros):
+        if r.user_id % 57 != 0:
+            continue
+        w = math.floor(math.exp(-0.05 * ((mx - us) / 86400000000.0)) * 1e6 + 0.5)
+        n, s = per.get(r.user_id, (0, 0))
+        per[r.user_id] = (n + 1, s + w)
+    assert set(rows) == set(per)
+    for u, (n, s) in per.items():
+        assert rows[u].n_events == n
+        assert abs(rows[u].decay_score - s / 1e6) < 2e-6
+
+
+def test_skipgram_table_brute(spark, sf_dir):
+    rows = QUERIES["skipgram_negative_table"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    vc: dict = {}
+    for d in docs:
+        for t in d.text.lower().strip().split():
+            if t:
+                vc[t] = vc.get(t, 0) + 1
+    w75 = {t: math.floor(math.exp(0.75 * math.log(c)) * 1e6 + 0.5) for t, c in vc.items()}
+    sw = sum(w75.values())
+    order = sorted(w75, key=lambda t: (-w75[t], t))[:50]
+    assert [r.tok for r in rows] == order
+    cum = 0
+    for r, t in zip(rows, order):
+        cum += w75[t]
+        assert r.n_occurrences == vc[t]
+        assert r.prob == math.floor(w75[t] / sw * 1e8 + 0.5) / 1e8
+        assert r.cum_prob == math.floor(cum / sw * 1e8 + 0.5) / 1e8
+    assert abs(rows[-1].cum_prob - 1.0) < 0.2 or len(rows) == 50

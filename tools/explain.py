@@ -142,6 +142,9 @@ HEADLINE = [
     ("dedup_threshold_sweep", "threshold lattice on ONE blocked pair relation: N cutoffs, one pass"),
     ("join_asof_forward", "forward as-of: union + first-over-forward-frame, one shuffle, strict-after"),
     ("multimodal_audio_fingerprint", "H-K energy-sign fingerprint: map-side decode, hash-only shuffle"),
+    ("dbscan_grid_clusters", "grid DBSCAN: cell census + 8-neighbor explode join, components on cells"),
+    ("multimodal_keyframe_select", "keyframes: map-side frame stats, scene window + census join"),
+    ("skipgram_negative_table", "word2vec negative table: vocab census, 50-row rank/prefix window"),
 ]
 
 
