@@ -352,6 +352,7 @@ def dedup_components(
     # SUM strictly decreases iff any label changed — convergence is one
     # scalar aggregate per round, not a self-join + count
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -370,8 +371,18 @@ def dedup_components(
         )
         new_sum = labels.agg(F.sum("component_id")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # the label sum was still falling when the round budget ran out:
+        # labels on long chains (diameter > max_iter) would be wrong —
+        # fail loudly rather than return silently-unconverged components
+        raise RuntimeError(
+            f"dedup_components: min-propagation not converged after "
+            f"{max_iter} rounds (graph diameter exceeds the budget); "
+            f"raise max_iter"
+        )
     return labels
 
 
@@ -1156,8 +1167,10 @@ def winnowing_fingerprints(
 
     Output contract (canonical, not pairs): one row per document —
     (doc_id, n_fingerprints, canonical_id) where canonical_id is the
-    smallest partner doc_id (self if none), the linear-in-corpus
-    near-dup summary the other dedup operators standardized on.
+    CONNECTED-COMPONENT minimum over the partner graph (self if no
+    partner) via dedup_components' min-propagation — transitively
+    consistent (A~B and B~C land on one canonical), the same
+    linear-in-corpus contract as dedup_minhash_canonical.
 
     Determinism: hashes are the md5-15-hex->bigint house convention
     (bit-identical in DuckDB); window minima, rightmost-tie selection
@@ -1224,21 +1237,20 @@ def winnowing_fingerprints(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= share_threshold)
     )
-    canon = pairs.groupBy("doc_id").agg(
-        F.min(F.when(F.col("partner") < F.col("doc_id"), F.col("partner"))).alias(
-            "cmin"
-        )
+    edges = pairs.filter(F.col("doc_id") < F.col("partner")).select(
+        F.col("doc_id").alias("a_id"), F.col("partner").alias("b_id")
     )
+    comp = dedup_components(documents.select("doc_id"), edges)
     return (
         documents.select("doc_id")
         .join(n_fp, "doc_id", "left")
-        .join(canon, "doc_id", "left")
+        .join(comp, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce(F.col("n_fingerprints"), F.lit(0))
             .cast("long")
             .alias("n_fingerprints"),
-            F.coalesce(F.col("cmin"), F.col("doc_id")).alias("canonical_id"),
+            F.coalesce(F.col("component_id"), F.col("doc_id")).alias("canonical_id"),
         )
         .orderBy("doc_id")
     )

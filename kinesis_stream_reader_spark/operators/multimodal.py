@@ -800,7 +800,12 @@ def audio_fingerprint(media: DataFrame, frame: int = 8) -> DataFrame:
     the differencing/packing/dedup plumbing is the real thing.)
 
     Determinism: decode is bit-exact (decode_wav), energies and packed
-    bits are exact integers end-to-end.
+    bits are exact integers end-to-end. Bit i of the fingerprint is the
+    XOR of every frame-pair bit whose index ≡ i (mod 63) — clips with
+    more than 63 frame pairs xor-fold into the same 63-bit space
+    instead of shifting past the int64 width (left-shifts ≥ 63 would be
+    undefined/wrapping in numpy); for shorter clips the fold is the
+    identity, so the packed value equals the plain positional packing.
 
     Plan shape: decode + frame energies are map-side Arrow-batched;
     only (doc_id, n_frames, fingerprint) ever shuffles — hashes, never
@@ -816,7 +821,10 @@ def audio_fingerprint(media: DataFrame, frame: int = 8) -> DataFrame:
                 v = samples[: nf * frame].astype(np.int64).reshape(nf, frame)
                 e = (v * v).sum(axis=1)
                 bits = (e[1:] > e[:-1]).astype(np.int64)
-                fp = int((bits << np.arange(nf - 1)).sum()) if nf > 1 else 0
+                # xor-fold into 63 bits: shift counts stay < 63 however
+                # long the clip (shift >= 64 is UB in C / wraps in numpy)
+                terms = bits << (np.arange(nf - 1, dtype=np.int64) % 63)
+                fp = int(np.bitwise_xor.reduce(terms)) if nf > 1 else 0
                 rows.append((doc_id, nf, fp))
             yield pd.DataFrame(rows, columns=["doc_id", "n_frames", "fingerprint"])
 

@@ -1282,7 +1282,10 @@ def _block_topk_mips(
         .join(F.broadcast(grid), "cb")
         .repartition(blocks * blocks, "qb", "cb")
     )
-    neg_inf = np.iinfo(np.int64).min
+    # self-mask sentinel: far below any real dot (|dot| <= dims*|q|^2 ~
+    # 2^32) yet safely negatable — int64.min would overflow back to
+    # itself under the lexsort's negation and rank masked entries FIRST
+    neg_inf = -(1 << 62)
 
     def block_topk(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "dot_q": []})
@@ -1363,7 +1366,11 @@ def mutual_knn_components(
     Plan: knn_graph's block-grid GEMM, one self-join on the directed
     edge list (semi join on the reversed pair), then dedup_components'
     iterative min-propagation — every shuffle carries (id, id) pairs,
-    never vectors."""
+    never vectors. Unlike near-clique dup groups (diameter ~2),
+    mutual-kNN graphs can form long chains, so the propagation budget
+    is 64 rounds; dedup_components raises rather than return
+    unconverged labels if even that is exceeded (the sum-stable check
+    makes extra rounds free once converged)."""
     from .dedup import dedup_components
 
     g = knn_graph(embeddings, k=k, blocks=blocks).select("vec_id", "neighbor_id")
@@ -1376,7 +1383,7 @@ def mutual_knn_components(
         .select(F.col("vec_id").alias("a_id"), F.col("neighbor_id").alias("b_id"))
     )
     nodes = embeddings.select(F.col("vec_id").alias("doc_id"))
-    comp = dedup_components(nodes, mutual)
+    comp = dedup_components(nodes, mutual, max_iter=64)
     return (
         comp.select(F.col("doc_id").alias("vec_id"), "component_id")
         .orderBy("vec_id")

@@ -589,3 +589,54 @@ def attribution_join_right(
     ).select(
         "click_id", "purchase_id", F.coalesce("c_user", "p_user").alias("user_id")
     )
+
+
+def state_store_snapshot(events: DataFrame) -> DataFrame:
+    """Run a per-type count+cents streaming aggregation to caught-up,
+    then read the aggregation's OWN STATE STORE back as a DataFrame via
+    Spark 4's `statestore` reader — the state-introspection surface a
+    production operator uses to debug skew, audit state size, or
+    migrate state between jobs WITHOUT replaying the stream.
+
+    The result rows come from the checkpoint's state files, not the
+    sink: (event_type, n_events, total_cents) per group key. Equality
+    with the batch aggregate is therefore a round-trip proof that the
+    persisted state is exactly the aggregation's logical content.
+
+    Plan shape / 100 TB: the state source exposes one input split per
+    state-store partition (partition_id column), so the read is as
+    parallel as the original shuffle and never replays source data;
+    state for a keyed aggregation is one row per key per partition —
+    bounded by |keys|, independent of stream length."""
+    spark = events.sparkSession
+    agg = (
+        events.select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("total_cents"))
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    checkpoint = tempfile.mkdtemp(prefix="ksr_state_inspect_")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("ksr_state_inspect_sink")
+            .outputMode("complete")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    state = spark.read.format("statestore").load(checkpoint)
+    # the state schema names the UNRESOLVED agg buffer fields (count,
+    # sum), not the sink aliases — the buffer is the physical contract
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").cast("long").alias("n_events"),
+        F.col("value.sum").cast("long").alias("total_cents"),
+    ).orderBy("event_type")

@@ -101,6 +101,48 @@ def test_dedup_components_chain_and_singleton(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 4, 9: 9}
 
 
+def test_dedup_components_raises_on_exhausted_budget(spark):
+    """A path graph of diameter 6 cannot converge in 2 min-propagation
+    rounds: the loop must FAIL LOUDLY, not return partial labels."""
+    from pyspark.sql import Row
+
+    import pytest
+
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(1, 8)])
+    pairs = spark.createDataFrame(
+        [Row(a_id=i, b_id=i + 1) for i in range(1, 7)]
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup.dedup_components(docs, pairs, max_iter=2)
+    # with budget, the whole chain lands on the minimum label
+    out = {
+        r.doc_id: r.component_id
+        for r in dedup.dedup_components(docs, pairs, max_iter=10).collect()
+    }
+    assert out == {i: 1 for i in range(1, 8)}
+
+
+def test_winnowing_canonical_is_transitive(spark):
+    """A->B and B->C partner edges must land all three on ONE canonical
+    (component minimum), even if A and C share too few fingerprints
+    directly."""
+    blk = lambda p: " ".join(f"{p}{i:02d}" for i in range(30))  # noqa: E731
+    a, b, c, w = blk("aa"), blk("bb"), blk("cc"), blk("ww")
+    docs = spark.createDataFrame(
+        # doc1 = A+B, doc2 = B+C, doc3 = C+W: 1~2 share block B, 2~3
+        # share block C, but 1 and 3 share NO tokens at all
+        [(1, a + " " + b), (2, b + " " + c), (3, c + " " + w),
+         (4, "totally different words only")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.canonical_id
+        for r in dedup.winnowing_fingerprints(docs).collect()
+    }
+    assert out[1] == 1 and out[2] == 1 and out[3] == 1
+    assert out[4] == 4
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         Row(vec_id=1, label=0, embedding=[1.0, 0.0, 0.0]),

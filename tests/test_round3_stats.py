@@ -661,6 +661,30 @@ def test_audio_fingerprint_brute(spark, sf_dir):
         assert r.canonical_doc <= doc_id
 
 
+def test_audio_fingerprint_long_clip_folds_into_63_bits(spark):
+    """Clips with > 64 frame pairs must xor-fold (bit i = XOR of pair
+    bits at index ≡ i mod 63), never shift past the int64 width."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    n = 8 * 200  # 200 frames -> 199 pair bits, well past 63
+    s = (((7 * 13 + np.arange(n) * 31) % 65536) - 32768).astype("<i2")
+    media = spark.createDataFrame(
+        [(7, bytearray(mm.encode_wav(s)))], "doc_id BIGINT, data BINARY"
+    )
+    row = mm.audio_fingerprint(media).collect()[0]
+    es = (s.astype(np.int64).reshape(200, 8) ** 2).sum(axis=1)
+    bits = [1 if es[k + 1] > es[k] else 0 for k in range(199)]
+    want = 0
+    for k, b in enumerate(bits):
+        if b:
+            want ^= 1 << (k % 63)
+    assert row.n_frames == 200
+    assert row.fingerprint == want
+    assert 0 <= row.fingerprint < (1 << 63)
+
+
 def test_kneser_ney_brute(spark, sf_dir):
     rows = {r.doc_id: r for r in QUERIES["kneser_ney_logprob"](spark, sf_dir).collect()}
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
