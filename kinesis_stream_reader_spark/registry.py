@@ -16434,3 +16434,488 @@ def streaming_state_inspect_query(spark: SparkSession, sf_dir: str) -> DataFrame
 
     stream = jobs.stream_events(spark, sf_dir)
     return jobs.state_store_snapshot(stream)
+
+
+# ---------------------------------------------------------------------------
+# ROUND 4 — statistics completions: the rank-based two-sample test, the
+# k-group mean comparison, and the proportion interval (next to
+# welch_ttest / ab_test_report / chi2_independence).
+# ---------------------------------------------------------------------------
+@register(
+    "mann_whitney_utest",
+    """
+WITH vals AS (
+  SELECT user_id % 2 AS arm,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vq
+  FROM events WHERE event_type = 'purchase'
+), census AS (
+  SELECT vq,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+  FROM vals GROUP BY vq
+), ranked AS (
+  SELECT vq, c0, c1, c0 + c1 AS t,
+         COALESCE(SUM(c0 + c1) OVER (ORDER BY vq
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM census
+), agg AS (
+  SELECT SUM(c0)::BIGINT AS n0, SUM(c1)::BIGINT AS n1,
+         SUM(c1 * (2 * cum + t + 1))::BIGINT AS two_r1,
+         SUM(t * t * t - t)::BIGINT AS tie_term
+  FROM ranked
+), z AS (
+  SELECT n0, n1,
+         (CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2 AS u1,
+         (CAST(two_r1 AS DOUBLE) - CAST(n1 AS DOUBLE) * (n1 + 1)) / 2
+           - CAST(n0 AS DOUBLE) * n1 / 2 AS num,
+         SQRT(CAST(n0 AS DOUBLE) * n1 / 12.0
+              * ((n0 + n1 + 1)
+                 - CAST(tie_term AS DOUBLE)
+                   / (CAST(n0 + n1 AS DOUBLE) * (n0 + n1 - 1)))) AS sd
+  FROM agg
+)
+SELECT n0, n1, u1,
+       floor(num / sd * 1e4 + 0.5) / 1e4 AS z_stat,
+       ABS(num / sd) > 1.96 AS significant
+FROM z
+""",
+)
+def mann_whitney_utest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U / Wilcoxon rank-sum test (1947 — public method)
+    comparing purchase value distributions between the user-parity
+    arms: the DISTRIBUTION-FREE twin of welch_ttest (valid under the
+    heavy-tailed revenue distributions where the t-test's normality
+    assumption is shaky). Midranks, the U statistic, and the tie
+    correction are all computed from a QUANTIZED-VALUE CENSUS — the
+    model_eval_auc construction (U is the same 2U statistic AUC
+    rescales) — so the corpus never crosses a single partition:
+    doubled midranks 2*cum + t + 1 keep everything integer, two_r1
+    and the tie term SUM(t^3 - t) are exact bigints, and the only
+    float ops are the final z expression, one fixed IEEE tree.
+
+    Plan shape: one partial-agg shuffle keyed on the quantized value;
+    the prefix-sum window runs over the bounded distinct-value
+    relation (cents-bounded, ~|price grid| rows) and the final
+    aggregate is one row. Linear at 100 TB."""
+    events = load_events(spark, sf_dir)
+    vq = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    vals = events.filter(F.col("event_type") == "purchase").select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("arm"), vq.alias("vq")
+    )
+    census = vals.groupBy("vq").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    w = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = census.select(
+        "c0",
+        "c1",
+        (F.col("c0") + F.col("c1")).alias("t"),
+        F.coalesce(F.sum(F.col("c0") + F.col("c1")).over(w), F.lit(0)).alias("cum"),
+    )
+    agg = ranked.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.col("c1") * (2 * F.col("cum") + F.col("t") + 1)).alias("two_r1"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie_term"),
+    )
+    u1 = (
+        F.col("two_r1").cast("double") - F.col("n1").cast("double") * (F.col("n1") + 1)
+    ) / 2
+    num = u1 - F.col("n0").cast("double") * F.col("n1") / 2
+    n = F.col("n0") + F.col("n1")
+    sd = F.sqrt(
+        F.col("n0").cast("double")
+        * F.col("n1")
+        / 12.0
+        * (
+            (n + 1)
+            - F.col("tie_term").cast("double") / (n.cast("double") * (n - 1))
+        )
+    )
+    return agg.select(
+        "n0",
+        "n1",
+        u1.alias("u1"),
+        (F.floor(num / sd * 1e4 + F.lit(0.5)) / 1e4).alias("z_stat"),
+        (F.abs(num / sd) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "anova_oneway",
+    """
+WITH st AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS s1,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+             * CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS s2
+  FROM events GROUP BY event_type
+), terms AS (
+  SELECT COUNT(*)::BIGINT AS k, SUM(n)::BIGINT AS n_total,
+         SUM(s1)::BIGINT AS s1_all, SUM(s2)::BIGINT AS s2_all,
+         SUM(s1 * s1 // n)::BIGINT AS sq_within
+  FROM st
+), ss AS (
+  SELECT k, n_total,
+         sq_within - (s1_all * s1_all // n_total) AS ssb,
+         s2_all - sq_within AS ssw
+  FROM terms
+)
+SELECT k, n_total,
+       CAST(ssb AS BIGINT) AS ssb_cents2,
+       CAST(ssw AS BIGINT) AS ssw_cents2,
+       floor((CAST(ssb AS DOUBLE) / (k - 1))
+             / (CAST(ssw AS DOUBLE) / (n_total - k)) * 1e6 + 0.5) / 1e6 AS f_stat
+FROM ss
+""",
+)
+def anova_oneway_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic for mean value across the event-type
+    groups (Fisher — public method): the k-group generalization of
+    welch_ttest's two arms, the omnibus 'do ANY groups differ' gate
+    run before pairwise tests.
+
+    Determinism: per-group (n, sum, sum-of-squares) are exact cent
+    integers; the between/within sums of squares use INTEGER FLOOR
+    DIVISION for each s1^2/n term (s1^2 <= ~2.5e17 at sf0.1 fits
+    int64; a 100 TB deployment lifts to DECIMAL(38,0) exactly like
+    trend_lines), so ssb/ssw are exact bigints bit-identical across
+    engines — no IEEE sum-order hazard — and the only float op is the
+    final F ratio, floor-error <= 1 cent^2 per group (relative 1e-14).
+
+    Plan shape: ONE partial-agg shuffle to k=|event types| rows, then
+    one-row algebra. Linear at 100 TB."""
+    events = load_events(spark, sf_dir)
+    vu = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    st = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(vu).alias("s1"),
+        F.sum(vu * vu).alias("s2"),
+    )
+    terms = st.agg(
+        F.count("*").alias("k"),
+        F.sum("n").alias("n_total"),
+        F.sum("s1").alias("s1_all"),
+        F.sum("s2").alias("s2_all"),
+        F.sum(F.expr("s1 * s1 div n")).alias("sq_within"),
+    )
+    ssb = F.col("sq_within") - F.expr("s1_all * s1_all div n_total")
+    ssw = F.col("s2_all") - F.col("sq_within")
+    f_stat = (ssb.cast("double") / (F.col("k") - 1)) / (
+        ssw.cast("double") / (F.col("n_total") - F.col("k"))
+    )
+    return terms.select(
+        "k",
+        "n_total",
+        ssb.alias("ssb_cents2"),
+        ssw.alias("ssw_cents2"),
+        (F.floor(f_stat * 1e6 + F.lit(0.5)) / 1e6).alias("f_stat"),
+    )
+
+
+@register(
+    "wilson_ci_report",
+    """
+WITH users AS (
+  SELECT user_id % 2 AS variant, user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1, 2
+), st AS (
+  SELECT variant, COUNT(*)::BIGINT AS n_users,
+         SUM(converted)::BIGINT AS n_converted
+  FROM users GROUP BY variant
+), wil AS (
+  SELECT variant, n_users, n_converted,
+         CAST(n_converted AS DOUBLE) / n_users AS p,
+         1.96 * 1.96 / n_users AS z2n
+  FROM st
+)
+SELECT variant, n_users, n_converted,
+       floor(p * 1e6 + 0.5) / 1e6 AS p_hat,
+       floor((p + z2n / 2 - 1.96 * SQRT(p * (1 - p) / n_users + z2n / (4 * n_users)))
+             / (1 + z2n) * 1e6 + 0.5) / 1e6 AS ci_low,
+       floor((p + z2n / 2 + 1.96 * SQRT(p * (1 - p) / n_users + z2n / (4 * n_users)))
+             / (1 + z2n) * 1e6 + 0.5) / 1e6 AS ci_high
+FROM wil ORDER BY variant
+""",
+)
+def wilson_ci_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score confidence interval (Wilson 1927 — public method)
+    for each variant's conversion rate: the interval that stays inside
+    [0,1] and behaves at small n / extreme p where the Wald interval
+    collapses — what ab_test_report's point estimates ship with on a
+    dashboard.
+
+    Determinism: (n_users, n_converted) are exact via the per-user
+    MAX-flag census; the interval is one fixed IEEE expression tree
+    from those two integers, quantized to 1e-6.
+
+    Plan shape: one user-keyed partial-agg shuffle (the cohort
+    census), then a 2-row aggregate — the same two-shuffle ladder as
+    streaming_ab_counts' batch twin. Linear at 100 TB."""
+    events = load_events(spark, sf_dir)
+    users = events.groupBy(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("variant"), "user_id"
+    ).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    st = users.groupBy("variant").agg(
+        F.count("*").alias("n_users"), F.sum("converted").alias("n_converted")
+    )
+    p = F.col("n_converted").cast("double") / F.col("n_users")
+    z2n = F.lit(1.96) * 1.96 / F.col("n_users")
+    half = F.lit(1.96) * F.sqrt(
+        p * (1 - p) / F.col("n_users") + z2n / (4 * F.col("n_users"))
+    )
+    q6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return st.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        q6(p).alias("p_hat"),
+        q6((p + z2n / 2 - half) / (1 + z2n)).alias("ci_low"),
+        q6((p + z2n / 2 + half) / (1 + z2n)).alias("ci_high"),
+    ).orderBy("variant")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 4 — graph completions: the log-degree-weighted link predictor
+# and seed-biased PageRank (next to link_prediction_jaccard /
+# pagerank_converged).
+# ---------------------------------------------------------------------------
+@register(
+    "link_prediction_adamic_adar",
+    # same interaction graph / wedge join as link_prediction_jaccard;
+    # per-wedge weight 1/LN(deg(shared)) quantized to nano-units then
+    # exact-summed (the chi2 per-cell convention)
+    """
+WITH raw AS (
+  SELECT user_id % 200 AS p, event_id % 199 AS q FROM events
+  WHERE user_id % 200 <> event_id % 199
+),
+edges AS (SELECT DISTINCT LEAST(p, q) AS u, GREATEST(p, q) AS v FROM raw),
+adj AS (
+  SELECT u AS node, v AS nbr FROM edges
+  UNION ALL SELECT v AS node, u AS nbr FROM edges
+),
+deg AS (SELECT node, COUNT(*) AS deg FROM adj GROUP BY node),
+wedges AS (
+  SELECT a1.node AS u, a2.node AS v,
+         CAST(floor(1e9 / LN(d.deg) + 0.5) AS BIGINT) AS w_u
+  FROM adj a1
+  JOIN adj a2 ON a1.nbr = a2.nbr AND a1.node < a2.node
+  JOIN deg d ON d.node = a1.nbr
+),
+cand AS (
+  SELECT u, v, COUNT(*) AS n_common, SUM(w_u)::BIGINT AS aa_u
+  FROM wedges GROUP BY u, v
+),
+nonedges AS (
+  SELECT c.u, c.v, c.n_common, c.aa_u FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.u = c.u AND e.v = c.v)
+)
+SELECT u, v, n_common,
+       floor(aa_u / 1e9 * 1e4 + 0.5) / 1e4 AS adamic_adar
+FROM nonedges
+ORDER BY aa_u DESC, u, v LIMIT 20
+""",
+)
+def link_prediction_adamic_adar_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003 — public
+    method): score non-adjacent distance-2 pairs by sum over common
+    neighbors of 1/ln(degree) — rare shared neighbors count more than
+    hubs, the refinement that beats raw common-neighbor counts and
+    Jaccard on social graphs (Liben-Nowell & Kleinberg 2003's
+    benchmark result).
+
+    Determinism: each wedge's weight 1/LN(deg) is ONE fixed IEEE
+    expression on the shared neighbor's exact integer degree,
+    quantized to nano-units BEFORE the per-pair sum — so pair scores
+    are exact bigints and ranking ties break on (u, v).
+
+    Plan shape: identical wedge join to link_prediction_jaccard (the
+    graph_triangles bound: fan-out sum-of-degrees-squared, never all
+    pairs) with the degree lookup joined on the shared neighbor;
+    existing-edge exclusion is a broadcast anti-join; top-20 is a
+    TakeOrdered. At 100 TB the hub cap is the same degree-ordered
+    orientation triangles use."""
+    ev = load_events(spark, sf_dir)
+    raw = ev.select(
+        (F.col("user_id") % 200).alias("p"), (F.col("event_id") % 199).alias("q")
+    ).filter(F.col("p") != F.col("q"))
+    edges = raw.select(
+        F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
+    ).distinct()
+    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
+    a1 = adj.select(F.col("node").alias("u"), "nbr")
+    a2 = adj.select(F.col("node").alias("v"), F.col("nbr").alias("nbr2"))
+    dn = deg.select(F.col("node").alias("nbr"), F.col("deg").alias("ndeg"))
+    wedges = (
+        a1.join(a2, (F.col("nbr") == F.col("nbr2")) & (F.col("u") < F.col("v")))
+        .join(dn, "nbr")
+        .select(
+            "u",
+            "v",
+            F.floor(F.lit(1e9) / F.log(F.col("ndeg").cast("double")) + F.lit(0.5))
+            .cast("long")
+            .alias("w_u"),
+        )
+    )
+    cand = wedges.groupBy("u", "v").agg(
+        F.count("*").alias("n_common"), F.sum("w_u").alias("aa_u")
+    )
+    nonedges = cand.join(edges, ["u", "v"], "left_anti")
+    return (
+        nonedges.select(
+            "u",
+            "v",
+            "n_common",
+            (F.floor(F.col("aa_u") / 1e9 * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "adamic_adar"
+            ),
+            "aa_u",
+        )
+        .orderBy(F.col("aa_u").desc(), "u", "v")
+        .limit(20)
+        .drop("aa_u")
+    )
+
+
+@register(
+    "personalized_pagerank",
+    # 3 unrolled power rounds in integer micro-units; teleport mass
+    # goes to the SEED only (min node) — pagerank_converged's exact
+    # arithmetic with a biased restart
+    """
+WITH raw AS (
+  SELECT DISTINCT user_id AS src, event_id % 500 AS dst FROM events
+),
+outdeg AS (SELECT src, COUNT(*) AS outdeg FROM raw GROUP BY src),
+nodes AS (
+  SELECT src AS node FROM raw UNION SELECT dst AS node FROM raw
+),
+seed AS (SELECT MIN(node) AS s FROM nodes),
+r0 AS (
+  SELECT node, CASE WHEN node = s THEN 1000000000 ELSE 0 END AS rank_u
+  FROM nodes, seed
+),
+r1 AS (
+  SELECT n.node,
+         CASE WHEN n.node = sd.s THEN 150000000 ELSE 0 END
+         + CAST(floor(0.85 * COALESCE(i.inflow, 0) + 0.5) AS BIGINT) AS rank_u
+  FROM nodes n CROSS JOIN seed sd
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_u // o.outdeg) AS inflow
+    FROM raw e JOIN outdeg o ON e.src = o.src JOIN r0 r ON r.node = e.src
+    GROUP BY e.dst
+  ) i ON i.node = n.node
+),
+r2 AS (
+  SELECT n.node,
+         CASE WHEN n.node = sd.s THEN 150000000 ELSE 0 END
+         + CAST(floor(0.85 * COALESCE(i.inflow, 0) + 0.5) AS BIGINT) AS rank_u
+  FROM nodes n CROSS JOIN seed sd
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_u // o.outdeg) AS inflow
+    FROM raw e JOIN outdeg o ON e.src = o.src JOIN r1 r ON r.node = e.src
+    GROUP BY e.dst
+  ) i ON i.node = n.node
+),
+r3 AS (
+  SELECT n.node,
+         CASE WHEN n.node = sd.s THEN 150000000 ELSE 0 END
+         + CAST(floor(0.85 * COALESCE(i.inflow, 0) + 0.5) AS BIGINT) AS rank_u
+  FROM nodes n CROSS JOIN seed sd
+  LEFT JOIN (
+    SELECT e.dst AS node, SUM(r.rank_u // o.outdeg) AS inflow
+    FROM raw e JOIN outdeg o ON e.src = o.src JOIN r2 r ON r.node = e.src
+    GROUP BY e.dst
+  ) i ON i.node = n.node
+)
+SELECT node, floor(rank_u / 1e9 * 1e6 + 0.5) / 1e6 AS ppr
+FROM r3 WHERE rank_u > 0
+ORDER BY rank_u DESC, node LIMIT 50
+""",
+)
+def personalized_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a single seed (the min node):
+    teleport mass restarts at the SEED instead of uniformly, so rank
+    measures proximity TO THE SEED — the neighborhood-relevance score
+    behind 'people you may know' and seed-expanded retrieval (the
+    query-biased twin of pagerank_converged's global importance).
+
+    Three unrolled power rounds in exact integer micro-units
+    (pagerank_converged's convention: per-edge contribution is
+    rank_u DIV outdeg, damping is one IEEE op per node per round), so
+    every round is bit-identical across engines and the oracle unrolls
+    the same three rounds as chained CTEs.
+
+    Plan shape: per round, the contribution join hash-partitions on
+    src (exchange reused with the out-degree aggregate) and the inflow
+    sum re-keys on dst — shuffles carry (node, rank) pairs only.
+    Output is the positive-rank frontier (3 hops from the seed),
+    TakeOrdered top-50."""
+    ev = load_events(spark, sf_dir)
+    edges = (
+        ev.select(F.col("user_id").alias("src"), (F.col("event_id") % 500).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed = nodes.agg(F.min("node").alias("s"))
+    ranks = nodes.join(F.broadcast(seed)).select(
+        "node",
+        F.when(F.col("node") == F.col("s"), F.lit(1000000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank_u"),
+    )
+    for _ in range(3):
+        contribs = (
+            edges.join(outdeg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .select("dst", F.expr("rank_u DIV outdeg").alias("contrib_u"))
+        )
+        inflow = contribs.groupBy(F.col("dst").alias("node")).agg(
+            F.sum("contrib_u").alias("inflow_u")
+        )
+        ranks = (
+            nodes.join(F.broadcast(seed))
+            .join(inflow, "node", "left_outer")
+            .select(
+                "node",
+                (
+                    F.when(F.col("node") == F.col("s"), F.lit(150000000))
+                    .otherwise(F.lit(0))
+                    .cast("long")
+                    + F.floor(
+                        F.lit(0.85)
+                        * F.coalesce(F.col("inflow_u"), F.lit(0)).cast("double")
+                        + F.lit(0.5)
+                    ).cast("long")
+                ).alias("rank_u"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        ranks.filter(F.col("rank_u") > 0)
+        .select(
+            "node",
+            (F.floor(F.col("rank_u") / 1e9 * 1e6 + F.lit(0.5)) / 1e6).alias("ppr"),
+            "rank_u",
+        )
+        .orderBy(F.col("rank_u").desc(), "node")
+        .limit(50)
+        .drop("rank_u")
+    )
