@@ -192,16 +192,79 @@ def decode_png(data: bytes):
     return out.astype(np.uint8).reshape(h, w, 3)
 
 
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP bytes
+    (BITMAPFILEHEADER + BITMAPINFOHEADER): bottom-up row order, BGR
+    channel order, rows padded to 4-byte boundaries — the classic
+    Windows DIB layout (public spec). Fixture/producer twin of
+    decode_bmp."""
+    import struct
+
+    import numpy as np
+
+    h, w = arr.shape[0], arr.shape[1]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = b"".join(
+        arr[y, :, ::-1].astype(np.uint8).tobytes() + b"\x00" * pad
+        for y in range(h - 1, -1, -1)
+    )
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(body)
+    file_header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, pixel_offset)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + body
+
+
+def decode_bmp(data: bytes):
+    """REAL image decode for 24-bit uncompressed BMP (BITMAPINFOHEADER,
+    positive height = bottom-up, BGR, 4-byte row padding): returns an
+    (h, w, 3) uint8 RGB array. Pure stdlib struct + numpy."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    hdr_size, w, h_signed = struct.unpack_from("<Iii", data, 14)
+    if hdr_size < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+    planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError("only 24-bit uncompressed BMP supported")
+    h = abs(h_signed)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = []
+    for i in range(h):
+        off = pixel_offset + i * stride
+        rows.append(
+            np.frombuffer(data, dtype=np.uint8, count=row_bytes, offset=off).reshape(
+                w, 3
+            )[:, ::-1]
+        )
+    # positive height means the FIRST stored row is the BOTTOM scanline
+    if h_signed > 0:
+        rows.reverse()
+    return np.stack(rows)
+
+
 def decode_image(data: bytes):
-    """Image decode: REAL for PPM (decode_ppm) and 8-bit RGB PNG
-    (decode_png, stdlib zlib). JPEG needs an external codec, absent in
-    this container."""
+    """Image decode: REAL for PPM (decode_ppm), 8-bit RGB PNG
+    (decode_png, stdlib zlib) and 24-bit BMP (decode_bmp), dispatched
+    on magic bytes. JPEG needs an external codec, absent in this
+    container."""
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:8] == _PNG_SIG:
         return decode_png(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
     raise NotImplementedError(
-        "PPM and 8-bit RGB PNG decode in this environment; "
+        "PPM, 8-bit RGB PNG and 24-bit BMP decode in this environment; "
         "plug Pillow/torchvision here for JPEG"
     )
 
@@ -860,3 +923,134 @@ def video_frame_stats(media: DataFrame, threshold_per_px: int = 32) -> DataFrame
             )
 
     return media.mapInPandas(batches, FRAME_STATS_SCHEMA)
+
+
+def synthetic_bmp_media(documents: DataFrame) -> DataFrame:
+    """Same deterministic pixel formula as synthetic_ppm_media /
+    synthetic_png_media (so all three codecs share one oracle) but
+    BMP-encoded — bottom-up BGR rows with 4-byte padding, so the
+    decoder's row flip and channel swap are both exercised on every
+    payload."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 8 + doc_id % 5, 6 + doc_id % 3
+                pix = (doc_id * 7 + np.arange(w * h * 3)) % 256
+                blobs.append(encode_bmp(pix.astype(np.uint8).reshape(h, w, 3)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    return documents.select("doc_id").mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+
+
+HIST_OTSU_SCHEMA = (
+    "doc_id BIGINT, n_px BIGINT, luma_sum BIGINT, otsu_bin INT, "
+    "n_below BIGINT, n_above BIGINT"
+)
+
+
+def image_histogram_otsu(media: DataFrame, bins: int = 16) -> DataFrame:
+    """Per-image luma histogram + Otsu threshold (Otsu 1979 — public
+    method) over REAL decoded pixels: integer luma (299r+587g+114b)
+    // 1000 lands in `bins` equal-width bins; the Otsu bin maximizes
+    between-class variance (s0*N - sT*w0)^2 / (w0*(N-w0)) over split
+    points, ties to the SMALLEST bin — the cheap foreground/background
+    separator a vision-ETL stage runs before cropping or OCR routing.
+
+    Determinism: histogram counts and the variance numerator/
+    denominator are exact Python ints; the only float op is the final
+    IEEE division used for the argmax compare — identical inputs give
+    identical doubles on every engine, and ties break on bin index.
+
+    Plan shape: decode + histogram + argmax all run map-side in the
+    Arrow batch; only (doc_id, scalars) ever shuffles — hashes/stats,
+    never pixels (the multimodal house contract)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                arr = decode_image(bytes(blob)).astype(np.int64)
+                luma = (
+                    arr[:, :, 0] * 299 + arr[:, :, 1] * 587 + arr[:, :, 2] * 114
+                ) // 1000
+                bw = 256 // bins
+                hist = np.bincount((luma // bw).ravel(), minlength=bins)
+                n = int(hist.sum())
+                st = int((np.arange(bins) * hist).sum())
+                best_t, best_score = 0, -1.0
+                w0 = s0 = 0
+                for t in range(bins - 1):
+                    w0 += int(hist[t])
+                    s0 += t * int(hist[t])
+                    if w0 == 0 or w0 == n:
+                        continue
+                    num = (s0 * n - st * w0) ** 2
+                    score = float(num) / float(w0 * (n - w0))
+                    if score > best_score:
+                        best_score, best_t = score, t
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        int(luma.sum()),
+                        best_t,
+                        int(hist[: best_t + 1].sum()),
+                        int(hist[best_t + 1 :].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_px",
+                    "luma_sum",
+                    "otsu_bin",
+                    "n_below",
+                    "n_above",
+                ],
+            )
+
+    return media.mapInPandas(batches, HIST_OTSU_SCHEMA)
+
+
+AUDIO_PITCH_SCHEMA = "doc_id BIGINT, n_samples INT, pitch_lag INT, r_max BIGINT"
+
+
+def audio_pitch(media: DataFrame, min_lag: int = 2, max_lag: int = 16) -> DataFrame:
+    """Autocorrelation pitch detection over REAL decoded PCM16 (the
+    classic ACF pitch estimator — public method): R(L) = sum of
+    s[i]*s[i+L] over the clip for L in [min_lag, max_lag]; the pitch
+    lag is the argmax (ties to the smallest lag). The fundamental-
+    period read-off an audio-ETL stage uses for voicing/music gating
+    next to audio_vad_frames' energy gate.
+
+    Exact int64 products end-to-end (|s| <= 2^15, products <= 2^30,
+    clip-length sums far below 2^63); decode and the lag scan are
+    map-side Arrow-batched, the shuffle carries (doc_id, 3 scalars)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                _, samples = decode_wav(bytes(blob))
+                s = samples.astype(np.int64)
+                best_lag, best_r = min_lag, None
+                for lag in range(min_lag, max_lag + 1):
+                    if lag >= len(s):
+                        break
+                    r = int((s[:-lag] * s[lag:]).sum())
+                    if best_r is None or r > best_r:
+                        best_r, best_lag = r, lag
+                rows.append((int(doc_id), len(s), best_lag, int(best_r or 0)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "pitch_lag", "r_max"]
+            )
+
+    return media.mapInPandas(batches, AUDIO_PITCH_SCHEMA)

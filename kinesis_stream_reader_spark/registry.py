@@ -16919,3 +16919,448 @@ def personalized_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .drop("rank_u")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 4 — corpus-linguistics completions: Zipf fit, lexical richness,
+# term burstiness, and the paragraph-granular dedup scrub (the C4
+# line-level analogue between exact-doc dedup and substring spans).
+# ---------------------------------------------------------------------------
+@register(
+    "zipf_fit_report",
+    _TOKS_CTE
+    + """
+, census AS (
+  SELECT term, COUNT(*) AS freq FROM toks GROUP BY term
+), ranked AS (
+  SELECT term, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rnk
+  FROM census QUALIFY rnk <= 200
+), lps AS (
+  SELECT CAST(floor(LN(rnk) * 1e6 + 0.5) AS BIGINT) AS lx,
+         CAST(floor(LN(freq) * 1e6 + 0.5) AS BIGINT) AS ly
+  FROM ranked
+), m AS (
+  SELECT COUNT(*)::BIGINT AS n, SUM(lx)::BIGINT AS sx, SUM(ly)::BIGINT AS sy,
+         SUM(lx * lx)::BIGINT AS sxx, SUM(lx * ly)::BIGINT AS sxy
+  FROM lps
+)
+SELECT n AS n_terms,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS zipf_slope,
+       floor((CAST(sy AS DOUBLE) / 1e6
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * (CAST(sx AS DOUBLE) / 1e6)) / n * 1e4 + 0.5) / 1e4
+         AS log_c_intercept
+FROM m
+""",
+)
+def zipf_fit_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus rank-frequency curve (Zipf 1949 —
+    public): OLS slope of ln(freq) on ln(rank) over the top-200 terms
+    — natural text sits near -1; template/synthetic corpora deviate,
+    so the slope is a corpus-health forensic next to benford_audit
+    (which checks digits where this checks words).
+
+    Determinism: ln(rank) / ln(freq) are one fixed IEEE op each on
+    exact integers, quantized to micro-units BEFORE the moment sums —
+    so Sx/Sy/Sxx/Sxy are exact bigints (trend_lines' convention in log
+    space) and the slope is two final float divisions.
+
+    Plan shape: one vocabulary-bounded census shuffle; the rank window
+    runs over the 200-row head only (WindowGroupLimit prunes). Linear
+    at 100 TB."""
+    documents = load_table(spark, sf_dir, "documents")
+    from .operators.text import tokens
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    toks = documents.select(
+        F.explode(F.split(norm, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    census = toks.groupBy("term").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    ranked = census.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 200
+    )
+    lq = lambda c_: F.floor(F.log(c_.cast("double")) * 1e6 + F.lit(0.5)).cast(  # noqa: E731
+        "long"
+    )
+    lps = ranked.select(lq(F.col("rnk")).alias("lx"), lq(F.col("freq")).alias("ly"))
+    m = lps.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    slope_num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    slope_den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = slope_num / slope_den
+    intercept = (
+        F.col("sy").cast("double") / 1e6 - slope * (F.col("sx").cast("double") / 1e6)
+    ) / F.col("n")
+    return m.select(
+        F.col("n").alias("n_terms"),
+        (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("zipf_slope"),
+        (F.floor(intercept * 1e4 + F.lit(0.5)) / 1e4).alias("log_c_intercept"),
+    )
+
+
+@register(
+    "ttr_hapax_report",
+    _TOKS_CTE.replace("SELECT doc_id, t.term", "SELECT doc_id, d.source, t.term")
+    .replace("FROM documents,", "FROM documents d,")
+    + """
+, per_term AS (
+  SELECT source, term, COUNT(*) AS c FROM toks GROUP BY source, term
+)
+SELECT source,
+       SUM(c)::BIGINT AS n_tokens,
+       COUNT(*)::BIGINT AS n_types,
+       SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+       SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n_dis,
+       floor(COUNT(*) / CAST(SUM(c) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ttr,
+       floor(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS hapax_ratio
+FROM per_term GROUP BY source ORDER BY source
+""",
+)
+def ttr_hapax_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-richness profile per source: type-token ratio plus
+    hapax/dis legomena counts (Baayen's LNRE vocabulary-growth
+    observables — public): high hapax share marks productive natural
+    text, low marks templated/boilerplate sources — the vocabulary
+    lens next to diversity_index_report's distributional one.
+
+    Exact integers end-to-end (two final IEEE divisions, quantized);
+    one (source, term)-keyed census shuffle, vocabulary-bounded, then
+    a per-source aggregate. Linear at 100 TB."""
+    documents = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    toks = documents.select(
+        "source", F.explode(F.split(norm, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    per_term = toks.groupBy("source", "term").agg(F.count("*").alias("c"))
+    q6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return (
+        per_term.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+            F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).alias("n_dis"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            "n_dis",
+            q6(F.col("n_types") / F.col("n_tokens").cast("double")).alias("ttr"),
+            q6(F.col("n_hapax") / F.col("n_types").cast("double")).alias(
+                "hapax_ratio"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "term_burstiness",
+    _TOKS_CTE
+    + """
+, per_doc AS (
+  SELECT term, doc_id, COUNT(*) AS c FROM toks GROUP BY term, doc_id
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+moments AS (
+  SELECT term, COUNT(*) AS df,
+         SUM(c)::BIGINT AS s1, SUM(c * c)::BIGINT AS s2
+  FROM per_doc GROUP BY term
+), top AS (
+  SELECT term, df, s1, s2,
+         ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rnk
+  FROM moments QUALIFY rnk <= 50
+)
+SELECT term, df, s1 AS n_occurrences,
+       floor((CAST(n_docs AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+             / (CAST(n_docs AS DOUBLE) - 1) / s1 * 1e6 + 0.5) / 1e6
+         AS fano_factor
+FROM top, nd ORDER BY term
+""",
+)
+def term_burstiness_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995 — public): the Fano factor
+    (variance-to-mean over per-document counts, zeros included) of the
+    50 highest-df terms. Function words sit near Poisson (factor ~1);
+    topical/template terms are bursty (>>1) — the term-level forensic
+    feeding stopword choice and boilerplate detection
+    (boilerplate_ngram_flags' statistical cousin).
+
+    Fano = (N*S2 - S1^2) / ((N-1)*S1): per-term (df, S1, S2) are exact
+    bigints from one (term, doc) census, so the factor is a single
+    fixed float expression — no per-doc float sums.
+
+    Plan shape: (term, doc)-keyed partial agg, then a vocabulary-
+    bounded moment aggregate; the top-50 window prunes via
+    WindowGroupLimit. Linear at 100 TB."""
+    documents = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    toks = documents.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    per_doc = toks.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    moments = per_doc.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    w = Window.orderBy(F.col("df").desc(), "term")
+    top = moments.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 50)
+    nd = documents.agg(F.count("*").alias("n_docs"))
+    fano = (
+        (
+            F.col("n_docs").cast("double") * F.col("s2")
+            - F.col("s1").cast("double") * F.col("s1")
+        )
+        / (F.col("n_docs").cast("double") - 1)
+        / F.col("s1")
+    )
+    return (
+        top.join(F.broadcast(nd))
+        .select(
+            "term",
+            "df",
+            F.col("s1").alias("n_occurrences"),
+            (F.floor(fano * 1e6 + F.lit(0.5)) / 1e6).alias("fano_factor"),
+        )
+        .orderBy("term")
+    )
+
+
+@register(
+    "paragraph_dedup_scrub",
+    # 20-token blocks; first owner = lexicographic min (doc_id, blk);
+    # rebuilt text is the kept blocks in order, md5-fingerprinted
+    """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS w
+  FROM documents
+), blocks AS (
+  SELECT doc_id, b.blk AS blk,
+         array_to_string(w[(b.blk * 20 + 1):(b.blk * 20 + 20)], ' ') AS para
+  FROM ws, LATERAL (
+    SELECT UNNEST(range(CAST(ceil(len(w) / 20.0) AS BIGINT))) AS blk
+  ) b
+  WHERE len(w) > 0
+), owner AS (
+  SELECT para, MIN(doc_id * 1000000 + blk) AS first_key
+  FROM blocks GROUP BY para
+), flagged AS (
+  SELECT b.doc_id, b.blk, b.para,
+         (b.doc_id * 1000000 + b.blk = o.first_key) AS keep
+  FROM blocks b JOIN owner o USING (para)
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_paras,
+       SUM(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+       md5(COALESCE(array_to_string(list(para ORDER BY blk)
+                                    FILTER (WHERE keep), ' '), '')) AS scrubbed_md5
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def paragraph_dedup_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular exact dedup with removal — the C4 recipe's
+    line-level dedup (Raffel et al. 2020 — public method) at 20-token
+    block granularity: every duplicated block keeps only its corpus-
+    first occurrence (lexicographic (doc_id, position)); each doc's
+    text is rebuilt from its kept blocks and fingerprinted. Sits
+    between dedup_exact (whole doc) and dedup_substring_scrub
+    (arbitrary spans): block-aligned, so membership needs no interval
+    algebra — one census decides every block.
+
+    Plan shape: blocks derive map-side from one array pass; the owner
+    census shuffles (block-hash -> min key) — content-bounded, the
+    exact-dedup shape; the keep flag is an equi-join back on the block
+    hash. Shuffles carry block hashes and keys, never full documents
+    (the rebuilt text is a per-doc map-side concat). Linear at 100 TB."""
+    documents = load_table(spark, sf_dir, "documents")
+    from .operators.text import tokens
+
+    docs = documents.select(
+        "doc_id", F.filter(tokens(F.col("text")), lambda t: t != "").alias("w")
+    ).filter(F.size("w") > 0)
+    nblk = F.ceil(F.size("w") / F.lit(20.0)).cast("long")
+    blocks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nblk - 1),
+                lambda b: F.array_join(
+                    F.slice(F.col("w"), (b * 20 + 1).cast("int"), 20), " "
+                ),
+            )
+        ).alias("blk", "para"),
+    )
+    owner = blocks.groupBy("para").agg(
+        F.min(F.col("doc_id") * 1000000 + F.col("blk")).alias("first_key")
+    )
+    flagged = blocks.join(owner, "para").select(
+        "doc_id",
+        "blk",
+        "para",
+        (F.col("doc_id") * 1000000 + F.col("blk") == F.col("first_key")).alias("keep"),
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("keep"), F.struct(F.col("blk"), F.col("para")))
+            )
+        ),
+        lambda s: s["para"],
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+            F.md5(F.array_join(kept_sorted, " ")).alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 4 — multimodal completions: a third REAL image codec (BMP),
+# histogram/Otsu image statistics, and autocorrelation pitch — all on
+# formula-derived payloads so DuckDB recomputes every decoded fact.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_bmp_decode",
+    # same pixel formula as the PPM/PNG fixtures -> same oracle shape
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, (doc_id * 7 + i.i) % 256 AS v
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h * 3)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       3 AS channels, ROUND(AVG(v), 4) AS byte_mean
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_bmp_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 24-bit BMP decode executing in-sandbox (pure stdlib struct
+    + numpy: BITMAPINFOHEADER grammar, bottom-up row flip, BGR->RGB
+    channel swap, 4-byte row padding) — the third real image codec
+    next to PPM and PNG, sharing their pixel formula so ONE oracle
+    covers all three. Decode is map-side Arrow-batched; only
+    (doc_id, dims, mean) shuffles."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_decode_features(multimodal.synthetic_bmp_media(docs))
+
+
+@register(
+    "multimodal_image_histogram",
+    # luma/bin algebra mirrored from the pixel formula; Otsu argmax by
+    # the identical IEEE division, ties to the smallest bin
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), lum AS (
+  SELECT doc_id,
+         (299 * ((doc_id * 7 + 3 * p.p) % 256)
+          + 587 * ((doc_id * 7 + 3 * p.p + 1) % 256)
+          + 114 * ((doc_id * 7 + 3 * p.p + 2) % 256)) // 1000 // 16 AS bin
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS p) p
+), hist AS (
+  SELECT doc_id, bin, COUNT(*)::BIGINT AS c FROM lum GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n, SUM(bin * c)::BIGINT AS st
+  FROM hist GROUP BY doc_id
+), cand AS (
+  SELECT t.doc_id, ts.t,
+         SUM(h.c)::BIGINT AS w0, SUM(h.bin * h.c)::BIGINT AS s0,
+         ANY_VALUE(t.n) AS n, ANY_VALUE(t.st) AS st
+  FROM tot t
+  CROSS JOIN (SELECT UNNEST(range(15)) AS t) ts
+  JOIN hist h ON h.doc_id = t.doc_id AND h.bin <= ts.t
+  GROUP BY t.doc_id, ts.t
+), scored AS (
+  SELECT doc_id, t, w0, n,
+         CAST((s0 * n - st * w0) * (s0 * n - st * w0) AS DOUBLE)
+           / CAST(w0 * (n - w0) AS DOUBLE) AS score
+  FROM cand WHERE w0 > 0 AND w0 < n
+), best AS (
+  SELECT doc_id, t, w0, n,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, t) AS rn
+  FROM scored
+), lsum AS (
+  SELECT doc_id,
+         SUM((299 * ((doc_id * 7 + 3 * p.p) % 256)
+              + 587 * ((doc_id * 7 + 3 * p.p + 1) % 256)
+              + 114 * ((doc_id * 7 + 3 * p.p + 2) % 256)) // 1000)::BIGINT
+           AS luma_sum
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS p) p
+  GROUP BY doc_id
+)
+SELECT b.doc_id, b.n AS n_px, l.luma_sum,
+       CAST(b.t AS INT) AS otsu_bin,
+       b.w0 AS n_below, (b.n - b.w0)::BIGINT AS n_above
+FROM best b JOIN lsum l USING (doc_id)
+WHERE b.rn = 1 ORDER BY b.doc_id
+""",
+)
+def multimodal_image_histogram_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bin luma histogram + Otsu threshold (Otsu 1979 — public
+    method) over REAL decoded PPM pixels — see
+    operators/multimodal.py:image_histogram_otsu for the exact-integer
+    contract. The oracle recomputes luma bins from the pixel formula
+    and replays the argmax with the identical IEEE division."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_histogram_otsu(multimodal.synthetic_ppm_media(docs))
+
+
+@register(
+    "multimodal_audio_pitch",
+    # R(L) mirrored from the synthetic PCM formula; argmax ties to the
+    # smallest lag
+    """
+WITH lens AS (SELECT doc_id, 64 + doc_id % 50 AS n FROM documents),
+s AS (
+  SELECT doc_id, n, i.i AS i,
+         ((doc_id * 13 + i.i * 31) % 65536) - 32768 AS v
+  FROM lens, LATERAL (SELECT UNNEST(range(n)) AS i) i
+), r AS (
+  SELECT a.doc_id, lag.lag, SUM(a.v * b.v)::BIGINT AS r
+  FROM s a
+  CROSS JOIN (SELECT UNNEST(range(2, 17)) AS lag) lag
+  JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + lag.lag
+  GROUP BY a.doc_id, lag.lag
+), best AS (
+  SELECT doc_id, lag, r,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY r DESC, lag) AS rn
+  FROM r
+)
+SELECT b.doc_id, CAST(l.n AS INT) AS n_samples,
+       CAST(b.lag AS INT) AS pitch_lag, b.r AS r_max
+FROM best b JOIN lens l USING (doc_id)
+WHERE b.rn = 1 ORDER BY b.doc_id
+""",
+)
+def multimodal_audio_pitch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation pitch lag over REAL decoded PCM16 — see
+    operators/multimodal.py:audio_pitch. Exact int64 lag products; the
+    oracle recomputes every R(L) from the synthetic PCM formula via a
+    positional self-join."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_pitch(multimodal.synthetic_wav_media(docs))

@@ -334,3 +334,82 @@ def test_image_phash_reference_and_blocking(spark, sf_dir):
     assert row.exact_dup_images == len(full) - len(sizes)
     assert row.n_near_hash_pairs == len(pairs)
     assert row.near_dup_mass == sum(sizes[a] * sizes[b] for a, b in pairs)
+
+
+def test_bmp_roundtrip_padding_and_flip():
+    """Odd widths force 4-byte row padding; bottom-up storage and BGR
+    order must both invert exactly."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    for w, h in [(3, 2), (5, 4), (8, 1), (1, 3)]:
+        arr = (np.arange(w * h * 3) * 37 % 256).astype(np.uint8).reshape(h, w, 3)
+        blob = mm.encode_bmp(arr)
+        assert blob[:2] == b"BM"
+        out = mm.decode_bmp(blob)
+        assert out.shape == (h, w, 3)
+        assert (out == arr).all()
+        # dispatch goes through decode_image too
+        assert (mm.decode_image(blob) == arr).all()
+
+
+def test_bmp_rejects_unsupported():
+    import pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError):
+        mm.decode_bmp(b"XX" + b"\x00" * 60)
+    # 8-bit palette BMP (bpp=8) must raise the honest gate
+    import struct
+
+    hdr = b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 8, 0, 16, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError):
+        mm.decode_bmp(hdr + info + b"\x00" * 46)
+
+
+def test_otsu_matches_bruteforce(spark, sf_dir):
+    """Replay Otsu on the synthetic pixel formula for a sample of docs."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 26)], ["doc_id"])
+    rows = {
+        r.doc_id: r
+        for r in mm.image_histogram_otsu(mm.synthetic_ppm_media(docs)).collect()
+    }
+    for d in range(1, 26):
+        w, h = 8 + d % 5, 6 + d % 3
+        pix = ((d * 7 + np.arange(w * h * 3)) % 256).reshape(h, w, 3)
+        luma = (pix[:, :, 0] * 299 + pix[:, :, 1] * 587 + pix[:, :, 2] * 114) // 1000
+        hist = np.bincount((luma // 16).ravel(), minlength=16)
+        n, st = int(hist.sum()), int((np.arange(16) * hist).sum())
+        best_t, best = 0, -1.0
+        w0 = s0 = 0
+        for t in range(15):
+            w0 += int(hist[t]); s0 += t * int(hist[t])
+            if 0 < w0 < n:
+                sc = float((s0 * n - st * w0) ** 2) / float(w0 * (n - w0))
+                if sc > best:
+                    best, best_t = sc, t
+        r = rows[d]
+        assert (r.otsu_bin, r.n_px, r.luma_sum) == (best_t, n, int(luma.sum()))
+        assert r.n_below + r.n_above == n
+
+
+def test_audio_pitch_detects_planted_period(spark):
+    """A pure square wave of period 10 must yield pitch_lag == 10."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    s = np.tile(np.array([3000] * 5 + [-3000] * 5, dtype="<i2"), 20)
+    media = spark.createDataFrame(
+        [(1, bytearray(mm.encode_wav(s)))], "doc_id BIGINT, data BINARY"
+    )
+    row = mm.audio_pitch(media).collect()[0]
+    assert row.pitch_lag == 10
+    assert row.n_samples == 200
