@@ -1063,89 +1063,83 @@ def _uhash_const(tag: str) -> int:
 
 
 def minhash_band_keys(df: DataFrame, n: int = 3) -> DataFrame:
-    """doc_id -> exploded (band, bucket) LSH keys, computed PER ROW
-    with pure column algebra — no aggregation, so the whole construction
-    drops straight into a STREAMING plan (the xxhash64 signature path
-    in _minhash_signature needs a groupBy; this one doesn't).
+    """doc_id -> exploded (band, bucket) LSH keys, computed PER ROW —
+    no aggregation, so the whole construction drops straight into a
+    STREAMING plan (the xxhash64 signature path in _minhash_signature
+    needs a groupBy; this one doesn't).
 
     ONE md5 per shingle (60-bit base hash), then the 16 permutations
     are integer universal hashes of its 30-bit halves:
     h_i = min over grams of (a_i*hi + b_i*lo + c_i) mod (2^61-1);
-    bucket_b = md5 of (h_2b, h_2b+1) — 8 md5 per doc. STAGED selects
-    keep the gram-hash array a materialized column between projections:
-    inlining it into all 16 permutation lambdas re-evaluates the md5
-    transform 16x per row (CollapseProject declines to merge only
-    because the reference count is >1) — the one-column-per-stage form
-    measured ~50x faster at sf0.1. 8 bands x 2 rows targets the same
-    ~0.8 Jaccard knee as the batch 16x2 scheme at half the signature
-    cost."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(
-                " ",
-                *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
-            ),
-        ),
-    ).otherwise(F.array(F.trim(F.col("text"))))
-    ghash = F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
-    )
-    staged = df.select("doc_id", ghash.alias("gh"))
+    bucket_b = md5 of (h_2b, h_2b+1) — 8 md5 per doc. 8 bands x 2 rows
+    targets the same ~0.8 Jaccard knee as the batch 16x2 scheme at
+    half the signature cost.
 
-    def h(i: int) -> Column:
-        a, b, c = (
-            _uhash_const(f"a{i}"),
-            _uhash_const(f"b{i}"),
-            _uhash_const(f"c{i}"),
-        )
-        return F.array_min(
-            F.transform(
-                F.col("gh"),
-                lambda x: F.pmod(
-                    F.lit(a) * F.shiftright(x, 30)
-                    + F.lit(b) * F.pmod(x, F.lit(1 << 30))
-                    + F.lit(c),
-                    F.lit(UHASH_M),
-                ),
-            )
-        )
+    Implementation is an Arrow-batched mapInPandas kernel: hashlib md5
+    produces byte-identical values to Spark's md5 (and DuckDB's), the
+    permutation products fit int64 exactly (a_i < 2^31, hi/lo < 2^30
+    => each term < 2^61, the sum < 2^63), and numpy takes the 16
+    minima in one vectorized pass per document. The round-3 staged
+    column-algebra form (one materialized gram-hash column + 16
+    array_min(transform) passes) measured 13.7 s at sf0.1 vs 3.4 s for
+    this kernel — higher-order-function lambdas run INTERPRETED per
+    element, so 16 passes x ~400 grams/doc of pmod arithmetic was the
+    bottleneck, not the md5s. Map-only at any scale; the shuffle above
+    carries (doc_id, band, bucket) only."""
+    import hashlib
 
-    sig = staged.select(
-        "doc_id", *[h(i).alias(f"h{i}") for i in range(MD5_MINHASH_PERMS)]
-    )
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                ":",
-                                F.col(f"h{2 * b}").cast("string"),
-                                F.col(f"h{2 * b + 1}").cast("string"),
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
+    import numpy as np
+
+    perms = MD5_MINHASH_PERMS
+    a_c = np.array([_uhash_const(f"a{i}") for i in range(perms)], dtype=np.int64)
+    b_c = np.array([_uhash_const(f"b{i}") for i in range(perms)], dtype=np.int64)
+    c_c = np.array([_uhash_const(f"c{i}") for i in range(perms)], dtype=np.int64)
+
+    def batches(it):
+        for pdf in it:
+            out_doc: list = []
+            out_band: list = []
+            out_bucket: list = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                t = text.strip()
+                toks = t.split()
+                if len(toks) >= n:
+                    grams = [
+                        " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                    ]
+                else:
+                    grams = [t]
+                gh = np.array(
+                    [
+                        int(hashlib.md5(g.encode()).hexdigest()[:15], 16)
+                        for g in grams
+                    ],
+                    dtype=np.int64,
                 )
-                .cast("long")
-                .alias("bucket"),
+                hi = gh >> 30
+                lo = gh & ((1 << 30) - 1)
+                # (n_grams, 16): every product < 2^61, sum < 2^63 — exact
+                hs = (
+                    (hi[:, None] * a_c[None, :] + lo[:, None] * b_c[None, :] + c_c)
+                    % UHASH_M
+                ).min(axis=0)
+                for b in range(MD5_MINHASH_BANDS):
+                    key = f"{hs[2 * b]}:{hs[2 * b + 1]}"
+                    out_doc.append(doc_id)
+                    out_band.append(b)
+                    out_bucket.append(
+                        int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "band": np.array(out_band, dtype=np.int32),
+                    "bucket": np.array(out_bucket, dtype=np.int64),
+                }
             )
-            for b in range(MD5_MINHASH_BANDS)
-        ]
-    )
-    return sig.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id",
-        F.col("b.band").alias("band"),
-        F.col("b.bucket").alias("bucket"),
+
+    return df.select("doc_id", "text").mapInPandas(
+        batches, "doc_id BIGINT, band INT, bucket BIGINT"
     )
 
 
