@@ -17364,3 +17364,291 @@ def multimodal_audio_pitch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.audio_pitch(multimodal.synthetic_wav_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# ROUND 4 — time-series completion: triple-exponential (Holt-Winters)
+# smoothing joins the Holt linear recursion and the seasonal decompose.
+# ---------------------------------------------------------------------------
+@register(
+    "holt_winters_seasonal",
+    # recursive CTE replays the identical IEEE recurrence per type with
+    # a rolling 7-slot seasonal buffer; the l' expression is repeated
+    # VERBATIM inside b'/s' so the float trees match bit-for-bit
+    """
+WITH RECURSIVE census AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT event_type, day, y, rn, y AS l, CAST(0.0 AS DOUBLE) AS b,
+         [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0] AS s
+  FROM census WHERE rn = 1
+  UNION ALL
+  SELECT c.event_type, c.day, c.y, c.rn,
+         0.5 * (c.y - h.s[1]) + 0.5 * (h.l + h.b) AS l,
+         0.3 * ((0.5 * (c.y - h.s[1]) + 0.5 * (h.l + h.b)) - h.l)
+           + 0.7 * h.b AS b,
+         h.s[2:7] || [0.2 * (c.y - (0.5 * (c.y - h.s[1]) + 0.5 * (h.l + h.b)))
+                      + 0.8 * h.s[1]] AS s
+  FROM h JOIN census c
+    ON c.event_type = h.event_type AND c.rn = h.rn + 1
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, CAST(y AS BIGINT) AS y,
+       FLOOR(l * 1e6 + 0.5) / 1e6 AS level,
+       FLOOR(b * 1e6 + 0.5) / 1e6 AS trend,
+       FLOOR(s[7] * 1e6 + 0.5) / 1e6 AS seasonal,
+       FLOOR(COALESCE(LAG(l) OVER w + LAG(b) OVER w + LAG(s[1]) OVER w, y)
+             * 1e6 + 0.5) / 1e6 AS fitted
+FROM h
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+ORDER BY event_type, day
+""",
+)
+def holt_winters_seasonal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing (Winters 1960
+    — public method) per event-type daily series: level + trend +
+    weekly seasonal recursion (alpha=0.5, beta=0.3, gamma=0.2,
+    period 7). The seasonal state is a ROLLING 7-slot buffer whose
+    head is s(t-7) — each step consumes the head and appends the fresh
+    seasonal, so the fold state stays fixed-size. fitted(t) is the
+    one-step forecast l(t-1) + b(t-1) + s_buffer(t-1)[head].
+    Completes the smoothing ladder: ewma (simple) -> holt_linear
+    (trend) -> this (trend + seasonality that weekday_seasonality_
+    report showed is real).
+
+    Same execution shape as holt_linear_smoothing: the recurrence runs
+    where the data is SMALL — a (type, day) census (one partial-agg
+    shuffle), per-type sorted array broadcast, row t's state an
+    aggregate() fold over its prefix (O(days^2) folds on a <=31-element
+    array, zero Python). The l' expression repeats verbatim inside the
+    b'/s' updates on BOTH engines, so every float op is the same IEEE
+    tree.
+
+    At 100 TB only the census shuffle grows; the fold cost is fixed."""
+    events = load_events(spark, sf_dir)
+    census = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count("*").cast("double").alias("y"))
+    wrn = Window.partitionBy("event_type").orderBy("day")
+    census = census.withColumn("rn", F.row_number().over(wrn))
+    packed = census.groupBy("event_type").agg(
+        F.expr("sort_array(collect_list(struct(rn, y)))").alias("ys")
+    )
+    folded = census.join(F.broadcast(packed), "event_type").withColumn(
+        "st",
+        F.expr(
+            """
+            aggregate(
+              slice(ys, 2, rn - 1),
+              named_struct(
+                'l', element_at(ys, 1).y, 'b', CAST(0.0 AS DOUBLE),
+                's', array(CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)),
+              (a, e) -> named_struct(
+                'l', 0.5 * (e.y - element_at(a.s, 1)) + 0.5 * (a.l + a.b),
+                'b', 0.3 * ((0.5 * (e.y - element_at(a.s, 1))
+                             + 0.5 * (a.l + a.b)) - a.l) + 0.7 * a.b,
+                's', concat(
+                  slice(a.s, 2, 6),
+                  array(0.2 * (e.y - (0.5 * (e.y - element_at(a.s, 1))
+                                      + 0.5 * (a.l + a.b)))
+                        + 0.8 * element_at(a.s, 1)))))
+            """
+        ),
+    )
+    wl = Window.partitionBy("event_type").orderBy("day")
+    q6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    lvl, trd = F.col("st.l"), F.col("st.b")
+    s_head = F.element_at(F.col("st.s"), 1)
+    s_new = F.element_at(F.col("st.s"), 7)
+    return (
+        folded.select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("y").cast("long").alias("y"),
+            q6(lvl).alias("level"),
+            q6(trd).alias("trend"),
+            q6(s_new).alias("seasonal"),
+            q6(
+                F.coalesce(
+                    F.lag(lvl).over(wl) + F.lag(trd).over(wl)
+                    + F.lag(s_head).over(wl),
+                    F.col("y"),
+                )
+            ).alias("fitted"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "bleu_pairs_report",
+    # prefix-fingerprint blocking (8-token md5) picks the pair set; the
+    # BLEU-2 algebra is exact clipped counts + one fixed exp/ln tree
+    """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS w
+  FROM documents
+), pref AS (
+  SELECT doc_id, w, md5(array_to_string(w[1:8], ' ')) AS fp
+  FROM ws WHERE len(w) >= 8
+), canon AS (
+  SELECT fp, MIN(doc_id) AS ref_id FROM pref GROUP BY fp
+), pairs AS (
+  SELECT p.doc_id, c.ref_id FROM pref p JOIN canon c USING (fp)
+  WHERE p.doc_id <> c.ref_id
+), g1 AS (
+  SELECT doc_id, t.g AS g, COUNT(*) AS c
+  FROM ws, LATERAL UNNEST(w) AS t(g) GROUP BY doc_id, t.g
+), g2 AS (
+  SELECT doc_id, t.g AS g, COUNT(*) AS c
+  FROM ws, LATERAL UNNEST(
+    CASE WHEN len(w) >= 2
+         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+         ELSE [] END) AS t(g)
+  GROUP BY doc_id, t.g
+), lens AS (SELECT doc_id, len(w)::BIGINT AS n FROM ws),
+clip1 AS (
+  SELECT p.doc_id, p.ref_id,
+         SUM(LEAST(a.c, COALESCE(b.c, 0)))::BIGINT AS clipped,
+         SUM(a.c)::BIGINT AS total
+  FROM pairs p
+  JOIN g1 a ON a.doc_id = p.doc_id
+  LEFT JOIN g1 b ON b.doc_id = p.ref_id AND b.g = a.g
+  GROUP BY p.doc_id, p.ref_id
+), clip2 AS (
+  SELECT p.doc_id, p.ref_id,
+         SUM(LEAST(a.c, COALESCE(b.c, 0)))::BIGINT AS clipped,
+         SUM(a.c)::BIGINT AS total
+  FROM pairs p
+  JOIN g2 a ON a.doc_id = p.doc_id
+  LEFT JOIN g2 b ON b.doc_id = p.ref_id AND b.g = a.g
+  GROUP BY p.doc_id, p.ref_id
+), m AS (
+  SELECT c1.doc_id, c1.ref_id,
+         c1.clipped AS k1, c1.total AS t1, c2.clipped AS k2, c2.total AS t2,
+         lc.n AS c_len, lr.n AS r_len
+  FROM clip1 c1 JOIN clip2 c2 USING (doc_id, ref_id)
+  JOIN lens lc ON lc.doc_id = c1.doc_id
+  JOIN lens lr ON lr.doc_id = c1.ref_id
+)
+SELECT doc_id, ref_id,
+       floor(CAST(k1 AS DOUBLE) / t1 * 1e6 + 0.5) / 1e6 AS p1,
+       floor(CAST(k2 AS DOUBLE) / t2 * 1e6 + 0.5) / 1e6 AS p2,
+       floor(CASE WHEN c_len >= r_len THEN 1.0
+                  ELSE EXP(1.0 - CAST(r_len AS DOUBLE) / c_len) END
+             * 1e6 + 0.5) / 1e6 AS brevity_penalty,
+       floor(CASE WHEN k1 > 0 AND k2 > 0 THEN
+               (CASE WHEN c_len >= r_len THEN 1.0
+                     ELSE EXP(1.0 - CAST(r_len AS DOUBLE) / c_len) END)
+               * EXP(0.5 * LN(CAST(k1 AS DOUBLE) / t1)
+                     + 0.5 * LN(CAST(k2 AS DOUBLE) / t2))
+             ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS bleu2
+FROM m ORDER BY doc_id, ref_id
+""",
+)
+def bleu_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 (Papineni et al. 2002 — public method) scored over
+    blocked near-dup pairs: 8-token-prefix md5 blocking picks each
+    doc's reference (the block's min doc_id), then modified n-gram
+    precision with CLIPPED counts (min of candidate/reference gram
+    counts), brevity penalty, and the geometric mean — the
+    paraphrase-similarity measure an eval pipeline runs on suspected
+    rewrites, next to the retrieval metrics (ndcg/mrr) and the dedup
+    similarity estimates (BLEU is n-gram PRECISION where Jaccard is
+    set overlap).
+
+    Determinism: clipped/total counts are exact bigints; p1/p2/BP/the
+    geometric mean are one fixed IEEE exp/ln tree, floored at 1e-6.
+
+    Plan shape: blocking is one fingerprint census (exact-dedup
+    shape); each clip pass is a (pair x gram) join bounded by
+    pair-count x doc-length — pairs are near-dups by construction, so
+    the relation is linear in the duplicated mass, never corpus^2.
+    Gram counts shuffle as 8-byte-keyed rows; texts never shuffle."""
+    documents = load_table(spark, sf_dir, "documents")
+    from .operators.text import tokens
+
+    ws = documents.select(
+        "doc_id", F.filter(tokens(F.col("text")), lambda t: t != "").alias("w")
+    )
+    pref = ws.filter(F.size("w") >= 8).select(
+        "doc_id", "w", F.md5(F.array_join(F.slice("w", 1, 8), " ")).alias("fp")
+    )
+    canon = pref.groupBy("fp").agg(F.min("doc_id").alias("ref_id"))
+    pairs = (
+        pref.join(canon, "fp")
+        .filter(F.col("doc_id") != F.col("ref_id"))
+        .select("doc_id", "ref_id")
+    )
+    g1 = (
+        ws.select("doc_id", F.explode("w").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    bigrams = F.when(
+        F.size("w") >= 2,
+        F.zip_with(
+            F.slice("w", 1, F.size("w") - 1),
+            F.slice("w", 2, F.size("w") - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g2 = (
+        ws.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    lens = ws.select("doc_id", F.size("w").cast("long").alias("n"))
+
+    def clip(g: DataFrame) -> DataFrame:
+        a = g.alias("a")
+        b = g.select(
+            F.col("doc_id").alias("r_id"),
+            F.col("g").alias("g_r"),
+            F.col("c").alias("c_r"),
+        )
+        return (
+            pairs.join(a, "doc_id")
+            .join(
+                b,
+                (F.col("ref_id") == F.col("r_id")) & (F.col("a.g") == F.col("g_r")),
+                "left",
+            )
+            .groupBy("doc_id", "ref_id")
+            .agg(
+                F.sum(F.least(F.col("a.c"), F.coalesce(F.col("c_r"), F.lit(0))))
+                .alias("clipped"),
+                F.sum(F.col("a.c")).alias("total"),
+            )
+        )
+
+    c1 = clip(g1).select(
+        "doc_id", "ref_id", F.col("clipped").alias("k1"), F.col("total").alias("t1")
+    )
+    c2 = clip(g2).select(
+        "doc_id", "ref_id", F.col("clipped").alias("k2"), F.col("total").alias("t2")
+    )
+    lc = lens.select(F.col("doc_id"), F.col("n").alias("c_len"))
+    lr = lens.select(F.col("doc_id").alias("ref_id"), F.col("n").alias("r_len"))
+    m = c1.join(c2, ["doc_id", "ref_id"]).join(lc, "doc_id").join(lr, "ref_id")
+    p1 = F.col("k1").cast("double") / F.col("t1")
+    p2 = F.col("k2").cast("double") / F.col("t2")
+    bp = F.when(F.col("c_len") >= F.col("r_len"), F.lit(1.0)).otherwise(
+        F.exp(F.lit(1.0) - F.col("r_len").cast("double") / F.col("c_len"))
+    )
+    bleu = F.when(
+        (F.col("k1") > 0) & (F.col("k2") > 0),
+        bp * F.exp(F.lit(0.5) * F.log(p1) + F.lit(0.5) * F.log(p2)),
+    ).otherwise(F.lit(0.0))
+    q6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    return m.select(
+        "doc_id",
+        "ref_id",
+        q6(p1).alias("p1"),
+        q6(p2).alias("p2"),
+        q6(bp).alias("brevity_penalty"),
+        q6(bleu).alias("bleu2"),
+    ).orderBy("doc_id", "ref_id")
