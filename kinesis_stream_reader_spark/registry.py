@@ -1987,11 +1987,20 @@ _PRIORITY = [
     # operators whose contracts CHANGED this round (winnowing canonical is
     # now the connected-component minimum; the audio fingerprint xor-folds
     # into 63 bits; mutual-kNN components run a 64-round budget) so the
-    # driver re-confirms them, then continues the never-checked rotation
-    # in round-3 priority order. Previously-verified queries follow;
-    # nothing is dropped.
+    # driver re-confirms them, then the 19 ROUND-4 NEW queries, then the
+    # never-checked rotation in round-3 priority order. Previously-
+    # verified queries follow; nothing is dropped.
     "winnowing_fingerprints", "multimodal_audio_fingerprint",
-    "knn_graph_components", "experiment_readout",
+    "knn_graph_components",
+    # round-4 new surface
+    "sql_pipe_syntax", "sql_udf_scalar", "sql_udf_table",
+    "sql_session_variables", "streaming_state_inspect",
+    "mann_whitney_utest", "anova_oneway", "wilson_ci_report",
+    "link_prediction_adamic_adar", "personalized_pagerank",
+    "zipf_fit_report", "ttr_hapax_report", "term_burstiness",
+    "paragraph_dedup_scrub", "multimodal_bmp_decode",
+    "multimodal_image_histogram", "multimodal_audio_pitch",
+    "holt_winters_seasonal", "bleu_pairs_report", "experiment_readout",
     "multimodal_keyframe_select", "dbscan_grid_clusters",
     "decay_weighted_activity", "skipgram_negative_table", "model_eval_auc",
     "multimodal_png_decode", "gopher_repetition_rules", "c4_quality_filters",

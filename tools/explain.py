@@ -145,6 +145,19 @@ HEADLINE = [
     ("dbscan_grid_clusters", "grid DBSCAN: cell census + 8-neighbor explode join, components on cells"),
     ("multimodal_keyframe_select", "keyframes: map-side frame stats, scene window + census join"),
     ("skipgram_negative_table", "word2vec negative table: vocab census, 50-row rank/prefix window"),
+    ("sql_pipe_syntax", "Spark-4 pipe SQL: desugars to the SAME plan as the ANSI form"),
+    ("sql_udf_table", "SQL table UDF: lateral correlation inlined to a projected explode"),
+    ("mann_whitney_utest", "rank-sum U: quantized-value census + bounded prefix window, 1-row out"),
+    ("anova_oneway", "one-way F: one shuffle to k group-moment rows, exact integer SSB/SSW"),
+    ("link_prediction_adamic_adar", "AA link prediction: degree-joined wedge join, nano-unit exact sums"),
+    ("personalized_pagerank", "seed-teleport PPR: 3 rounds, exchange-reused contribution joins"),
+    ("paragraph_dedup_scrub", "block-level dedup+scrub: owner census join, map-side rebuild"),
+    ("zipf_fit_report", "Zipf OLS: vocab census, 200-row window, micro-unit moment sums"),
+    ("term_burstiness", "Fano factors: (term,doc) census -> vocab-bounded moments, top-50 window"),
+    ("holt_winters_seasonal", "Holt-Winters: census + broadcast pack + prefix fold, rolling 7-buffer"),
+    ("bleu_pairs_report", "BLEU-2: prefix-blocked pairs, clipped-count joins bounded by dup mass"),
+    ("multimodal_image_histogram", "Otsu: map-side decode+argmax, scalar-only shuffle"),
+    ("streaming_state_inspect", "statestore reader: state-partition-parallel scan, no stream replay"),
 ]
 
 
