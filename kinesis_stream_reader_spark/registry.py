@@ -17661,3 +17661,123 @@ def bleu_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(bp).alias("brevity_penalty"),
         q6(bleu).alias("bleu2"),
     ).orderBy("doc_id", "ref_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 4 (cont.) — ML-eval / information / storage completions.
+# ---------------------------------------------------------------------------
+@register(
+    "cluster_silhouette",
+    # squared-distance silhouette from per-cluster (n, Q, S) aggregates:
+    # sum d2(x, C) = n_C*|x|^2 + Q_C - 2*x.S_C — no pairwise relation
+    """
+WITH q AS (
+  SELECT vec_id, label, p.i AS pos,
+         CAST(floor(p.v * 1000 + 0.5) AS BIGINT) AS xv
+  FROM embeddings,
+       LATERAL (SELECT UNNEST(embedding) AS v,
+                       generate_subscripts(embedding, 1) AS i) p
+), norms AS (
+  SELECT vec_id, ANY_VALUE(label) AS label, SUM(xv * xv)::BIGINT AS x2
+  FROM q GROUP BY vec_id
+), csums AS (
+  SELECT label AS c_label, pos, SUM(xv)::BIGINT AS sv
+  FROM q GROUP BY label, pos
+), cstats AS (
+  SELECT label AS c_label, COUNT(*)::BIGINT AS n_c, SUM(x2)::BIGINT AS q_c
+  FROM norms GROUP BY label
+), dots AS (
+  SELECT q.vec_id, c.c_label, SUM(q.xv * c.sv)::BIGINT AS xs
+  FROM q JOIN csums c ON c.pos = q.pos
+  GROUP BY q.vec_id, c.c_label
+), ab AS (
+  SELECT n.vec_id, n.label,
+         MAX(CASE WHEN d.c_label = n.label
+                  THEN CAST(s.n_c * n.x2 + s.q_c - 2 * d.xs AS DOUBLE)
+                       / (s.n_c - 1) END) AS a2,
+         MIN(CASE WHEN d.c_label <> n.label
+                  THEN CAST(s.n_c * n.x2 + s.q_c - 2 * d.xs AS DOUBLE)
+                       / s.n_c END) AS b2
+  FROM norms n
+  JOIN dots d ON d.vec_id = n.vec_id
+  JOIN cstats s ON s.c_label = d.c_label
+  GROUP BY n.vec_id, n.label
+)
+SELECT vec_id, label,
+       floor(a2 * 1e3 + 0.5) / 1e3 AS a2,
+       floor(b2 * 1e3 + 0.5) / 1e3 AS b2,
+       floor((b2 - a2) / GREATEST(a2, b2) * 1e6 + 0.5) / 1e6 AS silhouette
+FROM ab ORDER BY vec_id
+""",
+)
+def cluster_silhouette_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette coefficient (Rousseeuw 1987 — public method) of the
+    embedding clustering (label column), SQUARED-distance variant:
+    a(x) = mean d2 to own cluster (self excluded), b(x) = min over
+    other clusters of mean d2, s = (b-a)/max(a,b). The clustering-
+    quality read-off next to kmeans_converged / ann_recall_report.
+
+    THE PLAN IS THE POINT: sum of d2(x, C) over members of C equals
+    n_C*|x|^2 + Q_C - 2*x.S_C, so the whole silhouette needs only the
+    per-cluster aggregates (count, sum-of-norms Q, component-sum
+    vector S) — NO pairwise distance relation, which is what makes
+    this linear at 100 TB where the textbook formula is corpus^2.
+
+    Determinism: milli-quantized components make |x|^2, Q_C and the
+    x.S_C dots exact bigints (via the positional explode join, the
+    ivf_centroids shuffle shape: (n_clusters x dim) cells); a2/b2 are
+    one float division each, min/max over <=|clusters| doubles."""
+    embeddings = load_table(spark, sf_dir, "embeddings")
+    q = embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+            )
+        ).alias("pos", "xv"),
+    )
+    norms = q.groupBy("vec_id").agg(
+        F.any_value(F.col("label")).alias("label"),
+        F.sum(F.col("xv") * F.col("xv")).alias("x2"),
+    )
+    csums = q.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        F.sum("xv").alias("sv")
+    )
+    cstats = norms.groupBy(F.col("label").alias("c_label")).agg(
+        F.count("*").alias("n_c"), F.sum("x2").alias("q_c")
+    )
+    dots = (
+        q.join(csums.withColumnRenamed("pos", "cpos"), F.col("pos") == F.col("cpos"))
+        .groupBy("vec_id", "c_label")
+        .agg(F.sum(F.col("xv") * F.col("sv")).alias("xs"))
+    )
+    joined = (
+        norms.join(dots, "vec_id")
+        .join(F.broadcast(cstats), "c_label")
+    )
+    own = F.col("c_label") == F.col("label")
+    sum_d2 = (
+        F.col("n_c") * F.col("x2") + F.col("q_c") - 2 * F.col("xs")
+    ).cast("double")
+    ab = joined.groupBy("vec_id", "label").agg(
+        F.max(F.when(own, sum_d2 / (F.col("n_c") - 1))).alias("a2"),
+        F.min(F.when(~own, sum_d2 / F.col("n_c"))).alias("b2"),
+    )
+    q3 = lambda c_: F.floor(c_ * 1e3 + F.lit(0.5)) / 1e3  # noqa: E731
+    return ab.select(
+        "vec_id",
+        "label",
+        q3(F.col("a2")).alias("a2"),
+        q3(F.col("b2")).alias("b2"),
+        (
+            F.floor(
+                (F.col("b2") - F.col("a2"))
+                / F.greatest(F.col("a2"), F.col("b2"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("silhouette"),
+    ).orderBy("vec_id")
