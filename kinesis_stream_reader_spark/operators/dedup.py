@@ -347,7 +347,16 @@ def dedup_components(
         .unionByName(pairs.select(F.col("b_id").alias("u"), F.col("a_id").alias("v")))
         .localCheckpoint()
     )
-    labels = documents.select("doc_id", F.col("doc_id").alias("component_id"))
+    # Only edge-incident vertices can ever change label, so propagation
+    # runs over them alone — the label table per round is bounded by the
+    # dup mass (orders of magnitude below corpus size at 100 TB), not by
+    # |documents|. Everyone else coalesces to self-component at the end.
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("component_id"))
+        .localCheckpoint()
+    )
     # min-propagation is monotone non-increasing per row, so the label
     # SUM strictly decreases iff any label changed — convergence is one
     # scalar aggregate per round, not a self-join + count
@@ -383,7 +392,14 @@ def dedup_components(
             f"{max_iter} rounds (graph diameter exceeds the budget); "
             f"raise max_iter"
         )
-    return labels
+    return (
+        documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("component_id"),
+        )
+    )
 
 
 def span_postings(documents: DataFrame, span: int = 8) -> DataFrame:
@@ -1168,50 +1184,73 @@ def winnowing_fingerprints(
 
     Determinism: hashes are the md5-15-hex->bigint house convention
     (bit-identical in DuckDB); window minima, rightmost-tie selection
-    (array_position over the reversed window), and the partner argmin
-    are integer ops.
+    (a when-chain over the trailing lead columns), and the partner
+    argmin are integer ops.
 
-    Plan shape: per-doc array passes build fingerprints map-side (no
-    shuffle carries text); the sharing join runs on df-capped postings
-    (a fingerprint value seen in > df_cap docs is boilerplate and is
-    dropped, bounding pair fan-out exactly like gram_postings), so the
-    shuffle carries (doc, fp) postings, never documents."""
+    Plan shape: grams and window minima are built with posexplode +
+    lead windows over (doc_id, pos) — whole-stage-codegen expressions
+    throughout, the staged-hash shape that replaced interpreted
+    per-element HOF md5 in gopher_repetition_rules (measured 8x there
+    and 23x here); the one added shuffle clusters tokens by doc_id
+    and is linear in corpus size. The sharing join runs on df-capped
+    postings (a fingerprint value seen in > df_cap docs is boilerplate
+    and is dropped, bounding pair fan-out exactly like gram_postings),
+    so later shuffles carry (doc, fp) postings, never documents."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
     ws = F.filter(F.split(normalized, " "), lambda t: t != "")
-    docs = documents.select("doc_id", ws.alias("ws"))
-    gram_hash = lambda i: F.conv(  # noqa: E731
-        F.substring(
-            F.md5(F.array_join(F.slice(F.col("ws"), i, k), " ")), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
-    hdocs = (
-        docs.filter(F.size("ws") >= k + w - 1)
+    toks = documents.select(
+        "doc_id", F.posexplode(ws).alias("pos", "tok")
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    # gram hash at 1-based position j = pos+1: md5 of the space-joined
+    # k tokens starting there — identical bytes to the oracle's
+    # md5(array_to_string(ws[i:i+k-1])) convention
+    tok_leads = [F.lead("tok", i).over(wspec).alias(f"t{i}") for i in range(1, k)]
+    grams = (
+        toks.select("doc_id", "pos", F.col("tok").alias("t0"), *tok_leads)
+        .filter(F.col(f"t{k-1}").isNotNull())
         .select(
             "doc_id",
-            F.transform(
-                F.sequence(F.lit(1), F.size(F.col("ws")) - (k - 1)), gram_hash
-            ).alias("hs"),
+            (F.col("pos") + 1).alias("j"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(" ", *[F.col(f"t{i}") for i in range(k)])),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("h0"),
         )
     )
-    sub = lambda j: F.slice(F.col("hs"), j, w)  # noqa: E731
-    fl = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("hs")) - (w - 1)),
-        lambda j: F.struct(
-            (
-                j
-                + w
-                - F.array_position(F.reverse(sub(j)), F.array_min(sub(j)))
-            ).alias("sel"),
-            F.array_min(sub(j)).alias("val"),
-        ),
+    # sliding window of w consecutive gram hashes via lead; min + the
+    # RIGHTMOST position attaining it ("robust winnowing" tie rule)
+    hspec = Window.partitionBy("doc_id").orderBy("j")
+    h_leads = [F.lead("h0", i).over(hspec).alias(f"h{i}") for i in range(1, w)]
+    windows = grams.select("doc_id", "j", "h0", *h_leads).filter(
+        F.col(f"h{w-1}").isNotNull()
     )
+    val = F.least(*[F.col(f"h{i}") for i in range(w)])
+    # when-chain built inner-to-outer so the OUTERMOST branch tests the
+    # highest lead index — the rightmost occurrence of the minimum wins
+    sel_expr = F.lit(0)
+    for i in range(1, w):
+        sel_expr = F.when(F.col(f"h{i}") == val, F.lit(i)).otherwise(sel_expr)
     fps = (
-        hdocs.select("doc_id", F.explode(fl).alias("f"))
-        .select("doc_id", F.col("f.sel").alias("sel"), F.col("f.val").alias("val"))
+        windows.select(
+            "doc_id",
+            (F.col("j") + sel_expr).alias("sel"),
+            val.alias("val"),
+        )
         .distinct()
     )
+    # fps feeds three consumers (n_fp, postings, and — via pruned — both
+    # sides of the sharing self-join): materialize the token/window
+    # pipeline once instead of four recomputes. Linear in corpus size
+    # (one row per selected fingerprint, ~|tokens|/w).
+    fps = fps.localCheckpoint()
     n_fp = fps.groupBy("doc_id").agg(F.count("*").alias("n_fingerprints"))
     postings = fps.select("doc_id", "val").distinct()
     rare = (
@@ -1220,7 +1259,8 @@ def winnowing_fingerprints(
         .filter(F.col("df") <= df_cap)
         .select("val")
     )
-    pruned = postings.join(rare, "val")
+    # df-capped postings are the self-join input read twice — pin them
+    pruned = postings.join(rare, "val").localCheckpoint()
     pairs = (
         pruned.alias("a")
         .join(pruned.alias("b"), "val")
