@@ -263,9 +263,11 @@ def decode_image(data: bytes):
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
     raise NotImplementedError(
-        "PPM, 8-bit RGB PNG and 24-bit BMP decode in this environment; "
-        "plug Pillow/torchvision here for JPEG"
+        "PPM, 8-bit RGB PNG, 24-bit BMP and baseline JPEG decode in this "
+        "environment; plug Pillow/torchvision here for other formats"
     )
 
 
@@ -1054,3 +1056,453 @@ def audio_pitch(media: DataFrame, min_lag: int = 2, max_lag: int = 16) -> DataFr
             )
 
     return media.mapInPandas(batches, AUDIO_PITCH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, public spec): a REAL pure-Python/numpy
+# baseline-sequential codec — marker grammar, DQT/DHT/SOF0/SOS/DRI
+# parsing, canonical Huffman decode with byte unstuffing and restart
+# markers, DC prediction, dequantize + zigzag + float IDCT, plane
+# crop/upsample, JFIF YCbCr->RGB. Progressive (SOF2), arithmetic
+# coding, and 12-bit precision stay honestly gated. The fixture twin
+# (encode_jpeg_blocks) writes the stream from quantized coefficient
+# blocks so the synthetic corpus is constructed in the COMPRESSED
+# domain — decoded pixels follow a closed integer formula the DuckDB
+# oracle recomputes exactly (see multimodal_jpeg_decode).
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# minimal VALID canonical Huffman tables for the fixture encoder (the
+# decoder builds its tables from whatever DHT segments the stream
+# declares — nothing below is assumed on the decode side).
+# DC: categories 0..11, all 4-bit codes. AC: EOB, 0x01, ZRL, 0x11 at
+# 3 bits. counts[16] then symbols, exactly the DHT wire layout.
+_FIX_DC_COUNTS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_FIX_DC_SYMBOLS = list(range(12))
+_FIX_AC_COUNTS = [0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_FIX_AC_SYMBOLS = [0x00, 0x01, 0xF0, 0x11]
+
+
+def _huffman_codes(counts, symbols):
+    """Canonical JPEG code assignment (T.81 C.2): symbols in DHT order
+    get consecutive codes per length, code doubles at each new length.
+    Returns {symbol: (code_int, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            out[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # entropy-coded 0xFF is stuffed with 0x00
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _dc_category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def encode_jpeg_blocks(
+    w: int,
+    h: int,
+    comp_blocks,
+    quant_tables,
+    comp_quant=(0, 1, 1),
+    restart_interval: int = 0,
+) -> bytes:
+    """Fixture twin of decode_jpeg: pack QUANTIZED coefficient blocks
+    (zigzag order, per component, raster block order) into a valid
+    baseline JFIF stream — 4:4:4 sampling, custom canonical Huffman
+    tables, optional DRI/RSTn restarts. Constructing fixtures in the
+    compressed domain keeps the decoded-pixel formula closed-form (the
+    lossy quantizer never runs), so the oracle stays integer-exact."""
+    import struct
+
+    ncomp = len(comp_blocks)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(quant_tables):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(qt)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, comp_quant[ci]])
+    for tc_th, counts, symbols in (
+        (0x00, _FIX_DC_COUNTS, _FIX_DC_SYMBOLS),
+        (0x10, _FIX_AC_COUNTS, _FIX_AC_SYMBOLS),
+        (0x01, _FIX_DC_COUNTS, _FIX_DC_SYMBOLS),
+        (0x11, _FIX_AC_COUNTS, _FIX_AC_SYMBOLS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(symbols))
+        out += bytes([tc_th]) + bytes(counts) + bytes(symbols)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        tbl = 0 if ci == 0 else 1
+        out += bytes([ci + 1, (tbl << 4) | tbl])
+    out += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+
+    dc_codes = _huffman_codes(_FIX_DC_COUNTS, _FIX_DC_SYMBOLS)
+    ac_codes = _huffman_codes(_FIX_AC_COUNTS, _FIX_AC_SYMBOLS)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    # MCU grid is 8-ALIGNED (ceil), so non-multiple declared dims carry
+    # full edge blocks the decoder crops back to (w, h)
+    n_mcu = -(-w // 8) * (-(-h // 8))
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            out += bw.flush()
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            pred = [0] * ncomp
+        for ci in range(ncomp):
+            zz = comp_blocks[ci][m]
+            diff = zz[0] - pred[ci]
+            pred[ci] = zz[0]
+            cat = _dc_category(diff)
+            code, length = dc_codes[cat]
+            bw.write(code, length)
+            if cat:
+                bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            k = 1
+            while k < 64:
+                run = 0
+                while k < 64 and zz[k] == 0:
+                    run += 1
+                    k += 1
+                if k == 64:
+                    code, length = ac_codes[0x00]  # EOB
+                    bw.write(code, length)
+                    break
+                while run >= 16:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.write(code, length)
+                    run -= 16
+                v = zz[k]
+                size = _dc_category(v)
+                code, length = ac_codes[(run << 4) | size]
+                bw.write(code, length)
+                bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+                k += 1
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    real marker and exposes it for restart handling."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+        self.marker = None
+
+    def _fill(self) -> None:
+        d = self.data
+        while self.nbits <= 24:
+            if self.marker is not None:
+                self.acc = (self.acc << 8) & 0xFFFFFFFF
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RSTn: consumed by caller
+                    self.marker = nxt
+                    continue
+                else:  # EOI / next segment: pad with zeros from here on
+                    self.marker = nxt
+                    continue
+            else:
+                self.pos += 1
+            self.acc = ((self.acc << 8) | b) & 0xFFFFFFFFFF
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Consume the pending RSTn marker and restart bit-aligned."""
+        if self.marker is None:
+            # skip pad bits until the marker byte shows up
+            while self.marker is None:
+                self._fill()
+                self.nbits = 0
+                self.acc = 0
+        assert 0xD0 <= self.marker <= 0xD7, f"expected RSTn, got {self.marker:#x}"
+        # self.pos points AT the 0xFF of the marker
+        self.pos += 2
+        self.marker = None
+        self.acc = 0
+        self.nbits = 0
+
+
+def _huffman_decode_tree(counts, symbols):
+    """(code,length)->symbol lookup dict for bit-serial decode."""
+    codes = _huffman_codes(counts, symbols)
+    return {(code, length): sym for sym, (code, length) in codes.items()}
+
+
+def _read_huffman(br: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy segment")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes):
+    """REAL baseline JPEG decode, pure stdlib + numpy: full marker walk
+    (APPn/COM skipped, DQT 8/16-bit, multi-table DHT, SOF0, DRI, SOS),
+    interleaved-MCU entropy decode with restart markers, dequantize +
+    inverse zigzag + orthonormal float IDCT, level shift, per-plane
+    crop, replication upsample for subsampled chroma, JFIF YCbCr->RGB
+    (floor(x+0.5) rounding). Returns (h, w, 3) uint8 RGB (grayscale
+    replicates). Raises NotImplementedError for progressive /
+    arithmetic / 12-bit streams rather than guessing."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT — possibly several tables per marker
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq == 0:
+                    qt[tq] = list(body[i + 1 : i + 65])
+                    i += 65
+                else:
+                    qt[tq] = list(
+                        struct.unpack_from(">64H", body, i + 1)
+                    )
+                    i += 129
+        elif marker == 0xC4:  # DHT — possibly several tables per marker
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                counts = list(body[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = list(body[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _huffman_decode_tree(counts, symbols)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise NotImplementedError("only 8-bit precision JPEG supported")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential (SOF0/SOF1) JPEG supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan = []
+            for ci in range(ns):
+                cs, tdta = body[1 + 2 * ci : 3 + 2 * ci]
+                comp = next(c for c in frame["comps"] if c["id"] == cs)
+                scan.append((comp, tdta >> 4, tdta & 0xF))
+            hmax = max(c["h"] for c in frame["comps"])
+            vmax = max(c["v"] for c in frame["comps"])
+            mcux = -(-frame["w"] // (8 * hmax))
+            mcuy = -(-frame["h"] // (8 * vmax))
+            # coefficient planes per component, sized to the MCU grid
+            planes = {}
+            for comp, _, _ in scan:
+                planes[comp["id"]] = np.zeros(
+                    (mcuy * comp["v"] * 8, mcux * comp["h"] * 8), dtype=np.float64
+                )
+            # orthonormal IDCT basis: A[u, x] = C(u)/2 * cos((2x+1)u*pi/16)
+            xs = np.arange(8)
+            A = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2.0
+            A[0, :] *= 1 / np.sqrt(2.0)
+            br = _BitReader(data, pos + 2 + seg_len)
+            pred = {comp["id"]: 0 for comp, _, _ in scan}
+            for m in range(mcux * mcuy):
+                if restart_interval and m and m % restart_interval == 0:
+                    br.align_restart()
+                    pred = {comp["id"]: 0 for comp, _, _ in scan}
+                my, mx = divmod(m, mcux)
+                for comp, td, ta in scan:
+                    dc_tbl = huff[(0, td)]
+                    ac_tbl = huff[(1, ta)]
+                    q = qt[comp["tq"]]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            zz = np.zeros(64, dtype=np.float64)
+                            cat = _read_huffman(br, dc_tbl)
+                            diff = _extend(br.read_bits(cat), cat) if cat else 0
+                            pred[comp["id"]] += diff
+                            zz[0] = pred[comp["id"]] * q[0]
+                            k = 1
+                            while k < 64:
+                                rs = _read_huffman(br, ac_tbl)
+                                if rs == 0x00:
+                                    break
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                run, size = rs >> 4, rs & 0xF
+                                k += run
+                                if k > 63:
+                                    raise ValueError("AC run past block end")
+                                zz[k] = _extend(br.read_bits(size), size) * q[k]
+                                k += 1
+                            S = np.zeros((8, 8), dtype=np.float64)
+                            S.flat[_ZIGZAG] = zz
+                            block = A.T @ S @ A + 128.0
+                            y0 = (my * comp["v"] + by) * 8
+                            x0 = (mx * comp["h"] + bx) * 8
+                            planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
+            h, w = frame["h"], frame["w"]
+            out_planes = []
+            for comp in frame["comps"]:
+                p = planes[comp["id"]]
+                # replication upsample to full resolution, then crop
+                ry, rx = vmax // comp["v"], hmax // comp["h"]
+                if ry > 1 or rx > 1:
+                    p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+                p = np.clip(np.floor(p[:h, :w] + 0.5), 0, 255)
+                out_planes.append(p)
+            if len(out_planes) == 1:
+                g = out_planes[0].astype(np.uint8)
+                return np.stack([g, g, g], axis=2)
+            y, cb, cr = out_planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = [np.clip(np.floor(c + 0.5), 0, 255) for c in (r, g, b)]
+            return np.stack(rgb, axis=2).astype(np.uint8)
+        elif marker == 0xC8 or marker == 0xCC:
+            raise NotImplementedError("arithmetic-coded JPEG not supported")
+        pos += 2 + seg_len
+    raise ValueError("no SOS segment found")
+
+
+def synthetic_jpeg_media(documents: DataFrame) -> DataFrame:
+    """One real baseline JPEG per document, constructed in the
+    COMPRESSED domain so decoded pixels follow a closed integer
+    formula (the lossy quantizer never runs):
+
+      w = 8*(2 + doc_id%3), h = 8*(2 + doc_id%2); per raster block b:
+        Y  plane pixels = 128 + dcY,  dcY  = (doc_id*7  + 13*b) % 120 - 60
+        Cb plane pixels = 128 + dcCb, dcCb = (doc_id*5  + 11*b) % 40  - 20
+        Cr plane pixels = 128 + dcCr, dcCr = (doc_id*3  + 17*b) % 40  - 20
+
+    Q[0]=8 makes the DC-only IDCT land exactly on dc+128; Y blocks with
+    (doc_id+b)%3==0 also carry AC coefficient 1 at zigzag-1 with Q[1]=1
+    — its per-pixel contribution is cos-bounded by 1/(4*sqrt(2)) ~ .177,
+    which floor(x+0.5) rounds away, so the AC Huffman path is exercised
+    WITHOUT perturbing the integer formula. Even doc_ids add DRI=2
+    restarts (RSTn + DC-predictor resets), odd ones run restart-free."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qt_y = [8, 1] + [16] * 62
+        qt_c = [8] + [16] * 63
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (2 + d % 3), 8 * (2 + d % 2)
+                nb = (w // 8) * (h // 8)
+                comp_blocks = [[], [], []]
+                for b in range(nb):
+                    zy = [0] * 64
+                    zy[0] = (d * 7 + 13 * b) % 120 - 60
+                    if (d + b) % 3 == 0:
+                        zy[1] = 1
+                    zcb = [0] * 64
+                    zcb[0] = (d * 5 + 11 * b) % 40 - 20
+                    zcr = [0] * 64
+                    zcr[0] = (d * 3 + 17 * b) % 40 - 20
+                    comp_blocks[0].append(zy)
+                    comp_blocks[1].append(zcb)
+                    comp_blocks[2].append(zcr)
+                blobs.append(
+                    encode_jpeg_blocks(
+                        w, h, comp_blocks, [qt_y, qt_c],
+                        restart_interval=2 if d % 2 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    return documents.select("doc_id").mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )

@@ -1982,41 +1982,22 @@ def grouping_sets_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The correctness driver samples queries() in dict order and may stop
 # after the first ~50 entries, so never-driver-checked queries lead.
 _PRIORITY = [
-    # ROUND-4 ROTATION: the driver verifies the FIRST ~50 entries; r01-r03
-    # covered 134 distinct queries. This round's head leads with the three
-    # operators whose contracts CHANGED this round (winnowing canonical is
-    # now the connected-component minimum; the audio fingerprint xor-folds
-    # into 63 bits; mutual-kNN components run a 64-round budget) so the
-    # driver re-confirms them, then the 19 ROUND-4 NEW queries, then the
-    # never-checked rotation in round-3 priority order. Previously-
-    # verified queries follow; nothing is dropped.
-    "winnowing_fingerprints", "multimodal_audio_fingerprint",
-    "knn_graph_components",
-    # round-4 new surface
-    "sql_pipe_syntax", "sql_udf_scalar", "sql_udf_table",
-    "sql_session_variables", "streaming_state_inspect",
-    "mann_whitney_utest", "anova_oneway", "wilson_ci_report",
-    "link_prediction_adamic_adar", "personalized_pagerank",
-    "zipf_fit_report", "ttr_hapax_report", "term_burstiness",
-    "paragraph_dedup_scrub", "multimodal_bmp_decode",
-    "multimodal_image_histogram", "multimodal_audio_pitch",
-    "holt_winters_seasonal", "bleu_pairs_report", "experiment_readout",
-    "multimodal_keyframe_select", "dbscan_grid_clusters",
-    "decay_weighted_activity", "skipgram_negative_table", "model_eval_auc",
-    "multimodal_png_decode", "gopher_repetition_rules", "c4_quality_filters",
-    "curriculum_shards", "ccnet_perplexity_buckets", "ann_ivfpq",
-    "multimodal_scene_cuts", "tokenizer_fertility_report",
-    "dedup_substring_scrub", "streaming_near_dedup", "doremi_reweight_step",
-    "matryoshka_recall", "lang_id_confusion", "kcenter_init",
-    "multimodal_audio_vad", "source_token_kl", "timeseries_topk_similar",
-    "kmeans_converged", "bpe_train_merges", "window_session_dynamic",
-    "nested_orders_roundtrip", "quantile_normalize",
+    # ROUND-5 ROTATION: the driver verifies the FIRST ~50 entries. Head =
+    # the queries whose code paths CHANGED this round (vertex-restricted
+    # dedup_components touches every component caller; winnowing swapped
+    # its gram hash to staged lead-windows; multimodal_jpeg_decode is the
+    # new baseline-JPEG codec) so the driver re-confirms them, then the
+    # never-driver-checked rotation (232 remaining after r1-r4), then
+    # previously-verified queries. Nothing is dropped.
+    "multimodal_jpeg_decode", "winnowing_fingerprints", "dedup_keep_best",
+    "knn_graph_components", "dedup_minhash_canonical", "dedup_groups",
+    "semdedup", "dedup_threshold_sweep", "curate_corpus",
     "multimodal_video_decode", "tfidf_cosine_pairs", "surrogate_keys_dense",
     "bm25_retrieval", "ndcg_eval", "pca_power_iteration", "dataset_card",
     "mmr_rerank", "source_ablation_report", "grid_radius_join",
     "join_dynamic_partition_pruning", "item_item_recs", "attribution_models",
     "market_share", "waiting_suppliers", "feature_quantile_bins_exact",
-    "dedup_keep_best", "log_parse_roundtrip", "streaming_windowed_distinct",
+    "log_parse_roundtrip", "streaming_windowed_distinct",
     "sql_recursive_reachability", "source_python_stream",
     "sink_python_datasource", "multimodal_phash_dedup", "expectations_check",
     "varint_delta_report", "cusum_changepoint", "assoc_rules",
@@ -2058,38 +2039,55 @@ _PRIORITY = [
     "source_mixture_weights", "reservoir_per_key", "min_cost_supplier",
     "important_stock", "supplier_part_counts", "excess_inventory_suppliers",
     "text_repetition", "text_char_entropy", "vocab_coverage",
-    "apply_mixture_weights", "quality_gate_report",
-    "text_rolling_fingerprint", "set_except_all", "props_map_census",
-    "top_k_per_group_agg", "json_variant_extract", "text_search_boolean",
-    "embedding_quantize_int8", "text_lang_id_ngram", "ann_quantized",
-    "boilerplate_ngram_flags", "hard_negative_mining", "profile_columns",
-    "sink_orc_roundtrip", "ann_recall_report", "multimodal_binary_ingest",
-    "sink_zorder_parquet", "incremental_agg_merge", "agg_hll_mergeable",
-    "text_unigram_logprob", "bpe_pair_counts", "corpus_shuffle_shards",
-    "tfidf_top_terms", "source_quality_report", "sample_weighted",
-    "source_overlap_matrix", "dedup_containment", "multimodal_dedup",
-    "schema_evolution_read", "sink_partition_overwrite",
-    "sink_compact_small_files", "gap_fill_interpolate", "pareto_frontier",
-    "streaming_bloom_bits", "anomaly_mad", "source_mixture_temperature",
-    "join_shuffle_hash_hint", "drift_report", "bpe_encoded_vocab",
-    "bigram_logprob", "minhash_estimate_report", "agg_boxplot",
-    "obs_metrics", "html_extract_text", "phrase_search", "chi2_independence",
-    "trend_lines", "acf_daily", "shortest_path_bounded",
-    "l_diversity_report", "window_percent_rank", "pmi_collocations",
-    "streaming_obs_metrics", "sequence_motifs", "streaming_ab_counts",
-    "target_encode_loo", "funnel_negative", "gdpr_erasure_audit",
-    "pipeline_from_spec", "backfill_stale_partitions",
-    "late_arrival_histogram", "rolling_correlation", "rfm_segments",
-    "kcore_bounded", "token_budget_allocation", "mutual_information",
-    "benford_audit", "sql_parameterized", "quality_model_contributions",
-    "bitmap_membership", "join_asof_nearest", "sequence_pattern_regex",
+    "apply_mixture_weights", "quality_gate_report", "text_rolling_fingerprint",
+    "set_except_all", "props_map_census", "top_k_per_group_agg",
+    "json_variant_extract", "text_search_boolean", "embedding_quantize_int8",
+    "text_lang_id_ngram", "ann_quantized", "boilerplate_ngram_flags",
+    "hard_negative_mining", "profile_columns", "sink_orc_roundtrip",
+    "ann_recall_report", "multimodal_binary_ingest", "sink_zorder_parquet",
+    "incremental_agg_merge", "agg_hll_mergeable", "text_unigram_logprob",
+    "bpe_pair_counts", "corpus_shuffle_shards", "tfidf_top_terms",
+    "source_quality_report", "sample_weighted", "source_overlap_matrix",
+    "dedup_containment", "multimodal_dedup", "schema_evolution_read",
+    "sink_partition_overwrite", "sink_compact_small_files",
+    "gap_fill_interpolate", "pareto_frontier", "streaming_bloom_bits",
+    "anomaly_mad", "source_mixture_temperature", "join_shuffle_hash_hint",
+    "drift_report", "bpe_encoded_vocab", "bigram_logprob",
+    "minhash_estimate_report", "agg_boxplot", "obs_metrics",
+    "html_extract_text", "phrase_search", "chi2_independence", "trend_lines",
+    "acf_daily", "shortest_path_bounded", "l_diversity_report",
+    "window_percent_rank", "pmi_collocations", "streaming_obs_metrics",
+    "sequence_motifs", "streaming_ab_counts", "target_encode_loo",
+    "funnel_negative", "gdpr_erasure_audit", "pipeline_from_spec",
+    "backfill_stale_partitions", "late_arrival_histogram",
+    "rolling_correlation", "rfm_segments", "kcore_bounded",
+    "token_budget_allocation", "mutual_information", "benford_audit",
+    "sql_parameterized", "quality_model_contributions", "bitmap_membership",
+    "join_asof_nearest", "sequence_pattern_regex",
     "conversion_latency_histogram", "quarantine_split",
     "streaming_quarantine_counts", "tiered_billing_report", "uptime_report",
     "stock_ledger_dips", "cycle_time_report", "trimmed_mean_report",
-    "weekday_seasonality_report", "abandoned_carts",
-    "diversity_index_report", "price_elasticity_report", "text_readability",
-    "degree_distribution_report", "rolling_median",
-    "cohort_conversion_report", "partition_gini_report", "knn_graph",
+    "weekday_seasonality_report", "abandoned_carts", "diversity_index_report",
+    "price_elasticity_report", "text_readability",
+    "degree_distribution_report", "rolling_median", "cohort_conversion_report",
+    "partition_gini_report", "multimodal_audio_fingerprint", "sql_pipe_syntax",
+    "sql_udf_scalar", "sql_udf_table", "sql_session_variables",
+    "streaming_state_inspect", "mann_whitney_utest", "anova_oneway",
+    "wilson_ci_report", "link_prediction_adamic_adar", "personalized_pagerank",
+    "zipf_fit_report", "ttr_hapax_report", "term_burstiness",
+    "paragraph_dedup_scrub", "multimodal_bmp_decode",
+    "multimodal_image_histogram", "multimodal_audio_pitch",
+    "holt_winters_seasonal", "bleu_pairs_report", "experiment_readout",
+    "multimodal_keyframe_select", "dbscan_grid_clusters",
+    "decay_weighted_activity", "skipgram_negative_table", "model_eval_auc",
+    "multimodal_png_decode", "gopher_repetition_rules", "c4_quality_filters",
+    "curriculum_shards", "ccnet_perplexity_buckets", "ann_ivfpq",
+    "multimodal_scene_cuts", "tokenizer_fertility_report",
+    "dedup_substring_scrub", "streaming_near_dedup", "doremi_reweight_step",
+    "matryoshka_recall", "lang_id_confusion", "kcenter_init",
+    "multimodal_audio_vad", "source_token_kl", "timeseries_topk_similar",
+    "kmeans_converged", "bpe_train_merges", "window_session_dynamic",
+    "nested_orders_roundtrip", "quantile_normalize", "knn_graph",
     "ngram_novelty_curve", "theil_sen_trend", "quantiles_merged_histograms",
     "split_semantic_leakage", "randomized_response_audit",
     "markov_transition_matrix", "als_implicit_step", "keyword_textrank",
@@ -2103,22 +2101,20 @@ _PRIORITY = [
     "spearman_daily", "mrr_recall_eval", "welch_ttest", "kendall_tau_daily",
     "seasonal_decompose", "shapley_attribution", "srm_check",
     "power_mde_report", "hyperball_neighborhood", "seasonal_anomaly_flags",
-    "pacf_daily", "kneser_ney_logprob", "ipw_treatment_effect",
-    "did_estimate", "ucb_arm_ranking", "dedup_threshold_sweep",
-    "join_asof_forward", "window_cume_dist", "blocking_recall_report",
-    "records_pipeline", "scan_stream", "filter_conjunction",
-    "filter_time_range_clamped", "deagg_explode", "deagg_passthrough_quirk",
-    "json_parse", "sink_json", "curate_corpus", "training_batches",
-    "rag_retrieval", "dedup_minhash_canonical", "dedup_containment_best",
-    "dedup_substring_spans", "semdedup", "dedup_exact", "dedup_minhash_lsh",
-    "dedup_groups", "dedup_simhash", "dedup_ngram_jaccard",
+    "pacf_daily", "kneser_ney_logprob", "ipw_treatment_effect", "did_estimate",
+    "ucb_arm_ranking", "join_asof_forward", "window_cume_dist",
+    "blocking_recall_report", "records_pipeline", "scan_stream",
+    "filter_conjunction", "filter_time_range_clamped", "deagg_explode",
+    "deagg_passthrough_quirk", "json_parse", "sink_json", "training_batches",
+    "rag_retrieval", "dedup_containment_best", "dedup_substring_spans",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_embedding_cosine", "corpus_decontaminate", "split_group_aware",
-    "dsir_select", "streaming_windowed_counts",
-    "streaming_sessionize_native", "streaming_sessionize",
-    "streaming_attribution", "streaming_attribution_outer",
-    "streaming_attribution_full", "streaming_attribution_semi",
-    "streaming_attribution_right", "streaming_resume_exactly_once",
-    "streaming_dedup", "streaming_asof_enrich", "streaming_upsert_compact",
+    "dsir_select", "streaming_windowed_counts", "streaming_sessionize_native",
+    "streaming_sessionize", "streaming_attribution",
+    "streaming_attribution_outer", "streaming_attribution_full",
+    "streaming_attribution_semi", "streaming_attribution_right",
+    "streaming_resume_exactly_once", "streaming_dedup",
+    "streaming_asof_enrich", "streaming_upsert_compact",
     "streaming_records_pipeline", "ann_bruteforce", "ann_lsh", "ann_ivf",
     "ann_pq", "feature_quantile_bins", "pagerank_step", "pagerank_converged",
     "heavy_hitters_cms", "bloom_semi_filter", "graph_triangles",
@@ -2132,7 +2128,7 @@ _PRIORITY = [
     "distinct_count", "rollup_counts", "window_tumbling", "text_token_count",
     "text_lang_id", "text_fingerprint", "agg_count_by_key_salted",
     "agg_approx_distinct", "join_asof", "cube_counts", "pivot_counts",
-    "agg_percentiles", "multimodal_features",
+    "agg_percentiles", "multimodal_features", "cluster_silhouette",
 ]
 
 
@@ -17781,3 +17777,60 @@ def cluster_silhouette_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("silhouette"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 5 — baseline JPEG: the codec 90% of a real crawl needs, now a
+# fourth REAL image format (pure stdlib+numpy baseline-sequential
+# decoder: marker grammar, canonical Huffman, restarts, dequant+IDCT,
+# JFIF color convert). The fixture is built in the COMPRESSED domain —
+# DC-only blocks with Q[0]=8 land the IDCT exactly on dc+128, and the
+# sub-0.18 AC probe rounds away — so DuckDB recomputes every decoded
+# pixel from closed integer formulas and the float YCbCr->RGB mirror.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_jpeg_decode",
+    # per-pixel block index -> DC formulas -> JFIF conversion, with the
+    # exact-integer SUM(r+g+b)/(3wh) mean (numpy pairwise sum of
+    # integers is exact, so one division matches IEEE-for-IEEE)
+    """
+WITH dims AS (
+  SELECT doc_id, 8 * (2 + doc_id % 3) AS w, 8 * (2 + doc_id % 2) AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         ((p.p // w) // 8) * (w // 8) + (p.p % w) // 8 AS b
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS p) p
+), ycc AS (
+  SELECT doc_id, w, h,
+         (128 + (doc_id * 7 + 13 * b) % 120 - 60)::DOUBLE AS y,
+         (128 + (doc_id * 5 + 11 * b) % 40 - 20)::DOUBLE AS cb,
+         (128 + (doc_id * 3 + 17 * b) % 40 - 20)::DOUBLE AS cr
+  FROM px
+), rgb AS (
+  SELECT doc_id, w, h,
+         GREATEST(0, LEAST(255, FLOOR(y + 1.402 * (cr - 128.0) + 0.5))) AS r,
+         GREATEST(0, LEAST(255, FLOOR(y - 0.344136 * (cb - 128.0)
+                                        - 0.714136 * (cr - 128.0) + 0.5))) AS g,
+         GREATEST(0, LEAST(255, FLOOR(y + 1.772 * (cb - 128.0) + 0.5))) AS bb
+  FROM ycc
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       3 AS channels,
+       ROUND(SUM(r + g + bb) / (3.0 * ANY_VALUE(w) * ANY_VALUE(h)), 4)
+         AS byte_mean
+FROM rgb GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_jpeg_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode executing in-sandbox (multimodal.
+    decode_jpeg): DQT/DHT/SOF0/SOS/DRI marker walk, canonical Huffman
+    with 0xFF00 unstuffing and RSTn restarts, DC prediction chains,
+    dequantize + inverse zigzag + orthonormal float IDCT, JFIF
+    YCbCr->RGB. Decode is map-side Arrow-batched over the binary
+    payload column; only (doc_id, dims, mean) ever shuffles — the same
+    100 TB shape as the PPM/PNG/BMP legs."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_decode_features(multimodal.synthetic_jpeg_media(docs))
