@@ -1288,3 +1288,33 @@ def winnowing_fingerprints(
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_downweight(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Soft dedup (the SlimPajama / 'documents are worth keeping once'
+    policy family, public method): instead of dropping near-duplicate
+    documents, every document gets sampling weight 1 / |its near-dup
+    component|, so each duplicate CLUSTER contributes unit mass to the
+    training mixture and unique documents keep weight 1.
+
+    Composition: dedup_components labels the graph (vertex-restricted
+    propagation — dup-mass-bounded, see SCALING.md round 5); component
+    sizes are one groupBy on the label; the weight is scalar algebra.
+    All shuffles carry (doc_id, component_id) longs — linear in corpus
+    size at 100 TB, like every production-path dedup op here."""
+    comp = dedup_components(documents, pairs)
+    sizes = comp.groupBy("component_id").agg(
+        F.count("*").alias("component_size")
+    )
+    return (
+        comp.join(sizes, "component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            F.col("component_size").cast("long").alias("component_size"),
+            (
+                F.floor(1.0 / F.col("component_size") * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("weight"),
+        )
+        .orderBy("doc_id")
+    )

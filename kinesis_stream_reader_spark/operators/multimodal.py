@@ -749,19 +749,21 @@ PHASH_SCHEMA = "doc_id BIGINT, phash BIGINT"
 
 
 def image_phash(media: DataFrame, grid: int = 8) -> DataFrame:
-    """Perceptual average-hash of REAL decoded images: decode the PPM,
-    grayscale (integer (r+g+b) DIV 3), nearest-neighbor resize to a
-    grid x grid patch (default 8x8 -> the standard 64-bit pHash) (the image_resize_decoded index map), then one
-    bit per cell: 1 iff cell * n_cells > sum (strictly-above-mean in
-    exact integer form). Arrow-batched, map-only — the multimodal
-    near-dup counterpart of simhash for text."""
+    """Perceptual average-hash of REAL decoded images: decode (any
+    decode_image format — PPM/PNG/BMP/baseline JPEG, dispatched on
+    magic bytes), grayscale (integer (r+g+b) DIV 3), nearest-neighbor
+    resize to a grid x grid patch (default 8x8 -> the standard 64-bit
+    pHash) (the image_resize_decoded index map), then one bit per
+    cell: 1 iff cell * n_cells > sum (strictly-above-mean in exact
+    integer form). Arrow-batched, map-only — the multimodal near-dup
+    counterpart of simhash for text."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
-                arr = decode_ppm(bytes(blob)).astype(np.int64)
+                arr = decode_image(bytes(blob)).astype(np.int64)
                 h, w = arr.shape[0], arr.shape[1]
                 gray = arr.sum(axis=2) // 3
                 ys = (np.arange(grid) * h) // grid

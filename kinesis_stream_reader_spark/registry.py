@@ -1989,9 +1989,12 @@ _PRIORITY = [
     # new baseline-JPEG codec) so the driver re-confirms them, then the
     # never-driver-checked rotation (232 remaining after r1-r4), then
     # previously-verified queries. Nothing is dropped.
-    "multimodal_jpeg_decode", "winnowing_fingerprints", "dedup_keep_best",
+    "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
+    "dedup_downweight", "sql_collation_distinct",
+    "winnowing_fingerprints", "dedup_keep_best",
     "knn_graph_components", "dedup_minhash_canonical", "dedup_groups",
     "semdedup", "dedup_threshold_sweep", "curate_corpus",
+    "multimodal_phash_dedup",
     "multimodal_video_decode", "tfidf_cosine_pairs", "surrogate_keys_dense",
     "bm25_retrieval", "ndcg_eval", "pca_power_iteration", "dataset_card",
     "mmr_rerank", "source_ablation_report", "grid_radius_join",
@@ -10148,11 +10151,15 @@ def multimodal_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.synthetic_ppm_media(docs)
-    ph = multimodal.image_phash(media)
-    # collapse to DISTINCT hashes FIRST (the dedup_minhash_canonical
-    # lesson: replicated corpora make doc-level pair emission quadratic
-    # — the first draft measured 367s at 20x docs; hash-level pairs
-    # with group weights are linear in distinct hashes)
+    return _phash_dedup_report(multimodal.image_phash(media))
+
+
+def _phash_dedup_report(ph: DataFrame) -> DataFrame:
+    """Shared banded-hamming phash dedup report (PPM and JPEG legs).
+    Collapses to DISTINCT hashes FIRST (the dedup_minhash_canonical
+    lesson: replicated corpora make doc-level pair emission quadratic
+    — the first draft measured 367s at 20x docs; hash-level pairs
+    with group weights are linear in distinct hashes)."""
     groups = ph.groupBy("phash").agg(F.count("*").alias("sz"))
     bands = groups.select(
         "phash",
@@ -17834,3 +17841,171 @@ def multimodal_jpeg_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.image_decode_features(multimodal.synthetic_jpeg_media(docs))
+
+
+@register(
+    "multimodal_jpeg_phash_dedup",
+    # the JPEG leg of the phash dedup contract: gray cells recomputed
+    # from the compressed-domain pixel formulas THROUGH the JFIF float
+    # conversion, then the identical band-blocked hamming report
+    """
+WITH dims AS (
+  SELECT doc_id, 8 * (2 + doc_id % 3) AS w, 8 * (2 + doc_id % 2) AS h
+  FROM documents
+), cells AS (
+  SELECT doc_id, yy.i * 8 + xx.i AS p, w,
+         ((((yy.i * h) // 8) // 8) * (w // 8) + ((xx.i * w) // 8) // 8) AS b
+  FROM dims
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) yy
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) xx
+), ycc AS (
+  SELECT doc_id, p,
+         (128 + (doc_id * 7 + 13 * b) % 120 - 60)::DOUBLE AS y,
+         (128 + (doc_id * 5 + 11 * b) % 40 - 20)::DOUBLE AS cb,
+         (128 + (doc_id * 3 + 17 * b) % 40 - 20)::DOUBLE AS cr
+  FROM cells
+), gray_cells AS (
+  SELECT doc_id, p,
+         (CAST(GREATEST(0, LEAST(255, FLOOR(y + 1.402 * (cr - 128.0) + 0.5))) AS BIGINT)
+          + CAST(GREATEST(0, LEAST(255, FLOOR(y - 0.344136 * (cb - 128.0)
+                                   - 0.714136 * (cr - 128.0) + 0.5))) AS BIGINT)
+          + CAST(GREATEST(0, LEAST(255, FLOOR(y + 1.772 * (cb - 128.0) + 0.5))) AS BIGINT)
+         ) // 3 AS gray
+  FROM ycc
+), tot AS (
+  SELECT doc_id, p, gray, SUM(gray) OVER (PARTITION BY doc_id) AS total
+  FROM gray_cells
+), ph AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN p < 63 AND gray * 64 > total
+                       THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS phash
+  FROM tot GROUP BY doc_id
+), groups AS (
+  SELECT phash, COUNT(*) AS sz FROM ph GROUP BY phash
+), bands AS (
+  SELECT phash, sz, b.i AS band, (phash >> (b.i * 16)) & 65535 AS key
+  FROM groups CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b
+), cand AS (
+  SELECT DISTINCT a.phash AS ap, b.phash AS bp, a.sz AS sa, b.sz AS sb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.phash < b.phash
+)
+SELECT (SELECT CAST(SUM(sz) AS BIGINT) FROM groups) AS n_images,
+       (SELECT COUNT(*) FROM groups) AS n_distinct_hashes,
+       (SELECT CAST(SUM(sz) - COUNT(*) AS BIGINT) FROM groups) AS exact_dup_images,
+       COUNT(CASE WHEN bit_count(CAST(xor(ap, bp) AS BIGINT)) <= 2 THEN 1 END) AS n_near_hash_pairs,
+       CAST(COALESCE(SUM(CASE WHEN bit_count(CAST(xor(ap, bp) AS BIGINT)) <= 2
+                         THEN sa * sb END), 0) AS BIGINT) AS near_dup_mass
+FROM cand
+""",
+)
+def multimodal_jpeg_phash_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup detection over REAL decoded JPEG payloads:
+    the full baseline-JPEG decoder (Huffman + IDCT + JFIF conversion)
+    runs inside the Arrow batch, then the identical 63-bit average-hash
+    -> 4x16-bit band-blocked hamming join as the PPM leg — proving the
+    new codec composes with the multimodal dedup family end to end.
+    Shuffles carry 16-bit band keys, never pixels."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthetic_jpeg_media(docs)
+    return _phash_dedup_report(multimodal.image_phash(media))
+
+
+@register(
+    "dedup_downweight",
+    # SlimPajama-style soft dedup: same exact-Jaccard pair graph walked
+    # to components (recursive CTE), then weight = 1/|component|
+    f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, {_GRAMS} AS grams FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT d.doc_id,
+         LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS component_id
+  FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+  GROUP BY d.doc_id
+), sizes AS (
+  SELECT component_id, COUNT(*) AS component_size FROM comp GROUP BY 1
+)
+SELECT c.doc_id, c.component_id,
+       s.component_size::BIGINT AS component_size,
+       FLOOR(1.0 / s.component_size * 1e6 + 0.5) / 1e6 AS weight
+FROM comp c JOIN sizes s USING (component_id)
+ORDER BY c.doc_id
+""",
+)
+def dedup_downweight_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import dedup
+
+    documents = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(documents, threshold=0.8)
+    return dedup.dedup_downweight(documents, pairs)
+
+
+@register(
+    "sql_collation_distinct",
+    # Spark-4 collation surface: COUNT(DISTINCT x) under UTF8_LCASE
+    # equals DuckDB's COUNT(DISTINCT lower(x)); the mixed-case relation
+    # is synthesized deterministically from doc_id parity
+    """
+WITH mixed AS (
+  SELECT lang,
+         CASE WHEN doc_id % 3 = 0 THEN upper(source)
+              WHEN doc_id % 3 = 1 THEN source
+              ELSE concat(upper(substr(source, 1, 1)), substr(source, 2)) END AS s
+  FROM documents
+)
+SELECT lang,
+       COUNT(DISTINCT lower(s))::BIGINT AS n_sources_ci,
+       COUNT(DISTINCT s)::BIGINT AS n_sources_cs,
+       COUNT(*)::BIGINT AS n_docs
+FROM mixed GROUP BY lang ORDER BY lang
+""",
+)
+def sql_collation_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION surface (public SQL feature, SPARK-46830):
+    string comparison semantics declared on the COLUMN, not hand-lower()ed
+    at every call site. COUNT(DISTINCT s COLLATE UTF8_LCASE) counts
+    case-insensitive distinct sources; the binary-collation count runs
+    alongside to show the two semantics diverge on the synthesized
+    mixed-case values. Catalyst plans the collated distinct as an
+    ordinary two-phase aggregate — partial per partition, one shuffle
+    on (lang, collation key) — so the construct is scale-neutral."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.select(
+        "lang",
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source"))
+        .when(F.col("doc_id") % 3 == 1, F.col("source"))
+        .otherwise(
+            # NOT initcap (which also lowercases the tail): mirror the
+            # oracle's concat(upper(first), rest) byte-for-byte
+            F.concat(
+                F.upper(F.substring("source", 1, 1)),
+                F.expr("substring(source, 2)"),
+            )
+        )
+        .alias("s"),
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.countDistinct(F.collate(F.col("s"), "UTF8_LCASE")).alias("n_sources_ci"),
+            F.countDistinct("s").alias("n_sources_cs"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
