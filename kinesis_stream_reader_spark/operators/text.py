@@ -2549,3 +2549,80 @@ def kneser_ney_logprob(documents: DataFrame, discount: float = 0.75) -> DataFram
         "avg_logprob",
         F.round(F.exp(-F.col("avg_logprob")), 4).alias("ppl"),
     ).orderBy("doc_id")
+
+
+def readability_report(documents: DataFrame) -> DataFrame:
+    """Flesch Reading Ease (public formula: 206.835 - 1.015*(words/
+    sentences) - 84.6*(syllables/word)) with deterministic proxies —
+    words = \\S+ runs, sentences = [.!?]+ runs (min 1), syllables =
+    [aeiouy]+ vowel groups — the classic readability gate a curation
+    pipeline runs next to the Gopher/C4 rules. Pure codegen counts; one
+    map-side projection, no shuffle beyond the ORDER BY."""
+    w = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).cast("long")
+    s = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)).cast("long")
+    syl = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), 0)
+    ).cast("long")
+    wg = F.greatest(w, F.lit(1))
+    sg = F.greatest(s, F.lit(1))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (wg.cast("double") / sg.cast("double"))
+        - F.lit(84.6) * (syl.cast("double") / wg.cast("double"))
+    )
+    q4 = F.floor(flesch * 1e4 + F.lit(0.5)) / 1e4
+    grade = (
+        F.when(q4 >= 90, "very_easy")
+        .when(q4 >= 70, "easy")
+        .when(q4 >= 50, "medium")
+        .when(q4 >= 30, "hard")
+        .otherwise("very_hard")
+    )
+    return documents.select(
+        "doc_id",
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        syl.alias("n_syllables"),
+        q4.alias("flesch"),
+        grade.alias("grade"),
+    ).orderBy("doc_id")
+
+
+def code_prose_report(documents: DataFrame) -> DataFrame:
+    """Code-vs-prose detection (the curation step that routes source
+    code out of a natural-language mixture): structural symbol density
+    ([{}();=<>[]] per char), code-keyword hits (\\b-delimited def/
+    return/import/class/function/var/const/if/for), and indented-line
+    count; is_code = symbol_ratio >= 0.04 OR >= 3 keyword hits — a
+    deterministic threshold rule, not a model, so the oracle replays it
+    exactly. Map-side codegen counts; no shuffle beyond the ORDER BY."""
+    n_chars = F.length("text").cast("long")
+    n_sym = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[{}();=<>\[\]]"), 0)
+    ).cast("long")
+    n_kw = F.size(
+        F.regexp_extract_all(
+            F.col("text"),
+            F.lit(r"\b(def|return|import|class|function|var|const|if|for)\b"),
+            0,
+        )
+    ).cast("long")
+    n_indent = F.size(
+        F.filter(
+            F.split(F.col("text"), "\n"),
+            lambda ln: ln.rlike(r"^(  |\t)"),
+        )
+    ).cast("long")
+    ratio = F.floor(
+        n_sym.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double") * 1e6
+        + F.lit(0.5)
+    ) / 1e6
+    return documents.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_sym.alias("n_symbol_chars"),
+        n_kw.alias("n_code_keywords"),
+        n_indent.alias("n_indented_lines"),
+        ratio.alias("symbol_ratio"),
+        ((ratio >= 0.04) | (n_kw >= 3)).alias("is_code"),
+    ).orderBy("doc_id")

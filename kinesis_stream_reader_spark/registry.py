@@ -1991,6 +1991,7 @@ _PRIORITY = [
     # previously-verified queries. Nothing is dropped.
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
+    "readability_report", "code_prose_report",
     "winnowing_fingerprints", "dedup_keep_best",
     "knn_graph_components", "dedup_minhash_canonical", "dedup_groups",
     "semdedup", "dedup_threshold_sweep", "curate_corpus",
@@ -18009,3 +18010,71 @@ def sql_collation_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "readability_report",
+    # Flesch with deterministic proxies; identical run-count regexes
+    # and the floor(x*1e4+0.5) quantization on the same IEEE doubles
+    """
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words,
+         len(regexp_extract_all(text, '[.!?]+'))::BIGINT AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT AS n_syllables
+  FROM documents
+), f AS (
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         FLOOR((206.835
+                - 1.015 * (GREATEST(n_words, 1)::DOUBLE
+                           / GREATEST(n_sentences, 1)::DOUBLE)
+                - 84.6 * (n_syllables::DOUBLE
+                          / GREATEST(n_words, 1)::DOUBLE)) * 1e4 + 0.5) / 1e4
+           AS flesch
+  FROM c
+)
+SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+       CASE WHEN flesch >= 90 THEN 'very_easy'
+            WHEN flesch >= 70 THEN 'easy'
+            WHEN flesch >= 50 THEN 'medium'
+            WHEN flesch >= 30 THEN 'hard'
+            ELSE 'very_hard' END AS grade
+FROM f ORDER BY doc_id
+""",
+)
+def readability_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.readability_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "code_prose_report",
+    # same symbol/keyword/indent counts and threshold rule in SQL
+    """
+WITH c AS (
+  SELECT doc_id,
+         length(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(text, '[{}();=<>\\[\\]]'))::BIGINT AS n_symbol_chars,
+         len(regexp_extract_all(text,
+             '\\b(def|return|import|class|function|var|const|if|for)\\b'))::BIGINT
+           AS n_code_keywords,
+         len(list_filter(string_split(text, chr(10)),
+                         ln -> regexp_matches(ln, '^(  |\\t)')))::BIGINT
+           AS n_indented_lines
+  FROM documents
+), r AS (
+  SELECT *, FLOOR(n_symbol_chars::DOUBLE / GREATEST(n_chars, 1)::DOUBLE * 1e6
+                  + 0.5) / 1e6 AS symbol_ratio
+  FROM c
+)
+SELECT doc_id, n_chars, n_symbol_chars, n_code_keywords, n_indented_lines,
+       symbol_ratio,
+       (symbol_ratio >= 0.04 OR n_code_keywords >= 3) AS is_code
+FROM r ORDER BY doc_id
+""",
+)
+def code_prose_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.code_prose_report(load_table(spark, sf_dir, "documents"))
