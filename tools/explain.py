@@ -124,7 +124,7 @@ HEADLINE = [
     ("quantiles_merged_histograms", "two-level mergeable histogram: shard partials, 32-row bounded window"),
     ("pr_curve_points", "PR sweep on the quantized-logit census: prefix sums over cells, not rows"),
     ("kaplan_meier_survival", "KM curve: one user shuffle, then <=73-cell census algebra + broadcast fold"),
-    ("winnowing_fingerprints", "MOSS winnowing: map-side window minima, df-capped postings join"),
+    ("winnowing_fingerprints", "MOSS winnowing: staged lead-window md5 grams, df-capped postings, vertex-restricted components"),
     ("join_lateral_topk", "decorrelated LATERAL LIMIT: WindowGroupLimit partial+final, broadcast join-back"),
     ("cuped_adjustment", "CUPED: integer-moment passes, broadcast one-row model, algebraic arm adjust"),
     ("logrank_test", "log-rank test: one subject shuffle, LOCF at-risk algebra on the (arm,t) census"),
@@ -158,6 +158,12 @@ HEADLINE = [
     ("bleu_pairs_report", "BLEU-2: prefix-blocked pairs, clipped-count joins bounded by dup mass"),
     ("multimodal_image_histogram", "Otsu: map-side decode+argmax, scalar-only shuffle"),
     ("streaming_state_inspect", "statestore reader: state-partition-parallel scan, no stream replay"),
+    ("multimodal_jpeg_decode", "baseline JPEG decode in Arrow batches: map-only, scalar shuffle"),
+    ("multimodal_jpeg_phash_dedup", "JPEG decode -> 63-bit phash -> 4x16-bit band-blocked hamming join"),
+    ("dedup_downweight", "soft dedup: dup-mass-bounded components + one size groupBy, long-only shuffles"),
+    ("dedup_keep_best", "component labels + per-component argmax keeper, vertex-restricted propagation"),
+    ("readability_report", "Flesch counts: single codegen projection, no shuffle"),
+    ("sql_collation_distinct", "collated COUNT DISTINCT: ordinary two-phase aggregate"),
 ]
 
 
