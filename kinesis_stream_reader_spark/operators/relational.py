@@ -5365,3 +5365,131 @@ def join_asof_next_order(events: DataFrame, orders: DataFrame) -> DataFrame:
     return merged.filter(F.col("is_order") == 0).select(
         "event_id", F.col("uid").alias("user_id"), "next_orderkey"
     )
+
+
+def bradley_terry_strengths(events: DataFrame, rounds: int = 12) -> DataFrame:
+    """Arena-style pairwise-strength fit (Bradley-Terry 1952, public
+    model; the LLM-eval 'chatbot arena' ranking shape): consecutive
+    events of one user form a MATCH between their event_types, won by
+    the higher `value` (ties and same-type pairs dropped); the BT
+    strength s_i then satisfies the minorization fixed point
+    s_i = W_i / sum_j m_ij / (s_i + s_j), iterated a FIXED `rounds`
+    times from s = 1 with mean-1 rescaling each round.
+
+    Exact-integer micro-units (the pagerank_converged trick): strengths
+    are bigint 1e6-units, each denominator term is one bigint floor
+    division (m_ij * 1e12 DIV (s_i + s_j)), sums are exact, and the
+    rescale is another floor division — every iteration is
+    bit-identical across engines, so the whole fit is oracle-checkable
+    with a DuckDB recursive CTE over score LISTS. Float summation order
+    never enters.
+
+    Plan shape: one user-clustered window pass builds matches; the
+    match census (|types|^2 <= 25 cells) absorbs the corpus — the
+    iteration is 12 rounds of joins on a <=5-row strength table with a
+    25-cell broadcast census, driver-coordinated like every iterative
+    op here. At 100 TB only the census pass touches data."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt_type = F.lead("event_type").over(w)
+    nxt_value = F.lead("value").over(w)
+    matches = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            "value",
+            nxt_type.alias("b_type"),
+            nxt_value.alias("b_value"),
+        )
+        .filter(
+            F.col("b_type").isNotNull()
+            & (F.col("b_type") != F.col("event_type"))
+            & (F.col("value") != F.col("b_value"))
+        )
+        .select(
+            F.when(F.col("value") > F.col("b_value"), F.col("event_type"))
+            .otherwise(F.col("b_type"))
+            .alias("winner"),
+            F.when(F.col("value") > F.col("b_value"), F.col("b_type"))
+            .otherwise(F.col("event_type"))
+            .alias("loser"),
+        )
+    )
+    wins_directed = (
+        matches.groupBy("winner", "loser").agg(F.count("*").alias("n")).localCheckpoint()
+    )
+    # undirected match counts m_ij and per-type win totals
+    m = (
+        wins_directed.select(F.col("winner").alias("i"), F.col("loser").alias("j"), "n")
+        .unionByName(
+            wins_directed.select(
+                F.col("loser").alias("i"), F.col("winner").alias("j"), "n"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("n").alias("m"))
+        .localCheckpoint()
+    )
+    wins = (
+        wins_directed.groupBy(F.col("winner").alias("i"))
+        .agg(F.sum("n").alias("w"))
+    )
+    types = m.select("i").distinct()
+    scores = types.join(wins, "i", "left").select(
+        "i", F.coalesce("w", F.lit(0)).cast("long").alias("w"),
+        F.lit(1_000_000).cast("long").alias("s_u"),
+    ).localCheckpoint()
+    # `div` (Spark integral division) everywhere: long/long via `/` is
+    # DOUBLE division, inexact past 2^53 — the oracle's `//` is exact
+    for _ in range(rounds):
+        sj = scores.select(F.col("i").alias("j"), F.col("s_u").alias("sj_u"))
+        denom = (
+            m.join(scores.select("i", "s_u"), "i")
+            .join(sj, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.expr("m * 1000000000000L div (s_u + sj_u)")
+                ).alias("denom_u")
+            )
+        )
+        stepped = (
+            scores.join(denom, "i", "left")
+            .select(
+                "i",
+                "w",
+                F.when(
+                    F.coalesce("denom_u", F.lit(0)) > 0,
+                    F.expr("w * 1000000000000L div denom_u"),
+                )
+                .otherwise(F.col("s_u"))
+                .cast("long")
+                .alias("s_u"),
+            )
+        )
+        scores = (
+            stepped.withColumn("cnt", F.count("*").over(Window.partitionBy()))
+            .withColumn("total", F.sum("s_u").over(Window.partitionBy()))
+            .select(
+                "i",
+                "w",
+                F.expr("(s_u * cnt * 1000000L) div total").cast("long").alias("s_u"),
+            )
+            .localCheckpoint()
+        )
+    n_matches = m.groupBy("i").agg(F.sum("m").alias("n_matches"))
+    out = (
+        scores.join(n_matches, "i")
+        .select(
+            F.col("i").alias("event_type"),
+            F.col("w").cast("long").alias("n_wins"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+            (F.col("s_u") / 1e6).alias("bt_score"),
+        )
+    )
+    rk = Window.orderBy(F.col("bt_score").desc(), F.col("event_type"))
+    return out.select(
+        "event_type", "n_wins", "n_matches", "bt_score",
+        F.row_number().over(rk).cast("long").alias("rank"),
+    ).orderBy("event_type")

@@ -1991,7 +1991,7 @@ _PRIORITY = [
     # previously-verified queries. Nothing is dropped.
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
-    "readability_report", "code_prose_report",
+    "readability_report", "code_prose_report", "bradley_terry_arena",
     "winnowing_fingerprints", "dedup_keep_best",
     "knn_graph_components", "dedup_minhash_canonical", "dedup_groups",
     "semdedup", "dedup_threshold_sweep", "curate_corpus",
@@ -18078,3 +18078,87 @@ def code_prose_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.code_prose_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "bradley_terry_arena",
+    # arena-style BT fit in exact bigint micro-units: the 12-round
+    # minorization is replayed by a recursive CTE over score LISTS,
+    # every term one exact integer floor division
+    """
+WITH RECURSIVE seq AS (
+  SELECT user_id, event_type, value,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS b_type,
+         LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS b_value
+  FROM events
+), matches AS (
+  SELECT CASE WHEN value > b_value THEN event_type ELSE b_type END AS winner,
+         CASE WHEN value > b_value THEN b_type ELSE event_type END AS loser
+  FROM seq
+  WHERE b_type IS NOT NULL AND b_type <> event_type AND value <> b_value
+), wd AS (
+  SELECT winner, loser, COUNT(*)::BIGINT AS n FROM matches GROUP BY 1, 2
+), und AS (
+  SELECT i, j, SUM(n)::BIGINT AS m FROM (
+    SELECT winner AS i, loser AS j, n FROM wd
+    UNION ALL
+    SELECT loser AS i, winner AS j, n FROM wd
+  ) GROUP BY 1, 2
+), types AS (
+  SELECT i AS t, ROW_NUMBER() OVER (ORDER BY i) AS idx
+  FROM (SELECT DISTINCT i FROM und)
+), nt AS (SELECT COUNT(*)::BIGINT AS n FROM types
+), wl AS (
+  SELECT list(COALESCE(ww.w, 0) ORDER BY types.idx) AS w
+  FROM types LEFT JOIN (
+    SELECT winner AS t, SUM(n)::BIGINT AS w FROM wd GROUP BY 1) ww USING (t)
+), mm AS (
+  SELECT list(row ORDER BY idx) AS m FROM (
+    SELECT ti.idx AS idx, list(COALESCE(u.m, 0) ORDER BY tj.idx) AS row
+    FROM types ti CROSS JOIN types tj
+    LEFT JOIN und u ON u.i = ti.t AND u.j = tj.t
+    GROUP BY ti.idx)
+), fit(it, s) AS (
+  SELECT 0, (SELECT list(CAST(1000000 AS BIGINT) ORDER BY idx) FROM types)
+  UNION ALL
+  SELECT it + 1,
+         list_transform(stepped, x -> (x * n * 1000000) // tot)
+  FROM (
+    SELECT it, n,
+           list_reduce(stepped, (a, b) -> a + b) AS tot, stepped
+    FROM (
+      SELECT f.it AS it, nt.n AS n,
+             list_transform(range(len(f.s)), k -> CASE
+               WHEN list_reduce(list_transform(range(len(f.s)), j2 -> CASE
+                      WHEN mm.m[k + 1][j2 + 1] = 0 THEN 0
+                      ELSE (mm.m[k + 1][j2 + 1] * 1000000000000)
+                           // (f.s[k + 1] + f.s[j2 + 1]) END),
+                    (a, b) -> a + b) > 0
+               THEN (wl.w[k + 1] * 1000000000000)
+                    // list_reduce(list_transform(range(len(f.s)), j2 -> CASE
+                         WHEN mm.m[k + 1][j2 + 1] = 0 THEN 0
+                         ELSE (mm.m[k + 1][j2 + 1] * 1000000000000)
+                              // (f.s[k + 1] + f.s[j2 + 1]) END),
+                       (a, b) -> a + b)
+               ELSE f.s[k + 1] END) AS stepped
+      FROM fit f, nt, wl, mm WHERE f.it < 12))
+), final_s AS (
+  SELECT s FROM fit WHERE it = 12
+), per_type AS (
+  SELECT t.t AS event_type, t.idx,
+         (SELECT COALESCE(SUM(n), 0) FROM wd WHERE winner = t.t)::BIGINT AS n_wins,
+         (SELECT COALESCE(SUM(m), 0) FROM und WHERE i = t.t)::BIGINT AS n_matches,
+         f.s[t.idx] / 1e6 AS bt_score
+  FROM types t, final_s f
+)
+SELECT event_type, n_wins, n_matches, bt_score,
+       ROW_NUMBER() OVER (ORDER BY bt_score DESC, event_type)::BIGINT AS rank
+FROM per_type ORDER BY event_type
+""",
+)
+def bradley_terry_arena_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.bradley_terry_strengths(load_events(spark, sf_dir))

@@ -73,3 +73,29 @@ def test_jpeg_phash_matches_ppm_phash_on_same_pixels(spark):
     )
     hashes = {r.doc_id: r.phash for r in mm.image_phash(media).collect()}
     assert hashes[1] == hashes[2]
+
+
+def test_bradley_terry_two_player_closed_form(spark):
+    """With two players and A beating B 3:1, BT converges to the
+    closed form s_A/s_B = 3 (mean-1 rescale => 1.5 / 0.5)."""
+    rows = []
+    eid = 0
+    for u in range(4):
+        # one match per user: consecutive events (A then B); A wins in
+        # users 0-2 (higher value), B wins in user 3
+        a_val, b_val = (2.0, 1.0) if u < 3 else (1.0, 2.0)
+        rows.append((eid, u, "2024-01-01 00:00:00", "A", a_val)); eid += 1
+        rows.append((eid, u, "2024-01-01 01:00:00", "B", b_val)); eid += 1
+    events = spark.createDataFrame(
+        [(e, u, __import__("datetime").datetime.fromisoformat(ts), t, v)
+         for e, u, ts, t, v in rows],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE",
+    )
+    from kinesis_stream_reader_spark.operators import relational
+
+    out = {r.event_type: r for r in relational.bradley_terry_strengths(events).collect()}
+    assert out["A"].n_wins == 3 and out["B"].n_wins == 1
+    assert out["A"].n_matches == 4 and out["B"].n_matches == 4
+    assert abs(out["A"].bt_score - 1.5) < 1e-3
+    assert abs(out["B"].bt_score - 0.5) < 1e-3
+    assert out["A"].rank == 1 and out["B"].rank == 2
