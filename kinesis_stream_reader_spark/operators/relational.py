@@ -5493,3 +5493,65 @@ def bradley_terry_strengths(events: DataFrame, rounds: int = 12) -> DataFrame:
         "event_type", "n_wins", "n_matches", "bt_score",
         F.row_number().over(rk).cast("long").alias("rank"),
     ).orderBy("event_type")
+
+
+def kcore_decomposition(events: DataFrame, k: int = 3, max_iter: int = 250) -> DataFrame:
+    """k-core decomposition (Seidman 1983, public method): iteratively
+    peel nodes of degree < k until the remaining subgraph — the k-core,
+    the standard dense-community backbone a graph-curation stage keeps
+    — is stable. Graph = the dense-id bipartite projection of events
+    (user_id % 100 <-> 100 + event_id % 100, distinct undirected
+    edges), matching the other graph-family fixtures.
+
+    Driver-loop template (components/pagerank): each round is one
+    degree aggregate + two semi joins that shrink the edge list; the
+    only driver-side value is the surviving-node COUNT (the convergence
+    scalar), and localCheckpoint truncates lineage. Rounds are bounded
+    by the peeling depth (worst case O(|V|), typically a handful);
+    everything shuffled is (u, v) longs, monotonically shrinking — at
+    100 TB the first degree census is the only corpus-sized pass.
+    Raises on an exhausted round budget rather than returning a
+    non-fixed-point, like dedup_components."""
+    e = events.select(
+        (F.col("user_id") % 100).alias("u"),
+        (100 + F.col("event_id") % 100).alias("v"),
+    ).distinct()
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    converged = False
+    for _ in range(max_iter):
+        keep = (
+            edges.groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("u")
+        )
+        n = keep.count()
+        if n == prev:
+            converged = True
+            break
+        prev = n
+        keep = keep.localCheckpoint()
+        edges = (
+            edges.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint()
+        )
+    if not converged:
+        raise RuntimeError(
+            f"kcore_decomposition: peeling not stable after {max_iter} "
+            f"rounds; raise max_iter"
+        )
+    return (
+        edges.groupBy("u")
+        .agg(F.count("*").alias("core_degree"))
+        .select(
+            F.col("u").cast("long").alias("node"),
+            F.col("core_degree").cast("long").alias("core_degree"),
+        )
+        .orderBy("node")
+    )

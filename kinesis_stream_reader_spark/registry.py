@@ -1992,6 +1992,7 @@ _PRIORITY = [
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
+    "kcore_decomposition", "pivot_event_matrix",
     "winnowing_fingerprints", "dedup_keep_best",
     "knn_graph_components", "dedup_minhash_canonical", "dedup_groups",
     "semdedup", "dedup_threshold_sweep", "curate_corpus",
@@ -18162,3 +18163,92 @@ def bradley_terry_arena_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.bradley_terry_strengths(load_events(spark, sf_dir))
+
+
+@register(
+    "pivot_event_matrix",
+    # .pivot() relational surface: per-user event-type count matrix +
+    # summed value; DuckDB mirrors with conditional aggregates
+    """
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END)::BIGINT AS n_click,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END)::BIGINT AS n_view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)::BIGINT AS n_purchase,
+       FLOOR(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0)
+             * 1e4 + 0.5) / 1e4 AS purchase_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def pivot_event_matrix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RelationalGroupedDataset.pivot with an EXPLICIT value list — the
+    wide event-type matrix every feature store materializes. Explicit
+    values matter at scale: without them Spark runs an extra distinct
+    pass AND the column set becomes data-dependent (schema drift);
+    pinned values keep it one partial-agg shuffle, same plan as any
+    groupBy. Purchase value is quantized half-up; count columns are
+    exact."""
+    events = load_events(spark, sf_dir)
+    piv = (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(
+            # count(*) is rejected inside Pivot — count(lit(1)) is the
+            # supported equivalent
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    return piv.select(
+        "user_id",
+        F.coalesce("click_n", F.lit(0)).cast("long").alias("n_click"),
+        F.coalesce("view_n", F.lit(0)).cast("long").alias("n_view"),
+        F.coalesce("purchase_n", F.lit(0)).cast("long").alias("n_purchase"),
+        (
+            F.floor(F.coalesce("purchase_v", F.lit(0.0)) * 1e4 + F.lit(0.5)) / 1e4
+        ).alias("purchase_value"),
+    ).orderBy("user_id")
+
+
+@register(
+    "kcore_decomposition",
+    # recursive peel over the packed node list with a dense adjacency
+    # list-of-lists; fixed point selected by the `done` sentinel row
+    """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT user_id % 100 AS u, 100 + event_id % 100 AS v FROM events
+), ed AS (
+  SELECT u, v FROM e UNION SELECT v AS u, u AS v FROM e
+), ids AS (
+  SELECT UNNEST(range(200)) AS id
+), adj AS (
+  SELECT list(nbrs ORDER BY id) AS a FROM (
+    SELECT ids.id AS id,
+           COALESCE(list(ed.v ORDER BY ed.v) FILTER (ed.v IS NOT NULL), [])
+             AS nbrs
+    FROM ids LEFT JOIN ed ON ed.u = ids.id
+    GROUP BY ids.id)
+), peel(it, nodes, done) AS (
+  SELECT 0, (SELECT list(id ORDER BY id) FROM ids), false
+  UNION ALL
+  SELECT q.it + 1, q.new, q.new = q.nodes
+  FROM (
+    SELECT p.it AS it, p.nodes AS nodes,
+           list_filter(p.nodes,
+             n -> len(list_intersect(adj.a[n + 1], p.nodes)) >= 3) AS new
+    FROM peel p, adj
+    WHERE NOT p.done AND p.it < 250) q
+), core AS (
+  SELECT nodes FROM peel WHERE done ORDER BY it LIMIT 1
+)
+SELECT un.n::BIGINT AS node,
+       len(list_intersect(a.a[un.n + 1], c.nodes))::BIGINT AS core_degree
+FROM core c, adj a, LATERAL (SELECT UNNEST(c.nodes) AS n) un
+ORDER BY node
+""",
+)
+def kcore_decomposition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import relational
+
+    return relational.kcore_decomposition(load_events(spark, sf_dir))

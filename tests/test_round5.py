@@ -99,3 +99,29 @@ def test_bradley_terry_two_player_closed_form(spark):
     assert abs(out["A"].bt_score - 1.5) < 1e-3
     assert abs(out["B"].bt_score - 0.5) < 1e-3
     assert out["A"].rank == 1 and out["B"].rank == 2
+
+
+def test_kcore_triangle_plus_tail(spark):
+    """A triangle (2-core for k=2) with a pendant tail: the tail peels,
+    the triangle survives with degree 2 everywhere."""
+    import datetime as dt
+
+    from kinesis_stream_reader_spark.operators import relational
+
+    # craft events whose (user_id%100, 100+event_id%100) projection is
+    # a triangle {0,1,2}x{100} union ... simpler: drive via direct ids
+    rows = [
+        # triangle 0-100, 0-101, 1-100, 1-101, 2-100, 2-101: bipartite
+        # K_{3,2}: every node has deg >= 2 -> whole graph is the 2-core
+        (0, 0), (1, 0), (0, 1), (1, 1), (0, 2), (1, 2),
+        # pendant: node 3 connected only to 102 (deg 1 both) -> peeled
+        (2, 3),
+    ]
+    events = spark.createDataFrame(
+        [(eid, dt.datetime(2024, 1, 1), uid, "click", 1.0, "{}")
+         for eid, uid in rows],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    out = {r.node: r.core_degree for r in
+           relational.kcore_decomposition(events, k=2).collect()}
+    assert out == {0: 2, 1: 2, 2: 2, 100: 3, 101: 3}
