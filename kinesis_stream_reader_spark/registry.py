@@ -1992,7 +1992,8 @@ _PRIORITY = [
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
-    "kcore_decomposition", "pivot_event_matrix",
+    "kcore_decomposition", "pivot_event_matrix", "transpose_lang_stats",
+    "approx_topk_events",
     "winnowing_fingerprints", "dedup_keep_best",
     "knn_graph_components", "dedup_minhash_canonical", "dedup_groups",
     "semdedup", "dedup_threshold_sweep", "curate_corpus",
@@ -18252,3 +18253,96 @@ def kcore_decomposition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import relational
 
     return relational.kcore_decomposition(load_events(spark, sf_dir))
+
+
+@register(
+    "transpose_lang_stats",
+    # DataFrame.transpose (Spark 4.0): the 3x5 per-language stats
+    # matrix flipped to metric rows; oracle = explicit UNION of the
+    # three conditional-aggregate rows
+    """
+WITH s AS (
+  SELECT lang, COUNT(*)::DOUBLE AS n_docs,
+         SUM(length(text))::DOUBLE AS total_chars,
+         SUM(len(regexp_extract_all(text, '\\S+')))::DOUBLE AS total_words
+  FROM documents GROUP BY lang
+)
+SELECT 'n_docs' AS key,
+       MAX(CASE WHEN lang = 'de' THEN n_docs END) AS de,
+       MAX(CASE WHEN lang = 'en' THEN n_docs END) AS en,
+       MAX(CASE WHEN lang = 'es' THEN n_docs END) AS es,
+       MAX(CASE WHEN lang = 'fr' THEN n_docs END) AS fr,
+       MAX(CASE WHEN lang = 'zh' THEN n_docs END) AS zh
+FROM s
+UNION ALL
+SELECT 'total_chars',
+       MAX(CASE WHEN lang = 'de' THEN total_chars END),
+       MAX(CASE WHEN lang = 'en' THEN total_chars END),
+       MAX(CASE WHEN lang = 'es' THEN total_chars END),
+       MAX(CASE WHEN lang = 'fr' THEN total_chars END),
+       MAX(CASE WHEN lang = 'zh' THEN total_chars END)
+FROM s
+UNION ALL
+SELECT 'total_words',
+       MAX(CASE WHEN lang = 'de' THEN total_words END),
+       MAX(CASE WHEN lang = 'en' THEN total_words END),
+       MAX(CASE WHEN lang = 'es' THEN total_words END),
+       MAX(CASE WHEN lang = 'fr' THEN total_words END),
+       MAX(CASE WHEN lang = 'zh' THEN total_words END)
+FROM s
+ORDER BY key
+""",
+)
+def transpose_lang_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.transpose (Spark 4.0, public API): the per-language
+    stats matrix flipped so metrics become rows and languages become
+    columns — the report-layout flip analysts otherwise hand-roll with
+    N unions. transpose() collects the (tiny, aggregated) frame's
+    index column to derive the schema, so it belongs strictly AFTER
+    the reduction: here the input is 5 rows x 4 columns — the
+    corpus-sized work happened in the groupBy before it."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum(F.length("text")).cast("double").alias("total_chars"),
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)))
+        .cast("double")
+        .alias("total_words"),
+    )
+    out = stats.transpose("lang")
+    return out.select(
+        "key", "de", "en", "es", "fr", "zh"
+    ).orderBy("key")
+
+
+@register(
+    "approx_topk_events",
+    # approx_top_k (Spark 4.1 sketch aggregate): exact below sketch
+    # capacity, so the DuckDB exact top-3 is the oracle; sorted
+    # (count desc, type) for a deterministic boundary
+    """
+SELECT event_type, COUNT(*)::BIGINT AS n
+FROM events GROUP BY event_type
+ORDER BY n DESC, event_type LIMIT 3
+""",
+)
+def approx_topk_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k (Spark 4.1 SQL aggregate — the Apache DataSketches
+    frequent-items path): heavy-hitter event types without a global
+    sort. Below sketch capacity (default 10k tracked items vs 5 types
+    here) the counts are EXACT, which is what makes the exact-SQL
+    oracle valid; at 100 TB the sketch is the point — one pass, fixed
+    memory, mergeable across partitions, versus the full groupBy the
+    oracle runs."""
+    events = load_events(spark, sf_dir)
+    sk = events.select(
+        F.expr("approx_top_k(event_type, 3)").alias("tk")
+    )
+    return (
+        sk.select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").cast("long").alias("n"),
+        )
+        .orderBy(F.col("n").desc(), "event_type")
+    )
