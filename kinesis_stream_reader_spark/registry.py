@@ -1993,7 +1993,7 @@ _PRIORITY = [
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
     "kcore_decomposition", "pivot_event_matrix", "transpose_lang_stats",
-    "approx_topk_events",
+    "approx_topk_events", "pass_at_k_report", "gini_source_concentration",
     "winnowing_fingerprints", "dedup_keep_best",
     "knn_graph_components", "dedup_minhash_canonical", "dedup_groups",
     "semdedup", "dedup_threshold_sweep", "curate_corpus",
@@ -18345,4 +18345,139 @@ def approx_topk_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("long").alias("n"),
         )
         .orderBy(F.col("n").desc(), "event_type")
+    )
+
+
+@register(
+    "pass_at_k_report",
+    # unbiased pass@k (Chen et al. 2021 estimator) per k: the per-user
+    # product runs i = 0..k-1 left-to-right in BOTH engines, per-user
+    # values quantize to bigint micro-units, sums stay exact
+    """
+WITH per_task AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n,
+         COUNT(CASE WHEN value > 1.5 THEN 1 END)::BIGINT AS c
+  FROM events GROUP BY user_id
+), ks AS (SELECT UNNEST([1, 5, 10]) AS k
+), per AS (
+  SELECT k, user_id,
+         CAST(FLOOR((CASE
+           WHEN c = 0 THEN 0.0
+           WHEN n - c < LEAST(k, n) THEN 1.0
+           ELSE 1.0 - list_reduce(
+                  list_transform(range(LEAST(k, n)),
+                    i -> (n - c - i)::DOUBLE / (n - i)::DOUBLE),
+                  (a, b) -> a * b)
+         END) * 1e6 + 0.5) AS BIGINT) AS p_u
+  FROM per_task, ks
+)
+SELECT k::BIGINT AS k, COUNT(*)::BIGINT AS n_tasks,
+       FLOOR(SUM(p_u) / COUNT(*) * 1e0 + 0.5) / 1e6 AS pass_at_k
+FROM per GROUP BY k ORDER BY k
+""",
+)
+def pass_at_k_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k (the HumanEval/codegen eval estimator, Chen et al. 2021,
+    public): per task (user) with n attempts and c successes
+    (value > 1.5), pass@k = 1 - C(n-c,k)/C(n,k), computed as the
+    telescoping product so no factorials overflow. Per-user values are
+    quantized to bigint micro-units BEFORE averaging — the sum is
+    exact, so float summation order never enters (the house census
+    trick). One user shuffle; k-fan-out is a 3x broadcast."""
+    events = load_events(spark, sf_dir)
+    per_task = events.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.count(F.when(F.col("value") > 1.5, 1)).alias("c"),
+    )
+    ks = spark.range(0, 1).select(
+        F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("k")
+    )
+    per = per_task.crossJoin(F.broadcast(ks)).select(
+        "k",
+        F.floor(
+            F.when(F.col("c") == 0, F.lit(0.0))
+            .when(F.col("n") - F.col("c") < F.least("k", "n"), F.lit(1.0))
+            .otherwise(
+                F.lit(1.0)
+                - F.aggregate(
+                    F.sequence(F.lit(0), F.least("k", "n") - 1),
+                    F.lit(1.0),
+                    lambda acc, i: acc
+                    * (F.col("n") - F.col("c") - i).cast("double")
+                    / (F.col("n") - i).cast("double"),
+                )
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("p_u"),
+    )
+    return (
+        per.groupBy("k")
+        .agg(
+            F.count("*").alias("n_tasks"),
+            (
+                F.floor(F.sum("p_u") / F.count("*") + F.lit(0.5)) / 1e6
+            ).alias("pass_at_k"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_tasks").cast("long").alias("n_tasks"),
+            "pass_at_k",
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "gini_source_concentration",
+    # Gini over per-source token mass: rank the 20-cell census, one
+    # closed formula on exact integer sums
+    """
+WITH m AS (
+  SELECT source, SUM(len(regexp_extract_all(text, '\\S+')))::BIGINT AS toks
+  FROM documents GROUP BY source
+), r AS (
+  SELECT toks, ROW_NUMBER() OVER (ORDER BY toks, source) AS rk FROM m
+)
+SELECT COUNT(*)::BIGINT AS n_sources, SUM(toks)::BIGINT AS total_tokens,
+       FLOOR((2.0 * SUM(rk * toks) / (COUNT(*) * SUM(toks))
+              - (COUNT(*) + 1.0) / COUNT(*)) * 1e6 + 0.5) / 1e6 AS gini
+FROM r
+""",
+)
+def gini_source_concentration_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of token mass across sources — the mixture-
+    concentration report a data-governance pass runs before weighting
+    (G = 2*sum(rank*x)/(n*sum(x)) - (n+1)/n on the ascending-sorted
+    census; public formula). The corpus reduces to a 20-cell census in
+    one partial-agg shuffle; the rank window runs on 20 rows. All sums
+    are exact integers; the formula is one deterministic float
+    expression."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy("source").agg(
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)))
+        .cast("long")
+        .alias("toks")
+    )
+    r = m.select(
+        "toks",
+        F.row_number().over(Window.orderBy("toks", "source")).alias("rk"),
+    )
+    return r.agg(
+        F.count("*").cast("long").alias("n_sources"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+        (
+            F.floor(
+                (
+                    F.lit(2.0) * F.sum(F.col("rk") * F.col("toks"))
+                    / (F.count("*") * F.sum("toks"))
+                    - (F.count("*") + F.lit(1.0)) / F.count("*")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("gini"),
     )
