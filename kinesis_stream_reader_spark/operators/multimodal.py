@@ -508,7 +508,16 @@ def synthetic_ppm_media(documents: DataFrame) -> DataFrame:
                 blobs.append(encode_ppm(pix.astype(np.uint8).reshape(h, w, 3)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
 
-    return documents.select("doc_id").mapInPandas(
+    # repartition the tiny doc_id seed: a column-pruned parquet scan
+    # often lands in ONE split, which would serialize the Arrow codec
+    # batches — and AQE would coalesce a column-repartition right back
+    # (it sizes by bytes, blind to Python-UDF cost), so the count is
+    # EXPLICIT, which AQE respects. Shuffling longs costs nothing next
+    # to the codec work.
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
         batches, "doc_id BIGINT, data BINARY"
     )
 
@@ -534,7 +543,16 @@ def synthetic_png_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
 
-    return documents.select("doc_id").mapInPandas(
+    # repartition the tiny doc_id seed: a column-pruned parquet scan
+    # often lands in ONE split, which would serialize the Arrow codec
+    # batches — and AQE would coalesce a column-repartition right back
+    # (it sizes by bytes, blind to Python-UDF cost), so the count is
+    # EXPLICIT, which AQE respects. Shuffling longs costs nothing next
+    # to the codec work.
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
         batches, "doc_id BIGINT, data BINARY"
     )
 
@@ -553,7 +571,16 @@ def synthetic_wav_media(documents: DataFrame, rate: int = 8000) -> DataFrame:
                 blobs.append(encode_wav(s.astype("<i2"), rate))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
 
-    return documents.select("doc_id").mapInPandas(
+    # repartition the tiny doc_id seed: a column-pruned parquet scan
+    # often lands in ONE split, which would serialize the Arrow codec
+    # batches — and AQE would coalesce a column-repartition right back
+    # (it sizes by bytes, blind to Python-UDF cost), so the count is
+    # EXPLICIT, which AQE respects. Shuffling longs costs nothing next
+    # to the codec work.
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
         batches, "doc_id BIGINT, data BINARY"
     )
 
@@ -708,7 +735,16 @@ def synthetic_y4m_media(documents: DataFrame) -> DataFrame:
                 blobs.append(encode_y4m(int(w), int(h), frames))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
 
-    return documents.select("doc_id").mapInPandas(
+    # repartition the tiny doc_id seed: a column-pruned parquet scan
+    # often lands in ONE split, which would serialize the Arrow codec
+    # batches — and AQE would coalesce a column-repartition right back
+    # (it sizes by bytes, blind to Python-UDF cost), so the count is
+    # EXPLICIT, which AQE respects. Shuffling longs costs nothing next
+    # to the codec work.
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
         batches, "doc_id BIGINT, data BINARY"
     )
 
@@ -946,7 +982,16 @@ def synthetic_bmp_media(documents: DataFrame) -> DataFrame:
                 blobs.append(encode_bmp(pix.astype(np.uint8).reshape(h, w, 3)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
 
-    return documents.select("doc_id").mapInPandas(
+    # repartition the tiny doc_id seed: a column-pruned parquet scan
+    # often lands in ONE split, which would serialize the Arrow codec
+    # batches — and AQE would coalesce a column-repartition right back
+    # (it sizes by bytes, blind to Python-UDF cost), so the count is
+    # EXPLICIT, which AQE respects. Shuffling longs costs nothing next
+    # to the codec work.
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
         batches, "doc_id BIGINT, data BINARY"
     )
 
@@ -1505,6 +1550,15 @@ def synthetic_jpeg_media(documents: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
 
-    return documents.select("doc_id").mapInPandas(
+    # repartition the tiny doc_id seed: a column-pruned parquet scan
+    # often lands in ONE split, which would serialize the Arrow codec
+    # batches — and AQE would coalesce a column-repartition right back
+    # (it sizes by bytes, blind to Python-UDF cost), so the count is
+    # EXPLICIT, which AQE respects. Shuffling longs costs nothing next
+    # to the codec work.
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
         batches, "doc_id BIGINT, data BINARY"
     )
