@@ -2626,3 +2626,62 @@ def code_prose_report(documents: DataFrame) -> DataFrame:
         ratio.alias("symbol_ratio"),
         ((ratio >= 0.04) | (n_kw >= 3)).alias("is_code"),
     ).orderBy("doc_id")
+
+
+def dpo_pair_builder(documents: DataFrame, pairs_per_group: int = 2) -> DataFrame:
+    """Preference-pair construction (the DPO/RLHF data-prep stage,
+    public method): within each (lang, source) prompt group, pair the
+    top-`pairs_per_group` quality-ranked documents (chosen) with the
+    bottom-ranked ones (rejected), i-th with i-th, keeping pairs with
+    positive quality margin — the deterministic skeleton of
+    best-vs-worst preference mining over a scored corpus.
+
+    Ranking uses the QUANTIZED logit from quality_model_score (1e-4
+    units, engine-stable weights) with doc_id tie-breaks, so both
+    engines pick identical pairs. Plan shape: one codegen scoring
+    pass, one group-keyed shuffle, two WindowGroupLimit-prunable
+    rank windows, and a rank-equality join of two k-per-group
+    relations (k*|groups| rows each) — never a pair explosion."""
+    scored = quality_model_score(documents).select("doc_id", "logit")
+    base = documents.select("doc_id", "lang", "source").join(scored, "doc_id")
+    w_top = Window.partitionBy("lang", "source").orderBy(
+        F.desc("logit"), F.asc("doc_id")
+    )
+    w_bot = Window.partitionBy("lang", "source").orderBy(
+        F.asc("logit"), F.asc("doc_id")
+    )
+    chosen = (
+        base.withColumn("pair_rank", F.row_number().over(w_top))
+        .filter(F.col("pair_rank") <= pairs_per_group)
+        .select(
+            "lang", "source", "pair_rank",
+            F.col("doc_id").alias("chosen_id"),
+            F.col("logit").alias("logit_c"),
+        )
+    )
+    rejected = (
+        base.withColumn("pair_rank", F.row_number().over(w_bot))
+        .filter(F.col("pair_rank") <= pairs_per_group)
+        .select(
+            "lang", "source", "pair_rank",
+            F.col("doc_id").alias("rejected_id"),
+            F.col("logit").alias("logit_r"),
+        )
+    )
+    return (
+        chosen.join(rejected, ["lang", "source", "pair_rank"])
+        .filter(F.col("chosen_id") != F.col("rejected_id"))
+        .select(
+            "lang", "source",
+            F.col("pair_rank").cast("long").alias("pair_rank"),
+            "chosen_id", "rejected_id",
+            (
+                F.floor(
+                    (F.col("logit_c") - F.col("logit_r")) * 1e4 + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("margin"),
+        )
+        .filter(F.col("margin") > 0)
+        .orderBy("lang", "source", "pair_rank")
+    )

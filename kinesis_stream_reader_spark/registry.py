@@ -1994,6 +1994,7 @@ _PRIORITY = [
     "readability_report", "code_prose_report", "bradley_terry_arena",
     "kcore_decomposition", "pivot_event_matrix", "transpose_lang_stats",
     "approx_topk_events", "pass_at_k_report", "gini_source_concentration",
+    "dpo_pair_builder",
     "winnowing_fingerprints", "dedup_keep_best",
     "knn_graph_components", "dedup_minhash_canonical", "dedup_groups",
     "semdedup", "dedup_threshold_sweep", "curate_corpus",
@@ -18481,3 +18482,57 @@ def gini_source_concentration_query(spark: SparkSession, sf_dir: str) -> DataFra
             / 1e6
         ).alias("gini"),
     )
+
+
+@register(
+    "dpo_pair_builder",
+    # best-vs-worst preference mining on the shared quantized-logit
+    # quality model; rank windows + rank-equality join, margin > 0
+    f"""
+WITH f AS (
+  SELECT doc_id, lang, source,
+         len({_TOKS})::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           AS n_stop,
+         (length(text) - length(replace(text, '.', '')))::DOUBLE AS n_dots
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), z AS (
+  SELECT doc_id, lang, source,
+         FLOOR(((SELECT w FROM wts WHERE i = 0) * (n_tokens / 100.0)
+          + (SELECT w FROM wts WHERE i = 1) * (n_stop / (n_tokens + 1.0))
+          + (SELECT w FROM wts WHERE i = 2) * (n_chars / (n_tokens + 1.0))
+          + (SELECT w FROM wts WHERE i = 3) * (n_dots / (n_chars + 1.0))
+          + (SELECT w FROM wts WHERE i = 4)) * 1e4 + 0.5) / 1e4 AS logit
+  FROM f
+), chosen AS (
+  SELECT lang, source, doc_id AS chosen_id, logit AS logit_c,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY logit DESC, doc_id) AS pair_rank
+  FROM z
+), rejected AS (
+  SELECT lang, source, doc_id AS rejected_id, logit AS logit_r,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY logit ASC, doc_id) AS pair_rank
+  FROM z
+)
+SELECT c.lang, c.source, c.pair_rank::BIGINT AS pair_rank,
+       c.chosen_id, r.rejected_id,
+       FLOOR((c.logit_c - r.logit_r) * 1e4 + 0.5) / 1e4 AS margin
+FROM chosen c
+JOIN rejected r USING (lang, source, pair_rank)
+WHERE c.pair_rank <= 2 AND r.pair_rank <= 2
+  AND c.chosen_id <> r.rejected_id
+  AND FLOOR((c.logit_c - r.logit_r) * 1e4 + 0.5) / 1e4 > 0
+ORDER BY lang, source, pair_rank
+""",
+)
+def dpo_pair_builder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.dpo_pair_builder(load_table(spark, sf_dir, "documents"))
