@@ -43,6 +43,34 @@ def main() -> None:
     from kinesis_stream_reader_spark.sources.tables import load_events
 
     to_nested(load_events(spark, sf_dir)).count()
+    # warm the Structured Streaming machinery (micro-batch planner, state
+    # store provider, memory-sink registration): measured ~5-7 s of
+    # one-time cost that otherwise lands on whichever streaming query
+    # happens to run first — the source of round-over-round "regressions"
+    # on queries whose code never changed (bench order shifts as the
+    # registry grows, so a different query absorbs the cold start).
+    import tempfile
+
+    warm_dir = tempfile.mkdtemp(prefix="ksr_bench_warm_src_")
+    warm_ckpt = tempfile.mkdtemp(prefix="ksr_bench_warm_ckpt_")
+    spark.range(1_000).write.mode("overwrite").parquet(warm_dir)
+    (
+        spark.readStream.schema("id long")
+        .parquet(warm_dir)
+        .groupBy()
+        .count()
+        .writeStream.format("memory")
+        .queryName("ksr_bench_warmup_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", warm_ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    spark.catalog.dropTempView("ksr_bench_warmup_sink")
+
+    shuffle_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    preexisting_views = {r.name for r in spark.catalog.listTables()}
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -50,6 +78,19 @@ def main() -> None:
         # count() executes the full plan without driver-side materialization
         fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        # Per-query hygiene so one query's residue never inflates a later
+        # one: stray streams stopped, memory-sink temp views (whose rows
+        # pin block-manager memory for the whole run otherwise) dropped,
+        # cached plans cleared, and the shuffle-partition conf restored in
+        # case a query's save/restore was interrupted mid-flight. This is
+        # state cleanup only — JVM/codegen/Arrow warmth is preserved.
+        for s in spark.streams.active:
+            s.stop()
+        for r in spark.catalog.listTables():
+            if r.isTemporary and r.name not in preexisting_views:
+                spark.catalog.dropTempView(r.name)
+        spark.catalog.clearCache()
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
 
     total = round(sum(timings.values()), 3)
     payload = {

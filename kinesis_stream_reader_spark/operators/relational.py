@@ -5385,10 +5385,13 @@ def bradley_terry_strengths(events: DataFrame, rounds: int = 12) -> DataFrame:
     never enters.
 
     Plan shape: one user-clustered window pass builds matches; the
-    match census (|types|^2 <= 25 cells) absorbs the corpus — the
-    iteration is 12 rounds of joins on a <=5-row strength table with a
-    25-cell broadcast census, driver-coordinated like every iterative
-    op here. At 100 TB only the census pass touches data."""
+    match census (|entities|^2 cells — kilobytes for an arena roster)
+    absorbs the corpus, and the fixed-rounds minorization then runs as
+    driver algebra over the collected census in exact Python ints (the
+    same floor-division arithmetic, bit-identical to the recursive-CTE
+    oracle) — paying ONE Spark action instead of ~2 scheduled jobs per
+    round on a <=5-row table. At 100 TB only the census pass touches
+    data."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     nxt_type = F.lead("event_type").over(w)
     nxt_value = F.lead("value").over(w)
@@ -5416,82 +5419,48 @@ def bradley_terry_strengths(events: DataFrame, rounds: int = 12) -> DataFrame:
             .alias("loser"),
         )
     )
-    wins_directed = (
-        matches.groupBy("winner", "loser").agg(F.count("*").alias("n")).localCheckpoint()
-    )
-    # undirected match counts m_ij and per-type win totals
-    m = (
-        wins_directed.select(F.col("winner").alias("i"), F.col("loser").alias("j"), "n")
-        .unionByName(
-            wins_directed.select(
-                F.col("loser").alias("i"), F.col("winner").alias("j"), "n"
-            )
-        )
-        .groupBy("i", "j")
-        .agg(F.sum("n").alias("m"))
-        .localCheckpoint()
-    )
-    wins = (
-        wins_directed.groupBy(F.col("winner").alias("i"))
-        .agg(F.sum("n").alias("w"))
-    )
-    types = m.select("i").distinct()
-    scores = types.join(wins, "i", "left").select(
-        "i", F.coalesce("w", F.lit(0)).cast("long").alias("w"),
-        F.lit(1_000_000).cast("long").alias("s_u"),
-    ).localCheckpoint()
-    # `div` (Spark integral division) everywhere: long/long via `/` is
-    # DOUBLE division, inexact past 2^53 — the oracle's `//` is exact
+    # ONE action: the directed-win census (bounded by |entities|^2 —
+    # an arena roster is hundreds of models, so the census is kilobytes).
+    # The fixed-point iteration then runs as DRIVER ALGEBRA over the
+    # census in exact Python ints — the same arithmetic the old 12-round
+    # DataFrame loop ran (floor division on non-negative bigints, where
+    # Spark's `div` and Python's `//` agree), without paying ~2 Spark
+    # jobs of scheduling per round for a <=5-row table. Only the census
+    # pass touches corpus-scale data.
+    directed = matches.groupBy("winner", "loser").agg(F.count("*").alias("n")).collect()
+    m: dict[tuple[str, str], int] = {}
+    w_tot: dict[str, int] = {}
+    for r in directed:
+        m[(r.winner, r.loser)] = m.get((r.winner, r.loser), 0) + r.n
+        m[(r.loser, r.winner)] = m.get((r.loser, r.winner), 0) + r.n
+        w_tot[r.winner] = w_tot.get(r.winner, 0) + r.n
+    types = sorted({i for i, _ in m})
+    s_u = {i: 1_000_000 for i in types}
     for _ in range(rounds):
-        sj = scores.select(F.col("i").alias("j"), F.col("s_u").alias("sj_u"))
-        denom = (
-            m.join(scores.select("i", "s_u"), "i")
-            .join(sj, "j")
-            .groupBy("i")
-            .agg(
-                F.sum(
-                    F.expr("m * 1000000000000L div (s_u + sj_u)")
-                ).alias("denom_u")
-            )
-        )
-        stepped = (
-            scores.join(denom, "i", "left")
-            .select(
-                "i",
-                "w",
-                F.when(
-                    F.coalesce("denom_u", F.lit(0)) > 0,
-                    F.expr("w * 1000000000000L div denom_u"),
-                )
-                .otherwise(F.col("s_u"))
-                .cast("long")
-                .alias("s_u"),
-            )
-        )
-        scores = (
-            stepped.withColumn("cnt", F.count("*").over(Window.partitionBy()))
-            .withColumn("total", F.sum("s_u").over(Window.partitionBy()))
-            .select(
-                "i",
-                "w",
-                F.expr("(s_u * cnt * 1000000L) div total").cast("long").alias("s_u"),
-            )
-            .localCheckpoint()
-        )
-    n_matches = m.groupBy("i").agg(F.sum("m").alias("n_matches"))
-    out = (
-        scores.join(n_matches, "i")
-        .select(
-            F.col("i").alias("event_type"),
-            F.col("w").cast("long").alias("n_wins"),
-            F.col("n_matches").cast("long").alias("n_matches"),
-            (F.col("s_u") / 1e6).alias("bt_score"),
-        )
-    )
-    rk = Window.orderBy(F.col("bt_score").desc(), F.col("event_type"))
-    return out.select(
-        "event_type", "n_wins", "n_matches", "bt_score",
-        F.row_number().over(rk).cast("long").alias("rank"),
+        denom = {i: 0 for i in types}
+        for (i, j), mij in m.items():
+            denom[i] += mij * 1_000_000_000_000 // (s_u[i] + s_u[j])
+        stepped = {
+            i: (w_tot.get(i, 0) * 1_000_000_000_000 // denom[i])
+            if denom[i] > 0
+            else s_u[i]
+            for i in types
+        }
+        total = sum(stepped.values())
+        cnt = len(types)
+        s_u = {i: stepped[i] * cnt * 1_000_000 // total for i in types}
+    n_matches = {i: 0 for i in types}
+    for (i, _), mij in m.items():
+        n_matches[i] += mij
+    rows = [
+        (i, w_tot.get(i, 0), n_matches[i], s_u[i] / 1e6) for i in types
+    ]
+    ranked = sorted(rows, key=lambda r: (-r[3], r[0]))
+    rank_of = {r[0]: k + 1 for k, r in enumerate(ranked)}
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        [(i, w, nm, s, rank_of[i]) for i, w, nm, s in rows],
+        "event_type STRING, n_wins LONG, n_matches LONG, bt_score DOUBLE, rank LONG",
     ).orderBy("event_type")
 
 

@@ -1989,6 +1989,8 @@ _PRIORITY = [
     # new baseline-JPEG codec) so the driver re-confirms them, then the
     # never-driver-checked rotation (232 remaining after r1-r4), then
     # previously-verified queries. Nothing is dropped.
+    "cem_att_estimate", "sprt_sequential_test", "embedding_random_projection",
+    "feature_hashing_vectors", "er_sorted_neighborhood",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -18536,3 +18538,517 @@ def dpo_pair_builder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.dpo_pair_builder(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: causal matching, sequential testing, embedding
+# compression, feature hashing, ER blocking.
+# ---------------------------------------------------------------------------
+@register(
+    "cem_att_estimate",
+    # coarsened-exact-matching ATT: 10-cell activity coarsening, cells
+    # with both arms matched, ATT = treated-weighted cell difference
+    """
+WITH pu AS (
+  SELECT user_id, user_id % 2 AS arm, COUNT(*) AS n_ev,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), cells AS (
+  SELECT LEAST(n_ev // 5, 9) AS b,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS k0,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS k1
+  FROM pu GROUP BY 1
+), matched AS (
+  SELECT *, FLOOR((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0) * 1e6
+                  + 0.5) AS dq
+  FROM cells WHERE n0 > 0 AND n1 > 0
+)
+SELECT COUNT(*)::BIGINT AS n_cells_matched,
+       SUM(n1)::BIGINT AS n_treated_matched,
+       FLOOR(SUM(dq * n1) / SUM(n1) / 1e6 * 1e6 + 0.5) / 1e6 AS att_cem
+FROM matched
+""",
+)
+def cem_att_estimate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened Exact Matching ATT (Iacus, King & Porro 2012 — public
+    method): coarsen the confounder (activity count) into 10 bins,
+    keep only bins where BOTH arms appear (common support), and
+    estimate the treatment effect on the treated as the
+    treated-weighted mean of per-bin arm differences. The matching
+    complement of ipw_treatment_effect: CEM prunes off-support units
+    instead of reweighting them.
+
+    Determinism: the (bin, arm) census is exact ints; each bin's
+    difference quantizes to a 1e-6 int BEFORE the treated-weighted
+    mean; the headline ATT is one fixed IEEE expression.
+
+    Plan shape / 100 TB: one user shuffle -> 10-cell census ->
+    census algebra. Linear; no window, no join."""
+    events = load_events(spark, sf_dir)
+    pu = events.groupBy(
+        "user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("arm")
+    ).agg(
+        F.count("*").alias("n_ev"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+    )
+    cells = pu.groupBy(
+        F.least(F.floor(F.col("n_ev") / 5), F.lit(9)).alias("b")
+    ).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("k0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("k1"),
+    )
+    matched = cells.filter((F.col("n0") > 0) & (F.col("n1") > 0)).withColumn(
+        "dq",
+        F.floor(
+            (
+                F.col("k1").cast("double") / F.col("n1")
+                - F.col("k0").cast("double") / F.col("n0")
+            )
+            * 1e6
+            + F.lit(0.5)
+        ),
+    )
+    return matched.agg(
+        F.count("*").cast("long").alias("n_cells_matched"),
+        F.sum("n1").cast("long").alias("n_treated_matched"),
+        (
+            F.floor(F.sum(F.col("dq") * F.col("n1")) / F.sum("n1") / 1e6 * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("att_cem"),
+    )
+
+
+# SPRT increments for H0: p=0.15 vs H1: p=0.20 on the per-event purchase
+# indicator, quantized to exact 1e-9 integers so the running sum is
+# integer arithmetic in both engines:
+#   a = floor(ln(0.20/0.15)*1e9 + 0.5), b = floor(ln(0.80/0.85)*1e9 + 0.5)
+#   A = floor(ln((1-beta)/alpha)*1e9 + 0.5) with alpha = beta = 0.05
+_SPRT_A_INC = 287682072
+_SPRT_B_INC = -60624622
+_SPRT_BOUND = 2944438979
+
+
+@register(
+    "sprt_sequential_test",
+    # day census -> cumulative day offsets (tiny window) -> within-day
+    # running LLR -> first boundary crossing by (ts, event_id)
+    f"""
+WITH ev AS (
+  SELECT ts, event_id, DATE_TRUNC('day', ts) AS d,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+  FROM events
+), days AS (
+  SELECT d, COUNT(*) AS n, SUM(x) AS k FROM ev GROUP BY 1
+), offs AS (
+  SELECT d,
+         COALESCE(SUM(n) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_prev,
+         COALESCE(SUM(k) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k_prev
+  FROM days
+), run AS (
+  SELECT ev.ts, ev.event_id,
+         o.n_prev + SUM(1) OVER w AS n_cum,
+         o.k_prev + SUM(ev.x) OVER w AS k_cum
+  FROM ev JOIN offs o USING (d)
+  WINDOW w AS (PARTITION BY ev.d ORDER BY ev.ts, ev.event_id
+               ROWS UNBOUNDED PRECEDING)
+), llr AS (
+  SELECT ts, event_id, n_cum,
+         {_SPRT_A_INC} * k_cum + {_SPRT_B_INC} * (n_cum - k_cum) AS q
+  FROM run
+), crossing AS (
+  SELECT CASE WHEN q >= {_SPRT_BOUND} THEN 'accept_h1'
+              ELSE 'accept_h0' END AS decision,
+         n_cum AS n_trials, q, 0 AS pri, ts, event_id
+  FROM llr WHERE q >= {_SPRT_BOUND} OR q <= -{_SPRT_BOUND}
+), final AS (
+  SELECT 'continue' AS decision, n_cum AS n_trials, q, 1 AS pri, ts, event_id
+  FROM llr ORDER BY n_cum DESC LIMIT 1
+), u AS (
+  SELECT * FROM crossing UNION ALL SELECT * FROM final
+)
+SELECT decision, n_trials::BIGINT AS n_trials,
+       FLOOR(q / 1e9 * 1e6 + 0.5) / 1e6 AS llr
+FROM u ORDER BY pri, ts, event_id LIMIT 1
+""",
+)
+def sprt_sequential_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential probability ratio test (Wald 1945 — public method) on
+    the per-event purchase indicator: H0 p=0.15 vs H1 p=0.20 at
+    alpha = beta = 0.05; the test walks the event stream in (ts,
+    event_id) order accumulating the log-likelihood ratio and stops at
+    the FIRST event whose running LLR leaves (-ln 19, +ln 19) — the
+    always-valid early-stopping complement of the fixed-horizon
+    ab_test_report / srm_check family.
+
+    Determinism: both per-trial increments are pre-quantized 1e-9
+    integer constants, so the running LLR is exact integer arithmetic;
+    the crossing event is selected by (ts, event_id) — a total order.
+
+    Plan shape / 100 TB: the GLOBAL running sum is decomposed as day
+    census (one partial-agg shuffle) -> cumulative day offsets (a
+    window over tens of rows) -> within-day running sums (window
+    PARTITIONED BY day — parallel, never a single global sort
+    partition) -> TakeOrdered(1) for the first crossing. Linear."""
+    events = load_events(spark, sf_dir)
+    ev = events.select(
+        "ts",
+        "event_id",
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("x"),
+    )
+    days = ev.groupBy("d").agg(F.count("*").alias("n"), F.sum("x").alias("k"))
+    woff = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, -1)
+    offs = days.select(
+        "d",
+        F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("n_prev"),
+        F.coalesce(F.sum("k").over(woff), F.lit(0)).alias("k_prev"),
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = ev.join(F.broadcast(offs), "d").select(
+        "ts",
+        "event_id",
+        (F.col("n_prev") + F.count("*").over(w)).alias("n_cum"),
+        (F.col("k_prev") + F.sum("x").over(w)).alias("k_cum"),
+    )
+    llr = run.select(
+        "ts",
+        "event_id",
+        "n_cum",
+        (
+            F.lit(_SPRT_A_INC) * F.col("k_cum")
+            + F.lit(_SPRT_B_INC) * (F.col("n_cum") - F.col("k_cum"))
+        ).alias("q"),
+    )
+    crossing = llr.filter(
+        (F.col("q") >= _SPRT_BOUND) | (F.col("q") <= -_SPRT_BOUND)
+    ).select(
+        F.when(F.col("q") >= _SPRT_BOUND, "accept_h1")
+        .otherwise("accept_h0")
+        .alias("decision"),
+        F.col("n_cum").alias("n_trials"),
+        "q",
+        F.lit(0).alias("pri"),
+        "ts",
+        "event_id",
+    )
+    final = (
+        llr.orderBy(F.col("n_cum").desc())
+        .limit(1)
+        .select(
+            F.lit("continue").alias("decision"),
+            F.col("n_cum").alias("n_trials"),
+            "q",
+            F.lit(1).alias("pri"),
+            "ts",
+            "event_id",
+        )
+    )
+    return (
+        crossing.unionByName(final)
+        .orderBy("pri", "ts", "event_id")
+        .limit(1)
+        .select(
+            "decision",
+            F.col("n_trials").cast("long").alias("n_trials"),
+            (F.floor(F.col("q") / 1e9 * 1e6 + F.lit(0.5)) / 1e6).alias("llr"),
+        )
+    )
+
+
+@register(
+    "embedding_random_projection",
+    # +/-1 sign matrix from the house md5 convention; per-element 1e-6
+    # quantization BEFORE the integer dot products, so both engines sum
+    # exact ints; norms/distortion are single IEEE expressions at the end
+    """
+WITH proj AS (
+  SELECT vec_id, k.k AS k,
+         list_aggregate(list_transform(embedding, (x, i) ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           * (2 * (CAST(concat('0x', substr(md5((i - 1) || ':' || k.k), 1, 15))
+                   AS UBIGINT)::BIGINT % 2) - 1)), 'sum') AS pq
+  FROM embeddings CROSS JOIN (SELECT UNNEST(range(16)) AS k) k
+), pv AS (
+  SELECT vec_id, SUM(pq * pq) AS proj_sq FROM proj GROUP BY 1
+), ov AS (
+  SELECT vec_id, list_aggregate(list_transform(embedding, x ->
+           CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+           * CAST(FLOOR(CAST(x AS DOUBLE) * 1e6 + 0.5) AS BIGINT)), 'sum')
+         AS orig_sq
+  FROM embeddings
+)
+SELECT vec_id,
+       FLOOR(sqrt(CAST(orig_sq AS DOUBLE)) + 0.5) / 1e6 AS orig_norm,
+       FLOOR(sqrt(CAST(proj_sq AS DOUBLE) / 16.0) + 0.5) / 1e6 AS proj_norm,
+       FLOOR(sqrt(CAST(proj_sq AS DOUBLE) / 16.0)
+             / sqrt(CAST(orig_sq AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS distortion
+FROM pv JOIN ov USING (vec_id)
+ORDER BY vec_id
+""",
+)
+def embedding_random_projection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003
+    database-friendly +/-1 variant — public method): compress each
+    embedding from d dims to m=16 with a deterministic sign matrix
+    s(j,k) derived from the house md5 convention, and report per-vector
+    norm distortion |Pv|/|v| — the acceptance gate a pipeline runs
+    before switching its ANN index to the compressed vectors.
+
+    Determinism: elements quantize to 1e-6 ints BEFORE the dot
+    products, so projections are exact integer sums in both engines;
+    the sign matrix is pure md5 bits; norms are single IEEE sqrt
+    expressions over exact ints.
+
+    Plan shape / 100 TB: the sign matrix is 256 x 16 rows built from
+    spark.range — broadcast; posexplode fans each vector to d rows
+    map-side, the broadcast join fans x16, and partial aggregation
+    collapses to (vec, k) BEFORE the one shuffle. Linear in corpus,
+    never a vector-vector pair."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "x")
+    ).select(
+        "vec_id",
+        "j",
+        F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)).cast("long").alias("vq"),
+    )
+    # 256 covers any dim up to 256 (join keeps only j values present)
+    signs = (
+        spark.range(256)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(16).select(F.col("id").alias("k")))
+        .select(
+            "j",
+            "k",
+            (
+                F.lit(2)
+                * F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.col("j"), F.col("k"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(2),
+                )
+                - F.lit(1)
+            ).alias("sgn"),
+        )
+    )
+    proj = (
+        elems.join(F.broadcast(signs), "j")
+        .groupBy("vec_id", "k")
+        .agg(F.sum(F.col("vq") * F.col("sgn")).alias("pq"))
+    )
+    pv = proj.groupBy("vec_id").agg(F.sum(F.col("pq") * F.col("pq")).alias("proj_sq"))
+    ov = elems.groupBy("vec_id").agg(F.sum(F.col("vq") * F.col("vq")).alias("orig_sq"))
+    return (
+        pv.join(ov, "vec_id")
+        .select(
+            "vec_id",
+            (F.floor(F.sqrt(F.col("orig_sq").cast("double")) + F.lit(0.5)) / 1e6).alias(
+                "orig_norm"
+            ),
+            (
+                F.floor(F.sqrt(F.col("proj_sq").cast("double") / F.lit(16.0)) + F.lit(0.5))
+                / 1e6
+            ).alias("proj_norm"),
+            (
+                F.floor(
+                    F.sqrt(F.col("proj_sq").cast("double") / F.lit(16.0))
+                    / F.sqrt(F.col("orig_sq").cast("double"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("distortion"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@register(
+    "feature_hashing_vectors",
+    # hashing-trick bag-of-words: bucket = md5 % 64, sign = next md5 bit;
+    # per-bucket integer sums, then per-doc nnz / l2sq / deterministic argmax
+    """
+WITH tok AS (
+  SELECT doc_id, UNNEST(regexp_extract_all(text, '\\S+')) AS t FROM documents
+), hashed AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT)::BIGINT AS h
+  FROM tok
+), bucketed AS (
+  SELECT doc_id, h % 64 AS b, SUM(2 * ((h // 64) % 2) - 1) AS val
+  FROM hashed GROUP BY 1, 2
+), nz AS (
+  SELECT * FROM bucketed WHERE val <> 0
+), ranked AS (
+  SELECT doc_id, b,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY ABS(val) DESC, b) AS rn
+  FROM nz
+), agg AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS nnz, SUM(val * val)::BIGINT AS l2sq
+  FROM nz GROUP BY 1
+)
+SELECT a.doc_id, a.nnz, a.l2sq, r.b::BIGINT AS top_bucket
+FROM agg a JOIN ranked r ON a.doc_id = r.doc_id AND r.rn = 1
+ORDER BY a.doc_id
+""",
+)
+def feature_hashing_vectors_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing / the hashing trick (Weinberger et al. 2009 —
+    public method): project each document's bag-of-words into a fixed
+    64-bucket signed vector (bucket = token-hash mod 64, sign = the
+    next hash bit, so collisions cancel in expectation) — the
+    vocabulary-free featurization step of a large-scale text
+    classifier. Reports per-doc sparsity (nnz), energy (l2sq) and the
+    dominant bucket (deterministic argmax: largest |value|, lowest
+    bucket on ties).
+
+    Plan shape / 100 TB: tokens hash map-side (JVM md5, codegen);
+    partial aggregation collapses to (doc, bucket<=64) before the one
+    shuffle; the argmax is a 64-row-per-doc window. Linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0)).alias("t"),
+    )
+    hashed = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    # sign bit = bit 6 of the hash: shiftright keeps the arithmetic exact
+    # on 60-bit values (a double division would round above 2^53)
+    bucketed = hashed.groupBy(
+        "doc_id", F.pmod(F.col("h"), F.lit(64)).alias("b")
+    ).agg(
+        F.sum(
+            F.lit(2) * F.pmod(F.shiftright(F.col("h"), 6), F.lit(2)) - F.lit(1)
+        ).alias("val")
+    )
+    nz = bucketed.filter(F.col("val") != 0)
+    ranked = nz.select(
+        "doc_id",
+        "b",
+        F.row_number()
+        .over(Window.partitionBy("doc_id").orderBy(F.abs(F.col("val")).desc(), "b"))
+        .alias("rn"),
+    )
+    agg = nz.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("nnz"),
+        F.sum(F.col("val") * F.col("val")).cast("long").alias("l2sq"),
+    )
+    return (
+        agg.join(ranked.filter(F.col("rn") == 1), "doc_id")
+        .select("doc_id", "nnz", "l2sq", F.col("b").cast("long").alias("top_bucket"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "er_sorted_neighborhood",
+    # sorted-neighborhood blocking: first-token blocks, name-sorted
+    # windows of 2 trailing neighbors, token-Jaccard on candidate pairs
+    """
+WITH p AS (
+  SELECT p_partkey, p_name,
+         split_part(p_name, ' ', 1) AS blk,
+         list_distinct(string_split(p_name, ' ')) AS toks
+  FROM part
+), nbr AS (
+  SELECT p_partkey AS a_key, p_name AS a_name, toks AS a_toks,
+         LEAD(p_partkey, 1) OVER w AS b1_key,
+         LEAD(toks, 1) OVER w AS b1_toks,
+         LEAD(p_partkey, 2) OVER w AS b2_key,
+         LEAD(toks, 2) OVER w AS b2_toks
+  FROM p
+  WINDOW w AS (PARTITION BY blk ORDER BY p_name, p_partkey)
+), pairs AS (
+  SELECT a_key, b1_key AS b_key, a_toks AS x, b1_toks AS y FROM nbr
+  WHERE b1_key IS NOT NULL
+  UNION ALL
+  SELECT a_key, b2_key AS b_key, a_toks AS x, b2_toks AS y FROM nbr
+  WHERE b2_key IS NOT NULL
+)
+SELECT a_key, b_key,
+       FLOOR(CAST(len(list_intersect(x, y)) AS DOUBLE)
+             / len(list_distinct(list_concat(x, y))) * 1e6 + 0.5) / 1e6 AS sim
+FROM pairs
+WHERE len(list_intersect(x, y)) > 0
+ORDER BY a_key, b_key
+""",
+)
+def er_sorted_neighborhood_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernandez &
+    Stolfo 1995 — public method): sort records by a blocking key
+    (name), slide a fixed window, and compare only window neighbors —
+    the linear-candidate-generation alternative to the O(n^2)
+    cross-join an ER pass would otherwise need. Candidates are the 2
+    trailing neighbors within the first-token block; the comparator is
+    token-set Jaccard (quantized 1e-6), emitting candidate pairs that
+    share at least one token.
+
+    Plan shape / 100 TB: blocks partition the sort (PARTITION BY blk —
+    parallel window, never a single global sort partition; the classic
+    multi-pass variant adds a second key, same shape); lead() makes
+    candidate generation linear with fan-out = window size, and the
+    Jaccard runs on tiny in-row token arrays. No join at all."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_name",
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("blk"),
+        F.array_distinct(F.split(F.col("p_name"), " ")).alias("toks"),
+    )
+    w = Window.partitionBy("blk").orderBy("p_name", "p_partkey")
+    nbr = p.select(
+        F.col("p_partkey").alias("a_key"),
+        F.col("toks").alias("a_toks"),
+        F.lead("p_partkey", 1).over(w).alias("b1_key"),
+        F.lead("toks", 1).over(w).alias("b1_toks"),
+        F.lead("p_partkey", 2).over(w).alias("b2_key"),
+        F.lead("toks", 2).over(w).alias("b2_toks"),
+    )
+    pairs = (
+        nbr.filter(F.col("b1_key").isNotNull())
+        .select(
+            "a_key",
+            F.col("b1_key").alias("b_key"),
+            F.col("a_toks").alias("x"),
+            F.col("b1_toks").alias("y"),
+        )
+        .unionByName(
+            nbr.filter(F.col("b2_key").isNotNull()).select(
+                "a_key",
+                F.col("b2_key").alias("b_key"),
+                F.col("a_toks").alias("x"),
+                F.col("b2_toks").alias("y"),
+            )
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("x"), F.col("y")))
+    union = F.size(F.array_union(F.col("x"), F.col("y")))
+    return (
+        pairs.filter(inter > 0)
+        .select(
+            "a_key",
+            "b_key",
+            (F.floor(inter.cast("double") / union * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "sim"
+            ),
+        )
+        .orderBy("a_key", "b_key")
+    )

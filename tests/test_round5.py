@@ -125,3 +125,66 @@ def test_kcore_triangle_plus_tail(spark):
     out = {r.node: r.core_degree for r in
            relational.kcore_decomposition(events, k=2).collect()}
     assert out == {0: 2, 1: 2, 2: 2, 100: 3, 101: 3}
+
+
+# --- round-5 late additions: causal matching, SPRT, JL projection,
+# feature hashing, sorted-neighborhood ER ---------------------------------
+
+
+def test_cem_att_common_support(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["cem_att_estimate"](spark, sf_dir).collect()[0]
+    assert row.n_cells_matched >= 1
+    assert row.n_treated_matched >= row.n_cells_matched
+    assert -1.0 <= row.att_cem <= 1.0
+
+
+def test_sprt_decision_is_beyond_boundary(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["sprt_sequential_test"](spark, sf_dir).collect()[0]
+    assert row.decision in {"accept_h0", "accept_h1", "continue"}
+    bound = 2944438979 / 1e9
+    if row.decision == "accept_h1":
+        assert row.llr >= bound - 1e-6
+    elif row.decision == "accept_h0":
+        assert row.llr <= -bound + 1e-6
+    else:
+        assert abs(row.llr) < bound
+    assert row.n_trials >= 1
+
+
+def test_jl_projection_norm_preservation(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    rows = registry.QUERIES["embedding_random_projection"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    import statistics
+
+    ds = [r.distortion for r in rows]
+    # JL with m=16: individual distortions vary, but the mean should be
+    # near 1 and every distortion strictly positive
+    assert 0.5 < statistics.mean(ds) < 1.5
+    assert all(r.distortion > 0 and r.orig_norm > 0 for r in rows)
+
+
+def test_feature_hashing_bounds(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    rows = registry.QUERIES["feature_hashing_vectors"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r.nnz <= 64
+        assert r.l2sq >= r.nnz  # every nonzero bucket contributes >= 1
+        assert 0 <= r.top_bucket < 64
+
+
+def test_sorted_neighborhood_pairs_share_token(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    rows = registry.QUERIES["er_sorted_neighborhood"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.a_key != r.b_key
+        assert 0.0 < r.sim <= 1.0
