@@ -1990,7 +1990,8 @@ _PRIORITY = [
     # never-driver-checked rotation (232 remaining after r1-r4), then
     # previously-verified queries. Nothing is dropped.
     "cem_att_estimate", "sprt_sequential_test", "embedding_random_projection",
-    "feature_hashing_vectors", "er_sorted_neighborhood",
+    "feature_hashing_vectors", "er_sorted_neighborhood", "psm_att_matched",
+    "cluster_purity_report", "graph_modularity_report",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -19051,4 +19052,430 @@ def er_sorted_neighborhood_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("a_key", "b_key")
+    )
+
+
+@register(
+    "psm_att_matched",
+    # 1-NN propensity matching: each treated user matched to the
+    # nearest preceding control in (score, side, user_id) order via a
+    # single IGNORE NULLS carry-forward window (the as-of primitive)
+    """
+WITH pu AS (
+  SELECT user_id, user_id % 2 AS side, COUNT(*) AS score,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), ord AS (
+  SELECT side, score, conv,
+         last_value(CASE WHEN side = 0 THEN
+             struct_pack(s := score, c := conv) END IGNORE NULLS)
+           OVER (ORDER BY score, side, user_id
+                 ROWS UNBOUNDED PRECEDING) AS ctl
+  FROM pu
+), t AS (
+  SELECT score, conv, ctl FROM ord WHERE side = 1
+)
+SELECT COUNT(*)::BIGINT AS n_treated,
+       COUNT(ctl)::BIGINT AS n_matched,
+       FLOOR(SUM(CASE WHEN ctl IS NOT NULL THEN conv - ctl.c END)
+             * 1e6 / COUNT(ctl) + 0.5) / 1e6 AS att_psm,
+       FLOOR(SUM(CASE WHEN ctl IS NOT NULL THEN score - ctl.s END)
+             * 1e6 / COUNT(ctl) + 0.5) / 1e6 AS mean_score_gap
+FROM t
+""",
+)
+def psm_att_matched_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Propensity-score 1-NN matching ATT (Rosenbaum & Rubin 1983 —
+    public method): every treated user is matched to the nearest
+    control at or below its propensity score (activity count), ties
+    resolved by the (score, side, user_id) total order, and the effect
+    on the treated is the mean matched outcome difference — the
+    matching-with-replacement complement of CEM's cell pruning and
+    IPW's reweighting.
+
+    Determinism: the match is an as-of carry-forward over a total
+    order; outcomes are 0/1 ints; the two headline means are single
+    fixed IEEE divisions over exact integer sums.
+
+    Plan shape / 100 TB: the global as-of decomposes exactly like the
+    engine's other prefix operators — score-bucket windows in parallel
+    plus a per-bucket last-control table (one row per bucket) whose
+    cumulative carry broadcasts back; never a single global sort
+    partition. Here: one user shuffle, bucketed windows, a tiny
+    bucket-prefix join, one final aggregate."""
+    events = load_events(spark, sf_dir)
+    pu = events.groupBy(
+        "user_id", F.pmod(F.col("user_id"), F.lit(2)).alias("side")
+    ).agg(
+        F.count("*").alias("score"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+    )
+    b = F.floor(F.col("score") / 8).alias("b")
+    u = pu.select("user_id", "side", "score", "conv", b)
+    ctl_struct = F.when(
+        F.col("side") == 0, F.struct(F.col("score").alias("s"), F.col("conv").alias("c"))
+    )
+    wb = (
+        Window.partitionBy("b")
+        .orderBy("score", "side", "user_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = u.select(
+        "b", "side", "score", "conv",
+        F.last(ctl_struct, ignorenulls=True).over(wb).alias("ctl_in"),
+    )
+    # one row per bucket: its last control (lexicographic max over the
+    # same order), then the carry from all PRECEDING buckets
+    bucket_last = (
+        u.filter(F.col("side") == 0)
+        .groupBy("b")
+        .agg(F.max(F.struct(F.col("score").alias("s"), F.col("user_id"), F.col("conv").alias("c"))).alias("m"))
+        .select("b", F.struct(F.col("m.s").alias("s"), F.col("m.c").alias("c")).alias("last_ctl"))
+    )
+    wprev = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    # every bucket that has treated rows needs a prefix row, including
+    # buckets with no controls: build the prefix over ALL buckets
+    all_b = u.select("b").distinct()
+    prefix_all = (
+        all_b.join(bucket_last, "b", "left")
+        .select("b", F.last("last_ctl", ignorenulls=True).over(wprev).alias("prev_ctl"))
+    )
+    t = (
+        within.filter(F.col("side") == 1)
+        .join(F.broadcast(prefix_all), "b", "left")
+        .select(
+            "score", "conv", F.coalesce(F.col("ctl_in"), F.col("prev_ctl")).alias("ctl")
+        )
+    )
+    matched = F.col("ctl").isNotNull()
+    return t.agg(
+        F.count("*").cast("long").alias("n_treated"),
+        F.count(F.col("ctl")).cast("long").alias("n_matched"),
+        (
+            F.floor(
+                F.sum(F.when(matched, F.col("conv") - F.col("ctl.c")))
+                * 1e6
+                / F.count(F.col("ctl"))
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("att_psm"),
+        (
+            F.floor(
+                F.sum(F.when(matched, F.col("score") - F.col("ctl.s")))
+                * 1e6
+                / F.count(F.col("ctl"))
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("mean_score_gap"),
+    )
+
+
+@register(
+    "cluster_purity_report",
+    # milli-quantized exact-int L2 assignment to the k lowest-vec_id
+    # seeds, then purity/NMI census algebra with per-term 1e-9
+    # quantization before summation
+    """
+WITH seeds AS (
+  SELECT vec_id AS cid, embedding AS c FROM embeddings
+  ORDER BY vec_id LIMIT 8
+), d AS (
+  SELECT e.vec_id, e.label, s.cid,
+         list_aggregate(list_transform(e.embedding, (v, i) ->
+           (CAST(FLOOR(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+            - CAST(FLOOR(CAST(s.c[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT))
+           * (CAST(FLOOR(CAST(v AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+            - CAST(FLOOR(CAST(s.c[i] AS DOUBLE) * 1000 + 0.5) AS BIGINT))),
+           'sum') AS d2
+  FROM embeddings e CROSS JOIN seeds s
+), assign AS (
+  SELECT vec_id, label, cid FROM d
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1
+), cl AS (
+  SELECT cid, label, COUNT(*) AS n_cl FROM assign GROUP BY 1, 2
+), tot AS (
+  SELECT SUM(n_cl) AS n FROM cl
+), cmarg AS (
+  SELECT cid, SUM(n_cl) AS n_c FROM cl GROUP BY 1
+), lmarg AS (
+  SELECT label, SUM(n_cl) AS n_l FROM cl GROUP BY 1
+), iterm AS (
+  SELECT SUM(CAST(FLOOR(CAST(n_cl AS DOUBLE) / t.n
+             * LN(CAST(t.n AS DOUBLE) * n_cl / (CAST(c.n_c AS DOUBLE) * l.n_l))
+             * 1e9 + 0.5) AS BIGINT)) AS iq
+  FROM cl JOIN cmarg c USING (cid) JOIN lmarg l USING (label), tot t
+), hc AS (
+  SELECT SUM(CAST(FLOOR(CAST(n_c AS DOUBLE) / t.n
+             * LN(CAST(t.n AS DOUBLE) / n_c) * 1e9 + 0.5) AS BIGINT)) AS hq
+  FROM cmarg, tot t
+), hl AS (
+  SELECT SUM(CAST(FLOOR(CAST(n_l AS DOUBLE) / t.n
+             * LN(CAST(t.n AS DOUBLE) / n_l) * 1e9 + 0.5) AS BIGINT)) AS hq
+  FROM lmarg, tot t
+), pur AS (
+  SELECT SUM(mx) AS pure_n FROM (
+    SELECT cid, MAX(n_cl) AS mx FROM cl GROUP BY 1
+  )
+)
+SELECT (SELECT COUNT(*) FROM cmarg)::BIGINT AS n_clusters,
+       (SELECT COUNT(*) FROM lmarg)::BIGINT AS n_labels,
+       FLOOR(CAST(pur.pure_n AS DOUBLE) / t.n * 1e6 + 0.5) / 1e6 AS purity,
+       CASE WHEN hc.hq > 0 AND hl.hq > 0 THEN
+         FLOOR(iterm.iq / sqrt(CAST(hc.hq AS DOUBLE) * CAST(hl.hq AS DOUBLE))
+               * 1e6 + 0.5) / 1e6
+       ELSE 0.0 END AS nmi
+FROM pur, tot t, iterm, hc, hl
+""",
+)
+def cluster_purity_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering validation — purity and normalized mutual
+    information (Manning, Raghavan & Schutze, IR book ch.16 — public
+    measures) of a one-step KMeans assignment against the ground-truth
+    labels: the eval loop a curation pipeline runs after clustering
+    embeddings (are my clusters topical?). Assignment reuses the
+    kmeans_step convention (seeds = k lowest vec_ids) hardened with
+    milli-quantized exact-integer L2, so the contingency census is
+    bit-identical across engines; every information term quantizes to
+    a 1e-9 int BEFORE summation.
+
+    Plan shape / 100 TB: broadcast k seeds into a map-side argmin (the
+    kmeans_step shape), one (cluster, label) census shuffle — bounded
+    by k x |labels| cells — then census algebra. Linear."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 8
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("c"))
+    )
+    q = lambda col: F.floor(col.cast("double") * 1000 + F.lit(0.5)).cast("long")  # noqa: E731
+    diff2 = F.zip_with(
+        "embedding",
+        "c",
+        lambda a, b: (q(a) - q(b)) * (q(a) - q(b)),
+    )
+    d2 = F.aggregate(diff2, F.lit(0).cast("long"), lambda acc, v: acc + v)
+    assign = (
+        emb.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "label", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "label")
+        .agg(F.min(F.struct("d2", "cid")).alias("s"))
+        .select("vec_id", "label", F.col("s.cid").alias("cid"))
+    )
+    cl = assign.groupBy("cid", "label").agg(F.count("*").alias("n_cl"))
+    tot = cl.agg(F.sum("n_cl").alias("n"))
+    cmarg = cl.groupBy("cid").agg(F.sum("n_cl").alias("n_c"))
+    lmarg = cl.groupBy("label").agg(F.sum("n_cl").alias("n_l"))
+    iterm = (
+        cl.join(cmarg, "cid")
+        .join(lmarg, "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("n_cl").cast("double")
+                    / F.col("n")
+                    * F.log(
+                        F.col("n").cast("double")
+                        * F.col("n_cl")
+                        / (F.col("n_c").cast("double") * F.col("n_l"))
+                    )
+                    * 1e9
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("iq")
+        )
+    )
+    hc = cmarg.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.floor(
+                F.col("n_c").cast("double")
+                / F.col("n")
+                * F.log(F.col("n").cast("double") / F.col("n_c"))
+                * 1e9
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("hcq")
+    )
+    hl = lmarg.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.floor(
+                F.col("n_l").cast("double")
+                / F.col("n")
+                * F.log(F.col("n").cast("double") / F.col("n_l"))
+                * 1e9
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("hlq")
+    )
+    pur = cl.groupBy("cid").agg(F.max("n_cl").alias("mx")).agg(
+        F.sum("mx").alias("pure_n")
+    )
+    n_clusters = cmarg.agg(F.count("*").alias("n_clusters"))
+    n_labels = lmarg.agg(F.count("*").alias("n_labels"))
+    return (
+        pur.crossJoin(tot)
+        .crossJoin(iterm)
+        .crossJoin(hc)
+        .crossJoin(hl)
+        .crossJoin(n_clusters)
+        .crossJoin(n_labels)
+        .select(
+            F.col("n_clusters").cast("long").alias("n_clusters"),
+            F.col("n_labels").cast("long").alias("n_labels"),
+            (
+                F.floor(F.col("pure_n").cast("double") / F.col("n") * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("purity"),
+            F.when(
+                (F.col("hcq") > 0) & (F.col("hlq") > 0),
+                F.floor(
+                    F.col("iq")
+                    / F.sqrt(F.col("hcq").cast("double") * F.col("hlq").cast("double"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("nmi"),
+        )
+    )
+
+
+@register(
+    "graph_modularity_report",
+    # LPA communities (the graph_label_propagation CTEs verbatim) +
+    # Newman modularity as ONE exact bigint numerator over the
+    # community census: Q = sum_c(4*m*e_c - d_c^2) / (4*m^2)
+    """
+WITH raw AS (
+  SELECT user_id % 200 AS p, event_id % 199 AS q FROM events
+  WHERE user_id % 200 <> event_id % 199
+),
+edges AS (SELECT DISTINCT LEAST(p, q) AS u, GREATEST(p, q) AS v FROM raw),
+und AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL SELECT v AS src, u AS dst FROM edges
+),
+l0 AS (SELECT DISTINCT src AS vertex, src AS label FROM und),
+v1 AS (
+  SELECT dst, label, COUNT(*) AS cnt FROM und JOIN l0 ON und.src = l0.vertex
+  GROUP BY dst, label
+),
+l1 AS (
+  SELECT dst AS vertex, label FROM v1
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label) = 1
+),
+v2 AS (
+  SELECT dst, label, COUNT(*) AS cnt FROM und JOIN l1 ON und.src = l1.vertex
+  GROUP BY dst, label
+),
+l2 AS (
+  SELECT dst AS vertex, label FROM v2
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label) = 1
+),
+v3 AS (
+  SELECT dst, label, COUNT(*) AS cnt FROM und JOIN l2 ON und.src = l2.vertex
+  GROUP BY dst, label
+),
+l3 AS (
+  SELECT dst AS vertex, label FROM v3
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY dst ORDER BY cnt DESC, label) = 1
+),
+m AS (SELECT COUNT(*) AS m FROM edges),
+deg AS (SELECT src AS vertex, COUNT(*) AS deg FROM und GROUP BY 1),
+dc AS (
+  SELECT l.label, SUM(d.deg) AS d_c
+  FROM l3 l JOIN deg d USING (vertex) GROUP BY 1
+),
+ec AS (
+  SELECT lu.label, COUNT(*) AS e_c
+  FROM edges e JOIN l3 lu ON e.u = lu.vertex JOIN l3 lv ON e.v = lv.vertex
+  WHERE lu.label = lv.label GROUP BY 1
+),
+numer AS (
+  SELECT SUM(4 * m.m * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c) AS num
+  FROM dc LEFT JOIN ec USING (label), m
+)
+SELECT (SELECT COUNT(*) FROM dc)::BIGINT AS n_communities,
+       m.m::BIGINT AS n_edges,
+       FLOOR(CAST(numer.num AS DOUBLE) / (4.0 * m.m * m.m) * 1e6 + 0.5) / 1e6
+         AS modularity
+FROM numer, m
+""",
+)
+def graph_modularity_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (Newman & Girvan 2004 — public measure) of the
+    label-propagation partition: Q = sum_c (e_c/m - (d_c/2m)^2), the
+    quality score a community-detection pass reports next to its
+    labels (is this partition better than random?). Composes
+    graph_label_propagation's deterministic 3-round LPA with exact
+    integer algebra: the numerator sum_c (4*m*e_c - d_c^2) is pure
+    bigint, so the only float is the final division.
+
+    Plan shape / 100 TB: LPA's per-round vertex-keyed shuffles (the
+    GraphX/Pregel asymptotics), then one intra-community edge count
+    (two broadcast-able label joins on the edge list), one degree
+    census, and census algebra over |communities| rows. Linear in
+    |E|."""
+    from .operators import relational
+
+    events = load_events(spark, sf_dir)
+    labels = relational.label_propagation(events)
+    raw = events.select(
+        (F.col("user_id") % 200).alias("p"),
+        (F.col("event_id") % 199).alias("q"),
+    ).filter(F.col("p") != F.col("q"))
+    edges = raw.select(
+        F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
+    ).distinct()
+    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    m = edges.agg(F.count("*").alias("m"))
+    deg = und.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("deg"))
+    dc = (
+        labels.join(deg, "vertex")
+        .groupBy("label")
+        .agg(F.sum("deg").alias("d_c"))
+    )
+    lu = labels.select(F.col("vertex").alias("u"), F.col("label").alias("lu"))
+    lv = labels.select(F.col("vertex").alias("v"), F.col("label").alias("lv"))
+    ec = (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("label"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    numer = (
+        dc.join(ec, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .agg(
+            F.sum(
+                F.lit(4) * F.col("m") * F.coalesce(F.col("e_c"), F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            ).alias("num")
+        )
+    )
+    n_comm = dc.agg(F.count("*").alias("n_communities"))
+    return (
+        numer.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(n_comm))
+        .select(
+            F.col("n_communities").cast("long").alias("n_communities"),
+            F.col("m").cast("long").alias("n_edges"),
+            (
+                F.floor(
+                    F.col("num").cast("double")
+                    / (F.lit(4.0) * F.col("m") * F.col("m"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("modularity"),
+        )
     )

@@ -188,3 +188,33 @@ def test_sorted_neighborhood_pairs_share_token(spark, sf_dir):
     for r in rows:
         assert r.a_key != r.b_key
         assert 0.0 < r.sim <= 1.0
+
+
+def test_psm_matched_bounds(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["psm_att_matched"](spark, sf_dir).collect()[0]
+    assert 0 <= row.n_matched <= row.n_treated
+    assert -1.0 <= row.att_psm <= 1.0
+    # as-of backward matching: matched control score <= treated score
+    assert row.mean_score_gap >= 0
+
+
+def test_cluster_purity_nmi_ranges(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["cluster_purity_report"](spark, sf_dir).collect()[0]
+    assert 1 <= row.n_clusters <= 8
+    assert row.n_labels >= 1
+    # purity >= 1/n_labels (the random floor), both measures in [0, 1]
+    assert 1.0 / row.n_labels <= row.purity <= 1.0
+    assert 0.0 <= row.nmi <= 1.0 + 1e-9
+
+
+def test_modularity_range_and_edge_count(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["graph_modularity_report"](spark, sf_dir).collect()[0]
+    # Newman Q is bounded by (-1/2, 1)
+    assert -0.5 <= row.modularity < 1.0
+    assert row.n_edges > 0 and row.n_communities >= 1
