@@ -1991,7 +1991,8 @@ _PRIORITY = [
     # previously-verified queries. Nothing is dropped.
     "cem_att_estimate", "sprt_sequential_test", "embedding_random_projection",
     "feature_hashing_vectors", "er_sorted_neighborhood", "psm_att_matched",
-    "cluster_purity_report", "graph_modularity_report",
+    "cluster_purity_report", "graph_modularity_report", "wer_pairs_report",
+    "stratified_kfold_assign",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -19479,3 +19480,116 @@ def graph_modularity_report_query(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("modularity"),
         )
     )
+
+
+@register(
+    "wer_pairs_report",
+    # same prefix blocking as bleu_pairs_report; token-level edit
+    # distance replayed as a recursive-CTE DP over dp-row LISTS (the
+    # loop-oracle convention) — DuckDB's levenshtein() is byte-based,
+    # so no chr re-encoding can carry a general token vocabulary. The
+    # sequential new[j-1] dependency inside a row resolves with the
+    # prefix-min identity new[j] = j + min_{k<=j}(t[k] - k).
+    """
+WITH RECURSIVE ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS w
+  FROM documents
+), pref AS (
+  SELECT doc_id, w, md5(array_to_string(w[1:8], ' ')) AS fp
+  FROM ws WHERE len(w) >= 8
+), canon AS (
+  SELECT fp, MIN(doc_id) AS ref_id FROM pref GROUP BY fp
+), pairs AS (
+  SELECT p.doc_id, c.ref_id FROM pref p JOIN canon c USING (fp)
+  WHERE p.doc_id <> c.ref_id
+), jp AS (
+  SELECT p.doc_id, p.ref_id, a.w AS wa, r.w AS wr
+  FROM pairs p JOIN ws a ON a.doc_id = p.doc_id
+  JOIN ws r ON r.doc_id = p.ref_id
+), dp AS (
+  SELECT doc_id, ref_id, wa, wr, 0 AS i,
+         list_transform(range(0, len(wr) + 1), j -> j) AS d
+  FROM jp
+  UNION ALL
+  SELECT doc_id, ref_id, wa, wr, i + 1 AS i,
+         list_transform(range(1, len(wr) + 2), j ->
+           j - 1 + list_aggregate(
+             list_transform(t.t[1:j], (tk, k) -> tk - (k - 1)), 'min')) AS d
+  FROM dp, LATERAL (
+    SELECT list_transform(range(1, len(wr) + 2), j ->
+      CASE WHEN j = 1 THEN i + 1
+           ELSE LEAST(d[j] + 1,
+                      d[j - 1] + CASE WHEN wa[i + 1] = wr[j - 1]
+                                      THEN 0 ELSE 1 END)
+      END) AS t
+  ) t
+  WHERE i < len(wa)
+), fin AS (
+  SELECT doc_id, ref_id, len(wr)::BIGINT AS n_ref, d[len(wr) + 1] AS dist
+  FROM dp WHERE i = len(wa)
+)
+SELECT doc_id, ref_id, n_ref, dist::BIGINT AS dist,
+       FLOOR(dist * 1e6 / n_ref + 0.5) / 1e6 AS wer
+FROM fin ORDER BY doc_id, ref_id
+""",
+)
+def wer_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.wer_pairs_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "stratified_kfold_assign",
+    # per-stratum md5-ordered row_number modulo k: EXACTLY balanced
+    # folds (+-1 per stratum), reported as a (lang, fold) census
+    """
+WITH d AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang
+           ORDER BY md5('fold:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+), a AS (
+  SELECT lang, doc_id, (rn - 1) % 5 AS fold FROM d
+), census AS (
+  SELECT lang, fold, COUNT(*) AS n_docs FROM a GROUP BY 1, 2
+)
+SELECT lang, fold::BIGINT AS fold, n_docs::BIGINT AS n_docs,
+       (MAX(n_docs) OVER (PARTITION BY lang)
+        - MIN(n_docs) OVER (PARTITION BY lang) <= 1) AS balanced
+FROM census ORDER BY lang, fold
+""",
+)
+def stratified_kfold_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified k-fold cross-validation assignment (public ML
+    practice; the sklearn StratifiedKFold contract): within each
+    stratum (lang), documents are deterministically shuffled by md5
+    and dealt round-robin into k=5 folds, so every stratum's folds are
+    EXACTLY balanced (max-min <= 1) — unlike a plain hash-bucket split
+    whose per-stratum balance is only asymptotic. Output is the
+    (lang, fold) census with the balance invariant as a column.
+
+    Determinism: the shuffle key is md5('fold:'||doc_id) with doc_id
+    tie-break — a total order; fold = (rank-1) mod 5.
+
+    Plan shape / 100 TB: the rank window partitions BY STRATUM
+    (parallel, never a global sort); the census is |strata| x k cells.
+    Linear."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))), "doc_id"
+    )
+    a = docs.select(
+        "lang", "doc_id", ((F.row_number().over(w) - 1) % 5).alias("fold")
+    )
+    census = a.groupBy("lang", "fold").agg(F.count("*").alias("n_docs"))
+    wl = Window.partitionBy("lang")
+    return census.select(
+        "lang",
+        F.col("fold").cast("long").alias("fold"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        (
+            (F.max("n_docs").over(wl) - F.min("n_docs").over(wl)) <= 1
+        ).alias("balanced"),
+    ).orderBy("lang", "fold")

@@ -218,3 +218,37 @@ def test_modularity_range_and_edge_count(spark, sf_dir):
     # Newman Q is bounded by (-1/2, 1)
     assert -0.5 <= row.modularity < 1.0
     assert row.n_edges > 0 and row.n_communities >= 1
+
+
+def test_wer_identical_and_known_edits(spark):
+    from kinesis_stream_reader_spark.operators import text
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),                          # blocked ref (min doc_id)
+            (2, base),                          # identical twin -> dist 0
+            (3, base + " lambda"),              # one insertion -> dist 1
+            (4, base.replace("iota", "mu")),    # one substitution -> dist 1
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r.doc_id: r for r in text.wer_pairs_report(docs).collect()}
+    assert set(rows) == {2, 3, 4}
+    assert rows[2].dist == 0 and rows[2].wer == 0.0
+    assert rows[3].dist == 1 and rows[3].n_ref == 10
+    assert rows[4].dist == 1
+    assert all(r.ref_id == 1 for r in rows.values())
+
+
+def test_kfold_exact_balance(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    rows = registry.QUERIES["stratified_kfold_assign"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.balanced for r in rows)
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r.n_docs)
+    for counts in by_lang.values():
+        assert max(counts) - min(counts) <= 1
