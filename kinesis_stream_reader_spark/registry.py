@@ -1992,7 +1992,7 @@ _PRIORITY = [
     "cem_att_estimate", "sprt_sequential_test", "embedding_random_projection",
     "feature_hashing_vectors", "er_sorted_neighborhood", "psm_att_matched",
     "cluster_purity_report", "graph_modularity_report", "wer_pairs_report",
-    "stratified_kfold_assign",
+    "stratified_kfold_assign", "rouge_l_pairs_report",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -19593,3 +19593,64 @@ def stratified_kfold_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame
             (F.max("n_docs").over(wl) - F.min("n_docs").over(wl)) <= 1
         ).alias("balanced"),
     ).orderBy("lang", "fold")
+
+
+@register(
+    "rouge_l_pairs_report",
+    # LCS by the same recursive-CTE DP-row convention as
+    # wer_pairs_report, with max in place of min: the in-row
+    # dependency new[j] = max(t[j], new[j-1]) is a prefix maximum
+    """
+WITH RECURSIVE ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS w
+  FROM documents
+), pref AS (
+  SELECT doc_id, w, md5(array_to_string(w[1:8], ' ')) AS fp
+  FROM ws WHERE len(w) >= 8
+), canon AS (
+  SELECT fp, MIN(doc_id) AS ref_id FROM pref GROUP BY fp
+), pairs AS (
+  SELECT p.doc_id, c.ref_id FROM pref p JOIN canon c USING (fp)
+  WHERE p.doc_id <> c.ref_id
+), jp AS (
+  SELECT p.doc_id, p.ref_id, a.w AS wa, r.w AS wr
+  FROM pairs p JOIN ws a ON a.doc_id = p.doc_id
+  JOIN ws r ON r.doc_id = p.ref_id
+), dp AS (
+  SELECT doc_id, ref_id, wa, wr, 0 AS i,
+         list_transform(range(0, len(wr) + 1), j -> 0) AS d
+  FROM jp
+  UNION ALL
+  SELECT doc_id, ref_id, wa, wr, i + 1 AS i,
+         list_transform(range(1, len(wr) + 2), j ->
+           list_aggregate(t.t[1:j], 'max')) AS d
+  FROM dp, LATERAL (
+    SELECT list_transform(range(1, len(wr) + 2), j ->
+      CASE WHEN j = 1 THEN 0
+           ELSE GREATEST(d[j],
+                         d[j - 1] + CASE WHEN wa[i + 1] = wr[j - 1]
+                                         THEN 1 ELSE 0 END)
+      END) AS t
+  ) t
+  WHERE i < len(wa)
+), fin AS (
+  SELECT doc_id, ref_id, len(wa)::BIGINT AS n_cand, len(wr)::BIGINT AS n_ref,
+         d[len(wr) + 1] AS lcs
+  FROM dp WHERE i = len(wa)
+)
+SELECT doc_id, ref_id, n_ref, lcs::BIGINT AS lcs,
+       FLOOR(CAST(lcs AS DOUBLE) / n_ref * 1e6 + 0.5) / 1e6 AS rouge_l_recall,
+       FLOOR(CAST(lcs AS DOUBLE) / n_cand * 1e6 + 0.5) / 1e6 AS rouge_l_precision,
+       CASE WHEN lcs > 0 THEN
+         FLOOR(2.0 * (CAST(lcs AS DOUBLE) / n_ref) * (CAST(lcs AS DOUBLE) / n_cand)
+               / (CAST(lcs AS DOUBLE) / n_ref + CAST(lcs AS DOUBLE) / n_cand)
+               * 1e6 + 0.5) / 1e6
+       ELSE 0.0 END AS rouge_l_f1
+FROM fin ORDER BY doc_id, ref_id
+""",
+)
+def rouge_l_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.rouge_l_pairs_report(load_table(spark, sf_dir, "documents"))

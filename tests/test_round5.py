@@ -252,3 +252,21 @@ def test_kfold_exact_balance(spark, sf_dir):
         by_lang.setdefault(r.lang, []).append(r.n_docs)
     for counts in by_lang.values():
         assert max(counts) - min(counts) <= 1
+
+
+def test_rouge_l_known_values(spark):
+    from kinesis_stream_reader_spark.operators import text
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                        # identical -> LCS = 10, F1 = 1
+            (3, base + " lambda mu"),         # superset -> LCS = 10, P < 1
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    rows = {r.doc_id: r for r in text.rouge_l_pairs_report(docs).collect()}
+    assert rows[2].lcs == 10 and rows[2].rouge_l_f1 == 1.0
+    assert rows[3].lcs == 10 and rows[3].rouge_l_recall == 1.0
+    assert rows[3].rouge_l_precision < 1.0
