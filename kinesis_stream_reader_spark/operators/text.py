@@ -2897,3 +2897,142 @@ def rouge_l_pairs_report(documents: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("rouge_l_f1"),
     ).orderBy("doc_id", "ref_id")
+
+
+def chrf_pairs_report(documents: DataFrame, beta: float = 2.0) -> DataFrame:
+    """chrF (Popovic 2015 — public MT metric): character n-gram F-beta
+    score over the same blocked near-dup pairs as bleu/wer/rouge —
+    tokenization-free and robust to morphology, the fourth member of
+    the rewrite-eval family. Whitespace is removed (the chrF
+    convention), character n-grams run n = 1..3 (the chrF6 window
+    shortened to the fixture's short texts, documented), and
+    chrF = (1 + beta^2) * P * R / (beta^2 * P + R) with P/R macro-
+    averaged over the n-gram orders from CLIPPED counts (the BLEU
+    clip rule).
+
+    Determinism: per-order clipped/total counts are exact bigints;
+    the per-order precision/recall quantize to 1e-9 ints BEFORE the
+    macro-average; the F-beta is one fixed IEEE expression.
+
+    Plan shape / 100 TB: blocking is the shared fingerprint census;
+    char-gram censuses are built ONLY for pair members
+    (dup-mass-bounded) via one posexplode + lead-window pass per
+    member (the staged winnowing shape — no interpreted substring
+    HOF), and each clip pass joins gram censuses keyed by (pair,
+    gram), linear in pair mass."""
+    ws = documents.select(
+        "doc_id", F.filter(tokens(F.col("text")), lambda t: t != "").alias("w")
+    )
+    pref = ws.filter(F.size("w") >= 8).select(
+        "doc_id", F.md5(F.array_join(F.slice("w", 1, 8), " ")).alias("fp")
+    )
+    canon = pref.groupBy("fp").agg(F.min("doc_id").alias("ref_id"))
+    pairs = (
+        pref.select("doc_id", "fp")
+        .join(canon, "fp")
+        .filter(F.col("doc_id") != F.col("ref_id"))
+        .select("doc_id", "ref_id")
+    )
+    members = (
+        pairs.select(F.col("doc_id").alias("m"))
+        .unionByName(pairs.select(F.col("ref_id").alias("m")))
+        .distinct()
+    )
+    # char stream without whitespace; posexplode + lead windows build
+    # the 1/2/3-gram censuses without per-position interpreted HOFs
+    chars = (
+        documents.join(members, documents.doc_id == members.m)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.regexp_replace(F.col("text"), r"\s+", ""), "")
+            ).alias("pos", "c0"),
+        )
+        .filter(F.col("c0") != "")
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    grams = chars.select(
+        "doc_id",
+        "c0",
+        F.lead("c0", 1).over(wspec).alias("c1"),
+        F.lead("c0", 2).over(wspec).alias("c2"),
+    )
+    g1 = grams.groupBy("doc_id", F.col("c0").alias("g")).agg(
+        F.count("*").alias("c")
+    ).withColumn("n", F.lit(1))
+    g2 = (
+        grams.filter(F.col("c1").isNotNull())
+        .groupBy("doc_id", F.concat("c0", "c1").alias("g"))
+        .agg(F.count("*").alias("c"))
+        .withColumn("n", F.lit(2))
+    )
+    g3 = (
+        grams.filter(F.col("c2").isNotNull())
+        .groupBy("doc_id", F.concat("c0", "c1", "c2").alias("g"))
+        .agg(F.count("*").alias("c"))
+        .withColumn("n", F.lit(3))
+    )
+    census = g1.unionByName(g2).unionByName(g3)
+    cand = census.select(
+        F.col("doc_id").alias("a_id"), "n", "g", F.col("c").alias("ca")
+    )
+    ref = census.select(
+        F.col("doc_id").alias("r_id"), "n", "g", F.col("c").alias("cr")
+    )
+    per_order = (
+        pairs.join(cand, pairs.doc_id == cand.a_id)
+        .join(
+            ref,
+            (pairs.ref_id == ref.r_id) & (cand.n == ref.n) & (cand.g == ref.g),
+            "left",
+        )
+        .groupBy("doc_id", "ref_id", cand.n.alias("n"))
+        .agg(
+            F.sum(F.least(F.col("ca"), F.coalesce(F.col("cr"), F.lit(0)))).alias(
+                "clipped"
+            ),
+            F.sum("ca").alias("t_cand"),
+        )
+    )
+    # reference-side totals per order (recall denominators)
+    ref_tot = (
+        pairs.join(ref, pairs.ref_id == ref.r_id)
+        .groupBy("doc_id", "ref_id", "n")
+        .agg(F.sum("cr").alias("t_ref"))
+    )
+    # clipped counts vs the REFERENCE census bound recall too (chrF uses
+    # the same clipped numerator for P and R)
+    q = lambda col: F.floor(col * 1e9 + F.lit(0.5)).cast("long")  # noqa: E731
+    per = (
+        per_order.join(ref_tot, ["doc_id", "ref_id", "n"])
+        .select(
+            "doc_id",
+            "ref_id",
+            q(F.col("clipped").cast("double") / F.col("t_cand")).alias("pq"),
+            q(F.col("clipped").cast("double") / F.col("t_ref")).alias("rq"),
+        )
+        .groupBy("doc_id", "ref_id")
+        .agg(
+            F.count("*").alias("k"),
+            F.sum("pq").alias("psum"),
+            F.sum("rq").alias("rsum"),
+        )
+    )
+    p = F.col("psum").cast("double") / F.col("k") / 1e9
+    r = F.col("rsum").cast("double") / F.col("k") / 1e9
+    b2 = beta * beta
+    return per.select(
+        "doc_id",
+        "ref_id",
+        (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("chrf_precision"),
+        (F.floor(r * 1e6 + F.lit(0.5)) / 1e6).alias("chrf_recall"),
+        F.when(
+            (F.col("psum") > 0) & (F.col("rsum") > 0),
+            F.floor(
+                F.lit(1.0 + b2) * p * r / (F.lit(b2) * p + r) * 1e6 + F.lit(0.5)
+            )
+            / 1e6,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chrf"),
+    ).orderBy("doc_id", "ref_id")

@@ -1992,7 +1992,8 @@ _PRIORITY = [
     "cem_att_estimate", "sprt_sequential_test", "embedding_random_projection",
     "feature_hashing_vectors", "er_sorted_neighborhood", "psm_att_matched",
     "cluster_purity_report", "graph_modularity_report", "wer_pairs_report",
-    "stratified_kfold_assign", "rouge_l_pairs_report",
+    "stratified_kfold_assign", "rouge_l_pairs_report", "chrf_pairs_report",
+    "cohens_kappa_report",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -19654,3 +19655,157 @@ def rouge_l_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import text
 
     return text.rouge_l_pairs_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "chrf_pairs_report",
+    # char 1/2/3-gram censuses via substr grams, clipped-count P/R per
+    # order quantized to 1e-9 ints before the macro-average, F-beta(2)
+    """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS w,
+         regexp_replace(text, '\\s+', '', 'g') AS s
+  FROM documents
+), pref AS (
+  SELECT doc_id, md5(array_to_string(w[1:8], ' ')) AS fp, s
+  FROM ws WHERE len(w) >= 8
+), canon AS (
+  SELECT fp, MIN(doc_id) AS ref_id FROM pref GROUP BY fp
+), pairs AS (
+  SELECT p.doc_id, c.ref_id FROM pref p JOIN canon c USING (fp)
+  WHERE p.doc_id <> c.ref_id
+), members AS (
+  SELECT DISTINCT m FROM (
+    SELECT doc_id AS m FROM pairs UNION ALL SELECT ref_id AS m FROM pairs
+  )
+), census AS (
+  SELECT w.doc_id, o.n, t.g, COUNT(*) AS c
+  FROM ws w JOIN members ON w.doc_id = members.m
+  CROSS JOIN (SELECT UNNEST([1, 2, 3]) AS n) o,
+  LATERAL UNNEST(list_transform(range(1, length(w.s) - o.n + 2),
+                                i -> substr(w.s, i, o.n))) AS t(g)
+  GROUP BY 1, 2, 3
+), per_order AS (
+  SELECT p.doc_id, p.ref_id, a.n,
+         SUM(LEAST(a.c, COALESCE(b.c, 0))) AS clipped,
+         SUM(a.c) AS t_cand
+  FROM pairs p
+  JOIN census a ON a.doc_id = p.doc_id
+  LEFT JOIN census b ON b.doc_id = p.ref_id AND b.n = a.n AND b.g = a.g
+  GROUP BY 1, 2, 3
+), ref_tot AS (
+  SELECT p.doc_id, p.ref_id, b.n, SUM(b.c) AS t_ref
+  FROM pairs p JOIN census b ON b.doc_id = p.ref_id
+  GROUP BY 1, 2, 3
+), per AS (
+  SELECT o.doc_id, o.ref_id, COUNT(*) AS k,
+         SUM(CAST(FLOOR(CAST(o.clipped AS DOUBLE) / o.t_cand * 1e9 + 0.5)
+             AS BIGINT)) AS psum,
+         SUM(CAST(FLOOR(CAST(o.clipped AS DOUBLE) / r.t_ref * 1e9 + 0.5)
+             AS BIGINT)) AS rsum
+  FROM per_order o JOIN ref_tot r USING (doc_id, ref_id, n)
+  GROUP BY 1, 2
+)
+SELECT doc_id, ref_id,
+       FLOOR(CAST(psum AS DOUBLE) / k / 1e9 * 1e6 + 0.5) / 1e6
+         AS chrf_precision,
+       FLOOR(CAST(rsum AS DOUBLE) / k / 1e9 * 1e6 + 0.5) / 1e6 AS chrf_recall,
+       CASE WHEN psum > 0 AND rsum > 0 THEN
+         FLOOR(5.0 * (CAST(psum AS DOUBLE) / k / 1e9)
+               * (CAST(rsum AS DOUBLE) / k / 1e9)
+               / (4.0 * (CAST(psum AS DOUBLE) / k / 1e9)
+                  + (CAST(rsum AS DOUBLE) / k / 1e9)) * 1e6 + 0.5) / 1e6
+       ELSE 0.0 END AS chrf
+FROM per ORDER BY doc_id, ref_id
+""",
+)
+def chrf_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import text
+
+    return text.chrf_pairs_report(load_table(spark, sf_dir, "documents"))
+
+
+def _kappa_oracle() -> str:
+    from .operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(
+        f"{_lang_score(LANG_MARKERS[lang])} AS s_{lang}" for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    first_max = "CASE " + " ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    ngram = ORACLES["text_lang_id_ngram"]
+    return f"""
+WITH scored AS (SELECT doc_id, {scores} FROM documents),
+r1 AS (SELECT doc_id, {first_max} AS a FROM scored),
+r2 AS (SELECT doc_id, lang_pred AS b FROM ({ngram})),
+j AS (SELECT r1.doc_id, r1.a, r2.b FROM r1 JOIN r2 USING (doc_id)),
+cont AS (SELECT a, b, COUNT(*) AS n FROM j GROUP BY 1, 2),
+tot AS (SELECT SUM(n) AS nn FROM cont),
+ma AS (SELECT a, SUM(n) AS na FROM cont GROUP BY 1),
+mb AS (SELECT b, SUM(n) AS nb FROM cont GROUP BY 1),
+agree AS (SELECT COALESCE(SUM(n), 0) AS ag FROM cont WHERE a = b),
+pen AS (SELECT SUM(ma.na * mb.nb) AS pe_num FROM ma JOIN mb ON ma.a = mb.b)
+SELECT t.nn::BIGINT AS n_docs,
+       FLOOR(CAST(g.ag AS DOUBLE) / t.nn * 1e6 + 0.5) / 1e6 AS po,
+       FLOOR(CAST(p.pe_num AS DOUBLE) / t.nn / t.nn * 1e6 + 0.5) / 1e6 AS pe,
+       FLOOR((CAST(g.ag AS DOUBLE) / t.nn
+              - CAST(p.pe_num AS DOUBLE) / t.nn / t.nn)
+             / (1.0 - CAST(p.pe_num AS DOUBLE) / t.nn / t.nn) * 1e6 + 0.5)
+         / 1e6 AS kappa
+FROM tot t, agree g, pen p
+"""
+
+
+@register("cohens_kappa_report", _kappa_oracle())
+def cohens_kappa_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa (Cohen 1960 — public measure) between the engine's
+    two REAL language-ID raters — the stopword-marker classifier
+    (text_lang_id) and the char-bigram profile classifier
+    (text_lang_id_ngram): chance-corrected inter-rater agreement,
+    kappa = (po - pe) / (1 - pe), the annotation-QA readout a labeling
+    pipeline runs before trusting auto-labels (lang_id_confusion gives
+    the per-cell picture; kappa gives the one-number gate).
+
+    Determinism: both raters are deterministic engine operators; the
+    contingency census is exact ints; po/pe/kappa are fixed IEEE
+    expressions over exact integer sums.
+
+    Plan shape / 100 TB: both raters are map-side codegen scoring
+    passes over the same scan; the join is doc-keyed; everything after
+    is a |langs|^2-cell census. Linear."""
+    from .operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    r1 = text.text_lang_id(docs).select("doc_id", F.col("lang_pred").alias("a"))
+    r2 = text.text_lang_id_ngram(docs).select(
+        "doc_id", F.col("lang_pred").alias("b")
+    )
+    cont = r1.join(r2, "doc_id").groupBy("a", "b").agg(F.count("*").alias("n"))
+    tot = cont.agg(F.sum("n").alias("nn"))
+    ma = cont.groupBy("a").agg(F.sum("n").alias("na"))
+    mb = cont.groupBy("b").agg(F.sum("n").alias("nb"))
+    agree = cont.filter(F.col("a") == F.col("b")).agg(
+        F.coalesce(F.sum("n"), F.lit(0)).alias("ag")
+    )
+    pen = (
+        ma.join(mb, ma.a == mb.b)
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("pe_num"))
+    )
+    po = F.col("ag").cast("double") / F.col("nn")
+    pe = F.col("pe_num").cast("double") / F.col("nn") / F.col("nn")
+    return (
+        tot.crossJoin(agree)
+        .crossJoin(pen)
+        .select(
+            F.col("nn").cast("long").alias("n_docs"),
+            (F.floor(po * 1e6 + F.lit(0.5)) / 1e6).alias("po"),
+            (F.floor(pe * 1e6 + F.lit(0.5)) / 1e6).alias("pe"),
+            (
+                F.floor((po - pe) / (F.lit(1.0) - pe) * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("kappa"),
+        )
+    )

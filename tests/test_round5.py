@@ -270,3 +270,25 @@ def test_rouge_l_known_values(spark):
     assert rows[2].lcs == 10 and rows[2].rouge_l_f1 == 1.0
     assert rows[3].lcs == 10 and rows[3].rouge_l_recall == 1.0
     assert rows[3].rouge_l_precision < 1.0
+
+
+def test_chrf_identical_pair_is_one(spark):
+    from kinesis_stream_reader_spark.operators import text
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id BIGINT, text STRING"
+    )
+    rows = text.chrf_pairs_report(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.chrf_precision, r.chrf_recall, r.chrf) == (1.0, 1.0, 1.0)
+
+
+def test_kappa_bounds(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["cohens_kappa_report"](spark, sf_dir).collect()[0]
+    assert row.n_docs > 0
+    assert 0.0 <= row.po <= 1.0 and 0.0 <= row.pe <= 1.0
+    assert -1.0 <= row.kappa <= 1.0
