@@ -265,9 +265,11 @@ def decode_image(data: bytes):
         return decode_bmp(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     raise NotImplementedError(
-        "PPM, 8-bit RGB PNG, 24-bit BMP and baseline JPEG decode in this "
-        "environment; plug Pillow/torchvision here for other formats"
+        "PPM, 8-bit RGB PNG, 24-bit BMP, baseline JPEG and GIF87a decode "
+        "in this environment; plug Pillow/torchvision here for other formats"
     )
 
 
@@ -1556,6 +1558,221 @@ def synthetic_jpeg_media(documents: DataFrame) -> DataFrame:
     # (it sizes by bytes, blind to Python-UDF cost), so the count is
     # EXPLICIT, which AQE respects. Shuffling longs costs nothing next
     # to the codec work.
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+
+
+def _gif_palette() -> bytes:
+    """Deterministic 256-entry global color table shared by the GIF
+    fixture and its oracle: palette[i] = (i, (i*3) % 256, (i*7) % 256)."""
+    out = bytearray()
+    for i in range(256):
+        out += bytes((i, (i * 3) % 256, (i * 7) % 256))
+    return bytes(out)
+
+
+def _lzw_encode_gif(indices, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW (variable width, LSB-first, CLEAR/EOI codes,
+    'late change' width bump when next_code reaches 2^width, dict cap
+    4096 with CLEAR reset) — the fixture twin of _lzw_decode_gif."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def reset():
+        return {(i,): i for i in range(clear)}, eoi + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    out_bits.append((clear, width))
+    w: tuple[int, ...] = ()
+    for c in [int(v) for v in indices]:
+        wc = w + (c,)
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        # late change: the width the DECODER will use for the next read
+        # bumps when its next_code hits 2^width — mirror that here
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code > 4095:
+            out_bits.append((clear, width))
+            table, next_code, width = reset()
+        w = (c,)
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((eoi, width))
+    # LSB-first bit packing
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    for code, cw in out_bits:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> list:
+    """GIF-variant LZW decoder (spec 89a appendix F semantics)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+
+    def read_code():
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    dict_: dict[int, tuple[int, ...]] = {}
+    next_code = eoi + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while True:
+        code = read_code()
+        if code == clear:
+            dict_ = {i: (i,) for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = dict_[code]
+        elif code in dict_:
+            entry = dict_[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("corrupt LZW code")
+        out.extend(entry)
+        if prev is not None:
+            dict_[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def encode_gif(indices, width: int, height: int) -> bytes:
+    """Fixture twin of decode_gif: a minimal real GIF87a — logical
+    screen descriptor, 256-entry global color table (_gif_palette),
+    one image descriptor, LZW-compressed index stream in <=255-byte
+    sub-blocks, trailer."""
+    import struct
+
+    out = bytearray(b"GIF87a")
+    # LSD: w, h, flags: GCT present, 8 bits/channel, 256-entry table
+    out += struct.pack("<HHBBB", width, height, 0b11110111, 0, 0)
+    out += _gif_palette()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    out += bytes([8])  # LZW minimum code size
+    stream = _lzw_encode_gif(indices)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def decode_gif(data: bytes):
+    """REAL image decode for single-frame GIF87a/89a with a global
+    color table (LZW per spec appendix F: variable-width LSB-first
+    codes, CLEAR/EOI, late width change, 4096-entry cap; interlace and
+    local color tables rejected honestly): returns an (h, w, 3) uint8
+    RGB array. Pure stdlib + numpy."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(data, dtype=np.uint8, count=n * 3, offset=pos).reshape(
+            n, 3
+        )
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension block: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            if iflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if iflags & 0x80:
+                raise NotImplementedError("local color table not supported")
+            if gct is None:
+                raise ValueError("GIF image without any color table")
+            mcs = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                stream += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode_gif(bytes(stream), mcs)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF index stream shorter than image")
+            arr = np.asarray(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+            return gct[arr].astype(np.uint8)
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    raise ValueError("no image descriptor in GIF")
+
+
+def synthetic_gif_media(documents: DataFrame) -> DataFrame:
+    """Same dims formula as the other image fixtures; pixel INDICES are
+    (doc_id * 7 + k) % 256 over the raster, and the palette is the
+    deterministic _gif_palette — so the decoded RGB facts follow
+    closed formulas the oracle recomputes: r = idx, g = (idx*3) % 256,
+    b = (idx*7) % 256."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 8 + doc_id % 5, 6 + doc_id % 3
+                idx = (doc_id * 7 + np.arange(w * h)) % 256
+                blobs.append(encode_gif(idx.astype(np.int64), int(w), int(h)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
     n_parts = int(
         documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
     )

@@ -2353,7 +2353,9 @@ def pagerank_converged(
             F.col("user_id").alias("src"), (F.col("event_id") % 500).alias("dst")
         )
         .distinct()
-        .localCheckpoint()
+        # lazy: the round-1 delta aggregate (full-partition) carries the
+        # materialization — one fewer scheduled job per checkpoint
+        .localCheckpoint(eager=False)
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = (
@@ -2366,7 +2368,7 @@ def pagerank_converged(
     tol_u = int(tol * 1e9)
     ranks = nodes.select(
         "node", F.lit(1000000000).cast("long").alias("rank_u")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     check_every = 3
 
     def step(r: DataFrame) -> DataFrame:
@@ -2404,7 +2406,7 @@ def pagerank_converged(
         stepped = ranks
         for _ in range(batch):
             stepped = step(stepped.select("node", "rank_u"))
-        stepped = stepped.localCheckpoint()
+        stepped = stepped.localCheckpoint(eager=False)
         done += batch
         delta_u = stepped.agg(
             F.sum(F.abs(F.col("rank_u") - F.col("old_rank_u"))).alias("d")
@@ -5488,7 +5490,8 @@ def kcore_decomposition(events: DataFrame, k: int = 3, max_iter: int = 250) -> D
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint()
+        # lazy: materialization rides the next round's keep.count()
+        .localCheckpoint(eager=False)
     )
     prev = None
     converged = False
@@ -5498,17 +5501,19 @@ def kcore_decomposition(events: DataFrame, k: int = 3, max_iter: int = 250) -> D
             .agg(F.count("*").alias("deg"))
             .filter(F.col("deg") >= k)
             .select("u")
+            # lazy checkpoint BEFORE the count: the count both returns n
+            # and materializes the survivor set in one job
+            .localCheckpoint(eager=False)
         )
         n = keep.count()
         if n == prev:
             converged = True
             break
         prev = n
-        keep = keep.localCheckpoint()
         edges = (
             edges.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     if not converged:
         raise RuntimeError(

@@ -602,7 +602,8 @@ def kmeans_converged(
             _as_double(F.col("embedding")),
             lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
         ).alias("xq"),
-    ).localCheckpoint()
+        # lazy: round-1's total aggregate carries the materialization
+    ).localCheckpoint(eager=False)
     cents = vecs.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("xq").alias("c")
     )
@@ -623,7 +624,7 @@ def kmeans_converged(
             "vec_id",
             F.pmod("p", F.lit(k)).alias("cluster_id"),
             F.expr(f"p DIV {k}").alias("d2min"),
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         total = assign.agg(F.sum("d2min")).first()[0]
         per_dim = (
             assign.join(vecs, "vec_id")

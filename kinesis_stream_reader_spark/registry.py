@@ -1993,7 +1993,7 @@ _PRIORITY = [
     "feature_hashing_vectors", "er_sorted_neighborhood", "psm_att_matched",
     "cluster_purity_report", "graph_modularity_report", "wer_pairs_report",
     "stratified_kfold_assign", "rouge_l_pairs_report", "chrf_pairs_report",
-    "cohens_kappa_report",
+    "cohens_kappa_report", "multimodal_gif_decode",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -19809,3 +19809,40 @@ def cohens_kappa_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
     )
+
+
+@register(
+    "multimodal_gif_decode",
+    # indices follow (doc_id*7 + k) % 256; the palette is the
+    # deterministic formula (i, 3i % 256, 7i % 256), so the decoded
+    # byte mean is closed-form per doc
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, (doc_id * 7 + i.i) % 256 AS idx
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+), ch AS (
+  SELECT doc_id, w, h, v.v AS v
+  FROM px, LATERAL (SELECT UNNEST([idx, (idx * 3) % 256, (idx * 7) % 256]) AS v) v
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       3 AS channels, ROUND(AVG(v), 4) AS byte_mean
+FROM ch GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_gif_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL single-frame GIF87a decode executing in-sandbox (pure
+    stdlib + numpy: logical-screen grammar, 256-entry global color
+    table, spec-appendix-F LZW — variable-width LSB-first codes,
+    CLEAR/EOI, late width change, 4096-entry dict cap with reset;
+    interlace/local tables honestly gated) — the fourth real image
+    codec next to PPM/PNG/BMP and the first PALETTED one, so the
+    oracle recomputes RGB through the palette formula rather than raw
+    bytes. Decode is map-side Arrow-batched; only (doc_id, dims, mean)
+    shuffles — pixels never leave the executor (the multimodal house
+    contract)."""
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_decode_features(multimodal.synthetic_gif_media(docs))

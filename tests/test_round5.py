@@ -292,3 +292,51 @@ def test_kappa_bounds(spark, sf_dir):
     assert row.n_docs > 0
     assert 0.0 <= row.po <= 1.0 and 0.0 <= row.pe <= 1.0
     assert -1.0 <= row.kappa <= 1.0
+
+
+def test_gif_lzw_roundtrip_and_boundaries():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators.multimodal import (
+        _gif_palette,
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+        decode_gif,
+        encode_gif,
+    )
+
+    # width-change boundary: random stream long enough to push the code
+    # table past 512 and 1024 entries (9 -> 10 -> 11 bit codes)
+    rng = np.random.RandomState(42)
+    idx = [int(v) for v in rng.randint(0, 256, size=5000)]
+    assert _lzw_decode_gif(_lzw_encode_gif(idx)) == idx
+    # dict-cap boundary: compressible stream that exceeds 4096 entries,
+    # forcing a mid-stream CLEAR + reset
+    idx3 = [int(v) for v in np.tile(np.arange(64), 600)]
+    assert _lzw_decode_gif(_lzw_encode_gif(idx3)) == idx3
+    # full container round trip through the palette
+    w, h = 11, 7
+    raster = [(5 * i) % 256 for i in range(w * h)]
+    rgb = decode_gif(encode_gif(raster, w, h))
+    pal = np.frombuffer(_gif_palette(), dtype=np.uint8).reshape(256, 3)
+    assert (rgb == pal[np.asarray(raster).reshape(h, w)]).all()
+
+
+def test_gif_rejects_interlace_and_truncation():
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators.multimodal import (
+        decode_gif,
+        encode_gif,
+    )
+
+    gif = bytearray(encode_gif([1, 2, 3, 4], 2, 2))
+    # image descriptor flags byte: offset 6 (header) + 7 (LSD) + 768
+    # (GCT) + 9 -> set the interlace bit
+    flag_at = 6 + 7 + 768 + 9
+    gif[flag_at] |= 0x40
+    with _pytest.raises(NotImplementedError):
+        decode_gif(bytes(gif))
+    # parseable header but no image descriptor -> loud ValueError
+    with _pytest.raises(ValueError):
+        decode_gif(b"GIF87a" + b"\x00" * 7)

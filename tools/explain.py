@@ -164,6 +164,16 @@ HEADLINE = [
     ("dedup_keep_best", "component labels + per-component argmax keeper, vertex-restricted propagation"),
     ("readability_report", "Flesch counts: single codegen projection, no shuffle"),
     ("sql_collation_distinct", "collated COUNT DISTINCT: ordinary two-phase aggregate"),
+    ("psm_att_matched", "PSM as-of carry: score-bucket windows + bucket-prefix broadcast, no global sort"),
+    ("sprt_sequential_test", "SPRT: day-census offsets + per-day running windows, TakeOrdered(1) crossing"),
+    ("embedding_random_projection", "JL projection: broadcast sign matrix, partial agg before the (vec,k) shuffle"),
+    ("feature_hashing_vectors", "hashing trick: map-side JVM md5, 64-bucket-bounded partial agg"),
+    ("er_sorted_neighborhood", "sorted-neighborhood blocking: block-partitioned lead windows, zero joins"),
+    ("wer_pairs_report", "token WER: member-only hashed arrays, Arrow DP kernel, pair-keyed joins"),
+    ("chrf_pairs_report", "chrF: staged lead-window char grams, clip joins keyed (pair, gram)"),
+    ("cluster_purity_report", "purity/NMI: broadcast-seed argmin, k x labels census algebra"),
+    ("graph_modularity_report", "modularity: LPA labels + two label joins on edges, census algebra"),
+    ("cem_att_estimate", "CEM: user shuffle -> 10-cell common-support census, no window no join"),
 ]
 
 
