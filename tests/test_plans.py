@@ -344,3 +344,44 @@ def test_curriculum_shards_census_and_broadcast(spark, sf_dir, qs):
     plan = physical_plan(qs["curriculum_shards"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_psm_carry_windows_are_bucket_partitioned(spark, sf_dir, qs):
+    """PSM's as-of carry must run in score-bucket-partitioned windows
+    with a broadcast bucket-prefix join — never one global-sort window
+    over the user relation."""
+    plan = physical_plan(qs["psm_att_matched"](spark, sf_dir))
+    # the carry window partitions by the bucket column
+    assert "windowspecdefinition(b" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sprt_running_sums_partition_by_day(spark, sf_dir, qs):
+    """The SPRT running LLR decomposes into per-day windows (partitioned
+    by the day column) — the corpus never crosses a single global-sort
+    window."""
+    plan = physical_plan(qs["sprt_sequential_test"](spark, sf_dir))
+    assert "windowspecdefinition(d" in plan
+    # first crossing is a limit-style selection, not a full global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_random_projection_broadcasts_sign_matrix(spark, sf_dir, qs):
+    """The JL sign matrix (256 x 16 rows) must broadcast; the vector
+    relation never shuffles before its partial aggregation."""
+    plan = physical_plan(qs["embedding_random_projection"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kfold_window_partitions_by_stratum(spark, sf_dir, qs):
+    plan = physical_plan(qs["stratified_kfold_assign"](spark, sf_dir))
+    assert "windowspecdefinition(lang" in plan
+
+
+def test_wer_hashes_only_pair_members(spark, sf_dir, qs):
+    """WER must compute hashed-token arrays ONLY for pair members: the
+    plan carries the member semi-structure (a join on the member ids),
+    and the DP runs in an Arrow python node, not per-row UDFs."""
+    plan = physical_plan(qs["wer_pairs_report"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
