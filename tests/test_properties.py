@@ -645,3 +645,97 @@ def test_streaming_near_dedup_flags_duplicates(spark, tmp_path):
     firsts = {r.first_doc for r in winners.collect()}
     assert 0 in firsts and 2 in firsts and 4 in firsts
     assert 1 not in firsts and 3 not in firsts
+
+
+# --- round-5 late pass: DP kernels and the GIF LZW codec -----------------
+
+
+def _lev_naive(a, r):
+    """Reference O(n*m) cell-by-cell Levenshtein."""
+    m = len(r)
+    prev = list(range(m + 1))
+    for i, av in enumerate(a):
+        cur = [i + 1] + [0] * m
+        for j in range(1, m + 1):
+            cost = 0 if av == r[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[m]
+
+
+def _lcs_naive(a, r):
+    m = len(r)
+    prev = [0] * (m + 1)
+    for av in a:
+        cur = [0] * (m + 1)
+        for j in range(1, m + 1):
+            cur[j] = max(prev[j], cur[j - 1], prev[j - 1] + (av == r[j - 1]))
+        prev = cur
+    return prev[m]
+
+
+def _lev_vectorized(a, r):
+    """The exact numpy recurrence used in text.wer_pairs_report."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.int64)
+    r = np.asarray(r, dtype=np.int64)
+    m = len(r)
+    prev = np.arange(m + 1, dtype=np.int64)
+    idx = np.arange(m + 1, dtype=np.int64)
+    for i in range(len(a)):
+        t = np.empty(m + 1, dtype=np.int64)
+        t[0] = i + 1
+        cost = (a[i] != r).astype(np.int64)
+        t[1:] = np.minimum(prev[1:] + 1, prev[:-1] + cost)
+        t = np.minimum(t, np.minimum.accumulate(t - idx) + idx)
+        prev = t
+    return int(prev[m])
+
+
+def _lcs_vectorized(a, r):
+    """The exact numpy recurrence used in text.rouge_l_pairs_report."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.int64)
+    r = np.asarray(r, dtype=np.int64)
+    m = len(r)
+    prev = np.zeros(m + 1, dtype=np.int64)
+    for i in range(len(a)):
+        t = np.empty(m + 1, dtype=np.int64)
+        t[0] = 0
+        eq = (a[i] == r).astype(np.int64)
+        t[1:] = np.maximum(prev[1:], prev[:-1] + eq)
+        prev = np.maximum.accumulate(t)
+    return int(prev[m])
+
+
+_seq = st.lists(st.integers(min_value=0, max_value=6), min_size=0, max_size=24)
+
+
+@given(_seq, _seq)
+@settings(max_examples=300, deadline=None)
+def test_wer_dp_matches_naive_levenshtein(a, r):
+    if len(r) == 0 or len(a) == 0:
+        assert _lev_vectorized(a or [0], r or [0]) >= 0  # degenerate guard
+        return
+    assert _lev_vectorized(a, r) == _lev_naive(a, r)
+
+
+@given(_seq, _seq)
+@settings(max_examples=300, deadline=None)
+def test_lcs_dp_matches_naive(a, r):
+    if len(r) == 0:
+        return
+    assert _lcs_vectorized(a, r) == _lcs_naive(a, r)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=255), min_size=1, max_size=600))
+@settings(max_examples=150, deadline=None)
+def test_gif_lzw_roundtrip_property(indices):
+    from kinesis_stream_reader_spark.operators.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    assert _lzw_decode_gif(_lzw_encode_gif(indices)) == indices
