@@ -1994,6 +1994,7 @@ _PRIORITY = [
     "cluster_purity_report", "graph_modularity_report", "wer_pairs_report",
     "stratified_kfold_assign", "rouge_l_pairs_report", "chrf_pairs_report",
     "cohens_kappa_report", "multimodal_gif_decode",
+    "ridge_regression_closed_form",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -19846,3 +19847,147 @@ def multimodal_gif_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.image_decode_features(multimodal.synthetic_gif_media(docs))
+
+
+@register(
+    "ridge_regression_closed_form",
+    # per-user activity features -> exact bigint moment matrix ->
+    # 3x3 ridge normal equations solved by Cramer determinants (fixed
+    # double polynomials over exact integer moments)
+    """
+WITH pu AS (
+  SELECT user_id,
+         COUNT(*) AS x1,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x2,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY 1
+), m AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(x1)::BIGINT AS s1, SUM(x2)::BIGINT AS s2,
+         SUM(x1 * x1)::BIGINT AS s11, SUM(x1 * x2)::BIGINT AS s12,
+         SUM(x2 * x2)::BIGINT AS s22,
+         SUM(y)::BIGINT AS sy, SUM(x1 * y)::BIGINT AS s1y,
+         SUM(x2 * y)::BIGINT AS s2y
+  FROM pu
+), d AS (
+  SELECT n, sy, s1y, s2y,
+         CAST(n AS DOUBLE) AS a11, CAST(s1 AS DOUBLE) AS a12,
+         CAST(s2 AS DOUBLE) AS a13,
+         CAST(s1 AS DOUBLE) AS a21, CAST(s11 + 10000 AS DOUBLE) AS a22,
+         CAST(s12 AS DOUBLE) AS a23,
+         CAST(s2 AS DOUBLE) AS a31, CAST(s12 AS DOUBLE) AS a32,
+         CAST(s22 + 10000 AS DOUBLE) AS a33
+  FROM m
+), solved AS (
+  SELECT n,
+         a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31)
+           + a13 * (a21 * a32 - a22 * a31) AS det,
+         CAST(sy AS DOUBLE) * (a22 * a33 - a23 * a32)
+           - a12 * (CAST(s1y AS DOUBLE) * a33 - a23 * CAST(s2y AS DOUBLE))
+           + a13 * (CAST(s1y AS DOUBLE) * a32 - a22 * CAST(s2y AS DOUBLE))
+           AS det0,
+         a11 * (CAST(s1y AS DOUBLE) * a33 - a23 * CAST(s2y AS DOUBLE))
+           - CAST(sy AS DOUBLE) * (a21 * a33 - a23 * a31)
+           + a13 * (a21 * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * a31)
+           AS det1,
+         a11 * (a22 * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * a32)
+           - a12 * (a21 * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * a31)
+           + CAST(sy AS DOUBLE) * (a21 * a32 - a22 * a31) AS det2
+  FROM d
+)
+SELECT n::BIGINT AS n_users,
+       FLOOR(det0 / det * 1e6 + 0.5) / 1e6 AS beta0,
+       FLOOR(det1 / det * 1e6 + 0.5) / 1e6 AS beta1,
+       FLOOR(det2 / det * 1e6 + 0.5) / 1e6 AS beta2
+FROM solved
+""",
+)
+def ridge_regression_closed_form_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression by the closed-form normal equations (Hoerl &
+    Kennard 1970 — public method): predict per-user purchase spend
+    (cents) from activity features (event count, click count) with an
+    L2 penalty (lambda = 10^4 in cent^2 units) on the non-intercept
+    coefficients, solved exactly via Cramer's rule on the 3x3 system —
+    the linear-probe training kernel next to trend_lines (1 feature),
+    als_implicit_step (2x2 per-user solves) and pca_power_iteration.
+
+    Determinism: every moment (X'X, X'y) is an exact bigint sum; the
+    ridge-damped determinants are FIXED double polynomials over those
+    exact ints (entries ~1e14 < 2^53, so the int->double casts are
+    exact), giving identical IEEE sequences in both engines.
+
+    Plan shape / 100 TB: one user shuffle -> one 9-moment partial-agg
+    row -> driver-free scalar algebra. The feature matrix never
+    materializes; the solve is O(1). Linear, two aggregates total."""
+    events = load_events(spark, sf_dir)
+    pu = events.groupBy("user_id").agg(
+        F.count("*").alias("x1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x2"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+            ).otherwise(0)
+        ).alias("y"),
+    )
+    m = pu.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("s1"),
+        F.sum("x2").cast("long").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("s22"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("s2y"),
+    )
+    lam = 10_000
+    d = m.select(
+        "n",
+        "sy",
+        "s1y",
+        "s2y",
+        F.col("n").cast("double").alias("a11"),
+        F.col("s1").cast("double").alias("a12"),
+        F.col("s2").cast("double").alias("a13"),
+        F.col("s1").cast("double").alias("a21"),
+        (F.col("s11") + lam).cast("double").alias("a22"),
+        F.col("s12").cast("double").alias("a23"),
+        F.col("s2").cast("double").alias("a31"),
+        F.col("s12").cast("double").alias("a32"),
+        (F.col("s22") + lam).cast("double").alias("a33"),
+    )
+    sy = F.col("sy").cast("double")
+    s1y = F.col("s1y").cast("double")
+    s2y = F.col("s2y").cast("double")
+    a = {k: F.col(k) for k in ("a11", "a12", "a13", "a21", "a22", "a23", "a31", "a32", "a33")}
+    det = (
+        a["a11"] * (a["a22"] * a["a33"] - a["a23"] * a["a32"])
+        - a["a12"] * (a["a21"] * a["a33"] - a["a23"] * a["a31"])
+        + a["a13"] * (a["a21"] * a["a32"] - a["a22"] * a["a31"])
+    )
+    det0 = (
+        sy * (a["a22"] * a["a33"] - a["a23"] * a["a32"])
+        - a["a12"] * (s1y * a["a33"] - a["a23"] * s2y)
+        + a["a13"] * (s1y * a["a32"] - a["a22"] * s2y)
+    )
+    det1 = (
+        a["a11"] * (s1y * a["a33"] - a["a23"] * s2y)
+        - sy * (a["a21"] * a["a33"] - a["a23"] * a["a31"])
+        + a["a13"] * (a["a21"] * s2y - s1y * a["a31"])
+    )
+    det2 = (
+        a["a11"] * (a["a22"] * s2y - s1y * a["a32"])
+        - a["a12"] * (a["a21"] * s2y - s1y * a["a31"])
+        + sy * (a["a21"] * a["a32"] - a["a22"] * a["a31"])
+    )
+    solved = d.select(
+        "n", det.alias("det"), det0.alias("det0"), det1.alias("det1"), det2.alias("det2")
+    )
+    return solved.select(
+        F.col("n").cast("long").alias("n_users"),
+        (F.floor(F.col("det0") / F.col("det") * 1e6 + F.lit(0.5)) / 1e6).alias("beta0"),
+        (F.floor(F.col("det1") / F.col("det") * 1e6 + F.lit(0.5)) / 1e6).alias("beta1"),
+        (F.floor(F.col("det2") / F.col("det") * 1e6 + F.lit(0.5)) / 1e6).alias("beta2"),
+    )

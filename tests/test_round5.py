@@ -340,3 +340,39 @@ def test_gif_rejects_interlace_and_truncation():
     # parseable header but no image descriptor -> loud ValueError
     with _pytest.raises(ValueError):
         decode_gif(b"GIF87a" + b"\x00" * 7)
+
+
+def test_ridge_closed_form_matches_numpy(spark, sf_dir):
+    """The Cramer solve must agree with numpy's ridge solution on the
+    same per-user moments."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark import registry
+    from kinesis_stream_reader_spark.sources.tables import load_events
+    from pyspark.sql import functions as F
+
+    row = registry.QUERIES["ridge_regression_closed_form"](spark, sf_dir).collect()[0]
+    pu = (
+        load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("x1"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x2"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .collect()
+    )
+    X = np.array([[1.0, r.x1, r.x2] for r in pu])
+    y = np.array([float(r.y) for r in pu])
+    lam = 10_000
+    A = X.T @ X + lam * np.diag([0.0, 1.0, 1.0])
+    beta = np.linalg.solve(A, X.T @ y)
+    assert abs(row.beta0 - beta[0]) < 1e-3
+    assert abs(row.beta1 - beta[1]) < 1e-3
+    assert abs(row.beta2 - beta[2]) < 1e-3
+    assert row.n_users == len(pu)
