@@ -1994,7 +1994,8 @@ _PRIORITY = [
     "cluster_purity_report", "graph_modularity_report", "wer_pairs_report",
     "stratified_kfold_assign", "rouge_l_pairs_report", "chrf_pairs_report",
     "cohens_kappa_report", "multimodal_gif_decode",
-    "ridge_regression_closed_form",
+    "ridge_regression_closed_form", "streaming_drift_monitor",
+    "markov_next_event_eval", "brier_decomposition",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -19990,4 +19991,391 @@ def ridge_regression_closed_form_query(spark: SparkSession, sf_dir: str) -> Data
         (F.floor(F.col("det0") / F.col("det") * 1e6 + F.lit(0.5)) / 1e6).alias("beta0"),
         (F.floor(F.col("det1") / F.col("det") * 1e6 + F.lit(0.5)) / 1e6).alias("beta1"),
         (F.floor(F.col("det2") / F.col("det") * 1e6 + F.lit(0.5)) / 1e6).alias("beta2"),
+    )
+
+
+@register(
+    "streaming_drift_monitor",
+    # batch twin: hourly window census vs the global reference census,
+    # exact cross-multiplied TVD numerators (the drift_report integers),
+    # flag at 5% via the 1/20 integer gate
+    """
+WITH win AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         event_type, COUNT(*) AS w_t
+  FROM events GROUP BY 1, 2
+), ref AS (
+  SELECT event_type, COUNT(*) AS n_t FROM events GROUP BY 1
+), tot AS (
+  SELECT SUM(n_t) AS big_n FROM ref
+), wtot AS (
+  SELECT window_start, SUM(w_t) AS big_w FROM win GROUP BY 1
+), cells AS (
+  SELECT wt.window_start, wt.big_w, t.big_n, r.event_type,
+         COALESCE(w.w_t, 0) AS w_t, r.n_t
+  FROM wtot wt CROSS JOIN ref r CROSS JOIN tot t
+  LEFT JOIN win w ON w.window_start = wt.window_start
+                 AND w.event_type = r.event_type
+), agg AS (
+  SELECT window_start, ANY_VALUE(big_w) AS big_w, ANY_VALUE(big_n) AS big_n,
+         SUM(ABS(w_t * big_n - n_t * big_w))::BIGINT AS tvd_num
+  FROM cells GROUP BY 1
+)
+SELECT window_start, big_w::BIGINT AS n_window, tvd_num,
+       FLOOR(CAST(tvd_num AS DOUBLE) / (2.0 * big_w * big_n) * 1e6 + 0.5)
+         / 1e6 AS tvd,
+       tvd_num * 20 > 2 * big_w * big_n AS drift_flag
+FROM agg ORDER BY window_start
+""",
+)
+def streaming_drift_monitor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distribution-drift monitor: the watermarked hourly
+    event-type census runs ON THE STREAM (the windowed_counts stateful
+    operator, drained with Trigger.AvailableNow), and each finalized
+    window is scored against the static reference distribution by
+    total variation distance — the production observability loop that
+    pages when a traffic mix shifts (drift_report is its batch
+    snapshot twin).
+
+    Determinism: the TVD numerator is the drift_report convention —
+    exact cross-multiplied bigints |w_t*N - n_t*W| summed per window;
+    the 5% page threshold is the integer gate tvd_num*20 > 2*W*N.
+
+    Plan shape / 100 TB: the stream pays one watermark-bounded
+    stateful census (state = |windows in flight| x |types|); the
+    monitor algebra joins the drained census against a broadcast
+    |types|-row reference — nothing downstream of the stream touches
+    event rows."""
+    from .streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    win = jobs.run_available_now(
+        jobs.windowed_counts(stream), "streaming_drift_monitor"
+    )
+    events = load_events(spark, sf_dir)
+    ref = events.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    tot = ref.agg(F.sum("n_t").alias("big_n"))
+    wtot = win.groupBy("window_start").agg(F.sum("n_events").alias("big_w"))
+    wcounts = win.select(
+        F.col("window_start").alias("ws"),
+        F.col("event_type").alias("et"),
+        F.col("n_events").alias("w_t_raw"),
+    )
+    cells = (
+        wtot.crossJoin(F.broadcast(ref))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            wcounts,
+            (F.col("window_start") == F.col("ws"))
+            & (F.col("event_type") == F.col("et")),
+            "left",
+        )
+        .select(
+            "window_start",
+            "big_w",
+            "big_n",
+            "n_t",
+            F.coalesce(F.col("w_t_raw"), F.lit(0)).alias("w_t"),
+        )
+    )
+    agg = cells.groupBy("window_start").agg(
+        F.first("big_w").alias("big_w"),
+        F.first("big_n").alias("big_n"),
+        F.sum(F.abs(F.col("w_t") * F.col("big_n") - F.col("n_t") * F.col("big_w")))
+        .cast("long")
+        .alias("tvd_num"),
+    )
+    return agg.select(
+        "window_start",
+        F.col("big_w").cast("long").alias("n_window"),
+        "tvd_num",
+        (
+            F.floor(
+                F.col("tvd_num").cast("double")
+                / (F.lit(2.0) * F.col("big_w") * F.col("big_n"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("tvd"),
+        (F.col("tvd_num") * 20 > 2 * F.col("big_w") * F.col("big_n")).alias(
+            "drift_flag"
+        ),
+    ).orderBy("window_start")
+
+
+@register(
+    "markov_next_event_eval",
+    # split transitions at the epoch midpoint; train argmax (ties to the
+    # smallest next type) on the early half, top-1 accuracy on the late
+    """
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+), seq AS (
+  SELECT user_id, event_type AS cur, ts, event_id,
+         LEAD(event_type) OVER w AS nxt,
+         CASE WHEN epoch_us(ts) >= (b.mn + b.mx) // 2 THEN 1 ELSE 0 END
+           AS period
+  FROM events, bounds b
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tr AS (
+  SELECT cur, nxt, period FROM seq WHERE nxt IS NOT NULL
+), train AS (
+  SELECT cur, nxt, COUNT(*) AS n FROM tr WHERE period = 0 GROUP BY 1, 2
+), pred AS (
+  SELECT cur, nxt AS pred FROM train
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY cur ORDER BY n DESC, nxt) = 1
+), ev AS (
+  SELECT t.cur, t.nxt, p.pred FROM tr t LEFT JOIN pred p USING (cur)
+  WHERE t.period = 1
+)
+SELECT (SELECT SUM(n) FROM train)::BIGINT AS n_train,
+       COUNT(*)::BIGINT AS n_eval,
+       COUNT(CASE WHEN pred IS NULL THEN 1 END)::BIGINT AS n_uncovered,
+       FLOOR(CAST(COUNT(CASE WHEN nxt = pred THEN 1 END) AS DOUBLE)
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS top1_accuracy
+FROM ev
+""",
+)
+def markov_next_event_eval_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction eval for the first-order Markov model
+    (the markov_transition_matrix trained and SCORED): transitions
+    before the dataset's epoch midpoint train per-state argmax
+    predictions (ties to the smallest next type — deterministic), and
+    the held-out later transitions measure top-1 accuracy — the
+    train/eval loop that turns the transition matrix into a sequence
+    model with a number attached.
+
+    Determinism: the split is exact integer epoch-microsecond
+    arithmetic (the did_estimate convention); the argmax is
+    (count desc, type asc); accuracy is one fixed division of exact
+    counts.
+
+    Plan shape / 100 TB: one user-clustered window pass builds
+    transitions; train census and predictions are |types|^2 cells; the
+    eval join broadcasts the |types|-row prediction table. Linear."""
+    events = load_events(spark, sf_dir)
+    bounds = events.agg(
+        F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        events.crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+            F.when(
+                F.unix_micros("ts")
+                >= F.floor((F.col("mn") + F.col("mx")) / 2).cast("long"),
+                1,
+            )
+            .otherwise(0)
+            .alias("period"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    train = (
+        seq.filter(F.col("period") == 0)
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+    pred = (
+        train.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cur").orderBy(F.col("n").desc(), "nxt")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("pred"))
+    )
+    n_train = train.agg(F.sum("n").alias("n_train"))
+    ev = seq.filter(F.col("period") == 1).join(F.broadcast(pred), "cur", "left")
+    return (
+        ev.agg(
+            F.count("*").alias("n_eval"),
+            F.sum(F.when(F.col("pred").isNull(), 1).otherwise(0)).alias("n_uncovered"),
+            F.sum(F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+        )
+        .crossJoin(F.broadcast(n_train))
+        .select(
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_eval").cast("long").alias("n_eval"),
+            F.col("n_uncovered").cast("long").alias("n_uncovered"),
+            (
+                F.floor(
+                    F.col("n_correct").cast("double") / F.col("n_eval") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("top1_accuracy"),
+        )
+    )
+
+
+@register(
+    "brier_decomposition",
+    # quality logit -> exact-integer linear squashing p_u =
+    # clamp(lu + 2e4, 0, 4e4) * 25 (no libm exp — the calibration
+    # docstring's cross-engine rule); Murphy terms from exact censuses
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         len({{toks}})::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter({{toks}}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           AS n_stop,
+         (length(text) - length(replace(text, '.', '')))::DOUBLE AS n_dots
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), z AS (
+  SELECT f.doc_id,
+         (SELECT w FROM wts WHERE i = 0) * (n_tokens / 100.0)
+         + (SELECT w FROM wts WHERE i = 1) * (n_stop / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 2) * (n_chars / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 3) * (n_dots / (n_chars + 1.0))
+         + (SELECT w FROM wts WHERE i = 4) AS z
+  FROM f
+), lab AS (
+  SELECT z.doc_id,
+         CAST(FLOOR(z * 1e4 + 0.5) AS BIGINT) AS lu,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM z JOIN documents d ON d.doc_id = z.doc_id
+), p AS (
+  SELECT LEAST(GREATEST(lu + 20000, 0), 40000) * 25 AS pq, pos FROM lab
+), binned AS (
+  SELECT LEAST(pq // 100000, 9) AS bin, pq, pos FROM p
+), cells AS (
+  SELECT bin, COUNT(*) AS n, SUM(pos) AS k, SUM(pq) AS sp FROM binned
+  GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS nn, SUM(k) AS kk FROM cells
+), brier AS (
+  SELECT SUM((pq - pos * 1000000) * (pq - pos * 1000000)) AS b12 FROM p
+), terms AS (
+  SELECT SUM(CAST(FLOOR(CAST((sp - k * 1000000) AS DOUBLE)
+                        * (sp - k * 1000000) / n / 1e12 * 1e9 + 0.5)
+             AS BIGINT)) AS relq,
+         SUM(CAST(FLOOR(CAST((k * t.nn - t.kk * n) AS DOUBLE)
+                        * (k * t.nn - t.kk * n) / n / t.nn / t.nn * 1e9 + 0.5)
+             AS BIGINT)) AS resq
+  FROM cells, tot t
+)
+SELECT t.nn::BIGINT AS n_docs,
+       FLOOR(CAST(b.b12 AS DOUBLE) / t.nn / 1e12 * 1e6 + 0.5) / 1e6 AS brier,
+       FLOOR(CAST(x.relq AS DOUBLE) / 1e9 / t.nn * 1e6 + 0.5) / 1e6
+         AS reliability,
+       FLOOR(CAST(x.resq AS DOUBLE) / 1e9 / t.nn * 1e6 + 0.5) / 1e6
+         AS resolution,
+       FLOOR(CAST(t.kk AS DOUBLE) * (t.nn - t.kk) / t.nn / t.nn * 1e6 + 0.5)
+         / 1e6 AS uncertainty
+FROM tot t, brier b, terms x
+""".replace("{toks}", "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"),
+)
+def brier_decomposition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy (1973 — public) decomposition
+    brier ~ reliability - resolution + uncertainty for the quality
+    model against the lang='en' pseudo-label: calibration_report plots
+    the reliability diagram; this turns it into the three scalar terms
+    a model report quotes. Probabilities come from an EXACT-INTEGER
+    piecewise-linear squashing of the quantized logit
+    (p_u = clamp(lu + 2e4, 0, 4e4) * 25, i.e. logit -2..+2 maps to
+    0..1) — a Platt-style linear calibration that deliberately avoids
+    libm exp(), whose last-ulp behavior diverges across engines (the
+    calibration_report rule).
+
+    Determinism: p_u, the per-doc Brier numerator, and every census
+    cell are exact bigints; the per-bin reliability/resolution terms
+    quantize to 1e-9 ints BEFORE summation; outputs are single IEEE
+    expressions.
+
+    Plan shape / 100 TB: scoring is the same single codegen pass as
+    quality_model_score; everything after is a 10-cell census. Linear."""
+    from .operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_model_score(docs)
+    labeled = scored.join(
+        docs.select("doc_id", (F.col("lang") == "en").cast("int").alias("pos")),
+        "doc_id",
+    )
+    lu = F.floor(F.col("logit") * 1e4 + F.lit(0.5)).cast("long")
+    p = labeled.select(
+        (F.least(F.greatest(lu + 20000, F.lit(0)), F.lit(40000)) * 25).alias("pq"),
+        "pos",
+    )
+    binned = p.select(
+        F.least(F.floor(F.col("pq") / 100000), F.lit(9)).cast("long").alias("bin"),
+        "pq",
+        "pos",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("k"), F.sum("pq").alias("sp")
+    )
+    tot = cells.agg(F.sum("n").alias("nn"), F.sum("k").alias("kk"))
+    brier = p.agg(
+        F.sum(
+            (F.col("pq") - F.col("pos") * 1000000)
+            * (F.col("pq") - F.col("pos") * 1000000)
+        ).alias("b12")
+    )
+    terms = cells.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.floor(
+                (F.col("sp") - F.col("k") * 1000000).cast("double")
+                * (F.col("sp") - F.col("k") * 1000000)
+                / F.col("n")
+                / 1e12
+                * 1e9
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("relq"),
+        F.sum(
+            F.floor(
+                (F.col("k") * F.col("nn") - F.col("kk") * F.col("n")).cast("double")
+                * (F.col("k") * F.col("nn") - F.col("kk") * F.col("n"))
+                / F.col("n")
+                / F.col("nn")
+                / F.col("nn")
+                * 1e9
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("resq"),
+    )
+    return (
+        tot.crossJoin(brier)
+        .crossJoin(terms)
+        .select(
+            F.col("nn").cast("long").alias("n_docs"),
+            (
+                F.floor(F.col("b12").cast("double") / F.col("nn") / 1e12 * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("brier"),
+            (
+                F.floor(F.col("relq").cast("double") / 1e9 / F.col("nn") * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("reliability"),
+            (
+                F.floor(F.col("resq").cast("double") / 1e9 / F.col("nn") * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("resolution"),
+            (
+                F.floor(
+                    F.col("kk").cast("double")
+                    * (F.col("nn") - F.col("kk"))
+                    / F.col("nn")
+                    / F.col("nn")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("uncertainty"),
+        )
     )

@@ -376,3 +376,38 @@ def test_ridge_closed_form_matches_numpy(spark, sf_dir):
     assert abs(row.beta1 - beta[1]) < 1e-3
     assert abs(row.beta2 - beta[2]) < 1e-3
     assert row.n_users == len(pu)
+
+
+def test_streaming_drift_monitor_invariants(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    rows = registry.QUERIES["streaming_drift_monitor"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.n_window > 0 and r.tvd_num >= 0
+        assert 0.0 <= r.tvd <= 1.0
+        # the flag is exactly the 5% integer gate
+        assert r.drift_flag == (r.tvd > 0.05) or abs(r.tvd - 0.05) < 1e-5
+
+
+def test_markov_eval_bounds(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["markov_next_event_eval"](spark, sf_dir).collect()[0]
+    assert row.n_train > 0 and row.n_eval > 0
+    assert 0 <= row.n_uncovered <= row.n_eval
+    assert 0.0 <= row.top1_accuracy <= 1.0
+    # 5 uniform event types: argmax prediction should beat 1/5 - noise
+    assert row.top1_accuracy > 0.1
+
+
+def test_brier_murphy_identity_bounds(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["brier_decomposition"](spark, sf_dir).collect()[0]
+    assert 0.0 <= row.brier <= 1.0
+    assert row.reliability >= 0.0 and row.resolution >= 0.0
+    assert 0.0 <= row.uncertainty <= 0.25 + 1e-9
+    # Murphy identity holds up to the within-bin forecast variance term
+    # (which is >= 0), so REL - RES + UNC <= brier + quantization slack
+    assert row.reliability - row.resolution + row.uncertainty <= row.brier + 1e-3
