@@ -1996,6 +1996,7 @@ _PRIORITY = [
     "cohens_kappa_report", "multimodal_gif_decode",
     "ridge_regression_closed_form", "streaming_drift_monitor",
     "markov_next_event_eval", "brier_decomposition",
+    "dtw_timeseries_similarity", "harmonic_centrality",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -20378,4 +20379,296 @@ def brier_decomposition_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1e6
             ).alias("uncertainty"),
         )
+    )
+
+
+
+@register(
+    "dtw_timeseries_similarity",
+    # dense daily count series per type -> banded DTW replayed as a
+    # recursive-CTE DP over dp-row lists (the wer/rouge loop-oracle
+    # convention); the in-row dependency resolves by the unrolled
+    # identity new[p] = C_p + min_{k<=p}(t_k - C_{k-1}); brute-force
+    # DP equality pytest-checked
+    """
+WITH RECURSIVE days AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), cal AS (
+  SELECT MIN(d) AS d0, MAX(d) AS d1 FROM days
+), grid AS (
+  SELECT UNNEST(range(0, DATEDIFF('day', d0, d1) + 1)) AS i FROM cal
+), types AS (
+  SELECT DISTINCT event_type FROM days
+), series AS (
+  SELECT t.event_type, list(COALESCE(dy.n, 0) ORDER BY g.i) AS v
+  FROM types t CROSS JOIN grid g CROSS JOIN cal c
+  LEFT JOIN days dy ON dy.event_type = t.event_type
+                   AND dy.d = c.d0 + CAST(g.i AS INTEGER)
+  GROUP BY t.event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.v AS va, b.v AS vb
+  FROM series a JOIN series b ON a.event_type < b.event_type
+), dp AS (
+  SELECT type_a, type_b, va, vb, 0 AS i,
+         list_transform(range(1, len(vb) + 2), p ->
+           CASE WHEN p = 1 THEN 0 ELSE 1099511627776 END) AS d
+  FROM pairs
+  UNION ALL
+  SELECT type_a, type_b, va, vb, i + 1 AS i,
+         list_transform(range(1, len(vb) + 2), p ->
+           CASE WHEN p = 1 OR ABS((i + 1) - (p - 1)) > 7
+                THEN 1099511627776
+                ELSE LEAST(1099511627776,
+                  cc.cc[p] + list_aggregate(
+                    list_transform(range(2, p + 1), k -> tt.tt[k] - cc.cc[k - 1]),
+                    'min'))
+           END) AS d
+  FROM dp,
+  LATERAL (
+    SELECT list_transform(range(1, len(vb) + 2), p ->
+      CASE WHEN p = 1 THEN 0
+           ELSE list_aggregate(
+             list_transform(range(2, p + 1), q -> ABS(va[i + 1] - vb[q - 1])),
+             'sum')
+      END) AS cc
+  ) cc,
+  LATERAL (
+    SELECT list_transform(range(1, len(vb) + 2), k ->
+      CASE WHEN k = 1 OR ABS((i + 1) - (k - 1)) > 7
+           THEN 1099511627776
+           ELSE LEAST(d[k], d[k - 1]) END) AS tt
+  ) tt
+  WHERE i < len(va)
+)
+SELECT type_a, type_b, len(va)::BIGINT AS n_days, d[len(vb) + 1]::BIGINT AS dtw,
+       FLOOR(CAST(d[len(vb) + 1] AS DOUBLE) / (2 * len(va)) * 1e6 + 0.5) / 1e6
+         AS dtw_per_step
+FROM dp WHERE i = len(va)
+ORDER BY type_a, type_b
+""",
+)
+def dtw_timeseries_similarity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping (Sakoe & Chiba 1978, with their band
+    constraint r=7 — public method) between the daily activity series
+    of every event-type pair: the alignment-based similarity that
+    tolerates phase shift, next to timeseries_topk_similar's rigid
+    z-normalized L2. Costs are |count difference| — exact integers —
+    so the whole DP is bigint arithmetic.
+
+    Plan shape / 100 TB: the corpus collapses to per-type daily
+    censuses (one partial-agg shuffle); the dense calendar grid, the
+    |types|^2/2 pair relation, and the banded O(n*r) DP all run on
+    census-sized data (an Arrow-batched numpy kernel per pair, the
+    wer/rouge shape). The band keeps per-pair cost linear in series
+    length; series length is |days|, independent of corpus size."""
+    import pandas as pd
+
+    events = load_events(spark, sf_dir)
+    days = events.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    cal = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = cal.select(
+        "d0", F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias("i")
+    )
+    types = days.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(grid))
+        .join(
+            days.withColumnRenamed("event_type", "et"),
+            (F.col("event_type") == F.col("et"))
+            & (F.col("d") == F.date_add(F.col("d0"), F.col("i"))),
+            "left",
+        )
+        .select("event_type", "i", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+    series = dense.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "n"))), lambda s: s["n"]
+        ).alias("v")
+    )
+    pairs = (
+        series.alias("a")
+        .join(series.alias("b"), F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
+    )
+
+    def _dtw_batches(batches):
+        import numpy as np
+
+        sent = 1 << 40
+        r = 7
+        for pdf in batches:
+            dtws = []
+            lens = []
+            for va, vb in zip(pdf["va"], pdf["vb"]):
+                a = np.asarray(va, dtype=np.int64)
+                b = np.asarray(vb, dtype=np.int64)
+                n, m = len(a), len(b)
+                prev = np.full(m + 1, sent, dtype=np.int64)
+                prev[0] = 0
+                for i in range(1, n + 1):
+                    cost = np.abs(a[i - 1] - b)
+                    cc = np.concatenate(([0], np.cumsum(cost)))
+                    t = np.minimum(prev[1:], prev[:-1])
+                    lo, hi = max(1, i - r), min(m, i + r)
+                    tprime = np.full(m + 1, sent, dtype=np.int64)
+                    tprime[lo : hi + 1] = t[lo - 1 : hi] - cc[lo - 1 : hi]
+                    run = np.minimum.accumulate(tprime)
+                    new = np.full(m + 1, sent, dtype=np.int64)
+                    new[lo : hi + 1] = np.minimum(
+                        sent, cc[lo : hi + 1] + run[lo : hi + 1]
+                    )
+                    new[0] = sent
+                    prev = new
+                dtws.append(int(prev[m]))
+                lens.append(n)
+            yield pd.DataFrame(
+                {
+                    "type_a": pdf["type_a"],
+                    "type_b": pdf["type_b"],
+                    "n_days": lens,
+                    "dtw": dtws,
+                }
+            )
+
+    out = pairs.mapInPandas(
+        _dtw_batches, "type_a string, type_b string, n_days long, dtw long"
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        "dtw",
+        (
+            F.floor(F.col("dtw").cast("double") / (2 * F.col("n_days")) * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("dtw_per_step"),
+    ).orderBy("type_a", "type_b")
+
+
+@register(
+    "harmonic_centrality",
+    # 6 unrolled multi-source min-plus rounds (the shortest_path_bounded
+    # convention, all sources at once), then per-source 1/d sums with
+    # exact integer nano-unit terms
+    """
+WITH e AS (
+  SELECT DISTINCT user_id % 100 AS u, 100 + event_id % 100 AS v FROM events
+), und AS (
+  SELECT u AS src, v AS dst FROM e
+  UNION ALL SELECT v AS src, u AS dst FROM e
+), verts AS (
+  SELECT DISTINCT src AS v FROM und
+), h0 AS (
+  SELECT v AS s, v AS node, CAST(0 AS BIGINT) AS d FROM verts
+), h1 AS (
+  SELECT s, node, MIN(d) AS d FROM (
+    SELECT s, node, d FROM h0
+    UNION ALL
+    SELECT p.s, e.dst AS node, p.d + 1 AS d
+    FROM h0 p JOIN und e ON e.src = p.node
+  ) GROUP BY s, node), h2 AS (
+  SELECT s, node, MIN(d) AS d FROM (
+    SELECT s, node, d FROM h1
+    UNION ALL
+    SELECT p.s, e.dst AS node, p.d + 1 AS d
+    FROM h1 p JOIN und e ON e.src = p.node
+  ) GROUP BY s, node), h3 AS (
+  SELECT s, node, MIN(d) AS d FROM (
+    SELECT s, node, d FROM h2
+    UNION ALL
+    SELECT p.s, e.dst AS node, p.d + 1 AS d
+    FROM h2 p JOIN und e ON e.src = p.node
+  ) GROUP BY s, node), h4 AS (
+  SELECT s, node, MIN(d) AS d FROM (
+    SELECT s, node, d FROM h3
+    UNION ALL
+    SELECT p.s, e.dst AS node, p.d + 1 AS d
+    FROM h3 p JOIN und e ON e.src = p.node
+  ) GROUP BY s, node), h5 AS (
+  SELECT s, node, MIN(d) AS d FROM (
+    SELECT s, node, d FROM h4
+    UNION ALL
+    SELECT p.s, e.dst AS node, p.d + 1 AS d
+    FROM h4 p JOIN und e ON e.src = p.node
+  ) GROUP BY s, node), h6 AS (
+  SELECT s, node, MIN(d) AS d FROM (
+    SELECT s, node, d FROM h5
+    UNION ALL
+    SELECT p.s, e.dst AS node, p.d + 1 AS d
+    FROM h5 p JOIN und e ON e.src = p.node
+  ) GROUP BY s, node
+)
+SELECT s AS node, COUNT(*) - 1 AS n_reached,
+       FLOOR(CAST(SUM(CASE WHEN d > 0
+                  THEN CAST(FLOOR(1e9 / d + 0.5) AS BIGINT) ELSE 0 END) AS DOUBLE)
+             / 1e9 * 1e6 + 0.5) / 1e6 AS harmonic
+FROM h6 GROUP BY s ORDER BY s
+""",
+)
+def harmonic_centrality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014 formulation — public
+    measure): H(v) = sum over reachable u != v of 1/d(v,u), computed
+    EXACTLY by six multi-source min-plus rounds over the dense-id
+    interaction projection — the exact companion the HyperBall sketch
+    (hyperball_neighborhood) approximates at scale, completing the
+    centrality family next to pagerank (eigen), degree, and k-core.
+
+    Determinism: distances are exact integer min-plus; each 1/d term
+    quantizes to an exact nano-unit integer before summation.
+
+    Plan shape / 100 TB: the projection saturates at 200 vertices, so
+    the (source, node) relation is bounded at |V|^2 rows; each round
+    is one union + one min aggregate keyed on (source, node) —
+    exchange-reused across rounds. All-pairs exact BFS is inherently
+    |V|^2 (the documented diagnostic knob); HyperBall IS the engine's
+    linear-at-scale path for this measure."""
+    events = load_events(spark, sf_dir)
+    e = events.select(
+        (F.col("user_id") % 100).alias("u"),
+        (100 + F.col("event_id") % 100).alias("v"),
+    ).distinct()
+    und = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    verts = und.select(F.col("src").alias("vx")).distinct()
+    h = verts.select(
+        F.col("vx").alias("s"), F.col("vx").alias("node"), F.lit(0).cast("long").alias("d")
+    )
+    for _ in range(6):
+        stepped = h.alias("p").join(und.alias("e"), F.col("p.node") == F.col("e.src")).select(
+            F.col("p.s").alias("s"), F.col("e.dst").alias("node"), (F.col("p.d") + 1).alias("d")
+        )
+        h = (
+            h.unionByName(stepped)
+            .groupBy("s", "node")
+            .agg(F.min("d").alias("d"))
+        )
+    return (
+        h.groupBy(F.col("s").alias("node"))
+        .agg(
+            (F.count("*") - 1).cast("long").alias("n_reached"),
+            F.sum(
+                F.when(
+                    F.col("d") > 0,
+                    F.floor(F.lit(1e9) / F.col("d") + F.lit(0.5)).cast("long"),
+                ).otherwise(0)
+            ).alias("hq"),
+        )
+        .select(
+            "node",
+            "n_reached",
+            (F.floor(F.col("hq").cast("double") / 1e9 * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "harmonic"
+            ),
+        )
+        .orderBy("node")
     )

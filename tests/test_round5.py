@@ -411,3 +411,60 @@ def test_brier_murphy_identity_bounds(spark, sf_dir):
     # Murphy identity holds up to the within-bin forecast variance term
     # (which is >= 0), so REL - RES + UNC <= brier + quantization slack
     assert row.reliability - row.resolution + row.uncertainty <= row.brier + 1e-3
+
+
+def test_dtw_kernel_matches_bruteforce(spark, sf_dir):
+    """The banded prefix-min DTW kernel must equal the cell-by-cell DP."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark import registry
+
+    rows = registry.QUERIES["dtw_timeseries_similarity"](spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2) type pairs
+    # independent brute-force on one pair pulled from the same census
+    from kinesis_stream_reader_spark.sources.tables import load_events
+    from pyspark.sql import functions as F
+
+    days = (
+        load_events(spark, sf_dir)
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    d0 = min(r.d for r in days)
+    ndays = (max(r.d for r in days) - d0).days + 1
+    series = {}
+    for r in days:
+        series.setdefault(r.event_type, np.zeros(ndays, dtype=np.int64))[
+            (r.d - d0).days
+        ] = r.n
+
+    def brute(a, b, band=7):
+        inf = 1 << 40
+        n, m = len(a), len(b)
+        dp = np.full((n + 1, m + 1), inf, dtype=np.int64)
+        dp[0][0] = 0
+        for i in range(1, n + 1):
+            for j in range(1, m + 1):
+                if abs(i - j) > band:
+                    continue
+                c = abs(int(a[i - 1]) - int(b[j - 1]))
+                dp[i][j] = min(inf, c + min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]))
+        return int(dp[n][m])
+
+    by_pair = {(r.type_a, r.type_b): r.dtw for r in rows}
+    ts = sorted(series)
+    for i in range(len(ts)):
+        for j in range(i + 1, len(ts)):
+            assert by_pair[(ts[i], ts[j])] == brute(series[ts[i]], series[ts[j]])
+
+
+def test_harmonic_centrality_bounds(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    rows = registry.QUERIES["harmonic_centrality"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # H(v) <= n_reached (each term <= 1), and > n_reached/6 (d <= 6)
+        assert r.harmonic <= r.n_reached + 1e-6
+        assert r.harmonic >= r.n_reached / 6.0 - 1e-6
