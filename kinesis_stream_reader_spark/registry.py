@@ -1997,6 +1997,7 @@ _PRIORITY = [
     "ridge_regression_closed_form", "streaming_drift_monitor",
     "markov_next_event_eval", "brier_decomposition",
     "dtw_timeseries_similarity", "harmonic_centrality",
+    "matrix_profile_daily", "pelt_changepoints",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -20693,3 +20694,243 @@ def harmonic_centrality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("node")
     )
+
+
+@register(
+    "matrix_profile_daily",
+    # length-7 subsequences of the daily count series via lead windows;
+    # exact integer squared-L2 distances; exclusion zone |i-j| < 7
+    """
+WITH days AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d, COUNT(*) AS n
+  FROM events GROUP BY 1
+), cal AS (
+  SELECT MIN(d) AS d0, MAX(d) AS d1 FROM days
+), grid AS (
+  SELECT UNNEST(range(0, DATEDIFF('day', d0, d1) + 1)) AS i FROM cal
+), series AS (
+  SELECT g.i, COALESCE(dy.n, 0) AS y
+  FROM grid g CROSS JOIN cal c
+  LEFT JOIN days dy ON dy.d = c.d0 + CAST(g.i AS INTEGER)
+), subs AS (
+  SELECT i,
+         [y, LEAD(y, 1) OVER w, LEAD(y, 2) OVER w, LEAD(y, 3) OVER w,
+          LEAD(y, 4) OVER w, LEAD(y, 5) OVER w, LEAD(y, 6) OVER w] AS s
+  FROM series WINDOW w AS (ORDER BY i)
+  QUALIFY LEAD(y, 6) OVER w IS NOT NULL
+), dists AS (
+  SELECT a.i AS i, b.i AS j,
+         list_aggregate(list_transform(a.s, (v, k) ->
+           (v - b.s[k]) * (v - b.s[k])), 'sum') AS d2
+  FROM subs a JOIN subs b ON ABS(a.i - b.i) >= 7
+)
+SELECT i, d2::BIGINT AS mp_dist, j::BIGINT AS mp_index FROM (
+  SELECT i, j, d2, ROW_NUMBER() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+  FROM dists
+) WHERE rn = 1 ORDER BY i
+""",
+)
+def matrix_profile_daily_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matrix profile (Yeh et al., ICDM 2016 — public method) of the
+    daily event-count series with subsequence length 7 and the
+    standard exclusion zone (|i-j| >= m): for every week-long window,
+    the distance to (and index of) its nearest non-trivial match —
+    low profile values are MOTIFS (repeated weekly patterns), peaks
+    are DISCORDS (anomalous weeks); the motif/discord complement of
+    the decomposition-based anomaly flags.
+
+    Determinism: counts are exact ints, distances are exact integer
+    squared L2, the argmin tie-breaks on the smallest index.
+
+    Plan shape / 100 TB: the corpus collapses to the day census; the
+    all-pairs subsequence relation is |days|^2 rows of 7-int arrays —
+    census-sized regardless of corpus size. (For long series the
+    published STOMP ordering replaces the quadratic join; at
+    day-census lengths the exact join IS the right plan.)"""
+    events = load_events(spark, sf_dir)
+    days = events.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("d")
+    ).agg(F.count("*").alias("n"))
+    cal = days.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    grid = cal.select(
+        "d0", F.explode(F.sequence(F.lit(0), F.datediff("d1", "d0"))).alias("i")
+    )
+    series = grid.join(
+        days, F.col("d") == F.date_add(F.col("d0"), F.col("i")), "left"
+    ).select("i", F.coalesce(F.col("n"), F.lit(0)).alias("y"))
+    w = Window.orderBy("i")
+    leads = [F.lead("y", k).over(w) for k in range(7)]
+    subs = series.select("i", F.array(*leads).alias("s")).filter(
+        F.element_at(F.col("s"), 7).isNotNull()
+    )
+    d2 = F.aggregate(
+        F.zip_with("s", "s2", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dists = (
+        subs.alias("a")
+        .join(
+            subs.select(F.col("i").alias("j"), F.col("s").alias("s2")).alias("b"),
+            F.abs(F.col("a.i") - F.col("j")) >= 7,
+        )
+        .select(F.col("a.i").alias("i"), "j", d2.alias("d2"))
+    )
+    return (
+        dists.groupBy("i")
+        .agg(
+            F.min("d2").cast("long").alias("mp_dist"),
+            F.min(F.struct("d2", "j")).getField("j").cast("long").alias("mp_index"),
+        )
+        .orderBy("i")
+    )
+
+
+@register(
+    "pelt_changepoints",
+    # exact OPT/PELT dynamic program over the daily purchase-cents
+    # census: quantized SSE segment costs from exact prefix sums, the
+    # DP replayed as a recursive CTE carrying the F/argmin lists
+    # (argmin encoded val*1024 + s, ties to the smallest s), then a
+    # backtrack recursion emits the optimal segments
+    """
+WITH RECURSIVE days AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS d,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS y
+  FROM events GROUP BY 1
+), cal AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM days),
+grid AS (SELECT UNNEST(range(0, DATEDIFF('day', d0, d1) + 1)) AS i FROM cal),
+series AS (
+  SELECT g.i, COALESCE(dy.y, 0) AS y
+  FROM grid g CROSS JOIN cal c
+  LEFT JOIN days dy ON dy.d = c.d0 + CAST(g.i AS INTEGER)
+), ser AS (
+  SELECT list(y ORDER BY i) AS ys, COUNT(*) AS n FROM series
+), pre AS (
+  SELECT n, ys,
+    list_transform(range(1, n + 2), p ->
+      CASE WHEN p = 1 THEN 0 ELSE list_aggregate(ys[1:p - 1], 'sum') END) AS sp,
+    list_transform(range(1, n + 2), p ->
+      CASE WHEN p = 1 THEN 0
+           ELSE list_aggregate(list_transform(ys[1:p - 1], v -> v * v), 'sum')
+      END) AS sq
+  FROM ser
+), withbeta AS (
+  SELECT n, sp, sq,
+    CAST(FLOOR(CAST((sq[n + 1] - sq[1]) * n
+         - (sp[n + 1] - sp[1]) * (sp[n + 1] - sp[1]) AS DOUBLE)
+         / n / 1e4 + 0.5) AS BIGINT) // 8 AS beta
+  FROM pre
+), dp AS (
+  SELECT 0 AS t, [-beta] AS f, CAST([] AS BIGINT[]) AS a, n, sp, sq, beta
+  FROM withbeta
+  UNION ALL
+  SELECT t + 1,
+         list_append(f, best.e // 1024),
+         list_append(a, best.e % 1024),
+         n, sp, sq, beta
+  FROM dp, LATERAL (
+    SELECT MIN(
+      (f[s.s + 1] + beta +
+        CAST(FLOOR(CAST((sq[t + 2] - sq[s.s + 1]) * (t + 1 - s.s)
+             - (sp[t + 2] - sp[s.s + 1]) * (sp[t + 2] - sp[s.s + 1]) AS DOUBLE)
+             / (t + 1 - s.s) / 1e4 + 0.5) AS BIGINT)
+      ) * 1024 + s.s) AS e
+    FROM (SELECT UNNEST(range(0, t + 1)) AS s) s
+  ) best
+  WHERE t < n
+), fin AS (
+  SELECT f, a, n, sp FROM dp WHERE t = n
+), walk AS (
+  SELECT n AS seg_end, a[n] AS seg_prev, a, sp, 0 AS depth FROM fin
+  UNION ALL
+  SELECT CAST(seg_prev AS BIGINT) AS seg_end, a[seg_prev] AS seg_prev, a, sp,
+         depth + 1
+  FROM walk WHERE seg_prev > 0
+)
+SELECT (seg_prev + 1)::BIGINT AS seg_start, seg_end::BIGINT AS seg_end,
+       (seg_end - seg_prev)::BIGINT AS n_days,
+       CAST(FLOOR(CAST(sp[seg_end + 1] - sp[seg_prev + 1] AS DOUBLE)
+            / (seg_end - seg_prev) + 0.5) AS BIGINT) AS mean_cents
+FROM walk ORDER BY seg_start
+""",
+)
+def pelt_changepoints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal changepoint segmentation (the OPT dynamic program that
+    PELT prunes — Killick, Fearnhead & Eckley 2012, public method)
+    over daily purchase revenue: minimize total within-segment SSE
+    plus a per-changepoint penalty (beta = whole-series cost / 8),
+    solved EXACTLY — the globally-optimal complement of
+    cusum_changepoint's sequential detector.
+
+    Determinism: prefix sums are exact bigints; segment costs quantize
+    to 1e4-cent^2 ints via one fixed double expression; the DP argmin
+    ties to the smallest split; Spark replays the identical arithmetic
+    in exact Python ints over the collected day census (the
+    bradley_terry census-collect contract), bit-identical to the
+    recursive-CTE oracle.
+
+    Plan shape / 100 TB: the corpus collapses to the |days| census in
+    one partial-agg shuffle; the O(n^2) DP runs on census-sized data
+    (n = |days|, independent of corpus size — PELT's pruning is the
+    published lever when n itself grows)."""
+    import math
+
+    events = load_events(spark, sf_dir)
+    days = (
+        events.groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("d"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
+                ).otherwise(0)
+            ).alias("y")
+        )
+        .collect()
+    )
+    d0 = min(r.d for r in days)
+    n = (max(r.d for r in days) - d0).days + 1
+    ys = [0] * n
+    for r in days:
+        ys[(r.d - d0).days] = int(r.y)
+    sp = [0]
+    sq = [0]
+    for y in ys:
+        sp.append(sp[-1] + y)
+        sq.append(sq[-1] + y * y)
+
+    def cq(s: int, t: int) -> int:
+        length = t - s
+        num = (sq[t] - sq[s]) * length - (sp[t] - sp[s]) ** 2
+        return math.floor(num / length / 1e4 + 0.5)
+
+    beta = cq(0, n) // 8
+    f = [-beta] + [0] * n
+    a = [0] * (n + 1)
+    for t in range(1, n + 1):
+        best_v, best_s = None, None
+        for s in range(0, t):
+            v = f[s] + beta + cq(s, t)
+            if best_v is None or v < best_v:
+                best_v, best_s = v, s
+        f[t], a[t] = best_v, best_s
+    segs = []
+    t = n
+    while t > 0:
+        s = a[t]
+        segs.append(
+            (
+                s + 1,
+                t,
+                t - s,
+                math.floor((sp[t] - sp[s]) / (t - s) + 0.5),
+            )
+        )
+        t = s
+    segs.reverse()
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        segs, "seg_start LONG, seg_end LONG, n_days LONG, mean_cents LONG"
+    ).orderBy("seg_start")

@@ -468,3 +468,28 @@ def test_harmonic_centrality_bounds(spark, sf_dir):
         # H(v) <= n_reached (each term <= 1), and > n_reached/6 (d <= 6)
         assert r.harmonic <= r.n_reached + 1e-6
         assert r.harmonic >= r.n_reached / 6.0 - 1e-6
+
+
+def test_matrix_profile_symmetric_motifs(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    rows = registry.QUERIES["matrix_profile_daily"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_i = {r.i: r for r in rows}
+    for r in rows:
+        assert r.mp_dist >= 0
+        assert abs(r.i - r.mp_index) >= 7  # exclusion zone respected
+        # motif distance is symmetric as a bound: d(i, nn(i)) >= mp(nn(i))
+        assert r.mp_dist >= by_i[r.mp_index].mp_dist
+
+
+def test_pelt_segments_partition_the_series(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    rows = registry.QUERIES["pelt_changepoints"](spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert rows[0].seg_start == 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.seg_start == prev.seg_end + 1  # contiguous cover
+    assert all(r.n_days == r.seg_end - r.seg_start + 1 for r in rows)
+    assert all(r.mean_cents >= 0 for r in rows)
