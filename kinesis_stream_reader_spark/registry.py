@@ -1998,6 +1998,7 @@ _PRIORITY = [
     "markov_next_event_eval", "brier_decomposition",
     "dtw_timeseries_similarity", "harmonic_centrality",
     "matrix_profile_daily", "pelt_changepoints",
+    "markov_attribution_removal",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -20934,3 +20935,187 @@ def pelt_changepoints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         segs, "seg_start LONG, seg_end LONG, n_days LONG, mean_cents LONG"
     ).orderBy("seg_start")
+
+
+@register(
+    "markov_attribution_removal",
+    # journey edge census -> per-variant redirected chains -> 40
+    # integer micro-unit power-iteration rounds per variant (recursive
+    # CTE over probability lists) -> removal effects + shares
+    """
+WITH RECURSIVE seq AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS m,
+         ROW_NUMBER() OVER w AS rn,
+         LEAD(CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END)
+           OVER w AS nxt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), edges AS (
+  SELECT 'START' AS s, m AS t FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT m AS s, nxt AS t FROM seq WHERE nxt IS NOT NULL AND m <> 'CONV'
+  UNION ALL
+  SELECT m AS s, 'NULL' AS t FROM seq WHERE nxt IS NULL AND m <> 'CONV'
+), census AS (
+  SELECT s, t, COUNT(*) AS n FROM edges GROUP BY 1, 2
+), chans AS (
+  SELECT DISTINCT event_type AS c FROM events WHERE event_type <> 'purchase'
+), states AS (
+  SELECT 'START' AS name, 0 AS idx
+  UNION ALL
+  SELECT c AS name, ROW_NUMBER() OVER (ORDER BY c) AS idx FROM chans
+  UNION ALL SELECT 'CONV', (SELECT COUNT(*) FROM chans) + 1
+  UNION ALL SELECT 'NULL', (SELECT COUNT(*) FROM chans) + 2
+), variants AS (
+  SELECT '__none__' AS v UNION ALL SELECT c FROM chans
+), redirected AS (
+  SELECT vr.v, c.s, CASE WHEN c.t = vr.v THEN 'NULL' ELSE c.t END AS t,
+         SUM(c.n) AS n
+  FROM variants vr CROSS JOIN census c
+  WHERE c.s <> vr.v
+  GROUP BY 1, 2, 3
+), dense AS (
+  SELECT vr.v, ss.idx AS si, tt.idx AS ti, COALESCE(r.n, 0) AS n
+  FROM variants vr CROSS JOIN states ss CROSS JOIN states tt
+  LEFT JOIN redirected r ON r.v = vr.v AND r.s = ss.name AND r.t = tt.name
+), mat AS (
+  SELECT v, list(row ORDER BY si) AS m2, list(tot ORDER BY si) AS tots
+  FROM (
+    SELECT v, si, list(n ORDER BY ti) AS row, SUM(n) AS tot
+    FROM dense GROUP BY v, si
+  ) GROUP BY v
+), nstates AS (SELECT COUNT(*) AS ns FROM states),
+pw AS (
+  SELECT v, m2, tots, 0 AS k,
+         list_transform(range(0, ns), i ->
+           CASE WHEN i = 0 THEN 1000000000 ELSE 0 END) AS p,
+         ns
+  FROM mat, nstates
+  UNION ALL
+  SELECT v, m2, tots, k + 1,
+         list_transform(range(0, ns), t ->
+           CASE WHEN t >= ns - 2 THEN p[t + 1] ELSE 0 END
+           + list_aggregate(
+               list_transform(range(0, ns), s ->
+                 CASE WHEN tots[s + 1] > 0
+                      THEN p[s + 1] * m2[s + 1][t + 1] // tots[s + 1]
+                      ELSE 0 END),
+               'sum')) AS p,
+         ns
+  FROM pw WHERE k < 40
+), fin AS (
+  SELECT v, p[ns - 1] AS p_conv FROM pw WHERE k = 40
+), base AS (SELECT p_conv AS pb FROM fin WHERE v = '__none__'),
+re AS (
+  SELECT f.v AS channel, b.pb AS p_base, f.p_conv AS p_removed,
+         GREATEST(b.pb - f.p_conv, 0) AS re_u
+  FROM fin f, base b WHERE f.v <> '__none__'
+), tot_re AS (SELECT SUM(re_u) AS sre FROM re)
+SELECT channel,
+       FLOOR(p_base / 1e9 * 1e6 + 0.5) / 1e6 AS p_conv_base,
+       FLOOR(p_removed / 1e9 * 1e6 + 0.5) / 1e6 AS p_conv_removed,
+       FLOOR(CAST(re_u AS DOUBLE) / p_base * 1e6 + 0.5) / 1e6 AS removal_effect,
+       FLOOR(CAST(re_u AS DOUBLE) / t.sre * 1e6 + 0.5) / 1e6 AS attribution_share
+FROM re, tot_re t ORDER BY channel
+""",
+)
+def markov_attribution_removal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl, Becker,
+    von Wangenheim & Schumann 2014 — public method; the data-driven
+    multi-touch model next to attribution_models' first/last/linear
+    heuristics): user journeys build a first-order absorbing chain
+    (START -> channels -> CONV | NULL); each channel's credit is its
+    REMOVAL EFFECT — the drop in absorption probability into CONV when
+    every transition into that channel is redirected to NULL —
+    normalized into attribution shares.
+
+    Determinism: the transition census is exact ints; absorption
+    probabilities run 40 power-iteration rounds in integer NANO-units
+    with per-entry floor division (the personalized_pagerank trick),
+    so all six chains (base + 5 removals) are bit-identical across
+    engines; Spark replays the identical arithmetic in exact Python
+    ints over the collected |states|^2 census (the bradley_terry /
+    pelt census-collect contract), and the oracle replays it as a
+    recursive CTE over probability lists.
+
+    Plan shape / 100 TB: one user-clustered window pass builds journey
+    edges; the corpus collapses to a <= (|channels|+3)^2 census; the
+    six 40-round iterations are driver algebra on that census. Only
+    the edge census pass touches data. Linear."""
+    import math
+
+    events = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = F.when(F.col("event_type") == "purchase", "CONV").otherwise(
+        F.col("event_type")
+    )
+    seq = events.select(
+        m.alias("m"),
+        F.row_number().over(w).alias("rn"),
+        F.lead(m).over(w).alias("nxt"),
+    )
+    edges = (
+        seq.filter(F.col("rn") == 1).select(F.lit("START").alias("s"), F.col("m").alias("t"))
+        .unionByName(
+            seq.filter(F.col("nxt").isNotNull() & (F.col("m") != "CONV")).select(
+                F.col("m").alias("s"), F.col("nxt").alias("t")
+            )
+        )
+        .unionByName(
+            seq.filter(F.col("nxt").isNull() & (F.col("m") != "CONV")).select(
+                F.col("m").alias("s"), F.lit("NULL").alias("t")
+            )
+        )
+    )
+    census = {(r.s, r.t): r.n for r in edges.groupBy("s", "t").agg(F.count("*").alias("n")).collect()}
+    chans = sorted(
+        ({s for s, _ in census} | {t for _, t in census}) - {"START", "CONV", "NULL"}
+    )
+    states = ["START"] + chans + ["CONV", "NULL"]
+    sidx = {name: i for i, name in enumerate(states)}
+    ns = len(states)
+
+    def absorb(removed: str | None) -> int:
+        mat = [[0] * ns for _ in range(ns)]
+        for (s, t), n in census.items():
+            if s == removed:
+                continue
+            tt = "NULL" if t == removed else t
+            mat[sidx[s]][sidx[tt]] += n
+        tots = [sum(row) for row in mat]
+        p = [0] * ns
+        p[0] = 1_000_000_000
+        for _ in range(40):
+            nxt = [0] * ns
+            for t in range(ns):
+                carry = p[t] if t >= ns - 2 else 0
+                inflow = 0
+                for s in range(ns):
+                    if tots[s] > 0:
+                        inflow += p[s] * mat[s][t] // tots[s]
+                nxt[t] = carry + inflow
+            p = nxt
+        return p[ns - 2]
+
+    pb = absorb(None)
+    rows = []
+    res = {c: absorb(c) for c in chans}
+    sre = sum(max(pb - pc, 0) for pc in res.values())
+    for c in chans:
+        re_u = max(pb - res[c], 0)
+        rows.append(
+            (
+                c,
+                math.floor(pb / 1e9 * 1e6 + 0.5) / 1e6,
+                math.floor(res[c] / 1e9 * 1e6 + 0.5) / 1e6,
+                math.floor(re_u / pb * 1e6 + 0.5) / 1e6,
+                math.floor(re_u / sre * 1e6 + 0.5) / 1e6,
+            )
+        )
+    spark = events.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "channel STRING, p_conv_base DOUBLE, p_conv_removed DOUBLE, "
+        "removal_effect DOUBLE, attribution_share DOUBLE",
+    ).orderBy("channel")

@@ -88,10 +88,14 @@ def test_decode_image_dispatches_on_magic_bytes():
     arr = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
     assert (multimodal.decode_image(multimodal.encode_ppm(arr)) == arr).all()
     assert (multimodal.decode_image(multimodal.encode_png(arr)) == arr).all()
-    # JPEG magic now routes to the real baseline decoder; formats with
-    # no in-sandbox codec (e.g. GIF) keep the honest gate
+    # JPEG and GIF magics now route to real decoders; formats with no
+    # in-sandbox codec (e.g. TIFF) keep the honest gate
     with pytest.raises(NotImplementedError, match="plug"):
-        multimodal.decode_image(b"GIF89a not-supported")
+        multimodal.decode_image(b"II*\x00 tiff-not-supported")
+    # GIF magic reaches decode_gif, which raises loudly on a truncated
+    # container rather than NotImplementedError
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"GIF89a" + b"\x00" * 7)
 
 
 def test_png_media_decodes_like_ppm_media(spark, sf_dir):

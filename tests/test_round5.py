@@ -493,3 +493,14 @@ def test_pelt_segments_partition_the_series(spark, sf_dir):
         assert cur.seg_start == prev.seg_end + 1  # contiguous cover
     assert all(r.n_days == r.seg_end - r.seg_start + 1 for r in rows)
     assert all(r.mean_cents >= 0 for r in rows)
+
+
+def test_markov_removal_shares_sum_to_one(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    rows = registry.QUERIES["markov_attribution_removal"](spark, sf_dir).collect()
+    assert len(rows) == 4  # the four non-purchase channels
+    assert abs(sum(r.attribution_share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r.p_conv_removed <= r.p_conv_base <= 1.0
+        assert 0.0 <= r.removal_effect <= 1.0
