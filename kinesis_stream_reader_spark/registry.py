@@ -1983,12 +1983,15 @@ def grouping_sets_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # after the first ~50 entries, so never-driver-checked queries lead.
 _PRIORITY = [
     # ROUND-5 ROTATION: the driver verifies the FIRST ~50 entries. Head =
-    # the queries whose code paths CHANGED this round (vertex-restricted
-    # dedup_components touches every component caller; winnowing swapped
-    # its gram hash to staged lead-windows; multimodal_jpeg_decode is the
-    # new baseline-JPEG codec) so the driver re-confirms them, then the
-    # never-driver-checked rotation (232 remaining after r1-r4), then
-    # previously-verified queries. Nothing is dropped.
+    # the 23 late-pass additions (causal matching, SPRT, JL/feature
+    # hashing, ER blocking, the WER/ROUGE/chrF eval triad, kappa, GIF
+    # codec, ridge, streaming drift, markov eval, brier, DTW, harmonic,
+    # matrix profile, PELT, removal-effect attribution), then the 14
+    # early-round-5 additions (JPEG codec, soft dedup, readability,
+    # Bradley-Terry, k-core, collation...), then the queries whose code
+    # paths CHANGED this round (vertex-restricted dedup_components
+    # callers, staged winnowing hashes, lazy-checkpoint driver loops),
+    # then the rotation of previously-verified queries. Nothing dropped.
     "cem_att_estimate", "sprt_sequential_test", "embedding_random_projection",
     "feature_hashing_vectors", "er_sorted_neighborhood", "psm_att_matched",
     "cluster_purity_report", "graph_modularity_report", "wer_pairs_report",
