@@ -20894,6 +20894,12 @@ def pelt_changepoints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
+    spark = events.sparkSession
+    if not days:
+        # empty source: no series, no segments — never raise
+        return spark.createDataFrame(
+            [], "seg_start LONG, seg_end LONG, n_days LONG, mean_cents LONG"
+        )
     d0 = min(r.d for r in days)
     n = (max(r.d for r in days) - d0).days + 1
     ys = [0] * n
@@ -20934,7 +20940,6 @@ def pelt_changepoints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t = s
     segs.reverse()
-    spark = events.sparkSession
     return spark.createDataFrame(
         segs, "seg_start LONG, seg_end LONG, n_days LONG, mean_cents LONG"
     ).orderBy("seg_start")

@@ -36,6 +36,16 @@ SUBSET = [
     "dedup_substring_scrub", "streaming_near_dedup", "doremi_reweight_step",
     "matryoshka_recall", "lang_id_confusion", "kcenter_init",
     "multimodal_audio_vad", "source_token_kl", "timeseries_topk_similar",
+    # round-5 late pass
+    "cem_att_estimate", "sprt_sequential_test", "embedding_random_projection",
+    "feature_hashing_vectors", "er_sorted_neighborhood", "psm_att_matched",
+    "cluster_purity_report", "graph_modularity_report", "wer_pairs_report",
+    "stratified_kfold_assign", "rouge_l_pairs_report", "chrf_pairs_report",
+    "cohens_kappa_report", "multimodal_gif_decode",
+    "ridge_regression_closed_form", "streaming_drift_monitor",
+    "markov_next_event_eval", "brier_decomposition",
+    "dtw_timeseries_similarity", "harmonic_centrality", "matrix_profile_daily",
+    "pelt_changepoints", "markov_attribution_removal",
 ]
 
 
