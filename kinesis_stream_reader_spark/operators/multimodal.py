@@ -1779,3 +1779,51 @@ def synthetic_gif_media(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").repartition(n_parts).mapInPandas(
         batches, "doc_id BIGINT, data BINARY"
     )
+
+
+def audio_hadamard_bands(media: DataFrame) -> DataFrame:
+    """Walsh-Hadamard band energies over REAL decoded PCM16 (the WHT is
+    the multiplication-free orthogonal transform used in audio
+    fingerprinting and fast sketching — public method): the first
+    64-sample frame transforms as c_k = sum_j s_j * (-1)^popcount(j&k),
+    and the per-doc report carries the DC coefficient plus absolute
+    coefficient mass in three dyadic bands (1-7, 8-31, 32-63) — a
+    spectral-shape feature with NO trigonometry, so every value is an
+    exact integer in both engines (a DFT's cos/sin would hit the libm
+    cross-engine divergence the quality-model family documents).
+
+    Plan shape: decode + transform are map-side in the Arrow batch
+    (the codec house contract); only (doc_id, 4 ints) shuffles."""
+    import numpy as np
+
+    # 64x64 sign matrix: H[j,k] = +1 if popcount(j & k) is even
+    H = np.array(
+        [[1 - 2 * (bin(j & k).count("1") % 2) for k in range(64)] for j in range(64)],
+        dtype=np.int64,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                _rate, samples = decode_wav(bytes(blob))
+                s = np.asarray(samples[:64], dtype=np.int64)
+                c = H.T @ s
+                rows.append(
+                    (
+                        doc_id,
+                        int(c[0]),
+                        int(np.abs(c[1:8]).sum()),
+                        int(np.abs(c[8:32]).sum()),
+                        int(np.abs(c[32:64]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "dc", "band_low", "band_mid", "band_high"],
+            )
+
+    return media.mapInPandas(
+        batches,
+        "doc_id BIGINT, dc BIGINT, band_low BIGINT, band_mid BIGINT, band_high BIGINT",
+    )

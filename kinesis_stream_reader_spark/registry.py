@@ -2001,7 +2001,7 @@ _PRIORITY = [
     "markov_next_event_eval", "brier_decomposition",
     "dtw_timeseries_similarity", "harmonic_centrality",
     "matrix_profile_daily", "pelt_changepoints",
-    "markov_attribution_removal",
+    "markov_attribution_removal", "multimodal_audio_hadamard",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -21127,3 +21127,38 @@ def markov_attribution_removal_query(spark: SparkSession, sf_dir: str) -> DataFr
         "channel STRING, p_conv_base DOUBLE, p_conv_removed DOUBLE, "
         "removal_effect DOUBLE, attribution_share DOUBLE",
     ).orderBy("channel")
+
+
+@register(
+    "multimodal_audio_hadamard",
+    # WHT over the closed-form PCM fixture: sign = parity of
+    # popcount(j & k); all-integer coefficients and band masses
+    """
+WITH px AS (
+  SELECT doc_id, j.j AS j,
+         ((doc_id * 13 + j.j * 31) % 65536) - 32768 AS s
+  FROM documents, LATERAL (SELECT UNNEST(range(64)) AS j) j
+), wht AS (
+  SELECT doc_id, k.k AS k,
+         SUM(CASE WHEN bit_count(CAST(j AS BIGINT) & k.k) % 2 = 0
+                  THEN s ELSE -s END) AS c
+  FROM px CROSS JOIN (SELECT UNNEST(range(64)) AS k) k
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       SUM(CASE WHEN k = 0 THEN c ELSE 0 END)::BIGINT AS dc,
+       SUM(CASE WHEN k BETWEEN 1 AND 7 THEN ABS(c) ELSE 0 END)::BIGINT
+         AS band_low,
+       SUM(CASE WHEN k BETWEEN 8 AND 31 THEN ABS(c) ELSE 0 END)::BIGINT
+         AS band_mid,
+       SUM(CASE WHEN k >= 32 THEN ABS(c) ELSE 0 END)::BIGINT AS band_high
+FROM wht GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_audio_hadamard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.audio_hadamard_bands(
+        multimodal.synthetic_wav_media(docs)
+    ).orderBy("doc_id")

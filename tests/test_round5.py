@@ -504,3 +504,28 @@ def test_markov_removal_shares_sum_to_one(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.p_conv_removed <= r.p_conv_base <= 1.0
         assert 0.0 <= r.removal_effect <= 1.0
+
+
+def test_hadamard_parseval_energy(spark):
+    """WHT is orthogonal up to a factor of 64: sum(c_k^2) = 64 * sum(s_j^2).
+    Check against a directly constructed WAV."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    s = (((7 * 13 + np.arange(64) * 31) % 65536) - 32768).astype("<i2")
+    media = spark.createDataFrame(
+        [(7, bytearray(mm.encode_wav(s, 8000)))], "doc_id BIGINT, data BINARY"
+    )
+    row = mm.audio_hadamard_bands(media).collect()[0]
+    H = np.array(
+        [[1 - 2 * (bin(j & k).count("1") % 2) for k in range(64)] for j in range(64)],
+        dtype=np.int64,
+    )
+    c = H.T @ s.astype(np.int64)
+    assert row.dc == int(c[0])
+    assert row.band_low == int(np.abs(c[1:8]).sum())
+    assert row.band_mid == int(np.abs(c[8:32]).sum())
+    assert row.band_high == int(np.abs(c[32:64]).sum())
+    # Parseval for the +/-1 WHT
+    assert (c @ c) == 64 * (s.astype(np.int64) @ s.astype(np.int64))
