@@ -2002,6 +2002,7 @@ _PRIORITY = [
     "dtw_timeseries_similarity", "harmonic_centrality",
     "matrix_profile_daily", "pelt_changepoints",
     "markov_attribution_removal", "multimodal_audio_hadamard",
+    "ecod_outlier_scores",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -21162,3 +21163,101 @@ def multimodal_audio_hadamard_query(spark: SparkSession, sf_dir: str) -> DataFra
     return multimodal.audio_hadamard_bands(
         multimodal.synthetic_wav_media(docs)
     ).orderBy("doc_id")
+
+
+@register(
+    "ecod_outlier_scores",
+    # per-dimension two-sided ECDF tail log-scores (ties collapse via
+    # RANGE frames, so tie order never matters), each term quantized to
+    # a 1e-9 int before the per-vector sum
+    """
+WITH elems AS (
+  SELECT vec_id, j.i AS j, CAST(e.embedding[j.i + 1] AS DOUBLE) AS v
+  FROM embeddings e, LATERAL (SELECT UNNEST(range(len(e.embedding))) AS i) j
+), ranked AS (
+  SELECT vec_id, j, v,
+         COUNT(*) OVER (PARTITION BY j ORDER BY v
+                        RANGE UNBOUNDED PRECEDING) AS r_left,
+         COUNT(*) OVER (PARTITION BY j ORDER BY v DESC
+                        RANGE UNBOUNDED PRECEDING) AS r_right,
+         COUNT(*) OVER (PARTITION BY j) AS n
+  FROM elems
+), terms AS (
+  SELECT vec_id,
+         CAST(FLOOR(-LN(CAST(r_left AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT)
+           AS tl,
+         CAST(FLOOR(-LN(CAST(r_right AS DOUBLE) / n) * 1e9 + 0.5) AS BIGINT)
+           AS tr,
+         n
+  FROM ranked
+), agg AS (
+  SELECT vec_id, SUM(tl) AS ol, SUM(tr) AS orr, COUNT(*) AS dims
+  FROM terms GROUP BY 1
+)
+SELECT vec_id,
+       FLOOR(CAST(ol AS DOUBLE) / dims / 1e9 * 1e6 + 0.5) / 1e6 AS o_left,
+       FLOOR(CAST(orr AS DOUBLE) / dims / 1e9 * 1e6 + 0.5) / 1e6 AS o_right,
+       FLOOR(CAST(GREATEST(ol, orr) AS DOUBLE) / dims / 1e9 * 1e6 + 0.5) / 1e6
+         AS ecod_score
+FROM agg ORDER BY vec_id
+""",
+)
+def ecod_outlier_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECOD outlier scores (Li, Zhao et al., TKDE 2022 — public
+    method): per-dimension empirical-CDF tail log-likelihoods, summed
+    over dimensions from both tails, score = the worse tail — the
+    parameter-free density-forest-free outlier detector a curation
+    pipeline runs on embeddings before ANN indexing (next to the
+    distance-based anomaly gates). Ties collapse through RANGE-frame
+    counts, so the score is independent of tie order.
+
+    Determinism: tail ranks are exact ints; each -ln(rank/n) term
+    quantizes to a 1e-9 int BEFORE the per-vector sum (the
+    cluster_purity_report convention); outputs are single IEEE
+    expressions.
+
+    Plan shape / 100 TB: posexplode fans map-side; the ECDF windows
+    partition BY DIMENSION (parallel across dims; within a dim Spark
+    range-partitions the sort). At billion-vector scale the exact
+    per-dim ECDF swaps for the GK-sketch quantile assignment
+    (feature_quantile_bins' documented path); this exact form is the
+    oracle-checkable twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j", "vf")
+    ).select("vec_id", "j", F.col("vf").cast("double").alias("v"))
+    wl = (
+        Window.partitionBy("j")
+        .orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wr = (
+        Window.partitionBy("j")
+        .orderBy(F.col("v").desc())
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("j")
+    ranked = elems.select(
+        "vec_id",
+        F.count("*").over(wl).alias("r_left"),
+        F.count("*").over(wr).alias("r_right"),
+        F.count("*").over(wn).alias("n"),
+    )
+    q = lambda c: F.floor(-F.log(c) * 1e9 + F.lit(0.5)).cast("long")  # noqa: E731
+    terms = ranked.select(
+        "vec_id",
+        q(F.col("r_left").cast("double") / F.col("n")).alias("tl"),
+        q(F.col("r_right").cast("double") / F.col("n")).alias("tr"),
+    )
+    agg = terms.groupBy("vec_id").agg(
+        F.sum("tl").alias("ol"), F.sum("tr").alias("orr"), F.count("*").alias("dims")
+    )
+    out = lambda c: (  # noqa: E731
+        F.floor(c.cast("double") / F.col("dims") / 1e9 * 1e6 + F.lit(0.5)) / 1e6
+    )
+    return agg.select(
+        "vec_id",
+        out(F.col("ol")).alias("o_left"),
+        out(F.col("orr")).alias("o_right"),
+        out(F.greatest(F.col("ol"), F.col("orr"))).alias("ecod_score"),
+    ).orderBy("vec_id")

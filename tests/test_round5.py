@@ -529,3 +529,29 @@ def test_hadamard_parseval_energy(spark):
     assert row.band_high == int(np.abs(c[32:64]).sum())
     # Parseval for the +/-1 WHT
     assert (c @ c) == 64 * (s.astype(np.int64) @ s.astype(np.int64))
+
+
+def test_ecod_uniform_vector_scores_low(spark):
+    """A vector sitting at the center of every dimension must score
+    LOWER than one at the extreme of every dimension."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.RandomState(7)
+    for i in range(50):
+        rows.append((i, [float(v) for v in rng.uniform(-1, 1, 8)], 0))
+    rows.append((100, [0.0] * 8, 0))   # central
+    rows.append((101, [9.0] * 8, 0))   # extreme right tail everywhere
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
+    # drive the operator body via a temp sf_dir-free path: reuse the
+    # registry function by monkey-backing load_table? simpler: inline
+    from kinesis_stream_reader_spark import registry as R
+    import kinesis_stream_reader_spark.registry as regmod
+    orig = regmod.load_table
+    try:
+        regmod.load_table = lambda spark_, sf_, name: emb
+        out = {r.vec_id: r for r in R.QUERIES["ecod_outlier_scores"](spark, "unused").collect()}
+    finally:
+        regmod.load_table = orig
+    assert out[101].ecod_score > out[100].ecod_score
+    assert all(r.ecod_score >= 0 for r in out.values())
