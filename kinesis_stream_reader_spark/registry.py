@@ -2002,7 +2002,7 @@ _PRIORITY = [
     "dtw_timeseries_similarity", "harmonic_centrality",
     "matrix_profile_daily", "pelt_changepoints",
     "markov_attribution_removal", "multimodal_audio_hadamard",
-    "ecod_outlier_scores",
+    "ecod_outlier_scores", "lof_outlier_scores",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -21261,3 +21261,142 @@ def ecod_outlier_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         out(F.col("orr")).alias("o_right"),
         out(F.greatest(F.col("ol"), F.col("orr"))).alias("ecod_score"),
     ).orderBy("vec_id")
+
+
+@register(
+    "lof_outlier_scores",
+    # exact L2 kNN (k=5) from the quantized integer arithmetic, then
+    # reachability distances, integer lrd (5e12 DIV sum-reach) and
+    # integer LOF ratios — every step exact in both engines
+    """
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), n2 AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(v, x -> x * x), 'sum') AS nn
+  FROM qv
+), dots AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         na.nn + nb.nn - 2 * CAST(list_dot_product(a.v, b.v) AS BIGINT) AS d2
+  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+  JOIN n2 na ON na.vec_id = a.vec_id
+  JOIN n2 nb ON nb.vec_id = b.vec_id
+), knn AS (
+  SELECT vec_id, neighbor_id,
+         CAST(FLOOR(sqrt(CAST(d2 AS DOUBLE)) + 0.5) AS BIGINT) AS dq,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, neighbor_id) AS rank
+  FROM dots QUALIFY rank <= 5
+), kd AS (
+  SELECT vec_id, MAX(dq) AS k_dist FROM knn GROUP BY 1
+), reach AS (
+  SELECT k.vec_id, GREATEST(kb.k_dist, k.dq) AS r
+  FROM knn k JOIN kd kb ON kb.vec_id = k.neighbor_id
+), lrd AS (
+  SELECT vec_id, 5000000000000 // GREATEST(SUM(r), 1) AS lrd_q
+  FROM reach GROUP BY 1
+), lof AS (
+  SELECT k.vec_id,
+         SUM(lb.lrd_q) * 1000000 // (5 * la.lrd_q) AS lof_q
+  FROM knn k
+  JOIN lrd lb ON lb.vec_id = k.neighbor_id
+  JOIN lrd la ON la.vec_id = k.vec_id
+  GROUP BY k.vec_id, la.lrd_q
+)
+SELECT l.vec_id, kd.k_dist::BIGINT AS k_dist,
+       FLOOR(CAST(l.lof_q AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS lof
+FROM lof l JOIN kd USING (vec_id) ORDER BY l.vec_id
+""",
+)
+def lof_outlier_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local outlier factor (Breunig et al., SIGMOD 2000 — public
+    method) over embeddings at k=5: reachability-smoothed density
+    ratios, the DENSITY-relative outlier detector next to ECOD's
+    marginal-tail scores (LOF flags points whose neighborhood is
+    sparser than their neighbors' — cluster-aware where ECOD is
+    axis-marginal).
+
+    Determinism: the exact L2 kNN runs on milli-quantized integer
+    arithmetic via the shared block-GEMM kernel under the classic
+    MIPS reduction (append -|c|^2 to candidates, double the query and
+    append 1 — argmax of the augmented dot IS argmin of d2, ties by
+    id); distances, k-distances, reachabilities are exact bigints;
+    lrd and LOF are integer floor divisions.
+
+    Plan shape / 100 TB: the kNN is the documented block-grid exact
+    diagnostic (IVF pruning replaces the grid at scale — ann_ivf's
+    layout); everything after is three joins keyed on vec_id over
+    k-bounded rows. Linear beyond the kNN."""
+    from .operators.similarity import _block_topk_mips
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
+        ).alias("v"),
+    )
+    n2 = qv.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nn"),
+    )
+    queries = qv.join(n2, "vec_id").select(
+        "vec_id",
+        F.concat(
+            F.transform("v", lambda x: x * F.lit(2)), F.array(F.lit(1).cast("long"))
+        ).alias("qv"),
+    )
+    cands = qv.join(n2, "vec_id").select(
+        F.col("vec_id").alias("cand_id"),
+        F.concat(F.col("v"), F.array(-F.col("nn"))).alias("cv"),
+    )
+    knn_aug = _block_topk_mips(queries, cands, k=5, blocks=None)
+    # dot_q = 2*dot - |c|^2  ->  d2 = |a|^2 - dot_q
+    knn = (
+        knn_aug.join(n2, "vec_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.floor(
+                F.sqrt((F.col("nn") - F.col("dot_q")).cast("double")) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dq"),
+        )
+    )
+    kd = knn.groupBy("vec_id").agg(F.max("dq").alias("k_dist"))
+    reach = knn.join(
+        kd.select(F.col("vec_id").alias("neighbor_id"), F.col("k_dist").alias("kd_b")),
+        "neighbor_id",
+    ).select("vec_id", F.greatest(F.col("kd_b"), F.col("dq")).alias("r"))
+    lrd = reach.groupBy("vec_id").agg(
+        F.expr("5000000000000L DIV GREATEST(SUM(r), 1L)").alias("lrd_q")
+    )
+    lof = (
+        knn.join(
+            lrd.select(F.col("vec_id").alias("neighbor_id"), F.col("lrd_q").alias("lrd_b")),
+            "neighbor_id",
+        )
+        .join(lrd, "vec_id")
+        .groupBy("vec_id", "lrd_q")
+        .agg(F.expr("SUM(lrd_b) * 1000000L DIV (5 * FIRST(lrd_q))").alias("lof_q"))
+    )
+    return (
+        lof.join(kd, "vec_id")
+        .select(
+            "vec_id",
+            F.col("k_dist").cast("long").alias("k_dist"),
+            (F.floor(F.col("lof_q").cast("double") / 1e6 * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "lof"
+            ),
+        )
+        .orderBy("vec_id")
+    )

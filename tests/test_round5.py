@@ -555,3 +555,28 @@ def test_ecod_uniform_vector_scores_low(spark):
         regmod.load_table = orig
     assert out[101].ecod_score > out[100].ecod_score
     assert all(r.ecod_score >= 0 for r in out.values())
+
+
+def test_lof_flags_isolated_point(spark):
+    """A tight cluster plus one far point: the isolated point's LOF must
+    exceed every cluster member's."""
+    import numpy as np
+
+    rows = []
+    rng = np.random.RandomState(3)
+    for i in range(30):
+        rows.append((i, [float(v) for v in rng.normal(0, 0.1, 8)], 0))
+    rows.append((99, [5.0] * 8, 0))
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
+    from kinesis_stream_reader_spark import registry as R
+    import kinesis_stream_reader_spark.registry as regmod
+
+    orig = regmod.load_table
+    try:
+        regmod.load_table = lambda spark_, sf_, name: emb
+        out = {r.vec_id: r.lof for r in R.QUERIES["lof_outlier_scores"](spark, "x").collect()}
+    finally:
+        regmod.load_table = orig
+    cluster_max = max(v for k, v in out.items() if k != 99)
+    assert out[99] > cluster_max
+    assert out[99] > 1.5  # clearly anomalous
