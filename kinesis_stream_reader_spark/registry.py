@@ -2011,6 +2011,8 @@ _PRIORITY = [
     "dpo_pair_builder",
     "winnowing_fingerprints", "dedup_keep_best",
     "knn_graph_components", "dedup_minhash_canonical", "dedup_groups",
+    # lazy-checkpoint loops changed this round — keep in the head-50
+    "pagerank_converged", "kmeans_converged",
     "semdedup", "dedup_threshold_sweep", "curate_corpus",
     "multimodal_phash_dedup",
     "multimodal_video_decode", "tfidf_cosine_pairs", "surrogate_keys_dense",
