@@ -2002,7 +2002,8 @@ _PRIORITY = [
     "dtw_timeseries_similarity", "harmonic_centrality",
     "matrix_profile_daily", "pelt_changepoints",
     "markov_attribution_removal", "multimodal_audio_hadamard",
-    "ecod_outlier_scores", "lof_outlier_scores",
+    "ecod_outlier_scores", "lof_outlier_scores", "mcnemar_raters_test",
+    "gains_lift_deciles", "model_ks_separation",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -21401,4 +21402,317 @@ def lof_outlier_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("vec_id")
+    )
+
+
+
+def _mcnemar_oracle() -> str:
+    from .operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(
+        f"{_lang_score(LANG_MARKERS[lang])} AS s_{lang}" for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    first_max = "CASE " + " ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    ngram = ORACLES["text_lang_id_ngram"]
+    return f"""
+WITH scored AS (SELECT doc_id, {scores} FROM documents),
+r1 AS (SELECT doc_id, {first_max} AS pred1 FROM scored),
+r2 AS (SELECT doc_id, lang_pred AS pred2 FROM ({ngram})),
+j AS (
+  SELECT d.doc_id,
+         CASE WHEN r1.pred1 = d.lang THEN 1 ELSE 0 END AS ok1,
+         CASE WHEN r2.pred2 = d.lang THEN 1 ELSE 0 END AS ok2
+  FROM documents d JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)
+)
+SELECT COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN ok1 = 1 AND ok2 = 0 THEN 1 ELSE 0 END)::BIGINT AS b,
+       SUM(CASE WHEN ok1 = 0 AND ok2 = 1 THEN 1 ELSE 0 END)::BIGINT AS c,
+       CASE WHEN SUM(CASE WHEN ok1 <> ok2 THEN 1 ELSE 0 END) > 0 THEN
+         FLOOR(
+           (ABS(CAST(SUM(CASE WHEN ok1 = 1 AND ok2 = 0 THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN ok1 = 0 AND ok2 = 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE)) - 1)
+           * (ABS(CAST(SUM(CASE WHEN ok1 = 1 AND ok2 = 0 THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN ok1 = 0 AND ok2 = 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE)) - 1)
+           / SUM(CASE WHEN ok1 <> ok2 THEN 1 ELSE 0 END) * 1e6 + 0.5) / 1e6
+       ELSE 0.0 END AS chi2_cc
+FROM j
+"""
+
+
+@register("mcnemar_raters_test", _mcnemar_oracle())
+def mcnemar_raters_test_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test with continuity correction (McNemar 1947 —
+    public method) between the engine's two language-ID raters scored
+    against the true lang label: are the raters' ACCURACIES different,
+    judged only on the discordant pairs (b = only the marker rater
+    right, c = only the n-gram rater right)? The paired-significance
+    complement of cohens_kappa_report's agreement measure.
+
+    Determinism: b/c are exact counts; chi2 = (|b-c|-1)^2/(b+c) is one
+    fixed IEEE expression.
+
+    Plan shape / 100 TB: both raters are map-side scoring passes; one
+    doc-keyed join; a 4-cell census. Linear."""
+    from .operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    r1 = text.text_lang_id(docs).select("doc_id", F.col("lang_pred").alias("pred1"))
+    r2 = text.text_lang_id_ngram(docs).select(
+        "doc_id", F.col("lang_pred").alias("pred2")
+    )
+    j = (
+        docs.select("doc_id", "lang")
+        .join(r1, "doc_id")
+        .join(r2, "doc_id")
+        .select(
+            F.when(F.col("pred1") == F.col("lang"), 1).otherwise(0).alias("ok1"),
+            F.when(F.col("pred2") == F.col("lang"), 1).otherwise(0).alias("ok2"),
+        )
+    )
+    b = F.sum(F.when((F.col("ok1") == 1) & (F.col("ok2") == 0), 1).otherwise(0))
+    c = F.sum(F.when((F.col("ok1") == 0) & (F.col("ok2") == 1), 1).otherwise(0))
+    disc = F.sum(F.when(F.col("ok1") != F.col("ok2"), 1).otherwise(0))
+    return j.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        b.cast("long").alias("b"),
+        c.cast("long").alias("c"),
+        F.when(
+            disc > 0,
+            F.floor(
+                (F.abs((b - c).cast("double")) - 1)
+                * (F.abs((b - c).cast("double")) - 1)
+                / disc
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chi2_cc"),
+    )
+
+
+_QUALITY_CENSUS_CTE = f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         len({_TOKS})::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           AS n_stop,
+         (length(text) - length(replace(text, '.', '')))::DOUBLE AS n_dots
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), z AS (
+  SELECT f.doc_id, f.lang = 'en' AS is_pos,
+         (SELECT w FROM wts WHERE i = 0) * (n_tokens / 100.0)
+         + (SELECT w FROM wts WHERE i = 1) * (n_stop / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 2) * (n_chars / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 3) * (n_dots / (n_chars + 1.0))
+         + (SELECT w FROM wts WHERE i = 4) AS z
+  FROM f
+), census AS (
+  SELECT CAST(FLOOR(z * 1e4 + 0.5) AS BIGINT) AS lv,
+         COUNT(*) AS c,
+         COUNT(CASE WHEN is_pos THEN 1 END) AS p
+  FROM z GROUP BY 1
+)
+"""
+
+
+@register(
+    "gains_lift_deciles",
+    # cumulative-gains table at population deciles from the
+    # quantized-logit census: first census prefix reaching each decile
+    _QUALITY_CENSUS_CTE
+    + """
+, cum AS (
+  SELECT lv,
+         SUM(c) OVER (ORDER BY lv DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pred,
+         SUM(p) OVER (ORDER BY lv DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+         SUM(c) OVER () AS nn, SUM(p) OVER () AS pp
+  FROM census
+), deciles AS (SELECT UNNEST(range(1, 11)) AS d),
+pick AS (
+  SELECT d.d, MIN(cum.n_pred) AS n_sel
+  FROM deciles d JOIN cum ON cum.n_pred * 10 >= d.d * cum.nn
+  GROUP BY d.d
+)
+SELECT p2.d::BIGINT AS decile, p2.n_sel::BIGINT AS n_selected,
+       c2.tp::BIGINT AS tp,
+       FLOOR(CAST(c2.tp AS DOUBLE) / c2.pp * 1e6 + 0.5) / 1e6 AS gain,
+       FLOOR(CAST(c2.tp AS DOUBLE) * c2.nn / (c2.pp * c2.n_pred) * 1e6 + 0.5)
+         / 1e6 AS lift
+FROM pick p2 JOIN cum c2 ON c2.n_pred = p2.n_sel
+ORDER BY decile
+""",
+)
+def gains_lift_deciles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table at population deciles (the classic
+    targeting-model readout — public practice): rank the corpus by the
+    quality-model score descending and report, at each tenth of the
+    population, the share of positives captured (gain) and its ratio
+    to random targeting (lift) — the business-facing view of the same
+    ranking model model_eval_auc scores and pr_curve_points sweeps.
+
+    Determinism: runs entirely on the quantized-logit value CENSUS
+    (the model_eval_auc convention) — decile boundaries are the first
+    census prefix reaching n_pred*10 >= d*N, all exact integers; gain
+    and lift are single IEEE expressions.
+
+    Plan shape / 100 TB: scoring is one codegen pass; the census
+    shuffle is bounded by distinct quantized logits; the decile pick
+    joins a 10-row relation to the census prefix sums. Never a
+    per-document global rank."""
+    from .operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_model_score(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_pos")), "doc_id"
+    )
+    lv = F.floor(F.col("logit") * 1e4 + F.lit(0.5)).cast("long")
+    census = scored.groupBy(lv.alias("lv")).agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("p"),
+    )
+    wdesc = Window.orderBy(F.col("lv").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    cum = census.select(
+        "lv",
+        F.sum("c").over(wdesc).alias("n_pred"),
+        F.sum("p").over(wdesc).alias("tp"),
+        F.sum("c").over(wall).alias("nn"),
+        F.sum("p").over(wall).alias("pp"),
+    )
+    d = (
+        census.sparkSession.range(1, 11)
+        .select(F.col("id").alias("d"))
+    )
+    pick = (
+        d.join(cum, cum.n_pred * 10 >= F.col("d") * cum.nn)
+        .groupBy("d")
+        .agg(F.min("n_pred").alias("n_sel"))
+    )
+    return (
+        pick.join(cum, cum.n_pred == pick.n_sel)
+        .select(
+            F.col("d").cast("long").alias("decile"),
+            F.col("n_sel").cast("long").alias("n_selected"),
+            F.col("tp").cast("long").alias("tp"),
+            (
+                F.floor(F.col("tp").cast("double") / F.col("pp") * 1e6 + F.lit(0.5))
+                / 1e6
+            ).alias("gain"),
+            (
+                F.floor(
+                    F.col("tp").cast("double")
+                    * F.col("nn")
+                    / (F.col("pp") * F.col("n_pred"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "model_ks_separation",
+    # KS between positive and negative score distributions: exact
+    # cross-multiplied ECDF gaps over the quantized-logit census,
+    # argmax threshold ties to the smallest logit
+    _QUALITY_CENSUS_CTE
+    + """
+, cum AS (
+  SELECT lv,
+         SUM(p) OVER (ORDER BY lv
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+         SUM(c - p) OVER (ORDER BY lv
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+         SUM(p) OVER () AS pp, SUM(c - p) OVER () AS nn
+  FROM census
+), gaps AS (
+  SELECT lv, ABS(cp * nn - cn * pp) AS dnum, pp, nn FROM cum
+), best AS (
+  SELECT lv, dnum, pp, nn,
+         ROW_NUMBER() OVER (ORDER BY dnum DESC, lv) AS rn
+  FROM gaps
+)
+SELECT pp::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+       lv / 1e4 AS ks_threshold,
+       FLOOR(CAST(dnum AS DOUBLE) / pp / nn * 1e6 + 0.5) / 1e6 AS ks
+FROM best WHERE rn = 1
+""",
+)
+def model_ks_separation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov-Smirnov model separation (the credit-scoring 'KS
+    statistic' — public practice): the maximum gap between the score
+    ECDFs of positives and negatives, with the threshold attaining it
+    — the single-number ranking-power summary next to AUC (KS is the
+    max vertical gap where AUC is the area; risk teams threshold ON
+    the KS point).
+
+    Determinism: ECDF gaps are exact cross-multiplied bigints over the
+    quantized-logit census (the drift_ks convention applied to the
+    label split); the argmax ties to the smallest logit.
+
+    Plan shape / 100 TB: one scoring pass, one census shuffle, prefix
+    sums over census rows, TakeOrdered-style argmax. Never a
+    per-document rank."""
+    from .operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_model_score(docs).join(
+        docs.select("doc_id", (F.col("lang") == "en").alias("is_pos")), "doc_id"
+    )
+    lv = F.floor(F.col("logit") * 1e4 + F.lit(0.5)).cast("long")
+    census = scored.groupBy(lv.alias("lv")).agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("is_pos"), 1).otherwise(0)).alias("p"),
+    )
+    wasc = Window.orderBy("lv").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = census.select(
+        "lv",
+        F.sum("p").over(wasc).alias("cp"),
+        F.sum(F.col("c") - F.col("p")).over(wasc).alias("cn"),
+        F.sum("p").over(wall).alias("pp"),
+        F.sum(F.col("c") - F.col("p")).over(wall).alias("nn"),
+    )
+    gaps = cum.select(
+        "lv",
+        F.abs(F.col("cp") * F.col("nn") - F.col("cn") * F.col("pp")).alias("dnum"),
+        "pp",
+        "nn",
+    )
+    return (
+        gaps.orderBy(F.col("dnum").desc(), "lv")
+        .limit(1)
+        .select(
+            F.col("pp").cast("long").alias("n_pos"),
+            F.col("nn").cast("long").alias("n_neg"),
+            (F.col("lv") / 1e4).alias("ks_threshold"),
+            (
+                F.floor(
+                    F.col("dnum").cast("double") / F.col("pp") / F.col("nn") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("ks"),
+        )
     )

@@ -580,3 +580,30 @@ def test_lof_flags_isolated_point(spark):
     cluster_max = max(v for k, v in out.items() if k != 99)
     assert out[99] > cluster_max
     assert out[99] > 1.5  # clearly anomalous
+
+
+def test_mcnemar_counts_consistent(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["mcnemar_raters_test"](spark, sf_dir).collect()[0]
+    assert 0 <= row.b <= row.n_docs and 0 <= row.c <= row.n_docs
+    assert row.chi2_cc >= 0.0
+
+
+def test_gains_lift_monotone(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    rows = registry.QUERIES["gains_lift_deciles"](spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    gains = [r.gain for r in rows]
+    assert gains == sorted(gains)           # cumulative gains never drop
+    assert abs(rows[-1].gain - 1.0) < 1e-6  # all positives captured at 100%
+    assert abs(rows[-1].lift - 1.0) < 1e-3  # lift converges to 1
+
+
+def test_ks_matches_max_gap(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["model_ks_separation"](spark, sf_dir).collect()[0]
+    assert 0.0 <= row.ks <= 1.0
+    assert row.n_pos > 0 and row.n_neg > 0
