@@ -2004,6 +2004,7 @@ _PRIORITY = [
     "markov_attribution_removal", "multimodal_audio_hadamard",
     "ecod_outlier_scores", "lof_outlier_scores", "mcnemar_raters_test",
     "gains_lift_deciles", "model_ks_separation",
+    "evt_pot_tail_report", "best_of_n_selection",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -21715,4 +21716,232 @@ def model_ks_separation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / 1e6
             ).alias("ks"),
         )
+    )
+
+
+@register(
+    "evt_pot_tail_report",
+    # discrete P95 threshold (quantile_disc == degenerate-accuracy
+    # percentile_approx on cents), exact integer exceedance moments,
+    # method-of-moments GPD fit as fixed IEEE expressions
+    """
+WITH v AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), u AS (
+  SELECT quantile_disc(cents, 0.95) AS thr FROM v
+), exc AS (
+  SELECT cents - u.thr AS y FROM v, u WHERE cents > u.thr
+), m AS (
+  SELECT COUNT(*) AS n, SUM(y) AS s1, SUM(y * y) AS s2 FROM exc
+)
+SELECT u.thr::BIGINT AS threshold_cents, m.n::BIGINT AS n_exceed,
+       FLOOR(CAST(m.s1 AS DOUBLE) / m.n + 0.5)::BIGINT AS mean_excess_cents,
+       FLOOR((1.0 - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n)
+              / (CAST(m.s2 AS DOUBLE) / m.n
+                 - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n)))
+             / 2.0 * 1e6 + 0.5) / 1e6 AS xi_mom,
+       FLOOR((CAST(m.s1 AS DOUBLE) / m.n)
+             * ((CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n)
+                / (CAST(m.s2 AS DOUBLE) / m.n
+                   - (CAST(m.s1 AS DOUBLE) / m.n) * (CAST(m.s1 AS DOUBLE) / m.n))
+                + 1.0)
+             / 2.0 * 1e4 + 0.5) / 1e4 AS sigma_mom_cents
+FROM u, m
+""",
+)
+def evt_pot_tail_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value peaks-over-threshold tail report (Pickands 1975 /
+    the POT method with the method-of-moments GPD fit, Hosking &
+    Wallis 1987 — public methods): exceedances of purchase value over
+    the discrete P95 threshold fit a generalized Pareto tail — shape
+    xi (heavy tail when > 0) and scale sigma — the risk-team view of
+    the same tail the MAD/z-score gates clip (EVT MODELS the tail
+    instead of flagging it).
+
+    Determinism: the threshold is the discrete quantile (an actual
+    data value — the agg_percentiles_approx degenerate-accuracy
+    convention); exceedance moments are exact integer sums; the MoM
+    formulas xi = (1 - m^2/s^2)/2, sigma = m(m^2/s^2 + 1)/2 are fixed
+    IEEE expressions over those sums.
+
+    Plan shape / 100 TB: one filtered scan -> one 3-moment aggregate
+    (the threshold via the same sketch degradation as the percentile
+    family). Constant-size output. Linear."""
+    events = load_events(spark, sf_dir)
+    v = events.filter(F.col("event_type") == "purchase").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    u = v.agg(
+        F.expr("percentile_approx(cents, 0.95, 1000000)").cast("long").alias("thr")
+    )
+    exc = v.crossJoin(F.broadcast(u)).filter(F.col("cents") > F.col("thr")).select(
+        (F.col("cents") - F.col("thr")).alias("y"), "thr"
+    )
+    m = exc.groupBy("thr").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    ratio = mean * mean / var
+    return m.select(
+        F.col("thr").cast("long").alias("threshold_cents"),
+        F.col("n").cast("long").alias("n_exceed"),
+        F.floor(mean + F.lit(0.5)).cast("long").alias("mean_excess_cents"),
+        (F.floor((F.lit(1.0) - ratio) / F.lit(2.0) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "xi_mom"
+        ),
+        (
+            F.floor(mean * (ratio + F.lit(1.0)) / F.lit(2.0) * 1e4 + F.lit(0.5)) / 1e4
+        ).alias("sigma_mom_cents"),
+    )
+
+
+@register(
+    "best_of_n_selection",
+    # exact E[max of n iid draws] per user from sorted-reward order
+    # statistics: sum r_(i) * (i^n - (i-1)^n) / k^n, powers as explicit
+    # HUGEINT products (no float pow), per-user values quantized to
+    # cents before the cross-user average
+    """
+WITH cand AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+), ranked AS (
+  SELECT user_id, cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY cents, event_id) AS i,
+         COUNT(*) OVER (PARTITION BY user_id) AS k
+  FROM cand
+), fan AS (
+  SELECT r.*, n.n FROM ranked r
+  CROSS JOIN (SELECT UNNEST([1, 2, 4, 8]) AS n) n
+), pw AS (
+  SELECT user_id, n, k, cents,
+         CASE n WHEN 1 THEN CAST(i AS HUGEINT)
+                WHEN 2 THEN CAST(i AS HUGEINT) * i
+                WHEN 4 THEN (CAST(i AS HUGEINT) * i) * (CAST(i AS HUGEINT) * i)
+                ELSE ((CAST(i AS HUGEINT) * i) * (CAST(i AS HUGEINT) * i))
+                     * ((CAST(i AS HUGEINT) * i) * (CAST(i AS HUGEINT) * i))
+         END AS ipow,
+         CASE n WHEN 1 THEN CAST(i - 1 AS HUGEINT)
+                WHEN 2 THEN CAST(i - 1 AS HUGEINT) * (i - 1)
+                WHEN 4 THEN (CAST(i - 1 AS HUGEINT) * (i - 1))
+                            * (CAST(i - 1 AS HUGEINT) * (i - 1))
+                ELSE ((CAST(i - 1 AS HUGEINT) * (i - 1))
+                      * (CAST(i - 1 AS HUGEINT) * (i - 1)))
+                     * ((CAST(i - 1 AS HUGEINT) * (i - 1))
+                        * (CAST(i - 1 AS HUGEINT) * (i - 1)))
+         END AS ipow_prev,
+         CASE n WHEN 1 THEN CAST(k AS HUGEINT)
+                WHEN 2 THEN CAST(k AS HUGEINT) * k
+                WHEN 4 THEN (CAST(k AS HUGEINT) * k) * (CAST(k AS HUGEINT) * k)
+                ELSE ((CAST(k AS HUGEINT) * k) * (CAST(k AS HUGEINT) * k))
+                     * ((CAST(k AS HUGEINT) * k) * (CAST(k AS HUGEINT) * k))
+         END AS kpow
+  FROM fan
+), per_user AS (
+  SELECT user_id, n,
+         CAST(FLOOR(CAST(SUM(CAST(cents AS HUGEINT) * (ipow - ipow_prev))
+                         AS DOUBLE)
+                    / CAST(ANY_VALUE(kpow) AS DOUBLE) + 0.5) AS BIGINT) AS eq
+  FROM pw GROUP BY user_id, n
+), agg AS (
+  SELECT n, COUNT(*) AS n_users,
+         FLOOR(CAST(SUM(eq) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4
+           AS avg_best_cents
+  FROM per_user GROUP BY n
+), base AS (SELECT avg_best_cents AS b1 FROM agg WHERE n = 1)
+SELECT a.n::BIGINT AS n, a.n_users::BIGINT AS n_users, a.avg_best_cents,
+       FLOOR(a.avg_best_cents / b.b1 * 1e6 + 0.5) / 1e6 AS uplift_vs_mean
+FROM agg a, base b ORDER BY a.n
+""",
+)
+def best_of_n_selection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n selection curve (the rejection-sampling / BoN policy
+    readout used across RLHF data pipelines — public method; the exact
+    order-statistics identity E[max of n] = sum r_(i) *
+    (i^n - (i-1)^n) / k^n): per user, the expected best purchase value
+    under n iid draws from their own candidates, for n in {1,2,4,8} —
+    quantifying how much reward best-of-n buys over the mean (n=1).
+
+    Determinism: ranks sort by (reward, event_id); integer powers are
+    explicit DECIMAL(38,0)/HUGEINT products (float pow would round past
+    2^53); each per-user expectation quantizes to exact cents BEFORE
+    the cross-user average.
+
+    Plan shape / 100 TB: one user-keyed rank window; the n fan-out is
+    map-side x4; per-(user, n) partial aggregation bounds the shuffle.
+    Linear."""
+    events = load_events(spark, sf_dir)
+    cand = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    wu = Window.partitionBy("user_id")
+    ranked = cand.select(
+        "user_id",
+        "cents",
+        F.row_number().over(wu.orderBy("cents", "event_id")).alias("i"),
+        F.count("*").over(wu).alias("k"),
+    )
+    fan = ranked.crossJoin(
+        F.broadcast(
+            events.sparkSession.range(1).select(
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(4), F.lit(8))).alias("n")
+            )
+        )
+    )
+
+    def powx(expr):
+        d = expr.cast("decimal(38,0)")
+        return (
+            F.when(F.col("n") == 1, d)
+            .when(F.col("n") == 2, d * d)
+            .when(F.col("n") == 4, (d * d) * (d * d))
+            .otherwise(((d * d) * (d * d)) * ((d * d) * (d * d)))
+        )
+
+    pw = fan.select(
+        "user_id",
+        "n",
+        "cents",
+        powx(F.col("i")).alias("ipow"),
+        powx(F.col("i") - 1).alias("ipow_prev"),
+        powx(F.col("k")).alias("kpow"),
+    )
+    per_user = pw.groupBy("user_id", "n").agg(
+        F.floor(
+            F.sum(
+                F.col("cents").cast("decimal(38,0)")
+                * (F.col("ipow") - F.col("ipow_prev"))
+            ).cast("double")
+            / F.first("kpow").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("eq")
+    )
+    agg = per_user.groupBy("n").agg(
+        F.count("*").alias("n_users"),
+        (
+            F.floor(F.sum("eq").cast("double") / F.count("*") * 1e4 + F.lit(0.5)) / 1e4
+        ).alias("avg_best_cents"),
+    )
+    base = agg.filter(F.col("n") == 1).select(F.col("avg_best_cents").alias("b1"))
+    return (
+        agg.crossJoin(F.broadcast(base))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_users").cast("long").alias("n_users"),
+            "avg_best_cents",
+            (
+                F.floor(F.col("avg_best_cents") / F.col("b1") * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("uplift_vs_mean"),
+        )
+        .orderBy("n")
     )

@@ -607,3 +607,45 @@ def test_ks_matches_max_gap(spark, sf_dir):
     row = registry.QUERIES["model_ks_separation"](spark, sf_dir).collect()[0]
     assert 0.0 <= row.ks <= 1.0
     assert row.n_pos > 0 and row.n_neg > 0
+
+
+def test_bon_curve_monotone_and_exact_small_case(spark):
+    """BoN expectations must be non-decreasing in n, and match the
+    closed form on a crafted two-candidate user."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "purchase", 1.00, "{}"),
+        (2, dt.datetime(2024, 1, 2), 1, "purchase", 3.00, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
+    )
+    from kinesis_stream_reader_spark import registry as R
+    import kinesis_stream_reader_spark.registry as regmod
+
+    orig = regmod.load_events
+    try:
+        regmod.load_events = lambda spark_, sf_: events
+        out = {r.n: r for r in R.QUERIES["best_of_n_selection"](spark, "x").collect()}
+    finally:
+        regmod.load_events = orig
+    # k=2, rewards {100, 300} cents: E[max of n] = 100/2^n + 300*(2^n-1)/2^n,
+    # half-up rounded to whole cents PER USER (the documented contract)
+    assert out[1].avg_best_cents == 200.0
+    assert out[2].avg_best_cents == 250.0   # (100 + 300*3)/4
+    assert out[4].avg_best_cents == 288.0   # floor(287.5 + 0.5)
+    assert out[8].avg_best_cents == 299.0   # floor(299.21875 + 0.5)
+    vals = [out[n].avg_best_cents for n in (1, 2, 4, 8)]
+    assert vals == sorted(vals)
+
+
+def test_evt_tail_sane(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["evt_pot_tail_report"](spark, sf_dir).collect()[0]
+    assert row.n_exceed > 0 and row.mean_excess_cents > 0
+    # uniform-ish values: bounded support implies xi < 0.5 and finite sigma
+    assert row.xi_mom < 0.5
+    assert row.sigma_mom_cents > 0
