@@ -2005,6 +2005,7 @@ _PRIORITY = [
     "ecod_outlier_scores", "lof_outlier_scores", "mcnemar_raters_test",
     "gains_lift_deciles", "model_ks_separation",
     "evt_pot_tail_report", "best_of_n_selection",
+    "group_sequential_obf",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -21944,4 +21945,142 @@ def best_of_n_selection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("uplift_vs_mean"),
         )
         .orderBy("n")
+    )
+
+
+@register(
+    "group_sequential_obf",
+    # four scheduled looks at epoch quartiles; per-look cumulative
+    # user/conversion censuses per arm; pooled two-proportion z as one
+    # fixed IEEE expression; O'Brien-Fleming bounds (public table)
+    """
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+), looks AS (
+  SELECT k.k AS look,
+         b.mn + (b.mx - b.mn + 1) * k.k // 4 AS cutoff,
+         CASE k.k WHEN 1 THEN 4.048 WHEN 2 THEN 2.862
+                  WHEN 3 THEN 2.337 ELSE 2.024 END AS bound
+  FROM bounds b, (SELECT UNNEST(range(1, 5)) AS k) k
+), pu AS (
+  SELECT l.look, l.bound, user_id % 2 AS arm, user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events e JOIN looks l ON epoch_us(e.ts) < l.cutoff
+  GROUP BY 1, 2, 3, 4
+), cells AS (
+  SELECT look, bound,
+         SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS k0,
+         SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS k1
+  FROM pu GROUP BY 1, 2
+), z AS (
+  SELECT look, bound, n0, k0, n1, k1,
+         CASE WHEN n0 > 0 AND n1 > 0 AND k0 + k1 > 0
+                   AND k0 + k1 < n0 + n1 THEN
+           FLOOR((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0)
+                 / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)) * 1e4 + 0.5) / 1e4
+         ELSE 0.0 END AS z
+  FROM cells
+)
+SELECT look::BIGINT AS look, n0::BIGINT AS n0, k0::BIGINT AS k0,
+       n1::BIGINT AS n1, k1::BIGINT AS k1, z, bound,
+       ABS(z) >= bound AS crossed
+FROM z ORDER BY look
+""",
+)
+def group_sequential_obf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential A/B monitoring with O'Brien-Fleming boundaries
+    (O'Brien & Fleming 1979; boundary values from the published K=4,
+    two-sided alpha=0.05 table — public method): the experiment is
+    examined at four SCHEDULED looks (epoch quartiles), each with a
+    pooled two-proportion z against an increasingly lenient bound
+    (4.048, 2.862, 2.337, 2.024) — the industry-standard peeking
+    discipline between the fixed-horizon ab_test_report and the
+    per-event sprt_sequential_test.
+
+    Determinism: look cutoffs are exact integer epoch arithmetic (the
+    did_estimate convention); per-look censuses are exact ints; each z
+    is one fixed IEEE expression quantized to 1e-4.
+
+    Plan shape / 100 TB: the event-look join fans x4 map-side (looks
+    broadcast); ONE user-level shuffle keyed (look, arm, user) feeds
+    8-cell censuses; everything after is census algebra. Linear."""
+    events = load_events(spark, sf_dir)
+    b = events.agg(
+        F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+    )
+    looks = (
+        events.sparkSession.range(1, 5)
+        .select(F.col("id").alias("look"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "look",
+            (
+                F.col("mn")
+                + F.expr("(mx - mn + 1) * look DIV 4")
+            ).alias("cutoff"),
+            F.when(F.col("look") == 1, 4.048)
+            .when(F.col("look") == 2, 2.862)
+            .when(F.col("look") == 3, 2.337)
+            .otherwise(2.024)
+            .alias("bound"),
+        )
+    )
+    pu = (
+        events.crossJoin(F.broadcast(looks))
+        .filter(F.unix_micros("ts") < F.col("cutoff"))
+        .groupBy(
+            "look",
+            "bound",
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm"),
+            "user_id",
+        )
+        .agg(
+            F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+                "conv"
+            )
+        )
+    )
+    cells = pu.groupBy("look", "bound").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias("k0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias("k1"),
+    )
+    p_pool = (F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = F.when(
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("k0") + F.col("k1") > 0)
+        & (F.col("k0") + F.col("k1") < F.col("n0") + F.col("n1")),
+        F.floor(
+            (
+                F.col("k1").cast("double") / F.col("n1")
+                - F.col("k0").cast("double") / F.col("n0")
+            )
+            / F.sqrt(
+                p_pool
+                * (F.lit(1.0) - p_pool)
+                * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+            )
+            * 1e4
+            + F.lit(0.5)
+        )
+        / 1e4,
+    ).otherwise(F.lit(0.0))
+    return (
+        cells.select(
+            F.col("look").cast("long").alias("look"),
+            F.col("n0").cast("long").alias("n0"),
+            F.col("k0").cast("long").alias("k0"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("k1").cast("long").alias("k1"),
+            z.alias("z"),
+            "bound",
+        )
+        .withColumn("crossed", F.abs(F.col("z")) >= F.col("bound"))
+        .orderBy("look")
     )

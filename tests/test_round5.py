@@ -649,3 +649,17 @@ def test_evt_tail_sane(spark, sf_dir):
     # uniform-ish values: bounded support implies xi < 0.5 and finite sigma
     assert row.xi_mom < 0.5
     assert row.sigma_mom_cents > 0
+
+
+def test_obf_bounds_decrease_and_counts_accumulate(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    rows = registry.QUERIES["group_sequential_obf"](spark, sf_dir).collect()
+    assert [r.look for r in rows] == [1, 2, 3, 4]
+    bounds = [r.bound for r in rows]
+    assert bounds == sorted(bounds, reverse=True)  # OBF gets more lenient
+    for prev, cur in zip(rows, rows[1:]):
+        # cumulative looks: populations and conversions never shrink
+        assert cur.n0 >= prev.n0 and cur.n1 >= prev.n1
+        assert cur.k0 >= prev.k0 and cur.k1 >= prev.k1
+    assert rows[-1].crossed == (abs(rows[-1].z) >= rows[-1].bound)
