@@ -2006,6 +2006,7 @@ _PRIORITY = [
     "gains_lift_deciles", "model_ks_separation",
     "evt_pot_tail_report", "best_of_n_selection",
     "group_sequential_obf",
+    "good_turing_unseen_mass", "capture_recapture_estimate",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -22083,4 +22084,199 @@ def group_sequential_obf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("crossed", F.abs(F.col("z")) >= F.col("bound"))
         .orderBy("look")
+    )
+
+
+@register(
+    "good_turing_unseen_mass",
+    # token census -> frequency-of-frequencies census -> Good-Turing
+    # unseen mass and smoothed counts for r = 1..5, all exact integers
+    # until the final divisions
+    """
+WITH tok AS (
+  SELECT UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                            t -> t <> '')) AS t
+  FROM documents
+), tc AS (
+  SELECT t, COUNT(*) AS r FROM tok GROUP BY 1
+), fof AS (
+  SELECT r, COUNT(*) AS n_r FROM tc GROUP BY 1
+), tot AS (
+  SELECT SUM(r * n_r) AS n_tokens, SUM(n_r) AS vocab FROM fof
+)
+SELECT t.n_tokens::BIGINT AS n_tokens, t.vocab::BIGINT AS vocab,
+       COALESCE((SELECT n_r FROM fof WHERE r = 1), 0)::BIGINT AS n1,
+       FLOOR(CAST(COALESCE((SELECT n_r FROM fof WHERE r = 1), 0) AS DOUBLE)
+             / t.n_tokens * 1e6 + 0.5) / 1e6 AS p_unseen,
+       FLOOR(CAST(COALESCE((SELECT n_r FROM fof WHERE r = 2), 0) AS DOUBLE) * 2
+             / GREATEST(COALESCE((SELECT n_r FROM fof WHERE r = 1), 0), 1)
+             * 1e4 + 0.5) / 1e4 AS r_star_1,
+       FLOOR(CAST(COALESCE((SELECT n_r FROM fof WHERE r = 3), 0) AS DOUBLE) * 3
+             / GREATEST(COALESCE((SELECT n_r FROM fof WHERE r = 2), 0), 1)
+             * 1e4 + 0.5) / 1e4 AS r_star_2
+FROM tot t
+""",
+)
+def good_turing_unseen_mass_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing unseen-species estimate (Good 1953; Gale & Sampson
+    1995 exposition — public method): from the frequency-of-
+    frequencies census of the token vocabulary, the probability mass
+    the corpus assigns to TOKENS IT HAS NEVER SEEN is N1/N (the
+    singleton share), and the smoothed counts r* = (r+1) N_{r+1}/N_r
+    re-estimate the rare tail — the vocabulary-coverage forecast a
+    tokenizer/LM pipeline reads before freezing a vocab (vocab_coverage
+    reports what the top-V covers; Good-Turing forecasts what NEW data
+    will bring).
+
+    Determinism: both censuses are exact ints; the outputs are single
+    IEEE divisions (zero-guarded).
+
+    Plan shape / 100 TB: token census (partial-agg shuffle bounded by
+    |vocab|) -> frequency-of-frequencies census (bounded by distinct
+    counts) -> constant-size report. Linear."""
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(F.filter(tokens(F.col("text")), lambda t: t != "")).alias("t")
+    )
+    tc = tok.groupBy("t").agg(F.count("*").alias("r"))
+    fof = tc.groupBy("r").agg(F.count("*").alias("n_r"))
+    tot = fof.agg(
+        F.sum(F.col("r") * F.col("n_r")).alias("n_tokens"),
+        F.sum("n_r").alias("vocab"),
+    )
+    pick = lambda rr: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("r") == rr, F.col("n_r"))), F.lit(0)
+    )
+    ns = fof.agg(
+        pick(1).alias("n1"), pick(2).alias("n2"), pick(3).alias("n3")
+    )
+    return (
+        tot.crossJoin(F.broadcast(ns))
+        .select(
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.col("n1").cast("long").alias("n1"),
+            (
+                F.floor(
+                    F.col("n1").cast("double") / F.col("n_tokens") * 1e6 + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("p_unseen"),
+            (
+                F.floor(
+                    F.col("n2").cast("double")
+                    * 2
+                    / F.greatest(F.col("n1"), F.lit(1))
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("r_star_1"),
+            (
+                F.floor(
+                    F.col("n3").cast("double")
+                    * 3
+                    / F.greatest(F.col("n2"), F.lit(1))
+                    * 1e4
+                    + F.lit(0.5)
+                )
+                / 1e4
+            ).alias("r_star_2"),
+        )
+    )
+
+
+@register(
+    "capture_recapture_estimate",
+    # two temporal "captures" (epoch halves); Chapman estimator from
+    # exact distinct-user counts; exact integer epoch split
+    """
+WITH b AS (
+  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx FROM events
+), tagged AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN epoch_us(ts) < (b.mn + b.mx) // 2 THEN 0 ELSE 1 END AS half
+  FROM events, b
+), caps AS (
+  SELECT
+    COUNT(DISTINCT CASE WHEN half = 0 THEN user_id END) AS n1,
+    COUNT(DISTINCT CASE WHEN half = 1 THEN user_id END) AS n2
+  FROM tagged
+), m AS (
+  SELECT COUNT(*) AS m FROM (
+    SELECT user_id FROM tagged GROUP BY user_id HAVING COUNT(*) = 2
+  )
+), truth AS (
+  SELECT COUNT(DISTINCT user_id) AS n_true FROM events
+)
+SELECT c.n1::BIGINT AS n_first, c.n2::BIGINT AS n_second, m.m::BIGINT AS n_both,
+       FLOOR(CAST((c.n1 + 1) AS DOUBLE) * (c.n2 + 1) / (m.m + 1) - 1 + 0.5)
+         ::BIGINT AS n_hat_chapman,
+       t.n_true::BIGINT AS n_true
+FROM caps c, m, truth t
+""",
+)
+def capture_recapture_estimate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation (Lincoln-Petersen with
+    the Chapman 1951 bias correction — public method): treat the two
+    epoch halves of the stream as two capture occasions; the overlap
+    of distinct users estimates the TOTAL population N ~ (n1+1)(n2+1)
+    / (m+1) - 1 — the technique a data platform uses to estimate how
+    many distinct entities exist beyond what two overlapping crawls /
+    log windows saw (the ground truth column makes the estimator's
+    bias directly visible).
+
+    Determinism: the split is exact integer epoch arithmetic; all
+    counts are exact distinct censuses; the estimator is one fixed
+    IEEE expression rounded half-up to an integer.
+
+    Plan shape / 100 TB: one distinct-(user, half) shuffle -> scalar
+    censuses. Linear."""
+    events = load_events(spark, sf_dir)
+    b = events.agg(
+        F.min(F.unix_micros("ts")).alias("mn"), F.max(F.unix_micros("ts")).alias("mx")
+    )
+    tagged = (
+        events.crossJoin(F.broadcast(b))
+        .select(
+            "user_id",
+            F.when(
+                F.unix_micros("ts")
+                < F.floor((F.col("mn") + F.col("mx")) / 2).cast("long"),
+                0,
+            )
+            .otherwise(1)
+            .alias("half"),
+        )
+        .distinct()
+    )
+    per_user = tagged.groupBy("user_id").agg(F.count("*").alias("n_halves"))
+    caps = tagged.agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n2"),
+    )
+    m = per_user.agg(
+        F.sum(F.when(F.col("n_halves") == 2, 1).otherwise(0)).alias("m")
+    )
+    truth = events.agg(F.countDistinct("user_id").alias("n_true"))
+    return (
+        caps.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(truth))
+        .select(
+            F.col("n1").cast("long").alias("n_first"),
+            F.col("n2").cast("long").alias("n_second"),
+            F.col("m").cast("long").alias("n_both"),
+            F.floor(
+                (F.col("n1") + 1).cast("double")
+                * (F.col("n2") + 1)
+                / (F.col("m") + 1)
+                - 1
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("n_hat_chapman"),
+            F.col("n_true").cast("long").alias("n_true"),
+        )
     )

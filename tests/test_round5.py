@@ -663,3 +663,24 @@ def test_obf_bounds_decrease_and_counts_accumulate(spark, sf_dir):
         assert cur.n0 >= prev.n0 and cur.n1 >= prev.n1
         assert cur.k0 >= prev.k0 and cur.k1 >= prev.k1
     assert rows[-1].crossed == (abs(rows[-1].z) >= rows[-1].bound)
+
+
+def test_good_turing_bounds(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["good_turing_unseen_mass"](spark, sf_dir).collect()[0]
+    assert 0 < row.vocab <= row.n_tokens
+    assert 0 <= row.n1 <= row.vocab
+    assert 0.0 <= row.p_unseen <= 1.0
+    assert row.r_star_1 >= 0.0 and row.r_star_2 >= 0.0
+
+
+def test_capture_recapture_sane(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["capture_recapture_estimate"](spark, sf_dir).collect()[0]
+    assert row.n_both <= min(row.n_first, row.n_second)
+    # Chapman is bounded below by the union of captures
+    union = row.n_first + row.n_second - row.n_both
+    assert row.n_hat_chapman >= union - 1
+    assert row.n_true >= union
