@@ -2007,6 +2007,7 @@ _PRIORITY = [
     "evt_pot_tail_report", "best_of_n_selection",
     "group_sequential_obf",
     "good_turing_unseen_mass", "capture_recapture_estimate",
+    "heaps_law_fit",
     "multimodal_jpeg_decode", "multimodal_jpeg_phash_dedup",
     "dedup_downweight", "sql_collation_distinct",
     "readability_report", "code_prose_report", "bradley_terry_arena",
@@ -22279,4 +22280,130 @@ def capture_recapture_estimate_query(spark: SparkSession, sf_dir: str) -> DataFr
             .alias("n_hat_chapman"),
             F.col("n_true").cast("long").alias("n_true"),
         )
+    )
+
+
+@register(
+    "heaps_law_fit",
+    # doc-id decile buckets (integer arithmetic, no global window);
+    # V(N) points from first-occurrence-bucket and occurrence censuses;
+    # log-log OLS with per-term 1e-6 quantization (the zipf convention)
+    """
+WITH b AS (
+  SELECT MIN(doc_id) AS mn, MAX(doc_id) AS mx FROM documents
+), tok AS (
+  SELECT d.doc_id,
+         LEAST((d.doc_id - b.mn) * 10 // (b.mx - b.mn + 1), 9) AS bucket,
+         UNNEST(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                            t -> t <> '')) AS t
+  FROM documents d, b
+), occ AS (
+  SELECT bucket, COUNT(*) AS n_occ FROM tok GROUP BY 1
+), firsts AS (
+  SELECT MIN(bucket) AS fb FROM tok GROUP BY t
+), vnew AS (
+  SELECT fb AS bucket, COUNT(*) AS v_new FROM firsts GROUP BY 1
+), pts AS (
+  SELECT o.bucket,
+         SUM(o.n_occ) OVER (ORDER BY o.bucket
+                            ROWS UNBOUNDED PRECEDING) AS big_n,
+         SUM(COALESCE(v.v_new, 0)) OVER (ORDER BY o.bucket
+                            ROWS UNBOUNDED PRECEDING) AS big_v
+  FROM occ o LEFT JOIN vnew v USING (bucket)
+), logs AS (
+  SELECT CAST(FLOOR(LN(CAST(big_n AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(LN(CAST(big_v AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM pts WHERE big_n > 0 AND big_v > 0
+), m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM logs
+)
+SELECT n::BIGINT AS n_points,
+       FLOOR((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * 1e6 + 0.5) / 1e6 AS heaps_beta,
+       FLOOR((CAST(sy AS DOUBLE) / n
+              - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * (CAST(sx AS DOUBLE) / n)) / 1e6 * 1e4 + 0.5) / 1e4
+         AS heaps_log_k
+FROM m
+""",
+)
+def heaps_law_fit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978 — public law:
+    V(N) ~ K * N^beta): vocabulary size V at ten corpus prefixes
+    against tokens seen N, fit by log-log OLS — the growth-forecast
+    companion to good_turing_unseen_mass (Good-Turing says how much
+    NEW mass the next batch brings; Heaps says how the vocab curve
+    bends as the corpus scales 10x).
+
+    Determinism: prefixes are integer doc-id decile buckets (no global
+    window); V/N points come from exact first-occurrence-bucket and
+    occurrence censuses; each log quantizes to a 1e-6 int before the
+    OLS moment sums (the zipf_fit_report convention).
+
+    Plan shape / 100 TB: one token explode feeds BOTH censuses (the
+    occurrence census and the per-token min-bucket census — each one
+    partial-agg shuffle); the fit runs on 10 points. Linear."""
+    from .operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+    tok = (
+        docs.crossJoin(F.broadcast(b))
+        .select(
+            F.least(
+                F.expr("(doc_id - mn) * 10 DIV (mx - mn + 1)"), F.lit(9)
+            ).alias("bucket"),
+            F.explode(F.filter(tokens(F.col("text")), lambda t: t != "")).alias("t"),
+        )
+    )
+    occ = tok.groupBy("bucket").agg(F.count("*").alias("n_occ"))
+    firsts = tok.groupBy("t").agg(F.min("bucket").alias("fb"))
+    vnew = firsts.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count("*").alias("v_new")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        occ.join(vnew, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_occ").over(w).alias("big_n"),
+            F.sum(F.coalesce(F.col("v_new"), F.lit(0))).over(w).alias("big_v"),
+        )
+        .filter((F.col("big_n") > 0) & (F.col("big_v") > 0))
+    )
+    q = lambda c: F.floor(F.log(c.cast("double")) * 1e6 + F.lit(0.5)).cast("long")  # noqa: E731
+    logs = pts.select(q(F.col("big_n")).alias("x"), q(F.col("big_v")).alias("y"))
+    m = logs.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_points"),
+        (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("heaps_beta"),
+        (
+            F.floor(
+                (
+                    F.col("sy").cast("double") / F.col("n")
+                    - slope * (F.col("sx").cast("double") / F.col("n"))
+                )
+                / 1e6
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("heaps_log_k"),
     )

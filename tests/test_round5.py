@@ -684,3 +684,14 @@ def test_capture_recapture_sane(spark, sf_dir):
     union = row.n_first + row.n_second - row.n_both
     assert row.n_hat_chapman >= union - 1
     assert row.n_true >= union
+
+
+def test_heaps_beta_in_sublinear_range(spark, sf_dir):
+    from kinesis_stream_reader_spark import registry
+
+    row = registry.QUERIES["heaps_law_fit"](spark, sf_dir).collect()[0]
+    assert row.n_points == 10
+    # Heaps exponent: vocabulary grows sublinearly, beta in [0, 1).
+    # The synthetic fixture's bounded vocab saturates in the first
+    # decile, so a flat curve (beta == 0) is the CORRECT fit there.
+    assert 0.0 <= row.heaps_beta < 1.0
