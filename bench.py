@@ -49,25 +49,41 @@ def main() -> None:
     # happens to run first — the source of round-over-round "regressions"
     # on queries whose code never changed (bench order shifts as the
     # registry grows, so a different query absorbs the cold start).
+    import shutil
     import tempfile
 
     warm_dir = tempfile.mkdtemp(prefix="ksr_bench_warm_src_")
     warm_ckpt = tempfile.mkdtemp(prefix="ksr_bench_warm_ckpt_")
-    spark.range(1_000).write.mode("overwrite").parquet(warm_dir)
-    (
-        spark.readStream.schema("id long")
-        .parquet(warm_dir)
-        .groupBy()
-        .count()
-        .writeStream.format("memory")
-        .queryName("ksr_bench_warmup_sink")
-        .outputMode("complete")
-        .option("checkpointLocation", warm_ckpt)
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
-    spark.catalog.dropTempView("ksr_bench_warmup_sink")
+    try:
+
+        def _warm_drain() -> None:
+            (
+                spark.readStream.schema("id long")
+                .parquet(warm_dir)
+                .groupBy()
+                .count()
+                .writeStream.format("memory")
+                .queryName("ksr_bench_warmup_sink")
+                .outputMode("complete")
+                .option("checkpointLocation", warm_ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        spark.range(1_000).write.mode("overwrite").parquet(warm_dir)
+        _warm_drain()
+        # Second drain from the SAME checkpoint: exercises checkpoint
+        # RECOVERY (offset-log replay, state-store reload) — a distinct
+        # one-time cost from cold stream startup that otherwise lands on
+        # the first checkpoint-restart query in registry order
+        # (streaming_resume_exactly_once was absorbing it).
+        spark.range(1_000, 2_000).write.mode("append").parquet(warm_dir)
+        _warm_drain()
+        spark.catalog.dropTempView("ksr_bench_warmup_sink")
+    finally:
+        shutil.rmtree(warm_dir, ignore_errors=True)
+        shutil.rmtree(warm_ckpt, ignore_errors=True)
 
     shuffle_parts = spark.conf.get("spark.sql.shuffle.partitions")
     preexisting_views = {r.name for r in spark.catalog.listTables()}

@@ -2687,6 +2687,54 @@ def dpo_pair_builder(documents: DataFrame, pairs_per_group: int = 2) -> DataFram
     )
 
 
+def blocked_eval_pairs(
+    pref: DataFrame, max_pairs_per_block: int = 64
+) -> DataFrame:
+    """Shared pair generator for the rewrite-eval kernels (BLEU / WER /
+    ROUGE-L / chrF): 8-token-prefix fingerprint blocks pick each doc's
+    reference (the block's min doc_id), with a DETERMINISTIC per-block
+    candidate cap — the `dedup_minhash_pairs_capped` guard applied to
+    the eval family. Input `pref` must carry (doc_id, fp).
+
+    Why the cap: each pair costs an O(n*m) DP downstream, so total work
+    is pair mass x doc length — correct but unguarded, a pathological
+    dup fraction at 100 TB (one hot block with 10^6 members) turns the
+    metric into a surprise bill. The cap keeps the first
+    `max_pairs_per_block` candidates per block by doc_id (deterministic,
+    engine-identical), and every emitted row carries
+    `block_pairs_total` — the PRE-cap pair count of its block — so a
+    capped block is visible in the report, never silently truncated.
+
+    Plan shape: row_number + count share ONE fp-keyed window exchange;
+    output is (doc_id, ref_id, block_pairs_total), linear in min(dup
+    mass, blocks x cap)."""
+    canon = pref.groupBy("fp").agg(F.min("doc_id").alias("ref_id"))
+    wb = Window.partitionBy("fp").orderBy("doc_id")
+    wc = Window.partitionBy("fp")
+    return (
+        pref.select("doc_id", "fp")
+        .join(canon, "fp")
+        .filter(F.col("doc_id") != F.col("ref_id"))
+        .withColumn("prn", F.row_number().over(wb))
+        .withColumn("block_pairs_total", F.count("*").over(wc))
+        .filter(F.col("prn") <= max_pairs_per_block)
+        .select("doc_id", "ref_id", "block_pairs_total")
+    )
+
+
+# The oracle twin of blocked_eval_pairs, spliced into each kernel's SQL
+# after its `canon` CTE (DuckDB; `pref` must expose doc_id, fp).
+BLOCKED_EVAL_PAIRS_SQL = """pairs AS (
+  SELECT doc_id, ref_id, block_pairs_total FROM (
+    SELECT p.doc_id, c.ref_id,
+           ROW_NUMBER() OVER (PARTITION BY p.fp ORDER BY p.doc_id) AS prn,
+           COUNT(*) OVER (PARTITION BY p.fp) AS block_pairs_total
+    FROM pref p JOIN canon c USING (fp)
+    WHERE p.doc_id <> c.ref_id
+  ) WHERE prn <= 64
+)"""
+
+
 def wer_pairs_report(documents: DataFrame) -> DataFrame:
     """Word error rate (Levenshtein 1966 edit distance at TOKEN level,
     normalized by reference length — the standard ASR/translation
@@ -2709,7 +2757,9 @@ def wer_pairs_report(documents: DataFrame) -> DataFrame:
     with built-in operators (Spark's levenshtein is char-level and
     chr() wraps at 256, so a char re-encoding cannot carry a realistic
     vocabulary); per-pair cost is O(n*m) with n,m = doc lengths, the
-    inherent cost of the measure, bounded by pair mass."""
+    inherent cost of the measure, bounded by pair mass — and pair mass
+    itself is bounded by blocked_eval_pairs' deterministic per-block
+    cap (pre-cap counts surfaced as block_pairs_total)."""
     import pandas as pd
 
     ws = documents.select(
@@ -2718,13 +2768,7 @@ def wer_pairs_report(documents: DataFrame) -> DataFrame:
     pref = ws.filter(F.size("w") >= 8).select(
         "doc_id", "w", F.md5(F.array_join(F.slice("w", 1, 8), " ")).alias("fp")
     )
-    canon = pref.groupBy("fp").agg(F.min("doc_id").alias("ref_id"))
-    pairs = (
-        pref.select("doc_id", "fp")
-        .join(canon, "fp")
-        .filter(F.col("doc_id") != F.col("ref_id"))
-        .select("doc_id", "ref_id")
-    )
+    pairs = blocked_eval_pairs(pref)
     # hash token arrays ONLY for pair members (semi-join first): the
     # per-element md5 HOF is interpreted, so confine it to the
     # dup-mass-bounded member set, never the corpus
@@ -2750,7 +2794,7 @@ def wer_pairs_report(documents: DataFrame) -> DataFrame:
     joined = (
         pairs.join(ha, pairs.doc_id == ha.a_id)
         .join(hr, pairs.ref_id == hr.r_id)
-        .select("doc_id", "ref_id", "ha", "hr", "n_ref")
+        .select("doc_id", "ref_id", "block_pairs_total", "ha", "hr", "n_ref")
     )
 
     def _wer_batches(batches):
@@ -2778,17 +2822,20 @@ def wer_pairs_report(documents: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "ref_id": pdf["ref_id"],
+                    "block_pairs_total": pdf["block_pairs_total"],
                     "n_ref": pdf["n_ref"],
                     "dist": dists,
                 }
             )
 
     out = joined.mapInPandas(
-        _wer_batches, "doc_id long, ref_id long, n_ref long, dist long"
+        _wer_batches,
+        "doc_id long, ref_id long, block_pairs_total long, n_ref long, dist long",
     )
     return out.select(
         "doc_id",
         "ref_id",
+        "block_pairs_total",
         "n_ref",
         "dist",
         (F.floor(F.col("dist") * 1e6 / F.col("n_ref") + F.lit(0.5)) / 1e6).alias("wer"),
@@ -2808,10 +2855,11 @@ def rouge_l_pairs_report(documents: DataFrame) -> DataFrame:
     floored at 1e-6.
 
     Plan shape / 100 TB: identical to wer_pairs_report — fingerprint
-    blocking, hashed-token arrays only for pair members
-    (dup-mass-bounded), and an Arrow-batched numpy DP kernel. The LCS
-    row recurrence new[j] = max(t[j], new[j-1]) is a running maximum,
-    so each row is two vectorized passes."""
+    blocking with blocked_eval_pairs' deterministic per-block cap,
+    hashed-token arrays only for pair members (dup-mass-bounded), and
+    an Arrow-batched numpy DP kernel. The LCS row recurrence
+    new[j] = max(t[j], new[j-1]) is a running maximum, so each row is
+    two vectorized passes."""
     import pandas as pd
 
     ws = documents.select(
@@ -2820,13 +2868,7 @@ def rouge_l_pairs_report(documents: DataFrame) -> DataFrame:
     pref = ws.filter(F.size("w") >= 8).select(
         "doc_id", "w", F.md5(F.array_join(F.slice("w", 1, 8), " ")).alias("fp")
     )
-    canon = pref.groupBy("fp").agg(F.min("doc_id").alias("ref_id"))
-    pairs = (
-        pref.select("doc_id", "fp")
-        .join(canon, "fp")
-        .filter(F.col("doc_id") != F.col("ref_id"))
-        .select("doc_id", "ref_id")
-    )
+    pairs = blocked_eval_pairs(pref)
     members = (
         pairs.select(F.col("doc_id").alias("m"))
         .unionByName(pairs.select(F.col("ref_id").alias("m")))
@@ -2848,7 +2890,9 @@ def rouge_l_pairs_report(documents: DataFrame) -> DataFrame:
     joined = (
         pairs.join(ha, pairs.doc_id == ha.a_id)
         .join(hr, pairs.ref_id == hr.r_id)
-        .select("doc_id", "ref_id", "ha", "hr", "n_cand", "n_ref")
+        .select(
+            "doc_id", "ref_id", "block_pairs_total", "ha", "hr", "n_cand", "n_ref"
+        )
     )
 
     def _lcs_batches(batches):
@@ -2872,6 +2916,7 @@ def rouge_l_pairs_report(documents: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "ref_id": pdf["ref_id"],
+                    "block_pairs_total": pdf["block_pairs_total"],
                     "n_cand": pdf["n_cand"],
                     "n_ref": pdf["n_ref"],
                     "lcs": lcss,
@@ -2879,13 +2924,16 @@ def rouge_l_pairs_report(documents: DataFrame) -> DataFrame:
             )
 
     out = joined.mapInPandas(
-        _lcs_batches, "doc_id long, ref_id long, n_cand long, n_ref long, lcs long"
+        _lcs_batches,
+        "doc_id long, ref_id long, block_pairs_total long, "
+        "n_cand long, n_ref long, lcs long",
     )
     r = F.col("lcs").cast("double") / F.col("n_ref")
     p = F.col("lcs").cast("double") / F.col("n_cand")
     return out.select(
         "doc_id",
         "ref_id",
+        "block_pairs_total",
         "n_ref",
         "lcs",
         (F.floor(r * 1e6 + F.lit(0.5)) / 1e6).alias("rouge_l_recall"),
@@ -2926,13 +2974,7 @@ def chrf_pairs_report(documents: DataFrame, beta: float = 2.0) -> DataFrame:
     pref = ws.filter(F.size("w") >= 8).select(
         "doc_id", F.md5(F.array_join(F.slice("w", 1, 8), " ")).alias("fp")
     )
-    canon = pref.groupBy("fp").agg(F.min("doc_id").alias("ref_id"))
-    pairs = (
-        pref.select("doc_id", "fp")
-        .join(canon, "fp")
-        .filter(F.col("doc_id") != F.col("ref_id"))
-        .select("doc_id", "ref_id")
-    )
+    pairs = blocked_eval_pairs(pref)
     members = (
         pairs.select(F.col("doc_id").alias("m"))
         .unionByName(pairs.select(F.col("ref_id").alias("m")))
@@ -3021,9 +3063,12 @@ def chrf_pairs_report(documents: DataFrame, beta: float = 2.0) -> DataFrame:
     p = F.col("psum").cast("double") / F.col("k") / 1e9
     r = F.col("rsum").cast("double") / F.col("k") / 1e9
     b2 = beta * beta
+    # 1:1 join-back for the pre-cap block count (pairs is pair-mass-sized)
+    per = per.join(pairs, ["doc_id", "ref_id"])
     return per.select(
         "doc_id",
         "ref_id",
+        "block_pairs_total",
         (F.floor(p * 1e6 + F.lit(0.5)) / 1e6).alias("chrf_precision"),
         (F.floor(r * 1e6 + F.lit(0.5)) / 1e6).alias("chrf_recall"),
         F.when(

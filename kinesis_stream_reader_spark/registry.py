@@ -17534,8 +17534,13 @@ WITH ws AS (
 ), canon AS (
   SELECT fp, MIN(doc_id) AS ref_id FROM pref GROUP BY fp
 ), pairs AS (
-  SELECT p.doc_id, c.ref_id FROM pref p JOIN canon c USING (fp)
-  WHERE p.doc_id <> c.ref_id
+  SELECT doc_id, ref_id, block_pairs_total FROM (
+    SELECT p.doc_id, c.ref_id,
+           ROW_NUMBER() OVER (PARTITION BY p.fp ORDER BY p.doc_id) AS prn,
+           COUNT(*) OVER (PARTITION BY p.fp) AS block_pairs_total
+    FROM pref p JOIN canon c USING (fp)
+    WHERE p.doc_id <> c.ref_id
+  ) WHERE prn <= 64
 ), g1 AS (
   SELECT doc_id, t.g AS g, COUNT(*) AS c
   FROM ws, LATERAL UNNEST(w) AS t(g) GROUP BY doc_id, t.g
@@ -17571,7 +17576,7 @@ clip1 AS (
   JOIN lens lc ON lc.doc_id = c1.doc_id
   JOIN lens lr ON lr.doc_id = c1.ref_id
 )
-SELECT doc_id, ref_id,
+SELECT doc_id, ref_id, p.block_pairs_total::BIGINT AS block_pairs_total,
        floor(CAST(k1 AS DOUBLE) / t1 * 1e6 + 0.5) / 1e6 AS p1,
        floor(CAST(k2 AS DOUBLE) / t2 * 1e6 + 0.5) / 1e6 AS p2,
        floor(CASE WHEN c_len >= r_len THEN 1.0
@@ -17583,7 +17588,7 @@ SELECT doc_id, ref_id,
                * EXP(0.5 * LN(CAST(k1 AS DOUBLE) / t1)
                      + 0.5 * LN(CAST(k2 AS DOUBLE) / t2))
              ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS bleu2
-FROM m ORDER BY doc_id, ref_id
+FROM m JOIN pairs p USING (doc_id, ref_id) ORDER BY doc_id, ref_id
 """,
 )
 def bleu_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17606,7 +17611,7 @@ def bleu_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relation is linear in the duplicated mass, never corpus^2.
     Gram counts shuffle as 8-byte-keyed rows; texts never shuffle."""
     documents = load_table(spark, sf_dir, "documents")
-    from .operators.text import tokens
+    from .operators.text import blocked_eval_pairs, tokens
 
     ws = documents.select(
         "doc_id", F.filter(tokens(F.col("text")), lambda t: t != "").alias("w")
@@ -17614,12 +17619,7 @@ def bleu_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = ws.filter(F.size("w") >= 8).select(
         "doc_id", "w", F.md5(F.array_join(F.slice("w", 1, 8), " ")).alias("fp")
     )
-    canon = pref.groupBy("fp").agg(F.min("doc_id").alias("ref_id"))
-    pairs = (
-        pref.join(canon, "fp")
-        .filter(F.col("doc_id") != F.col("ref_id"))
-        .select("doc_id", "ref_id")
-    )
+    pairs = blocked_eval_pairs(pref)
     g1 = (
         ws.select("doc_id", F.explode("w").alias("g"))
         .groupBy("doc_id", "g")
@@ -17681,9 +17681,13 @@ def bleu_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         bp * F.exp(F.lit(0.5) * F.log(p1) + F.lit(0.5) * F.log(p2)),
     ).otherwise(F.lit(0.0))
     q6 = lambda c_: F.floor(c_ * 1e6 + F.lit(0.5)) / 1e6  # noqa: E731
+    # 1:1 join-back for the pre-cap block count (pairs is pair-mass-sized)
+    m = m.join(pairs.select("doc_id", "ref_id", "block_pairs_total"),
+               ["doc_id", "ref_id"])
     return m.select(
         "doc_id",
         "ref_id",
+        "block_pairs_total",
         q6(p1).alias("p1"),
         q6(p2).alias("p2"),
         q6(bp).alias("brevity_penalty"),
@@ -19518,8 +19522,13 @@ WITH RECURSIVE ws AS (
 ), canon AS (
   SELECT fp, MIN(doc_id) AS ref_id FROM pref GROUP BY fp
 ), pairs AS (
-  SELECT p.doc_id, c.ref_id FROM pref p JOIN canon c USING (fp)
-  WHERE p.doc_id <> c.ref_id
+  SELECT doc_id, ref_id, block_pairs_total FROM (
+    SELECT p.doc_id, c.ref_id,
+           ROW_NUMBER() OVER (PARTITION BY p.fp ORDER BY p.doc_id) AS prn,
+           COUNT(*) OVER (PARTITION BY p.fp) AS block_pairs_total
+    FROM pref p JOIN canon c USING (fp)
+    WHERE p.doc_id <> c.ref_id
+  ) WHERE prn <= 64
 ), jp AS (
   SELECT p.doc_id, p.ref_id, a.w AS wa, r.w AS wr
   FROM pairs p JOIN ws a ON a.doc_id = p.doc_id
@@ -19546,9 +19555,10 @@ WITH RECURSIVE ws AS (
   SELECT doc_id, ref_id, len(wr)::BIGINT AS n_ref, d[len(wr) + 1] AS dist
   FROM dp WHERE i = len(wa)
 )
-SELECT doc_id, ref_id, n_ref, dist::BIGINT AS dist,
+SELECT doc_id, ref_id, p.block_pairs_total::BIGINT AS block_pairs_total,
+       n_ref, dist::BIGINT AS dist,
        FLOOR(dist * 1e6 / n_ref + 0.5) / 1e6 AS wer
-FROM fin ORDER BY doc_id, ref_id
+FROM fin JOIN pairs p USING (doc_id, ref_id) ORDER BY doc_id, ref_id
 """,
 )
 def wer_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -19628,8 +19638,13 @@ WITH RECURSIVE ws AS (
 ), canon AS (
   SELECT fp, MIN(doc_id) AS ref_id FROM pref GROUP BY fp
 ), pairs AS (
-  SELECT p.doc_id, c.ref_id FROM pref p JOIN canon c USING (fp)
-  WHERE p.doc_id <> c.ref_id
+  SELECT doc_id, ref_id, block_pairs_total FROM (
+    SELECT p.doc_id, c.ref_id,
+           ROW_NUMBER() OVER (PARTITION BY p.fp ORDER BY p.doc_id) AS prn,
+           COUNT(*) OVER (PARTITION BY p.fp) AS block_pairs_total
+    FROM pref p JOIN canon c USING (fp)
+    WHERE p.doc_id <> c.ref_id
+  ) WHERE prn <= 64
 ), jp AS (
   SELECT p.doc_id, p.ref_id, a.w AS wa, r.w AS wr
   FROM pairs p JOIN ws a ON a.doc_id = p.doc_id
@@ -19656,7 +19671,8 @@ WITH RECURSIVE ws AS (
          d[len(wr) + 1] AS lcs
   FROM dp WHERE i = len(wa)
 )
-SELECT doc_id, ref_id, n_ref, lcs::BIGINT AS lcs,
+SELECT doc_id, ref_id, p.block_pairs_total::BIGINT AS block_pairs_total,
+       n_ref, lcs::BIGINT AS lcs,
        FLOOR(CAST(lcs AS DOUBLE) / n_ref * 1e6 + 0.5) / 1e6 AS rouge_l_recall,
        FLOOR(CAST(lcs AS DOUBLE) / n_cand * 1e6 + 0.5) / 1e6 AS rouge_l_precision,
        CASE WHEN lcs > 0 THEN
@@ -19664,7 +19680,7 @@ SELECT doc_id, ref_id, n_ref, lcs::BIGINT AS lcs,
                / (CAST(lcs AS DOUBLE) / n_ref + CAST(lcs AS DOUBLE) / n_cand)
                * 1e6 + 0.5) / 1e6
        ELSE 0.0 END AS rouge_l_f1
-FROM fin ORDER BY doc_id, ref_id
+FROM fin JOIN pairs p USING (doc_id, ref_id) ORDER BY doc_id, ref_id
 """,
 )
 def rouge_l_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -19689,8 +19705,13 @@ WITH ws AS (
 ), canon AS (
   SELECT fp, MIN(doc_id) AS ref_id FROM pref GROUP BY fp
 ), pairs AS (
-  SELECT p.doc_id, c.ref_id FROM pref p JOIN canon c USING (fp)
-  WHERE p.doc_id <> c.ref_id
+  SELECT doc_id, ref_id, block_pairs_total FROM (
+    SELECT p.doc_id, c.ref_id,
+           ROW_NUMBER() OVER (PARTITION BY p.fp ORDER BY p.doc_id) AS prn,
+           COUNT(*) OVER (PARTITION BY p.fp) AS block_pairs_total
+    FROM pref p JOIN canon c USING (fp)
+    WHERE p.doc_id <> c.ref_id
+  ) WHERE prn <= 64
 ), members AS (
   SELECT DISTINCT m FROM (
     SELECT doc_id AS m FROM pairs UNION ALL SELECT ref_id AS m FROM pairs
@@ -19723,7 +19744,7 @@ WITH ws AS (
   FROM per_order o JOIN ref_tot r USING (doc_id, ref_id, n)
   GROUP BY 1, 2
 )
-SELECT doc_id, ref_id,
+SELECT doc_id, ref_id, p.block_pairs_total::BIGINT AS block_pairs_total,
        FLOOR(CAST(psum AS DOUBLE) / k / 1e9 * 1e6 + 0.5) / 1e6
          AS chrf_precision,
        FLOOR(CAST(rsum AS DOUBLE) / k / 1e9 * 1e6 + 0.5) / 1e6 AS chrf_recall,
@@ -19733,7 +19754,7 @@ SELECT doc_id, ref_id,
                / (4.0 * (CAST(psum AS DOUBLE) / k / 1e9)
                   + (CAST(rsum AS DOUBLE) / k / 1e9)) * 1e6 + 0.5) / 1e6
        ELSE 0.0 END AS chrf
-FROM per ORDER BY doc_id, ref_id
+FROM per JOIN pairs p USING (doc_id, ref_id) ORDER BY doc_id, ref_id
 """,
 )
 def chrf_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -21031,8 +21052,12 @@ re AS (
 SELECT channel,
        FLOOR(p_base / 1e9 * 1e6 + 0.5) / 1e6 AS p_conv_base,
        FLOOR(p_removed / 1e9 * 1e6 + 0.5) / 1e6 AS p_conv_removed,
-       FLOOR(CAST(re_u AS DOUBLE) / p_base * 1e6 + 0.5) / 1e6 AS removal_effect,
-       FLOOR(CAST(re_u AS DOUBLE) / t.sre * 1e6 + 0.5) / 1e6 AS attribution_share
+       CASE WHEN p_base > 0
+            THEN FLOOR(CAST(re_u AS DOUBLE) / p_base * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS removal_effect,
+       CASE WHEN t.sre > 0
+            THEN FLOOR(CAST(re_u AS DOUBLE) / t.sre * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS attribution_share
 FROM re, tot_re t ORDER BY channel
 """,
 )
@@ -21125,8 +21150,10 @@ def markov_attribution_removal_query(spark: SparkSession, sf_dir: str) -> DataFr
                 c,
                 math.floor(pb / 1e9 * 1e6 + 0.5) / 1e6,
                 math.floor(res[c] / 1e9 * 1e6 + 0.5) / 1e6,
-                math.floor(re_u / pb * 1e6 + 0.5) / 1e6,
-                math.floor(re_u / sre * 1e6 + 0.5) / 1e6,
+                # pb == 0 (no conversions) or sre == 0 (no channel reduces
+                # conversion): credit is 0, matching the oracle's CASE guard
+                math.floor(re_u / pb * 1e6 + 0.5) / 1e6 if pb > 0 else 0.0,
+                math.floor(re_u / sre * 1e6 + 0.5) / 1e6 if sre > 0 else 0.0,
             )
         )
     spark = events.sparkSession
@@ -21813,6 +21840,7 @@ WITH cand AS (
   SELECT user_id, event_id,
          CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
   FROM events WHERE event_type = 'purchase'
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) <= 10000
 ), ranked AS (
   SELECT user_id, cents,
          ROW_NUMBER() OVER (PARTITION BY user_id
@@ -21876,14 +21904,33 @@ def best_of_n_selection_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^53); each per-user expectation quantizes to exact cents BEFORE
     the cross-user average.
 
+    Overflow envelope: i^8 in decimal(38,0) holds 38 digits, so an
+    uncapped user with >~42k purchase rows would silently null in
+    Spark (non-ANSI) while the DuckDB HUGEINT oracle errors. Candidates
+    are therefore capped DETERMINISTICALLY at 10,000 per user (first by
+    event_id, identically in both engines): 10000^8 = 1e32 and the
+    cents-weighted sum stays under 1e37, inside both decimal(38,0) and
+    HUGEINT.
+
     Plan shape / 100 TB: one user-keyed rank window; the n fan-out is
     map-side x4; per-(user, n) partial aggregation bounds the shuffle.
     Linear."""
     events = load_events(spark, sf_dir)
-    cand = events.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        "event_id",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    cand = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .withColumn(
+            "_cap_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy("event_id")
+            ),
+        )
+        .filter(F.col("_cap_rn") <= 10000)
+        .drop("_cap_rn")
     )
     wu = Window.partitionBy("user_id")
     ranked = cand.select(

@@ -46,6 +46,11 @@ SUBSET = [
     "markov_next_event_eval", "brier_decomposition",
     "dtw_timeseries_similarity", "harmonic_centrality", "matrix_profile_daily",
     "pelt_changepoints", "markov_attribution_removal",
+    # round-5 final batch (previously untested on empty inputs)
+    "ecod_outlier_scores", "lof_outlier_scores", "mcnemar_raters_test",
+    "gains_lift_deciles", "model_ks_separation", "evt_pot_tail_report",
+    "best_of_n_selection", "group_sequential_obf", "good_turing_unseen_mass",
+    "capture_recapture_estimate", "heaps_law_fit",
 ]
 
 
