@@ -1272,6 +1272,199 @@ def encode_jpeg_blocks(
     return bytes(out)
 
 
+# AC table for the PROGRESSIVE fixture encoder: EOB runs up to 7
+# (0x00/0x10/0x20), ZRL, and every run|size=1 symbol — all 5-bit codes
+# (20 codes of length 5 satisfy Kraft: 20/32 < 1).
+_PROG_AC_COUNTS = [0, 0, 0, 0, 20, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_AC_SYMBOLS = [0x00, 0x10, 0x20, 0xF0] + [
+    (r << 4) | 1 for r in range(16)
+]
+
+
+def encode_jpeg_progressive(w, h, comp_blocks, quant_tables, comp_quant=(0, 1, 1)):
+    """Fixture twin of the progressive decode path: pack QUANTIZED
+    zigzag coefficient blocks into a valid PROGRESSIVE (SOF2) JFIF
+    stream with a six-stage scan script exercising every scan kind of
+    T.81 G.1.2 — interleaved DC first (point transform Al=1), per-
+    component spectral-band AC first scans (Ss 1-5 and 6-63, with
+    EOBRUN codes), interleaved DC refinement (raw bits), and per-
+    component AC refinement scans (newly-significant runs + buffered
+    correction bits). Constraint inherited from the 5-bit fixture AC
+    table: first-pass AC values (|v| >> 1) must be 0 or 1, i.e.
+    |coefficient| <= 3."""
+    import struct
+
+    AL = 1
+    ncomp = len(comp_blocks)
+    nb = -(-w // 8) * (-(-h // 8))
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, qt in enumerate(quant_tables):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(qt)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci in range(ncomp):
+        out += bytes([ci + 1, 0x11, comp_quant[ci]])
+    for tc_th, counts, symbols in (
+        (0x00, _FIX_DC_COUNTS, _FIX_DC_SYMBOLS),
+        (0x10, _PROG_AC_COUNTS, _PROG_AC_SYMBOLS),
+        (0x01, _FIX_DC_COUNTS, _FIX_DC_SYMBOLS),
+        (0x11, _PROG_AC_COUNTS, _PROG_AC_SYMBOLS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(symbols))
+        out += bytes([tc_th]) + bytes(counts) + bytes(symbols)
+    dc_codes = _huffman_codes(_FIX_DC_COUNTS, _FIX_DC_SYMBOLS)
+    ac_codes = _huffman_codes(_PROG_AC_COUNTS, _PROG_AC_SYMBOLS)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for cid in comp_ids:
+            tbl = 0 if cid == 1 else 1
+            hdr += bytes([cid, (tbl << 4) | tbl])
+        return hdr + bytes([ss, se, (ah << 4) | al])
+
+    def stv(v):  # successive-approximation point transform (sign-magnitude)
+        return -((-v) >> AL) if v < 0 else v >> AL
+
+    # --- scan 1: interleaved DC first, Al=AL ---
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, AL)
+    bw = _BitWriter()
+    pred = [0] * ncomp
+    for m in range(nb):
+        for ci in range(ncomp):
+            v = comp_blocks[ci][m][0] >> AL  # DC uses arithmetic shift (T.81)
+            diff = v - pred[ci]
+            pred[ci] = v
+            cat = _dc_category(diff)
+            code, length = dc_codes[cat]
+            bw.write(code, length)
+            if cat:
+                bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    out += bw.flush()
+
+    # --- scans 2-3: per-component AC first, bands 1-5 then 6-63 ---
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            out += sos_header([ci + 1], ss, se, 0, AL)
+            bw = _BitWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    code, length = ac_codes[n << 4]
+                    bw.write(code, length)
+                    if n:
+                        bw.write(eobrun - (1 << n), n)
+                    eobrun = 0
+
+            for m in range(nb):
+                zz = comp_blocks[ci][m]
+                r = 0
+                for k in range(ss, se + 1):
+                    u = stv(zz[k])
+                    if u == 0:
+                        r += 1
+                        continue
+                    flush_eob()
+                    while r > 15:
+                        code, length = ac_codes[0xF0]
+                        bw.write(code, length)
+                        r -= 16
+                    size = abs(u).bit_length()
+                    if size != 1:
+                        raise ValueError(
+                            "progressive fixture AC table carries size-1 "
+                            "symbols only (|coefficient| <= 3)"
+                        )
+                    code, length = ac_codes[(r << 4) | size]
+                    bw.write(code, length)
+                    bw.write(u if u > 0 else u + (1 << size) - 1, size)
+                    r = 0
+                if r > 0:
+                    eobrun += 1
+                    if eobrun == 7:  # fixture table caps EOB runs at 7
+                        flush_eob()
+            flush_eob()
+            out += bw.flush()
+
+    # --- scan 4: interleaved DC refinement (raw bits) ---
+    out += sos_header(list(range(1, ncomp + 1)), 0, 0, AL, AL - 1)
+    bw = _BitWriter()
+    for m in range(nb):
+        for ci in range(ncomp):
+            bw.write((comp_blocks[ci][m][0] >> (AL - 1)) & 1, 1)
+    out += bw.flush()
+
+    # --- scans 5-6: per-component AC refinement (T.81 G.1.2.3 encode,
+    # the libjpeg BR/BE correction-bit buffering) ---
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(ncomp):
+            out += sos_header([ci + 1], ss, se, AL, AL - 1)
+            bw = _BitWriter()
+            eobrun = 0
+            be: list[int] = []  # correction bits pending behind an EOB run
+
+            def emit_sym(rs, pending):
+                code, length = ac_codes[rs]
+                bw.write(code, length)
+                for b in pending:
+                    bw.write(b, 1)
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    n = eobrun.bit_length() - 1
+                    code, length = ac_codes[n << 4]
+                    bw.write(code, length)
+                    if n:
+                        bw.write(eobrun - (1 << n), n)
+                    for b in be:
+                        bw.write(b, 1)
+                    be.clear()
+                    eobrun = 0
+
+            for m in range(nb):
+                zz = comp_blocks[ci][m]
+                absv = [abs(zz[k]) for k in range(ss, se + 1)]
+                eob_idx = ss - 1
+                for j, a in enumerate(absv):
+                    if (a >> AL) == 0 and a >> (AL - 1) == 1:
+                        eob_idx = ss + j  # newly significant at this pass
+                r = 0
+                br: list[int] = []
+                for k in range(ss, se + 1):
+                    a = absv[k - ss] >> (AL - 1)
+                    if a == 0:
+                        r += 1
+                        continue
+                    while r > 15 and k <= eob_idx:
+                        flush_eob()
+                        emit_sym(0xF0, br)
+                        br = []
+                        r -= 16
+                    if a > 1:  # history coefficient: one correction bit
+                        br.append(a & 1)
+                        continue
+                    flush_eob()
+                    emit_sym((r << 4) | 1, [])
+                    bw.write(1 if zz[k] > 0 else 0, 1)
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                    r = 0
+                if r > 0 or br:
+                    eobrun += 1
+                    be.extend(br)
+                    if eobrun == 7:
+                        flush_eob()
+            flush_eob()
+            out += bw.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
     real marker and exposes it for restart handling."""
@@ -1355,15 +1548,212 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _planes_to_rgb(out_planes):
+    """Shared JFIF finish: YCbCr->RGB with floor(x+0.5) rounding
+    (grayscale replicates). Input planes are already cropped floats."""
+    import numpy as np
+
+    if len(out_planes) == 1:
+        g = out_planes[0].astype(np.uint8)
+        return np.stack([g, g, g], axis=2)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = [np.clip(np.floor(c + 0.5), 0, 255) for c in (r, g, b)]
+    return np.stack(rgb, axis=2).astype(np.uint8)
+
+
+def _idct_blocks(coef_zz, q):
+    """Dequantize + inverse zigzag + orthonormal IDCT for a whole
+    (nby, nbx, 64) zigzag-order coefficient array at once; returns the
+    assembled (nby*8, nbx*8) float plane (level-shifted +128)."""
+    import numpy as np
+
+    nby, nbx, _ = coef_zz.shape
+    xs = np.arange(8)
+    A = np.cos((2 * xs[None, :] + 1) * xs[:, None] * np.pi / 16) / 2.0
+    A[0, :] *= 1 / np.sqrt(2.0)
+    deq = coef_zz.astype(np.float64) * np.asarray(q, dtype=np.float64)
+    S = np.zeros((nby, nbx, 64), dtype=np.float64)
+    S[:, :, _ZIGZAG] = deq  # zigzag index i lands at raster position _ZIGZAG[i]
+    S = S.reshape(nby, nbx, 8, 8)
+    blocks = np.einsum("ij,abjk,kl->abil", A.T, S, A) + 128.0
+    return blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+
+
+def _progressive_scan(
+    data, pos, frame, scan, huff, coefs, restart_interval, ss, se, ah, al
+):
+    """One progressive-JPEG scan (T.81 G.1.2 / G.2): updates the
+    per-component zigzag coefficient arrays in `coefs` and returns the
+    stream position after the entropy segment. Handles all four scan
+    kinds — DC first (diff coding at point transform Al), DC refinement
+    (one raw bit per block), AC first (EOBRUN spectral bands), AC
+    refinement (correction bits + newly-significant runs) — plus RSTn
+    restarts (DC predictors and EOBRUN reset, bit realign)."""
+    br = _BitReader(data, pos)
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    p1, m1 = 1 << al, -1 << al
+
+    def comp_grid(comp):
+        # non-interleaved block grid: ceil(samples/8) per axis, where
+        # samples = ceil(dim * sampling / max_sampling)  (T.81 A.1.1)
+        sw = -(-frame["w"] * comp["h"] // hmax)
+        sh = -(-frame["h"] * comp["v"] // vmax)
+        return -(-sh // 8), -(-sw // 8)
+
+    def refine_nonzero(blk, k):
+        # previously-significant coefficient: one correction bit
+        if br.read_bit():
+            v = int(blk[k])
+            if (v & p1) == 0:
+                blk[k] = v + (p1 if v > 0 else m1)
+
+    if ss == 0 and ah == 0:  # DC first scan
+        pred = {c["id"]: 0 for c, _, _ in scan}
+        interleaved = len(scan) > 1  # T.81: a scan interleaves iff ns > 1
+        if interleaved:
+            units = mcux * mcuy
+        else:
+            bh, bw = comp_grid(scan[0][0])
+            units = bw * bh
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                br.align_restart()
+                pred = {c["id"]: 0 for c, _, _ in scan}
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                for comp, td, _ in scan:
+                    tbl = huff[(0, td)]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            cat = _read_huffman(br, tbl)
+                            diff = _extend(br.read_bits(cat), cat) if cat else 0
+                            pred[comp["id"]] += diff
+                            coefs[comp["id"]][
+                                my * comp["v"] + by, mx * comp["h"] + bx, 0
+                            ] = pred[comp["id"]] << al
+            else:
+                comp, td, _ = scan[0]
+                by, bx = divmod(m, bw)
+                cat = _read_huffman(br, huff[(0, td)])
+                diff = _extend(br.read_bits(cat), cat) if cat else 0
+                pred[comp["id"]] += diff
+                coefs[comp["id"]][by, bx, 0] = pred[comp["id"]] << al
+    elif ss == 0:  # DC refinement: one raw bit per block
+        interleaved = len(scan) > 1
+        if interleaved:
+            units = mcux * mcuy
+        else:
+            bh, bw = comp_grid(scan[0][0])
+            units = bw * bh
+        for m in range(units):
+            if restart_interval and m and m % restart_interval == 0:
+                br.align_restart()
+            if interleaved:
+                my, mx = divmod(m, mcux)
+                for comp, _, _ in scan:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            if br.read_bit():
+                                blk = coefs[comp["id"]]
+                                yy, xx = my * comp["v"] + by, mx * comp["h"] + bx
+                                blk[yy, xx, 0] = int(blk[yy, xx, 0]) | p1
+            else:
+                comp = scan[0][0]
+                by, bx = divmod(m, bw)
+                if br.read_bit():
+                    blk = coefs[comp["id"]]
+                    blk[by, bx, 0] = int(blk[by, bx, 0]) | p1
+    else:  # AC scans: always single-component, non-interleaved (T.81)
+        comp, _, ta = scan[0]
+        tbl = huff[(1, ta)]
+        bh, bw = comp_grid(comp)
+        eobrun = 0
+        for m in range(bw * bh):
+            if restart_interval and m and m % restart_interval == 0:
+                br.align_restart()
+                eobrun = 0
+            by, bx = divmod(m, bw)
+            blk = coefs[comp["id"]][by, bx]
+            if ah == 0:  # AC first pass (G.1.2.2)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _read_huffman(br, tbl)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16
+                            continue
+                        eobrun = (1 << r) - 1 + (br.read_bits(r) if r else 0)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past spectral band")
+                    blk[k] = _extend(br.read_bits(s), s) << al
+                    k += 1
+            else:  # AC refinement (G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = _read_huffman(br, tbl)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) + (br.read_bits(r) if r else 0)
+                                break
+                            val = 0  # ZRL: skip 16 zero-history coeffs
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "AC refinement size must be 1"
+                                )
+                            val = p1 if br.read_bit() else m1
+                        while k <= se:
+                            if blk[k] != 0:
+                                refine_nonzero(blk, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if blk[k] != 0:
+                            refine_nonzero(blk, k)
+                        k += 1
+                    eobrun -= 1
+    # advance past any pad bits to the next marker
+    while br.marker is None:
+        br._fill()
+        br.nbits = 0
+        br.acc = 0
+    return br.pos
+
+
 def decode_jpeg(data: bytes):
-    """REAL baseline JPEG decode, pure stdlib + numpy: full marker walk
-    (APPn/COM skipped, DQT 8/16-bit, multi-table DHT, SOF0, DRI, SOS),
-    interleaved-MCU entropy decode with restart markers, dequantize +
-    inverse zigzag + orthonormal float IDCT, level shift, per-plane
-    crop, replication upsample for subsampled chroma, JFIF YCbCr->RGB
-    (floor(x+0.5) rounding). Returns (h, w, 3) uint8 RGB (grayscale
-    replicates). Raises NotImplementedError for progressive /
-    arithmetic / 12-bit streams rather than guessing."""
+    """REAL JPEG decode, pure stdlib + numpy: full marker walk
+    (APPn/COM skipped, DQT 8/16-bit, multi-table DHT, SOF0/SOF1 AND
+    progressive SOF2, DRI, SOS), interleaved-MCU entropy decode with
+    restart markers, dequantize + inverse zigzag + orthonormal float
+    IDCT, level shift, per-plane crop, replication upsample for
+    subsampled chroma, JFIF YCbCr->RGB (floor(x+0.5) rounding).
+    Progressive streams accumulate coefficients across spectral-
+    selection / successive-approximation scans (T.81 G.1.2: DC
+    first/refine, AC first with EOBRUN, AC refine with correction
+    bits) and run ONE IDCT at EOI. Returns (h, w, 3) uint8 RGB
+    (grayscale replicates). Raises NotImplementedError only for
+    arithmetic-coded / 12-bit / hierarchical streams."""
     import struct
 
     import numpy as np
@@ -1373,6 +1763,7 @@ def decode_jpeg(data: bytes):
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    coefs = None  # progressive: per-component zigzag coefficient arrays
     restart_interval = 0
     pos = 2
     while pos < len(data):
@@ -1380,6 +1771,19 @@ def decode_jpeg(data: bytes):
             raise ValueError(f"expected marker at offset {pos}")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
+            if frame is not None and frame.get("progressive"):
+                # all scans accumulated: one dequant+IDCT per component
+                h, w = frame["h"], frame["w"]
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                out_planes = []
+                for comp in frame["comps"]:
+                    p = _idct_blocks(coefs[comp["id"]], qt[comp["tq"]])
+                    ry, rx = vmax // comp["v"], hmax // comp["h"]
+                    if ry > 1 or rx > 1:
+                        p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+                    out_planes.append(np.clip(np.floor(p[:h, :w] + 0.5), 0, 255))
+                return _planes_to_rgb(out_planes)
             break
         (seg_len,) = struct.unpack_from(">H", data, pos + 2)
         body = data[pos + 4 : pos + 2 + seg_len]
@@ -1404,7 +1808,7 @@ def decode_jpeg(data: bytes):
                 symbols = list(body[i + 17 : i + 17 + n])
                 huff[(tc, th)] = _huffman_decode_tree(counts, symbols)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise NotImplementedError("only 8-bit precision JPEG supported")
@@ -1412,22 +1816,42 @@ def decode_jpeg(data: bytes):
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0/SOF1) JPEG supported"
+                "only baseline (SOF0/SOF1) and progressive (SOF2) Huffman "
+                "JPEG supported — lossless/hierarchical frames are not"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("SOS before SOF0")
+                raise ValueError("SOS before SOF")
             ns = body[0]
             scan = []
             for ci in range(ns):
                 cs, tdta = body[1 + 2 * ci : 3 + 2 * ci]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0xF))
+            if frame.get("progressive"):
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if coefs is None:
+                    hmax = max(c["h"] for c in frame["comps"])
+                    vmax = max(c["v"] for c in frame["comps"])
+                    mcux = -(-frame["w"] // (8 * hmax))
+                    mcuy = -(-frame["h"] // (8 * vmax))
+                    coefs = {
+                        c["id"]: np.zeros(
+                            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+                        )
+                        for c in frame["comps"]
+                    }
+                pos = _progressive_scan(
+                    data, pos + 2 + seg_len, frame, scan, huff, coefs,
+                    restart_interval, ss, se, ahal >> 4, ahal & 0xF,
+                )
+                continue
             hmax = max(c["h"] for c in frame["comps"])
             vmax = max(c["v"] for c in frame["comps"])
             mcux = -(-frame["w"] // (8 * hmax))
@@ -1521,9 +1945,33 @@ def synthetic_jpeg_media(documents: DataFrame) -> DataFrame:
     which floor(x+0.5) rounds away, so the AC Huffman path is exercised
     WITHOUT perturbing the integer formula. Even doc_ids add DRI=2
     restarts (RSTn + DC-predictor resets), odd ones run restart-free."""
+    return _synthetic_jpeg_common(documents, progressive=False)
+
+
+def synthetic_progressive_jpeg_media(documents: DataFrame) -> DataFrame:
+    """One real PROGRESSIVE (SOF2) JPEG per document, compressed-domain
+    like the baseline fixture so decoded pixels keep the SAME closed
+    integer formula (dc + 128 per plane; multimodal_jpeg_decode's
+    oracle applies verbatim — same w/h/dc recipe):
+
+    AC probes (Q=1 at both slots, contributions cos-bounded < 0.5 so
+    floor(x+0.5) rounds them away): Y blocks with (d+b)%3==0 carry
+    zigzag-1 = +1 — invisible to the Al=1 first pass, NEWLY SIGNIFICANT
+    in the band-(1,5) refinement scan; blocks with (d+b)%3==1 carry
+    zigzag-9 = 2 — significant in the band-(6,63) FIRST pass, then a
+    0-valued correction bit in its refinement; odd dcY values exercise
+    the DC-refinement 1-bits. Chroma AC scans are all-EOB, driving
+    EOBRUN chains up to the fixture table's cap of 7."""
+    return _synthetic_jpeg_common(documents, progressive=True)
+
+
+def _synthetic_jpeg_common(documents: DataFrame, progressive: bool) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qt_y = [8, 1] + [16] * 62
+        if progressive:
+            qt_y = [8, 1, 16, 16, 16, 16, 16, 16, 16, 1] + [16] * 54
+        else:
+            qt_y = [8, 1] + [16] * 62
         qt_c = [8] + [16] * 63
         for pdf in it:
             blobs = []
@@ -1537,6 +1985,8 @@ def synthetic_jpeg_media(documents: DataFrame) -> DataFrame:
                     zy[0] = (d * 7 + 13 * b) % 120 - 60
                     if (d + b) % 3 == 0:
                         zy[1] = 1
+                    elif progressive and (d + b) % 3 == 1:
+                        zy[9] = 2
                     zcb = [0] * 64
                     zcb[0] = (d * 5 + 11 * b) % 40 - 20
                     zcr = [0] * 64
@@ -1544,12 +1994,17 @@ def synthetic_jpeg_media(documents: DataFrame) -> DataFrame:
                     comp_blocks[0].append(zy)
                     comp_blocks[1].append(zcb)
                     comp_blocks[2].append(zcr)
-                blobs.append(
-                    encode_jpeg_blocks(
-                        w, h, comp_blocks, [qt_y, qt_c],
-                        restart_interval=2 if d % 2 == 0 else 0,
+                if progressive:
+                    blobs.append(
+                        encode_jpeg_progressive(w, h, comp_blocks, [qt_y, qt_c])
                     )
-                )
+                else:
+                    blobs.append(
+                        encode_jpeg_blocks(
+                            w, h, comp_blocks, [qt_y, qt_c],
+                            restart_interval=2 if d % 2 == 0 else 0,
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
 
     # repartition the tiny doc_id seed: a column-pruned parquet scan

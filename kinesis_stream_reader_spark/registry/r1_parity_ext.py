@@ -1,0 +1,1908 @@
+"""Registry slice: mechanical round-6 split of the original single-file
+registry.py (22.4k LoC) into family modules — see registry/__init__.py.
+Slice order is preserved; oracle-builder helpers that read ORACLES at
+import time rely on it."""
+
+from __future__ import annotations
+
+from ._shared import *  # noqa: F401,F403
+from ._shared import _FLAT_COLS, _nested_events  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scan_stream — timestamped scan with the lookback window pushed down
+# (reference: kinesisReader/index.js:11-48 + AT_TIMESTAMP bound :77-81)
+# ---------------------------------------------------------------------------
+@register(
+    "scan_stream",
+    NESTED_CTE
+    + f"""
+SELECT {_FLAT_COLS}
+FROM nested
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 960 MINUTE
+""",
+)
+def scan_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = _nested_events(spark, sf_dir)
+    return flatten_ids(with_data_relative_window(nested, 960))
+
+
+# ---------------------------------------------------------------------------
+# §2.3 the five predicate filters (objectFilter/index.js:5-68)
+# ---------------------------------------------------------------------------
+@register(
+    "filter_contact_id",
+    NESTED_CTE
+    + """
+SELECT event_id, contact_id, contact_id_alt
+FROM nested
+WHERE contact_id = 42 OR contact_id_alt = 42
+""",
+)
+def filter_contact_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _nested_events(spark, sf_dir).filter(contact_id_predicate("42"))
+    return flatten_ids(df).select("event_id", "contact_id", "contact_id_alt")
+
+
+@register(
+    "filter_agent_id",
+    NESTED_CTE
+    + """
+SELECT event_id, agent_id, agent_id_alt
+FROM nested
+WHERE agent_id = 130 OR agent_id_alt = 130
+""",
+)
+def filter_agent_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _nested_events(spark, sf_dir).filter(agent_id_predicate("130"))
+    return flatten_ids(df).select("event_id", "agent_id", "agent_id_alt")
+
+
+@register(
+    "filter_server_name",
+    NESTED_CTE
+    + """
+SELECT event_id, server_name
+FROM nested
+WHERE lower(server_name) = lower('SERVER-CLICK')
+""",
+)
+def filter_server_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # case-insensitive match on purpose (objectFilter/index.js:37)
+    df = _nested_events(spark, sf_dir).filter(server_name_predicate("SERVER-CLICK"))
+    return flatten_ids(df).select("event_id", "server_name")
+
+
+@register(
+    "filter_tenant_id",
+    NESTED_CTE
+    + """
+SELECT event_id, tenant_id, tenant_id_alt
+FROM nested
+WHERE tenant_id = 1003 OR tenant_id_alt = 1003
+""",
+)
+def filter_tenant_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _nested_events(spark, sf_dir).filter(tenant_id_predicate("1003"))
+    return flatten_ids(df).select("event_id", "tenant_id", "tenant_id_alt")
+
+
+@register(
+    "filter_agent_shift_id",
+    NESTED_CTE
+    + """
+SELECT event_id, agent_shift_id, agent_shift_id_alt
+FROM nested
+WHERE agent_shift_id = 7 OR agent_shift_id_alt = 7
+""",
+)
+def filter_agent_shift_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _nested_events(spark, sf_dir).filter(agent_shift_id_predicate("7"))
+    return flatten_ids(df).select("event_id", "agent_shift_id", "agent_shift_id_alt")
+
+
+@register(
+    "filter_conjunction",
+    NESTED_CTE
+    + f"""
+SELECT {_FLAT_COLS}
+FROM nested
+WHERE (tenant_id = 10 OR tenant_id_alt = 10)
+  AND lower(server_name) = lower('server-SIGNUP')
+  AND (agent_id = 100 OR agent_id_alt = 100)
+""",
+)
+def filter_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dynamic AND composition (objectFilter/index.js:5-68)
+    df = filter_records(
+        _nested_events(spark, sf_dir),
+        {"tenantId": "10", "serverName": "server-SIGNUP", "agentId": "100"},
+    )
+    return flatten_ids(df)
+
+
+@register(
+    "filter_nan_param",
+    NESTED_CTE
+    + """
+SELECT event_id, contact_id, contact_id_alt
+FROM nested
+WHERE 1 = 0
+""",
+)
+def filter_nan_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # parseInt('abc') is NaN -> matches nothing (objectFilter/index.js:9)
+    df = _nested_events(spark, sf_dir).filter(contact_id_predicate("abc"))
+    return flatten_ids(df).select("event_id", "contact_id", "contact_id_alt")
+
+
+@register(
+    "filter_time_range",
+    """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 10 MINUTE
+""",
+)
+def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # default 10-minute lookback (app/server/index.js:28)
+    df = load_events(spark, sf_dir).withColumnRenamed("ts", "event_time")
+    return with_data_relative_window(df, None).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "filter_time_range_clamped",
+    """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 960 MINUTE
+""",
+)
+def filter_time_range_clamped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # duration=99999 silently clamps to 960 (app/server/index.js:31)
+    df = load_events(spark, sf_dir).withColumnRenamed("ts", "event_time")
+    return with_data_relative_window(df, "99999").select("event_id", "user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Full reference pipeline: GET /records?streamname=S&duration=960&contactId=42
+# (app/server/index.js:43-73)
+# ---------------------------------------------------------------------------
+@register(
+    "records_pipeline",
+    NESTED_CTE
+    + f"""
+SELECT {_FLAT_COLS}
+FROM nested
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 960 MINUTE
+  AND lower(server_name) = lower('SERVER-click')
+""",
+)
+def records_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nested = _nested_events(spark, sf_dir)
+    out = records_plan(
+        nested, {"streamname": "events", "duration": "960", "serverName": "SERVER-click"}
+    )
+    return flatten_ids(out)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 json_parse — PERMISSIVE parse with corrupt-record fallback
+# (kinesisReader/index.js:110-117)
+# ---------------------------------------------------------------------------
+@register(
+    "json_parse",
+    """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+)
+def json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_events(spark, sf_dir)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return df.select("event_id", parsed.getField("k").alias("k"))
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sink_json — per-row JSON serialization (responses/index.js:26-37)
+# ---------------------------------------------------------------------------
+@register(
+    "sink_json",
+    """
+SELECT to_json(struct_pack(event_id := event_id, event_type := event_type))::VARCHAR AS json
+FROM events
+""",
+)
+def sink_json_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = load_events(spark, sf_dir).select("event_id", "event_type")
+    return sink_json(df)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 deagg_explode — KPL de-aggregation (kinesisReader/index.js:120-176).
+# The events table is packed into real KPL aggregated wire records
+# (sources/raw.py), then decoded by the engine's deaggregator; the decode
+# must reproduce the events table exactly, so the oracle is the identity.
+# ---------------------------------------------------------------------------
+@register(
+    "deagg_explode",
+    """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+)
+def deagg_explode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ingest import deagg_explode, json_parse
+    from ..sources.raw import kpl_raw_records
+
+    # group_size matches raw.py's default (50 user records per KPL
+    # aggregate, the realistic KPL shape) — and therefore the bench
+    # warmup's packed-fixture cache
+    raw = kpl_raw_records(spark, sf_dir)
+    exploded = deagg_explode(raw)
+    parsed = json_parse(exploded, schema="event_id BIGINT, k BIGINT")
+    return parsed.select("event_id", "k")
+
+
+# Every JSON scalar JavaScript treats as falsy, plus truthy/invalid
+# controls. Expected survivors per path follow kinesisReader/index.js:
+# the non-KPL `if (record)` gate (:173) drops falsy payloads; the KPL
+# inner loop (:155-162) has no gate; invalid JSON survives BOTH paths
+# because the {"INVALID JSON": raw} wrapper (:115) is truthy.
+_QUIRK_PAYLOADS = [
+    '{"k": 1}', "null", "0", "false", '""', "0.0", "not json", "[]", '"x"', "17",
+]
+_QUIRK_FALSY = {"null", "0", "false", '""', "0.0"}
+
+
+@register(
+    "deagg_passthrough_quirk",
+    # static expected table: reference semantics derived by hand from
+    # index.js:155-173 — KPL keeps all 10, passthrough keeps the 5
+    # truthy/invalid ones
+    """
+WITH expected(path, payload) AS (
+  VALUES
+    ('kpl', '{"k": 1}'), ('kpl', 'null'), ('kpl', '0'), ('kpl', 'false'),
+    ('kpl', '""'), ('kpl', '0.0'), ('kpl', 'not json'), ('kpl', '[]'),
+    ('kpl', '"x"'), ('kpl', '17'),
+    ('raw', '{"k": 1}'), ('raw', 'not json'), ('raw', '[]'), ('raw', '"x"'),
+    ('raw', '17')
+)
+SELECT path, payload FROM expected
+""",
+)
+def deagg_passthrough_quirk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ingest import deagg_explode, kpl_encode
+
+    blobs = [("kpl", kpl_encode([p.encode() for p in _QUIRK_PAYLOADS]))] + [
+        ("raw", p.encode()) for p in _QUIRK_PAYLOADS
+    ]
+    df = spark.createDataFrame(blobs, "path STRING, data BINARY")
+    out = deagg_explode(df, reference_quirks=True)
+    return out.select(
+        "path", F.unbase64(F.col("payload_b64")).cast("string").alias("payload")
+    )
+
+
+def _ensure_pyds_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Recorded-wire shard files for the Python DataSource, fingerprinted
+    like ksr_raw_cache: a regenerated events table can never be read
+    against stale shard files. Registers the DataSource as a side
+    effect. Shared by the batch reader, the wire writer, and the
+    streaming reader queries."""
+    import pandas as _pd
+
+    from ..sources.python_source import KinesisBackfillDataSource, write_shard_file
+    from ..sources.raw import kpl_raw_records, source_fingerprint
+
+    spark.dataSource.register(KinesisBackfillDataSource)
+    shard_dir = (
+        f"/tmp/ksr_pyds/{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_fingerprint(sf_dir)}"
+    )
+    if not os.path.isdir(shard_dir):
+        os.makedirs(shard_dir, exist_ok=True)
+        raw = kpl_raw_records(spark, sf_dir).withColumn(
+            "shard", (F.col("agg_id") % 4).cast("int")
+        )
+
+        def dump(pdf: _pd.DataFrame) -> _pd.DataFrame:
+            # executor-side shard-file write (local-mode shared /tmp;
+            # a cluster would target shared storage)
+            pdf = pdf.sort_values("agg_id")
+            shard = int(pdf["shard"].iloc[0])
+            write_shard_file(
+                f"{shard_dir}/shard-{shard}.jsonl",
+                [bytes(b) for b in pdf["data"]],
+            )
+            return _pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+        raw.groupBy("shard").applyInPandas(dump, "shard INT, n INT").count()
+    return shard_dir
+
+
+@register(
+    "source_python_backfill",
+    # end-to-end through the Spark 4 Python DataSource: recorded-wire
+    # shard files -> kinesis_backfill format (one partition per shard,
+    # executor-side reads) -> KPL deagg -> JSON parse must reproduce
+    # the events table exactly — the same identity oracle as
+    # deagg_explode, now through the pluggable-source machinery
+    """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+""",
+)
+def source_python_backfill_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ingest import deagg_explode, json_parse
+
+    shard_dir = _ensure_pyds_fixture(spark, sf_dir)
+    df = spark.read.format("kinesis_backfill").option("path", shard_dir).load()
+    parsed = json_parse(
+        deagg_explode(df), schema="event_id BIGINT, k BIGINT"
+    )
+    return parsed.select("event_id", "k")
+
+
+# ---------------------------------------------------------------------------
+# Relational extension surface (SURVEY.md §2.4-2.8: absent in the
+# reference, built-in via Spark). operators/relational.py documents the
+# per-operator scale strategy.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_count_by_key",
+    """
+SELECT user_id, event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY user_id, event_type
+""",
+)
+def agg_count_by_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.agg_count_by_key(load_events(spark, sf_dir))
+
+
+@register(
+    "agg_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.agg_pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
+@register(
+    "join_enrich",
+    """
+SELECT r_name, n_name, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+)
+def join_enrich_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.join_enrich(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "join_filter_pushdown",
+    """
+SELECT p_brand, COUNT(*) AS n_lineitems, ROUND(SUM(l_extendedprice), 4) AS sum_price
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#13'
+GROUP BY p_brand
+""",
+)
+def join_filter_pushdown_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.join_filter_pushdown(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part"), "Brand#13"
+    )
+
+
+@register(
+    "window_rank",
+    """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+) WHERE rk <= 3
+""",
+)
+def window_rank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.window_rank_orders(load_table(spark, sf_dir, "orders"), k=3)
+
+
+@register(
+    "top_k_customers",
+    """
+SELECT c_custkey, c_name, revenue FROM (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 4) AS revenue FROM orders GROUP BY o_custkey
+) JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+""",
+)
+def top_k_customers_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.top_k_customers(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "customer"), k=10
+    )
+
+
+@register(
+    "set_except",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+)
+""",
+)
+def set_except_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.customers_without_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "join_semi",
+    """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+""",
+)
+def join_semi_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.customers_with_orders(
+        load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "set_union",
+    """
+SELECT user_id AS uid FROM events
+UNION
+SELECT c_custkey AS uid FROM customer
+""",
+)
+def set_union_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.union_user_ids(
+        load_events(spark, sf_dir), load_table(spark, sf_dir, "customer")
+    )
+
+
+_RECURSIVE_REACH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT user_id AS src, event_id % 500 AS dst FROM events
+), reach AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT e.dst AS node, r.depth + 1 AS depth
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 2
+)
+SELECT node, MIN(depth) AS min_depth
+FROM reach GROUP BY node ORDER BY node
+"""
+
+
+@register("sql_recursive_reachability", _RECURSIVE_REACH_SQL)
+def sql_recursive_reachability_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (WITH RECURSIVE in spark.sql): 2-hop
+    reachability from user 0 over the interaction graph — the
+    DECLARATIVE twin of the driver-loop iterative kernels
+    (dedup_components / pagerank_converged). Identical SQL text runs on
+    both engines; depth-bounded UNION ALL recursion keeps the working
+    set finite. At 100 TB the driver-loop form (localCheckpoint per
+    round, explicit convergence) remains the default — the recursive
+    CTE materializes every intermediate level inside one plan — but the
+    surface now covers users who bring ANSI recursive SQL."""
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_RECURSIVE_REACH_SQL)
+
+
+@register(
+    "sql_text_api",
+    # the engine's SQL front end: the same Catalyst plan from SQL text
+    """
+SELECT s_name, COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 4) AS total
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+""",
+)
+def sql_text_api_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spark.sql over registered temp views — proves the DataFrame and
+    # SQL front doors share one engine (identical Catalyst plan)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("ksr_lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("ksr_supplier")
+    return spark.sql(
+        """
+        SELECT s_name, COUNT(*) AS n_items, ROUND(SUM(l_extendedprice), 4) AS total
+        FROM ksr_lineitem JOIN ksr_supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        """
+    )
+
+
+@register(
+    "set_intersect",
+    """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+""",
+)
+def set_intersect_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.active_in_both(load_events(spark, sf_dir))
+
+
+@register(
+    "sort_limit",
+    """
+SELECT event_id, user_id, event_type, value
+FROM events ORDER BY value DESC, event_id LIMIT 100
+""",
+)
+def sort_limit_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.sort_limit_events(load_events(spark, sf_dir), n=100)
+
+
+@register(
+    "distinct_count",
+    """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def distinct_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.distinct_users_per_type(load_events(spark, sf_dir))
+
+
+@register(
+    "rollup_counts",
+    """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY ROLLUP (event_type)
+""",
+)
+def rollup_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.rollup_counts(load_events(spark, sf_dir))
+
+
+@register(
+    "window_tumbling",
+    """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+)
+def window_tumbling_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.window_tumbling_counts(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extension surface: text analysis, dedup,
+# similarity search (operators/text.py, dedup.py, similarity.py).
+# ---------------------------------------------------------------------------
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+_GRAMS = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len(" + _TOKS + ") - 2, 0)), "
+    "i -> array_to_string((" + _TOKS + ")[i:i+2], ' ')))"
+)
+
+
+@register(
+    "text_token_count",
+    f"""
+SELECT doc_id,
+       len({_TOKS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens
+FROM documents
+""",
+)
+def text_token_count_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+
+    return text.text_token_count(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    f"""
+SELECT doc_id,
+       length(text) AS n_chars,
+       len({_TOKS}) AS n_tokens,
+       ROUND(length(text) / len({_TOKS}), 4) AS avg_token_len,
+       ROUND(len(regexp_extract_all(text, '[^\\w\\s]')) / length(text), 4) AS punct_ratio,
+       ROUND(len(list_filter({_TOKS}, t -> t IN ('the','a','of','and'))) / len({_TOKS}), 4)
+         AS stopword_ratio
+FROM documents
+""",
+)
+def text_quality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+
+    return text.text_quality(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_score(markers: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS}, t -> t IN ({quoted})))"
+
+
+def _lang_id_oracle() -> str:
+    from ..operators.text import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)
+    scores = ", ".join(f"{_lang_score(LANG_MARKERS[lang])} AS s_{lang}" for lang in langs)
+    greatest = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    first_max = "CASE " + " ".join(
+        f"WHEN s_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH scored AS (SELECT doc_id, lang, {scores} FROM documents)
+SELECT doc_id, lang, {first_max} AS lang_pred, {greatest} AS marker_hits
+FROM scored
+"""
+
+
+@register("text_lang_id", _lang_id_oracle())
+def text_lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+
+    return text.text_lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint
+FROM documents
+""",
+)
+def text_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+
+    return text.text_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact",
+    f"""
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS canonical_id,
+       doc_id <> MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS is_dup
+FROM documents
+""",
+)
+def dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    return dedup.dedup_exact(load_table(spark, sf_dir, "documents")).drop("fingerprint")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH g AS (SELECT doc_id, lang, source, {_GRAMS} AS grams FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+             / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+FROM g a JOIN g b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6
+""",
+)
+def dedup_ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    return dedup.ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    # exact all-pairs oracle: valid because the 16x2 band scheme has
+    # ~1-1e-7 recall at the 0.8 threshold (operators/dedup.py)
+    f"""
+WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+             / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+""",
+)
+def dedup_minhash_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    return dedup.minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def _simhash_oracle() -> str:
+    from ..operators.dedup import SIMHASH_BITS
+
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    signature = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {2**b}::BIGINT ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS t FROM documents
+), hashed AS (
+  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT)::BIGINT AS h FROM tok
+), votes AS (
+  SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {signature} AS simhash FROM votes
+), blocked AS (
+  SELECT s.doc_id, s.simhash, d.lang, d.source FROM sig s JOIN documents d USING (doc_id)
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM blocked a JOIN blocked b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+"""
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    return dedup.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_groups",
+    # connected components over the >=0.8 near-dup graph; oracle walks
+    # the same graph with a recursive transitive-closure CTE
+    f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, {_GRAMS} AS grams FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS component_id
+FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+GROUP BY d.doc_id
+""",
+)
+def dedup_groups_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    documents = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(documents, threshold=0.8)
+    return dedup.dedup_components(documents, pairs)
+
+
+@register(
+    "dedup_substring_spans",
+    # Lee et al. span-level duplication: per-position 8-token windows,
+    # duplicated-window intervals merged per doc by the same
+    # running-max interval-union the Spark side uses
+    """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tl FROM documents
+), posts AS (
+  SELECT doc_id, i.i AS s, i.i + 8 AS e,
+         array_to_string(tl[i.i + 1 : i.i + 8], ' ') AS gram
+  FROM toks, LATERAL (SELECT UNNEST(range(greatest(len(tl) - 7, 0))) AS i) i
+), dup AS (
+  SELECT gram FROM posts GROUP BY gram HAVING COUNT(*) >= 2
+), intervals AS (
+  SELECT p.doc_id, p.s, p.e FROM posts p JOIN dup USING (gram)
+), marked AS (
+  SELECT doc_id, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM intervals
+), islands AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM marked
+), cov AS (
+  SELECT doc_id, SUM(covered) AS dup_tokens
+  FROM (SELECT doc_id, island, MAX(e) - MIN(s) AS covered
+        FROM islands GROUP BY doc_id, island)
+  GROUP BY doc_id
+)
+SELECT t.doc_id, len(t.tl)::BIGINT AS n_tokens,
+       COALESCE(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+       FLOOR(COALESCE(c.dup_tokens, 0) / len(t.tl) * 1e4 + 0.5) / 1e4 AS dup_frac
+FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+ORDER BY t.doc_id
+""",
+)
+def dedup_substring_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    return dedup.substring_dedup_report(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_canonical",
+    # the DEFAULT near-dup contract (doc -> canonical + is_dup): linear
+    # output regardless of dup-group size; oracle = the same exact-pair
+    # graph walked to components with a recursive CTE
+    f"""
+WITH RECURSIVE g AS (
+  SELECT doc_id, {_GRAMS} AS grams FROM documents
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT d.doc_id,
+       LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS canonical_id,
+       d.doc_id <> LEAST(d.doc_id, COALESCE(MIN(r.v), d.doc_id)) AS is_dup
+FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+GROUP BY d.doc_id
+""",
+)
+def dedup_minhash_canonical_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    return dedup.minhash_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_pairs_capped",
+    # the bounded diagnostic view: at most 3 pairs per a_id (lowest
+    # b_id first), turning the quadratic pair relation into <= 3N rows
+    f"""
+WITH g AS (SELECT doc_id, {_GRAMS} AS grams FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE
+               / len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+)
+SELECT a_id, b_id, jaccard FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY b_id) AS rn
+  FROM pairs
+) WHERE rn <= 3
+""",
+)
+def dedup_minhash_pairs_capped_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    return dedup.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"), max_pairs_per_doc=3
+    )
+
+
+@register(
+    "dedup_containment_best",
+    # the DEFAULT containment contract: one row per contained doc with
+    # its best container (max containment, ties -> lowest container id)
+    f"""
+WITH g AS (SELECT doc_id, lang, source, {_GRAMS} AS grams FROM documents),
+pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams), 4)
+           AS containment
+  FROM g a JOIN g b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+  WHERE len(a.grams) > 0
+    AND len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams) >= 0.8
+)
+SELECT a_id AS doc_id, b_id AS container_id, containment FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+                               ORDER BY containment DESC, b_id) AS rn
+  FROM pairs
+) WHERE rn = 1 ORDER BY doc_id
+""",
+)
+def dedup_containment_best_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    return dedup.containment_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 3) >= 0.4
+""",
+)
+def dedup_embedding_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    return dedup.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "ann_bruteforce",
+    """
+SELECT b.vec_id,
+       ROUND(list_cosine_similarity(b.embedding::DOUBLE[], q.embedding::DOUBLE[]), 3) AS cos_sim
+FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE b.vec_id <> 0
+ORDER BY cos_sim DESC, b.vec_id
+LIMIT 10
+""",
+)
+def ann_bruteforce_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    return similarity.ann_bruteforce(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_lsh",
+    # FULL mirror: the hyperplanes are md5-derived (similarity.lsh_planes),
+    # so DuckDB rebuilds the identical plane matrix, buckets, hamming
+    # probe, and exact-cosine rescoring. Sign decisions are robust to
+    # summation-order ulp noise (a flip needs |dot| < ~1e-13).
+    """
+WITH planes AS (
+  SELECT p, list(2 * (CAST(concat('0x', substr(md5('plane:' || p || ':' || d), 1, 15)) AS UBIGINT)
+                      / 1152921504606846976.0) - 1 ORDER BY d) AS w
+  FROM (SELECT UNNEST(range(16)) AS p), (SELECT UNNEST(range(64)) AS d)
+  GROUP BY p
+), vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), buckets AS (
+  SELECT vec_id,
+         SUM(CASE WHEN list_dot_product(v.v, pl.w) > 0
+                  THEN CAST(1 AS BIGINT) << pl.p ELSE 0 END) AS bucket
+  FROM vecs v, planes pl GROUP BY vec_id
+), q AS (
+  SELECT v.v AS qv, b.bucket AS qb FROM vecs v JOIN buckets b USING (vec_id)
+  WHERE v.vec_id = 0
+)
+SELECT v.vec_id, ROUND(list_cosine_similarity(v.v, q.qv), 3) AS cos_sim
+FROM vecs v JOIN buckets b ON v.vec_id = b.vec_id, q
+WHERE v.vec_id <> 0 AND bit_count(xor(b.bucket, q.qb)) <= 6
+ORDER BY cos_sim DESC, v.vec_id LIMIT 10
+""",
+)
+def ann_lsh_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    return similarity.ann_lsh(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_pq",
+    # full PQ mirror: same deterministic codebooks (subvectors of the 8
+    # lowest vec_ids), same milli-quantized L2 assignment (argmin via
+    # the packed MIN(d*8+code) trick = Spark's min-struct ordering),
+    # same exact-bigint ADC sums
+    """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), parts AS (
+  SELECT vec_id, s.s AS sub_id, v[s.s * 16 + 1 : (s.s + 1) * 16] AS sv
+  FROM vecs, (SELECT UNNEST(range(4)) AS s) s
+), codes AS (
+  SELECT sub_id AS c_sub, vec_id AS code_id, sv AS cv FROM parts WHERE vec_id < 8
+), scored AS (
+  SELECT p.vec_id, p.sub_id, c.code_id,
+         CAST(FLOOR(list_sum(list_transform(range(1, 17),
+                i -> (p.sv[i] - c.cv[i]) * (p.sv[i] - c.cv[i]))) * 1000 + 0.5)
+              AS BIGINT) AS d_milli
+  FROM parts p JOIN codes c ON p.sub_id = c.c_sub
+), assign AS (
+  SELECT vec_id, sub_id, MIN(d_milli * 8 + code_id) % 8 AS code
+  FROM scored GROUP BY vec_id, sub_id
+), lut AS (
+  SELECT s.sub_id, s.code_id, s.d_milli AS q_milli
+  FROM scored s WHERE s.vec_id = 0
+)
+SELECT a.vec_id, SUM(l.q_milli) / 1000 AS adc_dist
+FROM assign a JOIN lut l ON a.sub_id = l.sub_id AND a.code = l.code_id
+WHERE a.vec_id <> 0
+GROUP BY a.vec_id
+ORDER BY adc_dist, a.vec_id LIMIT 10
+""",
+)
+def ann_pq_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    return similarity.ann_pq(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "agg_count_by_key_salted",
+    # identical semantics to agg_count_by_key — salting is plan-internal
+    """
+SELECT user_id, event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY user_id, event_type
+""",
+)
+def agg_count_by_key_salted_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.agg_count_by_key_salted(load_events(spark, sf_dir))
+
+
+@register(
+    "agg_approx_distinct",
+    # the HLL estimate itself is engine-specific, so the driver-checked
+    # contract is the BOUND: the sketch estimate must land within 5x
+    # the requested rsd (0.02) of the exact count — the oracle supplies
+    # the exact counts and asserts the bound holds for every group
+    """
+SELECT event_type, COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS exact_users, true AS within_tol
+FROM events GROUP BY event_type
+""",
+)
+def agg_approx_distinct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    est = relational.approx_distinct_users(load_events(spark, sf_dir))
+    exact = (
+        load_events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(5 * 0.02) * F.col("exact_users")
+        ).alias("within_tol"),
+    )
+
+
+@register(
+    "join_asof",
+    """
+WITH o1 AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+FROM events e ASOF LEFT JOIN o1 o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+""",
+)
+def join_asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.join_asof_latest_order(
+        load_events(spark, sf_dir), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "cube_counts",
+    """
+SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n_events
+FROM events GROUP BY CUBE (event_type, user_id % 10)
+""",
+)
+def cube_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.cube_counts(load_events(spark, sf_dir))
+
+
+@register(
+    "pivot_counts",
+    """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'view') AS n_view,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+""",
+)
+def pivot_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.pivot_counts(load_events(spark, sf_dir))
+
+
+@register(
+    "agg_percentiles",
+    """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type
+""",
+)
+def agg_percentiles_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.agg_percentiles(load_events(spark, sf_dir))
+
+
+@register(
+    "shipping_priority",
+    """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def shipping_priority_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming surface (§2.10): the same plan executed as a Structured
+# Streaming query with Trigger.AvailableNow (the reference's
+# drain-until-caught-up loop), checked against the BATCH SQL oracle —
+# stream/batch unification as a correctness statement.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_windowed_counts",
+    """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+""",
+)
+def streaming_windowed_counts_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.windowed_counts(stream), "streaming_windowed_counts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns: binary payload + metadata struct, Arrow-batched
+# feature extraction (operators/multimodal.py; codecs stubbed, plumbing
+# real). Oracle covers the SQL-expressible features; the byte-level fake
+# features are pytest-verified (tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_features",
+    """
+SELECT doc_id, 'image' AS kind, length(text) AS n_bytes
+FROM documents
+""",
+)
+def multimodal_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media).select("doc_id", "kind", "n_bytes")
+
+
+@register(
+    "streaming_dedup",
+    # the stream is unioned with itself (at-least-once delivery sim);
+    # watermark-bounded dedup must reduce it back to the exact table
+    """
+SELECT event_id, user_id, event_type FROM events
+""",
+)
+def streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    doubled = stream.union(stream)
+    out = jobs.run_available_now(
+        jobs.dedup_stream(doubled).select("event_id", "user_id", "event_type"),
+        "streaming_dedup",
+    )
+    return out
+
+
+@register(
+    "tpch_q6",
+    """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+  AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # forecasting-revenue-change: pure scan + pushed range predicates +
+    # single agg — the canonical pushdown benchmark
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+@register(
+    "text_normalize",
+    """
+SELECT doc_id,
+       regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g') AS normalized
+FROM documents
+""",
+)
+def text_normalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "").alias(
+            "normalized"
+        ),
+    )
+
+
+@register(
+    "streaming_attribution",
+    # watermarked stream-stream join vs the plain batch self-join
+    """
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+""",
+)
+def streaming_attribution_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.attribution_join(stream), "streaming_attribution"
+    )
+
+
+@register(
+    "streaming_sessionize",
+    # The stateful operator emits a session when (a) a LATER event of
+    # the same user closes it (30-min gap), or (b) its event-time
+    # timeout fires: AvailableNow runs a trailing no-data batch whose
+    # watermark is max(ts) - 2h, so a user's final open session is
+    # emitted iff session_end + 30min < that terminal watermark.
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), grouped AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, sid,
+         MIN(ts) AS start_ts, MAX(ts) AS end_ts, COUNT(*) AS n_events
+  FROM grouped GROUP BY user_id, sid
+), last AS (
+  SELECT user_id, MAX(sid) AS max_sid FROM sess GROUP BY user_id
+), wm AS (
+  SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events
+)
+SELECT sess.user_id,
+       strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(end_ts, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM sess JOIN last ON sess.user_id = last.user_id, wm
+WHERE sid < max_sid
+   OR (sid = max_sid AND end_ts + INTERVAL 30 MINUTE < wm.w)
+""",
+)
+def streaming_sessionize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import jobs
+    from ..streaming.stateful import sessionize
+
+    stream = jobs.stream_events(spark, sf_dir)
+    # Python-stateful op: Arrow+pandas compute dominates, not state
+    # commits — keep cluster-width partitions (see run_available_now)
+    out = jobs.run_available_now(
+        sessionize(stream), "streaming_sessionize", state_partitions=32
+    )
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "streaming_sessionize_native",
+    # JVM session_window in append mode: a session emits only once the
+    # terminal watermark (max(ts) - 2h under AvailableNow) passes its
+    # end (= last event + 30-min gap) — regardless of whether a later
+    # event already closed it (unlike the Python-stateful demo, which
+    # also emits on the next event's arrival).
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), grouped AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, sid,
+         MIN(ts) AS start_ts, MAX(ts) + INTERVAL 30 MINUTE AS end_ts,
+         COUNT(*) AS n_events
+  FROM grouped GROUP BY user_id, sid
+), wm AS (
+  SELECT MAX(ts) - INTERVAL 2 HOUR AS w FROM events
+)
+SELECT user_id,
+       strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(end_ts, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM sess, wm WHERE end_ts < wm.w
+""",
+)
+def streaming_sessionize_native_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    return jobs.run_available_now(
+        jobs.sessionize_native(stream), "streaming_sessionize_native", mode="append"
+    )
+
+
+@register(
+    "window_session_builtin",
+    # F.session_window's `end` is last_event + gap; mirror via lag/cumsum
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events
+), grouped AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM grouped GROUP BY user_id, sid
+""",
+)
+def window_session_builtin_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.window_session_builtin(load_events(spark, sf_dir))
+
+
+@register(
+    "agg_minmax_by",
+    """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id DESC) AS rmax,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value ASC, event_id ASC) AS rmin
+  FROM events
+)
+SELECT event_type,
+       MAX(CASE WHEN rmax = 1 THEN event_id END) AS top_event_id,
+       MAX(CASE WHEN rmin = 1 THEN event_id END) AS bottom_event_id,
+       ROUND(MAX(value), 4) AS max_value
+FROM ranked GROUP BY event_type
+""",
+)
+def agg_minmax_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.agg_minmax_by(load_events(spark, sf_dir))
+
+
+@register(
+    "agg_stats",
+    """
+SELECT event_type,
+       ROUND(stddev_samp(value), 4) AS stddev_value,
+       ROUND(var_samp(value), 4) AS var_value,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY event_type
+""",
+)
+def agg_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.agg_stats(load_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Flagship composition: end-to-end corpus curation (plans/curate.py) —
+# quality gates -> language selection -> exact dedup -> near-dup
+# canonicalization -> curated corpus. One oracle checks the whole
+# composition.
+# ---------------------------------------------------------------------------
+@register(
+    "curate_corpus",
+    f"""
+WITH RECURSIVE gated AS (
+  SELECT doc_id, lang, text, len({_TOKS}) AS n_tokens
+  FROM documents
+  WHERE lang IN ('en', 'de')
+    AND len({_TOKS}) >= 30
+    AND len(list_filter({_TOKS}, t -> t IN ('the','a','of','and')))::DOUBLE
+        / len({_TOKS}) <= 0.5
+), exact AS (
+  SELECT doc_id, lang, text, n_tokens,
+         MIN(doc_id) OVER (PARTITION BY md5({_NORM})) AS canonical
+  FROM gated
+), survivors AS (
+  SELECT doc_id, lang, text, n_tokens FROM exact WHERE doc_id = canonical
+), g AS (
+  SELECT doc_id, {_GRAMS} AS grams FROM survivors
+), pairs AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+), edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), comp AS (
+  SELECT s.doc_id,
+         LEAST(s.doc_id, COALESCE(MIN(r.v), s.doc_id)) AS component_id
+  FROM survivors s LEFT JOIN reach r ON r.u = s.doc_id
+  GROUP BY s.doc_id
+)
+SELECT s.doc_id, s.lang, s.n_tokens
+FROM survivors s JOIN comp c ON s.doc_id = c.doc_id AND s.doc_id = c.component_id
+""",
+)
+def curate_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.curate import curate_corpus
+
+    return curate_corpus(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "local_supplier_volume",
+    """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def local_supplier_volume_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.local_supplier_volume(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
+@register(
+    "returned_items",
+    """
+SELECT c_custkey, c_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS lost_revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def returned_items_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.returned_item_customers(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@register(
+    "promo_revenue",
+    """
+SELECT ROUND(
+  100 * SUM(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+      / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-03-01'
+""",
+)
+def promo_revenue_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.promo_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+@register(
+    "join_range_bands",
+    """
+SELECT band, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM events
+JOIN (VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+             ('high', 150.0, 300.0), ('extreme', 300.0, 1000.0)) b(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY band
+""",
+)
+def join_range_bands_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.join_range_bands(load_events(spark, sf_dir))
+
+
+@register(
+    "join_interval_bucketed",
+    # oracle is the plain point-in-interval theta join; bucketing is
+    # plan-internal
+    """
+SELECT e.event_id, e.user_id, COALESCE(c.cnt, 0) AS n_active_orders
+FROM events e LEFT JOIN (
+  SELECT e2.event_id, COUNT(*) AS cnt
+  FROM events e2 JOIN orders o
+    ON e2.user_id = o.o_custkey
+   AND e2.ts >= o.o_orderdate::TIMESTAMP
+   AND e2.ts < o.o_orderdate::TIMESTAMP + INTERVAL 30 DAY
+  GROUP BY e2.event_id
+) c ON e.event_id = c.event_id
+ORDER BY e.event_id
+""",
+)
+def join_interval_bucketed_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.join_interval_bucketed(
+        load_events(spark, sf_dir), load_table(spark, sf_dir, "orders")
+    )
+
+
+@register(
+    "explode_tokens",
+    f"""
+SELECT tok, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents)
+GROUP BY tok
+HAVING COUNT(*) >= 100
+""",
+)
+def explode_tokens_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+
+    return text.token_frequencies(load_table(spark, sf_dir, "documents"), min_total=100)
+
+
+@register(
+    "text_pii_scrub",
+    # the fixture corpus contains no PII, so the query plants a
+    # deterministic contact line per document and the operator must
+    # scrub exactly it
+    """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           text || ' contact user' || doc_id || '@example.com or 555-'
+                || lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\b555-[0-9]{4}\\b', '<PHONE>', 'g') AS text
+FROM documents
+""",
+)
+def text_pii_scrub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ),
+    )
+    return text.pii_scrub(with_pii).select("doc_id", "text")
+
+
+@register(
+    "ann_ivf",
+    """
+WITH e AS (SELECT vec_id, label AS list_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+cent AS (
+  SELECT list_id, array_agg(m ORDER BY i) AS c FROM (
+    SELECT list_id, i, AVG(v[i]) AS m
+    FROM e, generate_series(1, 64) AS t(i)
+    GROUP BY list_id, i
+  ) GROUP BY list_id
+),
+probe AS (
+  SELECT list_id FROM cent, q
+  ORDER BY list_cosine_similarity(c, qv) DESC, list_id LIMIT 2
+)
+SELECT e.vec_id, ROUND(list_cosine_similarity(e.v, qv), 3) AS cos_sim
+FROM e JOIN probe USING (list_id), q
+WHERE e.vec_id <> 0
+ORDER BY cos_sim DESC, e.vec_id
+LIMIT 10
+""",
+)
+def ann_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity
+
+    return similarity.ann_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "multimodal_frame_sample",
+    # oracle covers the SQL-expressible frame count (stride-4 sampling
+    # of the payload bytes); byte-level values are pytest-verified
+    """
+SELECT doc_id, 'image' AS kind,
+       CAST(ceil(octet_length(encode(text)) / 4.0) AS BIGINT) AS n_frames
+FROM documents
+""",
+)
+def multimodal_frame_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames_features(media, every_n=4).select(
+        "doc_id", "kind", "n_frames"
+    )
+
+
+@register(
+    "streaming_records_pipeline",
+    # the flagship reference query executed as a STREAM, checked against
+    # the batch oracle — stream/batch unification on the parity surface
+    # itself. (The AT_TIMESTAMP lower bound lives in the source options
+    # in streaming mode, so no time predicate here.)
+    NESTED_CTE
+    + f"""
+SELECT {_FLAT_COLS}
+FROM nested
+WHERE lower(server_name) = lower('SERVER-click')
+""",
+)
+def streaming_records_pipeline_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    filtered = jobs.records_stream(stream, {"streamname": "events", "serverName": "SERVER-click"})
+    out = jobs.run_available_now(filtered, "streaming_records_pipeline")
+    return flatten_ids(out)
+
+
+@register(
+    "sink_parquet_partitioned",
+    # round-trip identity: the partitioned columnar sink must preserve
+    # every row (partition values come back from directory names)
+    """
+SELECT event_id, user_id, event_type FROM events
+""",
+)
+def sink_parquet_partitioned_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink: the storage layout every downstream
+    engine-scale deployment uses (hive-style event_type=... directories
+    -> partition pruning on read). Written once per sf under /tmp, then
+    read back so the oracle checks the full write->read round trip."""
+    import os
+
+    out_dir = f"/tmp/ksr_sink/{sf_dir.strip('/').replace('/', '_')}_events_by_type"
+    events = load_events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+    assert os.path.isdir(out_dir)
+    return spark.read.parquet(out_dir).select("event_id", "user_id", "event_type")
+
+
+@register(
+    "window_running_total",
+    """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+""",
+)
+def window_running_total_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.window_running_total(load_events(spark, sf_dir))
+
+
+@register(
+    "window_lead_lag",
+    """
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+FROM events
+""",
+)
+def window_lead_lag_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import relational
+
+    return relational.window_lead_lag(load_events(spark, sf_dir))
+
+
+@register(
+    "multimodal_resize",
+    # n_out is SQL-expressible (the fixture corpus has no empty docs at
+    # any sf, but the CASE keeps the oracle honest); the positional
+    # checksum pinning WHICH bytes were selected is pytest-verified
+    """
+SELECT doc_id, 'image' AS kind,
+       CASE WHEN octet_length(encode(text)) > 0 THEN 128 ELSE 0 END AS n_out
+FROM documents
+""",
+)
+def multimodal_resize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import multimodal
+
+    media = multimodal.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return multimodal.resize_features(media, target=128).select("doc_id", "kind", "n_out")
+
+
+@register(
+    "json_parse_corrupt",
+    # the reference's signature corrupt-record fallback
+    # (kinesisReader/index.js:113-116) as an oracle-checked query: odd
+    # event payloads are deliberately corrupted; they must surface in
+    # the "INVALID JSON" column with NULL parsed fields, never error
+    """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k,
+       CASE WHEN event_id % 2 <> 0 THEN 'CORRUPT ' || props END AS "INVALID JSON"
+FROM events
+""",
+)
+def json_parse_corrupt_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ingest import json_parse
+
+    df = load_events(spark, sf_dir)
+    payload_txt = F.when(F.col("event_id") % 2 == 0, F.col("props")).otherwise(
+        F.concat(F.lit("CORRUPT "), F.col("props"))
+    )
+    with_payload = df.select(
+        "event_id", F.base64(F.encode(payload_txt, "UTF-8")).alias("payload_b64")
+    )
+    return json_parse(with_payload, schema="k BIGINT")
+
+
+@register(
+    "grouping_sets_sql",
+    # explicit GROUPING SETS (the general form behind rollup/cube),
+    # through the SQL front door
+    """
+SELECT event_type, user_bucket, COUNT(*) AS n_events
+FROM (SELECT event_type, user_id % 10 AS user_bucket FROM events)
+GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+""",
+)
+def grouping_sets_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_events(spark, sf_dir).createOrReplaceTempView("ksr_events")
+    return spark.sql(
+        """
+        SELECT event_type, user_bucket, COUNT(*) AS n_events
+        FROM (SELECT event_type, user_id % 10 AS user_bucket FROM ksr_events)
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        """
+    )
+
+

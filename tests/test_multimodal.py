@@ -495,7 +495,7 @@ def test_jpeg_grayscale_and_crop():
     assert (got[:, 8:] == 108).all()  # -20 + 128, cropped at x=12
 
 
-def test_jpeg_progressive_rejected():
+def test_jpeg_lossless_rejected():
     import pytest
 
     from kinesis_stream_reader_spark.operators import multimodal as mm
@@ -505,9 +505,89 @@ def test_jpeg_progressive_rejected():
         mm.encode_jpeg_blocks(16, 8, [[[0] * 64, [0] * 64]], [qt], comp_quant=(0,))
     )
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    blob[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless): still gated
     with pytest.raises(NotImplementedError):
         mm.decode_jpeg(bytes(blob))
+
+
+def _progressive_ref_pixels(w, h, comp_blocks, qts, comp_quant=(0, 1, 1)):
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    planes = []
+    nbx, nby = w // 8, h // 8
+    for ci, blocks in enumerate(comp_blocks):
+        q = qts[comp_quant[ci]]
+        coef = np.array(blocks, dtype=np.int64).reshape(nby, nbx, 64)
+        planes.append(mm._idct_blocks(coef, q)[:h, :w])
+    return mm._planes_to_rgb(
+        [np.clip(np.floor(p + 0.5), 0, 255) for p in planes]
+    )
+
+
+def test_jpeg_progressive_roundtrip_exact():
+    """Random sparse coefficient blocks (|AC| <= 3: covers newly-
+    significant coeffs, correction bits of BOTH values, ZRL runs and
+    EOBRUN chains) must decode bit-exactly to the reference IDCT
+    through all six progressive scans."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(42)
+    for _ in range(6):
+        w, h = 8 * rng.randint(1, 4), 8 * rng.randint(1, 4)
+        nb = (w // 8) * (h // 8)
+        qts = [[8] + [1] * 63, [8] + [2] * 63]
+        comp_blocks = [[], [], []]
+        for _b in range(nb):
+            for ci in range(3):
+                zz = [0] * 64
+                zz[0] = int(rng.randint(-60, 61))
+                for _k in range(rng.randint(0, 6)):
+                    zz[int(rng.randint(1, 64))] = int(
+                        rng.choice([-3, -2, -1, 1, 2, 3])
+                    )
+                comp_blocks[ci].append(zz)
+        blob = mm.encode_jpeg_progressive(w, h, comp_blocks, qts)
+        got = mm.decode_jpeg(blob)
+        want = _progressive_ref_pixels(w, h, comp_blocks, qts)
+        assert np.array_equal(got, want)
+
+
+def test_jpeg_progressive_eob_only_stream():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    w, h = 40, 16
+    nb = (w // 8) * (h // 8)
+    qts = [[8] + [1] * 63, [8] + [2] * 63]
+    cb = [[[0] * 64 for _ in range(nb)] for _ in range(3)]
+    for b in range(nb):
+        cb[0][b][0] = (7 * b) % 120 - 60
+    blob = mm.encode_jpeg_progressive(w, h, cb, qts)
+    assert np.array_equal(
+        mm.decode_jpeg(blob), _progressive_ref_pixels(w, h, cb, qts)
+    )
+
+
+def test_jpeg_progressive_spark_features_match_formula(spark):
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(d,) for d in range(8)], "doc_id BIGINT")
+    rows = {
+        r.doc_id: r
+        for r in mm.image_decode_features(
+            mm.synthetic_progressive_jpeg_media(docs)
+        ).collect()
+    }
+    for d in range(8):
+        exp = _jpeg_expected_rgb(d)
+        r = rows[d]
+        assert (r.width, r.height, r.channels) == (exp.shape[1], exp.shape[0], 3)
+        assert r.byte_mean == round(float(exp.mean()), 4)
 
 
 def test_jpeg_spark_features_match_formula(spark):
