@@ -675,6 +675,503 @@ VIDEO_DECODE_SCHEMA = (
 )
 
 
+# ---------------------------------------------------------------------------
+# FLAC (public format spec, RFC 9639 / flac format.html): a REAL pure-
+# Python lossless audio codec — STREAMINFO, frame headers with CRC-8,
+# CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes, partitioned
+# Rice-coded residuals, stereo decorrelation (left/side, right/side,
+# mid/side), frame CRC-16. Unlike MP3/AAC there is no float transform:
+# output is exact integers, so the encoder twin gives bit-exact
+# fixtures. Not implemented: wasted-bits shifts and the rice2 (5-bit
+# parameter) escape — both honestly rejected on decode.
+# ---------------------------------------------------------------------------
+
+
+def _crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _MsbBitWriter:
+    """MSB-first bit writer WITHOUT JPEG's 0xFF stuffing (FLAC wire)."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.buf.append((self.acc >> (self.nbits - 8)) & 0xFF)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then a 1
+
+    def byte_align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+    def bytes(self) -> bytes:
+        assert self.nbits == 0
+        return bytes(self.buf)
+
+
+class _MsbBitReader:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+        return q
+
+    def byte_align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_utf8_number(n: int) -> bytes:
+    """FLAC's extended-UTF-8 coding of the frame number."""
+    if n < 0x80:
+        return bytes([n])
+    for nbytes in range(2, 8):
+        payload = 6 * (nbytes - 1) + (7 - nbytes if nbytes < 7 else 0)
+        if n < (1 << payload):
+            break
+    cont = []
+    for _ in range(nbytes - 1):
+        cont.append(0x80 | (n & 0x3F))
+        n >>= 6
+    first = ((0xFF00 >> nbytes) & 0xFF) | n
+    return bytes([first] + cont[::-1])
+
+
+def _rice_encode(bw: _MsbBitWriter, residuals, order: int, block_size: int,
+                 partition_order: int) -> None:
+    """Partitioned Rice coding (method 0, 4-bit parameters)."""
+    bw.write(0, 2)  # residual coding method: rice, 4-bit params
+    bw.write(partition_order, 4)
+    nparts = 1 << partition_order
+    idx = 0
+    for p in range(nparts):
+        n = block_size >> partition_order
+        if p == 0:
+            n -= order
+        part = residuals[idx : idx + n]
+        idx += n
+        # zigzag fold, then a near-optimal parameter from the mean
+        zz = [(r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1 for r in part]
+        mean = (sum(zz) // max(1, len(zz))) if part else 0
+        k = min(14, max(0, mean.bit_length() - 1))
+        bw.write(k, 4)
+        for u in zz:
+            bw.write_unary(u >> k)
+            if k:
+                bw.write(u & ((1 << k) - 1), k)
+
+
+def _rice_decode(br: _MsbBitReader, order: int, block_size: int):
+    method = br.read(2)
+    if method == 1:
+        raise NotImplementedError("rice2 (5-bit parameter) partitions not supported")
+    if method > 1:
+        raise ValueError("reserved residual coding method")
+    partition_order = br.read(4)
+    out = []
+    for p in range(1 << partition_order):
+        n = block_size >> partition_order
+        if p == 0:
+            n -= order
+        k = br.read(4)
+        if k == 0xF:
+            raise NotImplementedError("escaped (verbatim) rice partition")
+        for _ in range(n):
+            u = (br.read_unary() << k) | (br.read(k) if k else 0)
+            out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _encode_subframe(bw, samples, bps, plan):
+    kind = plan[0]
+    if kind == "constant":
+        bw.write(0, 1)
+        bw.write(0x00, 6)
+        bw.write(0, 1)
+        bw.write(samples[0], bps)
+        return
+    if kind == "verbatim":
+        bw.write(0, 1)
+        bw.write(0x01, 6)
+        bw.write(0, 1)
+        for s in samples:
+            bw.write(s, bps)
+        return
+    n = len(samples)
+    if kind == "lpc" and len(plan[1]) >= n:
+        kind = "fixed"  # short tail block: LPC can't fit its warmup
+        plan = ("fixed", 0)
+    if kind == "fixed":
+        order = min(plan[1], n - 1) if n > 1 else 0  # tail blocks clamp
+        bw.write(0, 1)
+        bw.write(0x08 | order, 6)
+        bw.write(0, 1)
+        coefs, shift = _FLAC_FIXED_COEFS[order], 0
+    else:  # lpc
+        _, coefs, shift, precision = plan
+        order = len(coefs)
+        bw.write(0, 1)
+        bw.write(0x20 | (order - 1), 6)
+        bw.write(0, 1)
+    for s in samples[:order]:
+        bw.write(s, bps)
+    if kind == "lpc":
+        bw.write(precision - 1, 4)
+        bw.write(shift, 5)
+        for c in coefs:
+            bw.write(c, precision)
+    residuals = []
+    for i in range(order, n):
+        pred = sum(c * samples[i - 1 - j] for j, c in enumerate(coefs))
+        if kind == "lpc":
+            pred >>= shift
+        residuals.append(samples[i] - pred)
+    partition_order = 1 if n % 2 == 0 and (n >> 1) > order else 0
+    _rice_encode(bw, residuals, order, n, partition_order)
+
+
+def _decode_subframe(br, n, bps):
+    if br.read(1):
+        raise ValueError("subframe padding bit set")
+    t = br.read(6)
+    if br.read(1):
+        raise NotImplementedError("wasted-bits subframes not supported")
+    if t == 0x00:
+        return [br.read_signed(bps)] * n
+    if t == 0x01:
+        return [br.read_signed(bps) for _ in range(n)]
+    if 0x08 <= t <= 0x0C:
+        order = t & 0x07
+        coefs, shift = _FLAC_FIXED_COEFS[order], 0
+        warm = [br.read_signed(bps) for _ in range(order)]
+    elif t >= 0x20:
+        order = (t & 0x1F) + 1
+        warm = [br.read_signed(bps) for _ in range(order)]
+        precision = br.read(4) + 1
+        shift = br.read(5)
+        coefs = [br.read_signed(precision) for _ in range(order)]
+    else:
+        raise ValueError(f"reserved subframe type {t:#x}")
+    res = _rice_decode(br, order, n)
+    out = list(warm)
+    for i in range(order, n):
+        pred = sum(c * out[i - 1 - j] for j, c in enumerate(coefs))
+        if t >= 0x20:
+            pred >>= shift
+        out.append(res[i - order] + pred)
+    return out
+
+
+def encode_flac(channels, rate: int = 8000, bps: int = 16, block_size: int = 32,
+                stereo_mode: str = "independent", plan=None) -> bytes:
+    """Fixture twin of decode_flac: pack integer PCM channels into a
+    valid FLAC stream — STREAMINFO, fixed-blocksize frames (8-bit
+    blocksize-at-end header form), CRC-8/CRC-16, Rice partitions, and
+    per-frame subframe plans. `plan(frame_idx, ch_idx, samples)` returns
+    ("constant",) | ("verbatim",) | ("fixed", order) |
+    ("lpc", coefs, shift, precision); default rotates FIXED orders.
+    stereo_mode: independent | left_side | right_side | mid_side."""
+    import struct
+
+    nch = len(channels)
+    n_total = len(channels[0])
+    out = bytearray(b"fLaC")
+    si = _MsbBitWriter()
+    si.write(block_size, 16)
+    si.write(block_size, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n_total, 36)
+    body = si.bytes() + b"\x00" * 16  # md5 unset (allowed: all zero)
+    out += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body  # last block
+    if plan is None:
+        plan = lambda f, c, s: ("fixed", min(4, (f + c) % 5))  # noqa: E731
+
+    frame_idx = 0
+    for start in range(0, n_total, block_size):
+        n = min(block_size, n_total - start)
+        chans = [ch[start : start + n] for ch in channels]
+        if nch == 2 and stereo_mode != "independent":
+            left, right = chans
+            side = [left[i] - right[i] for i in range(n)]
+            if stereo_mode == "left_side":
+                coded, assign, sbps = [left, side], 0b1000, [bps, bps + 1]
+            elif stereo_mode == "right_side":
+                coded, assign, sbps = [side, right], 0b1001, [bps + 1, bps]
+            else:  # mid_side
+                mid = [(left[i] + right[i]) >> 1 for i in range(n)]
+                coded, assign, sbps = [mid, side], 0b1010, [bps, bps + 1]
+        else:
+            coded, assign, sbps = chans, nch - 1, [bps] * nch
+        hw = _MsbBitWriter()
+        hw.write(0x3FFE, 14)
+        hw.write(0, 1)  # reserved
+        hw.write(0, 1)  # fixed blocksize strategy
+        hw.write(0b0110, 4)  # blocksize: 8-bit at end
+        hw.write(0b0100, 4)  # 8 kHz
+        hw.write(assign, 4)
+        hw.write(0b100, 3)  # 16-bit samples
+        hw.write(0, 1)
+        header = hw.bytes() + _flac_utf8_number(frame_idx) + bytes([n - 1])
+        header += bytes([_crc8(header)])
+        fw = _MsbBitWriter()
+        for ci, cs in enumerate(coded):
+            _encode_subframe(fw, cs, sbps[ci], plan(frame_idx, ci, cs))
+        fw.byte_align()
+        frame = header + fw.bytes()
+        frame += struct.pack(">H", _crc16(frame))
+        out += frame
+        frame_idx += 1
+    return bytes(out)
+
+
+def decode_flac(data: bytes):
+    """REAL FLAC decode, pure stdlib: STREAMINFO + metadata walk,
+    frame-header parse (sync, blocksize/rate codes, UTF-8 frame
+    number, CRC-8 verify), CONSTANT/VERBATIM/FIXED/LPC subframes with
+    partitioned Rice residuals, stereo decorrelation undo, CRC-16
+    verify. Returns (rate, channels) with exact integer samples.
+    Raises NotImplementedError for wasted-bits / rice2 escapes."""
+    import struct
+
+    if data[:4] != b"fLaC":
+        raise ValueError("not a FLAC payload")
+    pos = 4
+    rate = nch = bps = n_total = None
+    while True:
+        hdr = data[pos]
+        last, btype = hdr & 0x80, hdr & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + data[pos + 1 : pos + 4])
+        if btype == 0:  # STREAMINFO
+            br = _MsbBitReader(data, pos + 4)
+            br.read(16)
+            block_size = br.read(16)
+            br.read(48)
+            rate = br.read(20)
+            nch = br.read(3) + 1
+            bps = br.read(5) + 1
+            n_total = br.read(36)
+        pos += 4 + blen
+        if last:
+            break
+    if rate is None:
+        raise ValueError("missing STREAMINFO")
+    channels = [[] for _ in range(nch)]
+    got = 0
+    while got < n_total and pos < len(data) - 2:
+        br = _MsbBitReader(data, pos)
+        if br.read(14) != 0x3FFE:
+            raise ValueError("bad frame sync")
+        br.read(1)
+        br.read(1)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        assign = br.read(4)
+        ss_code = br.read(3)
+        br.read(1)
+        # UTF-8 frame number: first byte tells the length
+        first = br.read(8)
+        if first >= 0xC0:
+            extra = 1
+            while first & (0x80 >> (extra + 1)):
+                extra += 1
+            for _ in range(extra):
+                br.read(8)
+        if bs_code == 0b0110:
+            n = br.read(8) + 1
+        elif bs_code == 0b0111:
+            n = br.read(16) + 1
+        elif bs_code == 0b0001:
+            n = 192
+        elif 0b0010 <= bs_code <= 0b0101:
+            n = 576 << (bs_code - 2)
+        elif bs_code >= 0b1000:
+            n = 256 << (bs_code - 8)
+        else:
+            raise ValueError("reserved blocksize code")
+        if sr_code == 0b1100:
+            br.read(8)
+        elif sr_code in (0b1101, 0b1110):
+            br.read(16)
+        hdr_len = br.pos - pos
+        if _crc8(data[pos : pos + hdr_len]) != br.read(8):
+            raise ValueError("frame header CRC-8 mismatch")
+        sbits = {0b100: 16, 0b001: 8, 0b010: 12, 0b101: 20, 0b110: 24, 0b111: 32}[
+            ss_code
+        ]
+        if assign < 8:
+            coded = [_decode_subframe(br, n, sbits) for _ in range(assign + 1)]
+            decoded = coded
+        elif assign == 0b1000:  # left/side
+            left = _decode_subframe(br, n, sbits)
+            side = _decode_subframe(br, n, sbits + 1)
+            decoded = [left, [left[i] - side[i] for i in range(n)]]
+        elif assign == 0b1001:  # right/side
+            side = _decode_subframe(br, n, sbits + 1)
+            right = _decode_subframe(br, n, sbits)
+            decoded = [[right[i] + side[i] for i in range(n)], right]
+        elif assign == 0b1010:  # mid/side
+            mid = _decode_subframe(br, n, sbits)
+            side = _decode_subframe(br, n, sbits + 1)
+            # exact reconstruction: l = ((m<<1 | (s&1)) + s) >> 1, r = l - s
+            left = [(((mid[i] << 1) | (side[i] & 1)) + side[i]) >> 1 for i in range(n)]
+            decoded = [left, [left[i] - side[i] for i in range(n)]]
+        else:
+            raise ValueError("reserved channel assignment")
+        br.byte_align()
+        if _crc16(data[pos : br.pos]) != br.read(16):
+            raise ValueError("frame CRC-16 mismatch")
+        for ci in range(nch):
+            channels[ci].extend(decoded[ci])
+        got += n
+        pos = br.pos
+    return rate, [ch[:n_total] for ch in channels]
+
+
+def synthetic_flac_media(documents: DataFrame) -> DataFrame:
+    """One real stereo FLAC per document from closed integer formulas:
+
+      n   = 64 + 32*(doc_id%3) samples at 8 kHz
+      l_j = ((doc_id*13 + j*31) % 65536) - 32768
+      r_j = ((doc_id*7  + j*17) % 65536) - 32768
+
+    Stereo decorrelation rotates by doc_id%4 (independent, left/side,
+    right/side, mid/side) and the per-frame subframe plan rotates FIXED
+    orders 0-4 with periodic LPC([3,-1]>>1) and VERBATIM frames — every
+    decode path of the codec is on the wire somewhere in the corpus.
+    Lossless => decoded samples equal the formulas exactly."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        modes = ["independent", "left_side", "right_side", "mid_side"]
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + 32 * (d % 3)
+                left = [((d * 13 + j * 31) % 65536) - 32768 for j in range(n)]
+                right = [((d * 7 + j * 17) % 65536) - 32768 for j in range(n)]
+
+                def plan(f, c, s, d=d):
+                    sel = (d + f + c) % 7
+                    if sel == 0:
+                        return ("lpc", [3, -1], 1, 4)
+                    if sel == 3:
+                        return ("verbatim",)
+                    return ("fixed", (f + c) % 5)
+
+                blobs.append(
+                    encode_flac(
+                        [left, right],
+                        block_size=32,
+                        stereo_mode=modes[d % 4],
+                        plan=plan,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+
+
+def flac_decode_features(media: DataFrame) -> DataFrame:
+    """Decode FLAC payloads executor-side (Arrow batches) and emit
+    per-doc integer features; only scalars shuffle — the same 100 TB
+    shape as every codec leg."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                rate, chans = decode_flac(bytes(blob))
+                left, right = chans
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        len(left),
+                        sum(abs(v) for v in left),
+                        sum(abs(v) for v in right),
+                        left[0],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_samples",
+                    "sum_abs_l", "sum_abs_r", "first_l",
+                ],
+            )
+
+    return media.mapInPandas(
+        batches,
+        "doc_id BIGINT, sample_rate BIGINT, n_samples BIGINT, "
+        "sum_abs_l BIGINT, sum_abs_r BIGINT, first_l BIGINT",
+    )
+
+
 def encode_y4m(width: int, height: int, frames: "list[bytes]") -> bytes:
     """Minimal YUV4MPEG2 writer (C420: per frame Y=W*H then U,V=W*H/4)."""
     out = [f"YUV4MPEG2 W{width} H{height} F25:1 Ip A1:1 C420\n".encode()]

@@ -73,3 +73,170 @@ def multimodal_jpeg_progressive_decode_query(
     return multimodal.image_decode_features(
         multimodal.synthetic_progressive_jpeg_media(docs)
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 6 — FLAC: lossless compressed audio joins the REAL-codec family
+# (WAV/y4m/JPEG/PNG/BMP/GIF). Unlike MP3/AAC there is no float
+# transform — Rice-coded residuals + integer predictors reconstruct
+# samples EXACTLY, so the fixture formulas are the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_flac_decode",
+    # closed-form stereo PCM per doc; lossless decode must return the
+    # formulas bit-exactly, so the oracle recomputes them directly
+    """
+WITH s AS (
+  SELECT doc_id, 64 + 32 * (doc_id % 3) AS n FROM documents
+), samp AS (
+  SELECT doc_id, n, j.j AS j,
+         ((doc_id * 13 + j.j * 31) % 65536) - 32768 AS l,
+         ((doc_id * 7 + j.j * 17) % 65536) - 32768 AS r
+  FROM s, LATERAL (SELECT UNNEST(range(n)) AS j) j
+)
+SELECT doc_id, 8000 AS sample_rate, ANY_VALUE(n)::BIGINT AS n_samples,
+       SUM(ABS(l))::BIGINT AS sum_abs_l, SUM(ABS(r))::BIGINT AS sum_abs_r,
+       MAX(CASE WHEN j = 0 THEN l END)::BIGINT AS first_l
+FROM samp GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_flac_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode executing in-sandbox (multimodal.decode_flac):
+    STREAMINFO walk, frame headers with CRC-8 verify, CONSTANT /
+    VERBATIM / FIXED(0-4) / LPC subframes, partitioned Rice residual
+    decode, all four stereo decorrelation modes, frame CRC-16 verify.
+    The fixture corpus rotates every subframe type and stereo mode so
+    each decode path is exercised on the wire.
+
+    Plan shape / 100 TB: decode is map-side Arrow-batched over binary
+    payloads; only per-doc integer scalars shuffle."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.flac_decode_features(
+        multimodal.synthetic_flac_media(docs)
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 6 — streaming SPRT monitor: the always-valid sequential test
+# runs ON the stream (the guardrail twin of the batch
+# sprt_sequential_test, completing the r5 eval family's streaming
+# surface next to streaming_drift_monitor). Boundary checks happen at
+# each finalized window close — the monitoring granularity — so the
+# decision trajectory is the per-window cumulative LLR walk.
+# ---------------------------------------------------------------------------
+def _sprt_monitor_oracle() -> str:
+    from .r5_codecs_eval import _SPRT_A_INC, _SPRT_B_INC, _SPRT_BOUND
+
+    return f"""
+WITH win AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+  FROM events GROUP BY 1
+), run AS (
+  SELECT window_start,
+         SUM(n) OVER w AS n_cum, SUM(k) OVER w AS k_cum
+  FROM win
+  WINDOW w AS (ORDER BY window_start ROWS UNBOUNDED PRECEDING)
+), llr AS (
+  SELECT window_start, n_cum, k_cum,
+         {_SPRT_A_INC} * k_cum + {_SPRT_B_INC} * (n_cum - k_cum) AS q
+  FROM run
+), crossed AS (
+  SELECT l.*,
+         MIN(CASE WHEN ABS(q) >= {_SPRT_BOUND} THEN window_start END)
+           OVER (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS first_cross
+  FROM llr l
+), sgn AS (
+  SELECT c.*, (SELECT q FROM llr WHERE window_start = c.first_cross) AS q_cross
+  FROM crossed c
+)
+SELECT window_start, n_cum::BIGINT AS n_cum, k_cum::BIGINT AS k_cum,
+       FLOOR(q / 1e9 * 1e6 + 0.5) / 1e6 AS llr,
+       CASE WHEN first_cross IS NULL OR window_start < first_cross
+            THEN 'continue'
+            WHEN q_cross >= {_SPRT_BOUND} THEN 'accept_h1'
+            ELSE 'accept_h0' END AS decision
+FROM sgn ORDER BY window_start
+"""
+
+
+@register("streaming_sprt_monitor", _sprt_monitor_oracle())
+def streaming_sprt_monitor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Always-valid sequential test ON the stream: the watermarked
+    hourly census (windowed_counts, Trigger.AvailableNow drain) feeds a
+    per-window cumulative Wald LLR (same pre-quantized 1e-9 integer
+    increments as sprt_sequential_test: H0 p=0.15 vs H1 p=0.20,
+    alpha = beta = 0.05), and each window's row reports the running
+    (n, k, llr) plus the STICKY decision — 'continue' until the first
+    window whose cumulative LLR leaves (-ln 19, +ln 19), then the
+    crossing verdict for every later window. Drained result equals the
+    batch oracle exactly.
+
+    Plan shape / 100 TB: the stream pays one watermark-bounded
+    stateful census (state = |windows in flight| x |types|, the
+    streaming_drift_monitor bound); the LLR walk is a window pass over
+    the drained CALENDAR-BOUNDED census (hours, not events), and the
+    first-crossing lookup is a 1-row broadcast join."""
+    from ..streaming import jobs
+    from .r5_codecs_eval import _SPRT_A_INC, _SPRT_B_INC, _SPRT_BOUND
+
+    stream = jobs.stream_events(spark, sf_dir)
+    win = jobs.run_available_now(
+        jobs.windowed_counts(stream), "streaming_sprt_monitor"
+    )
+    census = win.groupBy("window_start").agg(
+        F.sum("n_events").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("n_events")).otherwise(0)
+        ).alias("k"),
+    )
+    wrun = Window.orderBy("window_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    llr = census.select(
+        "window_start",
+        F.sum("n").over(wrun).alias("n_cum"),
+        F.sum("k").over(wrun).alias("k_cum"),
+    ).select(
+        "window_start",
+        "n_cum",
+        "k_cum",
+        (
+            F.lit(_SPRT_A_INC) * F.col("k_cum")
+            + F.lit(_SPRT_B_INC) * (F.col("n_cum") - F.col("k_cum"))
+        ).alias("q"),
+    )
+    first = (
+        llr.filter(F.abs(F.col("q")) >= _SPRT_BOUND)
+        .orderBy("window_start")
+        .limit(1)
+        .select(
+            F.col("window_start").alias("first_cross"),
+            F.col("q").alias("q_cross"),
+        )
+    )
+    return (
+        # 0- or 1-row broadcast: LEFT join on TRUE attaches the first
+        # crossing to every window (NULLs when no window ever crosses)
+        llr.join(F.broadcast(first), F.lit(True), "left")
+        .select(
+            "window_start",
+            F.col("n_cum").cast("long").alias("n_cum"),
+            F.col("k_cum").cast("long").alias("k_cum"),
+            (F.floor(F.col("q") / 1e9 * 1e6 + F.lit(0.5)) / 1e6).alias("llr"),
+            F.when(
+                F.col("first_cross").isNull()
+                | (F.col("window_start") < F.col("first_cross")),
+                "continue",
+            )
+            .when(F.col("q_cross") >= _SPRT_BOUND, "accept_h1")
+            .otherwise("accept_h0")
+            .alias("decision"),
+        )
+        .orderBy("window_start")
+    )

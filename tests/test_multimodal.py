@@ -605,3 +605,87 @@ def test_jpeg_spark_features_match_formula(spark):
         r = rows[d]
         assert (r.width, r.height, r.channels) == (exp.shape[1], exp.shape[0], 3)
         assert r.byte_mean == round(float(exp.mean()), 4)
+
+
+# --------------------------------------------------------------------------
+# FLAC (round 6)
+# --------------------------------------------------------------------------
+def test_flac_roundtrip_all_subframe_types():
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    def sig(n, a, b):
+        return [((a + j * b) % 65536) - 32768 for j in range(n)]
+
+    plans = [("constant",), ("verbatim",), ("lpc", [3, -1], 1, 4),
+             ("fixed", 2), ("fixed", 4)]
+    ch = [[5] * 32 + sig(128, 99, 513)]
+    blob = mm.encode_flac(
+        ch, block_size=32,
+        plan=lambda f, c, s: ("constant",) if f == 0 else plans[(f + c) % 5],
+    )
+    rate, out = mm.decode_flac(blob)
+    assert rate == 8000 and out == ch
+
+
+@pytest.mark.parametrize(
+    "mode", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_flac_stereo_decorrelation_exact(mode):
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    ch = [
+        [((1234 + j * 317) % 65536) - 32768 for j in range(96)],
+        [((777 + j * 911) % 65536) - 32768 for j in range(96)],
+    ]
+    assert mm.decode_flac(
+        mm.encode_flac(ch, block_size=32, stereo_mode=mode)
+    )[1] == ch
+
+
+def test_flac_random_stress_with_partial_tail_frames():
+    import random
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = random.Random(7)
+    for t in range(12):
+        n = rng.choice([32, 33, 64, 100, 127, 5])
+        ch = [[rng.randint(-32768, 32767) for _ in range(n)] for _ in range(2)]
+        mode = rng.choice(
+            ["independent", "left_side", "right_side", "mid_side"]
+        )
+        blob = mm.encode_flac(
+            ch, block_size=32, stereo_mode=mode,
+            plan=lambda f, c, s: ("verbatim",) if rng.random() < 0.3
+            else ("fixed", rng.randint(0, 4)),
+        )
+        assert mm.decode_flac(blob)[1] == ch, f"stress {t} {mode} n={n}"
+
+
+def test_flac_crc_detects_corruption():
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    ch = [[((7 + j * 31) % 65536) - 32768 for j in range(64)]]
+    blob = bytearray(mm.encode_flac(ch, block_size=32))
+    blob[-10] ^= 0x40  # flip a bit inside the last frame's payload
+    with pytest.raises(ValueError):
+        mm.decode_flac(bytes(blob))
+
+
+def test_flac_spark_features_match_formula(spark):
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(d,) for d in range(8)], "doc_id BIGINT")
+    rows = {
+        r.doc_id: r
+        for r in mm.flac_decode_features(mm.synthetic_flac_media(docs)).collect()
+    }
+    for d in range(8):
+        n = 64 + 32 * (d % 3)
+        left = [((d * 13 + j * 31) % 65536) - 32768 for j in range(n)]
+        right = [((d * 7 + j * 17) % 65536) - 32768 for j in range(n)]
+        r = rows[d]
+        assert (r.sample_rate, r.n_samples) == (8000, n)
+        assert r.sum_abs_l == sum(abs(v) for v in left)
+        assert r.sum_abs_r == sum(abs(v) for v in right)
+        assert r.first_l == left[0]
