@@ -545,8 +545,10 @@ def test_ecod_uniform_vector_scores_low(spark):
     emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
     # drive the operator body via a temp sf_dir-free path: reuse the
     # registry function by monkey-backing load_table? simpler: inline
+    import sys
+
     from kinesis_stream_reader_spark import registry as R
-    import kinesis_stream_reader_spark.registry as regmod
+    regmod = sys.modules[R.QUERIES["ecod_outlier_scores"].__module__]
     orig = regmod.load_table
     try:
         regmod.load_table = lambda spark_, sf_, name: emb
@@ -568,9 +570,11 @@ def test_lof_flags_isolated_point(spark):
         rows.append((i, [float(v) for v in rng.normal(0, 0.1, 8)], 0))
     rows.append((99, [5.0] * 8, 0))
     emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>, label INT")
-    from kinesis_stream_reader_spark import registry as R
-    import kinesis_stream_reader_spark.registry as regmod
+    import sys
 
+    from kinesis_stream_reader_spark import registry as R
+
+    regmod = sys.modules[R.QUERIES["lof_outlier_scores"].__module__]
     orig = regmod.load_table
     try:
         regmod.load_table = lambda spark_, sf_, name: emb
@@ -622,9 +626,11 @@ def test_bon_curve_monotone_and_exact_small_case(spark):
         rows,
         "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING",
     )
-    from kinesis_stream_reader_spark import registry as R
-    import kinesis_stream_reader_spark.registry as regmod
+    import sys
 
+    from kinesis_stream_reader_spark import registry as R
+
+    regmod = sys.modules[R.QUERIES["best_of_n_selection"].__module__]
     orig = regmod.load_events
     try:
         regmod.load_events = lambda spark_, sf_: events

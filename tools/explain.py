@@ -174,6 +174,9 @@ HEADLINE = [
     ("cluster_purity_report", "purity/NMI: broadcast-seed argmin, k x labels census algebra"),
     ("graph_modularity_report", "modularity: LPA labels + two label joins on edges, census algebra"),
     ("cem_att_estimate", "CEM: user shuffle -> 10-cell common-support census, no window no join"),
+    ("multimodal_jpeg_progressive_decode", "progressive JPEG: six-scan SOF2 decode in Arrow batches, scalar-only shuffle"),
+    ("multimodal_flac_decode", "FLAC: Rice/LPC lossless decode map-side, per-doc integer features"),
+    ("streaming_sprt_monitor", "streaming SPRT: watermarked census drain + LLR window on calendar-bounded rows"),
 ]
 
 
