@@ -2651,12 +2651,58 @@ def encode_gif(indices, width: int, height: int) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_rows(height: int):
+    """GIF 4-pass interlace row order (89a spec appendix E): rows are
+    stored pass 1 (0,8,16..), pass 2 (4,12..), pass 3 (2,6,10..),
+    pass 4 (odd rows)."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
+def encode_gif_interlaced(
+    indices, width: int, height: int, lct_rotate: int | None = None
+) -> bytes:
+    """Interlaced fixture twin: same palette/LZW as encode_gif but rows
+    are STORED in 4-pass interlace order (image-descriptor flag 0x40),
+    and when `lct_rotate` is given a LOCAL color table is attached —
+    the formula palette rotated by `lct_rotate` entries — which per
+    spec overrides the global table for this image."""
+    import struct
+
+    import numpy as np
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0b11110111, 0, 0)
+    out += _gif_palette()
+    iflags = 0x40
+    if lct_rotate is not None:
+        iflags |= 0x80 | 0x07  # LCT present, 256 entries
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, iflags)
+    if lct_rotate is not None:
+        lct = bytearray()
+        for i in range(256):
+            j = (i + lct_rotate) % 256
+            lct += bytes((j, (j * 3) % 256, (j * 7) % 256))
+        out += bytes(lct)
+    out += bytes([8])
+    arr = np.asarray(indices, dtype=np.int64).reshape(height, width)
+    stored = arr[_gif_interlace_rows(height)].reshape(-1)
+    stream = _lzw_encode_gif(stored)
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_gif(data: bytes):
-    """REAL image decode for single-frame GIF87a/89a with a global
-    color table (LZW per spec appendix F: variable-width LSB-first
-    codes, CLEAR/EOI, late width change, 4096-entry cap; interlace and
-    local color tables rejected honestly): returns an (h, w, 3) uint8
-    RGB array. Pure stdlib + numpy."""
+    """REAL image decode for single-frame GIF87a/89a (LZW per spec
+    appendix F: variable-width LSB-first codes, CLEAR/EOI, late width
+    change, 4096-entry cap), with global AND local color tables (LCT
+    overrides per spec) and 4-pass interlace de-permutation (round 6):
+    returns an (h, w, 3) uint8 RGB array. Pure stdlib + numpy."""
     import struct
 
     import numpy as np
@@ -2682,11 +2728,14 @@ def decode_gif(data: bytes):
         elif b == 0x2C:
             left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
             pos += 10
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
-            if iflags & 0x80:
-                raise NotImplementedError("local color table not supported")
-            if gct is None:
+            table = gct
+            if iflags & 0x80:  # local color table overrides the global one
+                n = 2 << (iflags & 0x07)
+                table = np.frombuffer(
+                    data, dtype=np.uint8, count=n * 3, offset=pos
+                ).reshape(n, 3)
+                pos += n * 3
+            if table is None:
                 raise ValueError("GIF image without any color table")
             mcs = data[pos]
             pos += 1
@@ -2700,7 +2749,11 @@ def decode_gif(data: bytes):
             if len(idx) < iw * ih:
                 raise ValueError("GIF index stream shorter than image")
             arr = np.asarray(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
-            return gct[arr].astype(np.uint8)
+            if iflags & 0x40:  # interlaced: stored rows are in pass order
+                out = np.empty_like(arr)
+                out[_gif_interlace_rows(ih)] = arr
+                arr = out
+            return table[arr].astype(np.uint8)
         elif b == 0x3B:
             break
         else:
@@ -2730,6 +2783,173 @@ def synthetic_gif_media(documents: DataFrame) -> DataFrame:
     )
     return documents.select("doc_id").repartition(n_parts).mapInPandas(
         batches, "doc_id BIGINT, data BINARY"
+    )
+
+
+# ---------------------------------------------------------------------------
+# G.711 (public ITU-T spec): mu-law and A-law companded telephony audio
+# — the classic 8-bit log-PCM codecs. Decode is a closed integer
+# formula per byte (no state), so the oracle mirrors it in SQL.
+# ---------------------------------------------------------------------------
+
+
+def g711_decode_sample(code: int, law: str) -> int:
+    """One companded byte -> linear PCM (exact G.711 integer expansion,
+    the formula both the numpy kernel and the DuckDB oracle replay)."""
+    if law == "ulaw":
+        u = ~code & 0xFF
+        sign, exp, mant = u & 0x80, (u >> 4) & 0x07, u & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+    else:  # alaw
+        a = code ^ 0x55
+        sign, exp, mant = a & 0x80, (a >> 4) & 0x07, a & 0x0F
+        mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return -mag if sign else mag
+
+
+def g711_decode(data: bytes, law: str):
+    """Vectorized G.711 expansion of a whole payload (numpy)."""
+    import numpy as np
+
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    if law == "ulaw":
+        u = (~b) & 0xFF
+        sign, exp, mant = u & 0x80, (u >> 4) & 0x07, u & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+    elif law == "alaw":
+        a = b ^ 0x55
+        sign, exp, mant = a & 0x80, (a >> 4) & 0x07, a & 0x0F
+        mag = np.where(
+            exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0)
+        )
+    else:
+        raise ValueError(f"unknown companding law {law!r}")
+    return np.where(sign != 0, -mag, mag)
+
+
+def g711_encode_sample(pcm: int, law: str) -> int:
+    """Linear PCM -> companded byte (G.711 segment search); the
+    roundtrip decode(encode(x)) is the codec's quantization, asserted
+    within one segment step in tests."""
+    if law == "ulaw":
+        sign = 0x80 if pcm < 0 else 0
+        mag = min((-pcm if pcm < 0 else pcm) + 0x84, 0x7FFF)
+        exp = max(0, mag.bit_length() - 8)  # segment above the 0x84 bias
+        mant = (mag >> (exp + 3)) & 0x0F
+        return ~(sign | (exp << 4) | mant) & 0xFF
+    sign = 0x80 if pcm < 0 else 0
+    mag = min(-pcm if pcm < 0 else pcm, 0x7FFF)
+    if mag < 0x100:
+        code = sign | (mag >> 4)
+    else:
+        exp = max(1, mag.bit_length() - 8)
+        mant = (mag >> (exp + 3)) & 0x0F
+        code = sign | (exp << 4) | mant
+    return code ^ 0x55
+
+
+def synthetic_g711_media(documents: DataFrame) -> DataFrame:
+    """G.711 fixture corpus: payload bytes follow (doc_id*11 + j*7) %
+    256 over n = 128 + 64*(doc_id%2) samples; even doc_ids are mu-law,
+    odd are A-law."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 128 + 64 * (d % 2)
+                payload = bytes(((d * 11 + j * 7) % 256) for j in range(n))
+                rows.append((d, "ulaw" if d % 2 == 0 else "alaw", payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "law", "data"])
+
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, law STRING, data BINARY"
+    )
+
+
+def g711_decode_features(media: DataFrame) -> DataFrame:
+    """Expand G.711 payloads executor-side; per-doc integer features
+    (n, sum of |pcm|, first sample) shuffle — scalars only."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, law, blob in zip(pdf["doc_id"], pdf["law"], pdf["data"]):
+                pcm = g711_decode(bytes(blob), law)
+                rows.append(
+                    (int(doc_id), law, len(pcm), int(abs(pcm).sum()), int(pcm[0]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "law", "n_samples", "sum_abs", "first_pcm"]
+            )
+
+    return media.mapInPandas(
+        batches,
+        "doc_id BIGINT, law STRING, n_samples BIGINT, "
+        "sum_abs BIGINT, first_pcm BIGINT",
+    )
+
+
+def synthetic_gif_interlaced_media(documents: DataFrame) -> DataFrame:
+    """Interlaced-GIF fixture corpus: same index formula as the GIF leg
+    ((doc_id*7 + k) % 256 over the raster), every image stored in
+    4-pass interlace order; EVEN doc_ids additionally carry a LOCAL
+    color table — the formula palette rotated by 16 entries — so the
+    decoded pixel is palette[(idx+16) % 256] for them (proving the LCT
+    actually overrides the global table, not just parses)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                idx = (d * 7 + np.arange(w * h)) % 256
+                blobs.append(
+                    encode_gif_interlaced(
+                        idx.astype(np.int64), int(w), int(h),
+                        lct_rotate=16 if d % 2 == 0 else None,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+
+
+def image_decode_checksum(media: DataFrame) -> DataFrame:
+    """Decode + POSITION-WEIGHTED checksum: byte_mean is permutation-
+    invariant, so it cannot verify de-interlacing — this feature sums
+    (p+1) * (r + 2g + 3b) over raster positions p, which any row
+    mis-ordering changes. Map-only Arrow batches, scalar shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                arr = decode_image(bytes(blob)).astype(np.int64)
+                hgt, wdt, _ = arr.shape
+                weights = np.arange(1, hgt * wdt + 1, dtype=np.int64)
+                mix = arr[:, :, 0] + 2 * arr[:, :, 1] + 3 * arr[:, :, 2]
+                rows.append(
+                    (int(doc_id), wdt, hgt, int((weights * mix.reshape(-1)).sum()))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "checksum"]
+            )
+
+    return media.mapInPandas(
+        batches, "doc_id BIGINT, width INT, height INT, checksum BIGINT"
     )
 
 

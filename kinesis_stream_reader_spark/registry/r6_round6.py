@@ -119,6 +119,104 @@ def multimodal_flac_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ROUND 6 — interlaced GIF + local color tables, closing the two r5
+# GIF gates. byte_mean is permutation-invariant, so this leg verifies
+# with a POSITION-WEIGHTED checksum that any de-interlace mistake
+# changes; even doc_ids carry a rotated LOCAL table that must override
+# the global one (idx -> (idx+16) % 256).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_gif_interlaced_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         CASE WHEN doc_id % 2 = 0
+              THEN ((doc_id * 7 + i.i) % 256 + 16) % 256
+              ELSE (doc_id * 7 + i.i) % 256 END AS idx
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (idx + 2 * ((idx * 3) % 256) + 3 * ((idx * 7) % 256)))
+         ::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_gif_interlaced_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL interlaced-GIF decode with local-color-table override
+    (multimodal.decode_gif, round 6): the 4-pass interlace row
+    permutation is inverted after LZW decode, and even doc_ids'
+    images carry a 256-entry LOCAL table (the formula palette rotated
+    16 entries) that per spec overrides the global table. Verified by
+    a position-weighted checksum — de-interlacing errors and
+    table-precedence errors both break it, where a byte mean would
+    not. Map-side Arrow decode; scalar-only shuffle."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.image_decode_checksum(
+        multimodal.synthetic_gif_interlaced_media(docs)
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 6 — G.711 mu-law/A-law expansion (ITU-T public spec): the
+# classic 8-bit log-PCM telephony codecs. Decode is a stateless
+# closed integer formula per byte, so the oracle replays it in SQL
+# over the fixture byte formula directly.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_g711_decode",
+    """
+WITH s AS (
+  SELECT doc_id, 128 + 64 * (doc_id % 2) AS n,
+         CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END AS law
+  FROM documents
+), b AS (
+  SELECT doc_id, n, law, j.j AS j, (doc_id * 11 + j.j * 7) % 256 AS code
+  FROM s, LATERAL (SELECT UNNEST(range(n)) AS j) j
+), pcm AS (
+  SELECT doc_id, law, n, j,
+         CASE WHEN law = 'ulaw' THEN
+           CASE WHEN (255 - code) >= 128 THEN -1 ELSE 1 END *
+           ((((255 - code) % 16) * 8 + 132)
+            * (1 << (((255 - code) // 16) % 8)) - 132)
+         ELSE
+           CASE WHEN xor(code, 85) >= 128 THEN -1 ELSE 1 END *
+           (CASE WHEN ((xor(code, 85) // 16) % 8) = 0
+                 THEN (xor(code, 85) % 16) * 16 + 8
+                 ELSE ((xor(code, 85) % 16) * 16 + 264)
+                      * (1 << (((xor(code, 85) // 16) % 8) - 1)) END)
+         END AS v
+  FROM b
+)
+SELECT doc_id, ANY_VALUE(law) AS law, ANY_VALUE(n)::BIGINT AS n_samples,
+       SUM(ABS(v))::BIGINT AS sum_abs,
+       MAX(CASE WHEN j = 0 THEN v END)::BIGINT AS first_pcm
+FROM pcm GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_g711_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 expansion executing in-sandbox
+    (multimodal.g711_decode): mu-law for even doc_ids, A-law for odd,
+    vectorized numpy over Arrow batches. The exact integer expansion
+    formulas (sign/segment/mantissa with the 0x84 bias and the 0x55
+    toggle) are mirrored bit-for-bit by the DuckDB oracle.
+
+    Plan shape / 100 TB: stateless per-byte expansion, map-only;
+    per-doc scalars shuffle."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.g711_decode_features(
+        multimodal.synthetic_g711_media(docs)
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # ROUND 6 — streaming SPRT monitor: the always-valid sequential test
 # runs ON the stream (the guardrail twin of the batch
 # sprt_sequential_test, completing the r5 eval family's streaming

@@ -689,3 +689,66 @@ def test_flac_spark_features_match_formula(spark):
         assert r.sum_abs_l == sum(abs(v) for v in left)
         assert r.sum_abs_r == sum(abs(v) for v in right)
         assert r.first_l == left[0]
+
+
+# --------------------------------------------------------------------------
+# Interlaced GIF + G.711 (round 6)
+# --------------------------------------------------------------------------
+def test_gif_interlace_roundtrip_restores_raster_order():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    for w, h in [(8, 6), (11, 8), (9, 17)]:
+        idx = (np.arange(w * h) * 37 + 5) % 256
+        got = mm.decode_gif(mm.encode_gif_interlaced(idx, w, h))
+        want = mm.decode_gif(mm.encode_gif(idx, w, h))
+        assert np.array_equal(got, want), (w, h)
+
+
+def test_gif_interlace_row_order_is_the_spec_permutation():
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    assert mm._gif_interlace_rows(8) == [0, 4, 2, 6, 1, 3, 5, 7]
+    assert sorted(mm._gif_interlace_rows(17)) == list(range(17))
+
+
+def test_gif_local_table_overrides_global():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    idx = np.zeros(48, dtype=np.int64)  # every pixel palette entry 0
+    got = mm.decode_gif(mm.encode_gif_interlaced(idx, 8, 6, lct_rotate=16))
+    # LCT entry 0 = global palette entry 16 = (16, 48, 112)
+    assert tuple(got[0, 0]) == (16, 48, 112)
+
+
+def test_g711_decode_reference_values():
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    # mu-law: code 0xFF is +0 by the biased expansion; 0x7F is -0
+    assert mm.g711_decode_sample(0xFF, "ulaw") == 0
+    assert mm.g711_decode_sample(0x7F, "ulaw") == 0
+    # A-law: code 0x55 (toggled to 0) decodes to +8, 0xD5 to -8
+    assert mm.g711_decode_sample(0x55, "alaw") == 8
+    assert mm.g711_decode_sample(0xD5, "alaw") == -8
+    # vectorized path agrees with the scalar formula on every byte
+    blob = bytes(range(256))
+    for law in ("ulaw", "alaw"):
+        vec = mm.g711_decode(blob, law)
+        assert [int(v) for v in vec] == [
+            mm.g711_decode_sample(b, law) for b in range(256)
+        ]
+
+
+def test_g711_encode_decode_quantization_bounded():
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    for law in ("ulaw", "alaw"):
+        for pcm in [-30000, -5000, -100, -5, 0, 3, 90, 1000, 20000, 32000]:
+            code = mm.g711_encode_sample(pcm, law)
+            back = mm.g711_decode_sample(code, law)
+            # companding error is bounded by the segment step size
+            step = max(16, (abs(pcm) >> 4) + 16)
+            assert abs(back - pcm) <= step, (law, pcm, back)
