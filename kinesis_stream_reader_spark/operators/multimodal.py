@@ -2894,6 +2894,137 @@ def g711_decode_features(media: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IMA ADPCM (public DVI/IMA spec): 4-bit differential PCM with the
+# 89-entry step table — STATEFUL per-nibble decode (predictor + step
+# index), the simplest real compressed-audio family after G.711.
+# Integer-exact, so the oracle replays the recursion as a recursive
+# CTE (the registry's loop-oracle convention).
+# ---------------------------------------------------------------------------
+
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_DELTA = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def ima_adpcm_decode(nibbles, predictor: int = 0, index: int = 0):
+    """Reference IMA ADPCM expansion: one nibble -> one PCM sample,
+    carrying (predictor, step index) state. Exact integers."""
+    out = []
+    for nib in nibbles:
+        step = IMA_STEP_TABLE[index]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        predictor = predictor - diff if nib & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _IMA_INDEX_DELTA[nib & 7]))
+        out.append(predictor)
+    return out
+
+
+def ima_adpcm_encode(samples, predictor: int = 0, index: int = 0):
+    """Encoder twin: greedy nibble search mirroring the decoder's
+    reconstruction (the standard IMA quantizer). Returns nibbles."""
+    nibbles = []
+    for s in samples:
+        step = IMA_STEP_TABLE[index]
+        delta = s - predictor
+        nib = 8 if delta < 0 else 0
+        if delta < 0:
+            delta = -delta
+        if delta >= step:
+            nib |= 4
+            delta -= step
+        if delta >= step >> 1:
+            nib |= 2
+            delta -= step >> 1
+        if delta >= step >> 2:
+            nib |= 1
+        # replay the decoder to stay in lockstep
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        predictor = predictor - diff if nib & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _IMA_INDEX_DELTA[nib & 7]))
+        nibbles.append(nib)
+    return nibbles
+
+
+def synthetic_adpcm_media(documents: DataFrame) -> DataFrame:
+    """ADPCM fixture corpus: 64 nibbles per doc following (doc_id*3 +
+    j*5) % 16, packed two per byte (low nibble first, the IMA/WAV
+    layout), initial predictor 0 and initial step index doc_id % 89."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nibs = [((d * 3 + j * 5) % 16) for j in range(64)]
+                payload = bytes(
+                    nibs[i] | (nibs[i + 1] << 4) for i in range(0, 64, 2)
+                )
+                rows.append((d, d % 89, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "init_index", "data"])
+
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, init_index BIGINT, data BINARY"
+    )
+
+
+def adpcm_decode_features(media: DataFrame) -> DataFrame:
+    """Unpack nibbles (low-first), run the stateful expansion, emit
+    per-doc integer features. Map-only; scalars shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, idx0, blob in zip(
+                pdf["doc_id"], pdf["init_index"], pdf["data"]
+            ):
+                nibs = []
+                for b in bytes(blob):
+                    nibs.append(b & 0x0F)
+                    nibs.append(b >> 4)
+                pcm = ima_adpcm_decode(nibs, predictor=0, index=int(idx0))
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(pcm),
+                        sum(abs(v) for v in pcm),
+                        pcm[-1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sum_abs", "last_pcm"]
+            )
+
+    return media.mapInPandas(
+        batches,
+        "doc_id BIGINT, n_samples BIGINT, sum_abs BIGINT, last_pcm BIGINT",
+    )
+
+
 def synthetic_gif_interlaced_media(documents: DataFrame) -> DataFrame:
     """Interlaced-GIF fixture corpus: same index formula as the GIF leg
     ((doc_id*7 + k) % 256 over the raster), every image stored in

@@ -217,6 +217,67 @@ def multimodal_g711_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ROUND 6 — IMA ADPCM (public DVI/IMA spec): stateful 4-bit DPCM with
+# the 89-step table. The per-nibble recursion replays as a recursive
+# CTE carrying (predictor, step index, running |pcm| sum) — the
+# registry's loop-oracle convention — bit-identical to the Python
+# reference the Arrow kernel runs.
+# ---------------------------------------------------------------------------
+def _adpcm_oracle() -> str:
+    from ..operators.multimodal import IMA_STEP_TABLE
+
+    steps = ", ".join(str(v) for v in IMA_STEP_TABLE)
+    return f"""
+WITH RECURSIVE walk AS (
+  SELECT doc_id, 0 AS j, 0::BIGINT AS pred, (doc_id % 89)::BIGINT AS idx,
+         0::BIGINT AS sacc
+  FROM documents
+  UNION ALL
+  SELECT doc_id, j + 1, np AS pred,
+         GREATEST(0, LEAST(88, idx + CASE (nib % 8)
+           WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+           ELSE -1 END)) AS idx,
+         sacc + ABS(np) AS sacc
+  FROM (
+    SELECT w.doc_id, w.j, w.pred, w.idx, w.sacc, t.nib, t.step,
+           GREATEST(-32768, LEAST(32767,
+             w.pred + CASE WHEN t.nib >= 8 THEN -1 ELSE 1 END *
+               (t.step // 8 + (t.nib % 2) * (t.step // 4)
+                + ((t.nib // 2) % 2) * (t.step // 2)
+                + ((t.nib // 4) % 2) * t.step))) AS np
+    FROM walk w, LATERAL (
+      SELECT (w.doc_id * 3 + w.j * 5) % 16 AS nib,
+             ([{steps}])[w.idx + 1] AS step
+    ) t
+    WHERE w.j < 64
+  )
+)
+SELECT doc_id, 64::BIGINT AS n_samples, sacc::BIGINT AS sum_abs,
+       pred::BIGINT AS last_pcm
+FROM walk WHERE j = 64 ORDER BY doc_id
+"""
+
+
+@register("multimodal_adpcm_decode", _adpcm_oracle())
+def multimodal_adpcm_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA ADPCM expansion executing in-sandbox
+    (multimodal.ima_adpcm_decode): 64 nibbles per doc (packed
+    low-nibble-first, the IMA/WAV layout), initial step index
+    doc_id % 89 so the whole table gets walked across the corpus;
+    the stateful (predictor, index) recursion is exact integers.
+
+    Plan shape / 100 TB: stateful WITHIN a payload but stateless
+    ACROSS payloads — map-only Arrow batches, per-doc scalars shuffle
+    (the codec house contract)."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.adpcm_decode_features(
+        multimodal.synthetic_adpcm_media(docs)
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # ROUND 6 — streaming SPRT monitor: the always-valid sequential test
 # runs ON the stream (the guardrail twin of the batch
 # sprt_sequential_test, completing the r5 eval family's streaming

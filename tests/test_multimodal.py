@@ -752,3 +752,42 @@ def test_g711_encode_decode_quantization_bounded():
             # companding error is bounded by the segment step size
             step = max(16, (abs(pcm) >> 4) + 16)
             assert abs(back - pcm) <= step, (law, pcm, back)
+
+
+# --------------------------------------------------------------------------
+# IMA ADPCM (round 6)
+# --------------------------------------------------------------------------
+def test_adpcm_encode_decode_tracks_signal():
+    import math
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    # a smooth signal the 4-bit quantizer can track closely
+    sig = [int(8000 * math.sin(j / 6.0)) for j in range(200)]
+    nibs = mm.ima_adpcm_encode(sig)
+    out = mm.ima_adpcm_decode(nibs)
+    # after the step table adapts, tracking error stays well under the
+    # largest adapted step
+    err = max(abs(a - b) for a, b in zip(sig[20:], out[20:]))
+    assert err < 2000, err
+
+
+def test_adpcm_decode_known_prefix():
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    # hand-walked: index 0 (step 7), nibble 0 -> +0 diff floor => +0?
+    # step>>3 = 0 ... predictor stays 0; nibble 7 -> 0+7//8? compute:
+    # diff = 0 + (1)*(7>>2=1) + (2)*(7>>1=3) + (4)*7 = 1+3+7 = 11
+    assert mm.ima_adpcm_decode([0]) == [0]
+    assert mm.ima_adpcm_decode([7]) == [11]
+    # sign nibble mirrors magnitude
+    assert mm.ima_adpcm_decode([15]) == [-11]
+
+
+def test_adpcm_clamps_at_int16_bounds():
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    out = mm.ima_adpcm_decode([7] * 200, predictor=0, index=88)
+    assert max(out) == 32767  # saturates, never wraps
+    out = mm.ima_adpcm_decode([15] * 200, predictor=0, index=88)
+    assert min(out) == -32768
