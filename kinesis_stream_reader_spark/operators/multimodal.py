@@ -680,10 +680,10 @@ VIDEO_DECODE_SCHEMA = (
 # Python lossless audio codec — STREAMINFO, frame headers with CRC-8,
 # CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes, partitioned
 # Rice-coded residuals, stereo decorrelation (left/side, right/side,
-# mid/side), frame CRC-16. Unlike MP3/AAC there is no float transform:
-# output is exact integers, so the encoder twin gives bit-exact
-# fixtures. Not implemented: wasted-bits shifts and the rice2 (5-bit
-# parameter) escape — both honestly rejected on decode.
+# mid/side), frame CRC-16, wasted-bits shifts (round 6). Unlike MP3/AAC there is
+# no float transform: output is exact integers, so the encoder twin
+# gives bit-exact fixtures. Not implemented: the rice2 (5-bit
+# parameter) escape — honestly rejected on decode.
 # ---------------------------------------------------------------------------
 
 
@@ -840,16 +840,30 @@ def _rice_decode(br: _MsbBitReader, order: int, block_size: int):
 
 def _encode_subframe(bw, samples, bps, plan):
     kind = plan[0]
+    # wasted-bits auto-detection: k shared low zero bits across the
+    # block let the subframe code at bps-k and shift on decode
+    wasted = 0
+    if any(samples):
+        wasted = min((v & -v).bit_length() - 1 for v in samples if v != 0)
+        if wasted:
+            samples = [v >> wasted for v in samples]
+            bps -= wasted
+
+    def header(type_bits):
+        bw.write(0, 1)
+        bw.write(type_bits, 6)
+        if wasted:
+            bw.write(1, 1)
+            bw.write_unary(wasted - 1)
+        else:
+            bw.write(0, 1)
+
     if kind == "constant":
-        bw.write(0, 1)
-        bw.write(0x00, 6)
-        bw.write(0, 1)
+        header(0x00)
         bw.write(samples[0], bps)
         return
     if kind == "verbatim":
-        bw.write(0, 1)
-        bw.write(0x01, 6)
-        bw.write(0, 1)
+        header(0x01)
         for s in samples:
             bw.write(s, bps)
         return
@@ -859,16 +873,12 @@ def _encode_subframe(bw, samples, bps, plan):
         plan = ("fixed", 0)
     if kind == "fixed":
         order = min(plan[1], n - 1) if n > 1 else 0  # tail blocks clamp
-        bw.write(0, 1)
-        bw.write(0x08 | order, 6)
-        bw.write(0, 1)
+        header(0x08 | order)
         coefs, shift = _FLAC_FIXED_COEFS[order], 0
     else:  # lpc
         _, coefs, shift, precision = plan
         order = len(coefs)
-        bw.write(0, 1)
-        bw.write(0x20 | (order - 1), 6)
-        bw.write(0, 1)
+        header(0x20 | (order - 1))
     for s in samples[:order]:
         bw.write(s, bps)
     if kind == "lpc":
@@ -890,12 +900,14 @@ def _decode_subframe(br, n, bps):
     if br.read(1):
         raise ValueError("subframe padding bit set")
     t = br.read(6)
-    if br.read(1):
-        raise NotImplementedError("wasted-bits subframes not supported")
+    wasted = 0
+    if br.read(1):  # wasted-bits: k-1 coded in unary, samples shift left
+        wasted = br.read_unary() + 1
+        bps -= wasted
     if t == 0x00:
-        return [br.read_signed(bps)] * n
+        return [br.read_signed(bps) << wasted] * n
     if t == 0x01:
-        return [br.read_signed(bps) for _ in range(n)]
+        return [br.read_signed(bps) << wasted for _ in range(n)]
     if 0x08 <= t <= 0x0C:
         order = t & 0x07
         coefs, shift = _FLAC_FIXED_COEFS[order], 0
@@ -915,7 +927,7 @@ def _decode_subframe(br, n, bps):
         if t >= 0x20:
             pred >>= shift
         out.append(res[i - order] + pred)
-    return out
+    return [v << wasted for v in out] if wasted else out
 
 
 def encode_flac(channels, rate: int = 8000, bps: int = 16, block_size: int = 32,
@@ -989,8 +1001,8 @@ def decode_flac(data: bytes):
     frame-header parse (sync, blocksize/rate codes, UTF-8 frame
     number, CRC-8 verify), CONSTANT/VERBATIM/FIXED/LPC subframes with
     partitioned Rice residuals, stereo decorrelation undo, CRC-16
-    verify. Returns (rate, channels) with exact integer samples.
-    Raises NotImplementedError for wasted-bits / rice2 escapes."""
+    verify, wasted-bits shifts. Returns (rate, channels) with exact
+    integer samples. Raises NotImplementedError for rice2 escapes."""
     import struct
 
     if data[:4] != b"fLaC":

@@ -791,3 +791,22 @@ def test_adpcm_clamps_at_int16_bounds():
     assert max(out) == 32767  # saturates, never wraps
     out = mm.ima_adpcm_decode([15] * 200, predictor=0, index=88)
     assert min(out) == -32768
+
+
+def test_flac_wasted_bits_roundtrip():
+    """Signals sharing k low zero bits code at bps-k with the
+    wasted-bits flag and shift back exactly on decode — for every
+    subframe type (round-6 gate closure)."""
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    for k in (1, 3):
+        ch = [[(((7 + j * 31) % 4096) - 2048) << k for j in range(96)]]
+        for plan in [("fixed", 2), ("fixed", 4), ("verbatim",),
+                     ("lpc", [3, -1], 1, 4)]:
+            blob = mm.encode_flac(
+                ch, block_size=32, plan=lambda f, c, s, p=plan: p
+            )
+            assert mm.decode_flac(blob)[1] == ch, (k, plan)
+    ch = [[48] * 64]
+    blob = mm.encode_flac(ch, block_size=32, plan=lambda f, c, s: ("constant",))
+    assert mm.decode_flac(blob)[1] == ch
