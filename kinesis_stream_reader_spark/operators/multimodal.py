@@ -120,11 +120,62 @@ def encode_png(arr, filter_for_row=None) -> bytes:
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
 
 
+def encode_png_indexed(indices, palette, depth: int = 8, filter_for_row=None) -> bytes:
+    """(h, w) palette indices + (n, 3) palette -> paletted PNG (color
+    type 3) at depth 8 or 4, critical chunks + PLTE; per-scanline
+    filter from `filter_for_row(y)` (filters act on packed BYTES at
+    sub-byte depths per spec 9.2). Fixture twin of the round-6
+    decode_png palette path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.int64)
+    h, w = idx.shape
+    if depth == 8:
+        packed = idx
+    else:
+        if idx.max(initial=0) > 15:
+            raise ValueError("depth-4 PNG needs indices < 16")
+        padded = np.zeros((h, ((w + 1) // 2) * 2), dtype=np.int64)
+        padded[:, :w] = idx
+        packed = (padded[:, 0::2] << 4) | padded[:, 1::2]
+    stride = packed.shape[1]
+    lines = []
+    zero = np.zeros(1, dtype=np.int64)
+    for y in range(h):
+        cur = packed[y]
+        prev = packed[y - 1] if y else np.zeros(stride, dtype=np.int64)
+        ft = filter_for_row(y) % 5 if filter_for_row else 0
+        left = np.concatenate([zero, cur[:-1]])
+        ul = np.concatenate([zero, prev[:-1]])
+        pred = [0, left, prev, (left + prev) // 2, _paeth(left, prev, ul)][ft]
+        lines.append(bytes([ft]) + ((cur - pred) % 256).astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    plte = np.asarray(palette, dtype=np.uint8).tobytes()
+    idat = zlib.compress(b"".join(lines))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_png(data: bytes):
-    """REAL PNG decode, pure stdlib: critical chunks (IHDR/IDAT/IEND),
-    8-bit RGB (color type 2), no interlace, ALL five scanline filters
-    (None/Sub/Up/Average/Paeth) inverted per spec 9.2, chunk CRCs
-    verified. Returns an (h, w, 3) uint8 numpy array.
+    """REAL PNG decode, pure stdlib: critical chunks
+    (IHDR/PLTE/IDAT/IEND), 8-bit RGB (color type 2) AND paletted
+    color type 3 at depths 8 and 4 (round 6), no interlace, ALL five
+    scanline filters (None/Sub/Up/Average/Paeth) inverted per spec
+    9.2 at the correct byte stride, chunk CRCs verified. Returns an
+    (h, w, 3) uint8 numpy array (palette applied).
 
     Filters Up/None invert vectorized; Sub/Average/Paeth carry a
     left-pixel recurrence, so those scanlines walk pixels in Python —
@@ -139,6 +190,7 @@ def decode_png(data: bytes):
         raise ValueError("not a PNG payload")
     pos, w = 8, None
     idat = b""
+    plte = None
     while pos + 8 <= len(data):
         (size,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -148,10 +200,19 @@ def decode_png(data: bytes):
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
             w, h, depth, ctyp, comp, filt, inter = struct.unpack(">IIBBBBB", body)
-            if (depth, ctyp, comp, filt, inter) != (8, 2, 0, 0, 0):
+            if (comp, filt, inter) != (0, 0, 0) or (depth, ctyp) not in (
+                (8, 2),
+                (8, 3),
+                (4, 3),
+            ):
                 raise NotImplementedError(
-                    "only 8-bit RGB non-interlaced PNG supported in-sandbox"
+                    "only 8-bit RGB and 8/4-bit paletted non-interlaced "
+                    "PNG supported in-sandbox"
                 )
+        elif ctype == b"PLTE":
+            if size % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -160,11 +221,17 @@ def decode_png(data: bytes):
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT chunk")
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    stride = w * 3
+    # byte stride + filter unit (bpp): 3 for RGB; 1 for indexed (sub-
+    # byte depths filter on BYTES per spec 9.2)
+    if ctyp == 2:
+        stride, bpp = w * 3, 3
+    else:
+        stride = w if depth == 8 else (w + 1) // 2
+        bpp = 1
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
     out = np.zeros((h, stride), dtype=np.int64)
-    zero3 = np.zeros(3, dtype=np.int64)
+    zerob = np.zeros(bpp, dtype=np.int64)
     for y in range(h):
         ft = int(raw[y * (stride + 1)])
         line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)].astype(np.int64)
@@ -175,21 +242,37 @@ def decode_png(data: bytes):
             out[y] = (line + prev) % 256
         elif ft in (1, 3, 4):
             cur = out[y]
-            for x in range(w):
-                s = x * 3
-                left = cur[s - 3 : s] if x else zero3
-                up = prev[s : s + 3]
-                ul = prev[s - 3 : s] if x else zero3
+            for x in range(stride // bpp + (1 if stride % bpp else 0)):
+                s = x * bpp
+                e = min(s + bpp, stride)
+                left = cur[s - bpp : s] if x else zerob[: e - s]
+                up = prev[s:e]
+                ul = prev[s - bpp : s] if x else zerob[: e - s]
                 if ft == 1:
                     pred = left
                 elif ft == 3:
                     pred = (left + up) // 2
                 else:
                     pred = _paeth(left, up, ul)
-                cur[s : s + 3] = (line[s : s + 3] + pred) % 256
+                cur[s:e] = (line[s:e] + pred) % 256
         else:
             raise ValueError(f"unknown filter type {ft}")
-    return out.astype(np.uint8).reshape(h, w, 3)
+    if ctyp == 2:
+        return out.astype(np.uint8).reshape(h, w, 3)
+    if plte is None:
+        raise ValueError("paletted PNG without PLTE")
+    if depth == 8:
+        idx = out
+    else:  # depth 4: two pixels per byte, HIGH nibble first
+        hi = out >> 4
+        lo = out & 0x0F
+        idx = np.empty((h, stride * 2), dtype=np.int64)
+        idx[:, 0::2] = hi
+        idx[:, 1::2] = lo
+        idx = idx[:, :w]
+    if int(idx.max(initial=0)) >= len(plte):
+        raise ValueError("palette index out of range")
+    return plte[idx[:, :w]].astype(np.uint8)
 
 
 def encode_bmp(arr) -> bytes:

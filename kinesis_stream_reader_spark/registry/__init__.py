@@ -111,6 +111,7 @@ _PRIORITY = [
     "multimodal_jpeg_progressive_decode", "multimodal_flac_decode",
     "streaming_sprt_monitor", "multimodal_gif_interlaced_decode",
     "multimodal_g711_decode", "multimodal_adpcm_decode",
+    "multimodal_png_palette_decode",
     "wer_pairs_report", "rouge_l_pairs_report", "chrf_pairs_report",
     "bleu_pairs_report", "markov_attribution_removal", "best_of_n_selection",
     "cem_att_estimate", "sprt_sequential_test", "embedding_random_projection",

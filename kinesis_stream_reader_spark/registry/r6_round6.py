@@ -217,6 +217,80 @@ def multimodal_g711_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ROUND 6 — paletted PNG (color type 3, depths 8 AND 4): the common
+# web-graphics path next to the r3 RGB leg. Sub-byte depth filters on
+# packed BYTES per spec 9.2; verification uses the position-weighted
+# checksum (row filters rotate per scanline, so a filter-inversion
+# error anywhere breaks it).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_png_palette_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7 + i.i) % 256
+              ELSE (doc_id * 7 + i.i) % 16 END AS idx
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (idx + 2 * ((idx * 3) % 256) + 3 * ((idx * 7) % 256)))
+         ::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_png_palette_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL paletted-PNG decode (multimodal.decode_png round-6 palette
+    path): PLTE lookup after full filter inversion; even doc_ids are
+    depth-8 indexed, odd are DEPTH-4 (two pixels per byte, high nibble
+    first, filters over packed bytes), and the scanline filter rotates
+    with the row index so every filter type appears at both depths.
+    Verified by the position-weighted checksum. Map-side Arrow decode;
+    scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        pal256 = np.array(
+            [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)],
+            dtype=np.uint8,
+        )
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                if d % 2 == 0:
+                    idx = ((d * 7 + np.arange(w * h)) % 256).reshape(h, w)
+                    blobs.append(
+                        multimodal.encode_png_indexed(
+                            idx, pal256, depth=8, filter_for_row=lambda y: y
+                        )
+                    )
+                else:
+                    idx = ((d * 7 + np.arange(w * h)) % 16).reshape(h, w)
+                    blobs.append(
+                        multimodal.encode_png_indexed(
+                            idx, pal256[:16], depth=4, filter_for_row=lambda y: y
+                        )
+                    )
+            import pandas as pd
+
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # ROUND 6 — IMA ADPCM (public DVI/IMA spec): stateful 4-bit DPCM with
 # the 89-step table. The per-nibble recursion replays as a recursive
 # CTE carrying (predictor, step index, running |pcm| sum) — the

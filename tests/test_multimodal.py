@@ -810,3 +810,38 @@ def test_flac_wasted_bits_roundtrip():
     ch = [[48] * 64]
     blob = mm.encode_flac(ch, block_size=32, plan=lambda f, c, s: ("constant",))
     assert mm.decode_flac(blob)[1] == ch
+
+
+# --------------------------------------------------------------------------
+# Paletted PNG (round 6)
+# --------------------------------------------------------------------------
+def test_png_palette_roundtrip_depths_and_filters():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    pal256 = np.array(
+        [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)], dtype=np.uint8
+    )
+    rng = np.random.RandomState(3)
+    for depth, pal, maxv in ((8, pal256, 256), (4, pal256[:16], 16)):
+        for h, w in [(1, 1), (6, 8), (9, 13)]:
+            idx = rng.randint(0, maxv, (h, w))
+            want = pal[idx]
+            for ft in range(5):
+                blob = mm.encode_png_indexed(
+                    idx, pal, depth=depth, filter_for_row=lambda y, f=ft: f
+                )
+                assert np.array_equal(mm.decode_png(blob), want), (depth, ft)
+
+
+def test_png_palette_index_out_of_range_raises():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    pal8 = np.array([(i, i, i) for i in range(8)], dtype=np.uint8)
+    idx = np.full((4, 4), 9)  # beyond the 8-entry PLTE
+    blob = mm.encode_png_indexed(idx, pal8, depth=8)
+    with pytest.raises(ValueError, match="palette index"):
+        mm.decode_png(blob)
