@@ -109,7 +109,8 @@ _PRIORITY = [
     # ROUND-6 ROTATION: new round-6 queries lead (never driver-checked),
     # then the round-6-touched eval kernels, then the r5 rotation.
     "multimodal_jpeg_progressive_decode", "multimodal_flac_decode",
-    "streaming_sprt_monitor", "multimodal_gif_interlaced_decode",
+    "streaming_sprt_monitor", "streaming_obf_monitor",
+    "multimodal_gif_interlaced_decode",
     "multimodal_g711_decode", "multimodal_adpcm_decode",
     "multimodal_png_palette_decode",
     "wer_pairs_report", "rouge_l_pairs_report", "chrf_pairs_report",

@@ -398,6 +398,164 @@ FROM sgn ORDER BY window_start
 """
 
 
+@register(
+    "streaming_obf_monitor",
+    # EVENT-level group-sequential looks on the streamed hourly census
+    # (the batch group_sequential_obf is user-grained at epoch
+    # quartiles; the stream twin looks at window-count quartiles over
+    # the drained census — own oracle, same z expression and the
+    # published K=4 two-sided alpha=0.05 O'Brien-Fleming bounds)
+    """
+WITH win AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS ws,
+         user_id % 2 AS arm, COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k
+  FROM events GROUP BY 1, 2
+), hours AS (
+  SELECT ws, ROW_NUMBER() OVER (ORDER BY ws) AS r FROM (
+    SELECT DISTINCT ws FROM win
+  )
+), looks AS (
+  SELECT kk.k AS look,
+         CASE kk.k WHEN 1 THEN 4.048 WHEN 2 THEN 2.862
+                   WHEN 3 THEN 2.337 ELSE 2.024 END AS bound,
+         CAST(CEIL(CAST((SELECT MAX(r) FROM hours) AS DOUBLE) * kk.k / 4)
+              AS BIGINT) AS cr
+  FROM (SELECT UNNEST(range(1, 5)) AS k) kk
+), cells AS (
+  SELECT l.look, l.bound,
+         (SELECT ws FROM hours WHERE r = l.cr) AS cutoff_window,
+         SUM(CASE WHEN w.arm = 0 THEN w.n ELSE 0 END) AS n0,
+         SUM(CASE WHEN w.arm = 0 THEN w.k ELSE 0 END) AS k0,
+         SUM(CASE WHEN w.arm = 1 THEN w.n ELSE 0 END) AS n1,
+         SUM(CASE WHEN w.arm = 1 THEN w.k ELSE 0 END) AS k1
+  FROM looks l JOIN hours h ON h.r <= l.cr JOIN win w ON w.ws = h.ws
+  GROUP BY 1, 2, 3
+), z AS (
+  SELECT look, cutoff_window, bound, n0, k0, n1, k1,
+         CASE WHEN n0 > 0 AND n1 > 0 AND k0 + k1 > 0
+                   AND k0 + k1 < n0 + n1 THEN
+           FLOOR((CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0)
+                 / sqrt((CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 - CAST(k0 + k1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)) * 1e4 + 0.5) / 1e4
+         ELSE 0.0 END AS z
+  FROM cells
+)
+SELECT look::BIGINT AS look, cutoff_window, n0::BIGINT AS n0,
+       k0::BIGINT AS k0, n1::BIGINT AS n1, k1::BIGINT AS k1, z, bound,
+       ABS(z) >= bound AS crossed
+FROM z ORDER BY look
+""",
+)
+def streaming_obf_monitor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-sequential monitoring ON the stream (O'Brien & Fleming
+    1979 boundaries, public K=4 two-sided alpha=0.05 table): the
+    watermarked hourly per-arm census (arm = user_id % 2) drains with
+    Trigger.AvailableNow, then four SCHEDULED looks at window-count
+    quartiles each test the cumulative pooled two-proportion z against
+    its OBF bound — the alpha-spending guardrail next to
+    streaming_sprt_monitor's always-valid LLR walk. Event-grained by
+    design (the batch group_sequential_obf is the user-grained epoch-
+    quartile snapshot; this is its streaming-census twin).
+
+    Plan shape / 100 TB: one watermark-bounded stateful census
+    (|windows in flight| x 2 arms); looks are algebra on the drained
+    calendar-bounded census — ranks over |hours| rows, a 4-row look
+    table, one grouped aggregate."""
+    from ..streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    win_stream = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"),
+            (F.col("user_id") % 2).alias("arm"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("k"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "arm",
+            "n",
+            "k",
+        )
+    )
+    win = jobs.run_available_now(win_stream, "streaming_obf_monitor")
+    # materialize the tiny hour-rank census locally to sever lineage:
+    # `win` must appear on only ONE side of the look joins (the census
+    # is |hours| rows — calendar-bounded, the bradley_terry contract)
+    hour_rows = sorted(r.ws for r in win.select("ws").distinct().collect())
+    hours = spark.createDataFrame(
+        [(ws, i + 1) for i, ws in enumerate(hour_rows)], "hws STRING, hr LONG"
+    )
+    hh = len(hour_rows)
+    looks = spark.createDataFrame(
+        [
+            (k, bound, -(-hh * k // 4))
+            for k, bound in ((1, 4.048), (2, 2.862), (3, 2.337), (4, 2.024))
+        ],
+        "look INT, bound DOUBLE, cr LONG",
+    )
+    cutoffs = looks.join(
+        F.broadcast(hours.select(F.col("hr").alias("cr"), F.col("hws").alias("cutoff_window"))),
+        "cr",
+    )
+    cells = (
+        cutoffs.join(F.broadcast(hours), F.col("hr") <= F.col("cr"))
+        .join(win, F.col("hws") == F.col("ws"))
+        .groupBy("look", "bound", "cutoff_window")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("arm") == 0, F.col("k")).otherwise(0)).alias("k0"),
+            F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("arm") == 1, F.col("k")).otherwise(0)).alias("k1"),
+        )
+    )
+    kt = (F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))
+    zexpr = (
+        F.floor(
+            (
+                F.col("k1").cast("double") / F.col("n1")
+                - F.col("k0").cast("double") / F.col("n0")
+            )
+            / F.sqrt(
+                kt
+                * (F.lit(1.0) - kt)
+                * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+            )
+            * 1e4
+            + F.lit(0.5)
+        )
+        / 1e4
+    )
+    guard = (
+        (F.col("n0") > 0)
+        & (F.col("n1") > 0)
+        & (F.col("k0") + F.col("k1") > 0)
+        & (F.col("k0") + F.col("k1") < F.col("n0") + F.col("n1"))
+    )
+    return (
+        cells.select(
+            F.col("look").cast("long").alias("look"),
+            "cutoff_window",
+            F.col("n0").cast("long").alias("n0"),
+            F.col("k0").cast("long").alias("k0"),
+            F.col("n1").cast("long").alias("n1"),
+            F.col("k1").cast("long").alias("k1"),
+            F.when(guard, zexpr).otherwise(F.lit(0.0)).alias("z"),
+            "bound",
+        )
+        .withColumn("crossed", F.abs(F.col("z")) >= F.col("bound"))
+        .orderBy("look")
+    )
+
+
 @register("streaming_sprt_monitor", _sprt_monitor_oracle())
 def streaming_sprt_monitor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Always-valid sequential test ON the stream: the watermarked
