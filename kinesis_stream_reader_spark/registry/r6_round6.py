@@ -217,6 +217,134 @@ def multimodal_g711_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ROUND 6 — UniMax language-budget allocation (Chung et al. 2023,
+# "UniMax: Fairer and More Effective Language Sampling", public
+# method): water-filling a token budget across languages with a
+# per-language epoch cap — the principled alternative to temperature
+# sampling for multilingual pretraining mixes (source_mixture_
+# temperature's neighbor). The greedy loop has a closed form over
+# capacity-sorted prefix sums, so it is ONE window pass — no driver
+# loop, exact integers.
+# ---------------------------------------------------------------------------
+@register(
+    "unimax_allocation",
+    # token census per lang -> caps = tokens * MAX_EPOCHS -> water-fill
+    # threshold by the prefix-sum inequality -> full caps below it, an
+    # even integer share above; epochs quantized 1e-6
+    """
+WITH tok AS (
+  SELECT lang,
+         SUM(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             t -> t <> '')))::BIGINT AS tokens
+  FROM documents GROUP BY lang
+), caps AS (
+  SELECT lang, tokens, tokens * 4 AS cap,
+         ROW_NUMBER() OVER (ORDER BY tokens * 4, lang) AS i,
+         COUNT(*) OVER () AS l,
+         (SELECT SUM(tokens) * 2 FROM tok) AS budget
+  FROM tok
+), pre AS (
+  SELECT *, COALESCE(SUM(cap) OVER (ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p_prev,
+         -- full allocation iff this cap fits an even split of what's left
+         cap * (l - i + 1) <= budget
+           - COALESCE(SUM(cap) OVER (ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS full_fit
+  FROM caps
+), thresh AS (
+  SELECT COALESCE(MAX(CASE WHEN full_fit THEN i END), 0) AS t,
+         COALESCE(MAX(CASE WHEN full_fit THEN p_prev + cap END), 0) AS p_t
+  FROM pre
+), alloc AS (
+  SELECT pre.lang, pre.tokens, pre.cap,
+         CASE WHEN pre.i <= th.t THEN pre.cap
+              ELSE (pre.budget - th.p_t) // (pre.l - th.t) END AS alloc
+  FROM pre, thresh th
+)
+SELECT lang, tokens, cap::BIGINT AS cap, alloc::BIGINT AS alloc,
+       FLOOR(CAST(alloc AS DOUBLE) / tokens * 1e6 + 0.5) / 1e6 AS epochs
+FROM alloc ORDER BY lang
+""",
+)
+def unimax_allocation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax water-filling (public method): allocate a token budget
+    (2x the corpus) across languages, capping every language at
+    MAX_EPOCHS = 4 epochs of its own tokens; low-resource languages
+    fill to their cap, the rest split the remainder evenly. The greedy
+    loop collapses to a prefix-sum threshold over capacity-sorted
+    languages: language i (ascending cap) gets its full cap iff
+    cap_i * (L - i + 1) <= budget - prefix_{i-1}; everyone above the
+    threshold gets the integer-floor even share.
+
+    Determinism: token counts, caps, prefix sums and the threshold
+    test are exact integers; the final epochs ratio quantizes at 1e-6.
+
+    Plan shape / 100 TB: one token-count partial-agg shuffle collapses
+    the corpus to |languages| rows; the water-fill is a window pass
+    over that census. Linear."""
+    from ..operators.text import tokens as tok_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "lang",
+            F.size(F.filter(tok_fn(F.col("text")), lambda t: t != "")).alias("nt"),
+        )
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("long").alias("tokens"))
+    )
+    budget = tok.agg((F.sum("tokens") * 2).alias("budget"))
+    wi = Window.orderBy(F.col("cap"), F.col("lang"))
+    pre = (
+        tok.select("lang", "tokens", (F.col("tokens") * 4).alias("cap"))
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "*",
+            F.row_number().over(wi).alias("i"),
+            F.count("*").over(Window.partitionBy()).alias("l"),
+            F.coalesce(
+                F.sum("cap").over(wi.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("p_prev"),
+        )
+        .withColumn(
+            "full_fit",
+            F.col("cap") * (F.col("l") - F.col("i") + 1)
+            <= F.col("budget") - F.col("p_prev"),
+        )
+    )
+    thresh = pre.agg(
+        F.coalesce(F.max(F.when(F.col("full_fit"), F.col("i"))), F.lit(0)).alias("t"),
+        F.coalesce(
+            F.max(F.when(F.col("full_fit"), F.col("p_prev") + F.col("cap"))),
+            F.lit(0),
+        ).alias("p_t"),
+    )
+    return (
+        pre.crossJoin(F.broadcast(thresh))
+        .select(
+            "lang",
+            "tokens",
+            F.col("cap").cast("long").alias("cap"),
+            F.when(F.col("i") <= F.col("t"), F.col("cap"))
+            .otherwise(
+                F.floor(
+                    (F.col("budget") - F.col("p_t")) / (F.col("l") - F.col("t"))
+                )
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .withColumn(
+            "epochs",
+            F.floor(F.col("alloc").cast("double") / F.col("tokens") * 1e6 + F.lit(0.5))
+            / 1e6,
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ROUND 6 — paletted PNG (color type 3, depths 8 AND 4): the common
 # web-graphics path next to the r3 RGB leg. Sub-byte depth filters on
 # packed BYTES per spec 9.2; verification uses the position-weighted

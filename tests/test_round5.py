@@ -701,3 +701,27 @@ def test_heaps_beta_in_sublinear_range(spark, sf_dir):
     # The synthetic fixture's bounded vocab saturates in the first
     # decile, so a flat curve (beta == 0) is the CORRECT fit there.
     assert 0.0 <= row.heaps_beta < 1.0
+
+
+# --------------------------------------------------------------------------
+# Round 6: UniMax water-filling
+# --------------------------------------------------------------------------
+def test_unimax_allocation_invariants(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["unimax_allocation"](spark, sf_dir).collect()
+    total_tokens = sum(r.tokens for r in rows)
+    budget = 2 * total_tokens
+    # nobody exceeds the 4-epoch cap; the budget is never exceeded and
+    # the shortfall is only the integer-floor remainder of the even split
+    assert all(r.alloc <= r.cap for r in rows)
+    spent = sum(r.alloc for r in rows)
+    n_uncapped = sum(1 for r in rows if r.alloc < r.cap)
+    assert spent <= budget
+    assert budget - spent < max(1, n_uncapped)
+    # capped languages are exactly the low-resource ones: every capped
+    # language has capacity <= every uncapped language's allocation
+    capped = [r for r in rows if r.alloc == r.cap]
+    uncapped = [r for r in rows if r.alloc < r.cap]
+    if capped and uncapped:
+        assert max(r.cap for r in capped) <= min(r.alloc for r in uncapped) + 1
