@@ -51,6 +51,12 @@ SUBSET = [
     "gains_lift_deciles", "model_ks_separation", "evt_pot_tail_report",
     "best_of_n_selection", "group_sequential_obf", "good_turing_unseen_mass",
     "capture_recapture_estimate", "heaps_law_fit",
+    # round 6
+    "multimodal_jpeg_progressive_decode", "multimodal_flac_decode",
+    "multimodal_gif_interlaced_decode", "multimodal_g711_decode",
+    "multimodal_adpcm_decode", "multimodal_png_palette_decode",
+    "streaming_sprt_monitor", "streaming_obf_monitor", "unimax_allocation",
+    "wer_pairs_report", "bleu_pairs_report",
 ]
 
 
