@@ -763,10 +763,11 @@ VIDEO_DECODE_SCHEMA = (
 # Python lossless audio codec — STREAMINFO, frame headers with CRC-8,
 # CONSTANT / VERBATIM / FIXED(0-4) / LPC subframes, partitioned
 # Rice-coded residuals, stereo decorrelation (left/side, right/side,
-# mid/side), frame CRC-16, wasted-bits shifts (round 6). Unlike MP3/AAC there is
-# no float transform: output is exact integers, so the encoder twin
-# gives bit-exact fixtures. Not implemented: the rice2 (5-bit
-# parameter) escape — honestly rejected on decode.
+# mid/side), frame CRC-16, wasted-bits shifts, rice2 (5-bit parameter)
+# partitions AND escaped verbatim partitions (round 6 — the full
+# residual-coding wire surface). Unlike MP3/AAC there is no float
+# transform: output is exact integers, so the encoder twin gives
+# bit-exact fixtures.
 # ---------------------------------------------------------------------------
 
 
@@ -877,9 +878,13 @@ def _flac_utf8_number(n: int) -> bytes:
 
 
 def _rice_encode(bw: _MsbBitWriter, residuals, order: int, block_size: int,
-                 partition_order: int) -> None:
-    """Partitioned Rice coding (method 0, 4-bit parameters)."""
-    bw.write(0, 2)  # residual coding method: rice, 4-bit params
+                 partition_order: int, method: int = 0,
+                 escape_bits: int | None = None) -> None:
+    """Partitioned Rice coding: method 0 (4-bit params, escape 0xF) or
+    method 1 / rice2 (5-bit params, escape 0x1F). `escape_bits` forces
+    every partition to the ESCAPED (verbatim n-bit residual) form."""
+    pbits, esc = (4, 0xF) if method == 0 else (5, 0x1F)
+    bw.write(method, 2)
     bw.write(partition_order, 4)
     nparts = 1 << partition_order
     idx = 0
@@ -889,11 +894,17 @@ def _rice_encode(bw: _MsbBitWriter, residuals, order: int, block_size: int,
             n -= order
         part = residuals[idx : idx + n]
         idx += n
+        if escape_bits is not None:
+            bw.write(esc, pbits)
+            bw.write(escape_bits, 5)
+            for r in part:
+                bw.write(r, escape_bits)
+            continue
         # zigzag fold, then a near-optimal parameter from the mean
-        zz = [(r << 1) ^ (r >> 63) if r >= 0 else ((-r) << 1) - 1 for r in part]
+        zz = [r * 2 if r >= 0 else -r * 2 - 1 for r in part]
         mean = (sum(zz) // max(1, len(zz))) if part else 0
-        k = min(14, max(0, mean.bit_length() - 1))
-        bw.write(k, 4)
+        k = min(esc - 1, max(0, mean.bit_length() - 1))
+        bw.write(k, pbits)
         for u in zz:
             bw.write_unary(u >> k)
             if k:
@@ -902,26 +913,28 @@ def _rice_encode(bw: _MsbBitWriter, residuals, order: int, block_size: int,
 
 def _rice_decode(br: _MsbBitReader, order: int, block_size: int):
     method = br.read(2)
-    if method == 1:
-        raise NotImplementedError("rice2 (5-bit parameter) partitions not supported")
     if method > 1:
         raise ValueError("reserved residual coding method")
+    pbits, esc = (4, 0xF) if method == 0 else (5, 0x1F)
     partition_order = br.read(4)
     out = []
     for p in range(1 << partition_order):
         n = block_size >> partition_order
         if p == 0:
             n -= order
-        k = br.read(4)
-        if k == 0xF:
-            raise NotImplementedError("escaped (verbatim) rice partition")
+        k = br.read(pbits)
+        if k == esc:  # escaped partition: raw b-bit signed residuals
+            b = br.read(5)
+            out.extend(br.read_signed(b) if b else 0 for _ in range(n))
+            continue
         for _ in range(n):
             u = (br.read_unary() << k) | (br.read(k) if k else 0)
             out.append((u >> 1) ^ -(u & 1))
     return out
 
 
-def _encode_subframe(bw, samples, bps, plan):
+def _encode_subframe(bw, samples, bps, plan, rice_method=0,
+                     rice_escape_bits=None):
     kind = plan[0]
     # wasted-bits auto-detection: k shared low zero bits across the
     # block let the subframe code at bps-k and shift on decode
@@ -976,7 +989,8 @@ def _encode_subframe(bw, samples, bps, plan):
             pred >>= shift
         residuals.append(samples[i] - pred)
     partition_order = 1 if n % 2 == 0 and (n >> 1) > order else 0
-    _rice_encode(bw, residuals, order, n, partition_order)
+    _rice_encode(bw, residuals, order, n, partition_order,
+                 method=rice_method, escape_bits=rice_escape_bits)
 
 
 def _decode_subframe(br, n, bps):
@@ -1014,7 +1028,8 @@ def _decode_subframe(br, n, bps):
 
 
 def encode_flac(channels, rate: int = 8000, bps: int = 16, block_size: int = 32,
-                stereo_mode: str = "independent", plan=None) -> bytes:
+                stereo_mode: str = "independent", plan=None,
+                rice_method: int = 0, rice_escape_bits=None) -> bytes:
     """Fixture twin of decode_flac: pack integer PCM channels into a
     valid FLAC stream — STREAMINFO, fixed-blocksize frames (8-bit
     blocksize-at-end header form), CRC-8/CRC-16, Rice partitions, and
@@ -1070,7 +1085,9 @@ def encode_flac(channels, rate: int = 8000, bps: int = 16, block_size: int = 32,
         header += bytes([_crc8(header)])
         fw = _MsbBitWriter()
         for ci, cs in enumerate(coded):
-            _encode_subframe(fw, cs, sbps[ci], plan(frame_idx, ci, cs))
+            _encode_subframe(fw, cs, sbps[ci], plan(frame_idx, ci, cs),
+                             rice_method=rice_method,
+                             rice_escape_bits=rice_escape_bits)
         fw.byte_align()
         frame = header + fw.bytes()
         frame += struct.pack(">H", _crc16(frame))
@@ -1084,8 +1101,8 @@ def decode_flac(data: bytes):
     frame-header parse (sync, blocksize/rate codes, UTF-8 frame
     number, CRC-8 verify), CONSTANT/VERBATIM/FIXED/LPC subframes with
     partitioned Rice residuals, stereo decorrelation undo, CRC-16
-    verify, wasted-bits shifts. Returns (rate, channels) with exact
-    integer samples. Raises NotImplementedError for rice2 escapes."""
+    verify, wasted-bits shifts, rice2 and escaped partitions.
+    Returns (rate, channels) with exact integer samples."""
     import struct
 
     if data[:4] != b"fLaC":

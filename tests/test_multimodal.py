@@ -845,3 +845,28 @@ def test_png_palette_index_out_of_range_raises():
     blob = mm.encode_png_indexed(idx, pal8, depth=8)
     with pytest.raises(ValueError, match="palette index"):
         mm.decode_png(blob)
+
+
+def test_flac_rice2_and_escaped_partitions():
+    """Method-1 (rice2, 5-bit parameters) partitions and ESCAPED
+    (verbatim n-bit residual) partitions — the last FLAC wire forms —
+    roundtrip exactly; 20-bit escapes cover fixed-order-2 residual
+    range on full-scale int16 input."""
+    import random
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = random.Random(5)
+    for method, escape in [(1, None), (0, 20), (1, 20)]:
+        for _ in range(4):
+            n = rng.choice([32, 64, 100])
+            ch = [
+                [rng.randint(-30000, 30000) for _ in range(n)] for _ in range(2)
+            ]
+            blob = mm.encode_flac(
+                ch, block_size=32,
+                stereo_mode=rng.choice(["independent", "mid_side"]),
+                rice_method=method, rice_escape_bits=escape,
+                plan=lambda f, c, s: ("fixed", rng.randint(0, 2)),
+            )
+            assert mm.decode_flac(blob)[1] == ch, (method, escape)
