@@ -1890,7 +1890,8 @@ _PROG_AC_SYMBOLS = [0x00, 0x10, 0x20, 0xF0] + [
 ]
 
 
-def encode_jpeg_progressive(w, h, comp_blocks, quant_tables, comp_quant=(0, 1, 1)):
+def encode_jpeg_progressive(w, h, comp_blocks, quant_tables, comp_quant=(0, 1, 1),
+                            restart_interval: int = 0):
     """Fixture twin of the progressive decode path: pack QUANTIZED
     zigzag coefficient blocks into a valid PROGRESSIVE (SOF2) JFIF
     stream with a six-stage scan script exercising every scan kind of
@@ -1921,8 +1922,25 @@ def encode_jpeg_progressive(w, h, comp_blocks, quant_tables, comp_quant=(0, 1, 1
     ):
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(symbols))
         out += bytes([tc_th]) + bytes(counts) + bytes(symbols)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     dc_codes = _huffman_codes(_FIX_DC_COUNTS, _FIX_DC_SYMBOLS)
     ac_codes = _huffman_codes(_PROG_AC_COUNTS, _PROG_AC_SYMBOLS)
+    rst_count = 0
+
+    def maybe_restart(bw, m, pre_flush=None):
+        # one RSTn per restart_interval units in EVERY scan: flush any
+        # pending EOB run INTO the writer first, then byte-align, emit
+        # the marker, hand back a fresh writer
+        nonlocal out, rst_count
+        if restart_interval and m and m % restart_interval == 0:
+            if pre_flush:
+                pre_flush()
+            out += bw.flush()
+            out += bytes([0xFF, 0xD0 + (rst_count % 8)])
+            rst_count += 1
+            return _BitWriter(), True
+        return bw, False
 
     def sos_header(comp_ids, ss, se, ah, al):
         hdr = b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
@@ -1937,8 +1955,12 @@ def encode_jpeg_progressive(w, h, comp_blocks, quant_tables, comp_quant=(0, 1, 1
     # --- scan 1: interleaved DC first, Al=AL ---
     out += sos_header(list(range(1, ncomp + 1)), 0, 0, 0, AL)
     bw = _BitWriter()
+    rst_count = 0
     pred = [0] * ncomp
     for m in range(nb):
+        bw, did = maybe_restart(bw, m)
+        if did:
+            pred = [0] * ncomp
         for ci in range(ncomp):
             v = comp_blocks[ci][m][0] >> AL  # DC uses arithmetic shift (T.81)
             diff = v - pred[ci]
@@ -1955,6 +1977,7 @@ def encode_jpeg_progressive(w, h, comp_blocks, quant_tables, comp_quant=(0, 1, 1
         for ci in range(ncomp):
             out += sos_header([ci + 1], ss, se, 0, AL)
             bw = _BitWriter()
+            rst_count = 0
             eobrun = 0
 
             def flush_eob():
@@ -1968,6 +1991,7 @@ def encode_jpeg_progressive(w, h, comp_blocks, quant_tables, comp_quant=(0, 1, 1
                     eobrun = 0
 
             for m in range(nb):
+                bw, _ = maybe_restart(bw, m, pre_flush=flush_eob)
                 zz = comp_blocks[ci][m]
                 r = 0
                 for k in range(ss, se + 1):
@@ -2000,7 +2024,9 @@ def encode_jpeg_progressive(w, h, comp_blocks, quant_tables, comp_quant=(0, 1, 1
     # --- scan 4: interleaved DC refinement (raw bits) ---
     out += sos_header(list(range(1, ncomp + 1)), 0, 0, AL, AL - 1)
     bw = _BitWriter()
+    rst_count = 0
     for m in range(nb):
+        bw, _ = maybe_restart(bw, m)
         for ci in range(ncomp):
             bw.write((comp_blocks[ci][m][0] >> (AL - 1)) & 1, 1)
     out += bw.flush()
@@ -2011,6 +2037,7 @@ def encode_jpeg_progressive(w, h, comp_blocks, quant_tables, comp_quant=(0, 1, 1
         for ci in range(ncomp):
             out += sos_header([ci + 1], ss, se, AL, AL - 1)
             bw = _BitWriter()
+            rst_count = 0
             eobrun = 0
             be: list[int] = []  # correction bits pending behind an EOB run
 
@@ -2034,6 +2061,7 @@ def encode_jpeg_progressive(w, h, comp_blocks, quant_tables, comp_quant=(0, 1, 1
                     eobrun = 0
 
             for m in range(nb):
+                bw, _ = maybe_restart(bw, m, pre_flush=flush_eob)
                 zz = comp_blocks[ci][m]
                 absv = [abs(zz[k]) for k in range(ss, se + 1)]
                 eob_idx = ss - 1
@@ -2570,7 +2598,9 @@ def synthetic_progressive_jpeg_media(documents: DataFrame) -> DataFrame:
     zigzag-9 = 2 — significant in the band-(6,63) FIRST pass, then a
     0-valued correction bit in its refinement; odd dcY values exercise
     the DC-refinement 1-bits. Chroma AC scans are all-EOB, driving
-    EOBRUN chains up to the fixture table's cap of 7."""
+    EOBRUN chains up to the fixture table's cap of 7; even doc_ids add
+    DRI=2 restarts in EVERY scan (RSTn + predictor/EOBRUN resets mid-
+    scan), odd ones run restart-free — mirroring the baseline leg."""
     return _synthetic_jpeg_common(documents, progressive=True)
 
 
@@ -2605,7 +2635,10 @@ def _synthetic_jpeg_common(documents: DataFrame, progressive: bool) -> DataFrame
                     comp_blocks[2].append(zcr)
                 if progressive:
                     blobs.append(
-                        encode_jpeg_progressive(w, h, comp_blocks, [qt_y, qt_c])
+                        encode_jpeg_progressive(
+                            w, h, comp_blocks, [qt_y, qt_c],
+                            restart_interval=2 if d % 2 == 0 else 0,
+                        )
                     )
                 else:
                     blobs.append(

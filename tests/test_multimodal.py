@@ -870,3 +870,33 @@ def test_flac_rice2_and_escaped_partitions():
                 plan=lambda f, c, s: ("fixed", rng.randint(0, 2)),
             )
             assert mm.decode_flac(blob)[1] == ch, (method, escape)
+
+
+def test_jpeg_progressive_restart_roundtrip_exact():
+    """RSTn markers inside EVERY progressive scan kind (DC first/refine
+    with predictor resets, AC first/refine with EOBRUN resets) must not
+    change the decoded pixels."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(9)
+    for ri in (1, 2, 3):
+        w, h = 32, 24
+        nb = (w // 8) * (h // 8)
+        qts = [[8] + [1] * 63, [8] + [2] * 63]
+        cb = [[], [], []]
+        for b in range(nb):
+            for ci in range(3):
+                zz = [0] * 64
+                zz[0] = int(rng.randint(-60, 61))
+                for _ in range(rng.randint(0, 5)):
+                    zz[int(rng.randint(1, 64))] = int(
+                        rng.choice([-3, -2, -1, 1, 2, 3])
+                    )
+                cb[ci].append(zz)
+        plain = mm.decode_jpeg(mm.encode_jpeg_progressive(w, h, cb, qts))
+        with_rst = mm.decode_jpeg(
+            mm.encode_jpeg_progressive(w, h, cb, qts, restart_interval=ri)
+        )
+        assert np.array_equal(plain, with_rst), ri
