@@ -336,10 +336,10 @@ def decode_bmp(data: bytes):
 
 
 def decode_image(data: bytes):
-    """Image decode: REAL for PPM (decode_ppm), 8-bit RGB PNG
-    (decode_png, stdlib zlib) and 24-bit BMP (decode_bmp), dispatched
-    on magic bytes. JPEG needs an external codec, absent in this
-    container."""
+    """Image decode: REAL for PPM (decode_ppm), RGB + paletted PNG
+    (decode_png, stdlib zlib), 24-bit BMP (decode_bmp), baseline +
+    progressive JPEG (decode_jpeg), GIF (decode_gif) and baseline TIFF
+    (decode_tiff), dispatched on magic bytes."""
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:8] == _PNG_SIG:
@@ -350,10 +350,126 @@ def decode_image(data: bytes):
         return decode_jpeg(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return decode_tiff(data)
     raise NotImplementedError(
-        "PPM, 8-bit RGB PNG, 24-bit BMP, baseline JPEG and GIF87a decode "
-        "in this environment; plug Pillow/torchvision here for other formats"
+        "PPM, PNG (RGB + paletted), 24-bit BMP, baseline/progressive "
+        "JPEG, GIF and baseline TIFF decode in this environment; plug "
+        "Pillow/torchvision here for other formats"
     )
+
+
+def encode_tiff(arr, big_endian: bool = False, rows_per_strip: int = 4) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline uncompressed TIFF 6.0 (public
+    spec): header, one IFD with the required baseline tags, multiple
+    strips. Both byte orders supported (II little / MM big) — the
+    fixture twin of decode_tiff."""
+    import struct
+
+    import numpy as np
+
+    e = ">" if big_endian else "<"
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    nstrips = -(-h // rows_per_strip)
+    strips = [
+        arr[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
+        for i in range(nstrips)
+    ]
+    # layout: header(8) | strip data | BitsPerSample value(6) |
+    # StripOffsets array | StripByteCounts array | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    bits_off = pos
+    pos += 6
+    so_off, sbc_off = pos, pos + 4 * nstrips
+    pos += 8 * nstrips
+    ifd_off = pos
+
+    def entry(tag, typ, count, value):
+        return struct.pack(f"{e}HHI", tag, typ, count) + value
+
+    def short_val(v):  # SHORT value left-justified in the 4-byte slot
+        return struct.pack(f"{e}HH", v, 0)
+
+    def long_val(v):
+        return struct.pack(f"{e}I", v)
+
+    entries = [
+        entry(256, 4, 1, long_val(w)),       # ImageWidth
+        entry(257, 4, 1, long_val(h)),       # ImageLength
+        entry(258, 3, 3, long_val(bits_off)),  # BitsPerSample -> offset
+        entry(259, 3, 1, short_val(1)),      # Compression: none
+        entry(262, 3, 1, short_val(2)),      # Photometric: RGB
+        entry(273, 4, nstrips, long_val(so_off if nstrips > 1 else strip_offsets[0])),
+        entry(277, 3, 1, short_val(3)),      # SamplesPerPixel
+        entry(278, 4, 1, long_val(rows_per_strip)),
+        entry(279, 4, nstrips,
+              long_val(sbc_off if nstrips > 1 else len(strips[0]))),
+        entry(284, 3, 1, short_val(1)),      # PlanarConfig: chunky
+    ]
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(f"{e}I", ifd_off)
+    for s in strips:
+        out += s
+    out += struct.pack(f"{e}HHH", 8, 8, 8)
+    for off in strip_offsets:
+        out += struct.pack(f"{e}I", off)
+    for s in strips:
+        out += struct.pack(f"{e}I", len(s))
+    out += struct.pack(f"{e}H", len(entries)) + b"".join(entries)
+    out += struct.pack(f"{e}I", 0)  # next-IFD terminator
+    return bytes(out)
+
+
+def decode_tiff(data: bytes):
+    """REAL baseline TIFF 6.0 decode, pure stdlib + numpy: both byte
+    orders, first-IFD tag walk (width/length/bits/compression/
+    photometric/strip layout/planar config), multi-strip uncompressed
+    chunky RGB assembly. Raises NotImplementedError for compressed,
+    planar, tiled or non-8-bit streams rather than guessing."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] == b"II*\x00":
+        e = "<"
+    elif data[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    (ifd_off,) = struct.unpack_from(f"{e}I", data, 4)
+    (n_entries,) = struct.unpack_from(f"{e}H", data, ifd_off)
+    tags = {}
+    for i in range(n_entries):
+        tag, typ, count = struct.unpack_from(f"{e}HHI", data, ifd_off + 2 + 12 * i)
+        val_off = ifd_off + 2 + 12 * i + 8
+        size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue  # RATIONAL etc.: not needed for baseline RGB
+        if size * count > 4:
+            (ptr,) = struct.unpack_from(f"{e}I", data, val_off)
+        else:
+            ptr = val_off
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ, "B")
+        tags[tag] = list(struct.unpack_from(f"{e}{count}{fmt}", data, ptr))
+    w, h = tags[256][0], tags[257][0]
+    if tags.get(259, [1])[0] != 1:
+        raise NotImplementedError("compressed TIFF not supported")
+    if tags.get(284, [1])[0] != 1:
+        raise NotImplementedError("planar TIFF not supported")
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF not supported")
+    if tags.get(258, [8])[:3] != [8, 8, 8] or tags.get(277, [3])[0] != 3:
+        raise NotImplementedError("only 8-bit chunky RGB TIFF supported")
+    offsets, counts = tags[273], tags[279]
+    raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+    if len(raw) != w * h * 3:
+        raise ValueError("TIFF strip data does not match dimensions")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
 
 
 def decode_wav(data: bytes):

@@ -112,7 +112,8 @@ _PRIORITY = [
     "streaming_sprt_monitor", "streaming_obf_monitor",
     "multimodal_gif_interlaced_decode",
     "multimodal_g711_decode", "multimodal_adpcm_decode",
-    "multimodal_png_palette_decode", "unimax_allocation",
+    "multimodal_png_palette_decode", "multimodal_tiff_decode",
+    "unimax_allocation",
     "wer_pairs_report", "rouge_l_pairs_report", "chrf_pairs_report",
     "bleu_pairs_report", "markov_attribution_removal", "best_of_n_selection",
     "cem_att_estimate", "sprt_sequential_test", "embedding_random_projection",

@@ -217,6 +217,66 @@ def multimodal_g711_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ROUND 6 — baseline TIFF (6.0 public spec): both byte orders, IFD tag
+# walk, multi-strip uncompressed chunky RGB — the seventh real image
+# container, closing decode_image's TIFF gate. Verified by the
+# position-weighted checksum (strip mis-assembly is invisible to a
+# byte mean).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_tiff_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 7 + 3 * i.i) % 256 AS r,
+         (doc_id * 7 + 3 * i.i + 1) % 256 AS g,
+         (doc_id * 7 + 3 * i.i + 2) % 256 AS b
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_tiff_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode (multimodal.decode_tiff): byte order
+    rotates per doc (II little / MM big), rows-per-strip rotates 1-4
+    so single- and multi-strip layouts both appear; pixels follow the
+    PPM leg's formula byte i = (doc_id*7 + i) % 256. Map-side Arrow
+    decode; scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                pix = (d * 7 + np.arange(w * h * 3)) % 256
+                blobs.append(
+                    multimodal.encode_tiff(
+                        pix.astype(np.uint8).reshape(h, w, 3),
+                        big_endian=bool(d % 2),
+                        rows_per_strip=1 + d % 4,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # ROUND 6 — UniMax language-budget allocation (Chung et al. 2023,
 # "UniMax: Fairer and More Effective Language Sampling", public
 # method): water-filling a token budget across languages with a

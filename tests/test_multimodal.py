@@ -88,10 +88,11 @@ def test_decode_image_dispatches_on_magic_bytes():
     arr = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
     assert (multimodal.decode_image(multimodal.encode_ppm(arr)) == arr).all()
     assert (multimodal.decode_image(multimodal.encode_png(arr)) == arr).all()
-    # JPEG and GIF magics now route to real decoders; formats with no
-    # in-sandbox codec (e.g. TIFF) keep the honest gate
+    # TIFF now routes to the real round-6 decoder
+    assert (multimodal.decode_image(multimodal.encode_tiff(arr)) == arr).all()
+    # formats with no in-sandbox codec keep the honest gate
     with pytest.raises(NotImplementedError, match="plug"):
-        multimodal.decode_image(b"II*\x00 tiff-not-supported")
+        multimodal.decode_image(b"\x00BPG\xfb not-supported")
     # GIF magic reaches decode_gif, which raises loudly on a truncated
     # container rather than NotImplementedError
     with pytest.raises(ValueError):
@@ -900,3 +901,36 @@ def test_jpeg_progressive_restart_roundtrip_exact():
             mm.encode_jpeg_progressive(w, h, cb, qts, restart_interval=ri)
         )
         assert np.array_equal(plain, with_rst), ri
+
+
+def test_tiff_roundtrip_both_endians_all_strips():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(4)
+    for be in (False, True):
+        for h, w in [(1, 1), (6, 8), (9, 13)]:
+            for rps in (1, 3, 16):
+                arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+                got = mm.decode_tiff(
+                    mm.encode_tiff(arr, big_endian=be, rows_per_strip=rps)
+                )
+                assert np.array_equal(got, arr), (be, h, w, rps)
+
+
+def test_tiff_unsupported_forms_gated():
+    import struct
+
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    blob = bytearray(mm.encode_tiff(arr))
+    # flip the Compression SHORT (tag 259) to 5 (LZW): must be gated
+    idx = blob.find(struct.pack("<HHI", 259, 3, 1))
+    assert idx > 0
+    blob[idx + 8] = 5
+    with pytest.raises(NotImplementedError, match="compressed"):
+        mm.decode_tiff(bytes(blob))
