@@ -322,21 +322,26 @@ def test_gif_lzw_roundtrip_and_boundaries():
     assert (rgb == pal[np.asarray(raster).reshape(h, w)]).all()
 
 
-def test_gif_rejects_interlace_and_truncation():
+def test_gif_interlace_bit_and_truncation():
+    import numpy as np
     import pytest as _pytest
 
     from kinesis_stream_reader_spark.operators.multimodal import (
+        _gif_interlace_rows,
         decode_gif,
         encode_gif,
     )
 
-    gif = bytearray(encode_gif([1, 2, 3, 4], 2, 2))
-    # image descriptor flags byte: offset 6 (header) + 7 (LSD) + 768
-    # (GCT) + 9 -> set the interlace bit
-    flag_at = 6 + 7 + 768 + 9
+    # round 6: the interlace bit is now HONORED, not rejected — setting
+    # it on raster-stored data must decode to the inverse permutation
+    gif = bytearray(encode_gif(list(range(8)), 2, 4))
+    flag_at = 6 + 7 + 768 + 9  # image-descriptor flags byte
     gif[flag_at] |= 0x40
-    with _pytest.raises(NotImplementedError):
-        decode_gif(bytes(gif))
+    plain = decode_gif(bytes(encode_gif(list(range(8)), 2, 4)))
+    permuted = decode_gif(bytes(gif))
+    inv = np.empty_like(plain)
+    inv[_gif_interlace_rows(4)] = plain
+    assert np.array_equal(permuted, inv)
     # parseable header but no image descriptor -> loud ValueError
     with _pytest.raises(ValueError):
         decode_gif(b"GIF87a" + b"\x00" * 7)
