@@ -277,6 +277,128 @@ def multimodal_tiff_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ROUND 6 — Morton-curve embedding sharding (public technique:
+# Z-order / bit-interleaved space-filling curves for locality-
+# preserving range partitioning — the vector-DB sharding layout next
+# to the IVF list assignment). Each vector's first 8 dims quantize to
+# 4 bits; interleaving gives a 32-bit Morton code whose TOP bits
+# define the shard, so nearby vectors land in the same shard without
+# any training step (vs k-means IVF). The report scores each shard's
+# locality by the exact-integer dot of every member against the shard
+# SUM vector.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_morton_shards",
+    # quantize -> interleave bits -> top-4-bit shard -> per-shard census
+    # + locality = sum_v (q_v . S_shard) in exact ints, 1e-6-floored
+    # after the n^2 normalization
+    """
+WITH q AS (
+  SELECT vec_id, d.i AS d,
+         GREATEST(0, LEAST(15,
+           CAST(FLOOR((CAST(embedding[d.i + 1] AS DOUBLE) + 1.0) * 8.0)
+                AS BIGINT))) AS qv
+  FROM embeddings, LATERAL (SELECT UNNEST(range(8)) AS i) d
+), morton AS (
+  SELECT vec_id,
+         SUM(((qv // 1) % 2) * (1 << (0 * 8 + d))
+             + ((qv // 2) % 2) * (1 << (1 * 8 + d))
+             + ((qv // 4) % 2) * (1 << (2 * 8 + d))
+             + ((qv // 8) % 2) * (1 << (3 * 8 + d)))::BIGINT AS code
+  FROM q GROUP BY vec_id
+), shards AS (
+  SELECT vec_id, code, code >> 28 AS shard FROM morton
+), sums AS (
+  SELECT s.shard, q.d, SUM(q.qv)::BIGINT AS sd, COUNT(DISTINCT q.vec_id) AS n
+  FROM shards s JOIN q USING (vec_id) GROUP BY s.shard, q.d
+), loc AS (
+  SELECT s.shard, SUM(q.qv * su.sd)::BIGINT AS dot_sum,
+         ANY_VALUE(su.n) AS n
+  FROM shards s JOIN q USING (vec_id)
+  JOIN sums su ON su.shard = s.shard AND su.d = q.d
+  GROUP BY s.shard
+)
+SELECT shard::BIGINT AS shard, n::BIGINT AS n_vectors,
+       dot_sum,
+       FLOOR(CAST(dot_sum AS DOUBLE) / (CAST(n AS DOUBLE) * n) * 1e6 + 0.5)
+         / 1e6 AS locality
+FROM loc ORDER BY shard
+""",
+)
+def embedding_morton_shards_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order sharding for the embedding corpus: 4-bit quantization of
+    the leading 8 dims, bit interleave to a 32-bit Morton code, shard =
+    top 4 code bits (16 shards). Training-free locality-preserving
+    range partitioning — at billion scale the shard key IS the sort/
+    bucketing key, so co-located ANN probes stay intra-shard; the
+    locality column (mean member-dot-shard-sum / n^2) quantifies how
+    much cosine mass the curve kept together.
+
+    Determinism: quantization, bit interleave and dot sums are exact
+    integers; only the final normalization touches IEEE, floored 1e-6.
+
+    Plan shape / 100 TB: the (vec, dim) explode is map-side; codes are
+    one partial agg per vector; shard sums and locality are two
+    shard-keyed partial-agg shuffles carrying longs. Linear, no
+    training iterations (the contrast with kmeans/IVF)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode(F.slice("embedding", 1, 8)).alias("d", "x"),
+    ).select(
+        "vec_id",
+        "d",
+        F.greatest(
+            F.lit(0),
+            F.least(
+                F.lit(15),
+                F.floor((F.col("x").cast("double") + 1.0) * 8.0).cast("long"),
+            ),
+        ).alias("qv"),
+    )
+    bit = lambda b: (F.col("qv") / (1 << b)).cast("long") % 2  # noqa: E731
+    morton = q.groupBy("vec_id").agg(
+        F.sum(
+            bit(0) * F.lit(1) * F.pow(F.lit(2.0), F.col("d")).cast("long")
+            + bit(1) * F.pow(F.lit(2.0), F.col("d") + 8).cast("long")
+            + bit(2) * F.pow(F.lit(2.0), F.col("d") + 16).cast("long")
+            + bit(3) * F.pow(F.lit(2.0), F.col("d") + 24).cast("long")
+        )
+        .cast("long")
+        .alias("code")
+    )
+    shards = morton.select(
+        "vec_id", F.shiftright(F.col("code"), 28).alias("shard")
+    )
+    joined = shards.join(q, "vec_id")
+    sums = joined.groupBy("shard", "d").agg(
+        F.sum("qv").alias("sd"), F.countDistinct("vec_id").alias("n")
+    )
+    loc = (
+        joined.join(sums.select("shard", "d", "sd"), ["shard", "d"])
+        .groupBy("shard")
+        .agg(F.sum(F.col("qv") * F.col("sd")).alias("dot_sum"))
+        .join(
+            sums.groupBy("shard").agg(F.first("n").alias("n")), "shard"
+        )
+    )
+    return loc.select(
+        F.col("shard").cast("long").alias("shard"),
+        F.col("n").cast("long").alias("n_vectors"),
+        F.col("dot_sum").cast("long").alias("dot_sum"),
+        (
+            F.floor(
+                F.col("dot_sum").cast("double")
+                / (F.col("n").cast("double") * F.col("n"))
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("locality"),
+    ).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
 # ROUND 6 — UniMax language-budget allocation (Chung et al. 2023,
 # "UniMax: Fairer and More Effective Language Sampling", public
 # method): water-filling a token budget across languages with a

@@ -730,3 +730,37 @@ def test_unimax_allocation_invariants(spark, sf_dir):
     uncapped = [r for r in rows if r.alloc < r.cap]
     if capped and uncapped:
         assert max(r.cap for r in capped) <= min(r.alloc for r in uncapped) + 1
+
+
+def test_morton_shards_locality_beats_random(spark, sf_dir):
+    """The Z-order sharding must actually preserve locality: the
+    weighted mean intra-shard locality score should beat the single-
+    shard (global) baseline computed the same way."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    rows = entrymod.queries()["embedding_morton_shards"](spark, sf_dir).collect()
+    n_total = sum(r.n_vectors for r in rows)
+    assert n_total == load_table(spark, sf_dir, "embeddings").count()
+    assert all(0 <= r.shard < 16 for r in rows)
+    # global baseline: same quantized-dot statistic over ONE shard
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 8)).alias("d", "x")
+    ).select(
+        "vec_id", "d",
+        F.greatest(F.lit(0), F.least(F.lit(15),
+            F.floor((F.col("x").cast("double") + 1.0) * 8.0).cast("long"))
+        ).alias("qv"),
+    )
+    sums = q.groupBy("d").agg(F.sum("qv").alias("sd"))
+    dot = (
+        q.join(sums, "d")
+        .agg(F.sum(F.col("qv") * F.col("sd")).alias("ds"))
+        .collect()[0].ds
+    )
+    global_loc = dot / (n_total * n_total)
+    weighted = sum(r.locality * r.n_vectors for r in rows) / n_total
+    assert weighted > global_loc
