@@ -114,6 +114,7 @@ _PRIORITY = [
     "multimodal_g711_decode", "multimodal_adpcm_decode",
     "multimodal_png_palette_decode", "multimodal_tiff_decode",
     "unimax_allocation", "embedding_morton_shards",
+    "coreset_sensitivity_select", "hubness_report",
     "wer_pairs_report", "rouge_l_pairs_report", "chrf_pairs_report",
     "bleu_pairs_report", "markov_attribution_removal", "best_of_n_selection",
     "cem_att_estimate", "sprt_sequential_test", "embedding_random_projection",

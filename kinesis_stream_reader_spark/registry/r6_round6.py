@@ -277,6 +277,169 @@ def multimodal_tiff_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ROUND 6 — hubness report (Radovanovic et al. 2010, public method):
+# the k-occurrence distribution N_k(x) = how often x appears in other
+# vectors' exact top-k. High-dimensional embedding spaces grow HUBS
+# (N_k >> k) and antihubs (N_k = 0), which silently skew kNN-based
+# dedup/retrieval — this is the diagnostic that says whether the
+# space is usable before building on it. Rides the shared exact-kNN
+# block-GEMM kernel (the documented quadratic diagnostic; IVF pruning
+# is the scale path).
+# ---------------------------------------------------------------------------
+def _hubness_oracle() -> str:
+    from .r3_curation_graph import _KNN_TOPK_CTE
+
+    return _KNN_TOPK_CTE + """
+, occ AS (
+  SELECT e.vec_id, COUNT(k.neighbor_id) AS n_k
+  FROM embeddings e LEFT JOIN knn k ON k.neighbor_id = e.vec_id
+  GROUP BY e.vec_id
+)
+SELECT n_k::BIGINT AS k_occurrence, COUNT(*)::BIGINT AS n_vectors
+FROM occ GROUP BY n_k ORDER BY n_k
+"""
+
+
+@register("hubness_report", _hubness_oracle())
+def hubness_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence histogram of the exact kNN graph (k=5): bucket 0
+    counts the ANTIHUBS (vectors no one retrieves), the tail counts
+    the hubs; the mean is k by construction, so mass shifting into the
+    tail is pure hubness. Composes the block-grid GEMM kNN kernel with
+    one count + one histogram aggregate.
+
+    Plan shape / 100 TB: inherits knn_graph's documented exact-kNN
+    envelope (blocks^2 GEMM tasks; IVF-pruned grid is the production
+    path); downstream is two long-keyed partial aggs."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = similarity.knn_graph(emb)
+    # LEFT join keeps antihubs; count(nid) counts matched rows only
+    occ = (
+        emb.select("vec_id")
+        .join(
+            knn.select(F.col("neighbor_id").alias("nid")),
+            F.col("vec_id") == F.col("nid"),
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(F.count("nid").alias("n_k"))
+    )
+    return (
+        occ.groupBy("n_k")
+        .agg(F.count("*").alias("n_vectors"))
+        .select(
+            F.col("n_k").cast("long").alias("k_occurrence"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+        )
+        .orderBy("k_occurrence")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 6 — coreset sensitivity selection (Bachem/Lucic/Krause line of
+# work, public method): score every vector by its squared distance to
+# the nearest of 8 broadcast seeds — the sensitivity upper bound that
+# importance-samples coresets for k-means — and keep the
+# deterministic top-64 (the outlier-biased prefix; a randomized
+# sampler would draw ∝ the same weights). The data-selection
+# counterpart of kcenter_init: one pass, no iterations.
+# ---------------------------------------------------------------------------
+@register(
+    "coreset_sensitivity_select",
+    # 1e-3 quantized ints (the cluster_silhouette convention) make
+    # d^2 exact; weights are N * d2min / total, floored 1e-6
+    """
+WITH q AS (
+  SELECT vec_id, d.i AS d,
+         CAST(FLOOR(CAST(embedding[d.i + 1] AS DOUBLE) * 1000 + 0.5)
+              AS BIGINT) AS xv
+  FROM embeddings, LATERAL (SELECT UNNEST(range(len(embedding))) AS i) d
+), seeds AS (
+  SELECT vec_id AS sid, d, xv AS sv FROM q
+  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)
+), d2 AS (
+  SELECT q.vec_id, s.sid, SUM((q.xv - s.sv) * (q.xv - s.sv))::BIGINT AS dd
+  FROM q JOIN seeds s ON s.d = q.d
+  GROUP BY q.vec_id, s.sid
+), best AS (
+  SELECT vec_id, MIN(dd)::BIGINT AS d2min FROM d2 GROUP BY vec_id
+), tot AS (
+  SELECT SUM(d2min) AS total, COUNT(*) AS n FROM best
+)
+SELECT vec_id, d2min,
+       FLOOR(CAST(b.d2min AS DOUBLE) * t.n / t.total * 1e6 + 0.5) / 1e6
+         AS sensitivity_weight
+FROM best b, tot t
+ORDER BY d2min DESC, vec_id LIMIT 64
+""",
+)
+def coreset_sensitivity_select_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity-based coreset selection for the embedding corpus:
+    the 8 smallest vec_ids are the broadcast seed set (deterministic,
+    training-free); every vector's d^2 to its nearest seed is its
+    k-means sensitivity upper bound, and the top-64 by (d2min, vec_id)
+    are the kept coreset prefix with importance weights
+    N * d2min / sum(d2min). Under-covered regions (far from every
+    seed) are exactly what the selection keeps — the principle behind
+    coreset constructions and hard-example mining alike.
+
+    Determinism: 1e-3 quantized coordinates make every distance an
+    exact integer; the ordering key (d2min DESC, vec_id) is total.
+
+    Plan shape / 100 TB: seeds broadcast (8 x dim); d^2 is one
+    dim-keyed join + partial agg per (vector, seed) — 8x the scan,
+    never vector x vector; TakeOrderedAndProject keeps 64 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "vec_id",
+        "d",
+        F.floor(F.col("x").cast("double") * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("xv"),
+    )
+    seed_ids = emb.select("vec_id").orderBy("vec_id").limit(8)
+    seeds = q.join(
+        F.broadcast(seed_ids.select(F.col("vec_id").alias("sid"))),
+        F.col("vec_id") == F.col("sid"),
+    ).select("sid", "d", F.col("xv").alias("sv"))
+    d2 = (
+        q.join(F.broadcast(seeds), "d")
+        .groupBy("vec_id", "sid")
+        .agg(
+            F.sum((F.col("xv") - F.col("sv")) * (F.col("xv") - F.col("sv"))).alias(
+                "dd"
+            )
+        )
+    )
+    best = d2.groupBy("vec_id").agg(F.min("dd").cast("long").alias("d2min"))
+    tot = best.agg(F.sum("d2min").alias("total"), F.count("*").alias("n"))
+    return (
+        best.crossJoin(F.broadcast(tot))
+        .select(
+            "vec_id",
+            "d2min",
+            (
+                F.floor(
+                    F.col("d2min").cast("double")
+                    * F.col("n")
+                    / F.col("total")
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("sensitivity_weight"),
+        )
+        .orderBy(F.col("d2min").desc(), "vec_id")
+        .limit(64)
+    )
+
+
+# ---------------------------------------------------------------------------
 # ROUND 6 — Morton-curve embedding sharding (public technique:
 # Z-order / bit-interleaved space-filling curves for locality-
 # preserving range partitioning — the vector-DB sharding layout next

@@ -764,3 +764,25 @@ def test_morton_shards_locality_beats_random(spark, sf_dir):
     global_loc = dot / (n_total * n_total)
     weighted = sum(r.locality * r.n_vectors for r in rows) / n_total
     assert weighted > global_loc
+
+
+def test_hubness_histogram_mass_conserved(spark, sf_dir):
+    """The k-occurrence histogram must cover every vector exactly once,
+    and total edge mass must equal N*k (each vector emits k edges)."""
+    import __spark_entry__ as entrymod
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    rows = entrymod.queries()["hubness_report"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n
+    assert sum(r.k_occurrence * r.n_vectors for r in rows) == n * 5
+
+
+def test_coreset_selects_farthest_and_weights_normalize(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["coreset_sensitivity_select"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    d2 = [r.d2min for r in rows]
+    assert d2 == sorted(d2, reverse=True)  # outlier-biased prefix
+    assert all(r.sensitivity_weight > 0 for r in rows)
