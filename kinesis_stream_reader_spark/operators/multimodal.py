@@ -338,8 +338,8 @@ def decode_bmp(data: bytes):
 def decode_image(data: bytes):
     """Image decode: REAL for PPM (decode_ppm), RGB + paletted PNG
     (decode_png, stdlib zlib), 24-bit BMP (decode_bmp), baseline +
-    progressive JPEG (decode_jpeg), GIF (decode_gif) and baseline TIFF
-    (decode_tiff), dispatched on magic bytes."""
+    progressive JPEG (decode_jpeg), GIF (decode_gif), baseline TIFF
+    (decode_tiff) and QOI (decode_qoi), dispatched on magic bytes."""
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:8] == _PNG_SIG:
@@ -352,10 +352,12 @@ def decode_image(data: bytes):
         return decode_gif(data)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return decode_tiff(data)
+    if data[:4] == b"qoif":
+        return decode_qoi(data)
     raise NotImplementedError(
         "PPM, PNG (RGB + paletted), 24-bit BMP, baseline/progressive "
-        "JPEG, GIF and baseline TIFF decode in this environment; plug "
-        "Pillow/torchvision here for other formats"
+        "JPEG, GIF, baseline TIFF and QOI decode in this environment; "
+        "plug Pillow/torchvision here for other formats"
     )
 
 
@@ -470,6 +472,118 @@ def decode_tiff(data: bytes):
     if len(raw) != w * h * 3:
         raise ValueError("TIFF strip data does not match dimensions")
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+def encode_qoi(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> QOI (Quite OK Image, qoiformat.org —
+    public-domain one-page spec). Reference-encoder op selection: RUN
+    for repeats (capped 62), INDEX on a 64-slot hash-table hit
+    ((3r+5g+7b+11a) % 64), 2-bit wrapping DIFF, then LUMA (6-bit dg,
+    4-bit dr-dg / db-dg), else raw RGB. Alpha fixed 255 (channels=3).
+    The fixture twin of decode_qoi."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = arr.shape
+    out = bytearray(b"qoif" + struct.pack(">II", w, h) + bytes((3, 0)))
+    index = [(0, 0, 0, 0)] * 64
+    pr, pg, pb = 0, 0, 0
+    run = 0
+    flat = arr.reshape(-1, 3)
+    for r, g, b in flat.tolist():
+        if (r, g, b) == (pr, pg, pb):
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+        else:
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            k = (3 * r + 5 * g + 7 * b + 11 * 255) % 64
+            if index[k] == (r, g, b, 255):
+                out.append(k)
+            else:
+                index[k] = (r, g, b, 255)
+                dr = ((r - pr + 128) & 255) - 128
+                dg = ((g - pg + 128) & 255) - 128
+                db = ((b - pb + 128) & 255) - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | (dr + 2) << 4 | (dg + 2) << 2 | (db + 2))
+                elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                    out.append(0x80 | (dg + 32))
+                    out.append((dr - dg + 8) << 4 | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, r, g, b))
+        pr, pg, pb = r, g, b
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(data: bytes):
+    """REAL QOI decode (qoiformat.org spec, public domain): 14-byte
+    header, then the 6-op chunk stream — RGB (0xFE), RGBA (0xFF),
+    INDEX (0b00xxxxxx into the running 64-slot color hash table),
+    DIFF (0b01 + three 2-bit wrapping channel deltas), LUMA (0b10 +
+    6-bit dg then 4-bit dr-dg / db-dg), RUN (0b11, lengths 1-62) —
+    ending in seven 0x00 and one 0x01. State: previous pixel starts
+    (0,0,0,255), index zero-initialized; every decoded pixel is
+    (re)written into its hash slot. Returns (h, w, 3) uint8 RGB."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"qoif":
+        raise ValueError("not a QOI payload")
+    w, h = struct.unpack(">II", data[4:12])
+    channels = data[12]
+    if channels not in (3, 4):
+        raise ValueError("QOI channels must be 3 or 4")
+    if data[-8:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("QOI end marker missing")
+    n = w * h
+    out = np.empty((n, 3), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos, i = 14, 0
+    while i < n:
+        b1 = data[pos]
+        pos += 1
+        if b1 == 0xFE:  # QOI_OP_RGB
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif b1 == 0xFF:  # QOI_OP_RGBA
+            r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            pos += 4
+        elif b1 >> 6 == 0:  # QOI_OP_INDEX
+            r, g, b, a = index[b1 & 0x3F]
+        elif b1 >> 6 == 1:  # QOI_OP_DIFF (wrapping, bias 2)
+            r = (r + ((b1 >> 4) & 3) - 2) & 255
+            g = (g + ((b1 >> 2) & 3) - 2) & 255
+            b = (b + (b1 & 3) - 2) & 255
+        elif b1 >> 6 == 2:  # QOI_OP_LUMA (bias 32 / 8)
+            b2 = data[pos]
+            pos += 1
+            dg = (b1 & 0x3F) - 32
+            r = (r + dg - 8 + ((b2 >> 4) & 0x0F)) & 255
+            g = (g + dg) & 255
+            b = (b + dg - 8 + (b2 & 0x0F)) & 255
+        else:  # QOI_OP_RUN (bias -1; 63/64 taken by RGB/RGBA)
+            run = (b1 & 0x3F) + 1
+            if i + run > n:
+                raise ValueError("QOI run overflows pixel count")
+            out[i : i + run] = (r, g, b)
+            i += run
+            index[(3 * r + 5 * g + 7 * b + 11 * a) % 64] = (r, g, b, a)
+            continue
+        index[(3 * r + 5 * g + 7 * b + 11 * a) % 64] = (r, g, b, a)
+        out[i] = (r, g, b)
+        i += 1
+    return out.reshape(h, w, 3)
 
 
 def decode_wav(data: bytes):

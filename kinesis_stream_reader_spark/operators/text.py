@@ -3081,3 +3081,59 @@ def chrf_pairs_report(documents: DataFrame, beta: float = 2.0) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("chrf"),
     ).orderBy("doc_id", "ref_id")
+
+
+def fim_transform(documents: DataFrame, fim_rate_hex: int = 8) -> DataFrame:
+    """Fill-in-the-middle (FIM) training-data transform (Bavarian et
+    al. 2022, "Efficient Training of Language Models to Fill in the
+    Middle" — public method): a hash-gated fraction of documents is
+    split at two deterministic cut points into (prefix, middle,
+    suffix) and re-serialized PSM —
+    ``<PRE>prefix<SUF>suffix<MID>middle`` — so the model learns
+    infilling; ungated documents pass through verbatim (their "middle"
+    is empty and the suffix is the whole text's tail, i.e. lens are
+    (0, 0, n)).
+
+    Determinism: the gate is the first md5 hex digit of
+    ``doc_id || ':fim'`` (< fim_rate_hex of 16 → applied, default
+    8/16 = the paper's 50% FIM rate), and each cut point is a 48-bit
+    md5 prefix of ``doc_id || ':fim1'/':fim2'`` taken mod (n+1), so
+    the transform is reproducible across engines — the DuckDB oracle
+    mirrors the exact same md5 arithmetic. No RNG, no UDF: the whole
+    transform is one codegen'd projection (md5, substr, concat), so
+    at 100 TB it is a map-only pass with zero shuffles; the output
+    here aggregates to one row per doc (cut points, segment lengths,
+    md5 of the serialized PSM) so the oracle compares the full
+    transformed text without shipping it."""
+    did = F.col("doc_id").cast("string")
+    h48 = lambda salt: F.conv(  # noqa: E731
+        F.substring(F.md5(F.concat(did, F.lit(salt))), 1, 12), 16, 10
+    ).cast("long")
+    n = F.length("text").cast("long")
+    gate = F.substring(F.md5(F.concat(did, F.lit(":fim"))), 1, 1).isin(
+        [format(x, "x") for x in range(fim_rate_hex)]
+    )
+    ca = h48(":fim1") % (n + 1)
+    cb = h48(":fim2") % (n + 1)
+    cut1 = F.when(gate, F.least(ca, cb)).otherwise(F.lit(0))
+    cut2 = F.when(gate, F.greatest(ca, cb)).otherwise(F.lit(0))
+    t = F.col("text")
+    prefix = t.substr(F.lit(1), cut1)
+    middle = t.substr(cut1 + 1, cut2 - cut1)
+    suffix = t.substr(cut2 + 1, n - cut2)
+    psm = F.when(
+        gate,
+        F.concat(
+            F.lit("<PRE>"), prefix, F.lit("<SUF>"), suffix, F.lit("<MID>"), middle
+        ),
+    ).otherwise(t)
+    return documents.select(
+        "doc_id",
+        gate.cast("int").alias("fim_applied"),
+        cut1.alias("cut1"),
+        cut2.alias("cut2"),
+        cut1.alias("prefix_len"),
+        (cut2 - cut1).alias("middle_len"),
+        (n - cut2).alias("suffix_len"),
+        F.md5(psm).alias("psm_md5"),
+    ).orderBy("doc_id")

@@ -108,6 +108,7 @@ _PRIORITY = [
     # then the rotation of previously-verified queries. Nothing dropped.
     # ROUND-6 ROTATION: new round-6 queries lead (never driver-checked),
     # then the round-6-touched eval kernels, then the r5 rotation.
+    "multimodal_qoi_decode", "fim_transform",
     "multimodal_jpeg_progressive_decode", "multimodal_flac_decode",
     "streaming_sprt_monitor", "streaming_obf_monitor",
     "multimodal_gif_interlaced_decode",

@@ -1104,3 +1104,126 @@ def streaming_sprt_monitor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 6 (late pass) — QOI image decode (qoiformat.org, public-domain
+# one-page spec): the O(n) byte-oriented lossless format crawl
+# pipelines meet as the cheap intermediate/cache encoding. The fixture
+# formula deliberately exercises ALL five RGB-path chunk ops — first
+# row is a +1 grayscale ramp (DIFF), every 17th pixel is a fixed color
+# that recurs (INDEX), groups of three identical pixels (RUN), +11
+# channel steps between groups (LUMA), and modulo wrap jumps (RGB).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_qoi_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         CASE WHEN i.i < w THEN (doc_id * 3 + i.i) % 256
+              WHEN i.i % 17 = 16 THEN 10
+              ELSE (doc_id * 7 + 11 * (i.i // 3)) % 256 END AS r,
+         CASE WHEN i.i < w THEN (doc_id * 3 + i.i) % 256
+              WHEN i.i % 17 = 16 THEN 20
+              ELSE ((doc_id * 7 + 11 * (i.i // 3)) + 1) % 256 END AS g,
+         CASE WHEN i.i < w THEN (doc_id * 3 + i.i) % 256
+              WHEN i.i % 17 = 16 THEN 30
+              ELSE ((doc_id * 7 + 11 * (i.i // 3)) + 2) % 256 END AS b
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_qoi_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL QOI decode (multimodal.decode_qoi — the full 6-op chunk
+    grammar with the 64-slot running color index, wrapping DIFF/LUMA
+    deltas and 62-capped runs); the encoder twin packs the formula
+    pixels so every RGB-path op appears on the wire (verified in
+    tests). Same map-side Arrow shape as the TIFF/GIF legs: blobs are
+    built and decoded executor-side, the shuffle carries only the
+    position-weighted scalar checksum."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                p = np.arange(w * h, dtype=np.int64)
+                base = (d * 7 + 11 * (p // 3)) % 256
+                px = np.stack([base, (base + 1) % 256, (base + 2) % 256], 1)
+                ramp = (d * 3 + p) % 256
+                first = p < w
+                px[first] = np.stack([ramp, ramp, ramp], 1)[first]
+                mark = (~first) & (p % 17 == 16)
+                px[mark] = (10, 20, 30)
+                blobs.append(
+                    multimodal.encode_qoi(
+                        px.astype(np.uint8).reshape(h, w, 3)
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 6 (late pass) — fill-in-the-middle (FIM) transform: the
+# code-LLM training-data reordering (Bavarian et al. 2022). Hash-gated
+# 50% of docs get two md5-derived cut points and the PSM
+# serialization; the oracle mirrors the md5 arithmetic bit-for-bit so
+# the full transformed text is compared via its digest.
+# ---------------------------------------------------------------------------
+@register(
+    "fim_transform",
+    """
+WITH b AS (
+  SELECT doc_id, text, LENGTH(text)::BIGINT AS n,
+         (substr(md5(doc_id::VARCHAR || ':fim'), 1, 1)
+            IN ('0','1','2','3','4','5','6','7')) AS gate,
+         CAST(concat('0x', substr(md5(doc_id::VARCHAR || ':fim1'), 1, 12))
+              AS UBIGINT)::BIGINT AS h1,
+         CAST(concat('0x', substr(md5(doc_id::VARCHAR || ':fim2'), 1, 12))
+              AS UBIGINT)::BIGINT AS h2
+  FROM documents
+), c AS (
+  SELECT doc_id, text, n, gate,
+         CASE WHEN gate THEN LEAST(h1 % (n + 1), h2 % (n + 1))
+              ELSE 0 END AS cut1,
+         CASE WHEN gate THEN GREATEST(h1 % (n + 1), h2 % (n + 1))
+              ELSE 0 END AS cut2
+  FROM b
+)
+SELECT doc_id, gate::INT AS fim_applied, cut1, cut2,
+       cut1 AS prefix_len, cut2 - cut1 AS middle_len,
+       n - cut2 AS suffix_len,
+       md5(CASE WHEN gate
+                THEN '<PRE>' || substr(text, 1, cut1)
+                     || '<SUF>' || substr(text, cut2 + 1)
+                     || '<MID>' || substr(text, cut1 + 1, cut2 - cut1)
+                ELSE text END) AS psm_md5
+FROM c ORDER BY doc_id
+""",
+)
+def fim_transform_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic FIM split + PSM re-serialization as ONE codegen'd
+    projection (md5/substr/concat built-ins, no UDF, no shuffle) —
+    text.fim_transform. The map-only shape is exactly what a 100 TB
+    pretraining tokenizer feed wants: the transform rides the scan."""
+    from ..operators import text
+
+    return text.fim_transform(load_table(spark, sf_dir, "documents"))

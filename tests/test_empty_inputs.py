@@ -57,6 +57,9 @@ SUBSET = [
     "multimodal_adpcm_decode", "multimodal_png_palette_decode",
     "streaming_sprt_monitor", "streaming_obf_monitor", "unimax_allocation",
     "wer_pairs_report", "bleu_pairs_report",
+    # round-6 late pass
+    "multimodal_tiff_decode", "multimodal_qoi_decode", "fim_transform",
+    "embedding_morton_shards", "coreset_sensitivity_select", "hubness_report",
 ]
 
 

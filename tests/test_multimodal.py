@@ -934,3 +934,86 @@ def test_tiff_unsupported_forms_gated():
     blob[idx + 8] = 5
     with pytest.raises(NotImplementedError, match="compressed"):
         mm.decode_tiff(bytes(blob))
+
+
+def test_qoi_roundtrip_all_op_families():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    cases = []
+    for h, w in [(1, 1), (5, 9), (13, 7)]:
+        cases.append(rng.randint(0, 256, (h, w, 3), dtype=np.uint8))  # RGB-heavy
+        cases.append(np.full((h, w, 3), 77, dtype=np.uint8))  # RUN-heavy
+        walk = rng.randint(-2, 2, (h * w, 3)).cumsum(axis=0)  # DIFF/LUMA
+        cases.append(((walk + 128) % 256).astype(np.uint8).reshape(h, w, 3))
+        pal = rng.randint(0, 256, (4, 3), dtype=np.uint8)  # INDEX-heavy
+        cases.append(pal[rng.randint(0, 4, h * w)].reshape(h, w, 3))
+    # runs longer than the 62 cap must split into chained RUN chunks
+    cases.append(np.full((3, 70, 3), 9, dtype=np.uint8))
+    for arr in cases:
+        blob = mm.encode_qoi(arr)
+        assert np.array_equal(mm.decode_qoi(blob), arr)
+        assert np.array_equal(mm.decode_image(blob), arr)  # dispatch
+
+
+def test_qoi_fixture_exercises_every_rgb_op():
+    """The registry fixture formula must keep hitting all five RGB-path
+    chunk ops (RUN/INDEX/DIFF/LUMA/RGB) — that is the point of the
+    fixture design; a drift in the formula would silently weaken the
+    decode coverage."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    seen = set()
+    for d in range(40):
+        w, h = 8 + d % 5, 6 + d % 3
+        p = np.arange(w * h, dtype=np.int64)
+        base = (d * 7 + 11 * (p // 3)) % 256
+        px = np.stack([base, (base + 1) % 256, (base + 2) % 256], 1)
+        ramp = (d * 3 + p) % 256
+        first = p < w
+        px[first] = np.stack([ramp, ramp, ramp], 1)[first]
+        mark = (~first) & (p % 17 == 16)
+        px[mark] = (10, 20, 30)
+        arr = px.astype(np.uint8).reshape(h, w, 3)
+        blob = mm.encode_qoi(arr)
+        assert np.array_equal(mm.decode_qoi(blob), arr)
+        pos = 14
+        while pos < len(blob) - 8:
+            b1 = blob[pos]
+            if b1 == 0xFE:
+                seen.add("RGB")
+                pos += 4
+            elif b1 >> 6 == 0:
+                seen.add("INDEX")
+                pos += 1
+            elif b1 >> 6 == 1:
+                seen.add("DIFF")
+                pos += 1
+            elif b1 >> 6 == 2:
+                seen.add("LUMA")
+                pos += 2
+            else:
+                seen.add("RUN")
+                pos += 1
+    assert seen == {"RGB", "INDEX", "DIFF", "LUMA", "RUN"}
+
+
+def test_qoi_malformed_streams_rejected():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    arr = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
+    blob = bytearray(mm.encode_qoi(arr))
+    with pytest.raises(ValueError, match="not a QOI"):
+        mm.decode_qoi(b"nope" + bytes(blob[4:]))
+    with pytest.raises(ValueError, match="end marker"):
+        mm.decode_qoi(bytes(blob[:-1]))
+    # a run overflowing the pixel count must be detected, not wrapped
+    overflow = bytes(blob[:14]) + bytes([0xC0 | 61]) * 3 + b"\x00" * 7 + b"\x01"
+    with pytest.raises(ValueError, match="overflow"):
+        mm.decode_qoi(overflow)

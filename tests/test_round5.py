@@ -786,3 +786,62 @@ def test_coreset_selects_farthest_and_weights_normalize(spark, sf_dir):
     d2 = [r.d2min for r in rows]
     assert d2 == sorted(d2, reverse=True)  # outlier-biased prefix
     assert all(r.sensitivity_weight > 0 for r in rows)
+
+
+def test_fim_transform_reconstructs_psm_exactly(spark):
+    """fim_transform invariants: segment lengths partition the doc, the
+    gate is the documented md5 hex digit, and psm_md5 equals the md5
+    of the PSM string rebuilt in plain Python from the reported cut
+    points — i.e. the Spark-side substr/concat arithmetic is exactly
+    the Bavarian et al. serialization."""
+    import hashlib
+
+    from kinesis_stream_reader_spark.operators import text as t
+
+    texts = [
+        (0, ""),
+        (1, "a"),
+        (2, "hello world, fill me in"),
+        (3, "x" * 257),
+        (4, "multi\nline\ntext with  spaces"),
+        (5, "unicode: éèê end"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id BIGINT, text STRING")
+    rows = {r.doc_id: r for r in t.fim_transform(docs).collect()}
+    applied = 0
+    for doc_id, s in texts:
+        r = rows[doc_id]
+        n = len(s)
+        assert r.prefix_len + r.middle_len + r.suffix_len == n
+        assert 0 <= r.cut1 <= r.cut2 <= n
+        gate_hex = hashlib.md5(f"{doc_id}:fim".encode()).hexdigest()[0]
+        assert r.fim_applied == int(gate_hex < "8")
+        if r.fim_applied:
+            applied += 1
+            c1 = (
+                int(hashlib.md5(f"{doc_id}:fim1".encode()).hexdigest()[:12], 16)
+                % (n + 1)
+            )
+            c2 = (
+                int(hashlib.md5(f"{doc_id}:fim2".encode()).hexdigest()[:12], 16)
+                % (n + 1)
+            )
+            c1, c2 = min(c1, c2), max(c1, c2)
+            assert (r.cut1, r.cut2) == (c1, c2)
+            psm = "<PRE>" + s[:c1] + "<SUF>" + s[c2:] + "<MID>" + s[c1:c2]
+        else:
+            assert (r.cut1, r.cut2, r.middle_len) == (0, 0, n and r.middle_len)
+            psm = s
+        assert r.psm_md5 == hashlib.md5(psm.encode()).hexdigest()
+    assert applied >= 1  # the tiny id set must exercise both branches
+
+
+def test_fim_transform_rate_is_half(spark):
+    from kinesis_stream_reader_spark.operators import text as t
+
+    docs = spark.range(500).selectExpr(
+        "id AS doc_id", "repeat('ab', 10) AS text"
+    )
+    out = t.fim_transform(docs)
+    frac = out.agg({"fim_applied": "avg"}).collect()[0][0]
+    assert 0.4 < frac < 0.6
