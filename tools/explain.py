@@ -177,6 +177,8 @@ HEADLINE = [
     ("multimodal_jpeg_progressive_decode", "progressive JPEG: six-scan SOF2 decode in Arrow batches, scalar-only shuffle"),
     ("multimodal_flac_decode", "FLAC: Rice/LPC lossless decode map-side, per-doc integer features"),
     ("streaming_sprt_monitor", "streaming SPRT: watermarked census drain + LLR window on calendar-bounded rows"),
+    ("multimodal_qoi_decode", "QOI: 6-op chunk-stream decode in Arrow batches, scalar-only shuffle"),
+    ("fim_transform", "FIM: hash-gated PSM re-serialization as one codegen'd projection; only the report sort exchanges"),
 ]
 
 
