@@ -586,6 +586,82 @@ def decode_qoi(data: bytes):
     return out.reshape(h, w, 3)
 
 
+def _f80_encode(rate: int) -> bytes:
+    """Integer sample rate -> 80-bit IEEE 754 extended float (the
+    SANE / AIFF 'extended' type): 15-bit biased exponent + explicit
+    64-bit mantissa. Exact for any positive integer rate."""
+    import struct
+
+    if rate == 0:
+        return b"\x00" * 10
+    e = rate.bit_length() - 1
+    return struct.pack(">HQ", 16383 + e, rate << (63 - e))
+
+
+def _f80_decode(b: bytes) -> int:
+    import struct
+
+    exp, mant = struct.unpack(">HQ", b[:10])
+    if exp == 0 and mant == 0:
+        return 0
+    if exp & 0x8000:
+        raise ValueError("negative AIFF sample rate")
+    e = (exp & 0x7FFF) - 16383
+    val = mant * 2.0 ** (e - 63)
+    return int(round(val))
+
+
+def encode_aiff(samples, rate: int = 8000) -> bytes:
+    """int16 mono -> AIFF (Apple EA IFF 85, public spec): FORM/AIFF
+    container with COMM (channels, frames, bits, 80-bit extended
+    sample rate) and SSND (offset/blockSize zeros + big-endian PCM16).
+    The fixture twin of decode_aiff."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=">i2").tobytes()
+    comm = struct.pack(">hIh", 1, len(pcm) // 2, 16) + _f80_encode(rate)
+    ssnd = struct.pack(">II", 0, 0) + pcm
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def decode_aiff(data: bytes):
+    """REAL AIFF decode for PCM16 mono: FORM/AIFF chunk walk (COMM
+    then SSND in any order, unknown chunks skipped, word alignment
+    honored), 80-bit extended-float sample-rate conversion. Returns
+    (sample_rate, int16 numpy array)."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"FORM" or data[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos, rate, nframes, samples = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack(">I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"COMM":
+            channels, nframes, bits = struct.unpack(">hIh", body[:8])
+            if (channels, bits) != (1, 16):
+                raise ValueError("only PCM16 mono AIFF supported")
+            rate = _f80_decode(body[8:18])
+        elif cid == b"SSND":
+            offset, _block = struct.unpack(">II", body[:8])
+            samples = np.frombuffer(body[8 + offset :], dtype=">i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing COMM/SSND chunk")
+    if nframes is not None and len(samples) != nframes:
+        raise ValueError("AIFF frame count mismatch")
+    return rate, samples.astype("<i2")
+
+
 def decode_wav(data: bytes):
     """REAL audio decode for RIFF/WAVE PCM16 mono: returns (sample_rate,
     int16 numpy array). Pure-Python chunk walk over the RIFF grammar

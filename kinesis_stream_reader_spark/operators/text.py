@@ -3137,3 +3137,57 @@ def fim_transform(documents: DataFrame, fim_rate_hex: int = 8) -> DataFrame:
         (n - cut2).alias("suffix_len"),
         F.md5(psm).alias("psm_md5"),
     ).orderBy("doc_id")
+
+
+def ece_report(documents: DataFrame) -> DataFrame:
+    """Expected Calibration Error (Naeini et al. 2015, public method):
+    the one-number companion to calibration_report's reliability
+    diagram and brier_decomposition's Murphy terms. Probabilities use
+    the SAME exact-integer Platt-style linear squash as the Brier leg
+    (p_u = clamp(lu + 2e4, 0, 4e4) * 25 — no libm exp, the
+    calibration docstring's cross-engine rule), bucketed into the
+    standard 10 equal-width probability bins.
+
+    Exactness: n_b * |acc_b - conf_b| collapses to the exact bigint
+    |1e6 * k_b - sum_pq_b| (the per-bin float divisions cancel), so
+    ECE = SUM_b |1e6*k_b - sp_b| / (1e6 * N) is integer algebra until
+    ONE final division; the per-bin max gap quantizes half-up 1e-6
+    before the max. Plan shape: the scoring codegen pass, then a
+    10-cell census — linear at any corpus size, no window, no join
+    beyond the label attach."""
+    scored = quality_model_score(documents)
+    labeled = scored.join(
+        documents.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("pos")
+        ),
+        "doc_id",
+    )
+    lu = F.floor(F.col("logit") * 1e4 + F.lit(0.5)).cast("long")
+    pq = F.least(F.greatest(lu + 20000, F.lit(0)), F.lit(40000)) * 25
+    binned = labeled.select(
+        F.least(F.floor(pq / F.lit(100000)), F.lit(9)).cast("long").alias("bin"),
+        pq.alias("pq"),
+        "pos",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").alias("k"),
+        F.sum("pq").alias("sp"),
+    )
+    dev = F.abs(F.col("k") * 1000000 - F.col("sp"))  # exact bigint
+    gap_u = F.floor(dev.cast("double") / F.col("n") + F.lit(0.5)).cast("long")
+    out = cells.select("n", dev.alias("dev"), gap_u.alias("gap_u")).agg(
+        F.sum("n").alias("nn"),
+        F.count("*").alias("n_bins"),
+        F.sum("dev").alias("sdev"),
+        F.max("gap_u").alias("max_gap_u"),
+    )
+    return out.select(
+        F.col("nn").cast("long").alias("n_docs"),
+        F.col("n_bins").cast("long").alias("n_bins"),
+        (
+            F.floor(F.col("sdev").cast("double") / F.col("nn") + F.lit(0.5))
+            / 1e6
+        ).alias("ece"),
+        (F.col("max_gap_u") / 1e6).alias("max_gap"),
+    )

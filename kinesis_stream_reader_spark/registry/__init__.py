@@ -109,6 +109,7 @@ _PRIORITY = [
     # ROUND-6 ROTATION: new round-6 queries lead (never driver-checked),
     # then the round-6-touched eval kernels, then the r5 rotation.
     "multimodal_qoi_decode", "fim_transform",
+    "multimodal_aiff_decode", "ece_report",
     "multimodal_jpeg_progressive_decode", "multimodal_flac_decode",
     "streaming_sprt_monitor", "streaming_obf_monitor",
     "multimodal_gif_interlaced_decode",

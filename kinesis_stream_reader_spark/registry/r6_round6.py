@@ -1227,3 +1227,130 @@ def fim_transform_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text
 
     return text.fim_transform(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ROUND 6 (late pass) — AIFF audio decode (Apple EA IFF 85, public
+# spec): the big-endian sibling of the WAV leg, whose one nontrivial
+# feature is the 80-bit IEEE extended-float sample rate (exact for
+# integer rates — the 11025 case proves the non-power-of-two path).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_aiff_decode",
+    """
+WITH lens AS (
+  SELECT doc_id, 48 + doc_id % 40 AS n,
+         CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+                         WHEN 2 THEN 22050 ELSE 44100 END AS rate
+  FROM documents
+), s AS (
+  SELECT doc_id, n, rate, ((doc_id * 17 + i.i * 37) % 65536) - 32768 AS v
+  FROM lens, LATERAL (SELECT UNNEST(range(n)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(rate) AS sample_rate, ANY_VALUE(n) AS n_samples,
+       SUM(v)::BIGINT AS sample_sum
+FROM s GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_aiff_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AIFF decode (multimodal.decode_aiff): FORM/AIFF chunk
+    walk, COMM 80-bit extended-float rate (rotating through 8000/
+    11025/22050/44100 so the odd-mantissa path is exercised on real
+    wire bytes), big-endian PCM16 SSND. House codec contract:
+    map-side Arrow batches, per-doc scalar shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    RATES = (8000, 11025, 22050, 44100)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 48 + d % 40
+                v = ((d * 17 + 37 * np.arange(n, dtype=np.int64)) % 65536) - 32768
+                blob = multimodal.encode_aiff(
+                    v.astype(np.int16), rate=RATES[d % 4]
+                )
+                rate, samples = multimodal.decode_aiff(blob)
+                rows.append((d, rate, len(samples), int(samples.astype(np.int64).sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "sample_sum"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        docs.select("doc_id")
+        .repartition(n_parts)
+        .mapInPandas(
+            batches,
+            "doc_id BIGINT, sample_rate INT, n_samples INT, sample_sum BIGINT",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 6 (late pass) — Expected Calibration Error: the one-number
+# summary completing the calibration trio (reliability diagram ->
+# Murphy decomposition -> ECE). Same exact-integer Platt squash and
+# 10-bin census as the Brier leg; the per-bin |acc - conf| weights
+# collapse to exact bigints.
+# ---------------------------------------------------------------------------
+@register(
+    "ece_report",
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         len({{toks}})::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter({{toks}}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           AS n_stop,
+         (length(text) - length(replace(text, '.', '')))::DOUBLE AS n_dots
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), z AS (
+  SELECT f.doc_id,
+         (SELECT w FROM wts WHERE i = 0) * (n_tokens / 100.0)
+         + (SELECT w FROM wts WHERE i = 1) * (n_stop / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 2) * (n_chars / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 3) * (n_dots / (n_chars + 1.0))
+         + (SELECT w FROM wts WHERE i = 4) AS z
+  FROM f
+), lab AS (
+  SELECT z.doc_id,
+         CAST(FLOOR(z * 1e4 + 0.5) AS BIGINT) AS lu,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+  FROM z JOIN documents d ON d.doc_id = z.doc_id
+), p AS (
+  SELECT LEAST(GREATEST(lu + 20000, 0), 40000) * 25 AS pq, pos FROM lab
+), binned AS (
+  SELECT LEAST(pq // 100000, 9) AS bin, pq, pos FROM p
+), cells AS (
+  SELECT bin, COUNT(*) AS n, SUM(pos) AS k, SUM(pq) AS sp FROM binned
+  GROUP BY 1
+)
+SELECT SUM(n)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_bins,
+       FLOOR(CAST(SUM(ABS(k * 1000000 - sp)) AS DOUBLE) / SUM(n) + 0.5) / 1e6
+         AS ece,
+       MAX(CAST(FLOOR(CAST(ABS(k * 1000000 - sp) AS DOUBLE) / n + 0.5)
+                AS BIGINT)) / 1e6 AS max_gap
+FROM cells
+""".replace("{toks}", "list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')"),
+)
+def ece_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.ece_report — scoring codegen pass + 10-cell census; the
+    ECE numerator is integer algebra until one final division."""
+    from ..operators import text
+
+    return text.ece_report(load_table(spark, sf_dir, "documents"))

@@ -60,6 +60,7 @@ SUBSET = [
     # round-6 late pass
     "multimodal_tiff_decode", "multimodal_qoi_decode", "fim_transform",
     "embedding_morton_shards", "coreset_sensitivity_select", "hubness_report",
+    "multimodal_aiff_decode", "ece_report",
 ]
 
 

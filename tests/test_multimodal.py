@@ -1017,3 +1017,35 @@ def test_qoi_malformed_streams_rejected():
     overflow = bytes(blob[:14]) + bytes([0xC0 | 61]) * 3 + b"\x00" * 7 + b"\x01"
     with pytest.raises(ValueError, match="overflow"):
         mm.decode_qoi(overflow)
+
+
+def test_aiff_roundtrip_and_f80_rates():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(21)
+    for rate in (8000, 11025, 22050, 44100, 192000):
+        # the 80-bit extended-float rate must be EXACT, incl. odd rates
+        assert mm._f80_decode(mm._f80_encode(rate)) == rate
+        for n in (0, 1, 77):
+            s = rng.randint(-32768, 32768, n).astype(np.int16)
+            r2, s2 = mm.decode_aiff(mm.encode_aiff(s, rate))
+            assert r2 == rate
+            assert np.array_equal(s2, s)
+
+
+def test_aiff_malformed_rejected():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    blob = bytearray(mm.encode_aiff(np.zeros(4, dtype=np.int16), 8000))
+    with pytest.raises(ValueError, match="not an AIFF"):
+        mm.decode_aiff(b"RIFF" + bytes(blob[4:]))
+    # stereo flag must be gated, not mis-decoded
+    stereo = bytearray(blob)
+    comm = stereo.find(b"COMM") + 8
+    stereo[comm : comm + 2] = (0, 2)
+    with pytest.raises(ValueError, match="PCM16 mono"):
+        mm.decode_aiff(bytes(stereo))

@@ -845,3 +845,44 @@ def test_fim_transform_rate_is_half(spark):
     out = t.fim_transform(docs)
     frac = out.agg({"fim_applied": "avg"}).collect()[0][0]
     assert 0.4 < frac < 0.6
+
+
+def test_ece_report_closed_form_on_tiny_corpus(spark):
+    """ECE on a hand-checkable corpus: recompute the exact-integer
+    bin algebra in plain Python from quality_model_score's logits and
+    compare — proving the |1e6*k - sp| collapse is the textbook
+    sum n_b/N * |acc_b - conf_b|."""
+    import math
+
+    from kinesis_stream_reader_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat on the mat.", "en"),
+            (2, "a b c d e f g h", "en"),
+            (3, "wort wort wort und so weiter.", "de"),
+            (4, "the of and a " * 10, "en"),
+            (5, "zzzzz", "fr"),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING",
+    )
+    scored = {r.doc_id: r.logit for r in t.quality_model_score(docs).collect()}
+    cells = {}
+    for doc_id, lg in scored.items():
+        lu = math.floor(lg * 1e4 + 0.5)
+        pq = min(max(lu + 20000, 0), 40000) * 25
+        b = min(pq // 100000, 9)
+        n, k, sp = cells.get(b, (0, 0, 0))
+        pos = 1 if doc_id in (1, 2, 4) else 0
+        cells[b] = (n + 1, k + pos, sp + pq)
+    nn = sum(c[0] for c in cells.values())
+    ece = math.floor(
+        sum(abs(k * 1000000 - sp) for _, k, sp in cells.values()) / nn + 0.5
+    ) / 1e6
+    max_gap = max(
+        math.floor(abs(k * 1000000 - sp) / n + 0.5) for n, k, sp in cells.values()
+    ) / 1e6
+    row = t.ece_report(docs).collect()[0]
+    assert (row.n_docs, row.n_bins) == (5, len(cells))
+    assert row.ece == ece
+    assert row.max_gap == max_gap
