@@ -3251,10 +3251,12 @@ def g711_decode_sample(code: int, law: str) -> int:
         u = ~code & 0xFF
         sign, exp, mant = u & 0x80, (u >> 4) & 0x07, u & 0x0F
         mag = (((mant << 3) + 0x84) << exp) - 0x84
-    else:  # alaw
+    else:  # alaw — per ITU-T G.711 the sign bit SET (after the 0x55
+        # toggle) means POSITIVE, the opposite of mu-law's convention
         a = code ^ 0x55
         sign, exp, mant = a & 0x80, (a >> 4) & 0x07, a & 0x0F
         mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+        return mag if sign else -mag
     return -mag if sign else mag
 
 
@@ -3273,6 +3275,8 @@ def g711_decode(data: bytes, law: str):
         mag = np.where(
             exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0)
         )
+        # A-law sign bit set => positive (inverse of mu-law)
+        return np.where(sign != 0, mag, -mag)
     else:
         raise ValueError(f"unknown companding law {law!r}")
     return np.where(sign != 0, -mag, mag)
@@ -3288,7 +3292,8 @@ def g711_encode_sample(pcm: int, law: str) -> int:
         exp = max(0, mag.bit_length() - 8)  # segment above the 0x84 bias
         mant = (mag >> (exp + 3)) & 0x0F
         return ~(sign | (exp << 4) | mant) & 0xFF
-    sign = 0x80 if pcm < 0 else 0
+    # A-law: sign bit SET means positive (G.711 convention)
+    sign = 0x80 if pcm >= 0 else 0
     mag = min(-pcm if pcm < 0 else pcm, 0x7FFF)
     if mag < 0x100:
         code = sign | (mag >> 4)

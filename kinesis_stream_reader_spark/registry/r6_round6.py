@@ -185,7 +185,7 @@ WITH s AS (
            ((((255 - code) % 16) * 8 + 132)
             * (1 << (((255 - code) // 16) % 8)) - 132)
          ELSE
-           CASE WHEN xor(code, 85) >= 128 THEN -1 ELSE 1 END *
+           CASE WHEN xor(code, 85) >= 128 THEN 1 ELSE -1 END *
            (CASE WHEN ((xor(code, 85) // 16) % 8) = 0
                  THEN (xor(code, 85) % 16) * 16 + 8
                  ELSE ((xor(code, 85) % 16) * 16 + 264)

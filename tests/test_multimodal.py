@@ -731,9 +731,10 @@ def test_g711_decode_reference_values():
     # mu-law: code 0xFF is +0 by the biased expansion; 0x7F is -0
     assert mm.g711_decode_sample(0xFF, "ulaw") == 0
     assert mm.g711_decode_sample(0x7F, "ulaw") == 0
-    # A-law: code 0x55 (toggled to 0) decodes to +8, 0xD5 to -8
-    assert mm.g711_decode_sample(0x55, "alaw") == 8
-    assert mm.g711_decode_sample(0xD5, "alaw") == -8
+    # A-law: sign bit set after the 0x55 toggle means POSITIVE (ITU-T
+    # G.711 / audioop convention): 0xD5 -> +8, 0x55 -> -8
+    assert mm.g711_decode_sample(0xD5, "alaw") == 8
+    assert mm.g711_decode_sample(0x55, "alaw") == -8
     # vectorized path agrees with the scalar formula on every byte
     blob = bytes(range(256))
     for law in ("ulaw", "alaw"):
