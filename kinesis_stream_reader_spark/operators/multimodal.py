@@ -599,16 +599,26 @@ def _f80_encode(rate: int) -> bytes:
 
 
 def _f80_decode(b: bytes) -> int:
+    """80-bit extended float -> integer sample rate, shift-exact: no
+    float round-trip (exact beyond 53 mantissa bits), and non-integer,
+    denormal (exp==0, mant!=0), or negative rates raise instead of
+    silently rounding."""
     import struct
 
     exp, mant = struct.unpack(">HQ", b[:10])
-    if exp == 0 and mant == 0:
+    if exp == 0:
+        if mant != 0:
+            raise ValueError("denormal AIFF sample rate")
         return 0
     if exp & 0x8000:
         raise ValueError("negative AIFF sample rate")
     e = (exp & 0x7FFF) - 16383
-    val = mant * 2.0 ** (e - 63)
-    return int(round(val))
+    shift = 63 - e
+    if shift < 0:
+        return mant << (-shift)
+    if shift > 63 or (mant & ((1 << shift) - 1)) != 0:
+        raise ValueError("non-integer AIFF sample rate")
+    return mant >> shift
 
 
 def encode_aiff(samples, rate: int = 8000) -> bytes:
@@ -660,6 +670,62 @@ def decode_aiff(data: bytes):
     if nframes is not None and len(samples) != nframes:
         raise ValueError("AIFF frame count mismatch")
     return rate, samples.astype("<i2")
+
+
+AIFF_FIXTURE_RATES = (8000, 11025, 22050, 44100)
+
+
+def synthetic_aiff_media(documents: DataFrame) -> DataFrame:
+    """AIFF fixture corpus (separate from the decoder, per the house
+    codec contract: media stage reusable and independently testable).
+    Samples follow v_j = ((doc_id*17 + 37*j) % 65536) - 32768 over
+    n = 48 + doc_id % 40 frames; sample rate rotates through
+    8000/11025/22050/44100 so the odd-mantissa 80-bit-float path is
+    exercised on real wire bytes."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 48 + d % 40
+                v = ((d * 17 + 37 * np.arange(n, dtype=np.int64)) % 65536) - 32768
+                rows.append(
+                    (d, encode_aiff(v.astype(np.int16), rate=AIFF_FIXTURE_RATES[d % 4]))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "data"])
+
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+
+
+def aiff_decode_features(media: DataFrame) -> DataFrame:
+    """Decode AIFF payloads executor-side; per-doc scalars shuffle.
+    The checksum is position-weighted (SUM((j+1) * v_j)) so frame
+    reordering or truncation breaks it where a plain sum would not."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                rate, samples = decode_aiff(bytes(blob))
+                s = samples.astype(np.int64)
+                w = np.arange(1, len(s) + 1, dtype=np.int64)
+                rows.append((int(doc_id), rate, len(s), int((w * s).sum())))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "sample_rate", "n_samples", "checksum"]
+            )
+
+    return media.mapInPandas(
+        batches,
+        "doc_id BIGINT, sample_rate INT, n_samples INT, checksum BIGINT",
+    )
 
 
 def decode_wav(data: bytes):

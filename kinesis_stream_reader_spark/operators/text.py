@@ -2687,8 +2687,11 @@ def dpo_pair_builder(documents: DataFrame, pairs_per_group: int = 2) -> DataFram
     )
 
 
+EVAL_PAIRS_BLOCK_CAP = 64
+
+
 def blocked_eval_pairs(
-    pref: DataFrame, max_pairs_per_block: int = 64
+    pref: DataFrame, max_pairs_per_block: int = EVAL_PAIRS_BLOCK_CAP
 ) -> DataFrame:
     """Shared pair generator for the rewrite-eval kernels (BLEU / WER /
     ROUGE-L / chrF): 8-token-prefix fingerprint blocks pick each doc's
@@ -2723,16 +2726,23 @@ def blocked_eval_pairs(
 
 
 # The oracle twin of blocked_eval_pairs, spliced into each kernel's SQL
-# after its `canon` CTE (DuckDB; `pref` must expose doc_id, fp).
-BLOCKED_EVAL_PAIRS_SQL = """pairs AS (
+# after its `canon` CTE (DuckDB; `pref` must expose doc_id, fp). A
+# FUNCTION of the cap so a caller passing a non-default
+# max_pairs_per_block can build the matching oracle — the hardcoded
+# constant and the engine parameter can no longer silently diverge.
+def blocked_eval_pairs_sql(max_pairs_per_block: int = EVAL_PAIRS_BLOCK_CAP) -> str:
+    return f"""pairs AS (
   SELECT doc_id, ref_id, block_pairs_total FROM (
     SELECT p.doc_id, c.ref_id,
            ROW_NUMBER() OVER (PARTITION BY p.fp ORDER BY p.doc_id) AS prn,
            COUNT(*) OVER (PARTITION BY p.fp) AS block_pairs_total
     FROM pref p JOIN canon c USING (fp)
     WHERE p.doc_id <> c.ref_id
-  ) WHERE prn <= 64
+  ) WHERE prn <= {int(max_pairs_per_block)}
 )"""
+
+
+BLOCKED_EVAL_PAIRS_SQL = blocked_eval_pairs_sql()
 
 
 def wer_pairs_report(documents: DataFrame) -> DataFrame:

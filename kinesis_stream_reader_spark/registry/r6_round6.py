@@ -1244,11 +1244,12 @@ WITH lens AS (
                          WHEN 2 THEN 22050 ELSE 44100 END AS rate
   FROM documents
 ), s AS (
-  SELECT doc_id, n, rate, ((doc_id * 17 + i.i * 37) % 65536) - 32768 AS v
+  SELECT doc_id, n, rate, i.i AS j,
+         ((doc_id * 17 + i.i * 37) % 65536) - 32768 AS v
   FROM lens, LATERAL (SELECT UNNEST(range(n)) AS i) i
 )
 SELECT doc_id, ANY_VALUE(rate) AS sample_rate, ANY_VALUE(n) AS n_samples,
-       SUM(v)::BIGINT AS sample_sum
+       SUM((j + 1) * v)::BIGINT AS checksum
 FROM s GROUP BY doc_id ORDER BY doc_id
 """,
 )
@@ -1256,43 +1257,17 @@ def multimodal_aiff_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL AIFF decode (multimodal.decode_aiff): FORM/AIFF chunk
     walk, COMM 80-bit extended-float rate (rotating through 8000/
     11025/22050/44100 so the odd-mantissa path is exercised on real
-    wire bytes), big-endian PCM16 SSND. House codec contract:
-    map-side Arrow batches, per-doc scalar shuffle."""
-    import numpy as np
-
+    wire bytes), big-endian PCM16 SSND. House codec contract: media
+    built by a SEPARATE synthetic_aiff_media stage (reusable, the
+    decoder never sees bytes produced in its own closure), map-side
+    Arrow decode, position-weighted checksum so frame reordering or
+    truncation is caught."""
     from ..operators import multimodal
 
-    RATES = (8000, 11025, 22050, 44100)
-
-    def batches(it):
-        import pandas as pd
-
-        for pdf in it:
-            rows = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                n = 48 + d % 40
-                v = ((d * 17 + 37 * np.arange(n, dtype=np.int64)) % 65536) - 32768
-                blob = multimodal.encode_aiff(
-                    v.astype(np.int16), rate=RATES[d % 4]
-                )
-                rate, samples = multimodal.decode_aiff(blob)
-                rows.append((d, rate, len(samples), int(samples.astype(np.int64).sum())))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "sample_rate", "n_samples", "sample_sum"]
-            )
-
     docs = load_table(spark, sf_dir, "documents")
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return (
-        docs.select("doc_id")
-        .repartition(n_parts)
-        .mapInPandas(
-            batches,
-            "doc_id BIGINT, sample_rate INT, n_samples INT, sample_sum BIGINT",
-        )
-        .orderBy("doc_id")
-    )
+    return multimodal.aiff_decode_features(
+        multimodal.synthetic_aiff_media(docs)
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -1036,6 +1036,52 @@ def test_aiff_roundtrip_and_f80_rates():
             assert np.array_equal(s2, s)
 
 
+def test_f80_decode_shift_exact_and_gated():
+    import struct
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    # exact beyond 53 mantissa bits — a float round-trip would lose this
+    big = (1 << 62) + 1
+    assert mm._f80_decode(mm._f80_encode(big)) == big
+    assert mm._f80_decode(b"\x00" * 10) == 0
+    # denormal (exp==0, mant!=0) raises instead of misdecoding
+    with pytest.raises(ValueError, match="denormal"):
+        mm._f80_decode(struct.pack(">HQ", 0, 123))
+    # fractional rate (exp biased below integer range) raises
+    with pytest.raises(ValueError, match="non-integer"):
+        mm._f80_decode(struct.pack(">HQ", 16383 - 1, 1 << 63))  # 0.5
+    # 44100.5: mantissa keeps a dropped bit below the integer point
+    e = 15  # 44100 < 2^16
+    mant = (44100 << (63 - e)) | (1 << (63 - e - 1))
+    with pytest.raises(ValueError, match="non-integer"):
+        mm._f80_decode(struct.pack(">HQ", 16383 + e, mant))
+    with pytest.raises(ValueError, match="negative"):
+        mm._f80_decode(struct.pack(">HQ", 0x8000 | (16383 + 3), 8 << 60))
+
+
+def test_aiff_media_split_decodes_via_separate_stage(spark):
+    """The media stage and decoder are separate operators (house codec
+    contract): decode features over synthetic media must match the
+    fixture formula computed independently."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    got = {
+        r["doc_id"]: r
+        for r in mm.aiff_decode_features(mm.synthetic_aiff_media(docs)).collect()
+    }
+    for d in range(12):
+        n = 48 + d % 40
+        v = ((d * 17 + 37 * np.arange(n, dtype=np.int64)) % 65536) - 32768
+        w = np.arange(1, n + 1, dtype=np.int64)
+        assert got[d]["sample_rate"] == mm.AIFF_FIXTURE_RATES[d % 4]
+        assert got[d]["n_samples"] == n
+        assert got[d]["checksum"] == int((w * v).sum())
+
+
 def test_aiff_malformed_rejected():
     import numpy as np
 
