@@ -17,6 +17,21 @@ from kinesis_stream_reader_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
+def _load_previous_bench(out_path: str, sf) -> dict[str, float]:
+    """Per-query walls from the last COMMITTED bench (the on-disk
+    bench_out.json is the previous round's committed artifact when the
+    driver runs this). Used only for the noise re-probe; empty dict
+    disables it (first run / sf mismatch)."""
+    try:
+        with open(out_path) as fh:
+            prev = json.load(fh)
+        if prev.get("sf") != sf:
+            return {}
+        return dict(prev.get("queries", {}))
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -88,12 +103,7 @@ def main() -> None:
     shuffle_parts = spark.conf.get("spark.sql.shuffle.partitions")
     preexisting_views = {r.name for r in spark.catalog.listTables()}
 
-    timings: dict[str, float] = {}
-    for name, fn in qs.items():
-        t0 = time.time()
-        # count() executes the full plan without driver-side materialization
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    def _cleanup() -> None:
         # Per-query hygiene so one query's residue never inflates a later
         # one: stray streams stopped, memory-sink temp views (whose rows
         # pin block-manager memory for the whole run otherwise) dropped,
@@ -108,17 +118,58 @@ def main() -> None:
         spark.catalog.clearCache()
         spark.conf.set("spark.sql.shuffle.partitions", shuffle_parts)
 
+    def _run_once(name: str) -> float:
+        t0 = time.time()
+        # count() executes the full plan without driver-side materialization
+        qs[name](spark, sf_dir).count()
+        wall = round(time.time() - t0, 3)
+        _cleanup()
+        return wall
+
+    timings: dict[str, float] = {}
+    for name in qs:
+        timings[name] = _run_once(name)
+
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
+    )
+
+    # --- Noise re-probe (round 7): a 478-query single-pass bench has
+    # ~±15% run-level noise, which exceeds a typical round's true perf
+    # delta. Any query whose in-bench wall moved >1.5x AND >0.5 s vs the
+    # previous committed bench is re-probed ISOLATED-WARM twice at the
+    # end of the run; the min re-probe wall is the query's confirmed
+    # cost. Only movers whose re-probe STILL exceeds the threshold are
+    # reported as confirmed_regressions — order/GC noise self-clears.
+    prev = _load_previous_bench(out_path, sf_val)
+    movers = [
+        n
+        for n, w in timings.items()
+        if n in prev and w > 1.5 * prev[n] and w - prev[n] > 0.5
+    ]
+    reprobe: dict[str, list[float]] = {}
+    confirmed: list[str] = []
+    for name in movers:
+        walls = [_run_once(name), _run_once(name)]
+        reprobe[name] = walls
+        best = min(walls)
+        if best > 1.5 * prev[name] and best - prev[name] > 0.5:
+            confirmed.append(name)
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+        "reprobe": reprobe,
+        "reprobe_prev": {n: prev[n] for n in movers},
+        "confirmed_regressions": confirmed,
     }
     # The full per-query JSON lands in bench_out.json so rounds can be
     # diffed query-by-query.
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json")
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     # The driver captures a ~2000-char TAIL of stdout, so a 320-query
@@ -135,6 +186,9 @@ def main() -> None:
         "sf": payload["sf"],
         "n_queries": len(timings),
         "queries": slowest,
+        # capped so the compact line stays inside the driver's tail window
+        "reprobe": dict(list(reprobe.items())[:10]),
+        "confirmed_regressions": confirmed[:10],
         "queries_full": "bench_out.json",
     }
     sys.stdout.flush()
