@@ -1251,6 +1251,82 @@ def knn_graph(
     return _block_topk_mips(emb, cand, k=k, blocks=blocks)
 
 
+def _topk_mips_cell(lpdf: pd.DataFrame, rpdf: pd.DataFrame, k: int) -> pd.DataFrame:
+    """One co-grouped cell of an exact-MIPS top-k: lpdf carries
+    (vec_id, qv), rpdf (cand_id, cv), both integer-quantized; emits the
+    cell-local top-k per query by (dot desc, cand_id asc), self rows
+    (vec_id == cand_id) excluded. Shared by the block-grid exact kernel
+    (_block_topk_mips) and the IVF-list-pruned kernel (ivf_knn_graph) —
+    one arithmetic, two pruning layouts."""
+    import numpy as np
+
+    # self-mask sentinel: far below any real dot (|dot| <= dims*|q|^2 ~
+    # 2^32) yet safely negatable — int64.min would overflow back to
+    # itself under the lexsort's negation and rank masked entries FIRST
+    neg_inf = -(1 << 62)
+    empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "dot_q": []})
+    if lpdf.empty or rpdf.empty:
+        return empty.astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "dot_q": "int64"}
+        )
+    # float64 GEMM on integer-valued matrices: every dot is an exact
+    # integer far below 2^53 (dims * |q|^2 ~ 2^32), and float64
+    # addition of exact integers under 2^53 is associative-exact, so
+    # BLAS gives bit-identical integers ~100x faster than numpy's
+    # non-BLAS int64 matmul path.
+    Q = np.array(lpdf["qv"].tolist(), dtype=np.float64)
+    qid = lpdf["vec_id"].to_numpy()
+    C = np.array(rpdf["cv"].tolist(), dtype=np.float64)
+    cid = rpdf["cand_id"].to_numpy()
+    # candidates sorted by id once per cell: column position then
+    # stands in for the id tie-break inside the composite key below
+    corder = np.argsort(cid, kind="stable")
+    C, cid = C[corder], cid[corder]
+    nc = C.shape[0]
+    kk = min(k, nc)
+    # composite int64 key = dot * npow + (reverse column position):
+    # argpartition on the KEY selects the top kk by (dot desc, id
+    # asc) EXACTLY — plain argpartition on dots broke ties at the
+    # kk-th dot arbitrarily, which the later global merge cannot
+    # repair (the dropped id-smaller candidate is gone). Bound:
+    # |dot| * npow < 2^62 holds for |dot| < 2^40 with cells up to
+    # 2^21 candidates — far beyond any per-cell size this grid
+    # produces (auto-sizing keeps cells ~1000 rows).
+    npow = 1 << int(max(nc - 1, 1)).bit_length()
+    colpos = np.arange(nc, dtype=np.int64)
+    # chunk the query side so the score matrix stays ~100 MB no
+    # matter how large the grid cell is (memory safety at scale)
+    chunk = max(1, (100 << 20) // (8 * max(1, nc)))
+    outs = []
+    for s in range(0, Q.shape[0], chunk):
+        D = Q[s : s + chunk] @ C.T
+        Di = D.astype(np.int64)
+        key = Di * npow + (nc - 1 - colpos)[None, :]
+        self_mask = qid[s : s + chunk, None] == cid[None, :]
+        key[self_mask] = neg_inf  # never selected ahead of real dots
+        Di[self_mask] = neg_inf
+        if kk < nc:
+            part = np.argpartition(key, -kk, axis=1)[:, -kk:]
+        else:
+            part = np.broadcast_to(np.arange(nc), key.shape).copy()
+        pk = np.take_along_axis(key, part, axis=1)
+        order = np.argsort(-pk, axis=1, kind="stable")
+        sel = np.take_along_axis(part, order, axis=1)
+        dot = np.take_along_axis(Di, sel, axis=1)
+        nbr = cid[sel]
+        keep = dot.ravel() != neg_inf
+        outs.append(
+            pd.DataFrame(
+                {
+                    "vec_id": np.repeat(qid[s : s + chunk], kk)[keep],
+                    "neighbor_id": nbr.ravel()[keep],
+                    "dot_q": dot.ravel()[keep],
+                }
+            )
+        )
+    return pd.concat(outs, ignore_index=True)
+
+
 def _block_topk_mips(
     queries: DataFrame, candidates: DataFrame, k: int, blocks: int | None
 ) -> DataFrame:
@@ -1301,71 +1377,8 @@ def _block_topk_mips(
         .join(F.broadcast(grid), "cb")
         .repartition(blocks * blocks, "qb", "cb")
     )
-    # self-mask sentinel: far below any real dot (|dot| <= dims*|q|^2 ~
-    # 2^32) yet safely negatable — int64.min would overflow back to
-    # itself under the lexsort's negation and rank masked entries FIRST
-    neg_inf = -(1 << 62)
-
     def block_topk(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"vec_id": [], "neighbor_id": [], "dot_q": []})
-        if lpdf.empty or rpdf.empty:
-            return empty.astype({"vec_id": "int64", "neighbor_id": "int64", "dot_q": "int64"})
-        # float64 GEMM on integer-valued matrices: every dot is an exact
-        # integer far below 2^53 (dims * |q|^2 ~ 2^32), and float64
-        # addition of exact integers under 2^53 is associative-exact, so
-        # BLAS gives bit-identical integers ~100x faster than numpy's
-        # non-BLAS int64 matmul path.
-        Q = np.array(lpdf["qv"].tolist(), dtype=np.float64)
-        qid = lpdf["vec_id"].to_numpy()
-        C = np.array(rpdf["cv"].tolist(), dtype=np.float64)
-        cid = rpdf["cand_id"].to_numpy()
-        # candidates sorted by id once per cell: column position then
-        # stands in for the id tie-break inside the composite key below
-        corder = np.argsort(cid, kind="stable")
-        C, cid = C[corder], cid[corder]
-        nc = C.shape[0]
-        kk = min(k, nc)
-        # composite int64 key = dot * npow + (reverse column position):
-        # argpartition on the KEY selects the top kk by (dot desc, id
-        # asc) EXACTLY — plain argpartition on dots broke ties at the
-        # kk-th dot arbitrarily, which the later global merge cannot
-        # repair (the dropped id-smaller candidate is gone). Bound:
-        # |dot| * npow < 2^62 holds for |dot| < 2^40 with cells up to
-        # 2^21 candidates — far beyond any per-cell size this grid
-        # produces (auto-sizing keeps cells ~1000 rows).
-        npow = 1 << int(max(nc - 1, 1)).bit_length()
-        colpos = np.arange(nc, dtype=np.int64)
-        # chunk the query side so the score matrix stays ~100 MB no
-        # matter how large the grid cell is (memory safety at scale)
-        chunk = max(1, (100 << 20) // (8 * max(1, nc)))
-        outs = []
-        for s in range(0, Q.shape[0], chunk):
-            D = Q[s : s + chunk] @ C.T
-            Di = D.astype(np.int64)
-            key = Di * npow + (nc - 1 - colpos)[None, :]
-            self_mask = qid[s : s + chunk, None] == cid[None, :]
-            key[self_mask] = neg_inf  # never selected ahead of real dots
-            Di[self_mask] = neg_inf
-            if kk < nc:
-                part = np.argpartition(key, -kk, axis=1)[:, -kk:]
-            else:
-                part = np.broadcast_to(np.arange(nc), key.shape).copy()
-            pk = np.take_along_axis(key, part, axis=1)
-            order = np.argsort(-pk, axis=1, kind="stable")
-            sel = np.take_along_axis(part, order, axis=1)
-            dot = np.take_along_axis(Di, sel, axis=1)
-            nbr = cid[sel]
-            keep = dot.ravel() != neg_inf
-            outs.append(
-                pd.DataFrame(
-                    {
-                        "vec_id": np.repeat(qid[s : s + chunk], kk)[keep],
-                        "neighbor_id": nbr.ravel()[keep],
-                        "dot_q": dot.ravel()[keep],
-                    }
-                )
-            )
-        return pd.concat(outs, ignore_index=True)
+        return _topk_mips_cell(lpdf, rpdf, k)
 
     partial = (
         left.groupBy("qb", "cb")
@@ -1380,6 +1393,309 @@ def _block_topk_mips(
             "vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "dot_q"
         )
         .orderBy("vec_id", "rank")
+    )
+
+
+def ivf_list_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-inverted-list EXACT-INTEGER sufficient statistics of the
+    milli-quantized vectors: (list_id, n, s, s2) with s[d] = sum of
+    member coordinates and s2 = |s|^2. The mean centroid is s/n, but
+    keeping the integer sum + count (instead of a float mean) makes
+    every downstream probe-ordering key a division of two exact
+    integers — bit-identical across engines, so the DuckDB oracle can
+    replay probe selection without float-summation-order hazards.
+
+    Plan shape: posexplode -> (list, pos) partial-agg -> re-assemble,
+    the ivf_centroids shuffle contract — (n_lists x dim) rows, row-count
+    independent. Exactness bound: |s2| <= dims * (members * 1000 *
+    max|coord|)^2 stays under 2^53 up to ~10^6 members/list at unit-norm
+    coords; beyond that the production index re-shards lists first."""
+    qv = embeddings.select(
+        F.col("label").alias("list_id"), _quantized_vec(F.col("embedding")).alias("qv")
+    )
+    sums = (
+        qv.select("list_id", F.posexplode("qv").alias("pos", "x"))
+        .groupBy("list_id", "pos")
+        .agg(F.sum("x").alias("sx"))
+        .groupBy("list_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "sx"))).alias("ps"))
+        .select("list_id", F.transform("ps", lambda s: s.getField("sx")).alias("s"))
+    )
+    counts = qv.groupBy("list_id").agg(F.count("*").alias("n"))
+    return sums.join(counts, "list_id").select(
+        "list_id",
+        "n",
+        "s",
+        F.aggregate(
+            F.col("s"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+        ).alias("s2"),
+    )
+
+
+def ivf_probes(
+    embeddings: DataFrame, nprobe: int = 2, metric: str = "ip"
+) -> DataFrame:
+    """Assign every vector its `nprobe` probed inverted lists, MAP-SIDE:
+    the per-list integer stats collapse to ONE broadcast row, and each
+    vector ranks all lists inside codegen array expressions (transform
+    -> array_sort -> slice) — zero shuffle for probe assignment, the
+    property that matters when every vector is a query (all-kNN).
+
+    Probe keys (deterministic: exact-int dot / exact-int count, one IEEE
+    division — both engines produce the bit-identical double):
+      - 'ip' (FAISS METRIC_INNER_PRODUCT probe): q . centroid
+        = dot(q, s) / n, descending.
+      - 'l2' (FAISS METRIC_L2 probe): |q - centroid|^2 up to the
+        constant |q|^2 = s2/n^2 - 2 dot(q, s)/n, ascending.
+    Ties break on list_id. Output: (vec_id, qv, list_id), each vector
+    replicated nprobe times."""
+    if metric not in ("ip", "l2"):
+        raise ValueError(f"unknown IVF probe metric {metric!r}")
+    stats = ivf_list_stats(embeddings).agg(
+        F.collect_list(F.struct("list_id", "n", "s", "s2")).alias("ls")
+    )
+    qv = embeddings.select("vec_id", _quantized_vec(F.col("embedding")).alias("qv"))
+
+    def dot_e(e):
+        return F.aggregate(
+            F.zip_with(F.col("qv"), e["s"], lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    if metric == "ip":
+        # bigger = closer: sort key descending
+        def key(e):
+            return dot_e(e).cast("double") / e["n"]
+
+        ascending = False
+    else:
+        def key(e):
+            return e["s2"].cast("double") / (e["n"] * e["n"]) - (
+                dot_e(e) * F.lit(2)
+            ).cast("double") / e["n"]
+
+        ascending = True
+
+    scored = F.transform(
+        F.col("ls"),
+        lambda e: F.struct(key(e).alias("key"), e["list_id"].alias("list_id")),
+    )
+
+    def cmp(a, b):
+        first = a["key"] < b["key"] if ascending else a["key"] > b["key"]
+        last = a["key"] > b["key"] if ascending else a["key"] < b["key"]
+        return (
+            F.when(first, F.lit(-1))
+            .when(last, F.lit(1))
+            .when(a["list_id"] < b["list_id"], F.lit(-1))
+            .when(a["list_id"] > b["list_id"], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    return (
+        qv.join(F.broadcast(stats))
+        .select(
+            "vec_id",
+            "qv",
+            F.slice(F.array_sort(scored, cmp), 1, nprobe).alias("top"),
+        )
+        .select(
+            "vec_id",
+            "qv",
+            F.explode(F.transform("top", lambda e: e["list_id"])).alias("list_id"),
+        )
+    )
+
+
+def ivf_knn_graph(
+    embeddings: DataFrame, k: int = 5, nprobe: int = 2
+) -> DataFrame:
+    """IVF-PRUNED all-kNN by quantized inner product — the production
+    twin of knn_graph. Where the exact kernel runs every (query-block x
+    candidate-block) grid cell (quadratic), this runs ONE cell per
+    (probed list): each vector scores only the members of its `nprobe`
+    nearest lists, so total GEMM work is ~nprobe * N * (N / n_lists) —
+    linear in N once lists scale with the corpus, the documented scale
+    path ('ann_ivf's list_id replaces the hash block').
+
+    Same arithmetic as knn_graph (the shared _topk_mips_cell), same
+    output contract (vec_id, rank, neighbor_id, dot_q); results differ
+    from the exact graph only where a true neighbor lives outside the
+    probed lists — measure that with ivf_knn_edge_recall before
+    deploying a (k, nprobe) setting.
+
+    Plan shape / 100 TB: probe assignment is map-side (ivf_probes);
+    the shuffle is ONE list_id-keyed cogroup whose left side carries
+    nprobe x N rows; candidates move once. A pair can't appear twice
+    (each candidate lives in exactly one list). At scale list_id is the
+    table's partition key, so the cogroup co-locates with the layout."""
+    probes = ivf_probes(embeddings, nprobe=nprobe, metric="ip")
+    cand = embeddings.select(
+        F.col("label").alias("list_id"),
+        F.col("vec_id").alias("cand_id"),
+        _quantized_vec(F.col("embedding")).alias("cv"),
+    )
+    partial = _ivf_list_grid_topk(probes, cand, embeddings, k)
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot_q").desc(), "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id", F.col("rank").cast("int").alias("rank"), "neighbor_id", "dot_q"
+        )
+        .orderBy("vec_id", "rank")
+    )
+
+
+def _ivf_list_grid_topk(
+    probes: DataFrame, cand: DataFrame, embeddings: DataFrame, k: int
+) -> DataFrame:
+    """The IVF cogroup with SUB-BLOCKED list cells: a corpus with few
+    inverted lists (the 10-label fixture; any under-sharded index)
+    yields only n_lists cogroup cells — starving a 32-core executor and
+    leaving each cell's GEMM huge. Each (query-side, candidate-side)
+    list cell is therefore split into a B x B hash grid exactly like
+    _block_topk_mips's (the per-cell top-k then global merge argument
+    makes the result invariant in B), restoring L * B^2-way
+    parallelism while keeping the nprobe/L pruning.
+
+    B auto-sizes to ~1000-candidate cells from one metadata-cheap agg
+    (count + distinct labels) — an eager action, same contract as
+    knn_graph's auto grid. `probes` must carry (list_id, vec_id, qv),
+    `cand` (list_id, cand_id, cv)."""
+    import math
+
+    spark = embeddings.sparkSession
+    n, n_lists = (
+        embeddings.agg(
+            F.count("*").alias("n"), F.countDistinct("label").alias("l")
+        ).first()
+    )
+    b = max(1, min(8, math.ceil(n / max(int(n_lists), 1) / 1000)))
+    if b == 1:
+        return (
+            probes.groupBy("list_id")
+            .cogroup(cand.groupBy("list_id"))
+            .applyInPandas(
+                lambda lpdf, rpdf: _topk_mips_cell(lpdf, rpdf, k),
+                "vec_id BIGINT, neighbor_id BIGINT, dot_q BIGINT",
+            )
+        )
+    grid = spark.range(b * b).select(
+        F.pmod(F.col("id"), F.lit(b)).cast("int").alias("qb"),
+        F.floor(F.col("id") / b).cast("int").alias("cb"),
+    )
+    n_cells = int(n_lists) * b * b
+    left = (
+        probes.withColumn("qb", F.pmod(F.col("vec_id"), F.lit(b)).cast("int"))
+        .join(F.broadcast(grid), "qb")
+        .repartition(n_cells, "list_id", "qb", "cb")
+    )
+    right = (
+        cand.withColumn("cb", F.pmod(F.col("cand_id"), F.lit(b)).cast("int"))
+        .join(F.broadcast(grid), "cb")
+        .repartition(n_cells, "list_id", "qb", "cb")
+    )
+    return (
+        left.groupBy("list_id", "qb", "cb")
+        .cogroup(right.groupBy("list_id", "qb", "cb"))
+        .applyInPandas(
+            lambda lpdf, rpdf: _topk_mips_cell(lpdf, rpdf, k),
+            "vec_id BIGINT, neighbor_id BIGINT, dot_q BIGINT",
+        )
+    )
+
+
+def ivf_knn_l2(embeddings: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
+    """IVF-pruned exact-L2 kNN within probed lists: (vec_id,
+    neighbor_id, dq) with dq = round(sqrt(d2)) on exact-integer d2 —
+    the pruned candidate generator for density-based reports (LOF).
+    Probing uses the L2 centroid key; within candidates the classic
+    MIPS reduction (query -> (2v, 1), candidate -> (v, -|c|^2)) turns
+    argmin-d2 into argmax-dot so the shared cell kernel applies
+    unchanged, then d2 = |a|^2 - dot_q."""
+    probes = ivf_probes(embeddings, nprobe=nprobe, metric="l2")
+    left = probes.select(
+        "list_id",
+        "vec_id",
+        F.concat(
+            F.transform("qv", lambda x: x * F.lit(2)),
+            F.array(F.lit(1).cast("long")),
+        ).alias("qv"),
+    )
+    qv = embeddings.select(
+        "vec_id",
+        F.col("label").alias("list_id"),
+        _quantized_vec(F.col("embedding")).alias("v"),
+    )
+    n2 = qv.select(
+        "vec_id",
+        F.aggregate(
+            F.transform("v", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("nn"),
+    )
+    cand = qv.join(n2, "vec_id").select(
+        "list_id",
+        F.col("vec_id").alias("cand_id"),
+        F.concat(F.col("v"), F.array(-F.col("nn"))).alias("cv"),
+    )
+    partial = _ivf_list_grid_topk(left, cand, embeddings, k)
+    w = Window.partitionBy("vec_id").orderBy(F.col("dot_q").desc(), "neighbor_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .join(n2, "vec_id")
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.floor(
+                F.sqrt((F.col("nn") - F.col("dot_q")).cast("double")) + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("dq"),
+        )
+    )
+
+
+def lof_from_knn(knn: DataFrame, k: int = 5) -> DataFrame:
+    """Breunig et al. LOF chain over ANY (vec_id, neighbor_id, dq) kNN
+    relation — reachability distances, integer lrd (5e12 DIV sum-reach),
+    integer LOF ratios; the arithmetic of lof_outlier_scores verbatim so
+    the exact and IVF-pruned reports share one scoring definition.
+    Everything after the kNN is three vec_id-keyed joins over k-bounded
+    rows — linear."""
+    kd = knn.groupBy("vec_id").agg(F.max("dq").alias("k_dist"))
+    reach = knn.join(
+        kd.select(F.col("vec_id").alias("neighbor_id"), F.col("k_dist").alias("kd_b")),
+        "neighbor_id",
+    ).select("vec_id", F.greatest(F.col("kd_b"), F.col("dq")).alias("r"))
+    lrd = reach.groupBy("vec_id").agg(
+        F.expr("5000000000000L DIV GREATEST(SUM(r), 1L)").alias("lrd_q")
+    )
+    lof = (
+        knn.join(
+            lrd.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("lrd_q").alias("lrd_b")
+            ),
+            "neighbor_id",
+        )
+        .join(lrd, "vec_id")
+        .groupBy("vec_id", "lrd_q")
+        .agg(F.expr(f"SUM(lrd_b) * 1000000L DIV ({k} * FIRST(lrd_q))").alias("lof_q"))
+    )
+    return (
+        lof.join(kd, "vec_id")
+        .select(
+            "vec_id",
+            F.col("k_dist").cast("long").alias("k_dist"),
+            (
+                F.floor(F.col("lof_q").cast("double") / 1e6 * 1e4 + F.lit(0.5)) / 1e4
+            ).alias("lof"),
+        )
+        .orderBy("vec_id")
     )
 
 

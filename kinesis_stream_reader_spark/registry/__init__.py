@@ -39,6 +39,7 @@ from . import r3_eval_winnow  # noqa: E402,F401
 from . import r4_surface  # noqa: E402,F401
 from . import r5_codecs_eval  # noqa: E402,F401
 from . import r6_round6  # noqa: E402,F401
+from . import r7_round7  # noqa: E402,F401
 
 # Back-compat re-exports (callers use registry.<name> for these).
 from .r1_parity_ext import records_pipeline  # noqa: E402,F401
@@ -70,6 +71,7 @@ EAGER_QUERIES = frozenset(
         "pagerank_converged", "personalized_pagerank", "harmonic_centrality",
         "hyperball_neighborhood", "kcore_decomposition", "kcore_bounded",
         "knn_graph", "knn_graph_components", "lof_outlier_scores",
+        "ivf_knn_recall_report", "hubness_report_ivf", "lof_outlier_scores_ivf",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
         "dbscan_grid_clusters", "split_group_aware", "split_semantic_leakage",
@@ -106,6 +108,11 @@ _PRIORITY = [
     # paths CHANGED this round (vertex-restricted dedup_components
     # callers, staged winnowing hashes, lazy-checkpoint driver loops),
     # then the rotation of previously-verified queries. Nothing dropped.
+    # ROUND-7 ROTATION: new round-7 queries lead (never driver-checked),
+    # then the round-7-touched legs (G.711 sign fix, AIFF split), then
+    # the r6 rotation.
+    "hubness_report_ivf", "lof_outlier_scores_ivf", "ivf_knn_recall_report",
+    "multimodal_g711_decode", "multimodal_aiff_decode",
     # ROUND-6 ROTATION: new round-6 queries lead (never driver-checked),
     # then the round-6-touched eval kernels, then the r5 rotation.
     "multimodal_qoi_decode", "fim_transform",

