@@ -361,15 +361,187 @@ def decode_image(data: bytes):
     )
 
 
-def encode_tiff(arr, big_endian: bool = False, rows_per_strip: int = 4) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline uncompressed TIFF 6.0 (public
-    spec): header, one IFD with the required baseline tags, multiple
-    strips. Both byte orders supported (II little / MM big) — the
-    fixture twin of decode_tiff."""
+def _packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits (spec §9 / Apple byte-run RLE): literal runs get a
+    header byte n-1 (0..127), repeat runs of length 2..128 get 1-n
+    (-1..-127); -128 is a noop the decoder must skip. Greedy reference
+    strategy: break a literal for any repeat of 3+, or a 2-repeat at
+    the start."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the repeat run at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 2:
+            out.append((1 - run) & 0xFF)
+            out.append(data[i])
+            i = j
+            continue
+        # literal run: until the next 2-repeat starts, max 128
+        j = i + 1
+        while j < n and j - i < 128 and not (j + 1 < n and data[j] == data[j + 1]):
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int | None = None) -> bytes:
+    """TIFF PackBits decode (spec §9): n in 0..127 -> copy n+1 literal
+    bytes; n in -127..-1 -> repeat next byte 1-n times; -128 noop."""
+    out = bytearray()
+    i = 0
+    while i < len(data) and (expected is None or len(out) < expected):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n == -128:
+            continue
+        if n >= 0:
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits literal run truncated")
+            out += data[i : i + n + 1]
+            i += n + 1
+        else:
+            if i >= len(data):
+                raise ValueError("PackBits repeat run truncated")
+            out += bytes([data[i]]) * (1 - n)
+            i += 1
+    if expected is not None and len(out) != expected:
+        raise ValueError("PackBits output length mismatch")
+    return bytes(out)
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """TIFF-variant LZW (spec §13): 8-bit symbols, ClearCode=256,
+    EOI=257, first table code 258, MSB-first bit packing, 12-bit cap
+    with a ClearCode reset at NextCode 4094, and the TIFF 'early
+    change': code width bumps one code EARLIER than GIF's — the spec's
+    'as soon as NextCode equals 511, switch to 10-bit codes' (encoder
+    bumps after ASSIGNING code 2^width - 2; the decoder, whose table
+    lags one entry, after assigning 2^width - 3). Cross-validated
+    against the JDK ImageIO TIFF codec in tests."""
+    clear, eoi = 256, 257
+
+    def reset():
+        return {(i,): i for i in range(256)}, 258, 9
+
+    table, next_code, width = reset()
+    out_bits: list[tuple[int, int]] = [(clear, width)]
+    w: tuple[int, ...] = ()
+    for c in data:
+        wc = w + (c,)
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = next_code
+        next_code += 1
+        # early change: one code earlier than GIF's late change (the
+        # encoder bumps after assigning code 2^width - 1, so the code
+        # FOLLOWING that assignment is already wider) — verified
+        # against the JDK ImageIO TIFF codec in both directions
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:  # spec: emit ClearCode when NextCode is 4094
+            out_bits.append((clear, width))
+            table, next_code, width = reset()
+        w = (c,)
+    if w:
+        out_bits.append((table[w], width))
+    out_bits.append((eoi, width))
+    # MSB-first packing (GIF packs LSB-first; TIFF the opposite)
+    acc = nbits = 0
+    out = bytearray()
+    for code, cw in out_bits:
+        acc = (acc << cw) | code
+        nbits += cw
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, expected: int | None = None) -> bytes:
+    """TIFF-variant LZW decoder (spec §13): MSB-first codes, 9->12 bit
+    widths with the early change one entry below the encoder's
+    threshold (the decoder's table lags one entry, so it bumps after
+    assigning 2^width - 3 to stay code-aligned), ClearCode resets,
+    stops at EOI or when `expected` bytes are out (libtiff tolerates
+    strips that omit EOI)."""
+    clear, eoi = 256, 257
+    acc = nbits = pos = 0
+    width = 9
+
+    def read_code():
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                return eoi  # strip ended without EOI: treat as end
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        acc &= (1 << nbits) - 1
+        return code
+
+    dict_: dict[int, tuple[int, ...]] = {}
+    next_code = 258
+    out = bytearray()
+    prev: tuple[int, ...] | None = None
+    while expected is None or len(out) < expected:
+        code = read_code()
+        if code == clear:
+            dict_ = {i: (i,) for i in range(256)}
+            next_code = 258
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = dict_[code]
+        elif code in dict_:
+            entry = dict_[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        out += bytes(entry)
+        if prev is not None:
+            dict_[next_code] = prev + (entry[0],)
+            next_code += 1
+            # decoder early change: one entry below the encoder's rule
+            # (the decoder's table lags one entry behind the encoder's)
+            if next_code == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    if expected is not None and len(out) != expected:
+        raise ValueError("TIFF LZW output length mismatch")
+    return bytes(out)
+
+
+def encode_tiff(
+    arr, big_endian: bool = False, rows_per_strip: int = 4, compression: int = 1
+) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline TIFF 6.0 (public spec): header,
+    one IFD with the required baseline tags, multiple strips. Both byte
+    orders supported (II little / MM big); compression 1 = none,
+    5 = LZW (§13), 32773 = PackBits (§9), applied per strip as the
+    spec requires — the fixture twin of decode_tiff."""
     import struct
 
     import numpy as np
 
+    if compression not in (1, 5, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}")
     e = ">" if big_endian else "<"
     arr = np.asarray(arr, dtype=np.uint8)
     h, w, _ = arr.shape
@@ -378,6 +550,10 @@ def encode_tiff(arr, big_endian: bool = False, rows_per_strip: int = 4) -> bytes
         arr[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
         for i in range(nstrips)
     ]
+    if compression == 5:
+        strips = [_lzw_encode_tiff(s) for s in strips]
+    elif compression == 32773:
+        strips = [_packbits_encode(s) for s in strips]
     # layout: header(8) | strip data | BitsPerSample value(6) |
     # StripOffsets array | StripByteCounts array | IFD
     pos = 8
@@ -404,7 +580,7 @@ def encode_tiff(arr, big_endian: bool = False, rows_per_strip: int = 4) -> bytes
         entry(256, 4, 1, long_val(w)),       # ImageWidth
         entry(257, 4, 1, long_val(h)),       # ImageLength
         entry(258, 3, 3, long_val(bits_off)),  # BitsPerSample -> offset
-        entry(259, 3, 1, short_val(1)),      # Compression: none
+        entry(259, 3, 1, short_val(compression)),
         entry(262, 3, 1, short_val(2)),      # Photometric: RGB
         entry(273, 4, nstrips, long_val(so_off if nstrips > 1 else strip_offsets[0])),
         entry(277, 3, 1, short_val(3)),      # SamplesPerPixel
@@ -430,9 +606,11 @@ def encode_tiff(arr, big_endian: bool = False, rows_per_strip: int = 4) -> bytes
 def decode_tiff(data: bytes):
     """REAL baseline TIFF 6.0 decode, pure stdlib + numpy: both byte
     orders, first-IFD tag walk (width/length/bits/compression/
-    photometric/strip layout/planar config), multi-strip uncompressed
-    chunky RGB assembly. Raises NotImplementedError for compressed,
-    planar, tiled or non-8-bit streams rather than guessing."""
+    photometric/strip layout/planar config), multi-strip chunky RGB
+    assembly with per-strip decompression — none (1), LZW (5, §13
+    incl. the early-change width rule), PackBits (32773, §9). Raises
+    NotImplementedError for other compressions, planar, tiled or
+    non-8-bit streams rather than guessing."""
     import struct
 
     import numpy as np
@@ -459,8 +637,11 @@ def decode_tiff(data: bytes):
         fmt = {1: "B", 3: "H", 4: "I"}.get(typ, "B")
         tags[tag] = list(struct.unpack_from(f"{e}{count}{fmt}", data, ptr))
     w, h = tags[256][0], tags[257][0]
-    if tags.get(259, [1])[0] != 1:
-        raise NotImplementedError("compressed TIFF not supported")
+    compression = tags.get(259, [1])[0]
+    if compression not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression} not supported (have none/LZW/PackBits)"
+        )
     if tags.get(284, [1])[0] != 1:
         raise NotImplementedError("planar TIFF not supported")
     if 322 in tags or 323 in tags:
@@ -468,7 +649,18 @@ def decode_tiff(data: bytes):
     if tags.get(258, [8])[:3] != [8, 8, 8] or tags.get(277, [3])[0] != 3:
         raise NotImplementedError("only 8-bit chunky RGB TIFF supported")
     offsets, counts = tags[273], tags[279]
-    raw = b"".join(data[o : o + c] for o, c in zip(offsets, counts))
+    rows_per_strip = tags.get(278, [h])[0]
+    pieces = []
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = nrows * w * 3
+        raw = data[o : o + c]
+        if compression == 5:
+            raw = _lzw_decode_tiff(raw, expected)
+        elif compression == 32773:
+            raw = _packbits_decode(raw, expected)
+        pieces.append(raw)
+    raw = b"".join(pieces)
     if len(raw) != w * h * 3:
         raise ValueError("TIFF strip data does not match dimensions")
     return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).copy()

@@ -243,3 +243,82 @@ def ivf_knn_recall_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlap",
         F.round(F.col("n_overlap") / F.col("n_exact_edges"), 4).alias("edge_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 7 — compressed TIFF (6.0 public spec): LZW (§13, incl. the
+# early-change width rule and MSB-first packing) and PackBits (§9),
+# closing decode_tiff's compression gate — most real scanned TIFFs are
+# LZW or PackBits. Both directions cross-validated against the JDK
+# ImageIO TIFF codec (an independent implementation, so a symmetric
+# early-change off-by-one cannot hide the way a roundtrip-only test
+# would allow).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_tiff_lzw_decode",
+    """
+WITH dims AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 120 ELSE 8 + doc_id % 5 END AS w,
+         CASE WHEN doc_id % 5 = 0 THEN 112 ELSE 6 + doc_id % 3 END AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 7 + 9 * i.i + ((3 * i.i) * (3 * i.i)) % 31) % 256 AS r,
+         (doc_id * 7 + 9 * i.i + 3
+          + ((3 * i.i + 1) * (3 * i.i + 1)) % 31) % 256 AS g,
+         (doc_id * 7 + 9 * i.i + 6
+          + ((3 * i.i + 2) * (3 * i.i + 2)) % 31) % 256 AS b
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_tiff_lzw_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-TIFF decode (multimodal.decode_tiff with the
+    round-7 LZW/PackBits strip decompression): compression rotates per
+    doc (even doc_ids LZW, odd PackBits), byte order rotates
+    independently, and every 5th doc is a 120x112 single-strip image
+    whose quasi-random pixels drive the LZW table through ALL width
+    bumps (9->10->11->12) and the NextCode-4094 ClearCode reset — the
+    early-change machinery executes inside the query, not just in
+    pytest. Position-weighted checksum catches strip mis-assembly and
+    de-permutation errors. Map-side Arrow decode; scalar-only shuffle.
+
+    Plan shape / 100 TB: per-strip decompression is map-only; per-doc
+    scalars shuffle — scan-linear like every codec leg."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 5 == 0:
+                    w, h, rps = 120, 112, 112  # one strip: all width bumps
+                else:
+                    w, h, rps = 8 + d % 5, 6 + d % 3, 1 + d % 4
+                i = np.arange(w * h * 3, dtype=np.int64)
+                pix = (d * 7 + 3 * i + (i * i) % 31) % 256
+                blobs.append(
+                    multimodal.encode_tiff(
+                        pix.astype(np.uint8).reshape(h, w, 3),
+                        big_endian=bool((d // 2) % 2),
+                        rows_per_strip=rps,
+                        compression=5 if d % 2 == 0 else 32773,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

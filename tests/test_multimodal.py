@@ -3,6 +3,8 @@ features, stubbed codecs."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from kinesis_stream_reader_spark.operators import multimodal
@@ -929,11 +931,13 @@ def test_tiff_unsupported_forms_gated():
 
     arr = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
     blob = bytearray(mm.encode_tiff(arr))
-    # flip the Compression SHORT (tag 259) to 5 (LZW): must be gated
+    # flip the Compression SHORT (tag 259) to 7 (JPEG-in-TIFF): LZW (5)
+    # and PackBits (32773) are REAL since round 7, so the gate narrowed
+    # to the still-unimplemented compressions
     idx = blob.find(struct.pack("<HHI", 259, 3, 1))
     assert idx > 0
-    blob[idx + 8] = 5
-    with pytest.raises(NotImplementedError, match="compressed"):
+    blob[idx + 8] = 7
+    with pytest.raises(NotImplementedError, match="compression 7"):
         mm.decode_tiff(bytes(blob))
 
 
@@ -1096,3 +1100,148 @@ def test_aiff_malformed_rejected():
     stereo[comm : comm + 2] = (0, 2)
     with pytest.raises(ValueError, match="PCM16 mono"):
         mm.decode_aiff(bytes(stereo))
+
+
+# --------------------------------------------------------------------------
+# Compressed TIFF: LZW + PackBits (round 7)
+# --------------------------------------------------------------------------
+def test_packbits_reference_vectors():
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    # the spec's §9 worked example (Apple PackBits documentation):
+    # FE AA | 02 80 00 2A | FD AA | 03 80 00 2A 22 | F7 AA
+    enc = bytes.fromhex("FEAA0280002AFDAA0380002A22F7AA")
+    dec = bytes.fromhex("AAAAAA80002A" + "AA" * 4 + "80002A22" + "AA" * 10)
+    assert mm._packbits_decode(enc) == dec
+    # -128 is a noop the decoder must skip
+    assert mm._packbits_decode(b"\x80\x00A") == b"A"
+    # roundtrip across run/literal boundaries incl. >128 spans
+    for blob in [b"", b"A", b"A" * 200, bytes(range(256)) * 2, b"AB" * 130,
+                 b"A" * 3 + bytes(range(40)) + b"B" * 129]:
+        assert mm._packbits_decode(mm._packbits_encode(blob)) == blob
+
+
+def test_tiff_lzw_roundtrip_across_width_boundaries():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    # quasi-random 40 KB drives next_code through 511 / 1023 / 2047 and
+    # the NextCode-4094 ClearCode reset (verified by instrumentation)
+    i = np.arange(40_320, dtype=np.int64)
+    patterned = bytes(((3 * i + (i * i) % 31) % 256).astype(np.uint8))
+    noise = bytes(rng.randint(0, 256, 50_000, dtype=np.int64).astype(np.uint8))
+    for blob in [b"", b"A", patterned, noise, b"AB" * 30_000]:
+        assert mm._lzw_decode_tiff(mm._lzw_encode_tiff(blob), len(blob)) == blob
+
+
+def test_tiff_compressed_decode_both_orders_and_strips():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(9)
+    arr = rng.randint(0, 256, (40, 50, 3), dtype=np.uint8)
+    for comp in (1, 5, 32773):
+        for be in (False, True):
+            for rps in (3, 64):
+                blob = mm.encode_tiff(
+                    arr, big_endian=be, rows_per_strip=rps, compression=comp
+                )
+                assert np.array_equal(mm.decode_tiff(blob), arr)
+    # the gate is narrowed: unknown compressions still refuse honestly
+    import pytest as _pytest
+
+    blob = bytearray(mm.encode_tiff(arr))
+    # flip the Compression SHORT (tag 259) to 7 (JPEG-in-TIFF)
+    idx = blob.find((259).to_bytes(2, "little"))
+    blob[idx + 8] = 7
+    with _pytest.raises(NotImplementedError, match="compression 7"):
+        mm.decode_tiff(bytes(blob))
+
+
+def test_tiff_lzw_cross_validated_against_jdk_imageio(tmp_path):
+    """Independent-implementation check: the JDK's ImageIO TIFF codec
+    (Java 9+) must read our LZW/PackBits TIFFs pixel-exactly, and we
+    must read its — a symmetric early-change off-by-one would pass a
+    roundtrip test but fail here (the G.711 lesson)."""
+    import shutil
+    import struct
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    java_home = os.environ.get("JAVA_HOME", "")
+    javac = shutil.which("javac") or (
+        os.path.join(java_home, "bin", "javac") if java_home else None
+    )
+    if not javac or not os.path.exists(javac):
+        _pytest.skip("no JDK available for cross-validation")
+    java = os.path.join(os.path.dirname(javac), "java")
+    src = tmp_path / "TiffTool.java"
+    src.write_text(
+        """
+import javax.imageio.*; import javax.imageio.stream.*;
+import java.awt.image.*; import java.io.*; import java.util.Iterator;
+public class TiffTool {
+  public static void main(String[] a) throws Exception {
+    if (a[0].equals("decode")) {
+      BufferedImage img = ImageIO.read(new File(a[1]));
+      if (img == null) System.exit(2);
+      DataOutputStream o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(a[2])));
+      o.writeInt(img.getHeight()); o.writeInt(img.getWidth());
+      for (int y = 0; y < img.getHeight(); y++) for (int x = 0; x < img.getWidth(); x++) {
+        int p = img.getRGB(x, y);
+        o.writeByte((p>>16)&0xFF); o.writeByte((p>>8)&0xFF); o.writeByte(p&0xFF);
+      } o.close();
+    } else {
+      DataInputStream in = new DataInputStream(new BufferedInputStream(new FileInputStream(a[1])));
+      int h = in.readInt(), w = in.readInt();
+      BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB);
+      for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) {
+        int r = in.readUnsignedByte(), g = in.readUnsignedByte(), b = in.readUnsignedByte();
+        img.setRGB(x, y, (r<<16)|(g<<8)|b);
+      } in.close();
+      ImageWriter wr = ImageIO.getImageWritersByFormatName("tiff").next();
+      ImageWriteParam p = wr.getDefaultWriteParam();
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+      p.setCompressionType(a[3]);
+      ImageOutputStream ios = ImageIO.createImageOutputStream(new File(a[2]));
+      wr.setOutput(ios); wr.write(null, new IIOImage(img, null, null), p); ios.close();
+    }
+  }
+}
+"""
+    )
+    subprocess.run([javac, str(src)], check=True, cwd=tmp_path)
+    rng = np.random.RandomState(11)
+    arr = rng.randint(0, 256, (120, 100, 3), dtype=np.uint8)  # crosses 511/1023+
+
+    # ours -> JDK
+    for comp, cname in ((5, "LZW"), (32773, "PackBits")):
+        (tmp_path / "ours.tif").write_bytes(
+            mm.encode_tiff(arr, rows_per_strip=512, compression=comp)
+        )
+        subprocess.run(
+            [java, "TiffTool", "decode", "ours.tif", "out.raw"],
+            check=True, cwd=tmp_path,
+        )
+        raw = (tmp_path / "out.raw").read_bytes()
+        h, w = struct.unpack(">II", raw[:8])
+        got = np.frombuffer(raw[8:], dtype=np.uint8).reshape(h, w, 3)
+        assert np.array_equal(got, arr), cname
+
+    # JDK -> ours
+    raw = struct.pack(">II", *arr.shape[:2]) + arr.tobytes()
+    (tmp_path / "in.raw").write_bytes(raw)
+    for cname in ("LZW", "PackBits"):
+        subprocess.run(
+            [java, "TiffTool", "encode", "in.raw", "jdk.tif", cname],
+            check=True, cwd=tmp_path,
+        )
+        got = mm.decode_tiff((tmp_path / "jdk.tif").read_bytes())
+        assert np.array_equal(got, arr), cname
