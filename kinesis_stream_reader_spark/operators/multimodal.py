@@ -82,11 +82,56 @@ def _paeth(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def encode_png(arr, filter_for_row=None) -> bytes:
+# Adam7 interlace pass grid (PNG spec 8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_filter_scanlines(packed, bpp: int, filter_for_row=None) -> bytes:
+    """Filter a (h, stride) byte image into PNG scanlines (filter byte
+    + filtered bytes per row) — the shared encoder kernel for RGB,
+    paletted, and every Adam7 pass sub-image."""
+    import numpy as np
+
+    h, stride = packed.shape
+    lines = []
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        cur = packed[y]
+        ft = filter_for_row(y) % 5 if filter_for_row else 0
+        left = np.zeros(stride, dtype=np.int64)
+        ul = np.zeros(stride, dtype=np.int64)
+        if stride > bpp:
+            left[bpp:] = cur[:-bpp]
+            ul[bpp:] = prev[:-bpp]
+        pred = [0, left, prev, (left + prev) // 2, _paeth(left, prev, ul)][ft]
+        lines.append(bytes([ft]) + ((cur - pred) % 256).astype(np.uint8).tobytes())
+        prev = cur
+    return b"".join(lines)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def encode_png(arr, filter_for_row=None, interlace: bool = False) -> bytes:
     """(h, w, 3) uint8 -> PNG bytes, pure stdlib (zlib + struct): 8-bit
-    RGB (color type 2), no interlace, critical chunks only. Per-scanline
-    filter type comes from `filter_for_row(y)` (default 0/None) so
-    fixtures can exercise every filter the decoder must invert."""
+    RGB (color type 2), critical chunks only; optional Adam7 interlace
+    (spec 8.2: seven pass sub-images, each independently filtered).
+    Per-scanline filter type comes from `filter_for_row(y)` (default
+    0/None) so fixtures can exercise every filter the decoder must
+    invert."""
     import struct
     import zlib
 
@@ -94,38 +139,55 @@ def encode_png(arr, filter_for_row=None) -> bytes:
 
     h, w = arr.shape[0], arr.shape[1]
     raw = arr.astype(np.int64)
-    zero_px = np.zeros((1, 3), dtype=np.int64)
-    lines = []
-    for y in range(h):
-        cur = raw[y]
-        prev = raw[y - 1] if y else np.zeros((w, 3), dtype=np.int64)
-        ft = filter_for_row(y) % 5 if filter_for_row else 0
-        left = np.vstack([zero_px, cur[:-1]])
-        ul = np.vstack([zero_px, prev[:-1]])
-        pred = [
-            0,
-            left,
-            prev,
-            (left + prev) // 2,
-            _paeth(left, prev, ul),
-        ][ft]
-        lines.append(bytes([ft]) + ((cur - pred) % 256).astype(np.uint8).tobytes())
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
-        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    idat = zlib.compress(b"".join(lines))
-    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    if not interlace:
+        scan = _png_filter_scanlines(raw.reshape(h, w * 3), 3, filter_for_row)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = raw[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes NO bytes (spec 8.2)
+            parts.append(
+                _png_filter_scanlines(
+                    sub.reshape(sub.shape[0], sub.shape[1] * 3), 3, filter_for_row
+                )
+            )
+        scan = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    idat = zlib.compress(scan)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
 
 
-def encode_png_indexed(indices, palette, depth: int = 8, filter_for_row=None) -> bytes:
+def _pack_indices(idx, depth: int):
+    """(h, w) indices -> (h, stride) packed bytes at depth 8 or 4
+    (high nibble first per spec; trailing nibble zero-padded)."""
+    import numpy as np
+
+    h, w = idx.shape
+    if depth == 8:
+        return idx
+    if idx.max(initial=0) > 15:
+        raise ValueError("depth-4 PNG needs indices < 16")
+    padded = np.zeros((h, ((w + 1) // 2) * 2), dtype=np.int64)
+    padded[:, :w] = idx
+    return (padded[:, 0::2] << 4) | padded[:, 1::2]
+
+
+def encode_png_indexed(
+    indices, palette, depth: int = 8, filter_for_row=None, interlace: bool = False
+) -> bytes:
     """(h, w) palette indices + (n, 3) palette -> paletted PNG (color
     type 3) at depth 8 or 4, critical chunks + PLTE; per-scanline
     filter from `filter_for_row(y)` (filters act on packed BYTES at
-    sub-byte depths per spec 9.2). Fixture twin of the round-6
-    decode_png palette path."""
+    sub-byte depths per spec 9.2); optional Adam7 interlace (each pass
+    sub-image packs its own rows — a pass row's trailing nibble pads
+    independently, spec 8.2). Fixture twin of the decode_png palette
+    path."""
     import struct
     import zlib
 
@@ -133,101 +195,40 @@ def encode_png_indexed(indices, palette, depth: int = 8, filter_for_row=None) ->
 
     idx = np.asarray(indices, dtype=np.int64)
     h, w = idx.shape
-    if depth == 8:
-        packed = idx
+    if not interlace:
+        packed = _pack_indices(idx, depth)
+        scan = _png_filter_scanlines(packed, 1, filter_for_row)
     else:
-        if idx.max(initial=0) > 15:
-            raise ValueError("depth-4 PNG needs indices < 16")
-        padded = np.zeros((h, ((w + 1) // 2) * 2), dtype=np.int64)
-        padded[:, :w] = idx
-        packed = (padded[:, 0::2] << 4) | padded[:, 1::2]
-    stride = packed.shape[1]
-    lines = []
-    zero = np.zeros(1, dtype=np.int64)
-    for y in range(h):
-        cur = packed[y]
-        prev = packed[y - 1] if y else np.zeros(stride, dtype=np.int64)
-        ft = filter_for_row(y) % 5 if filter_for_row else 0
-        left = np.concatenate([zero, cur[:-1]])
-        ul = np.concatenate([zero, prev[:-1]])
-        pred = [0, left, prev, (left + prev) // 2, _paeth(left, prev, ul)][ft]
-        lines.append(bytes([ft]) + ((cur - pred) % 256).astype(np.uint8).tobytes())
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
-        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
-
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = idx[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                _png_filter_scanlines(_pack_indices(sub, depth), 1, filter_for_row)
+            )
+        scan = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 1 if interlace else 0)
     plte = np.asarray(palette, dtype=np.uint8).tobytes()
-    idat = zlib.compress(b"".join(lines))
+    idat = zlib.compress(scan)
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"PLTE", plte)
-        + chunk(b"IDAT", idat)
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
     )
 
 
-def decode_png(data: bytes):
-    """REAL PNG decode, pure stdlib: critical chunks
-    (IHDR/PLTE/IDAT/IEND), 8-bit RGB (color type 2) AND paletted
-    color type 3 at depths 8 and 4 (round 6), no interlace, ALL five
-    scanline filters (None/Sub/Up/Average/Paeth) inverted per spec
-    9.2 at the correct byte stride, chunk CRCs verified. Returns an
-    (h, w, 3) uint8 numpy array (palette applied).
-
+def _png_unfilter(raw, h: int, stride: int, bpp: int):
+    """Invert PNG scanline filters over h rows of (1 + stride) bytes —
+    the shared decoder kernel for RGB, paletted, and every Adam7 pass.
     Filters Up/None invert vectorized; Sub/Average/Paeth carry a
     left-pixel recurrence, so those scanlines walk pixels in Python —
     fine inside an Arrow batch of thumbnail-class fixtures, and the
     decode stage is map-only however slow the inner codec is."""
-    import struct
-    import zlib
-
     import numpy as np
 
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos, w = 8, None
-    idat = b""
-    plte = None
-    while pos + 8 <= len(data):
-        (size,) = struct.unpack(">I", data[pos : pos + 4])
-        ctype = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + size]
-        (crc,) = struct.unpack(">I", data[pos + 8 + size : pos + 12 + size])
-        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"bad CRC in {ctype!r} chunk")
-        if ctype == b"IHDR":
-            w, h, depth, ctyp, comp, filt, inter = struct.unpack(">IIBBBBB", body)
-            if (comp, filt, inter) != (0, 0, 0) or (depth, ctyp) not in (
-                (8, 2),
-                (8, 3),
-                (4, 3),
-            ):
-                raise NotImplementedError(
-                    "only 8-bit RGB and 8/4-bit paletted non-interlaced "
-                    "PNG supported in-sandbox"
-                )
-        elif ctype == b"PLTE":
-            if size % 3:
-                raise ValueError("PLTE length not a multiple of 3")
-            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += body
-        elif ctype == b"IEND":
-            break
-        pos += 12 + size
-    if w is None or not idat:
-        raise ValueError("missing IHDR/IDAT chunk")
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    # byte stride + filter unit (bpp): 3 for RGB; 1 for indexed (sub-
-    # byte depths filter on BYTES per spec 9.2)
-    if ctyp == 2:
-        stride, bpp = w * 3, 3
-    else:
-        stride = w if depth == 8 else (w + 1) // 2
-        bpp = 1
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
     out = np.zeros((h, stride), dtype=np.int64)
@@ -257,22 +258,123 @@ def decode_png(data: bytes):
                 cur[s:e] = (line[s:e] + pred) % 256
         else:
             raise ValueError(f"unknown filter type {ft}")
-    if ctyp == 2:
-        return out.astype(np.uint8).reshape(h, w, 3)
-    if plte is None:
-        raise ValueError("paletted PNG without PLTE")
+    return out
+
+
+def _unpack_indices(packed, w: int, depth: int):
+    """(h, stride) packed bytes -> (h, w) indices at depth 8 or 4."""
+    import numpy as np
+
     if depth == 8:
-        idx = out
-    else:  # depth 4: two pixels per byte, HIGH nibble first
-        hi = out >> 4
-        lo = out & 0x0F
-        idx = np.empty((h, stride * 2), dtype=np.int64)
-        idx[:, 0::2] = hi
-        idx[:, 1::2] = lo
-        idx = idx[:, :w]
-    if int(idx.max(initial=0)) >= len(plte):
-        raise ValueError("palette index out of range")
-    return plte[idx[:, :w]].astype(np.uint8)
+        return packed[:, :w]
+    hi = packed >> 4
+    lo = packed & 0x0F
+    idx = np.empty((packed.shape[0], packed.shape[1] * 2), dtype=np.int64)
+    idx[:, 0::2] = hi
+    idx[:, 1::2] = lo
+    return idx[:, :w]
+
+
+def decode_png(data: bytes):
+    """REAL PNG decode, pure stdlib: critical chunks
+    (IHDR/PLTE/IDAT/IEND), 8-bit RGB (color type 2) AND paletted
+    color type 3 at depths 8 and 4 (round 6), interlace methods 0 AND
+    Adam7 (round 7: seven independently-filtered pass sub-images
+    de-permuted per spec 8.2, incl. the per-pass trailing-nibble
+    packing at depth 4), ALL five scanline filters
+    (None/Sub/Up/Average/Paeth) inverted per spec 9.2 at the correct
+    byte stride, chunk CRCs verified. Returns an (h, w, 3) uint8
+    numpy array (palette applied)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = b""
+    plte = None
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + size]
+        (crc,) = struct.unpack(">I", data[pos + 8 + size : pos + 12 + size])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w, h, depth, ctyp, comp, filt, inter = struct.unpack(">IIBBBBB", body)
+            if (comp, filt) != (0, 0) or inter not in (0, 1) or (depth, ctyp) not in (
+                (8, 2),
+                (8, 3),
+                (4, 3),
+            ):
+                raise NotImplementedError(
+                    "only 8-bit RGB and 8/4-bit paletted PNG "
+                    "(interlace 0 or Adam7) supported in-sandbox"
+                )
+        elif ctype == b"PLTE":
+            if size % 3:
+                raise ValueError("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
+
+    def stride_for(width: int) -> int:
+        if ctyp == 2:
+            return width * 3
+        return width if depth == 8 else (width + 1) // 2
+
+    bpp = 3 if ctyp == 2 else 1
+    if ctyp == 3 and plte is None:
+        raise ValueError("paletted PNG without PLTE")
+
+    def to_pixels(packed, width):
+        """Unfiltered packed rows -> (rows, width) indices or
+        (rows, width, 3) RGB."""
+        if ctyp == 2:
+            return packed.reshape(packed.shape[0], width, 3)
+        idx = _unpack_indices(packed, width, depth)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("palette index out of range")
+        return idx
+
+    if inter == 0:
+        stride = stride_for(w)
+        out = _png_unfilter(raw, h, stride, bpp)
+        px = to_pixels(out, w)
+        if ctyp == 2:
+            return px.astype(np.uint8)
+        return plte[px].astype(np.uint8)
+
+    # Adam7: consume the seven pass sub-images in order, scatter each
+    # into the full-size pixel grid (the interlace de-permutation)
+    if ctyp == 2:
+        full = np.zeros((h, w, 3), dtype=np.int64)
+    else:
+        full = np.zeros((h, w), dtype=np.int64)
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp == 0 or hp == 0:
+            continue  # empty pass: zero bytes in the stream
+        sp = stride_for(wp)
+        nbytes = hp * (sp + 1)
+        sub = _png_unfilter(raw[off : off + nbytes], hp, sp, bpp)
+        off += nbytes
+        full[y0::dy, x0::dx] = to_pixels(sub, wp)
+    if off != len(raw):
+        raise ValueError("IDAT length does not match Adam7 pass layout")
+    if ctyp == 2:
+        return full.astype(np.uint8)
+    return plte[full].astype(np.uint8)
 
 
 def encode_bmp(arr) -> bytes:

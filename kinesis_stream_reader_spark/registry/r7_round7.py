@@ -322,3 +322,98 @@ def multimodal_tiff_lzw_decode_query(spark: SparkSession, sf_dir: str) -> DataFr
         batches, "doc_id BIGINT, data BINARY"
     )
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 7 — Adam7 interlaced PNG (spec 8.2): the seven-pass pixel
+# de-permutation composed with the existing filter inversion, closing
+# decode_png's interlace gate. Crawl corpora contain interlaced PNGs;
+# the position-weighted checksum catches pass mis-ordering and
+# scatter errors a byte mean would miss. Ours->JDK ImageIO
+# cross-validated in pytest (independent implementation).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_png_interlaced_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 12 + doc_id % 7 AS w, 10 + doc_id % 5 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         CASE doc_id % 3
+           WHEN 0 THEN (doc_id * 7 + 3 * i.i) % 256
+           WHEN 1 THEN (doc_id * 7 + i.i) % 256
+           ELSE (doc_id * 7 + i.i) % 16 END AS base
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+), rgb AS (
+  SELECT doc_id, w, h, p,
+         base AS r,
+         CASE WHEN doc_id % 3 = 0 THEN (base + 1) % 256
+              ELSE (base * 3) % 256 END AS g,
+         CASE WHEN doc_id % 3 = 0 THEN (base + 2) % 256
+              ELSE (base * 7) % 256 END AS b
+  FROM px
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM rgb GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_png_interlaced_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL Adam7-interlaced PNG decode (multimodal.decode_png round-7
+    interlace path): doc_id % 3 rotates RGB8 / paletted depth-8 /
+    paletted DEPTH-4 (per-pass trailing-nibble packing), dimensions
+    12-18 x 10-14 so all seven passes are non-empty, and the scanline
+    filter rotates with the row index inside every pass. Verified by
+    the position-weighted checksum. Map-side Arrow decode; scalar-only
+    shuffle — scan-linear like every codec leg."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        pal256 = np.array(
+            [(i, (i * 3) % 256, (i * 7) % 256) for i in range(256)],
+            dtype=np.uint8,
+        )
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 12 + d % 7, 10 + d % 5
+                if d % 3 == 0:
+                    pix = ((d * 7 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                    blobs.append(
+                        multimodal.encode_png(
+                            pix.reshape(h, w, 3),
+                            filter_for_row=lambda y: y,
+                            interlace=True,
+                        )
+                    )
+                elif d % 3 == 1:
+                    idx = ((d * 7 + np.arange(w * h)) % 256).reshape(h, w)
+                    blobs.append(
+                        multimodal.encode_png_indexed(
+                            idx, pal256, depth=8,
+                            filter_for_row=lambda y: y, interlace=True,
+                        )
+                    )
+                else:
+                    idx = ((d * 7 + np.arange(w * h)) % 16).reshape(h, w)
+                    blobs.append(
+                        multimodal.encode_png_indexed(
+                            idx, pal256[:16], depth=4,
+                            filter_for_row=lambda y: y, interlace=True,
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

@@ -69,7 +69,7 @@ def test_png_crc_and_grammar_errors():
         multimodal.decode_png(bytes(blob))
     with pytest.raises(ValueError, match="not a PNG"):
         multimodal.decode_png(b"\x00" * 16)
-    # 16-bit / paletted / interlaced stay honestly gated
+    # 16-bit stays honestly gated (palette + Adam7 are real now)
     import struct
     import zlib
 
@@ -1245,3 +1245,92 @@ public class TiffTool {
         )
         got = mm.decode_tiff((tmp_path / "jdk.tif").read_bytes())
         assert np.array_equal(got, arr), cname
+
+
+# --------------------------------------------------------------------------
+# Adam7 interlaced PNG (round 7)
+# --------------------------------------------------------------------------
+def test_png_adam7_roundtrip_all_shapes_filters_depths():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(5)
+    # degenerate sizes leave some passes EMPTY (zero bytes in stream)
+    for h, w in [(1, 1), (2, 3), (5, 9), (8, 8), (13, 17), (32, 24)]:
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for ff in [None, (lambda y: y), (lambda y: 4)]:
+            got = mm.decode_png(mm.encode_png(arr, filter_for_row=ff, interlace=True))
+            assert np.array_equal(got, arr), ("rgb", h, w)
+    for depth, nmax in [(8, 200), (4, 16)]:
+        pal = rng.randint(0, 256, (nmax, 3), dtype=np.uint8)
+        for h, w in [(1, 1), (3, 5), (7, 7), (13, 17), (9, 4)]:
+            idx = rng.randint(0, nmax, (h, w))
+            got = mm.decode_png(
+                mm.encode_png_indexed(
+                    idx, pal, depth=depth, filter_for_row=lambda y: y, interlace=True
+                )
+            )
+            assert np.array_equal(got, pal[idx]), ("pal", depth, h, w)
+
+
+def test_png_adam7_cross_validated_against_jdk_imageio(tmp_path):
+    """The JDK's ImageIO PNG reader must decode our Adam7 files
+    pixel-exactly — an independent implementation check on the pass
+    grid and per-pass packing (a self-consistent permutation error
+    would survive roundtrip tests)."""
+    import shutil
+    import struct
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    java_home = os.environ.get("JAVA_HOME", "")
+    javac = shutil.which("javac") or (
+        os.path.join(java_home, "bin", "javac") if java_home else None
+    )
+    if not javac or not os.path.exists(javac):
+        _pytest.skip("no JDK available for cross-validation")
+    java = os.path.join(os.path.dirname(javac), "java")
+    src = tmp_path / "PngDump.java"
+    src.write_text(
+        """
+import javax.imageio.*; import java.awt.image.*; import java.io.*;
+public class PngDump {
+  public static void main(String[] a) throws Exception {
+    BufferedImage img = ImageIO.read(new File(a[0]));
+    if (img == null) System.exit(2);
+    DataOutputStream o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(a[1])));
+    o.writeInt(img.getHeight()); o.writeInt(img.getWidth());
+    for (int y = 0; y < img.getHeight(); y++) for (int x = 0; x < img.getWidth(); x++) {
+      int p = img.getRGB(x, y);
+      o.writeByte((p>>16)&0xFF); o.writeByte((p>>8)&0xFF); o.writeByte(p&0xFF);
+    } o.close();
+  }
+}
+"""
+    )
+    subprocess.run([javac, str(src)], check=True, cwd=tmp_path)
+    rng = np.random.RandomState(17)
+
+    def jdk_decode(blob):
+        (tmp_path / "in.png").write_bytes(blob)
+        subprocess.run(
+            [java, "PngDump", "in.png", "out.raw"], check=True, cwd=tmp_path
+        )
+        raw = (tmp_path / "out.raw").read_bytes()
+        h, w = struct.unpack(">II", raw[:8])
+        return np.frombuffer(raw[8:], dtype=np.uint8).reshape(h, w, 3)
+
+    for h, w in [(5, 9), (32, 24), (60, 41)]:
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        blob = mm.encode_png(arr, filter_for_row=lambda y: y, interlace=True)
+        assert np.array_equal(jdk_decode(blob), arr), ("rgb", h, w)
+    for depth, nmax in [(8, 200), (4, 16)]:
+        pal = rng.randint(0, 256, (nmax, 3), dtype=np.uint8)
+        idx = rng.randint(0, nmax, (13, 17))
+        blob = mm.encode_png_indexed(idx, pal, depth=depth, interlace=True)
+        assert np.array_equal(jdk_decode(blob), pal[idx]), ("pal", depth)
