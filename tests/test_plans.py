@@ -385,3 +385,56 @@ def test_wer_hashes_only_pair_members(spark, sf_dir, qs):
     plan = physical_plan(qs["wer_pairs_report"](spark, sf_dir))
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_day_hour_partitioned_events_prune_files(spark, sf_dir, tmp_path):
+    """The 100 TB layout contract: events hive-partitioned by
+    (day, hour) must answer a time-ranged query by LISTING only the
+    matching directories — PartitionFilters in the plan carry the
+    day/hour bounds, the ts range still pushes into the scan, and the
+    files actually read are the pruned subset, not the full layout.
+    This is the file-count lever that keeps filter_time_range /
+    records_pipeline / agg_by_day flat as the table grows 100x."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from kinesis_stream_reader_spark.sources.tables import load_events
+
+    out = str(tmp_path / "events_dayhour")
+    ev = load_events(spark, sf_dir)
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .withColumn("hour", F.hour("ts"))
+        .write.partitionBy("day", "hour")
+        .parquet(out)
+    )
+    pe = spark.read.parquet(out)
+    n_parts = pe.select("day", "hour").distinct().count()
+    assert n_parts > 100  # a real multi-directory layout
+
+    lo, hi = "2024-01-05 06:00:00", "2024-01-05 10:00:00"
+    pruned = pe.filter(
+        (F.col("day") == "2024-01-05")
+        & F.col("hour").between(6, 9)
+        & (F.col("ts") >= lo)
+        & (F.col("ts") < hi)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.groupBy("event_type").count().explain("formatted")
+    plan = buf.getvalue()
+    pf_line = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+    assert "day" in pf_line and "hour" in pf_line and "2024-01-05" in pf_line
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(ts" in plan
+
+    # files actually read = only the 4 matching hour directories
+    files_read = pruned.select(F.input_file_name().alias("f")).distinct().count()
+    files_total = pe.select(F.input_file_name().alias("f")).distinct().count()
+    assert files_read <= 4 * (files_total // n_parts + 1)
+    assert files_read < files_total / 50
+
+    # and the pruned read answers exactly what the monolith answers
+    want = ev.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).count()
+    assert pruned.count() == want
