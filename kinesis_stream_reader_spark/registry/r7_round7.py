@@ -417,3 +417,105 @@ def multimodal_png_interlaced_decode_query(
         batches, "doc_id BIGINT, data BINARY"
     )
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 7 — streaming calibration monitor: Expected Calibration Error
+# on the watermarked hourly census, completing the streaming guardrail
+# family (SPRT, OBF, drift, quarantine, A/B) with the calibration leg.
+# Same exact-integer ECE algebra as the batch ece_report (|1e6*k - sp|
+# per bin, the float divisions cancel), per HOUR — the report a model
+# owner pages on when a deployed scorer drifts out of calibration.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_ece_monitor",
+    """
+WITH p AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS ws,
+         LEAST(GREATEST(CAST(FLOOR((value / 100 - 1) * 1e4 + 0.5) AS BIGINT)
+                        + 20000, 0), 40000) * 25 AS pq,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), binned AS (
+  SELECT ws, LEAST(pq // 100000, 9) AS bin, pq, pos FROM p
+), cells AS (
+  SELECT ws, bin, COUNT(*) AS n, SUM(pos) AS k, SUM(pq) AS sp
+  FROM binned GROUP BY 1, 2
+)
+SELECT ws AS window_start, SUM(n)::BIGINT AS n_events,
+       COUNT(*)::BIGINT AS n_bins,
+       FLOOR(CAST(SUM(ABS(k * 1000000 - sp)) AS DOUBLE) / SUM(n) + 0.5) / 1e6
+         AS ece,
+       MAX(CAST(FLOOR(CAST(ABS(k * 1000000 - sp) AS DOUBLE) / n + 0.5)
+                AS BIGINT)) / 1e6 AS max_gap
+FROM cells GROUP BY ws ORDER BY ws
+""",
+)
+def streaming_ece_monitor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ECE ON the stream: a deterministic Platt-style squash of the
+    event's value column stands in for a deployed model's probability
+    (pq = clamp(floor((value/100 - 1) * 1e4 + .5) + 2e4, 0, 4e4) * 25 —
+    the batch ece_report's exact-integer squash applied to events),
+    outcome = purchase. The watermarked hourly (window, bin) census
+    drains with Trigger.AvailableNow; per-hour ECE/max-gap are the
+    batch report's integer algebra on the drained census.
+
+    Plan shape / 100 TB: ONE watermark-bounded stateful census whose
+    state is |windows in flight| x 10 bins — the same census bound as
+    the SPRT/OBF monitors (SCALING.md); the report is a grouped
+    aggregate over the calendar-bounded drained census. The per-event
+    squash is codegen (no UDF)."""
+    from ..streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    lu = F.floor((F.col("value") / 100 - 1) * 1e4 + F.lit(0.5)).cast("long")
+    pq = F.least(F.greatest(lu + 20000, F.lit(0)), F.lit(40000)) * 25
+    census_stream = (
+        stream.select(
+            "ts",
+            pq.alias("pq"),
+            (F.col("event_type") == "purchase").cast("long").alias("pos"),
+        )
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"),
+            F.least(F.floor(F.col("pq") / 100000), F.lit(9)).cast("long").alias("bin"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pos").alias("k"),
+            F.sum("pq").alias("sp"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "bin",
+            "n",
+            "k",
+            "sp",
+        )
+    )
+    cells = jobs.run_available_now(census_stream, "streaming_ece_monitor")
+    dev = F.abs(F.col("k") * 1000000 - F.col("sp"))  # exact bigint per bin
+    gap_u = F.floor(dev.cast("double") / F.col("n") + F.lit(0.5)).cast("long")
+    return (
+        cells.select("ws", "n", dev.alias("dev"), gap_u.alias("gap_u"))
+        .groupBy("ws")
+        .agg(
+            F.sum("n").alias("nn"),
+            F.count("*").alias("nb"),
+            F.sum("dev").alias("sdev"),
+            F.max("gap_u").alias("mg"),
+        )
+        .select(
+            F.col("ws").alias("window_start"),
+            F.col("nn").cast("long").alias("n_events"),
+            F.col("nb").cast("long").alias("n_bins"),
+            (
+                F.floor(F.col("sdev").cast("double") / F.col("nn") + F.lit(0.5))
+                / 1e6
+            ).alias("ece"),
+            (F.col("mg") / 1e6).alias("max_gap"),
+        )
+        .orderBy("window_start")
+    )
