@@ -1522,7 +1522,7 @@ def ivf_knn_graph(
     Same arithmetic as knn_graph (the shared _topk_mips_cell), same
     output contract (vec_id, rank, neighbor_id, dot_q); results differ
     from the exact graph only where a true neighbor lives outside the
-    probed lists — measure that with ivf_knn_edge_recall before
+    probed lists — measure that with ivf_knn_recall_report before
     deploying a (k, nprobe) setting.
 
     Plan shape / 100 TB: probe assignment is map-side (ivf_probes);

@@ -179,6 +179,11 @@ HEADLINE = [
     ("streaming_sprt_monitor", "streaming SPRT: watermarked census drain + LLR window on calendar-bounded rows"),
     ("multimodal_qoi_decode", "QOI: 6-op chunk-stream decode in Arrow batches, scalar-only shuffle"),
     ("fim_transform", "FIM: hash-gated PSM re-serialization as one codegen'd projection; only the report sort exchanges"),
+    ("hubness_report_ivf", "IVF-pruned hubness: broadcast list stats, map-side probes, list-keyed cogroup GEMM, two long-keyed aggs"),
+    ("lof_outlier_scores_ivf", "IVF-pruned LOF: L2 centroid probes, sub-blocked cogroup cells, k-bounded score joins"),
+    ("multimodal_tiff_lzw_decode", "compressed TIFF: per-strip LZW/PackBits inflate map-side, scalar-only shuffle"),
+    ("multimodal_png_interlaced_decode", "Adam7 PNG: seven-pass de-permutation in Arrow batches, scalar-only shuffle"),
+    ("streaming_ece_monitor", "streaming ECE: watermarked (window x bin) census drain + hourly integer algebra"),
 ]
 
 
