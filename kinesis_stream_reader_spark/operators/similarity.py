@@ -1413,22 +1413,30 @@ def ivf_list_stats(embeddings: DataFrame) -> DataFrame:
     qv = embeddings.select(
         F.col("label").alias("list_id"), _quantized_vec(F.col("embedding")).alias("qv")
     )
-    sums = (
+    # member count rides the same (list, pos) partial agg (each pos
+    # sees every member exactly once), saving a separate count + join
+    return (
         qv.select("list_id", F.posexplode("qv").alias("pos", "x"))
         .groupBy("list_id", "pos")
-        .agg(F.sum("x").alias("sx"))
+        .agg(F.sum("x").alias("sx"), F.count("*").alias("cnt"))
         .groupBy("list_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "sx"))).alias("ps"))
-        .select("list_id", F.transform("ps", lambda s: s.getField("sx")).alias("s"))
-    )
-    counts = qv.groupBy("list_id").agg(F.count("*").alias("n"))
-    return sums.join(counts, "list_id").select(
-        "list_id",
-        "n",
-        "s",
-        F.aggregate(
-            F.col("s"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
-        ).alias("s2"),
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "sx"))).alias("ps"),
+            F.max("cnt").alias("n"),
+        )
+        .select(
+            "list_id",
+            "n",
+            F.transform("ps", lambda s: s.getField("sx")).alias("s"),
+        )
+        .select(
+            "list_id",
+            "n",
+            "s",
+            F.aggregate(
+                F.col("s"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+            ).alias("s2"),
+        )
     )
 
 
