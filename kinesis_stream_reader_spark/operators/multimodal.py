@@ -631,13 +631,21 @@ def _lzw_decode_tiff(data: bytes, expected: int | None = None) -> bytes:
 
 
 def encode_tiff(
-    arr, big_endian: bool = False, rows_per_strip: int = 4, compression: int = 1
+    arr,
+    big_endian: bool = False,
+    rows_per_strip: int = 4,
+    compression: int = 1,
+    planar: bool = False,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline TIFF 6.0 (public spec): header,
-    one IFD with the required baseline tags, multiple strips. Both byte
-    orders supported (II little / MM big); compression 1 = none,
-    5 = LZW (§13), 32773 = PackBits (§9), applied per strip as the
-    spec requires — the fixture twin of decode_tiff."""
+    """(h, w, 3) uint8 RGB -> TIFF 6.0 (public spec): header, one IFD
+    with the required tags. Both byte orders (II little / MM big);
+    compression 1 = none, 5 = LZW (§13), 32773 = PackBits (§9),
+    applied per segment as the spec requires; `planar=True` writes
+    PlanarConfiguration 2 (all segments of plane R, then G, then B);
+    `tile=(tw, tl)` writes the §15 tiled layout (tile dims multiples
+    of 16, edge tiles padded to full size, tiles across then down,
+    plane-major when planar). The fixture twin of decode_tiff."""
     import struct
 
     import numpy as np
@@ -647,26 +655,44 @@ def encode_tiff(
     e = ">" if big_endian else "<"
     arr = np.asarray(arr, dtype=np.uint8)
     h, w, _ = arr.shape
-    nstrips = -(-h // rows_per_strip)
-    strips = [
-        arr[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
-        for i in range(nstrips)
-    ]
+    planes = range(3) if planar else (None,)
+
+    segs: list[bytes] = []
+    if tile is not None:
+        tw, tl = tile
+        if tw % 16 or tl % 16:
+            raise ValueError("TIFF tile dimensions must be multiples of 16")
+        ta, td = -(-w // tw), -(-h // tl)
+        padded = np.zeros((td * tl, ta * tw, 3), dtype=np.uint8)
+        padded[:h, :w] = arr
+        for c in planes:
+            for ty in range(td):
+                for tx in range(ta):
+                    t = padded[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw]
+                    segs.append((t if c is None else t[:, :, c]).tobytes())
+    else:
+        nstrips = -(-h // rows_per_strip)
+        for c in planes:
+            for i in range(nstrips):
+                s = arr[i * rows_per_strip : (i + 1) * rows_per_strip]
+                segs.append((s if c is None else s[:, :, c]).tobytes())
     if compression == 5:
-        strips = [_lzw_encode_tiff(s) for s in strips]
+        segs = [_lzw_encode_tiff(s) for s in segs]
     elif compression == 32773:
-        strips = [_packbits_encode(s) for s in strips]
-    # layout: header(8) | strip data | BitsPerSample value(6) |
-    # StripOffsets array | StripByteCounts array | IFD
+        segs = [_packbits_encode(s) for s in segs]
+
+    # layout: header(8) | segment data | BitsPerSample value(6) |
+    # offsets array | bytecounts array | IFD
+    nsegs = len(segs)
     pos = 8
-    strip_offsets = []
-    for s in strips:
-        strip_offsets.append(pos)
+    seg_offsets = []
+    for s in segs:
+        seg_offsets.append(pos)
         pos += len(s)
     bits_off = pos
     pos += 6
-    so_off, sbc_off = pos, pos + 4 * nstrips
-    pos += 8 * nstrips
+    so_off, sbc_off = pos, pos + 4 * nsegs
+    pos += 8 * nsegs
     ifd_off = pos
 
     def entry(tag, typ, count, value):
@@ -684,21 +710,33 @@ def encode_tiff(
         entry(258, 3, 3, long_val(bits_off)),  # BitsPerSample -> offset
         entry(259, 3, 1, short_val(compression)),
         entry(262, 3, 1, short_val(2)),      # Photometric: RGB
-        entry(273, 4, nstrips, long_val(so_off if nstrips > 1 else strip_offsets[0])),
         entry(277, 3, 1, short_val(3)),      # SamplesPerPixel
-        entry(278, 4, 1, long_val(rows_per_strip)),
-        entry(279, 4, nstrips,
-              long_val(sbc_off if nstrips > 1 else len(strips[0]))),
-        entry(284, 3, 1, short_val(1)),      # PlanarConfig: chunky
+        entry(284, 3, 1, short_val(2 if planar else 1)),
     ]
+    off_val = long_val(so_off if nsegs > 1 else seg_offsets[0])
+    cnt_val = long_val(sbc_off if nsegs > 1 else len(segs[0]))
+    if tile is not None:
+        entries += [
+            entry(322, 3, 1, short_val(tw)),   # TileWidth
+            entry(323, 3, 1, short_val(tl)),   # TileLength
+            entry(324, 4, nsegs, off_val),     # TileOffsets
+            entry(325, 4, nsegs, cnt_val),     # TileByteCounts
+        ]
+    else:
+        entries += [
+            entry(273, 4, nsegs, off_val),     # StripOffsets
+            entry(278, 4, 1, long_val(rows_per_strip)),
+            entry(279, 4, nsegs, cnt_val),     # StripByteCounts
+        ]
+    entries.sort(key=lambda b: struct.unpack(f"{e}H", b[:2])[0])  # spec: ascending tags
     out = bytearray()
     out += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(f"{e}I", ifd_off)
-    for s in strips:
+    for s in segs:
         out += s
     out += struct.pack(f"{e}HHH", 8, 8, 8)
-    for off in strip_offsets:
+    for off in seg_offsets:
         out += struct.pack(f"{e}I", off)
-    for s in strips:
+    for s in segs:
         out += struct.pack(f"{e}I", len(s))
     out += struct.pack(f"{e}H", len(entries)) + b"".join(entries)
     out += struct.pack(f"{e}I", 0)  # next-IFD terminator
@@ -706,13 +744,14 @@ def encode_tiff(
 
 
 def decode_tiff(data: bytes):
-    """REAL baseline TIFF 6.0 decode, pure stdlib + numpy: both byte
-    orders, first-IFD tag walk (width/length/bits/compression/
-    photometric/strip layout/planar config), multi-strip chunky RGB
-    assembly with per-strip decompression — none (1), LZW (5, §13
+    """REAL TIFF 6.0 decode, pure stdlib + numpy: both byte orders,
+    first-IFD tag walk, 8-bit RGB in EVERY baseline layout — chunky
+    AND planar (PlanarConfiguration 2, plane-major segments), stripped
+    AND tiled (§15: edge tiles padded to full size, tiles across then
+    down) — with per-segment decompression: none (1), LZW (5, §13
     incl. the early-change width rule), PackBits (32773, §9). Raises
-    NotImplementedError for other compressions, planar, tiled or
-    non-8-bit streams rather than guessing."""
+    NotImplementedError only for other compressions or non-8-bit/
+    non-RGB streams."""
     import struct
 
     import numpy as np
@@ -744,24 +783,63 @@ def decode_tiff(data: bytes):
         raise NotImplementedError(
             f"TIFF compression {compression} not supported (have none/LZW/PackBits)"
         )
-    if tags.get(284, [1])[0] != 1:
-        raise NotImplementedError("planar TIFF not supported")
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF not supported")
     if tags.get(258, [8])[:3] != [8, 8, 8] or tags.get(277, [3])[0] != 3:
-        raise NotImplementedError("only 8-bit chunky RGB TIFF supported")
+        raise NotImplementedError("only 8-bit RGB TIFF supported")
+    planar = tags.get(284, [1])[0] == 2
+    spp = 1 if planar else 3
+
+    def inflate(o, c, expected):
+        raw = data[o : o + c]
+        if compression == 5:
+            return _lzw_decode_tiff(raw, expected)
+        if compression == 32773:
+            return _packbits_decode(raw, expected)
+        if len(raw) < expected:
+            raise ValueError("TIFF segment shorter than expected")
+        return raw[:expected]
+
+    if 322 in tags or 323 in tags:  # tiled layout (§15)
+        tw, tl = tags[322][0], tags[323][0]
+        offsets, counts = tags[324], tags[325]
+        ta, td = -(-w // tw), -(-h // tl)
+        if len(offsets) != ta * td * (3 if planar else 1):
+            raise ValueError("TIFF tile count does not match dimensions")
+        out = np.zeros((h, w, 3), dtype=np.uint8)
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            plane, cell = divmod(si, ta * td)
+            ty, tx = divmod(cell, ta)
+            raw = inflate(o, c, tw * tl * spp)
+            t = np.frombuffer(raw, dtype=np.uint8).reshape(tl, tw, spp)
+            y0, x0 = ty * tl, tx * tw
+            ch = min(tl, h - y0)
+            cw = min(tw, w - x0)
+            if planar:
+                out[y0 : y0 + ch, x0 : x0 + cw, plane] = t[:ch, :cw, 0]
+            else:
+                out[y0 : y0 + ch, x0 : x0 + cw] = t[:ch, :cw]
+        return out
+
     offsets, counts = tags[273], tags[279]
     rows_per_strip = tags.get(278, [h])[0]
+    spi = -(-h // rows_per_strip)  # strips per image (per plane)
+    if len(offsets) != spi * (3 if planar else 1):
+        raise ValueError("TIFF strip count does not match dimensions")
+    if planar:
+        planes = []
+        for p in range(3):
+            pieces = []
+            for si in range(spi):
+                o, c = offsets[p * spi + si], counts[p * spi + si]
+                nrows = min(rows_per_strip, h - si * rows_per_strip)
+                pieces.append(inflate(o, c, nrows * w))
+            planes.append(
+                np.frombuffer(b"".join(pieces), dtype=np.uint8).reshape(h, w)
+            )
+        return np.stack(planes, axis=-1).copy()
     pieces = []
     for si, (o, c) in enumerate(zip(offsets, counts)):
         nrows = min(rows_per_strip, h - si * rows_per_strip)
-        expected = nrows * w * 3
-        raw = data[o : o + c]
-        if compression == 5:
-            raw = _lzw_decode_tiff(raw, expected)
-        elif compression == 32773:
-            raw = _packbits_decode(raw, expected)
-        pieces.append(raw)
+        pieces.append(inflate(o, c, nrows * w * 3))
     raw = b"".join(pieces)
     if len(raw) != w * h * 3:
         raise ValueError("TIFF strip data does not match dimensions")

@@ -519,3 +519,79 @@ def streaming_ece_monitor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 7 (second pass) — planar + tiled TIFF (6.0 §15): the remaining
+# baseline layouts behind decode_tiff's gate. PlanarConfiguration 2
+# stores plane-major segments; the tiled layout pads edge tiles to
+# full (multiple-of-16) size, tiles across then down, plane-major when
+# planar. Layout errors are caught by the formula oracle (independent
+# of the encoder) AND the JDK ImageIO cross-check in pytest.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_tiff_tiled_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 18 + doc_id % 9 AS w, 14 + doc_id % 7 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 7 + 3 * i.i) % 256 AS r,
+         (doc_id * 7 + 3 * i.i + 1) % 256 AS g,
+         (doc_id * 7 + 3 * i.i + 2) % 256 AS b
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_tiff_tiled_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL planar/tiled-TIFF decode (multimodal.decode_tiff round-7
+    layouts): doc_id % 4 rotates {planar strips, tiled chunky, tiled
+    planar, chunky strips}; compression rotates {none, LZW, PackBits}
+    independently; byte order alternates; image dims 18-26 x 14-20 so
+    every 16x16-tiled doc has padded edge tiles in BOTH axes. The
+    position-weighted checksum catches plane or tile mis-assembly.
+    Map-side Arrow decode; scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    COMPS = (1, 5, 32773)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 18 + d % 9, 14 + d % 7
+                pix = ((d * 7 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                arr = pix.reshape(h, w, 3)
+                kw = dict(
+                    big_endian=bool((d // 4) % 2), compression=COMPS[d % 3]
+                )
+                mode = d % 4
+                if mode == 0:
+                    blob = multimodal.encode_tiff(
+                        arr, rows_per_strip=1 + d % 4, planar=True, **kw
+                    )
+                elif mode == 1:
+                    blob = multimodal.encode_tiff(arr, tile=(16, 16), **kw)
+                elif mode == 2:
+                    blob = multimodal.encode_tiff(
+                        arr, tile=(16, 16), planar=True, **kw
+                    )
+                else:
+                    blob = multimodal.encode_tiff(arr, rows_per_strip=1 + d % 4, **kw)
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

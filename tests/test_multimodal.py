@@ -1334,3 +1334,96 @@ public class PngDump {
         idx = rng.randint(0, nmax, (13, 17))
         blob = mm.encode_png_indexed(idx, pal, depth=depth, interlace=True)
         assert np.array_equal(jdk_decode(blob), pal[idx]), ("pal", depth)
+
+
+# --------------------------------------------------------------------------
+# Planar + tiled TIFF (round 7, second pass)
+# --------------------------------------------------------------------------
+def test_tiff_planar_and_tiled_roundtrips():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(23)
+    for h, w in [(1, 1), (5, 9), (40, 50), (33, 17)]:
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for comp in (1, 5, 32773):
+            for be in (False, True):
+                got = mm.decode_tiff(
+                    mm.encode_tiff(
+                        arr, big_endian=be, rows_per_strip=3,
+                        compression=comp, planar=True,
+                    )
+                )
+                assert np.array_equal(got, arr), ("planar", h, w, comp, be)
+                for pl in (False, True):
+                    got = mm.decode_tiff(
+                        mm.encode_tiff(
+                            arr, big_endian=be, compression=comp,
+                            planar=pl, tile=(16, 16),
+                        )
+                    )
+                    assert np.array_equal(got, arr), ("tiled", h, w, comp, be, pl)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        mm.encode_tiff(np.zeros((4, 4, 3), dtype=np.uint8), tile=(8, 8))
+
+
+def test_tiff_planar_tiled_cross_validated_against_jdk(tmp_path):
+    """JDK ImageIO must read every planar/tiled layout pixel-exactly —
+    plane-major segment ordering and edge-tile padding are exactly the
+    kind of self-consistent layout conventions a roundtrip cannot
+    falsify."""
+    import shutil
+    import struct
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    java_home = os.environ.get("JAVA_HOME", "")
+    javac = shutil.which("javac") or (
+        os.path.join(java_home, "bin", "javac") if java_home else None
+    )
+    if not javac or not os.path.exists(javac):
+        _pytest.skip("no JDK available for cross-validation")
+    java = os.path.join(os.path.dirname(javac), "java")
+    src = tmp_path / "PngDump.java"
+    src.write_text(
+        """
+import javax.imageio.*; import java.awt.image.*; import java.io.*;
+public class PngDump {
+  public static void main(String[] a) throws Exception {
+    BufferedImage img = ImageIO.read(new File(a[0]));
+    if (img == null) System.exit(2);
+    DataOutputStream o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(a[1])));
+    o.writeInt(img.getHeight()); o.writeInt(img.getWidth());
+    for (int y = 0; y < img.getHeight(); y++) for (int x = 0; x < img.getWidth(); x++) {
+      int p = img.getRGB(x, y);
+      o.writeByte((p>>16)&0xFF); o.writeByte((p>>8)&0xFF); o.writeByte(p&0xFF);
+    } o.close();
+  }
+}
+"""
+    )
+    subprocess.run([javac, str(src)], check=True, cwd=tmp_path)
+    rng = np.random.RandomState(29)
+    arr = rng.randint(0, 256, (40, 50, 3), dtype=np.uint8)
+    cases = {
+        "planar-strips": dict(planar=True, rows_per_strip=3),
+        "tiled-chunky": dict(tile=(16, 16)),
+        "tiled-planar": dict(planar=True, tile=(16, 16)),
+    }
+    for tag, kw in cases.items():
+        for comp in (1, 5, 32773):
+            (tmp_path / "in.tif").write_bytes(
+                mm.encode_tiff(arr, compression=comp, **kw)
+            )
+            subprocess.run(
+                [java, "PngDump", "in.tif", "out.raw"], check=True, cwd=tmp_path
+            )
+            raw = (tmp_path / "out.raw").read_bytes()
+            h, w = struct.unpack(">II", raw[:8])
+            got = np.frombuffer(raw[8:], dtype=np.uint8).reshape(h, w, 3)
+            assert np.array_equal(got, arr), (tag, comp)
