@@ -1440,23 +1440,27 @@ def ivf_list_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def ivf_probes(
-    embeddings: DataFrame, nprobe: int = 2, metric: str = "ip"
-) -> DataFrame:
-    """Assign every vector its `nprobe` probed inverted lists, MAP-SIDE:
-    the per-list integer stats collapse to ONE broadcast row, and each
-    vector ranks all lists inside codegen array expressions (transform
-    -> array_sort -> slice) — zero shuffle for probe assignment, the
-    property that matters when every vector is a query (all-kNN).
+def ivf_probe_ranks(embeddings: DataFrame, metric: str = "ip") -> DataFrame:
+    """(vec_id, list_id, probe_rank): every vector's full probe
+    ordering over ALL inverted lists — the input to the nprobe tuning
+    curve (ivf_nprobe_sweep). Same map-side construction as
+    ivf_probes (one broadcast stats row, codegen array sort), followed
+    by a posexplode instead of a slice."""
+    scored = _ivf_probe_scored(embeddings, metric)
+    return scored.select(
+        "vec_id", F.posexplode("sorted").alias("p", "e")
+    ).select(
+        "vec_id",
+        F.col("e").getField("list_id").alias("list_id"),
+        (F.col("p") + 1).cast("int").alias("probe_rank"),
+    )
 
-    Probe keys (deterministic: exact-int dot / exact-int count, one IEEE
-    division — both engines produce the bit-identical double):
-      - 'ip' (FAISS METRIC_INNER_PRODUCT probe): q . centroid
-        = dot(q, s) / n, descending.
-      - 'l2' (FAISS METRIC_L2 probe): |q - centroid|^2 up to the
-        constant |q|^2 = s2/n^2 - 2 dot(q, s)/n, ascending.
-    Ties break on list_id. Output: (vec_id, qv, list_id), each vector
-    replicated nprobe times."""
+
+def _ivf_probe_scored(embeddings: DataFrame, metric: str) -> DataFrame:
+    """Shared probe construction: (vec_id, qv, sorted) where `sorted`
+    is the full array of (key, list_id) structs in probe order for the
+    given metric. One broadcast row of per-list integer stats; all
+    scoring and ordering inside codegen array expressions."""
     if metric not in ("ip", "l2"):
         raise ValueError(f"unknown IVF probe metric {metric!r}")
     stats = ivf_list_stats(embeddings).agg(
@@ -1501,18 +1505,37 @@ def ivf_probes(
             .otherwise(F.lit(0))
         )
 
-    return (
-        qv.join(F.broadcast(stats))
-        .select(
-            "vec_id",
-            "qv",
-            F.slice(F.array_sort(scored, cmp), 1, nprobe).alias("top"),
-        )
-        .select(
-            "vec_id",
-            "qv",
-            F.explode(F.transform("top", lambda e: e["list_id"])).alias("list_id"),
-        )
+    return qv.join(F.broadcast(stats)).select(
+        "vec_id", "qv", F.array_sort(scored, cmp).alias("sorted")
+    )
+
+
+def ivf_probes(
+    embeddings: DataFrame, nprobe: int = 2, metric: str = "ip"
+) -> DataFrame:
+    """Assign every vector its `nprobe` probed inverted lists, MAP-SIDE:
+    the per-list integer stats collapse to ONE broadcast row, and each
+    vector ranks all lists inside codegen array expressions (transform
+    -> array_sort -> slice) — zero shuffle for probe assignment, the
+    property that matters when every vector is a query (all-kNN).
+
+    Probe keys (deterministic: exact-int dot / exact-int count, one IEEE
+    division — both engines produce the bit-identical double):
+      - 'ip' (FAISS METRIC_INNER_PRODUCT probe): q . centroid
+        = dot(q, s) / n, descending.
+      - 'l2' (FAISS METRIC_L2 probe): |q - centroid|^2 up to the
+        constant |q|^2 = s2/n^2 - 2 dot(q, s)/n, ascending.
+    Ties break on list_id. Output: (vec_id, qv, list_id), each vector
+    replicated nprobe times."""
+    scored = _ivf_probe_scored(embeddings, metric)
+    return scored.select(
+        "vec_id",
+        "qv",
+        F.slice(F.col("sorted"), 1, nprobe).alias("top"),
+    ).select(
+        "vec_id",
+        "qv",
+        F.explode(F.transform("top", lambda e: e["list_id"])).alias("list_id"),
     )
 
 

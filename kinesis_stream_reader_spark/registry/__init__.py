@@ -72,6 +72,7 @@ EAGER_QUERIES = frozenset(
         "hyperball_neighborhood", "kcore_decomposition", "kcore_bounded",
         "knn_graph", "knn_graph_components", "lof_outlier_scores",
         "ivf_knn_recall_report", "hubness_report_ivf", "lof_outlier_scores_ivf",
+        "ivf_nprobe_sweep",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
         "dbscan_grid_clusters", "split_group_aware", "split_semantic_leakage",
@@ -114,6 +115,7 @@ _PRIORITY = [
     "hubness_report_ivf", "lof_outlier_scores_ivf", "ivf_knn_recall_report",
     "multimodal_tiff_lzw_decode", "multimodal_png_interlaced_decode",
     "streaming_ece_monitor", "multimodal_tiff_tiled_decode",
+    "ivf_nprobe_sweep",
     "multimodal_g711_decode", "multimodal_aiff_decode",
     # ROUND-6 ROTATION: new round-6 queries lead (never driver-checked),
     # then the round-6-touched eval kernels, then the r5 rotation.

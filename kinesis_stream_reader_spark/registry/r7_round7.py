@@ -595,3 +595,87 @@ def multimodal_tiff_tiled_decode_query(spark: SparkSession, sf_dir: str) -> Data
         batches, "doc_id BIGINT, data BINARY"
     )
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 7 (second pass) — the nprobe TUNING CURVE in one pass: because
+# scoring within probed candidates is EXACT, an exact edge (a, b)
+# survives nprobe-pruning iff b's list sits within a's top-nprobe
+# probe ranks (any candidate outscoring b is itself an exact-better
+# neighbor, and there are < k of those) — so the whole recall-vs-
+# nprobe curve falls out of ONE probe-rank table joined to the exact
+# graph, no per-nprobe re-search. This is the sweep every IVF
+# deployment runs before fixing nprobe ("measure, don't guess").
+# ---------------------------------------------------------------------------
+@register(
+    "ivf_nprobe_sweep",
+    _IVF_QV_CTE + """
+, pr AS (
+  SELECT p.vec_id, p.list_id,
+         ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                            ORDER BY CAST(p.dot AS DOUBLE) / ln.n DESC,
+                                     p.list_id) AS r
+  FROM pk p JOIN ln USING (list_id)
+), edots AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id, b.list_id AS nlist,
+         CAST(list_dot_product(a.v, b.v) AS BIGINT) AS dot_q
+  FROM qv a JOIN qv b ON a.vec_id <> b.vec_id
+), eknn AS (
+  SELECT vec_id, neighbor_id, nlist FROM (
+    SELECT vec_id, neighbor_id, nlist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dot_q DESC, neighbor_id) AS rank
+    FROM edots) WHERE rank <= 5
+), hit AS (
+  SELECT pr.r FROM eknn e
+  JOIN pr ON pr.vec_id = e.vec_id AND pr.list_id = e.nlist
+), tot AS (SELECT COUNT(*) AS n FROM eknn)
+SELECT np.np::INT AS nprobe,
+       SUM(CASE WHEN hit.r <= np.np THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+       ROUND(CAST(SUM(CASE WHEN hit.r <= np.np THEN 1 ELSE 0 END) AS DOUBLE)
+             / (SELECT n FROM tot), 4) AS edge_recall
+FROM (SELECT UNNEST(range(1, 65)) AS np) np, hit
+WHERE np.np <= (SELECT COUNT(*) FROM ln)
+GROUP BY np.np ORDER BY np.np
+""",
+)
+def ivf_nprobe_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge recall of the IVF-pruned kNN graph at EVERY nprobe in one
+    pass (similarity.ivf_probe_ranks + the exact graph): the curve a
+    deployment reads to pick the smallest nprobe meeting its recall
+    target. The last row (nprobe = n_lists) must read 1.0 — the
+    exactness-recovery invariant, here visible in the report itself.
+
+    Plan shape / 100 TB: probe ranks are map-side (one broadcast stats
+    row, codegen array sort + posexplode); the curve is the exact
+    graph (the documented diagnostic) joined once to ranks and folded
+    by a |lists|-row cumulative census. At scale the exact side runs
+    on a sampled query set, making the sweep linear."""
+    from ..operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.knn_graph(emb, k=5).select("vec_id", "neighbor_id")
+    ranks = similarity.ivf_probe_ranks(emb, metric="ip")
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("list_id")
+    )
+    hit = exact.join(F.broadcast(lab), "neighbor_id").join(
+        ranks, ["vec_id", "list_id"]
+    )
+    n_lists = emb.select("label").distinct().count()
+    nps = spark.range(1, n_lists + 1).select(F.col("id").cast("int").alias("nprobe"))
+    tot = exact.agg(F.count("*").alias("n_exact"))
+    return (
+        nps.join(
+            hit.select("probe_rank"), F.col("probe_rank") <= F.col("nprobe"), "left"
+        )
+        .groupBy("nprobe")
+        .agg(F.count("probe_rank").alias("n_overlap"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nprobe",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.round(F.col("n_overlap") / F.col("n_exact"), 4).alias("edge_recall"),
+        )
+        .orderBy("nprobe")
+    )
