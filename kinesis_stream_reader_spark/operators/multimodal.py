@@ -125,22 +125,20 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
 
-def encode_png(arr, filter_for_row=None, interlace: bool = False) -> bytes:
-    """(h, w, 3) uint8 -> PNG bytes, pure stdlib (zlib + struct): 8-bit
-    RGB (color type 2), critical chunks only; optional Adam7 interlace
-    (spec 8.2: seven pass sub-images, each independently filtered).
-    Per-scanline filter type comes from `filter_for_row(y)` (default
-    0/None) so fixtures can exercise every filter the decoder must
-    invert."""
+def _encode_png_truecolor(arr, ctyp: int, channels: int, filter_for_row, interlace):
+    """Shared encoder for the non-paletted color types: gray (0, 1ch),
+    RGB (2, 3ch), RGBA (6, 4ch); optional Adam7."""
     import struct
     import zlib
 
     import numpy as np
 
     h, w = arr.shape[0], arr.shape[1]
-    raw = arr.astype(np.int64)
+    raw = arr.astype(np.int64).reshape(h, w, channels)
     if not interlace:
-        scan = _png_filter_scanlines(raw.reshape(h, w * 3), 3, filter_for_row)
+        scan = _png_filter_scanlines(
+            raw.reshape(h, w * channels), channels, filter_for_row
+        )
     else:
         parts = []
         for x0, y0, dx, dy in _ADAM7:
@@ -149,11 +147,13 @@ def encode_png(arr, filter_for_row=None, interlace: bool = False) -> bytes:
                 continue  # empty pass contributes NO bytes (spec 8.2)
             parts.append(
                 _png_filter_scanlines(
-                    sub.reshape(sub.shape[0], sub.shape[1] * 3), 3, filter_for_row
+                    sub.reshape(sub.shape[0], sub.shape[1] * channels),
+                    channels,
+                    filter_for_row,
                 )
             )
         scan = b"".join(parts)
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctyp, 0, 0, 1 if interlace else 0)
     idat = zlib.compress(scan)
     return (
         _PNG_SIG
@@ -161,6 +161,29 @@ def encode_png(arr, filter_for_row=None, interlace: bool = False) -> bytes:
         + _png_chunk(b"IDAT", idat)
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png(arr, filter_for_row=None, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint8 -> PNG bytes, pure stdlib (zlib + struct): 8-bit
+    RGB (color type 2), critical chunks only; optional Adam7 interlace
+    (spec 8.2: seven pass sub-images, each independently filtered).
+    Per-scanline filter type comes from `filter_for_row(y)` (default
+    0/None) so fixtures can exercise every filter the decoder must
+    invert."""
+    return _encode_png_truecolor(arr, 2, 3, filter_for_row, interlace)
+
+
+def encode_png_gray(arr, filter_for_row=None, interlace: bool = False) -> bytes:
+    """(h, w) uint8 -> 8-bit grayscale PNG (color type 0)."""
+    return _encode_png_truecolor(arr, 0, 1, filter_for_row, interlace)
+
+
+def encode_png_rgba(arr, filter_for_row=None, interlace: bool = False) -> bytes:
+    """(h, w, 4) uint8 -> 8-bit RGBA PNG (color type 6). decode_png
+    returns the RGB channels (alpha dropped, not composited) — the
+    4-byte filter unit still exercises the alpha plane, so a
+    channel-offset bug corrupts RGB and is caught."""
+    return _encode_png_truecolor(arr, 6, 4, filter_for_row, interlace)
 
 
 def _pack_indices(idx, depth: int):
@@ -305,12 +328,14 @@ def decode_png(data: bytes):
         if ctype == b"IHDR":
             w, h, depth, ctyp, comp, filt, inter = struct.unpack(">IIBBBBB", body)
             if (comp, filt) != (0, 0) or inter not in (0, 1) or (depth, ctyp) not in (
+                (8, 0),
                 (8, 2),
                 (8, 3),
+                (8, 6),
                 (4, 3),
             ):
                 raise NotImplementedError(
-                    "only 8-bit RGB and 8/4-bit paletted PNG "
+                    "only 8-bit gray/RGB/RGBA and 8/4-bit paletted PNG "
                     "(interlace 0 or Adam7) supported in-sandbox"
                 )
         elif ctype == b"PLTE":
@@ -326,20 +351,25 @@ def decode_png(data: bytes):
         raise ValueError("missing IHDR/IDAT chunk")
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
 
+    channels = {0: 1, 2: 3, 6: 4}.get(ctyp)  # None for paletted
+
     def stride_for(width: int) -> int:
-        if ctyp == 2:
-            return width * 3
+        if channels is not None:
+            return width * channels
         return width if depth == 8 else (width + 1) // 2
 
-    bpp = 3 if ctyp == 2 else 1
+    bpp = channels if channels is not None else 1
     if ctyp == 3 and plte is None:
         raise ValueError("paletted PNG without PLTE")
 
     def to_pixels(packed, width):
         """Unfiltered packed rows -> (rows, width) indices or
-        (rows, width, 3) RGB."""
-        if ctyp == 2:
-            return packed.reshape(packed.shape[0], width, 3)
+        (rows, width, 3) RGB (gray replicated, alpha dropped)."""
+        if channels is not None:
+            px = packed.reshape(packed.shape[0], width, channels)
+            if ctyp == 0:
+                return np.repeat(px, 3, axis=2)
+            return px[:, :, :3]
         idx = _unpack_indices(packed, width, depth)
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of range")
@@ -349,13 +379,13 @@ def decode_png(data: bytes):
         stride = stride_for(w)
         out = _png_unfilter(raw, h, stride, bpp)
         px = to_pixels(out, w)
-        if ctyp == 2:
+        if channels is not None:
             return px.astype(np.uint8)
         return plte[px].astype(np.uint8)
 
     # Adam7: consume the seven pass sub-images in order, scatter each
     # into the full-size pixel grid (the interlace de-permutation)
-    if ctyp == 2:
+    if channels is not None:
         full = np.zeros((h, w, 3), dtype=np.int64)
     else:
         full = np.zeros((h, w), dtype=np.int64)
@@ -372,7 +402,7 @@ def decode_png(data: bytes):
         full[y0::dy, x0::dx] = to_pixels(sub, wp)
     if off != len(raw):
         raise ValueError("IDAT length does not match Adam7 pass layout")
-    if ctyp == 2:
+    if channels is not None:
         return full.astype(np.uint8)
     return plte[full].astype(np.uint8)
 

@@ -679,3 +679,82 @@ def ivf_nprobe_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nprobe")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 7 (second pass) — PNG color types 0 (grayscale) and 6 (RGBA):
+# with palette and RGB already real, these close the last COMMON crawl
+# PNG variants (16-bit stays gated). The 4-byte RGBA filter unit runs
+# through every scanline filter and Adam7, so a channel-offset bug
+# corrupts RGB and breaks the checksum even though alpha itself is
+# dropped from the report. JDK raster cross-check in pytest.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_png_colortype_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 9 + doc_id % 6 AS w, 7 + doc_id % 4 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7 + i.i) % 256
+              ELSE (doc_id * 7 + 4 * i.i) % 256 END AS r,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7 + i.i) % 256
+              ELSE (doc_id * 7 + 4 * i.i + 1) % 256 END AS g,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7 + i.i) % 256
+              ELSE (doc_id * 7 + 4 * i.i + 2) % 256 END AS b
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_png_colortype_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL grayscale / RGBA PNG decode (multimodal.decode_png round-7
+    color types): even doc_ids are 8-bit GRAY (decoder replicates to
+    RGB), odd are RGBA (alpha = (d*7 + 4p + 3) %% 256 on the wire,
+    dropped from the checksum — but a filter-unit or channel-offset
+    error shifts RGB and breaks it); doc_id %% 4 >= 2 adds Adam7
+    interlace on top, filters rotating per row. Map-side Arrow decode;
+    scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 9 + d % 6, 7 + d % 4
+                il = (d % 4) >= 2
+                if d % 2 == 0:
+                    v = ((d * 7 + np.arange(w * h)) % 256).astype(np.uint8)
+                    blobs.append(
+                        multimodal.encode_png_gray(
+                            v.reshape(h, w),
+                            filter_for_row=lambda y: y,
+                            interlace=il,
+                        )
+                    )
+                else:
+                    v = ((d * 7 + np.arange(w * h * 4)) % 256).astype(np.uint8)
+                    blobs.append(
+                        multimodal.encode_png_rgba(
+                            v.reshape(h, w, 4),
+                            filter_for_row=lambda y: y,
+                            interlace=il,
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

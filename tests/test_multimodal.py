@@ -1427,3 +1427,86 @@ public class PngDump {
             h, w = struct.unpack(">II", raw[:8])
             got = np.frombuffer(raw[8:], dtype=np.uint8).reshape(h, w, 3)
             assert np.array_equal(got, arr), (tag, comp)
+
+
+# --------------------------------------------------------------------------
+# PNG grayscale + RGBA color types (round 7, second pass)
+# --------------------------------------------------------------------------
+def test_png_gray_rgba_roundtrips():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(31)
+    for h, w in [(1, 1), (5, 9), (13, 17), (32, 24)]:
+        g = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        a4 = rng.randint(0, 256, (h, w, 4), dtype=np.uint8)
+        for il in (False, True):
+            for ff in [None, (lambda y: y)]:
+                got = mm.decode_png(
+                    mm.encode_png_gray(g, filter_for_row=ff, interlace=il)
+                )
+                assert np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+                got = mm.decode_png(
+                    mm.encode_png_rgba(a4, filter_for_row=ff, interlace=il)
+                )
+                assert np.array_equal(got, a4[:, :, :3])
+
+
+def test_png_gray_rgba_cross_validated_against_jdk(tmp_path):
+    """JDK raster samples (not getRGB, which gamma-converts gray to
+    sRGB) must match our wire bytes exactly, all four bands of RGBA
+    included."""
+    import shutil
+    import struct
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    java_home = os.environ.get("JAVA_HOME", "")
+    javac = shutil.which("javac") or (
+        os.path.join(java_home, "bin", "javac") if java_home else None
+    )
+    if not javac or not os.path.exists(javac):
+        _pytest.skip("no JDK available for cross-validation")
+    java = os.path.join(os.path.dirname(javac), "java")
+    (tmp_path / "RasterDump.java").write_text(
+        """
+import javax.imageio.*; import java.awt.image.*; import java.io.*;
+public class RasterDump {
+  public static void main(String[] a) throws Exception {
+    BufferedImage img = ImageIO.read(new File(a[0]));
+    if (img == null) System.exit(2);
+    Raster r = img.getRaster();
+    int h = img.getHeight(), w = img.getWidth(), b = r.getNumBands();
+    DataOutputStream o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(a[1])));
+    o.writeInt(h); o.writeInt(w); o.writeInt(b);
+    for (int y = 0; y < h; y++) for (int x = 0; x < w; x++)
+      for (int c = 0; c < b; c++) o.writeByte(r.getSample(x, y, c));
+    o.close();
+  }
+}
+"""
+    )
+    subprocess.run([javac, "RasterDump.java"], check=True, cwd=tmp_path)
+    rng = np.random.RandomState(37)
+
+    def jdk_raster(blob):
+        (tmp_path / "in.png").write_bytes(blob)
+        subprocess.run(
+            [java, "RasterDump", "in.png", "out.raw"], check=True, cwd=tmp_path
+        )
+        raw = (tmp_path / "out.raw").read_bytes()
+        h, w, b = struct.unpack(">III", raw[:12])
+        return np.frombuffer(raw[12:], dtype=np.uint8).reshape(h, w, b)
+
+    for il in (False, True):
+        g = rng.randint(0, 256, (13, 17), dtype=np.uint8)
+        got = jdk_raster(mm.encode_png_gray(g, filter_for_row=lambda y: y, interlace=il))
+        assert np.array_equal(got, g[:, :, None]), ("gray", il)
+        a4 = rng.randint(0, 256, (13, 17, 4), dtype=np.uint8)
+        got = jdk_raster(mm.encode_png_rgba(a4, filter_for_row=lambda y: y, interlace=il))
+        assert np.array_equal(got, a4), ("rgba", il)
