@@ -1168,6 +1168,54 @@ def encode_wav(samples, rate: int = 8000) -> bytes:
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+def encode_wav_multichannel(frames, rate: int = 8000) -> bytes:
+    """(n, ch) int16 frames -> RIFF/WAVE PCM16 bytes with `ch`
+    interleaved channels (block align = 2*ch per spec). The fixture
+    twin of decode_wav_multichannel."""
+    import struct
+
+    import numpy as np
+
+    frames = np.asarray(frames, dtype="<i2")
+    n, ch = frames.shape
+    body = frames.reshape(-1).tobytes()  # row-major = sample-interleaved
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * 2 * ch, 2 * ch, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav_multichannel(data: bytes):
+    """REAL RIFF/WAVE PCM16 decode for ANY channel count: returns
+    (sample_rate, (n_frames, channels) int16 array) by de-interleaving
+    the data chunk at the fmt-declared channel count (the round-7
+    generalization of decode_wav's mono-only contract; decode_wav is
+    unchanged for the existing mono legs)."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, samples = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack("<I", data[pos + 4 : pos + 8])[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if (fmt, bits) != (1, 16) or channels < 1:
+                raise ValueError("only PCM16 supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    if len(samples) % channels:
+        raise ValueError("WAV data not a whole number of frames")
+    return rate, samples.reshape(-1, channels)
+
+
 def resample_audio(data: bytes, rate: int = 16_000):
     """REAL for WAV payloads: decode + nearest-neighbor resample to
     `rate` (index map i -> floor(i*src/dst), the audio twin of the

@@ -758,3 +758,102 @@ def multimodal_png_colortype_decode_query(
         batches, "doc_id BIGINT, data BINARY"
     )
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 7 (second pass) — stereo WAV: the most common real-world audio
+# container variant behind decode_wav's mono gate. Channels are
+# sample-interleaved at the fmt-declared count (block align 2*ch);
+# per-channel position-weighted checksums catch de-interleave and
+# channel-swap errors a mixed sum would not.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_wav_stereo_decode",
+    """
+WITH lens AS (
+  SELECT doc_id, 40 + doc_id % 30 AS n,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         ELSE 44100 END AS rate
+  FROM documents
+), s AS (
+  SELECT doc_id, n, rate, j.j AS j,
+         ((doc_id * 13 + 5 * j.j) % 65536) - 32768 AS l,
+         ((doc_id * 29 + 7 * j.j) % 65536) - 32768 AS r
+  FROM lens, LATERAL (SELECT UNNEST(range(n)) AS j) j
+)
+SELECT doc_id, ANY_VALUE(rate) AS sample_rate,
+       ANY_VALUE(n)::BIGINT AS n_frames,
+       SUM((j + 1) * l)::BIGINT AS left_checksum,
+       SUM((j + 1) * r)::BIGINT AS right_checksum
+FROM s GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_wav_stereo_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL stereo-WAV decode (multimodal.decode_wav_multichannel):
+    left channel L_j = ((d*13 + 5j) mod 2^16) - 2^15, right uses
+    (d*29 + 7j) — distinct per-channel formulas so a channel swap or
+    off-by-one de-interleave breaks the per-channel position-weighted
+    checksums. Rates rotate 8000/16000/44100. Media built by a
+    separate stage (house codec contract); map-side Arrow decode;
+    scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    RATES = (8000, 16000, 44100)
+
+    def media_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 40 + d % 30
+                j = np.arange(n, dtype=np.int64)
+                left = ((d * 13 + 5 * j) % 65536) - 32768
+                right = ((d * 29 + 7 * j) % 65536) - 32768
+                frames = np.stack([left, right], axis=1).astype(np.int16)
+                rows.append(
+                    (d, multimodal.encode_wav_multichannel(frames, rate=RATES[d % 3]))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "data"])
+
+    def decode_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["data"]):
+                rate, frames = multimodal.decode_wav_multichannel(bytes(blob))
+                f = frames.astype(np.int64)
+                wgt = np.arange(1, f.shape[0] + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        rate,
+                        f.shape[0],
+                        int((wgt * f[:, 0]).sum()),
+                        int((wgt * f[:, 1]).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_frames",
+                    "left_checksum", "right_checksum",
+                ],
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        media_batches, "doc_id BIGINT, data BINARY"
+    )
+    return media.mapInPandas(
+        decode_batches,
+        "doc_id BIGINT, sample_rate INT, n_frames BIGINT, "
+        "left_checksum BIGINT, right_checksum BIGINT",
+    ).orderBy("doc_id")

@@ -1510,3 +1510,37 @@ public class RasterDump {
         a4 = rng.randint(0, 256, (13, 17, 4), dtype=np.uint8)
         got = jdk_raster(mm.encode_png_rgba(a4, filter_for_row=lambda y: y, interlace=il))
         assert np.array_equal(got, a4), ("rgba", il)
+
+
+# --------------------------------------------------------------------------
+# Stereo / multichannel WAV (round 7, second pass)
+# --------------------------------------------------------------------------
+def test_wav_multichannel_roundtrip_and_gates():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(41)
+    for ch in (1, 2, 4):
+        for n in (0, 1, 77):
+            frames = rng.randint(-32768, 32768, (n, ch)).astype(np.int16)
+            rate, got = mm.decode_wav_multichannel(
+                mm.encode_wav_multichannel(frames, 22050)
+            )
+            assert rate == 22050
+            assert got.shape == (n, ch)
+            assert np.array_equal(got, frames)
+    # mono decode_wav reads a 1-channel multichannel file unchanged
+    frames = rng.randint(-32768, 32768, (50, 1)).astype(np.int16)
+    rate, mono = mm.decode_wav(mm.encode_wav_multichannel(frames, 8000))
+    assert np.array_equal(mono, frames[:, 0])
+    # but the strict mono decoder refuses stereo rather than misreading
+    stereo = mm.encode_wav_multichannel(
+        rng.randint(-32768, 32768, (10, 2)).astype(np.int16), 8000
+    )
+    with pytest.raises(ValueError, match="mono"):
+        mm.decode_wav(stereo)
+    # channel swap breaks equality (the per-channel checksum rationale)
+    f2 = rng.randint(-32768, 32768, (10, 2)).astype(np.int16)
+    _, got = mm.decode_wav_multichannel(mm.encode_wav_multichannel(f2, 8000))
+    assert not np.array_equal(got, f2[:, ::-1])
