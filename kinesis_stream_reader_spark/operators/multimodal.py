@@ -186,6 +186,45 @@ def encode_png_rgba(arr, filter_for_row=None, interlace: bool = False) -> bytes:
     return _encode_png_truecolor(arr, 6, 4, filter_for_row, interlace)
 
 
+def encode_png16(arr, filter_for_row=None, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint16 -> 16-bit RGB PNG (color type 2, depth 16):
+    big-endian sample bytes, filters over the 6-byte pixel unit per
+    spec 9.2 (filters always act on BYTES regardless of depth)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint16)
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (
+        np.frombuffer(arr.astype(">u2").tobytes(), dtype=np.uint8)
+        .reshape(h, w, 6)
+        .astype(np.int64)
+    )
+    if not interlace:
+        scan = _png_filter_scanlines(rows.reshape(h, w * 6), 6, filter_for_row)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = rows[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                _png_filter_scanlines(
+                    sub.reshape(sub.shape[0], sub.shape[1] * 6), 6, filter_for_row
+                )
+            )
+        scan = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 1 if interlace else 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _pack_indices(idx, depth: int):
     """(h, w) indices -> (h, stride) packed bytes at depth 8 or 4
     (high nibble first per spec; trailing nibble zero-padded)."""
@@ -330,13 +369,14 @@ def decode_png(data: bytes):
             if (comp, filt) != (0, 0) or inter not in (0, 1) or (depth, ctyp) not in (
                 (8, 0),
                 (8, 2),
+                (16, 2),
                 (8, 3),
                 (8, 6),
                 (4, 3),
             ):
                 raise NotImplementedError(
-                    "only 8-bit gray/RGB/RGBA and 8/4-bit paletted PNG "
-                    "(interlace 0 or Adam7) supported in-sandbox"
+                    "only 8-bit gray/RGB/RGBA, 16-bit RGB, and 8/4-bit "
+                    "paletted PNG (interlace 0 or Adam7) supported in-sandbox"
                 )
         elif ctype == b"PLTE":
             if size % 3:
@@ -352,20 +392,25 @@ def decode_png(data: bytes):
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
 
     channels = {0: 1, 2: 3, 6: 4}.get(ctyp)  # None for paletted
+    sample_bytes = 2 if (ctyp == 2 and depth == 16) else 1
 
     def stride_for(width: int) -> int:
         if channels is not None:
-            return width * channels
+            return width * channels * sample_bytes
         return width if depth == 8 else (width + 1) // 2
 
-    bpp = channels if channels is not None else 1
+    bpp = channels * sample_bytes if channels is not None else 1
     if ctyp == 3 and plte is None:
         raise ValueError("paletted PNG without PLTE")
 
     def to_pixels(packed, width):
         """Unfiltered packed rows -> (rows, width) indices or
-        (rows, width, 3) RGB (gray replicated, alpha dropped)."""
+        (rows, width, 3) RGB (gray replicated, alpha dropped; 16-bit
+        samples recombined big-endian)."""
         if channels is not None:
+            if sample_bytes == 2:
+                b = packed.reshape(packed.shape[0], width, channels, 2)
+                return (b[..., 0] << 8) | b[..., 1]
             px = packed.reshape(packed.shape[0], width, channels)
             if ctyp == 0:
                 return np.repeat(px, 3, axis=2)
@@ -375,12 +420,13 @@ def decode_png(data: bytes):
             raise ValueError("palette index out of range")
         return idx
 
+    out_dtype = np.uint16 if sample_bytes == 2 else np.uint8
     if inter == 0:
         stride = stride_for(w)
         out = _png_unfilter(raw, h, stride, bpp)
         px = to_pixels(out, w)
         if channels is not None:
-            return px.astype(np.uint8)
+            return px.astype(out_dtype)
         return plte[px].astype(np.uint8)
 
     # Adam7: consume the seven pass sub-images in order, scatter each
@@ -403,7 +449,7 @@ def decode_png(data: bytes):
     if off != len(raw):
         raise ValueError("IDAT length does not match Adam7 pass layout")
     if channels is not None:
-        return full.astype(np.uint8)
+        return full.astype(out_dtype)
     return plte[full].astype(np.uint8)
 
 

@@ -116,7 +116,7 @@ _PRIORITY = [
     "multimodal_tiff_lzw_decode", "multimodal_png_interlaced_decode",
     "streaming_ece_monitor", "multimodal_tiff_tiled_decode",
     "ivf_nprobe_sweep", "multimodal_png_colortype_decode",
-    "multimodal_wav_stereo_decode",
+    "multimodal_wav_stereo_decode", "multimodal_png16_decode",
     "multimodal_g711_decode", "multimodal_aiff_decode",
     # ROUND-6 ROTATION: new round-6 queries lead (never driver-checked),
     # then the round-6-touched eval kernels, then the r5 rotation.

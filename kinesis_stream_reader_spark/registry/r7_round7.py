@@ -857,3 +857,63 @@ def multimodal_wav_stereo_decode_query(
         "doc_id BIGINT, sample_rate INT, n_frames BIGINT, "
         "left_checksum BIGINT, right_checksum BIGINT",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 7 (second pass) — 16-bit RGB PNG (depth 16): the scientific/
+# archival variant, closing decode_png's LAST depth gate. Filters act
+# on the 6-byte pixel unit (spec 9.2: filters are byte-wise regardless
+# of depth); samples recombine big-endian; Adam7 composes. JDK
+# 16-bit-raster cross-check in pytest.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_png16_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 4099 + 257 * (3 * i.i)) % 65536 AS r,
+         (doc_id * 4099 + 257 * (3 * i.i + 1)) % 65536 AS g,
+         (doc_id * 4099 + 257 * (3 * i.i + 2)) % 65536 AS b
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_png16_decode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 16-bit PNG decode (multimodal.decode_png depth-16 path):
+    sample s_i = (d*4099 + 257*i) mod 2^16 — the 257 step makes high
+    and low bytes move together, so a byte-order or recombination
+    error breaks the checksum; odd doc_ids add Adam7, filters rotate
+    per row. Map-side Arrow decode; scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                s = ((d * 4099 + 257 * np.arange(w * h * 3, dtype=np.int64)) % 65536)
+                blobs.append(
+                    multimodal.encode_png16(
+                        s.astype(np.uint16).reshape(h, w, 3),
+                        filter_for_row=lambda y: y,
+                        interlace=bool(d % 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

@@ -69,11 +69,12 @@ def test_png_crc_and_grammar_errors():
         multimodal.decode_png(bytes(blob))
     with pytest.raises(ValueError, match="not a PNG"):
         multimodal.decode_png(b"\x00" * 16)
-    # 16-bit stays honestly gated (palette + Adam7 are real now)
+    # 16-bit GRAY stays honestly gated (16-bit RGB, palette, gray-8,
+    # RGBA and Adam7 are all real now)
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
@@ -1544,3 +1545,75 @@ def test_wav_multichannel_roundtrip_and_gates():
     f2 = rng.randint(-32768, 32768, (10, 2)).astype(np.int16)
     _, got = mm.decode_wav_multichannel(mm.encode_wav_multichannel(f2, 8000))
     assert not np.array_equal(got, f2[:, ::-1])
+
+
+# --------------------------------------------------------------------------
+# 16-bit PNG (round 7, second pass)
+# --------------------------------------------------------------------------
+def test_png16_roundtrip_all_filters_and_adam7():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(43)
+    for h, w in [(1, 1), (5, 9), (13, 17), (32, 24)]:
+        a = rng.randint(0, 65536, (h, w, 3)).astype(np.uint16)
+        for il in (False, True):
+            for ff in [None, (lambda y: y), (lambda y: 4)]:
+                got = mm.decode_png(mm.encode_png16(a, filter_for_row=ff, interlace=il))
+                assert got.dtype == np.uint16
+                assert np.array_equal(got, a), (h, w, il)
+
+
+def test_png16_cross_validated_against_jdk(tmp_path):
+    """JDK 16-bit raster samples must match our wire exactly — the
+    big-endian sample recombination and the 6-byte filter unit are the
+    two conventions a self-consistent pair could get wrong together."""
+    import shutil
+    import struct
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    java_home = os.environ.get("JAVA_HOME", "")
+    javac = shutil.which("javac") or (
+        os.path.join(java_home, "bin", "javac") if java_home else None
+    )
+    if not javac or not os.path.exists(javac):
+        _pytest.skip("no JDK available for cross-validation")
+    java = os.path.join(os.path.dirname(javac), "java")
+    (tmp_path / "Raster16.java").write_text(
+        """
+import javax.imageio.*; import java.awt.image.*; import java.io.*;
+public class Raster16 {
+  public static void main(String[] a) throws Exception {
+    BufferedImage img = ImageIO.read(new File(a[0]));
+    if (img == null) System.exit(2);
+    Raster r = img.getRaster();
+    int h = img.getHeight(), w = img.getWidth(), b = r.getNumBands();
+    DataOutputStream o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(a[1])));
+    o.writeInt(h); o.writeInt(w); o.writeInt(b);
+    for (int y = 0; y < h; y++) for (int x = 0; x < w; x++)
+      for (int c = 0; c < b; c++) o.writeShort(r.getSample(x, y, c));
+    o.close();
+  }
+}
+"""
+    )
+    subprocess.run([javac, "Raster16.java"], check=True, cwd=tmp_path)
+    rng = np.random.RandomState(47)
+    for il in (False, True):
+        a = rng.randint(0, 65536, (13, 17, 3)).astype(np.uint16)
+        (tmp_path / "in.png").write_bytes(
+            mm.encode_png16(a, filter_for_row=lambda y: y, interlace=il)
+        )
+        subprocess.run(
+            [java, "Raster16", "in.png", "out.raw"], check=True, cwd=tmp_path
+        )
+        raw = (tmp_path / "out.raw").read_bytes()
+        h, w, b = struct.unpack(">III", raw[:12])
+        got = np.frombuffer(raw[12:], dtype=">u2").reshape(h, w, b).astype(np.uint16)
+        assert np.array_equal(got, a), il
