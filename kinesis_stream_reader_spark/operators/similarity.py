@@ -575,27 +575,16 @@ def ann_pq(
     )
 
 
-def kmeans_converged(
-    embeddings: DataFrame, k: int = 8, max_iter: int = 5
-) -> DataFrame:
-    """Lloyd's algorithm to convergence — the third iterative kernel
-    alongside dedup_components and pagerank_converged, and like them
-    fully oracle-checkable INCLUDING the data-dependent stop:
-
-    Vectors are quantized half-up to integer millis once, so squared
-    L2 distances are exact bigints, the argmin is the packed
-    MIN(d2*k + cid) (deterministic ties -> lowest cid), per-(cluster,
-    dim) coordinate sums are exact bigints, and the re-quantized
-    centroid is one deterministic float op (floor(sum/n + 0.5)).
-    Total within-cluster d2 is therefore an exact bigint that is
-    non-increasing round over round; the loop stops when it stops
-    changing (or at max_iter). Every iteration is bit-identical across
-    engines — float summation order never exists.
-
-    Plan per round: broadcast k centroids into the scoring join (big
-    side never shuffles), one hash-agg argmin, one partial-agg
-    (cluster, dim) update — O(k x dim) shuffle rows; localCheckpoint
-    truncates lineage per round."""
+def _lloyd_centroids(
+    embeddings: DataFrame, k: int, max_iter: int
+) -> tuple[DataFrame, DataFrame]:
+    """The Lloyd loop shared by kmeans_converged (which emits the
+    per-dim centroid report) and trained_lists (which re-assigns the
+    corpus against the converged centroids to key an IVF index).
+    Returns (cents, per_dim): `cents` is (cid, c array<long>) in
+    integer millis at the last executed iteration, `per_dim` its
+    exploded (cluster_id, pos0, n, cm) form. See kmeans_converged for
+    the exactness + plan-shape argument."""
     vecs = embeddings.select(
         "vec_id",
         F.transform(
@@ -651,6 +640,31 @@ def kmeans_converged(
         if total == prev_total:
             break
         prev_total = total
+    return cents, per_dim
+
+
+def kmeans_converged(
+    embeddings: DataFrame, k: int = 8, max_iter: int = 5
+) -> DataFrame:
+    """Lloyd's algorithm to convergence — the third iterative kernel
+    alongside dedup_components and pagerank_converged, and like them
+    fully oracle-checkable INCLUDING the data-dependent stop:
+
+    Vectors are quantized half-up to integer millis once, so squared
+    L2 distances are exact bigints, the argmin is the packed
+    MIN(d2*k + cid) (deterministic ties -> lowest cid), per-(cluster,
+    dim) coordinate sums are exact bigints, and the re-quantized
+    centroid is one deterministic float op (floor(sum/n + 0.5)).
+    Total within-cluster d2 is therefore an exact bigint that is
+    non-increasing round over round; the loop stops when it stops
+    changing (or at max_iter). Every iteration is bit-identical across
+    engines — float summation order never exists.
+
+    Plan per round: broadcast k centroids into the scoring join (big
+    side never shuffles), one hash-agg argmin, one partial-agg
+    (cluster, dim) update — O(k x dim) shuffle rows; localCheckpoint
+    truncates lineage per round."""
+    _, per_dim = _lloyd_centroids(embeddings, k, max_iter)
     # emit the converged centroids per (cluster, dim) with member counts
     return (
         per_dim.select(
@@ -660,6 +674,46 @@ def kmeans_converged(
             F.col("n").alias("n_members"),
         )
         .orderBy("cluster_id", "pos")
+    )
+
+
+def trained_lists(
+    embeddings: DataFrame, n_lists: int = 16, max_iter: int = 5
+) -> DataFrame:
+    """TRAINED coarse-quantizer list assignment — the FAISS production
+    composition (train k-means on the corpus, assign each vector to its
+    nearest centroid's inverted list), replacing the fixture `label`
+    column as the IVF partitioning key. Returns (vec_id, list_id).
+
+    Assignment is a fresh argmin of exact-integer squared L2 against
+    the CONVERGED centroids (one broadcast of n_lists integer-milli
+    vectors, packed MIN(d2 * n_lists + cid) for deterministic ties) —
+    at convergence this equals the loop's final assignment, and when
+    the max_iter cap fires first it is still the well-defined
+    "quantizer assigns" semantics both engines replay bit-identically.
+
+    Production sizing is n_lists ~ sqrt(N); the fixture default 16
+    (~sqrt(500)/1.4) keeps the oracle's recursive-CTE mirror bounded.
+    Plan shape / 100 TB: training runs on a sample (here: the corpus —
+    fixture-scale), then assignment is ONE broadcast join + hash-agg
+    argmin over the big side — map-side, no big-side shuffle; the
+    result is the list key later stages partition by."""
+    cents, _ = _lloyd_centroids(embeddings, n_lists, max_iter)
+    vecs = embeddings.select(
+        "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+    )
+    d2 = F.aggregate(
+        F.zip_with("xq", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        vecs.join(F.broadcast(cents))
+        .select("vec_id", d2.alias("d2"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.col("d2") * n_lists + F.col("cid")).alias("p"))
+        .select("vec_id", F.pmod("p", F.lit(n_lists)).alias("list_id"))
+        .localCheckpoint(eager=False)
     )
 
 
@@ -1396,7 +1450,23 @@ def _block_topk_mips(
     )
 
 
-def ivf_list_stats(embeddings: DataFrame) -> DataFrame:
+def _listed(embeddings: DataFrame, lists: DataFrame | None) -> DataFrame:
+    """(vec_id, list_id, embedding): the corpus keyed by its inverted
+    list. `lists=None` keeps the fixture convention (list = label);
+    passing a (vec_id, list_id) relation — e.g. trained_lists — swaps
+    in a trained coarse quantizer without touching any downstream
+    stage. The join is vec_id-keyed; at scale the assignment is
+    written alongside the vectors (same layout), so it co-partitions."""
+    if lists is None:
+        return embeddings.select(
+            "vec_id", F.col("label").alias("list_id"), "embedding"
+        )
+    return embeddings.select("vec_id", "embedding").join(lists, "vec_id")
+
+
+def ivf_list_stats(
+    embeddings: DataFrame, lists: DataFrame | None = None
+) -> DataFrame:
     """Per-inverted-list EXACT-INTEGER sufficient statistics of the
     milli-quantized vectors: (list_id, n, s, s2) with s[d] = sum of
     member coordinates and s2 = |s|^2. The mean centroid is s/n, but
@@ -1410,8 +1480,8 @@ def ivf_list_stats(embeddings: DataFrame) -> DataFrame:
     independent. Exactness bound: |s2| <= dims * (members * 1000 *
     max|coord|)^2 stays under 2^53 up to ~10^6 members/list at unit-norm
     coords; beyond that the production index re-shards lists first."""
-    qv = embeddings.select(
-        F.col("label").alias("list_id"), _quantized_vec(F.col("embedding")).alias("qv")
+    qv = _listed(embeddings, lists).select(
+        "list_id", _quantized_vec(F.col("embedding")).alias("qv")
     )
     # member count rides the same (list, pos) partial agg (each pos
     # sees every member exactly once), saving a separate count + join
@@ -1440,13 +1510,17 @@ def ivf_list_stats(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def ivf_probe_ranks(embeddings: DataFrame, metric: str = "ip") -> DataFrame:
+def ivf_probe_ranks(
+    embeddings: DataFrame,
+    metric: str = "ip",
+    lists: DataFrame | None = None,
+) -> DataFrame:
     """(vec_id, list_id, probe_rank): every vector's full probe
     ordering over ALL inverted lists — the input to the nprobe tuning
     curve (ivf_nprobe_sweep). Same map-side construction as
     ivf_probes (one broadcast stats row, codegen array sort), followed
     by a posexplode instead of a slice."""
-    scored = _ivf_probe_scored(embeddings, metric)
+    scored = _ivf_probe_scored(embeddings, metric, lists)
     return scored.select(
         "vec_id", F.posexplode("sorted").alias("p", "e")
     ).select(
@@ -1456,14 +1530,16 @@ def ivf_probe_ranks(embeddings: DataFrame, metric: str = "ip") -> DataFrame:
     )
 
 
-def _ivf_probe_scored(embeddings: DataFrame, metric: str) -> DataFrame:
+def _ivf_probe_scored(
+    embeddings: DataFrame, metric: str, lists: DataFrame | None = None
+) -> DataFrame:
     """Shared probe construction: (vec_id, qv, sorted) where `sorted`
     is the full array of (key, list_id) structs in probe order for the
     given metric. One broadcast row of per-list integer stats; all
     scoring and ordering inside codegen array expressions."""
     if metric not in ("ip", "l2"):
         raise ValueError(f"unknown IVF probe metric {metric!r}")
-    stats = ivf_list_stats(embeddings).agg(
+    stats = ivf_list_stats(embeddings, lists).agg(
         F.collect_list(F.struct("list_id", "n", "s", "s2")).alias("ls")
     )
     qv = embeddings.select("vec_id", _quantized_vec(F.col("embedding")).alias("qv"))
@@ -1511,7 +1587,10 @@ def _ivf_probe_scored(embeddings: DataFrame, metric: str) -> DataFrame:
 
 
 def ivf_probes(
-    embeddings: DataFrame, nprobe: int = 2, metric: str = "ip"
+    embeddings: DataFrame,
+    nprobe: int = 2,
+    metric: str = "ip",
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every vector its `nprobe` probed inverted lists, MAP-SIDE:
     the per-list integer stats collapse to ONE broadcast row, and each
@@ -1527,7 +1606,7 @@ def ivf_probes(
         constant |q|^2 = s2/n^2 - 2 dot(q, s)/n, ascending.
     Ties break on list_id. Output: (vec_id, qv, list_id), each vector
     replicated nprobe times."""
-    scored = _ivf_probe_scored(embeddings, metric)
+    scored = _ivf_probe_scored(embeddings, metric, lists)
     return scored.select(
         "vec_id",
         "qv",
@@ -1540,7 +1619,10 @@ def ivf_probes(
 
 
 def ivf_knn_graph(
-    embeddings: DataFrame, k: int = 5, nprobe: int = 2
+    embeddings: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PRUNED all-kNN by quantized inner product — the production
     twin of knn_graph. Where the exact kernel runs every (query-block x
@@ -1561,13 +1643,13 @@ def ivf_knn_graph(
     nprobe x N rows; candidates move once. A pair can't appear twice
     (each candidate lives in exactly one list). At scale list_id is the
     table's partition key, so the cogroup co-locates with the layout."""
-    probes = ivf_probes(embeddings, nprobe=nprobe, metric="ip")
-    cand = embeddings.select(
-        F.col("label").alias("list_id"),
+    probes = ivf_probes(embeddings, nprobe=nprobe, metric="ip", lists=lists)
+    cand = _listed(embeddings, lists).select(
+        "list_id",
         F.col("vec_id").alias("cand_id"),
         _quantized_vec(F.col("embedding")).alias("cv"),
     )
-    partial = _ivf_list_grid_topk(probes, cand, embeddings, k)
+    partial = _ivf_list_grid_topk(probes, cand, embeddings, k, lists)
     w = Window.partitionBy("vec_id").orderBy(F.col("dot_q").desc(), "neighbor_id")
     return (
         partial.withColumn("rank", F.row_number().over(w))
@@ -1580,7 +1662,11 @@ def ivf_knn_graph(
 
 
 def _ivf_list_grid_topk(
-    probes: DataFrame, cand: DataFrame, embeddings: DataFrame, k: int
+    probes: DataFrame,
+    cand: DataFrame,
+    embeddings: DataFrame,
+    k: int,
+    lists: DataFrame | None = None,
 ) -> DataFrame:
     """The IVF cogroup with SUB-BLOCKED list cells: a corpus with few
     inverted lists (the 10-label fixture; any under-sharded index)
@@ -1598,9 +1684,10 @@ def _ivf_list_grid_topk(
     import math
 
     spark = embeddings.sparkSession
+    sized = embeddings.select(F.col("label").alias("list_id")) if lists is None else lists
     n, n_lists = (
-        embeddings.agg(
-            F.count("*").alias("n"), F.countDistinct("label").alias("l")
+        sized.agg(
+            F.count("*").alias("n"), F.countDistinct("list_id").alias("l")
         ).first()
     )
     b = max(1, min(8, math.ceil(n / max(int(n_lists), 1) / 1000)))
@@ -1638,7 +1725,12 @@ def _ivf_list_grid_topk(
     )
 
 
-def ivf_knn_l2(embeddings: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
+def ivf_knn_l2(
+    embeddings: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    lists: DataFrame | None = None,
+) -> DataFrame:
     """IVF-pruned exact-L2 kNN within probed lists: (vec_id,
     neighbor_id, dq) with dq = round(sqrt(d2)) on exact-integer d2 —
     the pruned candidate generator for density-based reports (LOF).
@@ -1646,7 +1738,7 @@ def ivf_knn_l2(embeddings: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
     MIPS reduction (query -> (2v, 1), candidate -> (v, -|c|^2)) turns
     argmin-d2 into argmax-dot so the shared cell kernel applies
     unchanged, then d2 = |a|^2 - dot_q."""
-    probes = ivf_probes(embeddings, nprobe=nprobe, metric="l2")
+    probes = ivf_probes(embeddings, nprobe=nprobe, metric="l2", lists=lists)
     left = probes.select(
         "list_id",
         "vec_id",
@@ -1655,9 +1747,9 @@ def ivf_knn_l2(embeddings: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
             F.array(F.lit(1).cast("long")),
         ).alias("qv"),
     )
-    qv = embeddings.select(
+    qv = _listed(embeddings, lists).select(
         "vec_id",
-        F.col("label").alias("list_id"),
+        "list_id",
         _quantized_vec(F.col("embedding")).alias("v"),
     )
     n2 = qv.select(
@@ -1673,7 +1765,7 @@ def ivf_knn_l2(embeddings: DataFrame, k: int = 5, nprobe: int = 2) -> DataFrame:
         F.col("vec_id").alias("cand_id"),
         F.concat(F.col("v"), F.array(-F.col("nn"))).alias("cv"),
     )
-    partial = _ivf_list_grid_topk(left, cand, embeddings, k)
+    partial = _ivf_list_grid_topk(left, cand, embeddings, k, lists)
     w = Window.partitionBy("vec_id").orderBy(F.col("dot_q").desc(), "neighbor_id")
     return (
         partial.withColumn("rank", F.row_number().over(w))

@@ -40,6 +40,7 @@ from . import r4_surface  # noqa: E402,F401
 from . import r5_codecs_eval  # noqa: E402,F401
 from . import r6_round6  # noqa: E402,F401
 from . import r7_round7  # noqa: E402,F401
+from . import r8_round8  # noqa: E402,F401
 
 # Back-compat re-exports (callers use registry.<name> for these).
 from .r1_parity_ext import records_pipeline  # noqa: E402,F401
@@ -72,7 +73,9 @@ EAGER_QUERIES = frozenset(
         "hyperball_neighborhood", "kcore_decomposition", "kcore_bounded",
         "knn_graph", "knn_graph_components", "lof_outlier_scores",
         "ivf_knn_recall_report", "hubness_report_ivf", "lof_outlier_scores_ivf",
-        "ivf_nprobe_sweep",
+        "ivf_nprobe_sweep", "hubness_report_ivf_trained",
+        "lof_outlier_scores_ivf_trained", "ivf_nprobe_sweep_trained",
+        "ivf_list_health",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
         "dbscan_grid_clusters", "split_group_aware", "split_semantic_leakage",
@@ -109,6 +112,12 @@ _PRIORITY = [
     # paths CHANGED this round (vertex-restricted dedup_components
     # callers, staged winnowing hashes, lazy-checkpoint driver loops),
     # then the rotation of previously-verified queries. Nothing dropped.
+    # ROUND-8 ROTATION: new round-8 queries lead (never driver-checked),
+    # then the round-8-touched legs (lists-parameterized IVF chain, the
+    # Lloyd-loop extraction, nprobe-sweep oracle bound), then the r7
+    # rotation.
+    "hubness_report_ivf_trained", "lof_outlier_scores_ivf_trained",
+    "ivf_nprobe_sweep_trained", "ivf_list_health",
     # ROUND-7 ROTATION: new round-7 queries lead (never driver-checked),
     # then the round-7-touched legs (G.711 sign fix, AIFF split), then
     # the r6 rotation.

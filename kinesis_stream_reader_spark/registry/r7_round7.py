@@ -634,8 +634,7 @@ SELECT np.np::INT AS nprobe,
        SUM(CASE WHEN hit.r <= np.np THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
        ROUND(CAST(SUM(CASE WHEN hit.r <= np.np THEN 1 ELSE 0 END) AS DOUBLE)
              / (SELECT n FROM tot), 4) AS edge_recall
-FROM (SELECT UNNEST(range(1, 65)) AS np) np, hit
-WHERE np.np <= (SELECT COUNT(*) FROM ln)
+FROM (SELECT UNNEST(range(1, (SELECT COUNT(*) FROM ln) + 1)) AS np) np, hit
 GROUP BY np.np ORDER BY np.np
 """,
 )
