@@ -186,10 +186,11 @@ def encode_png_rgba(arr, filter_for_row=None, interlace: bool = False) -> bytes:
     return _encode_png_truecolor(arr, 6, 4, filter_for_row, interlace)
 
 
-def encode_png16(arr, filter_for_row=None, interlace: bool = False) -> bytes:
-    """(h, w, 3) uint16 -> 16-bit RGB PNG (color type 2, depth 16):
-    big-endian sample bytes, filters over the 6-byte pixel unit per
-    spec 9.2 (filters always act on BYTES regardless of depth)."""
+def _encode_png16(arr, ctyp: int, channels: int, filter_for_row, interlace):
+    """Shared 16-bit-depth encoder for gray (0, 1ch) and RGB (2, 3ch):
+    big-endian sample bytes, filters over the (2 * channels)-byte pixel
+    unit per spec 9.2 (filters always act on BYTES regardless of
+    depth)."""
     import struct
     import zlib
 
@@ -197,13 +198,14 @@ def encode_png16(arr, filter_for_row=None, interlace: bool = False) -> bytes:
 
     arr = np.asarray(arr, dtype=np.uint16)
     h, w = arr.shape[0], arr.shape[1]
+    unit = 2 * channels
     rows = (
         np.frombuffer(arr.astype(">u2").tobytes(), dtype=np.uint8)
-        .reshape(h, w, 6)
+        .reshape(h, w, unit)
         .astype(np.int64)
     )
     if not interlace:
-        scan = _png_filter_scanlines(rows.reshape(h, w * 6), 6, filter_for_row)
+        scan = _png_filter_scanlines(rows.reshape(h, w * unit), unit, filter_for_row)
     else:
         parts = []
         for x0, y0, dx, dy in _ADAM7:
@@ -212,17 +214,32 @@ def encode_png16(arr, filter_for_row=None, interlace: bool = False) -> bytes:
                 continue
             parts.append(
                 _png_filter_scanlines(
-                    sub.reshape(sub.shape[0], sub.shape[1] * 6), 6, filter_for_row
+                    sub.reshape(sub.shape[0], sub.shape[1] * unit),
+                    unit,
+                    filter_for_row,
                 )
             )
         scan = b"".join(parts)
-    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 1 if interlace else 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctyp, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"IDAT", zlib.compress(scan))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png16(arr, filter_for_row=None, interlace: bool = False) -> bytes:
+    """(h, w, 3) uint16 -> 16-bit RGB PNG (color type 2, depth 16)."""
+    return _encode_png16(arr, 2, 3, filter_for_row, interlace)
+
+
+def encode_png16_gray(arr, filter_for_row=None, interlace: bool = False) -> bytes:
+    """(h, w) uint16 -> 16-bit grayscale PNG (color type 0, depth 16):
+    the 2-byte pixel unit is the smallest multi-byte filter stride, so
+    a bpp-vs-sample-bytes confusion that RGB16's 6-byte unit can mask
+    breaks this layout immediately."""
+    return _encode_png16(arr, 0, 1, filter_for_row, interlace)
 
 
 def _pack_indices(idx, depth: int):
@@ -369,13 +386,14 @@ def decode_png(data: bytes):
             if (comp, filt) != (0, 0) or inter not in (0, 1) or (depth, ctyp) not in (
                 (8, 0),
                 (8, 2),
+                (16, 0),
                 (16, 2),
                 (8, 3),
                 (8, 6),
                 (4, 3),
             ):
                 raise NotImplementedError(
-                    "only 8-bit gray/RGB/RGBA, 16-bit RGB, and 8/4-bit "
+                    "only 8-bit gray/RGB/RGBA, 16-bit gray/RGB, and 8/4-bit "
                     "paletted PNG (interlace 0 or Adam7) supported in-sandbox"
                 )
         elif ctype == b"PLTE":
@@ -392,7 +410,7 @@ def decode_png(data: bytes):
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
 
     channels = {0: 1, 2: 3, 6: 4}.get(ctyp)  # None for paletted
-    sample_bytes = 2 if (ctyp == 2 and depth == 16) else 1
+    sample_bytes = 2 if (ctyp in (0, 2) and depth == 16) else 1
 
     def stride_for(width: int) -> int:
         if channels is not None:
@@ -410,8 +428,9 @@ def decode_png(data: bytes):
         if channels is not None:
             if sample_bytes == 2:
                 b = packed.reshape(packed.shape[0], width, channels, 2)
-                return (b[..., 0] << 8) | b[..., 1]
-            px = packed.reshape(packed.shape[0], width, channels)
+                px = (b[..., 0] << 8) | b[..., 1]
+            else:
+                px = packed.reshape(packed.shape[0], width, channels)
             if ctyp == 0:
                 return np.repeat(px, 3, axis=2)
             return px[:, :, :3]

@@ -471,3 +471,66 @@ def ivf_list_health_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 8 — 16-bit GRAYSCALE PNG (color type 0, depth 16): the last
+# integer-exact PNG gate. Composes the RGB16 filter-unit machinery
+# (multimodal_png16_decode) with the gray replication path of color
+# type 0; the 2-byte pixel unit is the smallest multi-byte filter
+# stride, so a bpp-vs-sample-bytes confusion that RGB16's 6-byte unit
+# can mask breaks here immediately. JDK raster cross-check in pytest.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_png16_gray_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 5003 + 257 * i.i) % 65536 AS v
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * 6 * v)::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_png16_gray_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL 16-bit grayscale PNG decode (multimodal.decode_png
+    (16, 0) path): sample v_i = (d*5003 + 257*i) mod 2^16 — the 257
+    step makes high and low bytes move together, so a byte-order or
+    recombination error breaks the checksum; odd doc_ids add Adam7,
+    filters rotate per row. Gray replicates to RGB in the decoder, so
+    the position-weighted checksum is sum((p+1) * 6v). Map-side Arrow
+    decode; scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                s = (d * 5003 + 257 * np.arange(w * h, dtype=np.int64)) % 65536
+                blobs.append(
+                    multimodal.encode_png16_gray(
+                        s.astype(np.uint16).reshape(h, w),
+                        filter_for_row=lambda y: y,
+                        interlace=bool(d % 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

@@ -1617,3 +1617,36 @@ public class Raster16 {
         h, w, b = struct.unpack(">III", raw[:12])
         got = np.frombuffer(raw[12:], dtype=">u2").reshape(h, w, b).astype(np.uint16)
         assert np.array_equal(got, a), il
+        # 16-bit GRAYSCALE (round 8): JDK reads color type 0 depth 16 as
+        # a 1-band unsigned-short raster — must match our wire samples
+        g = rng.randint(0, 65536, (13, 17)).astype(np.uint16)
+        (tmp_path / "in.png").write_bytes(
+            mm.encode_png16_gray(g, filter_for_row=lambda y: y, interlace=il)
+        )
+        subprocess.run(
+            [java, "Raster16", "in.png", "out.raw"], check=True, cwd=tmp_path
+        )
+        raw = (tmp_path / "out.raw").read_bytes()
+        h, w, b = struct.unpack(">III", raw[:12])
+        got = np.frombuffer(raw[12:], dtype=">u2").reshape(h, w, b).astype(np.uint16)
+        assert (h, w, b) == (13, 17, 1), il
+        assert np.array_equal(got[:, :, 0], g), il
+
+
+def test_png16_gray_roundtrip_all_filters_and_adam7():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(53)
+    for h, w in [(1, 1), (5, 9), (13, 17), (32, 24)]:
+        a = rng.randint(0, 65536, (h, w)).astype(np.uint16)
+        for il in (False, True):
+            for ff in [None, (lambda y: y), (lambda y: 4)]:
+                got = mm.decode_png(
+                    mm.encode_png16_gray(a, filter_for_row=ff, interlace=il)
+                )
+                assert got.dtype == np.uint16
+                assert np.array_equal(
+                    got, np.repeat(a[:, :, None], 3, axis=2)
+                ), (h, w, il)
