@@ -612,6 +612,12 @@ def _packbits_decode(data: bytes, expected: int | None = None) -> bytes:
     return bytes(out)
 
 
+# Decoder table prefix: singles 0-255 plus two placeholders so that
+# the first appended entry lands at index 258 (ClearCode/EOI are
+# handled before any table lookup and never dereferenced).
+_LZW_SINGLES: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+
+
 def _lzw_encode_tiff(data: bytes) -> bytes:
     """TIFF-variant LZW (spec §13): 8-bit symbols, ClearCode=256,
     EOI=257, first table code 258, MSB-first bit packing, 12-bit cap
@@ -622,20 +628,34 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
     lags one entry, after assigning 2^width - 3). Cross-validated
     against the JDK ImageIO TIFF codec in tests."""
     clear, eoi = 256, 257
+    # Table keyed by the packed int (prefix_code << 8) | next_byte —
+    # the classic O(1)-per-byte LZW trie encoding (singles 0-255 are
+    # implicit: a one-byte prefix IS its own code), replacing the
+    # original tuple-sequence keys whose per-byte concatenation cost
+    # O(match length) and made long runs quadratic (round-8 rewrite;
+    # emitted codes are bit-identical, JDK-cross-validated both ways).
+    import numpy as np
 
-    def reset():
-        return {(i,): i for i in range(256)}, 258, 9
-
-    table, next_code, width = reset()
-    out_bits: list[tuple[int, int]] = [(clear, width)]
-    w: tuple[int, ...] = ()
+    table: dict[int, int] = {}
+    next_code, width = 258, 9
+    codes_out = [clear]
+    widths_out = [width]
+    emit_code = codes_out.append
+    emit_width = widths_out.append
+    table_get = table.get
+    w = -1
     for c in data:
-        wc = w + (c,)
-        if wc in table:
-            w = wc
+        if w < 0:
+            w = c
             continue
-        out_bits.append((table[w], width))
-        table[wc] = next_code
+        key = (w << 8) | c
+        code = table_get(key)
+        if code is not None:
+            w = code
+            continue
+        emit_code(w)
+        emit_width(width)
+        table[key] = next_code
         next_code += 1
         # early change: one code earlier than GIF's late change (the
         # encoder bumps after assigning code 2^width - 1, so the code
@@ -644,25 +664,92 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
         if next_code == (1 << width) and width < 12:
             width += 1
         if next_code >= 4094:  # spec: emit ClearCode when NextCode is 4094
-            out_bits.append((clear, width))
-            table, next_code, width = reset()
-        w = (c,)
-    if w:
-        out_bits.append((table[w], width))
-    out_bits.append((eoi, width))
-    # MSB-first packing (GIF packs LSB-first; TIFF the opposite)
-    acc = nbits = 0
-    out = bytearray()
-    for code, cw in out_bits:
-        acc = (acc << cw) | code
-        nbits += cw
-        while nbits >= 8:
-            out.append((acc >> (nbits - 8)) & 0xFF)
-            nbits -= 8
-        acc &= (1 << nbits) - 1
-    if nbits:
-        out.append((acc << (8 - nbits)) & 0xFF)
-    return bytes(out)
+            emit_code(clear)
+            emit_width(width)
+            table = {}
+            table_get = table.get
+            next_code, width = 258, 9
+        w = c
+    if w >= 0:
+        emit_code(w)
+        emit_width(width)
+    emit_code(eoi)
+    emit_width(width)
+    # MSB-first packing (GIF packs LSB-first; TIFF the opposite),
+    # vectorized (round 8): each code's bits as a masked row of a
+    # (n, 12) bit matrix — row-major selection preserves the code
+    # order and the MSB-first bit order — then one np.packbits (which
+    # zero-pads the trailing partial byte exactly like the spec).
+    codes_a = np.array(codes_out, np.int64)
+    widths_a = np.array(widths_out, np.int64)
+    bitmat = (codes_a[:, None] >> np.arange(11, -1, -1)) & 1
+    mask = np.arange(12) >= (12 - widths_a[:, None])
+    return np.packbits(bitmat[mask].astype(np.uint8)).tobytes()
+
+
+def _lzw_codes_numpy(data, start_bit: int, clear_width: int = 9, nbits=None):
+    """Vectorized extraction of one ClearCode-delimited SEGMENT of the
+    MSB-packed TIFF LZW code stream (round 8): after a ClearCode the
+    decoder's code widths follow a DETERMINISTIC schedule (the clear +
+    254 codes at 9 bits, then 512 x 10-bit, 1024 x 11-bit, 12-bit to
+    the next clear — the early-change bump points 511/1023/2047 minus
+    the one-entry decoder lag), so every code bit-offset is known up
+    front and each code is one gathered 3-byte window shift — no
+    per-code Python bit reader. `start_bit` must point AT a ClearCode,
+    read at `clear_width` (9 at stream start; a MID-stream clear is
+    read at the width in effect when it appears — 12 for a
+    NextCode-4094 reset).
+    Returns (codes, nxt): the segment's codes after the leading clear,
+    ending before EOI / the next clear / end-of-strip; nxt is the
+    (start_bit, clear_width) of the next clear, or None when the
+    segment ended (EOI or exhausted bits). Returns None (not a tuple)
+    when the code at start_bit is not a ClearCode — callers fall back
+    to the sequential reference decoder."""
+    import numpy as np
+
+    if nbits is None:  # direct call with raw bytes: prepare the window
+        nbits = len(data) * 8
+        data = np.concatenate(
+            [np.frombuffer(data, np.uint8).astype(np.int64), np.zeros(3, np.int64)]
+        )
+    if start_bit + clear_width > nbits:
+        return [], None  # trailing clear with no room for another code
+    budget = nbits - start_bit
+    # width schedule: (count, width). A CONFORMING segment holds at
+    # most 1 clear + 3837 codes (the encoder must reset at NextCode
+    # 4094), so the 12-bit tail is capped — without the cap each
+    # segment would extract the whole remaining stream (quadratic
+    # across segments). A stream that overruns the cap (non-conforming
+    # late reset) is handed to the sequential decoder.
+    sched = [(1, clear_width), (254, 9), (512, 10), (1024, 11), (2062, 12)]
+    widths = np.repeat(
+        np.array([w for _, w in sched], np.int64),
+        np.array([c for c, _ in sched], np.int64),
+    )
+    ends = np.cumsum(widths)
+    k = int(np.searchsorted(ends, budget, side="right"))  # codes in-strip
+    if k == 0:
+        return [], None
+    in_budget = k < len(ends)  # schedule NOT the binding truncation
+    widths = widths[:k]
+    offs = start_bit + (ends[:k] - widths)
+    a = data
+    i = offs >> 3
+    r = offs & 7
+    win = (a[i] << 16) | (a[i + 1] << 8) | a[i + 2]
+    codes = (win >> (24 - r - widths)) & ((1 << widths) - 1)
+    if codes[0] != 256:
+        return None
+    cut = np.flatnonzero((codes[1:] == 256) | (codes[1:] == 257))
+    if cut.size:
+        end = int(cut[0]) + 1
+        nxt = (
+            (int(offs[end]), int(widths[end])) if codes[end] == 256 else None
+        )
+        return codes[1:end].tolist(), nxt
+    if not in_budget:
+        return None  # segment overran the conforming-reset cap
+    return codes[1:].tolist(), None
 
 
 def _lzw_decode_tiff(data: bytes, expected: int | None = None) -> bytes:
@@ -671,15 +758,63 @@ def _lzw_decode_tiff(data: bytes, expected: int | None = None) -> bytes:
     threshold (the decoder's table lags one entry, so it bumps after
     assigning 2^width - 3 to stay code-aligned), ClearCode resets,
     stops at EOI or when `expected` bytes are out (libtiff tolerates
-    strips that omit EOI)."""
+    strips that omit EOI).
+
+    Fast path (round 8): each clear-delimited segment's code stream is
+    extracted in one numpy pass (_lzw_codes_numpy — widths between
+    clears are schedule-determined, so no per-code Python bit reader);
+    the Python loop only walks the table — a bytes-valued list, so
+    emission and append are C-level memcpys. A stream not opening with
+    a ClearCode falls back to the sequential reference decoder. Both
+    produce identical bytes (JDK-cross-validated, plus the randomized
+    equivalence pytest)."""
+    import numpy as np
+
+    out = bytearray()
+    nbits = len(data) * 8
+    win = np.concatenate(
+        [np.frombuffer(data, np.uint8).astype(np.int64), np.zeros(3, np.int64)]
+    )
+    start: tuple[int, int] | None = (0, 9)
+    while start is not None:
+        seg = _lzw_codes_numpy(win, start[0], start[1], nbits=nbits)
+        if seg is None:
+            # not a clear-led conforming segment: restart sequentially
+            return _lzw_decode_tiff_seq(data, expected)
+        codes, start = seg
+        table = _LZW_SINGLES.copy()
+        prev: bytes | None = None
+        for code in codes:
+            if expected is not None and len(out) >= expected:
+                start = None
+                break
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt TIFF LZW code")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+    if expected is not None and len(out) != expected:
+        raise ValueError("TIFF LZW output length mismatch")
+    return bytes(out)
+
+
+def _lzw_decode_tiff_seq(data: bytes, expected: int | None = None) -> bytes:
+    """Sequential TIFF LZW decoder — the reference bit reader used when
+    the numpy fast path declines (mid-stream ClearCode resets)."""
     clear, eoi = 256, 257
     acc = nbits = pos = 0
     width = 9
+    n = len(data)
 
     def read_code():
         nonlocal acc, nbits, pos
         while nbits < width:
-            if pos >= len(data):
+            if pos >= n:
                 return eoi  # strip ended without EOI: treat as end
             acc = (acc << 8) | data[pos]
             pos += 1
@@ -689,31 +824,35 @@ def _lzw_decode_tiff(data: bytes, expected: int | None = None) -> bytes:
         acc &= (1 << nbits) - 1
         return code
 
-    dict_: dict[int, tuple[int, ...]] = {}
+    # Table as a LIST of bytes entries (code = index; a clear swaps in
+    # a copy of the 258-entry singles prefix). bytes values make every
+    # emission and table append a C-level memcpy — the round-8 rewrite
+    # of the original tuple-valued dict whose per-emission
+    # bytes(tuple) conversion dominated the amp-probe wall. Decoded
+    # output is bit-identical (JDK-cross-validated both directions).
+    table: list[bytes] = []
     next_code = 258
     out = bytearray()
-    prev: tuple[int, ...] | None = None
+    prev: bytes | None = None
     while expected is None or len(out) < expected:
         code = read_code()
         if code == clear:
-            dict_ = {i: (i,) for i in range(256)}
+            table = _LZW_SINGLES.copy()
             next_code = 258
             width = 9
             prev = None
             continue
         if code == eoi:
             break
-        if prev is None:
-            entry = dict_[code]
-        elif code in dict_:
-            entry = dict_[code]
-        elif code == next_code:
-            entry = prev + (prev[0],)
+        if code < next_code and code < len(table):
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
         else:
             raise ValueError("corrupt TIFF LZW code")
-        out += bytes(entry)
+        out += entry
         if prev is not None:
-            dict_[next_code] = prev + (entry[0],)
+            table.append(prev + entry[:1])
             next_code += 1
             # decoder early change: one entry below the encoder's rule
             # (the decoder's table lags one entry behind the encoder's)

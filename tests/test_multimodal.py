@@ -69,12 +69,12 @@ def test_png_crc_and_grammar_errors():
         multimodal.decode_png(bytes(blob))
     with pytest.raises(ValueError, match="not a PNG"):
         multimodal.decode_png(b"\x00" * 16)
-    # 16-bit GRAY stays honestly gated (16-bit RGB, palette, gray-8,
-    # RGBA and Adam7 are all real now)
+    # 16-bit RGBA stays honestly gated (16-bit gray/RGB, palette,
+    # gray-8, RGBA-8 and Adam7 are all real now)
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 6, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
@@ -1160,6 +1160,37 @@ def test_tiff_compressed_decode_both_orders_and_strips():
     blob[idx + 8] = 7
     with _pytest.raises(NotImplementedError, match="compression 7"):
         mm.decode_tiff(bytes(blob))
+
+
+def test_lzw_fast_and_sequential_decoders_agree():
+    """The round-8 numpy fast path (schedule-driven code extraction)
+    and the sequential reference bit reader must produce identical
+    bytes on every stream shape: random (incompressible, multi-reset),
+    run-heavy (long table entries), cyclic (deep table reuse), plus
+    truncated streams (missing EOI) and expected-capped decodes."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(61)
+    for trial in range(60):
+        n = int(rng.randint(1, 40000)) if trial % 5 == 0 else int(rng.randint(1, 2500))
+        m = trial % 3
+        if m == 0:
+            p = rng.randint(0, 256, n).astype(np.uint8).tobytes()
+        elif m == 1:
+            p = np.repeat(
+                rng.randint(0, 4, n), rng.randint(1, 9)
+            ).astype(np.uint8).tobytes()[:n]
+        else:
+            p = (bytes(range(int(rng.randint(1, 40)))) * 2000)[:n]
+        e = mm._lzw_encode_tiff(p)
+        assert mm._lzw_decode_tiff(e) == p
+        assert mm._lzw_decode_tiff(e, expected=len(p)) == p
+        assert mm._lzw_decode_tiff_seq(e, expected=len(p)) == p
+        if len(e) > 4:
+            cut = int(rng.randint(1, 4))
+            assert mm._lzw_decode_tiff(e[:-cut]) == mm._lzw_decode_tiff_seq(e[:-cut])
 
 
 def test_tiff_lzw_cross_validated_against_jdk_imageio(tmp_path):
