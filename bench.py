@@ -38,6 +38,18 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entrymod.queries()
+    # SPARK_GRAFT_BENCH_SHARD="i/n": run only the i-th of n CONTIGUOUS
+    # registry-order slices in this process (fresh-JVM shard probe —
+    # see SCALING.md round 8). Shard results land in their own file so
+    # the committed single-session bench_out.json is never clobbered.
+    shard = os.environ.get("SPARK_GRAFT_BENCH_SHARD")
+    shard_suffix = ""
+    if shard:
+        i, n = (int(x) for x in shard.split("/"))
+        items = list(qs.items())
+        per = -(-len(items) // n)
+        qs = dict(items[i * per : (i + 1) * per])
+        shard_suffix = f"_shard_{i}_{n}"
     # Warm up the JVM (codegen, parquet footer caches, Arrow path) so
     # timings measure query execution, not session startup.
     from kinesis_stream_reader_spark.sources.tables import TABLES
@@ -134,6 +146,10 @@ def main() -> None:
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_out.json"
     )
+    shard_out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"bench_out{shard_suffix}.json",
+    )
 
     # --- Noise re-probe (round 7): a ~490-query single-pass bench has
     # ~±15% run-level noise, which exceeds a typical round's true perf
@@ -193,8 +209,8 @@ def main() -> None:
         "confirmed_regressions": confirmed,
     }
     # The full per-query JSON lands in bench_out.json so rounds can be
-    # diffed query-by-query.
-    with open(out_path, "w") as fh:
+    # diffed query-by-query (or bench_out_shard_i_n.json in shard mode).
+    with open(shard_out_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
     # The driver captures a ~2000-char TAIL of stdout, so a 320-query
     # line gets its head (and the totals) cut off. Print the full line

@@ -577,70 +577,124 @@ def ann_pq(
 
 def _lloyd_centroids(
     embeddings: DataFrame, k: int, max_iter: int
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[list, list]:
     """The Lloyd loop shared by kmeans_converged (which emits the
     per-dim centroid report) and trained_lists (which re-assigns the
     corpus against the converged centroids to key an IVF index).
-    Returns (cents, per_dim): `cents` is (cid, c array<long>) in
-    integer millis at the last executed iteration, `per_dim` its
-    exploded (cluster_id, pos0, n, cm) form. See kmeans_converged for
-    the exactness + plan-shape argument."""
+
+    Round-8 shape: per iteration ONE map-side Arrow pass scores every
+    vector against the driver-held (m x dim) integer centroid table
+    with an int64 numpy GEMM (exact: |D2 * k + cid| << 2^63) and emits
+    only per-batch census partials — (cluster, dim) coordinate sums,
+    counts, and the within-cluster d2 total — so the shuffle per round
+    is batches x (m x dim + m) rows and the driver collects m x dim
+    ints. The original column-expression loop ran the scoring
+    zip_with/aggregate INTERPRETED per element (N x m x dim lambda
+    steps — 41M/iter at the 40k amp probe, where it was 3x slower
+    than the quadratic twin it feeds); the GEMM pass is the same
+    exact-integer arithmetic at C speed. Values are bit-identical:
+    packed argmin MIN(d2 * k + cid), exact-bigint total as the stop
+    signal, floor(sum/n + 0.5) re-quantization (int64 -> float64 is
+    exact below 2^53, so the one IEEE division matches the SQL
+    oracle's).
+
+    Returns (cents, per_dim_rows) at the last executed iteration:
+    cents = [(cid, np.ndarray int64 (dim,))], per_dim_rows =
+    [(cluster_id, pos0, n, cm)]."""
+    import numpy as np
+
     vecs = embeddings.select(
-        "vec_id",
-        F.transform(
-            _as_double(F.col("embedding")),
-            lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"),
-        ).alias("xq"),
-        # lazy: round-1's total aggregate carries the materialization
+        "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
     ).localCheckpoint(eager=False)
-    cents = vecs.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"), F.col("xq").alias("c")
+    seeds = sorted(
+        (r["vec_id"], np.asarray(r["xq"], np.int64))
+        for r in vecs.filter(F.col("vec_id") < k).collect()
     )
-    d2 = F.aggregate(
-        F.zip_with("xq", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    cents = seeds
     prev_total = None
+    per_dim_rows: list = []
     for _ in range(max_iter):
-        packed = (
-            vecs.join(F.broadcast(cents))
-            .select("vec_id", d2.alias("d2"), "cid")
-            .groupBy("vec_id")
-            .agg(F.min(F.col("d2") * k + F.col("cid")).alias("p"))
+        cids = np.array([c[0] for c in cents], np.int64)
+        cmat = np.stack([c[1] for c in cents])
+        part = vecs.mapInPandas(
+            _lloyd_census_batches(cmat, cids, k),
+            "cluster_id LONG, pos0 INT, s LONG, n LONG",
         )
-        assign = packed.select(
-            "vec_id",
-            F.pmod("p", F.lit(k)).alias("cluster_id"),
-            F.expr(f"p DIV {k}").alias("d2min"),
-        ).localCheckpoint(eager=False)
-        total = assign.agg(F.sum("d2min")).first()[0]
-        per_dim = (
-            assign.join(vecs, "vec_id")
-            .select("cluster_id", F.posexplode("xq").alias("pos0", "v"))
-            .groupBy("cluster_id", "pos0")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
-            .select(
-                "cluster_id",
-                "pos0",
-                "n",
-                F.floor(F.col("s") / F.col("n") + F.lit(0.5))
-                .cast("long")
-                .alias("cm"),
+        rows = (
+            part.groupBy("cluster_id", "pos0")
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            .collect()
+        )
+        total = sum(r["s"] for r in rows if r["pos0"] < 0)
+        per_dim_rows = sorted(
+            (
+                r["cluster_id"],
+                r["pos0"],
+                r["n"],
+                int(np.floor(r["s"] / r["n"] + 0.5)),
             )
+            for r in rows
+            if r["pos0"] >= 0
         )
-        cents = (
-            per_dim.groupBy("cluster_id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos0", "cm"))).alias("pm"))
-            .select(
-                F.col("cluster_id").alias("cid"),
-                F.transform("pm", lambda s: s.getField("cm")).alias("c"),
+        cents = [
+            (
+                cid,
+                np.array(
+                    [pr[3] for pr in per_dim_rows if pr[0] == cid], np.int64
+                ),
             )
-        )
+            for cid in sorted({pr[0] for pr in per_dim_rows})
+        ]
         if total == prev_total:
             break
         prev_total = total
-    return cents, per_dim
+    return cents, per_dim_rows
+
+
+def _lloyd_census_batches(cmat, cids, k: int):
+    """Arrow-batch kernel for one Lloyd round: int64 GEMM argmin
+    against the broadcast centroid table, then a per-batch census —
+    for each cluster present in the batch, one row per dim
+    (cluster_id, pos0, coordinate sum, member count) plus one
+    (cluster_id, -1, d2 sum, member count) row carrying the
+    within-cluster total. All arithmetic exact int64."""
+    import numpy as np
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            v = np.array(pdf["xq"].tolist(), np.int64)
+            d2 = (
+                (v * v).sum(1)[:, None]
+                - 2 * (v @ cmat.T)
+                + (cmat * cmat).sum(1)[None, :]
+            )
+            packed = (d2 * k + cids[None, :]).min(1)
+            cl = packed % k
+            d2min = packed // k
+            order = np.argsort(cl, kind="stable")
+            present, starts = np.unique(cl[order], return_index=True)
+            sums = np.add.reduceat(v[order], starts, axis=0)
+            d2s = np.add.reduceat(d2min[order], starts)
+            cnts = np.diff(np.append(starts, len(cl)))
+            dim = v.shape[1]
+            nc = len(present)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": np.concatenate(
+                        [np.repeat(present, dim), present]
+                    ),
+                    "pos0": np.concatenate(
+                        [np.tile(np.arange(dim, dtype=np.int32), nc),
+                         np.full(nc, -1, np.int32)]
+                    ),
+                    "s": np.concatenate([sums.reshape(-1), d2s]),
+                    "n": np.concatenate([np.repeat(cnts, dim), cnts]),
+                }
+            )
+
+    return batches
 
 
 def kmeans_converged(
@@ -660,21 +714,23 @@ def kmeans_converged(
     changing (or at max_iter). Every iteration is bit-identical across
     engines — float summation order never exists.
 
-    Plan per round: broadcast k centroids into the scoring join (big
-    side never shuffles), one hash-agg argmin, one partial-agg
-    (cluster, dim) update — O(k x dim) shuffle rows; localCheckpoint
-    truncates lineage per round."""
+    Plan per round (round 8): ONE map-side Arrow GEMM pass against the
+    driver-held centroid table emitting per-batch census partials, a
+    (cluster x dim)-row partial agg, and an m x dim driver collect —
+    the big side never shuffles (see _lloyd_centroids). The emitted
+    report is built from the collected census (driver-census algebra,
+    the bradley_terry/pelt house pattern — this query is in
+    EAGER_QUERIES)."""
+    spark = embeddings.sparkSession
     _, per_dim = _lloyd_centroids(embeddings, k, max_iter)
     # emit the converged centroids per (cluster, dim) with member counts
-    return (
-        per_dim.select(
-            "cluster_id",
-            (F.col("pos0") + 1).cast("int").alias("pos"),
-            (F.col("cm") / 1000).alias("centroid_val"),
-            F.col("n").alias("n_members"),
-        )
-        .orderBy("cluster_id", "pos")
-    )
+    rows = [
+        (int(cid), int(pos0) + 1, cm / 1000, int(n))
+        for cid, pos0, n, cm in per_dim
+    ]
+    return spark.createDataFrame(
+        rows, "cluster_id LONG, pos INT, centroid_val DOUBLE, n_members LONG"
+    ).orderBy("cluster_id", "pos")
 
 
 def trained_lists(
@@ -694,25 +750,37 @@ def trained_lists(
 
     Production sizing is n_lists ~ sqrt(N); the fixture default 16
     (~sqrt(500)/1.4) keeps the oracle's recursive-CTE mirror bounded.
-    Plan shape / 100 TB: training runs on a sample (here: the corpus —
-    fixture-scale), then assignment is ONE broadcast join + hash-agg
-    argmin over the big side — map-side, no big-side shuffle; the
-    result is the list key later stages partition by."""
+    Plan shape / 100 TB: training is the per-round map-side GEMM +
+    census-partial shuffle of _lloyd_centroids (at real scale it runs
+    on a corpus sample); assignment is ONE map-side Arrow GEMM pass
+    against the driver-held converged centroids — the big side never
+    shuffles; the result is the list key later stages partition by."""
+    import numpy as np
+
     cents, _ = _lloyd_centroids(embeddings, n_lists, max_iter)
-    vecs = embeddings.select(
-        "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
-    )
-    d2 = F.aggregate(
-        F.zip_with("xq", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    cids = np.array([c[0] for c in cents], np.int64)
+    cmat = np.stack([c[1] for c in cents])
+
+    def assign(it):
+        import pandas as pd
+
+        for pdf in it:
+            v = np.array(pdf["xq"].tolist(), np.int64)
+            d2 = (
+                (v * v).sum(1)[:, None]
+                - 2 * (v @ cmat.T)
+                + (cmat * cmat).sum(1)[None, :]
+            )
+            packed = (d2 * n_lists + cids[None, :]).min(1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "list_id": packed % n_lists}
+            )
+
     return (
-        vecs.join(F.broadcast(cents))
-        .select("vec_id", d2.alias("d2"), "cid")
-        .groupBy("vec_id")
-        .agg(F.min(F.col("d2") * n_lists + F.col("cid")).alias("p"))
-        .select("vec_id", F.pmod("p", F.lit(n_lists)).alias("list_id"))
+        embeddings.select(
+            "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+        )
+        .mapInPandas(assign, "vec_id LONG, list_id LONG")
         .localCheckpoint(eager=False)
     )
 

@@ -387,3 +387,82 @@ def test_ivf_knn_pairs_within_probed_lists_only(spark, sf_dir):
         assert r.neighbor_id != r.vec_id
         per_query[r.vec_id] += 1
     assert max(per_query.values()) <= 5
+
+
+def test_trained_lists_partition_and_numpy_replay(spark, sf_dir):
+    """trained_lists must (a) assign every vector exactly once to a
+    list in [0, n_lists), and (b) match a driver-side numpy replay of
+    the whole pipeline: Lloyd to convergence on milli-quantized ints
+    (packed argmin, exact totals, floor(sum/n + 0.5) re-quantization,
+    total-d2 stop) then assignment against the converged centroids."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import similarity
+
+    k = 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        r.vec_id: r.list_id
+        for r in similarity.trained_lists(emb, n_lists=k, max_iter=5).collect()
+    }
+    ids, mat = _quantized_matrix(spark, sf_dir)
+    assert set(got) == set(ids.tolist())
+    assert all(0 <= v < k for v in got.values())
+
+    # numpy replay
+    cids = ids[ids < k].copy()
+    cmat = mat[np.isin(ids, cids)].copy()
+
+    def packed_assign(c_ids, c_mat, mult):
+        d2 = (
+            (mat * mat).sum(1)[:, None]
+            - 2 * (mat @ c_mat.T)
+            + (c_mat * c_mat).sum(1)[None, :]
+        )
+        p = (d2 * mult + c_ids[None, :]).min(1)
+        return p % mult, p // mult
+
+    prev_total = None
+    for _ in range(5):
+        cl, d2min = packed_assign(cids, cmat, k)
+        total = int(d2min.sum())
+        new_cids = np.unique(cl)
+        cmat = np.stack(
+            [
+                np.floor(mat[cl == c].sum(0) / (cl == c).sum() + 0.5).astype(
+                    np.int64
+                )
+                for c in new_cids
+            ]
+        )
+        cids = new_cids
+        if total == prev_total:
+            break
+        prev_total = total
+    final_cl, _ = packed_assign(cids, cmat, k)
+    want = dict(zip(ids.tolist(), final_cl.tolist()))
+    assert got == want
+
+
+def test_trained_ivf_full_probe_recovers_exact(spark, sf_dir):
+    """The exactness-recovery invariant must hold under TRAINED lists
+    too: nprobe = n_lists(trained) makes ivf_knn_graph equal the exact
+    graph row-for-row, independent of how good the quantizer is."""
+    from kinesis_stream_reader_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tl = similarity.trained_lists(emb, n_lists=16, max_iter=5)
+    n_lists = tl.select("list_id").distinct().count()
+    exact = [
+        tuple(r)
+        for r in similarity.knn_graph(emb, k=5)
+        .select("vec_id", "rank", "neighbor_id", "dot_q")
+        .collect()
+    ]
+    full = [
+        tuple(r)
+        for r in similarity.ivf_knn_graph(emb, k=5, nprobe=n_lists, lists=tl)
+        .select("vec_id", "rank", "neighbor_id", "dot_q")
+        .collect()
+    ]
+    assert full == exact
