@@ -779,14 +779,25 @@ def semdedup(
         .groupBy("vec_id")
         .agg(F.min("seed_id").alias("cluster"))
     )
-    clustered = embeddings.select("vec_id", "embedding").join(assign, "vec_id")
-    # dropped-only kernel: the keep-rule needs "has ANY lower-id
-    # neighbor >= threshold" per vector, so the per-cluster matmul emits
-    # one row per dropped vector — linear output even when a cluster is
-    # one giant dup group (the full pair list of a 1e5-member group is
-    # ~5e9 rows; this is 1e5). Same math, same half-up rounding as
-    # embedding_near_dup_pairs, which remains the diagnostic pair view.
+    return _semdedup_kept(embeddings, assign, threshold)
+
+
+def _semdedup_kept(
+    embeddings: DataFrame, assign: DataFrame, threshold: float
+) -> DataFrame:
+    """The within-cluster dedup shared by semdedup (seed clusters) and
+    semdedup_trained (Lloyd-trained lists): given (vec_id, cluster),
+    emit (vec_id, cluster, kept).
+
+    Dropped-only kernel: the keep-rule needs "has ANY lower-id
+    neighbor >= threshold" per vector, so the per-cluster matmul emits
+    one row per dropped vector — linear output even when a cluster is
+    one giant dup group (the full pair list of a 1e5-member group is
+    ~5e9 rows; this is 1e5). Same math, same half-up rounding as
+    embedding_near_dup_pairs, which remains the diagnostic pair view."""
     import numpy as np
+
+    clustered = embeddings.select("vec_id", "embedding").join(assign, "vec_id")
 
     def block_dropped(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
@@ -817,6 +828,38 @@ def semdedup(
         )
         .orderBy("vec_id")
     )
+
+
+def semdedup_trained(
+    embeddings: DataFrame,
+    n_lists: int = 16,
+    max_iter: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup with the REAL trained quantizer — the composition the
+    paper actually runs (Abbas et al. 2023 cluster with k-means before
+    the within-cluster cosine sweep; the original semdedup query's
+    deterministic seed clusters were the oracle-friendly stand-in, with
+    this exact swap documented as the seam). Clusters come from
+    similarity.trained_lists (Lloyd to convergence, exact-integer
+    assignment — so cluster membership is bit-stable across engines,
+    strictly MORE robust than the seed query's rounded-cosine argmax);
+    the within-cluster dropped-only kernel is shared via
+    _semdedup_kept, one arithmetic for both queries.
+
+    Plan shape / 100 TB: the training loop's map-side GEMM + census
+    partials (sample-sized at real scale), one broadcast-argmin
+    assignment pass, then ONE cluster-keyed applyInPandas whose output
+    is dropped-rows-only. n_lists scales with the corpus, bounding
+    cluster sizes, so the quadratic pair step never sees the whole
+    corpus — and unlike the seed variant the cluster count here is a
+    tuning knob, not a fixture constant."""
+    from .similarity import trained_lists
+
+    assign = trained_lists(embeddings, n_lists=n_lists, max_iter=max_iter).select(
+        "vec_id", F.col("list_id").alias("cluster")
+    )
+    return _semdedup_kept(embeddings, assign, threshold)
 
 
 def ngram_containment_pairs(

@@ -534,3 +534,108 @@ def multimodal_png16_gray_decode_query(
         batches, "doc_id BIGINT, data BINARY"
     )
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+@register(
+    "semdedup_trained",
+    _TRAINED_TL_CTE + """
+, av AS (
+  SELECT t.vec_id, t.list_id AS cluster, e.embedding::DOUBLE[] AS v
+  FROM tl t JOIN embeddings e ON e.vec_id = t.vec_id
+), pairs AS (
+  SELECT y.vec_id AS b_id
+  FROM av x JOIN av y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE ROUND(list_cosine_similarity(x.v, y.v), 3) >= 0.4
+)
+SELECT vec_id, cluster, vec_id NOT IN (SELECT b_id FROM pairs) AS kept
+FROM av ORDER BY vec_id
+""",
+)
+def semdedup_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over TRAINED k-means clusters — the paper's actual
+    composition (the original semdedup query's deterministic seed
+    clusters were the oracle-friendly stand-in; its docstring promised
+    this exact swap). Training + assignment are the round-8 GEMM loop;
+    the within-cluster dropped-only kernel is shared with semdedup.
+    The oracle replays the training loop (recursive CTE), the
+    assignment, and the within-cluster cosine sweep end to end."""
+    from ..operators import dedup
+
+    return dedup.semdedup_trained(
+        load_table(spark, sf_dir, "embeddings"),
+        n_lists=_N_LISTS,
+        max_iter=_MAX_ITER,
+        threshold=0.4,
+    )
+
+
+@register(
+    "streaming_ivf_assign",
+    _TRAINED_TL_CTE + """
+SELECT list_id, COUNT(*)::BIGINT AS n_ingested,
+       SUM(vec_id)::BIGINT AS vec_id_sum
+FROM tl GROUP BY list_id ORDER BY list_id
+""",
+)
+def streaming_ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector index's ADD path ON the stream: the coarse quantizer
+    is trained offline (the round-8 GEMM Lloyd loop over the static
+    corpus — production trains on yesterday's sample), then arriving
+    vectors are assigned map-side to their nearest centroid's inverted
+    list inside the micro-batch (the same broadcast-GEMM argmin as
+    trained_lists, stateless per row) and the drained per-list ingest
+    census (count + vec_id checksum) is the report — what a 100 TB
+    deployment monitors to see each list's growth between retrains
+    (composing with ivf_list_health's imbalance read-off).
+
+    Plan shape / 100 TB: assignment is a stateless mapInPandas on the
+    stream (no state store); the only stateful op is the n_lists-row
+    census aggregate. State bound: n_lists rows, corpus-independent.
+    Oracle: streaming assignment of the whole fixture equals the batch
+    assignment, so the census is the trained-lists CTE grouped."""
+    import numpy as np
+
+    from ..operators import similarity
+    from ..streaming import jobs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = similarity._lloyd_centroids(emb, _N_LISTS, _MAX_ITER)
+    cids = np.array([c[0] for c in cents], np.int64)
+    cmat = np.stack([c[1] for c in cents])
+
+    def assign(it):
+        import pandas as pd
+
+        for pdf in it:
+            v = np.floor(
+                np.array(pdf["embedding"].tolist(), np.float64) * 1000 + 0.5
+            ).astype(np.int64)
+            d2 = (
+                (v * v).sum(1)[:, None]
+                - 2 * (v @ cmat.T)
+                + (cmat * cmat).sum(1)[None, :]
+            )
+            packed = (d2 * _N_LISTS + cids[None, :]).min(1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "list_id": packed % _N_LISTS}
+            )
+
+    stream = jobs._table_stream_dir(sf_dir, "embeddings")
+    static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec_stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream)
+        .select("vec_id", "embedding")
+        .mapInPandas(assign, "vec_id LONG, list_id LONG")
+    )
+    census = vec_stream.groupBy("list_id").agg(
+        F.count("*").alias("n_ingested"),
+        F.sum("vec_id").alias("vec_id_sum"),
+    )
+    out = jobs.run_available_now(census, "streaming_ivf_assign")
+    return out.select(
+        "list_id",
+        F.col("n_ingested").cast("long").alias("n_ingested"),
+        F.col("vec_id_sum").cast("long").alias("vec_id_sum"),
+    ).orderBy("list_id")
