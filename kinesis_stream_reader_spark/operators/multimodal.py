@@ -242,6 +242,14 @@ def encode_png16_gray(arr, filter_for_row=None, interlace: bool = False) -> byte
     return _encode_png16(arr, 0, 1, filter_for_row, interlace)
 
 
+def encode_png16_rgba(arr, filter_for_row=None, interlace: bool = False) -> bytes:
+    """(h, w, 4) uint16 -> 16-bit RGBA PNG (color type 6, depth 16):
+    the 8-byte pixel unit; decode_png returns RGB (alpha dropped, not
+    composited) but the alpha plane still rides every filter, so a
+    channel-offset bug corrupts RGB and fails the checksum."""
+    return _encode_png16(arr, 6, 4, filter_for_row, interlace)
+
+
 def _pack_indices(idx, depth: int):
     """(h, w) indices -> (h, stride) packed bytes at depth 8 or 4
     (high nibble first per spec; trailing nibble zero-padded)."""
@@ -388,13 +396,14 @@ def decode_png(data: bytes):
                 (8, 2),
                 (16, 0),
                 (16, 2),
+                (16, 6),
                 (8, 3),
                 (8, 6),
                 (4, 3),
             ):
                 raise NotImplementedError(
-                    "only 8-bit gray/RGB/RGBA, 16-bit gray/RGB, and 8/4-bit "
-                    "paletted PNG (interlace 0 or Adam7) supported in-sandbox"
+                    "only 8/16-bit gray/RGB/RGBA and 8/4-bit paletted PNG "
+                    "(interlace 0 or Adam7) supported in-sandbox"
                 )
         elif ctype == b"PLTE":
             if size % 3:
@@ -410,7 +419,7 @@ def decode_png(data: bytes):
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
 
     channels = {0: 1, 2: 3, 6: 4}.get(ctyp)  # None for paletted
-    sample_bytes = 2 if (ctyp in (0, 2) and depth == 16) else 1
+    sample_bytes = 2 if depth == 16 else 1
 
     def stride_for(width: int) -> int:
         if channels is not None:
@@ -874,7 +883,8 @@ def encode_tiff(
 ) -> bytes:
     """(h, w, 3) uint8 RGB -> TIFF 6.0 (public spec): header, one IFD
     with the required tags. Both byte orders (II little / MM big);
-    compression 1 = none, 5 = LZW (§13), 32773 = PackBits (§9),
+    compression 1 = none, 5 = LZW (§13), 8 = Adobe Deflate
+    (per-segment zlib streams), 32773 = PackBits (§9),
     applied per segment as the spec requires; `planar=True` writes
     PlanarConfiguration 2 (all segments of plane R, then G, then B);
     `tile=(tw, tl)` writes the §15 tiled layout (tile dims multiples
@@ -884,7 +894,7 @@ def encode_tiff(
 
     import numpy as np
 
-    if compression not in (1, 5, 32773):
+    if compression not in (1, 5, 8, 32773):
         raise ValueError(f"unsupported TIFF compression {compression}")
     e = ">" if big_endian else "<"
     arr = np.asarray(arr, dtype=np.uint8)
@@ -912,6 +922,11 @@ def encode_tiff(
                 segs.append((s if c is None else s[:, :, c]).tobytes())
     if compression == 5:
         segs = [_lzw_encode_tiff(s) for s in segs]
+    elif compression == 8:
+        # Adobe Deflate (8): each segment is an independent zlib stream
+        import zlib
+
+        segs = [zlib.compress(s) for s in segs]
     elif compression == 32773:
         segs = [_packbits_encode(s) for s in segs]
 
@@ -982,7 +997,8 @@ def decode_tiff(data: bytes):
     first-IFD tag walk, 8-bit RGB in EVERY baseline layout — chunky
     AND planar (PlanarConfiguration 2, plane-major segments), stripped
     AND tiled (§15: edge tiles padded to full size, tiles across then
-    down) — with per-segment decompression: none (1), LZW (5, §13
+    down) — with per-segment decompression: none (1), Deflate (8,
+    per-segment zlib), LZW (5, §13
     incl. the early-change width rule), PackBits (32773, §9). Raises
     NotImplementedError only for other compressions or non-8-bit/
     non-RGB streams."""
@@ -1013,9 +1029,14 @@ def decode_tiff(data: bytes):
         tags[tag] = list(struct.unpack_from(f"{e}{count}{fmt}", data, ptr))
     w, h = tags[256][0], tags[257][0]
     compression = tags.get(259, [1])[0]
-    if compression not in (1, 5, 32773):
+    if compression == 32946:
+        # legacy COMPRESSION_DEFLATE: same per-segment zlib streams as
+        # Adobe Deflate (8) — libtiff and the JDK treat them identically
+        compression = 8
+    if compression not in (1, 5, 8, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression} not supported (have none/LZW/PackBits)"
+            f"TIFF compression {compression} not supported "
+            "(have none/LZW/Deflate/PackBits)"
         )
     if tags.get(258, [8])[:3] != [8, 8, 8] or tags.get(277, [3])[0] != 3:
         raise NotImplementedError("only 8-bit RGB TIFF supported")
@@ -1026,6 +1047,13 @@ def decode_tiff(data: bytes):
         raw = data[o : o + c]
         if compression == 5:
             return _lzw_decode_tiff(raw, expected)
+        if compression == 8:
+            import zlib
+
+            out = zlib.decompress(raw)
+            if len(out) < expected:
+                raise ValueError("TIFF Deflate segment shorter than expected")
+            return out[:expected]
         if compression == 32773:
             return _packbits_decode(raw, expected)
         if len(raw) < expected:

@@ -119,7 +119,8 @@ _PRIORITY = [
     "hubness_report_ivf_trained", "lof_outlier_scores_ivf_trained",
     "ivf_nprobe_sweep_trained", "ivf_list_health",
     "multimodal_png16_gray_decode", "semdedup_trained",
-    "streaming_ivf_assign",
+    "streaming_ivf_assign", "multimodal_tiff_deflate_decode",
+    "multimodal_png16_rgba_decode",
     # ROUND-7 ROTATION: new round-7 queries lead (never driver-checked),
     # then the round-7-touched legs (G.711 sign fix, AIFF split), then
     # the r6 rotation.

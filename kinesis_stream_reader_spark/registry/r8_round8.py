@@ -639,3 +639,135 @@ def streaming_ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ingested").cast("long").alias("n_ingested"),
         F.col("vec_id_sum").cast("long").alias("vec_id_sum"),
     ).orderBy("list_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 8 (second pass) — Deflate TIFF (compression 8 / legacy 32946:
+# per-segment zlib streams, the most common real-world TIFF compression
+# after LZW) and 16-bit RGBA PNG (the last PNG depth/color gate).
+# Both JDK-cross-validated in pytest (Deflate both directions — the
+# JDK writes the legacy 32946 code, which the decoder now maps to 8).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_tiff_deflate_decode",
+    """
+WITH dims AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 96 ELSE 8 + doc_id % 6 END AS w,
+         CASE WHEN doc_id % 4 = 0 THEN 80 ELSE 5 + doc_id % 4 END AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 13 + 7 * (3 * i.i) + ((3 * i.i) * (3 * i.i)) % 23) % 256 AS r,
+         (doc_id * 13 + 7 * (3 * i.i + 1)
+          + ((3 * i.i + 1) * (3 * i.i + 1)) % 23) % 256 AS g,
+         (doc_id * 13 + 7 * (3 * i.i + 2)
+          + ((3 * i.i + 2) * (3 * i.i + 2)) % 23) % 256 AS b
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_tiff_deflate_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deflate-compressed TIFF decode (multimodal.decode_tiff
+    compression 8): per-segment zlib streams across the layout matrix —
+    byte order rotates by doc parity, every 3rd doc planar, every 7th
+    tiled (padded multiple-of-16 tiles), every 4th doc a 96x80
+    single-strip image. Position-weighted checksum catches segment
+    mis-assembly; map-side Arrow decode, scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 4 == 0:
+                    w, h = 96, 80
+                else:
+                    w, h = 8 + d % 6, 5 + d % 4
+                i = np.arange(w * h * 3, dtype=np.int64)
+                s = (d * 13 + 7 * i + (i * i) % 23) % 256
+                arr = s.astype(np.uint8).reshape(h, w, 3)
+                blobs.append(
+                    multimodal.encode_tiff(
+                        arr,
+                        big_endian=bool(d % 2),
+                        compression=8,
+                        rows_per_strip=(h if d % 4 == 0 else 4),
+                        planar=(d % 3 == 0),
+                        tile=((16, 16) if d % 7 == 3 else None),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+@register(
+    "multimodal_png16_rgba_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 7 + doc_id % 5 AS w, 5 + doc_id % 4 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 6151 + 257 * (4 * i.i)) % 65536 AS r,
+         (doc_id * 6151 + 257 * (4 * i.i + 1)) % 65536 AS g,
+         (doc_id * 6151 + 257 * (4 * i.i + 2)) % 65536 AS b
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_png16_rgba_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """16-bit RGBA PNG decode (multimodal.decode_png (16, 6)): the
+    8-byte filter unit; the decoder returns RGB (alpha dropped, not
+    composited) but the alpha plane rides every filter, so a channel
+    offset corrupts RGB and breaks the checksum. Sample s_i =
+    (d*6151 + 257*i) mod 2^16 over w*h*4 samples; odd doc_ids Adam7,
+    filters rotate per row. Map-side Arrow decode."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 7 + d % 5, 5 + d % 4
+                s = (d * 6151 + 257 * np.arange(w * h * 4, dtype=np.int64)) % 65536
+                blobs.append(
+                    multimodal.encode_png16_rgba(
+                        s.astype(np.uint16).reshape(h, w, 4),
+                        filter_for_row=lambda y: y,
+                        interlace=bool(d % 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

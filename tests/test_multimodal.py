@@ -69,12 +69,12 @@ def test_png_crc_and_grammar_errors():
         multimodal.decode_png(bytes(blob))
     with pytest.raises(ValueError, match="not a PNG"):
         multimodal.decode_png(b"\x00" * 16)
-    # 16-bit RGBA stays honestly gated (16-bit gray/RGB, palette,
-    # gray-8, RGBA-8 and Adam7 are all real now)
+    # sub-8-bit grayscale stays honestly gated (8/16-bit gray/RGB/RGBA
+    # and 8/4-bit palette are all real now)
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 6, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 2, 0, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
@@ -1254,7 +1254,7 @@ public class TiffTool {
     arr = rng.randint(0, 256, (120, 100, 3), dtype=np.uint8)  # crosses 511/1023+
 
     # ours -> JDK
-    for comp, cname in ((5, "LZW"), (32773, "PackBits")):
+    for comp, cname in ((5, "LZW"), (8, "Deflate"), (32773, "PackBits")):
         (tmp_path / "ours.tif").write_bytes(
             mm.encode_tiff(arr, rows_per_strip=512, compression=comp)
         )
@@ -1270,7 +1270,7 @@ public class TiffTool {
     # JDK -> ours
     raw = struct.pack(">II", *arr.shape[:2]) + arr.tobytes()
     (tmp_path / "in.raw").write_bytes(raw)
-    for cname in ("LZW", "PackBits"):
+    for cname in ("LZW", "Deflate", "PackBits"):
         subprocess.run(
             [java, "TiffTool", "encode", "in.raw", "jdk.tif", cname],
             check=True, cwd=tmp_path,
@@ -1662,6 +1662,20 @@ public class Raster16 {
         got = np.frombuffer(raw[12:], dtype=">u2").reshape(h, w, b).astype(np.uint16)
         assert (h, w, b) == (13, 17, 1), il
         assert np.array_equal(got[:, :, 0], g), il
+        # 16-bit RGBA (round 8, second pass): 4-band unsigned-short
+        # raster, alpha included — our wire must carry all four planes
+        a4 = rng.randint(0, 65536, (13, 17, 4)).astype(np.uint16)
+        (tmp_path / "in.png").write_bytes(
+            mm.encode_png16_rgba(a4, filter_for_row=lambda y: y, interlace=il)
+        )
+        subprocess.run(
+            [java, "Raster16", "in.png", "out.raw"], check=True, cwd=tmp_path
+        )
+        raw = (tmp_path / "out.raw").read_bytes()
+        h, w, b = struct.unpack(">III", raw[:12])
+        got = np.frombuffer(raw[12:], dtype=">u2").reshape(h, w, b).astype(np.uint16)
+        assert (h, w, b) == (13, 17, 4), il
+        assert np.array_equal(got, a4), il
 
 
 def test_png16_gray_roundtrip_all_filters_and_adam7():
@@ -1681,3 +1695,41 @@ def test_png16_gray_roundtrip_all_filters_and_adam7():
                 assert np.array_equal(
                     got, np.repeat(a[:, :, None], 3, axis=2)
                 ), (h, w, il)
+
+
+# --------------------------------------------------------------------------
+# Round 8, second pass: Deflate TIFF + 16-bit RGBA PNG
+# --------------------------------------------------------------------------
+def test_tiff_deflate_roundtrip_all_layouts():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(73)
+    for be in (False, True):
+        for kwargs in (
+            {},
+            {"planar": True},
+            {"tile": (16, 16)},
+            {"planar": True, "tile": (16, 16)},
+        ):
+            arr = rng.randint(0, 256, (23, 37, 3)).astype(np.uint8)
+            blob = mm.encode_tiff(arr, big_endian=be, compression=8, **kwargs)
+            assert np.array_equal(mm.decode_tiff(blob), arr), (be, kwargs)
+
+
+def test_png16_rgba_roundtrip_all_filters_and_adam7():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(79)
+    for h, w in [(1, 1), (5, 9), (13, 17)]:
+        a = rng.randint(0, 65536, (h, w, 4)).astype(np.uint16)
+        for il in (False, True):
+            for ff in [None, (lambda y: y), (lambda y: 4)]:
+                got = mm.decode_png(
+                    mm.encode_png16_rgba(a, filter_for_row=ff, interlace=il)
+                )
+                assert got.dtype == np.uint16
+                assert np.array_equal(got, a[:, :, :3]), (h, w, il)
