@@ -180,6 +180,14 @@ def main() -> None:
     confirmed: list[str] = []
     for name in dict.fromkeys(FLAGSHIP_REPROBE + movers):
         if name not in timings:
+            # expected in shard mode (flagship not in this slice); in a
+            # full run it means a stale/renamed flagship name, which
+            # would silently lose its unconditional re-probe
+            if not shard:
+                print(
+                    f"WARNING: FLAGSHIP_REPROBE name not in registry: {name}",
+                    file=sys.stderr,
+                )
             continue
         walls = [_run_once(name), _run_once(name)]
         reprobe[name] = walls

@@ -598,9 +598,11 @@ def _lloyd_centroids(
     exact below 2^53, so the one IEEE division matches the SQL
     oracle's).
 
-    Returns (cents, per_dim_rows) at the last executed iteration:
+    Returns (cents, per_dim_rows, vecs) at the last executed iteration:
     cents = [(cid, np.ndarray int64 (dim,))], per_dim_rows =
-    [(cluster_id, pos0, n, cm)]."""
+    [(cluster_id, pos0, n, cm)], vecs = the localCheckpointed
+    (vec_id, xq) quantized corpus — callers assigning against the
+    converged centroids reuse it instead of re-scanning the table."""
     import numpy as np
 
     vecs = embeddings.select(
@@ -636,19 +638,18 @@ def _lloyd_centroids(
             for r in rows
             if r["pos0"] >= 0
         )
+        # per_dim_rows is (cluster, pos0)-sorted, so one groupby pass
+        # rebuilds all centroids in O(k * dim)
+        import itertools
+
         cents = [
-            (
-                cid,
-                np.array(
-                    [pr[3] for pr in per_dim_rows if pr[0] == cid], np.int64
-                ),
-            )
-            for cid in sorted({pr[0] for pr in per_dim_rows})
+            (cid, np.array([pr[3] for pr in grp], np.int64))
+            for cid, grp in itertools.groupby(per_dim_rows, key=lambda pr: pr[0])
         ]
         if total == prev_total:
             break
         prev_total = total
-    return cents, per_dim_rows
+    return cents, per_dim_rows, vecs
 
 
 def _lloyd_census_batches(cmat, cids, k: int):
@@ -697,6 +698,33 @@ def _lloyd_census_batches(cmat, cids, k: int):
     return batches
 
 
+def _ivf_assign_batches(cmat, cids, n_lists: int):
+    """Arrow-batch kernel: packed-argmin list assignment against the
+    broadcast integer centroid table — ONE definition of the
+    (d2 * n_lists + cid) argmin shared by trained_lists (batch index
+    build) and the streaming ADD path (streaming_ivf_assign), so the
+    two can never diverge from the SQL oracle that replays it. Input
+    batches carry (vec_id, xq array<long>)."""
+    import numpy as np
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            v = np.array(pdf["xq"].tolist(), np.int64)
+            d2 = (
+                (v * v).sum(1)[:, None]
+                - 2 * (v @ cmat.T)
+                + (cmat * cmat).sum(1)[None, :]
+            )
+            packed = (d2 * n_lists + cids[None, :]).min(1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "list_id": packed % n_lists}
+            )
+
+    return batches
+
+
 def kmeans_converged(
     embeddings: DataFrame, k: int = 8, max_iter: int = 5
 ) -> DataFrame:
@@ -722,7 +750,7 @@ def kmeans_converged(
     the bradley_terry/pelt house pattern — this query is in
     EAGER_QUERIES)."""
     spark = embeddings.sparkSession
-    _, per_dim = _lloyd_centroids(embeddings, k, max_iter)
+    _, per_dim, _ = _lloyd_centroids(embeddings, k, max_iter)
     # emit the converged centroids per (cluster, dim) with member counts
     rows = [
         (int(cid), int(pos0) + 1, cm / 1000, int(n))
@@ -757,30 +785,15 @@ def trained_lists(
     shuffles; the result is the list key later stages partition by."""
     import numpy as np
 
-    cents, _ = _lloyd_centroids(embeddings, n_lists, max_iter)
+    cents, _, vecs = _lloyd_centroids(embeddings, n_lists, max_iter)
     cids = np.array([c[0] for c in cents], np.int64)
     cmat = np.stack([c[1] for c in cents])
-
-    def assign(it):
-        import pandas as pd
-
-        for pdf in it:
-            v = np.array(pdf["xq"].tolist(), np.int64)
-            d2 = (
-                (v * v).sum(1)[:, None]
-                - 2 * (v @ cmat.T)
-                + (cmat * cmat).sum(1)[None, :]
-            )
-            packed = (d2 * n_lists + cids[None, :]).min(1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "list_id": packed % n_lists}
-            )
-
+    # reuse the loop's localCheckpointed quantized corpus — the final
+    # assignment pass must not re-scan and re-quantize the table
     return (
-        embeddings.select(
-            "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+        vecs.mapInPandas(
+            _ivf_assign_batches(cmat, cids, n_lists), "vec_id LONG, list_id LONG"
         )
-        .mapInPandas(assign, "vec_id LONG, list_id LONG")
         .localCheckpoint(eager=False)
     )
 

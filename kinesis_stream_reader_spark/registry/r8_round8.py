@@ -596,29 +596,13 @@ def streaming_ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..operators import similarity
+    from ..operators.similarity import _ivf_assign_batches, _quantized_vec
     from ..streaming import jobs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, _ = similarity._lloyd_centroids(emb, _N_LISTS, _MAX_ITER)
+    cents, _, _ = similarity._lloyd_centroids(emb, _N_LISTS, _MAX_ITER)
     cids = np.array([c[0] for c in cents], np.int64)
     cmat = np.stack([c[1] for c in cents])
-
-    def assign(it):
-        import pandas as pd
-
-        for pdf in it:
-            v = np.floor(
-                np.array(pdf["embedding"].tolist(), np.float64) * 1000 + 0.5
-            ).astype(np.int64)
-            d2 = (
-                (v * v).sum(1)[:, None]
-                - 2 * (v @ cmat.T)
-                + (cmat * cmat).sum(1)[None, :]
-            )
-            packed = (d2 * _N_LISTS + cids[None, :]).min(1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "list_id": packed % _N_LISTS}
-            )
 
     stream = jobs._table_stream_dir(sf_dir, "embeddings")
     static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -626,8 +610,10 @@ def streaming_ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(static.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stream)
-        .select("vec_id", "embedding")
-        .mapInPandas(assign, "vec_id LONG, list_id LONG")
+        .select("vec_id", _quantized_vec(F.col("embedding")).alias("xq"))
+        .mapInPandas(
+            _ivf_assign_batches(cmat, cids, _N_LISTS), "vec_id LONG, list_id LONG"
+        )
     )
     census = vec_stream.groupBy("list_id").agg(
         F.count("*").alias("n_ingested"),
