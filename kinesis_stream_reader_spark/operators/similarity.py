@@ -616,6 +616,8 @@ def _lloyd_centroids(
     prev_total = None
     per_dim_rows: list = []
     for _ in range(max_iter):
+        if not cents:  # empty corpus (or every cluster emptied): done
+            break
         cids = np.array([c[0] for c in cents], np.int64)
         cmat = np.stack([c[1] for c in cents])
         part = vecs.mapInPandas(
@@ -665,6 +667,8 @@ def _lloyd_census_batches(cmat, cids, k: int):
         import pandas as pd
 
         for pdf in it:
+            if pdf.empty:
+                continue
             v = np.array(pdf["xq"].tolist(), np.int64)
             d2 = (
                 (v * v).sum(1)[:, None]
@@ -711,6 +715,8 @@ def _ivf_assign_batches(cmat, cids, n_lists: int):
         import pandas as pd
 
         for pdf in it:
+            if pdf.empty:
+                continue
             v = np.array(pdf["xq"].tolist(), np.int64)
             d2 = (
                 (v * v).sum(1)[:, None]
@@ -786,6 +792,10 @@ def trained_lists(
     import numpy as np
 
     cents, _, vecs = _lloyd_centroids(embeddings, n_lists, max_iter)
+    if not cents:  # empty corpus: empty assignment, same schema
+        return vecs.select(
+            "vec_id", F.lit(0).cast("long").alias("list_id")
+        )
     cids = np.array([c[0] for c in cents], np.int64)
     cmat = np.stack([c[1] for c in cents])
     # reuse the loop's localCheckpointed quantized corpus — the final

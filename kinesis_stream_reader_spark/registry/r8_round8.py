@@ -421,9 +421,9 @@ def ivf_nprobe_sweep_trained_query(
 )
 SELECT sizes.list_id::INT AS list_id,
        sizes.n_members::BIGINT AS n_members,
-       (sizes.n_members * 1000 // s.nt)::BIGINT AS share_milli,
+       (sizes.n_members * 1000 // GREATEST(s.nt, 1))::BIGINT AS share_milli,
        s.ne::BIGINT AS n_empty,
-       (s.mx * 16 * 1000 // s.nt)::BIGINT AS imbalance_milli
+       (s.mx * 16 * 1000 // GREATEST(s.nt, 1))::BIGINT AS imbalance_milli
 FROM sizes, s ORDER BY sizes.list_id
 """,
 )
@@ -463,9 +463,13 @@ def ivf_list_health_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("list_id").cast("int").alias("list_id"),
             F.col("n_members").cast("long").alias("n_members"),
-            F.expr("n_members * 1000 DIV nt").cast("long").alias("share_milli"),
+            # GREATEST(nt, 1): identical for any non-empty corpus; keeps
+            # the empty-fixture contract (ANSI DIV by zero raises)
+            F.expr("n_members * 1000 DIV GREATEST(nt, 1)")
+            .cast("long")
+            .alias("share_milli"),
             F.col("ne").cast("long").alias("n_empty"),
-            F.expr(f"mx * {_N_LISTS} * 1000 DIV nt")
+            F.expr(f"mx * {_N_LISTS} * 1000 DIV GREATEST(nt, 1)")
             .cast("long")
             .alias("imbalance_milli"),
         )
@@ -601,8 +605,12 @@ def streaming_ivf_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _, _ = similarity._lloyd_centroids(emb, _N_LISTS, _MAX_ITER)
-    cids = np.array([c[0] for c in cents], np.int64)
-    cmat = np.stack([c[1] for c in cents])
+    if cents:
+        cids = np.array([c[0] for c in cents], np.int64)
+        cmat = np.stack([c[1] for c in cents])
+    else:  # empty corpus: no batches reach the kernel; placeholder table
+        cids = np.zeros(1, np.int64)
+        cmat = np.zeros((1, 1), np.int64)
 
     stream = jobs._table_stream_dir(sf_dir, "embeddings")
     static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")

@@ -61,6 +61,19 @@ SUBSET = [
     "multimodal_tiff_decode", "multimodal_qoi_decode", "fim_transform",
     "embedding_morton_shards", "coreset_sensitivity_select", "hubness_report",
     "multimodal_aiff_decode", "ece_report",
+    # round 7
+    "hubness_report_ivf", "lof_outlier_scores_ivf", "ivf_knn_recall_report",
+    "ivf_nprobe_sweep", "multimodal_tiff_lzw_decode",
+    "multimodal_tiff_tiled_decode", "multimodal_png_interlaced_decode",
+    "multimodal_png_colortype_decode", "multimodal_png16_decode",
+    "multimodal_wav_stereo_decode", "streaming_ece_monitor",
+    # round 8 (trained quantizer: the Lloyd loop, assignment, health,
+    # and consumers must all tolerate a 0-vector corpus)
+    "hubness_report_ivf_trained", "lof_outlier_scores_ivf_trained",
+    "ivf_nprobe_sweep_trained", "ivf_list_health", "semdedup_trained",
+    "streaming_ivf_assign", "kmeans_converged",
+    "multimodal_png16_gray_decode", "multimodal_png16_rgba_decode",
+    "multimodal_tiff_deflate_decode",
 ]
 
 
