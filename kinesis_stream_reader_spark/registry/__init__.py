@@ -75,7 +75,7 @@ EAGER_QUERIES = frozenset(
         "ivf_knn_recall_report", "hubness_report_ivf", "lof_outlier_scores_ivf",
         "ivf_nprobe_sweep", "hubness_report_ivf_trained",
         "lof_outlier_scores_ivf_trained", "ivf_nprobe_sweep_trained",
-        "ivf_list_health", "semdedup_trained",
+        "ivf_list_health", "semdedup_trained", "ann_ivfpq_trained",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
         "dbscan_grid_clusters", "split_group_aware", "split_semantic_leakage",
@@ -120,7 +120,7 @@ _PRIORITY = [
     "ivf_nprobe_sweep_trained", "ivf_list_health",
     "multimodal_png16_gray_decode", "semdedup_trained",
     "streaming_ivf_assign", "multimodal_tiff_deflate_decode",
-    "multimodal_png16_rgba_decode",
+    "multimodal_png16_rgba_decode", "ann_ivfpq_trained",
     # ROUND-7 ROTATION: new round-7 queries lead (never driver-checked),
     # then the round-7-touched legs (G.711 sign fix, AIFF split), then
     # the r6 rotation.

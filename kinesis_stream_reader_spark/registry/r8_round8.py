@@ -765,3 +765,85 @@ def multimodal_png16_rgba_decode_query(
         batches, "doc_id BIGINT, data BINARY"
     )
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+@register(
+    "ann_ivfpq_trained",
+    _TRAINED_TL_CTE + """
+, resid AS (
+  SELECT t.vec_id, t.list_id,
+         list_transform(list_zip(w.v, f.c), p -> p[1] - p[2]) AS r
+  FROM tl t JOIN vecs w USING (vec_id)
+  JOIN fcents f ON f.cid = t.list_id
+), qv0 AS (
+  SELECT v FROM vecs WHERE vec_id = 0
+), probe AS (
+  SELECT f.cid AS list_id,
+         ROW_NUMBER() OVER (
+           ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(list_zip((SELECT v FROM qv0), f.c),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                    (a, b) -> a + b) ASC, f.cid ASC) AS pr
+  FROM fcents f
+), probed AS (
+  SELECT list_id FROM probe WHERE pr <= 2
+), cb AS (
+  SELECT vec_id AS code_id, r FROM resid WHERE vec_id < 8
+), cand AS (
+  SELECT rd.vec_id, rd.list_id, rd.r
+  FROM resid rd JOIN probed p USING (list_id)
+  WHERE rd.vec_id <> 0
+), codes AS (
+  SELECT c.vec_id, c.list_id, s.s,
+         MIN(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_zip(list_slice(c.r, s.s * 16 + 1, s.s * 16 + 16),
+                          list_slice(b.r, s.s * 16 + 1, s.s * 16 + 16)),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))),
+             (a, b) -> a + b) * 8 + b.code_id) % 8 AS code
+  FROM cand c CROSS JOIN cb b, (SELECT UNNEST(range(4)) AS s) s
+  GROUP BY c.vec_id, c.list_id, s.s
+), qresid AS (
+  SELECT p.list_id,
+         list_transform(list_zip((SELECT v FROM qv0), f.c),
+                        x -> x[1] - x[2]) AS rq
+  FROM probed p JOIN fcents f ON f.cid = p.list_id
+), lut AS (
+  SELECT q.list_id, s.s, b.code_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             list_zip(list_slice(q.rq, s.s * 16 + 1, s.s * 16 + 16),
+                      list_slice(b.r, s.s * 16 + 1, s.s * 16 + 16)),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, b) -> a + b) AS d
+  FROM qresid q CROSS JOIN cb b, (SELECT UNNEST(range(4)) AS s) s
+), adc AS (
+  SELECT cd.vec_id, SUM(l.d) AS adc_d2
+  FROM codes cd
+  JOIN lut l ON l.list_id = cd.list_id AND l.s = cd.s AND l.code_id = cd.code
+  GROUP BY cd.vec_id
+)
+SELECT ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id)::INT AS rank,
+       vec_id, adc_d2::BIGINT AS adc_d2
+FROM adc ORDER BY adc_d2, vec_id LIMIT 10
+""",
+)
+def ann_ivfpq_trained_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full FAISS IndexIVFPQ composition over the fixture: trained
+    coarse quantizer, RESIDUAL product quantization, per-probed-list
+    ADC (similarity.ann_ivfpq_trained). ann_ivfpq remains the
+    label-list/direct-PQ diagnostic; this is the production shape —
+    and the oracle replays training, residuals, code argmin, and LUT
+    sums in exact integers end to end."""
+    from ..operators import similarity
+
+    return similarity.ann_ivfpq_trained(
+        load_table(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        k=10,
+        nprobe=2,
+        m=4,
+        n_codes=8,
+        n_lists=_N_LISTS,
+        max_iter=_MAX_ITER,
+    )

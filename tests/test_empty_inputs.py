@@ -73,7 +73,7 @@ SUBSET = [
     "ivf_nprobe_sweep_trained", "ivf_list_health", "semdedup_trained",
     "streaming_ivf_assign", "kmeans_converged",
     "multimodal_png16_gray_decode", "multimodal_png16_rgba_decode",
-    "multimodal_tiff_deflate_decode",
+    "multimodal_tiff_deflate_decode", "ann_ivfpq_trained",
 ]
 
 

@@ -466,3 +466,50 @@ def test_trained_ivf_full_probe_recovers_exact(spark, sf_dir):
         .collect()
     ]
     assert full == exact
+
+
+def test_ann_ivfpq_trained_numpy_replay(spark, sf_dir):
+    """Full driver-side numpy replay of the IVF-PQ search downstream of
+    the (separately replay-tested) Lloyd loop: assignment, L2 probe
+    selection with the packed tie-break, residual computation, seed
+    sub-codebooks, per-sub code argmin, per-probed-list ADC LUTs, and
+    the (adc, vec_id) top-10 — a third independent implementation
+    beside the Spark kernel and the SQL oracle."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ann_ivfpq_trained(emb).collect()
+    ]
+    cents, _, _ = similarity._lloyd_centroids(emb, 16, 5)
+    cids = np.array([c[0] for c in cents], np.int64)
+    cmat = np.stack([c[1] for c in cents])
+    ids, mat = _quantized_matrix(spark, sf_dir)
+    d2 = ((mat[:, None, :] - cmat[None, :, :]) ** 2).sum(2)
+    lst = cids[np.argmin(d2 * 16 + cids[None, :], axis=1)]
+    by_id = dict(zip(ids.tolist(), range(len(ids))))
+    q = mat[by_id[0]]
+    qd2 = ((q[None, :] - cmat) ** 2).sum(1)
+    probed = cids[np.lexsort((cids, qd2))[:2]]
+    resid = mat - cmat[np.searchsorted(cids, lst)]
+    cb = np.stack([resid[by_id[i]] for i in range(8)])
+    scores = []
+    for qi, vid in enumerate(ids):
+        if vid == 0 or lst[qi] not in probed:
+            continue
+        rq = q - cmat[int(np.flatnonzero(cids == lst[qi])[0])]
+        adc = 0
+        for s in range(4):
+            sl = slice(s * 16, (s + 1) * 16)
+            dsub = ((resid[qi][sl][None, :] - cb[:, sl]) ** 2).sum(1)
+            code = int(np.argmin(dsub * 8 + np.arange(8)))
+            adc += int(((rq[sl] - cb[code][sl]) ** 2).sum())
+        scores.append((adc, int(vid)))
+    want = [
+        (i + 1, vid, adc)
+        for i, (adc, vid) in enumerate(sorted(scores)[:10])
+    ]
+    assert got == want
