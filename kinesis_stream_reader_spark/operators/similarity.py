@@ -608,10 +608,19 @@ def _lloyd_centroids(
     vecs = embeddings.select(
         "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
     ).localCheckpoint(eager=False)
-    seeds = sorted(
-        (r["vec_id"], np.asarray(r["xq"], np.int64))
-        for r in vecs.filter(F.col("vec_id") < k).collect()
+    # Seeds are the k SMALLEST vec_ids (TakeOrdered — no assumption of
+    # contiguous ids starting at 0), relabeled to dense cids 0..k-1 by
+    # vec_id rank so the packed argmin (d2 * k + cid) always decodes
+    # with % k. On contiguous-id corpora this is bit-identical to the
+    # old `vec_id < k` seeding; on a corpus whose ids all exceed k it
+    # now trains instead of collapsing to one list.
+    seed_rows = sorted(
+        vecs.orderBy("vec_id").limit(k).collect(),
+        key=lambda r: r["vec_id"],
     )
+    seeds = [
+        (i, np.asarray(r["xq"], np.int64)) for i, r in enumerate(seed_rows)
+    ]
     cents = seeds
     prev_total = None
     per_dim_rows: list = []
@@ -1282,6 +1291,14 @@ def ann_ivfpq_trained(
         )
     cids = np.array([c[0] for c in cents], np.int64)
     cmat = np.stack([c[1] for c in cents])
+    if cmat.shape[1] % m != 0:
+        # FAISS errors on unequal subspaces too; a silent dim truncation
+        # would score on a prefix of the vector and diverge from the
+        # oracle's generate_series(1, dim) sweep.
+        raise ValueError(
+            f"embedding dim {cmat.shape[1]} is not divisible by m={m}; "
+            "PQ requires equal-width subspaces"
+        )
     sub = cmat.shape[1] // m
 
     def assign_one(v):
@@ -1289,23 +1306,34 @@ def ann_ivfpq_trained(
         j = int((d2 * n_lists + cids).min() % n_lists)
         return int(np.flatnonzero(cids == j)[0])
 
-    head = {
-        int(r["vec_id"]): np.asarray(r["xq"], np.int64)
-        for r in vecs.filter(
-            (F.col("vec_id") < n_codes) | (F.col("vec_id") == query_vec_id)
-        ).collect()
-    }
-    q = head[query_vec_id]
+    # Codebook seeds: the n_codes SMALLEST vec_ids (TakeOrdered — no
+    # contiguous-id assumption), degrading gracefully to a smaller
+    # codebook on a tiny corpus exactly like the oracle's rank-limited
+    # seed CTE. The query vector is fetched separately so a corpus
+    # without the id fails loudly instead of with a KeyError.
+    head_rows = sorted(
+        vecs.orderBy("vec_id").limit(n_codes).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    n_codes = min(n_codes, len(head_rows))
+    qrows = vecs.filter(F.col("vec_id") == query_vec_id).take(1)
+    if not qrows:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} is not present in the corpus"
+        )
+    q = np.asarray(qrows[0]["xq"], np.int64)
     # probe: nprobe nearest lists to the QUERY by exact-int L2, ties
     # to the lowest cid (the packed-min convention)
     qd2 = ((q[None, :] - cmat) ** 2).sum(1)
     probe_order = np.lexsort((cids, qd2))[:nprobe]
     probed = cids[probe_order]
-    # sub-codebooks from the seed vectors' RESIDUALS
+    # sub-codebooks from the seed vectors' RESIDUALS; code j is the
+    # j-th smallest seed vec_id (the oracle's rank - 1 convention)
+    seeds_np = [np.asarray(r["xq"], np.int64) for r in head_rows]
     cb = np.stack(
         [
-            head[i] - cmat[assign_one(head[i])]
-            for i in range(n_codes)
+            seeds_np[j] - cmat[assign_one(seeds_np[j])]
+            for j in range(n_codes)
         ]
     )  # (n_codes, dim)
     # per-probed-list ADC LUTs from the query's per-list residual

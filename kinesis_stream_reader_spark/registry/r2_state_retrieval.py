@@ -229,10 +229,12 @@ WITH RECURSIVE vecs AS (
            AS xq
   FROM embeddings
 ), iters AS (
-  SELECT 0 AS iter, vec_id AS cid, xq AS c,
+  SELECT 0 AS iter,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         xq AS c,
          CAST(NULL AS BIGINT) AS n_members,
          CAST(NULL AS BIGINT) AS total_d2, CAST(NULL AS BIGINT) AS prev_d2
-  FROM vecs WHERE vec_id < 8
+  FROM vecs QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
   UNION ALL
   (
     WITH cur AS (

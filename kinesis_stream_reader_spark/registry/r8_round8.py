@@ -27,7 +27,8 @@ from ._shared import load_table, register
 # Fixture sizing: 16 trained lists (~sqrt(500)/1.4) keeps the oracle's
 # recursive-CTE bounded; production sizing is n_lists ~ sqrt(N) with
 # training on a corpus sample. Keep the constants in lockstep with the
-# SQL fragments below (seeds vec_id < 16, packed argmin * 16).
+# SQL fragments below (seeds = 16 smallest vec_ids relabeled to dense
+# cids 0..15 by vec_id rank, packed argmin * 16).
 _N_LISTS = 16
 _MAX_ITER = 5
 
@@ -62,9 +63,11 @@ WITH RECURSIVE vecs AS (
                         x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS v
   FROM embeddings
 ), iters AS (
-  SELECT 0 AS iter, vec_id AS cid, v AS c,
+  SELECT 0 AS iter,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         v AS c,
          CAST(NULL AS BIGINT) AS total_d2, CAST(NULL AS BIGINT) AS prev_d2
-  FROM vecs WHERE vec_id < 16
+  FROM vecs QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
   UNION ALL
   (
     WITH cur AS (
@@ -416,6 +419,7 @@ def ivf_nprobe_sweep_trained_query(
     USING (list_id)
 ), s AS (
   SELECT SUM(n_members) AS nt, MAX(n_members) AS mx,
+         SUM(n_members * n_members) AS sq,
          SUM(CASE WHEN n_members = 0 THEN 1 ELSE 0 END) AS ne
   FROM sizes
 )
@@ -423,7 +427,9 @@ SELECT sizes.list_id::INT AS list_id,
        sizes.n_members::BIGINT AS n_members,
        (sizes.n_members * 1000 // GREATEST(s.nt, 1))::BIGINT AS share_milli,
        s.ne::BIGINT AS n_empty,
-       (s.mx * 16 * 1000 // GREATEST(s.nt, 1))::BIGINT AS imbalance_milli
+       (s.mx * 16 * 1000 // GREATEST(s.nt, 1))::BIGINT AS max_mean_milli,
+       (s.sq * 16 * 1000 // GREATEST(s.nt * s.nt, 1))::BIGINT
+         AS imbalance_milli
 FROM sizes, s ORDER BY sizes.list_id
 """,
 )
@@ -431,8 +437,11 @@ def ivf_list_health_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF index-health report over the trained lists: per-list member
     counts for ALL configured lists (empty lists included — they are
     the signal), each list's corpus share in exact milli-units, the
-    empty-list count, and the FAISS imbalance factor (max list size /
-    mean list size) in exact milli-units. This is the ops read-off that
+    empty-list count, the max/mean list-size skew, and the FAISS
+    imbalance factor — n_lists * sum(n_i^2) / (sum n_i)^2, the relative
+    second moment faiss::imbalance_factor computes (>= 1, = 1 when
+    perfectly balanced) — both in exact milli-units. This is the ops
+    read-off that
     tells a 100 TB deployment when to RETRAIN the quantizer: rising
     imbalance or empty lists mean probes do uneven work (stragglers in
     the list-keyed cogroup) and recall-per-probe degrades.
@@ -456,6 +465,7 @@ def ivf_list_health_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sizes.agg(
         F.sum("n_members").alias("nt"),
         F.max("n_members").alias("mx"),
+        F.sum(F.col("n_members") * F.col("n_members")).alias("sq"),
         F.sum((F.col("n_members") == 0).cast("long")).alias("ne"),
     )
     return (
@@ -470,6 +480,11 @@ def ivf_list_health_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_milli"),
             F.col("ne").cast("long").alias("n_empty"),
             F.expr(f"mx * {_N_LISTS} * 1000 DIV GREATEST(nt, 1)")
+            .cast("long")
+            .alias("max_mean_milli"),
+            # the FAISS definition: k * sum(n^2) / total^2 (exact-int
+            # milli; sum(n^2) fits int64 up to ~3e9-member lists)
+            F.expr(f"sq * {_N_LISTS} * 1000 DIV GREATEST(nt * nt, 1)")
             .cast("long")
             .alias("imbalance_milli"),
         )
@@ -788,7 +803,8 @@ def multimodal_png16_rgba_decode_query(
 ), probed AS (
   SELECT list_id FROM probe WHERE pr <= 2
 ), cb AS (
-  SELECT vec_id AS code_id, r FROM resid WHERE vec_id < 8
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, r
+  FROM resid QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
 ), cand AS (
   SELECT rd.vec_id, rd.list_id, rd.r
   FROM resid rd JOIN probed p USING (list_id)

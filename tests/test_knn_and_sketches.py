@@ -513,3 +513,65 @@ def test_ann_ivfpq_trained_numpy_replay(spark, sf_dir):
         for i, (adc, vid) in enumerate(sorted(scores)[:10])
     ]
     assert got == want
+
+
+def test_trained_lists_noncontiguous_ids(spark, sf_dir):
+    """Round-9 advice: a corpus whose vec_ids all exceed n_lists must
+    still train (seeds = the k smallest ids relabeled to dense cids),
+    not collapse every vector into list 0. Shifting every id by +10000
+    must produce EXACTLY the shifted round-8 assignment, because the
+    seed set (the k smallest ids) and all distances are unchanged."""
+    from kinesis_stream_reader_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = {
+        r.vec_id: r.list_id
+        for r in similarity.trained_lists(emb, n_lists=8, max_iter=3).collect()
+    }
+    from pyspark.sql import functions as F
+
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 10000)
+    got = {
+        r.vec_id: r.list_id
+        for r in similarity.trained_lists(
+            shifted, n_lists=8, max_iter=3
+        ).collect()
+    }
+    assert got == {vid + 10000: lid for vid, lid in base.items()}
+    assert len(set(got.values())) > 1  # trained, not collapsed
+
+
+def test_ann_ivfpq_trained_guards(spark, sf_dir):
+    """Round-9 advice guards: missing query_vec_id and dim % m != 0
+    raise clear ValueErrors instead of a KeyError deep in numpy; a
+    corpus smaller than n_codes degrades to a smaller codebook (like
+    the oracle's rank-limited seed CTE) instead of raising."""
+    import pytest
+
+    from kinesis_stream_reader_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="query_vec_id"):
+        similarity.ann_ivfpq_trained(emb, query_vec_id=10**9).collect()
+    with pytest.raises(ValueError, match="not divisible"):
+        similarity.ann_ivfpq_trained(emb, m=7).collect()
+    tiny = emb.filter("vec_id < 5")  # 5 vectors < n_codes=8
+    rows = similarity.ann_ivfpq_trained(
+        tiny, query_vec_id=0, k=10, nprobe=16
+    ).collect()
+    assert 0 < len(rows) <= 4  # query excluded, codebook clamped to 5
+
+
+def test_ivf_list_health_imbalance_is_faiss_definition(spark, sf_dir):
+    """imbalance_milli must be the FAISS relative second moment
+    n_lists * sum(n^2) / total^2 (>= 1000 milli, = 1000 iff perfectly
+    balanced), and max_mean_milli the max/mean skew."""
+    rows = QUERIES["ivf_list_health"](spark, sf_dir).collect()
+    ns = [r.n_members for r in rows]
+    tot = sum(ns)
+    k = len(rows)
+    want_imb = k * sum(n * n for n in ns) * 1000 // (tot * tot)
+    want_mm = max(ns) * k * 1000 // tot
+    assert all(r.imbalance_milli == want_imb for r in rows)
+    assert all(r.max_mean_milli == want_mm for r in rows)
+    assert want_imb >= 1000
