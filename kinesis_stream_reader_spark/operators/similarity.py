@@ -1301,21 +1301,12 @@ def ann_ivfpq_trained(
         )
     sub = cmat.shape[1] // m
 
-    def assign_one(v):
-        d2 = ((v[None, :] - cmat) ** 2).sum(1)
-        j = int((d2 * n_lists + cids).min() % n_lists)
-        return int(np.flatnonzero(cids == j)[0])
-
     # Codebook seeds: the n_codes SMALLEST vec_ids (TakeOrdered — no
     # contiguous-id assumption), degrading gracefully to a smaller
     # codebook on a tiny corpus exactly like the oracle's rank-limited
     # seed CTE. The query vector is fetched separately so a corpus
     # without the id fails loudly instead of with a KeyError.
-    head_rows = sorted(
-        vecs.orderBy("vec_id").limit(n_codes).collect(),
-        key=lambda r: r["vec_id"],
-    )
-    n_codes = min(n_codes, len(head_rows))
+    cb, n_codes = _pq_seed_codebook(vecs, cmat, cids, n_lists, n_codes)
     qrows = vecs.filter(F.col("vec_id") == query_vec_id).take(1)
     if not qrows:
         raise ValueError(
@@ -1327,15 +1318,6 @@ def ann_ivfpq_trained(
     qd2 = ((q[None, :] - cmat) ** 2).sum(1)
     probe_order = np.lexsort((cids, qd2))[:nprobe]
     probed = cids[probe_order]
-    # sub-codebooks from the seed vectors' RESIDUALS; code j is the
-    # j-th smallest seed vec_id (the oracle's rank - 1 convention)
-    seeds_np = [np.asarray(r["xq"], np.int64) for r in head_rows]
-    cb = np.stack(
-        [
-            seeds_np[j] - cmat[assign_one(seeds_np[j])]
-            for j in range(n_codes)
-        ]
-    )  # (n_codes, dim)
     # per-probed-list ADC LUTs from the query's per-list residual
     luts = {}
     for pi in probe_order:
@@ -2145,3 +2127,227 @@ def split_semantic_leakage(
         "dot_q",
         (F.col("dot_q") >= threshold_milli_dot).alias("leaked"),
     ).orderBy("test_id")
+
+
+def _pq_seed_codebook(vecs, cmat, cids, n_lists: int, n_codes: int):
+    """Seed PQ codebook shared by ann_ivfpq_trained's refine/health
+    twins: residuals (v - centroid[list(v)]) of the n_codes SMALLEST
+    vec_ids, code j = j-th smallest (the oracle's rank - 1 convention).
+    Returns (cb (n_codes_eff, dim) int64, n_codes_eff)."""
+    import numpy as np
+
+    head_rows = sorted(
+        vecs.orderBy("vec_id").limit(n_codes).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    n_codes = min(n_codes, len(head_rows))
+
+    def assign_one(v):
+        d2 = ((v[None, :] - cmat) ** 2).sum(1)
+        j = int((d2 * n_lists + cids).min() % n_lists)
+        return int(np.flatnonzero(cids == j)[0])
+
+    seeds_np = [np.asarray(r["xq"], np.int64) for r in head_rows]
+    cb = np.stack(
+        [seeds_np[j] - cmat[assign_one(seeds_np[j])] for j in range(n_codes)]
+    )
+    return cb, n_codes
+
+
+def ann_ivfpq_refine(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    refine_factor: int = 4,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    n_lists: int = 16,
+    max_iter: int = 5,
+) -> DataFrame:
+    """FAISS IndexRefineFlat over IndexIVFPQ — the standard two-stage
+    serving composition: the compressed index produces an ADC shortlist
+    of k * refine_factor candidates, then the ORIGINAL vectors of just
+    that shortlist are fetched and re-ranked by exact distance. This is
+    how production systems get PQ's memory footprint AND near-exact
+    top-k: the approximation only has to put the true neighbors
+    somewhere in the shortlist, not rank them.
+
+    Exact int64 end to end: the shortlist is ann_ivfpq_trained's ADC
+    ranking; the re-rank distance is the exact squared L2 between
+    milli-quantized vectors.
+
+    Plan shape / 100 TB: stage 1 is the IVFPQ map-side pass (only
+    (vec_id, adc) scalars leave the scan); stage 2 joins the tiny
+    shortlist BROADCAST against the vector store — at scale a
+    point-lookup by vec_id against the id-partitioned store, reading
+    refine_factor * k rows regardless of corpus size. The corpus is
+    never scanned twice and never shuffles."""
+    import numpy as np
+
+    short = ann_ivfpq_trained(
+        embeddings, query_vec_id, k * refine_factor, nprobe, m, n_codes,
+        n_lists, max_iter,
+    ).select("vec_id", "adc_d2")
+    vecs = embeddings.select(
+        "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+    )
+    qrows = vecs.filter(F.col("vec_id") == query_vec_id).take(1)
+    if not qrows:
+        # empty corpus (non-empty corpora missing the id already raised
+        # inside ann_ivfpq_trained): empty result, stable schema
+        return short.select(
+            F.lit(1).cast("int").alias("rank"),
+            "vec_id",
+            "adc_d2",
+            F.lit(0).cast("long").alias("exact_d2"),
+        ).limit(0)
+    q = [int(x) for x in qrows[0]["xq"]]
+    qlit = F.array(*[F.lit(x).cast("long") for x in q])
+    rer = (
+        vecs.join(F.broadcast(short), "vec_id")
+        .withColumn(
+            "exact_d2",
+            F.aggregate(
+                F.zip_with(F.col("xq"), qlit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy("exact_d2", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("exact_d2", "vec_id")
+    return rer.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        "adc_d2",
+        "exact_d2",
+    )
+
+
+def pq_code_health(
+    embeddings: DataFrame,
+    m: int = 4,
+    n_codes: int = 8,
+    n_lists: int = 16,
+    max_iter: int = 5,
+) -> DataFrame:
+    """PQ codebook-health report — the encode-path ops twin of
+    ivf_list_health: encode EVERY corpus vector (the index ADD path)
+    and report, per (subspace, code): assigned-vector count, corpus
+    share in exact milli-units, exact total and mean quantization
+    distortion (the sub-distance the argmin selected), and the
+    subspace's dead-code count. Dead codes and distortion drift are the
+    signals that tell a 100 TB deployment to retrain the codebooks —
+    the PQ analogue of rising list imbalance.
+
+    Exact int64: residuals and sub-distances on milli-quantized
+    vectors; shares/means are integer divisions of exact counts.
+
+    Plan shape / 100 TB: training constants are driver-held; ONE
+    map-side Arrow pass assigns, encodes, and emits per-batch census
+    partials (m x n_codes rows per batch — corpus-size independent);
+    one m x n_codes-key hash-agg merges them. Row count = m x n_codes."""
+    import numpy as np
+
+    cents, _, vecs = _lloyd_centroids(embeddings, n_lists, max_iter)
+    spark = embeddings.sparkSession
+    schema = (
+        "s INT, code INT, n_vectors LONG, share_milli LONG, "
+        "dist_sum LONG, dist_mean_milli LONG, sub_empty_codes LONG"
+    )
+    if not cents:  # empty corpus: empty report, same schema
+        return spark.createDataFrame([], schema)
+    cids = np.array([c[0] for c in cents], np.int64)
+    cmat = np.stack([c[1] for c in cents])
+    if cmat.shape[1] % m != 0:
+        raise ValueError(
+            f"embedding dim {cmat.shape[1]} is not divisible by m={m}; "
+            "PQ requires equal-width subspaces"
+        )
+    sub = cmat.shape[1] // m
+    cb, n_codes = _pq_seed_codebook(vecs, cmat, cids, n_lists, n_codes)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            v = np.array(pdf["xq"].tolist(), np.int64)
+            d2 = (
+                (v * v).sum(1)[:, None]
+                - 2 * (v @ cmat.T)
+                + (cmat * cmat).sum(1)[None, :]
+            )
+            li = np.searchsorted(
+                cids, (d2 * n_lists + cids[None, :]).min(1) % n_lists
+            )
+            r = v - cmat[li]
+            ss, codes, ns, dsums = [], [], [], []
+            for s in range(m):
+                sl = slice(s * sub, (s + 1) * sub)
+                dist = (
+                    (r[:, sl] * r[:, sl]).sum(1)[:, None]
+                    - 2 * (r[:, sl] @ cb[:, sl].T)
+                    + (cb[:, sl] * cb[:, sl]).sum(1)[None, :]
+                )
+                packed = (
+                    dist * n_codes + np.arange(n_codes)[None, :]
+                ).min(1)
+                code = packed % n_codes
+                dmin = packed // n_codes
+                present, inv = np.unique(code, return_inverse=True)
+                ss.append(np.full(len(present), s, np.int64))
+                codes.append(present)
+                ns.append(np.bincount(inv))
+                dsums.append(np.bincount(inv, weights=dmin).astype(np.int64))
+            yield pd.DataFrame(
+                {
+                    "s": np.concatenate(ss),
+                    "code": np.concatenate(codes),
+                    "n": np.concatenate(ns),
+                    "dsum": np.concatenate(dsums),
+                }
+            )
+
+    census = (
+        vecs.mapInPandas(batches, "s LONG, code LONG, n LONG, dsum LONG")
+        .groupBy("s", "code")
+        .agg(F.sum("n").alias("n"), F.sum("dsum").alias("dsum"))
+    )
+    spine = (
+        spark.range(0, m)
+        .select(F.col("id").alias("s"))
+        .crossJoin(spark.range(0, n_codes).select(F.col("id").alias("code")))
+    )
+    tot = census.agg(F.expr(f"SUM(n) DIV {m}").alias("nt"))
+    w = Window.partitionBy("s")
+    return (
+        spine.join(census, ["s", "code"], "left")
+        .select(
+            "s",
+            "code",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("dsum", F.lit(0)).alias("dsum"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s").cast("int").alias("s"),
+            F.col("code").cast("int").alias("code"),
+            F.col("n").cast("long").alias("n_vectors"),
+            F.expr("n * 1000 DIV GREATEST(nt, 1)")
+            .cast("long")
+            .alias("share_milli"),
+            F.col("dsum").cast("long").alias("dist_sum"),
+            F.expr("dsum * 1000 DIV GREATEST(n, 1)")
+            .cast("long")
+            .alias("dist_mean_milli"),
+            F.sum((F.col("n") == 0).cast("long"))
+            .over(w)
+            .cast("long")
+            .alias("sub_empty_codes"),
+        )
+        .orderBy("s", "code")
+    )

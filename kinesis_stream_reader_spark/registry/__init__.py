@@ -41,6 +41,7 @@ from . import r5_codecs_eval  # noqa: E402,F401
 from . import r6_round6  # noqa: E402,F401
 from . import r7_round7  # noqa: E402,F401
 from . import r8_round8  # noqa: E402,F401
+from . import r9_round9  # noqa: E402,F401
 
 # Back-compat re-exports (callers use registry.<name> for these).
 from .r1_parity_ext import records_pipeline  # noqa: E402,F401
@@ -76,6 +77,7 @@ EAGER_QUERIES = frozenset(
         "ivf_nprobe_sweep", "hubness_report_ivf_trained",
         "lof_outlier_scores_ivf_trained", "ivf_nprobe_sweep_trained",
         "ivf_list_health", "semdedup_trained", "ann_ivfpq_trained",
+        "ann_ivfpq_refine", "pq_code_health",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
         "dbscan_grid_clusters", "split_group_aware", "split_semantic_leakage",
@@ -112,6 +114,10 @@ _PRIORITY = [
     # paths CHANGED this round (vertex-restricted dedup_components
     # callers, staged winnowing hashes, lazy-checkpoint driver loops),
     # then the rotation of previously-verified queries. Nothing dropped.
+    # ROUND-9 ROTATION: new round-9 queries lead (never driver-checked),
+    # then the round-9-touched legs (rank-based seeding, imbalance
+    # definition), then the r8 rotation.
+    "ann_ivfpq_refine", "pq_code_health",
     # ROUND-8 ROTATION: new round-8 queries lead (never driver-checked),
     # then the round-8-touched legs (lists-parameterized IVF chain, the
     # Lloyd-loop extraction, nprobe-sweep oracle bound), then the r7

@@ -782,9 +782,12 @@ def multimodal_png16_rgba_decode_query(
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
 
 
-@register(
-    "ann_ivfpq_trained",
-    _TRAINED_TL_CTE + """
+# Shared IVF-PQ ADC fragment (residuals, probe ranking, seed codebook,
+# per-sub code argmin over the probed candidates, query LUTs, ADC sums)
+# — composes onto _TRAINED_TL_CTE; round-9's refine/health queries
+# reuse it. Constants in lockstep with ann_ivfpq_trained's defaults:
+# query_vec_id 0, nprobe 2, m 4 (16-dim subspaces), n_codes 8.
+_IVFPQ_ADC_CTES = """
 , resid AS (
   SELECT t.vec_id, t.list_id,
          list_transform(list_zip(w.v, f.c), p -> p[1] - p[2]) AS r
@@ -839,6 +842,12 @@ def multimodal_png16_rgba_decode_query(
   JOIN lut l ON l.list_id = cd.list_id AND l.s = cd.s AND l.code_id = cd.code
   GROUP BY cd.vec_id
 )
+"""
+
+
+@register(
+    "ann_ivfpq_trained",
+    _TRAINED_TL_CTE + _IVFPQ_ADC_CTES + """
 SELECT ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id)::INT AS rank,
        vec_id, adc_d2::BIGINT AS adc_d2
 FROM adc ORDER BY adc_d2, vec_id LIMIT 10

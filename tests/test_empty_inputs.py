@@ -74,6 +74,8 @@ SUBSET = [
     "streaming_ivf_assign", "kmeans_converged",
     "multimodal_png16_gray_decode", "multimodal_png16_rgba_decode",
     "multimodal_tiff_deflate_decode", "ann_ivfpq_trained",
+    # round 9
+    "ann_ivfpq_refine", "pq_code_health",
 ]
 
 

@@ -575,3 +575,66 @@ def test_ivf_list_health_imbalance_is_faiss_definition(spark, sf_dir):
     assert all(r.imbalance_milli == want_imb for r in rows)
     assert all(r.max_mean_milli == want_mm for r in rows)
     assert want_imb >= 1000
+
+
+def test_ann_ivfpq_refine_rerank_semantics(spark, sf_dir):
+    """Refine must (a) re-rank by EXACT distance (monotone exact_d2,
+    correct vs a numpy exact computation), (b) return a subset of the
+    ADC shortlist, and (c) with nprobe = n_lists and a shortlist as
+    large as the corpus, equal the exact brute-force top-k."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ids, mat = _quantized_matrix(spark, sf_dir)
+    by_id = dict(zip(ids.tolist(), range(len(ids))))
+    q = mat[by_id[0]]
+    exact = {
+        int(vid): int(((mat[by_id[vid]] - q) ** 2).sum())
+        for vid in ids.tolist()
+    }
+
+    rows = similarity.ann_ivfpq_refine(emb).collect()
+    short_ids = {
+        r.vec_id
+        for r in similarity.ann_ivfpq_trained(emb, k=40).collect()
+    }
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    d2s = [r.exact_d2 for r in rows]
+    assert d2s == sorted(d2s)
+    for r in rows:
+        assert r.exact_d2 == exact[r.vec_id]
+        assert r.vec_id in short_ids
+
+    # full probe + corpus-wide shortlist recovers exact brute force
+    n = len(ids)
+    full = similarity.ann_ivfpq_refine(
+        emb, k=10, refine_factor=(n + 9) // 10, nprobe=16
+    ).collect()
+    want = sorted((d, vid) for vid, d in exact.items() if vid != 0)[:10]
+    assert [(r.exact_d2, r.vec_id) for r in full] == want
+
+
+def test_pq_code_health_invariants(spark, sf_dir):
+    """Every vector is encoded in every subspace (per-sub counts sum to
+    the corpus size), shares/means are the exact integer divisions, and
+    sub_empty_codes counts the zero rows of its subspace."""
+    from collections import defaultdict
+
+    rows = QUERIES["pq_code_health"](spark, sf_dir).collect()
+    assert len(rows) == 4 * 8
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    per_sub = defaultdict(list)
+    for r in rows:
+        per_sub[r.s].append(r)
+    for s, rs in per_sub.items():
+        assert sum(r.n_vectors for r in rs) == n_total
+        empties = sum(1 for r in rs if r.n_vectors == 0)
+        for r in rs:
+            assert r.sub_empty_codes == empties
+            assert r.share_milli == r.n_vectors * 1000 // max(n_total, 1)
+            assert (
+                r.dist_mean_milli
+                == r.dist_sum * 1000 // max(r.n_vectors, 1)
+            )
