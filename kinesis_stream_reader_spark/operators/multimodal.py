@@ -251,18 +251,24 @@ def encode_png16_rgba(arr, filter_for_row=None, interlace: bool = False) -> byte
 
 
 def _pack_indices(idx, depth: int):
-    """(h, w) indices -> (h, stride) packed bytes at depth 8 or 4
-    (high nibble first per spec; trailing nibble zero-padded)."""
+    """(h, w) samples -> (h, stride) packed bytes at depth 8/4/2/1
+    (MSB-first within each byte per spec 7.2; trailing bits of each row
+    zero-padded — rows never share a byte)."""
     import numpy as np
 
     h, w = idx.shape
     if depth == 8:
         return idx
-    if idx.max(initial=0) > 15:
-        raise ValueError("depth-4 PNG needs indices < 16")
-    padded = np.zeros((h, ((w + 1) // 2) * 2), dtype=np.int64)
+    if idx.max(initial=0) >= (1 << depth):
+        raise ValueError(f"depth-{depth} PNG needs samples < {1 << depth}")
+    per = 8 // depth
+    padded = np.zeros((h, ((w + per - 1) // per) * per), dtype=np.int64)
     padded[:, :w] = idx
-    return (padded[:, 0::2] << 4) | padded[:, 1::2]
+    grouped = padded.reshape(h, -1, per)
+    out = np.zeros(grouped.shape[:2], dtype=np.int64)
+    for i in range(per):
+        out |= grouped[:, :, i] << (8 - depth * (i + 1))
+    return out
 
 
 def encode_png_indexed(
@@ -303,6 +309,47 @@ def encode_png_indexed(
         + _png_chunk(b"IHDR", ihdr)
         + _png_chunk(b"PLTE", plte)
         + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray_lowdepth(
+    arr, depth: int, filter_for_row=None, interlace: bool = False
+) -> bytes:
+    """(h, w) samples < 2^depth -> grayscale PNG at depth 1/2/4 (color
+    type 0): MSB-first bit packing per spec 7.2 (each row zero-pads its
+    trailing bits independently), per-scanline filters acting on packed
+    BYTES (spec 9.2, bpp = 1), optional Adam7 (each pass sub-image
+    packs its own rows, spec 8.2). Fixture twin of the decode_png
+    sub-8-bit gray path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if depth not in (1, 2, 4):
+        raise ValueError("encode_png_gray_lowdepth: depth must be 1, 2 or 4")
+    a = np.asarray(arr, dtype=np.int64)
+    h, w = a.shape
+    if not interlace:
+        scan = _png_filter_scanlines(_pack_indices(a, depth), 1, filter_for_row)
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                _png_filter_scanlines(
+                    _pack_indices(sub, depth), 1, filter_for_row
+                )
+            )
+        scan = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1 if interlace else 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(scan))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -349,16 +396,18 @@ def _png_unfilter(raw, h: int, stride: int, bpp: int):
 
 
 def _unpack_indices(packed, w: int, depth: int):
-    """(h, stride) packed bytes -> (h, w) indices at depth 8 or 4."""
+    """(h, stride) packed bytes -> (h, w) samples at depth 8/4/2/1
+    (MSB-first within each byte per spec 7.2)."""
     import numpy as np
 
     if depth == 8:
         return packed[:, :w]
-    hi = packed >> 4
-    lo = packed & 0x0F
-    idx = np.empty((packed.shape[0], packed.shape[1] * 2), dtype=np.int64)
-    idx[:, 0::2] = hi
-    idx[:, 1::2] = lo
+    per = 8 // depth
+    mask = (1 << depth) - 1
+    cols = [
+        (packed >> (8 - depth * (i + 1))) & mask for i in range(per)
+    ]
+    idx = np.stack(cols, axis=2).reshape(packed.shape[0], -1)
     return idx[:, :w]
 
 
@@ -400,10 +449,16 @@ def decode_png(data: bytes):
                 (8, 3),
                 (8, 6),
                 (4, 3),
+                (2, 3),
+                (1, 3),
+                (4, 0),
+                (2, 0),
+                (1, 0),
             ):
                 raise NotImplementedError(
-                    "only 8/16-bit gray/RGB/RGBA and 8/4-bit paletted PNG "
-                    "(interlace 0 or Adam7) supported in-sandbox"
+                    "only 1/2/4/8/16-bit gray, 8/16-bit RGB/RGBA and "
+                    "1/2/4/8-bit paletted PNG (interlace 0 or Adam7) "
+                    "supported in-sandbox"
                 )
         elif ctype == b"PLTE":
             if size % 3:
@@ -420,20 +475,32 @@ def decode_png(data: bytes):
 
     channels = {0: 1, 2: 3, 6: 4}.get(ctyp)  # None for paletted
     sample_bytes = 2 if depth == 16 else 1
+    # sub-8-bit gray packs like the paletted path (bits, not bytes);
+    # filters still act on packed bytes with bpp = 1 (spec 9.2)
+    gray_bits = depth if ctyp == 0 and depth < 8 else None
 
     def stride_for(width: int) -> int:
-        if channels is not None:
-            return width * channels * sample_bytes
-        return width if depth == 8 else (width + 1) // 2
+        if gray_bits is not None or channels is None:
+            return (width * depth + 7) // 8
+        return width * channels * sample_bytes
 
-    bpp = channels * sample_bytes if channels is not None else 1
+    bpp = (
+        1
+        if gray_bits is not None or channels is None
+        else channels * sample_bytes
+    )
     if ctyp == 3 and plte is None:
         raise ValueError("paletted PNG without PLTE")
 
     def to_pixels(packed, width):
         """Unfiltered packed rows -> (rows, width) indices or
         (rows, width, 3) RGB (gray replicated, alpha dropped; 16-bit
-        samples recombined big-endian)."""
+        samples recombined big-endian; sub-8-bit gray returns the RAW
+        sample replicated — the JDK Raster convention, no depth
+        scaling)."""
+        if gray_bits is not None:
+            s = _unpack_indices(packed, width, gray_bits)
+            return np.repeat(s[:, :, None], 3, axis=2)
         if channels is not None:
             if sample_bytes == 2:
                 b = packed.reshape(packed.shape[0], width, channels, 2)

@@ -123,3 +123,71 @@ def pq_code_health_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_lists=_N_LISTS,
         max_iter=_MAX_ITER,
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — sub-8-bit grayscale PNG (color type 0, depths 1/2/4): the
+# last decode_png grayscale gate. Bit-packed scanlines (MSB-first, each
+# row pads its trailing bits), filters on packed bytes with bpp = 1,
+# Adam7 composes per pass. JDK raster cross-check in pytest.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_png_gray_lowdepth_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS depth
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 5003 + 257 * i.i) % (1 << depth) AS v
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * 6 * v)::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_png_gray_lowdepth_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL sub-8-bit grayscale PNG decode (multimodal.decode_png
+    depths 1/2/4, color type 0): sample v_i = (d*5003 + 257*i) mod
+    2^depth with the depth rotating 1/2/4 by doc_id — the MSB-first
+    bit order and per-row trailing-bit padding break the checksum if
+    either is wrong; odd doc_ids add Adam7 (per-pass packing), filters
+    rotate per row. The decoder returns RAW samples replicated to RGB
+    (JDK Raster convention), so the position-weighted checksum is
+    sum((p+1) * 6v). Map-side Arrow decode; scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                depth = (1, 2, 4)[d % 3]
+                s = (
+                    d * 5003 + 257 * np.arange(w * h, dtype=np.int64)
+                ) % (1 << depth)
+                blobs.append(
+                    multimodal.encode_png_gray_lowdepth(
+                        s.reshape(h, w),
+                        depth,
+                        filter_for_row=lambda y: y,
+                        interlace=bool(d % 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

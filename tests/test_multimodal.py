@@ -69,12 +69,12 @@ def test_png_crc_and_grammar_errors():
         multimodal.decode_png(bytes(blob))
     with pytest.raises(ValueError, match="not a PNG"):
         multimodal.decode_png(b"\x00" * 16)
-    # sub-8-bit grayscale stays honestly gated (8/16-bit gray/RGB/RGBA
-    # and 8/4-bit palette are all real now)
+    # gray+alpha (color type 4) stays honestly gated (1-16-bit gray,
+    # 8/16-bit RGB/RGBA and 1/2/4/8-bit palette are all real now)
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 2, 0, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 4, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
@@ -1733,3 +1733,111 @@ def test_png16_rgba_roundtrip_all_filters_and_adam7():
                 )
                 assert got.dtype == np.uint16
                 assert np.array_equal(got, a[:, :, :3]), (h, w, il)
+
+
+# --------------------------------------------------------------------------
+# Sub-8-bit grayscale + paletted PNG (round 9)
+# --------------------------------------------------------------------------
+def test_png_lowdepth_roundtrips():
+    """Gray depths 1/2/4 and paletted depths 2/1 must roundtrip through
+    decode_png at every filter and both interlace modes, including
+    widths that exercise trailing-bit padding in every Adam7 pass."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(59)
+    for depth in (1, 2, 4):
+        for il in (False, True):
+            for h, w in [(1, 1), (3, 7), (13, 17), (9, 30)]:
+                a = rng.randint(0, 1 << depth, size=(h, w))
+                got = mm.decode_png(
+                    mm.encode_png_gray_lowdepth(
+                        a, depth, filter_for_row=lambda y: y, interlace=il
+                    )
+                )
+                assert np.array_equal(
+                    got, np.repeat(a[:, :, None].astype(np.uint8), 3, axis=2)
+                ), ("gray", depth, il, h, w)
+    for depth in (1, 2):
+        n = 1 << depth
+        pal = rng.randint(0, 256, size=(n, 3), dtype=np.uint8)
+        for il in (False, True):
+            idx = rng.randint(0, n, size=(11, 19))
+            got = mm.decode_png(
+                mm.encode_png_indexed(
+                    idx, pal, depth=depth,
+                    filter_for_row=lambda y: 4 - (y % 5), interlace=il,
+                )
+            )
+            assert np.array_equal(got, pal[idx]), ("pal", depth, il)
+
+
+def test_png_lowdepth_cross_validated_against_jdk(tmp_path):
+    """JDK raster samples must match our sub-8-bit wire bytes exactly —
+    MSB-first bit order and per-row/per-pass trailing-bit padding are
+    self-consistent conventions a roundtrip cannot falsify. getSample
+    (not getRGB) because gray promotes through sRGB in getRGB."""
+    import os
+    import shutil
+    import struct
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    java_home = os.environ.get("JAVA_HOME", "")
+    javac = shutil.which("javac") or (
+        os.path.join(java_home, "bin", "javac") if java_home else None
+    )
+    if not javac or not os.path.exists(javac):
+        _pytest.skip("no JDK available for cross-validation")
+    java = os.path.join(os.path.dirname(javac), "java")
+    (tmp_path / "RasterDump.java").write_text(
+        """
+import javax.imageio.*; import java.awt.image.*; import java.io.*;
+public class RasterDump {
+  public static void main(String[] a) throws Exception {
+    BufferedImage img = ImageIO.read(new File(a[0]));
+    if (img == null) System.exit(2);
+    Raster r = img.getRaster();
+    int h = img.getHeight(), w = img.getWidth(), b = r.getNumBands();
+    DataOutputStream o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(a[1])));
+    o.writeInt(h); o.writeInt(w); o.writeInt(b);
+    for (int y = 0; y < h; y++) for (int x = 0; x < w; x++)
+      for (int c = 0; c < b; c++) o.writeByte(r.getSample(x, y, c));
+    o.close();
+  }
+}
+"""
+    )
+    subprocess.run([javac, "RasterDump.java"], check=True, cwd=tmp_path)
+    rng = np.random.RandomState(61)
+
+    def jdk_raster(blob):
+        (tmp_path / "in.png").write_bytes(blob)
+        subprocess.run(
+            [java, "RasterDump", "in.png", "out.raw"], check=True, cwd=tmp_path
+        )
+        raw = (tmp_path / "out.raw").read_bytes()
+        h, w, b = struct.unpack(">III", raw[:12])
+        return np.frombuffer(raw[12:], dtype=np.uint8).reshape(h, w, b)
+
+    for depth in (1, 2, 4):
+        for il in (False, True):
+            g = rng.randint(0, 1 << depth, size=(13, 17))
+            blob = mm.encode_png_gray_lowdepth(
+                g, depth, filter_for_row=lambda y: y, interlace=il
+            )
+            got = jdk_raster(blob)
+            assert np.array_equal(got, g[:, :, None]), ("gray", depth, il)
+    for depth in (1, 2):
+        n = 1 << depth
+        pal = rng.randint(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.randint(0, n, size=(13, 17))
+        blob = mm.encode_png_indexed(idx, pal, depth=depth, interlace=True)
+        # JDK raster for an indexed image returns the palette INDEX
+        got = jdk_raster(blob)
+        assert np.array_equal(got, idx[:, :, None]), ("pal", depth)
