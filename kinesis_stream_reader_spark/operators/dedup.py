@@ -1368,3 +1368,55 @@ def dedup_downweight(documents: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """RFC-3986-flavored URL canonicalization as ONE codegen column
+    expression — the first stage of web-corpus URL dedup (the
+    CCNet/RefinedWeb pipelines dedup fetched pages by canonical URL
+    before any content hashing; public method):
+
+      1. drop the fragment,
+      2. lowercase scheme and host,
+      3. strip an explicit default port (:443 https / :80 http),
+      4. strip ONE trailing slash from a non-root path,
+      5. drop utm_* tracking parameters and SORT the survivors.
+
+    Everything is built-in string/array algebra (split, lower, filter,
+    array_sort, array_join) — no UDF, whole-stage codegen, map-only."""
+    no_frag = F.split(url, "#").getItem(0)
+    scheme = F.lower(F.split(no_frag, "://").getItem(0))
+    rest = F.substring_index(no_frag, "://", -1)
+    hostport = F.split(rest, "/").getItem(0)
+    host = F.lower(F.split(hostport, ":").getItem(0))
+    default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
+    port = F.when(
+        F.contains(hostport, F.lit(":"))
+        & (F.substring_index(hostport, ":", -1) != default_port),
+        F.concat(F.lit(":"), F.substring_index(hostport, ":", -1)),
+    ).otherwise(F.lit(""))
+    path_q = F.substring(rest, F.length(hostport) + 1, F.lit(2**30))
+    path = F.split(path_q, r"\?").getItem(0)
+    query = F.when(
+        F.contains(path_q, F.lit("?")), F.substring_index(path_q, "?", -1)
+    ).otherwise(F.lit(""))
+    path_c = F.when(path == "/", F.lit("/")).otherwise(
+        F.regexp_replace(path, "/$", "")
+    )
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port,
+        path_c,
+        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    )

@@ -118,7 +118,7 @@ _PRIORITY = [
     # then the round-9-touched legs (rank-based seeding, imbalance
     # definition), then the r8 rotation.
     "ann_ivfpq_refine", "pq_code_health",
-    "multimodal_png_gray_lowdepth_decode",
+    "multimodal_png_gray_lowdepth_decode", "streaming_cusum_monitor",
     # ROUND-8 ROTATION: new round-8 queries lead (never driver-checked),
     # then the round-8-touched legs (lists-parameterized IVF chain, the
     # Lloyd-loop extraction, nprobe-sweep oracle bound), then the r7

@@ -191,3 +191,216 @@ def multimodal_png_gray_lowdepth_decode_query(
         batches, "doc_id BIGINT, data BINARY"
     )
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — streaming_cusum_monitor: tabular CUSUM ON the stream — the
+# guardrail family's change-point leg (next to drift/SPRT/OBF/ECE).
+# Same exact-integer prefix-sum identity as the batch cusum_changepoint
+# (S+_t = P_t - min(P_0..P_t, 0)), applied to the drained hourly census.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_cusum_monitor",
+    """
+WITH hrs AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+         COUNT(*) AS x
+  FROM events GROUP BY 1
+), tot AS (SELECT COUNT(*) AS nh, SUM(x) AS s FROM hrs),
+base AS (SELECT window_start, x, nh, s, nh * x - s AS dev FROM hrs, tot),
+pref AS (
+  SELECT *, SUM(dev) OVER (ORDER BY window_start
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+  FROM base
+), cus AS (
+  SELECT window_start, x, nh, s,
+         p - LEAST(MIN(p) OVER (ORDER BY window_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS up_u,
+         GREATEST(MAX(p) OVER (ORDER BY window_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - p AS down_u
+  FROM pref
+)
+SELECT window_start, x::BIGINT AS x,
+       FLOOR(up_u / CAST(nh AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cusum_up,
+       FLOOR(down_u / CAST(nh AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cusum_down,
+       up_u > 4 * s AS alarm_up,
+       down_u > 4 * s AS alarm_down
+FROM cus ORDER BY window_start
+""",
+)
+def streaming_cusum_monitor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-point monitoring ON the stream: the watermarked hourly
+    census (windowed_counts, Trigger.AvailableNow drain) feeds the
+    batch cusum_changepoint arithmetic — per-hour deviations from the
+    series mean as nh-scaled exact bigints, the clipped CUSUM recursion
+    rewritten as prefix-sum minus running extremum (two stock window
+    passes, no per-row iteration), alarms at 4x the mean hourly level.
+    Drained result equals the batch oracle exactly because the fixture
+    drains completely.
+
+    Plan shape / 100 TB: the stream pays one watermark-bounded stateful
+    census (state = |windows in flight| x |types|); the CUSUM walk is
+    algebra over the drained CALENDAR-BOUNDED census — hours, not
+    events (8.8k rows/year), one partition's window pass forever."""
+    from ..streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    win = jobs.run_available_now(
+        jobs.windowed_counts(stream), "streaming_cusum_monitor"
+    )
+    hrs = win.groupBy("window_start").agg(F.sum("n_events").alias("x"))
+    tot = hrs.agg(F.count("*").alias("nh"), F.sum("x").alias("s"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("window_start").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    pref = (
+        hrs.join(F.broadcast(tot))
+        .select(
+            "window_start",
+            "x",
+            "nh",
+            "s",
+            (F.col("nh") * F.col("x") - F.col("s")).alias("dev"),
+        )
+        .withColumn("p", F.sum("dev").over(w))
+    )
+    cus = pref.select(
+        "window_start",
+        "x",
+        "nh",
+        "s",
+        (F.col("p") - F.least(F.min("p").over(w), F.lit(0))).alias("up_u"),
+        (F.greatest(F.max("p").over(w), F.lit(0)) - F.col("p")).alias(
+            "down_u"
+        ),
+    )
+    thresh = F.lit(4) * F.col("s")
+    return cus.select(
+        "window_start",
+        F.col("x").cast("long").alias("x"),
+        (
+            F.floor(F.col("up_u") / F.col("nh").cast("double") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("cusum_up"),
+        (
+            F.floor(
+                F.col("down_u") / F.col("nh").cast("double") * 1e6 + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("cusum_down"),
+        (F.col("up_u") > thresh).alias("alarm_up"),
+        (F.col("down_u") > thresh).alias("alarm_down"),
+    ).orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — dedup_url_canonicalize: web-corpus URL dedup, stage one of
+# the CCNet/RefinedWeb pipelines (dedup fetched pages by canonical URL
+# before any content hashing). The fixture synthesizes deterministic
+# MESSY variants (case, default port, trailing slash, utm_ params,
+# param order, fragments) so every canonicalization rule is load-
+# bearing; both engines canonicalize FROM THE RAW STRING.
+# ---------------------------------------------------------------------------
+_RAW_URL_SQL = """
+  CASE doc_id % 2 WHEN 0 THEN 'https' ELSE 'HTTPS' END || '://' ||
+  CASE doc_id % 3
+    WHEN 0 THEN upper(source) || '.Example.COM'
+    WHEN 1 THEN source || '.example.com'
+    ELSE source || '.EXAMPLE.com' END ||
+  CASE WHEN doc_id % 4 = 1 THEN ':443' ELSE '' END ||
+  '/articles/' || (doc_id % 50) ||
+  CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END ||
+  CASE doc_id % 4
+    WHEN 0 THEN '?utm_source=feed&id=' || (doc_id % 10)
+    WHEN 1 THEN '?id=' || (doc_id % 10) || '&ref=home'
+    WHEN 2 THEN '?ref=home&id=' || (doc_id % 10)
+    ELSE '?id=' || (doc_id % 10) END ||
+  CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+"""
+
+
+@register(
+    "dedup_url_canonicalize",
+    f"""
+WITH raw AS (
+  SELECT doc_id, {_RAW_URL_SQL} AS raw_url FROM documents
+), parts AS (
+  SELECT doc_id, raw_url,
+         split_part(raw_url, '#', 1) AS nf
+  FROM raw
+), comp AS (
+  SELECT doc_id, raw_url,
+         lower(split_part(nf, '://', 1)) AS scheme,
+         split_part(nf, '://', 2) AS rest,
+         split_part(split_part(nf, '://', 2), '/', 1) AS hostport
+  FROM parts
+), fields AS (
+  SELECT doc_id, raw_url, scheme,
+         lower(split_part(hostport, ':', 1)) AS host,
+         CASE WHEN contains(hostport, ':')
+                   AND split_part(hostport, ':', 2)
+                       <> (CASE WHEN scheme = 'http' THEN '80' ELSE '443' END)
+              THEN ':' || split_part(hostport, ':', 2) ELSE '' END AS port,
+         substr(rest, length(hostport) + 1) AS path_q
+  FROM comp
+), pq AS (
+  SELECT doc_id, raw_url, scheme, host, port,
+         split_part(path_q, '?', 1) AS path,
+         CASE WHEN contains(path_q, '?')
+              THEN split_part(path_q, '?', 2) ELSE '' END AS query
+  FROM fields
+), canon AS (
+  SELECT doc_id, raw_url,
+         scheme || '://' || host || port ||
+         (CASE WHEN path = '/' THEN '/'
+               ELSE regexp_replace(path, '/$', '') END) ||
+         (CASE WHEN params <> '' THEN '?' || params ELSE '' END)
+           AS canonical_url
+  FROM (
+    SELECT *,
+           array_to_string(list_sort(list_filter(string_split(query, '&'),
+             x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS params
+    FROM pq)
+)
+SELECT canonical_url,
+       COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT raw_url)::BIGINT AS n_raw_variants,
+       MIN(doc_id)::BIGINT AS keep_doc_id
+FROM canon GROUP BY canonical_url ORDER BY canonical_url
+""",
+)
+def dedup_url_canonicalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup groups (dedup.canonical_url): fragments
+    dropped, scheme/host lowercased, default ports stripped, non-root
+    trailing slash stripped, utm_* params dropped and survivors
+    sorted; one groupBy on the canonical string yields the dup groups
+    with their keeper (MIN doc_id) and raw-variant census.
+
+    Plan shape / 100 TB: canonicalization is map-only codegen string
+    algebra (no UDF); the only shuffle is the groupBy on the canonical
+    URL — partial-agg'd, key space = |distinct pages|. This is the
+    cheapest dedup stage and always runs FIRST in a web pipeline."""
+    from ..operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        F.expr(_RAW_URL_SQL).alias("raw_url"),
+    )
+    return (
+        raw.select(
+            "doc_id",
+            "raw_url",
+            dedup.canonical_url(F.col("raw_url")).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.countDistinct("raw_url").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -76,7 +76,7 @@ SUBSET = [
     "multimodal_tiff_deflate_decode", "ann_ivfpq_trained",
     # round 9
     "ann_ivfpq_refine", "pq_code_health",
-    "multimodal_png_gray_lowdepth_decode",
+    "multimodal_png_gray_lowdepth_decode", "streaming_cusum_monitor",
 ]
 
 
