@@ -1100,13 +1100,52 @@ def decode_tiff(data: bytes):
         # legacy COMPRESSION_DEFLATE: same per-segment zlib streams as
         # Adobe Deflate (8) — libtiff and the JDK treat them identically
         compression = 8
+    # BitsPerSample DEFAULTS to 1 (spec §8) — the JDK writer omits the
+    # tag entirely for bilevel files
+    bilevel = tags.get(258, [1]) == [1] and tags.get(277, [1])[0] == 1
+    if bilevel:
+        # bit-per-sample path: uncompressed (rows byte-padded) or CCITT
+        # Group 3 1-D Modified Huffman (compression 2, "CCITT RLE").
+        # LUMA samples out (1 = white, photometric applied — the JDK
+        # TYPE_BYTE_BINARY raster convention), replicated to RGB.
+        if compression not in (1, 2):
+            raise NotImplementedError(
+                f"bilevel TIFF compression {compression} not supported "
+                "(have none/CCITT-MH)"
+            )
+        if compression == 2 and tags.get(262, [0])[0] != 0:
+            raise NotImplementedError(
+                "CCITT MH requires PhotometricInterpretation 0 here"
+            )
+        offsets, counts = tags[273], tags[279]
+        rows_per_strip = tags.get(278, [h])[0]
+        if len(offsets) != -(-h // rows_per_strip):
+            raise ValueError("TIFF strip count does not match dimensions")
+        rows = []
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            raw = data[o : o + c]
+            if compression == 2:
+                rows.append(_mh_decode(raw, w, nrows))
+            else:
+                stride = (w + 7) // 8
+                if len(raw) < nrows * stride:
+                    raise ValueError("TIFF segment shorter than expected")
+                packed = np.frombuffer(
+                    raw[: nrows * stride], dtype=np.uint8
+                ).reshape(nrows, stride).astype(np.int64)
+                rows.append(_unpack_indices(packed, w, 1))
+        bits = np.concatenate(rows, axis=0)
+        if tags.get(262, [0])[0] == 0:  # WhiteIsZero -> luma inverts
+            bits = 1 - bits
+        return np.repeat(bits[:, :, None], 3, axis=2).astype(np.uint8)
     if compression not in (1, 5, 8, 32773):
         raise NotImplementedError(
             f"TIFF compression {compression} not supported "
             "(have none/LZW/Deflate/PackBits)"
         )
     if tags.get(258, [8])[:3] != [8, 8, 8] or tags.get(277, [3])[0] != 3:
-        raise NotImplementedError("only 8-bit RGB TIFF supported")
+        raise NotImplementedError("only 8-bit RGB/1-bit bilevel TIFF supported")
     planar = tags.get(284, [1])[0] == 2
     spp = 1 if planar else 3
 
@@ -4401,3 +4440,251 @@ def audio_hadamard_bands(media: DataFrame) -> DataFrame:
         batches,
         "doc_id BIGINT, dc BIGINT, band_low BIGINT, band_mid BIGINT, band_high BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# CCITT Group 3 one-dimensional Modified Huffman (TIFF compression 2,
+# "CCITT RLE"): the ITU-T T.4 run-length code tables (public spec,
+# tables 2/3 + the shared extended makeup set). Each scan line is coded
+# independently as alternating WHITE-first run lengths (a line starting
+# black emits the zero-length white code); runs >= 64 use makeup +
+# terminating codes; in the TIFF variant every line starts on a byte
+# boundary (fill bits 0) and there are no EOL codes.
+# ---------------------------------------------------------------------------
+_T4_WHITE_TERM = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011", 14: "110100",
+    15: "110101", 16: "101010", 17: "101011", 18: "0100111",
+    19: "0001100", 20: "0001000", 21: "0010111", 22: "0000011",
+    23: "0000100", 24: "0101000", 25: "0101011", 26: "0010011",
+    27: "0100100", 28: "0011000", 29: "00000010", 30: "00000011",
+    31: "00011010", 32: "00011011", 33: "00010010", 34: "00010011",
+    35: "00010100", 36: "00010101", 37: "00010110", 38: "00010111",
+    39: "00101000", 40: "00101001", 41: "00101010", 42: "00101011",
+    43: "00101100", 44: "00101101", 45: "00000100", 46: "00000101",
+    47: "00001010", 48: "00001011", 49: "01010010", 50: "01010011",
+    51: "01010100", 52: "01010101", 53: "00100100", 54: "00100101",
+    55: "01011000", 56: "01011001", 57: "01011010", 58: "01011011",
+    59: "01001010", 60: "01001011", 61: "00110010", 62: "00110011",
+    63: "00110100",
+}
+_T4_WHITE_MAKEUP = {
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100",
+    768: "011001101", 832: "011010010", 896: "011010011",
+    960: "011010100", 1024: "011010101", 1088: "011010110",
+    1152: "011010111", 1216: "011011000", 1280: "011011001",
+    1344: "011011010", 1408: "011011011", 1472: "010011000",
+    1536: "010011001", 1600: "010011010", 1664: "011000",
+    1728: "010011011",
+}
+_T4_BLACK_TERM = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011", 5: "0011",
+    6: "0010", 7: "00011", 8: "000101", 9: "000100", 10: "0000100",
+    11: "0000101", 12: "0000111", 13: "00000100", 14: "00000111",
+    15: "000011000", 16: "0000010111", 17: "0000011000",
+    18: "0000001000", 19: "00001100111", 20: "00001101000",
+    21: "00001101100", 22: "00000110111", 23: "00000101000",
+    24: "00000010111", 25: "00000011000", 26: "000011001010",
+    27: "000011001011", 28: "000011001100", 29: "000011001101",
+    30: "000001101000", 31: "000001101001", 32: "000001101010",
+    33: "000001101011", 34: "000011010010", 35: "000011010011",
+    36: "000011010100", 37: "000011010101", 38: "000011010110",
+    39: "000011010111", 40: "000001101100", 41: "000001101101",
+    42: "000011011010", 43: "000011011011", 44: "000001010100",
+    45: "000001010101", 46: "000001010110", 47: "000001010111",
+    48: "000001100100", 49: "000001100101", 50: "000001010010",
+    51: "000001010011", 52: "000000100100", 53: "000000110111",
+    54: "000000111000", 55: "000000100111", 56: "000000101000",
+    57: "000001011000", 58: "000001011001", 59: "000000101011",
+    60: "000000101100", 61: "000001011010", 62: "000001100110",
+    63: "000001100111",
+}
+_T4_BLACK_MAKEUP = {
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+_T4_EXT_MAKEUP = {  # shared by both colors (T.4 table 4)
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+
+
+def _mh_encode_line(runs: list) -> str:
+    """Alternating white-first run lengths -> T.4 MH bit string."""
+    bits = []
+    for i, r in enumerate(runs):
+        makeup = _T4_WHITE_MAKEUP if i % 2 == 0 else _T4_BLACK_MAKEUP
+        term = _T4_WHITE_TERM if i % 2 == 0 else _T4_BLACK_TERM
+        while r > 2623:
+            bits.append(_T4_EXT_MAKEUP[2560])
+            r -= 2560
+        if r >= 64:
+            m = (r // 64) * 64
+            bits.append(makeup[m] if m <= 1728 else _T4_EXT_MAKEUP[m])
+            r -= m
+        bits.append(term[r])
+    return "".join(bits)
+
+
+def _mh_decode_tables():
+    # prefix dicts: code string -> (pixels, is_terminating)
+    white = {c: (n, True) for n, c in _T4_WHITE_TERM.items()}
+    white.update({c: (n, False) for n, c in _T4_WHITE_MAKEUP.items()})
+    white.update({c: (n, False) for n, c in _T4_EXT_MAKEUP.items()})
+    black = {c: (n, True) for n, c in _T4_BLACK_TERM.items()}
+    black.update({c: (n, False) for n, c in _T4_BLACK_MAKEUP.items()})
+    black.update({c: (n, False) for n, c in _T4_EXT_MAKEUP.items()})
+    return white, black
+
+
+def _mh_decode(data: bytes, w: int, h: int):
+    """TIFF compression-2 segment -> (h, w) 0/1 samples (0 = white
+    under PhotometricInterpretation 0). Each line is byte-aligned."""
+    import numpy as np
+
+    white, black = _mh_decode_tables()
+    maxlen = max(max(len(c) for c in white), max(len(c) for c in black))
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    bitstr = "".join("1" if b else "0" for b in bits)
+    out = np.zeros((h, w), dtype=np.int64)
+    pos = 0
+    for y in range(h):
+        pos = (pos + 7) // 8 * 8  # line starts byte-aligned
+        x = 0
+        is_white = True
+        run = 0
+        while x < w:
+            table = white if is_white else black
+            for ln in range(2, maxlen + 1):
+                code = bitstr[pos : pos + ln]
+                if len(code) < ln:
+                    raise ValueError("CCITT MH stream truncated")
+                hit = table.get(code)
+                if hit is not None:
+                    n, terminating = hit
+                    pos += ln
+                    run += n
+                    if terminating:
+                        if x + run > w:
+                            raise ValueError("CCITT MH run overruns line")
+                        if not is_white:
+                            out[y, x : x + run] = 1
+                        x += run
+                        run = 0
+                        is_white = not is_white
+                    break
+            else:
+                raise ValueError("invalid CCITT MH code")
+    return out
+
+
+def encode_tiff_bilevel(
+    arr,
+    compression: int = 2,
+    big_endian: bool = False,
+    rows_per_strip: int = 4,
+) -> bytes:
+    """(h, w) 0/1 LUMA samples (1 = white) -> bilevel TIFF
+    (PhotometricInterpretation 0 WhiteIsZero — stored bits invert luma,
+    BitsPerSample 1): compression 1 = bit-packed rows (MSB-first, each
+    row byte-padded) or 2 = CCITT Group 3 one-dimensional Modified
+    Huffman ("CCITT RLE": white-first alternating T.4 run codes, every
+    line byte-aligned, no EOLs). Fixture twin of the decode_tiff
+    bilevel path; JDK ImageIO cross-validated both directions."""
+    import struct
+
+    import numpy as np
+
+    if compression not in (1, 2):
+        raise ValueError("bilevel TIFF supports compression 1 or 2 here")
+    e = ">" if big_endian else "<"
+    a = np.asarray(arr, dtype=np.int64)
+    if a.max(initial=0) > 1 or a.min(initial=0) < 0:
+        raise ValueError("bilevel TIFF needs 0/1 samples")
+    fb = 1 - a  # stored file bits under WhiteIsZero (0 = white)
+    h, w = a.shape
+    nstrips = -(-h // rows_per_strip)
+    segs = []
+    for i in range(nstrips):
+        s = fb[i * rows_per_strip : (i + 1) * rows_per_strip]
+        if compression == 1:
+            segs.append(_pack_indices(s, 1).astype(np.uint8).tobytes())
+        else:
+            lines = []
+            for row in s:
+                # run-length split: white (0) first, alternating
+                change = np.flatnonzero(np.diff(row)) + 1
+                bounds = np.concatenate(([0], change, [w]))
+                runs = np.diff(bounds).tolist()
+                if row[0] == 1:  # line starts black: zero white run
+                    runs = [0] + runs
+                enc = _mh_encode_line(runs)
+                enc += "0" * (-len(enc) % 8)  # byte-align the line
+                lines.append(enc)
+            allbits = "".join(lines)
+            segs.append(
+                np.packbits(
+                    np.frombuffer(
+                        allbits.encode(), dtype=np.uint8
+                    ) - ord("0")
+                ).tobytes()
+            )
+
+    nsegs = len(segs)
+    pos = 8
+    seg_offsets = []
+    for s in segs:
+        seg_offsets.append(pos)
+        pos += len(s)
+    so_off, sbc_off = pos, pos + 4 * nsegs
+    pos += 8 * nsegs
+    ifd_off = pos
+
+    def entry(tag, typ, count, value):
+        return struct.pack(f"{e}HHI", tag, typ, count) + value
+
+    def short_val(v):
+        return struct.pack(f"{e}HH", v, 0)
+
+    def long_val(v):
+        return struct.pack(f"{e}I", v)
+
+    off_val = long_val(so_off if nsegs > 1 else seg_offsets[0])
+    cnt_val = long_val(sbc_off if nsegs > 1 else len(segs[0]))
+    entries = [
+        entry(256, 4, 1, long_val(w)),
+        entry(257, 4, 1, long_val(h)),
+        entry(258, 3, 1, short_val(1)),      # BitsPerSample 1 (inline)
+        entry(259, 3, 1, short_val(compression)),
+        entry(262, 3, 1, short_val(0)),      # Photometric: WhiteIsZero
+        entry(273, 4, nsegs, off_val),
+        entry(277, 3, 1, short_val(1)),      # SamplesPerPixel
+        entry(278, 4, 1, long_val(rows_per_strip)),
+        entry(279, 4, nsegs, cnt_val),
+    ]
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        f"{e}I", ifd_off
+    )
+    for s in segs:
+        out += s
+    for off in seg_offsets:
+        out += struct.pack(f"{e}I", off)
+    for s in segs:
+        out += struct.pack(f"{e}I", len(s))
+    out += struct.pack(f"{e}H", len(entries)) + b"".join(entries)
+    out += struct.pack(f"{e}I", 0)
+    return bytes(out)

@@ -119,6 +119,7 @@ _PRIORITY = [
     # definition), then the r8 rotation.
     "ann_ivfpq_refine", "pq_code_health",
     "multimodal_png_gray_lowdepth_decode", "streaming_cusum_monitor",
+    "dedup_url_canonicalize", "multimodal_tiff_ccitt_decode",
     # ROUND-8 ROTATION: new round-8 queries lead (never driver-checked),
     # then the round-8-touched legs (lists-parameterized IVF chain, the
     # Lloyd-loop extraction, nprobe-sweep oracle bound), then the r7

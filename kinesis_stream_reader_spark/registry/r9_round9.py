@@ -404,3 +404,71 @@ def dedup_url_canonicalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — CCITT Group 3 1-D Modified Huffman bilevel TIFF (compression
+# 2, "CCITT RLE") + uncompressed bilevel: the fax/document-scan leg of
+# the TIFF family. ~190 hand-entered ITU-T T.4 run codes, JDK ImageIO
+# cross-validated both directions in pytest.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_tiff_ccitt_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 16 + doc_id % 9 AS w, 6 + doc_id % 4 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         CASE WHEN (doc_id * 31 + 7 * i.i) % 97
+                   < 20 + 25 * (doc_id % 4)
+              THEN 1 ELSE 0 END AS v
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * 6 * v)::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_tiff_ccitt_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL bilevel TIFF decode (multimodal.decode_tiff bilevel path):
+    luma v_i = [(d*31 + 7i) mod 97 < 20 + 25*(d mod 4)] — the rotating
+    threshold gives every doc a different white/black mix, so the
+    white-first alternation and the zero-length leading white run are
+    both exercised; compression rotates none/CCITT-MH by doc parity,
+    byte order by d % 3, multi-strip layout throughout. Photometric 0
+    is applied (luma out, the JDK raster convention), so the checksum
+    is sum((p+1) * 6v). Map-side Arrow decode; scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % 9, 6 + d % 4
+                t = 20 + 25 * (d % 4)
+                v = (
+                    (d * 31 + 7 * np.arange(w * h, dtype=np.int64)) % 97 < t
+                ).astype(np.int64)
+                blobs.append(
+                    multimodal.encode_tiff_bilevel(
+                        v.reshape(h, w),
+                        compression=2 if d % 2 else 1,
+                        big_endian=bool(d % 3 == 0),
+                        rows_per_strip=3,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

@@ -77,6 +77,7 @@ SUBSET = [
     # round 9
     "ann_ivfpq_refine", "pq_code_health",
     "multimodal_png_gray_lowdepth_decode", "streaming_cusum_monitor",
+    "dedup_url_canonicalize", "multimodal_tiff_ccitt_decode",
 ]
 
 

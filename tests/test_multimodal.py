@@ -1841,3 +1841,132 @@ public class RasterDump {
         # JDK raster for an indexed image returns the palette INDEX
         got = jdk_raster(blob)
         assert np.array_equal(got, idx[:, :, None]), ("pal", depth)
+
+
+# --------------------------------------------------------------------------
+# Bilevel TIFF: CCITT Group 3 1-D Modified Huffman (round 9)
+# --------------------------------------------------------------------------
+def test_tiff_bilevel_roundtrips():
+    """Uncompressed and CCITT-MH bilevel TIFF must roundtrip at both
+    byte orders, including all-white/all-black lines, zero-length
+    leading white runs, and runs long enough to need makeup codes and
+    the shared extended (1792-2560) set."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(67)
+    for comp in (1, 2):
+        for be in (False, True):
+            for h, w in [(1, 1), (3, 7), (13, 17), (4, 100), (2, 3000)]:
+                a = (rng.rand(h, w) < 0.4).astype(np.int64)
+                got = mm.decode_tiff(
+                    mm.encode_tiff_bilevel(
+                        a, compression=comp, big_endian=be, rows_per_strip=3
+                    )
+                )
+                assert np.array_equal(
+                    got, np.repeat(a[:, :, None], 3, 2)
+                ), (comp, be, h, w)
+    for row in [
+        np.zeros(2700, np.int64),          # one black run > 2623
+        np.ones(2700, np.int64),           # one white run > 2623
+        np.r_[np.ones(1700, np.int64), np.zeros(900, np.int64)],
+        np.r_[np.zeros(64, np.int64), np.ones(128, np.int64),
+              np.zeros(63, np.int64)],     # exact makeup boundaries
+    ]:
+        a = row[None, :]
+        got = mm.decode_tiff(mm.encode_tiff_bilevel(a, compression=2))
+        assert np.array_equal(got[:, :, 0], a)
+
+
+def test_tiff_ccitt_cross_validated_against_jdk(tmp_path):
+    """The JDK ImageIO TIFF codec must read our CCITT-MH files and we
+    must read its 'CCITT RLE' output, pixel-exactly — the only honest
+    check on ~190 hand-entered T.4 table codes (a self-consistent
+    wrong entry survives any roundtrip)."""
+    import os
+    import shutil
+    import struct
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    java_home = os.environ.get("JAVA_HOME", "")
+    javac = shutil.which("javac") or (
+        os.path.join(java_home, "bin", "javac") if java_home else None
+    )
+    if not javac or not os.path.exists(javac):
+        _pytest.skip("no JDK available for cross-validation")
+    java = os.path.join(os.path.dirname(javac), "java")
+    (tmp_path / "TiffBw.java").write_text(
+        """
+import javax.imageio.*; import javax.imageio.stream.*; import java.awt.image.*; import java.io.*;
+public class TiffBw {
+  public static void main(String[] a) throws Exception {
+    if (a[0].equals("decode")) {
+      BufferedImage img = ImageIO.read(new File(a[1]));
+      if (img == null) System.exit(2);
+      Raster r = img.getRaster();
+      int h = img.getHeight(), w = img.getWidth();
+      DataOutputStream o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(a[2])));
+      o.writeInt(h); o.writeInt(w);
+      for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) o.writeByte(r.getSample(x, y, 0));
+      o.close();
+    } else {
+      DataInputStream in = new DataInputStream(new BufferedInputStream(new FileInputStream(a[1])));
+      int h = in.readInt(), w = in.readInt();
+      BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY);
+      WritableRaster r = img.getRaster();
+      for (int y = 0; y < h; y++) for (int x = 0; x < w; x++) r.setSample(x, y, 0, in.readByte());
+      in.close();
+      ImageWriter wr = ImageIO.getImageWritersByFormatName("tiff").next();
+      ImageWriteParam p = wr.getDefaultWriteParam();
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+      p.setCompressionType(a[3]);
+      ImageOutputStream os = ImageIO.createImageOutputStream(new File(a[2]));
+      wr.setOutput(os); wr.write(null, new IIOImage(img, null, null), p); os.close();
+    }
+  }
+}
+"""
+    )
+    subprocess.run([javac, "TiffBw.java"], check=True, cwd=tmp_path)
+    rng = np.random.RandomState(71)
+
+    def jdk_decode(blob):
+        (tmp_path / "in.tif").write_bytes(blob)
+        subprocess.run(
+            [java, "TiffBw", "decode", "in.tif", "out.raw"],
+            check=True, cwd=tmp_path,
+        )
+        raw = (tmp_path / "out.raw").read_bytes()
+        h, w = struct.unpack(">II", raw[:8])
+        return np.frombuffer(raw[8:], dtype=np.uint8).reshape(h, w)
+
+    def jdk_encode(a, ctype):
+        h, w = a.shape
+        (tmp_path / "in.raw").write_bytes(
+            struct.pack(">II", h, w) + a.astype(np.uint8).tobytes()
+        )
+        subprocess.run(
+            [java, "TiffBw", "encode", "in.raw", "jdk.tif", ctype],
+            check=True, cwd=tmp_path,
+        )
+        return (tmp_path / "jdk.tif").read_bytes()
+
+    for h, w in [(3, 7), (13, 17), (4, 100), (2, 1730), (1, 2700)]:
+        a = (rng.rand(h, w) < 0.35).astype(np.int64)  # luma: 1 = white
+        for comp in (1, 2):
+            for be in (False, True):
+                got = jdk_decode(
+                    mm.encode_tiff_bilevel(a, compression=comp, big_endian=be)
+                )
+                assert np.array_equal(got, a), ("ours->jdk", comp, be, h, w)
+    for h, w in [(5, 9), (13, 17), (3, 200), (2, 1800)]:
+        a = (rng.rand(h, w) < 0.5).astype(np.int64)
+        got = mm.decode_tiff(jdk_encode(a, "CCITT RLE"))
+        assert np.array_equal(got[:, :, 0], a), ("jdk->ours", h, w)
