@@ -1108,14 +1108,14 @@ def decode_tiff(data: bytes):
         # Group 3 1-D Modified Huffman (compression 2, "CCITT RLE").
         # LUMA samples out (1 = white, photometric applied — the JDK
         # TYPE_BYTE_BINARY raster convention), replicated to RGB.
-        if compression not in (1, 2):
+        if compression not in (1, 2, 4):
             raise NotImplementedError(
                 f"bilevel TIFF compression {compression} not supported "
-                "(have none/CCITT-MH)"
+                "(have none/CCITT-MH/CCITT-G4)"
             )
-        if compression == 2 and tags.get(262, [0])[0] != 0:
+        if compression in (2, 4) and tags.get(262, [0])[0] != 0:
             raise NotImplementedError(
-                "CCITT MH requires PhotometricInterpretation 0 here"
+                "CCITT coding requires PhotometricInterpretation 0 here"
             )
         offsets, counts = tags[273], tags[279]
         rows_per_strip = tags.get(278, [h])[0]
@@ -1127,6 +1127,8 @@ def decode_tiff(data: bytes):
             raw = data[o : o + c]
             if compression == 2:
                 rows.append(_mh_decode(raw, w, nrows))
+            elif compression == 4:
+                rows.append(_g4_decode_strip(raw, w, nrows))
             else:
                 stride = (w + 7) // 8
                 if len(raw) < nrows * stride:
@@ -4602,14 +4604,17 @@ def encode_tiff_bilevel(
     BitsPerSample 1): compression 1 = bit-packed rows (MSB-first, each
     row byte-padded) or 2 = CCITT Group 3 one-dimensional Modified
     Huffman ("CCITT RLE": white-first alternating T.4 run codes, every
-    line byte-aligned, no EOLs). Fixture twin of the decode_tiff
-    bilevel path; JDK ImageIO cross-validated both directions."""
+    line byte-aligned, no EOLs) or 4 = CCITT Group 4 (T.6 MMR: pure 2-D
+    pass/vertical/horizontal coding against the previous line, each
+    strip restarting from an imaginary all-white reference, continuous
+    bit stream). Fixture twin of the decode_tiff bilevel path; JDK
+    ImageIO cross-validated both directions."""
     import struct
 
     import numpy as np
 
-    if compression not in (1, 2):
-        raise ValueError("bilevel TIFF supports compression 1 or 2 here")
+    if compression not in (1, 2, 4):
+        raise ValueError("bilevel TIFF supports compression 1, 2 or 4 here")
     e = ">" if big_endian else "<"
     a = np.asarray(arr, dtype=np.int64)
     if a.max(initial=0) > 1 or a.min(initial=0) < 0:
@@ -4622,6 +4627,15 @@ def encode_tiff_bilevel(
         s = fb[i * rows_per_strip : (i + 1) * rows_per_strip]
         if compression == 1:
             segs.append(_pack_indices(s, 1).astype(np.uint8).tobytes())
+        elif compression == 4:
+            allbits = _g4_encode_strip(s)
+            allbits += "0" * (-len(allbits) % 8)
+            segs.append(
+                np.packbits(
+                    np.frombuffer(allbits.encode(), dtype=np.uint8)
+                    - ord("0")
+                ).tobytes()
+            )
         else:
             lines = []
             for row in s:
@@ -4688,3 +4702,180 @@ def encode_tiff_bilevel(
     out += struct.pack(f"{e}H", len(entries)) + b"".join(entries)
     out += struct.pack(f"{e}I", 0)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# CCITT Group 4 (ITU-T T.6 MMR, TIFF compression 4): pure 2-D coding —
+# each line is coded against the previous (reference) line with
+# pass / vertical / horizontal modes; horizontal mode reuses the T.4
+# MH run tables above. The reference line for the first line of every
+# strip is an imaginary all-white line; the TIFF stream is continuous
+# (no per-line byte alignment, no EOLs/EOFB required).
+# ---------------------------------------------------------------------------
+_T6_VERT = {0: "1", 1: "011", 2: "000011", 3: "0000011",
+            -1: "010", -2: "000010", -3: "0000010"}
+_T6_PASS = "0001"
+_T6_HORIZ = "001"
+
+
+def _g4_changes(row) -> list:
+    """Changing elements of a line of 0/1 FILE bits (0 = white): the
+    positions whose color differs from the previous pixel, with an
+    imaginary white pixel before position 0. Change index i transitions
+    to black when i is even, to white when i is odd."""
+    import numpy as np
+
+    return np.flatnonzero(np.diff(np.concatenate(([0], row)))).tolist()
+
+
+def _g4_next_change(changes: list, pos: int, to_black: bool) -> int:
+    """First changing element STRICTLY right of pos transitioning to
+    the given color; the line width sentinel when none exists."""
+    import bisect
+
+    i = bisect.bisect_right(changes, pos)
+    if i < len(changes) and ((i % 2 == 0) != to_black):
+        i += 1
+    return i
+
+
+def _g4_encode_strip(rows) -> str:
+    """(n, w) file bits -> T.6 bit string (reference starts all-white)."""
+    w = rows.shape[1]
+    ref: list = []
+    bits = []
+    for row in rows:
+        cur = _g4_changes(row)
+        a0, color = -1, 0  # imaginary start; white
+        while True:
+            ia1 = _g4_next_change(cur, a0, to_black=(color == 0))
+            a1 = cur[ia1] if ia1 < len(cur) else w
+            ib1 = _g4_next_change(ref, a0, to_black=(color == 0))
+            b1 = ref[ib1] if ib1 < len(ref) else w
+            b2 = ref[ib1 + 1] if ib1 + 1 < len(ref) else w
+            if b2 < a1:
+                bits.append(_T6_PASS)
+                a0 = b2
+            elif -3 <= a1 - b1 <= 3:
+                bits.append(_T6_VERT[a1 - b1])
+                a0, color = a1, 1 - color
+            else:
+                ia2 = _g4_next_change(cur, a1, to_black=(color == 1))
+                a2 = cur[ia2] if ia2 < len(cur) else w
+                base = max(a0, 0)
+                bits.append(_T6_HORIZ)
+                if color == 0:
+                    bits.append(_mh_encode_white(a1 - base))
+                    bits.append(_mh_encode_black(a2 - a1))
+                else:
+                    bits.append(_mh_encode_black(a1 - base))
+                    bits.append(_mh_encode_white(a2 - a1))
+                a0 = a2
+            if a0 >= w:
+                break
+        ref = cur
+    return "".join(bits)
+
+
+def _mh_encode_white(r: int) -> str:
+    bits = []
+    while r > 2623:
+        bits.append(_T4_EXT_MAKEUP[2560])
+        r -= 2560
+    if r >= 64:
+        m = (r // 64) * 64
+        bits.append(_T4_WHITE_MAKEUP[m] if m <= 1728 else _T4_EXT_MAKEUP[m])
+        r -= m
+    bits.append(_T4_WHITE_TERM[r])
+    return "".join(bits)
+
+
+def _mh_encode_black(r: int) -> str:
+    bits = []
+    while r > 2623:
+        bits.append(_T4_EXT_MAKEUP[2560])
+        r -= 2560
+    if r >= 64:
+        m = (r // 64) * 64
+        bits.append(_T4_BLACK_MAKEUP[m] if m <= 1728 else _T4_EXT_MAKEUP[m])
+        r -= m
+    bits.append(_T4_BLACK_TERM[r])
+    return "".join(bits)
+
+
+class _BitReader:
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, bits: str):
+        self.bits = bits
+        self.pos = 0
+
+    def take(self, table: dict, maxlen: int):
+        for ln in range(1, maxlen + 1):
+            code = self.bits[self.pos : self.pos + ln]
+            if len(code) < ln:
+                raise ValueError("CCITT G4 stream truncated")
+            hit = table.get(code)
+            if hit is not None:
+                self.pos += ln
+                return hit
+        raise ValueError("invalid CCITT G4 code")
+
+
+_MH_TABLES_CACHE: list = []
+
+
+def _mh_read_run(rd: "_BitReader", white: bool) -> int:
+    if not _MH_TABLES_CACHE:
+        _MH_TABLES_CACHE.append(_mh_decode_tables())
+    table = _MH_TABLES_CACHE[0][0] if white else _MH_TABLES_CACHE[0][1]
+    total = 0
+    while True:
+        n, terminating = rd.take(table, 13)
+        total += n
+        if terminating:
+            return total
+
+
+def _g4_decode_strip(data: bytes, w: int, nrows: int):
+    """T.6 segment -> (nrows, w) file bits (0 = white)."""
+    import numpy as np
+
+    mode_table = {_T6_PASS: ("P", 0), _T6_HORIZ: ("H", 0)}
+    for d, code in _T6_VERT.items():
+        mode_table[code] = ("V", d)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    rd = _BitReader("".join("1" if b else "0" for b in bits))
+    out = np.zeros((nrows, w), dtype=np.int64)
+    ref: list = []
+    for y in range(nrows):
+        cur: list = []
+        a0, color = -1, 0
+        while True:
+            mode, d = rd.take(mode_table, 7)
+            ib1 = _g4_next_change(ref, a0, to_black=(color == 0))
+            b1 = ref[ib1] if ib1 < len(ref) else w
+            b2 = ref[ib1 + 1] if ib1 + 1 < len(ref) else w
+            if mode == "P":
+                a0 = b2
+            elif mode == "V":
+                a1 = b1 + d
+                cur.append(a1)
+                a0, color = a1, 1 - color
+            else:  # horizontal: two MH runs, color unchanged
+                base = max(a0, 0)
+                r1 = _mh_read_run(rd, white=(color == 0))
+                r2 = _mh_read_run(rd, white=(color == 1))
+                cur.append(base + r1)
+                cur.append(base + r1 + r2)
+                a0 = base + r1 + r2
+            if a0 >= w:
+                break
+        # changes -> pixels: change i transitions to black when i even
+        row = out[y]
+        for i in range(0, len(cur), 2):
+            start = cur[i]
+            end = cur[i + 1] if i + 1 < len(cur) else w
+            row[start : min(end, w)] = 1
+        ref = [c for c in cur if c < w]
+    return out

@@ -407,10 +407,12 @@ def dedup_url_canonicalize_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ROUND 9 — CCITT Group 3 1-D Modified Huffman bilevel TIFF (compression
-# 2, "CCITT RLE") + uncompressed bilevel: the fax/document-scan leg of
-# the TIFF family. ~190 hand-entered ITU-T T.4 run codes, JDK ImageIO
-# cross-validated both directions in pytest.
+# ROUND 9 — CCITT bilevel TIFF: Group 3 1-D Modified Huffman
+# (compression 2, "CCITT RLE"), Group 4 (compression 4, T.6 MMR — pure
+# 2-D pass/vertical/horizontal coding) and uncompressed — the
+# fax/document-scan leg of the TIFF family. ~190 hand-entered ITU-T
+# T.4 run codes + the T.6 mode codes, JDK ImageIO cross-validated both
+# directions in pytest.
 # ---------------------------------------------------------------------------
 @register(
     "multimodal_tiff_ccitt_decode",
@@ -436,8 +438,10 @@ def multimodal_tiff_ccitt_decode_query(
     luma v_i = [(d*31 + 7i) mod 97 < 20 + 25*(d mod 4)] — the rotating
     threshold gives every doc a different white/black mix, so the
     white-first alternation and the zero-length leading white run are
-    both exercised; compression rotates none/CCITT-MH by doc parity,
-    byte order by d % 3, multi-strip layout throughout. Photometric 0
+    both exercised; compression rotates none/CCITT-MH/CCITT-G4 by
+    d % 3 (G4's pass/vertical/horizontal modes all fire on this
+    fixture), byte order by d % 2, multi-strip layout throughout (each
+    G4 strip restarts its all-white reference line). Photometric 0
     is applied (luma out, the JDK raster convention), so the checksum
     is sum((p+1) * 6v). Map-side Arrow decode; scalar-only shuffle."""
     import numpy as np
@@ -459,8 +463,8 @@ def multimodal_tiff_ccitt_decode_query(
                 blobs.append(
                     multimodal.encode_tiff_bilevel(
                         v.reshape(h, w),
-                        compression=2 if d % 2 else 1,
-                        big_endian=bool(d % 3 == 0),
+                        compression=(1, 2, 4)[d % 3],
+                        big_endian=bool(d % 2),
                         rows_per_strip=3,
                     )
                 )

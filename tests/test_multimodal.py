@@ -1856,7 +1856,7 @@ def test_tiff_bilevel_roundtrips():
     from kinesis_stream_reader_spark.operators import multimodal as mm
 
     rng = np.random.RandomState(67)
-    for comp in (1, 2):
+    for comp in (1, 2, 4):
         for be in (False, True):
             for h, w in [(1, 1), (3, 7), (13, 17), (4, 100), (2, 3000)]:
                 a = (rng.rand(h, w) < 0.4).astype(np.int64)
@@ -1876,7 +1876,16 @@ def test_tiff_bilevel_roundtrips():
               np.zeros(63, np.int64)],     # exact makeup boundaries
     ]:
         a = row[None, :]
-        got = mm.decode_tiff(mm.encode_tiff_bilevel(a, compression=2))
+        for comp in (2, 4):
+            got = mm.decode_tiff(mm.encode_tiff_bilevel(a, compression=comp))
+            assert np.array_equal(got[:, :, 0], a), comp
+    # G4 2-D structure: identical rows (all-V0), alternating checker
+    rng2 = np.random.RandomState(68)
+    for a in [
+        np.tile((rng2.rand(1, 50) < 0.5).astype(np.int64), (6, 1)),
+        np.indices((6, 50)).sum(0) % 2,
+    ]:
+        got = mm.decode_tiff(mm.encode_tiff_bilevel(a, compression=4))
         assert np.array_equal(got[:, :, 0], a)
 
 
@@ -1960,7 +1969,7 @@ public class TiffBw {
 
     for h, w in [(3, 7), (13, 17), (4, 100), (2, 1730), (1, 2700)]:
         a = (rng.rand(h, w) < 0.35).astype(np.int64)  # luma: 1 = white
-        for comp in (1, 2):
+        for comp in (1, 2, 4):
             for be in (False, True):
                 got = jdk_decode(
                     mm.encode_tiff_bilevel(a, compression=comp, big_endian=be)
@@ -1968,5 +1977,6 @@ public class TiffBw {
                 assert np.array_equal(got, a), ("ours->jdk", comp, be, h, w)
     for h, w in [(5, 9), (13, 17), (3, 200), (2, 1800)]:
         a = (rng.rand(h, w) < 0.5).astype(np.int64)
-        got = mm.decode_tiff(jdk_encode(a, "CCITT RLE"))
-        assert np.array_equal(got[:, :, 0], a), ("jdk->ours", h, w)
+        for ctype in ("CCITT RLE", "CCITT T.6"):
+            got = mm.decode_tiff(jdk_encode(a, ctype))
+            assert np.array_equal(got[:, :, 0], a), ("jdk->ours", ctype, h, w)
