@@ -4803,7 +4803,7 @@ def _mh_encode_black(r: int) -> str:
     return "".join(bits)
 
 
-class _BitReader:
+class _G4BitReader:
     __slots__ = ("bits", "pos")
 
     def __init__(self, bits: str):
@@ -4825,7 +4825,7 @@ class _BitReader:
 _MH_TABLES_CACHE: list = []
 
 
-def _mh_read_run(rd: "_BitReader", white: bool) -> int:
+def _mh_read_run(rd: "_G4BitReader", white: bool) -> int:
     if not _MH_TABLES_CACHE:
         _MH_TABLES_CACHE.append(_mh_decode_tables())
     table = _MH_TABLES_CACHE[0][0] if white else _MH_TABLES_CACHE[0][1]
@@ -4845,7 +4845,7 @@ def _g4_decode_strip(data: bytes, w: int, nrows: int):
     for d, code in _T6_VERT.items():
         mode_table[code] = ("V", d)
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-    rd = _BitReader("".join("1" if b else "0" for b in bits))
+    rd = _G4BitReader("".join("1" if b else "0" for b in bits))
     out = np.zeros((nrows, w), dtype=np.int64)
     ref: list = []
     for y in range(nrows):
