@@ -3201,3 +3201,116 @@ def ece_report(documents: DataFrame) -> DataFrame:
         ).alias("ece"),
         (F.col("max_gap_u") / 1e6).alias("max_gap"),
     )
+
+
+def wordpiece_encode(
+    documents: DataFrame, max_piece: int = 6, min_count: int = 50
+) -> DataFrame:
+    """WordPiece tokenization (the BERT tokenizer's greedy
+    longest-match-first algorithm — public method) with a corpus-
+    derived vocabulary: head pieces are word PREFIXES (2..max_piece
+    chars) whose summed word frequency reaches min_count, continuation
+    pieces ('##'-marked) are word-internal substrings under the same
+    threshold, and every single character is kept unconditionally (the
+    fallback that makes greedy matching total). Output: one row per
+    distinct word with its piece sequence and fertility.
+
+    Everything is exact integer counting, so the DuckDB oracle replays
+    vocab construction and the greedy walk bit-identically (recursive
+    CTE peeling the longest matching piece per step).
+
+    Plan shape / 100 TB: the word census is ONE partial-agg'd shuffle
+    of the corpus; prefix/substring censuses explode bounded factors
+    (max_piece x word length) of the DISTINCT-word relation, not the
+    corpus; the trained vocab is driver-held (the model artifact, like
+    bpe_train_merges' merge table) and broadcast into a map-side Arrow
+    pass that segments each distinct word. No step touches the corpus
+    twice."""
+    words = (
+        documents.select(
+            F.explode(tokens(F.col("text"))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    wl = words.select("word", "n", F.length("word").alias("wl"))
+    heads = (
+        wl.select(
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece), F.col("wl")))
+            ).alias("l"),
+            "word",
+            "n",
+        )
+        .select(F.expr("substr(word, 1, l)").alias("piece"), "l", "n")
+        .groupBy("piece", "l")
+        .agg(F.sum("n").alias("wt"))
+        .filter((F.col("l") == 1) | (F.col("wt") >= min_count))
+    )
+    conts = (
+        wl.select(
+            F.explode(F.sequence(F.lit(2), F.col("wl"))).alias("j"),
+            "word",
+            "n",
+            "wl",
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece), F.col("wl") - F.col("j") + 1),
+                )
+            ).alias("l"),
+            "word",
+            "n",
+            "j",
+        )
+        .select(F.expr("substr(word, j, l)").alias("piece"), "l", "n")
+        .groupBy("piece", "l")
+        .agg(F.sum("n").alias("wt"))
+        .filter((F.col("l") == 1) | (F.col("wt") >= min_count))
+    )
+    vocab = set(
+        (True, r["piece"]) for r in heads.select("piece").collect()
+    ) | set((False, r["piece"]) for r in conts.select("piece").collect())
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out_p, out_np = [], []
+            for word in pdf["word"]:
+                pos, pieces = 0, []
+                while pos < len(word):
+                    for ln in range(min(max_piece, len(word) - pos), 0, -1):
+                        cand = word[pos : pos + ln]
+                        if ((pos == 0), cand) in vocab:
+                            pieces.append(cand if pos == 0 else "##" + cand)
+                            pos += ln
+                            break
+                out_p.append(" ".join(pieces))
+                out_np.append(len(pieces))
+            yield pd.DataFrame(
+                {
+                    "word": pdf["word"],
+                    "n": pdf["n"],
+                    "pieces": out_p,
+                    "n_pieces": out_np,
+                }
+            )
+
+    return (
+        words.mapInPandas(
+            batches, "word STRING, n LONG, pieces STRING, n_pieces INT"
+        )
+        .select(
+            "word",
+            F.col("n").cast("long").alias("n_occurrences"),
+            "pieces",
+            F.col("n_pieces").cast("int").alias("n_pieces"),
+        )
+        .orderBy("word")
+    )

@@ -77,7 +77,7 @@ EAGER_QUERIES = frozenset(
         "ivf_nprobe_sweep", "hubness_report_ivf_trained",
         "lof_outlier_scores_ivf_trained", "ivf_nprobe_sweep_trained",
         "ivf_list_health", "semdedup_trained", "ann_ivfpq_trained",
-        "ann_ivfpq_refine", "pq_code_health",
+        "ann_ivfpq_refine", "pq_code_health", "wordpiece_encode",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
         "dbscan_grid_clusters", "split_group_aware", "split_semantic_leakage",
@@ -120,6 +120,7 @@ _PRIORITY = [
     "ann_ivfpq_refine", "pq_code_health",
     "multimodal_png_gray_lowdepth_decode", "streaming_cusum_monitor",
     "dedup_url_canonicalize", "multimodal_tiff_ccitt_decode",
+    "wordpiece_encode",
     # ROUND-8 ROTATION: new round-8 queries lead (never driver-checked),
     # then the round-8-touched legs (lists-parameterized IVF chain, the
     # Lloyd-loop extraction, nprobe-sweep oracle bound), then the r7

@@ -476,3 +476,75 @@ def multimodal_tiff_ccitt_decode_query(
         batches, "doc_id BIGINT, data BINARY"
     )
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — wordpiece_encode: the BERT tokenizer's greedy longest-
+# match-first walk with a corpus-derived vocabulary — the third
+# tokenizer-family leg next to bpe_train_merges/bpe_encoded_vocab.
+# Exact integer counting end to end; the oracle replays vocab
+# construction AND the greedy walk (recursive CTE peeling the longest
+# matching piece, head vs '##'-continuation classes).
+# ---------------------------------------------------------------------------
+@register(
+    "wordpiece_encode",
+    """
+WITH RECURSIVE words AS (
+  SELECT tok AS word, COUNT(*) AS n
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok
+), heads AS (
+  SELECT substr(word, 1, l.l) AS piece, l.l AS len
+  FROM words, LATERAL (SELECT UNNEST(range(1, 7)) AS l) l
+  WHERE length(word) >= l.l
+  GROUP BY 1, 2
+  HAVING l.l = 1 OR SUM(n) >= 50
+), conts AS (
+  SELECT substr(word, j.j, l.l) AS piece, l.l AS len
+  FROM words,
+       LATERAL (SELECT UNNEST(range(2, length(word) + 1)) AS j) j,
+       LATERAL (SELECT UNNEST(range(1, 7)) AS l) l
+  WHERE j.j + l.l - 1 <= length(word)
+  GROUP BY 1, 2
+  HAVING l.l = 1 OR SUM(n) >= 50
+), vocab AS (
+  SELECT piece, len, TRUE AS is_head FROM heads
+  UNION ALL
+  SELECT piece, len, FALSE AS is_head FROM conts
+), seg AS (
+  SELECT word, n, CAST(1 AS BIGINT) AS pos,
+         CAST('' AS VARCHAR) AS pieces, 0 AS np
+  FROM words
+  UNION ALL
+  SELECT word, n, pos + best AS pos,
+         pieces || CASE WHEN pos = 1 THEN substr(word, pos::INT, best::INT)
+                        ELSE ' ##' || substr(word, pos::INT, best::INT) END
+           AS pieces,
+         np + 1 AS np
+  FROM (
+    SELECT s.word, s.n, s.pos, s.pieces, s.np, MAX(v.len) AS best
+    FROM seg s
+    JOIN vocab v
+      ON v.is_head = (s.pos = 1)
+     AND v.piece = substr(s.word, s.pos::INT, v.len::INT)
+    WHERE s.pos <= length(s.word)
+    GROUP BY s.word, s.n, s.pos, s.pieces, s.np
+  )
+)
+SELECT word, n::BIGINT AS n_occurrences, pieces, np::INT AS n_pieces
+FROM seg WHERE pos > length(word)
+ORDER BY word
+""",
+)
+def wordpiece_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy WordPiece over the corpus vocabulary
+    (text.wordpiece_encode): head pieces = frequency-thresholded word
+    prefixes, continuations = '##'-marked internal substrings, single
+    characters unconditional (totality). One row per distinct word:
+    occurrence count, piece sequence, fertility."""
+    from ..operators import text
+
+    return text.wordpiece_encode(
+        load_table(spark, sf_dir, "documents"), max_piece=6, min_count=50
+    )

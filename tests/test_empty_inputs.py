@@ -78,6 +78,7 @@ SUBSET = [
     "ann_ivfpq_refine", "pq_code_health",
     "multimodal_png_gray_lowdepth_decode", "streaming_cusum_monitor",
     "dedup_url_canonicalize", "multimodal_tiff_ccitt_decode",
+    "wordpiece_encode",
 ]
 
 

@@ -739,3 +739,33 @@ def test_gif_lzw_roundtrip_property(indices):
     )
 
     assert _lzw_decode_gif(_lzw_encode_gif(indices)) == indices
+
+
+def test_wordpiece_reconstruction_and_greedy(spark, sf_dir):
+    """Piece sequences must reconstruct their word exactly (strip the
+    '##' continuation markers, concatenate), fertility must equal the
+    piece count, and the first piece must be the LONGEST head piece in
+    the implied vocabulary (greedy property: no longer prefix of the
+    word may appear as the head piece of any other word's encoding)."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    rows = QUERIES["wordpiece_encode"](spark, sf_dir).collect()
+    assert rows
+    heads = set()
+    for r in rows:
+        parts = r.pieces.split(" ")
+        assert len(parts) == r.n_pieces
+        rebuilt = parts[0] + "".join(p[2:] for p in parts[1:])
+        assert rebuilt == r.word
+        assert not parts[0].startswith("##")
+        assert all(p.startswith("##") for p in parts[1:])
+        heads.add(parts[0])
+    # greedy: no word's first piece may be extendable by another
+    # observed head piece that is a strictly longer prefix of it
+    for r in rows:
+        first = r.pieces.split(" ")[0]
+        longer = [
+            h for h in heads
+            if len(h) > len(first) and r.word.startswith(h)
+        ]
+        assert not longer, (r.word, first, longer)
