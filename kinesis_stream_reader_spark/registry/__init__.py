@@ -71,6 +71,7 @@ EAGER_QUERIES = frozenset(
         "bpe_train_merges", "bpe_encoded_vocab", "tokenizer_fertility_report",
         "kmeans_converged", "kcenter_init", "mmr_rerank",
         "pagerank_converged", "personalized_pagerank", "harmonic_centrality",
+        "betweenness_centrality",
         "hyperball_neighborhood", "kcore_decomposition", "kcore_bounded",
         "knn_graph", "knn_graph_components", "lof_outlier_scores",
         "ivf_knn_recall_report", "hubness_report_ivf", "lof_outlier_scores_ivf",
@@ -120,7 +121,8 @@ _PRIORITY = [
     "ann_ivfpq_refine", "pq_code_health",
     "multimodal_png_gray_lowdepth_decode", "streaming_cusum_monitor",
     "dedup_url_canonicalize", "multimodal_tiff_ccitt_decode",
-    "wordpiece_encode",
+    "wordpiece_encode", "consistent_hash_resharding",
+    "betweenness_centrality",
     # ROUND-8 ROTATION: new round-8 queries lead (never driver-checked),
     # then the round-8-touched legs (lists-parameterized IVF chain, the
     # Lloyd-loop extraction, nprobe-sweep oracle bound), then the r7

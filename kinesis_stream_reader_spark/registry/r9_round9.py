@@ -548,3 +548,329 @@ def wordpiece_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.wordpiece_encode(
         load_table(spark, sf_dir, "documents"), max_piece=6, min_count=50
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — consistent_hash_resharding: the classic consistent-hashing
+# ring (Karger et al. 1997, public method) as a resharding-cost report.
+# Keys and virtual nodes hash onto a 60-bit md5 ring; a key belongs to
+# the first vnode clockwise. Adding one shard to an N-shard ring must
+# move only ~1/(N+1) of the keys — this query measures the actual
+# movement per NEW shard, the capacity-planning read-off for any
+# sharded store (state backends, kv sinks, bucketed layouts).
+# ---------------------------------------------------------------------------
+_CH_N, _CH_V = 8, 16  # shards on the old ring; vnodes per shard
+
+
+def _ch_assign_sql(n_shards: int, alias: str) -> str:
+    """Ring assignment CTE text: keys -> shard under an n_shards ring.
+    Tie-safe: equal ring positions resolve to the MIN shard id."""
+    return f"""
+{alias}_vn AS (
+  SELECT s.s AS shard,
+         CAST(concat('0x', substr(md5('vn:' || s.s || ':' || v.v), 1, 15))
+              AS UBIGINT)::BIGINT AS pos
+  FROM (SELECT UNNEST(range({n_shards})) AS s) s,
+       (SELECT UNNEST(range({_CH_V})) AS v) v
+), {alias}_hit AS (
+  SELECT k.key, k.kp,
+         COALESCE(MIN(CASE WHEN vn.pos >= k.kp THEN vn.pos END),
+                  MIN(vn.pos)) AS hitpos
+  FROM keys k CROSS JOIN {alias}_vn vn
+  GROUP BY k.key, k.kp
+), {alias}_asg AS (
+  SELECT h.key, MIN(vn.shard) AS shard
+  FROM {alias}_hit h JOIN {alias}_vn vn ON vn.pos = h.hitpos
+  GROUP BY h.key
+)"""
+
+
+@register(
+    "consistent_hash_resharding",
+    """
+WITH keys AS (
+  SELECT DISTINCT user_id AS key,
+         CAST(concat('0x', substr(md5('key:' || user_id), 1, 15))
+              AS UBIGINT)::BIGINT AS kp
+  FROM events
+),""" + _ch_assign_sql(_CH_N, "old") + "," + _ch_assign_sql(_CH_N + 1, "new") + """
+, tot AS (SELECT COUNT(*) AS nk FROM keys)
+SELECT n.shard::INT AS shard,
+       COUNT(*)::BIGINT AS n_keys,
+       SUM(CASE WHEN o.shard <> n.shard THEN 1 ELSE 0 END)::BIGINT
+         AS n_moved_in,
+       (SUM(CASE WHEN o.shard <> n.shard THEN 1 ELSE 0 END) * 1000
+        // GREATEST(t.nk, 1))::BIGINT AS moved_share_milli
+FROM new_asg n JOIN old_asg o USING (key) CROSS JOIN tot t
+GROUP BY n.shard, t.nk ORDER BY n.shard
+""",
+)
+def consistent_hash_resharding_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Consistent-hash ring resharding report: distinct event users
+    hash onto an 8-shard x 16-vnode md5 ring and onto the same ring
+    grown to 9 shards; per NEW shard, the key census and how many keys
+    MOVED (old shard != new). The consistent-hashing guarantee is that
+    only ~1/9 of keys move, all into the new shard's vnode arcs.
+
+    All positions are exact 60-bit md5 integers; assignment ties (equal
+    ring positions) resolve to the MIN shard id in both engines.
+
+    Plan shape / 100 TB: the key census is one distinct over the
+    events projection; BOTH ring assignments are broadcast joins
+    against 144/162-row vnode relations folded into conditional
+    aggregates (min position >= key, else global min) — the key
+    relation shuffles once for its groupBy, vnodes never shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    keys = (
+        events.select(F.col("user_id").alias("key"))
+        .distinct()
+        .withColumn(
+            "kp",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("key:"), F.col("key"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+        )
+    )
+
+    def ring(n_shards: int):
+        vn = (
+            spark.range(n_shards)
+            .select(F.col("id").alias("shard"))
+            .crossJoin(spark.range(_CH_V).select(F.col("id").alias("v")))
+            .select(
+                "shard",
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("vn:"),
+                                F.col("shard"),
+                                F.lit(":"),
+                                F.col("v"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long").alias("pos"),
+            )
+        )
+        hit = (
+            keys.crossJoin(F.broadcast(vn))
+            .groupBy("key", "kp")
+            .agg(
+                F.coalesce(
+                    F.min(F.when(F.col("pos") >= F.col("kp"), F.col("pos"))),
+                    F.min("pos"),
+                ).alias("hitpos")
+            )
+        )
+        return (
+            hit.join(F.broadcast(vn), F.col("pos") == F.col("hitpos"))
+            .groupBy("key")
+            .agg(F.min("shard").alias("shard"))
+        )
+
+    old = ring(_CH_N).withColumnRenamed("shard", "old_shard")
+    new = ring(_CH_N + 1).withColumnRenamed("shard", "new_shard")
+    tot = keys.agg(F.count("*").alias("nk"))
+    return (
+        new.join(old, "key")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("new_shard", "nk")
+        .agg(
+            F.count("*").cast("long").alias("n_keys"),
+            F.sum(
+                (F.col("old_shard") != F.col("new_shard")).cast("long")
+            ).alias("n_moved_in"),
+        )
+        .select(
+            F.col("new_shard").cast("int").alias("shard"),
+            "n_keys",
+            F.col("n_moved_in").cast("long").alias("n_moved_in"),
+            F.expr("n_moved_in * 1000 DIV GREATEST(nk, 1)")
+            .cast("long")
+            .alias("moved_share_milli"),
+        )
+        .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — betweenness_centrality: Brandes 2001 (public algorithm) on
+# the dense-id interaction projection, completing the centrality family
+# (degree, eigen/pagerank, k-core, harmonic, HyperBall). Forward =
+# level-synchronized multi-source BFS carrying shortest-path COUNTS
+# (sigma); backward = dependency accumulation with the fraction
+# sigma_v / sigma_w quantized per term as exact integer floor division
+# in MICRO-units — no float appears anywhere, so both engines replay
+# the accumulation bit-identically. Undirected double-counting kept raw
+# (documented), diameter bound 6 (the harmonic_centrality convention).
+# ---------------------------------------------------------------------------
+_BW_K = 6
+_BW_UNIT = 1_000_000  # micro-units keep sigma * (unit + delta) in int64
+
+
+def _bw_oracle() -> str:
+    parts = ["""
+WITH e AS (
+  SELECT DISTINCT user_id % 100 AS u, 100 + event_id % 100 AS v FROM events
+), und AS (
+  SELECT u AS src, v AS dst FROM e
+  UNION ALL SELECT v AS src, u AS dst FROM e
+), verts AS (
+  SELECT DISTINCT src AS vx FROM und
+), l0 AS (
+  SELECT vx AS s, vx AS node, CAST(1 AS BIGINT) AS sig FROM verts
+)"""]
+    for k in range(1, _BW_K + 1):
+        settled = " UNION ALL ".join(
+            f"SELECT s, node FROM l{i}" for i in range(k)
+        )
+        parts.append(f"""
+, f{k} AS (
+  SELECT p.s, e.dst AS node, SUM(p.sig) AS sig
+  FROM l{k - 1} p JOIN und e ON e.src = p.node
+  GROUP BY 1, 2
+), l{k} AS (
+  SELECT f.s, f.node, f.sig FROM f{k} f
+  ANTI JOIN ({settled}) x USING (s, node)
+)""")
+    parts.append(f"""
+, d{_BW_K} AS (
+  SELECT s, node, sig, CAST(0 AS BIGINT) AS delta FROM l{_BW_K}
+)""")
+    for k in range(_BW_K - 1, -1, -1):
+        parts.append(f"""
+, d{k} AS (
+  SELECT u.s, u.node, u.sig,
+         COALESCE(SUM((u.sig * ({_BW_UNIT} + w.delta)) // w.sig), 0)
+           AS delta
+  FROM l{k} u
+  LEFT JOIN und e ON e.src = u.node
+  LEFT JOIN d{k + 1} w ON w.s = u.s AND w.node = e.dst
+  GROUP BY u.s, u.node, u.sig
+)""")
+    alld = " UNION ALL ".join(
+        f"SELECT s, node, delta FROM d{i}" for i in range(_BW_K + 1)
+    )
+    parts.append(f"""
+SELECT v.vx::BIGINT AS node,
+       COALESCE(SUM(CASE WHEN a.node <> a.s THEN a.delta END), 0)::BIGINT
+         AS bc_micro
+FROM verts v LEFT JOIN ({alld}) a ON a.node = v.vx
+GROUP BY v.vx ORDER BY node
+""")
+    return "".join(parts)
+
+
+@register("betweenness_centrality", _bw_oracle())
+def betweenness_centrality_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact Brandes betweenness over the 200-vertex interaction
+    projection: frontier BFS layers carry shortest-path counts, the
+    backward pass accumulates dependencies per source with each
+    sigma_v * (unit + delta_w) / sigma_w term floored to exact integer
+    micro-units.
+
+    Plan shape / 100 TB: the projection saturates at 200 vertices, so
+    every layer is bounded at |V|^2 rows; forward rounds expand only
+    the new frontier (anti-join vs settled, the harmonic_centrality
+    shape); backward rounds are one join + grouped sum per level.
+    All-pairs exact betweenness is inherently |V| x BFS — the
+    documented diagnostic knob; at corpus scale you run it on the
+    community-sampled projection, not the raw graph."""
+    from ..sources.tables import load_table as _lt
+
+    events = _lt(spark, sf_dir, "events")
+    e = events.select(
+        (F.col("user_id") % 100).alias("u"),
+        (100 + F.col("event_id") % 100).alias("v"),
+    ).distinct()
+    und = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    ).localCheckpoint(eager=False)
+    verts = und.select(F.col("src").alias("vx")).distinct()
+    l0 = verts.select(
+        F.col("vx").alias("s"),
+        F.col("vx").alias("node"),
+        F.lit(1).cast("long").alias("sig"),
+    ).localCheckpoint(eager=False)
+    layers = [l0]
+    frontier = l0
+    for k in range(1, _BW_K + 1):
+        cand = (
+            frontier.alias("p")
+            .join(und.alias("e"), F.col("p.node") == F.col("e.src"))
+            .groupBy(F.col("p.s").alias("s"), F.col("e.dst").alias("node"))
+            .agg(F.sum("p.sig").alias("sig"))
+        )
+        settled = layers[0].select("s", "node")
+        for layer in layers[1:]:
+            settled = settled.unionByName(layer.select("s", "node"))
+        new = cand.join(
+            settled, ["s", "node"], "left_anti"
+        ).localCheckpoint(eager=False)
+        layers.append(new)
+        frontier = new
+    deltas = [None] * (_BW_K + 1)
+    deltas[_BW_K] = layers[_BW_K].select(
+        "s", "node", "sig", F.lit(0).cast("long").alias("delta")
+    )
+    for k in range(_BW_K - 1, -1, -1):
+        w = deltas[k + 1].select(
+            F.col("s").alias("ws"),
+            F.col("node").alias("wnode"),
+            F.col("sig").alias("wsig"),
+            F.col("delta").alias("wdelta"),
+        )
+        deltas[k] = (
+            layers[k]
+            .alias("u")
+            .join(und.alias("e"), F.col("u.node") == F.col("e.src"), "left")
+            .join(
+                w,
+                (F.col("ws") == F.col("u.s"))
+                & (F.col("wnode") == F.col("e.dst")),
+                "left",
+            )
+            .groupBy(
+                F.col("u.s").alias("s"),
+                F.col("u.node").alias("node"),
+                F.col("u.sig").alias("sig"),
+            )
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.expr(f"sig * ({_BW_UNIT} + wdelta) DIV wsig")
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("delta")
+            )
+            .localCheckpoint(eager=False)
+        )
+    alld = deltas[0].select("s", "node", "delta")
+    for d in deltas[1:]:
+        alld = alld.unionByName(d.select("s", "node", "delta"))
+    return (
+        verts.join(
+            alld.filter(F.col("node") != F.col("s")).select("node", "delta"),
+            verts.vx == F.col("node"),
+            "left",
+        )
+        .groupBy(F.col("vx"))
+        .agg(F.coalesce(F.sum("delta"), F.lit(0)).cast("long").alias("bc_micro"))
+        .select(F.col("vx").cast("long").alias("node"), "bc_micro")
+        .orderBy("node")
+    )

@@ -78,7 +78,8 @@ SUBSET = [
     "ann_ivfpq_refine", "pq_code_health",
     "multimodal_png_gray_lowdepth_decode", "streaming_cusum_monitor",
     "dedup_url_canonicalize", "multimodal_tiff_ccitt_decode",
-    "wordpiece_encode",
+    "wordpiece_encode", "consistent_hash_resharding",
+    "betweenness_centrality",
 ]
 
 

@@ -638,3 +638,52 @@ def test_pq_code_health_invariants(spark, sf_dir):
                 r.dist_mean_milli
                 == r.dist_sum * 1000 // max(r.n_vectors, 1)
             )
+
+
+def test_betweenness_matches_pure_python_brandes(spark, sf_dir):
+    """Independent replay: plain per-source BFS Brandes in pure Python
+    with the SAME micro-unit integer quantization of each dependency
+    term — a third implementation beside the Spark layer algebra and
+    the unrolled SQL oracle."""
+    from collections import defaultdict, deque
+
+    from kinesis_stream_reader_spark.registry import QUERIES
+    from kinesis_stream_reader_spark.sources.tables import load_table as lt
+
+    got = {
+        r.node: r.bc_micro
+        for r in QUERIES["betweenness_centrality"](spark, sf_dir).collect()
+    }
+    events = lt(spark, sf_dir, "events").select("user_id", "event_id").collect()
+    edges = {(r.user_id % 100, 100 + r.event_id % 100) for r in events}
+    adj = defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    verts = sorted(adj)
+    UNIT, K = 1_000_000, 6
+    bc = defaultdict(int)
+    for s in verts:
+        dist, sig, order = {s: 0}, {s: 1}, [s]
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= K:
+                continue
+            for w in sorted(adj[u]):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sig[w] = 0
+                    order.append(w)
+                    q.append(w)
+                if dist[w] == dist[u] + 1:
+                    sig[w] += sig[u]
+        delta = defaultdict(int)
+        for u in reversed(order):
+            for w in adj[u]:
+                if dist.get(w) == dist[u] + 1:
+                    delta[u] += sig[u] * (UNIT + delta[w]) // sig[w]
+            if u != s:
+                bc[u] += delta[u]
+    want = {v: bc.get(v, 0) for v in verts}
+    assert got == want
