@@ -4879,3 +4879,43 @@ def _g4_decode_strip(data: bytes, w: int, nrows: int):
             row[start : min(end, w)] = 1
         ref = [c for c in cur if c < w]
     return out
+
+
+def block_motion_search(prev, cur, block: int = 8, radius: int = 2):
+    """Exhaustive block-matching motion estimation (the classic
+    full-search SAD kernel every video codec's P-frame pipeline and
+    every motion-based keyframe/dedup heuristic builds on — public
+    method): for each block x block tile of `cur`, find the (dx, dy)
+    within +-radius minimizing the sum of absolute differences against
+    `prev`, candidates restricted to offsets that keep the reference
+    tile inside the frame. Exact integer SAD; ties resolve by packed
+    argmin (sad, dy, dx) -> smallest dy then dx.
+
+    Returns [(bx, by, dx, dy, sad)] in row-major block order."""
+    import numpy as np
+
+    prev = np.asarray(prev, dtype=np.int64)
+    cur = np.asarray(cur, dtype=np.int64)
+    h, w = cur.shape
+    out = []
+    for by in range(h // block):
+        for bx in range(w // block):
+            y0, x0 = by * block, bx * block
+            tile = cur[y0 : y0 + block, x0 : x0 + block]
+            best = None
+            for dy in range(-radius, radius + 1):
+                for dx in range(-radius, radius + 1):
+                    ry, rx = y0 + dy, x0 + dx
+                    if ry < 0 or rx < 0 or ry + block > h or rx + block > w:
+                        continue
+                    sad = int(
+                        np.abs(
+                            tile - prev[ry : ry + block, rx : rx + block]
+                        ).sum()
+                    )
+                    key = (sad, dy, dx)
+                    if best is None or key < best:
+                        best = key
+            sad, dy, dx = best
+            out.append((bx, by, dx, dy, sad))
+    return out

@@ -874,3 +874,113 @@ def betweenness_centrality_query(
         .select(F.col("vx").cast("long").alias("node"), "bc_micro")
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — multimodal_motion_estimate: full-search block-matching
+# motion estimation over a real decoded frame pair — the SAD kernel
+# behind every P-frame pipeline and motion-based keyframe / dedup
+# heuristic. Frames roundtrip through the real BMP codec before the
+# search (decode is part of the measured path, like every multimodal
+# query here). Exact integer SAD, packed (sad, dy, dx) argmin.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_motion_estimate",
+    """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 - 2 AS mx, doc_id % 3 - 1 AS my FROM documents
+), cand AS (
+  SELECT bx.bx, by.by, dy.dy, dx.dx
+  FROM (SELECT UNNEST(range(2)) AS bx) bx,
+       (SELECT UNNEST(range(2)) AS by) by,
+       (SELECT UNNEST(range(-2, 3)) AS dy) dy,
+       (SELECT UNNEST(range(-2, 3)) AS dx) dx
+  WHERE bx.bx * 8 + dx.dx >= 0 AND bx.bx * 8 + 8 + dx.dx <= 16
+    AND by.by * 8 + dy.dy >= 0 AND by.by * 8 + 8 + dy.dy <= 16
+), sad AS (
+  SELECT d.doc_id, c.bx, c.by, c.dy, c.dx,
+         SUM(ABS(
+           ((d.doc_id * 7
+             + 13 * ((((c.by * 8 + j.j) - d.my) % 16 + 16) % 16)
+             + 29 * ((((c.bx * 8 + i.i) - d.mx) % 16 + 16) % 16)) % 251
+            + CASE WHEN ((c.bx * 8 + i.i) + (c.by * 8 + j.j) + d.doc_id) % 7 = 0
+                   THEN 3 ELSE 0 END)
+           - ((d.doc_id * 7
+               + 13 * (c.by * 8 + j.j + c.dy)
+               + 29 * (c.bx * 8 + i.i + c.dx)) % 251)
+         )) AS sad
+  FROM d, cand c,
+       (SELECT UNNEST(range(8)) AS i) i,
+       (SELECT UNNEST(range(8)) AS j) j
+  GROUP BY 1, 2, 3, 4, 5
+), pick AS (
+  SELECT doc_id, bx, by,
+         MIN(sad * 100 + (dy + 2) * 10 + (dx + 2)) AS p
+  FROM sad GROUP BY 1, 2, 3
+)
+SELECT doc_id, bx::INT AS bx, by::INT AS by,
+       (p % 10 - 2)::INT AS dx, ((p // 10) % 10 - 2)::INT AS dy,
+       (p // 100)::BIGINT AS sad
+FROM pick ORDER BY doc_id, by, bx
+""",
+)
+def multimodal_motion_estimate_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Block motion field over a decoded BMP frame pair
+    (multimodal.block_motion_search): frame 2 is frame 1 cyclically
+    shifted by a doc-dependent true motion plus a sparse deterministic
+    brightness bump, so the argmin recovers the true vector wherever
+    the search window allows and the packed (sad, dy, dx) tie-break is
+    exercised at the frame edges where it cannot. Both frames pass
+    through the REAL BMP encoder/decoder before the search.
+
+    Plan shape / 100 TB: map-only Arrow pass (decode + 25-candidate
+    SAD per 8x8 block — integer numpy); only (block, vector, sad)
+    scalars leave the scan. Row count = docs x 4 blocks."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mx, my = d % 5 - 2, d % 3 - 1
+                yy, xx = np.mgrid[0:16, 0:16]
+                p1 = (d * 7 + 13 * yy + 29 * xx) % 251
+                p2 = (
+                    d * 7 + 13 * ((yy - my) % 16) + 29 * ((xx - mx) % 16)
+                ) % 251 + np.where((xx + yy + d) % 7 == 0, 3, 0)
+                f1 = multimodal.decode_bmp(
+                    multimodal.encode_bmp(
+                        np.repeat(p1[:, :, None], 3, 2).astype(np.uint8)
+                    )
+                )[:, :, 0]
+                f2 = multimodal.decode_bmp(
+                    multimodal.encode_bmp(
+                        np.repeat(p2[:, :, None], 3, 2).astype(np.uint8)
+                    )
+                )[:, :, 0]
+                for bx, by, dx, dy, sad in multimodal.block_motion_search(
+                    f1, f2, block=8, radius=2
+                ):
+                    rows.append((d, bx, by, dx, dy, sad))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "bx", "by", "dx", "dy", "sad"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        docs.select("doc_id")
+        .repartition(n_parts)
+        .mapInPandas(
+            batches,
+            "doc_id BIGINT, bx INT, by INT, dx INT, dy INT, sad BIGINT",
+        )
+        .orderBy("doc_id", "by", "bx")
+    )

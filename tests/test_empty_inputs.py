@@ -79,7 +79,7 @@ SUBSET = [
     "multimodal_png_gray_lowdepth_decode", "streaming_cusum_monitor",
     "dedup_url_canonicalize", "multimodal_tiff_ccitt_decode",
     "wordpiece_encode", "consistent_hash_resharding",
-    "betweenness_centrality",
+    "betweenness_centrality", "multimodal_motion_estimate",
 ]
 
 

@@ -1980,3 +1980,36 @@ public class TiffBw {
         for ctype in ("CCITT RLE", "CCITT T.6"):
             got = mm.decode_tiff(jdk_encode(a, ctype))
             assert np.array_equal(got[:, :, 0], a), ("jdk->ours", ctype, h, w)
+
+
+def test_block_motion_search_recovers_known_shift():
+    """A frame pair differing by a pure in-window translation must
+    yield that exact vector (zero SAD) for every block; with the
+    sparse brightness bump the vector survives and SAD counts exactly
+    the bumped pixels."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    p1 = (13 * yy + 29 * xx) % 251
+    for mx, my in [(0, 0), (1, -1), (-2, 1), (2, 1)]:
+        # p2's tile content is p1 shifted, so the matching offset into
+        # p1 (prev) is (-mx, -my) — valid only where the cyclic shift
+        # did not wrap any pixel of the cur tile's source region
+        p2 = (13 * ((yy - my) % 16) + 29 * ((xx - mx) % 16)) % 251
+        for bx, by, dx, dy, sad in mm.block_motion_search(p1, p2, 8, 2):
+            x0, y0 = bx * 8, by * 8
+            no_wrap = (
+                0 <= x0 - mx and x0 + 8 - mx <= 16
+                and 0 <= y0 - my and y0 + 8 - my <= 16
+            )
+            if no_wrap:
+                assert (dx, dy, sad) == (-mx, -my, 0), (bx, by, mx, my)
+    bump = np.where((xx + yy) % 7 == 0, 3, 0)
+    p2 = p1 + bump
+    for bx, by, dx, dy, sad in mm.block_motion_search(p1, p2, 8, 2):
+        assert (dx, dy) == (0, 0)
+        assert sad == int(
+            bump[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].sum()
+        )
