@@ -3314,3 +3314,120 @@ def wordpiece_encode(
         )
         .orderBy("word")
     )
+
+
+def delong_auc_ci(documents: DataFrame) -> DataFrame:
+    """DeLong variance and 95% CI for the quality classifier's AUC
+    (DeLong, DeLong & Clarke-Pearson 1988, via the Sun & Xu 2014
+    midrank formulation — public method): the structural components
+    V10/V01 reduce, on tied data, to per-VALUE midrank differences, so
+    the whole estimator computes from the same bounded value census
+    model_eval_auc uses. For every positive at quantized logit v,
+    2n*V10 = 2R(v) - 2R10(v) (combined vs within-positive midranks) —
+    an exact integer `a(v)` shared by the whole cell; likewise b(v)
+    for negatives. Then
+
+      S10 = (m*SUM(p*a^2) - SUM(p*a)^2) / (4 n^2 m (m-1)),
+      var(AUC) = S10/m + S01/n,
+
+    all numerators exact bigints; the variance is two IEEE divisions
+    and one add evaluated in fixed order, floor-quantized 1e-9, and
+    the CI uses the QUANTIZED variance (sqrt is IEEE-correctly-rounded)
+    so both engines agree bit-for-bit.
+
+    Plan shape / 100 TB: identical to model_eval_auc — one partial-agg
+    shuffle bounded by |distinct quantized logits|, prefix sums over
+    that census, a single-row reduce. Output: one row with n_pos,
+    n_neg, auc, var_delong, ci_lo, ci_hi."""
+    scored = quality_model_score(documents).join(
+        documents.select("doc_id", (F.col("lang") == "en").alias("is_pos")),
+        "doc_id",
+    )
+    census = scored.groupBy(
+        F.floor(F.col("logit") * 1e4 + F.lit(0.5)).cast("long").alias("lv")
+    ).agg(
+        F.count("*").alias("c"),
+        F.count(F.when(F.col("is_pos"), 1)).alias("p"),
+    )
+    w_prefix = Window.orderBy("lv").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cells = census.select(
+        "c",
+        "p",
+        (F.col("c") - F.col("p")).alias("q"),
+        F.coalesce(F.sum("c").over(w_prefix), F.lit(0)).alias("cb"),
+        F.coalesce(F.sum("p").over(w_prefix), F.lit(0)).alias("pb"),
+        (
+            F.coalesce(F.sum("c").over(w_prefix), F.lit(0))
+            - F.coalesce(F.sum("p").over(w_prefix), F.lit(0))
+        ).alias("qb"),
+    ).select(
+        "c",
+        "p",
+        "q",
+        "cb",
+        # 2 * midrank differences: a for positives, b for negatives
+        (
+            (2 * F.col("cb") + F.col("c") + 1)
+            - (2 * F.col("pb") + F.col("p") + 1)
+        ).alias("a"),
+        (
+            (2 * F.col("cb") + F.col("c") + 1)
+            - (2 * F.col("qb") + F.col("q") + 1)
+        ).alias("b"),
+    )
+    agg = cells.agg(
+        F.sum("p").alias("m"),
+        F.sum("q").alias("n"),
+        F.sum(F.col("p") * F.col("a")).alias("sa"),
+        F.sum(F.col("p") * F.col("a") * F.col("a")).alias("sa2"),
+        F.sum(F.col("q") * F.col("b")).alias("sb"),
+        F.sum(F.col("q") * F.col("b") * F.col("b")).alias("sb2"),
+        # 2U from the midrank sum (the model_eval_auc identity)
+        (
+            F.sum(F.col("p") * (2 * (F.col("cb") + 1) + F.col("c") - 1))
+        ).alias("rsum"),
+    )
+    var_expr = (
+        "(m * sa2 - sa * sa) / (4.0 * n * n * m * m * (m - 1)) "
+        "+ (n * sb2 - sb * sb) / (4.0 * m * m * n * n * (n - 1))"
+    )
+    return (
+        agg.select(
+            F.col("m").cast("long").alias("n_pos"),
+            F.col("n").cast("long").alias("n_neg"),
+            (F.col("rsum") - F.col("m") * (F.col("m") + 1))
+            .cast("long")
+            .alias("u2"),
+            F.expr(f"FLOOR(({var_expr}) * 1e9 + 0.5) / 1e9").alias(
+                "var_delong"
+            ),
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            (
+                F.floor(
+                    F.col("u2")
+                    / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("auc"),
+            "var_delong",
+        )
+        .select(
+            "n_pos",
+            "n_neg",
+            "auc",
+            "var_delong",
+            F.expr(
+                "FLOOR((auc - 1.96 * SQRT(var_delong)) * 1e6 + 0.5) / 1e6"
+            ).alias("ci_lo"),
+            F.expr(
+                "FLOOR((auc + 1.96 * SQRT(var_delong)) * 1e6 + 0.5) / 1e6"
+            ).alias("ci_hi"),
+        )
+    )

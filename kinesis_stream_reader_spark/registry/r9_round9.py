@@ -984,3 +984,87 @@ def multimodal_motion_estimate_query(
         )
         .orderBy("doc_id", "by", "bx")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — delong_auc_ci: the DeLong 1988 variance + 95% CI for the
+# quality classifier's AUC (Sun & Xu 2014 midrank formulation). On the
+# quantized-logit value census the structural components V10/V01 are
+# per-cell midrank differences — exact integers — so the variance
+# numerators are exact bigints and the only floats are two divisions,
+# one add, and one sqrt evaluated in a fixed order in both engines.
+# ---------------------------------------------------------------------------
+from .r1_parity_ext import _TOKS  # noqa: E402
+
+_DELONG_VAR = (
+    "(m * sa2 - sa * sa) / (4.0 * n * n * m * m * (m - 1)) "
+    "+ (n * sb2 - sb * sb) / (4.0 * m * m * n * n * (n - 1))"
+)
+
+
+@register(
+    "delong_auc_ci",
+    f"""
+WITH f AS (
+  SELECT doc_id, lang,
+         len({_TOKS})::DOUBLE AS n_tokens,
+         length(text)::DOUBLE AS n_chars,
+         len(list_filter({_TOKS}, t -> t IN ('the', 'a', 'of', 'and')))::DOUBLE
+           AS n_stop,
+         (length(text) - length(replace(text, '.', '')))::DOUBLE AS n_dots
+  FROM documents
+), wts AS (
+  SELECT i.i AS i,
+         2 * (CAST(concat('0x', substr(md5('qw:' || i.i), 1, 15)) AS UBIGINT)
+              / 1152921504606846976.0) - 1 AS w
+  FROM (SELECT UNNEST(range(5)) AS i) i
+), z AS (
+  SELECT f.doc_id, f.lang = 'en' AS is_pos,
+         (SELECT w FROM wts WHERE i = 0) * (n_tokens / 100.0)
+         + (SELECT w FROM wts WHERE i = 1) * (n_stop / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 2) * (n_chars / (n_tokens + 1.0))
+         + (SELECT w FROM wts WHERE i = 3) * (n_dots / (n_chars + 1.0))
+         + (SELECT w FROM wts WHERE i = 4) AS z
+  FROM f
+), census AS (
+  SELECT CAST(FLOOR(z * 1e4 + 0.5) AS BIGINT) AS lv,
+         COUNT(*) AS c, COUNT(CASE WHEN is_pos THEN 1 END) AS p
+  FROM z GROUP BY 1
+), cells AS (
+  SELECT c, p, c - p AS q,
+         COALESCE(SUM(c) OVER w, 0) AS cb,
+         COALESCE(SUM(p) OVER w, 0) AS pb,
+         COALESCE(SUM(c) OVER w, 0) - COALESCE(SUM(p) OVER w, 0) AS qb
+  FROM census
+  WINDOW w AS (ORDER BY lv ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), ab AS (
+  SELECT c, p, q, cb,
+         (2 * cb + c + 1) - (2 * pb + p + 1) AS a,
+         (2 * cb + c + 1) - (2 * qb + q + 1) AS b
+  FROM cells
+), agg AS (
+  SELECT SUM(p) AS m, SUM(q) AS n,
+         SUM(p * a) AS sa, SUM(p * a * a) AS sa2,
+         SUM(q * b) AS sb, SUM(q * b * b) AS sb2,
+         SUM(p * (2 * (cb + 1) + c - 1)) AS rsum
+  FROM ab
+), fin AS (
+  SELECT m, n,
+         FLOOR((rsum - m * (m + 1)) / (2.0 * m * n) * 1e6 + 0.5) / 1e6 AS auc,
+         FLOOR(({_DELONG_VAR}) * 1e9 + 0.5) / 1e9 AS var_delong
+  FROM agg
+)
+SELECT m::BIGINT AS n_pos, n::BIGINT AS n_neg, auc, var_delong,
+       FLOOR((auc - 1.96 * SQRT(var_delong)) * 1e6 + 0.5) / 1e6 AS ci_lo,
+       FLOOR((auc + 1.96 * SQRT(var_delong)) * 1e6 + 0.5) / 1e6 AS ci_hi
+FROM fin
+""",
+)
+def delong_auc_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong variance + 95% CI for the quality-gate AUC
+    (text.delong_auc_ci) — the significance read-off that belongs next
+    to model_eval_auc before trusting a filter threshold: an AUC of
+    0.55 on a small eval slice means nothing if the CI straddles 0.5."""
+    from ..operators import text
+
+    return text.delong_auc_ci(load_table(spark, sf_dir, "documents"))

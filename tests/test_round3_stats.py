@@ -978,3 +978,53 @@ def test_skipgram_table_brute(spark, sf_dir):
         assert r.prob == math.floor(w75[t] / sw * 1e8 + 0.5) / 1e8
         assert r.cum_prob == math.floor(cum / sw * 1e8 + 0.5) / 1e8
     assert abs(rows[-1].cum_prob - 1.0) < 0.2 or len(rows) == 50
+
+
+def test_delong_matches_pure_python(spark, sf_dir):
+    """Independent replay of the Sun-Xu midrank DeLong estimator in
+    pure Python over the collected logits — third implementation
+    beside the census algebra and the SQL oracle; also sanity: the CI
+    brackets the AUC and the variance is positive on mixed labels."""
+    import math
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators import text
+    from kinesis_stream_reader_spark.registry import QUERIES
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    row = QUERIES["delong_auc_ci"](spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        text.quality_model_score(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .select("logit", "lang")
+        .collect()
+    )
+    data = [
+        (round(r.logit * 1e4), r.lang == "en") for r in scored
+    ]
+    m = sum(1 for _, p in data if p)
+    n = len(data) - m
+    cnt = Counter(v for v, _ in data)
+    pcnt = Counter(v for v, p in data if p)
+    a_by, b_by = {}, {}
+    cb = pb = 0
+    for v in sorted(cnt):
+        c, p, q = cnt[v], pcnt.get(v, 0), cnt[v] - pcnt.get(v, 0)
+        qb = cb - pb
+        a_by[v] = (2 * cb + c + 1) - (2 * pb + p + 1)
+        b_by[v] = (2 * cb + c + 1) - (2 * qb + q + 1)
+        cb += c
+        pb += p
+    sa = sum(pcnt.get(v, 0) * a_by[v] for v in cnt)
+    sa2 = sum(pcnt.get(v, 0) * a_by[v] ** 2 for v in cnt)
+    sb = sum((cnt[v] - pcnt.get(v, 0)) * b_by[v] for v in cnt)
+    sb2 = sum((cnt[v] - pcnt.get(v, 0)) * b_by[v] ** 2 for v in cnt)
+    var = (m * sa2 - sa * sa) / (4.0 * n * n * m * m * (m - 1)) + (
+        n * sb2 - sb * sb
+    ) / (4.0 * m * m * n * n * (n - 1))
+    want_var = math.floor(var * 1e9 + 0.5) / 1e9
+    assert (row.n_pos, row.n_neg) == (m, n)
+    assert row.var_delong == want_var
+    assert row.var_delong > 0
+    assert row.ci_lo <= row.auc <= row.ci_hi
