@@ -1108,12 +1108,12 @@ def decode_tiff(data: bytes):
         # Group 3 1-D Modified Huffman (compression 2, "CCITT RLE").
         # LUMA samples out (1 = white, photometric applied — the JDK
         # TYPE_BYTE_BINARY raster convention), replicated to RGB.
-        if compression not in (1, 2, 4):
+        if compression not in (1, 2, 3, 4):
             raise NotImplementedError(
                 f"bilevel TIFF compression {compression} not supported "
-                "(have none/CCITT-MH/CCITT-G4)"
+                "(have none/CCITT-MH/T.4/T.6)"
             )
-        if compression in (2, 4) and tags.get(262, [0])[0] != 0:
+        if compression in (2, 3, 4) and tags.get(262, [0])[0] != 0:
             raise NotImplementedError(
                 "CCITT coding requires PhotometricInterpretation 0 here"
             )
@@ -1127,6 +1127,13 @@ def decode_tiff(data: bytes):
             raw = data[o : o + c]
             if compression == 2:
                 rows.append(_mh_decode(raw, w, nrows))
+            elif compression == 3:
+                rows.append(
+                    _t4_decode_strip(
+                        raw, w, nrows,
+                        two_d=bool(tags.get(292, [0])[0] & 1),
+                    )
+                )
             elif compression == 4:
                 rows.append(_g4_decode_strip(raw, w, nrows))
             else:
@@ -4604,17 +4611,19 @@ def encode_tiff_bilevel(
     BitsPerSample 1): compression 1 = bit-packed rows (MSB-first, each
     row byte-padded) or 2 = CCITT Group 3 one-dimensional Modified
     Huffman ("CCITT RLE": white-first alternating T.4 run codes, every
-    line byte-aligned, no EOLs) or 4 = CCITT Group 4 (T.6 MMR: pure 2-D
-    pass/vertical/horizontal coding against the previous line, each
-    strip restarting from an imaginary all-white reference, continuous
-    bit stream). Fixture twin of the decode_tiff bilevel path; JDK
-    ImageIO cross-validated both directions."""
+    line byte-aligned, no EOLs), 3 = CCITT Group 3 T.4 in 2-D mode
+    (T4Options = 1: EOL + tag bit per line, first strip line 1-D MH,
+    the rest 2-D, six-EOL RTC — the JDK writer's exact shape) or 4 =
+    CCITT Group 4 (T.6 MMR: pure 2-D coding against the previous line,
+    each strip restarting from an imaginary all-white reference,
+    continuous bit stream). Fixture twin of the decode_tiff bilevel
+    path; JDK ImageIO cross-validated both directions."""
     import struct
 
     import numpy as np
 
-    if compression not in (1, 2, 4):
-        raise ValueError("bilevel TIFF supports compression 1, 2 or 4 here")
+    if compression not in (1, 2, 3, 4):
+        raise ValueError("bilevel TIFF supports compression 1-4 here")
     e = ">" if big_endian else "<"
     a = np.asarray(arr, dtype=np.int64)
     if a.max(initial=0) > 1 or a.min(initial=0) < 0:
@@ -4627,8 +4636,11 @@ def encode_tiff_bilevel(
         s = fb[i * rows_per_strip : (i + 1) * rows_per_strip]
         if compression == 1:
             segs.append(_pack_indices(s, 1).astype(np.uint8).tobytes())
-        elif compression == 4:
-            allbits = _g4_encode_strip(s)
+        elif compression in (3, 4):
+            allbits = (
+                _t4_encode_strip(s) if compression == 3
+                else _g4_encode_strip(s)
+            )
             allbits += "0" * (-len(allbits) % 8)
             segs.append(
                 np.packbits(
@@ -4689,6 +4701,9 @@ def encode_tiff_bilevel(
         entry(278, 4, 1, long_val(rows_per_strip)),
         entry(279, 4, nsegs, cnt_val),
     ]
+    if compression == 3:
+        entries.append(entry(292, 4, 1, long_val(1)))  # T4Options: 2-D
+        entries.sort(key=lambda b: struct.unpack(f"{e}H", b[:2])[0])
     out = bytearray()
     out += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
         f"{e}I", ifd_off
@@ -4739,6 +4754,41 @@ def _g4_next_change(changes: list, pos: int, to_black: bool) -> int:
     return i
 
 
+def _g4_encode_line(cur: list, ref: list, w: int) -> str:
+    """One 2-D coded line (pass/vertical/horizontal modes) against the
+    reference line's changing elements — shared by T.6 (every line) and
+    T.4 2-D lines."""
+    bits = []
+    a0, color = -1, 0  # imaginary start; white
+    while True:
+        ia1 = _g4_next_change(cur, a0, to_black=(color == 0))
+        a1 = cur[ia1] if ia1 < len(cur) else w
+        ib1 = _g4_next_change(ref, a0, to_black=(color == 0))
+        b1 = ref[ib1] if ib1 < len(ref) else w
+        b2 = ref[ib1 + 1] if ib1 + 1 < len(ref) else w
+        if b2 < a1:
+            bits.append(_T6_PASS)
+            a0 = b2
+        elif -3 <= a1 - b1 <= 3:
+            bits.append(_T6_VERT[a1 - b1])
+            a0, color = a1, 1 - color
+        else:
+            ia2 = _g4_next_change(cur, a1, to_black=(color == 1))
+            a2 = cur[ia2] if ia2 < len(cur) else w
+            base = max(a0, 0)
+            bits.append(_T6_HORIZ)
+            if color == 0:
+                bits.append(_mh_encode_white(a1 - base))
+                bits.append(_mh_encode_black(a2 - a1))
+            else:
+                bits.append(_mh_encode_black(a1 - base))
+                bits.append(_mh_encode_white(a2 - a1))
+            a0 = a2
+        if a0 >= w:
+            break
+    return "".join(bits)
+
+
 def _g4_encode_strip(rows) -> str:
     """(n, w) file bits -> T.6 bit string (reference starts all-white)."""
     w = rows.shape[1]
@@ -4746,34 +4796,46 @@ def _g4_encode_strip(rows) -> str:
     bits = []
     for row in rows:
         cur = _g4_changes(row)
-        a0, color = -1, 0  # imaginary start; white
-        while True:
-            ia1 = _g4_next_change(cur, a0, to_black=(color == 0))
-            a1 = cur[ia1] if ia1 < len(cur) else w
-            ib1 = _g4_next_change(ref, a0, to_black=(color == 0))
-            b1 = ref[ib1] if ib1 < len(ref) else w
-            b2 = ref[ib1 + 1] if ib1 + 1 < len(ref) else w
-            if b2 < a1:
-                bits.append(_T6_PASS)
-                a0 = b2
-            elif -3 <= a1 - b1 <= 3:
-                bits.append(_T6_VERT[a1 - b1])
-                a0, color = a1, 1 - color
-            else:
-                ia2 = _g4_next_change(cur, a1, to_black=(color == 1))
-                a2 = cur[ia2] if ia2 < len(cur) else w
-                base = max(a0, 0)
-                bits.append(_T6_HORIZ)
-                if color == 0:
-                    bits.append(_mh_encode_white(a1 - base))
-                    bits.append(_mh_encode_black(a2 - a1))
-                else:
-                    bits.append(_mh_encode_black(a1 - base))
-                    bits.append(_mh_encode_white(a2 - a1))
-                a0 = a2
-            if a0 >= w:
-                break
+        bits.append(_g4_encode_line(cur, ref, w))
         ref = cur
+    return "".join(bits)
+
+
+_T4_EOL = "000000000001"
+
+
+def _mh_encode_row(row, w: int) -> str:
+    """One 1-D MH line from file bits (white-first alternation)."""
+    import numpy as np
+
+    change = np.flatnonzero(np.diff(row)) + 1
+    bounds = np.concatenate(([0], change, [w]))
+    runs = np.diff(bounds).tolist()
+    if row[0] == 1:
+        runs = [0] + runs
+    return _mh_encode_line(runs)
+
+
+def _t4_encode_strip(rows) -> str:
+    """(n, w) file bits -> T.4 2-D bit string (the JDK writer's shape:
+    T4Options bit 0 set, K = 2): every line is EOL + tag bit, even
+    strip lines 1-D MH (tag 1), odd lines 2-D against the previous
+    line (tag 0) — the fine-resolution K factor caps error propagation
+    at one line — then the six-EOL RTC."""
+    w = rows.shape[1]
+    ref: list = []
+    bits = []
+    for y, row in enumerate(rows):
+        cur = _g4_changes(row)
+        bits.append(_T4_EOL)
+        if y % 2 == 0:
+            bits.append("1")
+            bits.append(_mh_encode_row(row, w))
+        else:
+            bits.append("0")
+            bits.append(_g4_encode_line(cur, ref, w))
+        ref = cur
+    bits.append((_T4_EOL + "1") * 6)  # RTC
     return "".join(bits)
 
 
@@ -4837,46 +4899,123 @@ def _mh_read_run(rd: "_G4BitReader", white: bool) -> int:
             return total
 
 
+_G4_MODE_TABLE: dict = {}
+
+
+def _g4_decode_line(rd: "_G4BitReader", ref: list, w: int) -> list:
+    """Decode one 2-D coded line -> changing-element list."""
+    if not _G4_MODE_TABLE:
+        _G4_MODE_TABLE.update(
+            {_T6_PASS: ("P", 0), _T6_HORIZ: ("H", 0)}
+        )
+        for d, code in _T6_VERT.items():
+            _G4_MODE_TABLE[code] = ("V", d)
+    cur: list = []
+    a0, color = -1, 0
+    while True:
+        mode, d = rd.take(_G4_MODE_TABLE, 7)
+        ib1 = _g4_next_change(ref, a0, to_black=(color == 0))
+        b1 = ref[ib1] if ib1 < len(ref) else w
+        b2 = ref[ib1 + 1] if ib1 + 1 < len(ref) else w
+        if mode == "P":
+            a0 = b2
+        elif mode == "V":
+            a1 = b1 + d
+            cur.append(a1)
+            a0, color = a1, 1 - color
+        else:  # horizontal: two MH runs, color unchanged
+            base = max(a0, 0)
+            r1 = _mh_read_run(rd, white=(color == 0))
+            r2 = _mh_read_run(rd, white=(color == 1))
+            cur.append(base + r1)
+            cur.append(base + r1 + r2)
+            a0 = base + r1 + r2
+        if a0 >= w:
+            break
+    return cur
+
+
+def _mh_decode_line(rd: "_G4BitReader", w: int) -> list:
+    """Decode one 1-D MH line -> changing-element list."""
+    cur: list = []
+    x, is_white = 0, True
+    while x < w:
+        run = _mh_read_run(rd, white=is_white)
+        if run:
+            if not is_white:
+                cur.append(x)
+                cur.append(min(x + run, w))
+            x += run
+        elif not is_white:
+            pass  # zero-length black run (possible after makeup-free W0)
+        is_white = not is_white
+    # merge adjacent black intervals into changes (they cannot overlap)
+    changes: list = []
+    for i in range(0, len(cur), 2):
+        if changes and changes[-1] == cur[i]:
+            changes[-1] = cur[i + 1]
+        else:
+            changes.append(cur[i])
+            changes.append(cur[i + 1])
+    return [c for c in changes if c <= w]
+
+
+def _changes_to_row(cur: list, row, w: int) -> None:
+    """Changing-element list -> 0/1 pixels in `row` (black fill)."""
+    for i in range(0, len(cur), 2):
+        start = cur[i]
+        end = cur[i + 1] if i + 1 < len(cur) else w
+        row[start : min(end, w)] = 1
+
+
 def _g4_decode_strip(data: bytes, w: int, nrows: int):
     """T.6 segment -> (nrows, w) file bits (0 = white)."""
     import numpy as np
 
-    mode_table = {_T6_PASS: ("P", 0), _T6_HORIZ: ("H", 0)}
-    for d, code in _T6_VERT.items():
-        mode_table[code] = ("V", d)
     bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
     rd = _G4BitReader("".join("1" if b else "0" for b in bits))
     out = np.zeros((nrows, w), dtype=np.int64)
     ref: list = []
     for y in range(nrows):
-        cur: list = []
-        a0, color = -1, 0
+        cur = _g4_decode_line(rd, ref, w)
+        _changes_to_row(cur, out[y], w)
+        ref = [c for c in cur if c < w]
+    return out
+
+
+def _t4_decode_strip(data: bytes, w: int, nrows: int, two_d: bool):
+    """T.4 segment (compression 3) -> (nrows, w) file bits: every line
+    EOL-delimited (fill zeros tolerated), tag bit selects 1-D / 2-D
+    when T4Options bit 0 is set; trailing RTC ignored."""
+    import numpy as np
+
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+    rd = _G4BitReader("".join("1" if b else "0" for b in bits))
+    out = np.zeros((nrows, w), dtype=np.int64)
+    ref: list = []
+    for y in range(nrows):
+        # EOL scan: >= 11 zeros then a 1 (absorbs fill bits)
+        zeros = 0
         while True:
-            mode, d = rd.take(mode_table, 7)
-            ib1 = _g4_next_change(ref, a0, to_black=(color == 0))
-            b1 = ref[ib1] if ib1 < len(ref) else w
-            b2 = ref[ib1 + 1] if ib1 + 1 < len(ref) else w
-            if mode == "P":
-                a0 = b2
-            elif mode == "V":
-                a1 = b1 + d
-                cur.append(a1)
-                a0, color = a1, 1 - color
-            else:  # horizontal: two MH runs, color unchanged
-                base = max(a0, 0)
-                r1 = _mh_read_run(rd, white=(color == 0))
-                r2 = _mh_read_run(rd, white=(color == 1))
-                cur.append(base + r1)
-                cur.append(base + r1 + r2)
-                a0 = base + r1 + r2
-            if a0 >= w:
+            if rd.pos >= len(rd.bits):
+                raise ValueError("CCITT T.4 stream truncated at EOL")
+            b = rd.bits[rd.pos]
+            rd.pos += 1
+            if b == "1":
+                if zeros < 11:
+                    raise ValueError("CCITT T.4: malformed EOL")
                 break
-        # changes -> pixels: change i transitions to black when i even
-        row = out[y]
-        for i in range(0, len(cur), 2):
-            start = cur[i]
-            end = cur[i + 1] if i + 1 < len(cur) else w
-            row[start : min(end, w)] = 1
+            zeros += 1
+        if two_d:
+            tag = rd.bits[rd.pos : rd.pos + 1]
+            rd.pos += 1
+            one_d = tag == "1"
+        else:
+            one_d = True
+        cur = (
+            _mh_decode_line(rd, w) if one_d else _g4_decode_line(rd, ref, w)
+        )
+        _changes_to_row(cur, out[y], w)
         ref = [c for c in cur if c < w]
     return out
 

@@ -438,10 +438,11 @@ def multimodal_tiff_ccitt_decode_query(
     luma v_i = [(d*31 + 7i) mod 97 < 20 + 25*(d mod 4)] — the rotating
     threshold gives every doc a different white/black mix, so the
     white-first alternation and the zero-length leading white run are
-    both exercised; compression rotates none/CCITT-MH/CCITT-G4 by
-    d % 3 (G4's pass/vertical/horizontal modes all fire on this
-    fixture), byte order by d % 2, multi-strip layout throughout (each
-    G4 strip restarts its all-white reference line). Photometric 0
+    both exercised; compression rotates none/MH/T.4-2D/G4 by d % 4
+    (the 2-D pass/vertical/horizontal modes all fire on this fixture;
+    T.4 adds EOL+tag framing and K=2 line alternation), byte order by
+    d % 2, multi-strip layout throughout (each 2-D strip restarts its
+    all-white reference line). Photometric 0
     is applied (luma out, the JDK raster convention), so the checksum
     is sum((p+1) * 6v). Map-side Arrow decode; scalar-only shuffle."""
     import numpy as np
@@ -463,7 +464,7 @@ def multimodal_tiff_ccitt_decode_query(
                 blobs.append(
                     multimodal.encode_tiff_bilevel(
                         v.reshape(h, w),
-                        compression=(1, 2, 4)[d % 3],
+                        compression=(1, 2, 3, 4)[d % 4],
                         big_endian=bool(d % 2),
                         rows_per_strip=3,
                     )

@@ -1856,7 +1856,7 @@ def test_tiff_bilevel_roundtrips():
     from kinesis_stream_reader_spark.operators import multimodal as mm
 
     rng = np.random.RandomState(67)
-    for comp in (1, 2, 4):
+    for comp in (1, 2, 3, 4):
         for be in (False, True):
             for h, w in [(1, 1), (3, 7), (13, 17), (4, 100), (2, 3000)]:
                 a = (rng.rand(h, w) < 0.4).astype(np.int64)
@@ -1876,7 +1876,7 @@ def test_tiff_bilevel_roundtrips():
               np.zeros(63, np.int64)],     # exact makeup boundaries
     ]:
         a = row[None, :]
-        for comp in (2, 4):
+        for comp in (2, 3, 4):
             got = mm.decode_tiff(mm.encode_tiff_bilevel(a, compression=comp))
             assert np.array_equal(got[:, :, 0], a), comp
     # G4 2-D structure: identical rows (all-V0), alternating checker
@@ -1977,9 +1977,26 @@ public class TiffBw {
                 assert np.array_equal(got, a), ("ours->jdk", comp, be, h, w)
     for h, w in [(5, 9), (13, 17), (3, 200), (2, 1800)]:
         a = (rng.rand(h, w) < 0.5).astype(np.int64)
-        for ctype in ("CCITT RLE", "CCITT T.6"):
+        for ctype in ("CCITT RLE", "CCITT T.6", "CCITT T.4"):
             got = mm.decode_tiff(jdk_encode(a, ctype))
             assert np.array_equal(got[:, :, 0], a), ("jdk->ours", ctype, h, w)
+    # ours -> JDK for T.4, guarded: the JDK's TIFFFaxDecompressor
+    # crashes (AIOOBE in decodeT4) on SOME valid T.4 streams including
+    # ITS OWN writer's output — a JDK decoder bug, verified by feeding
+    # jdk.tif back to ImageIO. Cross-check ours only on images whose
+    # own-encoding the JDK can decode.
+    checked = 0
+    for h, w in [(3, 7), (13, 17), (4, 100), (6, 31), (9, 57)]:
+        a = (rng.rand(h, w) < 0.4).astype(np.int64)
+        jdk_encode(a, "CCITT T.4")
+        try:
+            own = jdk_decode((tmp_path / "jdk.tif").read_bytes())
+        except subprocess.CalledProcessError:
+            continue
+        got = jdk_decode(mm.encode_tiff_bilevel(a, compression=3))
+        assert np.array_equal(got, a), ("ours->jdk T.4", h, w)
+        checked += 1
+    assert checked >= 3
 
 
 def test_block_motion_search_recovers_known_shift():
