@@ -95,6 +95,7 @@ EAGER_QUERIES = frozenset(
         "sink_zorder_parquet", "sink_partition_overwrite",
         "sink_compact_small_files", "schema_evolution_read",
         "sink_python_datasource", "sql_session_variables",
+        "sink_xml_roundtrip",
     ]
     # streaming drains at build time (memory/file sinks filled before
     # the result DataFrame is returned)
@@ -123,7 +124,7 @@ _PRIORITY = [
     "dedup_url_canonicalize", "multimodal_tiff_ccitt_decode",
     "wordpiece_encode", "consistent_hash_resharding",
     "betweenness_centrality", "multimodal_motion_estimate",
-    "delong_auc_ci",
+    "delong_auc_ci", "sink_xml_roundtrip",
     # ROUND-8 ROTATION: new round-8 queries lead (never driver-checked),
     # then the round-8-touched legs (lists-parameterized IVF chain, the
     # Lloyd-loop extraction, nprobe-sweep oracle bound), then the r7

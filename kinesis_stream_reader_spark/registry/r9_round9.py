@@ -1069,3 +1069,37 @@ def delong_auc_ci_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text
 
     return text.delong_auc_ci(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — sink_xml_roundtrip: the XML data source became built-in in
+# Spark 4 (SPARK-44265, from the spark-xml package) — the last bundled
+# file format the sink family did not cover (avro is not shipped in
+# this PySpark distribution; verified unavailable).
+# ---------------------------------------------------------------------------
+@register(
+    "sink_xml_roundtrip",
+    """
+SELECT event_id, user_id, event_type FROM events
+""",
+)
+def sink_xml_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink/source round trip with a declared rowTag and read
+    schema (no inference pass). Same contract as the csv/json/orc
+    round trips: write distributed, read back schema-on-read, values
+    byte-identical."""
+    from .r2_relational_formats import _roundtrip_dir, load_events
+
+    out_dir = _roundtrip_dir(sf_dir, "xml")
+    events = load_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    events.write.mode("overwrite").format("xml").option(
+        "rowTag", "event"
+    ).save(out_dir)
+    return (
+        spark.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING")
+        .format("xml")
+        .option("rowTag", "event")
+        .load(out_dir)
+    )

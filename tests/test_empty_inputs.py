@@ -80,7 +80,7 @@ SUBSET = [
     "dedup_url_canonicalize", "multimodal_tiff_ccitt_decode",
     "wordpiece_encode", "consistent_hash_resharding",
     "betweenness_centrality", "multimodal_motion_estimate",
-    "delong_auc_ci",
+    "delong_auc_ci", "sink_xml_roundtrip",
 ]
 
 
