@@ -186,6 +186,14 @@ def encode_png_rgba(arr, filter_for_row=None, interlace: bool = False) -> bytes:
     return _encode_png_truecolor(arr, 6, 4, filter_for_row, interlace)
 
 
+def encode_png_gray_alpha(arr, filter_for_row=None, interlace: bool = False) -> bytes:
+    """(h, w, 2) uint8 -> 8-bit gray+alpha PNG (color type 4): the
+    2-byte filter unit; decode_png returns the gray sample replicated
+    (alpha dropped, not composited) but the alpha plane rides every
+    filter, so a channel-offset bug corrupts gray and is caught."""
+    return _encode_png_truecolor(arr, 4, 2, filter_for_row, interlace)
+
+
 def _encode_png16(arr, ctyp: int, channels: int, filter_for_row, interlace):
     """Shared 16-bit-depth encoder for gray (0, 1ch) and RGB (2, 3ch):
     big-endian sample bytes, filters over the (2 * channels)-byte pixel
@@ -248,6 +256,12 @@ def encode_png16_rgba(arr, filter_for_row=None, interlace: bool = False) -> byte
     composited) but the alpha plane still rides every filter, so a
     channel-offset bug corrupts RGB and fails the checksum."""
     return _encode_png16(arr, 6, 4, filter_for_row, interlace)
+
+
+def encode_png16_gray_alpha(arr, filter_for_row=None, interlace: bool = False) -> bytes:
+    """(h, w, 2) uint16 -> 16-bit gray+alpha PNG (color type 4): the
+    4-byte pixel unit."""
+    return _encode_png16(arr, 4, 2, filter_for_row, interlace)
 
 
 def _pack_indices(idx, depth: int):
@@ -454,11 +468,13 @@ def decode_png(data: bytes):
                 (4, 0),
                 (2, 0),
                 (1, 0),
+                (8, 4),
+                (16, 4),
             ):
                 raise NotImplementedError(
-                    "only 1/2/4/8/16-bit gray, 8/16-bit RGB/RGBA and "
-                    "1/2/4/8-bit paletted PNG (interlace 0 or Adam7) "
-                    "supported in-sandbox"
+                    "unsupported PNG depth/color-type combination (all "
+                    "five color types are real at their byte-or-wider "
+                    "depths, plus sub-8-bit gray and palette)"
                 )
         elif ctype == b"PLTE":
             if size % 3:
@@ -473,7 +489,7 @@ def decode_png(data: bytes):
         raise ValueError("missing IHDR/IDAT chunk")
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
 
-    channels = {0: 1, 2: 3, 6: 4}.get(ctyp)  # None for paletted
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctyp)  # None for paletted
     sample_bytes = 2 if depth == 16 else 1
     # sub-8-bit gray packs like the paletted path (bits, not bytes);
     # filters still act on packed bytes with bpp = 1 (spec 9.2)
@@ -509,6 +525,8 @@ def decode_png(data: bytes):
                 px = packed.reshape(packed.shape[0], width, channels)
             if ctyp == 0:
                 return np.repeat(px, 3, axis=2)
+            if ctyp == 4:  # gray+alpha: gray replicated, alpha dropped
+                return np.repeat(px[:, :, :1], 3, axis=2)
             return px[:, :, :3]
         idx = _unpack_indices(packed, width, depth)
         if int(idx.max(initial=0)) >= len(plte):

@@ -1103,3 +1103,78 @@ def sink_xml_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("rowTag", "event")
         .load(out_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — gray+alpha PNG (color type 4, depths 8 and 16): closes
+# decode_png's LAST gate — all five PNG color types are now real at
+# every legal byte-or-wider depth, plus sub-8-bit gray and palette.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_png_gray_alpha_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+         CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS depth
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 5003 + 257 * i.i) % (1 << depth) AS v
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * 6 * v)::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_png_gray_alpha_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL gray+alpha PNG decode (multimodal.decode_png color type 4,
+    depths 8 and 16 rotating by doc_id % 3): gray v_i = (d*5003 +
+    257*i) mod 2^depth; the alpha plane carries a DIFFERENT series
+    ((d*31 + 7*i) mod 2^depth) that rides every filter byte but is
+    dropped on decode — a channel-offset bug corrupts gray and fails
+    the position-weighted checksum sum((p+1) * 6v). Odd doc_ids add
+    Adam7; filters rotate per row. Map-side Arrow decode."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                depth = 16 if d % 3 == 0 else 8
+                n = w * h
+                g = (d * 5003 + 257 * np.arange(n, dtype=np.int64)) % (
+                    1 << depth
+                )
+                al = (d * 31 + 7 * np.arange(n, dtype=np.int64)) % (
+                    1 << depth
+                )
+                ga = np.stack([g, al], axis=1).reshape(h, w, 2)
+                enc = (
+                    multimodal.encode_png16_gray_alpha
+                    if depth == 16
+                    else multimodal.encode_png_gray_alpha
+                )
+                blobs.append(
+                    enc(
+                        ga.astype(np.uint16 if depth == 16 else np.uint8),
+                        filter_for_row=lambda y: y,
+                        interlace=bool(d % 2),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

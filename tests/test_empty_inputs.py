@@ -81,6 +81,7 @@ SUBSET = [
     "wordpiece_encode", "consistent_hash_resharding",
     "betweenness_centrality", "multimodal_motion_estimate",
     "delong_auc_ci", "sink_xml_roundtrip",
+    "multimodal_png_gray_alpha_decode",
 ]
 
 

@@ -2030,3 +2030,88 @@ def test_block_motion_search_recovers_known_shift():
         assert sad == int(
             bump[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].sum()
         )
+
+
+def test_png_gray_alpha_roundtrips_and_jdk(tmp_path):
+    """Color type 4 (gray+alpha) at depths 8/16: roundtrips at every
+    filter and both interlace modes (alpha rides the filters, is
+    dropped on decode), plus the JDK raster cross-check at both depths
+    (band 0 = gray must equal our wire samples; ImageIO reads GA
+    natively)."""
+    import os
+    import shutil
+    import struct
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(89)
+    for il in (False, True):
+        for h, w in [(1, 1), (3, 7), (13, 17)]:
+            a = rng.randint(0, 256, (h, w, 2)).astype(np.uint8)
+            got = mm.decode_png(
+                mm.encode_png_gray_alpha(
+                    a, filter_for_row=lambda y: y, interlace=il
+                )
+            )
+            assert np.array_equal(got, np.repeat(a[:, :, :1], 3, 2))
+            a16 = rng.randint(0, 65536, (h, w, 2)).astype(np.uint16)
+            got = mm.decode_png(
+                mm.encode_png16_gray_alpha(
+                    a16, filter_for_row=lambda y: y, interlace=il
+                )
+            )
+            assert np.array_equal(got, np.repeat(a16[:, :, :1], 3, 2))
+
+    java_home = os.environ.get("JAVA_HOME", "")
+    javac = shutil.which("javac") or (
+        os.path.join(java_home, "bin", "javac") if java_home else None
+    )
+    if not javac or not os.path.exists(javac):
+        _pytest.skip("no JDK available for cross-validation")
+    java = os.path.join(os.path.dirname(javac), "java")
+    (tmp_path / "Raster16.java").write_text(
+        """
+import javax.imageio.*; import java.awt.image.*; import java.io.*;
+public class Raster16 {
+  public static void main(String[] a) throws Exception {
+    BufferedImage img = ImageIO.read(new File(a[0]));
+    if (img == null) System.exit(2);
+    Raster r = img.getRaster();
+    int h = img.getHeight(), w = img.getWidth(), b = r.getNumBands();
+    DataOutputStream o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(a[1])));
+    o.writeInt(h); o.writeInt(w); o.writeInt(b);
+    for (int y = 0; y < h; y++) for (int x = 0; x < w; x++)
+      for (int c = 0; c < b; c++) o.writeInt(r.getSample(x, y, c));
+    o.close();
+  }
+}
+"""
+    )
+    subprocess.run([javac, "Raster16.java"], check=True, cwd=tmp_path)
+
+    def jdk_raster(blob):
+        (tmp_path / "in.png").write_bytes(blob)
+        subprocess.run(
+            [java, "Raster16", "in.png", "out.raw"], check=True, cwd=tmp_path
+        )
+        raw = (tmp_path / "out.raw").read_bytes()
+        h, w, b = struct.unpack(">III", raw[:12])
+        return np.frombuffer(raw[12:], dtype=">i4").reshape(h, w, b)
+
+    for il in (False, True):
+        a = rng.randint(0, 256, (11, 15, 2)).astype(np.uint8)
+        got = jdk_raster(
+            mm.encode_png_gray_alpha(a, filter_for_row=lambda y: y, interlace=il)
+        )
+        assert np.array_equal(got, a), ("ga8", il)
+        a16 = rng.randint(0, 65536, (11, 15, 2)).astype(np.uint16)
+        got = jdk_raster(
+            mm.encode_png16_gray_alpha(
+                a16, filter_for_row=lambda y: y, interlace=il
+            )
+        )
+        assert np.array_equal(got, a16), ("ga16", il)
