@@ -2351,3 +2351,47 @@ def pq_code_health(
         )
         .orderBy("s", "code")
     )
+
+
+def range_search(embeddings, query_vec_id: int = 0, r2_milli: int = 1_600_000):
+    """Exact radius query (the FAISS range_search API next to the
+    top-k family): every vector whose exact integer squared L2 to the
+    query (milli-quantized) is <= r2_milli, with its distance. No
+    sqrt anywhere — the threshold is specified in squared milli units,
+    so the comparison is exact int64 in both engines.
+
+    Plan shape / 100 TB: ONE map-side Arrow pass with the broadcast
+    query vector; only the matching (vec_id, d2) scalars leave the
+    scan (result size = the ball's population, not the corpus). At
+    scale you prune lists first with the trained IVF quantizer and run
+    the same pass over probed lists only."""
+    import numpy as np
+
+    vecs = embeddings.select(
+        "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+    )
+    qrows = vecs.filter(F.col("vec_id") == query_vec_id).take(1)
+    if not qrows:
+        return vecs.select(
+            "vec_id", F.lit(0).cast("long").alias("d2")
+        ).limit(0)
+    q = np.asarray(qrows[0]["xq"], np.int64)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            v = np.array(pdf["xq"].tolist(), np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            d2 = ((v - q[None, :]) ** 2).sum(1)
+            mask = (d2 <= r2_milli) & (ids != query_vec_id)
+            if not mask.any():
+                continue
+            yield pd.DataFrame({"vec_id": ids[mask], "d2": d2[mask]})
+
+    return (
+        vecs.mapInPandas(batches, "vec_id LONG, d2 LONG")
+        .orderBy("d2", "vec_id")
+    )

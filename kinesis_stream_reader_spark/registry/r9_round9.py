@@ -1178,3 +1178,103 @@ def multimodal_png_gray_alpha_decode_query(
         batches, "doc_id BIGINT, data BINARY"
     )
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — 8-bit grayscale TIFF (the layout between RGB and bilevel):
+# stripped chunky BlackIsZero, all four per-segment compressions.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_tiff_gray_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 5003 + 257 * i.i) % 256 AS v
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * 6 * v)::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_tiff_gray_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL 8-bit grayscale TIFF decode (multimodal.decode_tiff gray
+    path): v_i = (d*5003 + 257*i) mod 256, compression rotating
+    none/LZW/Deflate/PackBits by doc_id % 4, byte order by parity,
+    multi-strip throughout. Gray replicates to RGB, so the checksum is
+    sum((p+1) * 6v). Map-side Arrow decode; scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                v = (
+                    d * 5003 + 257 * np.arange(w * h, dtype=np.int64)
+                ) % 256
+                blobs.append(
+                    multimodal.encode_tiff_gray(
+                        v.reshape(h, w).astype(np.uint8),
+                        compression=(1, 5, 8, 32773)[d % 4],
+                        big_endian=bool(d % 2),
+                        rows_per_strip=3,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — ann_range_search: the FAISS range_search API next to the
+# top-k family — every vector inside an exact squared-distance ball.
+# ---------------------------------------------------------------------------
+@register(
+    "ann_range_search",
+    """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), q AS (SELECT v FROM v WHERE vec_id = 0)
+SELECT vec_id, d2
+FROM (
+  SELECT w.vec_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_zip(w.v, (SELECT v FROM q)),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, b) -> a + b) AS d2
+  FROM v w WHERE w.vec_id <> 0)
+WHERE d2 <= 1600000
+ORDER BY d2, vec_id
+""",
+)
+def ann_range_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius query (similarity.range_search): all vectors with
+    squared milli-L2 <= 1.6e6 of vector 0 (about the 5th percentile of
+    the fixture's pairwise distances), with exact integer distances —
+    no sqrt anywhere. One map-side Arrow pass; only the ball's
+    population leaves the scan."""
+    from ..operators import similarity
+
+    return similarity.range_search(
+        load_table(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        r2_milli=1_600_000,
+    )

@@ -82,6 +82,7 @@ SUBSET = [
     "betweenness_centrality", "multimodal_motion_estimate",
     "delong_auc_ci", "sink_xml_roundtrip",
     "multimodal_png_gray_alpha_decode",
+    "multimodal_tiff_gray_decode", "ann_range_search",
 ]
 
 
