@@ -5200,3 +5200,110 @@ def encode_tiff_gray(
     out += struct.pack(f"{e}I", 0)
     return bytes(out)
 
+
+
+# MS ADPCM (Microsoft WAVE spec, public): 7 fixed predictor-coefficient
+# pairs and the 16-entry delta-adaptation table.
+MS_ADPCM_COEFFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+MS_ADPCM_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def ms_adpcm_decode(codes, pred_idx: int, delta: int, s1: int, s2: int):
+    """Reference MS ADPCM expansion for one mono block: 4-bit codes
+    (two's-complement signed), second-order predictor
+    (s1*c1 + s2*c2) >> 8, per-step delta adaptation
+    max(16, (adapt[c] * delta) >> 8). Exact integers (shifts are floor
+    divisions). Returns the PCM samples AFTER the two header samples."""
+    c1, c2 = MS_ADPCM_COEFFS[pred_idx]
+    out = []
+    for c in codes:
+        signed = c - 16 if c >= 8 else c
+        pred = (s1 * c1 + s2 * c2) >> 8
+        samp = max(-32768, min(32767, pred + signed * delta))
+        out.append(samp)
+        s2, s1 = s1, samp
+        delta = max(16, (MS_ADPCM_ADAPT[c] * delta) >> 8)
+    return out
+
+
+def synthetic_msadpcm_media(documents: DataFrame) -> DataFrame:
+    """MS ADPCM fixture corpus: 64 codes per doc following
+    (doc_id*3 + 5j) % 16 packed high-nibble-first (the MS layout),
+    predictor pair doc_id % 7, initial delta 16 + doc_id % 100,
+    header samples (doc_id*37) % 1024 - 512 and (doc_id*53) % 1024
+    - 512."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                codes = [((d * 3 + 5 * j) % 16) for j in range(64)]
+                payload = bytes(
+                    (codes[i] << 4) | codes[i + 1] for i in range(0, 64, 2)
+                )
+                rows.append(
+                    (
+                        d,
+                        d % 7,
+                        16 + d % 100,
+                        (d * 37) % 1024 - 512,
+                        (d * 53) % 1024 - 512,
+                        payload,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "pred_idx", "delta0", "s1", "s2", "data"],
+            )
+
+    n_parts = int(
+        documents.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return documents.select("doc_id").repartition(n_parts).mapInPandas(
+        batches,
+        "doc_id BIGINT, pred_idx BIGINT, delta0 BIGINT, s1 BIGINT, "
+        "s2 BIGINT, data BINARY",
+    )
+
+
+def msadpcm_decode_features(media: DataFrame) -> DataFrame:
+    """Unpack codes (high nibble first), run the block expansion, emit
+    per-doc integer features. Map-only; scalars shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, pi, d0, s1, s2, blob in zip(
+                pdf["doc_id"], pdf["pred_idx"], pdf["delta0"],
+                pdf["s1"], pdf["s2"], pdf["data"],
+            ):
+                codes = []
+                for b in bytes(blob):
+                    codes.append(b >> 4)
+                    codes.append(b & 0x0F)
+                pcm = ms_adpcm_decode(
+                    codes, int(pi), int(d0), int(s1), int(s2)
+                )
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(pcm),
+                        sum(abs(v) for v in pcm),
+                        pcm[-1],
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sum_abs", "last_pcm"]
+            )
+
+    return media.mapInPandas(
+        batches,
+        "doc_id BIGINT, n_samples BIGINT, sum_abs BIGINT, last_pcm BIGINT",
+    )

@@ -1278,3 +1278,71 @@ def ann_range_search_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vec_id=0,
         r2_milli=1_600_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — MS ADPCM (the OTHER classic WAVE ADPCM next to IMA): 7
+# fixed second-order predictor pairs + the 16-entry delta-adaptation
+# table (Microsoft WAVE spec, public). Exact integers; the oracle
+# replays the (s1, s2, delta) recursion with floor-exact shifts.
+# ---------------------------------------------------------------------------
+def _msadpcm_oracle() -> str:
+    from ..operators.multimodal import MS_ADPCM_ADAPT, MS_ADPCM_COEFFS
+
+    c1s = ", ".join(str(c[0]) for c in MS_ADPCM_COEFFS)
+    c2s = ", ".join(str(c[1]) for c in MS_ADPCM_COEFFS)
+    adapt = ", ".join(str(v) for v in MS_ADPCM_ADAPT)
+    return f"""
+WITH RECURSIVE walk AS (
+  SELECT doc_id, 0 AS j,
+         (16 + doc_id % 100)::BIGINT AS delta,
+         ((doc_id * 37) % 1024 - 512)::BIGINT AS s1,
+         ((doc_id * 53) % 1024 - 512)::BIGINT AS s2,
+         0::BIGINT AS sacc, 0::BIGINT AS last_pcm
+  FROM documents
+  UNION ALL
+  SELECT doc_id, j + 1,
+         GREATEST(16, CAST(FLOOR(([{adapt}])[c + 1] * delta / 256.0)
+                           AS BIGINT)) AS delta,
+         samp AS s1, s1 AS s2,
+         sacc + ABS(samp) AS sacc, samp AS last_pcm
+  FROM (
+    SELECT w.doc_id, w.j, w.delta, w.s1, w.s2, w.sacc, t.c,
+           GREATEST(-32768, LEAST(32767,
+             CAST(FLOOR((w.s1 * ([{c1s}])[w.doc_id % 7 + 1]
+                         + w.s2 * ([{c2s}])[w.doc_id % 7 + 1]) / 256.0)
+                  AS BIGINT)
+             + (CASE WHEN t.c >= 8 THEN t.c - 16 ELSE t.c END) * w.delta))
+             AS samp
+    FROM walk w, LATERAL (
+      SELECT (w.doc_id * 3 + 5 * w.j) % 16 AS c
+    ) t
+    WHERE w.j < 64
+  )
+)
+SELECT doc_id, 64::BIGINT AS n_samples, sacc::BIGINT AS sum_abs,
+       last_pcm::BIGINT AS last_pcm
+FROM walk WHERE j = 64 ORDER BY doc_id
+"""
+
+
+@register("multimodal_msadpcm_decode", _msadpcm_oracle())
+def multimodal_msadpcm_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL MS ADPCM expansion (multimodal.ms_adpcm_decode): 64 codes
+    per doc packed high-nibble-first (the MS layout), predictor pair
+    rotating over all 7 coefficient sets, per-doc initial delta and
+    header samples. The second-order prediction and delta adaptation
+    are exact integers (shifts = floor divisions, mirrored as
+    floor-exact double division of <2^53 products in the oracle).
+
+    Plan shape / 100 TB: stateful WITHIN a payload but stateless
+    ACROSS payloads — map-only Arrow batches, per-doc scalars shuffle
+    (the codec house contract)."""
+    from ..operators import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.msadpcm_decode_features(
+        multimodal.synthetic_msadpcm_media(docs)
+    ).orderBy("doc_id")

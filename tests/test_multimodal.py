@@ -2115,3 +2115,26 @@ public class Raster16 {
             )
         )
         assert np.array_equal(got, a16), ("ga16", il)
+
+
+def test_ms_adpcm_known_values_and_floor_semantics():
+    """The second-order prediction uses FLOOR division by 256 (an
+    arithmetic shift), which differs from truncation exactly when the
+    prediction is negative — pin that path, the int16 clamps, and the
+    delta lower bound with a hand replay."""
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    # negative prediction: s1=-300, c=(256,0) -> pred = floor(-300)>>0?
+    # (-300*256)>>8 = -300; with code 7 (+7*16=112) -> -188
+    got = mm.ms_adpcm_decode([7], 0, 16, -300, 100)
+    assert got == [-188]
+    # truncation-vs-floor witness: s1=-1, coeffs (256,0): (-256)>>8=-1;
+    # s1=-1 with pair (240,0): (-240)>>8 = floor(-0.9375) = -1, NOT 0
+    got = mm.ms_adpcm_decode([0], 4, 16, -1, 0)
+    assert got == [-1]
+    # clamps + delta floor at 16: huge positive code run saturates
+    got = mm.ms_adpcm_decode([7] * 40, 0, 30000, 0, 0)
+    assert max(got) == 32767
+    # adaptation lower bound: code 0 shrinks delta (230/256) to >= 16
+    pcm = mm.ms_adpcm_decode([0] * 50 + [7], 2, 16, 0, 0)  # coeffs (0,0)
+    assert pcm[-1] == 7 * 16  # delta pinned at its floor of 16
