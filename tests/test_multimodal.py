@@ -69,12 +69,13 @@ def test_png_crc_and_grammar_errors():
         multimodal.decode_png(bytes(blob))
     with pytest.raises(ValueError, match="not a PNG"):
         multimodal.decode_png(b"\x00" * 16)
-    # gray+alpha (color type 4) stays honestly gated (1-16-bit gray,
-    # 8/16-bit RGB/RGBA and 1/2/4/8-bit palette are all real now)
+    # every LEGAL depth/color-type combination is real now (round 9
+    # closed gray+alpha), so the combination gate's remaining job is
+    # rejecting ILLEGAL headers — depth 3 has no legal color type
     import struct
     import zlib
 
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 4, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 3, 0, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr))
         + b"IHDR"
