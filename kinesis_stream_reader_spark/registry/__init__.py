@@ -127,7 +127,7 @@ _PRIORITY = [
     "delong_auc_ci", "sink_xml_roundtrip",
     "multimodal_png_gray_alpha_decode",
     "multimodal_tiff_gray_decode", "ann_range_search",
-    "multimodal_msadpcm_decode",
+    "multimodal_msadpcm_decode", "merkle_table_digest",
     # ROUND-8 ROTATION: new round-8 queries lead (never driver-checked),
     # then the round-8-touched legs (lists-parameterized IVF chain, the
     # Lloyd-loop extraction, nprobe-sweep oracle bound), then the r7

@@ -1346,3 +1346,111 @@ def multimodal_msadpcm_decode_query(
     return multimodal.msadpcm_decode_features(
         multimodal.synthetic_msadpcm_media(docs)
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — merkle_table_digest: partition-level integrity digests for
+# incremental verification (the Merkle/anti-entropy pattern every
+# replicated store uses — Dynamo/Cassandra repair, public method).
+# Row hash = md5 of a canonical integer-safe projection; bucket digest
+# = SUM of 60-bit row hashes mod 2^61 (COMMUTATIVE and partial-agg
+# mergeable — the property that makes the digest maintainable under
+# appends and comparable shard-by-shard without a rescan); table root
+# = md5 over the ordered bucket digests.
+# ---------------------------------------------------------------------------
+@register(
+    "merkle_table_digest",
+    """
+WITH rows_h AS (
+  SELECT o_orderkey % 64 AS bucket,
+         CAST(concat('0x', substr(md5(
+           o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+           strftime(o_orderdate, '%Y-%m-%d')), 1, 10)) AS UBIGINT)::BIGINT
+           AS h
+  FROM orders
+), buckets AS (
+  SELECT bucket, COUNT(*) AS n_rows,
+         SUM(h) % 2305843009213693952 AS bucket_digest
+  FROM rows_h GROUP BY bucket
+), spine AS (
+  SELECT UNNEST(range(64)) AS bucket
+), b2 AS (
+  SELECT s.bucket, COALESCE(b.n_rows, 0) AS n_rows,
+         COALESCE(b.bucket_digest, 0) AS bucket_digest
+  FROM spine s LEFT JOIN buckets b USING (bucket)
+), root AS (
+  SELECT md5(string_agg(bucket_digest::VARCHAR, ',' ORDER BY bucket))
+           AS table_root
+  FROM b2
+)
+SELECT b2.bucket::INT AS bucket, b2.n_rows::BIGINT AS n_rows,
+       b2.bucket_digest::BIGINT AS bucket_digest, r.table_root
+FROM b2, root r ORDER BY b2.bucket
+""",
+)
+def merkle_table_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket integrity digests + table root over orders: row md5
+    on an integer-safe canonical projection, commutative mod-2^61 sums
+    per bucket (partial-agg'd, append-maintainable), md5 root over the
+    ordered bucket digests. The anti-entropy read-off: two replicas
+    compare 64 longs, then rescan only the buckets that differ.
+
+    Plan shape / 100 TB: one map-side hash projection + ONE
+    partial-agg'd 64-key shuffle; the root is a broadcast of 64 rows.
+    Nothing is ordered at row scale (the commutative sum replaces the
+    sorted-concat leaf a textbook Merkle tree would need)."""
+    orders = load_table(spark, sf_dir, "orders")
+    rows_h = orders.select(
+        (F.col("o_orderkey") % 64).alias("bucket"),
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("o_orderkey"),
+                        F.col("o_custkey"),
+                        F.col("o_orderstatus"),
+                        F.date_format("o_orderdate", "yyyy-MM-dd"),
+                    )
+                ),
+                1,
+                10,
+            ),
+            16,
+            10,
+        ).cast("long").alias("h"),
+    )
+    buckets = rows_h.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        (F.sum("h") % F.lit(2305843009213693952)).alias("bucket_digest"),
+    )
+    b2 = (
+        spark.range(0, 64)
+        .select(F.col("id").alias("bucket"))
+        .join(buckets, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_rows", F.lit(0)).alias("n_rows"),
+            F.coalesce("bucket_digest", F.lit(0)).alias("bucket_digest"),
+        )
+    )
+    root = b2.agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(F.struct("bucket", "bucket_digest"))
+                ).getField("bucket_digest").cast("array<string>"),
+            )
+        ).alias("table_root")
+    )
+    return (
+        b2.crossJoin(F.broadcast(root))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("bucket_digest").cast("long").alias("bucket_digest"),
+            "table_root",
+        )
+        .orderBy("bucket")
+    )

@@ -83,7 +83,7 @@ SUBSET = [
     "delong_auc_ci", "sink_xml_roundtrip",
     "multimodal_png_gray_alpha_decode",
     "multimodal_tiff_gray_decode", "ann_range_search",
-    "multimodal_msadpcm_decode",
+    "multimodal_msadpcm_decode", "merkle_table_digest",
 ]
 
 
