@@ -5307,3 +5307,115 @@ def msadpcm_decode_features(media: DataFrame) -> DataFrame:
         batches,
         "doc_id BIGINT, n_samples BIGINT, sum_abs BIGINT, last_pcm BIGINT",
     )
+
+
+def encode_gif_animated(frames, width: int, height: int) -> bytes:
+    """Fixture twin of decode_gif_animated: a real GIF89a animation —
+    logical screen + 256-entry global table (_gif_palette), NETSCAPE
+    looping extension, then per frame a Graphic Control Extension
+    (disposal method, no transparency) and a sub-rectangle image
+    descriptor with its own LZW stream. `frames` is a list of
+    (left, top, fw, fh, indices, disposal) tuples."""
+    import struct
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0b11110111, 0, 0)
+    out += _gif_palette()
+    # NETSCAPE 2.0 looping extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for left, top, fw, fh, idx, disposal in frames:
+        out += b"\x21\xf9\x04" + bytes([disposal << 2]) + b"\x0a\x00\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        out += bytes([8])
+        stream = _lzw_encode_gif(idx)
+        for i in range(0, len(stream), 255):
+            block = stream[i : i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_animated(data: bytes):
+    """REAL animated-GIF decode with spec compositing: the canvas
+    starts at the background index, each frame paints its
+    sub-rectangle, and after display the GCE disposal applies (1 =
+    leave, 2 = restore the frame's rectangle to background). Returns
+    the list of COMPOSITED (h, w, 3) uint8 RGB canvases, one per
+    frame. Transparency and disposal 3 (restore-previous) are gated."""
+    import struct
+
+    import numpy as np
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            data, dtype=np.uint8, count=n * 3, offset=pos
+        ).reshape(n, 3)
+        pos += n * 3
+    if gct is None:
+        raise ValueError("animated GIF without a global color table")
+    canvas = np.full((h, w), bg, dtype=np.int64)
+    disposal = 0
+    frames = []
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:
+            label = data[pos + 1]
+            if label == 0xF9:  # Graphic Control Extension
+                size = data[pos + 2]
+                gflags = data[pos + 3]
+                disposal = (gflags >> 2) & 0x07
+                if gflags & 1:
+                    raise NotImplementedError(
+                        "GIF transparency not supported"
+                    )
+                if disposal not in (0, 1, 2):
+                    raise NotImplementedError(
+                        f"GIF disposal method {disposal} not supported"
+                    )
+                pos += 2 + 1 + size
+                if data[pos] != 0:
+                    raise ValueError("unterminated GCE")
+                pos += 1
+            else:  # other extension: skip sub-blocks
+                pos += 2
+                while data[pos] != 0:
+                    pos += 1 + data[pos]
+                pos += 1
+        elif b == 0x2C:
+            left, top, iw, ih, iflags = struct.unpack_from(
+                "<HHHHB", data, pos + 1
+            )
+            pos += 10
+            if iflags & 0x80:
+                raise NotImplementedError(
+                    "local color tables in animations not supported"
+                )
+            mcs = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                stream += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode_gif(bytes(stream), mcs)
+            if len(idx) < iw * ih:
+                raise ValueError("GIF index stream shorter than image")
+            rect = np.asarray(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+            canvas[top : top + ih, left : left + iw] = rect
+            frames.append(gct[canvas].astype(np.uint8))
+            if disposal == 2:
+                canvas[top : top + ih, left : left + iw] = bg
+            disposal = 0
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+    return frames

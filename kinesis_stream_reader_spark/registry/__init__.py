@@ -128,6 +128,7 @@ _PRIORITY = [
     "multimodal_png_gray_alpha_decode",
     "multimodal_tiff_gray_decode", "ann_range_search",
     "multimodal_msadpcm_decode", "merkle_table_digest",
+    "multimodal_gif_animated_decode",
     # ROUND-8 ROTATION: new round-8 queries lead (never driver-checked),
     # then the round-8-touched legs (lists-parameterized IVF chain, the
     # Lloyd-loop extraction, nprobe-sweep oracle bound), then the r7

