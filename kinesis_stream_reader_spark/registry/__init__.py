@@ -79,6 +79,7 @@ EAGER_QUERIES = frozenset(
         "lof_outlier_scores_ivf_trained", "ivf_nprobe_sweep_trained",
         "ivf_list_health", "semdedup_trained", "ann_ivfpq_trained",
         "ann_ivfpq_refine", "pq_code_health", "wordpiece_encode",
+        "quantization_recall_report",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
         "dbscan_grid_clusters", "split_group_aware", "split_semantic_leakage",
@@ -128,7 +129,8 @@ _PRIORITY = [
     "multimodal_png_gray_alpha_decode",
     "multimodal_tiff_gray_decode", "ann_range_search",
     "multimodal_msadpcm_decode", "merkle_table_digest",
-    "multimodal_gif_animated_decode",
+    "multimodal_gif_animated_decode", "streaming_merkle_digest",
+    "quantization_recall_report",
     # ROUND-8 ROTATION: new round-8 queries lead (never driver-checked),
     # then the round-8-touched legs (lists-parameterized IVF chain, the
     # Lloyd-loop extraction, nprobe-sweep oracle bound), then the r7

@@ -1562,3 +1562,212 @@ def multimodal_gif_animated_decode_query(
         )
         .orderBy("doc_id", "frame")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — streaming_merkle_digest: the anti-entropy digest ON the
+# stream. The bucket digest is a commutative modular sum, so it is
+# exactly the kind of aggregate a streaming census maintains for free
+# — the drained digests equal the batch table's, which IS the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_merkle_digest",
+    """
+WITH rows_h AS (
+  SELECT event_id % 64 AS bucket,
+         CAST(concat('0x', substr(md5(
+           event_id || '|' || user_id || '|' || event_type), 1, 10))
+           AS UBIGINT)::BIGINT AS h
+  FROM events
+)
+SELECT bucket::INT AS bucket, COUNT(*)::BIGINT AS n_rows,
+       (SUM(h) % 2305843009213693952)::BIGINT AS bucket_digest
+FROM rows_h GROUP BY bucket ORDER BY bucket
+""",
+)
+def streaming_merkle_digest_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming integrity digests: each micro-batch hashes its rows
+    map-side and folds them into per-bucket modular sums (a running
+    aggregate in complete mode — state is exactly 64 longs). After the
+    drain the digests equal the batch table's, so a replica can verify
+    a streamed ingest against the source WITHOUT a rescan — the
+    streaming leg of merkle_table_digest.
+
+    Plan shape / 100 TB: stateful census of 64 cells regardless of
+    volume; the modular sum is partial-agg'd inside every micro-batch."""
+    from ..streaming import jobs
+
+    stream = jobs.stream_events(spark, sf_dir)
+    digests = (
+        stream.select(
+            (F.col("event_id") % 64).alias("bucket"),
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", "event_id", "user_id", "event_type"
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long").alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            (F.sum("h") % F.lit(2305843009213693952)).alias(
+                "bucket_digest"
+            ),
+        )
+    )
+    out = jobs.run_available_now(digests, "streaming_merkle_digest")
+    return out.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("bucket_digest").cast("long").alias("bucket_digest"),
+    ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 9 — quantization_recall_report: how much of the exact top-k
+# does scale-free int8 ranking recover? The deployment question every
+# int8 vector store answers before shipping. Both rankings are exact
+# integers (milli dot vs int8-code dot with per-vector max-abs scales
+# via the embedding_quantize_int8 convention), so the overlap is
+# bit-deterministic.
+# ---------------------------------------------------------------------------
+@register(
+    "quantization_recall_report",
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS xm
+  FROM embeddings
+), scales AS (
+  SELECT vec_id, x, xm,
+         list_max(list_transform(x, e -> ABS(e))) AS scale
+  FROM v
+), q8 AS (
+  SELECT vec_id, xm,
+         list_transform(x, e -> CAST(round(e * 127.0 / scale) AS BIGINT))
+           AS q
+  FROM scales
+), qq AS (SELECT xm AS qxm, q AS qq FROM q8 WHERE vec_id = 0),
+scored AS (
+  SELECT a.vec_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_zip(a.xm, (SELECT qxm FROM qq)),
+                          p -> p[1] * p[2])), (x, y) -> x + y) AS dot_exact,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_zip(a.q, (SELECT qq FROM qq)),
+                          p -> p[1] * p[2])), (x, y) -> x + y) AS dot_q8
+  FROM q8 a WHERE a.vec_id <> 0
+), re AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (ORDER BY dot_exact DESC, vec_id) AS r_exact,
+         ROW_NUMBER() OVER (ORDER BY dot_q8 DESC, vec_id) AS r_q8
+  FROM scored
+), ks AS (SELECT UNNEST([5, 10, 20]) AS k)
+SELECT k.k::INT AS k,
+       SUM(CASE WHEN re.r_exact <= k.k AND re.r_q8 <= k.k
+                THEN 1 ELSE 0 END)::BIGINT AS n_overlap,
+       (SUM(CASE WHEN re.r_exact <= k.k AND re.r_q8 <= k.k
+                 THEN 1 ELSE 0 END) * 1000 // k.k)::BIGINT AS recall_milli
+FROM ks k CROSS JOIN re GROUP BY k.k ORDER BY k.k
+""",
+)
+def quantization_recall_report_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Int8-quantization retrieval distortion: exact milli-integer MIPS
+    top-k vs the scale-free int8-code dot ranking (q = round(x *
+    127 / max|x|), the embedding_quantize_int8 convention), overlap
+    and recall at k = 5/10/20.
+
+    Plan shape / 100 TB: both scores come from ONE scan (two column
+    expressions per row against the broadcast query codes); ranks are
+    two TakeOrdered-class windows over the scored relation; the report
+    is 3 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    v = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"), lambda e: e.cast("double")
+        ).alias("x"),
+        F.transform(
+            F.col("embedding"),
+            lambda e: F.floor(e.cast("double") * 1000 + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("xm"),
+    )
+    q8 = v.select(
+        "vec_id",
+        "xm",
+        F.transform(
+            F.col("x"),
+            lambda e: F.round(
+                e * 127.0 / F.array_max(F.transform(F.col("x"), F.abs))
+            ).cast("long"),
+        ).alias("q"),
+    )
+    qrow = q8.filter(F.col("vec_id") == 0).take(1)
+    if not qrow:
+        return spark.createDataFrame(
+            [], "k INT, n_overlap LONG, recall_milli LONG"
+        )
+    qxm = [int(t) for t in qrow[0]["xm"]]
+    qq = [int(t) for t in qrow[0]["q"]]
+    qxm_lit = F.array(*[F.lit(t).cast("long") for t in qxm])
+    qq_lit = F.array(*[F.lit(t).cast("long") for t in qq])
+    scored = q8.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("xm"), qxm_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_exact"),
+        F.aggregate(
+            F.zip_with(F.col("q"), qq_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("dot_q8"),
+    )
+    re = scored.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("dot_exact").desc(), "vec_id"))
+        .alias("r_exact"),
+        F.row_number()
+        .over(Window.orderBy(F.col("dot_q8").desc(), "vec_id"))
+        .alias("r_q8"),
+    )
+    ks = spark.createDataFrame([(5,), (10,), (20,)], "k INT")
+    return (
+        ks.crossJoin(re)
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (
+                    (F.col("r_exact") <= F.col("k"))
+                    & (F.col("r_q8") <= F.col("k"))
+                ).cast("long")
+            ).alias("n_overlap")
+        )
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.expr("n_overlap * 1000 DIV k").cast("long").alias(
+                "recall_milli"
+            ),
+        )
+        .orderBy("k")
+    )

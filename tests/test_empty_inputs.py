@@ -84,7 +84,8 @@ SUBSET = [
     "multimodal_png_gray_alpha_decode",
     "multimodal_tiff_gray_decode", "ann_range_search",
     "multimodal_msadpcm_decode", "merkle_table_digest",
-    "multimodal_gif_animated_decode",
+    "multimodal_gif_animated_decode", "streaming_merkle_digest",
+    "quantization_recall_report",
 ]
 
 
