@@ -1383,22 +1383,32 @@ def canonical_url(url: Column) -> Column:
       5. drop utm_* tracking parameters and SORT the survivors.
 
     Everything is built-in string/array algebra (split, lower, filter,
-    array_sort, array_join) — no UDF, whole-stage codegen, map-only."""
+    array_sort, array_join) — no UDF, whole-stage codegen, map-only.
+
+    Separator semantics are FIRST-occurrence throughout (locate +
+    substring / limit-2 split): a second '://' or '?' inside the query
+    string (e.g. '?redirect=https://x' or '?a=b?c') belongs to the
+    query and must not re-anchor the parse — after-last extraction
+    (substring_index(..., -1)) would mis-canonicalize exactly those
+    URLs."""
     no_frag = F.split(url, "#").getItem(0)
     scheme = F.lower(F.split(no_frag, "://").getItem(0))
-    rest = F.substring_index(no_frag, "://", -1)
+    rest = F.substring(no_frag, F.locate("://", no_frag) + 3, F.lit(2**30))
     hostport = F.split(rest, "/").getItem(0)
     host = F.lower(F.split(hostport, ":").getItem(0))
+    after_colon = F.substring(
+        hostport, F.locate(":", hostport) + 1, F.lit(2**30)
+    )
     default_port = F.when(scheme == "http", F.lit("80")).otherwise(F.lit("443"))
     port = F.when(
-        F.contains(hostport, F.lit(":"))
-        & (F.substring_index(hostport, ":", -1) != default_port),
-        F.concat(F.lit(":"), F.substring_index(hostport, ":", -1)),
+        F.contains(hostport, F.lit(":")) & (after_colon != default_port),
+        F.concat(F.lit(":"), after_colon),
     ).otherwise(F.lit(""))
     path_q = F.substring(rest, F.length(hostport) + 1, F.lit(2**30))
     path = F.split(path_q, r"\?").getItem(0)
     query = F.when(
-        F.contains(path_q, F.lit("?")), F.substring_index(path_q, "?", -1)
+        F.contains(path_q, F.lit("?")),
+        F.substring(path_q, F.locate("?", path_q) + 1, F.lit(2**30)),
     ).otherwise(F.lit(""))
     path_c = F.when(path == "/", F.lit("/")).otherwise(
         F.regexp_replace(path, "/$", "")

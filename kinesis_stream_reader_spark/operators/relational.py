@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from ..scratch import scratch
 
 
 def agg_count_by_key(events: DataFrame) -> DataFrame:
@@ -2045,7 +2046,7 @@ def bucketed_order_revenue(
         # driver's warehouse dir may not be writable / may be the repo);
         # the in-memory catalog forgets tables across sessions but the
         # path persists, so clear both before rewriting
-        path = f"/tmp/ksr_bucketed/{name}"
+        path = scratch(f"ksr_bucketed/{name}")
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(path, ignore_errors=True)
         (

@@ -2297,12 +2297,18 @@ def pq_code_health(
                     dist * n_codes + np.arange(n_codes)[None, :]
                 ).min(1)
                 code = packed % n_codes
-                dmin = packed // n_codes
+                # int64 from here on: bincount(weights=...) sums in
+                # float64, whose exactness dies past 2^53 per-cell —
+                # np.add.at on an int64 accumulator keeps the census
+                # exact at any batch size.
+                dmin = (packed // n_codes).astype(np.int64)
                 present, inv = np.unique(code, return_inverse=True)
+                acc = np.zeros(len(present), np.int64)
+                np.add.at(acc, inv, dmin)
                 ss.append(np.full(len(present), s, np.int64))
                 codes.append(present)
                 ns.append(np.bincount(inv))
-                dsums.append(np.bincount(inv, weights=dmin).astype(np.int64))
+                dsums.append(acc)
             yield pd.DataFrame(
                 {
                     "s": np.concatenate(ss),

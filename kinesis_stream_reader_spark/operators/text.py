@@ -10,6 +10,8 @@ pruning (only `text` + keys are read from parquet).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -3204,7 +3206,10 @@ def ece_report(documents: DataFrame) -> DataFrame:
 
 
 def wordpiece_encode(
-    documents: DataFrame, max_piece: int = 6, min_count: int = 50
+    documents: DataFrame,
+    max_piece: int = 6,
+    min_count: int = 50,
+    vocab_cap: int = 65536,
 ) -> DataFrame:
     """WordPiece tokenization (the BERT tokenizer's greedy
     longest-match-first algorithm — public method) with a corpus-
@@ -3212,8 +3217,13 @@ def wordpiece_encode(
     chars) whose summed word frequency reaches min_count, continuation
     pieces ('##'-marked) are word-internal substrings under the same
     threshold, and every single character is kept unconditionally (the
-    fallback that makes greedy matching total). Output: one row per
-    distinct word with its piece sequence and fertility.
+    fallback that makes greedy matching total). Multi-char pieces are
+    additionally capped at the vocab_cap highest-weight entries
+    (ties broken deterministically by is_head DESC, piece ASC) so the
+    driver-held vocab broadcast is EXPLICITLY bounded — at 100 TB the
+    min_count threshold alone does load-bearing memory work silently;
+    the cap makes the bound visible and logs when it binds. Output:
+    one row per distinct word with its piece sequence and fertility.
 
     Everything is exact integer counting, so the DuckDB oracle replays
     vocab construction and the greedy walk bit-identically (recursive
@@ -3249,7 +3259,14 @@ def wordpiece_encode(
         .filter((F.col("l") == 1) | (F.col("wt") >= min_count))
     )
     conts = (
-        wl.select(
+        # wl >= 2 guard: Spark's sequence(start, stop) defaults to step
+        # -1 when start > stop, so sequence(2, 1) on a 1-char word would
+        # generate DESCENDING [2, 1] — spurious j=1 "continuations" the
+        # oracle's range(2, len+1) (empty for 1-char words) never
+        # produces. The filter makes both inner sequences strictly
+        # ascending (j in [2..wl] => wl - j + 1 >= 1).
+        wl.filter(F.col("wl") >= 2)
+        .select(
             F.explode(F.sequence(F.lit(2), F.col("wl"))).alias("j"),
             "word",
             "n",
@@ -3271,9 +3288,38 @@ def wordpiece_encode(
         .agg(F.sum("n").alias("wt"))
         .filter((F.col("l") == 1) | (F.col("wt") >= min_count))
     )
-    vocab = set(
-        (True, r["piece"]) for r in heads.select("piece").collect()
-    ) | set((False, r["piece"]) for r in conts.select("piece").collect())
+    allp = heads.select(
+        "piece", "l", "wt", F.lit(True).alias("is_head")
+    ).unionByName(
+        conts.select("piece", "l", "wt", F.lit(False).alias("is_head"))
+    )
+    # Single chars: unconditional (totality). Multi-char pieces: top
+    # vocab_cap by (wt DESC, is_head DESC, piece ASC) — orderBy+limit
+    # compiles to TakeOrderedAndProject (distributed top-K, no
+    # single-partition sort), so the driver never sees more than
+    # vocab_cap + 1 multi-char rows. limit(cap + 1) detects binding.
+    singles = {
+        (r["is_head"], r["piece"])
+        for r in allp.filter(F.col("l") == 1)
+        .select("is_head", "piece")
+        .collect()
+    }
+    multi_rows = (
+        allp.filter(F.col("l") > 1)
+        .orderBy(F.col("wt").desc(), F.col("is_head").desc(), "piece")
+        .limit(vocab_cap + 1)
+        .select("is_head", "piece")
+        .collect()
+    )
+    if len(multi_rows) > vocab_cap:
+        multi_rows = multi_rows[:vocab_cap]
+        logging.getLogger(__name__).warning(
+            "wordpiece_encode: vocab_cap=%d binds — multi-char piece "
+            "census truncated to the %d highest-weight pieces",
+            vocab_cap,
+            vocab_cap,
+        )
+    vocab = singles | {(r["is_head"], r["piece"]) for r in multi_rows}
 
     def batches(it):
         import pandas as pd
@@ -3281,8 +3327,8 @@ def wordpiece_encode(
         for pdf in it:
             if pdf.empty:
                 continue
-            out_p, out_np = [], []
-            for word in pdf["word"]:
+            out_w, out_n, out_p, out_np = [], [], [], []
+            for word, n in zip(pdf["word"], pdf["n"]):
                 pos, pieces = 0, []
                 while pos < len(word):
                     for ln in range(min(max_piece, len(word) - pos), 0, -1):
@@ -3291,12 +3337,25 @@ def wordpiece_encode(
                             pieces.append(cand if pos == 0 else "##" + cand)
                             pos += ln
                             break
+                    else:
+                        # No vocab piece matches at pos — unreachable
+                        # while single chars are unconditional, but a
+                        # broken vocab invariant must not spin the
+                        # executor forever. Mirror the oracle's
+                        # fixpoint CTE (WHERE pos > length(word)):
+                        # the word is DROPPED, not partially emitted.
+                        pieces = None
+                        break
+                if pieces is None:
+                    continue
+                out_w.append(word)
+                out_n.append(n)
                 out_p.append(" ".join(pieces))
                 out_np.append(len(pieces))
             yield pd.DataFrame(
                 {
-                    "word": pdf["word"],
-                    "n": pdf["n"],
+                    "word": out_w,
+                    "n": out_n,
                     "pieces": out_p,
                     "n_pieces": out_np,
                 }

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from ._shared import *  # noqa: F401,F403
 from ._shared import _FLAT_COLS, _nested_events  # noqa: F401
+from ..scratch import scratch
 
 
 # ---------------------------------------------------------------------------
@@ -297,8 +298,8 @@ def _ensure_pyds_fixture(spark: SparkSession, sf_dir: str) -> str:
     from ..sources.raw import kpl_raw_records, source_fingerprint
 
     spark.dataSource.register(KinesisBackfillDataSource)
-    shard_dir = (
-        f"/tmp/ksr_pyds/{sf_dir.strip('/').replace('/', '_')}"
+    shard_dir = scratch(
+        f"ksr_pyds/{sf_dir.strip('/').replace('/', '_')}"
         f"_{source_fingerprint(sf_dir)}"
     )
     if not os.path.isdir(shard_dir):
@@ -1803,7 +1804,9 @@ def sink_parquet_partitioned_query(spark: SparkSession, sf_dir: str) -> DataFram
     read back so the oracle checks the full write->read round trip."""
     import os
 
-    out_dir = f"/tmp/ksr_sink/{sf_dir.strip('/').replace('/', '_')}_events_by_type"
+    out_dir = scratch(
+        f"ksr_sink/{sf_dir.strip('/').replace('/', '_')}_events_by_type"
+    )
     events = load_events(spark, sf_dir).select("event_id", "user_id", "event_type")
     events.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
     assert os.path.isdir(out_dir)

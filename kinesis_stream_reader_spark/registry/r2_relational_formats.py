@@ -9,6 +9,7 @@ from ._shared import *  # noqa: F401,F403
 from ._shared import _FLAT_COLS, _nested_events  # noqa: F401
 from .r1_parity_ext import _GRAMS  # noqa: F401
 from .r1_parity_ext import _TOKS  # noqa: F401
+from ..scratch import scratch
 
 # ---------------------------------------------------------------------------
 # TPC-H Q4/Q16/Q18/Q19 shapes + correlated-subquery decorrelation:
@@ -396,7 +397,9 @@ def embedding_centroids_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # spark.read/write; each is oracle-checked as a write->read identity)
 # ---------------------------------------------------------------------------
 def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
-    return f"/tmp/ksr_sink/{sf_dir.strip('/').replace('/', '_')}_events_{fmt}"
+    return scratch(
+        f"ksr_sink/{sf_dir.strip('/').replace('/', '_')}_events_{fmt}"
+    )
 
 
 @register(
@@ -2084,11 +2087,11 @@ def dedup_keep_best_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_binary_ingest",
     # DuckDB reads the same files via read_blob; both engines report
     # (file_name, n_bytes, md5) per media object
-    """
+    f"""
 SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
        CAST(octet_length(content) AS BIGINT) AS n_bytes,
        md5(decode(content)) AS content_md5
-FROM read_blob('/tmp/ksr_binfiles/*.bin')
+FROM read_blob('{scratch("ksr_binfiles")}/*.bin')
 ORDER BY file_name
 """,
 )
@@ -2103,7 +2106,7 @@ def multimodal_binary_ingest_query(spark: SparkSession, sf_dir: str) -> DataFram
     import hashlib
     import os
 
-    out = "/tmp/ksr_binfiles"
+    out = scratch("ksr_binfiles")
     os.makedirs(out, exist_ok=True)
     docs = (
         load_table(spark, sf_dir, "documents")

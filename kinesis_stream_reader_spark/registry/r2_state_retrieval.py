@@ -10,6 +10,7 @@ from ._shared import _FLAT_COLS, _nested_events  # noqa: F401
 from .r2_relational_formats import _roundtrip_dir  # noqa: F401
 from .r1_parity_ext import _GRAMS  # noqa: F401
 from .r1_parity_ext import _TOKS  # noqa: F401
+from ..scratch import scratch
 
 # ---------------------------------------------------------------------------
 # Derived-state maintenance: CDC diff, SCD2, incremental agg, mergeable
@@ -867,11 +868,11 @@ def ewma_smoothing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_dedup",
-    """
+    f"""
 WITH blobs AS (
   SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
          md5(decode(content)) AS content_md5
-  FROM read_blob('/tmp/ksr_binfiles_dup/*.bin')
+  FROM read_blob('{scratch("ksr_binfiles_dup")}/*.bin')
 )
 SELECT content_md5, MIN(file_name) AS canonical_file,
        CAST(COUNT(*) AS BIGINT) AS n_copies
@@ -889,7 +890,7 @@ def multimodal_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes in the multimodal UDF family)."""
     import os
 
-    out = "/tmp/ksr_binfiles_dup"
+    out = scratch("ksr_binfiles_dup")
     os.makedirs(out, exist_ok=True)
     docs = (
         load_table(spark, sf_dir, "documents")

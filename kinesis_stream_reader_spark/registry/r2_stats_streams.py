@@ -10,6 +10,7 @@ from ._shared import _FLAT_COLS, _nested_events  # noqa: F401
 from .r1_parity_ext import _ensure_pyds_fixture  # noqa: F401
 from .r1_parity_ext import _NORM  # noqa: F401
 from .r1_parity_ext import _TOKS  # noqa: F401
+from ..scratch import scratch
 
 # ---------------------------------------------------------------------------
 # ext: BM25 ranked retrieval + positional phrase search (round 2) — the
@@ -1485,8 +1486,8 @@ def join_dynamic_partition_pruning_query(spark: SparkSession, sf_dir: str) -> Da
     tests/test_partition_pruning.py; this is the join-driven form."""
     from ..sources.raw import source_fingerprint
 
-    part_dir = (
-        f"/tmp/ksr_dpp/{sf_dir.strip('/').replace('/', '_')}"
+    part_dir = scratch(
+        f"ksr_dpp/{sf_dir.strip('/').replace('/', '_')}"
         f"_{source_fingerprint(sf_dir)}"
     )
     if not os.path.isdir(part_dir):

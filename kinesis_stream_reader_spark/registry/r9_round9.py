@@ -332,25 +332,30 @@ WITH raw AS (
          split_part(raw_url, '#', 1) AS nf
   FROM raw
 ), comp AS (
+  -- FIRST-occurrence separator semantics throughout (strpos+substr),
+  -- mirroring the engine: a second '://' or '?' inside the query
+  -- string must not re-anchor the parse.
   SELECT doc_id, raw_url,
          lower(split_part(nf, '://', 1)) AS scheme,
-         split_part(nf, '://', 2) AS rest,
-         split_part(split_part(nf, '://', 2), '/', 1) AS hostport
+         substr(nf, strpos(nf, '://') + 3) AS rest,
+         split_part(substr(nf, strpos(nf, '://') + 3), '/', 1) AS hostport
   FROM parts
 ), fields AS (
   SELECT doc_id, raw_url, scheme,
          lower(split_part(hostport, ':', 1)) AS host,
          CASE WHEN contains(hostport, ':')
-                   AND split_part(hostport, ':', 2)
+                   AND substr(hostport, strpos(hostport, ':') + 1)
                        <> (CASE WHEN scheme = 'http' THEN '80' ELSE '443' END)
-              THEN ':' || split_part(hostport, ':', 2) ELSE '' END AS port,
+              THEN ':' || substr(hostport, strpos(hostport, ':') + 1)
+              ELSE '' END AS port,
          substr(rest, length(hostport) + 1) AS path_q
   FROM comp
 ), pq AS (
   SELECT doc_id, raw_url, scheme, host, port,
          split_part(path_q, '?', 1) AS path,
          CASE WHEN contains(path_q, '?')
-              THEN split_part(path_q, '?', 2) ELSE '' END AS query
+              THEN substr(path_q, strpos(path_q, '?') + 1)
+              ELSE '' END AS query
   FROM fields
 ), canon AS (
   SELECT doc_id, raw_url,
@@ -487,32 +492,46 @@ def multimodal_tiff_ccitt_decode_query(
 # construction AND the greedy walk (recursive CTE peeling the longest
 # matching piece, head vs '##'-continuation classes).
 # ---------------------------------------------------------------------------
+_WP_VOCAB_CAP = 65536
+
+
 @register(
     "wordpiece_encode",
-    """
+    f"""
 WITH RECURSIVE words AS (
   SELECT tok AS word, COUNT(*) AS n
   FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
         FROM documents)
   WHERE tok <> '' GROUP BY tok
 ), heads AS (
-  SELECT substr(word, 1, l.l) AS piece, l.l AS len
+  SELECT substr(word, 1, l.l) AS piece, l.l AS len, SUM(n) AS wt
   FROM words, LATERAL (SELECT UNNEST(range(1, 7)) AS l) l
   WHERE length(word) >= l.l
   GROUP BY 1, 2
   HAVING l.l = 1 OR SUM(n) >= 50
 ), conts AS (
-  SELECT substr(word, j.j, l.l) AS piece, l.l AS len
+  SELECT substr(word, j.j, l.l) AS piece, l.l AS len, SUM(n) AS wt
   FROM words,
        LATERAL (SELECT UNNEST(range(2, length(word) + 1)) AS j) j,
        LATERAL (SELECT UNNEST(range(1, 7)) AS l) l
   WHERE j.j + l.l - 1 <= length(word)
   GROUP BY 1, 2
   HAVING l.l = 1 OR SUM(n) >= 50
-), vocab AS (
-  SELECT piece, len, TRUE AS is_head FROM heads
+), allp AS (
+  SELECT piece, len, wt, TRUE AS is_head FROM heads
   UNION ALL
-  SELECT piece, len, FALSE AS is_head FROM conts
+  SELECT piece, len, wt, FALSE AS is_head FROM conts
+), vocab AS (
+  -- Bounded vocab broadcast, mirrored from the engine: single chars
+  -- unconditional; multi-char pieces capped at the vocab_cap highest
+  -- weights, ties broken (is_head DESC, piece ASC).
+  SELECT piece, len, is_head FROM allp WHERE len = 1
+  UNION ALL
+  SELECT piece, len, is_head FROM (
+    SELECT piece, len, is_head,
+           row_number() OVER (ORDER BY wt DESC, is_head DESC, piece) AS rk
+    FROM allp WHERE len > 1)
+  WHERE rk <= {_WP_VOCAB_CAP}
 ), seg AS (
   SELECT word, n, CAST(1 AS BIGINT) AS pos,
          CAST('' AS VARCHAR) AS pieces, 0 AS np
@@ -547,7 +566,10 @@ def wordpiece_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text
 
     return text.wordpiece_encode(
-        load_table(spark, sf_dir, "documents"), max_piece=6, min_count=50
+        load_table(spark, sf_dir, "documents"),
+        max_piece=6,
+        min_count=50,
+        vocab_cap=_WP_VOCAB_CAP,
     )
 
 

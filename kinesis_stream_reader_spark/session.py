@@ -11,6 +11,7 @@ import os
 import sys
 
 from pyspark.sql import SparkSession
+from .scratch import scratch
 
 # The driver's synthetic parquet writes TIMESTAMP(NANOS), which Spark
 # rejects at schema inference unless this legacy conf is set. We read the
@@ -104,7 +105,7 @@ def get_spark(app_name: str = "kinesis_stream_reader_spark", cpus: int | None = 
         .config(NANOS_CONF, "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.warehouse.dir", "/tmp/ksr_warehouse")
+        .config("spark.sql.warehouse.dir", scratch("ksr_warehouse"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()

@@ -28,6 +28,7 @@ from pyspark.sql.types import BinaryType
 
 from ..operators.ingest import kpl_encode
 from .tables import load_events
+from ..scratch import scratch
 
 
 def source_fingerprint(sf_dir: str, table: str = "events") -> str:
@@ -71,8 +72,8 @@ def kpl_raw_records(
     via source_fingerprint), so a regenerated events table can never be
     compared against stale packed wire records — the cache simply
     misses and repacks."""
-    cache_dir = (
-        f"/tmp/ksr_raw_cache/{sf_dir.strip('/').replace('/', '_')}_g{group_size}"
+    cache_dir = scratch(
+        f"ksr_raw_cache/{sf_dir.strip('/').replace('/', '_')}_g{group_size}"
         f"_{source_fingerprint(sf_dir)}"
     )
     if cache and os.path.isdir(cache_dir):

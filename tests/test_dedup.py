@@ -919,3 +919,37 @@ def test_tfidf_cosine_pairs_brute_force(spark, sf_dir):
             if cos >= 0.5:
                 expect[(a, b)] = math.floor(cos * 1e6 + 0.5) / 1e6
     assert got == expect
+
+
+def test_canonical_url_first_occurrence_separators(spark):
+    """Repeated separators must anchor on the FIRST occurrence: a
+    second '://' or '?' belongs to the query string (round-10 fix —
+    substring_index(..., -1) re-anchored on the LAST)."""
+    from kinesis_stream_reader_spark.operators.dedup import canonical_url
+
+    cases = [
+        # second '://' inside a query param value
+        (
+            "HTTPS://Example.COM/a?redirect=https://other.example/x",
+            "https://example.com/a?redirect=https://other.example/x",
+        ),
+        # second '?' inside the query string
+        (
+            "http://Example.com/p?a=b?c&utm_source=x",
+            "http://example.com/p?a=b?c",
+        ),
+        # port + second colon never appears, but a lone port still strips
+        ("https://Example.com:443/a/", "https://example.com/a"),
+        ("http://h.example:8080/a?z=1&a=2", "http://h.example:8080/a?a=2&z=1"),
+        # fragment containing '?' and '://' is dropped before parsing
+        (
+            "https://h.example/a#frag?x=1://y",
+            "https://h.example/a",
+        ),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [
+        r["c"]
+        for r in df.select(canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]

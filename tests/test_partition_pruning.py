@@ -9,9 +9,10 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from kinesis_stream_reader_spark.scratch import scratch
 from kinesis_stream_reader_spark.sources.tables import load_events
 
-PART_DIR = "/tmp/ksr_partitioned_events"
+PART_DIR = scratch("ksr_partitioned_events")
 
 
 @pytest.fixture(scope="module")

@@ -139,8 +139,12 @@ def test_zorder_narrows_both_dimensions(spark):
 
     import __spark_entry__ as entrymod
 
+    from kinesis_stream_reader_spark.scratch import scratch
+
     entrymod.queries()["sink_zorder_parquet"](spark, sf_dir).count()
-    out_dir = f"/tmp/ksr_sink/{sf_dir.strip('/').replace('/', '_')}_events_zorder"
+    out_dir = scratch(
+        f"ksr_sink/{sf_dir.strip('/').replace('/', '_')}_events_zorder"
+    )
     files = sorted(glob.glob(f"{out_dir}/part-*.parquet"))
     assert len(files) >= 4
     from pyspark.sql import functions as F
