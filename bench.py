@@ -17,13 +17,9 @@ from kinesis_stream_reader_spark.session import get_spark  # noqa: E402
 import __spark_entry__ as entrymod  # noqa: E402
 
 
-def _load_previous_bench(out_path: str, sf) -> dict[str, float]:
-    """Per-query walls from the last COMMITTED bench (the on-disk
-    bench_out.json is the previous round's committed artifact when the
-    driver runs this). Used only for the noise re-probe; empty dict
-    disables it (first run / sf mismatch)."""
+def _walls_from(path: str, sf) -> dict[str, float]:
     try:
-        with open(out_path) as fh:
+        with open(path) as fh:
             prev = json.load(fh)
         if prev.get("sf") != sf:
             return {}
@@ -37,6 +33,32 @@ def _load_previous_bench(out_path: str, sf) -> dict[str, float]:
         return walls
     except (OSError, ValueError):
         return {}
+
+
+def _load_previous_bench(out_path: str, sf) -> dict[str, float]:
+    """Per-query re-probe baseline: the elementwise MIN of the newest
+    driver-committed round artifact (BENCH_r*.json) and the on-disk
+    bench_out.json. Round-10 fix: comparing against bench_out.json
+    alone let a mover slip in round 9 — mid-round reruns overwrite it,
+    so a query that regressed early in a round ratcheted its own
+    baseline up and never tripped the trigger against the COMMITTED
+    round number (log_parse_roundtrip, 1.42 -> 2.38 s, unprobed). The
+    min across both sources is the strictest honest baseline; empty
+    dict disables the re-probe (first run / sf mismatch).
+
+    BENCH_PREV_ROUND.json is the convention carrying the boundary
+    artifact: at the START of each round, copy the previous round's
+    final committed bench_out.json over it and commit (the driver's
+    own BENCH_r*.json wrappers keep only a tail-truncated compact
+    line, so they cannot serve as the per-query baseline)."""
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    snapshot = os.path.join(repo_dir, "BENCH_PREV_ROUND.json")
+    baseline: dict[str, float] = {}
+    for path in (snapshot, out_path):
+        for name, wall in _walls_from(path, sf).items():
+            if name not in baseline or wall < baseline[name]:
+                baseline[name] = wall
+    return baseline
 
 
 def main() -> None:
