@@ -42,6 +42,7 @@ from . import r6_round6  # noqa: E402,F401
 from . import r7_round7  # noqa: E402,F401
 from . import r8_round8  # noqa: E402,F401
 from . import r9_round9  # noqa: E402,F401
+from . import r10_round10  # noqa: E402,F401
 
 # Back-compat re-exports (callers use registry.<name> for these).
 from .r1_parity_ext import records_pipeline  # noqa: E402,F401
@@ -101,7 +102,8 @@ EAGER_QUERIES = frozenset(
     # streaming drains at build time (memory/file sinks filled before
     # the result DataFrame is returned)
     + [n for n in QUERIES if n.startswith("streaming_")]
-    + ["source_python_stream", "source_python_backfill"]
+    + ["source_python_stream", "source_python_backfill",
+       "source_python_reshard"]
 )
 
 # The correctness driver samples queries() in dict order and may stop

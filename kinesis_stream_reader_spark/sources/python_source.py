@@ -251,3 +251,185 @@ class KinesisBackfillStreamReader(DataSourceStreamReader):
         # sequence-number checkpoint hook; the streaming engine has
         # already durably recorded `end` in its offset log
         pass
+
+
+# ---------------------------------------------------------------------------
+# Reshard-aware backfill (round 10): real Kinesis streams split and
+# merge shards; a shard closes (its SequenceNumberRange gets an
+# EndingSequenceNumber) and its records CONTINUE in one or two child
+# shards that name it via ParentShardId / AdjacentParentShardId
+# (ListShards, docs/APIReference API_Shard). Per-key ordering is only
+# guaranteed if a parent is drained to SHARD_END before its children
+# start — the KCL's lease-ordering rule. The reference never faces
+# this (it reads exactly shard '0', kinesisReader/index.js:77).
+#
+# Spark-first shape: lineage is DATA, not scheduling. partitions()
+# groups shards into lineage CHAINS (connected components of the
+# parent->child DAG) — one InputPartition per chain, so independent
+# chains read fully in parallel while each chain's read() drains its
+# shards in topological order (parents to SHARD_END first, children
+# by shard_id within a generation). Every row additionally carries
+# (chain_id, generation, emit_idx), so downstream plans can VERIFY
+# parent-before-child emission declaratively instead of trusting the
+# scheduler; at 100 TB a chain is bounded by the retention window of
+# one hash-range family, and the chain count (~current shard count)
+# is the read parallelism, same as any Kinesis consumer.
+#
+# A parent listed in the manifest with no shard file is treated as
+# expired-from-retention (already fully consumed and trimmed) — the
+# KCL's parent-lease-gone case — so lineage still orders its
+# surviving descendants.
+# ---------------------------------------------------------------------------
+
+RESHARD_SCHEMA = (
+    "shard_id STRING, chain_id STRING, generation INT, emit_idx BIGINT, "
+    "sequence_number BIGINT, partition_key BIGINT, data BINARY"
+)
+
+_SHARDS_MANIFEST = "_SHARDS.json"
+
+
+def write_reshard_manifest(path: str, shards: list[dict]) -> None:
+    """Lineage manifest: [{shard_id, parent, adjacent_parent, closed}]
+    — the ListShards projection the reader plans from."""
+    with open(os.path.join(path, _SHARDS_MANIFEST), "w") as fh:
+        json.dump({"shards": shards}, fh, indent=1)
+
+
+def write_reshard_shard_file(
+    path: str, shard_id: str, records: list[tuple[int, int, bytes]]
+) -> None:
+    """One recorded-wire shard file: (sequence_number, partition_key,
+    payload) triples, line-ordered by sequence number like a
+    get_records drain."""
+    records = sorted(records)
+    with open(os.path.join(path, f"shard-{shard_id}.jsonl"), "w") as fh:
+        for seq, key, blob in records:
+            fh.write(
+                json.dumps(
+                    {
+                        "seq": seq,
+                        "key": key,
+                        "data": base64.b64encode(blob).decode(),
+                    }
+                )
+                + "\n"
+            )
+
+
+def plan_lineage_chains(shards: list[dict]) -> list[dict]:
+    """Pure planning step (driver-side, manifest-sized): topological
+    generation per shard (roots 0, child = 1 + max(parent gens)) and
+    connected-component chains. Returns one dict per chain:
+    {chain_id, shards: [(shard_id, generation), ...] in drain order}.
+    Drain order = generation, then shard_id — parents always precede
+    children; merge parents (same generation) drain deterministically
+    by id."""
+    by_id = {s["shard_id"]: s for s in shards}
+
+    def parents(sid: str) -> list[str]:
+        s = by_id[sid]
+        return [
+            p
+            for p in (s.get("parent"), s.get("adjacent_parent"))
+            if p and p in by_id
+        ]
+
+    gen: dict[str, int] = {}
+
+    def generation(sid: str) -> int:
+        if sid not in gen:
+            ps = parents(sid)
+            gen[sid] = 1 + max((generation(p) for p in ps), default=-1)
+        return gen[sid]
+
+    for sid in by_id:
+        generation(sid)
+
+    # union-find over parent edges -> chains
+    root: dict[str, str] = {sid: sid for sid in by_id}
+
+    def find(x: str) -> str:
+        while root[x] != x:
+            root[x] = root[root[x]]
+            x = root[x]
+        return x
+
+    for sid in by_id:
+        for p in parents(sid):
+            root[find(sid)] = find(p)
+
+    chains: dict[str, list[str]] = {}
+    for sid in by_id:
+        chains.setdefault(find(sid), []).append(sid)
+    out = []
+    for members in chains.values():
+        ordered = sorted(members, key=lambda s: (gen[s], s))
+        out.append(
+            {
+                "chain_id": min(members),
+                "shards": [(s, gen[s]) for s in ordered],
+            }
+        )
+    return sorted(out, key=lambda c: c["chain_id"])
+
+
+class _ChainPartition(InputPartition):
+    def __init__(self, chain_id: str, dir_: str, shards: list) -> None:
+        self.chain_id = chain_id
+        self.dir = dir_
+        self.shards = shards  # [(shard_id, generation)] in drain order
+
+
+class KinesisReshardReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.dir = options["path"]
+
+    def partitions(self):
+        with open(os.path.join(self.dir, _SHARDS_MANIFEST)) as fh:
+            manifest = json.load(fh)
+        return [
+            _ChainPartition(c["chain_id"], self.dir, c["shards"])
+            for c in plan_lineage_chains(manifest["shards"])
+        ]
+
+    def read(self, partition: _ChainPartition):
+        # ON THE EXECUTOR: drain the chain's shards in topological
+        # order — each parent hits SHARD_END (EOF of its recorded
+        # wire) before any child opens, which is exactly the KCL
+        # parent-lease rule; emit_idx materializes that order as data
+        emit = 0
+        for shard_id, generation in partition.shards:
+            path = os.path.join(partition.dir, f"shard-{shard_id}.jsonl")
+            if not os.path.exists(path):
+                # parent expired from retention: already consumed
+                continue
+            with open(path) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    yield (
+                        shard_id,
+                        partition.chain_id,
+                        generation,
+                        emit,
+                        rec["seq"],
+                        rec["key"],
+                        base64.b64decode(rec["data"]),
+                    )
+                    emit += 1
+
+
+class KinesisReshardDataSource(DataSource):
+    """`kinesis_reshard` format: lineage-aware recorded-wire backfill —
+    one InputPartition per parent/child chain, parents drained to
+    SHARD_END before children."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kinesis_reshard"
+
+    def schema(self) -> str:
+        return RESHARD_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return KinesisReshardReader(self.options)

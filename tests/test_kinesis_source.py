@@ -364,3 +364,120 @@ def test_python_stream_source_drains_in_pages(spark, sf_dir, tmp_path):
     ]
     # exactly-once: the replayed drain added ONLY the new record
     assert len(second) == 4
+
+
+class TestReshardSource:
+    """kinesis_reshard: lineage-chain planning + parent-before-child
+    drain order (round 10)."""
+
+    LINEAGE = [
+        {"shard_id": "s0", "closed": True},
+        {"shard_id": "s2", "parent": "s0"},
+        {"shard_id": "s3", "parent": "s0"},
+        {"shard_id": "s1a", "closed": True},
+        {"shard_id": "s1b", "closed": True},
+        {"shard_id": "s4", "parent": "s1a", "adjacent_parent": "s1b"},
+    ]
+
+    def _fixture(self, tmp_path):
+        from kinesis_stream_reader_spark.sources.python_source import (
+            write_reshard_manifest,
+            write_reshard_shard_file,
+        )
+
+        d = str(tmp_path)
+        # split family: key 7 lives in s0 then s2; merge family: key 60
+        # lives in s1a then s4, key 80 in s1b then s4
+        write_reshard_shard_file(d, "s0", [(1, 7, b"a"), (3, 7, b"b")])
+        write_reshard_shard_file(d, "s2", [(10, 7, b"c")])
+        write_reshard_shard_file(d, "s3", [(11, 30, b"d")])
+        write_reshard_shard_file(d, "s1a", [(2, 60, b"e")])
+        write_reshard_shard_file(d, "s1b", [(4, 80, b"f")])
+        write_reshard_shard_file(
+            d, "s4", [(20, 60, b"g"), (21, 80, b"h")]
+        )
+        write_reshard_manifest(d, self.LINEAGE)
+        return d
+
+    def test_chain_planning(self):
+        from kinesis_stream_reader_spark.sources.python_source import (
+            plan_lineage_chains,
+        )
+
+        chains = plan_lineage_chains(self.LINEAGE)
+        assert [c["chain_id"] for c in chains] == ["s0", "s1a"]
+        assert chains[0]["shards"] == [("s0", 0), ("s2", 1), ("s3", 1)]
+        assert chains[1]["shards"] == [("s1a", 0), ("s1b", 0), ("s4", 1)]
+
+    def test_parent_drains_before_children(self, spark, tmp_path):
+        from kinesis_stream_reader_spark.sources.python_source import (
+            KinesisReshardDataSource,
+        )
+
+        spark.dataSource.register(KinesisReshardDataSource)
+        d = self._fixture(tmp_path)
+        rows = (
+            spark.read.format("kinesis_reshard")
+            .option("path", d)
+            .load()
+            .collect()
+        )
+        assert len(rows) == 8
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r.shard_id, []).append(r)
+        # within each chain, every parent row's emit_idx precedes every
+        # child row's (SHARD_END before children — the KCL lease rule)
+        assert max(r.emit_idx for r in by_shard["s0"]) < min(
+            r.emit_idx for r in by_shard["s2"] + by_shard["s3"]
+        )
+        assert max(
+            r.emit_idx
+            for r in by_shard["s1a"] + by_shard["s1b"]
+        ) < min(r.emit_idx for r in by_shard["s4"])
+        # per-key sequence order along emission order
+        for key in (7, 60, 80):
+            krows = sorted(
+                (r for r in rows if r.partition_key == key),
+                key=lambda r: r.emit_idx,
+            )
+            seqs = [r.sequence_number for r in krows]
+            assert seqs == sorted(seqs)
+        # generations from topology
+        gens = {r.shard_id: r.generation for r in rows}
+        assert gens == {
+            "s0": 0, "s2": 1, "s3": 1, "s1a": 0, "s1b": 0, "s4": 1,
+        }
+
+    def test_expired_parent_is_skipped(self, spark, tmp_path):
+        """A manifest-listed parent with no wire file = expired from
+        retention (already consumed): descendants still drain in
+        lineage order."""
+        from kinesis_stream_reader_spark.sources.python_source import (
+            KinesisReshardDataSource,
+            write_reshard_manifest,
+            write_reshard_shard_file,
+        )
+
+        spark.dataSource.register(KinesisReshardDataSource)
+        d = str(tmp_path)
+        write_reshard_shard_file(d, "c1", [(5, 1, b"x")])
+        write_reshard_shard_file(d, "c2", [(9, 1, b"y")])
+        write_reshard_manifest(
+            d,
+            [
+                {"shard_id": "p", "closed": True},  # no file
+                {"shard_id": "c1", "parent": "p", "closed": True},
+                {"shard_id": "c2", "parent": "c1"},
+            ],
+        )
+        rows = sorted(
+            spark.read.format("kinesis_reshard")
+            .option("path", d)
+            .load()
+            .collect(),
+            key=lambda r: r.emit_idx,
+        )
+        assert [r.shard_id for r in rows] == ["c1", "c2"]
+        assert [r.generation for r in rows] == [1, 2]
+        assert [r.chain_id for r in rows] == ["c1", "c1"]
