@@ -2401,3 +2401,154 @@ def range_search(embeddings, query_vec_id: int = 0, r2_milli: int = 1_600_000):
         vecs.mapInPandas(batches, "vec_id LONG, d2 LONG")
         .orderBy("d2", "vec_id")
     )
+
+
+def ann_ivfpq_batch(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    n_lists: int = 16,
+    max_iter: int = 5,
+) -> DataFrame:
+    """BATCHED IVF-PQ serving (round 10): production ANN serves query
+    SETS, not one vector at a time, and batching changes the broadcast
+    shape — instead of one LUT per query, the driver holds a
+    (query, probed-list) -> LUT table and the single map-side Arrow
+    pass scores EVERY query against each list cell it probes. The
+    vector-side work (coarse assign, residual, PQ encode) happens
+    exactly ONCE per vector regardless of batch size — that
+    amortization is the entire point of batched serving.
+
+    The query set is the n_queries smallest vec_ids (rank-based, no
+    contiguous-id assumption — the r8 seeding convention); each query
+    probes its own nprobe nearest lists and gets its own top-k, with
+    itself excluded. Same exact-int64 arithmetic as ann_ivfpq_trained,
+    so the single-query path and the batch path agree row-for-row on
+    the shared query (asserted in pytest).
+
+    Plan shape / 100 TB: training + centroids + codebook + the
+    n_queries x nprobe LUT table (each m x n_codes ints) are
+    driver-held broadcasts; the Arrow pass emits AT MOST
+    nprobe * k rows per query per batch (exact per-cell partial
+    top-k by (adc, vec_id) — the map-side combine for top-k), so the
+    final per-query rank window shuffles O(batches * nprobe * k) rows
+    keyed by query_id, never the corpus. Batch size scales the LUT
+    broadcast linearly and the scan not at all."""
+    import numpy as np
+
+    cents, _, vecs = _lloyd_centroids(embeddings, n_lists, max_iter)
+    if not cents:  # empty corpus: empty result, same schema
+        return vecs.select(
+            F.col("vec_id").alias("query_id"),
+            F.lit(1).cast("int").alias("rank"),
+            "vec_id",
+            F.lit(0).cast("long").alias("adc_d2"),
+        )
+    cids = np.array([c[0] for c in cents], np.int64)
+    cmat = np.stack([c[1] for c in cents])
+    if cmat.shape[1] % m != 0:
+        raise ValueError(
+            f"embedding dim {cmat.shape[1]} is not divisible by m={m}; "
+            "PQ requires equal-width subspaces"
+        )
+    sub = cmat.shape[1] // m
+    cb, n_codes = _pq_seed_codebook(vecs, cmat, cids, n_lists, n_codes)
+
+    qrows = sorted(
+        vecs.orderBy("vec_id").limit(n_queries).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([r["vec_id"] for r in qrows], np.int64)
+    qmat = np.stack([np.asarray(r["xq"], np.int64) for r in qrows])
+
+    # per-query probe sets + the (list -> [(query_index, LUT)]) table:
+    # ONE driver-held structure for the whole batch
+    lut_by_list: dict[int, list] = {}
+    for qi in range(len(qids)):
+        qd2 = ((qmat[qi][None, :] - cmat) ** 2).sum(1)
+        for pi in np.lexsort((cids, qd2))[:nprobe]:
+            rq = qmat[qi] - cmat[pi]
+            lut = np.zeros((m, n_codes), np.int64)
+            for s in range(m):
+                sl = slice(s * sub, (s + 1) * sub)
+                lut[s] = ((rq[sl][None, :] - cb[:, sl]) ** 2).sum(1)
+            lut_by_list.setdefault(int(cids[pi]), []).append((qi, lut))
+    probed_all = np.array(sorted(lut_by_list), np.int64)
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            v = np.array(pdf["xq"].tolist(), np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            d2 = (
+                (v * v).sum(1)[:, None]
+                - 2 * (v @ cmat.T)
+                + (cmat * cmat).sum(1)[None, :]
+            )
+            packed = (d2 * n_lists + cids[None, :]).min(1)
+            lst = (packed % n_lists).astype(np.int64)
+            mask = np.isin(lst, probed_all)
+            if not mask.any():
+                continue
+            v, ids, lst = v[mask], ids[mask], lst[mask]
+            li = np.searchsorted(cids, lst)
+            r = v - cmat[li]
+            # PQ-encode ONCE per vector — shared by every query
+            codes = np.zeros((len(ids), m), np.int64)
+            for s in range(m):
+                sl = slice(s * sub, (s + 1) * sub)
+                dist = (
+                    (r[:, sl] * r[:, sl]).sum(1)[:, None]
+                    - 2 * (r[:, sl] @ cb[:, sl].T)
+                    + (cb[:, sl] * cb[:, sl]).sum(1)[None, :]
+                )
+                codes[:, s] = (
+                    (dist * n_codes + np.arange(n_codes)[None, :]).min(1)
+                    % n_codes
+                )
+            out_q, out_id, out_adc = [], [], []
+            span = np.arange(m)[None, :]
+            for lid, qluts in lut_by_list.items():
+                sel = lst == lid
+                if not sel.any():
+                    continue
+                c_sel = codes[sel]
+                ids_sel = ids[sel]
+                for qi, lut in qluts:
+                    keep = ids_sel != qids[qi]
+                    if not keep.any():
+                        continue
+                    adc = lut[span % m, c_sel[keep]].sum(1)
+                    # exact per-cell partial top-k by (adc, vec_id):
+                    # lexsort (not argpartition) so equal-adc rows keep
+                    # the vec_id tie-break the global rank uses
+                    top = np.lexsort((ids_sel[keep], adc))[:k]
+                    out_q.append(np.full(len(top), qids[qi], np.int64))
+                    out_id.append(ids_sel[keep][top])
+                    out_adc.append(adc[top])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_id),
+                    "adc_d2": np.concatenate(out_adc),
+                }
+            )
+
+    out = vecs.mapInPandas(
+        batches, "query_id LONG, vec_id LONG, adc_d2 LONG"
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "adc_d2")
+        .orderBy("query_id", "rank")
+    )

@@ -186,3 +186,110 @@ def source_python_reshard_query(
         )
         .orderBy("partition_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — ann_ivfpq_batch: batched IVF-PQ serving. Every prior ANN
+# query serves ONE vector; production serves query SETS, and the
+# broadcast shape changes (one LUT per query -> a (query, probed-list)
+# LUT table scored in one shared Arrow pass). The oracle extends the
+# r8 ADC chain with a query dimension: qset = the 8 smallest vec_ids,
+# per-query probe ranking, per-(query, list) residual LUTs, per-query
+# rank. Same exact-int64 arithmetic end to end.
+# ---------------------------------------------------------------------------
+_BATCH_ADC_CTES = """
+, resid AS (
+  SELECT t.vec_id, t.list_id,
+         list_transform(list_zip(w.v, f.c), p -> p[1] - p[2]) AS r
+  FROM tl t JOIN vecs w USING (vec_id)
+  JOIN fcents f ON f.cid = t.list_id
+), qset AS (
+  SELECT vec_id AS query_id, v AS qv FROM vecs
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
+), probe AS (
+  SELECT q.query_id, f.cid AS list_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(list_zip(q.qv, f.c),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                    (a, b) -> a + b) ASC, f.cid ASC) AS pr
+  FROM qset q CROSS JOIN fcents f
+), probed AS (
+  SELECT query_id, list_id FROM probe WHERE pr <= 2
+), cb AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, r
+  FROM resid QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
+), codes AS (
+  SELECT c.vec_id, c.list_id, s.s,
+         MIN(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_zip(list_slice(c.r, s.s * 16 + 1, s.s * 16 + 16),
+                          list_slice(b.r, s.s * 16 + 1, s.s * 16 + 16)),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))),
+             (a, b) -> a + b) * 8 + b.code_id) % 8 AS code
+  FROM resid c CROSS JOIN cb b, (SELECT UNNEST(range(4)) AS s) s
+  WHERE c.list_id IN (SELECT DISTINCT list_id FROM probed)
+  GROUP BY c.vec_id, c.list_id, s.s
+), qresid AS (
+  SELECT p.query_id, p.list_id,
+         list_transform(list_zip(q.qv, f.c), x -> x[1] - x[2]) AS rq
+  FROM probed p
+  JOIN qset q USING (query_id)
+  JOIN fcents f ON f.cid = p.list_id
+), lut AS (
+  SELECT q.query_id, q.list_id, s.s, b.code_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             list_zip(list_slice(q.rq, s.s * 16 + 1, s.s * 16 + 16),
+                      list_slice(b.r, s.s * 16 + 1, s.s * 16 + 16)),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, b) -> a + b) AS d
+  FROM qresid q CROSS JOIN cb b, (SELECT UNNEST(range(4)) AS s) s
+), adc AS (
+  SELECT l.query_id, cd.vec_id, SUM(l.d) AS adc_d2
+  FROM codes cd
+  JOIN lut l ON l.list_id = cd.list_id AND l.s = cd.s AND l.code_id = cd.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY l.query_id, cd.vec_id
+)
+"""
+
+
+def _register_ann_ivfpq_batch():
+    from .r8_round8 import _MAX_ITER, _N_LISTS, _TRAINED_TL_CTE
+
+    @register(
+        "ann_ivfpq_batch",
+        _TRAINED_TL_CTE + _BATCH_ADC_CTES + """
+SELECT query_id, rank::INT AS rank, vec_id, adc_d2::BIGINT AS adc_d2
+FROM (
+  SELECT query_id, vec_id, adc_d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rank
+  FROM adc)
+WHERE rank <= 10 ORDER BY query_id, rank
+""",
+    )
+    def ann_ivfpq_batch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Batched IVF-PQ over the fixture: the 8 smallest vec_ids as
+        the query set, each probing its own nprobe lists, scored in
+        ONE shared Arrow pass (similarity.ann_ivfpq_batch) — vectors
+        are coarse-assigned and PQ-encoded once for the whole batch."""
+        from ..operators import similarity
+
+        return similarity.ann_ivfpq_batch(
+            load_table(spark, sf_dir, "embeddings"),
+            n_queries=8,
+            k=10,
+            nprobe=2,
+            m=4,
+            n_codes=8,
+            n_lists=_N_LISTS,
+            max_iter=_MAX_ITER,
+        )
+
+    return ann_ivfpq_batch_query
+
+
+ann_ivfpq_batch_query = _register_ann_ivfpq_batch()

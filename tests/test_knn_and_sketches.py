@@ -687,3 +687,43 @@ def test_betweenness_matches_pure_python_brandes(spark, sf_dir):
                 bc[u] += delta[u]
     want = {v: bc.get(v, 0) for v in verts}
     assert got == want
+
+
+def test_ann_ivfpq_batch_matches_single_query_path(spark, sf_dir):
+    """Recall parity: the batch path's rows for a given query must be
+    IDENTICAL to ann_ivfpq_trained serving that query alone — batching
+    changes the broadcast/amortization shape, never the math."""
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = {
+        qid: sorted(
+            (r.rank, r.vec_id, r.adc_d2) for r in rows
+        )
+        for qid, rows in __import__("itertools").groupby(
+            sorted(
+                similarity.ann_ivfpq_batch(emb, n_queries=3).collect(),
+                key=lambda r: (r.query_id, r.rank),
+            ),
+            key=lambda r: r.query_id,
+        )
+    }
+    assert len(batch) == 3
+    for qid, rows in batch.items():
+        single = sorted(
+            (r.rank, r.vec_id, r.adc_d2)
+            for r in similarity.ann_ivfpq_trained(
+                emb, query_vec_id=qid
+            ).collect()
+        )
+        assert rows == single, f"query {qid} diverges from single path"
+
+
+def test_ann_ivfpq_batch_excludes_self(spark, sf_dir):
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for r in similarity.ann_ivfpq_batch(emb, n_queries=2).collect():
+        assert r.vec_id != r.query_id
