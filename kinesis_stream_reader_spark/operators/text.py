@@ -3490,3 +3490,180 @@ def delong_auc_ci(documents: DataFrame) -> DataFrame:
             ).alias("ci_hi"),
         )
     )
+
+
+def unigram_lm_encode(
+    documents: DataFrame,
+    max_piece: int = 6,
+    min_count: int = 50,
+    em_iters: int = 1,
+) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenization (Kudo 2018 —
+    public method), the third tokenizer leg next to BPE and WordPiece:
+    piece scores are log-likelihoods under a unigram LM over pieces,
+    estimated by hard (Viterbi) EM on the distinct-word census, and
+    encoding is the Viterbi segmentation — the GLOBALLY best piece
+    sequence, not a greedy walk.
+
+    Deterministic integer-exact variant so the DuckDB oracle replays
+    it bit-identically:
+
+      * seed inventory: every substring occurrence of length
+        1..max_piece, weighted by word frequency; len>1 pieces need
+        wt >= min_count, single chars are unconditional (totality);
+      * scores are micro-nats: lp = floor(ln(wt / total) * 1e6 + 0.5)
+        — the established ln-on-the-1e-6-grid convention (ln is the
+        only transcendental, <= 1 ulp on both engines); Viterbi then
+        MAXIMIZES an exact bigint sum;
+      * hard-EM iteration: Viterbi-segment every distinct word, count
+        piece usage weighted by word frequency, re-score from usage
+        (zero-usage pieces drop; zero-usage single chars persist with
+        usage 1 — SentencePiece's required-character rule);
+      * Viterbi ties break to the LONGEST piece at each position
+        (ascending-j >= update = the oracle backtrace's MAX(len)
+        achiever).
+
+    Output: one row per distinct word — occurrence count, piece
+    sequence, fertility, and the exact total score in micro-nats.
+
+    Plan shape / 100 TB: the word census is ONE partial-agg'd shuffle
+    of the corpus; the substring census explodes bounded factors of
+    the DISTINCT-word relation; EM usage counting is a piece-keyed
+    partial agg of the segmented census; the vocab (two collects per
+    EM iteration, frequency-thresholded) is the broadcast model
+    artifact, same policy as wordpiece_encode/bpe_train_merges. The
+    corpus itself is touched exactly once."""
+    import math
+
+    words = (
+        documents.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+    wl = words.select("word", "n", F.length("word").alias("wl"))
+    occ = (
+        wl.select(
+            F.explode(F.sequence(F.lit(1), F.col("wl"))).alias("j"),
+            "word",
+            "n",
+            "wl",
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_piece), F.col("wl") - F.col("j") + 1),
+                )
+            ).alias("l"),
+            "word",
+            "n",
+            "j",
+        )
+        .select(F.expr("substr(word, j, l)").alias("piece"), "l", "n")
+        .groupBy("piece", "l")
+        .agg(F.sum("n").alias("wt"))
+        .filter((F.col("l") == 1) | (F.col("wt") >= min_count))
+    )
+    rows = occ.select("piece", "wt").collect()
+    if not rows:
+        return words.select(
+            "word",
+            F.col("n").cast("long").alias("n_occurrences"),
+            F.lit("").alias("pieces"),
+            F.lit(0).cast("int").alias("n_pieces"),
+            F.lit(0).cast("long").alias("score_u"),
+        )
+    total = sum(int(r["wt"]) for r in rows)
+    vocab = {
+        r["piece"]: int(math.floor(math.log(int(r["wt"]) / total) * 1e6 + 0.5))
+        for r in rows
+    }
+    singles = {p for p in vocab if len(p) == 1}
+
+    def _viterbi_batches(vcb: dict):
+        def batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                out_p, out_np, out_s = [], [], []
+                for word in pdf["word"]:
+                    L = len(word)
+                    NEG = -(1 << 60)
+                    dp = [0] + [NEG] * L
+                    bp = [0] * (L + 1)
+                    for p in range(1, L + 1):
+                        for j in range(1, min(max_piece, p) + 1):
+                            lp = vcb.get(word[p - j : p])
+                            if lp is None:
+                                continue
+                            cand = dp[p - j] + lp
+                            # >= with ascending j = longest achiever,
+                            # mirroring the oracle backtrace MAX(len)
+                            if cand >= dp[p]:
+                                dp[p], bp[p] = cand, j
+                        # single chars are unconditional, so dp[p] is
+                        # always reachable; a broken vocab still
+                        # terminates (dp stays NEG, bp=0 -> drop)
+                    if dp[L] <= NEG:
+                        out_p.append(None)
+                        out_np.append(0)
+                        out_s.append(0)
+                        continue
+                    pieces, p = [], L
+                    while p > 0:
+                        pieces.append(word[p - bp[p] : p])
+                        p -= bp[p]
+                    pieces.reverse()
+                    out_p.append(" ".join(pieces))
+                    out_np.append(len(pieces))
+                    out_s.append(dp[L])
+                res = pd.DataFrame(
+                    {
+                        "word": pdf["word"],
+                        "n": pdf["n"],
+                        "pieces": out_p,
+                        "n_pieces": out_np,
+                        "score_u": out_s,
+                    }
+                )
+                yield res[res["pieces"].notna()]
+
+        return batches
+
+    seg_schema = (
+        "word STRING, n LONG, pieces STRING, n_pieces INT, score_u LONG"
+    )
+    for _ in range(em_iters):
+        seg = words.mapInPandas(_viterbi_batches(vocab), seg_schema)
+        usage = (
+            seg.select(
+                F.explode(F.split("pieces", " ")).alias("piece"), "n"
+            )
+            .groupBy("piece")
+            .agg(F.sum("n").alias("u"))
+        )
+        urows = usage.collect()
+        u = {r["piece"]: int(r["u"]) for r in urows}
+        kept = {p: w for p, w in u.items() if w > 0}
+        for c in singles:
+            kept.setdefault(c, 1)
+        totu = sum(kept.values())
+        vocab = {
+            p: int(math.floor(math.log(w / totu) * 1e6 + 0.5))
+            for p, w in kept.items()
+        }
+
+    return (
+        words.mapInPandas(_viterbi_batches(vocab), seg_schema)
+        .select(
+            "word",
+            F.col("n").cast("long").alias("n_occurrences"),
+            "pieces",
+            F.col("n_pieces").cast("int").alias("n_pieces"),
+            F.col("score_u").cast("long").alias("score_u"),
+        )
+        .orderBy("word")
+    )

@@ -293,3 +293,123 @@ WHERE rank <= 10 ORDER BY query_id, rank
 
 
 ann_ivfpq_batch_query = _register_ann_ivfpq_batch()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — unigram_lm_encode: the SentencePiece-style unigram-LM
+# tokenizer (Kudo 2018) next to BPE and WordPiece. Hard (Viterbi) EM
+# on the distinct-word census with micro-nat integer scores; the
+# oracle replays BOTH the EM iteration and the final encode: forward
+# Viterbi as a list-valued recursive DP (the dtw/wer loop-oracle
+# convention), backtrace as a MAX(len)-achiever recursive walk,
+# usage re-estimation in between. ln() is the only transcendental,
+# quantized half-up on the 1e-6 grid; everything else is exact
+# bigint.
+# ---------------------------------------------------------------------------
+def _unigram_viterbi_ctes(tag: str, vocab: str) -> str:
+    """Forward-DP + backtrace CTE pair over `words`, scoring with
+    piece relation `vocab` (piece, len, lp). Emits back{tag} whose
+    pos = 0 rows carry the Viterbi segmentation."""
+    return f"""
+, dp{tag} AS (
+  SELECT word, n, 0 AS p, [CAST(0 AS BIGINT)] AS d FROM words
+  UNION ALL
+  SELECT word, n, p + 1 AS p, list_append(d, b) AS d
+  FROM (
+    SELECT t.word, t.n, t.p, t.d,
+           MAX(t.d[t.p + 2 - v.len] + v.lp) AS b
+    FROM dp{tag} t
+    JOIN {vocab} v
+      ON v.len <= t.p + 1
+     AND v.piece = substr(t.word, t.p + 2 - v.len, v.len)
+    WHERE t.p < length(t.word)
+    GROUP BY t.word, t.n, t.p, t.d
+  )
+), back{tag} AS (
+  SELECT word, n, length(word) AS pos,
+         CAST('' AS VARCHAR) AS pieces, 0 AS np, d
+  FROM dp{tag} WHERE p = length(word)
+  UNION ALL
+  SELECT word, n, pos - bj AS pos,
+         CASE WHEN pieces = '' THEN substr(word, pos - bj + 1, bj)
+              ELSE substr(word, pos - bj + 1, bj) || ' ' || pieces
+         END AS pieces,
+         np + 1 AS np, d
+  FROM (
+    SELECT b.word, b.n, b.pos, b.pieces, b.np, b.d,
+           MAX(v.len) AS bj
+    FROM back{tag} b
+    JOIN {vocab} v
+      ON v.len <= b.pos
+     AND v.piece = substr(b.word, b.pos - v.len + 1, v.len)
+     AND b.d[b.pos - v.len + 1] + v.lp = b.d[b.pos + 1]
+    WHERE b.pos > 0
+    GROUP BY b.word, b.n, b.pos, b.pieces, b.np, b.d
+  )
+)"""
+
+
+@register(
+    "unigram_lm_encode",
+    """
+WITH RECURSIVE words AS (
+  SELECT tok AS word, COUNT(*) AS n
+  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> '' GROUP BY tok
+), occ AS (
+  SELECT substr(word, j.j, l.l) AS piece, l.l AS len, SUM(n) AS wt
+  FROM words,
+       LATERAL (SELECT UNNEST(range(1, length(word) + 1)) AS j) j,
+       LATERAL (SELECT UNNEST(range(1, 7)) AS l) l
+  WHERE j.j + l.l - 1 <= length(word)
+  GROUP BY 1, 2
+  HAVING l.l = 1 OR SUM(n) >= 50
+), v0 AS (
+  SELECT piece, len,
+         CAST(floor(ln(CAST(wt AS DOUBLE) / (SELECT SUM(wt) FROM occ))
+                    * 1e6 + 0.5) AS BIGINT) AS lp
+  FROM occ
+)"""
+    + _unigram_viterbi_ctes("0", "v0")
+    + """
+, usage AS (
+  SELECT piece, SUM(n) AS u
+  FROM (SELECT unnest(string_split(pieces, ' ')) AS piece, n
+        FROM back0 WHERE pos = 0)
+  GROUP BY piece
+), kept AS (
+  SELECT piece, u FROM usage
+  UNION ALL
+  SELECT v.piece, CAST(1 AS BIGINT) AS u
+  FROM v0 v
+  WHERE v.len = 1 AND v.piece NOT IN (SELECT piece FROM usage)
+), v1 AS (
+  SELECT piece, length(piece) AS len,
+         CAST(floor(ln(CAST(u AS DOUBLE) / (SELECT SUM(u) FROM kept))
+                    * 1e6 + 0.5) AS BIGINT) AS lp
+  FROM kept
+)"""
+    + _unigram_viterbi_ctes("1", "v1")
+    + """
+SELECT word, n::BIGINT AS n_occurrences, pieces, np::INT AS n_pieces,
+       d[length(word) + 1]::BIGINT AS score_u
+FROM back1 WHERE pos = 0
+ORDER BY word
+""",
+)
+def unigram_lm_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization over the corpus vocabulary
+    (text.unigram_lm_encode): substring-census seed scores, one hard-
+    EM iteration (Viterbi usage counts -> re-estimated micro-nat
+    scores, zero-usage single chars persisting at usage 1), Viterbi
+    encode with longest-piece tie-break. One row per distinct word:
+    occurrence count, piece sequence, fertility, exact total score."""
+    from ..operators import text
+
+    return text.unigram_lm_encode(
+        load_table(spark, sf_dir, "documents"),
+        max_piece=6,
+        min_count=50,
+        em_iters=1,
+    )

@@ -886,3 +886,94 @@ def test_ece_report_closed_form_on_tiny_corpus(spark):
     assert (row.n_docs, row.n_bins) == (5, len(cells))
     assert row.ece == ece
     assert row.max_gap == max_gap
+
+
+def test_unigram_lm_viterbi_is_globally_optimal(spark, sf_dir):
+    """The emitted score must equal the brute-force best segmentation
+    score under the final vocab — Viterbi, not greedy (pure-Python
+    replay of the EM + exhaustive segmentation on the same census)."""
+    import itertools
+    import math
+    from collections import Counter
+
+    from kinesis_stream_reader_spark.operators import text
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {
+        r.word: (r.pieces, r.n_pieces, r.score_u)
+        for r in text.unigram_lm_encode(docs).collect()
+    }
+
+    words = Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.strip().split():
+            if w:
+                words[w] += 1
+
+    # seed census + scores (mirror of the operator)
+    occ = Counter()
+    for w, n in words.items():
+        for j in range(len(w)):
+            for l in range(1, min(6, len(w) - j) + 1):
+                occ[w[j : j + l]] += n
+    occ = {p: c for p, c in occ.items() if len(p) == 1 or c >= 50}
+    tot = sum(occ.values())
+    vocab = {p: math.floor(math.log(c / tot) * 1e6 + 0.5) for p, c in occ.items()}
+
+    def viterbi(w, vcb):
+        NEG = -(1 << 60)
+        dp = [0] + [NEG] * len(w)
+        bp = [0] * (len(w) + 1)
+        for p in range(1, len(w) + 1):
+            for j in range(1, min(6, p) + 1):
+                lp = vcb.get(w[p - j : p])
+                if lp is not None and dp[p - j] + lp >= dp[p]:
+                    dp[p], bp[p] = dp[p - j] + lp, j
+        pieces, p = [], len(w)
+        while p > 0:
+            pieces.append(w[p - bp[p] : p])
+            p -= bp[p]
+        return list(reversed(pieces)), dp[len(w)]
+
+    # hard-EM iteration
+    usage = Counter()
+    for w, n in words.items():
+        for piece in viterbi(w, vocab)[0]:
+            usage[piece] += n
+    kept = dict(usage)
+    for p in vocab:
+        if len(p) == 1:
+            kept.setdefault(p, 1)
+    totu = sum(kept.values())
+    vocab1 = {
+        p: math.floor(math.log(c / totu) * 1e6 + 0.5) for p, c in kept.items()
+    }
+
+    def brute_best(w):
+        best = None
+        L = len(w)
+        for cuts in itertools.product([0, 1], repeat=L - 1):
+            pos, pieces, s, ok = 0, [], 0, True
+            bounds = [i + 1 for i, c in enumerate(cuts) if c] + [L]
+            for b in bounds:
+                piece = w[pos:b]
+                if len(piece) > 6 or piece not in vocab1:
+                    ok = False
+                    break
+                s += vocab1[piece]
+                pieces.append(piece)
+                pos = b
+            if ok and (best is None or s > best):
+                best = s
+        return best
+
+    assert set(got) == set(words)
+    checked = 0
+    for w in sorted(words):
+        pieces, score = viterbi(w, vocab1)
+        assert got[w] == (" ".join(pieces), len(pieces), score), w
+        if len(w) <= 12:  # brute force 2^(L-1) segmentations
+            assert score == brute_best(w), w
+            checked += 1
+    assert checked > 0
