@@ -1171,6 +1171,53 @@ def decode_tiff(data: bytes):
             f"TIFF compression {compression} not supported "
             "(have none/LZW/Deflate/PackBits)"
         )
+    if tags.get(258, [8]) == [16] and tags.get(277, [1])[0] == 1:
+        # 16-bit grayscale (stripped, BlackIsZero): the scientific/
+        # scanned-corpus depth. Samples are 16-bit words in the FILE
+        # byte order (spec §7: the header's II/MM governs sample
+        # bytes), decompressed per segment like every other layout;
+        # output keeps the full uint16 range (the PNG16 convention),
+        # replicated to 3 channels.
+        if tags.get(262, [1])[0] != 1:
+            raise NotImplementedError(
+                "16-bit gray TIFF requires PhotometricInterpretation 1"
+            )
+        if 322 in tags or 323 in tags or tags.get(284, [1])[0] == 2:
+            raise NotImplementedError(
+                "16-bit gray TIFF supports the stripped chunky layout"
+            )
+
+        def _inflate_gray16(o, c, expected):
+            raw = data[o : o + c]
+            if compression == 5:
+                return _lzw_decode_tiff(raw, expected)
+            if compression == 8:
+                import zlib
+
+                out = zlib.decompress(raw)
+                if len(out) < expected:
+                    raise ValueError(
+                        "TIFF Deflate segment shorter than expected"
+                    )
+                return out[:expected]
+            if compression == 32773:
+                return _packbits_decode(raw, expected)
+            if len(raw) < expected:
+                raise ValueError("TIFF segment shorter than expected")
+            return raw[:expected]
+
+        offsets, counts = tags[273], tags[279]
+        rows_per_strip = tags.get(278, [h])[0]
+        if len(offsets) != -(-h // rows_per_strip):
+            raise ValueError("TIFF strip count does not match dimensions")
+        pieces = []
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            pieces.append(_inflate_gray16(o, c, nrows * w * 2))
+        g = np.frombuffer(
+            b"".join(pieces), dtype=np.dtype(f"{e}u2")
+        ).reshape(h, w)
+        return np.repeat(g[:, :, None], 3, axis=2).astype(np.uint16)
     if tags.get(258, [8]) == [8] and tags.get(277, [1])[0] == 1:
         # 8-bit grayscale (stripped, BlackIsZero): per-segment inflate
         # shared with the RGB path; raw samples replicated to RGB
@@ -1214,7 +1261,7 @@ def decode_tiff(data: bytes):
         return np.repeat(g[:, :, None], 3, axis=2).copy()
     if tags.get(258, [8])[:3] != [8, 8, 8] or tags.get(277, [3])[0] != 3:
         raise NotImplementedError(
-            "only 8-bit RGB/gray and 1-bit bilevel TIFF supported"
+            "only 8/16-bit gray, 8-bit RGB and 1-bit bilevel TIFF supported"
         )
     planar = tags.get(284, [1])[0] == 2
     spp = 1 if planar else 3
@@ -5419,3 +5466,85 @@ def decode_gif_animated(data: bytes):
         else:
             raise ValueError(f"unexpected GIF block 0x{b:02x}")
     return frames
+
+
+def encode_tiff_gray16(
+    arr,
+    compression: int = 1,
+    big_endian: bool = False,
+    rows_per_strip: int = 4,
+) -> bytes:
+    """(h, w) uint16 -> 16-bit grayscale TIFF (BitsPerSample 16,
+    PhotometricInterpretation 1 BlackIsZero, SamplesPerPixel 1),
+    stripped chunky layout, same per-segment compressions as the 8-bit
+    encoders (none/LZW/Deflate/PackBits). Sample words are written in
+    the FILE byte order (spec §7). Fixture twin of decode_tiff's
+    16-bit gray path."""
+    import struct
+
+    import numpy as np
+
+    if compression not in (1, 5, 8, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    e = ">" if big_endian else "<"
+    a = np.asarray(arr, dtype=np.dtype(f"{e}u2"))
+    h, w = a.shape
+    nstrips = -(-h // rows_per_strip)
+    segs = [
+        a[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
+        for i in range(nstrips)
+    ]
+    if compression == 5:
+        segs = [_lzw_encode_tiff(s) for s in segs]
+    elif compression == 8:
+        import zlib
+
+        segs = [zlib.compress(s) for s in segs]
+    elif compression == 32773:
+        segs = [_packbits_encode(s) for s in segs]
+
+    nsegs = len(segs)
+    pos = 8
+    seg_offsets = []
+    for s in segs:
+        seg_offsets.append(pos)
+        pos += len(s)
+    so_off, sbc_off = pos, pos + 4 * nsegs
+    pos += 8 * nsegs
+    ifd_off = pos
+
+    def entry(tag, typ, count, value):
+        return struct.pack(f"{e}HHI", tag, typ, count) + value
+
+    def short_val(v):
+        return struct.pack(f"{e}HH", v, 0)
+
+    def long_val(v):
+        return struct.pack(f"{e}I", v)
+
+    off_val = long_val(so_off if nsegs > 1 else seg_offsets[0])
+    cnt_val = long_val(sbc_off if nsegs > 1 else len(segs[0]))
+    entries = [
+        entry(256, 4, 1, long_val(w)),
+        entry(257, 4, 1, long_val(h)),
+        entry(258, 3, 1, short_val(16)),
+        entry(259, 3, 1, short_val(compression)),
+        entry(262, 3, 1, short_val(1)),      # BlackIsZero
+        entry(273, 4, nsegs, off_val),
+        entry(277, 3, 1, short_val(1)),
+        entry(278, 4, 1, long_val(rows_per_strip)),
+        entry(279, 4, nsegs, cnt_val),
+    ]
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        f"{e}I", ifd_off
+    )
+    for s in segs:
+        out += s
+    for off in seg_offsets:
+        out += struct.pack(f"{e}I", off)
+    for s in segs:
+        out += struct.pack(f"{e}I", len(s))
+    out += struct.pack(f"{e}H", len(entries)) + b"".join(entries)
+    out += struct.pack(f"{e}I", 0)
+    return bytes(out)

@@ -413,3 +413,69 @@ def unigram_lm_encode_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_count=50,
         em_iters=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — multimodal_tiff16_decode: 16-bit grayscale TIFF, the
+# scientific/scanned-corpus depth and the most common remaining gate
+# after round 9 closed the fax/bilevel family. Full uint16 range
+# preserved (the PNG16 convention), all four per-segment compressions,
+# both byte orders (16-bit samples honor the header's II/MM — spec
+# §7), multi-strip. JDK-ImageIO cross-validated both directions in
+# pytest (raster reads — getRGB truncates 16-bit).
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_tiff16_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 48271 + 977 * i.i) % 65536 AS v
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * 6 * v)::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_tiff16_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL 16-bit grayscale TIFF decode (multimodal.decode_tiff
+    16-bit path): v_i = (d*48271 + 977*i) mod 65536, compression
+    rotating none/LZW/Deflate/PackBits by doc_id % 4, byte order by
+    parity, multi-strip throughout. Gray replicates to RGB at full
+    uint16 range, so the checksum is sum((p+1) * 6v). Map-side Arrow
+    decode; scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                v = (
+                    d * 48271 + 977 * np.arange(w * h, dtype=np.int64)
+                ) % 65536
+                blobs.append(
+                    multimodal.encode_tiff_gray16(
+                        v.reshape(h, w).astype(np.uint16),
+                        compression=(1, 5, 8, 32773)[d % 4],
+                        big_endian=bool(d % 2),
+                        rows_per_strip=3,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

@@ -2178,3 +2178,112 @@ def test_gif_animated_compositing_and_gates():
     blob[gce + 3] = 3 << 2  # disposal 3
     with _pytest.raises(NotImplementedError, match="disposal"):
         mm.decode_gif_animated(bytes(blob))
+
+
+def test_tiff_gray16_roundtrip_all_compressions():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(16)
+    for comp in (1, 5, 8, 32773):
+        for be in (False, True):
+            for h, w in [(1, 1), (5, 9), (13, 4), (16, 16)]:
+                a = rng.randint(0, 65536, (h, w), dtype=np.uint16)
+                got = mm.decode_tiff(
+                    mm.encode_tiff_gray16(
+                        a, compression=comp, big_endian=be, rows_per_strip=3
+                    )
+                )
+                assert got.dtype == np.uint16
+                assert np.array_equal(got[:, :, 0], a), (comp, be, h, w)
+                assert np.array_equal(got[:, :, 1], got[:, :, 2])
+
+
+def test_tiff_gray16_cross_validated_against_jdk_imageio(tmp_path):
+    """The JDK's ImageIO TIFF codec must read our 16-bit gray files
+    sample-exactly and we must read its — raster access, because
+    getRGB truncates 16-bit samples (the round-8 PNG16 lesson)."""
+    import shutil
+    import struct
+    import subprocess
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    java_home = os.environ.get("JAVA_HOME", "")
+    javac = shutil.which("javac") or (
+        os.path.join(java_home, "bin", "javac") if java_home else None
+    )
+    if not javac or not os.path.exists(javac):
+        _pytest.skip("no JDK available for cross-validation")
+    java = os.path.join(os.path.dirname(javac), "java")
+    src = tmp_path / "Tiff16Tool.java"
+    src.write_text(
+        """
+import javax.imageio.*; import javax.imageio.stream.*;
+import java.awt.image.*; import java.io.*;
+public class Tiff16Tool {
+  public static void main(String[] a) throws Exception {
+    if (a[0].equals("decode")) {
+      BufferedImage img = ImageIO.read(new File(a[1]));
+      if (img == null) System.exit(2);
+      Raster r = img.getRaster();
+      DataOutputStream o = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(a[2])));
+      o.writeInt(img.getHeight()); o.writeInt(img.getWidth());
+      for (int y = 0; y < img.getHeight(); y++) for (int x = 0; x < img.getWidth(); x++)
+        o.writeShort(r.getSample(x, y, 0));
+      o.close();
+    } else {
+      DataInputStream in = new DataInputStream(new BufferedInputStream(new FileInputStream(a[1])));
+      int h = in.readInt(), w = in.readInt();
+      BufferedImage img = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY);
+      WritableRaster r = img.getRaster();
+      for (int y = 0; y < h; y++) for (int x = 0; x < w; x++)
+        r.setSample(x, y, 0, in.readUnsignedShort());
+      in.close();
+      ImageWriter wr = ImageIO.getImageWritersByFormatName("tiff").next();
+      ImageWriteParam p = wr.getDefaultWriteParam();
+      p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT);
+      p.setCompressionType(a[3]);
+      ImageOutputStream ios = ImageIO.createImageOutputStream(new File(a[2]));
+      wr.setOutput(ios); wr.write(null, new IIOImage(img, null, null), p); ios.close();
+    }
+  }
+}
+"""
+    )
+    subprocess.run([javac, str(src)], check=True, cwd=tmp_path)
+    rng = np.random.RandomState(23)
+    arr = rng.randint(0, 65536, (40, 33), dtype=np.uint16)
+
+    # ours -> JDK
+    for comp in (1, 5, 8, 32773):
+        for be in (False, True):
+            (tmp_path / "ours.tif").write_bytes(
+                mm.encode_tiff_gray16(
+                    arr, compression=comp, big_endian=be, rows_per_strip=7
+                )
+            )
+            subprocess.run(
+                [java, "Tiff16Tool", "decode", "ours.tif", "out.raw"],
+                check=True, cwd=tmp_path,
+            )
+            raw = (tmp_path / "out.raw").read_bytes()
+            h, w = struct.unpack(">II", raw[:8])
+            got = np.frombuffer(raw[8:], dtype=">u2").reshape(h, w)
+            assert np.array_equal(got, arr), (comp, be)
+
+    # JDK -> ours
+    raw = struct.pack(">II", *arr.shape) + arr.astype(">u2").tobytes()
+    (tmp_path / "in.raw").write_bytes(raw)
+    for cname in ("LZW", "Deflate", "PackBits"):
+        subprocess.run(
+            [java, "Tiff16Tool", "encode", "in.raw", "jdk.tif", cname],
+            check=True, cwd=tmp_path,
+        )
+        got = mm.decode_tiff((tmp_path / "jdk.tif").read_bytes())
+        assert got.dtype == np.uint16
+        assert np.array_equal(got[:, :, 0], arr), cname
