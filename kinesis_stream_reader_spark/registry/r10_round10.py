@@ -479,3 +479,116 @@ def multimodal_tiff16_decode_query(
         batches, "doc_id BIGINT, data BINARY"
     )
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — streaming_shard_lag_census: the CONSUME-side operational
+# twin of streaming_ivf_assign's add-path. A Kinesis consumer's health
+# metric is how far behind the stream head each shard sits
+# (MillisBehindLatest; with a static recorded wire the analog is
+# records-behind-latest). The stream reader gets real admission
+# control — maxRecordsPerShardPerBatch, the connector's
+# maxFetchRecordsPerShard analog, anchored on committed offsets so
+# batch boundaries are deterministic — and the census records, per
+# micro-batch per shard: rows admitted, cumulative consumed, records
+# still behind the head. Drained == batch oracle: DuckDB replays the
+# admission arithmetic from the shard sizes.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_shard_lag_census",
+    f"""
+WITH shards AS (
+{_RESHARD_ROUTING_SQL.format(div="//", tbl="events")}
+), sizes AS (
+  SELECT shard_id, COUNT(*) AS sz FROM shards GROUP BY shard_id
+), cap AS (
+  SELECT CAST(ceil(CAST(MAX(sz) AS DOUBLE) / 4) AS BIGINT) AS r FROM sizes
+), grid AS (
+  SELECT b.b AS batch_id, s.shard_id, s.sz, c.r,
+         LEAST(s.sz, (b.b + 1) * c.r) - LEAST(s.sz, b.b * c.r)
+           AS batch_rows
+  FROM sizes s, cap c,
+       LATERAL (SELECT UNNEST(range(0,
+         CAST(ceil(CAST(s.sz AS DOUBLE) / c.r) AS BIGINT))) AS b) b
+)
+SELECT batch_id::INT AS batch_id, shard_id,
+       batch_rows::BIGINT AS batch_rows,
+       LEAST(sz, (batch_id + 1) * r)::BIGINT AS consumed,
+       (sz - LEAST(sz, (batch_id + 1) * r))::BIGINT
+         AS records_behind_latest
+FROM grid WHERE batch_rows > 0
+ORDER BY batch_id, shard_id
+""",
+)
+def streaming_shard_lag_census_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Throttled streaming drain of the reshard wire with a per-batch
+    shard-lag census: cap = ceil(max shard size / 4) records per shard
+    per micro-batch (so every sf yields ~4-5 batches), each
+    foreachBatch counts admitted rows per shard (a distributed
+    groupBy; only (shard, count) scalars reach the driver), and the
+    final report adds cumulative consumed + records-behind-latest.
+
+    Plan shape / 100 TB: per-batch work is one partial-agg'd count by
+    shard; the census accumulator holds batches x shards tuples. In
+    production the same census is emitted per trigger from
+    StreamingQueryProgress-adjacent state instead of a drain."""
+    import tempfile
+
+    from ..sources.python_source import KinesisBackfillDataSource
+
+    spark.dataSource.register(KinesisBackfillDataSource)
+    d = _reshard_fixture_dir(spark, sf_dir)
+    sizes = {
+        r["shard_id"]: r["n"]
+        for r in spark.read.format("kinesis_backfill")
+        .option("path", d)
+        .load()
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cap = -(-max(sizes.values()) // 4)
+    census: list[tuple[int, str, int]] = []
+
+    def observe(batch_df: DataFrame, bid: int) -> None:
+        for r in batch_df.groupBy("shard_id").count().collect():
+            census.append((int(bid), r["shard_id"], int(r["count"])))
+
+    stream = (
+        spark.readStream.format("kinesis_backfill")
+        .option("path", d)
+        .option("maxRecordsPerShardPerBatch", str(cap))
+        .load()
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(observe)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    consumed: dict[str, int] = {}
+    rows = []
+    for bid, shard, n in sorted(census):
+        if n == 0:
+            continue
+        consumed[shard] = consumed.get(shard, 0) + n
+        rows.append(
+            (
+                bid,
+                shard,
+                n,
+                consumed[shard],
+                sizes[shard] - consumed[shard],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_id INT, shard_id STRING, batch_rows BIGINT, "
+        "consumed BIGINT, records_behind_latest BIGINT",
+    ).orderBy("batch_id", "shard_id")

@@ -206,6 +206,18 @@ class KinesisBackfillStreamReader(DataSourceStreamReader):
 
     def __init__(self, options: dict) -> None:
         self.dir = options["path"]
+        # Optional admission control (the Kinesis connector's
+        # maxFetchRecordsPerShard analog): each micro-batch admits at
+        # most this many records per shard past the last PLANNED batch
+        # end. Anchoring on partitions()'s end offset (not commit(),
+        # which the engine may invoke only at the NEXT trigger — after
+        # it has already probed latestOffset and concluded "no new
+        # data") keeps latestOffset idempotent between batch plannings,
+        # so throttled batch boundaries are deterministic (what the
+        # shard-lag census relies on).
+        cap = options.get("maxrecordspershardperbatch")
+        self.cap = int(cap) if cap else None
+        self._planned_end: dict | None = None
 
     def _counts(self) -> dict:
         out = {}
@@ -219,9 +231,24 @@ class KinesisBackfillStreamReader(DataSourceStreamReader):
         return {f: 0 for f in self._counts()}
 
     def latestOffset(self) -> dict:
-        return self._counts()
+        counts = self._counts()
+        if self.cap is None:
+            return counts
+        base = self._planned_end or {f: 0 for f in counts}
+        return {
+            f: min(total, int(base.get(f, 0)) + self.cap)
+            for f, total in counts.items()
+        }
 
     def partitions(self, start: dict, end: dict):
+        if self.cap is not None:
+            # monotonic max: re-planning/retries of the same batch must
+            # not advance the admission window twice
+            prev = self._planned_end or {}
+            self._planned_end = {
+                f: max(int(prev.get(f, 0)), int(e))
+                for f, e in {**prev, **end}.items()
+            }
         parts = []
         for f, hi in sorted(end.items()):
             lo = int(start.get(f, 0))

@@ -12,6 +12,7 @@ the SAME deagg/json pipeline the streaming source feeds.
 
 from __future__ import annotations
 
+import os
 from datetime import datetime, timezone
 
 import pytest
@@ -481,3 +482,56 @@ class TestReshardSource:
         assert [r.shard_id for r in rows] == ["c1", "c2"]
         assert [r.generation for r in rows] == [1, 2]
         assert [r.chain_id for r in rows] == ["c1", "c1"]
+
+
+def test_stream_reader_admission_control_is_deterministic(spark, tmp_path):
+    """maxRecordsPerShardPerBatch slices the drain into deterministic
+    per-shard windows anchored on the PLANNED batch end (commit() may
+    only fire at the next trigger, after the engine already probed
+    latestOffset — anchoring there stalls processAllAvailable after
+    one batch)."""
+    import tempfile
+
+    from kinesis_stream_reader_spark.sources.python_source import (
+        KinesisBackfillDataSource,
+        write_shard_file,
+    )
+
+    spark.dataSource.register(KinesisBackfillDataSource)
+    d = str(tmp_path)
+    write_shard_file(os.path.join(d, "shard-a.jsonl"), [b"x"] * 10)
+    write_shard_file(os.path.join(d, "shard-b.jsonl"), [b"y"] * 4)
+    batches = []
+
+    def obs(df, bid):
+        batches.append(
+            (
+                int(bid),
+                sorted(
+                    (r.shard_id, r["count"])
+                    for r in df.groupBy("shard_id").count().collect()
+                ),
+            )
+        )
+
+    st = (
+        spark.readStream.format("kinesis_backfill")
+        .option("path", d)
+        .option("maxRecordsPerShardPerBatch", "3")
+        .load()
+    )
+    with tempfile.TemporaryDirectory() as ck:
+        q = (
+            st.writeStream.foreachBatch(obs)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    assert batches == [
+        (0, [("a", 3), ("b", 3)]),
+        (1, [("a", 3), ("b", 1)]),
+        (2, [("a", 3)]),
+        (3, [("a", 1)]),
+    ]
