@@ -104,7 +104,8 @@ EAGER_QUERIES = frozenset(
     # the result DataFrame is returned)
     + [n for n in QUERIES if n.startswith("streaming_")]
     + ["source_python_stream", "source_python_backfill",
-       "source_python_reshard"]
+       "source_python_reshard", "streaming_shard_lag_census",
+       "streaming_reshard_drain"]
 )
 
 # The correctness driver samples queries() in dict order and may stop

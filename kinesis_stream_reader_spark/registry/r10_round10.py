@@ -592,3 +592,125 @@ def streaming_shard_lag_census_query(
         "batch_id INT, shard_id STRING, batch_rows BIGINT, "
         "consumed BIGINT, records_behind_latest BIGINT",
     ).orderBy("batch_id", "shard_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — streaming_reshard_drain: the KCL lease rule enforced in
+# STRUCTURED STREAMING — a child shard's records are admitted only
+# once every parent it names has been planned to SHARD_END, while
+# independent chains drain in parallel, all under the deterministic
+# planned-end admission cap. The oracle replays the entire drain
+# schedule from the shard sizes: shard s (size sz, cap r) drains in
+# ceil(sz/r) consecutive batches starting the batch after its slowest
+# present parent finishes (absent/empty parents = already consumed).
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_reshard_drain",
+    f"""
+WITH shards AS (
+{_RESHARD_ROUTING_SQL.format(div="//", tbl="events")}
+), sizes AS (
+  SELECT shard_id, COUNT(*) AS sz FROM shards GROUP BY shard_id
+), cap AS (
+  SELECT CAST(ceil(CAST(MAX(sz) AS DOUBLE) / 4) AS BIGINT) AS r FROM sizes
+), lineage(child, parent) AS (
+  VALUES ('s2', 's0'), ('s3', 's0'), ('s4', 's1a'), ('s4', 's1b')
+), starts AS (
+  SELECT s.shard_id,
+         COALESCE(MAX(CAST(ceil(CAST(ps.sz AS DOUBLE) / c.r) AS BIGINT)),
+                  0) AS b0
+  FROM sizes s
+  CROSS JOIN cap c
+  LEFT JOIN lineage l ON l.child = s.shard_id
+  LEFT JOIN sizes ps ON ps.shard_id = l.parent
+  GROUP BY s.shard_id
+), grid AS (
+  SELECT st.b0 + b.b AS batch_id, s.shard_id, s.sz,
+         LEAST(s.sz, (b.b + 1) * c.r) - LEAST(s.sz, b.b * c.r)
+           AS batch_rows,
+         LEAST(s.sz, (b.b + 1) * c.r) AS consumed
+  FROM sizes s
+  JOIN starts st USING (shard_id)
+  CROSS JOIN cap c,
+  LATERAL (SELECT UNNEST(range(0,
+    CAST(ceil(CAST(s.sz AS DOUBLE) / c.r) AS BIGINT))) AS b) b
+)
+SELECT batch_id::INT AS batch_id, shard_id,
+       (CASE WHEN shard_id IN ('s0', 's1a', 's1b') THEN 0 ELSE 1 END)::INT
+         AS generation,
+       batch_rows::BIGINT AS batch_rows,
+       consumed::BIGINT AS consumed,
+       (sz - consumed)::BIGINT AS records_behind_latest
+FROM grid WHERE batch_rows > 0
+ORDER BY batch_id, shard_id
+""",
+)
+def streaming_reshard_drain_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Lineage-aware throttled streaming drain of the reshard wire
+    (sources.python_source.KinesisReshardStreamReader): per micro-
+    batch per shard — admitted rows, cumulative consumed, records-
+    behind-latest, generation. The batch numbering itself PROVES the
+    lease rule: a child's first batch is the batch after its slowest
+    parent's last, which the oracle reconstructs arithmetically.
+
+    Plan shape / 100 TB: per-batch work is a partial-agg'd count by
+    shard; admission decisions are manifest-sized driver arithmetic;
+    chain parallelism = shard count, exactly like the batch reader."""
+    import tempfile
+
+    from ..sources.python_source import KinesisReshardDataSource
+
+    spark.dataSource.register(KinesisReshardDataSource)
+    d = _reshard_fixture_dir(spark, sf_dir)
+    sizes = {
+        r["shard_id"]: r["n"]
+        for r in spark.read.format("kinesis_reshard")
+        .option("path", d)
+        .load()
+        .groupBy("shard_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cap = -(-max(sizes.values()) // 4)
+    census: list[tuple[int, str, int, int]] = []
+
+    def observe(batch_df: DataFrame, bid: int) -> None:
+        for r in (
+            batch_df.groupBy("shard_id", "generation").count().collect()
+        ):
+            census.append(
+                (int(bid), r["shard_id"], int(r["generation"]), int(r["count"]))
+            )
+
+    stream = (
+        spark.readStream.format("kinesis_reshard")
+        .option("path", d)
+        .option("maxRecordsPerShardPerBatch", str(cap))
+        .load()
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.foreachBatch(observe)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    consumed: dict[str, int] = {}
+    rows = []
+    for bid, shard, gen, n in sorted(census):
+        if n == 0:
+            continue
+        consumed[shard] = consumed.get(shard, 0) + n
+        rows.append(
+            (bid, shard, gen, n, consumed[shard], sizes[shard] - consumed[shard])
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_id INT, shard_id STRING, generation INT, batch_rows BIGINT, "
+        "consumed BIGINT, records_behind_latest BIGINT",
+    ).orderBy("batch_id", "shard_id")

@@ -460,3 +460,110 @@ class KinesisReshardDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return KinesisReshardReader(self.options)
+
+    def streamReader(self, schema) -> "DataSourceStreamReader":
+        return KinesisReshardStreamReader(self.options)
+
+
+class KinesisReshardStreamReader(DataSourceStreamReader):
+    """STREAMING half of the kinesis_reshard format: the KCL's lease
+    rule enforced across micro-batches — a child shard is admitted
+    only once every parent it names has been PLANNED to SHARD_END
+    (expired parents with no wire file count as consumed). Offsets are
+    per-shard-file record counts like the backfill stream reader, and
+    the same planned-end-anchored admission control bounds each shard
+    to maxRecordsPerShardPerBatch records per batch, so the drain
+    schedule is fully deterministic: a shard of size s at cap r drains
+    in ceil(s/r) consecutive batches starting the batch after its
+    slowest parent finishes."""
+
+    def __init__(self, options: dict) -> None:
+        self.dir = options["path"]
+        cap = options.get("maxrecordspershardperbatch")
+        self.cap = int(cap) if cap else None
+        self._planned_end: dict | None = None
+        with open(os.path.join(self.dir, _SHARDS_MANIFEST)) as fh:
+            manifest = json.load(fh)["shards"]
+        self._gen = {}
+        for chain in plan_lineage_chains(manifest):
+            for sid, g in chain["shards"]:
+                self._gen[sid] = (g, chain["chain_id"])
+        self._parents = {
+            s["shard_id"]: [
+                p
+                for p in (s.get("parent"), s.get("adjacent_parent"))
+                if p
+            ]
+            for s in manifest
+        }
+
+    def _file(self, sid: str) -> str:
+        return os.path.join(self.dir, f"shard-{sid}.jsonl")
+
+    def _counts(self) -> dict:
+        out = {}
+        for sid in self._parents:
+            path = self._file(sid)
+            if os.path.exists(path):
+                with open(path) as fh:
+                    out[sid] = sum(1 for _ in fh)
+        return out
+
+    def initialOffset(self) -> dict:
+        return {s: 0 for s in self._counts()}
+
+    def latestOffset(self) -> dict:
+        counts = self._counts()
+        base = self._planned_end or {s: 0 for s in counts}
+
+        def parent_done(sid: str) -> bool:
+            return all(
+                p not in counts  # expired from retention = consumed
+                or int(base.get(p, 0)) >= counts[p]
+                for p in self._parents.get(sid, [])
+            )
+
+        out = {}
+        for sid, total in counts.items():
+            lo = int(base.get(sid, 0))
+            if not parent_done(sid):
+                out[sid] = lo
+            elif self.cap is None:
+                out[sid] = total
+            else:
+                out[sid] = min(total, lo + self.cap)
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        prev = self._planned_end or {}
+        self._planned_end = {
+            s: max(int(prev.get(s, 0)), int(e))
+            for s, e in {**prev, **end}.items()
+        }
+        parts = []
+        for sid, hi in sorted(end.items()):
+            lo = int(start.get(sid, 0))
+            if int(hi) > lo:
+                parts.append(
+                    _ShardRangePartition(sid, self._file(sid), lo, int(hi))
+                )
+        return parts
+
+    def read(self, partition: _ShardRangePartition):
+        gen, chain = self._gen[partition.shard_id]
+        with open(partition.path) as fh:
+            for i, line in enumerate(fh):
+                if partition.start <= i < partition.end:
+                    rec = json.loads(line)
+                    yield (
+                        partition.shard_id,
+                        chain,
+                        gen,
+                        i,  # emit_idx: line index within the shard
+                        rec["seq"],
+                        rec["key"],
+                        base64.b64decode(rec["data"]),
+                    )
+
+    def commit(self, end: dict) -> None:
+        pass

@@ -535,3 +535,64 @@ def test_stream_reader_admission_control_is_deterministic(spark, tmp_path):
         (2, [("a", 3)]),
         (3, [("a", 1)]),
     ]
+
+
+def test_reshard_stream_children_wait_for_parents(spark, tmp_path):
+    """Streaming lease rule: a child shard's first batch must come
+    after its parent's last; independent chains drain in parallel."""
+    import tempfile
+
+    from kinesis_stream_reader_spark.sources.python_source import (
+        KinesisReshardDataSource,
+        write_reshard_manifest,
+        write_reshard_shard_file,
+    )
+
+    spark.dataSource.register(KinesisReshardDataSource)
+    d = str(tmp_path)
+    write_reshard_shard_file(d, "p", [(i, 1, b"x") for i in range(5)])
+    write_reshard_shard_file(d, "c1", [(10 + i, 1, b"y") for i in range(4)])
+    write_reshard_shard_file(d, "q", [(i, 2, b"z") for i in range(3)])
+    write_reshard_manifest(
+        d,
+        [
+            {"shard_id": "p", "closed": True},
+            {"shard_id": "c1", "parent": "p"},
+            {"shard_id": "q"},
+        ],
+    )
+    batches = []
+
+    def obs(df, bid):
+        batches.append(
+            (
+                int(bid),
+                sorted(
+                    (r.shard_id, r["count"])
+                    for r in df.groupBy("shard_id").count().collect()
+                ),
+            )
+        )
+
+    st = (
+        spark.readStream.format("kinesis_reshard")
+        .option("path", d)
+        .option("maxRecordsPerShardPerBatch", "2")
+        .load()
+    )
+    with tempfile.TemporaryDirectory() as ck:
+        q = (
+            st.writeStream.foreachBatch(obs)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    assert batches == [
+        (0, [("p", 2), ("q", 2)]),
+        (1, [("p", 2), ("q", 1)]),
+        (2, [("p", 1)]),
+        (3, [("c1", 2)]),
+        (4, [("c1", 2)]),
+    ]
