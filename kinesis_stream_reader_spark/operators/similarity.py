@@ -2552,3 +2552,106 @@ def ann_ivfpq_batch(
         .select("query_id", "rank", "vec_id", "adc_d2")
         .orderBy("query_id", "rank")
     )
+
+
+def ann_ivf_filtered(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    n_lists: int = 16,
+    max_iter: int = 5,
+    label: int = 1,
+) -> DataFrame:
+    """Attribute-FILTERED vector search (round 10): the FAISS
+    IndexIVFFlat + IDSelector / vector-DB metadata-filter shape —
+    top-k nearest by exact L2 among vectors whose attribute passes the
+    predicate, here label = <label>. Production retrieval is almost
+    never unfiltered (tenant, language, license, freshness); the
+    design decision this models is PRE-filtering inside the probed
+    lists (correct recall at any selectivity) versus post-filtering a
+    top-k' (which silently under-returns when the filter is
+    selective).
+
+    Composition: trained coarse quantizer (the shared Lloyd loop),
+    query probes its nprobe nearest lists, and the single map-side
+    Arrow pass assigns, keeps probed-list rows PASSING THE PREDICATE,
+    and scores exact int64 L2 to the query — no PQ here; filtered
+    search is IVF-Flat's home turf because the re-rank candidates are
+    already few.
+
+    Plan shape / 100 TB: predicate evaluation is scan-side (at scale
+    it rides the parquet row-group filter BEFORE the Arrow pass);
+    per-batch partial top-k by (d2, vec_id) bounds the final
+    TakeOrdered to k rows per batch. Centroids are the only
+    broadcast."""
+    import numpy as np
+
+    cents, _, _ = _lloyd_centroids(embeddings, n_lists, max_iter)
+    vq = embeddings.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        _quantized_vec(F.col("embedding")).alias("xq"),
+    )
+    if not cents:
+        return vq.select(
+            F.lit(1).cast("int").alias("rank"),
+            "vec_id",
+            "label",
+            F.lit(0).cast("long").alias("d2"),
+        ).limit(0)
+    cids = np.array([c[0] for c in cents], np.int64)
+    cmat = np.stack([c[1] for c in cents])
+    qrows = vq.filter(F.col("vec_id") == query_vec_id).take(1)
+    if not qrows:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} is not present in the corpus"
+        )
+    q = np.asarray(qrows[0]["xq"], np.int64)
+    qd2 = ((q[None, :] - cmat) ** 2).sum(1)
+    probed = cids[np.lexsort((cids, qd2))[:nprobe]]
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            # predicate FIRST: scan-side selectivity, nothing scored
+            # that the filter would discard
+            pdf = pdf[(pdf["label"] == label) & (pdf["vec_id"] != query_vec_id)]
+            if pdf.empty:
+                continue
+            v = np.array(pdf["xq"].tolist(), np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            labs = pdf["label"].to_numpy()
+            cd2 = (
+                (v * v).sum(1)[:, None]
+                - 2 * (v @ cmat.T)
+                + (cmat * cmat).sum(1)[None, :]
+            )
+            lst = ((cd2 * n_lists + cids[None, :]).min(1) % n_lists).astype(
+                np.int64
+            )
+            mask = np.isin(lst, probed)
+            if not mask.any():
+                continue
+            v, ids, labs = v[mask], ids[mask], labs[mask]
+            d2 = ((v - q[None, :]) ** 2).sum(1)
+            top = np.lexsort((ids, d2))[:k]
+            yield pd.DataFrame(
+                {"vec_id": ids[top], "label": labs[top], "d2": d2[top]}
+            )
+
+    topk = (
+        vq.mapInPandas(batches, "vec_id LONG, label LONG, d2 LONG")
+        .orderBy("d2", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("d2", "vec_id")
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        "label",
+        "d2",
+    )

@@ -714,3 +714,68 @@ def streaming_reshard_drain_query(
         "batch_id INT, shard_id STRING, generation INT, batch_rows BIGINT, "
         "consumed BIGINT, records_behind_latest BIGINT",
     ).orderBy("batch_id", "shard_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — ann_ivf_filtered: attribute-filtered vector search, the
+# FAISS IDSelector / vector-DB metadata-filter production shape —
+# PRE-filtered inside the probed lists so recall is correct at any
+# selectivity. Oracle: the shared trained-lists chain + the ADC
+# chain's probe ranking, with the label predicate on the candidates
+# and exact int64 L2 to the query.
+# ---------------------------------------------------------------------------
+def _register_ann_ivf_filtered():
+    from .r8_round8 import _MAX_ITER, _N_LISTS, _TRAINED_TL_CTE
+
+    @register(
+        "ann_ivf_filtered",
+        _TRAINED_TL_CTE + """
+, qv0 AS (
+  SELECT v FROM vecs WHERE vec_id = 0
+), probe AS (
+  SELECT f.cid AS list_id,
+         ROW_NUMBER() OVER (
+           ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(list_zip((SELECT v FROM qv0), f.c),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                    (a, b) -> a + b) ASC, f.cid ASC) AS pr
+  FROM fcents f
+), probed AS (
+  SELECT list_id FROM probe WHERE pr <= 2
+), cand AS (
+  SELECT t.vec_id, CAST(e.label AS BIGINT) AS label,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_zip(w.v, (SELECT v FROM qv0)),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, b) -> a + b) AS d2
+  FROM tl t
+  JOIN probed USING (list_id)
+  JOIN vecs w USING (vec_id)
+  JOIN embeddings e USING (vec_id)
+  WHERE e.label = 1 AND t.vec_id <> 0
+)
+SELECT ROW_NUMBER() OVER (ORDER BY d2, vec_id)::INT AS rank,
+       vec_id, label, d2::BIGINT AS d2
+FROM cand ORDER BY d2, vec_id LIMIT 10
+""",
+    )
+    def ann_ivf_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Filtered top-k (similarity.ann_ivf_filtered): vectors with
+        label = 1 inside the query's 2 probed trained lists, exact
+        int64 L2, pre-filter semantics."""
+        from ..operators import similarity
+
+        return similarity.ann_ivf_filtered(
+            load_table(spark, sf_dir, "embeddings"),
+            query_vec_id=0,
+            k=10,
+            nprobe=2,
+            n_lists=_N_LISTS,
+            max_iter=_MAX_ITER,
+            label=1,
+        )
+
+    return ann_ivf_filtered_query
+
+
+ann_ivf_filtered_query = _register_ann_ivf_filtered()

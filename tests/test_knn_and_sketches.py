@@ -727,3 +727,27 @@ def test_ann_ivfpq_batch_excludes_self(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     for r in similarity.ann_ivfpq_batch(emb, n_queries=2).collect():
         assert r.vec_id != r.query_id
+
+
+def test_ann_ivf_filtered_prefilter_semantics(spark, sf_dir):
+    """Every returned row passes the predicate, excludes the query,
+    and is exactly the label-filtered subset of the UNfiltered probed
+    candidate ranking (pre-filter = filter-then-rank)."""
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = similarity.ann_ivf_filtered(emb, k=10, label=1).collect()
+    assert all(r.label == 1 and r.vec_id != 0 for r in rows)
+    d2s = [r.d2 for r in rows]
+    assert d2s == sorted(d2s)
+    # unfiltered ranking over the same probed lists, post-filtered,
+    # must agree (pre-filter changes efficiency, not the result set)
+    big = similarity.ann_ivf_filtered(emb, k=10**6, label=1).collect()
+    labels = {
+        r.vec_id: r.label
+        for r in emb.select("vec_id", "label").collect()
+    }
+    assert [r.vec_id for r in rows] == [
+        r.vec_id for r in big if labels[r.vec_id] == 1
+    ][: len(rows)]
