@@ -779,3 +779,191 @@ FROM cand ORDER BY d2, vec_id LIMIT 10
 
 
 ann_ivf_filtered_query = _register_ann_ivf_filtered()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — merkle_snapshot_diff: the CONSUMER of merkle_table_digest
+# — the full anti-entropy cycle between two table snapshots. Replica B
+# is a deterministic mutation of orders (status flips on keys % 997,
+# deletes on % 1009, inserts on % 1013 at key+10M); the query compares
+# the 64 per-bucket digests, then RESCANS ONLY the differing buckets
+# to classify rows (only-A = deleted, only-B = inserted, changed =
+# same key, different row hash). This is exactly how Dynamo-style
+# replicas and lakehouse snapshot-verification jobs reconcile: 64
+# longs first, row work only where digests disagree.
+# ---------------------------------------------------------------------------
+_MERKLE_DIFF_AB = """
+WITH a AS (
+  SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS s,
+         strftime(o_orderdate, '%Y-%m-%d') AS d
+  FROM orders
+), b AS (
+  SELECT k, c, CASE WHEN k % 997 = 0 THEN 'X' ELSE s END AS s, d
+  FROM a WHERE k % 1009 <> 0
+  UNION ALL
+  SELECT k + 10000000 AS k, c, 'N' AS s, d FROM a WHERE k % 1013 = 0
+), ah AS (
+  SELECT k, k % 64 AS bucket,
+         CAST(concat('0x', substr(md5(k || '|' || c || '|' || s || '|' || d),
+                                  1, 10)) AS UBIGINT)::BIGINT AS h
+  FROM a
+), bh AS (
+  SELECT k, k % 64 AS bucket,
+         CAST(concat('0x', substr(md5(k || '|' || c || '|' || s || '|' || d),
+                                  1, 10)) AS UBIGINT)::BIGINT AS h
+  FROM b
+), da AS (
+  SELECT bucket, COUNT(*) AS n, SUM(h) % 2305843009213693952 AS dg
+  FROM ah GROUP BY bucket
+), db AS (
+  SELECT bucket, COUNT(*) AS n, SUM(h) % 2305843009213693952 AS dg
+  FROM bh GROUP BY bucket
+), diff AS (
+  SELECT COALESCE(da.bucket, db.bucket) AS bucket,
+         COALESCE(da.dg, 0) AS digest_a, COALESCE(db.dg, 0) AS digest_b
+  FROM da FULL JOIN db ON da.bucket = db.bucket
+  WHERE COALESCE(da.dg, 0) <> COALESCE(db.dg, 0)
+     OR COALESCE(da.n, 0) <> COALESCE(db.n, 0)
+), ja AS (
+  SELECT ah.* FROM ah JOIN diff ON ah.bucket = diff.bucket
+), jb AS (
+  SELECT bh.* FROM bh JOIN diff ON bh.bucket = diff.bucket
+), j AS (
+  SELECT COALESCE(ja.bucket, jb.bucket) AS bucket,
+         ja.k AS ka, jb.k AS kb, ja.h AS ha, jb.h AS hb
+  FROM ja FULL JOIN jb ON ja.k = jb.k
+)
+"""
+
+
+@register(
+    "merkle_snapshot_diff",
+    _MERKLE_DIFF_AB + """
+SELECT d.bucket::INT AS bucket,
+       d.digest_a::BIGINT AS digest_a, d.digest_b::BIGINT AS digest_b,
+       SUM(CASE WHEN j.kb IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_only_a,
+       SUM(CASE WHEN j.ka IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_only_b,
+       SUM(CASE WHEN j.ka IS NOT NULL AND j.kb IS NOT NULL
+                     AND j.ha <> j.hb THEN 1 ELSE 0 END)::BIGINT
+         AS n_changed
+FROM diff d LEFT JOIN j ON j.bucket = d.bucket
+GROUP BY d.bucket, d.digest_a, d.digest_b
+ORDER BY bucket
+""",
+)
+def merkle_snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation between orders and its mutated
+    snapshot: per DIFFERING bucket, both digests plus the row-level
+    census (deleted / inserted / changed) from rescanning only those
+    buckets.
+
+    Plan shape / 100 TB: two map-side hash projections + two 64-key
+    partial-agg'd digests; the digest diff is a 64-row broadcast, so
+    the row-level full outer join on k touches ONLY the differing
+    buckets (bucket-pruned scans in a real layout) and co-partitions
+    on the key it joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").alias("c"),
+        F.col("o_orderstatus").alias("s"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    )
+    b = a.filter(F.col("k") % 1009 != 0).select(
+        "k",
+        "c",
+        F.when(F.col("k") % 997 == 0, F.lit("X")).otherwise(F.col("s")).alias("s"),
+        "d",
+    ).unionByName(
+        a.filter(F.col("k") % 1013 == 0).select(
+            (F.col("k") + 10000000).alias("k"),
+            "c",
+            F.lit("N").alias("s"),
+            "d",
+        )
+    )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        return df.select(
+            "k",
+            (F.col("k") % 64).alias("bucket"),
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", "k", "c", "s", "d")), 1, 10
+                ),
+                16,
+                10,
+            ).cast("long").alias("h"),
+        )
+
+    ah, bh = hashed(a), hashed(b)
+
+    def digest(df: DataFrame, n: str, dg: str) -> DataFrame:
+        return df.groupBy("bucket").agg(
+            F.count("*").alias(n),
+            (F.sum("h") % F.lit(2305843009213693952)).alias(dg),
+        )
+
+    diff = (
+        digest(ah, "na", "dga")
+        .join(digest(bh, "nb", "dgb"), "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("dga", F.lit(0)).alias("digest_a"),
+            F.coalesce("dgb", F.lit(0)).alias("digest_b"),
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+        .filter(
+            (F.col("digest_a") != F.col("digest_b"))
+            | (F.col("na") != F.col("nb"))
+        )
+        .select("bucket", "digest_a", "digest_b")
+    )
+    bdiff = F.broadcast(diff)
+    ja = ah.join(bdiff.select("bucket"), "bucket")
+    jb = bh.join(bdiff.select("bucket"), "bucket")
+    j = ja.select(
+        F.col("bucket").alias("ab"), F.col("k").alias("ka"), F.col("h").alias("ha")
+    ).join(
+        jb.select(
+            F.col("bucket").alias("bb"),
+            F.col("k").alias("kb"),
+            F.col("h").alias("hb"),
+        ),
+        F.col("ka") == F.col("kb"),
+        "full",
+    ).select(
+        F.coalesce("ab", "bb").alias("bucket"), "ka", "kb", "ha", "hb"
+    )
+    return (
+        bdiff.join(j, "bucket", "left")
+        .groupBy("bucket", "digest_a", "digest_b")
+        .agg(
+            F.sum(F.when(F.col("kb").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_only_a"),
+            F.sum(F.when(F.col("ka").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_only_b"),
+            F.sum(
+                F.when(
+                    F.col("ka").isNotNull()
+                    & F.col("kb").isNotNull()
+                    & (F.col("ha") != F.col("hb")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_changed"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            "digest_a",
+            "digest_b",
+            "n_only_a",
+            "n_only_b",
+            "n_changed",
+        )
+        .orderBy("bucket")
+    )
