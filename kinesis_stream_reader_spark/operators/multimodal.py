@@ -1259,9 +1259,50 @@ def decode_tiff(data: bytes):
             pieces.append(_inflate_gray(o, c, nrows * w))
         g = np.frombuffer(b"".join(pieces), dtype=np.uint8).reshape(h, w)
         return np.repeat(g[:, :, None], 3, axis=2).copy()
+    if tags.get(258, [8])[:3] == [16, 16, 16] and tags.get(277, [3])[0] == 3:
+        # 16-bit RGB (stripped chunky): interleaved 16-bit sample words
+        # in the FILE byte order, full uint16 range out
+        if 322 in tags or 323 in tags or tags.get(284, [1])[0] == 2:
+            raise NotImplementedError(
+                "16-bit RGB TIFF supports the stripped chunky layout"
+            )
+
+        def _inflate_rgb16(o, c, expected):
+            raw = data[o : o + c]
+            if compression == 5:
+                return _lzw_decode_tiff(raw, expected)
+            if compression == 8:
+                import zlib
+
+                out = zlib.decompress(raw)
+                if len(out) < expected:
+                    raise ValueError(
+                        "TIFF Deflate segment shorter than expected"
+                    )
+                return out[:expected]
+            if compression == 32773:
+                return _packbits_decode(raw, expected)
+            if len(raw) < expected:
+                raise ValueError("TIFF segment shorter than expected")
+            return raw[:expected]
+
+        offsets, counts = tags[273], tags[279]
+        rows_per_strip = tags.get(278, [h])[0]
+        if len(offsets) != -(-h // rows_per_strip):
+            raise ValueError("TIFF strip count does not match dimensions")
+        pieces = []
+        for si, (o, c) in enumerate(zip(offsets, counts)):
+            nrows = min(rows_per_strip, h - si * rows_per_strip)
+            pieces.append(_inflate_rgb16(o, c, nrows * w * 6))
+        return (
+            np.frombuffer(b"".join(pieces), dtype=np.dtype(f"{e}u2"))
+            .reshape(h, w, 3)
+            .astype(np.uint16)
+        )
     if tags.get(258, [8])[:3] != [8, 8, 8] or tags.get(277, [3])[0] != 3:
         raise NotImplementedError(
-            "only 8/16-bit gray, 8-bit RGB and 1-bit bilevel TIFF supported"
+            "only 8/16-bit gray, 8/16-bit RGB and 1-bit bilevel TIFF "
+            "supported"
         )
     planar = tags.get(284, [1])[0] == 2
     spp = 1 if planar else 3
@@ -5541,6 +5582,89 @@ def encode_tiff_gray16(
     )
     for s in segs:
         out += s
+    for off in seg_offsets:
+        out += struct.pack(f"{e}I", off)
+    for s in segs:
+        out += struct.pack(f"{e}I", len(s))
+    out += struct.pack(f"{e}H", len(entries)) + b"".join(entries)
+    out += struct.pack(f"{e}I", 0)
+    return bytes(out)
+
+
+def encode_tiff_rgb16(
+    arr,
+    compression: int = 1,
+    big_endian: bool = False,
+    rows_per_strip: int = 4,
+) -> bytes:
+    """(h, w, 3) uint16 -> 16-bit RGB TIFF (BitsPerSample [16,16,16],
+    chunky stripped), sample words in the FILE byte order, same
+    per-segment compressions as the other encoders. Fixture twin of
+    decode_tiff's 16-bit RGB path."""
+    import struct
+
+    import numpy as np
+
+    if compression not in (1, 5, 8, 32773):
+        raise ValueError(f"unsupported TIFF compression {compression}")
+    e = ">" if big_endian else "<"
+    a = np.asarray(arr, dtype=np.dtype(f"{e}u2"))
+    h, w, _ = a.shape
+    nstrips = -(-h // rows_per_strip)
+    segs = [
+        a[i * rows_per_strip : (i + 1) * rows_per_strip].tobytes()
+        for i in range(nstrips)
+    ]
+    if compression == 5:
+        segs = [_lzw_encode_tiff(s) for s in segs]
+    elif compression == 8:
+        import zlib
+
+        segs = [zlib.compress(s) for s in segs]
+    elif compression == 32773:
+        segs = [_packbits_encode(s) for s in segs]
+
+    nsegs = len(segs)
+    pos = 8
+    seg_offsets = []
+    for s in segs:
+        seg_offsets.append(pos)
+        pos += len(s)
+    bits_off = pos
+    pos += 6
+    so_off, sbc_off = pos, pos + 4 * nsegs
+    pos += 8 * nsegs
+    ifd_off = pos
+
+    def entry(tag, typ, count, value):
+        return struct.pack(f"{e}HHI", tag, typ, count) + value
+
+    def short_val(v):
+        return struct.pack(f"{e}HH", v, 0)
+
+    def long_val(v):
+        return struct.pack(f"{e}I", v)
+
+    off_val = long_val(so_off if nsegs > 1 else seg_offsets[0])
+    cnt_val = long_val(sbc_off if nsegs > 1 else len(segs[0]))
+    entries = [
+        entry(256, 4, 1, long_val(w)),
+        entry(257, 4, 1, long_val(h)),
+        entry(258, 3, 3, long_val(bits_off)),
+        entry(259, 3, 1, short_val(compression)),
+        entry(262, 3, 1, short_val(2)),      # RGB
+        entry(273, 4, nsegs, off_val),
+        entry(277, 3, 1, short_val(3)),
+        entry(278, 4, 1, long_val(rows_per_strip)),
+        entry(279, 4, nsegs, cnt_val),
+    ]
+    out = bytearray()
+    out += (b"MM\x00*" if big_endian else b"II*\x00") + struct.pack(
+        f"{e}I", ifd_off
+    )
+    for s in segs:
+        out += s
+    out += struct.pack(f"{e}HHH", 16, 16, 16)
     for off in seg_offsets:
         out += struct.pack(f"{e}I", off)
     for s in segs:

@@ -967,3 +967,72 @@ def merkle_snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — multimodal_tiff16_rgb_decode: 16-bit RGB TIFF (chunky
+# stripped, both byte orders, all four per-segment compressions),
+# completing the 16-bit leg the gray path opened.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_tiff16_rgb_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 48271 + 977 * i.i) % 65536 AS r,
+         (doc_id * 16807 + 991 * i.i) % 65536 AS g,
+         (doc_id * 69621 + 983 * i.i) % 65536 AS b
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_tiff16_rgb_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL 16-bit RGB TIFF decode (multimodal.decode_tiff 16-bit RGB
+    path): per-channel LCG-style pixel formulas, compression rotating
+    none/LZW/Deflate/PackBits by doc_id % 4, byte order by parity,
+    multi-strip. Checksum = sum((p+1) * (r + 2g + 3b)) at full uint16
+    range. Map-side Arrow decode; scalar-only shuffle."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                i = np.arange(w * h, dtype=np.int64)
+                px = np.stack(
+                    [
+                        (d * 48271 + 977 * i) % 65536,
+                        (d * 16807 + 991 * i) % 65536,
+                        (d * 69621 + 983 * i) % 65536,
+                    ],
+                    axis=1,
+                ).reshape(h, w, 3)
+                blobs.append(
+                    multimodal.encode_tiff_rgb16(
+                        px.astype(np.uint16),
+                        compression=(1, 5, 8, 32773)[d % 4],
+                        big_endian=bool(d % 2),
+                        rows_per_strip=3,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

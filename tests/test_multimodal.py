@@ -2287,3 +2287,22 @@ public class Tiff16Tool {
         got = mm.decode_tiff((tmp_path / "jdk.tif").read_bytes())
         assert got.dtype == np.uint16
         assert np.array_equal(got[:, :, 0], arr), cname
+
+
+def test_tiff_rgb16_roundtrip_all_compressions():
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(61)
+    for comp in (1, 5, 8, 32773):
+        for be in (False, True):
+            for h, w in [(1, 1), (5, 9), (16, 12)]:
+                a = rng.randint(0, 65536, (h, w, 3), dtype=np.uint16)
+                got = mm.decode_tiff(
+                    mm.encode_tiff_rgb16(
+                        a, compression=comp, big_endian=be, rows_per_strip=3
+                    )
+                )
+                assert got.dtype == np.uint16
+                assert np.array_equal(got, a), (comp, be, h, w)
