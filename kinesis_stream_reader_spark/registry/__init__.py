@@ -81,7 +81,7 @@ EAGER_QUERIES = frozenset(
         "ivf_list_health", "semdedup_trained", "ann_ivfpq_trained",
         "ann_ivfpq_refine", "pq_code_health", "wordpiece_encode",
         "ann_ivfpq_batch", "unigram_lm_encode", "multimodal_tiff16_decode",
-        "ann_ivf_filtered",
+        "ann_ivf_filtered", "tokenizer_compare_report",
         "quantization_recall_report",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
