@@ -122,6 +122,15 @@ _PRIORITY = [
     # paths CHANGED this round (vertex-restricted dedup_components
     # callers, staged winnowing hashes, lazy-checkpoint driver loops),
     # then the rotation of previously-verified queries. Nothing dropped.
+    # ROUND-10 ROTATION: new round-10 queries lead (never
+    # driver-checked), then the round-10-touched legs (first-occurrence
+    # URL separators, wordpiece vocab cap + guards, PQ int64 census),
+    # then the r9 rotation.
+    "source_python_reshard", "ann_ivfpq_batch", "unigram_lm_encode",
+    "multimodal_tiff16_decode", "streaming_shard_lag_census",
+    "streaming_reshard_drain", "ann_ivf_filtered", "merkle_snapshot_diff",
+    "multimodal_tiff16_rgb_decode", "tokenizer_compare_report",
+    "dedup_url_canonicalize", "wordpiece_encode", "pq_code_health",
     # ROUND-9 ROTATION: new round-9 queries lead (never driver-checked),
     # then the round-9-touched legs (rank-based seeding, imbalance
     # definition), then the r8 rotation.
