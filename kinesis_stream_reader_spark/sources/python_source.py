@@ -242,12 +242,21 @@ class KinesisBackfillStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         if self.cap is not None:
-            # monotonic max: re-planning/retries of the same batch must
-            # not advance the admission window twice
+            # monotonic max over (previous window, this batch's end,
+            # this batch's START): re-planning/retries must not advance
+            # the window twice, and on a checkpoint RESTART the start
+            # offset (the committed position) jump-starts the window so
+            # the drain resumes at the checkpoint instead of walking
+            # forward through empty catch-up batches
             prev = self._planned_end or {}
+            merged = {**{f: 0 for f in end}, **{f: 0 for f in start}}
             self._planned_end = {
-                f: max(int(prev.get(f, 0)), int(e))
-                for f, e in {**prev, **end}.items()
+                f: max(
+                    int(prev.get(f, 0)),
+                    int(end.get(f, 0)),
+                    int(start.get(f, 0)),
+                )
+                for f in {**prev, **merged}
             }
         parts = []
         for f, hi in sorted(end.items()):
@@ -535,10 +544,17 @@ class KinesisReshardStreamReader(DataSourceStreamReader):
         return out
 
     def partitions(self, start: dict, end: dict):
+        # monotonic max incl. the batch START: a checkpoint restart
+        # jump-starts the admission window at the committed position
         prev = self._planned_end or {}
+        keys = set(prev) | set(end) | set(start)
         self._planned_end = {
-            s: max(int(prev.get(s, 0)), int(e))
-            for s, e in {**prev, **end}.items()
+            s: max(
+                int(prev.get(s, 0)),
+                int(end.get(s, 0)),
+                int(start.get(s, 0)),
+            )
+            for s in keys
         }
         parts = []
         for sid, hi in sorted(end.items()):

@@ -596,3 +596,76 @@ def test_reshard_stream_children_wait_for_parents(spark, tmp_path):
         (3, [("c1", 2)]),
         (4, [("c1", 2)]),
     ]
+
+
+def test_reshard_stream_resumes_from_checkpoint_mid_drain(spark, tmp_path):
+    """Exactly-once across a restart MID-DRAIN: stop after the first
+    micro-batches, restart from the same checkpoint, and the union of
+    batches must cover every record exactly once with the lease rule
+    still holding (parent rows never after child rows)."""
+    import os as _os
+    import tempfile
+
+    from kinesis_stream_reader_spark.sources.python_source import (
+        KinesisReshardDataSource,
+        write_reshard_manifest,
+        write_reshard_shard_file,
+    )
+
+    spark.dataSource.register(KinesisReshardDataSource)
+    d = str(tmp_path / "wire")
+    _os.makedirs(d)
+    write_reshard_shard_file(d, "p", [(i, 1, b"x") for i in range(6)])
+    write_reshard_shard_file(d, "c", [(10 + i, 1, b"y") for i in range(4)])
+    write_reshard_manifest(
+        d,
+        [
+            {"shard_id": "p", "closed": True},
+            {"shard_id": "c", "parent": "p"},
+        ],
+    )
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[tuple[str, int, int]] = []
+
+    def obs(df, bid):
+        for r in df.collect():
+            seen.append((r.shard_id, int(r.sequence_number), int(bid)))
+
+    def run(stop_after_batches: int | None):
+        st = (
+            spark.readStream.format("kinesis_reshard")
+            .option("path", d)
+            .option("maxRecordsPerShardPerBatch", "2")
+            .load()
+        )
+        q = (
+            st.writeStream.foreachBatch(obs)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        if stop_after_batches is not None:
+            import time as _t
+
+            while (
+                len({b for _, _, b in seen}) < stop_after_batches
+            ):
+                _t.sleep(0.1)
+            q.stop()
+            q.awaitTermination()
+        else:
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+
+    run(stop_after_batches=2)  # partial drain: p still mid-flight
+    n_first = len(seen)
+    assert 0 < n_first < 10
+    run(stop_after_batches=None)  # resume from the SAME checkpoint
+    # exactly-once: every record exactly once across both runs
+    assert sorted((s, q) for s, q, _ in seen) == sorted(
+        [("p", i) for i in range(6)] + [("c", 10 + i) for i in range(4)]
+    )
+    # lease rule survives the restart: p's max batch < c's min batch
+    p_b = [b for s, _, b in seen if s == "p"]
+    c_b = [b for s, _, b in seen if s == "c"]
+    assert max(p_b) < min(c_b)
