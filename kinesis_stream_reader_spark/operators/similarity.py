@@ -2655,3 +2655,198 @@ def ann_ivf_filtered(
         "label",
         "d2",
     )
+
+
+def ivfpq_build_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    n_lists: int = 16,
+    max_iter: int = 5,
+):
+    """BUILD half of the persisted-index story (round 10): train the
+    coarse quantizer + PQ codebook, encode the corpus ONCE, and land
+    the index as three parquet tables — the FAISS index file reified
+    as lakehouse tables:
+
+      centroids/  (cid, c array<long>)          16 rows
+      codebook/   (code_id, r array<long>)       8 rows
+      codes/      vec_id, codes array<long>, PARTITIONED BY list_id
+
+    codes/ is hive-partitioned on list_id, so SERVING's probed-list
+    filter is FILE-LEVEL partition pruning — at 100 TB the query
+    touches nprobe/n_lists of the index bytes, which is the whole
+    point of IVF. Encoding reuses the one-Arrow-pass assign+encode
+    kernel; nothing is collected except the trained constants."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cents, _, vecs = _lloyd_centroids(embeddings, n_lists, max_iter)
+    if not cents:
+        raise ValueError("cannot build an IVF-PQ index over an empty corpus")
+    cids = np.array([c[0] for c in cents], np.int64)
+    cmat = np.stack([c[1] for c in cents])
+    if cmat.shape[1] % m != 0:
+        raise ValueError(
+            f"embedding dim {cmat.shape[1]} is not divisible by m={m}; "
+            "PQ requires equal-width subspaces"
+        )
+    sub = cmat.shape[1] // m
+    cb, n_codes = _pq_seed_codebook(vecs, cmat, cids, n_lists, n_codes)
+
+    spark.createDataFrame(
+        [(int(cids[i]), [int(x) for x in cmat[i]]) for i in range(len(cids))],
+        "cid LONG, c ARRAY<LONG>",
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    spark.createDataFrame(
+        [(j, [int(x) for x in cb[j]]) for j in range(n_codes)],
+        "code_id LONG, r ARRAY<LONG>",
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
+
+    def encode(it):
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            v = np.array(pdf["xq"].tolist(), np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            d2 = (
+                (v * v).sum(1)[:, None]
+                - 2 * (v @ cmat.T)
+                + (cmat * cmat).sum(1)[None, :]
+            )
+            lst = ((d2 * n_lists + cids[None, :]).min(1) % n_lists).astype(
+                np.int64
+            )
+            li = np.searchsorted(cids, lst)
+            r = v - cmat[li]
+            codes = np.zeros((len(ids), m), np.int64)
+            for s in range(m):
+                sl = slice(s * sub, (s + 1) * sub)
+                dist = (
+                    (r[:, sl] * r[:, sl]).sum(1)[:, None]
+                    - 2 * (r[:, sl] @ cb[:, sl].T)
+                    + (cb[:, sl] * cb[:, sl]).sum(1)[None, :]
+                )
+                codes[:, s] = (
+                    (dist * n_codes + np.arange(n_codes)[None, :]).min(1)
+                    % n_codes
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids,
+                    "list_id": lst,
+                    "codes": list(codes),
+                }
+            )
+
+    (
+        vecs.mapInPandas(
+            encode, "vec_id LONG, list_id LONG, codes ARRAY<LONG>"
+        )
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def ivfpq_serve_persisted(
+    embeddings: DataFrame,
+    index_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """SERVE half: load the persisted index and answer the query with
+    a PURE-CATALYST plan — no Python in the serving path. The trained
+    constants (centroids + codebook, 24 rows) load to the driver; the
+    query's per-probed-list ADC LUT (nprobe x m x n_codes rows)
+    broadcasts; the plan is
+
+      scan codes/ (PartitionFilters: list_id IN probed)
+        -> posexplode(codes) -> BroadcastHashJoin LUT
+        -> partial-agg SUM per vec_id -> TakeOrdered k
+
+    so serving reads nprobe/n_lists of the index bytes and shuffles
+    only (vec_id, partial sums). Result rows are bit-identical to
+    ann_ivfpq_trained — asserted in pytest and shared with its SQL
+    oracle."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    crows = sorted(
+        spark.read.parquet(f"{index_dir}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cids = np.array([r["cid"] for r in crows], np.int64)
+    cmat = np.stack([np.asarray(r["c"], np.int64) for r in crows])
+    brows = sorted(
+        spark.read.parquet(f"{index_dir}/codebook").collect(),
+        key=lambda r: r["code_id"],
+    )
+    cb = np.stack([np.asarray(r["r"], np.int64) for r in brows])
+    n_codes = len(brows)
+    m = None
+    qrows = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(_quantized_vec(F.col("embedding")).alias("xq"))
+        .take(1)
+    )
+    if not qrows:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} is not present in the corpus"
+        )
+    q = np.asarray(qrows[0]["xq"], np.int64)
+    qd2 = ((q[None, :] - cmat) ** 2).sum(1)
+    probe_order = np.lexsort((cids, qd2))[:nprobe]
+
+    # LUT relation: one row per (list_id, s, code_id) with the exact
+    # int64 partial distance — the broadcast side of the serve join
+    lut_rows = []
+    for pi in probe_order:
+        rq = q - cmat[pi]
+        dim = len(rq)
+        # m from the codebook row width (codebook stores full-dim
+        # residuals; subspace width = dim // m is fixed at build time
+        # by the same seed convention, so recover m from metadata-free
+        # algebra: the build used equal widths, carried here via the
+        # codes array length)
+        if m is None:
+            m = spark.read.parquet(f"{index_dir}/codes").select(
+                F.size("codes").alias("m")
+            ).first()["m"]
+        sub = dim // m
+        for s in range(m):
+            sl = slice(s * sub, (s + 1) * sub)
+            d = ((rq[sl][None, :] - cb[:, sl]) ** 2).sum(1)
+            for j in range(n_codes):
+                lut_rows.append((int(cids[pi]), s, j, int(d[j])))
+    lut = spark.createDataFrame(
+        lut_rows, "list_id LONG, s INT, code_id LONG, d LONG"
+    )
+
+    codes = spark.read.parquet(f"{index_dir}/codes").filter(
+        F.col("list_id").isin([int(cids[i]) for i in probe_order])
+        & (F.col("vec_id") != query_vec_id)
+    )
+    exploded = codes.select(
+        "vec_id",
+        "list_id",
+        F.posexplode("codes").alias("s", "code_id"),
+    )
+    topk = (
+        exploded.join(F.broadcast(lut), ["list_id", "s", "code_id"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("adc_d2", "vec_id")
+    return topk.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        F.col("adc_d2").cast("long").alias("adc_d2"),
+    )

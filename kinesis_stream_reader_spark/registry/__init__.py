@@ -82,6 +82,7 @@ EAGER_QUERIES = frozenset(
         "ann_ivfpq_refine", "pq_code_health", "wordpiece_encode",
         "ann_ivfpq_batch", "unigram_lm_encode", "multimodal_tiff16_decode",
         "ann_ivf_filtered", "tokenizer_compare_report",
+        "ann_index_persist_serve",
         "quantization_recall_report",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
@@ -126,6 +127,7 @@ _PRIORITY = [
     # driver-checked), then the round-10-touched legs (first-occurrence
     # URL separators, wordpiece vocab cap + guards, PQ int64 census),
     # then the r9 rotation.
+    "ann_index_persist_serve",
     "source_python_reshard", "ann_ivfpq_batch", "unigram_lm_encode",
     "multimodal_tiff16_decode", "streaming_shard_lag_census",
     "streaming_reshard_drain", "ann_ivf_filtered", "merkle_snapshot_diff",

@@ -1137,3 +1137,61 @@ SELECT * FROM (
 
 
 tokenizer_compare_report_query = _register_tokenizer_compare()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — ann_index_persist_serve: the build/serve separation every
+# production ANN deployment has — the index trained and encoded ONCE,
+# persisted as parquet tables (codes hive-partitioned by list_id), and
+# SERVING as a pure-Catalyst plan: partition-pruned codes scan ->
+# posexplode -> broadcast LUT join -> partial-agg ADC -> TakeOrdered.
+# Result rows are bit-identical to ann_ivfpq_trained, so the oracle is
+# the shared trained-ADC chain.
+# ---------------------------------------------------------------------------
+def _register_ann_index_persist():
+    from .r8_round8 import (
+        _IVFPQ_ADC_CTES,
+        _MAX_ITER,
+        _N_LISTS,
+        _TRAINED_TL_CTE,
+    )
+
+    @register(
+        "ann_index_persist_serve",
+        _TRAINED_TL_CTE + _IVFPQ_ADC_CTES + """
+SELECT ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id)::INT AS rank,
+       vec_id, adc_d2::BIGINT AS adc_d2
+FROM adc ORDER BY adc_d2, vec_id LIMIT 10
+""",
+    )
+    def ann_index_persist_serve_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Persisted-index serving (similarity.ivfpq_build_index +
+        ivfpq_serve_persisted): train/encode once into parquet tables
+        under scratch (fingerprint-keyed), then serve query 0 from the
+        persisted codes with no Python in the serving path. Must equal
+        ann_ivfpq_trained row for row — same oracle."""
+        import os
+
+        from ..operators import similarity
+        from ..scratch import scratch
+        from ..sources.raw import source_fingerprint
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        d = scratch(
+            f"ksr_annidx/{sf_dir.strip('/').replace('/', '_')}"
+            f"_{source_fingerprint(sf_dir, table='embeddings')}"
+        )
+        if not os.path.isdir(f"{d}/codes"):
+            similarity.ivfpq_build_index(
+                emb, d, m=4, n_codes=8, n_lists=_N_LISTS, max_iter=_MAX_ITER
+            )
+        return similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        )
+
+    return ann_index_persist_serve_query
+
+
+ann_index_persist_serve_query = _register_ann_index_persist()

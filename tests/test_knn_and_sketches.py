@@ -751,3 +751,31 @@ def test_ann_ivf_filtered_prefilter_semantics(spark, sf_dir):
     assert [r.vec_id for r in rows] == [
         r.vec_id for r in big if labels[r.vec_id] == 1
     ][: len(rows)]
+
+
+def test_persisted_index_serving_matches_direct_path(spark, sf_dir, tmp_path):
+    """Build/serve separation: serving from the persisted parquet
+    index must be row-identical to the in-memory ann_ivfpq_trained
+    path, and the codes scan must be partition-pruned to the probed
+    lists."""
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(emb, d)
+    served = similarity.ivfpq_serve_persisted(emb, d, query_vec_id=0)
+    direct = similarity.ann_ivfpq_trained(emb, query_vec_id=0)
+    assert [
+        (r.rank, r.vec_id, r.adc_d2) for r in served.collect()
+    ] == [(r.rank, r.vec_id, r.adc_d2) for r in direct.collect()]
+    # partition pruning: physical plan's scan must carry list_id
+    # partition filters (hive layout on the probed lists)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "list_id" in plan
