@@ -3765,13 +3765,35 @@ def decode_jpeg(data: bytes):
                 i += 17 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8:
-                raise NotImplementedError("only 8-bit precision JPEG supported")
+            if precision == 12:
+                # 12-bit EXTENDED SEQUENTIAL (T.81 Table B.2, SOF1):
+                # the medical/scientific precision. Grayscale only —
+                # there is no standard 12-bit YCbCr convention to
+                # target — and Huffman sequential only.
+                if marker == 0xC2:
+                    raise NotImplementedError(
+                        "12-bit progressive JPEG not supported"
+                    )
+                if ncomp != 1:
+                    raise NotImplementedError(
+                        "12-bit JPEG supported for single-component "
+                        "(grayscale) streams only"
+                    )
+            elif precision != 8:
+                raise NotImplementedError(
+                    "only 8-bit and 12-bit precision JPEG supported"
+                )
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+                "precision": precision,
+            }
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 "only baseline (SOF0/SOF1) and progressive (SOF2) Huffman "
@@ -3855,7 +3877,12 @@ def decode_jpeg(data: bytes):
                                 k += 1
                             S = np.zeros((8, 8), dtype=np.float64)
                             S.flat[_ZIGZAG] = zz
-                            block = A.T @ S @ A + 128.0
+                            # level shift = 2^(P-1): 128 at 8-bit,
+                            # 2048 at 12-bit (T.81 A.3.1)
+                            block = (
+                                A.T @ S @ A
+                                + float(1 << (frame["precision"] - 1))
+                            )
                             y0 = (my * comp["v"] + by) * 8
                             x0 = (mx * comp["h"] + bx) * 8
                             planes[comp["id"]][y0 : y0 + 8, x0 : x0 + 8] = block
@@ -3867,10 +3894,12 @@ def decode_jpeg(data: bytes):
                 ry, rx = vmax // comp["v"], hmax // comp["h"]
                 if ry > 1 or rx > 1:
                     p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-                p = np.clip(np.floor(p[:h, :w] + 0.5), 0, 255)
+                vmax_sample = (1 << frame["precision"]) - 1
+                p = np.clip(np.floor(p[:h, :w] + 0.5), 0, vmax_sample)
                 out_planes.append(p)
             if len(out_planes) == 1:
-                g = out_planes[0].astype(np.uint8)
+                dt = np.uint16 if frame["precision"] > 8 else np.uint8
+                g = out_planes[0].astype(dt)
                 return np.stack([g, g, g], axis=2)
             y, cb, cr = out_planes
             r = y + 1.402 * (cr - 128.0)
@@ -5671,4 +5700,87 @@ def encode_tiff_rgb16(
         out += struct.pack(f"{e}I", len(s))
     out += struct.pack(f"{e}H", len(entries)) + b"".join(entries)
     out += struct.pack(f"{e}I", 0)
+    return bytes(out)
+
+
+# DC table for the 12-bit fixture encoder: all 16 categories (0..15)
+# as 4-bit codes — a complete tree (16 * 2^-4 = 1 satisfies Kraft).
+_J12_DC_COUNTS = [0, 0, 0, 16] + [0] * 12
+_J12_DC_SYMBOLS = list(range(16))
+
+
+def encode_jpeg12_gray(
+    w: int,
+    h: int,
+    blocks,
+    quant_table,
+    restart_interval: int = 0,
+) -> bytes:
+    """Fixture twin of decode_jpeg's 12-bit path: pack QUANTIZED
+    zigzag coefficient blocks into a valid 12-bit EXTENDED SEQUENTIAL
+    (SOF1, T.81 Table B.2) grayscale stream — DQT with Pq=1 (16-bit
+    entries, mandatory once values may exceed 255), a DC table
+    covering all 16 categories (12-bit DC differences reach category
+    15), optional DRI/RSTn. Compressed-domain like the 8-bit fixtures
+    so the decoded-pixel formula stays closed-form."""
+    import struct
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128) + bytes([0x10])
+    for q in quant_table:
+        out += struct.pack(">H", q)
+    out += b"\xff\xc1" + struct.pack(">HBHHB", 11, 12, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    for tc_th, counts, symbols in (
+        (0x00, _J12_DC_COUNTS, _J12_DC_SYMBOLS),
+        (0x10, _FIX_AC_COUNTS, _FIX_AC_SYMBOLS),
+    ):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(symbols))
+        out += bytes([tc_th]) + bytes(counts) + bytes(symbols)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += b"\x00\x3f\x00"
+
+    dc_codes = _huffman_codes(_J12_DC_COUNTS, _J12_DC_SYMBOLS)
+    ac_codes = _huffman_codes(_FIX_AC_COUNTS, _FIX_AC_SYMBOLS)
+    bw = _BitWriter()
+    pred = 0
+    n_blk = -(-w // 8) * (-(-h // 8))
+    for m in range(n_blk):
+        if restart_interval and m and m % restart_interval == 0:
+            out += bw.flush()
+            bw = _BitWriter()
+            out += bytes([0xFF, 0xD0 + ((m // restart_interval - 1) % 8)])
+            pred = 0
+        zz = blocks[m]
+        diff = zz[0] - pred
+        pred = zz[0]
+        cat = _dc_category(diff)
+        code, length = dc_codes[cat]
+        bw.write(code, length)
+        if cat:
+            bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                code, length = ac_codes[0x00]
+                bw.write(code, length)
+                break
+            while run >= 16:
+                code, length = ac_codes[0xF0]
+                bw.write(code, length)
+                run -= 16
+            v = zz[k]
+            size = _dc_category(v)
+            code, length = ac_codes[(run << 4) | size]
+            bw.write(code, length)
+            bw.write(v if v >= 0 else v + (1 << size) - 1, size)
+            k += 1
+    out += bw.flush()
+    out += b"\xff\xd9"
     return bytes(out)

@@ -127,7 +127,7 @@ _PRIORITY = [
     # driver-checked), then the round-10-touched legs (first-occurrence
     # URL separators, wordpiece vocab cap + guards, PQ int64 census),
     # then the r9 rotation.
-    "ann_index_persist_serve",
+    "ann_index_persist_serve", "multimodal_jpeg12_decode",
     "source_python_reshard", "ann_ivfpq_batch", "unigram_lm_encode",
     "multimodal_tiff16_decode", "streaming_shard_lag_census",
     "streaming_reshard_drain", "ann_ivf_filtered", "merkle_snapshot_diff",

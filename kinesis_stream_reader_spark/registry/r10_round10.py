@@ -1195,3 +1195,78 @@ FROM adc ORDER BY adc_d2, vec_id LIMIT 10
 
 
 ann_index_persist_serve_query = _register_ann_index_persist()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — multimodal_jpeg12_decode: 12-bit EXTENDED SEQUENTIAL
+# JPEG (SOF1), the medical/scientific precision and the most
+# consequential of the remaining JPEG gates. Grayscale (no standard
+# 12-bit YCbCr target), 16-bit DQT, 16-category DC table, level shift
+# 2048, clamp 0..4095, uint16 out — compressed-domain fixtures keep
+# the decoded-pixel formula closed-form like the 8-bit legs.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_jpeg12_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 * (2 + doc_id % 3) AS w, 8 * (2 + doc_id % 2) AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, p.p AS p,
+         2048 + (doc_id * 19
+                 + 29 * (((p.p // w) // 8) * (w // 8) + (p.p % w) // 8))
+               % 3800 - 1900 AS v
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS p) p
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * 6 * v)::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_jpeg12_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL 12-bit JPEG decode (multimodal.decode_jpeg, SOF1 path):
+    per-block DC formula dc = (d*19 + 29b) % 3800 - 1900 so pixels are
+    dc + 2048 exactly (Q[0]=8 DC-only IDCT identity); blocks with
+    (d+b)%3==0 carry a sub-rounding AC probe; even doc_ids add DRI=2
+    restarts (12-bit DC predictor resets). Gray replicates to RGB at
+    full 12-bit range: checksum = sum((p+1) * 6v)."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        q = [8, 1] + [16] * 62
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 * (2 + d % 3), 8 * (2 + d % 2)
+                nb = (w // 8) * (h // 8)
+                blocks = []
+                for b in range(nb):
+                    zz = [0] * 64
+                    zz[0] = (d * 19 + 29 * b) % 3800 - 1900
+                    if (d + b) % 3 == 0:
+                        zz[1] = 1
+                    blocks.append(zz)
+                blobs.append(
+                    multimodal.encode_jpeg12_gray(
+                        w,
+                        h,
+                        blocks,
+                        q,
+                        restart_interval=2 if d % 2 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

@@ -2306,3 +2306,41 @@ def test_tiff_rgb16_roundtrip_all_compressions():
                 )
                 assert got.dtype == np.uint16
                 assert np.array_equal(got, a), (comp, be, h, w)
+
+
+def test_jpeg12_roundtrip_and_gates():
+    """12-bit extended sequential: DC-only blocks land exactly on
+    dc + 2048 at full 12-bit range (uint16 out, restarts included);
+    12-bit progressive and 12-bit color stay gated."""
+    import numpy as np
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    q = [8, 1] + [16] * 62
+    for d in range(6):
+        w, h = 8 * (2 + d % 3), 8 * (2 + d % 2)
+        nb = (w // 8) * (h // 8)
+        blocks, want = [], np.zeros((h, w), np.int64)
+        for b in range(nb):
+            dc = (d * 19 + 29 * b) % 3800 - 1900
+            zz = [0] * 64
+            zz[0] = dc
+            if (d + b) % 3 == 0:
+                zz[1] = 1
+            blocks.append(zz)
+            by, bx = divmod(b, w // 8)
+            want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = dc + 2048
+        got = mm.decode_jpeg(
+            mm.encode_jpeg12_gray(
+                w, h, blocks, q, restart_interval=2 if d % 2 == 0 else 0
+            )
+        )
+        assert got.dtype == np.uint16
+        assert np.array_equal(got[:, :, 0].astype(np.int64), want), d
+    # gate: 12-bit 3-component must raise, not mis-decode
+    blob = bytearray(mm.encode_jpeg12_gray(8, 8, [[0] * 64], q))
+    sof = blob.find(b"\xff\xc1")
+    blob[sof + 9] = 3  # claim 3 components
+    with _pytest.raises(NotImplementedError):
+        mm.decode_jpeg(bytes(blob))
