@@ -3794,10 +3794,34 @@ def decode_jpeg(data: bytes):
                 "progressive": marker == 0xC2,
                 "precision": precision,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # SOF3: LOSSLESS sequential Huffman (T.81 H)
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "lossless JPEG supported for single-component "
+                    "(grayscale) streams only"
+                )
+            if not 2 <= precision <= 16:
+                raise ValueError("lossless JPEG precision must be 2..16")
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            frame = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": False,
+                "lossless": True,
+                "precision": precision,
+            }
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline (SOF0/SOF1) and progressive (SOF2) Huffman "
-                "JPEG supported — lossless/hierarchical frames are not"
+                "only baseline (SOF0/SOF1), progressive (SOF2) and "
+                "lossless (SOF3) Huffman JPEG supported — "
+                "differential/hierarchical frames are not"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", body, 0)
@@ -3810,6 +3834,67 @@ def decode_jpeg(data: bytes):
                 cs, tdta = body[1 + 2 * ci : 3 + 2 * ci]
                 comp = next(c for c in frame["comps"] if c["id"] == cs)
                 scan.append((comp, tdta >> 4, tdta & 0xF))
+            if frame.get("lossless"):
+                # T.81 Annex H: predictive coding, no DCT. Ss carries
+                # the predictor selector (1-7), Al the point transform.
+                ss = body[1 + 2 * ns]
+                pt = body[3 + 2 * ns] & 0xF
+                if pt != 0:
+                    raise NotImplementedError(
+                        "lossless JPEG point transform not supported"
+                    )
+                if not 1 <= ss <= 7:
+                    raise ValueError("invalid lossless predictor selector")
+                td = scan[0][1]
+                dc_tbl = huff[(0, td)]
+                P = frame["precision"]
+                h, w = frame["h"], frame["w"]
+                x_img = np.zeros((h, w), dtype=np.int64)
+                br = _BitReader(data, pos + 2 + seg_len)
+                default = 1 << (P - 1)
+                n_since_restart = 0
+                restarted = True  # scan start behaves like post-restart
+                for y in range(h):
+                    for x in range(w):
+                        if (
+                            restart_interval
+                            and n_since_restart == restart_interval
+                        ):
+                            br.align_restart()
+                            n_since_restart = 0
+                            restarted = True
+                        cat = _read_huffman(br, dc_tbl)
+                        if cat == 16:
+                            diff = 32768  # SSSS=16: no extra bits (H.2)
+                        elif cat:
+                            diff = _extend(br.read_bits(cat), cat)
+                        else:
+                            diff = 0
+                        if restarted:
+                            px = default
+                            restarted = False
+                        elif y == 0:
+                            px = x_img[0, x - 1] if x else default
+                        elif x == 0:
+                            px = x_img[y - 1, 0]
+                        else:
+                            a = x_img[y, x - 1]
+                            b = x_img[y - 1, x]
+                            c = x_img[y - 1, x - 1]
+                            px = (
+                                a,
+                                b,
+                                c,
+                                a + b - c,
+                                a + ((b - c) >> 1),
+                                b + ((a - c) >> 1),
+                                (a + b) >> 1,
+                            )[ss - 1]
+                        x_img[y, x] = (int(px) + diff) % 65536
+                        n_since_restart += 1
+                dt = np.uint16 if P > 8 else np.uint8
+                g = x_img.astype(dt)
+                return np.stack([g, g, g], axis=2)
             if frame.get("progressive"):
                 ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
                 ahal = body[3 + 2 * ns]
@@ -5781,6 +5866,93 @@ def encode_jpeg12_gray(
             bw.write(code, length)
             bw.write(v if v >= 0 else v + (1 << size) - 1, size)
             k += 1
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# DC table for the lossless fixture encoder: categories 0..16 (SSSS=16
+# is the magnitude-32768 escape) — 17 codes of length 5 (17/32 < 1).
+_JLL_DC_COUNTS = [0, 0, 0, 0, 17] + [0] * 11
+_JLL_DC_SYMBOLS = list(range(17))
+
+
+def encode_jpeg_lossless_gray(
+    arr,
+    precision: int,
+    predictor: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Fixture twin of decode_jpeg's SOF3 path: LOSSLESS sequential
+    JPEG (T.81 Annex H) over a (h, w) integer grayscale array —
+    predictive coding with the 7 standard predictors, differences mod
+    2^16 with the SSSS=16 escape, optional DRI/RSTn (the predictor
+    resets to 2^(P-1) after a restart). Decoded samples equal the
+    input EXACTLY — the whole point of the format."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.int64)
+    h, w = a.shape
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7")
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 11, precision, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(_JLL_DC_SYMBOLS))
+    out += bytes([0x00]) + bytes(_JLL_DC_COUNTS) + bytes(_JLL_DC_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    out += bytes([predictor, 0x00, 0x00])  # Ss=predictor, Se=0, Ah/Al=0
+
+    codes = _huffman_codes(_JLL_DC_COUNTS, _JLL_DC_SYMBOLS)
+    bw = _BitWriter()
+    default = 1 << (precision - 1)
+    n = 0
+    restarted = True
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n == restart_interval:
+                out += bw.flush()
+                bw = _BitWriter()
+                out += bytes(
+                    [0xFF, 0xD0 + (((n and y * w + x) // restart_interval - 1) % 8)]
+                )
+                n = 0
+                restarted = True
+            if restarted:
+                px = default
+                restarted = False
+            elif y == 0:
+                px = a[0, x - 1] if x else default
+            elif x == 0:
+                px = a[y - 1, 0]
+            else:
+                aa, bb, cc = a[y, x - 1], a[y - 1, x], a[y - 1, x - 1]
+                px = (
+                    aa,
+                    bb,
+                    cc,
+                    aa + bb - cc,
+                    aa + ((bb - cc) >> 1),
+                    bb + ((aa - cc) >> 1),
+                    (aa + bb) >> 1,
+                )[predictor - 1]
+            d = (int(a[y, x]) - int(px)) % 65536
+            if d >= 32768:
+                d -= 65536
+            if d == -32768:
+                code, length = codes[16]
+                bw.write(code, length)  # SSSS=16: no appended bits
+            else:
+                cat = _dc_category(d)
+                code, length = codes[cat]
+                bw.write(code, length)
+                if cat:
+                    bw.write(d if d >= 0 else d + (1 << cat) - 1, cat)
+            n += 1
     out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)

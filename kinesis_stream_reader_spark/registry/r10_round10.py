@@ -1270,3 +1270,70 @@ def multimodal_jpeg12_decode_query(
         batches, "doc_id BIGINT, data BINARY"
     )
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — multimodal_jpeg_lossless_decode: LOSSLESS sequential JPEG
+# (SOF3, T.81 Annex H) — DICOM's workhorse transfer syntax and the
+# named "JPEG lossless" gate. All 7 predictors, precisions 8/12/16,
+# mod-2^16 differences with the SSSS=16 escape, restart resets.
+# Decoded == source exactly, so the oracle is the raw value formula.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_jpeg_lossless_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+         CASE doc_id % 3 WHEN 0 THEN 256 WHEN 1 THEN 4096
+              ELSE 65536 END AS hi
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 37 + 101 * i.i) % hi AS v
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * 6 * v)::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_jpeg_lossless_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL lossless JPEG decode (multimodal.decode_jpeg SOF3 path):
+    v_i = (d*37 + 101*i) mod 2^P with precision rotating 8/12/16 by
+    doc_id % 3, predictor rotating 1..7, restarts on even doc_ids.
+    Lossless means decoded samples equal the formula exactly at every
+    precision; checksum = sum((p+1) * 6v)."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                P = (8, 12, 16)[d % 3]
+                v = (
+                    d * 37 + 101 * np.arange(w * h, dtype=np.int64)
+                ) % (1 << P)
+                blobs.append(
+                    multimodal.encode_jpeg_lossless_gray(
+                        v.reshape(h, w),
+                        P,
+                        predictor=d % 7 + 1,
+                        restart_interval=5 if d % 2 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

@@ -2344,3 +2344,25 @@ def test_jpeg12_roundtrip_and_gates():
     blob[sof + 9] = 3  # claim 3 components
     with _pytest.raises(NotImplementedError):
         mm.decode_jpeg(bytes(blob))
+
+
+def test_jpeg_lossless_roundtrip_matrix():
+    """SOF3: every predictor x precision x restart combination decodes
+    to the EXACT source samples (the format's defining property)."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(33)
+    for P in (8, 12, 16):
+        for pred in range(1, 8):
+            a = rng.randint(0, 1 << P, (9, 7)).astype(np.int64)
+            for ri in (0, 4):
+                got = mm.decode_jpeg(
+                    mm.encode_jpeg_lossless_gray(
+                        a, P, predictor=pred, restart_interval=ri
+                    )
+                )
+                assert np.array_equal(
+                    got[:, :, 0].astype(np.int64), a
+                ), (P, pred, ri)
