@@ -500,7 +500,11 @@ def test_jpeg_grayscale_and_crop():
     assert (got[:, 8:] == 108).all()  # -20 + 128, cropped at x=12
 
 
-def test_jpeg_lossless_rejected():
+def test_jpeg_hierarchical_rejected():
+    """SOF3 lossless is REAL as of round 10; the differential/
+    hierarchical frame family (SOF5..SOF15 minus 8/12-bit sequential
+    and progressive) stays gated, as does multi-component lossless."""
+    import numpy as np
     import pytest
 
     from kinesis_stream_reader_spark.operators import multimodal as mm
@@ -510,9 +514,17 @@ def test_jpeg_lossless_rejected():
         mm.encode_jpeg_blocks(16, 8, [[[0] * 64, [0] * 64]], [qt], comp_quant=(0,))
     )
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless): still gated
+    blob[sof + 1] = 0xC5  # differential sequential: still gated
     with pytest.raises(NotImplementedError):
         mm.decode_jpeg(bytes(blob))
+    # multi-component lossless: gated with a clear message
+    ll = bytearray(
+        mm.encode_jpeg_lossless_gray(np.zeros((4, 4), np.int64), 8)
+    )
+    sof3 = ll.find(b"\xff\xc3")
+    ll[sof3 + 9] = 3  # claim 3 components
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg(bytes(ll))
 
 
 def _progressive_ref_pixels(w, h, comp_blocks, qts, comp_quant=(0, 1, 1)):
