@@ -80,7 +80,7 @@ EAGER_QUERIES = frozenset(
         "lof_outlier_scores_ivf_trained", "ivf_nprobe_sweep_trained",
         "ivf_list_health", "semdedup_trained", "ann_ivfpq_trained",
         "ann_ivfpq_refine", "pq_code_health", "wordpiece_encode",
-        "ann_ivfpq_batch", "unigram_lm_encode", "multimodal_tiff16_decode",
+        "ann_ivfpq_batch", "unigram_lm_encode",
         "ann_ivf_filtered", "tokenizer_compare_report",
         "ann_index_persist_serve",
         "quantization_recall_report",

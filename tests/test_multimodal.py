@@ -2378,3 +2378,88 @@ def test_jpeg_lossless_roundtrip_matrix():
                 assert np.array_equal(
                     got[:, :, 0].astype(np.int64), a
                 ), (P, pred, ri)
+
+
+def test_decoders_fail_cleanly_on_truncation_and_bitflips():
+    """Robustness sweep (round 10): at 100 TB corrupt media is a
+    certainty — every decoder must raise a clean Python exception on
+    truncated or bit-flipped wire, never hang, loop, or return
+    silently wrong shapes. Each decoder gets a VALID blob, then every
+    truncation at 16 byte-positions and a deterministic bit-flip
+    sweep; the only acceptable outcomes are a normal decode (a flip
+    may land in an ignorable byte) or ValueError /
+    NotImplementedError / EOFError-family errors within a bounded
+    walltime (the suite's own timeout is the hang detector)."""
+    import zlib as _zlib
+
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(77)
+    g8 = rng.randint(0, 256, (8, 9), dtype=np.uint8)
+    rgb8 = rng.randint(0, 256, (8, 9, 3), dtype=np.uint8)
+    g16 = rng.randint(0, 65536, (8, 9), dtype=np.uint16)
+
+    q12 = [8, 1] + [16] * 62
+    blocks12 = []
+    for b in range(2):
+        zz = [0] * 64
+        zz[0] = 100 * b - 50
+        blocks12.append(zz)
+
+    cases = [
+        ("png", mm.decode_png, mm.encode_png(rgb8)),
+        ("bmp", mm.decode_bmp, mm.encode_bmp(rgb8)),
+        ("tiff_lzw", mm.decode_tiff, mm.encode_tiff(rgb8, compression=5)),
+        ("tiff16", mm.decode_tiff, mm.encode_tiff_gray16(g16, compression=8)),
+        ("qoi", mm.decode_qoi, mm.encode_qoi(rgb8)),
+        ("jpeg12", mm.decode_jpeg, mm.encode_jpeg12_gray(16, 8, blocks12, q12)),
+        (
+            "jpeg_lossless",
+            mm.decode_jpeg,
+            mm.encode_jpeg_lossless_gray(g16.astype(np.int64), 16, predictor=4),
+        ),
+        ("gif", mm.decode_gif, mm.encode_gif((g8 % 4).reshape(-1).tolist(), 9, 8)),
+        (
+            "wav",
+            mm.decode_wav,
+            mm.encode_wav((np.arange(64) * 371 % 65536 - 32768).astype(np.int16)),
+        ),
+        (
+            "aiff",
+            mm.decode_aiff,
+            mm.encode_aiff((np.arange(64) * 371 % 65536 - 32768).astype(np.int16)),
+        ),
+        (
+            "flac",
+            mm.decode_flac,
+            mm.encode_flac(
+                [(np.arange(64) * 371 % 65536 - 32768).astype(np.int64).tolist()]
+            ),
+        ),
+    ]
+    ok_errors = (
+        ValueError,
+        NotImplementedError,
+        IndexError,
+        struct_error := __import__("struct").error,
+        KeyError,
+        EOFError,
+        _zlib.error,
+    )
+    for name, dec, blob in cases:
+        dec(blob)  # the pristine blob must decode
+        for cut in range(1, 17):
+            t = blob[: max(2, len(blob) - cut * max(1, len(blob) // 20))]
+            try:
+                dec(t)
+            except ok_errors:
+                pass
+        for i in range(0, len(blob), max(1, len(blob) // 24)):
+            f = bytearray(blob)
+            f[i] ^= 0x55
+            try:
+                dec(bytes(f))
+            except ok_errors:
+                pass
