@@ -3796,10 +3796,10 @@ def decode_jpeg(data: bytes):
             }
         elif marker == 0xC3:  # SOF3: LOSSLESS sequential Huffman (T.81 H)
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "lossless JPEG supported for single-component "
-                    "(grayscale) streams only"
+                    "lossless JPEG supported for 1-component (gray) and "
+                    "3-component (RGB, no transform) streams"
                 )
             if not 2 <= precision <= 16:
                 raise ValueError("lossless JPEG precision must be 2..16")
@@ -3845,15 +3845,22 @@ def decode_jpeg(data: bytes):
                     )
                 if not 1 <= ss <= 7:
                     raise ValueError("invalid lossless predictor selector")
-                td = scan[0][1]
-                dc_tbl = huff[(0, td)]
+                if any(c["h"] != 1 or c["v"] != 1 for c in frame["comps"]):
+                    raise NotImplementedError(
+                        "lossless JPEG supports non-subsampled components"
+                    )
+                tbls = [huff[(0, td)] for _, td, _ in scan]
                 P = frame["precision"]
                 h, w = frame["h"], frame["w"]
-                x_img = np.zeros((h, w), dtype=np.int64)
+                nc = len(scan)
+                # interleaved lossless: one MCU = one sample per
+                # component (non-subsampled); each component carries
+                # its OWN neighbor/predictor state (H.1.2)
+                planes = [np.zeros((h, w), dtype=np.int64) for _ in scan]
                 br = _BitReader(data, pos + 2 + seg_len)
                 default = 1 << (P - 1)
                 n_since_restart = 0
-                restarted = True  # scan start behaves like post-restart
+                restarted = [True] * nc  # scan start = post-restart
                 for y in range(h):
                     for x in range(w):
                         if (
@@ -3862,39 +3869,45 @@ def decode_jpeg(data: bytes):
                         ):
                             br.align_restart()
                             n_since_restart = 0
-                            restarted = True
-                        cat = _read_huffman(br, dc_tbl)
-                        if cat == 16:
-                            diff = 32768  # SSSS=16: no extra bits (H.2)
-                        elif cat:
-                            diff = _extend(br.read_bits(cat), cat)
-                        else:
-                            diff = 0
-                        if restarted:
-                            px = default
-                            restarted = False
-                        elif y == 0:
-                            px = x_img[0, x - 1] if x else default
-                        elif x == 0:
-                            px = x_img[y - 1, 0]
-                        else:
-                            a = x_img[y, x - 1]
-                            b = x_img[y - 1, x]
-                            c = x_img[y - 1, x - 1]
-                            px = (
-                                a,
-                                b,
-                                c,
-                                a + b - c,
-                                a + ((b - c) >> 1),
-                                b + ((a - c) >> 1),
-                                (a + b) >> 1,
-                            )[ss - 1]
-                        x_img[y, x] = (int(px) + diff) % 65536
+                            restarted = [True] * nc
+                        for ci in range(nc):
+                            cat = _read_huffman(br, tbls[ci])
+                            if cat == 16:
+                                diff = 32768  # SSSS=16: no bits (H.2)
+                            elif cat:
+                                diff = _extend(br.read_bits(cat), cat)
+                            else:
+                                diff = 0
+                            x_img = planes[ci]
+                            if restarted[ci]:
+                                px = default
+                                restarted[ci] = False
+                            elif y == 0:
+                                px = x_img[0, x - 1] if x else default
+                            elif x == 0:
+                                px = x_img[y - 1, 0]
+                            else:
+                                a = x_img[y, x - 1]
+                                b = x_img[y - 1, x]
+                                c = x_img[y - 1, x - 1]
+                                px = (
+                                    a,
+                                    b,
+                                    c,
+                                    a + b - c,
+                                    a + ((b - c) >> 1),
+                                    b + ((a - c) >> 1),
+                                    (a + b) >> 1,
+                                )[ss - 1]
+                            x_img[y, x] = (int(px) + diff) % 65536
                         n_since_restart += 1
                 dt = np.uint16 if P > 8 else np.uint8
-                g = x_img.astype(dt)
-                return np.stack([g, g, g], axis=2)
+                if nc == 1:
+                    g = planes[0].astype(dt)
+                    return np.stack([g, g, g], axis=2)
+                # 3-component lossless: stored color is the output
+                # color — no JFIF transform in the lossless process
+                return np.stack([p.astype(dt) for p in planes], axis=2)
             if frame.get("progressive"):
                 ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
                 ahal = body[3 + 2 * ns]
@@ -5952,6 +5965,91 @@ def encode_jpeg_lossless_gray(
                 bw.write(code, length)
                 if cat:
                     bw.write(d if d >= 0 else d + (1 << cat) - 1, cat)
+            n += 1
+    out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_lossless_rgb(
+    arr,
+    precision: int = 8,
+    predictor: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Fixture twin of the 3-component SOF3 path: interleaved
+    non-subsampled lossless RGB (stored color = output color, no
+    transform), per-component predictor state, shared DC table."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.int64)
+    h, w, nc = a.shape
+    assert nc == 3
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7")
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(_JLL_DC_SYMBOLS))
+    out += bytes([0x00]) + bytes(_JLL_DC_COUNTS) + bytes(_JLL_DC_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00])
+    out += bytes([predictor, 0x00, 0x00])
+
+    codes = _huffman_codes(_JLL_DC_COUNTS, _JLL_DC_SYMBOLS)
+    bw = _BitWriter()
+    default = 1 << (precision - 1)
+    n = 0
+    restarted = [True] * nc
+    n_restarts = 0
+    for y in range(h):
+        for x in range(w):
+            if restart_interval and n == restart_interval:
+                out += bw.flush()
+                bw = _BitWriter()
+                out += bytes([0xFF, 0xD0 + (n_restarts % 8)])
+                n_restarts += 1
+                n = 0
+                restarted = [True] * nc
+            for ci in range(nc):
+                if restarted[ci]:
+                    px = default
+                    restarted[ci] = False
+                elif y == 0:
+                    px = a[0, x - 1, ci] if x else default
+                elif x == 0:
+                    px = a[y - 1, 0, ci]
+                else:
+                    aa = a[y, x - 1, ci]
+                    bb = a[y - 1, x, ci]
+                    cc = a[y - 1, x - 1, ci]
+                    px = (
+                        aa,
+                        bb,
+                        cc,
+                        aa + bb - cc,
+                        aa + ((bb - cc) >> 1),
+                        bb + ((aa - cc) >> 1),
+                        (aa + bb) >> 1,
+                    )[predictor - 1]
+                d = (int(a[y, x, ci]) - int(px)) % 65536
+                if d >= 32768:
+                    d -= 65536
+                if d == -32768:
+                    code, length = codes[16]
+                    bw.write(code, length)
+                else:
+                    cat = _dc_category(d)
+                    code, length = codes[cat]
+                    bw.write(code, length)
+                    if cat:
+                        bw.write(d if d >= 0 else d + (1 << cat) - 1, cat)
             n += 1
     out += bw.flush()
     out += b"\xff\xd9"

@@ -129,6 +129,7 @@ _PRIORITY = [
     # then the r9 rotation.
     "ann_index_persist_serve", "multimodal_jpeg12_decode",
     "multimodal_jpeg_lossless_decode",
+    "multimodal_jpeg_lossless_rgb_decode",
     "source_python_reshard", "ann_ivfpq_batch", "unigram_lm_encode",
     "multimodal_tiff16_decode", "streaming_shard_lag_census",
     "streaming_reshard_drain", "ann_ivf_filtered", "merkle_snapshot_diff",

@@ -1337,3 +1337,74 @@ def multimodal_jpeg_lossless_decode_query(
         batches, "doc_id BIGINT, data BINARY"
     )
     return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ROUND 10 — multimodal_jpeg_lossless_rgb_decode: 3-component
+# interleaved lossless JPEG (stored color = output color, no
+# transform) — per-component predictor state, shared restarts.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_jpeg_lossless_rgb_decode",
+    """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 65536 END AS hi
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, i.i AS p,
+         (doc_id * 37 + 101 * i.i) % hi AS r,
+         (doc_id * 41 + 103 * i.i) % hi AS g,
+         (doc_id * 43 + 107 * i.i) % hi AS b
+  FROM dims, LATERAL (SELECT UNNEST(range(w * h)) AS i) i
+)
+SELECT doc_id, ANY_VALUE(w)::INT AS width, ANY_VALUE(h)::INT AS height,
+       SUM((p + 1) * (r + 2 * g + 3 * b))::BIGINT AS checksum
+FROM px GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def multimodal_jpeg_lossless_rgb_decode_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL 3-component lossless JPEG decode: per-channel LCG
+    formulas at precision 8/16 by parity, predictor rotating 1..7,
+    restarts every 5 MCUs on doc_id % 3 == 0. Decoded == source
+    exactly; checksum = sum((p+1) * (r + 2g + 3b))."""
+    import numpy as np
+
+    from ..operators import multimodal
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            blobs = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 3
+                P = 8 if d % 2 == 0 else 16
+                i = np.arange(w * h, dtype=np.int64)
+                px = np.stack(
+                    [
+                        (d * 37 + 101 * i) % (1 << P),
+                        (d * 41 + 103 * i) % (1 << P),
+                        (d * 43 + 107 * i) % (1 << P),
+                    ],
+                    axis=1,
+                ).reshape(h, w, 3)
+                blobs.append(
+                    multimodal.encode_jpeg_lossless_rgb(
+                        px,
+                        P,
+                        predictor=d % 7 + 1,
+                        restart_interval=5 if d % 3 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+        batches, "doc_id BIGINT, data BINARY"
+    )
+    return multimodal.image_decode_checksum(media).orderBy("doc_id")

@@ -517,12 +517,12 @@ def test_jpeg_hierarchical_rejected():
     blob[sof + 1] = 0xC5  # differential sequential: still gated
     with pytest.raises(NotImplementedError):
         mm.decode_jpeg(bytes(blob))
-    # multi-component lossless: gated with a clear message
+    # lossless supports 1 and 3 components; other counts stay gated
     ll = bytearray(
         mm.encode_jpeg_lossless_gray(np.zeros((4, 4), np.int64), 8)
     )
     sof3 = ll.find(b"\xff\xc3")
-    ll[sof3 + 9] = 3  # claim 3 components
+    ll[sof3 + 9] = 2  # claim 2 components
     with pytest.raises(NotImplementedError):
         mm.decode_jpeg(bytes(ll))
 
