@@ -779,3 +779,30 @@ def test_persisted_index_serving_matches_direct_path(spark, sf_dir, tmp_path):
         served.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "list_id" in plan
+
+
+def test_ann_round10_edge_cases(spark, sf_dir):
+    """Round-10 ANN edges: batch query count exceeding the corpus
+    degrades to all-vectors-as-queries; filtered search with an
+    impossible predicate returns empty (not an error); persisted
+    serving rejects a missing query id loudly."""
+    import pytest as _pytest
+
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(30)
+    n = emb.count()
+    rows = similarity.ann_ivfpq_batch(emb, n_queries=n + 50, k=3).collect()
+    assert {r.query_id for r in rows} <= {
+        r.vec_id for r in emb.select("vec_id").collect()
+    }
+    assert len({r.query_id for r in rows}) == n
+    empty = similarity.ann_ivf_filtered(
+        load_table(spark, sf_dir, "embeddings"), label=10**9
+    ).collect()
+    assert empty == []
+    with _pytest.raises(ValueError):
+        similarity.ann_ivf_filtered(
+            load_table(spark, sf_dir, "embeddings"), query_vec_id=10**9
+        ).collect()

@@ -977,3 +977,53 @@ def test_unigram_lm_viterbi_is_globally_optimal(spark, sf_dir):
             assert score == brute_best(w), w
             checked += 1
     assert checked > 0
+
+
+def test_wordpiece_vocab_cap_binds_deterministically(spark, sf_dir):
+    """With a tiny explicit cap the multi-char vocab truncates to the
+    top-K by (wt DESC, is_head DESC, piece ASC) and the encode stays
+    total (single chars unconditional) — the bounded-broadcast
+    contract the round-10 cap added."""
+    from kinesis_stream_reader_spark.operators import text
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        r.word: r.pieces
+        for r in text.wordpiece_encode(docs, vocab_cap=65536).collect()
+    }
+    capped = {
+        r.word: r.pieces
+        for r in text.wordpiece_encode(docs, vocab_cap=3).collect()
+    }
+    assert set(full) == set(capped)
+    # same cap twice -> identical output (deterministic tie-breaks)
+    again = {
+        r.word: r.pieces
+        for r in text.wordpiece_encode(docs, vocab_cap=3).collect()
+    }
+    assert capped == again
+    # capped vocab can only make segmentations coarser-or-equal never
+    # drop words, and every piece sequence reassembles its word
+    for w, pieces in capped.items():
+        assert "".join(p.lstrip("#") for p in pieces.split(" ")) == w
+
+
+def test_unigram_lm_multiple_em_iters_terminate(spark, sf_dir):
+    """em_iters=2 runs a second Viterbi-EM round and still yields a
+    total, deterministic segmentation (fixpoint-safe)."""
+    from kinesis_stream_reader_spark.operators import text
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out1 = {
+        r.word: (r.pieces, r.score_u)
+        for r in text.unigram_lm_encode(docs, em_iters=2).collect()
+    }
+    out2 = {
+        r.word: (r.pieces, r.score_u)
+        for r in text.unigram_lm_encode(docs, em_iters=2).collect()
+    }
+    assert out1 == out2 and out1
+    for w, (pieces, _) in out1.items():
+        assert "".join(pieces.split(" ")) == w
