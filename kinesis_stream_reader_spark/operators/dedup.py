@@ -1422,11 +1422,21 @@ def canonical_url(url: Column) -> Column:
         ),
         "&",
     )
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        port,
-        path_c,
-        F.when(params != "", F.concat(F.lit("?"), params)).otherwise(F.lit("")),
+    # Scheme-less guard: F.locate('://', ...) returns 0 when absent, so
+    # the substring above would start at index 3 and silently drop the
+    # first two characters. A string with no '://' is not a URL this
+    # canonicalizer understands — pass it through unchanged (the DuckDB
+    # oracle fixtures always carry a scheme, so this branch is engine
+    # hygiene, unit-tested in tests/test_round11.py).
+    return F.when(F.locate("://", no_frag) == 0, url).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            port,
+            path_c,
+            F.when(params != "", F.concat(F.lit("?"), params)).otherwise(
+                F.lit("")
+            ),
+        )
     )

@@ -3837,6 +3837,18 @@ def decode_jpeg(data: bytes):
             if frame.get("lossless"):
                 # T.81 Annex H: predictive coding, no DCT. Ss carries
                 # the predictor selector (1-7), Al the point transform.
+                if ns != len(frame["comps"]):
+                    # A valid non-interleaved lossless file (one scan
+                    # per component, legal per T.81 §H) would otherwise
+                    # be silently decoded as grayscale of the first
+                    # scan's component — fail loudly like the other
+                    # unsupported layouts instead of returning wrong
+                    # pixels.
+                    raise NotImplementedError(
+                        "non-interleaved (multi-scan) lossless JPEG not "
+                        "supported — the single SOS must cover all "
+                        "frame components"
+                    )
                 ss = body[1 + 2 * ns]
                 pt = body[3 + 2 * ns] & 0xF
                 if pt != 0:

@@ -3497,6 +3497,7 @@ def unigram_lm_encode(
     max_piece: int = 6,
     min_count: int = 50,
     em_iters: int = 1,
+    seed_vocab_cap: int = 8192,
 ) -> DataFrame:
     """Unigram-LM (SentencePiece-style) tokenization (Kudo 2018 —
     public method), the third tokenizer leg next to BPE and WordPiece:
@@ -3529,10 +3530,14 @@ def unigram_lm_encode(
     Plan shape / 100 TB: the word census is ONE partial-agg'd shuffle
     of the corpus; the substring census explodes bounded factors of
     the DISTINCT-word relation; EM usage counting is a piece-keyed
-    partial agg of the segmented census; the vocab (two collects per
-    EM iteration, frequency-thresholded) is the broadcast model
-    artifact, same policy as wordpiece_encode/bpe_train_merges. The
-    corpus itself is touched exactly once."""
+    partial agg of the segmented census; the vocab is the broadcast
+    model artifact, same policy as wordpiece_encode/bpe_train_merges.
+    Every driver collect is BOUNDED: the multi-char seed census is a
+    distributed top-seed_vocab_cap (TakeOrderedAndProject, binding-cap
+    warning — SentencePiece's own seed-vocab cap), single chars are
+    alphabet-bounded, and the EM usage relation is a subset of the
+    seed vocab so it inherits the cap. The corpus itself is touched
+    exactly once."""
     import math
 
     words = (
@@ -3565,7 +3570,32 @@ def unigram_lm_encode(
         .agg(F.sum("n").alias("wt"))
         .filter((F.col("l") == 1) | (F.col("wt") >= min_count))
     )
-    rows = occ.select("piece", "wt").collect()
+    # BOUNDED driver collect (the wordpiece_encode cap pattern): single
+    # chars are unconditional (totality — alphabet-bounded), multi-char
+    # seed pieces truncate to the top seed_vocab_cap by (wt DESC,
+    # piece ASC). orderBy+limit compiles to TakeOrderedAndProject
+    # (distributed top-K, no single-partition sort), so the driver
+    # never materializes more than cap + 1 multi-char rows even when
+    # the distinct sub-word census above min_count is huge — the
+    # SentencePiece trainer itself caps its seed vocab, so this is
+    # fidelity, not a compromise. limit(cap + 1) detects binding.
+    single_rows = occ.filter(F.col("l") == 1).select("piece", "wt").collect()
+    multi_rows = (
+        occ.filter(F.col("l") > 1)
+        .orderBy(F.col("wt").desc(), "piece")
+        .limit(seed_vocab_cap + 1)
+        .select("piece", "wt")
+        .collect()
+    )
+    if len(multi_rows) > seed_vocab_cap:
+        multi_rows = multi_rows[:seed_vocab_cap]
+        logging.getLogger(__name__).warning(
+            "unigram_lm_encode: seed_vocab_cap=%d binds — multi-char "
+            "seed census truncated to the %d highest-weight pieces",
+            seed_vocab_cap,
+            seed_vocab_cap,
+        )
+    rows = single_rows + multi_rows
     if not rows:
         return words.select(
             "word",

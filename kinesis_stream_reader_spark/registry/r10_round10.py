@@ -357,7 +357,7 @@ WITH RECURSIVE words AS (
   FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
         FROM documents)
   WHERE tok <> '' GROUP BY tok
-), occ AS (
+), occ_all AS (
   SELECT substr(word, j.j, l.l) AS piece, l.l AS len, SUM(n) AS wt
   FROM words,
        LATERAL (SELECT UNNEST(range(1, length(word) + 1)) AS j) j,
@@ -365,6 +365,17 @@ WITH RECURSIVE words AS (
   WHERE j.j + l.l - 1 <= length(word)
   GROUP BY 1, 2
   HAVING l.l = 1 OR SUM(n) >= 50
+), occ AS (
+  -- seed_vocab_cap mirror: single chars unconditional, multi-char
+  -- pieces top-8192 by (wt DESC, piece ASC) — the engine's bounded
+  -- TakeOrderedAndProject collect
+  SELECT piece, len, wt FROM occ_all WHERE len = 1
+  UNION ALL
+  SELECT piece, len, wt FROM (
+    SELECT piece, len, wt,
+           row_number() OVER (ORDER BY wt DESC, piece) AS rk
+    FROM occ_all WHERE len > 1)
+  WHERE rk <= 8192
 ), v0 AS (
   SELECT piece, len,
          CAST(floor(ln(CAST(wt AS DOUBLE) / (SELECT SUM(wt) FROM occ))
@@ -1183,10 +1194,16 @@ FROM adc ORDER BY adc_d2, vec_id LIMIT 10
             f"ksr_annidx/{sf_dir.strip('/').replace('/', '_')}"
             f"_{source_fingerprint(sf_dir, table='embeddings')}"
         )
-        if not os.path.isdir(f"{d}/codes"):
+        # Completion sentinel, not a mere isdir(codes): a build that
+        # crashed after creating codes/ but before all three tables
+        # finished writing must NOT be served — rebuild instead.
+        built = os.path.join(d, "_BUILT")
+        if not os.path.exists(built):
             similarity.ivfpq_build_index(
                 emb, d, m=4, n_codes=8, n_lists=_N_LISTS, max_iter=_MAX_ITER
             )
+            with open(built, "w") as fh:
+                fh.write("ok\n")
         return similarity.ivfpq_serve_persisted(
             emb, d, query_vec_id=0, k=10, nprobe=2
         )

@@ -187,11 +187,22 @@ class KinesisWireWriter(DataSourceWriter):
 
 
 class _ShardRangePartition(InputPartition):
-    def __init__(self, shard_id: str, path: str, start: int, end: int) -> None:
+    def __init__(
+        self,
+        shard_id: str,
+        path: str,
+        start: int,
+        end: int,
+        base: int = 0,
+    ) -> None:
         self.shard_id = shard_id
         self.path = path
         self.start = start
         self.end = end
+        # chain-global emit_idx offset for this shard (cumulative size
+        # of every earlier shard in its lineage chain); 0 for readers
+        # whose schema has no emit_idx column
+        self.base = base
 
 
 class KinesisBackfillStreamReader(DataSourceStreamReader):
@@ -494,9 +505,16 @@ class KinesisReshardStreamReader(DataSourceStreamReader):
         with open(os.path.join(self.dir, _SHARDS_MANIFEST)) as fh:
             manifest = json.load(fh)["shards"]
         self._gen = {}
+        self._chain_prior: dict[str, list[str]] = {}
         for chain in plan_lineage_chains(manifest):
+            seen: list[str] = []
             for sid, g in chain["shards"]:
                 self._gen[sid] = (g, chain["chain_id"])
+                # shards draining BEFORE sid in its chain — their
+                # cumulative sizes offset sid's emit_idx so streaming
+                # emit_idx is chain-global like the batch reader's
+                self._chain_prior[sid] = list(seen)
+                seen.append(sid)
         self._parents = {
             s["shard_id"]: [
                 p
@@ -556,12 +574,25 @@ class KinesisReshardStreamReader(DataSourceStreamReader):
             )
             for s in keys
         }
+        counts = self._counts()
         parts = []
         for sid, hi in sorted(end.items()):
             lo = int(start.get(sid, 0))
             if int(hi) > lo:
+                # chain-global emit_idx base: cumulative sizes of every
+                # shard draining earlier in sid's chain. Under the
+                # lease rule a shard is only admitted after its parents
+                # are fully planned, so those sizes are final by the
+                # time sid emits — streaming emit_idx therefore matches
+                # the batch KinesisReshardReader's chain-global counter
+                # (same RESHARD_SCHEMA, same ordering semantics).
+                base = sum(
+                    counts.get(p, 0) for p in self._chain_prior.get(sid, [])
+                )
                 parts.append(
-                    _ShardRangePartition(sid, self._file(sid), lo, int(hi))
+                    _ShardRangePartition(
+                        sid, self._file(sid), lo, int(hi), base
+                    )
                 )
         return parts
 
@@ -575,7 +606,10 @@ class KinesisReshardStreamReader(DataSourceStreamReader):
                         partition.shard_id,
                         chain,
                         gen,
-                        i,  # emit_idx: line index within the shard
+                        # emit_idx: chain-global emission counter (shard
+                        # base + line index), identical semantics to the
+                        # batch reader's monotone per-chain counter
+                        partition.base + i,
                         rec["seq"],
                         rec["key"],
                         base64.b64decode(rec["data"]),

@@ -1,0 +1,149 @@
+"""Round-11 regression tests: the four round-10 advisory fixes plus
+the unigram seed-vocab cap (the repo's last unbounded driver collect,
+now a distributed TakeOrderedAndProject top-K like wordpiece's)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_unigram_seed_cap_binds_deterministically(spark, sf_dir):
+    """With a tiny explicit seed cap the multi-char seed census
+    truncates to the top-K by (wt DESC, piece ASC) and the encode
+    stays total (single chars unconditional) — the bounded-broadcast
+    contract, same shape as wordpiece's vocab_cap."""
+    from kinesis_stream_reader_spark.operators import text
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        r.word: (r.pieces, r.n_pieces)
+        for r in text.unigram_lm_encode(docs, seed_vocab_cap=65536).collect()
+    }
+    capped = {
+        r.word: (r.pieces, r.n_pieces)
+        for r in text.unigram_lm_encode(docs, seed_vocab_cap=3).collect()
+    }
+    # totality: the cap can coarsen segmentations but never drop words
+    assert set(full) == set(capped)
+    # same cap twice -> identical output (deterministic tie-breaks)
+    again = {
+        r.word: (r.pieces, r.n_pieces)
+        for r in text.unigram_lm_encode(docs, seed_vocab_cap=3).collect()
+    }
+    assert capped == again
+    # every piece sequence reassembles its word
+    for w, (pieces, np_) in capped.items():
+        assert "".join(pieces.split(" ")) == w
+        assert len(pieces.split(" ")) == np_
+
+
+def test_canonical_url_schemeless_passthrough(spark):
+    """A string with no '://' passes through unchanged instead of
+    silently losing its first two characters (F.locate returns 0 when
+    the separator is absent, so the un-guarded substring started at
+    index 3)."""
+    from kinesis_stream_reader_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [
+            ("example.com/path?utm_source=x&b=1",),
+            ("HTTPS://Host.Example.COM:443/a/?utm_x=1&z=2&a=3#frag",),
+        ],
+        ["url"],
+    )
+    got = [
+        r.c
+        for r in df.select(
+            dedup.canonical_url(F.col("url")).alias("c")
+        ).collect()
+    ]
+    assert got[0] == "example.com/path?utm_source=x&b=1"  # unchanged
+    assert got[1] == "https://host.example.com/a?a=3&z=2"
+
+
+def test_jpeg_lossless_multiscan_rejected():
+    """A non-interleaved lossless JPEG (SOS covering fewer components
+    than the SOF declares — legal per T.81 §H) must fail loudly, not
+    silently decode the first scan's component as grayscale."""
+    import struct
+
+    import pytest
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    nc = 3
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, 8, 4, 4, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(mm._JLL_DC_SYMBOLS))
+    out += bytes([0x00]) + bytes(mm._JLL_DC_COUNTS) + bytes(mm._JLL_DC_SYMBOLS)
+    # SOS names ONLY component 1 of the 3 declared — multi-scan layout
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 0, 0])
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        mm.decode_jpeg(bytes(out))
+
+
+def test_reshard_stream_emit_idx_chain_global(spark, tmp_path):
+    """Streaming emit_idx now carries the same chain-global monotone
+    counter as the batch KinesisReshardReader (shard base = cumulative
+    sizes of earlier shards in the chain), so a chain's emission order
+    is verifiable from the streamed rows alone."""
+    import tempfile
+
+    from kinesis_stream_reader_spark.sources.python_source import (
+        KinesisReshardDataSource,
+        write_reshard_manifest,
+        write_reshard_shard_file,
+    )
+
+    spark.dataSource.register(KinesisReshardDataSource)
+    d = str(tmp_path)
+    write_reshard_shard_file(d, "p", [(i, 1, b"x") for i in range(5)])
+    write_reshard_shard_file(d, "c1", [(10 + i, 1, b"y") for i in range(4)])
+    write_reshard_shard_file(d, "q", [(i, 2, b"z") for i in range(3)])
+    write_reshard_manifest(
+        d,
+        [
+            {"shard_id": "p", "closed": True},
+            {"shard_id": "c1", "parent": "p"},
+            {"shard_id": "q"},
+        ],
+    )
+    streamed = []
+
+    def obs(df, bid):
+        streamed.extend(
+            (r.shard_id, r.emit_idx, r.sequence_number) for r in df.collect()
+        )
+
+    st = (
+        spark.readStream.format("kinesis_reshard")
+        .option("path", d)
+        .option("maxRecordsPerShardPerBatch", "2")
+        .load()
+    )
+    with tempfile.TemporaryDirectory() as ck:
+        q = (
+            st.writeStream.foreachBatch(obs)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+    batch = [
+        (r.shard_id, r.emit_idx, r.sequence_number)
+        for r in spark.read.format("kinesis_reshard")
+        .option("path", d)
+        .load()
+        .collect()
+    ]
+    # identical (shard, emit_idx, seq) triples — the streaming reader
+    # assigns exactly the batch reader's chain-global counter
+    assert sorted(streamed) == sorted(batch)
+    # and within the p->c1 chain, every parent emit_idx < every child's
+    p_max = max(e for s, e, _ in streamed if s == "p")
+    c_min = min(e for s, e, _ in streamed if s == "c1")
+    assert p_max < c_min
