@@ -2657,53 +2657,16 @@ def ann_ivf_filtered(
     )
 
 
-def ivfpq_build_index(
-    embeddings: DataFrame,
-    index_dir: str,
-    nprobe: int = 2,
-    m: int = 4,
-    n_codes: int = 8,
-    n_lists: int = 16,
-    max_iter: int = 5,
-):
-    """BUILD half of the persisted-index story (round 10): train the
-    coarse quantizer + PQ codebook, encode the corpus ONCE, and land
-    the index as three parquet tables — the FAISS index file reified
-    as lakehouse tables:
-
-      centroids/  (cid, c array<long>)          16 rows
-      codebook/   (code_id, r array<long>)       8 rows
-      codes/      vec_id, codes array<long>, PARTITIONED BY list_id
-
-    codes/ is hive-partitioned on list_id, so SERVING's probed-list
-    filter is FILE-LEVEL partition pruning — at 100 TB the query
-    touches nprobe/n_lists of the index bytes, which is the whole
-    point of IVF. Encoding reuses the one-Arrow-pass assign+encode
-    kernel; nothing is collected except the trained constants."""
+def _ivfpq_encoder(cmat, cids, cb, m: int, n_codes: int, n_lists: int):
+    """Shared assign+encode Arrow kernel over (vec_id, xq) batches:
+    nearest-centroid list assignment (packed int64 argmin, exact) and
+    per-subspace PQ code argmin against the frozen codebook. Used by
+    ivfpq_build_index (initial encode) and ivfpq_index_add (delta
+    encode) so an upserted index is bit-identical to a from-scratch
+    encode with the same trained constants."""
     import numpy as np
 
-    spark = embeddings.sparkSession
-    cents, _, vecs = _lloyd_centroids(embeddings, n_lists, max_iter)
-    if not cents:
-        raise ValueError("cannot build an IVF-PQ index over an empty corpus")
-    cids = np.array([c[0] for c in cents], np.int64)
-    cmat = np.stack([c[1] for c in cents])
-    if cmat.shape[1] % m != 0:
-        raise ValueError(
-            f"embedding dim {cmat.shape[1]} is not divisible by m={m}; "
-            "PQ requires equal-width subspaces"
-        )
     sub = cmat.shape[1] // m
-    cb, n_codes = _pq_seed_codebook(vecs, cmat, cids, n_lists, n_codes)
-
-    spark.createDataFrame(
-        [(int(cids[i]), [int(x) for x in cmat[i]]) for i in range(len(cids))],
-        "cid LONG, c ARRAY<LONG>",
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    spark.createDataFrame(
-        [(j, [int(x) for x in cb[j]]) for j in range(n_codes)],
-        "code_id LONG, r ARRAY<LONG>",
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
 
     def encode(it):
         import pandas as pd
@@ -2743,14 +2706,167 @@ def ivfpq_build_index(
                 }
             )
 
+    return encode
+
+
+def _load_index_constants(spark, index_dir: str):
+    """Driver-side load of the trained constants (centroids sorted by
+    cid, codebook sorted by code_id) — k + n_codes rows, the bounded
+    model artifact every serve/add call broadcasts."""
+    import numpy as np
+
+    crows = sorted(
+        spark.read.parquet(f"{index_dir}/centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cids = np.array([r["cid"] for r in crows], np.int64)
+    cmat = np.stack([np.asarray(r["c"], np.int64) for r in crows])
+    brows = sorted(
+        spark.read.parquet(f"{index_dir}/codebook").collect(),
+        key=lambda r: r["code_id"],
+    )
+    cb = np.stack([np.asarray(r["r"], np.int64) for r in brows])
+    return cids, cmat, cb, len(brows)
+
+
+def ivfpq_build_index(
+    embeddings: DataFrame,
+    index_dir: str,
+    nprobe: int = 2,
+    m: int = 4,
+    n_codes: int = 8,
+    n_lists: int = 16,
+    max_iter: int = 5,
+    train_on: DataFrame | None = None,
+):
+    """BUILD half of the persisted-index story (round 10): train the
+    coarse quantizer + PQ codebook, encode the corpus ONCE, and land
+    the index as three parquet tables — the FAISS index file reified
+    as lakehouse tables:
+
+      centroids/  (cid, c array<long>)          16 rows
+      codebook/   (code_id, r array<long>)       8 rows
+      codes/      vec_id, codes array<long>, PARTITIONED BY list_id
+
+    codes/ is hive-partitioned on list_id, so SERVING's probed-list
+    filter is FILE-LEVEL partition pruning — at 100 TB the query
+    touches nprobe/n_lists of the index bytes, which is the whole
+    point of IVF. Encoding reuses the one-Arrow-pass assign+encode
+    kernel; nothing is collected except the trained constants.
+
+    train_on (round 11): train the quantizer + codebook on a DIFFERENT
+    relation than the one encoded (production indexes train on a
+    sample or a base snapshot, then encode the full corpus) — the
+    from-scratch twin of an incremental build+ivfpq_index_add, used by
+    the upsert-equivalence tests."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cents, _, train_vecs = _lloyd_centroids(
+        train_on if train_on is not None else embeddings, n_lists, max_iter
+    )
+    if train_on is not None:
+        # codebook seeds come from the TRAINING relation; the encoded
+        # corpus is the full target
+        vecs = embeddings.select(
+            "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+        )
+    else:
+        vecs = train_vecs
+    if not cents:
+        raise ValueError("cannot build an IVF-PQ index over an empty corpus")
+    cids = np.array([c[0] for c in cents], np.int64)
+    cmat = np.stack([c[1] for c in cents])
+    if cmat.shape[1] % m != 0:
+        raise ValueError(
+            f"embedding dim {cmat.shape[1]} is not divisible by m={m}; "
+            "PQ requires equal-width subspaces"
+        )
+    cb, n_codes = _pq_seed_codebook(train_vecs, cmat, cids, n_lists, n_codes)
+
+    spark.createDataFrame(
+        [(int(cids[i]), [int(x) for x in cmat[i]]) for i in range(len(cids))],
+        "cid LONG, c ARRAY<LONG>",
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    spark.createDataFrame(
+        [(j, [int(x) for x in cb[j]]) for j in range(n_codes)],
+        "code_id LONG, r ARRAY<LONG>",
+    ).repartition(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
+
     (
         vecs.mapInPandas(
-            encode, "vec_id LONG, list_id LONG, codes ARRAY<LONG>"
+            _ivfpq_encoder(cmat, cids, cb, m, n_codes, n_lists),
+            "vec_id LONG, list_id LONG, codes ARRAY<LONG>",
         )
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(f"{index_dir}/codes")
     )
+
+
+def ivfpq_index_add(new_embeddings: DataFrame, index_dir: str) -> None:
+    """ADD half of index maintenance (round 11): encode NEW vectors
+    with the index's FROZEN trained constants (FAISS add() semantics —
+    adding never retrains) and APPEND them into their list_id
+    partitions of codes/. Ingest cost tracks the delta, not the
+    corpus: one map-side Arrow pass over the new vectors, and the
+    append touches only the partitions the new vectors land in.
+    Serving needs no code change — the probed-list partition scan
+    picks up appended files automatically."""
+    spark = new_embeddings.sparkSession
+    cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
+    m = (
+        spark.read.parquet(f"{index_dir}/codes")
+        .select(F.size("codes").alias("m"))
+        .first()["m"]
+    )
+    qdf = new_embeddings.select(
+        "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+    )
+    (
+        qdf.mapInPandas(
+            _ivfpq_encoder(cmat, cids, cb, m, n_codes, len(cids)),
+            "vec_id LONG, list_id LONG, codes ARRAY<LONG>",
+        )
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(f"{index_dir}/codes")
+    )
+
+
+def ivfpq_index_delete(
+    spark, index_dir: str, vec_ids: "list[int] | DataFrame"
+) -> None:
+    """DELETE half of index maintenance: deletions are ID TOMBSTONES
+    appended to tombstones/ — serving anti-joins them out, so a delete
+    never rewrites codes/ partitions (the IndexIVF remove_ids
+    trade-off reified lakehouse-style: logical delete now, physical
+    compaction whenever a partition rewrite is worth it). Idempotent:
+    tombstoning an id twice, or an id the index never held, is a
+    no-op at serve time. Accepts a DataFrame carrying vec_id (the
+    distributed path — the delete set never touches the driver) or a
+    plain id list for small ad-hoc deletes."""
+    if isinstance(vec_ids, DataFrame):
+        ids = vec_ids.select(F.col("vec_id").cast("long").alias("vec_id"))
+    else:
+        ids = spark.createDataFrame(
+            [(int(v),) for v in vec_ids], "vec_id LONG"
+        ).repartition(1)
+    ids.write.mode("append").parquet(f"{index_dir}/tombstones")
+
+
+def _codes_sans_tombstones(spark, index_dir: str) -> DataFrame:
+    """codes/ with tombstoned ids anti-joined out (broadcast — the
+    tombstone set is the deletes-since-compaction delta, small by
+    maintenance policy)."""
+    import os
+
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    tomb = f"{index_dir}/tombstones"
+    if os.path.isdir(tomb):
+        t = spark.read.parquet(tomb).select("vec_id").distinct()
+        codes = codes.join(F.broadcast(t), "vec_id", "left_anti")
+    return codes
 
 
 def ivfpq_serve_persisted(
@@ -2777,18 +2893,7 @@ def ivfpq_serve_persisted(
     import numpy as np
 
     spark = embeddings.sparkSession
-    crows = sorted(
-        spark.read.parquet(f"{index_dir}/centroids").collect(),
-        key=lambda r: r["cid"],
-    )
-    cids = np.array([r["cid"] for r in crows], np.int64)
-    cmat = np.stack([np.asarray(r["c"], np.int64) for r in crows])
-    brows = sorted(
-        spark.read.parquet(f"{index_dir}/codebook").collect(),
-        key=lambda r: r["code_id"],
-    )
-    cb = np.stack([np.asarray(r["r"], np.int64) for r in brows])
-    n_codes = len(brows)
+    cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
     m = None
     qrows = (
         embeddings.filter(F.col("vec_id") == query_vec_id)
@@ -2828,7 +2933,7 @@ def ivfpq_serve_persisted(
         lut_rows, "list_id LONG, s INT, code_id LONG, d LONG"
     )
 
-    codes = spark.read.parquet(f"{index_dir}/codes").filter(
+    codes = _codes_sans_tombstones(spark, index_dir).filter(
         F.col("list_id").isin([int(cids[i]) for i in probe_order])
         & (F.col("vec_id") != query_vec_id)
     )
@@ -2849,4 +2954,106 @@ def ivfpq_serve_persisted(
         F.row_number().over(w).cast("int").alias("rank"),
         "vec_id",
         F.col("adc_d2").cast("long").alias("adc_d2"),
+    )
+
+
+def ivfpq_serve_persisted_batch(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """BATCHED serving over the persisted index (round 11) — the
+    production shape unifying ann_ivfpq_batch (one Arrow pass, whole
+    query batch) with ivfpq_serve_persisted (pure-Catalyst plan over
+    the partition-pruned codes/): N queries answered in ONE plan.
+
+    The query set is the n_queries smallest vec_ids (the
+    ann_ivfpq_batch convention). Per query, the driver computes the
+    probe ranking and the exact-int64 ADC LUT from the k + n_codes
+    trained constants; the LUT relation is keyed by query_id —
+    n_queries x nprobe x m x n_codes rows, still broadcast-sized.
+    The plan is
+
+      scan codes/ (PartitionFilters: list_id IN union-of-probed)
+        -> posexplode(codes)
+        -> BroadcastHashJoin LUT on (list_id, s, code_id)
+             [fans each code row out to the queries probing its list]
+        -> partial-agg SUM per (query_id, vec_id)
+        -> per-query window rank <= k
+
+    so the index is scanned ONCE for the whole batch — serving cost
+    tracks the union of probed lists, not n_queries x corpus — and
+    each query's rows are bit-identical to its single
+    ivfpq_serve_persisted serve (asserted in pytest). Tombstoned ids
+    are anti-joined out like the single serve."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
+    m = (
+        spark.read.parquet(f"{index_dir}/codes")
+        .select(F.size("codes").alias("m"))
+        .first()["m"]
+    )
+    qrows = sorted(
+        embeddings.select(
+            "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+        )
+        .orderBy("vec_id")
+        .limit(n_queries)
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not qrows:
+        raise ValueError("empty corpus: no query vectors to serve")
+
+    lut_rows = []
+    probed_union: set[int] = set()
+    for qr in qrows:
+        qid = int(qr["vec_id"])
+        q = np.asarray(qr["xq"], np.int64)
+        qd2 = ((q[None, :] - cmat) ** 2).sum(1)
+        probe_order = np.lexsort((cids, qd2))[:nprobe]
+        dim = len(q)
+        sub = dim // m
+        for pi in probe_order:
+            probed_union.add(int(cids[pi]))
+            rq = q - cmat[pi]
+            for s in range(m):
+                sl = slice(s * sub, (s + 1) * sub)
+                d = ((rq[sl][None, :] - cb[:, sl]) ** 2).sum(1)
+                for j in range(n_codes):
+                    lut_rows.append(
+                        (qid, int(cids[pi]), s, j, int(d[j]))
+                    )
+    lut = spark.createDataFrame(
+        lut_rows, "query_id LONG, list_id LONG, s INT, code_id LONG, d LONG"
+    )
+
+    codes = _codes_sans_tombstones(spark, index_dir).filter(
+        F.col("list_id").isin(sorted(probed_union))
+    )
+    exploded = codes.select(
+        "vec_id",
+        "list_id",
+        F.posexplode("codes").alias("s", "code_id"),
+    )
+    scored = (
+        exploded.join(F.broadcast(lut), ["list_id", "s", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "vec_id")
+    return (
+        scored.select(
+            "query_id",
+            F.row_number().over(w).cast("int").alias("rank"),
+            "vec_id",
+            F.col("adc_d2").cast("long").alias("adc_d2"),
+        )
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
     )

@@ -43,6 +43,7 @@ from . import r7_round7  # noqa: E402,F401
 from . import r8_round8  # noqa: E402,F401
 from . import r9_round9  # noqa: E402,F401
 from . import r10_round10  # noqa: E402,F401
+from . import r11_round11  # noqa: E402,F401
 
 # Back-compat re-exports (callers use registry.<name> for these).
 from .r1_parity_ext import records_pipeline  # noqa: E402,F401
@@ -82,7 +83,8 @@ EAGER_QUERIES = frozenset(
         "ann_ivfpq_refine", "pq_code_health", "wordpiece_encode",
         "ann_ivfpq_batch", "unigram_lm_encode",
         "ann_ivf_filtered", "tokenizer_compare_report",
-        "ann_index_persist_serve",
+        "ann_index_persist_serve", "ann_index_persist_serve_batch",
+        "ann_index_upsert_serve",
         "quantization_recall_report",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
@@ -123,6 +125,11 @@ _PRIORITY = [
     # paths CHANGED this round (vertex-restricted dedup_components
     # callers, staged winnowing hashes, lazy-checkpoint driver loops),
     # then the rotation of previously-verified queries. Nothing dropped.
+    # ROUND-11 ROTATION: new round-11 queries lead (never
+    # driver-checked), then the round-11-touched legs (unigram seed
+    # cap, URL scheme guard, reshard emit_idx, persisted-index
+    # sentinel).
+    "ann_index_upsert_serve", "ann_index_persist_serve_batch",
     # ROUND-10 ROTATION: new round-10 queries lead (never
     # driver-checked), then the round-10-touched legs (first-occurrence
     # URL separators, wordpiece vocab cap + guards, PQ int64 census),

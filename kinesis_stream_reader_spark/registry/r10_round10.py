@@ -1159,6 +1159,35 @@ tokenizer_compare_report_query = _register_tokenizer_compare()
 # Result rows are bit-identical to ann_ivfpq_trained, so the oracle is
 # the shared trained-ADC chain.
 # ---------------------------------------------------------------------------
+def ensure_persisted_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once cache of the full-corpus persisted IVF-PQ index for
+    this sf_dir (fingerprint-keyed scratch, _BUILT completion
+    sentinel). Shared by ann_index_persist_serve and round-11's
+    batched serve so whichever runs first pays the build."""
+    import os
+
+    from ..operators import similarity
+    from ..sources.raw import source_fingerprint
+    from .r8_round8 import _MAX_ITER, _N_LISTS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = scratch(
+        f"ksr_annidx/{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_fingerprint(sf_dir, table='embeddings')}"
+    )
+    # Completion sentinel, not a mere isdir(codes): a build that
+    # crashed after creating codes/ but before all three tables
+    # finished writing must NOT be served — rebuild instead.
+    built = os.path.join(d, "_BUILT")
+    if not os.path.exists(built):
+        similarity.ivfpq_build_index(
+            emb, d, m=4, n_codes=8, n_lists=_N_LISTS, max_iter=_MAX_ITER
+        )
+        with open(built, "w") as fh:
+            fh.write("ok\n")
+    return d
+
+
 def _register_ann_index_persist():
     from .r8_round8 import (
         _IVFPQ_ADC_CTES,
@@ -1183,27 +1212,10 @@ FROM adc ORDER BY adc_d2, vec_id LIMIT 10
         under scratch (fingerprint-keyed), then serve query 0 from the
         persisted codes with no Python in the serving path. Must equal
         ann_ivfpq_trained row for row — same oracle."""
-        import os
-
         from ..operators import similarity
-        from ..scratch import scratch
-        from ..sources.raw import source_fingerprint
 
         emb = load_table(spark, sf_dir, "embeddings")
-        d = scratch(
-            f"ksr_annidx/{sf_dir.strip('/').replace('/', '_')}"
-            f"_{source_fingerprint(sf_dir, table='embeddings')}"
-        )
-        # Completion sentinel, not a mere isdir(codes): a build that
-        # crashed after creating codes/ but before all three tables
-        # finished writing must NOT be served — rebuild instead.
-        built = os.path.join(d, "_BUILT")
-        if not os.path.exists(built):
-            similarity.ivfpq_build_index(
-                emb, d, m=4, n_codes=8, n_lists=_N_LISTS, max_iter=_MAX_ITER
-            )
-            with open(built, "w") as fh:
-                fh.write("ok\n")
+        d = ensure_persisted_ivfpq_index(spark, sf_dir)
         return similarity.ivfpq_serve_persisted(
             emb, d, query_vec_id=0, k=10, nprobe=2
         )

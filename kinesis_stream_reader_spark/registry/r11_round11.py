@@ -1,0 +1,261 @@
+"""Round-11 registry slice: persisted-ANN-index maintenance (ADD via
+frozen-constant encode+append, DELETE via serve-time tombstones) and
+batched serving over the persisted index — the two halves of the
+production index lifecycle the round-10 build/serve split left open.
+
+Follows the established conventions: every query is a (spark, sf_dir)
+-> DataFrame callable with a DuckDB oracle replaying the same exact
+integer semantics, column names aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..scratch import scratch
+from ._shared import load_table, register
+
+
+# ---------------------------------------------------------------------------
+# ROUND 11 — ann_index_persist_serve_batch: N queries against the
+# PERSISTED index in ONE plan. ann_ivfpq_batch (one Arrow pass scores
+# the whole query batch) and ann_index_persist_serve (pure-Catalyst
+# single-query serve over the partition-pruned codes/) were two halves
+# of one production story; this unifies them — the ADC LUT relation is
+# keyed by query_id (n_queries x nprobe x m x n_codes rows, broadcast)
+# and the codes scan covers the UNION of probed lists once for the
+# whole batch. Result rows are bit-identical to ann_ivfpq_batch (same
+# trained constants, same corpus, same candidates), so the oracle is
+# the shared batch-ADC chain.
+# ---------------------------------------------------------------------------
+def _register_persist_serve_batch():
+    from .r8_round8 import _TRAINED_TL_CTE
+    from .r10_round10 import _BATCH_ADC_CTES, ensure_persisted_ivfpq_index
+
+    @register(
+        "ann_index_persist_serve_batch",
+        _TRAINED_TL_CTE + _BATCH_ADC_CTES + """
+SELECT query_id, rank::INT AS rank, vec_id, adc_d2::BIGINT AS adc_d2
+FROM (
+  SELECT query_id, vec_id, adc_d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rank
+  FROM adc)
+WHERE rank <= 10 ORDER BY query_id, rank
+""",
+    )
+    def ann_index_persist_serve_batch_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Batched persisted-index serving (similarity.
+        ivfpq_serve_persisted_batch): the 8 smallest vec_ids as the
+        query set, one partition-pruned scan of codes/ for the union
+        of probed lists, one broadcast query-keyed LUT join, per-query
+        window rank. Each query's rows are bit-identical to its single
+        ivfpq_serve_persisted serve AND to ann_ivfpq_batch."""
+        from ..operators import similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        d = ensure_persisted_ivfpq_index(spark, sf_dir)
+        return similarity.ivfpq_serve_persisted_batch(
+            emb, d, n_queries=8, k=10, nprobe=2
+        )
+
+    return ann_index_persist_serve_batch_query
+
+
+ann_index_persist_serve_batch_query = _register_persist_serve_batch()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 11 — ann_index_upsert_serve: index MAINTENANCE. Production
+# indexes ingest after they are built: new vectors are encoded with
+# the FROZEN trained constants (FAISS add() semantics — adding never
+# retrains) and appended into their list_id partitions; deletions are
+# id tombstones anti-joined at serve time (IndexIVF remove_ids
+# reified lakehouse-style — no partition rewrite on the delete path).
+#
+# Fixture split: BASE = vec_id % 10 <> 7 (the index is trained and
+# first encoded on this), DELTA = vec_id % 10 = 7 (added post-build
+# with frozen constants), DELETED = vec_id % 25 = 3 (tombstoned).
+# Serving query 0 after the upsert must equal a from-scratch encode of
+# the surviving corpus under the SAME base-trained constants — the
+# oracle replays exactly that: Lloyd + codebook seeds over BASE only,
+# assignment/residuals/codes over ALL vectors, candidates exclude the
+# tombstoned ids and the query.
+# ---------------------------------------------------------------------------
+_UPSERT_ADC_SQL = """
+WITH RECURSIVE vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS v
+  FROM embeddings
+), bvecs AS (
+  SELECT vec_id, v FROM vecs WHERE vec_id % 10 <> 7
+), iters AS (
+  SELECT 0 AS iter,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+         v AS c,
+         CAST(NULL AS BIGINT) AS total_d2, CAST(NULL AS BIGINT) AS prev_d2
+  FROM bvecs QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
+  UNION ALL
+  (
+    WITH cur AS (
+      SELECT * FROM iters
+      WHERE iter < 5
+        AND (total_d2 IS NULL OR prev_d2 IS NULL OR total_d2 <> prev_d2)
+    ), packed AS (
+      SELECT w.vec_id, w.v,
+             MIN(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(list_zip(w.v, c.c),
+                                  p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                 (a, b) -> a + b) * 16 + c.cid) AS p
+      FROM bvecs w CROSS JOIN cur c
+      GROUP BY w.vec_id, w.v
+    ), assign AS (
+      SELECT vec_id, v, p % 16 AS cluster_id, p // 16 AS d2min FROM packed
+    ), tot AS (
+      SELECT SUM(d2min) AS t FROM assign
+    ), per_dim AS (
+      SELECT cluster_id, pos,
+             CAST(floor(SUM(x) / COUNT(*) + 0.5) AS BIGINT) AS cm
+      FROM (SELECT cluster_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+            FROM assign)
+      GROUP BY cluster_id, pos
+    ), newc AS (
+      SELECT cluster_id AS cid, list(cm ORDER BY pos) AS c
+      FROM per_dim GROUP BY cluster_id
+    )
+    SELECT c0.iter + 1 AS iter, n.cid, n.c,
+           t.t AS total_d2, c0.total_d2 AS prev_d2
+    FROM newc n, tot t, (SELECT DISTINCT iter, total_d2 FROM cur) c0
+  )
+), fcents AS (
+  SELECT cid, c FROM iters WHERE iter = (SELECT MAX(iter) FROM iters)
+), tl AS (
+  -- assignment of the FULL corpus (base + added) against the
+  -- base-trained converged centroids
+  SELECT vec_id, p % 16 AS list_id FROM (
+    SELECT w.vec_id,
+           MIN(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(list_zip(w.v, c.c),
+                                p -> (p[1] - p[2]) * (p[1] - p[2]))),
+               (a, b) -> a + b) * 16 + c.cid) AS p
+    FROM vecs w CROSS JOIN fcents c GROUP BY w.vec_id)
+), resid AS (
+  SELECT t.vec_id, t.list_id,
+         list_transform(list_zip(w.v, f.c), p -> p[1] - p[2]) AS r
+  FROM tl t JOIN vecs w USING (vec_id)
+  JOIN fcents f ON f.cid = t.list_id
+), qv0 AS (
+  SELECT v FROM vecs WHERE vec_id = 0
+), probe AS (
+  SELECT f.cid AS list_id,
+         ROW_NUMBER() OVER (
+           ORDER BY list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list_transform(list_zip((SELECT v FROM qv0), f.c),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))),
+                    (a, b) -> a + b) ASC, f.cid ASC) AS pr
+  FROM fcents f
+), probed AS (
+  SELECT list_id FROM probe WHERE pr <= 2
+), cb AS (
+  -- codebook seeds from the BASE corpus only (the index was built
+  -- before the delta arrived)
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code_id, r
+  FROM resid WHERE vec_id % 10 <> 7
+  QUALIFY row_number() OVER (ORDER BY vec_id) <= 8
+), cand AS (
+  SELECT rd.vec_id, rd.list_id, rd.r
+  FROM resid rd JOIN probed p USING (list_id)
+  WHERE rd.vec_id <> 0 AND rd.vec_id % 25 <> 3
+), codes AS (
+  SELECT c.vec_id, c.list_id, s.s,
+         MIN(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 list_zip(list_slice(c.r, s.s * 16 + 1, s.s * 16 + 16),
+                          list_slice(b.r, s.s * 16 + 1, s.s * 16 + 16)),
+                 p -> (p[1] - p[2]) * (p[1] - p[2]))),
+             (a, b) -> a + b) * 8 + b.code_id) % 8 AS code
+  FROM cand c CROSS JOIN cb b, (SELECT UNNEST(range(4)) AS s) s
+  GROUP BY c.vec_id, c.list_id, s.s
+), qresid AS (
+  SELECT p.list_id,
+         list_transform(list_zip((SELECT v FROM qv0), f.c),
+                        x -> x[1] - x[2]) AS rq
+  FROM probed p JOIN fcents f ON f.cid = p.list_id
+), lut AS (
+  SELECT q.list_id, s.s, b.code_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             list_zip(list_slice(q.rq, s.s * 16 + 1, s.s * 16 + 16),
+                      list_slice(b.r, s.s * 16 + 1, s.s * 16 + 16)),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, b) -> a + b) AS d
+  FROM qresid q CROSS JOIN cb b, (SELECT UNNEST(range(4)) AS s) s
+), adc AS (
+  SELECT cd.vec_id, SUM(l.d) AS adc_d2
+  FROM codes cd
+  JOIN lut l ON l.list_id = cd.list_id AND l.s = cd.s AND l.code_id = cd.code
+  GROUP BY cd.vec_id
+)
+SELECT ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id)::INT AS rank,
+       vec_id, adc_d2::BIGINT AS adc_d2
+FROM adc ORDER BY adc_d2, vec_id LIMIT 10
+"""
+
+
+def _register_ann_index_upsert():
+    from .r8_round8 import _MAX_ITER, _N_LISTS
+
+    @register("ann_index_upsert_serve", _UPSERT_ADC_SQL)
+    def ann_index_upsert_serve_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Serve query 0 from an UPSERTED persisted index: built on
+        the base split (vec_id % 10 <> 7), the delta split added with
+        frozen constants (similarity.ivfpq_index_add — append into the
+        touched list_id partitions only), vec_id % 25 = 3 tombstoned
+        (similarity.ivfpq_index_delete — serve-time anti-join, no
+        partition rewrite). Bit-identical to a from-scratch encode of
+        the surviving corpus under the same base-trained constants
+        (asserted in tests/test_round11.py).
+
+        Plan shape / 100 TB: the add pass is map-side Arrow over the
+        DELTA only and appends only the partitions the new vectors
+        land in; the delete writes a tombstone row per id; serving
+        stays the partition-pruned scan -> posexplode -> broadcast LUT
+        join -> partial agg -> TakeOrdered plan with one extra
+        broadcast anti-join on the tombstone set."""
+        from ..operators import similarity
+        from ..sources.raw import source_fingerprint
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % 10 != 7)
+        delta = emb.filter(F.col("vec_id") % 10 == 7)
+        d = scratch(
+            f"ksr_annidx_upsert/{sf_dir.strip('/').replace('/', '_')}"
+            f"_{source_fingerprint(sf_dir, table='embeddings')}"
+        )
+        built = os.path.join(d, "_BUILT")
+        if not os.path.exists(built):
+            similarity.ivfpq_build_index(
+                base, d, m=4, n_codes=8, n_lists=_N_LISTS, max_iter=_MAX_ITER
+            )
+            similarity.ivfpq_index_add(delta, d)
+            similarity.ivfpq_index_delete(
+                spark, d, emb.filter(F.col("vec_id") % 25 == 3)
+            )
+            with open(built, "w") as fh:
+                fh.write("ok\n")
+        return similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        )
+
+    return ann_index_upsert_serve_query
+
+
+ann_index_upsert_serve_query = _register_ann_index_upsert()

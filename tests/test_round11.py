@@ -147,3 +147,140 @@ def test_reshard_stream_emit_idx_chain_global(spark, tmp_path):
     p_max = max(e for s, e, _ in streamed if s == "p")
     c_min = min(e for s, e, _ in streamed if s == "c1")
     assert p_max < c_min
+
+
+def _build_upsert_index(spark, sf_dir, d: str):
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    delta = emb.filter(F.col("vec_id") % 10 == 7)
+    similarity.ivfpq_build_index(base, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    similarity.ivfpq_index_add(delta, d)
+    similarity.ivfpq_index_delete(
+        spark, d, emb.filter(F.col("vec_id") % 25 == 3)
+    )
+    return emb, base
+
+
+def test_upsert_index_equals_from_scratch_rebuild(spark, sf_dir, tmp_path):
+    """build(base) -> add(delta) -> tombstone deletes -> serve must be
+    bit-identical to a from-scratch encode of the surviving corpus
+    under the SAME base-trained constants (ivfpq_build_index's
+    train_on) — the FAISS add()/remove_ids() equivalence."""
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    inc_dir = str(tmp_path / "incremental")
+    emb, base = _build_upsert_index(spark, sf_dir, inc_dir)
+
+    scratch_dir = str(tmp_path / "fromscratch")
+    kept = emb.filter(F.col("vec_id") % 25 != 3)
+    similarity.ivfpq_build_index(
+        kept, scratch_dir, m=4, n_codes=8, n_lists=16, max_iter=5,
+        train_on=base,
+    )
+    inc = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted(
+            emb, inc_dir, query_vec_id=0, k=10, nprobe=2
+        ).collect()
+    ]
+    scr = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted(
+            emb, scratch_dir, query_vec_id=0, k=10, nprobe=2
+        ).collect()
+    ]
+    assert inc == scr
+    assert len(inc) == 10
+    # the tombstoned ids really are gone from the candidates
+    assert all(v % 25 != 3 for _, v, _ in inc)
+
+
+def test_delete_is_idempotent_and_add_only_appends(spark, sf_dir, tmp_path):
+    """Double-tombstoning an id (or tombstoning an absent id) does not
+    change the serve result; an add touches only codes/ (centroids and
+    codebook stay frozen)."""
+    import os
+
+    from kinesis_stream_reader_spark.operators import similarity
+
+    d = str(tmp_path / "idx")
+    emb, _ = _build_upsert_index(spark, sf_dir, d)
+    before = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        ).collect()
+    ]
+    cent_files = sorted(os.listdir(f"{d}/centroids"))
+    # re-delete an already-deleted id plus one that never existed
+    similarity.ivfpq_index_delete(spark, d, [3, 10 ** 9])
+    after = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        ).collect()
+    ]
+    assert before == after
+    assert sorted(os.listdir(f"{d}/centroids")) == cent_files
+
+
+def test_batch_persisted_serve_equals_single_serves(spark, sf_dir, tmp_path):
+    """N queries against the persisted index in one plan must be
+    bit-identical to N single ivfpq_serve_persisted calls."""
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    d = str(tmp_path / "idx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    similarity.ivfpq_build_index(emb, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    batch = {
+        (r.query_id, r.rank): (r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted_batch(
+            emb, d, n_queries=4, k=10, nprobe=2
+        ).collect()
+    }
+    qids = sorted({q for q, _ in batch})
+    assert len(qids) == 4
+    singles = {}
+    for qid in qids:
+        for r in similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=qid, k=10, nprobe=2
+        ).collect():
+            singles[(qid, r.rank)] = (r.vec_id, r.adc_d2)
+    assert batch == singles
+
+
+def test_persisted_serve_plan_prunes_and_broadcasts(spark, sf_dir, tmp_path):
+    """Regression-lock the serve plan shape: the codes/ scan must carry
+    a list_id PartitionFilter (file-level pruning — the whole point of
+    the IVF layout) and the LUT join must be a BroadcastHashJoin, for
+    both the single and the batched serve."""
+    import contextlib
+    import io
+
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    d = str(tmp_path / "idx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    similarity.ivfpq_build_index(emb, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    for df in (
+        similarity.ivfpq_serve_persisted(emb, d, query_vec_id=0, k=10,
+                                         nprobe=2),
+        similarity.ivfpq_serve_persisted_batch(emb, d, n_queries=4, k=10,
+                                               nprobe=2),
+    ):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan
+        pf_line = plan.split("PartitionFilters", 1)[1].splitlines()[0]
+        assert "list_id" in pf_line and "IN" in pf_line.upper()
