@@ -3244,6 +3244,34 @@ def wordpiece_encode(
         .groupBy("word")
         .agg(F.count("*").alias("n"))
     )
+    vocab = wordpiece_vocab_from_census(words, max_piece, min_count, vocab_cap)
+    return (
+        words.mapInPandas(
+            _wordpiece_encode_batches(vocab, max_piece),
+            "word STRING, n LONG, pieces STRING, n_pieces INT",
+        )
+        .select(
+            "word",
+            F.col("n").cast("long").alias("n_occurrences"),
+            "pieces",
+            F.col("n_pieces").cast("int").alias("n_pieces"),
+        )
+        .orderBy("word")
+    )
+
+
+def wordpiece_vocab_from_census(
+    words: DataFrame,
+    max_piece: int = 6,
+    min_count: int = 50,
+    vocab_cap: int = 65536,
+) -> set:
+    """Vocabulary half of wordpiece_encode, split out (round 11) so a
+    STREAMING encode can train offline and broadcast the frozen vocab
+    into micro-batches. Input is the (word, n) census; returns the
+    driver-held set of (is_head, piece) — single chars unconditional,
+    multi-char pieces top-vocab_cap by weight (TakeOrderedAndProject,
+    binding-cap warning)."""
     wl = words.select("word", "n", F.length("word").alias("wl"))
     heads = (
         wl.select(
@@ -3319,7 +3347,14 @@ def wordpiece_encode(
             vocab_cap,
             vocab_cap,
         )
-    vocab = singles | {(r["is_head"], r["piece"]) for r in multi_rows}
+    return singles | {(r["is_head"], r["piece"]) for r in multi_rows}
+
+
+def _wordpiece_encode_batches(vocab: set, max_piece: int):
+    """Greedy longest-match-first WordPiece segmentation as a
+    mapInPandas kernel over (word, n) rows — shared by the batch
+    encode and the streaming per-occurrence encode (vocab is a frozen
+    driver-held set in both)."""
 
     def batches(it):
         import pandas as pd
@@ -3361,18 +3396,7 @@ def wordpiece_encode(
                 }
             )
 
-    return (
-        words.mapInPandas(
-            batches, "word STRING, n LONG, pieces STRING, n_pieces INT"
-        )
-        .select(
-            "word",
-            F.col("n").cast("long").alias("n_occurrences"),
-            "pieces",
-            F.col("n_pieces").cast("int").alias("n_pieces"),
-        )
-        .orderBy("word")
-    )
+    return batches
 
 
 def delong_auc_ci(documents: DataFrame) -> DataFrame:

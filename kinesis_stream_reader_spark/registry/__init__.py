@@ -130,6 +130,7 @@ _PRIORITY = [
     # cap, URL scheme guard, reshard emit_idx, persisted-index
     # sentinel).
     "ann_index_upsert_serve", "ann_index_persist_serve_batch",
+    "streaming_wordpiece_encode",
     # ROUND-10 ROTATION: new round-10 queries lead (never
     # driver-checked), then the round-10-touched legs (first-occurrence
     # URL separators, wordpiece vocab cap + guards, PQ int64 census),

@@ -259,3 +259,95 @@ def _register_ann_index_upsert():
 
 
 ann_index_upsert_serve_query = _register_ann_index_upsert()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 11 — streaming_wordpiece_encode: the TOKENIZE leg of a
+# streaming ingest pipeline. A trained tokenizer vocab is a frozen
+# driver-broadcast constant (the model artifact), so encoding is
+# STATELESS map-side work inside each micro-batch — the
+# streaming_ivf_assign pattern applied to text: train offline on the
+# static corpus (wordpiece_vocab_from_census), stream arriving
+# documents, segment every word occurrence with the same greedy
+# longest-match kernel the batch encode uses, and drain the per-piece
+# usage census. Unlike the batch encode there is no distinct-word
+# pre-census (a stream cannot be censused up front) — each occurrence
+# encodes independently, which is exactly the production shape.
+#
+# Oracle: the streamed per-piece census must equal the batch
+# wordpiece_encode's pieces exploded and weighted by word occurrence
+# counts — the registered wordpiece oracle nested as a CTE.
+# ---------------------------------------------------------------------------
+def _register_streaming_wordpiece():
+    from ._shared import ORACLES
+
+    wp_sql = ORACLES["wordpiece_encode"]
+
+    @register(
+        "streaming_wordpiece_encode",
+        f"""
+WITH wp AS (
+{wp_sql}
+)
+SELECT piece, SUM(n_occurrences)::BIGINT AS n_uses
+FROM (SELECT unnest(string_split(pieces, ' ')) AS piece, n_occurrences
+      FROM wp)
+GROUP BY piece ORDER BY piece
+""",
+    )
+    def streaming_wordpiece_encode_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Stream-side WordPiece encode: vocab trained offline on the
+        static documents table, then every word occurrence of the
+        streamed corpus is segmented map-side inside its micro-batch
+        (stateless — no state store touch); the drained census is one
+        row per piece with its total use count.
+
+        Plan shape / 100 TB: the only stateful operator is the
+        |vocab|-bounded piece census aggregate; segmentation is an
+        Arrow kernel over the batch with a broadcast frozen vocab.
+        State bound: <= vocab_cap + alphabet rows, corpus-independent."""
+        from ..operators import text
+        from ..streaming import jobs
+
+        docs = load_table(spark, sf_dir, "documents")
+        census = (
+            docs.select(F.explode(text.tokens(F.col("text"))).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word")
+            .agg(F.count("*").alias("n"))
+        )
+        vocab = text.wordpiece_vocab_from_census(
+            census, max_piece=6, min_count=50, vocab_cap=65536
+        )
+
+        stream_dir = jobs._table_stream_dir(sf_dir, "documents")
+        static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        piece_stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+            .select(F.explode(text.tokens(F.col("text"))).alias("word"))
+            .filter(F.col("word") != "")
+            .select("word", F.lit(1).cast("long").alias("n"))
+            .mapInPandas(
+                text._wordpiece_encode_batches(vocab, 6),
+                "word STRING, n LONG, pieces STRING, n_pieces INT",
+            )
+            .select(F.explode(F.split("pieces", " ")).alias("piece"))
+        )
+        out = jobs.run_available_now(
+            piece_stream.groupBy("piece").agg(
+                F.count("*").alias("n_uses")
+            ),
+            "streaming_wordpiece_encode",
+        )
+        return out.select(
+            "piece", F.col("n_uses").cast("long").alias("n_uses")
+        ).orderBy("piece")
+
+    return streaming_wordpiece_encode_query
+
+
+streaming_wordpiece_encode_query = _register_streaming_wordpiece()

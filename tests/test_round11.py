@@ -284,3 +284,71 @@ def test_persisted_serve_plan_prunes_and_broadcasts(spark, sf_dir, tmp_path):
         assert "BroadcastHashJoin" in plan
         pf_line = plan.split("PartitionFilters", 1)[1].splitlines()[0]
         assert "list_id" in pf_line and "IN" in pf_line.upper()
+
+
+def test_kpl_descriptor_set_matches_hand_codec():
+    """The programmatically built kpl.proto FileDescriptorSet (the
+    from_protobuf JVM path's schema) must round-trip through the
+    Python protobuf runtime to exactly the wire bytes the hand-rolled
+    codec decodes — proving the descriptor correct even on
+    distributions where the spark-protobuf jar is absent."""
+    import base64
+    import hashlib
+
+    import pytest
+
+    from kinesis_stream_reader_spark.operators import ingest
+    from kinesis_stream_reader_spark.schema import KPL_MAGIC
+    from kinesis_stream_reader_spark.session import HAVE_PROTOBUF
+
+    if not HAVE_PROTOBUF:
+        pytest.skip("no protobuf runtime in this container")
+    desc = ingest.kpl_descriptor_set()
+    assert desc
+
+    from google.protobuf import descriptor_pb2, descriptor_pool, message_factory
+
+    fds = descriptor_pb2.FileDescriptorSet()
+    fds.MergeFromString(desc)
+    pool = descriptor_pool.DescriptorPool()
+    for f in fds.file:
+        pool.Add(f)
+    cls = message_factory.GetMessageClass(
+        pool.FindMessageTypeByName("AggregatedRecord")
+    )
+    msg = cls()
+    msg.partition_key_table.append("pk")
+    for payload in (b'{"x":1}', b"", b'{"y":[2,3]}'):
+        r = msg.records.add()
+        r.partition_key_index = 0
+        r.data = payload
+    body = msg.SerializeToString()
+    blob = KPL_MAGIC + body + hashlib.md5(body).digest()
+    assert ingest.kpl_decode(blob, verify_checksum=True) == [
+        base64.b64encode(p).decode()
+        for p in (b'{"x":1}', b"", b'{"y":[2,3]}')
+    ]
+
+
+def test_deagg_path_dispatch_and_probe(spark):
+    """jvm_protobuf_available is an honest one-shot probe (False on
+    this distribution — no spark-protobuf jar) and deagg_explode stays
+    green on whichever path is chosen."""
+    import base64
+
+    from kinesis_stream_reader_spark.operators import ingest
+
+    ok = ingest.jvm_protobuf_available(spark)
+    assert isinstance(ok, bool)
+    blob = ingest.kpl_encode([b'{"a":1}', b'{"b":2}'])
+    raw = b'{"plain":true}'
+    df = spark.createDataFrame([(1, blob), (2, raw)], "id long, data binary")
+    rows = sorted(
+        (r.id, base64.b64decode(r.payload_b64))
+        for r in ingest.deagg_explode(df).collect()
+    )
+    assert rows == [
+        (1, b'{"a":1}'),
+        (1, b'{"b":2}'),
+        (2, b'{"plain":true}'),
+    ]
