@@ -50,9 +50,18 @@ def main() -> None:
     # 100x events / 40x docs — the third scale point for super-linear
     # SCALING rows (is the growth a sort constant or a quadratic term?)
     mult = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    # optional 5th arg: comma-separated subset of factor tables to
+    # amplify (e.g. `documents,embeddings` for the 100x flagship
+    # probes); unselected factor tables are symlinked unchanged so the
+    # output dir still loads as a complete fixture
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
     spark = get_spark("amplify")
     os.makedirs(out, exist_ok=True)
+    passthrough = list(PASSTHROUGH)
     for table, base_n in FACTORS.items():
+        if only is not None and table not in only:
+            passthrough.append(table)
+            continue
         n = base_n * mult
         df = spark.read.parquet(f"{src}/{table}.parquet")
         copies = spark.range(n).withColumnRenamed("id", "_copy")
@@ -63,7 +72,7 @@ def main() -> None:
             )
         amplified.drop("_copy").write.mode("overwrite").parquet(f"{out}/{table}.parquet")
         print(f"{table}: x{n} -> {out}/{table}.parquet")
-    for table in PASSTHROUGH:
+    for table in passthrough:
         dst = f"{out}/{table}.parquet"
         if os.path.islink(dst) or os.path.isfile(dst):
             os.remove(dst)
