@@ -2738,6 +2738,7 @@ def ivfpq_build_index(
     n_lists: int = 16,
     max_iter: int = 5,
     train_on: DataFrame | None = None,
+    encode: bool = True,
 ):
     """BUILD half of the persisted-index story (round 10): train the
     coarse quantizer + PQ codebook, encode the corpus ONCE, and land
@@ -2758,7 +2759,12 @@ def ivfpq_build_index(
     relation than the one encoded (production indexes train on a
     sample or a base snapshot, then encode the full corpus) — the
     from-scratch twin of an incremental build+ivfpq_index_add, used by
-    the upsert-equivalence tests."""
+    the upsert-equivalence tests.
+
+    encode=False (round 11): TRAIN-ONLY — land centroids/codebook/
+    _META but no codes; the corpus arrives later through
+    ivfpq_index_add (e.g. a streaming ingest filling the index
+    micro-batch by micro-batch)."""
     import numpy as np
 
     spark = embeddings.sparkSession
@@ -2792,15 +2798,43 @@ def ivfpq_build_index(
         [(j, [int(x) for x in cb[j]]) for j in range(n_codes)],
         "code_id LONG, r ARRAY<LONG>",
     ).repartition(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    # _META sidecar: the build-time hyperparameters add/serve need —
+    # m is otherwise only recoverable by probing a codes row, which a
+    # train-only (not-yet-encoded) index does not have
+    import json as _json
+    import os as _os
 
-    (
-        vecs.mapInPandas(
-            _ivfpq_encoder(cmat, cids, cb, m, n_codes, n_lists),
-            "vec_id LONG, list_id LONG, codes ARRAY<LONG>",
+    _os.makedirs(index_dir, exist_ok=True)
+    with open(f"{index_dir}/_META.json", "w") as fh:
+        _json.dump({"m": m, "n_codes": n_codes, "n_lists": n_lists}, fh)
+
+    if encode:
+        (
+            vecs.mapInPandas(
+                _ivfpq_encoder(cmat, cids, cb, m, n_codes, n_lists),
+                "vec_id LONG, list_id LONG, codes ARRAY<LONG>",
+            )
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(f"{index_dir}/codes")
         )
-        .write.mode("overwrite")
-        .partitionBy("list_id")
-        .parquet(f"{index_dir}/codes")
+
+
+def _index_m(spark, index_dir: str) -> int:
+    """Subspace count m for a persisted index: the _META sidecar when
+    present (always, for round-11+ builds), else probed from one codes
+    row (pre-sidecar indexes)."""
+    import json
+    import os
+
+    meta = f"{index_dir}/_META.json"
+    if os.path.exists(meta):
+        with open(meta) as fh:
+            return int(json.load(fh)["m"])
+    return (
+        spark.read.parquet(f"{index_dir}/codes")
+        .select(F.size("codes").alias("m"))
+        .first()["m"]
     )
 
 
@@ -2815,11 +2849,7 @@ def ivfpq_index_add(new_embeddings: DataFrame, index_dir: str) -> None:
     picks up appended files automatically."""
     spark = new_embeddings.sparkSession
     cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
-    m = (
-        spark.read.parquet(f"{index_dir}/codes")
-        .select(F.size("codes").alias("m"))
-        .first()["m"]
-    )
+    m = _index_m(spark, index_dir)
     qdf = new_embeddings.select(
         "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
     )
@@ -2867,6 +2897,66 @@ def _codes_sans_tombstones(spark, index_dir: str) -> DataFrame:
         t = spark.read.parquet(tomb).select("vec_id").distinct()
         codes = codes.join(F.broadcast(t), "vec_id", "left_anti")
     return codes
+
+
+def ivfpq_index_compact(spark, index_dir: str) -> list[int]:
+    """COMPACT half of the delete story: physically drop tombstoned
+    rows by rewriting ONLY the list_id partitions that contain them
+    (dynamic partition overwrite — untouched lists keep their files
+    byte-for-byte), then retire the tombstone set. Serve results are
+    invariant (the anti-join was already hiding those rows); what
+    changes is that the index stops paying the anti-join and the
+    deleted bytes. Returns the rewritten list_ids (bounded by
+    n_lists). The maintenance policy a lakehouse table would use:
+    logical delete on the write path, partition-local rewrite when the
+    tombstone mass is worth it."""
+    import os
+    import shutil
+
+    tomb = f"{index_dir}/tombstones"
+    if not os.path.isdir(tomb):
+        return []
+    t = spark.read.parquet(tomb).select("vec_id").distinct()
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    affected = sorted(
+        int(r["list_id"])
+        for r in codes.join(F.broadcast(t), "vec_id")
+        .select("list_id")
+        .distinct()
+        .collect()
+    )
+    if affected:
+        kept = (
+            codes.filter(F.col("list_id").isin(affected))
+            .join(F.broadcast(t), "vec_id", "left_anti")
+            # MATERIALIZE before the overwrite: the rewrite reads the
+            # very files dynamic overwrite deletes — a lazy plan would
+            # race its own input (FAILED_READ_FILE). The checkpoint
+            # pins the survivors (bounded: the affected partitions'
+            # rows) so the write never touches the source files.
+            .localCheckpoint(eager=True)
+        )
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("list_id")
+            .parquet(f"{index_dir}/codes")
+        )
+        spark.catalog.refreshByPath(f"{index_dir}/codes")
+        # dynamic overwrite only rewrites partitions that RECEIVE rows:
+        # a list whose every vector was tombstoned gets no output and
+        # would keep its stale files — drop those partition dirs.
+        survivors = {
+            int(r["list_id"])
+            for r in kept.select("list_id").distinct().collect()
+        }
+        for lid in affected:
+            if lid not in survivors:
+                shutil.rmtree(
+                    f"{index_dir}/codes/list_id={lid}", ignore_errors=True
+                )
+    shutil.rmtree(tomb)
+    return affected
 
 
 def ivfpq_serve_persisted(
@@ -2920,9 +3010,7 @@ def ivfpq_serve_persisted(
         # algebra: the build used equal widths, carried here via the
         # codes array length)
         if m is None:
-            m = spark.read.parquet(f"{index_dir}/codes").select(
-                F.size("codes").alias("m")
-            ).first()["m"]
+            m = _index_m(spark, index_dir)
         sub = dim // m
         for s in range(m):
             sl = slice(s * sub, (s + 1) * sub)
@@ -2992,11 +3080,7 @@ def ivfpq_serve_persisted_batch(
 
     spark = embeddings.sparkSession
     cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
-    m = (
-        spark.read.parquet(f"{index_dir}/codes")
-        .select(F.size("codes").alias("m"))
-        .first()["m"]
-    )
+    m = _index_m(spark, index_dir)
     qrows = sorted(
         embeddings.select(
             "vec_id", _quantized_vec(F.col("embedding")).alias("xq")

@@ -84,7 +84,7 @@ EAGER_QUERIES = frozenset(
         "ann_ivfpq_batch", "unigram_lm_encode",
         "ann_ivf_filtered", "tokenizer_compare_report",
         "ann_index_persist_serve", "ann_index_persist_serve_batch",
-        "ann_index_upsert_serve",
+        "ann_index_upsert_serve", "ann_index_compact_serve",
         "quantization_recall_report",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
@@ -130,7 +130,8 @@ _PRIORITY = [
     # cap, URL scheme guard, reshard emit_idx, persisted-index
     # sentinel).
     "ann_index_upsert_serve", "ann_index_persist_serve_batch",
-    "streaming_wordpiece_encode",
+    "streaming_wordpiece_encode", "ann_index_compact_serve",
+    "streaming_index_upsert",
     # ROUND-10 ROTATION: new round-10 queries lead (never
     # driver-checked), then the round-10-touched legs (first-occurrence
     # URL separators, wordpiece vocab cap + guards, PQ int64 census),

@@ -351,3 +351,141 @@ GROUP BY piece ORDER BY piece
 
 
 streaming_wordpiece_encode_query = _register_streaming_wordpiece()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 11 — ann_index_compact_serve: the COMPACT leg of the delete
+# story. Tombstones are the cheap write path; eventually the deleted
+# mass is worth reclaiming — ivfpq_index_compact rewrites ONLY the
+# list_id partitions containing tombstoned rows (dynamic partition
+# overwrite; untouched lists keep their files byte-for-byte) and
+# retires the tombstone set. Serving is INVARIANT across the compact
+# (the anti-join was already hiding those rows), so the oracle is the
+# same upsert-ADC replay — what the query proves is that the physical
+# rewrite changed nothing observable while removing the serve-time
+# anti-join and the dead bytes.
+# ---------------------------------------------------------------------------
+def _register_ann_index_compact():
+    from .r8_round8 import _MAX_ITER, _N_LISTS
+
+    @register("ann_index_compact_serve", _UPSERT_ADC_SQL)
+    def ann_index_compact_serve_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Serve query 0 from a COMPACTED upserted index: the
+        ann_index_upsert_serve fixture (base build + delta add +
+        tombstoned deletes) with ivfpq_index_compact applied — the
+        tombstoned rows physically dropped by partition-local rewrite,
+        tombstones/ retired. Must equal the pre-compact serve row for
+        row (same oracle)."""
+        from ..operators import similarity
+        from ..sources.raw import source_fingerprint
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % 10 != 7)
+        delta = emb.filter(F.col("vec_id") % 10 == 7)
+        d = scratch(
+            f"ksr_annidx_compact/{sf_dir.strip('/').replace('/', '_')}"
+            f"_{source_fingerprint(sf_dir, table='embeddings')}"
+        )
+        built = os.path.join(d, "_BUILT")
+        if not os.path.exists(built):
+            similarity.ivfpq_build_index(
+                base, d, m=4, n_codes=8, n_lists=_N_LISTS, max_iter=_MAX_ITER
+            )
+            similarity.ivfpq_index_add(delta, d)
+            similarity.ivfpq_index_delete(
+                spark, d, emb.filter(F.col("vec_id") % 25 == 3)
+            )
+            similarity.ivfpq_index_compact(spark, d)
+            with open(built, "w") as fh:
+                fh.write("ok\n")
+        return similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        )
+
+    return ann_index_compact_serve_query
+
+
+ann_index_compact_serve_query = _register_ann_index_compact()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 11 — streaming_index_upsert: the persisted index's ingest leg
+# ON the stream — the composition the round-10 verdict asked for
+# (streaming_ivf_assign's map-side assignment x the persisted layout).
+# The quantizer + codebook are trained OFFLINE (train-only build:
+# centroids/codebook/_META, no codes); arriving vectors are encoded
+# with the frozen constants inside each micro-batch and APPENDED into
+# their list_id partitions (foreachBatch -> ivfpq_index_add). After
+# the drain, serving the streamed-in index must be bit-identical to
+# ann_ivfpq_trained over the same corpus — the shared trained-ADC
+# oracle — because appends of disjoint row sets commute: the index
+# does not care whether its codes arrived in one batch or twenty.
+#
+# 100 TB shape: per-batch work is one map-side Arrow encode of the
+# batch + an append touching only the lists the batch lands in; no
+# state store at all (the INDEX is the state, which is the point).
+# ---------------------------------------------------------------------------
+def _register_streaming_index_upsert():
+    from .r8_round8 import _IVFPQ_ADC_CTES, _MAX_ITER, _N_LISTS, _TRAINED_TL_CTE
+
+    @register(
+        "streaming_index_upsert",
+        _TRAINED_TL_CTE + _IVFPQ_ADC_CTES + """
+SELECT ROW_NUMBER() OVER (ORDER BY adc_d2, vec_id)::INT AS rank,
+       vec_id, adc_d2::BIGINT AS adc_d2
+FROM adc ORDER BY adc_d2, vec_id LIMIT 10
+""",
+    )
+    def streaming_index_upsert_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Fill a train-only persisted index from a STREAM (one
+        micro-batch per source file, each encode+append map-side with
+        frozen constants), then serve query 0 — equal to
+        ann_ivfpq_trained row for row."""
+        import tempfile
+
+        from ..operators import similarity
+        from ..sources.raw import source_fingerprint
+        from ..streaming import jobs
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        d = scratch(
+            f"ksr_annidx_stream/{sf_dir.strip('/').replace('/', '_')}"
+            f"_{source_fingerprint(sf_dir, table='embeddings')}"
+        )
+        built = os.path.join(d, "_BUILT")
+        if not os.path.exists(built):
+            similarity.ivfpq_build_index(
+                emb, d, m=4, n_codes=8, n_lists=_N_LISTS,
+                max_iter=_MAX_ITER, encode=False,
+            )
+            stream_dir = jobs._table_stream_dir(sf_dir, "embeddings")
+            static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            stream = (
+                spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stream_dir)
+            )
+            with tempfile.TemporaryDirectory() as ck:
+                q = (
+                    stream.writeStream.foreachBatch(
+                        lambda bdf, bid: similarity.ivfpq_index_add(bdf, d)
+                    )
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            with open(built, "w") as fh:
+                fh.write("ok\n")
+        return similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        )
+
+    return streaming_index_upsert_query
+
+
+streaming_index_upsert_query = _register_streaming_index_upsert()

@@ -352,3 +352,87 @@ def test_deagg_path_dispatch_and_probe(spark):
         (1, b'{"b":2}'),
         (2, b'{"plain":true}'),
     ]
+
+
+def test_compact_consumes_tombstones_and_preserves_serve(
+    spark, sf_dir, tmp_path
+):
+    """ivfpq_index_compact physically drops tombstoned rows by
+    rewriting ONLY the affected list_id partitions: serve results are
+    invariant, tombstones/ is retired, and untouched partitions keep
+    their files byte-for-byte."""
+    import os
+
+    from kinesis_stream_reader_spark.operators import similarity
+
+    d = str(tmp_path / "idx")
+    emb, _ = _build_upsert_index(spark, sf_dir, d)
+    before = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        ).collect()
+    ]
+
+    def files_of(lid):
+        p = f"{d}/codes/list_id={lid}"
+        return sorted(os.listdir(p)) if os.path.isdir(p) else None
+
+    all_lids = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(f"{d}/codes")
+        if e.startswith("list_id=")
+    ]
+    pre_files = {lid: files_of(lid) for lid in all_lids}
+
+    affected = similarity.ivfpq_index_compact(spark, d)
+    assert affected, "fixture tombstones must hit at least one list"
+    assert not os.path.isdir(f"{d}/tombstones")
+    for lid in all_lids:
+        if lid not in affected:
+            assert files_of(lid) == pre_files[lid], lid
+    after = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        ).collect()
+    ]
+    assert before == after
+    # compact is idempotent: no tombstones left -> no-op
+    assert similarity.ivfpq_index_compact(spark, d) == []
+
+
+def test_train_only_build_then_add_equals_full_build(spark, sf_dir, tmp_path):
+    """encode=False lands constants + _META but no codes; filling the
+    index entirely through ivfpq_index_add yields the same serve as a
+    one-shot build (appends of disjoint row sets commute)."""
+    import os
+
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d1 = str(tmp_path / "oneshot")
+    similarity.ivfpq_build_index(emb, d1, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    d2 = str(tmp_path / "trainonly")
+    similarity.ivfpq_build_index(emb, d2, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5, encode=False)
+    assert not os.path.isdir(f"{d2}/codes")
+    assert os.path.exists(f"{d2}/_META.json")
+    # fill in two disjoint adds (arbitrary split)
+    similarity.ivfpq_index_add(emb.filter("vec_id % 2 = 0"), d2)
+    similarity.ivfpq_index_add(emb.filter("vec_id % 2 = 1"), d2)
+    s1 = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted(
+            emb, d1, query_vec_id=0, k=10, nprobe=2
+        ).collect()
+    ]
+    s2 = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted(
+            emb, d2, query_vec_id=0, k=10, nprobe=2
+        ).collect()
+    ]
+    assert s1 == s2
