@@ -2814,6 +2814,12 @@ def ivfpq_build_index(
                 _ivfpq_encoder(cmat, cids, cb, m, n_codes, n_lists),
                 "vec_id LONG, list_id LONG, codes ARRAY<LONG>",
             )
+            # key-repartition before the partitioned write: without it
+            # every one of the N encode tasks opens a file in every
+            # list_id directory (N x n_lists small files); with it each
+            # list writes one well-sized file per shuffle partition —
+            # the layout serving scans
+            .repartition(n_lists, "list_id")
             .write.mode("overwrite")
             .partitionBy("list_id")
             .parquet(f"{index_dir}/codes")
@@ -2858,6 +2864,9 @@ def ivfpq_index_add(new_embeddings: DataFrame, index_dir: str) -> None:
             _ivfpq_encoder(cmat, cids, cb, m, n_codes, len(cids)),
             "vec_id LONG, list_id LONG, codes ARRAY<LONG>",
         )
+        # one file per touched list per append, not one per task per
+        # list (the build-path small-files rationale)
+        .repartition(len(cids), "list_id")
         .write.mode("append")
         .partitionBy("list_id")
         .parquet(f"{index_dir}/codes")
@@ -2937,7 +2946,8 @@ def ivfpq_index_compact(spark, index_dir: str) -> list[int]:
             .localCheckpoint(eager=True)
         )
         (
-            kept.write.mode("overwrite")
+            kept.repartition(len(affected), "list_id")
+            .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("list_id")
             .parquet(f"{index_dir}/codes")
