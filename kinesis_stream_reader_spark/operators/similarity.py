@@ -3086,8 +3086,6 @@ def ivfpq_serve_persisted_batch(
     each query's rows are bit-identical to its single
     ivfpq_serve_persisted serve (asserted in pytest). Tombstoned ids
     are anti-joined out like the single serve."""
-    import numpy as np
-
     spark = embeddings.sparkSession
     cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
     m = _index_m(spark, index_dir)
@@ -3102,6 +3100,19 @@ def ivfpq_serve_persisted_batch(
     )
     if not qrows:
         raise ValueError("empty corpus: no query vectors to serve")
+    lut_rows, probed_union = _ivfpq_batch_lut(
+        qrows, cids, cmat, cb, n_codes, m, nprobe
+    )
+    return _ivfpq_serve_lut(spark, index_dir, lut_rows, probed_union, k)
+
+
+def _ivfpq_batch_lut(qrows, cids, cmat, cb, n_codes: int, m: int, nprobe: int):
+    """Driver-side LUT construction for a batch of query rows
+    ((vec_id, xq) Rows): per query, exact-int64 probe ranking and
+    per-(list, subspace, code) ADC partials. Returns (lut_rows,
+    probed_union) — the broadcast side of the serve join. Shared by
+    the batch serve and the streaming per-micro-batch serve."""
+    import numpy as np
 
     lut_rows = []
     probed_union: set[int] = set()
@@ -3122,10 +3133,19 @@ def ivfpq_serve_persisted_batch(
                     lut_rows.append(
                         (qid, int(cids[pi]), s, j, int(d[j]))
                     )
+    return lut_rows, probed_union
+
+
+def _ivfpq_serve_lut(
+    spark, index_dir: str, lut_rows, probed_union, k: int
+) -> DataFrame:
+    """The pure-Catalyst serve plan over a prebuilt query-keyed LUT:
+    partition-pruned codes scan (union of probed lists) -> posexplode
+    -> BroadcastHashJoin -> partial-agg ADC -> per-query window rank
+    <= k."""
     lut = spark.createDataFrame(
         lut_rows, "query_id LONG, list_id LONG, s INT, code_id LONG, d LONG"
     )
-
     codes = _codes_sans_tombstones(spark, index_dir).filter(
         F.col("list_id").isin(sorted(probed_union))
     )

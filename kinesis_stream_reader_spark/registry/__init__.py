@@ -131,7 +131,7 @@ _PRIORITY = [
     # sentinel).
     "ann_index_upsert_serve", "ann_index_persist_serve_batch",
     "streaming_wordpiece_encode", "ann_index_compact_serve",
-    "streaming_index_upsert",
+    "streaming_index_upsert", "streaming_ann_serve",
     # ROUND-10 ROTATION: new round-10 queries lead (never
     # driver-checked), then the round-10-touched legs (first-occurrence
     # URL separators, wordpiece vocab cap + guards, PQ int64 census),

@@ -489,3 +489,110 @@ FROM adc ORDER BY adc_d2, vec_id LIMIT 10
 
 
 streaming_index_upsert_query = _register_streaming_index_upsert()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 11 — streaming_ann_serve: the QUERY side of the index ON the
+# stream (streaming_index_upsert ingests vectors; this serves arriving
+# queries). Queries land in micro-batches; each batch is answered with
+# the same pure-Catalyst LUT plan the batch serve uses, against the
+# FROZEN persisted index — stateless per batch (no state store; the
+# index is the state). The union of per-batch answers must equal the
+# one-plan batch serve over the same query set, because queries are
+# independent: the oracle is the shared trained batch-ADC chain.
+#
+# 100 TB shape: per-batch driver work is the arriving queries' LUT
+# (n_batch_queries x nprobe x m x n_codes rows); cluster work is the
+# partition-pruned scan of each batch's probed-list union. Serving
+# latency tracks batch query count, never corpus size.
+# ---------------------------------------------------------------------------
+def _register_streaming_ann_serve():
+    from .r8_round8 import _TRAINED_TL_CTE
+    from .r10_round10 import _BATCH_ADC_CTES, ensure_persisted_ivfpq_index
+
+    @register(
+        "streaming_ann_serve",
+        _TRAINED_TL_CTE + _BATCH_ADC_CTES + """
+SELECT query_id, rank::INT AS rank, vec_id, adc_d2::BIGINT AS adc_d2
+FROM (
+  SELECT query_id, vec_id, adc_d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rank
+  FROM adc)
+WHERE rank <= 10 ORDER BY query_id, rank
+""",
+    )
+    def streaming_ann_serve_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Serve STREAMED queries (the 8 smallest vec_ids, arriving in
+        file-stream micro-batches) against the frozen persisted index:
+        per batch, LUT-build for just that batch's queries and one
+        partition-pruned serve plan; the drained union equals the
+        batch serve row for row."""
+        import tempfile
+
+        from ..operators import similarity
+        from ..operators.similarity import (
+            _index_m,
+            _ivfpq_batch_lut,
+            _ivfpq_serve_lut,
+            _load_index_constants,
+            _quantized_vec,
+        )
+        from ..streaming import jobs
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        d = ensure_persisted_ivfpq_index(spark, sf_dir)
+        cids, cmat, cb, n_codes = _load_index_constants(spark, d)
+        m = _index_m(spark, d)
+        qids = [
+            int(r["vec_id"])
+            for r in emb.select("vec_id").orderBy("vec_id").limit(8).collect()
+        ]
+        results: list = []
+
+        def serve_batch(bdf, bid):
+            qrows = sorted(
+                bdf.filter(F.col("vec_id").isin(qids))
+                .select(
+                    "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+                )
+                .collect(),
+                key=lambda r: r["vec_id"],
+            )
+            if not qrows:
+                return
+            lut_rows, probed = _ivfpq_batch_lut(
+                qrows, cids, cmat, cb, n_codes, m, nprobe=2
+            )
+            results.extend(
+                (int(r.query_id), int(r.rank), int(r.vec_id), int(r.adc_d2))
+                for r in _ivfpq_serve_lut(spark, d, lut_rows, probed, 10)
+                .collect()
+            )
+
+        stream_dir = jobs._table_stream_dir(sf_dir, "embeddings")
+        static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        stream = (
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        with tempfile.TemporaryDirectory() as ck:
+            q = (
+                stream.writeStream.foreachBatch(serve_batch)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        return spark.createDataFrame(
+            sorted(results),
+            "query_id LONG, rank INT, vec_id LONG, adc_d2 LONG",
+        ).orderBy("query_id", "rank")
+
+    return streaming_ann_serve_query
+
+
+streaming_ann_serve_query = _register_streaming_ann_serve()

@@ -436,3 +436,73 @@ def test_train_only_build_then_add_equals_full_build(spark, sf_dir, tmp_path):
         ).collect()
     ]
     assert s1 == s2
+
+
+def test_serve_with_fully_tombstoned_probed_list(spark, sf_dir, tmp_path):
+    """Tombstoning EVERY vector of a probed list must not break the
+    serve: the anti-join empties that list's candidates and the top-k
+    comes from the remaining probed list; compact then physically
+    removes the emptied partition directory."""
+    import os
+
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    d = str(tmp_path / "idx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    similarity.ivfpq_build_index(emb, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    codes = spark.read.parquet(f"{d}/codes")
+    # pick the first probed list of query 0 by running a serve and
+    # reading which lists its candidates came from
+    first = similarity.ivfpq_serve_persisted(
+        emb, d, query_vec_id=0, k=10, nprobe=2
+    ).collect()
+    cand_lists = {
+        r["list_id"]
+        for r in codes.join(
+            spark.createDataFrame(
+                [(x.vec_id,) for x in first], "vec_id long"
+            ),
+            "vec_id",
+        )
+        .select("list_id")
+        .distinct()
+        .collect()
+    }
+    kill = sorted(cand_lists)[0]
+    victims = codes.filter(codes.list_id == kill).select("vec_id")
+    n_victims = victims.count()
+    assert n_victims > 0
+    similarity.ivfpq_index_delete(spark, d, victims)
+    served = similarity.ivfpq_serve_persisted(
+        emb, d, query_vec_id=0, k=10, nprobe=2
+    ).collect()
+    victim_ids = {r.vec_id for r in victims.collect()}
+    assert all(r.vec_id not in victim_ids for r in served)
+    affected = similarity.ivfpq_index_compact(spark, d)
+    assert kill in affected
+    assert not os.path.isdir(f"{d}/codes/list_id={kill}")
+    after = similarity.ivfpq_serve_persisted(
+        emb, d, query_vec_id=0, k=10, nprobe=2
+    ).collect()
+    assert [(r.rank, r.vec_id, r.adc_d2) for r in served] == [
+        (r.rank, r.vec_id, r.adc_d2) for r in after
+    ]
+
+
+def test_serve_k_exceeding_candidates_returns_all(spark, sf_dir, tmp_path):
+    """k larger than the probed candidate count returns every
+    candidate ranked, not an error."""
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    d = str(tmp_path / "idx")
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 20")
+    similarity.ivfpq_build_index(emb, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    out = similarity.ivfpq_serve_persisted(
+        emb, d, query_vec_id=0, k=10 ** 6, nprobe=2
+    ).collect()
+    assert 0 < len(out) < 20
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
