@@ -2826,17 +2826,25 @@ def ivfpq_build_index(
         )
 
 
-def _index_m(spark, index_dir: str) -> int:
-    """Subspace count m for a persisted index: the _META sidecar when
-    present (always, for round-11+ builds), else probed from one codes
-    row (pre-sidecar indexes)."""
+def _index_meta(index_dir: str) -> "dict | None":
+    """The _META sidecar (m, n_codes, n_lists) when present — always,
+    for round-11+ builds."""
     import json
     import os
 
     meta = f"{index_dir}/_META.json"
     if os.path.exists(meta):
         with open(meta) as fh:
-            return int(json.load(fh)["m"])
+            return json.load(fh)
+    return None
+
+
+def _index_m(spark, index_dir: str) -> int:
+    """Subspace count m for a persisted index: the _META sidecar when
+    present, else probed from one codes row (pre-sidecar indexes)."""
+    meta = _index_meta(index_dir)
+    if meta is not None:
+        return int(meta["m"])
     return (
         spark.read.parquet(f"{index_dir}/codes")
         .select(F.size("codes").alias("m"))
@@ -2844,7 +2852,11 @@ def _index_m(spark, index_dir: str) -> int:
     )
 
 
-def ivfpq_index_add(new_embeddings: DataFrame, index_dir: str) -> None:
+def ivfpq_index_add(
+    new_embeddings: DataFrame,
+    index_dir: str,
+    constants: "tuple | None" = None,
+) -> None:
     """ADD half of index maintenance (round 11): encode NEW vectors
     with the index's FROZEN trained constants (FAISS add() semantics —
     adding never retrains) and APPEND them into their list_id
@@ -2852,21 +2864,39 @@ def ivfpq_index_add(new_embeddings: DataFrame, index_dir: str) -> None:
     corpus: one map-side Arrow pass over the new vectors, and the
     append touches only the partitions the new vectors land in.
     Serving needs no code change — the probed-list partition scan
-    picks up appended files automatically."""
+    picks up appended files automatically.
+
+    ``constants``: optional preloaded (cids, cmat, cb, n_codes, m,
+    n_lists) tuple so a streaming ingest (one add per micro-batch)
+    loads the frozen model artifact ONCE instead of re-collecting the
+    centroids/codebook parquet every batch."""
     spark = new_embeddings.sparkSession
-    cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
-    m = _index_m(spark, index_dir)
+    if constants is not None:
+        cids, cmat, cb, n_codes, m, n_lists = constants
+    else:
+        cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
+        m = _index_m(spark, index_dir)
+        meta = _index_meta(index_dir)
+        # the packed-argmin modulus must be the TRAINED n_lists, not
+        # len(cids): Lloyd can empty a cluster, leaving the surviving
+        # dense cids with a max >= len(cids) — a len(cids) modulus
+        # would then both mis-decode the argmin and alias distinct
+        # centroids' packed keys (wrong list, wrong residual).
+        n_lists = (
+            int(meta["n_lists"]) if meta is not None
+            else int(cids.max()) + 1
+        )
     qdf = new_embeddings.select(
         "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
     )
     (
         qdf.mapInPandas(
-            _ivfpq_encoder(cmat, cids, cb, m, n_codes, len(cids)),
+            _ivfpq_encoder(cmat, cids, cb, m, n_codes, n_lists),
             "vec_id LONG, list_id LONG, codes ARRAY<LONG>",
         )
         # one file per touched list per append, not one per task per
         # list (the build-path small-files rationale)
-        .repartition(len(cids), "list_id")
+        .repartition(n_lists, "list_id")
         .write.mode("append")
         .partitionBy("list_id")
         .parquet(f"{index_dir}/codes")

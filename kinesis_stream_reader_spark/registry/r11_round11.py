@@ -208,9 +208,43 @@ FROM adc ORDER BY adc_d2, vec_id LIMIT 10
 """
 
 
-def _register_ann_index_upsert():
+def _ensure_upsert_index(
+    spark: SparkSession, sf_dir: str, prefix: str, compact: bool
+):
+    """Build-once cache of the UPSERT fixture index (shared by
+    ann_index_upsert_serve and ann_index_compact_serve so the two
+    queries provably exercise the same construction): trained +
+    encoded on BASE (vec_id % 10 <> 7), DELTA (% 10 = 7) added with
+    frozen constants, vec_id % 25 = 3 tombstoned; optionally
+    compacted. Returns (embeddings, index_dir)."""
+    from ..operators import similarity
+    from ..sources.raw import source_fingerprint
     from .r8_round8 import _MAX_ITER, _N_LISTS
 
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = scratch(
+        f"{prefix}/{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_fingerprint(sf_dir, table='embeddings')}"
+    )
+    built = os.path.join(d, "_BUILT")
+    if not os.path.exists(built):
+        base = emb.filter(F.col("vec_id") % 10 != 7)
+        delta = emb.filter(F.col("vec_id") % 10 == 7)
+        similarity.ivfpq_build_index(
+            base, d, m=4, n_codes=8, n_lists=_N_LISTS, max_iter=_MAX_ITER
+        )
+        similarity.ivfpq_index_add(delta, d)
+        similarity.ivfpq_index_delete(
+            spark, d, emb.filter(F.col("vec_id") % 25 == 3)
+        )
+        if compact:
+            similarity.ivfpq_index_compact(spark, d)
+        with open(built, "w") as fh:
+            fh.write("ok\n")
+    return emb, d
+
+
+def _register_ann_index_upsert():
     @register("ann_index_upsert_serve", _UPSERT_ADC_SQL)
     def ann_index_upsert_serve_query(
         spark: SparkSession, sf_dir: str
@@ -231,26 +265,10 @@ def _register_ann_index_upsert():
         join -> partial agg -> TakeOrdered plan with one extra
         broadcast anti-join on the tombstone set."""
         from ..operators import similarity
-        from ..sources.raw import source_fingerprint
 
-        emb = load_table(spark, sf_dir, "embeddings")
-        base = emb.filter(F.col("vec_id") % 10 != 7)
-        delta = emb.filter(F.col("vec_id") % 10 == 7)
-        d = scratch(
-            f"ksr_annidx_upsert/{sf_dir.strip('/').replace('/', '_')}"
-            f"_{source_fingerprint(sf_dir, table='embeddings')}"
+        emb, d = _ensure_upsert_index(
+            spark, sf_dir, "ksr_annidx_upsert", compact=False
         )
-        built = os.path.join(d, "_BUILT")
-        if not os.path.exists(built):
-            similarity.ivfpq_build_index(
-                base, d, m=4, n_codes=8, n_lists=_N_LISTS, max_iter=_MAX_ITER
-            )
-            similarity.ivfpq_index_add(delta, d)
-            similarity.ivfpq_index_delete(
-                spark, d, emb.filter(F.col("vec_id") % 25 == 3)
-            )
-            with open(built, "w") as fh:
-                fh.write("ok\n")
         return similarity.ivfpq_serve_persisted(
             emb, d, query_vec_id=0, k=10, nprobe=2
         )
@@ -366,8 +384,6 @@ streaming_wordpiece_encode_query = _register_streaming_wordpiece()
 # anti-join and the dead bytes.
 # ---------------------------------------------------------------------------
 def _register_ann_index_compact():
-    from .r8_round8 import _MAX_ITER, _N_LISTS
-
     @register("ann_index_compact_serve", _UPSERT_ADC_SQL)
     def ann_index_compact_serve_query(
         spark: SparkSession, sf_dir: str
@@ -379,27 +395,10 @@ def _register_ann_index_compact():
         tombstones/ retired. Must equal the pre-compact serve row for
         row (same oracle)."""
         from ..operators import similarity
-        from ..sources.raw import source_fingerprint
 
-        emb = load_table(spark, sf_dir, "embeddings")
-        base = emb.filter(F.col("vec_id") % 10 != 7)
-        delta = emb.filter(F.col("vec_id") % 10 == 7)
-        d = scratch(
-            f"ksr_annidx_compact/{sf_dir.strip('/').replace('/', '_')}"
-            f"_{source_fingerprint(sf_dir, table='embeddings')}"
+        emb, d = _ensure_upsert_index(
+            spark, sf_dir, "ksr_annidx_compact", compact=True
         )
-        built = os.path.join(d, "_BUILT")
-        if not os.path.exists(built):
-            similarity.ivfpq_build_index(
-                base, d, m=4, n_codes=8, n_lists=_N_LISTS, max_iter=_MAX_ITER
-            )
-            similarity.ivfpq_index_add(delta, d)
-            similarity.ivfpq_index_delete(
-                spark, d, emb.filter(F.col("vec_id") % 25 == 3)
-            )
-            similarity.ivfpq_index_compact(spark, d)
-            with open(built, "w") as fh:
-                fh.write("ok\n")
         return similarity.ivfpq_serve_persisted(
             emb, d, query_vec_id=0, k=10, nprobe=2
         )
@@ -462,6 +461,12 @@ FROM adc ORDER BY adc_d2, vec_id LIMIT 10
                 emb, d, m=4, n_codes=8, n_lists=_N_LISTS,
                 max_iter=_MAX_ITER, encode=False,
             )
+            # frozen constants load ONCE; each micro-batch's add
+            # reuses them instead of re-collecting the parquet model
+            cids, cmat, cb, n_codes = similarity._load_index_constants(
+                spark, d
+            )
+            consts = (cids, cmat, cb, n_codes, 4, _N_LISTS)
             stream_dir = jobs._table_stream_dir(sf_dir, "embeddings")
             static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
             stream = (
@@ -472,7 +477,9 @@ FROM adc ORDER BY adc_d2, vec_id LIMIT 10
             with tempfile.TemporaryDirectory() as ck:
                 q = (
                     stream.writeStream.foreachBatch(
-                        lambda bdf, bid: similarity.ivfpq_index_add(bdf, d)
+                        lambda bdf, bid: similarity.ivfpq_index_add(
+                            bdf, d, constants=consts
+                        )
                     )
                     .option("checkpointLocation", ck)
                     .trigger(availableNow=True)

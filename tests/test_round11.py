@@ -506,3 +506,59 @@ def test_serve_k_exceeding_candidates_returns_all(spark, sf_dir, tmp_path):
     ).collect()
     assert 0 < len(out) < 20
     assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+
+def test_add_correct_when_lloyd_empties_clusters(spark, tmp_path):
+    """Regression: ivfpq_index_add must pack its centroid argmin with
+    the TRAINED n_lists (from _META), not len(cids). When Lloyd
+    empties clusters the surviving dense cids have max >= len(cids)
+    (here: 5 identical seed vectors collapse clusters 1-4), and a
+    len(cids) modulus both mis-decodes the argmin and aliases distinct
+    centroids — added vectors would land in wrong lists with wrong
+    residuals."""
+    from kinesis_stream_reader_spark.operators import similarity
+
+    def vec(seed):
+        return [float(((seed * 37 + j * 101) % 997) - 498) / 250.0
+                for j in range(64)]
+
+    rows = []
+    for i in range(24):
+        s = 0 if i < 5 else i  # vec_ids 0..4 identical -> empty clusters
+        rows.append((i, vec(s)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = emb.filter("vec_id < 20")
+
+    d_inc = str(tmp_path / "inc")
+    similarity.ivfpq_build_index(base, d_inc, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    # the fixture really does empty clusters: surviving centroid count
+    # below n_lists while a high cid survives
+    crows = spark.read.parquet(f"{d_inc}/centroids").collect()
+    assert len(crows) < 16
+    hi_cid = max(r["cid"] for r in crows)
+    assert hi_cid >= len(crows)
+    # pick a BASE vector assigned to the highest surviving list and
+    # add an exact duplicate of it: the duplicate's nearest centroid
+    # is hi_cid, so a len(cids) modulus would both pick a wrong argmin
+    # winner and decode a wrong list for it
+    codes = spark.read.parquet(f"{d_inc}/codes")
+    victim_rows = codes.filter(codes.list_id == hi_cid).orderBy(
+        "vec_id"
+    ).collect()
+    assert victim_rows, "some base vector must land in the high list"
+    v = victim_rows[0]
+    v_emb = {r["vec_id"]: r["embedding"] for r in base.collect()}[v.vec_id]
+    dup = spark.createDataFrame(
+        [(100, v_emb)], "vec_id long, embedding array<float>"
+    )
+    similarity.ivfpq_index_add(dup, d_inc)
+    added = (
+        spark.read.parquet(f"{d_inc}/codes")
+        .filter("vec_id = 100")
+        .collect()
+    )
+    assert len(added) == 1
+    # identical input vector -> identical assignment and PQ codes
+    assert added[0].list_id == v.list_id
+    assert list(added[0].codes) == list(v.codes)

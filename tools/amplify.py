@@ -55,6 +55,13 @@ def main() -> None:
     # probes); unselected factor tables are symlinked unchanged so the
     # output dir still loads as a complete fixture
     only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    if only is not None and (bad := only - set(FACTORS)):
+        # a typo'd name would otherwise silently symlink everything
+        # unchanged and hand a baseline-sized fixture to a "100x" probe
+        raise SystemExit(
+            f"unknown factor table(s) {sorted(bad)}; choose from "
+            f"{sorted(FACTORS)}"
+        )
     spark = get_spark("amplify")
     os.makedirs(out, exist_ok=True)
     passthrough = list(PASSTHROUGH)
