@@ -85,6 +85,7 @@ EAGER_QUERIES = frozenset(
         "ann_ivf_filtered", "tokenizer_compare_report",
         "ann_index_persist_serve", "ann_index_persist_serve_batch",
         "ann_index_upsert_serve", "ann_index_compact_serve",
+        "ann_index_stats",
         "quantization_recall_report",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
@@ -131,7 +132,7 @@ _PRIORITY = [
     # sentinel).
     "ann_index_upsert_serve", "ann_index_persist_serve_batch",
     "streaming_wordpiece_encode", "ann_index_compact_serve",
-    "streaming_index_upsert", "streaming_ann_serve",
+    "streaming_index_upsert", "streaming_ann_serve", "ann_index_stats",
     # ROUND-10 ROTATION: new round-10 queries lead (never
     # driver-checked), then the round-10-touched legs (first-occurrence
     # URL separators, wordpiece vocab cap + guards, PQ int64 census),

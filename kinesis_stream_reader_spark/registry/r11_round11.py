@@ -603,3 +603,52 @@ WHERE rank <= 10 ORDER BY query_id, rank
 
 
 streaming_ann_serve_query = _register_streaming_ann_serve()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 11 — ann_index_stats: persisted-index OBSERVABILITY. The ops
+# dashboard for a serving index reads per-list occupancy straight off
+# the codes/ table (one partition-pruned-free scan, count + checksum
+# per list) — and the numbers must equal the trained assignment of
+# the corpus, which is exactly what the oracle replays. This is
+# ivf_list_health's read-off re-pointed at the PERSISTED table: it
+# proves the bytes on disk ARE the assignment (an encode bug, a lost
+# partition, or a botched compact shows up as a count/checksum drift
+# against the oracle).
+# ---------------------------------------------------------------------------
+def _register_ann_index_stats():
+    from .r8_round8 import _TRAINED_TL_CTE
+    from .r10_round10 import ensure_persisted_ivfpq_index
+
+    @register(
+        "ann_index_stats",
+        _TRAINED_TL_CTE + """
+SELECT list_id, COUNT(*)::BIGINT AS n_vectors,
+       SUM(vec_id)::BIGINT AS vec_id_sum
+FROM tl GROUP BY list_id ORDER BY list_id
+""",
+    )
+    def ann_index_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-list occupancy census of the persisted IVF-PQ index
+        (count + vec_id checksum per list_id, read directly from the
+        codes/ table): equals the trained assignment of the corpus.
+
+        Plan shape / 100 TB: one scan of codes/ reading only
+        (vec_id, list_id) — the codes column is pruned — into a
+        16-row partial agg; the census an index ops loop polls
+        between retrains."""
+        d = ensure_persisted_ivfpq_index(spark, sf_dir)
+        return (
+            spark.read.parquet(f"{d}/codes")
+            .groupBy("list_id")
+            .agg(
+                F.count("*").cast("long").alias("n_vectors"),
+                F.sum("vec_id").cast("long").alias("vec_id_sum"),
+            )
+            .orderBy("list_id")
+        )
+
+    return ann_index_stats_query
+
+
+ann_index_stats_query = _register_ann_index_stats()
