@@ -1425,10 +1425,13 @@ def canonical_url(url: Column) -> Column:
     # Scheme-less guard: F.locate('://', ...) returns 0 when absent, so
     # the substring above would start at index 3 and silently drop the
     # first two characters. A string with no '://' is not a URL this
-    # canonicalizer understands — pass it through unchanged (the DuckDB
-    # oracle fixtures always carry a scheme, so this branch is engine
-    # hygiene, unit-tested in tests/test_round11.py).
-    return F.when(F.locate("://", no_frag) == 0, url).otherwise(
+    # canonicalizer understands — pass it through with ONLY the fragment
+    # stripped (fragment stripping must stay uniform across branches, or
+    # two inputs differing only in '#frag' would canonicalize to
+    # different dedup keys). The DuckDB oracle fixtures always carry a
+    # scheme, so this branch is engine hygiene, unit-tested in
+    # tests/test_round11.py.
+    return F.when(F.locate("://", no_frag) == 0, no_frag).otherwise(
         F.concat(
             scheme,
             F.lit("://"),

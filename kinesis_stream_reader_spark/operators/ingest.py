@@ -312,9 +312,20 @@ def jvm_protobuf_available(spark) -> bool:
     """One-shot probe (cached per process): can this Spark distribution
     evaluate from_protobuf()? False when the spark-protobuf connector
     jar is absent (PROTOBUF_NOT_LOADED_SQL_FUNCTIONS_UNUSABLE) or no
-    Python protobuf runtime exists to build the descriptor."""
+    Python protobuf runtime exists to build the descriptor.
+
+    The probe exception is logged (debug level) so a deployment where
+    the connector IS shipped but the probe still fails (descriptor bug,
+    transient JVM error) is diagnosable and not silently conflated with
+    "connector absent". Note: this container never ships the connector,
+    so the JVM expression path is proven only by the descriptor-vs-
+    hand-codec unit test; an integration run on a connector-equipped
+    distribution (e.g. a real Spark 4 cluster with spark-protobuf on
+    the classpath) is still required before trusting it in production.
+    """
     global _JVM_PROTOBUF_OK
     if _JVM_PROTOBUF_OK is None:
+        _probe_exc = None
         desc = kpl_descriptor_set()
         if desc is None:
             _JVM_PROTOBUF_OK = False
@@ -331,16 +342,24 @@ def jvm_protobuf_available(spark) -> bool:
                     ).alias("r")
                 ).collect()
                 _JVM_PROTOBUF_OK = True
-            except Exception:
+            except Exception as exc:  # noqa: BLE001 - capability probe
                 _JVM_PROTOBUF_OK = False
+                _probe_exc = exc
         import logging
 
-        logging.getLogger(__name__).info(
+        log = logging.getLogger(__name__)
+        log.info(
             "KPL decode path: %s",
             "JVM from_protobuf"
             if _JVM_PROTOBUF_OK
             else "Arrow pandas_udf fallback (spark-protobuf not loaded)",
         )
+        if _probe_exc is not None:
+            # Distinguish "connector absent" from a genuine descriptor
+            # or JVM bug on a connector-equipped deployment.
+            log.debug(
+                "from_protobuf probe failed: %r", _probe_exc, exc_info=True
+            )
     return _JVM_PROTOBUF_OK
 
 

@@ -2856,6 +2856,7 @@ def ivfpq_index_add(
     new_embeddings: DataFrame,
     index_dir: str,
     constants: "tuple | None" = None,
+    batch_id: "int | None" = None,
 ) -> None:
     """ADD half of index maintenance (round 11): encode NEW vectors
     with the index's FROZEN trained constants (FAISS add() semantics —
@@ -2869,8 +2870,30 @@ def ivfpq_index_add(
     ``constants``: optional preloaded (cids, cmat, cb, n_codes, m,
     n_lists) tuple so a streaming ingest (one add per micro-batch)
     loads the frozen model artifact ONCE instead of re-collecting the
-    centroids/codebook parquet every batch."""
+    centroids/codebook parquet every batch.
+
+    ``batch_id`` (round 12): idempotence guard for the streaming use.
+    foreachBatch has AT-LEAST-ONCE semantics — after a mid-batch
+    failure/restart Spark replays the micro-batch with the SAME
+    batch_id, and a bare append would double-land the batch's code
+    rows (silently inflating adc_d2 for the duplicated vec_ids). When
+    batch_id is given, a committed-batch marker
+    (_batch_commits/batch-<id>) is checked before the append and
+    written after it, so a replayed batch is a no-op. The residual
+    window (crash BETWEEN the append and the marker write) is the
+    plain-parquet limit — closing it fully needs a transactional table
+    commit (Delta/Iceberg) or the generation-manifest compaction
+    machinery; the marker turns the common replay case from silent
+    duplication into a skip."""
+    import os
+
     spark = new_embeddings.sparkSession
+    if batch_id is not None:
+        marker = os.path.join(
+            index_dir, "_batch_commits", f"batch-{int(batch_id)}"
+        )
+        if os.path.exists(marker):
+            return
     if constants is not None:
         cids, cmat, cb, n_codes, m, n_lists = constants
     else:
@@ -2901,6 +2924,10 @@ def ivfpq_index_add(
         .partitionBy("list_id")
         .parquet(f"{index_dir}/codes")
     )
+    if batch_id is not None:
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write("ok\n")
 
 
 def ivfpq_index_delete(

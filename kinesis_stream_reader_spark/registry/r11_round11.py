@@ -477,8 +477,11 @@ FROM adc ORDER BY adc_d2, vec_id LIMIT 10
             with tempfile.TemporaryDirectory() as ck:
                 q = (
                     stream.writeStream.foreachBatch(
+                        # batch_id guard: a foreachBatch replay (at-
+                        # least-once) of an already-landed micro-batch
+                        # is a no-op instead of a double-append
                         lambda bdf, bid: similarity.ivfpq_index_add(
-                            bdf, d, constants=consts
+                            bdf, d, constants=consts, batch_id=bid
                         )
                     )
                     .option("checkpointLocation", ck)

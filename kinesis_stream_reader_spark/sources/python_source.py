@@ -537,8 +537,21 @@ class KinesisReshardStreamReader(DataSourceStreamReader):
                     out[sid] = sum(1 for _ in fh)
         return out
 
+    @staticmethod
+    def _pos(offset: dict) -> dict:
+        """Per-shard planned positions from an offset dict. Offsets are
+        {"pos": {...}, "sizes": {...}} — sizes FREEZES each shard's
+        record count the moment it is first fully planned, so the
+        chain-global emit_idx bases replay identically even if a prior
+        shard's wire file later expires from retention (a live
+        re-census would see 0 for the expired file and a replayed
+        batch would emit different emit_idx values than the original
+        run). Pre-round-12 offsets (a bare {sid: n} dict) are accepted
+        for shape compatibility."""
+        return offset["pos"] if "pos" in offset else offset
+
     def initialOffset(self) -> dict:
-        return {s: 0 for s in self._counts()}
+        return {"pos": {s: 0 for s in self._counts()}, "sizes": {}}
 
     def latestOffset(self) -> dict:
         counts = self._counts()
@@ -557,6 +570,7 @@ class KinesisReshardStreamReader(DataSourceStreamReader):
             )
 
         out = {}
+        sizes = dict(getattr(self, "_frozen_sizes", {}) or {})
         for sid, total in counts.items():
             lo = int(base.get(sid, 0))
             if not parent_done(sid):
@@ -565,37 +579,53 @@ class KinesisReshardStreamReader(DataSourceStreamReader):
                 out[sid] = total
             else:
                 out[sid] = min(total, lo + self.cap)
-        return out
+            # freeze the shard's final size the first time it is fully
+            # planned: once frozen it never changes, and it rides the
+            # offset into the checkpoint so recovery replays the exact
+            # bases of the original run
+            if sid not in sizes and out[sid] >= total:
+                sizes[sid] = total
+        self._frozen_sizes = sizes
+        return {"pos": out, "sizes": sizes}
 
     def partitions(self, start: dict, end: dict):
+        start_pos, end_pos = self._pos(start), self._pos(end)
+        # restore frozen sizes from the checkpointed offsets (recovery
+        # path) and keep the in-memory view cumulative
+        frozen = dict(getattr(self, "_frozen_sizes", {}) or {})
+        frozen.update(start.get("sizes", {}) if "pos" in start else {})
+        frozen.update(end.get("sizes", {}) if "pos" in end else {})
+        self._frozen_sizes = frozen
         # monotonic max incl. the batch START: a checkpoint restart
         # jump-starts the admission window at the committed position
         prev = self._planned_end or {}
-        keys = set(prev) | set(end) | set(start)
+        keys = set(prev) | set(end_pos) | set(start_pos)
         self._planned_end = {
             s: max(
                 int(prev.get(s, 0)),
-                int(end.get(s, 0)),
-                int(start.get(s, 0)),
+                int(end_pos.get(s, 0)),
+                int(start_pos.get(s, 0)),
             )
             for s in keys
         }
-        counts = getattr(self, "_last_counts", None)
-        if counts is None:  # checkpoint recovery: no latestOffset yet
-            counts = self._counts()
         parts = []
-        for sid, hi in sorted(end.items()):
-            lo = int(start.get(sid, 0))
+        for sid, hi in sorted(end_pos.items()):
+            lo = int(start_pos.get(sid, 0))
             if int(hi) > lo:
-                # chain-global emit_idx base: cumulative sizes of every
-                # shard draining earlier in sid's chain. Under the
+                # chain-global emit_idx base: cumulative FROZEN sizes of
+                # every shard draining earlier in sid's chain. Under the
                 # lease rule a shard is only admitted after its parents
-                # are fully planned, so those sizes are final by the
-                # time sid emits — streaming emit_idx therefore matches
-                # the batch KinesisReshardReader's chain-global counter
-                # (same RESHARD_SCHEMA, same ordering semantics).
+                # are fully planned, and latestOffset freezes a shard's
+                # size at full-plan time, so every live prior shard has
+                # a frozen size here; a prior that expired from
+                # retention before it was ever fully planned
+                # contributes 0 on the original run AND on every
+                # replay (deterministic — the advisory's expiry case).
+                # Streaming emit_idx therefore matches the batch
+                # KinesisReshardReader's chain-global counter (same
+                # RESHARD_SCHEMA, same ordering semantics).
                 base = sum(
-                    counts.get(p, 0) for p in self._chain_prior.get(sid, [])
+                    frozen.get(p, 0) for p in self._chain_prior.get(sid, [])
                 )
                 parts.append(
                     _ShardRangePartition(
