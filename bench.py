@@ -256,9 +256,26 @@ def main() -> None:
         confirmed_wall[name] = min(best, timings[name])
 
     total = round(sum(timings.values()), 3)
+    # Round 12 (verdict): the CONFIRMED headline — raw walls with the
+    # isolated-warm re-probed minima substituted — so a run on a
+    # contended machine (driver r11: raw 1454 s at ambient 1.256 while
+    # every raw mover re-probed flat) is self-describing instead of
+    # reading as a 2.8x regression at first glance. value stays the
+    # one-basis raw total; value_confirmed is what the run actually
+    # proved the queries cost.
+    total_confirmed = round(
+        sum(confirmed_wall.get(n, w) for n, w in timings.items()), 3
+    )
+    basis = (
+        "value=raw single-pass walls; value_confirmed substitutes each "
+        "re-probed query's isolated-warm minimum (confirmed_wall); "
+        "ambient_vs_prev is the same-code median raw/baseline ratio — "
+        "compare rounds on value_confirmed when ambient is hot"
+    )
     payload = {
         "metric": "total_query_wall_sec",
         "value": total,
+        "value_confirmed": total_confirmed,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
@@ -267,6 +284,7 @@ def main() -> None:
         "ambient_vs_prev": round(ambient, 3),
         "confirmed_wall": confirmed_wall,
         "confirmed_regressions": confirmed,
+        "basis": basis,
     }
     # The full per-query JSON lands in bench_out.json so rounds can be
     # diffed query-by-query (or bench_out_shard_i_n.json in shard mode).
@@ -282,6 +300,8 @@ def main() -> None:
     compact = {
         "metric": "total_query_wall_sec",
         "value": total,
+        "value_confirmed": total_confirmed,
+        "ambient_vs_prev": round(ambient, 3),
         "unit": "sec",
         "sf": payload["sf"],
         "n_queries": len(timings),

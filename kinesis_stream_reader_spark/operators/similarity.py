@@ -2846,7 +2846,7 @@ def _index_m(spark, index_dir: str) -> int:
     if meta is not None:
         return int(meta["m"])
     return (
-        spark.read.parquet(f"{index_dir}/codes")
+        _codes_df(spark, index_dir)
         .select(F.size("codes").alias("m"))
         .first()["m"]
     )
@@ -2912,18 +2912,65 @@ def ivfpq_index_add(
     qdf = new_embeddings.select(
         "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
     )
-    (
-        qdf.mapInPandas(
-            _ivfpq_encoder(cmat, cids, cb, m, n_codes, n_lists),
-            "vec_id LONG, list_id LONG, codes ARRAY<LONG>",
+    encoded = qdf.mapInPandas(
+        _ivfpq_encoder(cmat, cids, cb, m, n_codes, n_lists),
+        "vec_id LONG, list_id LONG, codes ARRAY<LONG>",
+    ).repartition(n_lists, "list_id")
+    # one file per touched list per append, not one per task per
+    # list (the build-path small-files rationale)
+    manifest = _load_manifest(index_dir)
+    if not manifest or not manifest.get("roots"):
+        # the common path: no compaction yet, everything lives in codes/
+        encoded.write.mode("append").partitionBy("list_id").parquet(
+            f"{index_dir}/codes"
         )
-        # one file per touched list per append, not one per task per
-        # list (the build-path small-files rationale)
-        .repartition(n_lists, "list_id")
-        .write.mode("append")
-        .partitionBy("list_id")
-        .parquet(f"{index_dir}/codes")
-    )
+    else:
+        # compacted index: appends must land in each list's LIVE root
+        # (appending a compacted list's rows into codes/ would park
+        # them beside that list's stale pre-compaction files, where
+        # the manifest reader rightly never looks). Lists still rooted
+        # at codes/ append there; lists redirected to a generation
+        # append into it; a fully-dropped list (empty root set) is
+        # re-homed in the NEWEST generation — the one directory
+        # guaranteed to hold no stale rows for it — and the manifest
+        # is flipped to record that. Cost: the encode materializes
+        # once and one append per distinct target root (the number of
+        # live generations + 1, small by compaction policy).
+        encoded = encoded.cache()
+        try:
+            roots = dict(manifest["roots"])
+            newest = f"codes_c{int(manifest.get('generation', 0))}"
+            touched = {
+                int(r["list_id"])
+                for r in encoded.select("list_id").distinct().collect()
+            }
+            target_of: dict[int, str] = {}
+            rehomed = False
+            for lid in touched:
+                dirs = roots.get(str(lid))
+                if dirs is None:
+                    target_of[lid] = "codes"
+                elif dirs:
+                    target_of[lid] = dirs[-1]
+                else:
+                    target_of[lid] = newest
+                    roots[str(lid)] = [newest]
+                    rehomed = True
+            by_target: dict[str, list[int]] = {}
+            for lid, tgt in target_of.items():
+                by_target.setdefault(tgt, []).append(lid)
+            for tgt, lids in sorted(by_target.items()):
+                (
+                    encoded.filter(F.col("list_id").isin(sorted(lids)))
+                    .write.mode("append")
+                    .partitionBy("list_id")
+                    .parquet(f"{index_dir}/{tgt}")
+                )
+            if rehomed:
+                manifest["roots"] = roots
+                _write_manifest(index_dir, manifest)
+        finally:
+            encoded.unpersist()
     if batch_id is not None:
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as fh:
@@ -2951,39 +2998,130 @@ def ivfpq_index_delete(
     ids.write.mode("append").parquet(f"{index_dir}/tombstones")
 
 
+def _load_manifest(index_dir: str) -> "dict | None":
+    """The generation manifest (round 12): _MANIFEST.json maps each
+    COMPACTED list_id to the list of directories (relative to the
+    index root) currently holding its live code rows; lists absent
+    from the map live in the default root codes/. An empty dir list
+    means the list holds no vectors at all (fully tombstoned and
+    compacted away). Absent manifest = every list in codes/ — all
+    indexes look like that until their first compaction."""
+    import json
+    import os
+
+    p = os.path.join(index_dir, "_MANIFEST.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return None
+
+
+def _write_manifest(index_dir: str, manifest: dict) -> None:
+    """Single-file manifest flip: write-temp + rename on a POSIX store
+    (atomic), a single PUT on an object store (also atomic) — the
+    commit point of a compaction. Readers see either the old mapping
+    or the new one, never a half-rewritten index."""
+    import json
+    import os
+
+    p = os.path.join(index_dir, "_MANIFEST.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, sort_keys=True)
+    os.replace(tmp, p)
+
+
+def _codes_df(spark, index_dir: str) -> DataFrame:
+    """Manifest-aware reader of the index's code rows: the ONE path
+    every serve/census goes through. Without a manifest this is a
+    plain scan of codes/. With one, each compacted list is read from
+    its manifest root(s) and codes/ is read EXCLUDING those lists —
+    all the exclusion/selection filters are on the list_id PARTITION
+    column, so every branch stays file-level partition pruning and a
+    serve's probed-list filter pushes into each branch. Stale
+    partition directories left behind by compaction are never read
+    (correctness never depends on deleting them; ivfpq_index_gc
+    reclaims the bytes whenever convenient)."""
+    manifest = _load_manifest(index_dir)
+    codes = spark.read.parquet(f"{index_dir}/codes")
+    if not manifest or not manifest.get("roots"):
+        return codes
+    roots: dict[int, list[str]] = {
+        int(lid): dirs for lid, dirs in manifest["roots"].items()
+    }
+    out = codes.filter(~F.col("list_id").isin(sorted(roots)))
+    by_dir: dict[str, list[int]] = {}
+    for lid, dirs in roots.items():
+        for d in dirs:
+            by_dir.setdefault(d, []).append(lid)
+    for d, lids in sorted(by_dir.items()):
+        branch = spark.read.parquet(f"{index_dir}/{d}").filter(
+            F.col("list_id").isin(sorted(lids))
+        )
+        out = out.unionByName(branch)
+    return out
+
+
 def _codes_sans_tombstones(spark, index_dir: str) -> DataFrame:
-    """codes/ with tombstoned ids anti-joined out (broadcast — the
-    tombstone set is the deletes-since-compaction delta, small by
+    """Live code rows with tombstoned ids anti-joined out (broadcast —
+    the tombstone set is the deletes-since-compaction delta, small by
     maintenance policy)."""
     import os
 
-    codes = spark.read.parquet(f"{index_dir}/codes")
+    codes = _codes_df(spark, index_dir)
     tomb = f"{index_dir}/tombstones"
     if os.path.isdir(tomb):
-        t = spark.read.parquet(tomb).select("vec_id").distinct()
+        # explicit schema: a just-compacted index holds an EMPTY
+        # tombstone relation, and schema-less parquet reads of an
+        # empty directory cannot infer one
+        t = (
+            spark.read.schema("vec_id LONG")
+            .parquet(tomb)
+            .select("vec_id")
+            .distinct()
+        )
         codes = codes.join(F.broadcast(t), "vec_id", "left_anti")
     return codes
 
 
 def ivfpq_index_compact(spark, index_dir: str) -> list[int]:
-    """COMPACT half of the delete story: physically drop tombstoned
-    rows by rewriting ONLY the list_id partitions that contain them
-    (dynamic partition overwrite — untouched lists keep their files
-    byte-for-byte), then retire the tombstone set. Serve results are
-    invariant (the anti-join was already hiding those rows); what
-    changes is that the index stops paying the anti-join and the
-    deleted bytes. Returns the rewritten list_ids (bounded by
-    n_lists). The maintenance policy a lakehouse table would use:
-    logical delete on the write path, partition-local rewrite when the
-    tombstone mass is worth it."""
+    """COMPACT half of the delete story, store-agnostic (round 12):
+    physically drop tombstoned rows by STAGING the survivors of ONLY
+    the affected lists into a fresh generation directory
+    (codes_c<gen>/, hive-partitioned by list_id like codes/) and then
+    flipping the single-file _MANIFEST to point those lists at the new
+    generation. Untouched lists keep their files byte-for-byte; serve
+    results are invariant (the anti-join was already hiding the rows);
+    the index stops paying the anti-join and the dead bytes.
+
+    Why this shape (the round-11 verdict item): the previous dynamic
+    partition overwrite had to localCheckpoint(eager=True) every
+    survivor first — the rewrite would otherwise read the very files
+    the overwrite deletes — which at 100 TB pins up to the whole index
+    in executor storage when tombstones touch most lists, and its
+    fully-tombstoned-list cleanup was a driver-side shutil.rmtree that
+    assumes a POSIX-visible store. The staging write reads old
+    generations and writes a NEW directory, so it needs no checkpoint
+    and no deletes at all: the manifest flip is the commit, stale
+    directories are unreferenced garbage (reclaim with
+    ivfpq_index_gc). Crash-safe too — a failure before the flip leaves
+    the old manifest fully live.
+
+    Tombstones are retired engine-side by overwriting tombstones/ with
+    an empty relation. Returns the compacted list_ids (bounded by
+    n_lists)."""
     import os
-    import shutil
 
     tomb = f"{index_dir}/tombstones"
     if not os.path.isdir(tomb):
         return []
-    t = spark.read.parquet(tomb).select("vec_id").distinct()
-    codes = spark.read.parquet(f"{index_dir}/codes")
+    t = (
+        spark.read.schema("vec_id LONG")
+        .parquet(tomb)
+        .select("vec_id")
+        .distinct()
+    )
+    codes = _codes_df(spark, index_dir)
     affected = sorted(
         int(r["list_id"])
         for r in codes.join(F.broadcast(t), "vec_id")
@@ -2992,38 +3130,86 @@ def ivfpq_index_compact(spark, index_dir: str) -> list[int]:
         .collect()
     )
     if affected:
-        kept = (
+        manifest = _load_manifest(index_dir) or {"generation": 0,
+                                                 "roots": {}}
+        gen = int(manifest.get("generation", 0)) + 1
+        newroot = f"codes_c{gen}"
+        (
             codes.filter(F.col("list_id").isin(affected))
             .join(F.broadcast(t), "vec_id", "left_anti")
-            # MATERIALIZE before the overwrite: the rewrite reads the
-            # very files dynamic overwrite deletes — a lazy plan would
-            # race its own input (FAILED_READ_FILE). The checkpoint
-            # pins the survivors (bounded: the affected partitions'
-            # rows) so the write never touches the source files.
-            .localCheckpoint(eager=True)
-        )
-        (
-            kept.repartition(len(affected), "list_id")
+            .repartition(len(affected), "list_id")
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("list_id")
-            .parquet(f"{index_dir}/codes")
+            .parquet(f"{index_dir}/{newroot}")
         )
-        spark.catalog.refreshByPath(f"{index_dir}/codes")
-        # dynamic overwrite only rewrites partitions that RECEIVE rows:
-        # a list whose every vector was tombstoned gets no output and
-        # would keep its stale files — drop those partition dirs.
+        # which affected lists actually have survivors: read the staged
+        # generation back (partition-column distinct over just-written
+        # files — engine-side, no driver directory listing)
         survivors = {
             int(r["list_id"])
-            for r in kept.select("list_id").distinct().collect()
+            for r in spark.read.schema(
+                "vec_id LONG, codes ARRAY<LONG>, list_id LONG"
+            )
+            .parquet(f"{index_dir}/{newroot}")
+            .select("list_id")
+            .distinct()
+            .collect()
         }
+        roots = dict(manifest.get("roots", {}))
         for lid in affected:
-            if lid not in survivors:
-                shutil.rmtree(
-                    f"{index_dir}/codes/list_id={lid}", ignore_errors=True
-                )
-    shutil.rmtree(tomb)
+            roots[str(lid)] = [newroot] if lid in survivors else []
+        _write_manifest(
+            index_dir, {"generation": gen, "roots": roots}
+        )
+        spark.catalog.refreshByPath(f"{index_dir}/{newroot}")
+    # retire the consumed tombstones ENGINE-side: overwrite with an
+    # empty relation (no driver-side deletes of Spark-written data)
+    spark.createDataFrame([], "vec_id LONG").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tomb)
+    spark.catalog.refreshByPath(tomb)
     return affected
+
+
+def ivfpq_index_gc(spark, index_dir: str) -> list[str]:
+    """Optional space reclamation for compacted indexes: delete the
+    partition directories the _MANIFEST no longer references (each
+    compacted list's stale codes/list_id=N files and its superseded
+    older generations). Correctness NEVER depends on this — _codes_df
+    reads only manifest-referenced directories — so gc can run never,
+    rarely, or from a cron, and a crash mid-gc loses nothing. Uses the
+    Hadoop FileSystem API through the live JVM, so it works against
+    whatever store the index lives on (HDFS, S3A, local), not just a
+    POSIX path. Returns the deleted directories (index-relative)."""
+    manifest = _load_manifest(index_dir)
+    if not manifest or not manifest.get("roots"):
+        return []
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(index_dir)
+    fs = root.getFileSystem(hconf)
+    live: set[str] = set()
+    compacted: dict[int, set[str]] = {}
+    for lid, dirs in manifest["roots"].items():
+        compacted[int(lid)] = set(dirs)
+        live.update(dirs)
+    deleted: list[str] = []
+    # stale partitions under every code root (codes/ + generations)
+    for st in fs.listStatus(root):
+        if not st.isDirectory():
+            continue
+        base = st.getPath().getName()
+        if base != "codes" and not base.startswith("codes_c"):
+            continue
+        for part in fs.listStatus(st.getPath()):
+            name = part.getPath().getName()
+            if not name.startswith("list_id="):
+                continue
+            lid = int(name.split("=", 1)[1])
+            if lid in compacted and base not in compacted[lid]:
+                fs.delete(part.getPath(), True)
+                deleted.append(f"{base}/{name}")
+    return sorted(deleted)
 
 
 def ivfpq_serve_persisted(

@@ -640,9 +640,11 @@ FROM tl GROUP BY list_id ORDER BY list_id
         (vec_id, list_id) — the codes column is pruned — into a
         16-row partial agg; the census an index ops loop polls
         between retrains."""
+        from ..operators import similarity
+
         d = ensure_persisted_ivfpq_index(spark, sf_dir)
         return (
-            spark.read.parquet(f"{d}/codes")
+            similarity._codes_df(spark, d)
             .groupBy("list_id")
             .agg(
                 F.count("*").cast("long").alias("n_vectors"),

@@ -387,7 +387,14 @@ def test_compact_consumes_tombstones_and_preserves_serve(
 
     affected = similarity.ivfpq_index_compact(spark, d)
     assert affected, "fixture tombstones must hit at least one list"
-    assert not os.path.isdir(f"{d}/tombstones")
+    # tombstones retired ENGINE-side: the relation is rewritten empty
+    # (round 12 — no driver-side deletes of Spark-written data)
+    assert (
+        spark.read.schema("vec_id LONG")
+        .parquet(f"{d}/tombstones")
+        .count()
+        == 0
+    )
     for lid in all_lids:
         if lid not in affected:
             assert files_of(lid) == pre_files[lid], lid
@@ -482,6 +489,19 @@ def test_serve_with_fully_tombstoned_probed_list(spark, sf_dir, tmp_path):
     assert all(r.vec_id not in victim_ids for r in served)
     affected = similarity.ivfpq_index_compact(spark, d)
     assert kill in affected
+    # round 12: the stale partition directory is left in place (the
+    # manifest drops the list; correctness never depends on deletes)
+    # and the manifest-aware reader serves zero rows for it ...
+    manifest = similarity._load_manifest(d)
+    assert manifest["roots"][str(kill)] == []
+    assert (
+        similarity._codes_df(spark, d).filter(F.col("list_id") == kill)
+        .count()
+        == 0
+    )
+    # ... while gc reclaims the unreferenced bytes whenever convenient
+    deleted = similarity.ivfpq_index_gc(spark, d)
+    assert f"codes/list_id={kill}" in deleted
     assert not os.path.isdir(f"{d}/codes/list_id={kill}")
     after = similarity.ivfpq_serve_persisted(
         emb, d, query_vec_id=0, k=10, nprobe=2

@@ -111,3 +111,164 @@ def test_reshard_stream_bases_survive_retention_expiry(tmp_path):
     parts2 = r2.partitions(o1, o2)
     c1b = [p for p in parts2 if p.shard_id == "c1"]
     assert c1b and c1b[0].base == 5
+
+
+def _no_checkpoint_guard(monkeypatch):
+    """Fail the test if ANY localCheckpoint/checkpoint happens inside
+    the guarded block — the round-12 compaction must be a pure
+    staging write + manifest flip."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):  # pragma: no cover - assertion helper
+        raise AssertionError("compaction must not checkpoint")
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", boom)
+    monkeypatch.setattr(DataFrame, "checkpoint", boom)
+
+
+def test_compact_every_list_tombstoned_no_checkpoint(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The round-11 weak item's worst case: tombstones touch EVERY
+    list, which the old dynamic-overwrite shape could only survive by
+    localCheckpoint-pinning the entire surviving index. The staging-
+    write compact handles it with zero checkpoints (enforced by
+    monkeypatch), zero driver-side deletes (stale dirs remain on
+    disk), and an unchanged serve."""
+    import os
+
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    d = str(tmp_path / "idx")
+    emb = load_table(spark, sf_dir, "embeddings")
+    similarity.ivfpq_build_index(emb, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    # tombstone one vector from EVERY list
+    codes = spark.read.parquet(f"{d}/codes")
+    victims = (
+        codes.groupBy("list_id").agg(F.min("vec_id").alias("vec_id"))
+        .select("vec_id")
+    )
+    n_lists_live = codes.select("list_id").distinct().count()
+    victim_ids = {r.vec_id for r in victims.collect()}
+    similarity.ivfpq_index_delete(spark, d, victims)
+    before = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        ).collect()
+    ]
+
+    _no_checkpoint_guard(monkeypatch)
+    affected = similarity.ivfpq_index_compact(spark, d)
+    assert len(affected) == n_lists_live  # every live list compacted
+    # stale partition dirs are still on disk: no driver-side deletes
+    for lid in affected:
+        assert os.path.isdir(f"{d}/codes/list_id={lid}")
+    manifest = similarity._load_manifest(d)
+    assert all(
+        manifest["roots"][str(lid)] == ["codes_c1"] for lid in affected
+    )
+    after = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        ).collect()
+    ]
+    assert before == after
+    # the victims are physically gone from the live read path
+    live_ids = {
+        r.vec_id for r in similarity._codes_df(spark, d).select(
+            "vec_id").collect()
+    }
+    assert not (victim_ids & live_ids)
+    # and the serve plan reads the GENERATION dir with partition
+    # pruning, never a checkpointed RDD
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        ).explain("formatted")
+    explained = buf.getvalue()
+    assert "codes_c1" in explained
+    assert "PartitionFilters" in explained
+    # the only ExistingRDD in the plan is the broadcast LUT's local
+    # relation — the CODES side is parquet scans (a checkpointed codes
+    # side would surface as a second ExistingRDD scan). Count tree
+    # lines ("Scan ExistingRDD (<id>)"); the detail section repeats
+    # each node once more as "(<id>) Scan ExistingRDD".
+    assert explained.count("Scan ExistingRDD (") <= 1
+
+
+def test_add_after_compact_lands_in_live_root(spark, sf_dir, tmp_path):
+    """Appends to a compacted list must land in the list's LIVE root
+    (its generation dir), not beside the stale codes/ files the
+    manifest reader never reads — and a fully-dropped list is re-homed
+    in the newest generation. Serve equality with a from-scratch
+    rebuild proves the routed appends are all visible."""
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    delta = emb.filter(F.col("vec_id") % 10 == 7)
+    d = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(base, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    # tombstone a slice of the base, compact -> manifest exists
+    similarity.ivfpq_index_delete(
+        spark, d, base.filter(F.col("vec_id") % 25 == 3)
+    )
+    assert similarity.ivfpq_index_compact(spark, d)
+    # now ADD the delta: every touched compacted list routes to its
+    # generation dir; lists never compacted still append to codes/
+    similarity.ivfpq_index_add(delta, d)
+    manifest = similarity._load_manifest(d)
+    redirected = {int(k) for k, v in manifest["roots"].items() if v}
+
+    got = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        ).collect()
+    ]
+    # from-scratch twin over the same surviving corpus, same constants
+    d2 = str(tmp_path / "scratch")
+    kept = emb.filter(
+        (F.col("vec_id") % 10 == 7) | (F.col("vec_id") % 25 != 3)
+    )
+    similarity.ivfpq_build_index(
+        kept, d2, m=4, n_codes=8, n_lists=16, max_iter=5, train_on=base
+    )
+    want = [
+        (r.rank, r.vec_id, r.adc_d2)
+        for r in similarity.ivfpq_serve_persisted(
+            emb, d2, query_vec_id=0, k=10, nprobe=2
+        ).collect()
+    ]
+    assert got == want
+    # physical routing: every delta row that the live read path shows
+    # under a redirected list must actually sit in that list's
+    # generation dir (NOT beside the stale codes/ files)
+    delta_ids = {r.vec_id for r in delta.select("vec_id").collect()}
+    live_redirected = {
+        r.vec_id
+        for r in similarity._codes_df(spark, d)
+        .filter(F.col("list_id").isin(sorted(redirected)))
+        .select("vec_id")
+        .collect()
+    }
+    in_gen = {
+        r.vec_id
+        for r in spark.read.parquet(f"{d}/codes_c1")
+        .select("vec_id")
+        .collect()
+    }
+    assert (live_redirected & delta_ids) <= in_gen
+    # the fixture is only meaningful if some delta rows DID land in a
+    # compacted list
+    assert live_redirected & delta_ids
