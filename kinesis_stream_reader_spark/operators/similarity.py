@@ -711,13 +711,14 @@ def _lloyd_census_batches(cmat, cids, k: int):
     return batches
 
 
-def _ivf_assign_batches(cmat, cids, n_lists: int):
+def _ivf_assign_batches(cmat, cids, n_lists: int, keep_xq: bool = False):
     """Arrow-batch kernel: packed-argmin list assignment against the
     broadcast integer centroid table — ONE definition of the
     (d2 * n_lists + cid) argmin shared by trained_lists (batch index
-    build) and the streaming ADD path (streaming_ivf_assign), so the
-    two can never diverge from the SQL oracle that replays it. Input
-    batches carry (vec_id, xq array<long>)."""
+    build), the streaming ADD path (streaming_ivf_assign), and the
+    refine-store landing (keep_xq=True carries the quantized vector
+    through so vectors/ partitions by the SAME assignment the codes
+    use). Input batches carry (vec_id, xq array<long>)."""
     import numpy as np
 
     def batches(it):
@@ -733,9 +734,10 @@ def _ivf_assign_batches(cmat, cids, n_lists: int):
                 + (cmat * cmat).sum(1)[None, :]
             )
             packed = (d2 * n_lists + cids[None, :]).min(1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "list_id": packed % n_lists}
-            )
+            out = {"vec_id": pdf["vec_id"], "list_id": packed % n_lists}
+            if keep_xq:
+                out["xq"] = pdf["xq"]
+            yield pd.DataFrame(out)
 
     return batches
 
@@ -2852,6 +2854,130 @@ def _index_m(spark, index_dir: str) -> int:
     )
 
 
+def ivfpq_store_vectors(embeddings: DataFrame, index_dir: str) -> None:
+    """Land the REFINE store (round 12): the raw quantized vectors,
+    hive-partitioned by the SAME trained list assignment the codes
+    use —
+
+      vectors/  vec_id, xq array<long>, PARTITIONED BY list_id
+
+    — so a two-stage serve's exact re-rank is a partition-pruned
+    point-read of only the probed lists' vectors, never a second full
+    scan of the corpus. One map-side Arrow assign pass (the shared
+    packed-argmin kernel), nothing collected but the trained
+    constants. Idempotent: mode=overwrite, callable to retro-fit an
+    already-built index (ensure_persisted_ivfpq_index upgrades cached
+    fixtures this way)."""
+    spark = embeddings.sparkSession
+    cids, cmat, _, _ = _load_index_constants(spark, index_dir)
+    meta = _index_meta(index_dir)
+    n_lists = (
+        int(meta["n_lists"]) if meta is not None else int(cids.max()) + 1
+    )
+    vecs = embeddings.select(
+        "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+    )
+    (
+        vecs.mapInPandas(
+            _ivf_assign_batches(cmat, cids, n_lists, keep_xq=True),
+            "vec_id LONG, list_id LONG, xq ARRAY<LONG>",
+        )
+        .repartition(n_lists, "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{index_dir}/vectors")
+    )
+
+
+def ivfpq_serve_refine_persisted(
+    embeddings: DataFrame,
+    index_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    refine_factor: int = 4,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Persisted TWO-STAGE serving (round 12): the production shape of
+    ann_ivfpq_refine against the landed index instead of in-memory
+    DataFrames — FAISS IndexRefineFlat over an on-disk IndexIVFPQ.
+
+    Stage 1 (shortlist): the pure-Catalyst ADC plan of
+    ivfpq_serve_persisted, kept to k * refine_factor candidates —
+    codes/ scanned with file-level PartitionFilters on the probed
+    lists, posexplode -> BroadcastHashJoin LUT -> partial-agg sums.
+
+    Stage 2 (refine): the shortlist (k * refine_factor rows) BROADCASTS
+    against vectors/, which is scanned with its OWN PartitionFilters on
+    the same probed lists — every shortlist candidate's vector lives in
+    a probed list by construction — and re-ranked by exact int64
+    squared L2 against the query literal. Both stages read
+    nprobe/n_lists of their table's bytes; the corpus never shuffles.
+
+    Row-identical to ann_ivfpq_refine under the same hyperparameters
+    (asserted in pytest; shares its DuckDB oracle)."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
+    m = _index_m(spark, index_dir)
+    qrows = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select("vec_id", _quantized_vec(F.col("embedding")).alias("xq"))
+        .take(1)
+    )
+    if not qrows:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} is not present in the corpus"
+        )
+    lut_rows, probed_union = _ivfpq_batch_lut(
+        qrows, cids, cmat, cb, n_codes, m, nprobe
+    )
+    probed = sorted(probed_union)
+    lut = spark.createDataFrame(
+        [(r[1], r[2], r[3], r[4]) for r in lut_rows],
+        "list_id LONG, s INT, code_id LONG, d LONG",
+    )
+    codes = _codes_sans_tombstones(spark, index_dir).filter(
+        F.col("list_id").isin(probed)
+        & (F.col("vec_id") != query_vec_id)
+    )
+    short = (
+        codes.select(
+            "vec_id", "list_id", F.posexplode("codes").alias("s", "code_id")
+        )
+        .join(F.broadcast(lut), ["list_id", "s", "code_id"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(k * refine_factor)
+    )
+    q = np.asarray(qrows[0]["xq"], np.int64)
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in q])
+    vectors = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("list_id").isin(probed)
+    )
+    rer = (
+        vectors.join(F.broadcast(short), "vec_id")
+        .withColumn(
+            "exact_d2",
+            F.aggregate(
+                F.zip_with(F.col("xq"), qlit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy("exact_d2", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("exact_d2", "vec_id")
+    return rer.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        F.col("adc_d2").cast("long").alias("adc_d2"),
+        F.col("exact_d2").cast("long").alias("exact_d2"),
+    )
+
+
 def ivfpq_index_add(
     new_embeddings: DataFrame,
     index_dir: str,
@@ -2971,6 +3097,22 @@ def ivfpq_index_add(
                 _write_manifest(index_dir, manifest)
         finally:
             encoded.unpersist()
+    if os.path.isdir(f"{index_dir}/vectors"):
+        # the index carries a refine store: keep it in sync so a
+        # two-stage serve can re-rank added vectors too (one extra
+        # map-side assign pass over the DELTA only). vectors/ has no
+        # generation manifest — tombstoned ids are filtered by the
+        # shortlist inner-join, so stale vector rows are unreachable.
+        (
+            qdf.mapInPandas(
+                _ivf_assign_batches(cmat, cids, n_lists, keep_xq=True),
+                "vec_id LONG, list_id LONG, xq ARRAY<LONG>",
+            )
+            .repartition(n_lists, "list_id")
+            .write.mode("append")
+            .partitionBy("list_id")
+            .parquet(f"{index_dir}/vectors")
+        )
     if batch_id is not None:
         os.makedirs(os.path.dirname(marker), exist_ok=True)
         with open(marker, "w") as fh:

@@ -44,6 +44,7 @@ from . import r8_round8  # noqa: E402,F401
 from . import r9_round9  # noqa: E402,F401
 from . import r10_round10  # noqa: E402,F401
 from . import r11_round11  # noqa: E402,F401
+from . import r12_round12  # noqa: E402,F401
 
 # Back-compat re-exports (callers use registry.<name> for these).
 from .r1_parity_ext import records_pipeline  # noqa: E402,F401
@@ -85,7 +86,7 @@ EAGER_QUERIES = frozenset(
         "ann_ivf_filtered", "tokenizer_compare_report",
         "ann_index_persist_serve", "ann_index_persist_serve_batch",
         "ann_index_upsert_serve", "ann_index_compact_serve",
-        "ann_index_stats",
+        "ann_index_stats", "ann_index_refine_serve",
         "quantization_recall_report",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
@@ -116,6 +117,11 @@ EAGER_QUERIES = frozenset(
 # The correctness driver samples queries() in dict order and may stop
 # after the first ~50 entries, so never-driver-checked queries lead.
 _PRIORITY = [
+    # ROUND-12 ROTATION: new round-12 queries lead (never
+    # driver-checked), then the round-12-touched legs (manifest
+    # compaction, batch-id guard, reshard frozen sizes, scheme-less
+    # fragment strip).
+    "ann_index_refine_serve",
     # ROUND-5 ROTATION: the driver verifies the FIRST ~50 entries. Head =
     # the 23 late-pass additions (causal matching, SPRT, JL/feature
     # hashing, ER blocking, the WER/ROUGE/chrF eval triad, kappa, GIF

@@ -1185,6 +1185,14 @@ def ensure_persisted_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
         )
         with open(built, "w") as fh:
             fh.write("ok\n")
+    # round 12: the shared index also carries the refine store
+    # (vectors/ partitioned by list_id). Its own completion sentinel
+    # retro-fits fixture indexes cached by earlier rounds in place.
+    vec_built = os.path.join(d, "_VECTORS")
+    if not os.path.exists(vec_built):
+        similarity.ivfpq_store_vectors(emb, d)
+        with open(vec_built, "w") as fh:
+            fh.write("ok\n")
     return d
 
 

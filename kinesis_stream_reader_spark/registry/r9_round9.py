@@ -20,9 +20,10 @@ from .r8_round8 import _IVFPQ_ADC_CTES, _MAX_ITER, _N_LISTS, _TRAINED_TL_CTE
 # The oracle extends the shared ADC chain with the shortlist LIMIT and
 # the exact-int re-rank join.
 # ---------------------------------------------------------------------------
-@register(
-    "ann_ivfpq_refine",
-    _TRAINED_TL_CTE + _IVFPQ_ADC_CTES + """
+# the refine suffix is shared verbatim by round-12's persisted
+# two-stage serve (ann_index_refine_serve) — same semantics, different
+# physical plan, ONE oracle definition
+_REFINE_SQL = _TRAINED_TL_CTE + _IVFPQ_ADC_CTES + """
 , short AS (
   SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2, vec_id LIMIT 40
 ), rer AS (
@@ -36,8 +37,10 @@ from .r8_round8 import _IVFPQ_ADC_CTES, _MAX_ITER, _N_LISTS, _TRAINED_TL_CTE
 SELECT ROW_NUMBER() OVER (ORDER BY exact_d2, vec_id)::INT AS rank,
        vec_id, adc_d2::BIGINT AS adc_d2, exact_d2::BIGINT AS exact_d2
 FROM rer ORDER BY exact_d2, vec_id LIMIT 10
-""",
-)
+"""
+
+
+@register("ann_ivfpq_refine", _REFINE_SQL)
 def ann_ivfpq_refine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production two-stage ANN serving shape: compressed-index
     shortlist (trained IVF + residual PQ + ADC), exact re-rank of the

@@ -272,3 +272,56 @@ def test_add_after_compact_lands_in_live_root(spark, sf_dir, tmp_path):
     # the fixture is only meaningful if some delta rows DID land in a
     # compacted list
     assert live_redirected & delta_ids
+
+
+def test_refine_serve_equals_inmemory_refine_and_prunes_both_scans(
+    spark, sf_dir, tmp_path
+):
+    """ann_index_refine_serve's contract: the persisted two-stage serve
+    is bit-identical to ann_ivfpq_refine on the same corpus, and BOTH
+    table scans (codes/ shortlist, vectors/ re-rank) carry file-level
+    PartitionFilters on the probed lists."""
+    import contextlib
+    import io
+    import re
+
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(emb, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    similarity.ivfpq_store_vectors(emb, d)
+    served = similarity.ivfpq_serve_refine_persisted(
+        emb, d, query_vec_id=0, k=10, refine_factor=4, nprobe=2
+    )
+    want = [
+        (r.rank, r.vec_id, r.adc_d2, r.exact_d2)
+        for r in similarity.ann_ivfpq_refine(
+            emb, query_vec_id=0, k=10, refine_factor=4, nprobe=2,
+            m=4, n_codes=8, n_lists=16, max_iter=5,
+        ).collect()
+    ]
+    got = [
+        (r.rank, r.vec_id, r.adc_d2, r.exact_d2) for r in served.collect()
+    ]
+    assert got == want and len(got) == 10
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    # one pruned scan per store: every Scan parquet node that reads
+    # codes/ or vectors/ must carry a non-empty list_id PartitionFilter
+    scans = re.findall(
+        r"Location: InMemoryFileIndex\S* \[\S*(codes|vectors)[^\]]*\]"
+        r"[\s\S]*?PartitionFilters: (\[[^\]]*\])",
+        plan,
+    )
+    stores = {s for s, _ in scans}
+    assert {"codes", "vectors"} <= stores, plan
+    for store, filt in scans:
+        # non-empty pruning filter on the partition column, whichever
+        # spelling the planner picked (INSET / IN (...))
+        assert "list_id" in filt and filt.strip() != "[]", (store, filt)
