@@ -711,7 +711,9 @@ def _lloyd_census_batches(cmat, cids, k: int):
     return batches
 
 
-def _ivf_assign_batches(cmat, cids, n_lists: int, keep_xq: bool = False):
+def _ivf_assign_batches(
+    cmat, cids, n_lists: int, keep_xq: bool = False, passthrough=()
+):
     """Arrow-batch kernel: packed-argmin list assignment against the
     broadcast integer centroid table — ONE definition of the
     (d2 * n_lists + cid) argmin shared by trained_lists (batch index
@@ -737,6 +739,8 @@ def _ivf_assign_batches(cmat, cids, n_lists: int, keep_xq: bool = False):
             out = {"vec_id": pdf["vec_id"], "list_id": packed % n_lists}
             if keep_xq:
                 out["xq"] = pdf["xq"]
+            for c in passthrough:
+                out[c] = pdf[c]
             yield pd.DataFrame(out)
 
     return batches
@@ -2874,19 +2878,40 @@ def ivfpq_store_vectors(embeddings: DataFrame, index_dir: str) -> None:
     n_lists = (
         int(meta["n_lists"]) if meta is not None else int(cids.max()) + 1
     )
-    vecs = embeddings.select(
-        "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
-    )
+    vecs, schema, passthrough = _vector_store_projection(embeddings)
     (
         vecs.mapInPandas(
-            _ivf_assign_batches(cmat, cids, n_lists, keep_xq=True),
-            "vec_id LONG, list_id LONG, xq ARRAY<LONG>",
+            _ivf_assign_batches(
+                cmat, cids, n_lists, keep_xq=True, passthrough=passthrough
+            ),
+            schema,
         )
         .repartition(n_lists, "list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
         .parquet(f"{index_dir}/vectors")
     )
+
+
+def _vector_store_projection(embeddings: DataFrame):
+    """Input projection + output schema for the vectors/ store: the
+    quantized vector plus any attribute metadata columns present on
+    the corpus (today: label). Metadata rides as ORDINARY parquet
+    columns beside the vectors, so a filtered serve's attribute
+    predicate reaches the scan as a pushed parquet filter
+    (PushedFilters) on top of the list_id partition pruning."""
+    passthrough = tuple(
+        c for c in ("label",) if c in embeddings.columns
+    )
+    vecs = embeddings.select(
+        "vec_id",
+        _quantized_vec(F.col("embedding")).alias("xq"),
+        *[F.col(c).cast("long").alias(c) for c in passthrough],
+    )
+    schema = "vec_id LONG, list_id LONG, xq ARRAY<LONG>" + "".join(
+        f", {c} LONG" for c in passthrough
+    )
+    return vecs, schema, passthrough
 
 
 def ivfpq_serve_refine_persisted(
@@ -2975,6 +3000,77 @@ def ivfpq_serve_refine_persisted(
         "vec_id",
         F.col("adc_d2").cast("long").alias("adc_d2"),
         F.col("exact_d2").cast("long").alias("exact_d2"),
+    )
+
+
+def ivf_serve_filtered_persisted(
+    embeddings: DataFrame,
+    index_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    nprobe: int = 2,
+    label: int = 1,
+) -> DataFrame:
+    """Attribute-FILTERED serving against the PERSISTED index (round
+    12): ann_ivf_filtered's pre-filter semantics — exact top-k among
+    probed-list vectors passing the predicate — composed with the
+    landed vectors/ store so the predicate pushes into the PRUNED
+    scan:
+
+      scan vectors/ (PartitionFilters: list_id IN probed;
+                     PushedFilters: EqualTo(label, <label>))
+        -> exact int64 L2 vs the query literal (pure Catalyst
+           zip_with/aggregate — no Python in the serving path)
+        -> TakeOrdered k
+
+    so a filtered query reads nprobe/n_lists of the store AND lets the
+    parquet row-group statistics skip label-homogeneous row groups —
+    the two pushdowns compose at the file level. Pre-filtering keeps
+    recall correct at any selectivity (post-filtering a top-k' under-
+    returns when the filter is selective). Row-identical to
+    ann_ivf_filtered under the same training (asserted in pytest;
+    shared oracle)."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cids, cmat, _, _ = _load_index_constants(spark, index_dir)
+    qrows = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select(_quantized_vec(F.col("embedding")).alias("xq"))
+        .take(1)
+    )
+    if not qrows:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} is not present in the corpus"
+        )
+    q = np.asarray(qrows[0]["xq"], np.int64)
+    qd2 = ((q[None, :] - cmat) ** 2).sum(1)
+    probed = [int(x) for x in cids[np.lexsort((cids, qd2))[:nprobe]]]
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in q])
+    cand = (
+        spark.read.parquet(f"{index_dir}/vectors")
+        .filter(
+            F.col("list_id").isin(probed)
+            & (F.col("label") == label)
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .withColumn(
+            "d2",
+            F.aggregate(
+                F.zip_with(F.col("xq"), qlit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy("d2", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("d2", "vec_id")
+    return cand.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("d2").cast("long").alias("d2"),
     )
 
 
@@ -3103,10 +3199,16 @@ def ivfpq_index_add(
         # map-side assign pass over the DELTA only). vectors/ has no
         # generation manifest — tombstoned ids are filtered by the
         # shortlist inner-join, so stale vector rows are unreachable.
+        vdf, vschema, passthrough = _vector_store_projection(
+            new_embeddings
+        )
         (
-            qdf.mapInPandas(
-                _ivf_assign_batches(cmat, cids, n_lists, keep_xq=True),
-                "vec_id LONG, list_id LONG, xq ARRAY<LONG>",
+            vdf.mapInPandas(
+                _ivf_assign_batches(
+                    cmat, cids, n_lists, keep_xq=True,
+                    passthrough=passthrough,
+                ),
+                vschema,
             )
             .repartition(n_lists, "list_id")
             .write.mode("append")

@@ -735,12 +735,13 @@ def streaming_reshard_drain_query(
 # chain's probe ranking, with the label predicate on the candidates
 # and exact int64 L2 to the query.
 # ---------------------------------------------------------------------------
-def _register_ann_ivf_filtered():
-    from .r8_round8 import _MAX_ITER, _N_LISTS, _TRAINED_TL_CTE
+def _filtered_sql():
+    """The ann_ivf_filtered oracle — shared verbatim by round-12's
+    persisted filtered serve (ann_index_filtered_serve): same
+    semantics, different physical plan, ONE oracle definition."""
+    from .r8_round8 import _TRAINED_TL_CTE
 
-    @register(
-        "ann_ivf_filtered",
-        _TRAINED_TL_CTE + """
+    return _TRAINED_TL_CTE + """
 , qv0 AS (
   SELECT v FROM vecs WHERE vec_id = 0
 ), probe AS (
@@ -768,8 +769,13 @@ def _register_ann_ivf_filtered():
 SELECT ROW_NUMBER() OVER (ORDER BY d2, vec_id)::INT AS rank,
        vec_id, label, d2::BIGINT AS d2
 FROM cand ORDER BY d2, vec_id LIMIT 10
-""",
-    )
+"""
+
+
+def _register_ann_ivf_filtered():
+    from .r8_round8 import _MAX_ITER, _N_LISTS
+
+    @register("ann_ivf_filtered", _filtered_sql())
     def ann_ivf_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Filtered top-k (similarity.ann_ivf_filtered): vectors with
         label = 1 inside the query's 2 probed trained lists, exact
@@ -1186,9 +1192,11 @@ def ensure_persisted_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
         with open(built, "w") as fh:
             fh.write("ok\n")
     # round 12: the shared index also carries the refine store
-    # (vectors/ partitioned by list_id). Its own completion sentinel
-    # retro-fits fixture indexes cached by earlier rounds in place.
-    vec_built = os.path.join(d, "_VECTORS")
+    # (vectors/ partitioned by list_id, with attribute metadata
+    # columns for filtered serving). Its own completion sentinel
+    # retro-fits fixture indexes cached by earlier rounds in place;
+    # the sentinel name is versioned with the store schema.
+    vec_built = os.path.join(d, "_VECTORS_V2")
     if not os.path.exists(vec_built):
         similarity.ivfpq_store_vectors(emb, d)
         with open(vec_built, "w") as fh:

@@ -57,3 +57,40 @@ def _register_ann_index_refine_serve():
 
 
 ann_index_refine_serve_query = _register_ann_index_refine_serve()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 12 — ann_index_filtered_serve: attribute-filtered serving on
+# the PERSISTED index. ann_ivf_filtered pre-filters inside probed
+# lists but evaluates the predicate in an Arrow pass over the
+# in-memory corpus; here the label rides the vectors/ store as an
+# ordinary parquet column, so the predicate reaches the scan as a
+# PUSHED parquet filter composed with the probed-list partition
+# pruning — the query reads nprobe/n_lists of the store and row-group
+# stats skip label-homogeneous groups inside that. Pure Catalyst
+# (zip_with/aggregate exact L2); bit-equal to ann_ivf_filtered —
+# shared oracle.
+# ---------------------------------------------------------------------------
+def _register_ann_index_filtered_serve():
+    from .r10_round10 import _filtered_sql, ensure_persisted_ivfpq_index
+
+    @register("ann_index_filtered_serve", _filtered_sql())
+    def ann_index_filtered_serve_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Persisted filtered serve (similarity.
+        ivf_serve_filtered_persisted): label = 1 candidates inside the
+        query's 2 probed lists, exact int64 L2, predicate pushed into
+        the partition-pruned vectors/ scan."""
+        from ..operators import similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        d = ensure_persisted_ivfpq_index(spark, sf_dir)
+        return similarity.ivf_serve_filtered_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2, label=1
+        )
+
+    return ann_index_filtered_serve_query
+
+
+ann_index_filtered_serve_query = _register_ann_index_filtered_serve()

@@ -325,3 +325,47 @@ def test_refine_serve_equals_inmemory_refine_and_prunes_both_scans(
         # non-empty pruning filter on the partition column, whichever
         # spelling the planner picked (INSET / IN (...))
         assert "list_id" in filt and filt.strip() != "[]", (store, filt)
+
+
+def test_filtered_serve_equals_inmemory_and_pushes_predicate(
+    spark, sf_dir, tmp_path
+):
+    """ann_index_filtered_serve's contract: bit-equal to
+    ann_ivf_filtered on the same fixture, with the label predicate
+    PUSHED into the partition-pruned vectors/ scan (PushedFilters
+    carries the label equality, PartitionFilters the probed lists)."""
+    import contextlib
+    import io
+
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(emb, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    similarity.ivfpq_store_vectors(emb, d)
+    served = similarity.ivf_serve_filtered_persisted(
+        emb, d, query_vec_id=0, k=10, nprobe=2, label=1
+    )
+    got = [
+        (r.rank, r.vec_id, r.label, r.d2) for r in served.collect()
+    ]
+    want = [
+        (r.rank, r.vec_id, r.label, r.d2)
+        for r in similarity.ann_ivf_filtered(
+            emb, query_vec_id=0, k=10, nprobe=2, n_lists=16, max_iter=5,
+            label=1,
+        ).collect()
+    ]
+    assert got == want and got
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    assert "PushedFilters" in plan
+    assert "EqualTo(label,1)" in plan.replace(" ", "").replace(
+        "label#", "label,"
+    ) or "EqualTo(label,1)" in plan
