@@ -3415,6 +3415,69 @@ def ivfpq_index_compact(spark, index_dir: str) -> list[int]:
     return affected
 
 
+def ivfpq_index_compact_policy(
+    spark, index_dir: str, threshold_milli: int = 40
+) -> DataFrame:
+    """Auto-compaction TRIGGER policy (round 12): the per-list census
+    that decides WHICH lists a maintenance loop should compact — lists
+    whose tombstone fraction crosses the threshold. Compaction cost is
+    a partition rewrite, so the policy is per-list, not per-index:
+    a hot delete pattern concentrated in a few lists compacts those
+    lists only.
+
+    One scan of the live codes (vec_id, list_id — the codes column is
+    pruned) broadcast-left-joined with the tombstone set into a
+    n_lists-row partial agg:
+
+      list_id, n_vectors (live rows incl. tombstoned),
+      n_tombstoned, tomb_milli, compact (1 when
+      n_tombstoned * 1000 >= n_vectors * threshold_milli)
+
+    The ann_index_stats occupancy census is the same scan shape; this
+    adds the tombstone overlay and the decision column."""
+    import os
+
+    codes = _codes_df(spark, index_dir).select("vec_id", "list_id")
+    tomb_dir = f"{index_dir}/tombstones"
+    if os.path.isdir(tomb_dir):
+        t = (
+            spark.read.schema("vec_id LONG")
+            .parquet(tomb_dir)
+            .select("vec_id")
+            .distinct()
+            .withColumn("_t", F.lit(1))
+        )
+        codes = codes.join(F.broadcast(t), "vec_id", "left")
+    else:
+        codes = codes.withColumn("_t", F.lit(None).cast("int"))
+    return (
+        codes.groupBy("list_id")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum(F.coalesce(F.col("_t"), F.lit(0)))
+            .cast("long")
+            .alias("n_tombstoned"),
+        )
+        .select(
+            "list_id",
+            "n_vectors",
+            "n_tombstoned",
+            F.floor(
+                F.col("n_tombstoned") * 1000 / F.col("n_vectors")
+            ).cast("long").alias("tomb_milli"),
+            F.when(
+                F.col("n_tombstoned") * 1000
+                >= F.col("n_vectors") * threshold_milli,
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("compact"),
+        )
+        .orderBy("list_id")
+    )
+
+
 def ivfpq_index_gc(spark, index_dir: str) -> list[str]:
     """Optional space reclamation for compacted indexes: delete the
     partition directories the _MANIFEST no longer references (each

@@ -87,7 +87,7 @@ EAGER_QUERIES = frozenset(
         "ann_index_persist_serve", "ann_index_persist_serve_batch",
         "ann_index_upsert_serve", "ann_index_compact_serve",
         "ann_index_stats", "ann_index_refine_serve",
-        "ann_index_filtered_serve",
+        "ann_index_filtered_serve", "ann_index_compact_policy",
         "quantization_recall_report",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
@@ -123,6 +123,7 @@ _PRIORITY = [
     # compaction, batch-id guard, reshard frozen sizes, scheme-less
     # fragment strip).
     "ann_index_refine_serve", "ann_index_filtered_serve",
+    "streaming_index_delete_serve", "ann_index_compact_policy",
     # ROUND-5 ROTATION: the driver verifies the FIRST ~50 entries. Head =
     # the 23 late-pass additions (causal matching, SPRT, JL/feature
     # hashing, ER blocking, the WER/ROUGE/chrF eval triad, kappa, GIF

@@ -94,3 +94,147 @@ def _register_ann_index_filtered_serve():
 
 
 ann_index_filtered_serve_query = _register_ann_index_filtered_serve()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 12 — streaming_index_delete_serve: the DELETE leg of the index
+# lifecycle ON the stream (round 11 streamed adds; deletes were
+# batch-only). Tombstone ids arrive in micro-batches and are ingested
+# foreachBatch -> ivfpq_index_delete (append to tombstones/ — the
+# streaming_index_upsert pattern applied to the delete path). Replay-
+# safe by construction: tombstones are de-duplicated at serve time, so
+# an at-least-once re-append of a micro-batch is harmless — the delete
+# leg needs no batch-id guard. After the drain, serving must be
+# bit-identical to the BATCH tombstone serve over the same maintained
+# corpus (ann_index_upsert_serve) — appends of tombstone subsets
+# commute exactly like code-row appends. Shared oracle
+# (_UPSERT_ADC_SQL).
+#
+# 100 TB shape: per-batch work is one tombstone append (a row per
+# deleted id); no state store — the tombstone relation IS the state.
+# ---------------------------------------------------------------------------
+def _register_streaming_index_delete():
+    from .r8_round8 import _MAX_ITER, _N_LISTS
+    from .r11_round11 import _UPSERT_ADC_SQL
+
+    @register("streaming_index_delete_serve", _UPSERT_ADC_SQL)
+    def streaming_index_delete_serve_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Build base (vec_id % 10 <> 7) + add delta, then ingest the
+        vec_id % 25 = 3 tombstones from a STREAM (foreachBatch ->
+        ivfpq_index_delete); serve query 0 — equal to
+        ann_index_upsert_serve row for row."""
+        import tempfile
+
+        from ..operators import similarity
+        from ..sources.raw import source_fingerprint
+        from ..streaming import jobs
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        d = scratch(
+            f"ksr_annidx_sdel/{sf_dir.strip('/').replace('/', '_')}"
+            f"_{source_fingerprint(sf_dir, table='embeddings')}"
+        )
+        built = os.path.join(d, "_BUILT")
+        if not os.path.exists(built):
+            base = emb.filter(F.col("vec_id") % 10 != 7)
+            delta = emb.filter(F.col("vec_id") % 10 == 7)
+            similarity.ivfpq_build_index(
+                base, d, m=4, n_codes=8, n_lists=_N_LISTS,
+                max_iter=_MAX_ITER,
+            )
+            similarity.ivfpq_index_add(delta, d)
+            stream_dir = jobs._table_stream_dir(sf_dir, "embeddings")
+            static = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            stream = (
+                spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stream_dir)
+            )
+            with tempfile.TemporaryDirectory() as ck:
+                q = (
+                    stream.writeStream.foreachBatch(
+                        lambda bdf, bid: similarity.ivfpq_index_delete(
+                            spark,
+                            d,
+                            bdf.filter(F.col("vec_id") % 25 == 3)
+                            .select("vec_id"),
+                        )
+                    )
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            with open(built, "w") as fh:
+                fh.write("ok\n")
+        return similarity.ivfpq_serve_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2
+        )
+
+    return streaming_index_delete_serve_query
+
+
+streaming_index_delete_serve_query = _register_streaming_index_delete()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 12 — ann_index_compact_policy: the auto-compaction TRIGGER.
+# Deletes are logical (tombstones); the physical rewrite is worth
+# paying per LIST, when that list's tombstone fraction crosses a
+# threshold — this query is the census a maintenance loop polls to
+# decide which lists to hand ivfpq_index_compact next. Runs over the
+# UPSERT fixture (base build + delta add + vec_id % 25 = 3 tombstones,
+# NOT compacted), threshold 40 milli, so the flags split around the
+# ~40/1000 expected tombstone share and both outcomes are exercised.
+#
+# Oracle: the _UPSERT_ADC_SQL prefix through the full-corpus trained
+# assignment (tl), then the tombstone overlay census — the tombstone
+# predicate (vec_id % 25 = 3) is replayed directly.
+# ---------------------------------------------------------------------------
+def _register_ann_index_compact_policy():
+    from .r11_round11 import _UPSERT_ADC_SQL, _ensure_upsert_index
+
+    # the CTE chain through tl (trained full-corpus assignment) is the
+    # shared fixture replay; split once here rather than re-stating
+    # 90 lines of recursive k-means SQL
+    tl_prefix = _UPSERT_ADC_SQL.split(", resid AS (")[0]
+
+    @register(
+        "ann_index_compact_policy",
+        tl_prefix + """
+, census AS (
+  SELECT t.list_id,
+         COUNT(*) AS n_vectors,
+         SUM(CASE WHEN t.vec_id % 25 = 3 THEN 1 ELSE 0 END)
+           AS n_tombstoned
+  FROM tl t GROUP BY t.list_id
+)
+SELECT list_id, n_vectors::BIGINT AS n_vectors,
+       n_tombstoned::BIGINT AS n_tombstoned,
+       (n_tombstoned * 1000 // n_vectors)::BIGINT AS tomb_milli,
+       (CASE WHEN n_tombstoned * 1000 >= n_vectors * 40
+             THEN 1 ELSE 0 END)::INT AS compact
+FROM census ORDER BY list_id
+""",
+    )
+    def ann_index_compact_policy_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-list tombstone census + compact decision
+        (similarity.ivfpq_index_compact_policy, threshold 40 milli)
+        over the shared upsert fixture index."""
+        from ..operators import similarity
+
+        _, d = _ensure_upsert_index(
+            spark, sf_dir, "ksr_annidx_upsert", compact=False
+        )
+        return similarity.ivfpq_index_compact_policy(
+            spark, d, threshold_milli=40
+        )
+
+    return ann_index_compact_policy_query
+
+
+ann_index_compact_policy_query = _register_ann_index_compact_policy()

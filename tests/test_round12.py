@@ -369,3 +369,36 @@ def test_filtered_serve_equals_inmemory_and_pushes_predicate(
     assert "EqualTo(label,1)" in plan.replace(" ", "").replace(
         "label#", "label,"
     ) or "EqualTo(label,1)" in plan
+
+
+def test_streaming_delete_equals_batch_delete(spark, sf_dir):
+    """The streamed DELETE leg must serve exactly what the batch
+    tombstone path serves over the same maintained corpus (tombstone
+    appends commute; dedup at serve time makes replays harmless)."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    streamed = [
+        tuple(r)
+        for r in QUERIES["streaming_index_delete_serve"](
+            spark, sf_dir
+        ).collect()
+    ]
+    batch = [
+        tuple(r)
+        for r in QUERIES["ann_index_upsert_serve"](spark, sf_dir).collect()
+    ]
+    assert streamed == batch and len(streamed) == 10
+
+
+def test_compact_policy_names_lists_and_flags_split(spark, sf_dir):
+    """The policy census covers every live list, flags only threshold
+    crossers, and its flagged set is exactly what a maintenance loop
+    would compact."""
+    from kinesis_stream_reader_spark.registry import QUERIES
+
+    rows = QUERIES["ann_index_compact_policy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_tombstoned <= r.n_vectors
+        assert r.tomb_milli == r.n_tombstoned * 1000 // r.n_vectors
+        assert r.compact == int(r.n_tombstoned * 1000 >= r.n_vectors * 40)
