@@ -170,6 +170,60 @@ def _minhash_signature(documents: DataFrame, n: int = 3) -> DataFrame:
     return shingles.groupBy("doc_id").agg(*mins)
 
 
+def minhash_bucket_keys(documents: DataFrame, n: int = 3) -> DataFrame:
+    """doc_id -> exploded (band, bucket) keys of the 16x2 banded LSH
+    scheme over the 32-perm xxhash64 signature — the candidate-join
+    key relation of minhash_lsh_pairs, factored out so the STREAMING
+    near-dup leg computes exactly the same keys per micro-batch (a
+    document's signature is wholly contained in its row, so this
+    whole construction runs inside foreachBatch unchanged)."""
+    sig = _minhash_signature(documents, n)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"h{band * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
+                ).alias("bucket"),
+            )
+            for band in range(MINHASH_BANDS)
+        ]
+    )
+    return sig.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+
+
+def minhash_verify_pairs(
+    documents: DataFrame,
+    candidates: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard verification of an (a_id, b_id) candidate
+    relation: only colliding candidates pay the gram-set comparison —
+    shared by the batch LSH pairs and the streaming drain's verify
+    post-pass."""
+    grams = gram_postings(documents, n).groupBy("doc_id").agg(
+        F.collect_list("gram").alias("grams")
+    )
+    return (
+        candidates.join(grams.withColumnRenamed("doc_id", "a_id").alias("ga"), "a_id")
+        .join(
+            grams.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("grams", "grams_b")
+            .alias("gb"),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.round(_jaccard(F.col("grams"), F.col("grams_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     documents: DataFrame,
     n: int = 3,
@@ -190,21 +244,7 @@ def minhash_lsh_pairs(
     pair emission here can be bounded with `max_pairs_per_doc` — a
     deterministic per-doc cap (lowest b_id first) that turns the output
     into at most cap*N rows."""
-    sig = _minhash_signature(documents, n)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(band).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"h{band * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
-                ).alias("bucket"),
-            )
-            for band in range(MINHASH_BANDS)
-        ]
-    )
-    buckets = sig.select("doc_id", F.explode(bands).alias("b")).select(
-        "doc_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
-    )
+    buckets = minhash_bucket_keys(documents, n)
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (
@@ -217,24 +257,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
-    grams = gram_postings(documents, n).groupBy("doc_id").agg(
-        F.collect_list("gram").alias("grams")
-    )
-    verified = (
-        candidates.join(grams.withColumnRenamed("doc_id", "a_id").alias("ga"), "a_id")
-        .join(
-            grams.withColumnRenamed("doc_id", "b_id")
-            .withColumnRenamed("grams", "grams_b")
-            .alias("gb"),
-            "b_id",
-        )
-        .select(
-            "a_id",
-            "b_id",
-            F.round(_jaccard(F.col("grams"), F.col("grams_b")), 4).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    verified = minhash_verify_pairs(documents, candidates, n, threshold)
     if max_pairs_per_doc is not None:
         w = Window.partitionBy("a_id").orderBy("b_id")
         verified = (

@@ -238,3 +238,111 @@ FROM census ORDER BY list_id
 
 
 ann_index_compact_policy_query = _register_ann_index_compact_policy()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 12 — streaming_minhash_dedup: near-dup MinHash ON the stream,
+# the dedup family's last missing leg. Each arriving micro-batch
+# computes its banded-LSH bucket keys map-side (a document's signature
+# is wholly contained in its row — minhash_bucket_keys runs inside
+# foreachBatch unchanged), appends them to the accumulated bucket
+# index, and probes that index for collisions: a colliding pair is
+# discovered exactly when its LATER member arrives, so the drained
+# candidate set equals the batch LSH candidate set regardless of how
+# arrival slices the corpus. The drain then runs the shared exact-
+# Jaccard verify + component walk (the batch minhash_dedup post-pass)
+# over the accumulated candidates. Replay-safe without a batch-id
+# guard: buckets and candidates are de-duplicated at drain time.
+#
+# Oracle: dedup_minhash_canonical's — the streamed mapping must equal
+# the batch near-dup contract row for row.
+#
+# 100 TB shape: per-batch work is one Arrow signature pass over the
+# batch + an equi-join against the bucket index on (band, bucket);
+# state = the bucket index, 16 longs per document (the index-is-the-
+# state pattern) — a retention watermark truncates it to the dedup
+# window in a time-decayed deployment. See SCALING.md.
+# ---------------------------------------------------------------------------
+def _register_streaming_minhash_dedup():
+    from ._shared import ORACLES
+
+    @register("streaming_minhash_dedup", ORACLES["dedup_minhash_canonical"])
+    def streaming_minhash_dedup_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Stream documents in micro-batches; per batch, append LSH
+        bucket keys to the accumulated index and record collisions;
+        after the drain, verify candidates with exact Jaccard and walk
+        components — equal to dedup_minhash_canonical row for row."""
+        import tempfile
+
+        from ..operators import dedup
+        from ..sources.raw import source_fingerprint
+        from ..streaming import jobs
+
+        docs = load_table(spark, sf_dir, "documents")
+        d = scratch(
+            f"ksr_minhash_stream/{sf_dir.strip('/').replace('/', '_')}"
+            f"_{source_fingerprint(sf_dir, table='documents')}"
+        )
+        buckets_dir = os.path.join(d, "buckets")
+        cand_dir = os.path.join(d, "cand")
+        done = os.path.join(d, "_DRAINED")
+        bschema = "doc_id LONG, band INT, bucket LONG"
+        if not os.path.exists(done):
+            stream_dir = jobs._table_stream_dir(sf_dir, "documents")
+            static = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+            def ingest(bdf, bid):
+                bk = dedup.minhash_bucket_keys(bdf)
+                bk.write.mode("append").parquet(buckets_dir)
+                acc = spark.read.schema(bschema).parquet(buckets_dir)
+                a, b = bk.alias("a"), acc.alias("b")
+                (
+                    a.join(
+                        b,
+                        (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.bucket") == F.col("b.bucket"))
+                        & (F.col("a.doc_id") != F.col("b.doc_id")),
+                    )
+                    .select(
+                        F.least("a.doc_id", "b.doc_id").alias("a_id"),
+                        F.greatest("a.doc_id", "b.doc_id").alias("b_id"),
+                    )
+                    .distinct()
+                    .write.mode("append")
+                    .parquet(cand_dir)
+                )
+
+            stream = (
+                spark.readStream.schema(static.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stream_dir)
+            )
+            with tempfile.TemporaryDirectory() as ck:
+                q = (
+                    stream.writeStream.foreachBatch(ingest)
+                    .option("checkpointLocation", ck)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+            with open(done, "w") as fh:
+                fh.write("ok\n")
+        cand = (
+            spark.read.schema("a_id LONG, b_id LONG")
+            .parquet(cand_dir)
+            .distinct()
+        )
+        verified = dedup.minhash_verify_pairs(docs, cand)
+        labels = dedup.dedup_components(docs, verified)
+        return labels.select(
+            "doc_id",
+            F.col("component_id").alias("canonical_id"),
+            (F.col("doc_id") != F.col("component_id")).alias("is_dup"),
+        ).orderBy("doc_id")
+
+    return streaming_minhash_dedup_query
+
+
+streaming_minhash_dedup_query = _register_streaming_minhash_dedup()

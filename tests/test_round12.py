@@ -402,3 +402,33 @@ def test_compact_policy_names_lists_and_flags_split(spark, sf_dir):
         assert 0 <= r.n_tombstoned <= r.n_vectors
         assert r.tomb_milli == r.n_tombstoned * 1000 // r.n_vectors
         assert r.compact == int(r.n_tombstoned * 1000 >= r.n_vectors * 40)
+
+
+def test_streaming_minhash_multibatch_equals_batch(spark, sf_dir, tmp_path):
+    """The streamed LSH ingest must be arrival-order invariant: with
+    the corpus sliced into 4 micro-batches (4 part files), the drained
+    mapping equals the batch minhash_dedup — a colliding pair is
+    discovered exactly when its later member arrives."""
+    from kinesis_stream_reader_spark.operators import dedup
+    from kinesis_stream_reader_spark.registry import QUERIES
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sf2 = tmp_path / "sf_multibatch"
+    sf2.mkdir()
+    # 4 part files -> 4 micro-batches under maxFilesPerTrigger=1
+    docs.repartition(4, "doc_id").write.parquet(
+        str(sf2 / "documents.parquet")
+    )
+    streamed = [
+        (r.doc_id, r.canonical_id, r.is_dup)
+        for r in QUERIES["streaming_minhash_dedup"](
+            spark, str(sf2)
+        ).collect()
+    ]
+    batch = sorted(
+        (r.doc_id, r.canonical_id, r.is_dup)
+        for r in dedup.minhash_dedup(docs).collect()
+    )
+    assert streamed == batch
+    assert any(d for _, _, d in streamed), "fixture must contain dups"
