@@ -3719,6 +3719,7 @@ def decode_jpeg(data: bytes):
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     coefs = None  # progressive: per-component zigzag coefficient arrays
+    ll_planes: dict = {}  # lossless multi-scan: decoded planes by comp id
     restart_interval = 0
     pos = 2
     while pos < len(data):
@@ -3838,17 +3839,102 @@ def decode_jpeg(data: bytes):
                 # T.81 Annex H: predictive coding, no DCT. Ss carries
                 # the predictor selector (1-7), Al the point transform.
                 if ns != len(frame["comps"]):
-                    # A valid non-interleaved lossless file (one scan
-                    # per component, legal per T.81 §H) would otherwise
-                    # be silently decoded as grayscale of the first
-                    # scan's component — fail loudly like the other
-                    # unsupported layouts instead of returning wrong
-                    # pixels.
-                    raise NotImplementedError(
-                        "non-interleaved (multi-scan) lossless JPEG not "
-                        "supported — the single SOS must cover all "
-                        "frame components"
-                    )
+                    if ns != 1:
+                        # partially-interleaved scans (1 < ns < Nf) are
+                        # the one remaining unsupported lossless layout
+                        raise NotImplementedError(
+                            "partially-interleaved lossless JPEG scans "
+                            "not supported — a scan must cover one "
+                            "component or all of them"
+                        )
+                    # NON-INTERLEAVED lossless (round 12): one scan per
+                    # component, legal per T.81 §H — each scan walks its
+                    # component's samples row-major with its OWN
+                    # predictor/restart state, and the image assembles
+                    # once every declared component has decoded.
+                    comp, td, _ = scan[0]
+                    ss = body[1 + 2 * ns]
+                    pt = body[3 + 2 * ns] & 0xF
+                    if pt != 0:
+                        raise NotImplementedError(
+                            "lossless JPEG point transform not supported"
+                        )
+                    if not 1 <= ss <= 7:
+                        raise ValueError(
+                            "invalid lossless predictor selector"
+                        )
+                    if comp["h"] != 1 or comp["v"] != 1:
+                        raise NotImplementedError(
+                            "lossless JPEG supports non-subsampled "
+                            "components"
+                        )
+                    tbl = huff[(0, td)]
+                    P = frame["precision"]
+                    h, w = frame["h"], frame["w"]
+                    plane = np.zeros((h, w), dtype=np.int64)
+                    br = _BitReader(data, pos + 2 + seg_len)
+                    default = 1 << (P - 1)
+                    n_since_restart = 0
+                    restarted = True
+                    for y in range(h):
+                        for x in range(w):
+                            if (
+                                restart_interval
+                                and n_since_restart == restart_interval
+                            ):
+                                br.align_restart()
+                                n_since_restart = 0
+                                restarted = True
+                            cat = _read_huffman(br, tbl)
+                            if cat == 16:
+                                diff = 32768  # SSSS=16: no bits (H.2)
+                            elif cat:
+                                diff = _extend(br.read_bits(cat), cat)
+                            else:
+                                diff = 0
+                            if restarted:
+                                px = default
+                                restarted = False
+                            elif y == 0:
+                                px = plane[0, x - 1] if x else default
+                            elif x == 0:
+                                px = plane[y - 1, 0]
+                            else:
+                                a = plane[y, x - 1]
+                                b = plane[y - 1, x]
+                                c = plane[y - 1, x - 1]
+                                px = (
+                                    a,
+                                    b,
+                                    c,
+                                    a + b - c,
+                                    a + ((b - c) >> 1),
+                                    b + ((a - c) >> 1),
+                                    (a + b) >> 1,
+                                )[ss - 1]
+                            plane[y, x] = (int(px) + diff) % 65536
+                            n_since_restart += 1
+                    ll_planes[comp["id"]] = plane
+                    if len(ll_planes) == len(frame["comps"]):
+                        dt = np.uint16 if P > 8 else np.uint8
+                        ordered = [
+                            ll_planes[c["id"]].astype(dt)
+                            for c in frame["comps"]
+                        ]
+                        if len(ordered) == 1:
+                            g = ordered[0]
+                            return np.stack([g, g, g], axis=2)
+                        # stored color = output color (no transform in
+                        # the lossless process) — same as interleaved
+                        return np.stack(ordered, axis=2)
+                    # more scans follow: drain pad bits to the next
+                    # marker and continue the marker walk
+                    while br.marker is None:
+                        br._fill()
+                        br.nbits = 0
+                        br.acc = 0
+                    pos = br.pos
+                    continue
                 ss = body[1 + 2 * ns]
                 pt = body[3 + 2 * ns] & 0xF
                 if pt != 0:
@@ -5979,6 +6065,92 @@ def encode_jpeg_lossless_gray(
                     bw.write(d if d >= 0 else d + (1 << cat) - 1, cat)
             n += 1
     out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_lossless_rgb_multiscan(
+    arr,
+    precision: int = 8,
+    predictor: int = 1,
+    restart_interval: int = 0,
+) -> bytes:
+    """Fixture twin of the NON-INTERLEAVED SOF3 path (round 12): one
+    SOS per component, legal per T.81 §H — each scan carries its own
+    predictor/restart state over its component plane. Decoding this
+    stream must be pixel-identical to decoding the interleaved
+    encode_jpeg_lossless_rgb of the same array (the sample values and
+    predictor walks are the same; only the scan layout differs)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.int64)
+    h, w, nc = a.shape
+    assert nc == 3
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7")
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(_JLL_DC_SYMBOLS))
+    out += bytes([0x00]) + bytes(_JLL_DC_COUNTS) + bytes(_JLL_DC_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    codes = _huffman_codes(_JLL_DC_COUNTS, _JLL_DC_SYMBOLS)
+    default = 1 << (precision - 1)
+    for ci in range(nc):
+        # one scan per component: ns=1 SOS header, then the plane walk
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+        out += bytes([ci + 1, 0x00, predictor, 0x00, 0x00])
+        bw = _BitWriter()
+        n = 0
+        n_restarts = 0
+        restarted = True
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and n == restart_interval:
+                    out += bw.flush()
+                    bw = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + (n_restarts % 8)])
+                    n_restarts += 1
+                    n = 0
+                    restarted = True
+                if restarted:
+                    px = default
+                    restarted = False
+                elif y == 0:
+                    px = a[0, x - 1, ci] if x else default
+                elif x == 0:
+                    px = a[y - 1, 0, ci]
+                else:
+                    aa = a[y, x - 1, ci]
+                    bb = a[y - 1, x, ci]
+                    cc = a[y - 1, x - 1, ci]
+                    px = (
+                        aa,
+                        bb,
+                        cc,
+                        aa + bb - cc,
+                        aa + ((bb - cc) >> 1),
+                        bb + ((aa - cc) >> 1),
+                        (aa + bb) >> 1,
+                    )[predictor - 1]
+                d = (int(a[y, x, ci]) - int(px)) % 65536
+                if d >= 32768:
+                    d -= 65536
+                if d == -32768:
+                    code, length = codes[16]
+                    bw.write(code, length)
+                else:
+                    cat = _dc_category(d)
+                    code, length = codes[cat]
+                    bw.write(code, length)
+                    if cat:
+                        bw.write(d if d >= 0 else d + (1 << cat) - 1, cat)
+                n += 1
+        out += bw.flush()
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -124,7 +124,7 @@ _PRIORITY = [
     # fragment strip).
     "ann_index_refine_serve", "ann_index_filtered_serve",
     "streaming_index_delete_serve", "ann_index_compact_policy",
-    "streaming_minhash_dedup",
+    "streaming_minhash_dedup", "multimodal_jpeg_lossless_multiscan_decode",
     # ROUND-5 ROTATION: the driver verifies the FIRST ~50 entries. Head =
     # the 23 late-pass additions (causal matching, SPRT, JL/feature
     # hashing, ER blocking, the WER/ROUGE/chrF eval triad, kappa, GIF

@@ -62,10 +62,11 @@ def test_canonical_url_schemeless_passthrough(spark):
     assert got[1] == "https://host.example.com/a?a=3&z=2"
 
 
-def test_jpeg_lossless_multiscan_rejected():
-    """A non-interleaved lossless JPEG (SOS covering fewer components
-    than the SOF declares — legal per T.81 §H) must fail loudly, not
-    silently decode the first scan's component as grayscale."""
+def test_jpeg_lossless_partially_interleaved_rejected():
+    """Round 12 decodes the one-scan-per-component layout; the
+    remaining unsupported lossless layout — a PARTIALLY interleaved
+    scan (1 < ns < Nf) — must still fail loudly, not silently decode
+    a subset of components."""
     import struct
 
     import pytest
@@ -79,9 +80,10 @@ def test_jpeg_lossless_multiscan_rejected():
         out += bytes([ci + 1, 0x11, 0])
     out += b"\xff\xc4" + struct.pack(">H", 19 + len(mm._JLL_DC_SYMBOLS))
     out += bytes([0x00]) + bytes(mm._JLL_DC_COUNTS) + bytes(mm._JLL_DC_SYMBOLS)
-    # SOS names ONLY component 1 of the 3 declared — multi-scan layout
-    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 1, 0, 0])
-    with pytest.raises(NotImplementedError, match="multi-scan"):
+    # SOS names TWO of the 3 declared components
+    out += b"\xff\xda" + struct.pack(">HB", 10, 2)
+    out += bytes([1, 0x00, 2, 0x00, 1, 0, 0])
+    with pytest.raises(NotImplementedError, match="partially-interleaved"):
         mm.decode_jpeg(bytes(out))
 
 

@@ -432,3 +432,28 @@ def test_streaming_minhash_multibatch_equals_batch(spark, sf_dir, tmp_path):
     )
     assert streamed == batch
     assert any(d for _, _, d in streamed), "fixture must contain dups"
+
+
+def test_jpeg_lossless_multiscan_roundtrip():
+    """Non-interleaved (one scan per component) lossless JPEG decodes
+    pixel-identically to the interleaved layout of the same array,
+    across all 7 predictors, restart intervals, and both precisions."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(7)
+    for pred in range(1, 8):
+        a = rng.randint(0, 256, size=(9, 7, 3))
+        multi = mm.decode_jpeg(
+            mm.encode_jpeg_lossless_rgb_multiscan(a, 8, pred, 5)
+        )
+        inter = mm.decode_jpeg(
+            mm.encode_jpeg_lossless_rgb(a, 8, pred, 5)
+        )
+        assert (multi == a).all() and (multi == inter).all(), pred
+    a16 = rng.randint(0, 65536, size=(6, 5, 3))
+    multi16 = mm.decode_jpeg(
+        mm.encode_jpeg_lossless_rgb_multiscan(a16, 16, 4, 0)
+    )
+    assert (multi16 == a16).all() and multi16.dtype == np.uint16
