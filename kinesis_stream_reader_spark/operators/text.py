@@ -1016,6 +1016,216 @@ def bpe_encoded_vocab(documents: DataFrame, rounds: int = 3, k: int = 20) -> Dat
     )
 
 
+def _bytes_to_unicode() -> dict:
+    """GPT-2's byte -> unicode table (public: Radford et al. 2019,
+    encoder.py bytes_to_unicode): the 188 printable-ish latin-1 bytes
+    map to themselves; the other 68 bytes map to chr(256 + offset) so
+    every byte is a VISIBLE character — merges never have to reason
+    about control bytes or whitespace, and any UTF-8 input round-trips
+    losslessly through the tokenizer."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(0xA1, 0xAD))
+        + list(range(0xAE, 0x100))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+# Printable-ASCII pre-token domain marker: on these words the GPT-2
+# byte map is the identity (bytes 33..126 map to themselves), which is
+# what lets the DuckDB oracle replay the byte-level walk with plain
+# character splits. The byte table itself is exercised on arbitrary
+# UTF-8 in pytest.
+_ASCII_PRINTABLE = "^[!-~]+$"
+
+
+def bytelevel_bpe_pretokens(documents: DataFrame) -> DataFrame:
+    """(word, freq) census of GPT-2-style pre-tokens: the BPE_ISH
+    regex over the RAW text (byte-level BPE does not lowercase),
+    restricted to the printable-ASCII domain the oracle shares."""
+    return (
+        documents.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col("text"), F.lit(BPE_ISH_REGEX), 0
+                )
+            ).alias("w")
+        )
+        .filter(F.col("w").rlike(_ASCII_PRINTABLE))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _bytelevel_seed(words: DataFrame) -> DataFrame:
+    """Seed symbol relation (w, freq, seq, sym) for the byte-level
+    trainer: one row per UTF-8 BYTE of each distinct word, symbol =
+    its bytes_to_unicode character. Arrow pass over the distinct-word
+    census only (never the corpus)."""
+    table = _bytes_to_unicode()
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            ws, fs, seqs, syms = [], [], [], []
+            for w, f in zip(pdf["w"], pdf["freq"]):
+                for i, byte in enumerate(str(w).encode("utf-8")):
+                    ws.append(w)
+                    fs.append(f)
+                    seqs.append(i)
+                    syms.append(table[byte])
+            yield pd.DataFrame(
+                {"w": ws, "freq": fs, "seq": seqs, "sym": syms}
+            )
+
+    return words.mapInPandas(
+        batches, "w STRING, freq LONG, seq INT, sym STRING"
+    )
+
+
+def bytelevel_bpe_train(words: DataFrame, rounds: int = 6) -> list:
+    """Byte-level BPE training: the bpe_train_merges loop (pair census
+    -> deterministic argmax -> greedy left-to-right merge) over the
+    byte-mapped symbol relation. Returns the rank-ordered merge list
+    [(lhs, rhs), ...] — the artifact a tokenizer ships. Same
+    vocabulary-bounded scale shape as the character trainer."""
+    df = _bytelevel_seed(words)
+    wlead = Window.partitionBy("w").orderBy("seq")
+    merges: list = []
+    for _ in range(rounds):
+        with_next = df.withColumn("nxt", F.lead("sym").over(wlead))
+        best = (
+            with_next.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "sym", "nxt")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0].sym, best[0].nxt
+        merges.append((a, b))
+        cand = (F.col("sym") == a) & (F.col("nxt") == b)
+        d = (
+            with_next.withColumn("cand", cand)
+            .withColumn("crn", F.sum(cand.cast("long")).over(wlead))
+            .withColumn("island", F.when(cand, F.col("seq") - F.col("crn")))
+        )
+        wisl = Window.partitionBy("w", "island")
+        d = d.withColumn(
+            "keep",
+            F.col("cand")
+            & (((F.col("seq") - F.min("seq").over(wisl)) % 2) == 0),
+        ).withColumn(
+            "drp", F.coalesce(F.lag("keep").over(wlead), F.lit(False))
+        )
+        df = d.filter(~F.col("drp")).select(
+            "w",
+            "freq",
+            (F.row_number().over(wlead) - 1).alias("seq"),
+            F.when(F.col("keep"), F.concat("sym", "nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+        df = df.localCheckpoint(eager=False)
+    return merges
+
+
+def _bytelevel_encode_batches(table: dict, merges: list):
+    """Arrow kernel: encode each distinct word by applying the FROZEN
+    broadcast merges in rank order, each greedily left-to-right over
+    non-overlapping occurrences — the reference BPE apply (Sennrich
+    apply_bpe; GPT-2's lowest-rank-bigram loop is an optimization of
+    exactly this order)."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            if pdf.empty:
+                continue
+            pieces_col, np_col = [], []
+            for w in pdf["w"]:
+                syms = [table[b] for b in str(w).encode("utf-8")]
+                for a, b in merges:
+                    i = 0
+                    out = []
+                    while i < len(syms):
+                        if (
+                            i + 1 < len(syms)
+                            and syms[i] == a
+                            and syms[i + 1] == b
+                        ):
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                pieces_col.append(" ".join(syms))
+                np_col.append(len(syms))
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "freq": pdf["freq"],
+                    "pieces": pieces_col,
+                    "n_pieces": np_col,
+                }
+            )
+
+    return batches
+
+
+def bytelevel_bpe_encode(
+    documents: DataFrame, rounds: int = 6, merges: "list | None" = None
+) -> DataFrame:
+    """Byte-level (GPT-2-style) BPE ENCODE — the third tokenizer leg
+    beside WordPiece and Unigram-LM: bytes_to_unicode seeding, merges
+    trained with the shared greedy loop, then ONE Arrow pass over the
+    distinct pre-token census applying the frozen broadcast merges in
+    rank order. Output: one row per distinct pre-token with its piece
+    sequence and fertility (the wordpiece_encode contract).
+
+    Plan shape / 100 TB: the pre-token census is ONE partial-agg'd
+    shuffle of the corpus; training shuffles are bounded by the
+    distinct-word vocabulary; the merge table is the driver-held model
+    artifact (rank-ordered pairs) broadcast into the encode kernel.
+    The corpus is never scanned twice.
+
+    ``merges``: optionally a PRE-TRAINED rank-ordered merge list (the
+    frozen model artifact) so a caller that persists the trainer
+    output — e.g. the registry's fingerprint-keyed scratch cache —
+    skips the driver-loop rounds and pays only the encode pass."""
+    words = bytelevel_bpe_pretokens(documents)
+    if merges is None:
+        merges = bytelevel_bpe_train(words, rounds)
+    table = _bytes_to_unicode()
+    return (
+        words.mapInPandas(
+            _bytelevel_encode_batches(table, merges),
+            "w STRING, freq LONG, pieces STRING, n_pieces INT",
+        )
+        .select(
+            F.col("w").alias("word"),
+            F.col("freq").cast("long").alias("n_occurrences"),
+            "pieces",
+            F.col("n_pieces").cast("int").alias("n_pieces"),
+        )
+        .orderBy("word")
+    )
+
+
 def bigram_logprob(documents: DataFrame) -> DataFrame:
     """Bigram-LM document scoring — the conditional upgrade of
     text_unigram_logprob: avg per-transition ln P(w_i | w_{i-1}) under

@@ -82,7 +82,7 @@ EAGER_QUERIES = frozenset(
         "lof_outlier_scores_ivf_trained", "ivf_nprobe_sweep_trained",
         "ivf_list_health", "semdedup_trained", "ann_ivfpq_trained",
         "ann_ivfpq_refine", "pq_code_health", "wordpiece_encode",
-        "ann_ivfpq_batch", "unigram_lm_encode",
+        "ann_ivfpq_batch", "unigram_lm_encode", "bytelevel_bpe_encode",
         "ann_ivf_filtered", "tokenizer_compare_report",
         "ann_index_persist_serve", "ann_index_persist_serve_batch",
         "ann_index_upsert_serve", "ann_index_compact_serve",
@@ -125,6 +125,7 @@ _PRIORITY = [
     "ann_index_refine_serve", "ann_index_filtered_serve",
     "streaming_index_delete_serve", "ann_index_compact_policy",
     "streaming_minhash_dedup", "multimodal_jpeg_lossless_multiscan_decode",
+    "bytelevel_bpe_encode", "tokenizer_compare_report",
     # ROUND-5 ROTATION: the driver verifies the FIRST ~50 entries. Head =
     # the 23 late-pass additions (causal matching, SPRT, JL/feature
     # hashing, ER blocking, the WER/ROUGE/chrF eval triad, kappa, GIF

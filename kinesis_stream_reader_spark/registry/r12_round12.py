@@ -420,3 +420,203 @@ def _register_multiscan_lossless():
 multimodal_jpeg_lossless_multiscan_decode_query = (
     _register_multiscan_lossless()
 )
+
+
+# ---------------------------------------------------------------------------
+# ROUND 12 — bytelevel_bpe_encode: the byte-level (GPT-2-style) BPE
+# leg, completing the tokenizer family (WordPiece + Unigram-LM +
+# merges-trained char BPE exist). bytes_to_unicode seeding, merges
+# trained with the shared greedy loop over the BPE_ISH pre-token
+# census (raw case, no lowercase), frozen merges broadcast into one
+# Arrow encode pass in rank order. The oracle replays the whole
+# construction with the r2 unrolled-round window algebra — pre-token
+# census, byte seeding (identity on the printable-ASCII domain both
+# sides pin), 6 argmax+merge rounds, and the final per-word piece
+# sequences; applying merges in rank order IS the reference BPE apply,
+# so the trainer's final state equals the encoder's walk.
+# ---------------------------------------------------------------------------
+def _bytelevel_merges_cached(spark, sf_dir: str, rounds: int) -> list:
+    """Fingerprint-keyed scratch cache of the byte-level BPE merge
+    table (the model artifact — a list of rank-ordered string pairs,
+    a few hundred bytes of JSON): training is a driver-loop of
+    `rounds` Spark rounds, so re-runs (the compare report, bench
+    passes) load the frozen artifact instead of re-training."""
+    import json
+
+    from ..operators import text
+    from ..sources.raw import source_fingerprint
+
+    d = scratch(
+        f"ksr_blbpe/{sf_dir.strip('/').replace('/', '_')}"
+        f"_{source_fingerprint(sf_dir, table='documents')}"
+    )
+    p = os.path.join(d, f"merges_r{rounds}.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return [tuple(m) for m in json.load(fh)]
+    words = text.bytelevel_bpe_pretokens(
+        load_table(spark, sf_dir, "documents")
+    )
+    merges = text.bytelevel_bpe_train(words, rounds)
+    os.makedirs(d, exist_ok=True)
+    with open(p, "w") as fh:
+        json.dump(merges, fh)
+    return merges
+
+
+def _register_bytelevel_bpe():
+    from .r2_state_retrieval import _bpe_round_sql
+
+    rounds = 6
+    sql = (
+        r"""
+WITH words AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_extract_all(
+             text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS w
+    FROM documents
+  ) WHERE w <> '' AND regexp_matches(w, '^[!-~]+$') GROUP BY w
+),
+s0 AS (
+  SELECT w, freq, generate_subscripts(syms, 1) - 1 AS seq, unnest(syms) AS sym
+  FROM (SELECT w, freq,
+               list_filter(string_split(w, ''), c -> c <> '') AS syms
+        FROM words)
+),"""
+        + ",".join(_bpe_round_sql(i) for i in range(1, rounds + 1))
+        + f"""
+SELECT w AS word, CAST(ANY_VALUE(freq) AS BIGINT) AS n_occurrences,
+       string_agg(sym, ' ' ORDER BY seq) AS pieces,
+       COUNT(*)::INT AS n_pieces
+FROM s{rounds} GROUP BY w ORDER BY w
+"""
+    )
+
+    @register("bytelevel_bpe_encode", sql)
+    def bytelevel_bpe_encode_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Byte-level BPE encode (text.bytelevel_bpe_encode, 6 trained
+        merges): one row per distinct pre-token with its rank-greedy
+        piece sequence and fertility."""
+        from ..operators import text
+
+        return text.bytelevel_bpe_encode(
+            load_table(spark, sf_dir, "documents"),
+            rounds=rounds,
+            merges=_bytelevel_merges_cached(spark, sf_dir, rounds),
+        )
+
+    return bytelevel_bpe_encode_query, sql
+
+
+bytelevel_bpe_encode_query, _BYTELEVEL_BPE_SQL = _register_bytelevel_bpe()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 12 — tokenizer_compare_report goes THREE-WAY: WordPiece vs
+# Unigram-LM vs byte-level BPE on the same corpus. Re-registered here
+# (register() overwrites; r12 imports last) so the byte-level oracle —
+# registered this round — can nest beside the other two. Same stats
+# per leg: distinct pieces actually used, corpus-weighted fertility.
+# Note the byte-level leg censuses PRE-TOKENS (BPE_ISH regex, raw
+# case) while the other two census whitespace words — the comparison
+# reports each tokenizer over its own tokenization contract, which is
+# how the eval runs in practice.
+# ---------------------------------------------------------------------------
+def _register_tokenizer_compare_threeway():
+    from ._shared import ORACLES
+
+    wp_sql = ORACLES["wordpiece_encode"]
+    ug_sql = ORACLES["unigram_lm_encode"]
+
+    def leg(alias: str, name: str) -> str:
+        return f"""
+  SELECT '{name}' AS tokenizer,
+         (SELECT COUNT(DISTINCT piece) FROM
+            (SELECT unnest(string_split(pieces, ' ')) AS piece
+             FROM {alias})
+         )::BIGINT AS n_pieces_used,
+         SUM(n_occurrences)::BIGINT AS total_words,
+         SUM(n_occurrences * n_pieces)::BIGINT AS total_pieces,
+         floor(SUM(n_occurrences * n_pieces)
+               / CAST(SUM(n_occurrences) AS DOUBLE) * 1e6 + 0.5) / 1e6
+           AS fertility
+  FROM {alias}"""
+
+    @register(
+        "tokenizer_compare_report",
+        f"""
+WITH wp AS (
+{wp_sql}
+), ug AS (
+{ug_sql}
+), bl AS (
+{_BYTELEVEL_BPE_SQL}
+)
+SELECT * FROM (
+{leg('bl', 'bytelevel_bpe')}
+  UNION ALL
+{leg('ug', 'unigram')}
+  UNION ALL
+{leg('wp', 'wordpiece')}
+) ORDER BY tokenizer
+""",
+    )
+    def tokenizer_compare_report_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """WordPiece vs Unigram-LM vs byte-level BPE on the same
+        corpus: distinct pieces actually used and corpus-weighted
+        fertility (pieces per word occurrence) — lower fertility =
+        fewer tokens per document = cheaper training."""
+        from ..operators import text
+
+        docs = load_table(spark, sf_dir, "documents")
+
+        def stats(df: DataFrame, name: str) -> DataFrame:
+            used = df.select(
+                F.explode(F.split("pieces", " ")).alias("piece")
+            ).agg(F.countDistinct("piece").alias("npu"))
+            return (
+                df.agg(
+                    F.sum("n_occurrences").alias("tw"),
+                    F.sum(
+                        F.col("n_occurrences") * F.col("n_pieces")
+                    ).alias("tp"),
+                )
+                .crossJoin(used)
+                .select(
+                    F.lit(name).alias("tokenizer"),
+                    F.col("npu").cast("long").alias("n_pieces_used"),
+                    F.col("tw").cast("long").alias("total_words"),
+                    F.col("tp").cast("long").alias("total_pieces"),
+                    (
+                        F.floor(
+                            F.col("tp")
+                            / F.col("tw").cast("double")
+                            * 1e6
+                            + F.lit(0.5)
+                        )
+                        / 1e6
+                    ).alias("fertility"),
+                )
+            )
+
+        return (
+            stats(
+                text.bytelevel_bpe_encode(
+                    docs,
+                    merges=_bytelevel_merges_cached(spark, sf_dir, 6),
+                ),
+                "bytelevel_bpe",
+            )
+            .unionByName(stats(text.unigram_lm_encode(docs), "unigram"))
+            .unionByName(stats(text.wordpiece_encode(docs), "wordpiece"))
+            .orderBy("tokenizer")
+        )
+
+    return tokenizer_compare_report_query
+
+
+tokenizer_compare_report_query = _register_tokenizer_compare_threeway()

@@ -1843,7 +1843,11 @@ r{n}_lead AS (
          LEAD(sym) OVER (PARTITION BY w ORDER BY seq) AS nxt
   FROM {p}
 ),
-r{n}_best AS (
+r{n}_best AS MATERIALIZED (
+  -- MATERIALIZED (round 12): the argmax is referenced as a scalar
+  -- subquery 4x per round; without the hint DuckDB re-evaluates the
+  -- whole upstream chain per reference — 4^rounds blowup that turned
+  -- the 6-round byte-level oracle from 0.4 s into 9+ minutes
   SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS pair_count
   FROM r{n}_lead WHERE nxt IS NOT NULL
   GROUP BY sym, nxt ORDER BY pair_count DESC, sym, nxt LIMIT 1

@@ -457,3 +457,41 @@ def test_jpeg_lossless_multiscan_roundtrip():
         mm.encode_jpeg_lossless_rgb_multiscan(a16, 16, 4, 0)
     )
     assert (multi16 == a16).all() and multi16.dtype == np.uint16
+
+
+def test_bytes_to_unicode_matches_gpt2_reference():
+    """The byte->unicode table must be the public GPT-2 one: 256
+    entries, printable latin-1 bytes map to themselves, the 68
+    remaining bytes map to chr(256+k) in byte order."""
+    from kinesis_stream_reader_spark.operators.text import _bytes_to_unicode
+
+    t = _bytes_to_unicode()
+    assert len(t) == 256 and len(set(t.values())) == 256
+    assert t[ord("!")] == "!" and t[ord("~")] == "~"
+    assert t[0xA1] == "\xa1" and t[0xFF] == "\xff"
+    # the classic markers: space -> Ġ (U+0120), newline -> Ċ (U+010A)
+    assert t[ord(" ")] == "Ġ"
+    assert t[ord("\n")] == "Ċ"
+    assert t[0] == "Ā"
+
+
+def test_bytelevel_encode_handles_utf8():
+    """Non-ASCII input goes through UTF-8 bytes -> mapped chars: the
+    encode kernel is total on arbitrary text even though the oracle
+    corpus is ASCII."""
+    from kinesis_stream_reader_spark.operators.text import (
+        _bytelevel_encode_batches,
+        _bytes_to_unicode,
+    )
+    import pandas as pd
+
+    table = _bytes_to_unicode()
+    kern = _bytelevel_encode_batches(table, [("a", "b")])
+    out = pd.concat(
+        list(kern(iter([pd.DataFrame({"w": ["caféab"], "freq": [1]})])))
+    )
+    pieces = out["pieces"].iloc[0].split(" ")
+    # 'é' is 2 UTF-8 bytes -> 2 mapped symbols; 'ab' merged to one
+    assert len(pieces) == 3 + 2 + 1
+    assert pieces[-1] == "ab"
+    assert int(out["n_pieces"].iloc[0]) == 6
