@@ -3721,3 +3721,73 @@ def _ivfpq_serve_lut(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ivfpq_serve_refine_persisted_batch(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    refine_factor: int = 4,
+    nprobe: int = 2,
+) -> DataFrame:
+    """BATCHED two-stage serving (round 12): N queries' ADC shortlists
+    from ONE partition-pruned codes/ scan (the ivfpq_serve_persisted_
+    batch plan kept to k * refine_factor per query), then ONE
+    partition-pruned vectors/ scan re-ranks every query's shortlist by
+    exact int64 L2 against its broadcast query vector. Per-query rows
+    are bit-identical to ivfpq_serve_refine_persisted (asserted in
+    pytest); the whole batch reads each store once."""
+    spark = embeddings.sparkSession
+    cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
+    m = _index_m(spark, index_dir)
+    qrows = sorted(
+        embeddings.select(
+            "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+        )
+        .orderBy("vec_id")
+        .limit(n_queries)
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if not qrows:
+        raise ValueError("empty corpus: no query vectors to serve")
+    lut_rows, probed_union = _ivfpq_batch_lut(
+        qrows, cids, cmat, cb, n_codes, m, nprobe
+    )
+    short = _ivfpq_serve_lut(
+        spark, index_dir, lut_rows, probed_union, k * refine_factor
+    ).select("query_id", "vec_id", "adc_d2")
+    qv = spark.createDataFrame(
+        [(int(r["vec_id"]), [int(x) for x in r["xq"]]) for r in qrows],
+        "query_id LONG, qxq ARRAY<LONG>",
+    )
+    vectors = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("list_id").isin(sorted(probed_union))
+    )
+    rer = (
+        vectors.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "exact_d2",
+            F.aggregate(
+                F.zip_with(
+                    F.col("xq"), F.col("qxq"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_d2", "vec_id")
+    return (
+        rer.select(
+            "query_id",
+            F.row_number().over(w).cast("int").alias("rank"),
+            "vec_id",
+            F.col("adc_d2").cast("long").alias("adc_d2"),
+            F.col("exact_d2").cast("long").alias("exact_d2"),
+        )
+        .filter(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

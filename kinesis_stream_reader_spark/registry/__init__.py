@@ -88,6 +88,7 @@ EAGER_QUERIES = frozenset(
         "ann_index_upsert_serve", "ann_index_compact_serve",
         "ann_index_stats", "ann_index_refine_serve",
         "ann_index_filtered_serve", "ann_index_compact_policy",
+        "ann_index_refine_serve_batch", "ann_index_manifest_stats",
         "quantization_recall_report",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
@@ -126,6 +127,7 @@ _PRIORITY = [
     "streaming_index_delete_serve", "ann_index_compact_policy",
     "streaming_minhash_dedup", "multimodal_jpeg_lossless_multiscan_decode",
     "bytelevel_bpe_encode", "tokenizer_compare_report",
+    "ann_index_refine_serve_batch", "ann_index_manifest_stats",
     # ROUND-5 ROTATION: the driver verifies the FIRST ~50 entries. Head =
     # the 23 late-pass additions (causal matching, SPRT, JL/feature
     # hashing, ER blocking, the WER/ROUGE/chrF eval triad, kappa, GIF

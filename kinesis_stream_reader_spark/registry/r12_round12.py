@@ -620,3 +620,134 @@ SELECT * FROM (
 
 
 tokenizer_compare_report_query = _register_tokenizer_compare_threeway()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 12 — ann_index_refine_serve_batch: the batched composition of
+# the two round-12 serving legs — N queries' shortlists from ONE
+# pruned codes/ scan, every shortlist re-ranked from ONE pruned
+# vectors/ scan. Oracle: the batch ADC chain + per-query shortlist
+# window + exact re-rank join.
+# ---------------------------------------------------------------------------
+def _register_ann_index_refine_serve_batch():
+    from .r8_round8 import _TRAINED_TL_CTE
+    from .r10_round10 import _BATCH_ADC_CTES, ensure_persisted_ivfpq_index
+
+    @register(
+        "ann_index_refine_serve_batch",
+        _TRAINED_TL_CTE + _BATCH_ADC_CTES + """
+, short AS (
+  SELECT query_id, vec_id, adc_d2 FROM (
+    SELECT query_id, vec_id, adc_d2,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rn
+    FROM adc) WHERE rn <= 40
+), rer AS (
+  SELECT s.query_id, s.vec_id, s.adc_d2,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_zip(w.v, q.qv),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, b) -> a + b) AS exact_d2
+  FROM short s JOIN vecs w USING (vec_id) JOIN qset q USING (query_id)
+)
+SELECT query_id, rank::INT AS rank, vec_id,
+       adc_d2::BIGINT AS adc_d2, exact_d2::BIGINT AS exact_d2
+FROM (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY exact_d2, vec_id) AS rank
+      FROM rer)
+WHERE rank <= 10 ORDER BY query_id, rank
+""",
+    )
+    def ann_index_refine_serve_batch_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Batched persisted two-stage serve (similarity.
+        ivfpq_serve_refine_persisted_batch): 8 queries, shortlist 40,
+        exact top-10 each — both stores scanned once, both pruned."""
+        from ..operators import similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        d = ensure_persisted_ivfpq_index(spark, sf_dir)
+        return similarity.ivfpq_serve_refine_persisted_batch(
+            emb, d, n_queries=8, k=10, refine_factor=4, nprobe=2
+        )
+
+    return ann_index_refine_serve_batch_query
+
+
+ann_index_refine_serve_batch_query = _register_ann_index_refine_serve_batch()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 12 — ann_index_manifest_stats: integrity census of the
+# generation manifest the compaction machinery maintains — per list:
+# which root directory serves it and how many live rows it holds.
+# Over the COMPACTED upsert fixture the roots are fully determined by
+# the tombstone predicate (lists bearing vec_id % 25 = 3 rows were
+# rewritten into generation 1; the rest still live in codes/), so the
+# oracle replays the trained assignment + that rule. The ops query a
+# maintenance loop runs to audit that the manifest, the stores, and
+# the census agree.
+# ---------------------------------------------------------------------------
+def _register_ann_index_manifest_stats():
+    from .r11_round11 import _UPSERT_ADC_SQL, _ensure_upsert_index
+
+    tl_prefix = _UPSERT_ADC_SQL.split(", resid AS (")[0]
+
+    @register(
+        "ann_index_manifest_stats",
+        tl_prefix + """
+, census AS (
+  SELECT t.list_id,
+         SUM(CASE WHEN t.vec_id % 25 <> 3 THEN 1 ELSE 0 END) AS n_live,
+         MAX(CASE WHEN t.vec_id % 25 = 3 THEN 1 ELSE 0 END) AS affected
+  FROM tl t GROUP BY t.list_id
+)
+SELECT list_id,
+       CASE WHEN affected = 0 THEN 'codes'
+            WHEN n_live > 0 THEN 'codes_c1' ELSE 'dropped' END AS root,
+       n_live::BIGINT AS n_live
+FROM census ORDER BY list_id
+""",
+    )
+    def ann_index_manifest_stats_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-list (root, live-row) census of the compacted fixture
+        index, read from the _MANIFEST + the manifest-aware codes
+        reader — must equal the tombstone-predicate replay."""
+        from ..operators import similarity
+
+        _, d = _ensure_upsert_index(
+            spark, sf_dir, "ksr_annidx_compact", compact=True
+        )
+        manifest = similarity._load_manifest(d) or {"roots": {}}
+        live = (
+            similarity._codes_df(spark, d)
+            .groupBy("list_id")
+            .agg(F.count("*").cast("long").alias("n_live"))
+        )
+        roots = [
+            (int(lid), dirs[0] if dirs else "dropped")
+            for lid, dirs in manifest["roots"].items()
+        ]
+        if roots:
+            rdf = spark.createDataFrame(roots, "list_id LONG, root STRING")
+        else:
+            rdf = spark.createDataFrame([], "list_id LONG, root STRING")
+        return (
+            live.join(F.broadcast(rdf), "list_id", "full")
+            .select(
+                "list_id",
+                F.coalesce(F.col("root"), F.lit("codes")).alias("root"),
+                F.coalesce(F.col("n_live"), F.lit(0).cast("long")).alias(
+                    "n_live"
+                ),
+            )
+            .orderBy("list_id")
+        )
+
+    return ann_index_manifest_stats_query
+
+
+ann_index_manifest_stats_query = _register_ann_index_manifest_stats()

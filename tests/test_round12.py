@@ -495,3 +495,35 @@ def test_bytelevel_encode_handles_utf8():
     assert len(pieces) == 3 + 2 + 1
     assert pieces[-1] == "ab"
     assert int(out["n_pieces"].iloc[0]) == 6
+
+
+def test_batch_refine_serve_equals_single_refine_serve(spark, sf_dir):
+    """Each query's rows in the batched two-stage serve must equal its
+    single two-stage serve (and thus the in-memory refine) — the
+    r11 batch/single equivalence extended to the refine stage."""
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.registry.r10_round10 import (
+        ensure_persisted_ivfpq_index,
+    )
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = ensure_persisted_ivfpq_index(spark, sf_dir)
+    batch = similarity.ivfpq_serve_refine_persisted_batch(
+        emb, d, n_queries=4, k=10, refine_factor=4, nprobe=2
+    ).collect()
+    qids = sorted({r.query_id for r in batch})
+    assert len(qids) == 4
+    for qid in qids:
+        single = [
+            (r.rank, r.vec_id, r.adc_d2, r.exact_d2)
+            for r in similarity.ivfpq_serve_refine_persisted(
+                emb, d, query_vec_id=qid, k=10, refine_factor=4, nprobe=2
+            ).collect()
+        ]
+        got = [
+            (r.rank, r.vec_id, r.adc_d2, r.exact_d2)
+            for r in batch
+            if r.query_id == qid
+        ]
+        assert got == single
