@@ -2806,13 +2806,15 @@ def ivfpq_build_index(
     ).repartition(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
     # _META sidecar: the build-time hyperparameters add/serve need —
     # m is otherwise only recoverable by probing a codes row, which a
-    # train-only (not-yet-encoded) index does not have
+    # train-only (not-yet-encoded) index does not have. Written through
+    # the Hadoop FS like every other index small file.
     import json as _json
-    import os as _os
 
-    _os.makedirs(index_dir, exist_ok=True)
-    with open(f"{index_dir}/_META.json", "w") as fh:
-        _json.dump({"m": m, "n_codes": n_codes, "n_lists": n_lists}, fh)
+    _fs_write_text(
+        spark,
+        f"{index_dir}/_META.json",
+        _json.dumps({"m": m, "n_codes": n_codes, "n_lists": n_lists}),
+    )
 
     if encode:
         (
@@ -2832,23 +2834,20 @@ def ivfpq_build_index(
         )
 
 
-def _index_meta(index_dir: str) -> "dict | None":
+def _index_meta(spark, index_dir: str) -> "dict | None":
     """The _META sidecar (m, n_codes, n_lists) when present — always,
-    for round-11+ builds."""
+    for round-11+ builds. Read through the Hadoop FS so the index
+    works on non-POSIX stores."""
     import json
-    import os
 
-    meta = f"{index_dir}/_META.json"
-    if os.path.exists(meta):
-        with open(meta) as fh:
-            return json.load(fh)
-    return None
+    text = _fs_read_text(spark, f"{index_dir}/_META.json")
+    return json.loads(text) if text is not None else None
 
 
 def _index_m(spark, index_dir: str) -> int:
     """Subspace count m for a persisted index: the _META sidecar when
     present, else probed from one codes row (pre-sidecar indexes)."""
-    meta = _index_meta(index_dir)
+    meta = _index_meta(spark, index_dir)
     if meta is not None:
         return int(meta["m"])
     return (
@@ -2874,7 +2873,7 @@ def ivfpq_store_vectors(embeddings: DataFrame, index_dir: str) -> None:
     fixtures this way)."""
     spark = embeddings.sparkSession
     cids, cmat, _, _ = _load_index_constants(spark, index_dir)
-    meta = _index_meta(index_dir)
+    meta = _index_meta(spark, index_dir)
     n_lists = (
         int(meta["n_lists"]) if meta is not None else int(cids.max()) + 1
     )
@@ -3047,6 +3046,14 @@ def ivf_serve_filtered_persisted(
     qd2 = ((q[None, :] - cmat) ** 2).sum(1)
     probed = [int(x) for x in cids[np.lexsort((cids, qd2))[:nprobe]]]
     qlit = F.array(*[F.lit(int(x)).cast("long") for x in q])
+    # membership semi-join against the LIVE codes (tombstones hidden,
+    # compacted-away rows gone): vectors/ is append-only and never
+    # rewritten by delete/compact, so without this the filtered serve
+    # would return deleted vectors every other serve path hides —
+    # codes-sans-tombstones is the index's single source of liveness.
+    live = _codes_sans_tombstones(spark, index_dir).filter(
+        F.col("list_id").isin(probed)
+    ).select("vec_id")
     cand = (
         spark.read.parquet(f"{index_dir}/vectors")
         .filter(
@@ -3054,6 +3061,7 @@ def ivf_serve_filtered_persisted(
             & (F.col("label") == label)
             & (F.col("vec_id") != query_vec_id)
         )
+        .join(live, "vec_id", "left_semi")
         .withColumn(
             "d2",
             F.aggregate(
@@ -3107,21 +3115,17 @@ def ivfpq_index_add(
     commit (Delta/Iceberg) or the generation-manifest compaction
     machinery; the marker turns the common replay case from silent
     duplication into a skip."""
-    import os
-
     spark = new_embeddings.sparkSession
     if batch_id is not None:
-        marker = os.path.join(
-            index_dir, "_batch_commits", f"batch-{int(batch_id)}"
-        )
-        if os.path.exists(marker):
+        marker = f"{index_dir}/_batch_commits/batch-{int(batch_id)}"
+        if _fs_exists(spark, marker):
             return
     if constants is not None:
         cids, cmat, cb, n_codes, m, n_lists = constants
     else:
         cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
         m = _index_m(spark, index_dir)
-        meta = _index_meta(index_dir)
+        meta = _index_meta(spark, index_dir)
         # the packed-argmin modulus must be the TRAINED n_lists, not
         # len(cids): Lloyd can empty a cluster, leaving the surviving
         # dense cids with a max >= len(cids) — a len(cids) modulus
@@ -3140,7 +3144,7 @@ def ivfpq_index_add(
     ).repartition(n_lists, "list_id")
     # one file per touched list per append, not one per task per
     # list (the build-path small-files rationale)
-    manifest = _load_manifest(index_dir)
+    manifest = _load_manifest(spark, index_dir)
     if not manifest or not manifest.get("roots"):
         # the common path: no compaction yet, everything lives in codes/
         encoded.write.mode("append").partitionBy("list_id").parquet(
@@ -3190,10 +3194,10 @@ def ivfpq_index_add(
                 )
             if rehomed:
                 manifest["roots"] = roots
-                _write_manifest(index_dir, manifest)
+                _write_manifest(spark, index_dir, manifest)
         finally:
             encoded.unpersist()
-    if os.path.isdir(f"{index_dir}/vectors"):
+    if _fs_exists(spark, f"{index_dir}/vectors"):
         # the index carries a refine store: keep it in sync so a
         # two-stage serve can re-rank added vectors too (one extra
         # map-side assign pass over the DELTA only). vectors/ has no
@@ -3216,9 +3220,7 @@ def ivfpq_index_add(
             .parquet(f"{index_dir}/vectors")
         )
     if batch_id is not None:
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("ok\n")
+        _fs_touch(spark, marker)
 
 
 def ivfpq_index_delete(
@@ -3242,7 +3244,59 @@ def ivfpq_index_delete(
     ids.write.mode("append").parquet(f"{index_dir}/tombstones")
 
 
-def _load_manifest(index_dir: str) -> "dict | None":
+def _hfs(spark, path: str):
+    """(Hadoop FileSystem, Path) for whatever store `path` lives on —
+    HDFS, S3A, local. The one way the engine touches index small files
+    (manifest, meta, markers, existence checks), so the persisted
+    index works wherever its parquet does, not just on POSIX paths."""
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    return jp.getFileSystem(spark._jsc.hadoopConfiguration()), jp
+
+
+def _fs_exists(spark, path: str) -> bool:
+    fs, jp = _hfs(spark, path)
+    return bool(fs.exists(jp))
+
+
+def _fs_read_text(spark, path: str) -> "str | None":
+    fs, jp = _hfs(spark, path)
+    if not fs.exists(jp):
+        return None
+    ins = fs.open(jp)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            ins, "UTF-8"
+        )
+    finally:
+        ins.close()
+
+
+def _fs_write_text(spark, path: str, text: str) -> None:
+    """Small-file flip through the Hadoop FS: write a temp object,
+    then delete-and-rename into place. Atomic on HDFS-like stores; on
+    an object store the rename is a copy of ONE small file. The index
+    has a single maintenance writer by contract, so the delete->rename
+    window never races another writer; a concurrent READER either
+    sees the old file (pre-delete) or retries on not-found — never a
+    torn mapping."""
+    fs, jp = _hfs(spark, path)
+    jtmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    out = fs.create(jtmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    fs.delete(jp, False)
+    fs.rename(jtmp, jp)
+
+
+def _fs_touch(spark, path: str) -> None:
+    fs, jp = _hfs(spark, path)
+    fs.create(jp, True).close()
+
+
+def _load_manifest(spark, index_dir: str) -> "dict | None":
     """The generation manifest (round 12): _MANIFEST.json maps each
     COMPACTED list_id to the list of directories (relative to the
     index root) currently holding its live code rows; lists absent
@@ -3251,28 +3305,22 @@ def _load_manifest(index_dir: str) -> "dict | None":
     compacted away). Absent manifest = every list in codes/ — all
     indexes look like that until their first compaction."""
     import json
-    import os
 
-    p = os.path.join(index_dir, "_MANIFEST.json")
-    if os.path.exists(p):
-        with open(p) as fh:
-            return json.load(fh)
-    return None
+    text = _fs_read_text(spark, f"{index_dir}/_MANIFEST.json")
+    return json.loads(text) if text is not None else None
 
 
-def _write_manifest(index_dir: str, manifest: dict) -> None:
-    """Single-file manifest flip: write-temp + rename on a POSIX store
-    (atomic), a single PUT on an object store (also atomic) — the
-    commit point of a compaction. Readers see either the old mapping
-    or the new one, never a half-rewritten index."""
+def _write_manifest(spark, index_dir: str, manifest: dict) -> None:
+    """Single-file manifest flip through the Hadoop FS (_fs_write_text)
+    — the commit point of a compaction. Readers see either the old
+    mapping or the new one, never a half-rewritten index."""
     import json
-    import os
 
-    p = os.path.join(index_dir, "_MANIFEST.json")
-    tmp = p + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh, sort_keys=True)
-    os.replace(tmp, p)
+    _fs_write_text(
+        spark,
+        f"{index_dir}/_MANIFEST.json",
+        json.dumps(manifest, sort_keys=True),
+    )
 
 
 def _codes_df(spark, index_dir: str) -> DataFrame:
@@ -3285,9 +3333,17 @@ def _codes_df(spark, index_dir: str) -> DataFrame:
     serve's probed-list filter pushes into each branch. Stale
     partition directories left behind by compaction are never read
     (correctness never depends on deleting them; ivfpq_index_gc
-    reclaims the bytes whenever convenient)."""
-    manifest = _load_manifest(index_dir)
-    codes = spark.read.parquet(f"{index_dir}/codes")
+    reclaims the bytes whenever convenient).
+
+    Every root is read with the EXPLICIT codes schema: after a
+    compaction touches every list and gc reclaims the stale dirs,
+    codes/ legitimately holds zero parquet files, and a schema-less
+    read of it would throw instead of returning the (correct) empty
+    branch. Explicit list_id also pins the partition column to LONG
+    uniformly across branches."""
+    schema = "vec_id LONG, codes ARRAY<LONG>, list_id LONG"
+    manifest = _load_manifest(spark, index_dir)
+    codes = spark.read.schema(schema).parquet(f"{index_dir}/codes")
     if not manifest or not manifest.get("roots"):
         return codes
     roots: dict[int, list[str]] = {
@@ -3299,9 +3355,9 @@ def _codes_df(spark, index_dir: str) -> DataFrame:
         for d in dirs:
             by_dir.setdefault(d, []).append(lid)
     for d, lids in sorted(by_dir.items()):
-        branch = spark.read.parquet(f"{index_dir}/{d}").filter(
-            F.col("list_id").isin(sorted(lids))
-        )
+        branch = spark.read.schema(schema).parquet(
+            f"{index_dir}/{d}"
+        ).filter(F.col("list_id").isin(sorted(lids)))
         out = out.unionByName(branch)
     return out
 
@@ -3314,7 +3370,7 @@ def _codes_sans_tombstones(spark, index_dir: str) -> DataFrame:
 
     codes = _codes_df(spark, index_dir)
     tomb = f"{index_dir}/tombstones"
-    if os.path.isdir(tomb):
+    if _fs_exists(spark, tomb):
         # explicit schema: a just-compacted index holds an EMPTY
         # tombstone relation, and schema-less parquet reads of an
         # empty directory cannot infer one
@@ -3357,7 +3413,7 @@ def ivfpq_index_compact(spark, index_dir: str) -> list[int]:
     import os
 
     tomb = f"{index_dir}/tombstones"
-    if not os.path.isdir(tomb):
+    if not _fs_exists(spark, tomb):
         return []
     t = (
         spark.read.schema("vec_id LONG")
@@ -3374,7 +3430,7 @@ def ivfpq_index_compact(spark, index_dir: str) -> list[int]:
         .collect()
     )
     if affected:
-        manifest = _load_manifest(index_dir) or {"generation": 0,
+        manifest = _load_manifest(spark, index_dir) or {"generation": 0,
                                                  "roots": {}}
         gen = int(manifest.get("generation", 0)) + 1
         newroot = f"codes_c{gen}"
@@ -3403,7 +3459,7 @@ def ivfpq_index_compact(spark, index_dir: str) -> list[int]:
         for lid in affected:
             roots[str(lid)] = [newroot] if lid in survivors else []
         _write_manifest(
-            index_dir, {"generation": gen, "roots": roots}
+            spark, index_dir, {"generation": gen, "roots": roots}
         )
         spark.catalog.refreshByPath(f"{index_dir}/{newroot}")
     # retire the consumed tombstones ENGINE-side: overwrite with an
@@ -3439,7 +3495,7 @@ def ivfpq_index_compact_policy(
 
     codes = _codes_df(spark, index_dir).select("vec_id", "list_id")
     tomb_dir = f"{index_dir}/tombstones"
-    if os.path.isdir(tomb_dir):
+    if _fs_exists(spark, tomb_dir):
         t = (
             spark.read.schema("vec_id LONG")
             .parquet(tomb_dir)
@@ -3488,7 +3544,7 @@ def ivfpq_index_gc(spark, index_dir: str) -> list[str]:
     Hadoop FileSystem API through the live JVM, so it works against
     whatever store the index lives on (HDFS, S3A, local), not just a
     POSIX path. Returns the deleted directories (index-relative)."""
-    manifest = _load_manifest(index_dir)
+    manifest = _load_manifest(spark, index_dir)
     if not manifest or not manifest.get("roots"):
         return []
     jvm = spark._jvm

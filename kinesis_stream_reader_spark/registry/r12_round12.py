@@ -294,7 +294,11 @@ def _register_streaming_minhash_dedup():
             static = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
             def ingest(bdf, bid):
-                bk = dedup.minhash_bucket_keys(bdf)
+                # cache: the signature pass (shingles + 32 hashes) is
+                # the dominant per-batch cost, and bk feeds BOTH the
+                # index append and the collision probe — without the
+                # cache Spark recomputes it for the join job
+                bk = dedup.minhash_bucket_keys(bdf).cache()
                 bk.write.mode("append").parquet(buckets_dir)
                 acc = spark.read.schema(bschema).parquet(buckets_dir)
                 a, b = bk.alias("a"), acc.alias("b")
@@ -313,6 +317,7 @@ def _register_streaming_minhash_dedup():
                     .write.mode("append")
                     .parquet(cand_dir)
                 )
+                bk.unpersist()
 
             stream = (
                 spark.readStream.schema(static.schema)
@@ -721,7 +726,7 @@ FROM census ORDER BY list_id
         _, d = _ensure_upsert_index(
             spark, sf_dir, "ksr_annidx_compact", compact=True
         )
-        manifest = similarity._load_manifest(d) or {"roots": {}}
+        manifest = similarity._load_manifest(spark, d) or {"roots": {}}
         live = (
             similarity._codes_df(spark, d)
             .groupBy("list_id")

@@ -502,7 +502,6 @@ class KinesisReshardStreamReader(DataSourceStreamReader):
         cap = options.get("maxrecordspershardperbatch")
         self.cap = int(cap) if cap else None
         self._planned_end: dict | None = None
-        self._last_counts: dict | None = None
         with open(os.path.join(self.dir, _SHARDS_MANIFEST)) as fh:
             manifest = json.load(fh)["shards"]
         self._gen = {}
@@ -555,11 +554,6 @@ class KinesisReshardStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         counts = self._counts()
-        # cache for partitions(): the engine calls partitions(start,
-        # end) right after this within the same trigger, so the
-        # chain-global emit_idx bases can reuse this census instead of
-        # re-line-counting every shard file a second time per batch
-        self._last_counts = counts
         base = self._planned_end or {s: 0 for s in counts}
 
         def parent_done(sid: str) -> bool:

@@ -494,7 +494,7 @@ def test_serve_with_fully_tombstoned_probed_list(spark, sf_dir, tmp_path):
     # round 12: the stale partition directory is left in place (the
     # manifest drops the list; correctness never depends on deletes)
     # and the manifest-aware reader serves zero rows for it ...
-    manifest = similarity._load_manifest(d)
+    manifest = similarity._load_manifest(spark, d)
     assert manifest["roots"][str(kill)] == []
     assert (
         similarity._codes_df(spark, d).filter(F.col("list_id") == kill)
