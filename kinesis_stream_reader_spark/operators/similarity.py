@@ -3082,6 +3082,113 @@ def ivf_serve_filtered_persisted(
     )
 
 
+def ivfpq_serve_refine_filtered_persisted(
+    embeddings: DataFrame,
+    index_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    refine_factor: int = 4,
+    nprobe: int = 2,
+    label: int = 1,
+) -> DataFrame:
+    """FILTERED two-stage serving against the PERSISTED index (round
+    12) — the last cell of the serving matrix ({flat, refine} x
+    {unfiltered, filtered}): pre-filter semantics composed with the
+    shortlist+refine shape, all stages pruned to the probed lists.
+
+    Stage 0 (eligibility): vectors/ scanned with PartitionFilters on
+    the probed lists AND the attribute predicate pushed to parquet
+    (PushedFilters: EqualTo(label, ...)); the surviving vec_ids are
+    the eligible candidate set. Pre-filtering BEFORE the shortlist is
+    what keeps recall correct at any selectivity — a post-filtered
+    shortlist under-returns when the predicate is selective (the
+    ann_ivf_filtered rationale, now applied to the compressed stage).
+
+    Stage 1 (shortlist): live codes of the probed lists, LEFT-SEMI
+    joined to the eligible set (broadcast — the set is bounded by
+    nprobe/n_lists of the corpus times the predicate selectivity),
+    ADC-ranked via the broadcast LUT, kept to k * refine_factor.
+    Liveness is inherited from _codes_sans_tombstones: deleted and
+    compacted-away vectors never reach the shortlist.
+
+    Stage 2 (refine): the shortlist broadcasts back against the SAME
+    pruned+filtered vectors/ scan and re-ranks by exact int64 squared
+    L2 against the query literal. Pure Catalyst (zip_with/aggregate);
+    no Python anywhere in the serving path.
+
+    Returns (rank, vec_id, label, adc_d2, exact_d2); oracle replays
+    the trained chain + label-filtered ADC shortlist + exact re-rank
+    in exact integers (registry r12)."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
+    m = _index_m(spark, index_dir)
+    qrows = (
+        embeddings.filter(F.col("vec_id") == query_vec_id)
+        .select("vec_id", _quantized_vec(F.col("embedding")).alias("xq"))
+        .take(1)
+    )
+    if not qrows:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} is not present in the corpus"
+        )
+    lut_rows, probed_union = _ivfpq_batch_lut(
+        qrows, cids, cmat, cb, n_codes, m, nprobe
+    )
+    probed = sorted(probed_union)
+    lut = spark.createDataFrame(
+        [(r[1], r[2], r[3], r[4]) for r in lut_rows],
+        "list_id LONG, s INT, code_id LONG, d LONG",
+    )
+    eligible = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("list_id").isin(probed)
+        & (F.col("label") == label)
+        & (F.col("vec_id") != query_vec_id)
+    )
+    codes = (
+        _codes_sans_tombstones(spark, index_dir)
+        .filter(
+            F.col("list_id").isin(probed)
+            & (F.col("vec_id") != query_vec_id)
+        )
+        .join(F.broadcast(eligible.select("vec_id")), "vec_id", "left_semi")
+    )
+    short = (
+        codes.select(
+            "vec_id", "list_id", F.posexplode("codes").alias("s", "code_id")
+        )
+        .join(F.broadcast(lut), ["list_id", "s", "code_id"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").alias("adc_d2"))
+        .orderBy("adc_d2", "vec_id")
+        .limit(k * refine_factor)
+    )
+    q = np.asarray(qrows[0]["xq"], np.int64)
+    qlit = F.array(*[F.lit(int(x)).cast("long") for x in q])
+    rer = (
+        eligible.join(F.broadcast(short), "vec_id")
+        .withColumn(
+            "exact_d2",
+            F.aggregate(
+                F.zip_with(F.col("xq"), qlit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy("exact_d2", "vec_id")
+        .limit(k)
+    )
+    w = Window.orderBy("exact_d2", "vec_id")
+    return rer.select(
+        F.row_number().over(w).cast("int").alias("rank"),
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.col("adc_d2").cast("long").alias("adc_d2"),
+        F.col("exact_d2").cast("long").alias("exact_d2"),
+    )
+
+
 def ivfpq_index_add(
     new_embeddings: DataFrame,
     index_dir: str,
@@ -3531,6 +3638,78 @@ def ivfpq_index_compact_policy(
             .alias("compact"),
         )
         .orderBy("list_id")
+    )
+
+
+def ivfpq_index_retrain_policy(
+    spark,
+    index_dir: str,
+    imbalance_threshold_milli: int = 1200,
+    empty_threshold_milli: int = 125,
+) -> DataFrame:
+    """RETRAIN trigger policy (round 12) — the index-level counterpart
+    of ivfpq_index_compact_policy's per-list decision. Adds and
+    deletes drift the live occupancy away from the balance the coarse
+    quantizer was trained for; a skewed index probes badly (hot lists
+    dominate every query's candidate set) and FAISS's documented
+    health signal for it is the imbalance factor
+    n_lists * sum(c_i^2) / (sum c_i)^2 (1.0 = perfectly balanced).
+    This census computes it EXACTLY in integer milli-units over the
+    live rows and flags a retrain when either
+
+      imbalance_milli >= imbalance_threshold_milli, or
+      n_empty_lists * 1000 >= n_lists * empty_threshold_milli
+
+    (empty lists are pure recall loss: their probe budget scans
+    nothing). One scan of the live codes reading only (vec_id,
+    list_id) into an n_lists-bounded partial agg, then a single-row
+    exact-integer readout — the poll a maintenance loop runs between
+    serves to decide build-from-scratch vs keep-compacting.
+
+    Returns ONE row: n_lists, n_live_lists, n_empty_lists,
+    n_live_vectors, imbalance_milli, retrain."""
+    cids, _, _, _ = _load_index_constants(spark, index_dir)
+    n_lists = int(len(cids))
+    census = (
+        _codes_sans_tombstones(spark, index_dir)
+        .groupBy("list_id")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agged = census.agg(
+        F.lit(n_lists).cast("long").alias("n_lists"),
+        F.count("*").cast("long").alias("n_live_lists"),
+        (F.lit(n_lists) - F.count("*")).cast("long").alias("n_empty_lists"),
+        F.sum("c").cast("long").alias("n_live_vectors"),
+        # integer DIV below keeps the milli readout exact at any corpus
+        # size (a double quotient could round across the floor boundary)
+        (
+            F.lit(n_lists) * F.sum(F.col("c") * F.col("c")) * F.lit(1000)
+        )
+        .cast("long")
+        .alias("_imb_num"),
+    ).withColumn(
+        "imbalance_milli",
+        F.expr("_imb_num div (n_live_vectors * n_live_vectors)").cast(
+            "long"
+        ),
+    )
+    return agged.select(
+        "n_lists",
+        "n_live_lists",
+        "n_empty_lists",
+        "n_live_vectors",
+        "imbalance_milli",
+        F.when(
+            (F.col("imbalance_milli") >= imbalance_threshold_milli)
+            | (
+                F.col("n_empty_lists") * 1000
+                >= F.col("n_lists") * empty_threshold_milli
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("retrain"),
     )
 
 

@@ -89,6 +89,8 @@ EAGER_QUERIES = frozenset(
         "ann_index_stats", "ann_index_refine_serve",
         "ann_index_filtered_serve", "ann_index_compact_policy",
         "ann_index_refine_serve_batch", "ann_index_manifest_stats",
+        "ann_index_refine_filtered_serve", "ann_index_retrain_policy",
+        "bytelevel_bpe_roundtrip",
         "quantization_recall_report",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
@@ -128,6 +130,8 @@ _PRIORITY = [
     "streaming_minhash_dedup", "multimodal_jpeg_lossless_multiscan_decode",
     "bytelevel_bpe_encode", "tokenizer_compare_report",
     "ann_index_refine_serve_batch", "ann_index_manifest_stats",
+    "ann_index_refine_filtered_serve", "ann_index_retrain_policy",
+    "bytelevel_bpe_roundtrip",
     # ROUND-5 ROTATION: the driver verifies the FIRST ~50 entries. Head =
     # the 23 late-pass additions (causal matching, SPRT, JL/feature
     # hashing, ER blocking, the WER/ROUGE/chrF eval triad, kappa, GIF

@@ -756,3 +756,164 @@ FROM census ORDER BY list_id
 
 
 ann_index_manifest_stats_query = _register_ann_index_manifest_stats()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 12 (second pass) — ann_index_refine_filtered_serve: the LAST
+# cell of the persisted serving matrix ({flat, refine} x {unfiltered,
+# filtered}). Pre-filter semantics composed with the two-stage shape:
+# the eligible set comes off the pruned+pushed vectors/ scan, the ADC
+# shortlist ranks only eligible live codes, and the exact re-rank
+# reads the same pruned+filtered vectors. Oracle: the shared trained
+# chain + label-filtered shortlist + exact re-rank, all exact ints.
+# ---------------------------------------------------------------------------
+def _register_ann_index_refine_filtered_serve():
+    from .r8_round8 import _IVFPQ_ADC_CTES, _TRAINED_TL_CTE
+    from .r10_round10 import ensure_persisted_ivfpq_index
+
+    @register(
+        "ann_index_refine_filtered_serve",
+        _TRAINED_TL_CTE + _IVFPQ_ADC_CTES + """
+, fshort AS (
+  SELECT a.vec_id, a.adc_d2 FROM adc a JOIN embeddings e USING (vec_id)
+  WHERE e.label = 1 ORDER BY a.adc_d2, a.vec_id LIMIT 40
+), frer AS (
+  SELECT s.vec_id, s.adc_d2, CAST(e.label AS BIGINT) AS label,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_zip(w.v, (SELECT v FROM qv0)),
+                          p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (a, b) -> a + b) AS exact_d2
+  FROM fshort s JOIN vecs w USING (vec_id) JOIN embeddings e USING (vec_id)
+)
+SELECT ROW_NUMBER() OVER (ORDER BY exact_d2, vec_id)::INT AS rank,
+       vec_id, label, adc_d2::BIGINT AS adc_d2,
+       exact_d2::BIGINT AS exact_d2
+FROM frer ORDER BY exact_d2, vec_id LIMIT 10
+""",
+    )
+    def ann_index_refine_filtered_serve_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Filtered two-stage persisted serve (similarity.
+        ivfpq_serve_refine_filtered_persisted): label = 1 eligibility
+        pushed into the pruned vectors/ scan, ADC shortlist of
+        k*refine_factor among eligible live codes, exact int64
+        re-rank."""
+        from ..operators import similarity
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        d = ensure_persisted_ivfpq_index(spark, sf_dir)
+        return similarity.ivfpq_serve_refine_filtered_persisted(
+            emb, d, query_vec_id=0, k=10, refine_factor=4, nprobe=2,
+            label=1,
+        )
+
+    return ann_index_refine_filtered_serve_query
+
+
+ann_index_refine_filtered_serve_query = (
+    _register_ann_index_refine_filtered_serve()
+)
+
+
+# ---------------------------------------------------------------------------
+# ROUND 12 (second pass) — ann_index_retrain_policy: the index-level
+# RETRAIN trigger beside the per-list compact trigger — completing the
+# maintenance policy pair. Adds/deletes drift live occupancy away from
+# the trained balance; the FAISS health signal is the imbalance factor
+# n_lists * sum(c^2) / total^2, computed here exactly in milli-units
+# over the live census of the (uncompacted) upsert fixture, plus the
+# empty-list fraction. Oracle: the trained-assignment census with the
+# tombstone predicate replayed, HUGEINT-exact floor division.
+# ---------------------------------------------------------------------------
+def _register_ann_index_retrain_policy():
+    from .r8_round8 import _N_LISTS
+    from .r11_round11 import _UPSERT_ADC_SQL, _ensure_upsert_index
+
+    tl_prefix = _UPSERT_ADC_SQL.split(", resid AS (")[0]
+    nl = _N_LISTS
+
+    @register(
+        "ann_index_retrain_policy",
+        tl_prefix + f"""
+, census AS (
+  SELECT t.list_id, COUNT(*) AS c
+  FROM tl t WHERE t.vec_id % 25 <> 3 GROUP BY t.list_id
+)
+SELECT {nl}::BIGINT AS n_lists,
+       COUNT(*)::BIGINT AS n_live_lists,
+       ({nl} - COUNT(*))::BIGINT AS n_empty_lists,
+       SUM(c)::BIGINT AS n_live_vectors,
+       (({nl} * SUM(c * c) * 1000) // (SUM(c) * SUM(c)))::BIGINT
+         AS imbalance_milli,
+       (CASE WHEN ({nl} * SUM(c * c) * 1000) // (SUM(c) * SUM(c)) >= 1200
+                  OR ({nl} - COUNT(*)) * 1000 >= {nl} * 125
+             THEN 1 ELSE 0 END)::INT AS retrain
+FROM census
+""",
+    )
+    def ann_index_retrain_policy_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Index-level retrain decision (similarity.
+        ivfpq_index_retrain_policy, imbalance >= 1200 milli or empty
+        fraction >= 125 milli) over the shared uncompacted upsert
+        fixture."""
+        from ..operators import similarity
+
+        _, d = _ensure_upsert_index(
+            spark, sf_dir, "ksr_annidx_upsert", compact=False
+        )
+        return similarity.ivfpq_index_retrain_policy(
+            spark, d, imbalance_threshold_milli=1200,
+            empty_threshold_milli=125,
+        )
+
+    return ann_index_retrain_policy_query
+
+
+ann_index_retrain_policy_query = _register_ann_index_retrain_policy()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 12 (second pass) — bytelevel_bpe_roundtrip: the DECODE leg +
+# losslessness proof, the property that justifies byte-level
+# tokenization (no [UNK] loss, no normalization drift). The Spark side
+# decodes through the INVERTED byte table inside the same Arrow pass
+# as the encode; the oracle decodes by piece concatenation, which is
+# the same function on the printable-ASCII domain both sides pin
+# (bytes_to_unicode is the identity there — the non-ASCII legs are
+# exercised directly in pytest on multi-byte UTF-8).
+# ---------------------------------------------------------------------------
+def _register_bytelevel_bpe_roundtrip():
+    @register(
+        "bytelevel_bpe_roundtrip",
+        f"""
+WITH enc AS (
+{_BYTELEVEL_BPE_SQL}
+)
+SELECT word, n_pieces::INT AS n_pieces,
+       replace(pieces, ' ', '') AS decoded,
+       (replace(pieces, ' ', '') = word) AS lossless
+FROM enc ORDER BY word
+""",
+    )
+    def bytelevel_bpe_roundtrip_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Byte-level BPE encode -> decode round-trip (text.
+        bytelevel_bpe_roundtrip, 6 trained merges): every distinct
+        pre-token decodes back to itself through the inverse byte
+        table — lossless is TRUE on every row."""
+        from ..operators import text
+
+        return text.bytelevel_bpe_roundtrip(
+            load_table(spark, sf_dir, "documents"),
+            rounds=6,
+            merges=_bytelevel_merges_cached(spark, sf_dir, 6),
+        )
+
+    return bytelevel_bpe_roundtrip_query
+
+
+bytelevel_bpe_roundtrip_query = _register_bytelevel_bpe_roundtrip()

@@ -608,3 +608,151 @@ def test_filtered_serve_hides_tombstoned_and_compacted_deletes(
         emb, d, query_vec_id=0, k=10, nprobe=2, label=1
     ).collect()
     assert [tuple(r) for r in compacted] == [tuple(r) for r in tombstoned]
+
+
+def test_refine_filtered_serve_prefilters_prunes_and_converges(
+    spark, sf_dir, tmp_path
+):
+    """ann_index_refine_filtered_serve's contract: every result passes
+    the predicate, both stores scan pruned (PartitionFilters on
+    list_id; PushedFilters label equality on vectors/), and with a
+    shortlist wide enough to cover every eligible candidate the
+    two-stage result equals the filtered FLAT serve exactly (the
+    shortlist is then a no-op and refine == exact ranking)."""
+    import contextlib
+    import io
+    import re
+
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(emb, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    similarity.ivfpq_store_vectors(emb, d)
+    served = similarity.ivfpq_serve_refine_filtered_persisted(
+        emb, d, query_vec_id=0, k=10, refine_factor=4, nprobe=2, label=1
+    )
+    rows = served.collect()
+    assert rows and all(r.label == 1 for r in rows)
+    assert [r.exact_d2 for r in rows] == sorted(r.exact_d2 for r in rows)
+
+    # refine_factor large enough that the shortlist holds EVERY
+    # eligible candidate -> exact equality with the filtered flat serve
+    wide = similarity.ivfpq_serve_refine_filtered_persisted(
+        emb, d, query_vec_id=0, k=10, refine_factor=10**6, nprobe=2,
+        label=1,
+    )
+    got = [(r.rank, r.vec_id, r.label, r.exact_d2) for r in wide.collect()]
+    want = [
+        (r.rank, r.vec_id, r.label, r.d2)
+        for r in similarity.ivf_serve_filtered_persisted(
+            emb, d, query_vec_id=0, k=10, nprobe=2, label=1
+        ).collect()
+    ]
+    assert got == want and got
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    plan = buf.getvalue()
+    scans = re.findall(
+        r"Location: InMemoryFileIndex\S* \[\S*(codes|vectors)[^\]]*\]"
+        r"[\s\S]*?PartitionFilters: (\[[^\]]*\])",
+        plan,
+    )
+    stores = {s for s, _ in scans}
+    assert {"codes", "vectors"} <= stores, plan
+    for store, filt in scans:
+        assert "list_id" in filt and filt.strip() != "[]", (store, filt)
+    flat = plan.replace(" ", "")
+    assert "EqualTo(label,1)" in flat, plan
+
+
+def test_retrain_policy_census_is_exact_and_flags_empty_lists(
+    spark, sf_dir, tmp_path
+):
+    """ivfpq_index_retrain_policy's numbers must equal a pure-Python
+    replay of the live census (exact ints), stay quiet on the fresh
+    index under default thresholds, and fire once a list is fully
+    tombstoned and the empty threshold is tightened."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(emb, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+
+    def replay():
+        counts = {
+            r.list_id: r.c
+            for r in similarity._codes_sans_tombstones(spark, d)
+            .groupBy("list_id")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        }
+        cs = list(counts.values())
+        tot = sum(cs)
+        return (
+            16, len(cs), 16 - len(cs), tot,
+            (16 * sum(c * c for c in cs) * 1000) // (tot * tot),
+        )
+
+    row = similarity.ivfpq_index_retrain_policy(spark, d).collect()[0]
+    exp = replay()
+    assert (
+        row.n_lists, row.n_live_lists, row.n_empty_lists,
+        row.n_live_vectors, row.imbalance_milli,
+    ) == exp
+    assert row.n_empty_lists == 0 and row.retrain == 0
+
+    # fully tombstone one list -> an empty list appears; a tightened
+    # empty threshold (one empty list of 16 = 62.5 milli) must fire
+    first_list = (
+        similarity._codes_df(spark, d).select("list_id").limit(1)
+        .collect()[0].list_id
+    )
+    similarity.ivfpq_index_delete(
+        spark, d,
+        similarity._codes_df(spark, d)
+        .filter(F.col("list_id") == first_list)
+        .select("vec_id"),
+    )
+    row2 = similarity.ivfpq_index_retrain_policy(
+        spark, d, empty_threshold_milli=62
+    ).collect()[0]
+    assert row2.n_empty_lists == 1 and row2.retrain == 1
+    # and the census still replays exactly after the delete
+    exp2 = replay()
+    assert (
+        row2.n_lists, row2.n_live_lists, row2.n_empty_lists,
+        row2.n_live_vectors, row2.imbalance_milli,
+    ) == exp2
+
+
+def test_bytelevel_decode_inverts_encode_on_arbitrary_utf8():
+    """The decode leg is the exact inverse of the encode kernel on
+    arbitrary UTF-8 — multi-byte sequences, the space/newline marker
+    bytes, and merged pieces all map back losslessly through the
+    inverted byte table."""
+    import pandas as pd
+
+    from kinesis_stream_reader_spark.operators.text import (
+        _bytelevel_decode_word,
+        _bytelevel_encode_batches,
+        _bytes_to_unicode,
+    )
+
+    table = _bytes_to_unicode()
+    inv = {ch: b for b, ch in table.items()}
+    words = ["café", "日本語", "naïve", "a b\nc", "héllo-wörld", "𝄞clef"]
+    kern = _bytelevel_encode_batches(table, [("a", "b"), ("ab", "c")])
+    out = pd.concat(
+        list(kern(iter([pd.DataFrame({"w": words, "freq": [1] * 6})])))
+    )
+    for w, pieces in zip(out["w"], out["pieces"]):
+        assert _bytelevel_decode_word(pieces, inv) == str(w)
