@@ -2939,6 +2939,30 @@ def ivfpq_serve_refine_persisted(
 
     Row-identical to ann_ivfpq_refine under the same hyperparameters
     (asserted in pytest; shares its DuckDB oracle)."""
+    return _refine_serve_core(
+        embeddings, index_dir, query_vec_id, k, refine_factor, nprobe,
+        label=None,
+    )
+
+
+def _refine_serve_core(
+    embeddings: DataFrame,
+    index_dir: str,
+    query_vec_id: int,
+    k: int,
+    refine_factor: int,
+    nprobe: int,
+    label: "int | None",
+) -> DataFrame:
+    """The shared two-stage serving pipeline behind BOTH refine cells
+    of the serving matrix (unfiltered and attribute-filtered): query
+    load -> broadcast ADC LUT -> pruned-codes shortlist -> broadcast
+    shortlist -> pruned-vectors exact re-rank -> rank window. With a
+    label, the eligible set (pruned vectors/ scan with the predicate
+    PUSHED to parquet) pre-filters the shortlist via a broadcast
+    semi-join AND becomes the re-rank side, and the label column rides
+    the output. One definition so a fix to the serving shape cannot
+    diverge between the matrix cells."""
     import numpy as np
 
     spark = embeddings.sparkSession
@@ -2961,10 +2985,21 @@ def ivfpq_serve_refine_persisted(
         [(r[1], r[2], r[3], r[4]) for r in lut_rows],
         "list_id LONG, s INT, code_id LONG, d LONG",
     )
+    vectors = spark.read.parquet(f"{index_dir}/vectors").filter(
+        F.col("list_id").isin(probed)
+    )
     codes = _codes_sans_tombstones(spark, index_dir).filter(
         F.col("list_id").isin(probed)
         & (F.col("vec_id") != query_vec_id)
     )
+    if label is not None:
+        vectors = vectors.filter(
+            (F.col("label") == label)
+            & (F.col("vec_id") != query_vec_id)
+        )
+        codes = codes.join(
+            F.broadcast(vectors.select("vec_id")), "vec_id", "left_semi"
+        )
     short = (
         codes.select(
             "vec_id", "list_id", F.posexplode("codes").alias("s", "code_id")
@@ -2977,9 +3012,6 @@ def ivfpq_serve_refine_persisted(
     )
     q = np.asarray(qrows[0]["xq"], np.int64)
     qlit = F.array(*[F.lit(int(x)).cast("long") for x in q])
-    vectors = spark.read.parquet(f"{index_dir}/vectors").filter(
-        F.col("list_id").isin(probed)
-    )
     rer = (
         vectors.join(F.broadcast(short), "vec_id")
         .withColumn(
@@ -2994,12 +3026,14 @@ def ivfpq_serve_refine_persisted(
         .limit(k)
     )
     w = Window.orderBy("exact_d2", "vec_id")
-    return rer.select(
-        F.row_number().over(w).cast("int").alias("rank"),
-        "vec_id",
+    out = [F.row_number().over(w).cast("int").alias("rank"), F.col("vec_id")]
+    if label is not None:
+        out.append(F.col("label").cast("long").alias("label"))
+    out += [
         F.col("adc_d2").cast("long").alias("adc_d2"),
         F.col("exact_d2").cast("long").alias("exact_d2"),
-    )
+    ]
+    return rer.select(*out)
 
 
 def ivf_serve_filtered_persisted(
@@ -3119,73 +3153,9 @@ def ivfpq_serve_refine_filtered_persisted(
     Returns (rank, vec_id, label, adc_d2, exact_d2); oracle replays
     the trained chain + label-filtered ADC shortlist + exact re-rank
     in exact integers (registry r12)."""
-    import numpy as np
-
-    spark = embeddings.sparkSession
-    cids, cmat, cb, n_codes = _load_index_constants(spark, index_dir)
-    m = _index_m(spark, index_dir)
-    qrows = (
-        embeddings.filter(F.col("vec_id") == query_vec_id)
-        .select("vec_id", _quantized_vec(F.col("embedding")).alias("xq"))
-        .take(1)
-    )
-    if not qrows:
-        raise ValueError(
-            f"query_vec_id {query_vec_id} is not present in the corpus"
-        )
-    lut_rows, probed_union = _ivfpq_batch_lut(
-        qrows, cids, cmat, cb, n_codes, m, nprobe
-    )
-    probed = sorted(probed_union)
-    lut = spark.createDataFrame(
-        [(r[1], r[2], r[3], r[4]) for r in lut_rows],
-        "list_id LONG, s INT, code_id LONG, d LONG",
-    )
-    eligible = spark.read.parquet(f"{index_dir}/vectors").filter(
-        F.col("list_id").isin(probed)
-        & (F.col("label") == label)
-        & (F.col("vec_id") != query_vec_id)
-    )
-    codes = (
-        _codes_sans_tombstones(spark, index_dir)
-        .filter(
-            F.col("list_id").isin(probed)
-            & (F.col("vec_id") != query_vec_id)
-        )
-        .join(F.broadcast(eligible.select("vec_id")), "vec_id", "left_semi")
-    )
-    short = (
-        codes.select(
-            "vec_id", "list_id", F.posexplode("codes").alias("s", "code_id")
-        )
-        .join(F.broadcast(lut), ["list_id", "s", "code_id"])
-        .groupBy("vec_id")
-        .agg(F.sum("d").alias("adc_d2"))
-        .orderBy("adc_d2", "vec_id")
-        .limit(k * refine_factor)
-    )
-    q = np.asarray(qrows[0]["xq"], np.int64)
-    qlit = F.array(*[F.lit(int(x)).cast("long") for x in q])
-    rer = (
-        eligible.join(F.broadcast(short), "vec_id")
-        .withColumn(
-            "exact_d2",
-            F.aggregate(
-                F.zip_with(F.col("xq"), qlit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        .orderBy("exact_d2", "vec_id")
-        .limit(k)
-    )
-    w = Window.orderBy("exact_d2", "vec_id")
-    return rer.select(
-        F.row_number().over(w).cast("int").alias("rank"),
-        "vec_id",
-        F.col("label").cast("long").alias("label"),
-        F.col("adc_d2").cast("long").alias("adc_d2"),
-        F.col("exact_d2").cast("long").alias("exact_d2"),
+    return _refine_serve_core(
+        embeddings, index_dir, query_vec_id, k, refine_factor, nprobe,
+        label=label,
     )
 
 
@@ -3667,30 +3637,59 @@ def ivfpq_index_retrain_policy(
     serves to decide build-from-scratch vs keep-compacting.
 
     Returns ONE row: n_lists, n_live_lists, n_empty_lists,
-    n_live_vectors, imbalance_milli, retrain."""
-    cids, _, _, _ = _load_index_constants(spark, index_dir)
-    n_lists = int(len(cids))
+    n_live_vectors, imbalance_milli, retrain. A fully-tombstoned index
+    (empty live census) reads n_live_vectors = imbalance_milli = 0 and
+    fires via the empty-list branch."""
+    meta = _index_meta(spark, index_dir)
+    if meta is not None and "n_lists" in meta:
+        # the TRAINED list count: Lloyd can empty a cluster, so the
+        # surviving centroids/ rows may undercount it (the
+        # ivfpq_index_add rationale) — trained-but-unpopulated lists
+        # ARE the empty-list recall signal this policy reports
+        n_lists = int(meta["n_lists"])
+    else:
+        cids, _, _, _ = _load_index_constants(spark, index_dir)
+        n_lists = int(len(cids))
     census = (
         _codes_sans_tombstones(spark, index_dir)
         .groupBy("list_id")
         .agg(F.count("*").cast("long").alias("c"))
     )
+    # decimal(38,0) keeps the numerator exact far past int64 (int64
+    # wraps silently near 10^19 — reachable at the 100x cohort), and
+    # (a - a % b) / b is an exact-multiple decimal division, so the
+    # floor quotient carries no rounding anywhere
     agged = census.agg(
         F.lit(n_lists).cast("long").alias("n_lists"),
         F.count("*").cast("long").alias("n_live_lists"),
         (F.lit(n_lists) - F.count("*")).cast("long").alias("n_empty_lists"),
-        F.sum("c").cast("long").alias("n_live_vectors"),
-        # integer DIV below keeps the milli readout exact at any corpus
-        # size (a double quotient could round across the floor boundary)
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias(
+            "n_live_vectors"
+        ),
         (
-            F.lit(n_lists) * F.sum(F.col("c") * F.col("c")) * F.lit(1000)
-        )
-        .cast("long")
-        .alias("_imb_num"),
+            F.lit(n_lists).cast("decimal(38,0)")
+            * F.sum(
+                (F.col("c") * F.col("c")).cast("decimal(38,0)")
+            )
+            * F.lit(1000)
+        ).alias("_imb_num"),
+    ).withColumn(
+        # nullif: an empty live census must read 0, not throw ANSI
+        # divide-by-zero (NULL propagates through % and /, coalesce
+        # lands the 0)
+        "_imb_den",
+        F.expr(
+            "nullif(CAST(n_live_vectors AS DECIMAL(38,0))"
+            " * CAST(n_live_vectors AS DECIMAL(38,0)), 0)"
+        ),
     ).withColumn(
         "imbalance_milli",
-        F.expr("_imb_num div (n_live_vectors * n_live_vectors)").cast(
-            "long"
+        F.coalesce(
+            F.expr(
+                "CAST((_imb_num - _imb_num % _imb_den) / _imb_den"
+                " AS DECIMAL(38,0))"
+            ).cast("long"),
+            F.lit(0).cast("long"),
         ),
     )
     return agged.select(

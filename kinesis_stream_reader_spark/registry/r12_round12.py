@@ -20,6 +20,23 @@ from ..scratch import scratch
 from ._shared import load_table, register
 
 
+def _upsert_tl_prefix() -> str:
+    """The _UPSERT_ADC_SQL CTE chain through tl (the trained
+    full-corpus assignment) — the shared fixture replay three round-12
+    oracles compose. Split ONCE, with a loud failure if the marker
+    ever drifts (a silent miss would return the whole SQL and malform
+    every composed oracle)."""
+    from .r11_round11 import _UPSERT_ADC_SQL
+
+    head, sep, _ = _UPSERT_ADC_SQL.partition(", resid AS (")
+    if not sep:
+        raise RuntimeError(
+            "_UPSERT_ADC_SQL lost its ', resid AS (' marker — the "
+            "composed round-12 oracles cannot extract the tl prefix"
+        )
+    return head
+
+
 # ---------------------------------------------------------------------------
 # ROUND 12 — ann_index_refine_serve: TWO-STAGE serving against the
 # PERSISTED index (FAISS IndexRefineFlat over an on-disk IndexIVFPQ).
@@ -194,12 +211,9 @@ streaming_index_delete_serve_query = _register_streaming_index_delete()
 # predicate (vec_id % 25 = 3) is replayed directly.
 # ---------------------------------------------------------------------------
 def _register_ann_index_compact_policy():
-    from .r11_round11 import _UPSERT_ADC_SQL, _ensure_upsert_index
+    from .r11_round11 import _ensure_upsert_index
 
-    # the CTE chain through tl (trained full-corpus assignment) is the
-    # shared fixture replay; split once here rather than re-stating
-    # 90 lines of recursive k-means SQL
-    tl_prefix = _UPSERT_ADC_SQL.split(", resid AS (")[0]
+    tl_prefix = _upsert_tl_prefix()
 
     @register(
         "ann_index_compact_policy",
@@ -695,9 +709,9 @@ ann_index_refine_serve_batch_query = _register_ann_index_refine_serve_batch()
 # the census agree.
 # ---------------------------------------------------------------------------
 def _register_ann_index_manifest_stats():
-    from .r11_round11 import _UPSERT_ADC_SQL, _ensure_upsert_index
+    from .r11_round11 import _ensure_upsert_index
 
-    tl_prefix = _UPSERT_ADC_SQL.split(", resid AS (")[0]
+    tl_prefix = _upsert_tl_prefix()
 
     @register(
         "ann_index_manifest_stats",
@@ -828,9 +842,9 @@ ann_index_refine_filtered_serve_query = (
 # ---------------------------------------------------------------------------
 def _register_ann_index_retrain_policy():
     from .r8_round8 import _N_LISTS
-    from .r11_round11 import _UPSERT_ADC_SQL, _ensure_upsert_index
+    from .r11_round11 import _ensure_upsert_index
 
-    tl_prefix = _UPSERT_ADC_SQL.split(", resid AS (")[0]
+    tl_prefix = _upsert_tl_prefix()
     nl = _N_LISTS
 
     @register(
