@@ -625,11 +625,19 @@ def test_reshard_stream_resumes_from_checkpoint_mid_drain(spark, tmp_path):
         ],
     )
     ckpt = str(tmp_path / "ckpt")
-    seen: list[tuple[str, int, int]] = []
+    # batchId-keyed idempotent observer: q.stop() can land MID-batch,
+    # leaving that batch uncommitted in the checkpoint — on resume the
+    # engine replays the SAME batch id (foreachBatch is at-least-once),
+    # and an idempotent sink overwrites rather than double-counts. This
+    # is exactly the sink contract the engine documents for its own
+    # foreachBatch writers.
+    batches: dict[int, list[tuple[str, int, int]]] = {}
 
     def obs(df, bid):
-        for r in df.collect():
-            seen.append((r.shard_id, int(r.sequence_number), int(bid)))
+        batches[int(bid)] = [
+            (r.shard_id, int(r.sequence_number), int(bid))
+            for r in df.collect()
+        ]
 
     def run(stop_after_batches: int | None):
         st = (
@@ -646,9 +654,7 @@ def test_reshard_stream_resumes_from_checkpoint_mid_drain(spark, tmp_path):
         if stop_after_batches is not None:
             import time as _t
 
-            while (
-                len({b for _, _, b in seen}) < stop_after_batches
-            ):
+            while len(batches) < stop_after_batches:
                 _t.sleep(0.1)
             q.stop()
             q.awaitTermination()
@@ -658,10 +664,11 @@ def test_reshard_stream_resumes_from_checkpoint_mid_drain(spark, tmp_path):
             q.awaitTermination()
 
     run(stop_after_batches=2)  # partial drain: p still mid-flight
-    n_first = len(seen)
+    n_first = sum(len(rows) for rows in batches.values())
     assert 0 < n_first < 10
     run(stop_after_batches=None)  # resume from the SAME checkpoint
     # exactly-once: every record exactly once across both runs
+    seen = [t for rows in batches.values() for t in rows]
     assert sorted((s, q) for s, q, _ in seen) == sorted(
         [("p", i) for i in range(6)] + [("c", 10 + i) for i in range(4)]
     )
