@@ -756,3 +756,56 @@ def test_bytelevel_decode_inverts_encode_on_arbitrary_utf8():
     )
     for w, pieces in zip(out["w"], out["pieces"]):
         assert _bytelevel_decode_word(pieces, inv) == str(w)
+
+
+def test_retrain_policy_fully_tombstoned_index_reads_zero(
+    spark, sf_dir, tmp_path
+):
+    """The empty-census contract: deleting EVERY vector must read
+    n_live_vectors = imbalance_milli = 0 (no NULLs, no ANSI
+    divide-by-zero) and fire retrain via the empty-list branch."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(emb, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    similarity.ivfpq_index_delete(
+        spark, d, similarity._codes_df(spark, d).select("vec_id")
+    )
+    row = similarity.ivfpq_index_retrain_policy(spark, d).collect()[0]
+    assert row.n_live_lists == 0 and row.n_empty_lists == 16
+    assert row.n_live_vectors == 0 and row.imbalance_milli == 0
+    assert row.retrain == 1
+
+
+def test_retrain_policy_counts_trained_lists_from_meta(
+    spark, sf_dir, tmp_path
+):
+    """n_lists comes from the TRAINED count in _META, not the
+    surviving centroids/ rows: a trained-but-empty cluster (Lloyd can
+    drop one) must surface as an empty list in the census."""
+    import json
+
+    from kinesis_stream_reader_spark.operators import similarity
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = str(tmp_path / "idx")
+    similarity.ivfpq_build_index(emb, d, m=4, n_codes=8, n_lists=16,
+                                 max_iter=5)
+    meta = similarity._index_meta(spark, d)
+    meta["n_lists"] = 17  # as if training declared one more cluster
+    similarity._fs_write_text(
+        spark, f"{d}/_META.json", json.dumps(meta)
+    )
+    row = similarity.ivfpq_index_retrain_policy(
+        spark, d, empty_threshold_milli=50
+    ).collect()[0]
+    assert row.n_lists == 17
+    assert row.n_empty_lists == row.n_lists - row.n_live_lists >= 1
+    # 1/17 empty = 58 milli >= 50 -> the empty branch fires
+    assert row.retrain == 1
