@@ -3,14 +3,27 @@ typed metadata, and Arrow-batched decode / feature-extract plumbing.
 
 Extension surface (north-star mandate). The Spark-side design is real
 and tested — schema, partitioning, mapInPandas batch shape, feature
-extraction — and the decode path is EXECUTABLE for two real formats:
-binary PPM images (decode_ppm) and RIFF/WAVE PCM16 audio (decode_wav,
-resample_audio), both pure Python/numpy. Formats that need external
-codecs (JPEG/PNG via Pillow, compressed audio via librosa, video via
-pyav) remain gated behind NotImplementedError with a clear message;
-swapping them in changes only the inner function, not the Spark
-plumbing. The byte-level fakes in extract_features/... are retained
-for the opaque-payload operators that must work on ANY format.
+extraction — and the decoders are EXECUTABLE pure Python/numpy, no
+Pillow/librosa/pyav, each cross-validated against JDK ImageIO in
+pytest where the JDK has a reference codec (rounds 3-12):
+
+- PNG: all five color types, bit depths 1/2/4/8/16, Adam7 interlace,
+  all filter types (decode_png).
+- JPEG: baseline, progressive (spectral selection + successive
+  approximation), 12-bit extended sequential, and lossless (SOF3) with
+  all 7 predictors including multi-scan component groups (decode_jpeg).
+- TIFF: LZW/PackBits/Deflate/CCITT G3-1D/G3-2D/G4 compressions,
+  tiled + striped, chunky + planar, 8/16-bit (decode_tiff).
+- GIF (incl. multi-frame animation compositing with disposal), BMP
+  (24-bit uncompressed), PPM; WAV PCM16/IMA-ADPCM/MS-ADPCM/A-law/u-law,
+  AIFF PCM (decode_wav/decode_aiff, resample_audio).
+
+The remaining NotImplementedError sites are honest FORMAT-EDGE gates,
+each with a loud message naming the edge (e.g. arithmetic-coded JPEG,
+partially-interleaved lossless scans, GIF transparency, non-24-bit
+BMP, exotic TIFF tag combinations) — not stubs for whole formats.
+The byte-level fakes in extract_features/... are retained for the
+opaque-payload operators that must work on ANY format.
 
 Scale notes: binary payloads stay opaque to the JVM (no codegen over
 blob contents); mapInPandas streams Arrow record batches so one task

@@ -3351,21 +3351,39 @@ def _fs_read_text(spark, path: str) -> "str | None":
 
 def _fs_write_text(spark, path: str, text: str) -> None:
     """Small-file flip through the Hadoop FS: write a temp object,
-    then delete-and-rename into place. Atomic on HDFS-like stores; on
-    an object store the rename is a copy of ONE small file. The index
-    has a single maintenance writer by contract, so the delete->rename
-    window never races another writer; a concurrent READER either
-    sees the old file (pre-delete) or retries on not-found — never a
-    torn mapping."""
+    then rename it OVER the destination in one FileContext call
+    (Options.Rename.OVERWRITE — atomic on HDFS-like stores; on an
+    object store the rename is a copy of ONE small file). The
+    overwriting rename is load-bearing: the plain FileSystem API
+    refuses to rename onto an existing file, and the round-12
+    delete-then-rename workaround opened a window in which a
+    concurrent reader saw NO manifest at all — indistinguishable from
+    a never-compacted index, so _codes_df would silently resurrect
+    pre-compaction rows. With the single-call rename a reader sees
+    either the old mapping or the new one, never an absence. Stores
+    whose FileContext rejects the flag (none of HDFS/S3A/local do)
+    fall back to delete+rename; _load_manifest's generation-dir
+    cross-check turns that residual window into a retried read
+    instead of a silent fallback."""
     fs, jp = _hfs(spark, path)
-    jtmp = spark._jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    jvm = spark._jvm
+    jtmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
     out = fs.create(jtmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    fs.delete(jp, False)
-    fs.rename(jtmp, jp)
+    try:
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            jp.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        ren = getattr(jvm.org.apache.hadoop.fs, "Options$Rename")
+        opts = spark._sc._gateway.new_array(ren, 1)
+        opts[0] = ren.OVERWRITE
+        fc.rename(jtmp, jp, opts)
+    except Exception:
+        fs.delete(jp, False)
+        fs.rename(jtmp, jp)
 
 
 def _fs_touch(spark, path: str) -> None:
@@ -3380,10 +3398,37 @@ def _load_manifest(spark, index_dir: str) -> "dict | None":
     from the map live in the default root codes/. An empty dir list
     means the list holds no vectors at all (fully tombstoned and
     compacted away). Absent manifest = every list in codes/ — all
-    indexes look like that until their first compaction."""
-    import json
+    indexes look like that until their first compaction.
 
-    text = _fs_read_text(spark, f"{index_dir}/_MANIFEST.json")
+    Flip-window handling (round 13): on a store whose FileContext
+    rename fell back to delete+rename, a reader can catch the instant
+    between the delete and the rename — manifest missing, but the
+    COMPLETE new manifest sitting in _MANIFEST.json.tmp (the fallback
+    writes and closes the tmp before it deletes). A missing manifest
+    therefore retries briefly (the writer usually finishes the
+    rename), then reads the tmp if one exists — past the delete, the
+    tmp IS the committed mapping, and serving the old (deleted) one
+    is impossible anyway. Missing manifest with NO tmp is the
+    never-compacted state — which includes a maintenance job that
+    crashed after staging a codes_c* directory but BEFORE its first
+    flip: the staged generation is unreferenced garbage (gc reclaims
+    it) and codes/ is still the full live index."""
+    import json
+    import time
+
+    path = f"{index_dir}/_MANIFEST.json"
+    text = _fs_read_text(spark, path)
+    if text is not None:
+        return json.loads(text)
+    for _ in range(5):
+        if not _fs_exists(spark, path + ".tmp"):
+            # no flip in flight or interrupted: the miss is genuine
+            return None
+        time.sleep(0.2)
+        text = _fs_read_text(spark, path)
+        if text is not None:
+            return json.loads(text)
+    text = _fs_read_text(spark, path + ".tmp")
     return json.loads(text) if text is not None else None
 
 
@@ -3443,8 +3488,6 @@ def _codes_sans_tombstones(spark, index_dir: str) -> DataFrame:
     """Live code rows with tombstoned ids anti-joined out (broadcast —
     the tombstone set is the deletes-since-compaction delta, small by
     maintenance policy)."""
-    import os
-
     codes = _codes_df(spark, index_dir)
     tomb = f"{index_dir}/tombstones"
     if _fs_exists(spark, tomb):
@@ -3487,8 +3530,6 @@ def ivfpq_index_compact(spark, index_dir: str) -> list[int]:
     Tombstones are retired engine-side by overwriting tombstones/ with
     an empty relation. Returns the compacted list_ids (bounded by
     n_lists)."""
-    import os
-
     tomb = f"{index_dir}/tombstones"
     if not _fs_exists(spark, tomb):
         return []
@@ -3568,8 +3609,6 @@ def ivfpq_index_compact_policy(
 
     The ann_index_stats occupancy census is the same scan shape; this
     adds the tombstone overlay and the decision column."""
-    import os
-
     codes = _codes_df(spark, index_dir).select("vec_id", "list_id")
     tomb_dir = f"{index_dir}/tombstones"
     if _fs_exists(spark, tomb_dir):

@@ -576,8 +576,14 @@ class KinesisReshardStreamReader(DataSourceStreamReader):
             # freeze the shard's final size the first time it is fully
             # planned: once frozen it never changes, and it rides the
             # offset into the checkpoint so recovery replays the exact
-            # bases of the original run
-            if sid not in sizes and out[sid] >= total:
+            # bases of the original run. parent_done gates the freeze
+            # (round 13): a present-but-EMPTY wire file of a
+            # not-yet-admitted shard also satisfies out >= total
+            # (0 >= 0), and freezing that 0 would permanently
+            # undercount every descendant's chain-global emit_idx base
+            # if records land in the file once the shard is admitted —
+            # sizes are frozen only at genuine full-drain time.
+            if sid not in sizes and out[sid] >= total and parent_done(sid):
                 sizes[sid] = total
         self._frozen_sizes = sizes
         return {"pos": out, "sizes": sizes}
