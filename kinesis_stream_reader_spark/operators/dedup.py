@@ -885,6 +885,30 @@ def semdedup_trained(
     return _semdedup_kept(embeddings, assign, threshold)
 
 
+def semdedup_persisted(
+    embeddings: DataFrame, index_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """SemDeDup composed onto the PERSISTED serving index (round 13):
+    semdedup_trained retrains k-means inside the query, but a corpus
+    that already serves ANN from a persisted IVF-PQ index has paid for
+    its coarse assignment — at 100 TB the embedding dedup should
+    reuse it, not train a second quantizer. Cluster membership is the
+    index's LIVE code rows (manifest-aware generation resolution,
+    tombstones anti-joined — the serving paths' single source of
+    liveness), read with the codes column pruned so the scan carries
+    two longs per vector; the within-cluster dropped-only kernel is
+    the shared _semdedup_kept. Row-identical to semdedup_trained when
+    the index was trained with the same constants on the same corpus
+    (asserted in pytest; shared oracle)."""
+    from .similarity import _codes_sans_tombstones
+
+    spark = embeddings.sparkSession
+    assign = _codes_sans_tombstones(spark, index_dir).select(
+        "vec_id", F.col("list_id").alias("cluster")
+    )
+    return _semdedup_kept(embeddings, assign, threshold)
+
+
 def ngram_containment_pairs(
     documents: DataFrame,
     n: int = 3,

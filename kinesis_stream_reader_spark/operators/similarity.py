@@ -2715,20 +2715,44 @@ def _ivfpq_encoder(cmat, cids, cb, m: int, n_codes: int, n_lists: int):
     return encode
 
 
+def _model_root(manifest: "dict | None") -> str:
+    """The generation subtree holding the index's CURRENT trained
+    model (round 13): after ivfpq_index_retrain the manifest's
+    model_root names a gen_r<N>/ directory whose centroids/, codebook/,
+    _META.json, codes/ and vectors/ supersede the root-level layout —
+    the flip that makes a retrain one atomic manifest write. Absent
+    model_root = the original build's root-level layout."""
+    return (manifest or {}).get("model_root") or ""
+
+
+def _index_subpath(index_dir: str, manifest: "dict | None", name: str) -> str:
+    """Absolute path of an index component (codes, vectors, centroids,
+    codebook, _META.json) under the manifest's model root."""
+    mr = _model_root(manifest)
+    return f"{index_dir}/{mr}/{name}" if mr else f"{index_dir}/{name}"
+
+
 def _load_index_constants(spark, index_dir: str):
     """Driver-side load of the trained constants (centroids sorted by
     cid, codebook sorted by code_id) — k + n_codes rows, the bounded
-    model artifact every serve/add call broadcasts."""
+    model artifact every serve/add call broadcasts. Manifest-aware
+    (round 13): a retrained index's constants live under its
+    model_root generation."""
     import numpy as np
 
+    manifest = _load_manifest(spark, index_dir)
     crows = sorted(
-        spark.read.parquet(f"{index_dir}/centroids").collect(),
+        spark.read.parquet(
+            _index_subpath(index_dir, manifest, "centroids")
+        ).collect(),
         key=lambda r: r["cid"],
     )
     cids = np.array([r["cid"] for r in crows], np.int64)
     cmat = np.stack([np.asarray(r["c"], np.int64) for r in crows])
     brows = sorted(
-        spark.read.parquet(f"{index_dir}/codebook").collect(),
+        spark.read.parquet(
+            _index_subpath(index_dir, manifest, "codebook")
+        ).collect(),
         key=lambda r: r["code_id"],
     )
     cb = np.stack([np.asarray(r["r"], np.int64) for r in brows])
@@ -2837,10 +2861,14 @@ def ivfpq_build_index(
 def _index_meta(spark, index_dir: str) -> "dict | None":
     """The _META sidecar (m, n_codes, n_lists) when present — always,
     for round-11+ builds. Read through the Hadoop FS so the index
-    works on non-POSIX stores."""
+    works on non-POSIX stores. Manifest-aware: a retrained index's
+    sidecar lives under its model_root generation."""
     import json
 
-    text = _fs_read_text(spark, f"{index_dir}/_META.json")
+    manifest = _load_manifest(spark, index_dir)
+    text = _fs_read_text(
+        spark, _index_subpath(index_dir, manifest, "_META.json")
+    )
     return json.loads(text) if text is not None else None
 
 
@@ -2877,6 +2905,7 @@ def ivfpq_store_vectors(embeddings: DataFrame, index_dir: str) -> None:
     n_lists = (
         int(meta["n_lists"]) if meta is not None else int(cids.max()) + 1
     )
+    manifest = _load_manifest(spark, index_dir)
     vecs, schema, passthrough = _vector_store_projection(embeddings)
     (
         vecs.mapInPandas(
@@ -2888,8 +2917,15 @@ def ivfpq_store_vectors(embeddings: DataFrame, index_dir: str) -> None:
         .repartition(n_lists, "list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
-        .parquet(f"{index_dir}/vectors")
+        .parquet(_index_subpath(index_dir, manifest, "vectors"))
     )
+    if manifest and manifest.get("vec_roots"):
+        # a full overwrite of the base store supersedes every vector
+        # generation — clear the redirections so readers do not union
+        # stale generation rows on top of the fresh store
+        manifest = dict(manifest)
+        manifest["vec_roots"] = {}
+        _write_manifest(spark, index_dir, manifest)
 
 
 def _vector_store_projection(embeddings: DataFrame):
@@ -2985,7 +3021,7 @@ def _refine_serve_core(
         [(r[1], r[2], r[3], r[4]) for r in lut_rows],
         "list_id LONG, s INT, code_id LONG, d LONG",
     )
-    vectors = spark.read.parquet(f"{index_dir}/vectors").filter(
+    vectors = _vectors_df(spark, index_dir).filter(
         F.col("list_id").isin(probed)
     )
     codes = _codes_sans_tombstones(spark, index_dir).filter(
@@ -3089,7 +3125,7 @@ def ivf_serve_filtered_persisted(
         F.col("list_id").isin(probed)
     ).select("vec_id")
     cand = (
-        spark.read.parquet(f"{index_dir}/vectors")
+        _vectors_df(spark, index_dir)
         .filter(
             F.col("list_id").isin(probed)
             & (F.col("label") == label)
@@ -3220,82 +3256,45 @@ def ivfpq_index_add(
         "vec_id LONG, list_id LONG, codes ARRAY<LONG>",
     ).repartition(n_lists, "list_id")
     # one file per touched list per append, not one per task per
-    # list (the build-path small-files rationale)
+    # list (the build-path small-files rationale). Appends must land
+    # in each list's LIVE root (appending a compacted list's rows into
+    # the default base would park them beside that list's stale
+    # pre-compaction files, where the manifest reader rightly never
+    # looks) — _routed_append resolves the root map and re-homes
+    # fully-dropped lists into the newest generation.
     manifest = _load_manifest(spark, index_dir)
-    if not manifest or not manifest.get("roots"):
-        # the common path: no compaction yet, everything lives in codes/
-        encoded.write.mode("append").partitionBy("list_id").parquet(
-            f"{index_dir}/codes"
-        )
-    else:
-        # compacted index: appends must land in each list's LIVE root
-        # (appending a compacted list's rows into codes/ would park
-        # them beside that list's stale pre-compaction files, where
-        # the manifest reader rightly never looks). Lists still rooted
-        # at codes/ append there; lists redirected to a generation
-        # append into it; a fully-dropped list (empty root set) is
-        # re-homed in the NEWEST generation — the one directory
-        # guaranteed to hold no stale rows for it — and the manifest
-        # is flipped to record that. Cost: the encode materializes
-        # once and one append per distinct target root (the number of
-        # live generations + 1, small by compaction policy).
-        encoded = encoded.cache()
-        try:
-            roots = dict(manifest["roots"])
-            newest = f"codes_c{int(manifest.get('generation', 0))}"
-            touched = {
-                int(r["list_id"])
-                for r in encoded.select("list_id").distinct().collect()
-            }
-            target_of: dict[int, str] = {}
-            rehomed = False
-            for lid in touched:
-                dirs = roots.get(str(lid))
-                if dirs is None:
-                    target_of[lid] = "codes"
-                elif dirs:
-                    target_of[lid] = dirs[-1]
-                else:
-                    target_of[lid] = newest
-                    roots[str(lid)] = [newest]
-                    rehomed = True
-            by_target: dict[str, list[int]] = {}
-            for lid, tgt in target_of.items():
-                by_target.setdefault(tgt, []).append(lid)
-            for tgt, lids in sorted(by_target.items()):
-                (
-                    encoded.filter(F.col("list_id").isin(sorted(lids)))
-                    .write.mode("append")
-                    .partitionBy("list_id")
-                    .parquet(f"{index_dir}/{tgt}")
-                )
-            if rehomed:
-                manifest["roots"] = roots
-                _write_manifest(spark, index_dir, manifest)
-        finally:
-            encoded.unpersist()
-    if _fs_exists(spark, f"{index_dir}/vectors"):
+    new_roots = _routed_append(
+        spark, index_dir, encoded, manifest, "roots", "codes", "codes_c"
+    )
+    new_vec_roots = None
+    if _fs_exists(spark, _index_subpath(index_dir, manifest, "vectors")):
         # the index carries a refine store: keep it in sync so a
         # two-stage serve can re-rank added vectors too (one extra
-        # map-side assign pass over the DELTA only). vectors/ has no
-        # generation manifest — tombstoned ids are filtered by the
-        # shortlist inner-join, so stale vector rows are unreachable.
+        # map-side assign pass over the DELTA only), routed through
+        # the manifest's vec_roots exactly like the codes (round 13 —
+        # compaction rewrites vector partitions now, so the live root
+        # of a compacted list is its vectors_c generation).
         vdf, vschema, passthrough = _vector_store_projection(
             new_embeddings
         )
-        (
-            vdf.mapInPandas(
-                _ivf_assign_batches(
-                    cmat, cids, n_lists, keep_xq=True,
-                    passthrough=passthrough,
-                ),
-                vschema,
-            )
-            .repartition(n_lists, "list_id")
-            .write.mode("append")
-            .partitionBy("list_id")
-            .parquet(f"{index_dir}/vectors")
+        assigned = vdf.mapInPandas(
+            _ivf_assign_batches(
+                cmat, cids, n_lists, keep_xq=True,
+                passthrough=passthrough,
+            ),
+            vschema,
+        ).repartition(n_lists, "list_id")
+        new_vec_roots = _routed_append(
+            spark, index_dir, assigned, manifest, "vec_roots",
+            "vectors", "vectors_c",
         )
+    if new_roots is not None or new_vec_roots is not None:
+        manifest = dict(manifest)
+        if new_roots is not None:
+            manifest["roots"] = new_roots
+        if new_vec_roots is not None:
+            manifest["vec_roots"] = new_vec_roots
+        _write_manifest(spark, index_dir, manifest)
     if batch_id is not None:
         _fs_touch(spark, marker)
 
@@ -3465,7 +3464,9 @@ def _codes_df(spark, index_dir: str) -> DataFrame:
     uniformly across branches."""
     schema = "vec_id LONG, codes ARRAY<LONG>, list_id LONG"
     manifest = _load_manifest(spark, index_dir)
-    codes = spark.read.schema(schema).parquet(f"{index_dir}/codes")
+    codes = spark.read.schema(schema).parquet(
+        _index_subpath(index_dir, manifest, "codes")
+    )
     if not manifest or not manifest.get("roots"):
         return codes
     roots: dict[int, list[str]] = {
@@ -3502,6 +3503,121 @@ def _codes_sans_tombstones(spark, index_dir: str) -> DataFrame:
         )
         codes = codes.join(F.broadcast(t), "vec_id", "left_anti")
     return codes
+
+
+def _vectors_df(
+    spark, index_dir: str, manifest: "dict | None | bool" = False
+) -> DataFrame:
+    """Manifest-aware reader of the REFINE store (round 13) — the
+    vectors/ counterpart of _codes_df, and the fix for the
+    append-only-vectors staleness: once compaction also rewrites the
+    affected lists' vector partitions (vectors_c<gen>/ + the
+    manifest's vec_roots map), every serve path must read vectors
+    through the same root-resolution or it would see the stale
+    pre-compaction rows (a deleted-compacted-then-re-added vec_id
+    would otherwise surface TWICE in the re-rank join, pushing a
+    genuine candidate out of top-k). All selection filters are on the
+    list_id partition column, so each branch stays file-level pruning
+    and a serve's probed-list filter composes into every branch.
+
+    The schema is pinned from the first readable root: passthrough
+    attribute columns (label, ...) vary per corpus, and generation
+    branches can legitimately be empty directories after gc.
+    ``manifest=False`` (sentinel) loads the manifest; pass a loaded
+    manifest (or None) to pin a pre-flip view during maintenance."""
+    if manifest is False:
+        manifest = _load_manifest(spark, index_dir)
+    base = _index_subpath(index_dir, manifest, "vectors")
+    raw_roots = (manifest or {}).get("vec_roots") or {}
+    if not raw_roots:
+        return spark.read.parquet(base)
+    roots: dict[int, list[str]] = {
+        int(lid): dirs for lid, dirs in raw_roots.items()
+    }
+    schema = None
+    for cand in [base] + [
+        f"{index_dir}/{d}" for dirs in sorted(roots.values()) for d in dirs
+    ]:
+        try:
+            schema = spark.read.parquet(cand).schema
+            break
+        except Exception:
+            continue
+    if schema is None:
+        raise ValueError(f"no readable vectors store under {index_dir}")
+    out = spark.read.schema(schema).parquet(base).filter(
+        ~F.col("list_id").isin(sorted(roots))
+    )
+    by_dir: dict[str, list[int]] = {}
+    for lid, dirs in roots.items():
+        for d in dirs:
+            by_dir.setdefault(d, []).append(lid)
+    for d, lids in sorted(by_dir.items()):
+        branch = spark.read.schema(schema).parquet(
+            f"{index_dir}/{d}"
+        ).filter(F.col("list_id").isin(sorted(lids)))
+        out = out.unionByName(branch)
+    return out
+
+
+def _routed_append(
+    spark,
+    index_dir: str,
+    rows: DataFrame,
+    manifest: "dict | None",
+    roots_key: str,
+    base_name: str,
+    gen_prefix: str,
+) -> "dict | None":
+    """Append list_id-partitioned rows into each list's LIVE root —
+    the shared routing behind ivfpq_index_add's codes AND vectors
+    appends. Lists absent from the manifest's root map append into the
+    default base (model_root-aware); redirected lists append into
+    their generation directory; a fully-dropped list (empty root set)
+    is re-homed in the newest generation — the one directory
+    guaranteed to hold no stale rows for it. Returns the UPDATED root
+    map when any list was re-homed (the caller folds it into one
+    manifest flip), else None. Cost: the rows materialize once and one
+    append runs per distinct target root (live generations + 1, small
+    by maintenance policy)."""
+    raw_roots = (manifest or {}).get(roots_key) or {}
+    base = _index_subpath(index_dir, manifest, base_name)
+    if not raw_roots:
+        rows.write.mode("append").partitionBy("list_id").parquet(base)
+        return None
+    roots = dict(raw_roots)
+    newest = f"{gen_prefix}{int(manifest.get('generation', 0))}"
+    rows = rows.cache()
+    try:
+        touched = {
+            int(r["list_id"])
+            for r in rows.select("list_id").distinct().collect()
+        }
+        target_of: dict[int, str] = {}
+        rehomed = False
+        for lid in touched:
+            dirs = roots.get(str(lid))
+            if dirs is None:
+                target_of[lid] = base
+            elif dirs:
+                target_of[lid] = f"{index_dir}/{dirs[-1]}"
+            else:
+                target_of[lid] = f"{index_dir}/{newest}"
+                roots[str(lid)] = [newest]
+                rehomed = True
+        by_target: dict[str, list[int]] = {}
+        for lid, tgt in target_of.items():
+            by_target.setdefault(tgt, []).append(lid)
+        for tgt, lids in sorted(by_target.items()):
+            (
+                rows.filter(F.col("list_id").isin(sorted(lids)))
+                .write.mode("append")
+                .partitionBy("list_id")
+                .parquet(tgt)
+            )
+    finally:
+        rows.unpersist()
+    return roots if rehomed else None
 
 
 def ivfpq_index_compact(spark, index_dir: str) -> list[int]:
@@ -3576,9 +3692,50 @@ def ivfpq_index_compact(spark, index_dir: str) -> list[int]:
         roots = dict(manifest.get("roots", {}))
         for lid in affected:
             roots[str(lid)] = [newroot] if lid in survivors else []
-        _write_manifest(
-            spark, index_dir, {"generation": gen, "roots": roots}
-        )
+        # the refine store compacts in the SAME generation (round 13,
+        # the append-only-vectors fix): survivors of the affected
+        # lists' vector partitions stage into vectors_c<gen>/ and the
+        # manifest's vec_roots redirects those lists, so a tombstoned
+        # id's raw vector is physically unreachable after the flip —
+        # a later re-add of the same vec_id can no longer produce a
+        # duplicate re-rank candidate in the serve joins.
+        vec_roots = None
+        if _fs_exists(spark, _index_subpath(index_dir, manifest, "vectors")):
+            vnewroot = f"vectors_c{gen}"
+            (
+                _vectors_df(spark, index_dir, manifest)
+                .filter(F.col("list_id").isin(affected))
+                .join(F.broadcast(t), "vec_id", "left_anti")
+                .repartition(len(affected), "list_id")
+                .write.mode("overwrite")
+                .partitionBy("list_id")
+                .parquet(f"{index_dir}/{vnewroot}")
+            )
+            try:
+                v_survivors = {
+                    int(r["list_id"])
+                    for r in spark.read.parquet(f"{index_dir}/{vnewroot}")
+                    .select("list_id")
+                    .distinct()
+                    .collect()
+                }
+            except Exception:
+                v_survivors = set()
+            vec_roots = dict(manifest.get("vec_roots", {}))
+            for lid in affected:
+                vec_roots[str(lid)] = (
+                    [vnewroot] if lid in v_survivors else []
+                )
+            spark.catalog.refreshByPath(f"{index_dir}/{vnewroot}")
+        # ONE manifest flip commits both stores' redirections; every
+        # other key (model_root from a prior retrain, ...) is carried
+        # through unchanged
+        manifest = dict(manifest)
+        manifest["generation"] = gen
+        manifest["roots"] = roots
+        if vec_roots is not None:
+            manifest["vec_roots"] = vec_roots
+        _write_manifest(spark, index_dir, manifest)
         spark.catalog.refreshByPath(f"{index_dir}/{newroot}")
     # retire the consumed tombstones ENGINE-side: overwrite with an
     # empty relation (no driver-side deletes of Spark-written data)
@@ -3751,44 +3908,297 @@ def ivfpq_index_retrain_policy(
     )
 
 
+def ivfpq_index_retrain(
+    spark,
+    embeddings: DataFrame,
+    index_dir: str,
+    m: "int | None" = None,
+    n_codes: "int | None" = None,
+    n_lists: "int | None" = None,
+    max_iter: int = 5,
+) -> str:
+    """EXECUTE the retrain the policy triggers (round 13): when
+    ivfpq_index_retrain_policy fires — add/delete churn has drifted
+    live occupancy past the imbalance/empty-list thresholds — build a
+    COMPLETELY FRESH index (new coarse quantizer, new codebook, new
+    codes, new refine store) over the LIVE rows of the maintained one
+    (tombstones excluded, adds included) and swap it in with ONE
+    manifest flip, while the old generation keeps serving until that
+    instant. FAISS has no in-place answer to quantizer drift either —
+    the documented remedy is train a new index and swap; this is that
+    swap, lakehouse-style.
+
+    Mechanics (the ivfpq_index_compact staging shape, generalized from
+    per-list roots to the whole model):
+
+      1. live ids = codes minus tombstones (the index's single source
+         of liveness), semi-joined against the caller's corpus — the
+         retrain never trusts a side channel for membership.
+      2. ivfpq_build_index writes the new generation into
+         gen_r<G>/{centroids,codebook,_META.json,codes}; when the old
+         index carried a refine store, ivfpq_store_vectors lands
+         gen_r<G>/vectors — all of it UNREFERENCED staging until the
+         flip, so every serve path still answers from the old layout
+         (asserted in pytest by interleaving serves with the staging
+         write).
+      3. ONE _MANIFEST flip sets model_root = gen_r<G> and resets
+         roots/vec_roots — constants, codes and vectors cut over
+         atomically; readers resolve every component through the
+         manifest (_index_subpath), so there is no torn state where
+         new codes meet old centroids.
+      4. tombstones retire AFTER the flip (the new generation encodes
+         live rows only, so a stale tombstone anti-join is a no-op —
+         a crash between flip and retirement loses nothing).
+
+    Crash-safe at every point: before the flip the staged gen_r<G> is
+    garbage (ivfpq_index_gc reclaims it; a re-run overwrites it and
+    converges); after the flip the retrain is fully committed. The
+    result is bit-equal to a from-scratch ivfpq_build_index over the
+    same live rows — same trainer, same seeds convention — which is
+    exactly what the oracle replays. Returns the new model root
+    (index-relative). Raises on a fully-tombstoned index (no live
+    rows to train on — delete the index instead).
+
+    100 TB: the build cost is the from-scratch encode (one Arrow pass
+    over live rows, key-repartitioned partitioned write); nothing else
+    is rewritten, the flip is one small file, and serving never
+    blocks."""
+    meta = _index_meta(spark, index_dir) or {}
+    m = int(meta["m"]) if m is None else int(m)
+    n_codes = int(meta["n_codes"]) if n_codes is None else int(n_codes)
+    n_lists = int(meta["n_lists"]) if n_lists is None else int(n_lists)
+    manifest = _load_manifest(spark, index_dir) or {
+        "generation": 0, "roots": {},
+    }
+    had_vectors = _fs_exists(
+        spark, _index_subpath(index_dir, manifest, "vectors")
+    )
+    live = embeddings.join(
+        _codes_sans_tombstones(spark, index_dir).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    )
+    gen = int(manifest.get("generation", 0)) + 1
+    stage = f"gen_r{gen}"
+    ivfpq_build_index(
+        live, f"{index_dir}/{stage}", m=m, n_codes=n_codes,
+        n_lists=n_lists, max_iter=max_iter,
+    )
+    if had_vectors:
+        ivfpq_store_vectors(live, f"{index_dir}/{stage}")
+    manifest = dict(manifest)
+    manifest["generation"] = gen
+    manifest["roots"] = {}
+    manifest["vec_roots"] = {}
+    manifest["model_root"] = stage
+    _write_manifest(spark, index_dir, manifest)
+    spark.catalog.refreshByPath(f"{index_dir}/{stage}/codes")
+    tomb = f"{index_dir}/tombstones"
+    if _fs_exists(spark, tomb):
+        spark.createDataFrame([], "vec_id LONG").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tomb)
+        spark.catalog.refreshByPath(tomb)
+    return stage
+
+
+def ivfpq_index_churn_recall(
+    embeddings: DataFrame,
+    index_dir: str,
+    n_queries: int = 8,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Recall-after-churn report (round 13): the number that justifies
+    the retrain policy's threshold. Recall reports exist for FRESH
+    indexes (ivf_knn_recall_report, quantization_recall_report); this
+    one measures the MAINTAINED index — after add/delete/compact
+    cycles have drifted occupancy away from what the frozen quantizer
+    was trained for — by comparing its batched ADC serve against the
+    exact ground truth on the index's own live rows.
+
+    Per query (the n_queries smallest vec_ids, the batch-serve
+    convention): served set = ivfpq_serve_persisted_batch's top-k;
+    truth set = exact int64 squared-L2 top-k over LIVE rows (liveness
+    = codes minus tombstones, the index's single source of truth —
+    never a side-channel predicate). hits = |served ∩ truth|,
+    recall_milli = hits * 1000 / k exact-integer. Returns one row per
+    query (query_id, hits, recall_milli) — feed the mean alongside
+    ivfpq_index_retrain_policy's imbalance census to decide when
+    decayed recall, not just skew, warrants the rebuild.
+
+    Plan shape / 100 TB: the served side is the one-scan batched ADC
+    plan. The truth side is ONE map-side Arrow pass over the live
+    rows against the broadcast n_queries x dim query matrix (numpy
+    int64 GEMM — exact), emitting only each Arrow batch's per-query
+    top-k partials (global top-k is a subset of their union), so the
+    shuffle carries n_batches * n_queries * k scalar rows, never the
+    corpus."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    served = ivfpq_serve_persisted_batch(
+        embeddings, index_dir, n_queries=n_queries, k=k, nprobe=nprobe
+    ).select("query_id", "vec_id")
+    qrows = sorted(
+        embeddings.select(
+            "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+        )
+        .orderBy("vec_id")
+        .limit(n_queries)
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    qids = np.array([int(r["vec_id"]) for r in qrows], np.int64)
+    qmat = np.stack([np.asarray(r["xq"], np.int64) for r in qrows])
+
+    def truth_partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, np.int64) for v in pdf["xq"]]
+            )
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_d = [], [], []
+            for j in range(len(qids)):
+                d2 = ((x - qmat[j][None, :]) ** 2).sum(1)
+                mask = ids != qids[j]
+                cids_, cd2 = ids[mask], d2[mask]
+                take = min(k, len(cids_))
+                if not take:
+                    continue
+                part = np.argpartition(cd2, take - 1)[:take]
+                out_q.extend([int(qids[j])] * take)
+                out_v.extend(int(v) for v in cids_[part])
+                out_d.extend(int(v) for v in cd2[part])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_v, "d2": out_d}
+            )
+
+    live = embeddings.join(
+        _codes_sans_tombstones(spark, index_dir).select("vec_id"),
+        "vec_id",
+        "left_semi",
+    ).select("vec_id", _quantized_vec(F.col("embedding")).alias("xq"))
+    w = Window.partitionBy("query_id").orderBy("d2", "vec_id")
+    truth = (
+        live.mapInPandas(truth_partials, "query_id LONG, vec_id LONG, d2 LONG")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id")
+    )
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in qids], "query_id LONG"
+    )
+    hits = served.join(truth, ["query_id", "vec_id"]).groupBy(
+        "query_id"
+    ).agg(F.count("*").cast("long").alias("hits"))
+    return (
+        qdf.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
+            F.expr(f"coalesce(hits, 0) * 1000 DIV {int(k)}")
+            .cast("long")
+            .alias("recall_milli"),
+        )
+        .orderBy("query_id")
+    )
+
+
 def ivfpq_index_gc(spark, index_dir: str) -> list[str]:
-    """Optional space reclamation for compacted indexes: delete the
-    partition directories the _MANIFEST no longer references (each
-    compacted list's stale codes/list_id=N files and its superseded
-    older generations). Correctness NEVER depends on this — _codes_df
-    reads only manifest-referenced directories — so gc can run never,
-    rarely, or from a cron, and a crash mid-gc loses nothing. Uses the
-    Hadoop FileSystem API through the live JVM, so it works against
-    whatever store the index lives on (HDFS, S3A, local), not just a
-    POSIX path. Returns the deleted directories (index-relative)."""
+    """Optional space reclamation for maintained indexes: delete what
+    the _MANIFEST no longer references — each compacted list's stale
+    list_id=N partition files, superseded codes_c*/vectors_c*
+    generations, orphaned staging from a crashed maintenance run, and
+    (after a retrain) the entire pre-retrain layout plus older gen_r*
+    trees. Correctness NEVER depends on this — readers resolve only
+    manifest-referenced directories — so gc can run never, rarely, or
+    from a cron, and a crash mid-gc loses nothing. Uses the Hadoop
+    FileSystem API through the live JVM, so it works against whatever
+    store the index lives on (HDFS, S3A, local), not just a POSIX
+    path. Returns the deleted entries (index-relative)."""
     manifest = _load_manifest(spark, index_dir)
-    if not manifest or not manifest.get("roots"):
+    fs, root = _hfs(spark, index_dir)
+    if not fs.exists(root):
         return []
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    root = jvm.org.apache.hadoop.fs.Path(index_dir)
-    fs = root.getFileSystem(hconf)
-    live: set[str] = set()
-    compacted: dict[int, set[str]] = {}
-    for lid, dirs in manifest["roots"].items():
-        compacted[int(lid)] = set(dirs)
-        live.update(dirs)
+    mr = _model_root(manifest)
+    referenced: set[str] = set()
+    for key in ("roots", "vec_roots"):
+        for dirs in ((manifest or {}).get(key) or {}).values():
+            referenced.update(dirs)
     deleted: list[str] = []
-    # stale partitions under every code root (codes/ + generations)
+    surviving_gens: list[str] = []
     for st in fs.listStatus(root):
+        base = st.getPath().getName()
+        if base == "_MANIFEST.json.tmp" and _fs_exists(
+            spark, f"{index_dir}/_MANIFEST.json"
+        ):
+            # consumed (or superseded) flip temp — _load_manifest only
+            # consults it while the manifest FILE itself is missing,
+            # so it is garbage precisely when that file exists
+            fs.delete(st.getPath(), False)
+            deleted.append(base)
+            continue
         if not st.isDirectory():
             continue
-        base = st.getPath().getName()
-        if base != "codes" and not base.startswith("codes_c"):
+        if base.startswith("gen_r"):
+            if base != mr:
+                # superseded model generation, or staging orphaned by
+                # a retrain that crashed before its flip
+                fs.delete(st.getPath(), True)
+                deleted.append(base)
             continue
-        for part in fs.listStatus(st.getPath()):
-            name = part.getPath().getName()
-            if not name.startswith("list_id="):
+        if mr and base in ("codes", "vectors", "centroids", "codebook"):
+            # pre-retrain layout, fully superseded by the model root
+            fs.delete(st.getPath(), True)
+            deleted.append(base)
+            continue
+        if base.startswith("codes_c") or base.startswith("vectors_c"):
+            if base not in referenced:
+                # generation no newer root map mentions: every list it
+                # held has moved on (or it never committed)
+                fs.delete(st.getPath(), True)
+                deleted.append(base)
+            else:
+                surviving_gens.append(base)
+    if mr and _fs_exists(spark, f"{index_dir}/_META.json"):
+        fs.delete(spark._jvm.org.apache.hadoop.fs.Path(
+            f"{index_dir}/_META.json"
+        ), False)
+        deleted.append("_META.json")
+    # stale per-list partitions inside still-live roots: a list
+    # redirected to a generation leaves its old files under the
+    # default base (and under older generations that still serve
+    # OTHER lists)
+    for key, default_rel, prefix in (
+        ("roots", f"{mr}/codes" if mr else "codes", "codes_c"),
+        ("vec_roots", f"{mr}/vectors" if mr else "vectors", "vectors_c"),
+    ):
+        compacted = {
+            int(lid): set(dirs)
+            for lid, dirs in (((manifest or {}).get(key)) or {}).items()
+        }
+        if not compacted:
+            continue
+        bases = [default_rel] + [
+            b for b in surviving_gens if b.startswith(prefix)
+        ]
+        for base_rel in bases:
+            bpath = spark._jvm.org.apache.hadoop.fs.Path(
+                f"{index_dir}/{base_rel}"
+            )
+            if not fs.exists(bpath):
                 continue
-            lid = int(name.split("=", 1)[1])
-            if lid in compacted and base not in compacted[lid]:
-                fs.delete(part.getPath(), True)
-                deleted.append(f"{base}/{name}")
+            for part in fs.listStatus(bpath):
+                name = part.getPath().getName()
+                if not name.startswith("list_id="):
+                    continue
+                lid = int(name.split("=", 1)[1])
+                if lid in compacted and base_rel not in compacted[lid]:
+                    fs.delete(part.getPath(), True)
+                    deleted.append(f"{base_rel}/{name}")
     return sorted(deleted)
 
 
@@ -4035,7 +4445,7 @@ def ivfpq_serve_refine_persisted_batch(
         [(int(r["vec_id"]), [int(x) for x in r["xq"]]) for r in qrows],
         "query_id LONG, qxq ARRAY<LONG>",
     )
-    vectors = spark.read.parquet(f"{index_dir}/vectors").filter(
+    vectors = _vectors_df(spark, index_dir).filter(
         F.col("list_id").isin(sorted(probed_union))
     )
     rer = (

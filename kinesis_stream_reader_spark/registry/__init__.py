@@ -45,6 +45,7 @@ from . import r9_round9  # noqa: E402,F401
 from . import r10_round10  # noqa: E402,F401
 from . import r11_round11  # noqa: E402,F401
 from . import r12_round12  # noqa: E402,F401
+from . import r13_round13  # noqa: E402,F401
 
 # Back-compat re-exports (callers use registry.<name> for these).
 from .r1_parity_ext import records_pipeline  # noqa: E402,F401
@@ -91,6 +92,8 @@ EAGER_QUERIES = frozenset(
         "ann_index_refine_serve_batch", "ann_index_manifest_stats",
         "ann_index_refine_filtered_serve", "ann_index_retrain_policy",
         "bytelevel_bpe_roundtrip",
+        "ann_index_retrain_serve", "ann_index_churn_recall",
+        "semdedup_persisted",
         "quantization_recall_report",
         "dedup_minhash_canonical", "dedup_groups", "dedup_keep_best",
         "dedup_downweight", "dedup_containment_best", "winnowing_fingerprints",
@@ -121,6 +124,11 @@ EAGER_QUERIES = frozenset(
 # The correctness driver samples queries() in dict order and may stop
 # after the first ~50 entries, so never-driver-checked queries lead.
 _PRIORITY = [
+    # ROUND-13 ROTATION: new round-13 queries lead (never
+    # driver-checked), then the round-13-touched legs (manifest-aware
+    # vectors generations, model-root constants, routed appends).
+    "ann_index_retrain_serve", "ann_index_churn_recall",
+    "semdedup_persisted", "streaming_bytelevel_bpe_encode",
     # ROUND-12 ROTATION: new round-12 queries lead (never
     # driver-checked), then the round-12-touched legs (manifest
     # compaction, batch-id guard, reshard frozen sizes, scheme-less
