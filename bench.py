@@ -198,6 +198,10 @@ def main() -> None:
         "records_pipeline",
         "dataset_card",
         "streaming_records_pipeline",
+        # round-13 verdict item: 1.215 -> 1.446 s raw in r12 sat below
+        # the ambient-adjusted trigger and shipped unprobed — probe it
+        # unconditionally so the committed number is always confirmed
+        "curriculum_shards",
     ]
     prev = _load_previous_bench(out_path, sf_val)
     # Ambient normalization (round 10): the machine's day-to-day speed

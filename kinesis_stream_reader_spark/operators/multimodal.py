@@ -18,10 +18,15 @@ pytest where the JDK has a reference codec (rounds 3-12):
   (24-bit uncompressed), PPM; WAV PCM16/IMA-ADPCM/MS-ADPCM/A-law/u-law,
   AIFF PCM (decode_wav/decode_aiff, resample_audio).
 
+- JPEG lossless scan layouts: interleaved, one-scan-per-component,
+  and partially-interleaved component groups (round 13) all decode
+  through one unified predictive loop.
+
 The remaining NotImplementedError sites are honest FORMAT-EDGE gates,
 each with a loud message naming the edge (e.g. arithmetic-coded JPEG,
-partially-interleaved lossless scans, GIF transparency, non-24-bit
-BMP, exotic TIFF tag combinations) — not stubs for whole formats.
+hierarchical/differential frames, the lossless point transform, GIF
+transparency, non-24-bit BMP, exotic TIFF tag combinations) — not
+stubs for whole formats.
 The byte-level fakes in extract_features/... are retained for the
 opaque-payload operators that must work on ANY format.
 
@@ -3851,103 +3856,18 @@ def decode_jpeg(data: bytes):
             if frame.get("lossless"):
                 # T.81 Annex H: predictive coding, no DCT. Ss carries
                 # the predictor selector (1-7), Al the point transform.
-                if ns != len(frame["comps"]):
-                    if ns != 1:
-                        # partially-interleaved scans (1 < ns < Nf) are
-                        # the one remaining unsupported lossless layout
-                        raise NotImplementedError(
-                            "partially-interleaved lossless JPEG scans "
-                            "not supported — a scan must cover one "
-                            "component or all of them"
-                        )
-                    # NON-INTERLEAVED lossless (round 12): one scan per
-                    # component, legal per T.81 §H — each scan walks its
-                    # component's samples row-major with its OWN
-                    # predictor/restart state, and the image assembles
-                    # once every declared component has decoded.
-                    comp, td, _ = scan[0]
-                    ss = body[1 + 2 * ns]
-                    pt = body[3 + 2 * ns] & 0xF
-                    if pt != 0:
-                        raise NotImplementedError(
-                            "lossless JPEG point transform not supported"
-                        )
-                    if not 1 <= ss <= 7:
-                        raise ValueError(
-                            "invalid lossless predictor selector"
-                        )
-                    if comp["h"] != 1 or comp["v"] != 1:
-                        raise NotImplementedError(
-                            "lossless JPEG supports non-subsampled "
-                            "components"
-                        )
-                    tbl = huff[(0, td)]
-                    P = frame["precision"]
-                    h, w = frame["h"], frame["w"]
-                    plane = np.zeros((h, w), dtype=np.int64)
-                    br = _BitReader(data, pos + 2 + seg_len)
-                    default = 1 << (P - 1)
-                    n_since_restart = 0
-                    restarted = True
-                    for y in range(h):
-                        for x in range(w):
-                            if (
-                                restart_interval
-                                and n_since_restart == restart_interval
-                            ):
-                                br.align_restart()
-                                n_since_restart = 0
-                                restarted = True
-                            cat = _read_huffman(br, tbl)
-                            if cat == 16:
-                                diff = 32768  # SSSS=16: no bits (H.2)
-                            elif cat:
-                                diff = _extend(br.read_bits(cat), cat)
-                            else:
-                                diff = 0
-                            if restarted:
-                                px = default
-                                restarted = False
-                            elif y == 0:
-                                px = plane[0, x - 1] if x else default
-                            elif x == 0:
-                                px = plane[y - 1, 0]
-                            else:
-                                a = plane[y, x - 1]
-                                b = plane[y - 1, x]
-                                c = plane[y - 1, x - 1]
-                                px = (
-                                    a,
-                                    b,
-                                    c,
-                                    a + b - c,
-                                    a + ((b - c) >> 1),
-                                    b + ((a - c) >> 1),
-                                    (a + b) >> 1,
-                                )[ss - 1]
-                            plane[y, x] = (int(px) + diff) % 65536
-                            n_since_restart += 1
-                    ll_planes[comp["id"]] = plane
-                    if len(ll_planes) == len(frame["comps"]):
-                        dt = np.uint16 if P > 8 else np.uint8
-                        ordered = [
-                            ll_planes[c["id"]].astype(dt)
-                            for c in frame["comps"]
-                        ]
-                        if len(ordered) == 1:
-                            g = ordered[0]
-                            return np.stack([g, g, g], axis=2)
-                        # stored color = output color (no transform in
-                        # the lossless process) — same as interleaved
-                        return np.stack(ordered, axis=2)
-                    # more scans follow: drain pad bits to the next
-                    # marker and continue the marker walk
-                    while br.marker is None:
-                        br._fill()
-                        br.nbits = 0
-                        br.acc = 0
-                    pos = br.pos
-                    continue
+                # ONE decode loop serves every scan layout (round 13 —
+                # the partially-interleaved gate is gone): a scan
+                # carries any 1 <= ns <= Nf subset of the frame's
+                # components, decoded interleaved (one MCU = one
+                # sample per scan component, legal because components
+                # are non-subsampled) with per-component neighbor/
+                # predictor state (H.1.2); each finished scan deposits
+                # its planes and the image assembles once every
+                # declared component has decoded. Fully-interleaved
+                # (ns = Nf) and one-component scans are the degenerate
+                # cases of the same loop, so single-, multi- and
+                # mixed-scan files share one arithmetic.
                 ss = body[1 + 2 * ns]
                 pt = body[3 + 2 * ns] & 0xF
                 if pt != 0:
@@ -3956,7 +3876,7 @@ def decode_jpeg(data: bytes):
                     )
                 if not 1 <= ss <= 7:
                     raise ValueError("invalid lossless predictor selector")
-                if any(c["h"] != 1 or c["v"] != 1 for c in frame["comps"]):
+                if any(c["h"] != 1 or c["v"] != 1 for c, _, _ in scan):
                     raise NotImplementedError(
                         "lossless JPEG supports non-subsampled components"
                     )
@@ -3964,9 +3884,6 @@ def decode_jpeg(data: bytes):
                 P = frame["precision"]
                 h, w = frame["h"], frame["w"]
                 nc = len(scan)
-                # interleaved lossless: one MCU = one sample per
-                # component (non-subsampled); each component carries
-                # its OWN neighbor/predictor state (H.1.2)
                 planes = [np.zeros((h, w), dtype=np.int64) for _ in scan]
                 br = _BitReader(data, pos + 2 + seg_len)
                 default = 1 << (P - 1)
@@ -4012,13 +3929,28 @@ def decode_jpeg(data: bytes):
                                 )[ss - 1]
                             x_img[y, x] = (int(px) + diff) % 65536
                         n_since_restart += 1
-                dt = np.uint16 if P > 8 else np.uint8
-                if nc == 1:
-                    g = planes[0].astype(dt)
-                    return np.stack([g, g, g], axis=2)
-                # 3-component lossless: stored color is the output
-                # color — no JFIF transform in the lossless process
-                return np.stack([p.astype(dt) for p in planes], axis=2)
+                for ci, (comp, _, _) in enumerate(scan):
+                    ll_planes[comp["id"]] = planes[ci]
+                if len(ll_planes) == len(frame["comps"]):
+                    dt = np.uint16 if P > 8 else np.uint8
+                    ordered = [
+                        ll_planes[c["id"]].astype(dt)
+                        for c in frame["comps"]
+                    ]
+                    if len(ordered) == 1:
+                        g = ordered[0]
+                        return np.stack([g, g, g], axis=2)
+                    # stored color = output color — no JFIF transform
+                    # in the lossless process
+                    return np.stack(ordered, axis=2)
+                # more scans follow: drain pad bits to the next marker
+                # and continue the marker walk
+                while br.marker is None:
+                    br._fill()
+                    br.nbits = 0
+                    br.acc = 0
+                pos = br.pos
+                continue
             if frame.get("progressive"):
                 ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
                 ahal = body[3 + 2 * ns]
@@ -6162,6 +6094,102 @@ def encode_jpeg_lossless_rgb_multiscan(
                     bw.write(code, length)
                     if cat:
                         bw.write(d if d >= 0 else d + (1 << cat) - 1, cat)
+                n += 1
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_lossless_rgb_partial(
+    arr,
+    precision: int = 8,
+    predictor: int = 1,
+    restart_interval: int = 0,
+    scan_groups: "tuple[tuple[int, ...], ...]" = ((0, 1), (2,)),
+) -> bytes:
+    """Fixture twin of the PARTIALLY-INTERLEAVED SOF3 layout (round
+    13): the frame declares 3 components but each SOS interleaves only
+    a SUBSET of them (T.81 allows any 1 <= Ns <= Nf) — e.g. one scan
+    carrying R+G interleaved, a second carrying B. Each scan has its
+    own restart cadence and per-component predictor state; decoding
+    must be pixel-identical to the interleaved and one-scan-per-
+    component encodings of the same array. scan_groups must cover all
+    three channel indices exactly once."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.int64)
+    h, w, nc = a.shape
+    assert nc == 3
+    if sorted(ci for g in scan_groups for ci in g) != list(range(nc)):
+        raise ValueError("scan_groups must cover each component once")
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7")
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xc3" + struct.pack(">HBHHB", 8 + 3 * nc, precision, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])
+    out += b"\xff\xc4" + struct.pack(">H", 19 + len(_JLL_DC_SYMBOLS))
+    out += bytes([0x00]) + bytes(_JLL_DC_COUNTS) + bytes(_JLL_DC_SYMBOLS)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    codes = _huffman_codes(_JLL_DC_COUNTS, _JLL_DC_SYMBOLS)
+    default = 1 << (precision - 1)
+    for group in scan_groups:
+        gn = len(group)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * gn, gn)
+        for ci in group:
+            out += bytes([ci + 1, 0x00])
+        out += bytes([predictor, 0x00, 0x00])
+        bw = _BitWriter()
+        n = 0
+        n_restarts = 0
+        restarted = {ci: True for ci in group}
+        for y in range(h):
+            for x in range(w):
+                if restart_interval and n == restart_interval:
+                    out += bw.flush()
+                    bw = _BitWriter()
+                    out += bytes([0xFF, 0xD0 + (n_restarts % 8)])
+                    n_restarts += 1
+                    n = 0
+                    restarted = {ci: True for ci in group}
+                for ci in group:
+                    if restarted[ci]:
+                        px = default
+                        restarted[ci] = False
+                    elif y == 0:
+                        px = a[0, x - 1, ci] if x else default
+                    elif x == 0:
+                        px = a[y - 1, 0, ci]
+                    else:
+                        aa = a[y, x - 1, ci]
+                        bb = a[y - 1, x, ci]
+                        cc = a[y - 1, x - 1, ci]
+                        px = (
+                            aa,
+                            bb,
+                            cc,
+                            aa + bb - cc,
+                            aa + ((bb - cc) >> 1),
+                            bb + ((aa - cc) >> 1),
+                            (aa + bb) >> 1,
+                        )[predictor - 1]
+                    d = (int(a[y, x, ci]) - int(px)) % 65536
+                    if d >= 32768:
+                        d -= 65536
+                    if d == -32768:
+                        code, length = codes[16]
+                        bw.write(code, length)
+                    else:
+                        cat = _dc_category(d)
+                        code, length = codes[cat]
+                        bw.write(code, length)
+                        if cat:
+                            bw.write(
+                                d if d >= 0 else d + (1 << cat) - 1, cat
+                            )
                 n += 1
         out += bw.flush()
     out += b"\xff\xd9"

@@ -129,6 +129,8 @@ _PRIORITY = [
     # vectors generations, model-root constants, routed appends).
     "ann_index_retrain_serve", "ann_index_churn_recall",
     "semdedup_persisted", "streaming_bytelevel_bpe_encode",
+    "multimodal_jpeg_lossless_partial_decode",
+    "ann_index_retrain_refine_serve", "ann_index_retrain_health",
     # ROUND-12 ROTATION: new round-12 queries lead (never
     # driver-checked), then the round-12-touched legs (manifest
     # compaction, batch-id guard, reshard frozen sizes, scheme-less

@@ -367,3 +367,179 @@ GROUP BY piece ORDER BY piece
 
 
 streaming_bytelevel_bpe_encode_query = _register_streaming_bytelevel_bpe()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 13 — multimodal_jpeg_lossless_partial_decode: the LAST
+# lossless-JPEG scan layout (the round-12 gate). T.81 allows any
+# 1 <= Ns <= Nf component subset per scan; this fixture encodes each
+# document's RGB array as TWO scans — one interleaving two channels,
+# one carrying the third, with the grouping and group ORDER varying
+# per doc — and the unified predictive decode loop (the ns=1 /
+# ns=Nf special cases are now its degenerate forms) must reproduce
+# the same pixels as the interleaved layout. Same per-channel LCG
+# formulas, precisions, predictors and restart cadence as the
+# interleaved/multiscan queries — shared oracle.
+# ---------------------------------------------------------------------------
+def _register_partial_lossless():
+    @register(
+        "multimodal_jpeg_lossless_partial_decode",
+        ORACLES["multimodal_jpeg_lossless_rgb_decode"],
+    )
+    def multimodal_jpeg_lossless_partial_decode_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """REAL partially-interleaved lossless JPEG decode: the same
+        pixel formulas as the interleaved query, encoded with a
+        per-doc rotation of two-scan component groupings
+        (multimodal.encode_jpeg_lossless_rgb_partial)."""
+        import numpy as np
+
+        from ..operators import multimodal
+
+        groupings = (
+            ((0, 1), (2,)),
+            ((2,), (0, 1)),
+            ((0,), (1, 2)),
+            ((1, 2), (0,)),
+            ((0, 2), (1,)),
+        )
+
+        def batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                blobs = []
+                for doc_id in pdf["doc_id"]:
+                    d = int(doc_id)
+                    w, h = 8 + d % 5, 6 + d % 3
+                    P = 8 if d % 2 == 0 else 16
+                    i = np.arange(w * h, dtype=np.int64)
+                    px = np.stack(
+                        [
+                            (d * 37 + 101 * i) % (1 << P),
+                            (d * 41 + 103 * i) % (1 << P),
+                            (d * 43 + 107 * i) % (1 << P),
+                        ],
+                        axis=1,
+                    ).reshape(h, w, 3)
+                    blobs.append(
+                        multimodal.encode_jpeg_lossless_rgb_partial(
+                            px,
+                            P,
+                            predictor=d % 7 + 1,
+                            restart_interval=5 if d % 3 == 0 else 0,
+                            scan_groups=groupings[d % 5],
+                        )
+                    )
+                yield pd.DataFrame({"doc_id": pdf["doc_id"], "data": blobs})
+
+        docs = load_table(spark, sf_dir, "documents")
+        n_parts = int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        media = docs.select("doc_id").repartition(n_parts).mapInPandas(
+            batches, "doc_id BIGINT, data BINARY"
+        )
+        return multimodal.image_decode_checksum(media).orderBy("doc_id")
+
+    return multimodal_jpeg_lossless_partial_decode_query
+
+
+multimodal_jpeg_lossless_partial_decode_query = _register_partial_lossless()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 13 — ann_index_retrain_refine_serve: the serving MATRIX holds
+# across a retrain. The retrained generation carries its own refine
+# store (gen_r<G>/vectors, landed by ivfpq_index_retrain when the old
+# index had one), and the two-stage serve resolves BOTH stores through
+# the model root — so shortlist and re-rank read the new generation
+# with the same per-branch partition pruning. Bit-equal to the
+# from-scratch two-stage serve over the live corpus: the oracle is the
+# refine replay with the liveness predicate in the vecs CTE.
+# ---------------------------------------------------------------------------
+def _register_retrain_refine_serve():
+    from .r8_round8 import _TRAINED_TL_CTE
+    from .r9_round9 import _REFINE_SQL
+
+    if not _REFINE_SQL.startswith(_TRAINED_TL_CTE):
+        raise RuntimeError(
+            "_REFINE_SQL no longer starts with _TRAINED_TL_CTE — the "
+            "round-13 retrained refine oracle cannot swap the corpus CTE"
+        )
+    tail = _REFINE_SQL[len(_TRAINED_TL_CTE):]
+
+    @register(
+        "ann_index_retrain_refine_serve", _live_trained_tl_cte() + tail
+    )
+    def ann_index_retrain_refine_serve_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Two-stage (shortlist + exact re-rank) serve of query 0 from
+        the RETRAINED index — both stages read the gen_r generation
+        through the manifest's model root."""
+        from ..operators import similarity
+
+        emb, d = _ensure_retrained_index(spark, sf_dir)
+        return similarity.ivfpq_serve_refine_persisted(
+            emb, d, query_vec_id=0, k=10, refine_factor=4, nprobe=2
+        )
+
+    return ann_index_retrain_refine_serve_query
+
+
+ann_index_retrain_refine_serve_query = _register_retrain_refine_serve()
+
+
+# ---------------------------------------------------------------------------
+# ROUND 13 — ann_index_retrain_health: the loop CLOSES. The round-12
+# policy fired retrain on the churned fixture (imbalance/empty-list
+# drift); after ivfpq_index_retrain the SAME census — now reading the
+# new generation's codes through the model root, with the trained
+# n_lists from the new _META — must show the index healthy again
+# (retrain = 0: the quantizer was just trained on exactly the live
+# distribution). Policy -> retrain -> policy-green is the full
+# maintenance cycle, each leg oracle-checked.
+# ---------------------------------------------------------------------------
+def _register_retrain_health():
+    from .r8_round8 import _N_LISTS
+
+    nl = _N_LISTS
+
+    @register(
+        "ann_index_retrain_health",
+        _live_trained_tl_cte() + f"""
+, census AS (
+  SELECT t.list_id, COUNT(*) AS c FROM tl t GROUP BY t.list_id
+)
+SELECT {nl}::BIGINT AS n_lists,
+       COUNT(*)::BIGINT AS n_live_lists,
+       ({nl} - COUNT(*))::BIGINT AS n_empty_lists,
+       SUM(c)::BIGINT AS n_live_vectors,
+       (({nl} * SUM(c * c) * 1000) // (SUM(c) * SUM(c)))::BIGINT
+         AS imbalance_milli,
+       (CASE WHEN ({nl} * SUM(c * c) * 1000) // (SUM(c) * SUM(c)) >= 1200
+                  OR ({nl} - COUNT(*)) * 1000 >= {nl} * 125
+             THEN 1 ELSE 0 END)::INT AS retrain
+FROM census
+""",
+    )
+    def ann_index_retrain_health_query(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Retrain-policy census on the RETRAINED fixture index
+        (similarity.ivfpq_index_retrain_policy through the model
+        root): the post-retrain health readout."""
+        from ..operators import similarity
+
+        _, d = _ensure_retrained_index(spark, sf_dir)
+        return similarity.ivfpq_index_retrain_policy(
+            spark, d, imbalance_threshold_milli=1200,
+            empty_threshold_milli=125,
+        )
+
+    return ann_index_retrain_health_query
+
+
+ann_index_retrain_health_query = _register_retrain_health()

@@ -457,6 +457,45 @@ def test_streaming_bytelevel_bpe_arrival_order_invariant(
     assert fwd == rev and fwd
 
 
+def test_jpeg_lossless_partial_interleave_roundtrip():
+    """The last lossless-JPEG scan layout: partially-interleaved
+    component groups must decode pixel-identically to the interleaved
+    and one-scan-per-component encodings of the same array, across
+    precisions, all 7 predictors, restart cadences, group shapes and
+    group ORDER (the B-first grouping catches an assembler that
+    assumes scan order == component order)."""
+    import numpy as np
+
+    from kinesis_stream_reader_spark.operators import multimodal as M
+
+    rng = np.random.RandomState(13)
+    for P in (8, 16):
+        for pred in (1, 4, 7):
+            for ri in (0, 5):
+                for groups in (
+                    ((0, 1), (2,)),
+                    ((2,), (0, 1)),
+                    ((1,), (0,), (2,)),
+                    ((0, 1, 2),),
+                ):
+                    px = rng.randint(
+                        0, 1 << P, size=(6, 7, 3)
+                    ).astype(np.int64)
+                    dec = M.decode_jpeg(
+                        M.encode_jpeg_lossless_rgb_partial(
+                            px, P, predictor=pred,
+                            restart_interval=ri, scan_groups=groups,
+                        )
+                    )
+                    assert (dec.astype(np.int64) == px).all()
+                    ref = M.decode_jpeg(
+                        M.encode_jpeg_lossless_rgb(
+                            px, P, predictor=pred, restart_interval=ri
+                        )
+                    )
+                    assert (dec == ref).all()
+
+
 def test_reshard_size_freeze_requires_admission(tmp_path):
     """A present-but-EMPTY wire file of a not-yet-admitted shard
     satisfies out >= total (0 >= 0) but must NOT freeze size 0 — if
