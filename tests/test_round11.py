@@ -62,11 +62,14 @@ def test_canonical_url_schemeless_passthrough(spark):
     assert got[1] == "https://host.example.com/a?a=3&z=2"
 
 
-def test_jpeg_lossless_partially_interleaved_rejected():
-    """Round 12 decodes the one-scan-per-component layout; the
-    remaining unsupported lossless layout — a PARTIALLY interleaved
-    scan (1 < ns < Nf) — must still fail loudly, not silently decode
-    a subset of components."""
+def test_jpeg_lossless_partial_scan_incomplete_fails_loudly():
+    """Round 13 decodes partially-interleaved lossless scans (the old
+    NotImplementedError gate is gone — positive coverage lives in
+    test_round13.test_jpeg_lossless_partial_interleave_roundtrip).
+    The invariant this test keeps: a file whose scans do NOT cover
+    every declared component must still fail loudly, never silently
+    decode a subset. This fixture's lone scan names two of three
+    components and carries no entropy data at all."""
     import struct
 
     import pytest
@@ -83,7 +86,7 @@ def test_jpeg_lossless_partially_interleaved_rejected():
     # SOS names TWO of the 3 declared components
     out += b"\xff\xda" + struct.pack(">HB", 10, 2)
     out += bytes([1, 0x00, 2, 0x00, 1, 0, 0])
-    with pytest.raises(NotImplementedError, match="partially-interleaved"):
+    with pytest.raises((ValueError, IndexError)):
         mm.decode_jpeg(bytes(out))
 
 
