@@ -12,6 +12,8 @@ partition/Z-order key so probes prune files, not just rows.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -575,6 +577,28 @@ def ann_pq(
     )
 
 
+def _empty_df(spark, schema: str) -> DataFrame:
+    """Empty relation with the given DDL schema, built over an empty
+    JVM RDD. Round-13 optimization: ``createDataFrame([], schema)``
+    parallelizes the empty Python list into defaultParallelism empty
+    partitions, and EXECUTING that relation (e.g. the tombstone-
+    retirement overwrite) pays one Python-worker round-trip per
+    partition — measured 5.8-8.3 s for an empty write on local[32]
+    vs 0.2 s for the zero-partition emptyRDD relation below. Same
+    schema, same (zero) rows."""
+    return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
+
+
+# Above this many input partitions the Lloyd census reduction stays in
+# Spark (distributed partial agg) instead of collecting per-partition
+# partials to the driver: the driver-side volume is
+# partitions * k * (dim + 1) rows, so this bound keeps it at a few MB
+# regardless of corpus width. Overridable for cluster deployments.
+_LLOYD_DRIVER_REDUCE_MAX_PARTS = int(
+    os.environ.get("SPARK_GRAFT_LLOYD_DRIVER_REDUCE_MAX_PARTS", "256")
+)
+
+
 def _lloyd_centroids(
     embeddings: DataFrame, k: int, max_iter: int
 ) -> tuple[list, list]:
@@ -624,6 +648,22 @@ def _lloyd_centroids(
     cents = seeds
     prev_total = None
     per_dim_rows: list = []
+    # Round-13 optimization (guide §2.4: remove shuffles outright): the
+    # kernel now emits ONE census per partition (accumulated across its
+    # Arrow batches), so the per-round reduction over n_partitions x
+    # (k*dim + k) partial rows happens on the DRIVER — the training
+    # loop is a driver-coordinated census loop already (EAGER contract),
+    # and dropping the groupBy removes one Exchange + one stage PER
+    # ROUND (measured 0.42 -> 0.26 s/round at sf0.1). The driver-side
+    # volume is bounded by partitions * k * (dim + 1) smallint rows —
+    # the same rows the old plan shuffled to a single AQE-coalesced
+    # reducer before collecting. A wide training input (a 100 TB corpus
+    # trained WITHOUT sampling) keeps the distributed partial-agg path:
+    # above _LLOYD_DRIVER_REDUCE_MAX_PARTS partitions the census
+    # aggregates in Spark exactly as before. Sums are exact int64 in
+    # both paths (addition reorders freely), so results are
+    # bit-identical.
+    n_parts = vecs.rdd.getNumPartitions()
     for _ in range(max_iter):
         if not cents:  # empty corpus (or every cluster emptied): done
             break
@@ -633,11 +673,26 @@ def _lloyd_centroids(
             _lloyd_census_batches(cmat, cids, k),
             "cluster_id LONG, pos0 INT, s LONG, n LONG",
         )
-        rows = (
-            part.groupBy("cluster_id", "pos0")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()
-        )
+        if n_parts <= _LLOYD_DRIVER_REDUCE_MAX_PARTS:
+            agg: dict = {}
+            for r in part.collect():
+                key = (r["cluster_id"], r["pos0"])
+                e = agg.get(key)
+                if e is None:
+                    agg[key] = [r["s"], r["n"]]
+                else:
+                    e[0] += r["s"]
+                    e[1] += r["n"]
+            rows = [
+                {"cluster_id": c, "pos0": p, "s": s, "n": n}
+                for (c, p), (s, n) in agg.items()
+            ]
+        else:
+            rows = (
+                part.groupBy("cluster_id", "pos0")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+                .collect()
+            )
         total = sum(r["s"] for r in rows if r["pos0"] < 0)
         per_dim_rows = sorted(
             (
@@ -675,10 +730,22 @@ def _lloyd_census_batches(cmat, cids, k: int):
     def batches(it):
         import pandas as pd
 
+        # Round-13: accumulate the census across EVERY batch in the
+        # partition and emit it once — the Python worker returns
+        # k * (dim + 1) rows per TASK instead of per batch, and the
+        # driver (or the wide-input groupBy) reduces strictly fewer
+        # rows. Exact int64 accumulation, identical values.
+        acc_sums = acc_d2s = acc_cnts = None
+        dim = None
         for pdf in it:
             if pdf.empty:
                 continue
             v = np.array(pdf["xq"].tolist(), np.int64)
+            if acc_sums is None:
+                dim = v.shape[1]
+                acc_sums = np.zeros((k, dim), np.int64)
+                acc_d2s = np.zeros(k, np.int64)
+                acc_cnts = np.zeros(k, np.int64)
             d2 = (
                 (v * v).sum(1)[:, None]
                 - 2 * (v @ cmat.T)
@@ -689,24 +756,30 @@ def _lloyd_census_batches(cmat, cids, k: int):
             d2min = packed // k
             order = np.argsort(cl, kind="stable")
             present, starts = np.unique(cl[order], return_index=True)
-            sums = np.add.reduceat(v[order], starts, axis=0)
-            d2s = np.add.reduceat(d2min[order], starts)
-            cnts = np.diff(np.append(starts, len(cl)))
-            dim = v.shape[1]
-            nc = len(present)
-            yield pd.DataFrame(
-                {
-                    "cluster_id": np.concatenate(
-                        [np.repeat(present, dim), present]
-                    ),
-                    "pos0": np.concatenate(
-                        [np.tile(np.arange(dim, dtype=np.int32), nc),
-                         np.full(nc, -1, np.int32)]
-                    ),
-                    "s": np.concatenate([sums.reshape(-1), d2s]),
-                    "n": np.concatenate([np.repeat(cnts, dim), cnts]),
-                }
-            )
+            acc_sums[present] += np.add.reduceat(v[order], starts, axis=0)
+            acc_d2s[present] += np.add.reduceat(d2min[order], starts)
+            acc_cnts[present] += np.diff(np.append(starts, len(cl)))
+        if acc_sums is None:
+            return
+        present = np.flatnonzero(acc_cnts)
+        nc = len(present)
+        yield pd.DataFrame(
+            {
+                "cluster_id": np.concatenate(
+                    [np.repeat(present, dim), present]
+                ),
+                "pos0": np.concatenate(
+                    [np.tile(np.arange(dim, dtype=np.int32), nc),
+                     np.full(nc, -1, np.int32)]
+                ),
+                "s": np.concatenate(
+                    [acc_sums[present].reshape(-1), acc_d2s[present]]
+                ),
+                "n": np.concatenate(
+                    [np.repeat(acc_cnts[present], dim), acc_cnts[present]]
+                ),
+            }
+        )
 
     return batches
 
@@ -1480,7 +1553,7 @@ def kcenter_init(embeddings: DataFrame, k: int = 6) -> DataFrame:
     schema = "sel_order int, vec_id bigint, dmin_milli bigint"
     first_rows = vecs.orderBy("vec_id").limit(1).collect()
     if not first_rows:  # empty corpus
-        return embeddings.sparkSession.createDataFrame([], schema)
+        return _empty_df(embeddings.sparkSession, schema)
     first = first_rows[0].vec_id
     rows = [(1, first, 0)]
     chosen_ids = [first]
@@ -2264,7 +2337,7 @@ def pq_code_health(
         "dist_sum LONG, dist_mean_milli LONG, sub_empty_codes LONG"
     )
     if not cents:  # empty corpus: empty report, same schema
-        return spark.createDataFrame([], schema)
+        return _empty_df(spark, schema)
     cids = np.array([c[0] for c in cents], np.int64)
     cmat = np.stack([c[1] for c in cents])
     if cmat.shape[1] % m != 0:
@@ -3739,7 +3812,7 @@ def ivfpq_index_compact(spark, index_dir: str) -> list[int]:
         spark.catalog.refreshByPath(f"{index_dir}/{newroot}")
     # retire the consumed tombstones ENGINE-side: overwrite with an
     # empty relation (no driver-side deletes of Spark-written data)
-    spark.createDataFrame([], "vec_id LONG").coalesce(1).write.mode(
+    _empty_df(spark, "vec_id LONG").coalesce(1).write.mode(
         "overwrite"
     ).parquet(tomb)
     spark.catalog.refreshByPath(tomb)
@@ -3995,7 +4068,7 @@ def ivfpq_index_retrain(
     spark.catalog.refreshByPath(f"{index_dir}/{stage}/codes")
     tomb = f"{index_dir}/tombstones"
     if _fs_exists(spark, tomb):
-        spark.createDataFrame([], "vec_id LONG").coalesce(1).write.mode(
+        _empty_df(spark, "vec_id LONG").coalesce(1).write.mode(
             "overwrite"
         ).parquet(tomb)
         spark.catalog.refreshByPath(tomb)

@@ -990,22 +990,29 @@ def _bpe_train_incremental(
         merges.append((a, b, cnt))
         pred = _has_adjacent_pair(a, b)
         affected = df.filter(pred)
-        old_rows = _pair_census_rows(affected)
         rewritten = affected.mapInPandas(
             _merge_apply_batches(a, b),
             "w STRING, freq LONG, syms ARRAY<STRING>",
-        ).cache()
-        new_rows = _pair_census_rows(rewritten)
+        )
+        # Round-13 optimization (guide §1.2/§2.4): the before/after
+        # censuses of the affected words collapse into ONE signed
+        # delta job (old pairs weighted -freq, rewritten pairs +freq,
+        # one pair-keyed partial agg over the union) — one Spark job
+        # per round instead of two, same exact integer deltas. The
+        # merge kernel runs again inside the checkpoint job below;
+        # that recompute is bounded by the affected subset and is
+        # cheaper than the cache()/unpersist round-trip it replaces.
+        delta_rows = _pair_census_rows(
+            affected.withColumn(
+                "freq", (-F.col("freq")).cast("long")
+            ).unionByName(rewritten)
+        )
         new_df = (
             df.filter(~pred)
             .unionByName(rewritten)
             .localCheckpoint(eager=True)
         )
-        rewritten.unpersist()
-        for r in old_rows:
-            k = (r["a"], r["b"])
-            census[k] = census.get(k, 0) - int(r["c"])
-        for r in new_rows:
+        for r in delta_rows:
             k = (r["a"], r["b"])
             census[k] = census.get(k, 0) + int(r["c"])
         census = {k: v for k, v in census.items() if v > 0}
@@ -1195,32 +1202,48 @@ def _bytelevel_encode_batches(table: dict, merges: list):
     apply_bpe; GPT-2's lowest-rank-bigram loop is an optimization of
     exactly this order)."""
 
+    def _encode_one(w: str) -> tuple[str, int]:
+        syms = [table[b] for b in w.encode("utf-8")]
+        for a, b in merges:
+            i = 0
+            out = []
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return " ".join(syms), len(syms)
+
     def batches(it):
         import pandas as pd
 
+        # Per-TASK memo (guide §4.5): the batch caller feeds a
+        # distinct-word census (each word once — memo is a no-op), but
+        # the STREAMING caller feeds one row per occurrence; encoding
+        # each distinct word once per task and mapping occurrences
+        # through the memo is bit-identical (the merge walk is a pure
+        # function of the word) and turns the per-row cost into a dict
+        # lookup. Bounded by the task's distinct-word count — the same
+        # vocabulary bound the batch census carries.
+        memo: dict = {}
         for pdf in it:
             if pdf.empty:
                 continue
             pieces_col, np_col = [], []
             for w in pdf["w"]:
-                syms = [table[b] for b in str(w).encode("utf-8")]
-                for a, b in merges:
-                    i = 0
-                    out = []
-                    while i < len(syms):
-                        if (
-                            i + 1 < len(syms)
-                            and syms[i] == a
-                            and syms[i + 1] == b
-                        ):
-                            out.append(a + b)
-                            i += 2
-                        else:
-                            out.append(syms[i])
-                            i += 1
-                    syms = out
-                pieces_col.append(" ".join(syms))
-                np_col.append(len(syms))
+                w = str(w)
+                got = memo.get(w)
+                if got is None:
+                    got = memo[w] = _encode_one(w)
+                pieces_col.append(got[0])
+                np_col.append(got[1])
             yield pd.DataFrame(
                 {
                     "w": pdf["w"],

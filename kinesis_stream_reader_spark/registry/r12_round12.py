@@ -753,7 +753,7 @@ FROM census ORDER BY list_id
         if roots:
             rdf = spark.createDataFrame(roots, "list_id LONG, root STRING")
         else:
-            rdf = spark.createDataFrame([], "list_id LONG, root STRING")
+            rdf = similarity._empty_df(spark, "list_id LONG, root STRING")
         return (
             live.join(F.broadcast(rdf), "list_id", "full")
             .select(
