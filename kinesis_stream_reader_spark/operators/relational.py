@@ -27,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from . import tiny_df
 from ..scratch import scratch
 
 
@@ -485,7 +487,7 @@ def join_range_bands(events: DataFrame) -> DataFrame:
     be quadratic). This is the range-join primitive behind histogram
     bucketing, SLA banding, and interval enrichment."""
     spark = events.sparkSession
-    bands = spark.createDataFrame(list(VALUE_BANDS), "band STRING, lo DOUBLE, hi DOUBLE")
+    bands = tiny_df(spark, list(VALUE_BANDS), "band STRING, lo DOUBLE, hi DOUBLE")
     return (
         events.join(
             F.broadcast(bands),
@@ -4000,7 +4002,7 @@ def kmv_intersection(events: DataFrame, k: int = 64) -> DataFrame:
     merge."""
     pairs = [("click", "view"), ("click", "purchase"), ("view", "purchase")]
     spark = events.sparkSession
-    pair_df = spark.createDataFrame(pairs, "type_a string, type_b string")
+    pair_df = tiny_df(spark, pairs, "type_a string, type_b string")
     hashed = (
         events.select("event_type", "user_id")
         .distinct()
@@ -4138,7 +4140,8 @@ def grid_radius_join(events: DataFrame, radius: int = 5, cell: int = 5) -> DataF
     b = pts.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by")
     )
-    offsets = events.sparkSession.createDataFrame(
+    offsets = tiny_df(
+        events.sparkSession,
         [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
     )
     a_cells = a.join(F.broadcast(offsets)).select(
@@ -5141,7 +5144,8 @@ def shapley_attribution(events: DataFrame) -> DataFrame:
         .groupBy("s")
         .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).alias("v"))
     )
-    channels = spark.createDataFrame(
+    channels = tiny_df(
+        spark,
         [(0, "click"), (1, "view"), (2, "signup"), (3, "error")],
         "ch_bit int, channel string",
     )
@@ -5461,7 +5465,8 @@ def bradley_terry_strengths(events: DataFrame, rounds: int = 12) -> DataFrame:
     ranked = sorted(rows, key=lambda r: (-r[3], r[0]))
     rank_of = {r[0]: k + 1 for k, r in enumerate(ranked)}
     spark = events.sparkSession
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [(i, w, nm, s, rank_of[i]) for i, w, nm, s in rows],
         "event_type STRING, n_wins LONG, n_matches LONG, bt_score DOUBLE, rank LONG",
     ).orderBy("event_type")

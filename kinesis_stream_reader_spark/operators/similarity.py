@@ -589,6 +589,21 @@ def _empty_df(spark, schema: str) -> DataFrame:
     return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
 
 
+def _tiny_df(spark, rows, schema: str) -> DataFrame:
+    """Small driver-held relation as ONE partition (round 13, guide
+    §1.2 fixed overhead): ``createDataFrame(list)`` parallelizes into
+    defaultParallelism slices, and every downstream action pays one
+    Python-worker round-trip per slice (32 on local[32]) for a
+    few-hundred-row constant table — measured 0.65 s vs 0.43 s warm
+    (3.2 s vs 0.4 s cold) for a 16-row parquet write. One slice is the
+    right layout for a table that is always broadcast, collected, or
+    written as a single constants file anyway; row order (list order)
+    and values are identical."""
+    from . import tiny_df
+
+    return tiny_df(spark, rows, schema)
+
+
 # Above this many input partitions the Lloyd census reduction stays in
 # Spark (distributed partial agg) instead of collecting per-partition
 # partials to the driver: the driver-side volume is
@@ -850,8 +865,8 @@ def kmeans_converged(
         (int(cid), int(pos0) + 1, cm / 1000, int(n))
         for cid, pos0, n, cm in per_dim
     ]
-    return spark.createDataFrame(
-        rows, "cluster_id LONG, pos INT, centroid_val DOUBLE, n_members LONG"
+    return _tiny_df(
+        spark, rows, "cluster_id LONG, pos INT, centroid_val DOUBLE, n_members LONG"
     ).orderBy("cluster_id", "pos")
 
 
@@ -1123,7 +1138,8 @@ def mmr_rerank(
         selected.append(best)
         remaining.discard(best[0])
     spark = embeddings.sparkSession
-    out = spark.createDataFrame(
+    out = _tiny_df(
+        spark,
         [
             (i + 1, vid, ru, mu)
             for i, (vid, ru, mu) in enumerate(selected)
@@ -1506,10 +1522,8 @@ def matryoshka_recall_report(
     pairs = full.join(
         trunc, full["full_id"] == trunc["trunc_id"], "inner"
     ).select("full_rank", "trunc_rank")
-    klist = (
-        embeddings.sparkSession.createDataFrame(
-            [(k,) for k in sorted(ks)], "k int"
-        )
+    klist = _tiny_df(
+        embeddings.sparkSession, [(k,) for k in sorted(ks)], "k int"
     )
     return (
         klist.join(
@@ -1575,7 +1589,7 @@ def kcenter_init(embeddings: DataFrame, k: int = 6) -> DataFrame:
             break
         rows.append((r, pick[0].vec_id, pick[0].dmin))
         chosen_ids.append(pick[0].vec_id)
-    return embeddings.sparkSession.createDataFrame(rows, schema)
+    return _tiny_df(embeddings.sparkSession, rows, schema)
 
 
 def _quantized_vec(col: Column) -> Column:
@@ -2893,14 +2907,16 @@ def ivfpq_build_index(
         )
     cb, n_codes = _pq_seed_codebook(train_vecs, cmat, cids, n_lists, n_codes)
 
-    spark.createDataFrame(
+    _tiny_df(
+        spark,
         [(int(cids[i]), [int(x) for x in cmat[i]]) for i in range(len(cids))],
         "cid LONG, c ARRAY<LONG>",
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    spark.createDataFrame(
+    ).write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    _tiny_df(
+        spark,
         [(j, [int(x) for x in cb[j]]) for j in range(n_codes)],
         "code_id LONG, r ARRAY<LONG>",
-    ).repartition(1).write.mode("overwrite").parquet(f"{index_dir}/codebook")
+    ).write.mode("overwrite").parquet(f"{index_dir}/codebook")
     # _META sidecar: the build-time hyperparameters add/serve need —
     # m is otherwise only recoverable by probing a codes row, which a
     # train-only (not-yet-encoded) index does not have. Written through
@@ -3090,7 +3106,8 @@ def _refine_serve_core(
         qrows, cids, cmat, cb, n_codes, m, nprobe
     )
     probed = sorted(probed_union)
-    lut = spark.createDataFrame(
+    lut = _tiny_df(
+        spark,
         [(r[1], r[2], r[3], r[4]) for r in lut_rows],
         "list_id LONG, s INT, code_id LONG, d LONG",
     )
@@ -3387,9 +3404,9 @@ def ivfpq_index_delete(
     if isinstance(vec_ids, DataFrame):
         ids = vec_ids.select(F.col("vec_id").cast("long").alias("vec_id"))
     else:
-        ids = spark.createDataFrame(
-            [(int(v),) for v in vec_ids], "vec_id LONG"
-        ).repartition(1)
+        ids = _tiny_df(
+            spark, [(int(v),) for v in vec_ids], "vec_id LONG"
+        )
     ids.write.mode("append").parquet(f"{index_dir}/tombstones")
 
 
@@ -4161,9 +4178,7 @@ def ivfpq_index_churn_recall(
         .filter(F.col("rk") <= k)
         .select("query_id", "vec_id")
     )
-    qdf = spark.createDataFrame(
-        [(int(q),) for q in qids], "query_id LONG"
-    )
+    qdf = _tiny_df(spark, [(int(q),) for q in qids], "query_id LONG")
     hits = served.join(truth, ["query_id", "vec_id"]).groupBy(
         "query_id"
     ).agg(F.count("*").cast("long").alias("hits"))
@@ -4333,8 +4348,8 @@ def ivfpq_serve_persisted(
             d = ((rq[sl][None, :] - cb[:, sl]) ** 2).sum(1)
             for j in range(n_codes):
                 lut_rows.append((int(cids[pi]), s, j, int(d[j])))
-    lut = spark.createDataFrame(
-        lut_rows, "list_id LONG, s INT, code_id LONG, d LONG"
+    lut = _tiny_df(
+        spark, lut_rows, "list_id LONG, s INT, code_id LONG, d LONG"
     )
 
     codes = _codes_sans_tombstones(spark, index_dir).filter(
@@ -4449,8 +4464,8 @@ def _ivfpq_serve_lut(
     partition-pruned codes scan (union of probed lists) -> posexplode
     -> BroadcastHashJoin -> partial-agg ADC -> per-query window rank
     <= k."""
-    lut = spark.createDataFrame(
-        lut_rows, "query_id LONG, list_id LONG, s INT, code_id LONG, d LONG"
+    lut = _tiny_df(
+        spark, lut_rows, "query_id LONG, list_id LONG, s INT, code_id LONG, d LONG"
     )
     codes = _codes_sans_tombstones(spark, index_dir).filter(
         F.col("list_id").isin(sorted(probed_union))
@@ -4514,7 +4529,8 @@ def ivfpq_serve_refine_persisted_batch(
     short = _ivfpq_serve_lut(
         spark, index_dir, lut_rows, probed_union, k * refine_factor
     ).select("query_id", "vec_id", "adc_d2")
-    qv = spark.createDataFrame(
+    qv = _tiny_df(
+        spark,
         [(int(r["vec_id"]), [int(x) for x in r["xq"]]) for r in qrows],
         "query_id LONG, qxq ARRAY<LONG>",
     )

@@ -16,6 +16,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from . import tiny_df
+
 # Word-boundary-ish regex for a BPE-style pre-tokenizer: word pieces,
 # numbers, or single non-space symbols (public GPT-2 pre-tokenizer
 # spirit, simplified to what Spark/DuckDB regex engines share).
@@ -975,7 +977,13 @@ def _bpe_train_incremental(
     merge sequence and final symbols are IDENTICAL to the previous
     windowed implementation (same argmax, same greedy application;
     asserted in pytest and by the unchanged DuckDB oracles)."""
-    df = df.localCheckpoint(eager=True)
+    # LAZY localCheckpoint (guide §1.2): the first consumer of each
+    # checkpoint is a full-relation job anyway (the initial census here,
+    # the next round's delta census below), so materialization rides
+    # THAT job instead of paying a separately scheduled job per round —
+    # the dedup_components lesson applied to the trainer loop. Halves
+    # the per-round job count with bit-identical merges.
+    df = df.localCheckpoint(eager=False)
     census: dict = {
         (r["a"], r["b"]): int(r["c"]) for r in _pair_census_rows(df)
     }
@@ -1010,7 +1018,7 @@ def _bpe_train_incremental(
         new_df = (
             df.filter(~pred)
             .unionByName(rewritten)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         for r in delta_rows:
             k = (r["a"], r["b"])
@@ -1063,7 +1071,8 @@ def bpe_train_merges(documents: DataFrame, rounds: int = 3) -> DataFrame:
         F.filter(F.split(F.col("w"), ""), lambda c: c != "").alias("syms"),
     )
     merges, _ = _bpe_train_incremental(sdf, rounds)
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [
             (rnd, a, b, int(c))
             for rnd, (a, b, c) in enumerate(merges, start=1)
@@ -1492,7 +1501,7 @@ def bm25_retrieval(
             (3, "value"),
         ]
     spark = documents.sparkSession
-    queries = spark.createDataFrame(query_terms, "query_id int, term string")
+    queries = tiny_df(spark, query_terms, "query_id int, term string")
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
     toks = documents.select(
         "doc_id", F.explode(F.split(normalized, " ")).alias("term")
@@ -1560,7 +1569,7 @@ def phrase_search(
     if phrases is None:
         phrases = [(1, "hash", "join"), (2, "table", "scan")]
     spark = documents.sparkSession
-    ph = spark.createDataFrame(phrases, "phrase_id int, w0 string, w1 string")
+    ph = tiny_df(spark, phrases, "phrase_id int, w0 string, w1 string")
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
     posting = documents.select(
         "doc_id", F.posexplode(F.split(normalized, " ")).alias("pos", "term")
@@ -1659,7 +1668,8 @@ def ndcg_eval(documents: DataFrame, k: int = 10) -> DataFrame:
         .distinct()
     )
     spark = documents.sparkSession
-    qterms = spark.createDataFrame(
+    qterms = tiny_df(
+        spark,
         [
             (1, "hash"),
             (1, "join"),
@@ -2568,7 +2578,7 @@ def rank_fusion_rrf(
             (3, "value"),
         ]
     spark = documents.sparkSession
-    queries = spark.createDataFrame(query_terms, "query_id int, term string")
+    queries = tiny_df(spark, query_terms, "query_id int, term string")
     a = bm25_retrieval(documents, query_terms, k=k_each).select(
         "query_id", "doc_id", F.col("rank").alias("rank_bm25")
     )
@@ -2770,7 +2780,8 @@ def mrr_recall_eval(documents: DataFrame, k: int = 10) -> DataFrame:
         .distinct()
     )
     spark = documents.sparkSession
-    qterms = spark.createDataFrame(
+    qterms = tiny_df(
+        spark,
         [(1, "hash"), (1, "join"), (2, "sort"), (2, "merge"),
          (3, "customer"), (3, "value")],
         "query_id int, term string",

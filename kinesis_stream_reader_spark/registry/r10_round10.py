@@ -17,6 +17,7 @@ from pyspark.sql.window import Window
 
 from ..scratch import scratch
 from ._shared import load_table, register
+from ..operators import tiny_df
 
 
 # ---------------------------------------------------------------------------
@@ -598,7 +599,8 @@ def streaming_shard_lag_census_query(
                 sizes[shard] - consumed[shard],
             )
         )
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         rows,
         "batch_id INT, shard_id STRING, batch_rows BIGINT, "
         "consumed BIGINT, records_behind_latest BIGINT",
@@ -720,7 +722,8 @@ def streaming_reshard_drain_query(
         rows.append(
             (bid, shard, gen, n, consumed[shard], sizes[shard] - consumed[shard])
         )
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         rows,
         "batch_id INT, shard_id STRING, generation INT, batch_rows BIGINT, "
         "consumed BIGINT, records_behind_latest BIGINT",

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..scratch import scratch
 from ._shared import load_table, register
+from ..operators import tiny_df
 
 
 # ---------------------------------------------------------------------------
@@ -597,7 +598,8 @@ WHERE rank <= 10 ORDER BY query_id, rank
                 .start()
             )
             q.awaitTermination()
-        return spark.createDataFrame(
+        return tiny_df(
+            spark,
             sorted(results),
             "query_id LONG, rank INT, vec_id LONG, adc_d2 LONG",
         ).orderBy("query_id", "rank")

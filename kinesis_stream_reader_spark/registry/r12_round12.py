@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..scratch import scratch
 from ._shared import load_table, register
+from ..operators import tiny_df
 
 
 def _upsert_tl_prefix() -> str:
@@ -751,7 +752,7 @@ FROM census ORDER BY list_id
             for lid, dirs in manifest["roots"].items()
         ]
         if roots:
-            rdf = spark.createDataFrame(roots, "list_id LONG, root STRING")
+            rdf = tiny_df(spark, roots, "list_id LONG, root STRING")
         else:
             rdf = similarity._empty_df(spark, "list_id LONG, root STRING")
         return (

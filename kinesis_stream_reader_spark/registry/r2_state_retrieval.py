@@ -6,6 +6,7 @@ import time rely on it."""
 from __future__ import annotations
 
 from ._shared import *  # noqa: F401,F403
+from ..operators import tiny_df
 from ._shared import _FLAT_COLS, _nested_events  # noqa: F401
 from .r2_relational_formats import _roundtrip_dir  # noqa: F401
 from .r1_parity_ext import _GRAMS  # noqa: F401
@@ -2291,7 +2292,8 @@ def obs_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pipeline's own action materializes the metrics as a side effect
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [(m["n_events"], m["sum_value"], m["n_clicks"], m["max_value"])],
         "n_events BIGINT, sum_value DOUBLE, n_clicks BIGINT, max_value DOUBLE",
     )

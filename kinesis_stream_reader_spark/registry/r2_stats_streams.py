@@ -6,6 +6,7 @@ import time rely on it."""
 from __future__ import annotations
 
 from ._shared import *  # noqa: F401,F403
+from ..operators import tiny_df
 from ._shared import _FLAT_COLS, _nested_events  # noqa: F401
 from .r1_parity_ext import _ensure_pyds_fixture  # noqa: F401
 from .r1_parity_ext import _NORM  # noqa: F401
@@ -943,7 +944,8 @@ def streaming_obs_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.streaming.numRecentProgressUpdates")
         else:
             spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", prev)
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         [(n_events, value_cents, n_purchases, max_event_id)],
         "n_events BIGINT, value_cents BIGINT, n_purchases BIGINT, max_event_id BIGINT",
     )
@@ -1495,7 +1497,8 @@ def join_dynamic_partition_pruning_query(spark: SparkSession, sf_dir: str) -> Da
             "overwrite"
         ).parquet(part_dir)
     fact = spark.read.parquet(part_dir)
-    dim = spark.createDataFrame(
+    dim = tiny_df(
+        spark,
         [
             ("click", "A"),
             ("purchase", "A"),

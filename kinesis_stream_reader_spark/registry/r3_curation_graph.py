@@ -6,6 +6,7 @@ import time rely on it."""
 from __future__ import annotations
 
 from ._shared import *  # noqa: F401,F403
+from ..operators import tiny_df
 from ._shared import _FLAT_COLS, _nested_events  # noqa: F401
 from .r2_stats_streams import _TOKS_CTE  # noqa: F401
 from .r2_state_retrieval import _bpe_round_sql  # noqa: F401
@@ -1016,8 +1017,8 @@ def quantiles_merged_histograms_query(spark: SparkSession, sf_dir: str) -> DataF
     cum = merged.withColumn(
         "cum", F.sum("cnt").over(Window.orderBy("bin"))
     )
-    qs = load_table(spark, sf_dir, "orders").sparkSession.createDataFrame(
-        [(0.25,), (0.5,), (0.75,), (0.9,), (0.99,)], "q double"
+    qs = tiny_df(
+        spark, [(0.25,), (0.5,), (0.75,), (0.9,), (0.99,)], "q double"
     )
     targets = qs.crossJoin(F.broadcast(mm)).select(
         "q", "lo", "hi", "n", (F.col("q") * F.col("n")).alias("target")

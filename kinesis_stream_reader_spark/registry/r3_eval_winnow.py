@@ -6,6 +6,7 @@ import time rely on it."""
 from __future__ import annotations
 
 from ._shared import *  # noqa: F401,F403
+from ..operators import tiny_df
 from ._shared import _FLAT_COLS, _nested_events  # noqa: F401
 from .r2_stats_streams import _TOKS_CTE  # noqa: F401
 from .r1_parity_ext import _TOKS  # noqa: F401
@@ -3027,9 +3028,7 @@ def dbscan_grid_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", F.col("cx") * 1000 + F.col("cy")
     )
     offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
-    spark_offs = load_events(spark, sf_dir).sparkSession.createDataFrame(
-        offs, "dx int, dy int"
-    )
+    spark_offs = tiny_df(spark, offs, "dx int, dy int")
     nb = core.join(F.broadcast(spark_offs)).select(
         F.col("cell").alias("a_id"),
         ((F.col("cx") + F.col("dx")) * 1000 + (F.col("cy") + F.col("dy"))).alias(

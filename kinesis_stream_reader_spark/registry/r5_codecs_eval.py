@@ -6,6 +6,7 @@ import time rely on it."""
 from __future__ import annotations
 
 from ._shared import *  # noqa: F401,F403
+from ..operators import tiny_df
 from ._shared import _FLAT_COLS, _nested_events  # noqa: F401
 from .r2_stats_streams import _phash_dedup_report  # noqa: F401
 from .r1_parity_ext import _lang_score  # noqa: F401
@@ -3123,8 +3124,8 @@ def pelt_changepoints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark = events.sparkSession
     if not days:
         # empty source: no series, no segments — never raise
-        return spark.createDataFrame(
-            [], "seg_start LONG, seg_end LONG, n_days LONG, mean_cents LONG"
+        return tiny_df(
+            spark, [], "seg_start LONG, seg_end LONG, n_days LONG, mean_cents LONG"
         )
     d0 = min(r.d for r in days)
     n = (max(r.d for r in days) - d0).days + 1
@@ -3166,8 +3167,8 @@ def pelt_changepoints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         t = s
     segs.reverse()
-    return spark.createDataFrame(
-        segs, "seg_start LONG, seg_end LONG, n_days LONG, mean_cents LONG"
+    return tiny_df(
+        spark, segs, "seg_start LONG, seg_end LONG, n_days LONG, mean_cents LONG"
     ).orderBy("seg_start")
 
 
@@ -3354,7 +3355,8 @@ def markov_attribution_removal_query(spark: SparkSession, sf_dir: str) -> DataFr
             )
         )
     spark = events.sparkSession
-    return spark.createDataFrame(
+    return tiny_df(
+        spark,
         rows,
         "channel STRING, p_conv_base DOUBLE, p_conv_removed DOUBLE, "
         "removal_effect DOUBLE, attribution_share DOUBLE",

@@ -5,6 +5,7 @@ streaming SPRT monitor twin of the batch sequential test."""
 from __future__ import annotations
 
 from ._shared import *  # noqa: F401,F403
+from ..operators import tiny_df
 from ._shared import _FLAT_COLS, _nested_events  # noqa: F401
 
 
@@ -964,11 +965,12 @@ def streaming_obf_monitor_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # `win` must appear on only ONE side of the look joins (the census
     # is |hours| rows — calendar-bounded, the bradley_terry contract)
     hour_rows = sorted(r.ws for r in win.select("ws").distinct().collect())
-    hours = spark.createDataFrame(
-        [(ws, i + 1) for i, ws in enumerate(hour_rows)], "hws STRING, hr LONG"
+    hours = tiny_df(
+        spark, [(ws, i + 1) for i, ws in enumerate(hour_rows)], "hws STRING, hr LONG"
     )
     hh = len(hour_rows)
-    looks = spark.createDataFrame(
+    looks = tiny_df(
+        spark,
         [
             (k, bound, -(-hh * k // 4))
             for k, bound in ((1, 4.048), (2, 2.862), (3, 2.337), (4, 2.024))

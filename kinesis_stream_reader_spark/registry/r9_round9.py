@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ._shared import load_table, register
+from ..operators import tiny_df
 from .r8_round8 import _IVFPQ_ADC_CTES, _MAX_ITER, _N_LISTS, _TRAINED_TL_CTE
 
 
@@ -1746,8 +1747,8 @@ def quantization_recall_report_query(
     )
     qrow = q8.filter(F.col("vec_id") == 0).take(1)
     if not qrow:
-        return spark.createDataFrame(
-            [], "k INT, n_overlap LONG, recall_milli LONG"
+        return tiny_df(
+            spark, [], "k INT, n_overlap LONG, recall_milli LONG"
         )
     qxm = [int(t) for t in qrow[0]["xm"]]
     qq = [int(t) for t in qrow[0]["q"]]
@@ -1775,7 +1776,7 @@ def quantization_recall_report_query(
         .over(Window.orderBy(F.col("dot_q8").desc(), "vec_id"))
         .alias("r_q8"),
     )
-    ks = spark.createDataFrame([(5,), (10,), (20,)], "k INT")
+    ks = tiny_df(spark, [(5,), (10,), (20,)], "k INT")
     return (
         ks.crossJoin(re)
         .groupBy("k")
