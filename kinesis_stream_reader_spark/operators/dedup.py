@@ -349,7 +349,8 @@ def simhash_pairs(
 
 
 def dedup_components(
-    documents: DataFrame, pairs: DataFrame, max_iter: int = 10
+    documents: DataFrame, pairs: DataFrame, max_iter: int = 10,
+    jump: bool = False,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every document
     mapped to its component's canonical (minimum) doc_id.
@@ -361,7 +362,16 @@ def dedup_components(
     groups are near-cliques, so convergence takes O(diameter) ~ 2
     rounds; localCheckpoint truncates lineage each round so plans stay
     flat. Each round is one join + one groupBy-min (both on long keys).
-    """
+
+    jump=True (round 13, guide §1.2: fewer passes): adds a pointer-
+    jumping step per round — after the neighbor-min, each label is
+    lowered to its LABEL's label (labels.join(labels) on
+    component_id == doc_id). Label values are always member ids of the
+    same component, so the fixpoint (component minimum everywhere) is
+    unchanged; convergence drops from O(diameter) to O(log diameter)
+    rounds. Worth it only for long-chain graphs (mutual-kNN, budget 64
+    — measured 10 -> 5 rounds at sf0.1); near-clique dup groups
+    converge in ~2 rounds either way and skip the extra join."""
     # pairs usually carries an expensive lineage (the full LSH pipeline);
     # checkpoint the edge list once so each propagation round joins a
     # materialized table instead of re-running candidate generation.
@@ -396,16 +406,32 @@ def dedup_components(
             .groupBy("u")
             .agg(F.min("component_id").alias("nmin"))
         )
-        labels = (
-            labels.join(neighbor_min, labels.doc_id == neighbor_min.u, "left")
-            .select(
+        stepped = labels.join(
+            neighbor_min, labels.doc_id == neighbor_min.u, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("component_id"), F.coalesce(F.col("nmin"), F.col("component_id"))
+            ).alias("component_id"),
+        )
+        if jump:
+            # checkpoint before the self-join so the neighbor-min
+            # subtree is planned and executed once, not twice
+            stepped = stepped.localCheckpoint(eager=False)
+            parent = stepped.select(
+                F.col("doc_id").alias("p_id"),
+                F.col("component_id").alias("p_comp"),
+            )
+            stepped = stepped.join(
+                parent, stepped.component_id == parent.p_id, "left"
+            ).select(
                 "doc_id",
                 F.least(
-                    F.col("component_id"), F.coalesce(F.col("nmin"), F.col("component_id"))
+                    F.col("component_id"),
+                    F.coalesce(F.col("p_comp"), F.col("component_id")),
                 ).alias("component_id"),
             )
-            .localCheckpoint(eager=False)
-        )
+        labels = stepped.localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("component_id")).first()[0]
         if new_sum == prev_sum:
             converged = True

@@ -2115,7 +2115,16 @@ def lof_from_knn(knn: DataFrame, k: int = 5) -> DataFrame:
     integer LOF ratios; the arithmetic of lof_outlier_scores verbatim so
     the exact and IVF-pruned reports share one scoring definition.
     Everything after the kNN is three vec_id-keyed joins over k-bounded
-    rows — linear."""
+    rows — linear.
+
+    The kNN relation is LAZY-checkpointed on entry (round 13, guide
+    §7.3): the LOF chain references it three times (k-dist, reach, the
+    LOF ratio join), and each reference otherwise embeds the whole
+    block-grid cogroup subtree — the combined tree cost seconds of
+    driver-side Catalyst planning per query and risked re-executing the
+    GEMM cells wherever exchange reuse missed. One materialization, k
+    rows per vector, same values."""
+    knn = knn.localCheckpoint(eager=False)
     kd = knn.groupBy("vec_id").agg(F.max("dq").alias("k_dist"))
     reach = knn.join(
         kd.select(F.col("vec_id").alias("neighbor_id"), F.col("k_dist").alias("kd_b")),
@@ -2169,7 +2178,19 @@ def mutual_knn_components(
     makes extra rounds free once converged)."""
     from .dedup import dedup_components
 
-    g = knn_graph(embeddings, k=k, blocks=blocks).select("vec_id", "neighbor_id")
+    # LAZY checkpoint of the kNN edge list BEFORE the mutuality
+    # self-join (round 13, guide §7.3 planning cost): both sides of the
+    # semi-join and both arms of the undirected-edge union otherwise
+    # embed the full block-grid cogroup plan, and just CONVERTING that
+    # duplicated tree to an RDD for the loop's edge checkpoint cost
+    # 3.9 s of driver-side Catalyst planning at sf0.1 (vs ~0.3 s over
+    # the materialized scan). Same rows; the checkpoint materializes on
+    # the first propagation action either way.
+    g = (
+        knn_graph(embeddings, k=k, blocks=blocks)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     reversed_g = g.select(
         F.col("neighbor_id").alias("vec_id"), F.col("vec_id").alias("neighbor_id")
     )
@@ -2179,7 +2200,7 @@ def mutual_knn_components(
         .select(F.col("vec_id").alias("a_id"), F.col("neighbor_id").alias("b_id"))
     )
     nodes = embeddings.select(F.col("vec_id").alias("doc_id"))
-    comp = dedup_components(nodes, mutual, max_iter=64)
+    comp = dedup_components(nodes, mutual, max_iter=64, jump=True)
     return (
         comp.select(F.col("doc_id").alias("vec_id"), "component_id")
         .orderBy("vec_id")
