@@ -3593,6 +3593,9 @@ def lof_outlier_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     knn_aug = _block_topk_mips(queries, cands, k=5, blocks=None)
     # dot_q = 2*dot - |c|^2  ->  d2 = |a|^2 - dot_q
+    # knn is referenced by the k-dist census, the reachability join and
+    # the LOF ratio join — lazy-checkpoint so the block-GEMM subtree
+    # plans and executes once (round 13, guide §7.3)
     knn = (
         knn_aug.join(n2, "vec_id")
         .select(
@@ -3604,6 +3607,7 @@ def lof_outlier_scores_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("dq"),
         )
+        .localCheckpoint(eager=False)
     )
     kd = knn.groupBy("vec_id").agg(F.max("dq").alias("k_dist"))
     reach = knn.join(

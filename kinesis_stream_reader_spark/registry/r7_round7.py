@@ -226,9 +226,18 @@ def ivf_knn_recall_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = similarity.knn_graph(emb, k=5).select("vec_id", "neighbor_id")
-    approx = similarity.ivf_knn_graph(emb, k=5, nprobe=2).select(
-        "vec_id", "neighbor_id"
+    # both graphs are referenced twice (own count + the overlap
+    # semi-join); lazy-checkpoint each so the GEMM subtrees plan and
+    # execute once (round 13, guide §7.3)
+    exact = (
+        similarity.knn_graph(emb, k=5)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    approx = (
+        similarity.ivf_knn_graph(emb, k=5, nprobe=2)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
     )
     ex = exact.agg(F.count("*").alias("n_exact_edges"))
     iv = approx.agg(F.count("*").alias("n_ivf_edges"))
@@ -653,7 +662,13 @@ def ivf_nprobe_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    exact = similarity.knn_graph(emb, k=5).select("vec_id", "neighbor_id")
+    # exact feeds both the hit join and the n_exact census — checkpoint
+    # so the block-GEMM subtree plans and executes once (round 13)
+    exact = (
+        similarity.knn_graph(emb, k=5)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     ranks = similarity.ivf_probe_ranks(emb, metric="ip")
     lab = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("list_id")

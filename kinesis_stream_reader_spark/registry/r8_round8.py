@@ -360,7 +360,13 @@ def ivf_nprobe_sweep_trained_query(
     from ..operators import similarity
 
     emb, tl = _trained(spark, sf_dir)
-    exact = similarity.knn_graph(emb, k=5).select("vec_id", "neighbor_id")
+    # exact feeds the n_exact census plus one hit join PER scheme (3
+    # references) — checkpoint so the GEMM subtree runs once (round 13)
+    exact = (
+        similarity.knn_graph(emb, k=5)
+        .select("vec_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     tot = exact.agg(F.count("*").alias("n_exact"))
     curves = []
     for scheme, lists, nbl in (
