@@ -70,6 +70,37 @@ HAVE_PROTOBUF = _ensure_protobuf()
 for _var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
     os.environ.setdefault(_var, "1073741824")
 
+# Ephemeral engine scratch (shuffle files, localCheckpoint blocks,
+# streaming checkpoint/WAL dirs, sink temp dirs) defaults to tempfile's
+# /tmp — DISK-backed on this sandbox, so every micro-batch pays offset/
+# commit-log fsyncs to disk and every localCheckpoint writes through
+# the page cache (round 13, guide §6). /dev/shm is a tmpfs sized to
+# half of RAM; the engine's ephemeral I/O at bench scale is tens of MB,
+# so redirect BOTH spark.local.dir and tempfile there when available.
+# Production: spark.local.dir belongs on fast local SSDs and streaming
+# checkpoints on durable storage — both stay overridable
+# (SPARK_GRAFT_LOCAL_DIR=- disables the redirect entirely). Durable
+# cross-invocation fixtures (KSR_SCRATCH) are NOT moved.
+def _fast_tmp() -> str | None:
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override == "-":
+        return None
+    if override:
+        return override
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "ksr_local")
+    return None
+
+
+FAST_TMP = _fast_tmp()
+if FAST_TMP:
+    import tempfile
+
+    os.makedirs(FAST_TMP, exist_ok=True)
+    os.environ.setdefault("TMPDIR", FAST_TMP)
+    tempfile.tempdir = FAST_TMP
+
 # transformWithStateInPandas needs a state store with multiple column
 # families — only RocksDB (bundled with Spark 4) supports that; the
 # HDFS-backed default rejects it at task start.
@@ -108,6 +139,8 @@ def get_spark(app_name: str = "kinesis_stream_reader_spark", cpus: int | None = 
         .config("spark.sql.warehouse.dir", scratch("ksr_warehouse"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if FAST_TMP:
+        builder = builder.config("spark.local.dir", FAST_TMP)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
