@@ -2868,9 +2868,12 @@ def harmonic_centrality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 100).alias("u"),
         (100 + F.col("event_id") % 100).alias("v"),
     ).distinct()
+    # One lazy checkpoint: und is joined by every BFS round below, and each
+    # un-checkpointed reference re-embeds the events scan + distinct (6
+    # scans for 6 rounds). Materialized once at action time instead.
     und = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
     verts = und.select(F.col("src").alias("vx")).distinct()
     init = verts.select(
         F.col("vx").alias("s"), F.col("vx").alias("node"), F.lit(0).cast("long").alias("d")
