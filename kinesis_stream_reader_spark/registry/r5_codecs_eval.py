@@ -2903,6 +2903,12 @@ def harmonic_centrality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("s", "node", F.lit(k).cast("long").alias("d"))
             .localCheckpoint(eager=False)
         )
+        # Early exit once the BFS saturates: an empty layer adds zero
+        # rows to the final union and every later round stays empty, but
+        # each would still pay join + anti-join + checkpoint scheduling
+        # (3 of 6 rounds empty at sf0.1). Result-identical.
+        if new.isEmpty():
+            break
         layers.append(new)
         frontier = new
     h = layers[0].select("s", "node", "d")

@@ -847,13 +847,24 @@ def betweenness_centrality_query(
         new = cand.join(
             settled, ["s", "node"], "left_anti"
         ).localCheckpoint(eager=False)
+        # Early exit on an empty frontier (graph saturated): the fixed
+        # round budget exists to match the oracle's unrolled CTEs, but an
+        # empty layer contributes zero rows to every downstream relation
+        # and its backward round aggregates nothing — measured 3 of 6
+        # forward rounds (and their backward twins) empty at sf0.1, each
+        # still paying checkpoint + join scheduling. Result-identical:
+        # the terminal nonempty layer's delta is 0 either way (the
+        # original's join against an empty next level COALESCEs to 0).
+        if new.isEmpty():
+            break
         layers.append(new)
         frontier = new
-    deltas = [None] * (_BW_K + 1)
-    deltas[_BW_K] = layers[_BW_K].select(
+    last = len(layers) - 1
+    deltas = [None] * (last + 1)
+    deltas[last] = layers[last].select(
         "s", "node", "sig", F.lit(0).cast("long").alias("delta")
     )
-    for k in range(_BW_K - 1, -1, -1):
+    for k in range(last - 1, -1, -1):
         w = deltas[k + 1].select(
             F.col("s").alias("ws"),
             F.col("node").alias("wnode"),
