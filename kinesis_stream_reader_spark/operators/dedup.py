@@ -204,8 +204,24 @@ def minhash_verify_pairs(
     relation: only colliding candidates pay the gram-set comparison —
     shared by the batch LSH pairs and the streaming drain's verify
     post-pass."""
-    grams = gram_postings(documents, n).groupBy("doc_id").agg(
-        F.collect_list("gram").alias("grams")
+    # The gram-list census only matters for docs that actually appear in
+    # a candidate pair — a small fraction of the corpus (the dup mass).
+    # Checkpoint the candidate relation (it feeds the id census + both
+    # verify joins) and semi-join the postings down to it BEFORE the
+    # collect_list shuffle: the verify stage then shuffles candidates'
+    # grams, not the whole corpus's. Identical pairs out (non-candidate
+    # gram lists were never joined to anything).
+    candidates = candidates.localCheckpoint(eager=False)
+    cand_ids = (
+        candidates.select(F.col("a_id").alias("doc_id"))
+        .union(candidates.select(F.col("b_id").alias("doc_id")))
+        .distinct()
+    )
+    grams = (
+        gram_postings(documents, n)
+        .join(cand_ids, "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("gram").alias("grams"))
     )
     return (
         candidates.join(grams.withColumnRenamed("doc_id", "a_id").alias("ga"), "a_id")
@@ -244,7 +260,10 @@ def minhash_lsh_pairs(
     pair emission here can be bounded with `max_pairs_per_doc` — a
     deterministic per-doc cap (lowest b_id first) that turns the output
     into at most cap*N rows."""
-    buckets = minhash_bucket_keys(documents, n)
+    # self-joined: without a checkpoint the full signature pipeline
+    # (gram explode + 32-way min aggregate + band hashing) plans and
+    # executes once PER SIDE
+    buckets = minhash_bucket_keys(documents, n).localCheckpoint(eager=False)
     a = buckets.alias("a")
     b = buckets.alias("b")
     candidates = (

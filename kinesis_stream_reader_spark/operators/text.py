@@ -1469,8 +1469,21 @@ def html_extract_text(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _bm25_tf(documents: DataFrame) -> DataFrame:
+    """(doc_id, term, tf) over BM25's normalization — the single
+    corpus-explode aggregate every BM25-family consumer derives from."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    toks = documents.select(
+        "doc_id", F.explode(F.split(normalized, " ")).alias("term")
+    ).filter(F.col("term") != "")
+    return toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
 def bm25_retrieval(
-    documents: DataFrame, query_terms: list[tuple[int, str]] | None = None, k: int = 3
+    documents: DataFrame,
+    query_terms: list[tuple[int, str]] | None = None,
+    k: int = 3,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval (Robertson/Sparck-Jones, Lucene idf form)
     over the corpus — the classic-IR counterpart of rag_retrieval's
@@ -1502,14 +1515,14 @@ def bm25_retrieval(
         ]
     spark = documents.sparkSession
     queries = tiny_df(spark, query_terms, "query_id int, term string")
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
-    toks = documents.select(
-        "doc_id", F.explode(F.split(normalized, " ")).alias("term")
-    ).filter(F.col("term") != "")
     # ONE pass over the exploded tokens: dl, df and the corpus totals
     # all derive from the (doc, term) tf aggregate, so the explode is
-    # scanned once, not four times
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # scanned once, not four times. The lazy checkpoint matters for the
+    # same reason: tf feeds three consumers (dl, df, scored) and an
+    # un-checkpointed subtree re-plans and re-executes the corpus
+    # explode + shuffle once per consumer.
+    if tf is None:
+        tf = _bm25_tf(documents).localCheckpoint(eager=False)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     totals = dl.agg(
@@ -1660,13 +1673,12 @@ def ndcg_eval(documents: DataFrame, k: int = 10) -> DataFrame:
     relevance aggregation bounded by queries x docs-with-hits, and the
     ideal ranking is a per-query top-k over the RELEVANCE relation —
     all TakeOrdered-scale, never a corpus sort."""
-    ranked = bm25_retrieval(documents, k=k)
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
-    toks = (
-        documents.select("doc_id", F.explode(F.split(normalized, " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+    # ONE checkpointed (doc, term, tf) aggregate serves the BM25 leg and
+    # the relevance census (its distinct (doc, term) set is exactly tf's
+    # key set) — previously two corpus explodes.
+    tf = _bm25_tf(documents).localCheckpoint(eager=False)
+    ranked = bm25_retrieval(documents, k=k, tf=tf)
+    toks = tf.select("doc_id", "term")
     spark = documents.sparkSession
     qterms = tiny_df(
         spark,
@@ -2579,18 +2591,19 @@ def rank_fusion_rrf(
         ]
     spark = documents.sparkSession
     queries = tiny_df(spark, query_terms, "query_id int, term string")
-    a = bm25_retrieval(documents, query_terms, k=k_each).select(
+    # Both rankers normalize/tokenize identically, so ONE checkpointed
+    # (doc, term, tf) aggregate serves the BM25 leg and the coverage
+    # leg: dl is the per-doc tf sum (== raw token count) and the
+    # distinct (doc, term) hit census is exactly the tf relation's key
+    # set. Previously the corpus was exploded three times (BM25's tf +
+    # this function's dl and hits).
+    tf = _bm25_tf(documents).localCheckpoint(eager=False)
+    a = bm25_retrieval(documents, query_terms, k=k_each, tf=tf).select(
         "query_id", "doc_id", F.col("rank").alias("rank_bm25")
     )
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
-    toks = documents.select(
-        "doc_id", F.explode(F.split(normalized, " ")).alias("term")
-    ).filter(F.col("term") != "")
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     hits = (
-        toks.select("doc_id", "term")
-        .distinct()
-        .join(F.broadcast(queries), "term")
+        tf.join(F.broadcast(queries), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").alias("n_hit"))
     )
@@ -2772,13 +2785,10 @@ def mrr_recall_eval(documents: DataFrame, k: int = 10) -> DataFrame:
     Plan shape: rides bm25_retrieval + the ndcg relevance census; the
     metric joins run on queries x top-k rows. Determinism: ranks and
     counts are exact ints; MRR/recall are single IEEE divisions."""
-    ranked = bm25_retrieval(documents, k=k)
-    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
-    toks = (
-        documents.select("doc_id", F.explode(F.split(normalized, " ")).alias("term"))
-        .filter(F.col("term") != "")
-        .distinct()
-    )
+    # shared checkpointed tf aggregate — same rationale as ndcg_eval
+    tf = _bm25_tf(documents).localCheckpoint(eager=False)
+    ranked = bm25_retrieval(documents, k=k, tf=tf)
+    toks = tf.select("doc_id", "term")
     spark = documents.sparkSession
     qterms = tiny_df(
         spark,
@@ -3046,6 +3056,10 @@ def blocked_eval_pairs(
     canon = pref.groupBy("fp").agg(F.min("doc_id").alias("ref_id"))
     wb = Window.partitionBy("fp").orderBy("doc_id")
     wc = Window.partitionBy("fp")
+    # checkpointed: every eval kernel references the pair relation three
+    # times (member census + candidate join + reference join); without it
+    # the fingerprint census + window chain re-plans and re-executes per
+    # reference
     return (
         pref.select("doc_id", "fp")
         .join(canon, "fp")
@@ -3054,6 +3068,7 @@ def blocked_eval_pairs(
         .withColumn("block_pairs_total", F.count("*").over(wc))
         .filter(F.col("prn") <= max_pairs_per_block)
         .select("doc_id", "ref_id", "block_pairs_total")
+        .localCheckpoint(eager=False)
     )
 
 
@@ -3126,6 +3141,9 @@ def wer_pairs_report(documents: DataFrame) -> DataFrame:
     hashed = (
         ws.join(members, ws.doc_id == members.m)
         .select("doc_id", hcol.alias("h"), F.size("w").cast("long").alias("n"))
+        # referenced twice (candidate + reference side): one pass over
+        # the interpreted per-element md5 HOF, not two
+        .localCheckpoint(eager=False)
     )
     ha = hashed.select(
         F.col("doc_id").alias("a_id"), F.col("h").alias("ha")
@@ -3222,7 +3240,9 @@ def rouge_l_pairs_report(documents: DataFrame) -> DataFrame:
     )
     hashed = ws.join(members, ws.doc_id == members.m).select(
         "doc_id", hcol.alias("h"), F.size("w").cast("long").alias("n")
-    )
+        # referenced twice (candidate + reference side): one pass over
+        # the interpreted per-element md5 HOF, not two
+    ).localCheckpoint(eager=False)
     ha = hashed.select(
         F.col("doc_id").alias("a_id"), F.col("h").alias("ha"), F.col("n").alias("n_cand")
     )
@@ -3356,21 +3376,34 @@ def chrf_pairs_report(documents: DataFrame, beta: float = 2.0) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .withColumn("n", F.lit(3))
     )
-    census = g1.unionByName(g2).unionByName(g3)
+    # referenced twice (candidate + reference side): checkpoint so the
+    # posexplode + window + three gram aggregates run once
+    census = g1.unionByName(g2).unionByName(g3).localCheckpoint(eager=False)
     cand = census.select(
-        F.col("doc_id").alias("a_id"), "n", "g", F.col("c").alias("ca")
+        F.col("doc_id").alias("a_id"),
+        F.col("n").alias("an"),
+        F.col("g").alias("ag"),
+        F.col("c").alias("ca"),
     )
+    # reference side fully renamed: both sides now read the SAME
+    # checkpointed census, and a self-join on shared column names is
+    # ambiguous to the analyzer
     ref = census.select(
-        F.col("doc_id").alias("r_id"), "n", "g", F.col("c").alias("cr")
+        F.col("doc_id").alias("r_id"),
+        F.col("n").alias("rn"),
+        F.col("g").alias("rg"),
+        F.col("c").alias("cr"),
     )
     per_order = (
         pairs.join(cand, pairs.doc_id == cand.a_id)
         .join(
             ref,
-            (pairs.ref_id == ref.r_id) & (cand.n == ref.n) & (cand.g == ref.g),
+            (pairs.ref_id == ref.r_id)
+            & (F.col("an") == F.col("rn"))
+            & (F.col("ag") == F.col("rg")),
             "left",
         )
-        .groupBy("doc_id", "ref_id", cand.n.alias("n"))
+        .groupBy("doc_id", "ref_id", F.col("an").alias("n"))
         .agg(
             F.sum(F.least(F.col("ca"), F.coalesce(F.col("cr"), F.lit(0)))).alias(
                 "clipped"
@@ -3381,7 +3414,7 @@ def chrf_pairs_report(documents: DataFrame, beta: float = 2.0) -> DataFrame:
     # reference-side totals per order (recall denominators)
     ref_tot = (
         pairs.join(ref, pairs.ref_id == ref.r_id)
-        .groupBy("doc_id", "ref_id", "n")
+        .groupBy("doc_id", "ref_id", F.col("rn").alias("n"))
         .agg(F.sum("cr").alias("t_ref"))
     )
     # clipped counts vs the REFERENCE census bound recall too (chrF uses

@@ -1358,10 +1358,26 @@ def bleu_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "w", F.md5(F.array_join(F.slice("w", 1, 8), " ")).alias("fp")
     )
     pairs = blocked_eval_pairs(pref)
+    # gram censuses only for pair MEMBERS (the wer/rouge/chrf shape):
+    # previously g1/g2/lens tokenized the whole corpus, and each is
+    # referenced twice (candidate + reference side of clip), so the
+    # un-checkpointed corpus tokenization executed ~5x. One member
+    # semi-join + checkpoints: tokenize members once, census once.
+    members = (
+        pairs.select(F.col("doc_id").alias("m"))
+        .unionByName(pairs.select(F.col("ref_id").alias("m")))
+        .distinct()
+    )
+    wsm = (
+        ws.join(members, ws.doc_id == members.m)
+        .select("doc_id", "w")
+        .localCheckpoint(eager=False)
+    )
     g1 = (
-        ws.select("doc_id", F.explode("w").alias("g"))
+        wsm.select("doc_id", F.explode("w").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
     bigrams = F.when(
         F.size("w") >= 2,
@@ -1372,11 +1388,12 @@ def bleu_pairs_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     g2 = (
-        ws.select("doc_id", F.explode(bigrams).alias("g"))
+        wsm.select("doc_id", F.explode(bigrams).alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    lens = ws.select("doc_id", F.size("w").cast("long").alias("n"))
+    lens = wsm.select("doc_id", F.size("w").cast("long").alias("n"))
 
     def clip(g: DataFrame) -> DataFrame:
         a = g.alias("a")
