@@ -128,7 +128,9 @@ def ngram_jaccard_pairs(
     (identical result set for any threshold > 0). All join/group keys
     are longs + the blocking columns. Jaccard on small-int set sizes is
     exact in floating point, so the oracle matches bit-for-bit."""
-    postings = gram_postings(documents, n, blocking)
+    # referenced three times (size census + both sides of the shared-
+    # gram self-join): checkpoint so the corpus explode runs once
+    postings = gram_postings(documents, n, blocking).localCheckpoint(eager=False)
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = postings.alias("a")
     b = postings.alias("b")
@@ -970,7 +972,9 @@ def ngram_containment_pairs(
     counts via postings equi-join; pairs sharing no grams never
     materialize); the only change is the asymmetric normalizer and
     emitting directed (contained, container) pairs both ways."""
-    postings = gram_postings(documents, n, blocking)
+    # referenced three times (size census + both sides of the shared-
+    # gram self-join): checkpoint so the corpus explode runs once
+    postings = gram_postings(documents, n, blocking).localCheckpoint(eager=False)
     sizes = postings.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     a = postings.alias("a")
     b = postings.alias("b")

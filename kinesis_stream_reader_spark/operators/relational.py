@@ -2890,9 +2890,14 @@ def triangle_count(events: DataFrame, nodes_a: int = 200, nodes_b: int = 199) ->
         (F.col("user_id") % nodes_a).alias("p"),
         (F.col("event_id") % nodes_b).alias("q"),
     ).filter(F.col("p") != F.col("q"))
+    # edges / ordered / tris each feed multiple consumers below; lazy
+    # checkpoints make the events scan + distinct, the orientation join,
+    # and (critically) the wedge semi-join execute ONCE instead of once
+    # per reference (tris alone is read four times: three per-vertex
+    # union arms + the global total)
     edges = raw.select(
         F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))
@@ -2915,6 +2920,7 @@ def triangle_count(events: DataFrame, nodes_a: int = 200, nodes_b: int = 199) ->
             .alias("e")
         )
         .select("e.a", "e.b")
+        .localCheckpoint(eager=False)
     )
     e1 = ordered.select(F.col("a"), F.col("b").alias("b1"))
     e2 = ordered.select(F.col("a"), F.col("b").alias("b2"))
@@ -2922,7 +2928,9 @@ def triangle_count(events: DataFrame, nodes_a: int = 200, nodes_b: int = 199) ->
     closing = ordered.select(
         F.col("a").alias("b1"), F.col("b").alias("b2")
     ).unionAll(ordered.select(F.col("b").alias("b1"), F.col("a").alias("b2")))
-    tris = wedges.join(closing.distinct(), ["b1", "b2"], "left_semi")
+    tris = wedges.join(
+        closing.distinct(), ["b1", "b2"], "left_semi"
+    ).localCheckpoint(eager=False)
     per_vertex = (
         tris.select(F.col("a").alias("vertex"))
         .unionAll(tris.select(F.col("b1").alias("vertex")))
@@ -3077,9 +3085,11 @@ def label_propagation(
     edges = raw.select(
         F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
     ).distinct()
+    # joined by every vote round: one lazy checkpoint keeps the events
+    # scan + distinct out of the per-round re-execution
     und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    ).localCheckpoint(eager=False)
     labels = und.select(F.col("src").alias("vertex")).distinct().select(
         "vertex", F.col("vertex").alias("label")
     )
@@ -3883,11 +3893,15 @@ def assoc_rules(
     # self-join at 30x wall (duplicate-key pair fan-out through the
     # join); this aggregate-first shape is the same lesson
     # join_shuffle_hash_hint teaches.
+    # basket arrays feed three consumers (basket count, item census,
+    # pair emission): checkpoint so the lineitem join + collect_set
+    # shuffle runs once, not three times
     arrs = (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
         .groupBy("o")
         .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        .localCheckpoint(eager=False)
     )
     n = arrs.select(F.count("*").alias("n"))
     item_counts = (
@@ -3961,9 +3975,15 @@ def shortest_path_bounded(events: DataFrame, hops: int = 4) -> DataFrame:
     fixed bound (k-hop cheapest path is the declared semantics), so
     the plan is K chained rounds, lazily composed — no driver-side
     data access at all."""
+    # edges is joined by every relaxation round and each round references
+    # the previous dist TWICE (identity + relax arm): un-checkpointed,
+    # the plan doubles per round (2^hops embedded copies of the source
+    # aggregate, `hops` copies of the events groupBy). Lazy checkpoints
+    # keep each round one join + one min-aggregate over materialized
+    # inputs — the linear-in-rounds shape the docstring promises.
     edges = events.groupBy(
         F.col("user_id").alias("src"), (F.col("event_id") % 500).alias("dst")
-    ).agg((F.min(F.col("event_id") % 9) + 1).alias("w"))
+    ).agg((F.min(F.col("event_id") % 9) + 1).alias("w")).localCheckpoint(eager=False)
     source = events.agg(F.min("user_id").alias("node")).select(
         "node", F.lit(0).cast("long").alias("dist")
     )
@@ -3976,6 +3996,7 @@ def shortest_path_bounded(events: DataFrame, hops: int = 4) -> DataFrame:
             dist.unionByName(relax)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
         )
     return dist.orderBy("node")
 
@@ -4362,11 +4383,15 @@ def temporal_reachability(events: DataFrame, rounds: int = 3) -> DataFrame:
     frontier against edges on the source key plus a partial-agg MIN;
     shuffles carry the edge relation and the node-bounded frontier.
     Rounds compose lazily — no driver data access."""
+    # edges is joined by every round and each round references the
+    # previous arr TWICE (identity + relax arm): lazy checkpoints stop
+    # the 2^rounds subtree doubling and re-scan of events per round
+    # (the shortest_path_bounded shape)
     edges = events.select(
         F.col("user_id").alias("src"),
         (F.col("event_id") % 500).alias("dst"),
         F.unix_timestamp("ts").alias("t"),
-    )
+    ).localCheckpoint(eager=False)
     arr = events.agg(F.min("user_id").alias("node")).select(
         "node", F.lit(0).cast("long").alias("arrival")
     )
@@ -4380,6 +4405,7 @@ def temporal_reachability(events: DataFrame, rounds: int = 3) -> DataFrame:
             arr.unionByName(relax)
             .groupBy("node")
             .agg(F.min("arrival").alias("arrival"))
+            .localCheckpoint(eager=False)
         )
     return arr.orderBy("node")
 
@@ -4798,10 +4824,13 @@ def timeseries_topk_similar(
         "m",
         F.when(F.sqrt(var) == 0.0, F.lit(1.0)).otherwise(F.sqrt(var)).alias("s"),
     )
+    # referenced twice (the query-vector filter and the scored scan):
+    # checkpoint so the grid assembly + per-user z-normalization chain
+    # (interpreted array folds) executes once
     znorm = with_std.select(
         "user_id",
         F.transform("v", lambda x: (x - F.col("m")) / F.col("s")).alias("z"),
-    )
+    ).localCheckpoint(eager=False)
     q = znorm.filter(F.col("user_id") == query_user).select(F.col("z").alias("qz"))
     dist = F.aggregate(
         F.zip_with("z", "qz", lambda a, b: (a - b) * (a - b)),

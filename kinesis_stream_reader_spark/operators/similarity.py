@@ -1551,36 +1551,45 @@ def kcenter_init(embeddings: DataFrame, k: int = 6) -> DataFrame:
     squared distance to the previously chosen set (exact integer
     millis, so both engines agree bit-for-bit).
 
-    Plan shape per round: the chosen set (<= k rows) broadcasts into a
-    min-distance partial agg over the corpus, and the argmax is ONE
-    TakeOrdered row pulled to the driver (the BPE argmax-loop shape —
-    k-1 scalar round trips, never data). O(k) corpus passes total;
-    at 100 TB each pass is a map-side fold + tiny shuffle."""
+    Plan shape per round: a RUNNING min-distance column is carried
+    across rounds (dmin_r = min(dmin_{r-1}, d2(v, newest center))), so
+    each round is one map-only distance against the single newest
+    center — a literal broadcast into the projection — plus a
+    TakeOrdered argmax (the BPE argmax-loop shape: k-1 scalar round
+    trips, never data). O(k) corpus passes of ONE interpreted
+    array-fold each, versus the naive re-join against all chosen
+    centers whose round r pays r-1 folds and a corpus-sized groupBy
+    shuffle (O(k^2) folds total). Values are bit-identical: min over
+    the chosen set IS the running min of the same per-pair quantized
+    distances."""
     vecs = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("x")
     )
-    diffs = F.zip_with("x", "c", lambda a, b: (a - b) * (a - b))
-    d2_milli = F.floor(
-        F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v) * 1000
-        + F.lit(0.5)
-    ).cast("long")
     schema = "sel_order int, vec_id bigint, dmin_milli bigint"
     first_rows = vecs.orderBy("vec_id").limit(1).collect()
     if not first_rows:  # empty corpus
         return _empty_df(embeddings.sparkSession, schema)
-    first = first_rows[0].vec_id
-    rows = [(1, first, 0)]
-    chosen_ids = [first]
+    first = first_rows[0]
+    rows = [(1, first.vec_id, 0)]
+    chosen_ids = [first.vec_id]
+    newest_x = list(first.x)
+    state = vecs.withColumn("dmin", F.lit(None).cast("long"))
     for r in range(2, k + 1):
-        chosen = vecs.filter(F.col("vec_id").isin(chosen_ids)).select(
-            F.col("x").alias("c")
-        )
+        carr = F.array(*[F.lit(float(v)) for v in newest_x])
+        diffs = F.zip_with("x", carr, lambda a, b: (a - b) * (a - b))
+        d2_new = F.floor(
+            F.aggregate(diffs, F.lit(0.0), lambda acc, v: acc + v) * 1000
+            + F.lit(0.5)
+        ).cast("long")
+        state = state.select(
+            "vec_id",
+            "x",
+            F.when(F.col("dmin").isNull(), d2_new)
+            .otherwise(F.least(F.col("dmin"), d2_new))
+            .alias("dmin"),
+        ).localCheckpoint(eager=False)
         pick = (
-            vecs.filter(~F.col("vec_id").isin(chosen_ids))
-            .join(F.broadcast(chosen))
-            .select("vec_id", d2_milli.alias("d2"))
-            .groupBy("vec_id")
-            .agg(F.min("d2").alias("dmin"))
+            state.filter(~F.col("vec_id").isin(chosen_ids))
             .orderBy(F.col("dmin").desc(), "vec_id")
             .limit(1)
             .collect()
@@ -1589,6 +1598,7 @@ def kcenter_init(embeddings: DataFrame, k: int = 6) -> DataFrame:
             break
         rows.append((r, pick[0].vec_id, pick[0].dmin))
         chosen_ids.append(pick[0].vec_id)
+        newest_x = list(pick[0].x)
     return _tiny_df(embeddings.sparkSession, rows, schema)
 
 

@@ -773,11 +773,15 @@ def dsir_importance(
         .cast("long"),
         F.lit(buckets),
     )
+    # referenced twice (bucket census + ratio join-back): checkpoint so
+    # the corpus explode + per-token md5 bucketing runs once
     toks = documents.select(
         "doc_id",
         "lang",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "").select("doc_id", "lang", bucket.alias("b"))
+    ).filter(F.col("tok") != "").select(
+        "doc_id", "lang", bucket.alias("b")
+    ).localCheckpoint(eager=False)
     census = toks.groupBy("b").agg(
         F.count("*").alias("n_raw"),
         F.count(F.when(F.col("lang") == "en", 1)).alias("n_target"),
@@ -1397,9 +1401,11 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
         ),
     ).filter(F.col("tok") != "")
     w = Window.partitionBy("doc_id").orderBy("pos")
+    # referenced three times (pair census, history census, score-back):
+    # checkpoint so the corpus explode + window runs once
     bigrams = toks.withColumn("nxt", F.lead("tok").over(w)).filter(
         F.col("nxt").isNotNull()
-    )
+    ).localCheckpoint(eager=False)
     pair_counts = bigrams.groupBy("tok", "nxt").agg(F.count("*").alias("c2"))
     head_counts = bigrams.groupBy("tok").agg(F.count("*").alias("c1"))
     scored = bigrams.join(pair_counts, ["tok", "nxt"]).join(head_counts, "tok")
@@ -2205,9 +2211,11 @@ def ccnet_perplexity_buckets(documents: DataFrame) -> DataFrame:
         ),
     ).filter(F.col("tok") != "")
     w = Window.partitionBy("doc_id").orderBy("pos")
+    # referenced three times (pair census, history census, score-back):
+    # checkpoint so the corpus explode + window runs once
     bigrams = toks.withColumn("nxt", F.lead("tok").over(w)).filter(
         F.col("nxt").isNotNull()
-    )
+    ).localCheckpoint(eager=False)
     pair_counts = bigrams.groupBy("tok", "nxt").agg(F.count("*").alias("c2"))
     head_counts = bigrams.groupBy("tok").agg(F.count("*").alias("c1"))
     scored = (
@@ -2470,9 +2478,11 @@ def ngram_novelty(documents: DataFrame, n: int = 3) -> DataFrame:
     short = documents.filter(F.size(toks) < n).select(
         "doc_id", F.xxhash64(F.trim(F.col("text"))).alias("g")
     )
+    # referenced twice (first-owner census + join-back): checkpoint so
+    # the posexplode + window gram construction runs once
     doc_grams = gram_postings(documents, n).select(
         "doc_id", F.col("gram").alias("g")
-    ).unionByName(short)
+    ).unionByName(short).localCheckpoint(eager=False)
     first_owner = doc_grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
     return (
         doc_grams.join(first_owner, "g")
@@ -2523,10 +2533,16 @@ def keyword_textrank(documents: DataFrame, top_n: int = 20) -> DataFrame:
     und = pairs.select(
         F.least("w", "v").alias("a"), F.greatest("w", "v").alias("b")
     )
-    wedges = und.groupBy("a", "b").agg(F.count("*").alias("wt"))
+    # the corpus-pass census is embedded once per reference downstream
+    # (two union arms x two power iterations + the degree census);
+    # checkpoint it so the posexplode + window + groupBy runs once —
+    # everything after is vocabulary-bounded
+    wedges = und.groupBy("a", "b").agg(F.count("*").alias("wt")).localCheckpoint(
+        eager=False
+    )
     edges = wedges.select("a", "b", "wt").unionByName(
         wedges.select(F.col("b").alias("a"), F.col("a").alias("b"), "wt")
-    )
+    ).localCheckpoint(eager=False)
     wdeg = edges.groupBy("a").agg(F.sum("wt").alias("wdeg"))
     nodes = wdeg.select(F.col("a").alias("word"))
     ranks = nodes.select("word", F.lit(1_000_000_000).cast("long").alias("rank_u"))
@@ -2861,10 +2877,16 @@ def kneser_ney_logprob(documents: DataFrame, discount: float = 0.75) -> DataFram
         ),
     ).filter(F.col("tok") != "")
     w = Window.partitionBy("doc_id").orderBy("pos")
+    # bigrams feeds three consumers (pair census, history census, the
+    # scored join-back) and the pair census pc feeds four (N1+ fw/bw,
+    # type total, score join): checkpoints run the corpus explode +
+    # window once and the census once
     bigrams = toks.withColumn("nxt", F.lead("tok").over(w)).filter(
         F.col("nxt").isNotNull()
-    )
-    pc = bigrams.groupBy("tok", "nxt").agg(F.count("*").alias("c2"))
+    ).localCheckpoint(eager=False)
+    pc = bigrams.groupBy("tok", "nxt").agg(
+        F.count("*").alias("c2")
+    ).localCheckpoint(eager=False)
     hc = bigrams.groupBy("tok").agg(F.count("*").alias("c1"))
     fw = pc.groupBy("tok").agg(F.count("*").alias("n1fw"))
     bw = pc.groupBy("nxt").agg(F.count("*").alias("n1bw"))

@@ -916,7 +916,13 @@ def merkle_snapshot_diff_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("h"),
         )
 
-    ah, bh = hashed(a), hashed(b)
+    # each hashed side feeds its digest AND the differing-bucket rescan
+    # (and b's two arms each re-derive a): checkpoint so the md5 row-hash
+    # projection over orders runs once per side
+    ah, bh = (
+        hashed(a).localCheckpoint(eager=False),
+        hashed(b).localCheckpoint(eager=False),
+    )
 
     def digest(df: DataFrame, n: str, dg: str) -> DataFrame:
         return df.groupBy("bucket").agg(

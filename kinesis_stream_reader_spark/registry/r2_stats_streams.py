@@ -2178,8 +2178,10 @@ def kcore_bounded_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("a", "b")
             # each round's plan references edges ~4x (degree union +
             # two semi joins): truncate lineage or round N recomputes
-            # round N-1 exponentially (measured 26s -> ~8s at sf0.01)
-            .localCheckpoint()
+            # round N-1 exponentially (measured 26s -> ~8s at sf0.01).
+            # Lazy (round 13): materialization rides the final action's
+            # bottom-up checkpoint chain, one fewer scheduled job/round
+            .localCheckpoint(eager=False)
         )
     final_deg = (
         edges.select(F.col("a").alias("node"))
@@ -3631,11 +3633,15 @@ def item_item_recs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation — never baskets."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
+    # basket arrays feed three consumers (basket count, item census,
+    # pair emission): checkpoint so the lineitem join + collect_set
+    # shuffle runs once, not three times
     arrs = (
         lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
         .select(F.col("l_orderkey").alias("o"), F.col("p_brand").alias("item"))
         .groupBy("o")
         .agg(F.sort_array(F.collect_set("item")).alias("items"))
+        .localCheckpoint(eager=False)
     )
     n = arrs.select(F.count("*").alias("n"))
     item_counts = (

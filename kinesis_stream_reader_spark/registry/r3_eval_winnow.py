@@ -3021,12 +3021,15 @@ def dbscan_grid_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("event_id") * 2654435761) % 1000).alias("x"),
         ((F.col("user_id") * 40503 + F.col("event_id") * 97) % 1000).alias("y"),
     )
+    # cells feeds core + noise, core feeds four consumers (neighbor
+    # expansion, edge semi-join, component vertices, cluster census):
+    # checkpoints run the point scan + cell census once
     cells = pts.groupBy(
         F.floor(F.col("x") / 5).alias("cx"), F.floor(F.col("y") / 5).alias("cy")
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).localCheckpoint(eager=False)
     core = cells.filter(F.col("n") >= 3).withColumn(
         "cell", F.col("cx") * 1000 + F.col("cy")
-    )
+    ).localCheckpoint(eager=False)
     offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
     spark_offs = tiny_df(spark, offs, "dx int, dy int")
     nb = core.join(F.broadcast(spark_offs)).select(

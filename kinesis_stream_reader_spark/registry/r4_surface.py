@@ -640,7 +640,9 @@ def personalized_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         ev.select(F.col("user_id").alias("src"), (F.col("event_id") % 500).alias("dst"))
         .distinct()
-        .localCheckpoint()
+        # lazy: materialization rides the final action's bottom-up
+        # checkpoint chain instead of a separately scheduled job
+        .localCheckpoint(eager=False)
     )
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     nodes = (
@@ -681,7 +683,7 @@ def personalized_pagerank_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).cast("long")
                 ).alias("rank_u"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return (
         ranks.filter(F.col("rank_u") > 0)

@@ -1644,14 +1644,17 @@ def graph_modularity_report_query(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators import relational
 
     events = load_events(spark, sf_dir)
-    labels = relational.label_propagation(events)
+    # labels feeds three consumers (degree census + both edge-endpoint
+    # joins): without a checkpoint the ENTIRE 3-round LPA chain re-plans
+    # and re-executes per reference. edges likewise feeds und/m/ec.
+    labels = relational.label_propagation(events).localCheckpoint(eager=False)
     raw = events.select(
         (F.col("user_id") % 200).alias("p"),
         (F.col("event_id") % 199).alias("q"),
     ).filter(F.col("p") != F.col("q"))
     edges = raw.select(
         F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
         edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
     )
@@ -2019,7 +2022,15 @@ def cohens_kappa_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = text.text_lang_id_ngram(docs).select(
         "doc_id", F.col("lang_pred").alias("b")
     )
-    cont = r1.join(r2, "doc_id").groupBy("a", "b").agg(F.count("*").alias("n"))
+    # |langs|^2-cell census referenced four times (totals, both
+    # marginals, the agreement diagonal) — checkpointed so the two
+    # corpus-wide scoring passes + doc join run ONCE, not per consumer
+    cont = (
+        r1.join(r2, "doc_id")
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     tot = cont.agg(F.sum("n").alias("nn"))
     ma = cont.groupBy("a").agg(F.sum("n").alias("na"))
     mb = cont.groupBy("b").agg(F.sum("n").alias("nb"))
