@@ -349,9 +349,11 @@ def simhash_pairs(
     """SimHash near-dup pairs: hamming(sig_a, sig_b) <= max_hamming
     within blocking buckets (at scale, replace blocking with the
     standard 4-segment pigeonhole index on signature chunks)."""
+    # self-joined: checkpoint so the corpus explode + 60-vote aggregate
+    # runs once per query, not once per side
     sig = simhash_signatures(documents).join(
         documents.select("doc_id", *blocking), "doc_id"
-    )
+    ).localCheckpoint(eager=False)
     a = sig.alias("a")
     b = sig.alias("b")
     cond = F.col("a.doc_id") < F.col("b.doc_id")

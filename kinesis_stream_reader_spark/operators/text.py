@@ -1762,9 +1762,11 @@ def pmi_collocations(documents: DataFrame, min_count: int = 20, k: int = 30) -> 
     aggs; scoring joins are broadcast-sized. The min_count gate is the
     classic noise floor."""
     normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), "[^a-z0-9 ]", "")
+    # referenced four times (unigram census, totals, both sides of the
+    # adjacency self-join): checkpoint so the corpus explode runs once
     posting = documents.select(
         "doc_id", F.posexplode(F.split(normalized, " ")).alias("pos", "term")
-    ).filter(F.col("term") != "")
+    ).filter(F.col("term") != "").localCheckpoint(eager=False)
     uni = posting.groupBy("term").agg(F.count("*").alias("c"))
     totals = posting.agg(F.count("*").alias("t"))
     p0 = posting.alias("p0")
@@ -1780,6 +1782,8 @@ def pmi_collocations(documents: DataFrame, min_count: int = 20, k: int = 30) -> 
         )
         .agg(F.count("*").alias("c_ab"))
     )
+    # referenced twice (total + scored output): census is vocab-bounded
+    bigrams = bigrams.localCheckpoint(eager=False)
     btot = bigrams.agg(F.sum("c_ab").alias("b"))
     ratio = (F.col("c_ab").cast("double") / F.col("b").cast("double")) / (
         (F.col("ca").cast("double") / F.col("t").cast("double"))

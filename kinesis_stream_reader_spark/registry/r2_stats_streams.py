@@ -3438,7 +3438,12 @@ def _phash_dedup_report(ph: DataFrame) -> DataFrame:
     lesson: replicated corpora make doc-level pair emission quadratic
     — the first draft measured 367s at 20x docs; hash-level pairs
     with group weights are linear in distinct hashes)."""
-    groups = ph.groupBy("phash").agg(F.count("*").alias("sz"))
+    # the hash census sits above the IMAGE DECODE: without a checkpoint
+    # the banded self-join below re-plans and re-executes the whole
+    # decode + hash pass once per side
+    groups = ph.groupBy("phash").agg(F.count("*").alias("sz")).localCheckpoint(
+        eager=False
+    )
     bands = groups.select(
         "phash",
         "sz",
@@ -3538,7 +3543,12 @@ def tfidf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(normalized, " ")).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds the df census AND the weight join; the weight relation w
+    # feeds the norm census and both sides of the shared-term self-join:
+    # checkpoints run the corpus explode + each census once
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf")
+    ).localCheckpoint(eager=False)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     nd = docs.agg(F.count_distinct("doc_id").alias("n"))
     w = (
@@ -3557,6 +3567,7 @@ def tfidf_cosine_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("wu"),
         )
+        .localCheckpoint(eager=False)
     )
     norms = w.groupBy("doc_id").agg(
         F.floor(F.sqrt(F.sum(F.col("wu") * F.col("wu")).cast("double")))

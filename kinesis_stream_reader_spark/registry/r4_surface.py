@@ -521,12 +521,16 @@ def link_prediction_adamic_adar_query(spark: SparkSession, sf_dir: str) -> DataF
     raw = ev.select(
         (F.col("user_id") % 200).alias("p"), (F.col("event_id") % 199).alias("q")
     ).filter(F.col("p") != F.col("q"))
+    # edges feeds three consumers (both adjacency arms + the anti-join),
+    # adj three more (degree census + both wedge sides): lazy
+    # checkpoints run the events scan + distinct once (the
+    # link_prediction_jaccard shape)
     edges = raw.select(
         F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
         edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    )
+    ).localCheckpoint(eager=False)
     deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
     a1 = adj.select(F.col("node").alias("u"), "nbr")
     a2 = adj.select(F.col("node").alias("v"), F.col("nbr").alias("nbr2"))
