@@ -11,6 +11,7 @@ pruning (only `text` + keys are read from parquet).
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -942,6 +943,74 @@ def _merge_apply_batches(a: str, b: str):
     return batches
 
 
+def _bpe_driver_vocab_max() -> int:
+    """Vocabulary cutoff for the driver-side training fast path (read
+    per call so deployments/tests can re-tune without re-import). BPE
+    training state is the DISTINCT-WORD relation — bounded by the
+    vocabulary, not the corpus — and the pair census is already a
+    driver-held dict, so when the whole word relation fits comfortably
+    on the driver the per-round Spark machinery (two predicate passes,
+    an Arrow merge kernel, a delta-census collect, a checkpoint swap)
+    is pure fixed overhead: the same merges fall out of a plain Python
+    loop over the collected rows. Production corpora with vocabularies
+    above the cutoff keep the distributed incremental path."""
+    return int(os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB_MAX", "65536"))
+
+
+def _bpe_merge_greedy(syms: list, a: str, b: str) -> list:
+    """Driver twin of _merge_apply_batches' inner walk: apply ONE merge
+    greedily left-to-right over non-overlapping occurrences."""
+    res, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            res.append(a + b)
+            i += 2
+        else:
+            res.append(syms[i])
+            i += 1
+    return res
+
+
+def _bpe_train_driver(rows: list, rounds: int) -> "tuple[list, list]":
+    """Driver-side twin of the distributed incremental trainer: same
+    initial census, same argmax tie-break (count desc, then
+    lexicographic — Python string order == Spark UTF8 binary order for
+    valid strings), same greedy merge application, same signed delta
+    maintenance. Takes the collected (w, freq, syms) rows; returns
+    (merges as [(lhs, rhs, count)], final [w, freq, syms] rows)."""
+    words = [[str(r["w"]), int(r["freq"]), list(r["syms"])] for r in rows]
+    census: dict = {}
+    for _w, freq, syms in words:
+        for i in range(len(syms) - 1):
+            k = (syms[i], syms[i + 1])
+            census[k] = census.get(k, 0) + freq
+    merges: list = []
+    for _ in range(rounds):
+        live = [(k, v) for k, v in census.items() if v > 0]
+        if not live:
+            break
+        (a, b), cnt = min(live, key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((a, b, cnt))
+        for rec in words:
+            syms = rec[2]
+            if not any(
+                syms[i] == a and syms[i + 1] == b
+                for i in range(len(syms) - 1)
+            ):
+                continue
+            freq = rec[1]
+            for i in range(len(syms) - 1):
+                k = (syms[i], syms[i + 1])
+                census[k] = census.get(k, 0) - freq
+            new = _bpe_merge_greedy(syms, a, b)
+            for i in range(len(new) - 1):
+                k = (new[i], new[i + 1])
+                census[k] = census.get(k, 0) + freq
+            rec[2] = new
+        census = {k: v for k, v in census.items() if v > 0}
+    return merges, words
+
+
 def _bpe_train_incremental(
     df: DataFrame, rounds: int
 ) -> "tuple[list, DataFrame]":
@@ -980,7 +1049,29 @@ def _bpe_train_incremental(
     [(lhs, rhs, pair_count)], the final encoded word relation) —
     merge sequence and final symbols are IDENTICAL to the previous
     windowed implementation (same argmax, same greedy application;
-    asserted in pytest and by the unchanged DuckDB oracles)."""
+    asserted in pytest and by the unchanged DuckDB oracles).
+
+    Small-vocabulary fast path (optimization round 13, guide §1.2
+    fixed overhead): when the distinct-word relation itself fits under
+    the driver cutoff (take(N+1) returning <= N rows proves the WHOLE
+    relation was collected), the merge loop runs entirely driver-side
+    (_bpe_train_driver) — zero Spark jobs per round instead of a
+    filter + Arrow kernel + delta collect + checkpoint swap, with the
+    identical census/argmax/greedy-apply arithmetic (pytest-asserted
+    against the distributed path). The distributed incremental path
+    below remains the production route for vocabularies above the
+    cutoff (SPARK_GRAFT_BPE_DRIVER_VOCAB_MAX)."""
+    cutoff = _bpe_driver_vocab_max()
+    if cutoff > 0:
+        head = df.take(cutoff + 1)
+        if len(head) <= cutoff:
+            merges, words = _bpe_train_driver(head, rounds)
+            final = tiny_df(
+                df.sparkSession,
+                [tuple(rec) for rec in words],
+                "w STRING, freq LONG, syms ARRAY<STRING>",
+            )
+            return merges, final
     # LAZY localCheckpoint (guide §1.2): the first consumer of each
     # checkpoint is a full-relation job anyway (the initial census here,
     # the next round's delta census below), so materialization rides

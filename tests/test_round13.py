@@ -532,3 +532,48 @@ def test_reshard_size_freeze_requires_admission(tmp_path):
     parts = r.partitions(o1, o2)
     c1 = [p for p in parts if p.shard_id == "c1"]
     assert c1 and c1[0].base == 2
+
+
+def test_bpe_driver_path_matches_distributed(spark, sf_dir, monkeypatch):
+    """Optimization round 13: the small-vocabulary driver-side BPE
+    training fast path must produce the exact merge sequence AND the
+    exact final encoded word relation of the distributed incremental
+    path (the cutoff only moves WHERE the loop runs)."""
+    from kinesis_stream_reader_spark.operators import text
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run():
+        import pyspark.sql.functions as F
+
+        words = (
+            docs.select(
+                F.explode(
+                    F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+                ).alias("w")
+            )
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count("*").alias("freq"))
+        )
+        sdf = words.select(
+            "w",
+            "freq",
+            F.filter(F.split(F.col("w"), ""), lambda c: c != "").alias(
+                "syms"
+            ),
+        )
+        merges, final = text._bpe_train_incremental(sdf, rounds=4)
+        rows = sorted(
+            (r["w"], r["freq"], tuple(r["syms"])) for r in final.collect()
+        )
+        return merges, rows
+
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DRIVER_VOCAB_MAX", "65536")
+    merges_driver, rows_driver = run()
+    monkeypatch.setenv("SPARK_GRAFT_BPE_DRIVER_VOCAB_MAX", "0")
+    merges_dist, rows_dist = run()
+    assert merges_driver == merges_dist
+    assert rows_driver == rows_dist
+    assert len(merges_driver) == 4
