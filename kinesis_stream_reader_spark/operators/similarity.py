@@ -1172,67 +1172,98 @@ def pca_power_top_component(embeddings: DataFrame, rounds: int = 4) -> DataFrame
     `rounds` iterations are bit-identical across engines and the
     oracle unrolls them as chained CTEs.
 
-    Plan shape at 100 TB: per round, shuffle #1 carries one (vec, s)
-    scalar per vector into nothing (s stays fused with the row); the
-    only real exchange is the 64-row per-dimension aggregate; v rides
-    a one-row broadcast. Rounds compose lazily — no driver data access
-    at all; O(rounds) passes over the data, which is exactly what
-    distributed PCA (e.g. MLlib's computePrincipalComponents for tall
-    matrices) does."""
-    dim = 64
-    vecs = embeddings.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long"),
-        ).alias("x"),
-    )
+    Plan shape at 100 TB (optimization round 13, guide §4 / the
+    _lloyd_centroids round-8 lesson): per round ONE map-side Arrow
+    pass computes s = X@v and the partial u = X.T@s per PARTITION with
+    exact int64 numpy GEMMs against the driver-held v (64 longs — the
+    same driver-held-model-artifact status as Lloyd's centroid table)
+    and emits 64 (d, u) partial rows per task; the driver (or, above
+    the Lloyd partition cutoff, a distributed partial agg) sums the
+    exact bigints and renormalizes. The previous lazy-composed plan
+    ran the dot product and the per-dim products INTERPRETED per
+    element (N x dim lambda steps per round) and posexploded N x dim
+    rows into a shuffle each round; the GEMM pass is the same exact
+    integer arithmetic at C speed with a batches x dim-row shuffle.
+    Values are bit-identical: the normalizer folds u in d-order with
+    the same long->double casts, IEEE sqrt, floor; the rescale is the
+    same truncating integer division as Spark's DIV (pytest pins the
+    numpy reference; the query is in EAGER_QUERIES — driver-loop
+    iteration like kmeans_converged)."""
+    import math
+
+    import numpy as np
+
     spark = embeddings.sparkSession
-    v = spark.range(1).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda _: F.lit(1000).cast("long"),
-        ).alias("v")
-    )
+    # quantized corpus scanned once; every round's GEMM pass rides the
+    # lazy checkpoint instead of re-embedding the parquet scan
+    vecs = embeddings.select(
+        "vec_id", _quantized_vec(F.col("embedding")).alias("xq")
+    ).localCheckpoint(eager=False)
+    n_parts = vecs.rdd.getNumPartitions()
+    dim = 64
+    v: list = [1000] * dim
     for _ in range(rounds):
-        s = vecs.join(F.broadcast(v)).select(
-            "x",
-            F.aggregate(
-                F.zip_with("x", "v", lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, z: acc + z,
-            ).alias("s"),
-        )
-        u = (
-            s.select(F.posexplode("x").alias("d", "xd"), "s")
-            .groupBy("d")
-            .agg(F.sum(F.col("xd") * F.col("s")).alias("u"))
-        )
-        arr = u.agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "u"))),
-                lambda st: st["u"],
-            ).alias("u")
-        )
-        v = arr.select(
-            "u",
-            F.floor(
-                F.sqrt(
-                    F.aggregate(
-                        "u",
-                        F.lit(0.0),
-                        lambda acc, z: acc + z.cast("double") * z.cast("double"),
-                    )
-                )
-            )
-            .cast("long")
-            .alias("nrm"),
-        ).select(F.expr("transform(u, z -> (z * 1000) DIV nrm)").alias("v"))
+        varr = np.asarray(v, np.int64)
+        part = vecs.mapInPandas(_pca_partial_batches(varr), "d INT, u LONG")
+        if n_parts <= _LLOYD_DRIVER_REDUCE_MAX_PARTS:
+            rows = part.collect()
+        else:
+            rows = part.groupBy("d").agg(F.sum("u").alias("u")).collect()
+        acc: dict = {}
+        for r in rows:
+            acc[int(r["d"])] = acc.get(int(r["d"]), 0) + int(r["u"])
+        u = [acc[d] for d in sorted(acc)]
+        if not u:
+            # empty corpus: the old plan's collect_list built an empty
+            # u array and the final posexplode emitted zero rows
+            v = []
+            break
+        acc_f = 0.0
+        for z in u:  # d-ascending fold, same IEEE sequence as F.aggregate
+            acc_f += float(z) * float(z)
+        nrm = int(math.floor(math.sqrt(acc_f)))
+        # Spark's bigint DIV truncates toward zero (Python // floors)
+        v = [
+            (int(z) * 1000) // nrm if z >= 0 else -((-int(z)) * 1000 // nrm)
+            for z in u
+        ]
     return (
-        v.select(F.posexplode("v").alias("d", "v_milli"))
+        _tiny_df(
+            spark,
+            [(d, int(vm)) for d, vm in enumerate(v)],
+            "d INT, v_milli BIGINT",
+        )
         .select("d", "v_milli", (F.col("v_milli") / F.lit(1000)).alias("loading"))
         .orderBy("d")
     )
+
+
+def _pca_partial_batches(varr):
+    """Arrow-batch kernel for one power-iteration round: exact-int64
+    GEMMs s = X@v then u_partial = X.T@s, accumulated across every
+    batch in the partition and emitted once per task as (d, u) rows
+    (the _lloyd_census_batches convention). Magnitude bound: |s| <=
+    dim * |x| * |v| ~ 1e9 and |u| <= N * |x| * |s| ~ 1e17 at the 100x
+    amp probe — far inside int64, so numpy addition reorder is exact."""
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in it:
+            if pdf.empty:
+                continue
+            X = np.stack([np.asarray(x, np.int64) for x in pdf["xq"]])
+            s = X @ varr
+            u = X.T @ s
+            acc = u if acc is None else acc + u
+        if acc is not None:
+            yield pd.DataFrame(
+                {"d": np.arange(len(acc), dtype=np.int32), "u": acc}
+            )
+
+    return batches
 
 
 def ann_ivfpq(

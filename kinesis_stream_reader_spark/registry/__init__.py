@@ -74,6 +74,7 @@ EAGER_QUERIES = frozenset(
     + [
         "bpe_train_merges", "bpe_encoded_vocab", "tokenizer_fertility_report",
         "kmeans_converged", "kcenter_init", "mmr_rerank",
+        "pca_power_iteration",
         "pagerank_converged", "personalized_pagerank", "harmonic_centrality",
         "betweenness_centrality",
         "hyperball_neighborhood", "kcore_decomposition", "kcore_bounded",
