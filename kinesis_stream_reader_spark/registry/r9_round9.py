@@ -809,109 +809,95 @@ def betweenness_centrality_query(
     sigma_v * (unit + delta_w) / sigma_w term floored to exact integer
     micro-units.
 
-    Plan shape / 100 TB: the projection saturates at 200 vertices, so
-    every layer is bounded at |V|^2 rows; forward rounds expand only
-    the new frontier (anti-join vs settled, the harmonic_centrality
-    shape); backward rounds are one join + grouped sum per level.
-    All-pairs exact betweenness is inherently |V| x BFS — the
-    documented diagnostic knob; at corpus scale you run it on the
-    community-sampled projection, not the raw graph."""
+    Plan shape / 100 TB: the projection saturates at 200 vertices BY
+    CONSTRUCTION (both endpoints are modular residues), so the edge
+    census — the only corpus-sized work — is one distributed distinct
+    and the collected edge list is bounded at |V|^2 rows regardless of
+    corpus size. The Brandes rounds themselves run driver-side as
+    dense int64 numpy passes over that bounded projection
+    (optimization round 13, guide §1.2: the per-round frontier-join +
+    anti-join + checkpoint plan paid ~9 flat scheduling/conversion
+    taxes on relations of at most a few thousand rows; the
+    bradley_terry/pelt census-algebra house pattern applies — this
+    query is in EAGER_QUERIES). Arithmetic is bit-identical: sigma
+    GEMMs and the per-term sig_u * (UNIT + delta_w) // sig_w floor
+    division are exact int64 on NONNEGATIVE operands, so numpy //
+    equals Spark's DIV. All-pairs exact betweenness is inherently
+    |V| x BFS — the documented diagnostic knob; at corpus scale you
+    run it on the community-sampled projection, not the raw graph."""
+    import numpy as np
+
+    from ..operators import tiny_df
     from ..sources.tables import load_table as _lt
 
     events = _lt(spark, sf_dir, "events")
-    e = events.select(
-        (F.col("user_id") % 100).alias("u"),
-        (100 + F.col("event_id") % 100).alias("v"),
-    ).distinct()
-    und = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=False)
-    verts = und.select(F.col("src").alias("vx")).distinct()
-    l0 = verts.select(
-        F.col("vx").alias("s"),
-        F.col("vx").alias("node"),
-        F.lit(1).cast("long").alias("sig"),
-    ).localCheckpoint(eager=False)
-    layers = [l0]
-    frontier = l0
-    for k in range(1, _BW_K + 1):
-        cand = (
-            frontier.alias("p")
-            .join(und.alias("e"), F.col("p.node") == F.col("e.src"))
-            .groupBy(F.col("p.s").alias("s"), F.col("e.dst").alias("node"))
-            .agg(F.sum("p.sig").alias("sig"))
+    edge_rows = (
+        events.select(
+            (F.col("user_id") % 100).alias("u"),
+            (100 + F.col("event_id") % 100).alias("v"),
         )
-        settled = layers[0].select("s", "node")
-        for layer in layers[1:]:
-            settled = settled.unionByName(layer.select("s", "node"))
-        new = cand.join(
-            settled, ["s", "node"], "left_anti"
-        ).localCheckpoint(eager=False)
-        # Early exit on an empty frontier (graph saturated): the fixed
-        # round budget exists to match the oracle's unrolled CTEs, but an
-        # empty layer contributes zero rows to every downstream relation
-        # and its backward round aggregates nothing — measured 3 of 6
-        # forward rounds (and their backward twins) empty at sf0.1, each
-        # still paying checkpoint + join scheduling. Result-identical:
-        # the terminal nonempty layer's delta is 0 either way (the
-        # original's join against an empty next level COALESCEs to 0).
-        if new.isEmpty():
+        .distinct()
+        .collect()
+    )
+    if not edge_rows:
+        return tiny_df(spark, [], "node BIGINT, bc_micro BIGINT")
+    # dense-id the (bounded) vertex set; und = symmetrized adjacency
+    vids = sorted({int(r["u"]) for r in edge_rows} | {int(r["v"]) for r in edge_rows})
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    A = np.zeros((n, n), np.int64)
+    for r in edge_rows:
+        i, j = idx[int(r["u"])], idx[int(r["v"])]
+        A[i, j] = 1
+        A[j, i] = 1
+    # forward: level-synchronized multi-source BFS carrying sigma.
+    # sig_layers[k][s, node] = shortest-path count for nodes first
+    # reached at depth k from source s (0 elsewhere).
+    sig0 = np.eye(n, dtype=np.int64)
+    settled = np.eye(n, dtype=bool)
+    sig_layers = [sig0]
+    for _ in range(1, _BW_K + 1):
+        cand = sig_layers[-1] @ A  # exact int64 GEMM
+        new = (cand > 0) & ~settled
+        if not new.any():
+            # early exit on a saturated graph — result-identical: an
+            # empty layer adds zero rows everywhere and the terminal
+            # layer's delta COALESCEs to 0 either way
             break
-        layers.append(new)
-        frontier = new
-    last = len(layers) - 1
-    deltas = [None] * (last + 1)
-    deltas[last] = layers[last].select(
-        "s", "node", "sig", F.lit(0).cast("long").alias("delta")
-    )
+        sig_layers.append(np.where(new, cand, 0))
+        settled |= new
+    # backward: dependency accumulation. delta[k][s, u] sums, over
+    # edges u->dst with dst in layer k+1 of source s, the exact
+    # integer term sig_k[s,u] * (UNIT + delta_{k+1}[s,dst]) // sig_{k+1}[s,dst]
+    last = len(sig_layers) - 1
+    delta_next = np.zeros((n, n), np.int64)  # deltas[last] = 0
+    bc = np.zeros(n, np.int64)  # running sum over k of per-node delta
     for k in range(last - 1, -1, -1):
-        w = deltas[k + 1].select(
-            F.col("s").alias("ws"),
-            F.col("node").alias("wnode"),
-            F.col("sig").alias("wsig"),
-            F.col("delta").alias("wdelta"),
+        sig_next = sig_layers[k + 1]
+        mask_next = sig_next > 0
+        num = _BW_UNIT + delta_next  # (s, dst)
+        # term tensor over (s, u, dst): multiply BEFORE the floor
+        # division, exactly as the SQL expression does per row
+        sig_k = sig_layers[k]
+        term = sig_k[:, :, None] * num[:, None, :]
+        div = np.where(mask_next, sig_next, 1)[:, None, :]
+        contrib = np.where(
+            mask_next[:, None, :] & (A[None, :, :] > 0),
+            term // div,
+            0,
         )
-        deltas[k] = (
-            layers[k]
-            .alias("u")
-            .join(und.alias("e"), F.col("u.node") == F.col("e.src"), "left")
-            .join(
-                w,
-                (F.col("ws") == F.col("u.s"))
-                & (F.col("wnode") == F.col("e.dst")),
-                "left",
-            )
-            .groupBy(
-                F.col("u.s").alias("s"),
-                F.col("u.node").alias("node"),
-                F.col("u.sig").alias("sig"),
-            )
-            .agg(
-                F.coalesce(
-                    F.sum(
-                        F.expr(f"sig * ({_BW_UNIT} + wdelta) DIV wsig")
-                    ),
-                    F.lit(0),
-                )
-                .cast("long")
-                .alias("delta")
-            )
-            .localCheckpoint(eager=False)
-        )
-    alld = deltas[0].select("s", "node", "delta")
-    for d in deltas[1:]:
-        alld = alld.unionByName(d.select("s", "node", "delta"))
-    return (
-        verts.join(
-            alld.filter(F.col("node") != F.col("s")).select("node", "delta"),
-            verts.vx == F.col("node"),
-            "left",
-        )
-        .groupBy(F.col("vx"))
-        .agg(F.coalesce(F.sum("delta"), F.lit(0)).cast("long").alias("bc_micro"))
-        .select(F.col("vx").cast("long").alias("node"), "bc_micro")
-        .orderBy("node")
-    )
+        delta_k = np.where(sig_k > 0, contrib.sum(axis=2), 0)
+        # aggregate: every (s, node) pair with node != s contributes
+        mask_k = sig_k > 0
+        offdiag = mask_k.copy()
+        np.fill_diagonal(offdiag, False)
+        bc += np.where(offdiag, delta_k, 0).sum(axis=0)
+        delta_next = delta_k
+    return tiny_df(
+        spark,
+        [(int(vids[i]), int(bc[i])) for i in range(n)],
+        "node BIGINT, bc_micro BIGINT",
+    ).orderBy("node")
 
 
 # ---------------------------------------------------------------------------

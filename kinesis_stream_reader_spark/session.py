@@ -70,6 +70,25 @@ HAVE_PROTOBUF = _ensure_protobuf()
 for _var in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
     os.environ.setdefault(_var, "1073741824")
 
+# The env vars above only reach processes forked AFTER this point (the
+# Python workers); the DRIVER process itself already parsed its mallopt
+# tunables at startup, so driver-side numpy kernels (the census-algebra
+# EAGER queries: dense Brandes, Lloyd reductions, BPE driver training)
+# still mmap'd every large temporary and re-paid the ~45 MB/s fault cost
+# per allocation (measured: the 64 MB Brandes dependency tensor swung
+# 0.2 -> 3.7 s run-over-run). glibc exposes the same knobs at runtime
+# via mallopt(3) — apply them to THIS process too (optimization round
+# 13, guide §1.2 fixed overhead). Best-effort: non-glibc platforms just
+# skip.
+try:
+    import ctypes
+
+    _libc = ctypes.CDLL("libc.so.6", use_errno=True)
+    _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+    _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+except Exception:  # pragma: no cover - platform without glibc mallopt
+    pass
+
 # Ephemeral engine scratch (shuffle files, localCheckpoint blocks,
 # streaming checkpoint/WAL dirs, sink temp dirs) defaults to tempfile's
 # /tmp — DISK-backed on this sandbox, so every micro-batch pays offset/
