@@ -5242,118 +5242,112 @@ def hyperball_neighborhood(
     bounded projection it rides a packed-bitmap BFS, see below).
 
     Determinism: register index and rho come from md5 of the node id
-    (j = H1 % m; rho = position of the lowest set bit of H2, via a
-    min-over-positions join — no ctz builtin dependence); register
+    (j = H1 % m; rho = position of the lowest set bit of H2); register
     maxes are integer; Z = sum of 2^-rho is EXACT in IEEE (<=16 terms,
     exponent span 31 bits < 53); the estimator branch (raw vs
-    small-range ln correction) evaluates the same fixed expressions on
-    both engines, quantized 1e-4."""
-    raw = events.select(
-        (F.col("user_id") % 200).alias("p"), (F.col("event_id") % 199).alias("q")
-    ).filter(F.col("p") != F.col("q"))
-    edges = raw.select(
-        F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
-    ).distinct()
-    # und is referenced once per round by BOTH loops below (plus nodes/init);
-    # without a checkpoint each reference re-embeds the full events scan +
-    # distinct, and the per-round self-unions double the duplication every
-    # round. One lazy localCheckpoint materializes the (bounded, <=2|E|-row)
-    # edge relation once at action time.
-    und = edges.select(F.col("u").alias("a"), F.col("v").alias("b")).union(
-        edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
-    ).localCheckpoint(eager=False)
-    nodes = und.select(F.col("a").alias("n")).distinct()
+    small-range ln correction) evaluates the same fixed expressions,
+    quantized 1e-4.
+
+    Optimization round 13: the modular projection bounds the vertex
+    set BY CONSTRUCTION (ids are X % 200 residues), so the only
+    corpus-sized work is the distributed edge distinct; the radius-3
+    ball BFS and the register algebra run driver-side over the
+    collected bounded edge list (the betweenness_centrality treatment
+    — the bitmap-join round loop still paid per-round checkpoint and
+    join scheduling on a <=200-row state). Values are bit-identical:
+    md5 register derivation replays hashlib-exactly, the dyadic zpart
+    sum is order-free exact, and the estimator replays the same
+    Python-built literals and IEEE ops (quantized 1e-4) the column
+    expressions evaluated."""
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from . import tiny_df
+
     spark = events.sparkSession
-    h1 = F.conv(F.substring(F.md5(F.concat(F.lit("hb:"), F.col("n"))), 1, 15), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5(F.concat(F.lit("hb:"), F.col("n"))), 17, 15), 16, 10).cast("long")
-    hashed = nodes.select("n", F.pmod(h1, F.lit(m)).cast("int").alias("j"), h2.alias("bits"))
-    ks = spark.range(1, 32).select(F.col("id").cast("int").alias("k"))
-    init = (
-        hashed.join(F.broadcast(ks), F.expr("(shiftright(bits, k - 1) & 1) = 1"))
-        .groupBy("n", "j")
-        .agg(F.min("k").alias("rho"))
-        .select(F.col("n").alias("node"), "j", "rho")
+    edge_rows = (
+        events.select(
+            (F.col("user_id") % 200).alias("p"),
+            (F.col("event_id") % 199).alias("q"),
+        )
+        .filter(F.col("p") != F.col("q"))
+        .select(F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v"))
+        .distinct()
+        .collect()
     )
-    # ONE round loop, not two — and bitmaps, not pairs. (a) The HyperBall
-    # register state after r rounds is exactly the register-wise max of
-    # init over ball(v, r) (max is associative/commutative and the
-    # per-round union-with-neighbors is precisely ball growth), so one
-    # reachability relation serves BOTH outputs. (b) The modular
-    # projection bounds node ids to X % 200 / X % 199 ∈ [-199, 199] —
-    # 399 possible ids — so each node's reach SET fits a 448-bit bitmap
-    # (7 longs). The round update becomes one broadcast join of the
-    # ~|V|-row bitmap table against the edge list plus a bit_or
-    # aggregate: the measured-quadratic (node, member) pair relation
-    # (~8M intermediate rows/round at sf0.1, 1.4-1.9 s each) never
-    # materializes; per-round shuffle mass is |E| rows of 7 longs.
-    # Per-round lazy checkpoints keep lineage flat (an un-checkpointed
-    # loop doubles the embedded subtree every round).
-    NW = 7  # 7 * 64 = 448 bits >= 399 possible projected ids
-    bm = nodes.select(
-        F.col("n").alias("node"),
-        *[
-            F.expr(
-                f"CASE WHEN (n + 199) div 64 = {i} THEN "
-                "shiftleft(CAST(1 AS BIGINT), cast(pmod(n + 199, 64) as int)) "
-                "ELSE CAST(0 AS BIGINT) END"
-            ).alias(f"w{i}")
-            for i in range(NW)
-        ],
+    schema = "node BIGINT, exact_ball BIGINT, est_ball DOUBLE, rel_err DOUBLE"
+    if not edge_rows:
+        return tiny_df(spark, [], schema)
+    vids = sorted(
+        {int(r["u"]) for r in edge_rows} | {int(r["v"]) for r in edge_rows}
     )
-    words = [f"w{i}" for i in range(NW)]
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    A = np.zeros((n, n), np.int8)
+    for r in edge_rows:
+        i, j = idx[int(r["u"])], idx[int(r["v"])]
+        A[i, j] = 1
+        A[j, i] = 1
+    # radius-`rounds` balls via dense BFS (ball = settled set)
+    ball = np.eye(n, dtype=bool)
+    frontier = ball.copy()
     for _ in range(rounds):
-        contrib = und.join(
-            bm.withColumnRenamed("node", "bb"), und.b == F.col("bb")
-        ).select(F.col("a").alias("node"), *words)
-        bm = (
-            bm.unionByName(contrib)
-            .groupBy("node")
-            .agg(*[F.bit_or(w).alias(w) for w in words])
-            .localCheckpoint(eager=False)
-        )
-    popcount = sum(
-        (F.bit_count(F.col(w)).cast("long") for w in words),
-        F.lit(0).cast("long"),
-    )
-    exact = bm.select("node", popcount.alias("exact_ball"))
-    # member expansion only at the END, against the ~|V|-row init table:
-    # broadcast the registers and keep rows whose bit is set in the ball
-    member_bit = F.expr(
-        "((shiftright(element_at(array(w0,w1,w2,w3,w4,w5,w6), "
-        "cast((w + 199) div 64 as int) + 1), "
-        "cast(pmod(w + 199, 64) as int)) & 1) = 1)"
-    )
-    state = (
-        bm.join(F.broadcast(init.withColumnRenamed("node", "w")), member_bit)
-        .groupBy("node", "j")
-        .agg(F.max("rho").alias("rho"))
-    )
-    z = state.groupBy("node").agg(
-        F.sum(
-            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), rho) AS DOUBLE)")
-        ).alias("zpart"),
-        F.count("*").alias("cnt"),
-    )
+        new = ((frontier.astype(np.int8) @ A) > 0) & ~ball
+        if not new.any():
+            break
+        ball |= new
+        frontier = new
+    exact_ball = ball.sum(axis=1).astype(np.int64)
+    # per-node HLL register (j, rho) from md5("hb:<id>") — hex slices
+    # [0:15] / [16:31], exactly substring(md5, 1, 15) / (17, 15)
+    reg: list = [None] * n
+    for i, v in enumerate(vids):
+        hx = hashlib.md5(f"hb:{v}".encode()).hexdigest()
+        bits = int(hx[16:31], 16)
+        rho = None
+        for k in range(1, 32):
+            if (bits >> (k - 1)) & 1:
+                rho = k
+                break
+        if rho is not None:
+            reg[i] = (int(hx[0:15], 16) % m, rho)
     mf = float(m)
-    est_raw = F.lit(0.673 * mf * mf) / (
-        F.col("zpart") + (F.lit(mf) - F.col("cnt")).cast("double")
-    )
-    vzero = (F.lit(m) - F.col("cnt")).cast("double")
-    est = F.when(
-        (est_raw <= F.lit(2.5 * mf)) & (vzero > 0),
-        F.lit(mf) * F.log(F.lit(mf) / vzero),
-    ).otherwise(est_raw)
-    q4 = lambda c: F.floor(c * 1e4 + F.lit(0.5)) / 1e4  # noqa: E731
-    return (
-        z.join(exact, "node")
-        .select(
-            "node",
-            F.col("exact_ball").cast("long").alias("exact_ball"),
-            q4(est).alias("est_ball"),
-            q4((est - F.col("exact_ball")) / F.col("exact_ball")).alias("rel_err"),
+    rows = []
+    for i in range(n):
+        regs: dict = {}
+        for w in np.flatnonzero(ball[i]):
+            rw = reg[int(w)]
+            if rw is not None:
+                jj, rho = rw
+                if rho > regs.get(jj, 0):
+                    regs[jj] = rho
+        if not regs:
+            # a node whose ball holds no hashed member never reaches
+            # the z relation — same inner-join drop as the plan form
+            continue
+        cnt = len(regs)
+        # dyadic terms: exact in IEEE regardless of summation order
+        zpart = 0.0
+        for rho in regs.values():
+            zpart += 1.0 / float(1 << rho)
+        est_raw = (0.673 * mf * mf) / (zpart + float(m - cnt))
+        vz = float(m - cnt)
+        if est_raw <= 2.5 * mf and vz > 0:
+            est = mf * math.log(mf / vz)
+        else:
+            est = est_raw
+        eb = float(exact_ball[i])
+        rows.append(
+            (
+                int(vids[i]),
+                int(exact_ball[i]),
+                math.floor(est * 1e4 + 0.5) / 1e4,
+                math.floor((est - eb) / eb * 1e4 + 0.5) / 1e4,
+            )
         )
-        .orderBy("node")
-    )
+    return tiny_df(spark, rows, schema).orderBy("node")
 
 
 def seasonal_anomaly_flags(orders: DataFrame, cutoff: float = 3.0) -> DataFrame:

@@ -2868,83 +2868,71 @@ def harmonic_centrality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: distances are exact integer min-plus; each 1/d term
     quantizes to an exact nano-unit integer before summation.
 
-    Plan shape / 100 TB: the projection saturates at 200 vertices, so
-    the (source, node) relation is bounded at |V|^2 rows; each round
-    is one union + one min aggregate keyed on (source, node) —
-    exchange-reused across rounds. All-pairs exact BFS is inherently
-    |V|^2 (the documented diagnostic knob); HyperBall IS the engine's
-    linear-at-scale path for this measure."""
+    Plan shape / 100 TB: the projection saturates at 200 vertices BY
+    CONSTRUCTION (modular residues), so the only corpus-sized work is
+    the distributed edge distinct; the six BFS rounds run driver-side
+    as dense boolean numpy passes over the collected bounded edge list
+    (optimization round 13 — the betweenness_centrality treatment: the
+    per-round join + anti-join + checkpoint plan paid flat scheduling
+    taxes on |V|^2-bounded relations; this query is in EAGER_QUERIES).
+    Arithmetic is bit-identical: per-distance nano-unit terms
+    floor(1e9 / d + 0.5) are exact integers, the per-source sum is an
+    exact int, and the final quantization replays Spark's
+    floor(double(hq) / 1e9 * 1e6 + 0.5) / 1e6 op for op. All-pairs
+    exact BFS is inherently |V|^2 (the documented diagnostic knob);
+    HyperBall IS the engine's linear-at-scale path for this measure."""
+    import math
+
+    import numpy as np
+
+    from ..operators import tiny_df
+
     events = load_events(spark, sf_dir)
-    e = events.select(
-        (F.col("user_id") % 100).alias("u"),
-        (100 + F.col("event_id") % 100).alias("v"),
-    ).distinct()
-    # One lazy checkpoint: und is joined by every BFS round below, and each
-    # un-checkpointed reference re-embeds the events scan + distinct (6
-    # scans for 6 rounds). Materialized once at action time instead.
-    und = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=False)
-    verts = und.select(F.col("src").alias("vx")).distinct()
-    init = verts.select(
-        F.col("vx").alias("s"), F.col("vx").alias("node"), F.lit(0).cast("long").alias("d")
-    ).localCheckpoint(eager=False)
-    # frontier BFS instead of full min-plus re-aggregation: each round
-    # expands only the NEWLY reached (source, node) pairs and anti-joins
-    # the settled set, so round cost shrinks as the ball saturates
-    # (min-plus re-agg re-shuffles all |V|^2 pairs every round —
-    # measured 5.7 s vs 2.8 s at sf0.1). Result is identical: BFS IS
-    # min-plus on an unweighted graph, which the oracle's six unrolled
-    # relaxation rounds compute. All checkpoints lazy — the single
-    # final aggregate materializes every layer once.
-    layers = [init]
-    frontier = init
-    for k in range(1, 7):
-        cand = (
-            frontier.alias("p")
-            .join(und.alias("e"), F.col("p.node") == F.col("e.src"))
-            .select(F.col("p.s").alias("s"), F.col("e.dst").alias("node"))
-            .distinct()
+    edge_rows = (
+        events.select(
+            (F.col("user_id") % 100).alias("u"),
+            (100 + F.col("event_id") % 100).alias("v"),
         )
-        settled = layers[0]
-        for layer in layers[1:]:
-            settled = settled.unionByName(layer)
-        new = (
-            cand.join(settled.select("s", "node"), ["s", "node"], "left_anti")
-            .select("s", "node", F.lit(k).cast("long").alias("d"))
-            .localCheckpoint(eager=False)
-        )
-        # Early exit once the BFS saturates: an empty layer adds zero
-        # rows to the final union and every later round stays empty, but
-        # each would still pay join + anti-join + checkpoint scheduling
-        # (3 of 6 rounds empty at sf0.1). Result-identical.
-        if new.isEmpty():
-            break
-        layers.append(new)
-        frontier = new
-    h = layers[0].select("s", "node", "d")
-    for layer in layers[1:]:
-        h = h.unionByName(layer.select("s", "node", "d"))
-    return (
-        h.groupBy(F.col("s").alias("node"))
-        .agg(
-            (F.count("*") - 1).cast("long").alias("n_reached"),
-            F.sum(
-                F.when(
-                    F.col("d") > 0,
-                    F.floor(F.lit(1e9) / F.col("d") + F.lit(0.5)).cast("long"),
-                ).otherwise(0)
-            ).alias("hq"),
-        )
-        .select(
-            "node",
-            "n_reached",
-            (F.floor(F.col("hq").cast("double") / 1e9 * 1e6 + F.lit(0.5)) / 1e6).alias(
-                "harmonic"
-            ),
-        )
-        .orderBy("node")
+        .distinct()
+        .collect()
     )
+    if not edge_rows:
+        return tiny_df(
+            spark, [], "node BIGINT, n_reached BIGINT, harmonic DOUBLE"
+        )
+    vids = sorted(
+        {int(r["u"]) for r in edge_rows} | {int(r["v"]) for r in edge_rows}
+    )
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    A = np.zeros((n, n), np.int8)
+    for r in edge_rows:
+        i, j = idx[int(r["u"])], idx[int(r["v"])]
+        A[i, j] = 1
+        A[j, i] = 1
+    settled = np.eye(n, dtype=bool)
+    frontier = settled.copy()
+    hq = np.zeros(n, np.int64)  # per-source nano-unit harmonic sum
+    for k in range(1, 7):
+        new = ((frontier.astype(np.int8) @ A) > 0) & ~settled
+        if not new.any():
+            break  # saturated — later rounds add zero rows (as before)
+        term = int(math.floor(1e9 / k + 0.5))
+        hq += new.sum(axis=1).astype(np.int64) * term
+        settled |= new
+        frontier = new
+    n_reached = settled.sum(axis=1).astype(np.int64) - 1
+    rows = [
+        (
+            int(vids[i]),
+            int(n_reached[i]),
+            math.floor(float(hq[i]) / 1e9 * 1e6 + 0.5) / 1e6,
+        )
+        for i in range(n)
+    ]
+    return tiny_df(
+        spark, rows, "node BIGINT, n_reached BIGINT, harmonic DOUBLE"
+    ).orderBy("node")
 
 
 @register(
