@@ -595,17 +595,26 @@ SELECT * FROM (
         docs = load_table(spark, sf_dir, "documents")
 
         def stats(df: DataFrame, name: str) -> DataFrame:
-            used = df.select(
-                F.explode(F.split("pieces", " ")).alias("piece")
-            ).agg(F.countDistinct("piece").alias("npu"))
+            # ONE pass per leg (optimization round 13, guide §1.2): the
+            # encode relation fed two consumers (distinct-piece census +
+            # fertility sums), re-running the whole encode. Fused over a
+            # single posexplode: each word emits n_pieces rows (the
+            # encoders construct n_pieces == size(split(pieces)) by
+            # definition), so SUM(n_occurrences) over ALL exploded rows
+            # IS sum(n_occurrences * n_pieces), and the pos=0 slice
+            # recovers sum(n_occurrences). Values identical.
+            ex = df.select(
+                "n_occurrences",
+                F.posexplode(F.split("pieces", " ")).alias("pos", "piece"),
+            )
             return (
-                df.agg(
-                    F.sum("n_occurrences").alias("tw"),
+                ex.agg(
+                    F.count_distinct("piece").alias("npu"),
                     F.sum(
-                        F.col("n_occurrences") * F.col("n_pieces")
-                    ).alias("tp"),
+                        F.when(F.col("pos") == 0, F.col("n_occurrences"))
+                    ).alias("tw"),
+                    F.sum("n_occurrences").alias("tp"),
                 )
-                .crossJoin(used)
                 .select(
                     F.lit(name).alias("tokenizer"),
                     F.col("npu").cast("long").alias("n_pieces_used"),
