@@ -65,6 +65,37 @@ class _ShardPartition(InputPartition):
         self.path = path
 
 
+_ARROW_PAGE_ROWS = 4096
+
+
+def _arrow_pages(rows, schema):
+    """Pack an iterator of row tuples into pyarrow RecordBatches of
+    <= _ARROW_PAGE_ROWS rows each (column order = schema order). The
+    Python DataSource API accepts RecordBatch yields since Spark 4.0;
+    one columnar hand-off per page replaces one pickled tuple per row
+    with identical values and ordering."""
+    import pyarrow as pa
+
+    cols = [[] for _ in schema]
+    n = 0
+    for row in rows:
+        for i, v in enumerate(row):
+            cols[i].append(v)
+        n += 1
+        if n >= _ARROW_PAGE_ROWS:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+                schema=schema,
+            )
+            cols = [[] for _ in schema]
+            n = 0
+    if n:
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        )
+
+
 class KinesisBackfillReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.dir = options["path"]
@@ -81,15 +112,28 @@ class KinesisBackfillReader(DataSourceReader):
     def read(self, partition: _ShardPartition):
         # runs ON THE EXECUTOR: one shard per task, streamed line by
         # line — the production variant pages boto3 here instead
-        # (sources/kinesis.py fetch_records), same yielded shape
+        # (sources/kinesis.py fetch_records), same yielded shape.
+        # Rows are emitted as Arrow record batches (optimization round
+        # 13, guide §4.1): the engine supports pyarrow.RecordBatch from
+        # Python-source read() since Spark 4.0, which replaces per-row
+        # pickling with one columnar transfer per page — same values.
+        import pyarrow as pa
+
         with open(partition.path) as fh:
-            for line in fh:
-                rec = json.loads(line)
-                yield (
-                    partition.shard_id,
-                    rec["seq"],
-                    base64.b64decode(rec["data"]),
-                )
+            for batch in _arrow_pages(
+                (
+                    (partition.shard_id, rec["seq"], base64.b64decode(rec["data"]))
+                    for rec in map(json.loads, fh)
+                ),
+                pa.schema(
+                    [
+                        ("shard_id", pa.string()),
+                        ("sequence_number", pa.int64()),
+                        ("data", pa.binary()),
+                    ]
+                ),
+            ):
+                yield batch
 
 
 class KinesisBackfillDataSource(DataSource):
@@ -284,15 +328,29 @@ class KinesisBackfillStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition: _ShardRangePartition):
-        with open(partition.path) as fh:
-            for i, line in enumerate(fh):
-                if partition.start <= i < partition.end:
-                    rec = json.loads(line)
-                    yield (
-                        partition.shard_id,
-                        rec["seq"],
-                        base64.b64decode(rec["data"]),
-                    )
+        import pyarrow as pa
+
+        def rows():
+            with open(partition.path) as fh:
+                for i, line in enumerate(fh):
+                    if partition.start <= i < partition.end:
+                        rec = json.loads(line)
+                        yield (
+                            partition.shard_id,
+                            rec["seq"],
+                            base64.b64decode(rec["data"]),
+                        )
+
+        yield from _arrow_pages(
+            rows(),
+            pa.schema(
+                [
+                    ("shard_id", pa.string()),
+                    ("sequence_number", pa.int64()),
+                    ("data", pa.binary()),
+                ]
+            ),
+        )
 
     def commit(self, end: dict) -> None:
         # sequence-number checkpoint hook; the streaming engine has
@@ -332,6 +390,23 @@ RESHARD_SCHEMA = (
     "shard_id STRING, chain_id STRING, generation INT, emit_idx BIGINT, "
     "sequence_number BIGINT, partition_key BIGINT, data BINARY"
 )
+
+
+def _reshard_arrow_schema():
+    """RESHARD_SCHEMA as the Arrow schema the batched read() yields."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("shard_id", pa.string()),
+            ("chain_id", pa.string()),
+            ("generation", pa.int32()),
+            ("emit_idx", pa.int64()),
+            ("sequence_number", pa.int64()),
+            ("partition_key", pa.int64()),
+            ("data", pa.binary()),
+        ]
+    )
 
 _SHARDS_MANIFEST = "_SHARDS.json"
 
@@ -445,25 +520,30 @@ class KinesisReshardReader(DataSourceReader):
         # order — each parent hits SHARD_END (EOF of its recorded
         # wire) before any child opens, which is exactly the KCL
         # parent-lease rule; emit_idx materializes that order as data
-        emit = 0
-        for shard_id, generation in partition.shards:
-            path = os.path.join(partition.dir, f"shard-{shard_id}.jsonl")
-            if not os.path.exists(path):
-                # parent expired from retention: already consumed
-                continue
-            with open(path) as fh:
-                for line in fh:
-                    rec = json.loads(line)
-                    yield (
-                        shard_id,
-                        partition.chain_id,
-                        generation,
-                        emit,
-                        rec["seq"],
-                        rec["key"],
-                        base64.b64decode(rec["data"]),
-                    )
-                    emit += 1
+        import pyarrow as pa
+
+        def rows():
+            emit = 0
+            for shard_id, generation in partition.shards:
+                path = os.path.join(partition.dir, f"shard-{shard_id}.jsonl")
+                if not os.path.exists(path):
+                    # parent expired from retention: already consumed
+                    continue
+                with open(path) as fh:
+                    for line in fh:
+                        rec = json.loads(line)
+                        yield (
+                            shard_id,
+                            partition.chain_id,
+                            generation,
+                            emit,
+                            rec["seq"],
+                            rec["key"],
+                            base64.b64decode(rec["data"]),
+                        )
+                        emit += 1
+
+        yield from _arrow_pages(rows(), _reshard_arrow_schema())
 
 
 class KinesisReshardDataSource(DataSource):
@@ -636,22 +716,27 @@ class KinesisReshardStreamReader(DataSourceStreamReader):
 
     def read(self, partition: _ShardRangePartition):
         gen, chain = self._gen[partition.shard_id]
-        with open(partition.path) as fh:
-            for i, line in enumerate(fh):
-                if partition.start <= i < partition.end:
-                    rec = json.loads(line)
-                    yield (
-                        partition.shard_id,
-                        chain,
-                        gen,
-                        # emit_idx: chain-global emission counter (shard
-                        # base + line index), identical semantics to the
-                        # batch reader's monotone per-chain counter
-                        partition.base + i,
-                        rec["seq"],
-                        rec["key"],
-                        base64.b64decode(rec["data"]),
-                    )
+
+        def rows():
+            with open(partition.path) as fh:
+                for i, line in enumerate(fh):
+                    if partition.start <= i < partition.end:
+                        rec = json.loads(line)
+                        yield (
+                            partition.shard_id,
+                            chain,
+                            gen,
+                            # emit_idx: chain-global emission counter
+                            # (shard base + line index), identical
+                            # semantics to the batch reader's monotone
+                            # per-chain counter
+                            partition.base + i,
+                            rec["seq"],
+                            rec["key"],
+                            base64.b64decode(rec["data"]),
+                        )
+
+        yield from _arrow_pages(rows(), _reshard_arrow_schema())
 
     def commit(self, end: dict) -> None:
         pass
