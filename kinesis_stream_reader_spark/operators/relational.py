@@ -2885,67 +2885,71 @@ def triangle_count(events: DataFrame, nodes_a: int = 200, nodes_b: int = 199) ->
 
     Output: per-vertex triangle participation for the top-10 vertices
     (deterministic tie-break) plus the global count as a row with
-    vertex = -1."""
-    raw = events.select(
-        (F.col("user_id") % nodes_a).alias("p"),
-        (F.col("event_id") % nodes_b).alias("q"),
-    ).filter(F.col("p") != F.col("q"))
-    # edges / ordered / tris each feed multiple consumers below; lazy
-    # checkpoints make the events scan + distinct, the orientation join,
-    # and (critically) the wedge semi-join execute ONCE instead of once
-    # per reference (tris alone is read four times: three per-vertex
-    # union arms + the global total)
-    edges = raw.select(
-        F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
-    ).distinct().localCheckpoint(eager=False)
-    deg = (
-        edges.select(F.col("u").alias("x"))
-        .unionAll(edges.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count("*").alias("deg"))
-    )
-    du = deg.select(F.col("x").alias("u"), F.col("deg").alias("deg_u"))
-    dv = deg.select(F.col("x").alias("v"), F.col("deg").alias("deg_v"))
-    # orient a -> b iff (deg(a), a) < (deg(b), b)
-    ordered = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(
-                (F.col("deg_u") < F.col("deg_v"))
-                | ((F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))),
-                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
-            )
-            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
-            .alias("e")
+    vertex = -1.
+
+    Optimization round 13: the modular projection bounds the vertex
+    set BY CONSTRUCTION (nodes_a + nodes_b possible residues), so the
+    only corpus-sized work is the distributed edge distinct; the
+    orientation, wedge enumeration, and closing check run driver-side
+    as dense boolean numpy passes over the collected bounded edge list
+    (the betweenness_centrality treatment). Pure integer counting —
+    identical per-vertex credits, identical (count DESC, vertex)
+    tie-break; the brute-force reference pytest and both oracle sweeps
+    pin it."""
+    import numpy as np
+
+    from . import tiny_df
+
+    spark = events.sparkSession
+    edge_rows = (
+        events.select(
+            (F.col("user_id") % nodes_a).alias("p"),
+            (F.col("event_id") % nodes_b).alias("q"),
         )
-        .select("e.a", "e.b")
-        .localCheckpoint(eager=False)
+        .filter(F.col("p") != F.col("q"))
+        .select(F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v"))
+        .distinct()
+        .collect()
     )
-    e1 = ordered.select(F.col("a"), F.col("b").alias("b1"))
-    e2 = ordered.select(F.col("a"), F.col("b").alias("b2"))
-    wedges = e1.join(e2, "a").filter(F.col("b1") < F.col("b2"))
-    closing = ordered.select(
-        F.col("a").alias("b1"), F.col("b").alias("b2")
-    ).unionAll(ordered.select(F.col("b").alias("b1"), F.col("a").alias("b2")))
-    tris = wedges.join(
-        closing.distinct(), ["b1", "b2"], "left_semi"
-    ).localCheckpoint(eager=False)
-    per_vertex = (
-        tris.select(F.col("a").alias("vertex"))
-        .unionAll(tris.select(F.col("b1").alias("vertex")))
-        .unionAll(tris.select(F.col("b2").alias("vertex")))
-        .groupBy("vertex")
-        .agg(F.count("*").alias("n_triangles"))
-        .orderBy(F.col("n_triangles").desc(), "vertex")
-        .limit(10)
+    schema = "vertex BIGINT, n_triangles BIGINT"
+    if not edge_rows:
+        return tiny_df(spark, [(-1, 0)], schema)
+    vids = sorted(
+        {int(r["u"]) for r in edge_rows} | {int(r["v"]) for r in edge_rows}
     )
-    total = tris.agg(
-        F.lit(-1).cast("long").alias("vertex"), F.count("*").alias("n_triangles")
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    A = np.zeros((n, n), bool)
+    for r in edge_rows:
+        i, j = idx[int(r["u"])], idx[int(r["v"])]
+        A[i, j] = True
+        A[j, i] = True
+    deg = A.sum(axis=1)
+    # orient a -> b iff (deg(a), a) < (deg(b), b); vids are sorted, so
+    # index order IS id order and the tie-break compares indices
+    lt = (deg[:, None] < deg[None, :]) | (
+        (deg[:, None] == deg[None, :])
+        & (np.arange(n)[:, None] < np.arange(n)[None, :])
     )
-    return per_vertex.unionByName(total).orderBy(
-        F.col("n_triangles").desc(), "vertex"
-    )
+    Ao = A & lt
+    # wedges (a; b1 < b2 by id) closed by ANY edge between b1 and b2
+    upper = np.triu(np.ones((n, n), bool), 1)
+    tri = Ao[:, :, None] & Ao[:, None, :] & (A & upper)[None, :, :]
+    cnt = (
+        tri.sum(axis=(1, 2))  # as wedge center a
+        + tri.sum(axis=(0, 2))  # as b1
+        + tri.sum(axis=(0, 1))  # as b2
+    ).astype(np.int64)
+    total = int(tri.sum())
+    # per-vertex rows exist only for triangle participants (the plan's
+    # groupBy over tris); top-10 by (count DESC, vertex)
+    pv = sorted(
+        ((int(cnt[i]), int(vids[i])) for i in range(n) if cnt[i] > 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    rows = [(v, c) for c, v in pv] + [(-1, total)]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return tiny_df(spark, rows, schema)
 
 
 def gap_fill_interpolate(events: DataFrame) -> DataFrame:
@@ -3072,46 +3076,82 @@ def label_propagation(
     components (reachability), triangles (local density), LPA
     (community structure).
 
-    Plan shape per round: one join of the bounded label relation
-    against the undirected edge list (both carry vertices, never
-    events) + one (dst, label) partial-agg + one per-dst argmax agg —
-    all shuffles keyed on vertex ids, exchange-reusable round over
-    round. At 100 TB the label relation is |V| rows against |E| edges,
-    the same asymptotics GraphX/Pregel LPA has."""
-    raw = events.select(
-        (F.col("user_id") % nodes_a).alias("p"),
-        (F.col("event_id") % nodes_b).alias("q"),
-    ).filter(F.col("p") != F.col("q"))
-    edges = raw.select(
-        F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
-    ).distinct()
-    # joined by every vote round: one lazy checkpoint keeps the events
-    # scan + distinct out of the per-round re-execution
-    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    ).localCheckpoint(eager=False)
-    labels = und.select(F.col("src").alias("vertex")).distinct().select(
-        "vertex", F.col("vertex").alias("label")
+    Optimization round 13: the modular projection bounds the vertex
+    set BY CONSTRUCTION, so the only corpus-sized work is the
+    distributed edge distinct; the vote rounds run driver-side as
+    dense numpy passes over the collected bounded edge list (the
+    betweenness_centrality treatment). Identical values: votes are
+    exact integer counts via a boolean adjacency x one-hot-label GEMM,
+    and numpy argmax's first-maximum pick IS the smallest-label
+    tie-break because label values are vertex ids and the id axis is
+    sorted ascending. At 100 TB the label relation is |V| rows against
+    |E| edges, same asymptotics as GraphX/Pregel LPA — on an UNBOUNDED
+    graph use the distributed form (pagerank_converged's shape)."""
+    from . import tiny_df
+
+    spark = events.sparkSession
+    vids, A = _bounded_projection_graph(events, nodes_a, nodes_b)
+    if not vids:
+        return tiny_df(spark, [], "vertex BIGINT, label BIGINT")
+    lab = _lpa_labels(A, rounds)
+    return tiny_df(
+        spark,
+        [(int(vids[i]), int(vids[lab[i]])) for i in range(len(vids))],
+        "vertex BIGINT, label BIGINT",
     )
+
+
+def _bounded_projection_graph(
+    events: DataFrame, nodes_a: int = 200, nodes_b: int = 199
+):
+    """Collected adjacency of the modular interaction projection — the
+    shared bounded census behind triangle_count / label_propagation /
+    graph_modularity_report. The distributed work is ONE edge distinct
+    over the corpus; the vertex set is bounded by construction
+    (<= nodes_a + nodes_b residues). Returns (sorted vertex ids,
+    int64 symmetric adjacency), or ([], None) for an edgeless graph."""
+    import numpy as np
+
+    edge_rows = (
+        events.select(
+            (F.col("user_id") % nodes_a).alias("p"),
+            (F.col("event_id") % nodes_b).alias("q"),
+        )
+        .filter(F.col("p") != F.col("q"))
+        .select(F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v"))
+        .distinct()
+        .collect()
+    )
+    if not edge_rows:
+        return [], None
+    vids = sorted(
+        {int(r["u"]) for r in edge_rows} | {int(r["v"]) for r in edge_rows}
+    )
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    A = np.zeros((n, n), np.int64)
+    for r in edge_rows:
+        i, j = idx[int(r["u"])], idx[int(r["v"])]
+        A[i, j] = 1
+        A[j, i] = 1
+    return vids, A
+
+
+def _lpa_labels(A, rounds: int):
+    """Deterministic synchronous LPA rounds over a dense adjacency:
+    votes are exact integer counts via an adjacency x one-hot-label
+    GEMM, and numpy argmax's first-maximum pick IS the smallest-label
+    tie-break because label values are vertex ids on a sorted axis."""
+    import numpy as np
+
+    n = A.shape[0]
+    lab = np.arange(n)
     for _ in range(rounds):
-        votes = (
-            und.join(labels, und["src"] == labels["vertex"])
-            .groupBy(F.col("dst"), F.col("label"))
-            .agg(F.count("*").alias("cnt"))
-        )
-        # argmax with min-label tie-break: max of (cnt, -label)
-        labels = (
-            votes.groupBy("dst")
-            .agg(
-                F.max(
-                    F.struct(F.col("cnt"), (-F.col("label")).alias("neg_label"))
-                ).alias("best")
-            )
-            .select(
-                F.col("dst").alias("vertex"), (-F.col("best.neg_label")).alias("label")
-            )
-        )
-    return labels.orderBy("vertex")
+        onehot = np.zeros((n, n), np.int64)
+        onehot[np.arange(n), lab] = 1
+        votes = A @ onehot
+        lab = votes.argmax(axis=1)
+    return lab
 
 
 def anomaly_mad(events: DataFrame, cutoff: int = 3) -> DataFrame:

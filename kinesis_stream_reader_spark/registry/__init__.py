@@ -78,6 +78,7 @@ EAGER_QUERIES = frozenset(
         "pagerank_converged", "personalized_pagerank", "harmonic_centrality",
         "betweenness_centrality",
         "hyperball_neighborhood", "kcore_decomposition", "kcore_bounded",
+        "graph_triangles",
         "knn_graph", "knn_graph_components", "lof_outlier_scores",
         "ivf_knn_recall_report", "hubness_report_ivf", "lof_outlier_scores_ivf",
         "ivf_nprobe_sweep", "hubness_report_ivf_trained",
@@ -102,6 +103,7 @@ EAGER_QUERIES = frozenset(
         "curate_corpus", "training_batches", "join_runtime_bloom_filter",
         "join_bucketed_colocated", "temporal_reachability",
         "shortest_path_bounded", "graph_label_propagation",
+        "graph_modularity_report",
         "multimodal_dedup", "multimodal_binary_ingest",
         "functional_dependency_audit", "referential_integrity_audit",
     ]

@@ -1636,72 +1636,44 @@ def graph_modularity_report_query(spark: SparkSession, sf_dir: str) -> DataFrame
     integer algebra: the numerator sum_c (4*m*e_c - d_c^2) is pure
     bigint, so the only float is the final division.
 
-    Plan shape / 100 TB: LPA's per-round vertex-keyed shuffles (the
-    GraphX/Pregel asymptotics), then one intra-community edge count
-    (two broadcast-able label joins on the edge list), one degree
-    census, and census algebra over |communities| rows. Linear in
-    |E|."""
-    from ..operators import relational
+    Plan shape / 100 TB (optimization round 13): the only corpus-sized
+    work is the shared bounded-projection edge distinct
+    (relational._bounded_projection_graph); LPA rounds and the exact
+    bigint census algebra (m, per-vertex degrees, per-community degree
+    sums and intra-community edge counts) run driver-side over the
+    collected <= 399-vertex graph — the betweenness_centrality
+    treatment; the one float op replays the plan's
+    floor(num / ((4.0 * m) * m) * 1e6 + 0.5) / 1e6 sequence. On an
+    UNBOUNDED graph keep the distributed form (vertex-keyed LPA
+    shuffles + two label joins on the edge list), linear in |E|."""
+    import math
+
+    from ..operators import relational, tiny_df
 
     events = load_events(spark, sf_dir)
-    # labels feeds three consumers (degree census + both edge-endpoint
-    # joins): without a checkpoint the ENTIRE 3-round LPA chain re-plans
-    # and re-executes per reference. edges likewise feeds und/m/ec.
-    labels = relational.label_propagation(events).localCheckpoint(eager=False)
-    raw = events.select(
-        (F.col("user_id") % 200).alias("p"),
-        (F.col("event_id") % 199).alias("q"),
-    ).filter(F.col("p") != F.col("q"))
-    edges = raw.select(
-        F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
-    ).distinct().localCheckpoint(eager=False)
-    und = edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    schema = "n_communities BIGINT, n_edges BIGINT, modularity DOUBLE"
+    vids, A = relational._bounded_projection_graph(events)
+    if not vids:
+        # edgeless graph: the plan form's empty aggregates yield
+        # (0, 0, NULL)
+        return tiny_df(spark, [(0, 0, None)], schema)
+    lab = relational._lpa_labels(A, rounds=3)
+    n = len(vids)
+    deg = A.sum(axis=1)
+    m = int(A.sum()) // 2
+    d_c: dict = {}
+    e_c: dict = {}
+    for i in range(n):
+        d_c[int(lab[i])] = d_c.get(int(lab[i]), 0) + int(deg[i])
+    for i in range(n):
+        for j in range(i + 1, n):
+            if A[i, j] and lab[i] == lab[j]:
+                e_c[int(lab[i])] = e_c.get(int(lab[i]), 0) + 1
+    num = sum(4 * m * e_c.get(c, 0) - d * d for c, d in d_c.items())
+    modularity = (
+        math.floor(float(num) / ((4.0 * m) * m) * 1e6 + 0.5) / 1e6
     )
-    m = edges.agg(F.count("*").alias("m"))
-    deg = und.groupBy(F.col("src").alias("vertex")).agg(F.count("*").alias("deg"))
-    dc = (
-        labels.join(deg, "vertex")
-        .groupBy("label")
-        .agg(F.sum("deg").alias("d_c"))
-    )
-    lu = labels.select(F.col("vertex").alias("u"), F.col("label").alias("lu"))
-    lv = labels.select(F.col("vertex").alias("v"), F.col("label").alias("lv"))
-    ec = (
-        edges.join(lu, "u")
-        .join(lv, "v")
-        .filter(F.col("lu") == F.col("lv"))
-        .groupBy(F.col("lu").alias("label"))
-        .agg(F.count("*").alias("e_c"))
-    )
-    numer = (
-        dc.join(ec, "label", "left")
-        .crossJoin(F.broadcast(m))
-        .agg(
-            F.sum(
-                F.lit(4) * F.col("m") * F.coalesce(F.col("e_c"), F.lit(0))
-                - F.col("d_c") * F.col("d_c")
-            ).alias("num")
-        )
-    )
-    n_comm = dc.agg(F.count("*").alias("n_communities"))
-    return (
-        numer.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(n_comm))
-        .select(
-            F.col("n_communities").cast("long").alias("n_communities"),
-            F.col("m").cast("long").alias("n_edges"),
-            (
-                F.floor(
-                    F.col("num").cast("double")
-                    / (F.lit(4.0) * F.col("m") * F.col("m"))
-                    * 1e6
-                    + F.lit(0.5)
-                )
-                / 1e6
-            ).alias("modularity"),
-        )
-    )
+    return tiny_df(spark, [(len(d_c), m, modularity)], schema)
 
 
 @register(
