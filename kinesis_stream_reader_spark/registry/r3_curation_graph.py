@@ -1565,43 +1565,40 @@ def link_prediction_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame
     already pays, bounded by sum-of-degrees-squared, never all pairs;
     the existing-edge exclusion is a broadcast anti-join and Jaccard is
     a census-side projection. Top-20 is a TakeOrdered."""
+    # Optimization round 13 (the betweenness_centrality treatment): the
+    # %200/%199 projection bounds the vertex set by construction, so
+    # the wedge self-join, anti-join, and degree census ran on
+    # few-hundred-row relations; common-neighbor counts are one exact
+    # int64 A@A GEMM over the collected bounded adjacency, and the
+    # quantized Jaccard replays long/long -> double division op-for-op.
+    import math
+
+    from ..operators import relational, tiny_df
+
     ev = load_events(spark, sf_dir)
-    raw = ev.select(
-        (F.col("user_id") % 200).alias("p"), (F.col("event_id") % 199).alias("q")
-    ).filter(F.col("p") != F.col("q"))
-    # edges feeds three consumers (both adjacency arms + the anti-join),
-    # adj three more (degree census + both wedge sides): lazy
-    # checkpoints run the events scan + distinct once
-    edges = raw.select(
-        F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
-    ).distinct().localCheckpoint(eager=False)
-    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    ).localCheckpoint(eager=False)
-    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
-    a1 = adj.select(F.col("node").alias("u"), "nbr")
-    a2 = adj.select(F.col("node").alias("v"), F.col("nbr").alias("nbr2"))
-    cand = (
-        a1.join(a2, (F.col("nbr") == F.col("nbr2")) & (F.col("u") < F.col("v")))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n_common"))
-    )
-    nonedges = cand.join(edges, ["u", "v"], "left_anti")
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    jac = F.col("n_common") / (F.col("du") + F.col("dv") - F.col("n_common"))
-    return (
-        nonedges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            "u",
-            "v",
-            "n_common",
-            (F.floor(jac * 1e4 + F.lit(0.5)) / 1e4).alias("jaccard"),
-        )
-        .orderBy(F.col("jaccard").desc(), "u", "v")
-        .limit(20)
-    )
+    schema = "u BIGINT, v BIGINT, n_common BIGINT, jaccard DOUBLE"
+    vids, A = relational._bounded_projection_graph(ev)
+    if not vids:
+        return tiny_df(spark, [], schema)
+    C = A @ A
+    deg = A.sum(axis=1)
+    n = len(vids)
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            nc = int(C[i, j])
+            if nc > 0 and not A[i, j]:
+                jac = nc / (int(deg[i]) + int(deg[j]) - nc)
+                rows.append(
+                    (
+                        int(vids[i]),
+                        int(vids[j]),
+                        nc,
+                        math.floor(jac * 1e4 + 0.5) / 1e4,
+                    )
+                )
+    rows.sort(key=lambda t: (-t[3], t[0], t[1]))
+    return tiny_df(spark, rows[:20], schema)
 
 
 @register(

@@ -517,52 +517,52 @@ def link_prediction_adamic_adar_query(spark: SparkSession, sf_dir: str) -> DataF
     existing-edge exclusion is a broadcast anti-join; top-20 is a
     TakeOrdered. At 100 TB the hub cap is the same degree-ordered
     orientation triangles use."""
+    # Optimization round 13 (the link_prediction_jaccard treatment):
+    # the bounded projection collects once; per-neighbor nano-unit
+    # weights floor(1e9 / ln(deg) + 0.5) are exact ints (every wedge
+    # center has deg >= 2), pair scores are one exact int64
+    # A @ diag(w) @ A GEMM, and the (aa_u DESC, u, v) rank runs on the
+    # exact bigints — identical rows.
+    import math
+
+    import numpy as np
+
+    from ..operators import relational, tiny_df
+
     ev = load_events(spark, sf_dir)
-    raw = ev.select(
-        (F.col("user_id") % 200).alias("p"), (F.col("event_id") % 199).alias("q")
-    ).filter(F.col("p") != F.col("q"))
-    # edges feeds three consumers (both adjacency arms + the anti-join),
-    # adj three more (degree census + both wedge sides): lazy
-    # checkpoints run the events scan + distinct once (the
-    # link_prediction_jaccard shape)
-    edges = raw.select(
-        F.least("p", "q").alias("u"), F.greatest("p", "q").alias("v")
-    ).distinct().localCheckpoint(eager=False)
-    adj = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionByName(
-        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
-    ).localCheckpoint(eager=False)
-    deg = adj.groupBy("node").agg(F.count("*").alias("deg"))
-    a1 = adj.select(F.col("node").alias("u"), "nbr")
-    a2 = adj.select(F.col("node").alias("v"), F.col("nbr").alias("nbr2"))
-    dn = deg.select(F.col("node").alias("nbr"), F.col("deg").alias("ndeg"))
-    wedges = (
-        a1.join(a2, (F.col("nbr") == F.col("nbr2")) & (F.col("u") < F.col("v")))
-        .join(dn, "nbr")
-        .select(
-            "u",
-            "v",
-            F.floor(F.lit(1e9) / F.log(F.col("ndeg").cast("double")) + F.lit(0.5))
-            .cast("long")
-            .alias("w_u"),
-        )
+    schema = "u BIGINT, v BIGINT, n_common BIGINT, adamic_adar DOUBLE"
+    vids, A = relational._bounded_projection_graph(ev)
+    if not vids:
+        return tiny_df(spark, [], schema)
+    deg = A.sum(axis=1)
+    w = np.array(
+        [
+            int(math.floor(1e9 / math.log(float(d)) + 0.5)) if d >= 2 else 0
+            for d in deg
+        ],
+        np.int64,
     )
-    cand = wedges.groupBy("u", "v").agg(
-        F.count("*").alias("n_common"), F.sum("w_u").alias("aa_u")
-    )
-    nonedges = cand.join(edges, ["u", "v"], "left_anti")
-    return (
-        nonedges.select(
-            "u",
-            "v",
-            "n_common",
-            (F.floor(F.col("aa_u") / 1e9 * 1e4 + F.lit(0.5)) / 1e4).alias(
-                "adamic_adar"
-            ),
-            "aa_u",
-        )
-        .orderBy(F.col("aa_u").desc(), "u", "v")
-        .limit(20)
-        .drop("aa_u")
+    C = A @ A
+    AA = (A * w[None, :]) @ A  # aa_u[i, j] = sum over shared nbrs of w
+    n = len(vids)
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            nc = int(C[i, j])
+            if nc > 0 and not A[i, j]:
+                aau = int(AA[i, j])
+                rows.append(
+                    (
+                        int(vids[i]),
+                        int(vids[j]),
+                        nc,
+                        math.floor(aau / 1e9 * 1e4 + 0.5) / 1e4,
+                        aau,
+                    )
+                )
+    rows.sort(key=lambda t: (-t[4], t[0], t[1]))
+    return tiny_df(
+        spark, [r[:4] for r in rows[:20]], schema
     )
 
 
