@@ -2635,6 +2635,48 @@ def keyword_textrank(documents: DataFrame, top_n: int = 20) -> DataFrame:
     wedges = und.groupBy("a", "b").agg(F.count("*").alias("wt")).localCheckpoint(
         eager=False
     )
+    # Small-vocabulary fast path (optimization round 13, the BPE
+    # driver-training pattern): the pair census is vocabulary-bounded,
+    # so below the cutoff (take(N+1) returning <= N rows proves the
+    # whole census was collected) the two power iterations run as a
+    # plain Python loop — exact integer (rank * wt) DIV wdeg terms
+    # (nonnegative, so Python // == Spark DIV), the same
+    # base + floor(0.85 * double(inflow) + 0.5) damping op, and the
+    # same (rank_u DESC, word) top-n. The distributed loop below stays
+    # the route for vocabularies above the cutoff.
+    cutoff = int(
+        os.environ.get("SPARK_GRAFT_TEXTRANK_DRIVER_EDGES_MAX", "262144")
+    )
+    if cutoff > 0:
+        head = wedges.take(cutoff + 1)
+        if len(head) <= cutoff:
+            import math
+
+            wt: dict = {}
+            wdeg_d: dict = {}
+            for r in head:
+                a, b, w = str(r["a"]), str(r["b"]), int(r["wt"])
+                wt[(a, b)] = wt.get((a, b), 0) + w
+                wt[(b, a)] = wt.get((b, a), 0) + w
+                wdeg_d[a] = wdeg_d.get(a, 0) + w
+                wdeg_d[b] = wdeg_d.get(b, 0) + w
+            words = sorted(wdeg_d)
+            rank = {w_: 1_000_000_000 for w_ in words}
+            for _ in range(2):
+                inflow: dict = {}
+                for (a, b), w in wt.items():
+                    inflow[b] = inflow.get(b, 0) + (rank[a] * w) // wdeg_d[a]
+                rank = {
+                    w_: 150_000_000
+                    + int(math.floor(0.85 * float(inflow.get(w_, 0)) + 0.5))
+                    for w_ in words
+                }
+            ordered = sorted(words, key=lambda w_: (-rank[w_], w_))[:top_n]
+            return tiny_df(
+                documents.sparkSession,
+                [(w_, rank[w_] / 1e9) for w_ in ordered],
+                "word STRING, textrank DOUBLE",
+            )
     edges = wedges.select("a", "b", "wt").unionByName(
         wedges.select(F.col("b").alias("a"), F.col("a").alias("b"), "wt")
     ).localCheckpoint(eager=False)

@@ -79,7 +79,7 @@ EAGER_QUERIES = frozenset(
         "betweenness_centrality",
         "hyperball_neighborhood", "kcore_decomposition", "kcore_bounded",
         "graph_triangles", "link_prediction_jaccard",
-        "link_prediction_adamic_adar",
+        "link_prediction_adamic_adar", "keyword_textrank",
         "knn_graph", "knn_graph_components", "lof_outlier_scores",
         "ivf_knn_recall_report", "hubness_report_ivf", "lof_outlier_scores_ivf",
         "ivf_nprobe_sweep", "hubness_report_ivf_trained",

@@ -577,3 +577,26 @@ def test_bpe_driver_path_matches_distributed(spark, sf_dir, monkeypatch):
     assert merges_driver == merges_dist
     assert rows_driver == rows_dist
     assert len(merges_driver) == 4
+
+
+def test_textrank_driver_path_matches_distributed(spark, sf_dir, monkeypatch):
+    """Optimization round 13: keyword_textrank's driver fast path must
+    produce the exact ranked rows of the distributed power-iteration
+    loop (the cutoff only moves WHERE the loop runs)."""
+    from kinesis_stream_reader_spark.operators import text
+    from kinesis_stream_reader_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run():
+        return [
+            (r["word"], r["textrank"])
+            for r in text.keyword_textrank(docs).collect()
+        ]
+
+    monkeypatch.setenv("SPARK_GRAFT_TEXTRANK_DRIVER_EDGES_MAX", "262144")
+    rows_driver = run()
+    monkeypatch.setenv("SPARK_GRAFT_TEXTRANK_DRIVER_EDGES_MAX", "0")
+    rows_dist = run()
+    assert rows_driver == rows_dist
+    assert len(rows_driver) == 20
