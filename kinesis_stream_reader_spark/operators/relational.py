@@ -22,6 +22,7 @@ Scale notes are per-operator. General stance for the 100 TB target:
 from __future__ import annotations
 
 import math
+import os
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -2867,6 +2868,21 @@ def bloom_semi_filter(
     )
 
 
+def _check_driver_graph_bounds(nodes_a: int, nodes_b: int, cap: int, kernel: str):
+    """The dense driver-side graph kernels allocate O(n^2)-O(n^3)
+    arrays keyed to the nodes_a + nodes_b residue bound; a caller
+    passing large diagnostic parameters must fail loudly instead of
+    OOM-ing the driver (the distributed forms were retired in round
+    13). Env-overridable for hosts with more driver memory."""
+    env_cap = int(os.environ.get("SPARK_GRAFT_DRIVER_GRAPH_MAX_VERTICES", "0")) or cap
+    if nodes_a + nodes_b > env_cap:
+        raise ValueError(
+            f"{kernel}: nodes_a + nodes_b = {nodes_a + nodes_b} exceeds the "
+            f"dense driver-kernel vertex cap {env_cap} (set "
+            "SPARK_GRAFT_DRIVER_GRAPH_MAX_VERTICES to raise it)"
+        )
+
+
 def triangle_count(events: DataFrame, nodes_a: int = 200, nodes_b: int = 199) -> DataFrame:
     """Distributed triangle counting with degree-ordered edge
     orientation — the classic bound that makes the wedge self-join
@@ -2900,6 +2916,8 @@ def triangle_count(events: DataFrame, nodes_a: int = 200, nodes_b: int = 199) ->
 
     from . import tiny_df
 
+    # the wedge tensor is n^3 bool — cap tighter than the n^2 kernels
+    _check_driver_graph_bounds(nodes_a, nodes_b, 512, "triangle_count")
     spark = events.sparkSession
     edge_rows = (
         events.select(
@@ -3112,6 +3130,9 @@ def _bounded_projection_graph(
     int64 symmetric adjacency), or ([], None) for an edgeless graph."""
     import numpy as np
 
+    _check_driver_graph_bounds(
+        nodes_a, nodes_b, 4096, "_bounded_projection_graph"
+    )
     edge_rows = (
         events.select(
             (F.col("user_id") % nodes_a).alias("p"),
@@ -5325,16 +5346,18 @@ def hyperball_neighborhood(
     )
     idx = {v: i for i, v in enumerate(vids)}
     n = len(vids)
-    A = np.zeros((n, n), np.int8)
+    # bool adjacency: matmul of bool matrices accumulates with OR, so a
+    # node adjacent to >=128 frontier members cannot wrap (int8 would)
+    A = np.zeros((n, n), bool)
     for r in edge_rows:
         i, j = idx[int(r["u"])], idx[int(r["v"])]
-        A[i, j] = 1
-        A[j, i] = 1
+        A[i, j] = True
+        A[j, i] = True
     # radius-`rounds` balls via dense BFS (ball = settled set)
     ball = np.eye(n, dtype=bool)
     frontier = ball.copy()
     for _ in range(rounds):
-        new = ((frontier.astype(np.int8) @ A) > 0) & ~ball
+        new = (frontier @ A) & ~ball
         if not new.any():
             break
         ball |= new

@@ -1222,6 +1222,12 @@ def pca_power_top_component(embeddings: DataFrame, rounds: int = 4) -> DataFrame
         for z in u:  # d-ascending fold, same IEEE sequence as F.aggregate
             acc_f += float(z) * float(z)
         nrm = int(math.floor(math.sqrt(acc_f)))
+        if nrm == 0:
+            # all-zero u (e.g. every embedding quantizes to zero): the
+            # distributed plan's `DIV 0` yielded NULLs (non-ANSI), not a
+            # crash — settle on the zero vector instead of dividing
+            v = [0] * len(u)
+            break
         # Spark's bigint DIV truncates toward zero (Python // floors)
         v = [
             (int(z) * 1000) // nrm if z >= 0 else -((-int(z)) * 1000 // nrm)

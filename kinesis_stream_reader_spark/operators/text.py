@@ -3747,6 +3747,14 @@ def wordpiece_encode(
     the cap makes the bound visible and logs when it binds. Output:
     one row per distinct word with its piece sequence and fertility.
 
+    Encode-row contract (relied on by consumers that posexplode the
+    piece string, e.g. the fused tokenizer_compare_report stats):
+    every output row has a NON-NULL space-joined `pieces` string and
+    `n_pieces == size(split(pieces, ' '))` — greedy matching is total
+    (single chars are always in-vocab), so no word encodes to an empty
+    or null sequence. bytelevel_bpe_encode and unigram_lm_encode
+    follow the same contract.
+
     Everything is exact integer counting, so the DuckDB oracle replays
     vocab construction and the greedy walk bit-identically (recursive
     CTE peeling the longest matching piece per step).

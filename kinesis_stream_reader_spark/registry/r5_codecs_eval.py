@@ -2877,16 +2877,18 @@ def harmonic_centrality_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx = {v: i for i, v in enumerate(vids)}
     n = len(vids)
-    A = np.zeros((n, n), np.int8)
+    # bool adjacency: matmul of bool matrices accumulates with OR, so a
+    # node adjacent to >=128 frontier members cannot wrap (int8 would)
+    A = np.zeros((n, n), bool)
     for r in edge_rows:
         i, j = idx[int(r["u"])], idx[int(r["v"])]
-        A[i, j] = 1
-        A[j, i] = 1
+        A[i, j] = True
+        A[j, i] = True
     settled = np.eye(n, dtype=bool)
     frontier = settled.copy()
     hq = np.zeros(n, np.int64)  # per-source nano-unit harmonic sum
     for k in range(1, 7):
-        new = ((frontier.astype(np.int8) @ A) > 0) & ~settled
+        new = (frontier @ A) & ~settled
         if not new.any():
             break  # saturated — later rounds add zero rows (as before)
         term = int(math.floor(1e9 / k + 0.5))

@@ -108,7 +108,28 @@ def _fast_tmp() -> str | None:
         return override
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        try:
+            st = os.statvfs(shm)
+            # implicit default only when the tmpfs has real headroom
+            # (>= 4 GiB free) — a small /dev/shm would turn shuffle
+            # spill into instant OOM
+            if st.f_bavail * st.f_frsize < 4 << 30:
+                return None
+        except OSError:  # pragma: no cover - statvfs unsupported
+            return None
         return os.path.join(shm, "ksr_local")
+    return None
+
+
+def _local_dir_for(master: str) -> str | None:
+    """spark.local.dir (shuffle spill!) only defaults to tmpfs under a
+    LOCAL master — on a cluster node the same default would silently
+    put 100 TB-scale spill in RAM. An explicit SPARK_GRAFT_LOCAL_DIR
+    override is honored for any master (the operator said so)."""
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR") not in (None, "", "-"):
+        return FAST_TMP
+    if FAST_TMP and master.startswith("local"):
+        return FAST_TMP
     return None
 
 
@@ -141,9 +162,10 @@ def get_spark(app_name: str = "kinesis_stream_reader_spark", cpus: int | None = 
     operators (KPL protobuf decode, multimodal stubs).
     """
     n = cpus or default_parallelism()
+    master = f"local[{n}]"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{n}]")
+        .master(master)
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
@@ -158,8 +180,9 @@ def get_spark(app_name: str = "kinesis_stream_reader_spark", cpus: int | None = 
         .config("spark.sql.warehouse.dir", scratch("ksr_warehouse"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    if FAST_TMP:
-        builder = builder.config("spark.local.dir", FAST_TMP)
+    local_dir = _local_dir_for(master)
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
